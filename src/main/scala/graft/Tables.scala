@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Update
+
+/** Loaders for the driver's testdata plus the canonical `updates` mapping.
+  *
+  * The reference engine's only schema is the tick `Update`
+  * (`FIXTURES.md` §1); the driver testdata has no such table, so we derive a
+  * deterministic one from `events`. The Spark expression and the DuckDB SQL
+  * twin ([[Tables.updatesSql]]) are kept bit-exact:
+  *
+  *  - `size` is built from integer arithmetic over quarters (k/4.0), so every
+  *    sum of sizes is an exact double no matter the accumulation order;
+  *  - `price` is the raw 2-decimal `value` double read identically by both
+  *    engines from the same parquet;
+  *  - no `round()` anywhere (Java HALF_UP on the shortest decimal repr vs C
+  *    round-half-away diverge on doubles like 0.015).
+  */
+object Tables {
+
+  val tpch = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem")
+  val all = tpch ++ Seq("events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The driver's `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4
+    * refuses to read natively; read it as a raw nanosecond Long instead.
+    * Runtime-settable, so safe to flip here before the scan is planned. */
+  def enableNanos(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Canonical tick table derived from `events`:
+    * one symbol per event_type, ms timestamps, globally-unique seq. */
+  def updates(spark: SparkSession, dir: String): DataFrame = {
+    enableNanos(spark)
+    val ev = table(spark, dir, "events")
+    // ns-long (nanosAsLong) vs timestamp (µs) — both truncate to ms
+    val tsMs = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case _ => unix_millis(col("ts"))
+    }
+    ev.select(
+      col("event_type").as("symbol"),
+      tsMs.as("ts"),
+      col("event_id").as("seq"),
+      (col("event_id") % 3 === 0).as("is_trade"),
+      (col("event_id") % 2 === 0).as("is_bid"),
+      col("value").as("price"),
+      when(col("event_id") % 31 === 0, lit(0.0))
+        .otherwise((col("event_id") % 97 + 1).cast("double") / 4.0)
+        .as("size"))
+  }
+
+  def updatesDs(spark: SparkSession, dir: String): Dataset[Update] = {
+    import spark.implicits._
+    updates(spark, dir).as[Update]
+  }
+
+  /** DuckDB twin of [[updates]]; embed via [[withUpdates]]. */
+  val updatesSql: String =
+    """SELECT event_type AS symbol, epoch_ms(ts) AS ts, event_id AS seq,
+      | (event_id % 3 = 0) AS is_trade, (event_id % 2 = 0) AS is_bid,
+      | value AS price,
+      | CASE WHEN event_id % 31 = 0 THEN 0.0
+      |      ELSE CAST(event_id % 97 + 1 AS DOUBLE) / 4.0 END AS size
+      |FROM events""".stripMargin.replace('\n', ' ')
+
+  /** Wrap an oracle query body with the shared `updates` CTE. */
+  def withUpdates(body: String): String =
+    s"WITH updates AS ($updatesSql) $body"
+
+  def withUpdates(extraCtes: String, body: String): String =
+    s"WITH updates AS ($updatesSql), $extraCtes $body"
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar column helpers — all composed from built-in (codegen'd) Spark
+  * functions, no UDFs, so they stay inside whole-stage codegen and push down.
+  *
+  * Each mirrors a reference scalar (file:line cited per function) but is
+  * implemented as a declarative expression so Catalyst can fold / push it.
+  */
+package object functions {
+
+  /** Normalize an epoch to 13-digit milliseconds by repeated *10, exactly the
+    * reference's `fill_digits` loop (`crates/tdb-core/src/utils.rs:11-22`):
+    * multiplies by 10 until the value is >= 1_000_000_000_000. 0 stays 0.
+    * Implemented as a when-chain (the input domain is bounded: a 19-digit
+    * epoch is already > i64 max / 10, so 7 steps cover everything). */
+  def fillDigits(ts: Column): Column = {
+    val lim = 1000000000000L
+    // ts * 10^k for the smallest k with ts * 10^k >= lim (ts > 0)
+    (1 to 7).foldLeft(when(ts === 0L || ts >= lim, ts)) { (acc, k) =>
+      val m = math.pow(10, k).toLong
+      acc.when(ts * m >= lim, ts * m)
+    }.otherwise(ts)
+  }
+
+  /** Millisecond epoch -> epoch seconds (integer division, as the reference
+    * does `fill_digits(ts) / 1000` everywhere, e.g. `time_bars.rs:28,85`). */
+  def tsSeconds(ts: Column): Column = (fillDigits(ts) / 1000L).cast("long")
+
+  /** Floor an epoch-seconds column onto a `sec`-second grid
+    * (`time_bars.rs:28`: `ts / s * s`). */
+  def timeBucket(tsSec: Column, sec: Long): Column =
+    (tsSec / sec).cast("long") * sec
+
+  /** Price discretization (`postprocessing/orderbook.rs:27-30`):
+    * `(price * 10^d) as u64` — truncation toward zero. floor() matches the
+    * Rust cast for the non-negative price domain and evaluates identically
+    * in Spark and DuckDB (both operate on the same IEEE double product). */
+  def discretize(price: Column, decimals: Int): Column =
+    floor(price * math.pow(10, decimals)).cast("long")
+
+  /** Inverse of [[discretize]] (`orderbook.rs:32-34`). */
+  def undiscretize(level: Column, decimals: Int): Column =
+    level.cast("double") / math.pow(10, decimals)
+
+  /** Epoch seconds -> `"2018-02-13 02:28:48 UTC"` (reference
+    * `utils.rs:39-45`). Session timezone must be UTC. */
+  def epochToHuman(tsSec: Column): Column =
+    concat(from_unixtime(tsSec, "yyyy-MM-dd HH:mm:ss"), lit(" UTC"))
+
+  /** Reference CSV bool rendering: `t` / `f` (`dtf/update.rs:27-42`). */
+  def tfBool(b: Column): Column = when(b, "t").otherwise("f")
+
+  /** Reference JSON/CSV timestamp rendering: ms epoch printed as seconds
+    * float (`dtf/update.rs:144-168`). */
+  def tsAsSecondsFloat(ts: Column): Column = ts.cast("double") / 1000.0
+
+  /** Parse `exchange_currency_asset` book names (`dtf/symbol.rs:15-29`). */
+  def symbolParts(symbol: Column): (Column, Column, Column) = {
+    val parts = split(symbol, "_")
+    (parts.getItem(0), parts.getItem(1), parts.getItem(2))
+  }
+
+  /** Exact aggregate sum of a double column via decimal widening: sums are
+    * order-independent in decimal, so Spark and the DuckDB oracle agree
+    * bit-for-bit after the final cast back to double. Use for every SUM over
+    * data-derived doubles (plain double sums differ across engines by
+    * accumulation order). */
+  def exactSum(c: Column): Column =
+    sum(c.cast("decimal(30,10)")).cast("double")
+
+  /** Exact sum of a product of two double columns (e.g. price*size,
+    * extendedprice*(1-discount)): multiply in decimal, sum exactly. */
+  def exactSumProduct(a: Column, b: Column): Column =
+    sum(a.cast("decimal(20,6)") * b.cast("decimal(20,6)")).cast("double")
+
+  /** Ordered-first: value of `v` at the smallest `(ts, seq)` in the group.
+    * Spark's `first()` is order-nondeterministic; `min_by` over the order
+    * struct is the deterministic spelling (SURVEY §7.4-2). */
+  def orderedFirst(v: Column, ts: Column, seq: Column): Column =
+    min_by(v, struct(ts, seq))
+
+  /** Ordered-last: value of `v` at the largest `(ts, seq)` in the group. */
+  def orderedLast(v: Column, ts: Column, seq: Column): Column =
+    max_by(v, struct(ts, seq))
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions._
+import graft.operators._
+
+/** Correctness-gate entries for the reference's tick-table surface
+  * (SURVEY §2.1/§2.2/§2.4/§2.6). Every query orders its output
+  * deterministically and keeps doubles bit-exact vs. the DuckDB oracle. */
+object TickQueries {
+
+  // inclusive ms range used by the range-scan queries: 2024-01-10..2024-01-20
+  private val RangeLo = 1704844800000L
+  private val RangeHi = 1705708800000L
+
+  private def u(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.updates(s, dir)
+
+  val all: Seq[Q] = Seq(
+
+    // A1/A2 — COUNT (`state.rs:517-543`)
+    Q("q_count",
+      (s, dir) => u(s, dir).agg(count(lit(1)).as("n")),
+      Some(Tables.withUpdates("SELECT count(*) AS n FROM updates"))),
+
+    Q("q_count_by_symbol",
+      (s, dir) => u(s, dir).groupBy(col("symbol"))
+        .agg(count(lit(1)).as("n")).orderBy("symbol"),
+      Some(Tables.withUpdates(
+        "SELECT symbol, count(*) AS n FROM updates GROUP BY symbol ORDER BY symbol"))),
+
+    // S3/S4 — ts-range scan, inclusive bounds (`file_format.rs:292-413`);
+    // Parquet row-group stats give the reference's batch-skipping for free.
+    Q("q_range_scan",
+      (s, dir) => u(s, dir)
+        .where(col("ts").between(RangeLo, RangeHi))
+        .orderBy("ts", "seq"),
+      Some(Tables.withUpdates(
+        s"SELECT * FROM updates WHERE ts BETWEEN $RangeLo AND $RangeHi ORDER BY ts, seq"))),
+
+    // F1 — in-memory filter uses EXCLUSIVE bounds (`state.rs:617-624`) —
+    // reference quirk preserved as its own operator.
+    Q("q_range_scan_exclusive",
+      (s, dir) => u(s, dir)
+        .where(col("ts") > RangeLo && col("ts") < RangeHi)
+        .orderBy("ts", "seq"),
+      Some(Tables.withUpdates(
+        s"SELECT * FROM updates WHERE ts > $RangeLo AND ts < $RangeHi ORDER BY ts, seq"))),
+
+    // O3 — GET n FROM a TO b (`state.rs:604-671`), exact limit(n)
+    // (the reference's fs-path off-by-one is a documented latent bug,
+    // SURVEY §7.4-4).
+    Q("q_get_n",
+      (s, dir) => u(s, dir)
+        .where(col("ts").between(RangeLo, RangeHi))
+        .orderBy("ts", "seq").limit(100),
+      Some(Tables.withUpdates(
+        s"SELECT * FROM updates WHERE ts BETWEEN $RangeLo AND $RangeHi ORDER BY ts, seq LIMIT 100"))),
+
+    // A3 — 1-minute OHLCV time bars (`time_bars.rs:46-124`), including the
+    // reference quirk of dropping the final in-progress candle per symbol.
+    Q("q_time_bars",
+      (s, dir) => TimeBars.bars(u(s, dir)).orderBy("symbol", "start"),
+      Some(Tables.withUpdates(
+        """SELECT symbol, start, start AS "end", open, high, low, close, volume FROM (
+          |SELECT symbol, ((ts // 1000) // 60) * 60 AS start,
+          | first(price ORDER BY ts, seq) AS open,
+          | max(price) AS high, min(price) AS low,
+          | last(price ORDER BY ts, seq) AS close,
+          | CAST(SUM(CAST(size AS DECIMAL(30,10))) AS DOUBLE) AS volume
+          |FROM updates WHERE is_trade GROUP BY 1, 2
+          |QUALIFY start < max(start) OVER (PARTITION BY symbol))
+          |ORDER BY symbol, start""".stripMargin.replace('\n', ' ')))),
+
+    // S10/C7 — JSON/CSV rendering exprs: ts as seconds float, t/f bools
+    // (`dtf/update.rs:144-168`).
+    Q("q_render",
+      (s, dir) => u(s, dir)
+        .where(col("ts").between(RangeLo, RangeHi))
+        .select(col("seq"),
+          tsAsSecondsFloat(col("ts")).as("ts_s"),
+          tfBool(col("is_trade")).as("is_trade_c"),
+          tfBool(col("is_bid")).as("is_bid_c"),
+          col("price"), col("size"))
+        .orderBy("seq"),
+      Some(Tables.withUpdates(
+        s"""SELECT seq, ts / 1000.0 AS ts_s,
+           | CASE WHEN is_trade THEN 't' ELSE 'f' END AS is_trade_c,
+           | CASE WHEN is_bid THEN 't' ELSE 'f' END AS is_bid_c,
+           | price, size
+           |FROM updates WHERE ts BETWEEN $RangeLo AND $RangeHi ORDER BY seq"""
+          .stripMargin.replace('\n', ' ')))),
+
+    // C1 — fill_digits epoch normalization (`utils.rs:11-22`): feed it
+    // second-resolution epochs and check the ms normalization.
+    Q("q_fill_digits",
+      (s, dir) => u(s, dir)
+        .select(col("seq"), (col("ts") / 1000L).cast("long").as("ts_sec"))
+        .select(col("seq"), fillDigits(col("ts_sec")).as("ts_norm"))
+        .orderBy("seq"),
+      Some(Tables.withUpdates(
+        """SELECT seq, CASE WHEN ts_sec = 0 THEN 0 ELSE ts_sec * pw END AS ts_norm FROM (
+          |SELECT seq, ts // 1000 AS ts_sec,
+          | CASE WHEN ts // 1000 >= 1000000000000 THEN 1
+          |      WHEN ts // 1000 >= 100000000000 THEN 10
+          |      WHEN ts // 1000 >= 10000000000 THEN 100
+          |      WHEN ts // 1000 >= 1000000000 THEN 1000
+          |      ELSE 10000 END AS pw
+          |FROM updates) ORDER BY seq""".stripMargin.replace('\n', ' ')))),
+
+    // C6 — symbol parse `exchange_currency_asset` (`dtf/symbol.rs:15-29`).
+    Q("q_symbol_parse", (s, dir) => {
+      val full = concat(lit("bnc_"), col("symbol"), lit("_usd"))
+      val parts = split(full, "_")
+      u(s, dir).select(col("symbol")).distinct()
+        .select(full.as("book"), element_at(parts, 1).as("exchange"),
+          element_at(parts, 2).as("currency"), element_at(parts, 3).as("asset"))
+        .orderBy("book")
+    },
+      Some(Tables.withUpdates(
+        """SELECT 'bnc_' || symbol || '_usd' AS book,
+          | string_split('bnc_' || symbol || '_usd', '_')[1] AS exchange,
+          | string_split('bnc_' || symbol || '_usd', '_')[2] AS currency,
+          | string_split('bnc_' || symbol || '_usd', '_')[3] AS asset
+          |FROM (SELECT DISTINCT symbol FROM updates) ORDER BY book"""
+          .stripMargin.replace('\n', ' '))))
+  )
+}
