@@ -76,4 +76,9 @@ object Tables {
 
   def withUpdates(extraCtes: String, body: String): String =
     s"WITH updates AS ($updatesSql), $extraCtes $body"
+
+  /** Splice the updates CTE into a query that already starts with WITH. */
+  def withUpdatesChain(sqlStartingWithWith: String): String =
+    s"WITH updates AS ($updatesSql), " +
+      sqlStartingWithWith.stripPrefix("WITH ")
 }

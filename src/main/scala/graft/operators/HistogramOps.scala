@@ -1,0 +1,292 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Binning + descriptive statistics
+  * (`postprocessing/histogram.rs`, `postprocessing/level.rs`).
+  *
+  * Everything here is generalized per-symbol (the reference operates on one
+  * in-memory book at a time; per-symbol grouping is the 100 TB shape).
+  *
+  * Determinism contract: medians/percentiles are computed MANUALLY with the
+  * reference's own interpolation (`percentile_of_sorted`,
+  * histogram.rs:370-390: `lo + (hi-lo)*d`), never via engine-specific
+  * percentile built-ins, so Spark and DuckDB agree bit-for-bit.
+  */
+object HistogramOps {
+
+  // ---------------------------------------------------------------- medians
+
+  /** Manual linear-interpolated percentile of `price` per symbol.
+    * Emits (symbol, <out>). */
+  private def percentileAgg(pct: Double): (Column, Column, Column) = {
+    val rank = lit(pct / 100.0) * (col("_n") - 1)
+    val lrank = floor(rank)
+    val d = rank - lrank
+    (lrank, d, col("_rn0"))
+  }
+
+  /** (symbol, out) = pct-percentile of `value` over `df` rows per symbol. */
+  def percentileBy(df: DataFrame, value: Column, pct: Double,
+      out: String): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("_v"))
+    val wn = Window.partitionBy(col("symbol"))
+    val rank = lit(pct / 100.0) * (col("_n") - 1)
+    val lrank = floor(rank)
+    val d = rank - lrank
+    df.select(col("symbol"), value.as("_v"))
+      .withColumn("_rn0", row_number().over(w) - 1)
+      .withColumn("_n", count(lit(1)).over(wn))
+      .withColumn("_lrank", lrank)
+      .withColumn("_d", d)
+      .groupBy("symbol")
+      .agg(
+        max(when(col("_rn0") === col("_lrank"), col("_v"))).as("_lo"),
+        max(when(col("_rn0") === col("_lrank") + 1, col("_v"))).as("_hi"),
+        max(col("_d")).as("_dd"))
+      .select(col("symbol"),
+        when(col("_dd") === 0.0, col("_lo"))
+          .otherwise(col("_lo") + (col("_hi") - col("_lo")) * col("_dd"))
+          .as(out))
+  }
+
+  /** DuckDB twin of [[percentileBy]]: percentile of `valExpr` over
+    * `fromRel` (must expose symbol), emitted as (symbol, out). */
+  def percentileSql(fromRel: String, valExpr: String, pct: Double,
+      out: String): String =
+    s"""SELECT symbol, CASE WHEN dd = 0.0 THEN lo ELSE lo + (hi - lo) * dd END AS $out
+       |FROM (SELECT symbol,
+       |  max(CASE WHEN rn0 = lrank THEN v END) AS lo,
+       |  max(CASE WHEN rn0 = lrank + 1 THEN v END) AS hi,
+       |  max(d) AS dd
+       | FROM (SELECT symbol, v,
+       |   row_number() OVER (PARTITION BY symbol ORDER BY v) - 1 AS rn0,
+       |   floor($pct / 100.0 * (count(*) OVER (PARTITION BY symbol) - 1)) AS lrank,
+       |   $pct / 100.0 * (count(*) OVER (PARTITION BY symbol) - 1)
+       |     - floor($pct / 100.0 * (count(*) OVER (PARTITION BY symbol) - 1)) AS d
+       |  FROM (SELECT symbol, $valExpr AS v FROM $fromRel))
+       | GROUP BY symbol)""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------- outlier filter
+
+  /** MAD z-score outlier rejection (`reject_outliers`,
+    * histogram.rs:93-119): keep p where
+    * `(mdev > 0 ? |p-med|/mdev : 0) < m`. Returns the input rows that
+    * survive, with `_med`/`_mdev` columns retained for reuse. */
+  def madKeep(updates: DataFrame, m: Double): DataFrame = {
+    val med = percentileBy(updates, col("price"), 50.0, "_med")
+    val withMed = updates.join(med, "symbol")
+    val mdev = percentileBy(withMed, abs(col("price") - col("_med")), 50.0,
+      "_mdev")
+    withMed.join(mdev, "symbol")
+      .where(
+        when(col("_mdev") > 0.0,
+          abs(col("price") - col("_med")) / col("_mdev"))
+          .otherwise(lit(0.0)) < m)
+  }
+
+  /** DuckDB CTE chain for [[madKeep]] — binds relations `med`, `mdev`,
+    * `kept`. */
+  def madKeepSql(m: Double): String =
+    s"""med AS (${percentileSql("updates", "price", 50.0, "med")}),
+       |wm AS (SELECT u.*, med.med FROM updates u JOIN med USING (symbol)),
+       |mdev AS (${percentileSql("wm", "abs(price - med)", 50.0, "mdev")}),
+       |kept AS (SELECT wm.*, mdev.mdev FROM wm JOIN mdev USING (symbol)
+       | WHERE (CASE WHEN mdev > 0.0 THEN abs(price - med) / mdev ELSE 0.0 END) < $m)"""
+      .stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------- histogram
+
+  /** Equal-width histogram over MAD-filtered prices
+    * (`build_histogram`, histogram.rs:121-158):
+    * `bucket = (max-min)/(bins-1)`, `idx = floor((p-min)/bucket)` clamped to
+    * bins-1; ALL bins emitted (zero counts included), with their lower
+    * boundaries `min + i*bucket`. */
+  def histogram(updates: DataFrame, bins: Int, m: Double): DataFrame = {
+    val kept = madKeep(updates, m)
+    val bounds = kept.groupBy("symbol")
+      .agg(min(col("price")).as("hmin"), max(col("price")).as("hmax"))
+      .withColumn("bucket", (col("hmax") - col("hmin")) / (bins - 1))
+    val counts = kept.join(bounds, "symbol")
+      .withColumn("bin",
+        when(col("bucket") > 0.0,
+          least(floor((col("price") - col("hmin")) / col("bucket")),
+            lit(bins - 1)).cast("long"))
+          .otherwise(0L))
+      .groupBy("symbol", "bin").agg(count(lit(1)).as("cnt"))
+    val grid = bounds.select(col("symbol"), col("hmin"), col("bucket"),
+      explode(sequence(lit(0L), lit((bins - 1).toLong))).as("bin"))
+    grid.join(counts, Seq("symbol", "bin"), "left")
+      .select(col("symbol"), col("bin"),
+        (col("hmin") + col("bin") * col("bucket")).as("boundary"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  def histogramSql(bins: Int, m: Double): String =
+    s"""WITH ${madKeepSql(m)},
+       |bounds AS (SELECT symbol, min(price) AS hmin, max(price) AS hmax,
+       |  (max(price) - min(price)) / ${bins - 1} AS bucket
+       | FROM kept GROUP BY symbol),
+       |counts AS (SELECT symbol, bin, count(*) AS cnt FROM (
+       |  SELECT k.symbol,
+       |   CASE WHEN b.bucket > 0.0
+       |    THEN least(CAST(floor((k.price - b.hmin) / b.bucket) AS BIGINT), ${bins - 1})
+       |    ELSE 0 END AS bin
+       |  FROM kept k JOIN bounds b USING (symbol)) GROUP BY 1, 2),
+       |grid AS (SELECT symbol, hmin, bucket, unnest(generate_series(0, ${bins - 1})) AS bin
+       | FROM bounds)
+       |SELECT g.symbol, g.bin, g.hmin + g.bin * g.bucket AS boundary,
+       | coalesce(c.cnt, 0) AS cnt
+       |FROM grid g LEFT JOIN counts c ON g.symbol = c.symbol AND g.bin = c.bin
+       |ORDER BY 1, 2""".stripMargin.replace('\n', ' ')
+
+  /** Uniform time-grid boundaries (`new_boundaries`, histogram.rs:43-64):
+    * integer bucket `(max_ts-min_ts)/(step_bins-1)` over epoch SECONDS,
+    * boundaries as doubles. */
+  def timeBoundaries(updates: DataFrame, stepBins: Int): DataFrame =
+    updates
+      .select(col("symbol"), tsSeconds(col("ts")).as("tsec"))
+      .groupBy("symbol")
+      .agg(min(col("tsec")).as("tmin"), max(col("tsec")).as("tmax"))
+      .withColumn("tbucket",
+        expr(s"(tmax - tmin) div ${stepBins - 1}"))
+      .select(col("symbol"), col("tmin"), col("tbucket"),
+        explode(sequence(lit(0L), lit((stepBins - 1).toLong))).as("bin"))
+      .select(col("symbol"), col("bin"),
+        (col("tmin") + col("bin") * col("tbucket")).cast("double")
+          .as("boundary"))
+
+  def timeBoundariesSql(stepBins: Int): String =
+    s"""SELECT symbol, bin, CAST(tmin + bin * tbucket AS DOUBLE) AS boundary
+       |FROM (SELECT symbol, tmin,
+       |  (tmax - tmin) // ${stepBins - 1} AS tbucket,
+       |  unnest(generate_series(0, ${stepBins - 1})) AS bin
+       | FROM (SELECT symbol, min(ts // 1000) AS tmin, max(ts // 1000) AS tmax
+       |  FROM updates GROUP BY symbol))
+       |ORDER BY symbol, bin""".stripMargin.replace('\n', ' ')
+
+  // ----------------------------------------------------------------- stats
+
+  /** Full descriptive-stats suite per symbol over `price`
+    * (`Stats for [f64]`, histogram.rs:160-366): exact sum, min/max, mean,
+    * manual median, TWO-PASS sample variance (the reference's algorithm),
+    * stddev(+pct), MAD(+pct, ×1.4826), quartiles, IQR. Decimal accumulation
+    * keeps every aggregate bit-exact vs. the oracle. */
+  def stats(updates: DataFrame): DataFrame = {
+    val base = updates.groupBy("symbol").agg(
+      count(lit(1)).as("n"),
+      exactSum(col("price")).as("sum"),
+      min(col("price")).as("min"),
+      max(col("price")).as("max"))
+      .withColumn("mean", col("sum") / col("n"))
+    val med = percentileBy(updates, col("price"), 50.0, "median")
+    val q1 = percentileBy(updates, col("price"), 25.0, "q1")
+    val q3 = percentileBy(updates, col("price"), 75.0, "q3")
+    val withMean = updates.join(base.select(col("symbol"), col("mean")),
+      "symbol")
+    // scale 26: per-term cast error 1e-26 stays far below the double ulp of
+    // the final value while the 12 integer digits hold sf0.1-sized sums
+    val varDf = withMean.groupBy("symbol").agg(
+      (sum(((col("price") - col("mean")) * (col("price") - col("mean")))
+        .cast("decimal(38,26)")).cast("double") /
+        (count(lit(1)) - 1)).as("var"))
+    val mdev = {
+      val wMed = updates.join(med, "symbol")
+      percentileBy(wMed, abs(col("price") - col("median")), 50.0, "_mdev")
+    }
+    base.join(med, "symbol").join(q1, "symbol").join(q3, "symbol")
+      .join(varDf, "symbol").join(mdev, "symbol")
+      .select(col("symbol"), col("n"), col("sum"), col("min"), col("max"),
+        col("mean"), col("median"), col("var"),
+        sqrt(col("var")).as("std_dev"),
+        (sqrt(col("var")) / col("mean") * 100.0).as("std_dev_pct"),
+        (col("_mdev") * 1.4826).as("mad"),
+        (col("_mdev") * 1.4826 / col("median") * 100.0).as("mad_pct"),
+        col("q1"), col("q3"), (col("q3") - col("q1")).as("iqr"))
+  }
+
+  val statsSql: String =
+    s"""WITH base AS (SELECT symbol, count(*) AS n,
+       |  CAST(SUM(CAST(price AS DECIMAL(30,10))) AS DOUBLE) AS sum,
+       |  min(price) AS min, max(price) AS max,
+       |  CAST(SUM(CAST(price AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS mean
+       | FROM updates GROUP BY symbol),
+       |med AS (${percentileSql("updates", "price", 50.0, "median")}),
+       |q1 AS (${percentileSql("updates", "price", 25.0, "q1")}),
+       |q3 AS (${percentileSql("updates", "price", 75.0, "q3")}),
+       |vr AS (SELECT u.symbol,
+       |  CAST(SUM(CAST((u.price - b.mean) * (u.price - b.mean) AS DECIMAL(38,26))) AS DOUBLE)
+       |    / (count(*) - 1) AS var
+       | FROM updates u JOIN base b USING (symbol) GROUP BY u.symbol),
+       |wmed AS (SELECT u.*, med.median FROM updates u JOIN med USING (symbol)),
+       |mdev AS (${percentileSql("wmed", "abs(price - median)", 50.0, "mdev")})
+       |SELECT b.symbol, b.n, b.sum, b.min, b.max, b.mean, med.median, vr.var,
+       | sqrt(vr.var) AS std_dev,
+       | sqrt(vr.var) / b.mean * 100.0 AS std_dev_pct,
+       | mdev.mdev * 1.4826 AS mad,
+       | mdev.mdev * 1.4826 / med.median * 100.0 AS mad_pct,
+       | q1.q1, q3.q3, q3.q3 - q1.q1 AS iqr
+       |FROM base b JOIN med USING (symbol) JOIN q1 USING (symbol)
+       | JOIN q3 USING (symbol) JOIN vr USING (symbol) JOIN mdev USING (symbol)
+       |ORDER BY symbol""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------------------------------- levels
+
+  /** Levels transpose (`postprocessing/level.rs:23-49`): bin price by the
+    * MAD-filtered histogram, bin time by the uniform grid, last write per
+    * cell wins by `(ts,seq)`. Values outside the boundary range (outliers,
+    * the max row) drop out — `to_bin` None semantics. Time bin is truncated
+    * to integer (the reference stores it `as u32`). */
+  def levels(updates: DataFrame, stepBins: Int, tickBins: Int,
+      m: Double): DataFrame = {
+    val kept = madKeep(updates, m)
+    val bounds = kept.groupBy("symbol")
+      .agg(min(col("price")).as("hmin"), max(col("price")).as("hmax"))
+      .withColumn("bucket", (col("hmax") - col("hmin")) / (tickBins - 1))
+    val tbounds = updates
+      .select(col("symbol"), tsSeconds(col("ts")).as("tsec"))
+      .groupBy("symbol")
+      .agg(min(col("tsec")).as("tmin"), max(col("tsec")).as("tmax"))
+      .withColumn("tbucket", expr(s"(tmax - tmin) div ${stepBins - 1}"))
+    updates.join(bounds, "symbol").join(tbounds, "symbol")
+      .withColumn("pidx",
+        when(col("bucket") > 0.0,
+          floor((col("price") - col("hmin")) / col("bucket")))
+          .otherwise(0L))
+      .withColumn("tidx",
+        expr("(ts div 1000 - tmin) div tbucket"))
+      .where(col("pidx").between(0, tickBins - 2) &&
+        col("tidx").between(0, stepBins - 2))
+      .withColumn("price_bin", col("hmin") + col("pidx") * col("bucket"))
+      .withColumn("time_bin",
+        (col("tmin") + col("tidx") * col("tbucket")).cast("long"))
+      .groupBy("symbol", "price_bin", "time_bin")
+      .agg(orderedLast(col("size"), col("ts"), col("seq")).as("size"))
+  }
+
+  def levelsSql(stepBins: Int, tickBins: Int, m: Double): String =
+    s"""WITH ${madKeepSql(m)},
+       |bounds AS (SELECT symbol, min(price) AS hmin, max(price) AS hmax,
+       |  (max(price) - min(price)) / ${tickBins - 1} AS bucket
+       | FROM kept GROUP BY symbol),
+       |tbounds AS (SELECT symbol, min(ts // 1000) AS tmin, max(ts // 1000) AS tmax,
+       |  (max(ts // 1000) - min(ts // 1000)) // ${stepBins - 1} AS tbucket
+       | FROM updates GROUP BY symbol),
+       |binned AS (SELECT u.symbol, u.size, u.ts, u.seq,
+       |  CASE WHEN b.bucket > 0.0 THEN CAST(floor((u.price - b.hmin) / b.bucket) AS BIGINT)
+       |       ELSE 0 END AS pidx,
+       |  (u.ts // 1000 - t.tmin) // t.tbucket AS tidx,
+       |  b.hmin, b.bucket, t.tmin, t.tbucket
+       | FROM updates u JOIN bounds b USING (symbol) JOIN tbounds t USING (symbol))
+       |SELECT symbol, hmin + pidx * bucket AS price_bin,
+       | CAST(tmin + tidx * tbucket AS BIGINT) AS time_bin,
+       | last(size ORDER BY ts, seq) AS size
+       |FROM binned
+       |WHERE pidx BETWEEN 0 AND ${tickBins - 2} AND tidx BETWEEN 0 AND ${stepBins - 2}
+       |GROUP BY 1, 2, 3 ORDER BY symbol, price_bin, time_bin"""
+      .stripMargin.replace('\n', ' ')
+}

@@ -117,7 +117,9 @@ object TimeBars {
   def missingEpochs(bars: DataFrame, seconds: Long = 60): DataFrame = {
     val grid = bars.groupBy(col("symbol"))
       .agg(min(col("start")).as("lo"), max(col("start")).as("hi"))
-      // reference iterates `it < max_epoch` — max itself excluded
+      // reference iterates `it < max_epoch` — max itself excluded; guard the
+      // single-bar case (Spark's sequence() rejects start > stop)
+      .where(col("hi") - seconds >= col("lo"))
       .select(col("symbol"),
         explode(sequence(col("lo"), col("hi") - seconds, lit(seconds)))
           .as("epoch"))

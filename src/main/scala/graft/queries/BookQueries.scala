@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators._
+
+/** Correctness-gate entries for orderbook reconstruction, event
+  * classification, levels, histograms and the stats suite
+  * (SURVEY §2.4 A8-A10, §2.5 B1/B2/B4/B5). */
+object BookQueries {
+
+  private val Decimals = 2
+  private val Bins = 20
+  private val StepBins = 10
+  private val TickBins = 20
+  private val M = 3.0
+
+  private def u(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.updates(s, dir)
+
+  val all: Seq[Q] = Seq(
+
+    // B1 — final orderbook snapshot after replaying the full stream
+    // (`orderbook.rs:46-63`), relational form.
+    Q("q_orderbook",
+      (s, dir) => Orderbook.snapshot(u(s, dir), Decimals)
+        .orderBy("symbol", "is_bid", "level"),
+      Some(Tables.withUpdates(Orderbook.snapshotSql(Decimals)))),
+
+    // B2 — top of book / best bid / best ask / midprice
+    // (`orderbook.rs:84-131`).
+    Q("q_book_top",
+      (s, dir) => Orderbook.top(Orderbook.snapshot(u(s, dir), Decimals),
+        Decimals).orderBy("symbol"),
+      Some(Tables.withUpdates(
+        s"book AS (${Orderbook.snapshotSql(Decimals)})",
+        Orderbook.topSql(Decimals)))),
+
+    // B4 — event classification: trade / cancel / create via lag over the
+    // same-raw-price partition (`event.rs:28-72`).
+    Q("q_events_classify",
+      (s, dir) => EventsOps.classify(u(s, dir))
+        .orderBy("symbol", "ts", "seq"),
+      Some(Tables.withUpdates(
+        EventsOps.classifySql + " ORDER BY symbol, ts, seq"))),
+
+    // F4 — event size-range filter (`event.rs:76-92`): cancels in [10, 20].
+    Q("q_events_filter_size",
+      (s, dir) => EventsOps.filterSize(u(s, dir), "cancel", 10.0, 20.0)
+        .orderBy("symbol", "ts", "seq"),
+      Some(Tables.withUpdates(
+        s"ev AS (${EventsOps.classifySql})",
+        """SELECT * FROM ev WHERE event_class = 'cancel'
+          | AND size BETWEEN 10.0 AND 20.0
+          |ORDER BY symbol, ts, seq""".stripMargin.replace('\n', ' ')))),
+
+    // B5 — levels transpose (price_bin × time_bin -> last size,
+    // `level.rs:23-49`).
+    Q("q_levels",
+      (s, dir) => HistogramOps.levels(u(s, dir), StepBins, TickBins, M)
+        .orderBy("symbol", "price_bin", "time_bin"),
+      Some(Tables.withUpdatesChain(
+        HistogramOps.levelsSql(StepBins, TickBins, M)))),
+
+    // A8 — price histogram with MAD outlier rejection
+    // (`histogram.rs:27-30,93-158`).
+    Q("q_histogram",
+      (s, dir) => HistogramOps.histogram(u(s, dir), Bins, M)
+        .orderBy("symbol", "bin"),
+      Some(Tables.withUpdatesChain(HistogramOps.histogramSql(Bins, M)))),
+
+    // A9 — uniform time-step boundaries (`histogram.rs:43-64`).
+    Q("q_time_boundaries",
+      (s, dir) => HistogramOps.timeBoundaries(u(s, dir), StepBins)
+        .orderBy("symbol", "bin"),
+      Some(Tables.withUpdates(HistogramOps.timeBoundariesSql(StepBins)))),
+
+    // A10 — descriptive stats suite (`histogram.rs:160-366`).
+    Q("q_stats",
+      (s, dir) => HistogramOps.stats(u(s, dir)).orderBy("symbol"),
+      Some(Tables.withUpdatesChain(HistogramOps.statsSql)))
+  )
+}

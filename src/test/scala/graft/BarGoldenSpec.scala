@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.model.{Candle, Update}
+import graft.operators._
+
+/** Golden vectors ported from the reference test suite — the de-facto
+  * conformance tests (SURVEY §5). */
+class BarGoldenSpec extends SparkSpec {
+
+  private def candles(df: org.apache.spark.sql.DataFrame): Seq[Candle] = {
+    import spark.implicits._
+    df.select("symbol", "start", "end", "open", "high", "low", "close",
+      "volume").as[Candle].collect().toSeq.sortBy(c => (c.symbol, c.start))
+  }
+
+  test("tick bars golden (tick_bars.rs:125-172)") {
+    val got = candles(TickBars.bars(updatesDf(tenTrades()), 3))
+    assert(got === Seq(
+      Candle("t", 0, 2, 0, 2, 0, 2, 3),
+      Candle("t", 3, 5, 3, 5, 3, 5, 12),
+      Candle("t", 6, 8, 6, 8, 6, 8, 21),
+      Candle("t", 9, 9, 9, 9, 9, 9, 9)))
+  }
+
+  test("volume bars golden (volume_bars.rs:127-158)") {
+    val got = candles(FoldBars.volumeBars(updatesDf(tenTrades()), 36.0))
+    assert(got === Seq(
+      Candle("t", 0, 8, 0, 8, 0, 8, 36),
+      Candle("t", 9, 9, 9, 9, 9, 9, 9)))
+  }
+
+  test("dollar bars golden (dollar_bars.rs:125-163)") {
+    val got = candles(FoldBars.dollarBars(updatesDf(tenTrades()), 100.0))
+    assert(got === Seq(
+      Candle("t", 0, 6, 0, 6, 0, 6, 21),
+      Candle("t", 7, 8, 7, 8, 7, 8, 15),
+      Candle("t", 9, 9, 9, 9, 9, 9, 9)))
+  }
+
+  test("fold bars keep per-symbol state independent") {
+    val two = tenTrades("a") ++ tenTrades("b")
+    val got = candles(FoldBars.volumeBars(updatesDf(two), 36.0))
+    assert(got === Seq(
+      Candle("a", 0, 8, 0, 8, 0, 8, 36), Candle("a", 9, 9, 9, 9, 9, 9, 9),
+      Candle("b", 0, 8, 0, 8, 0, 8, 36), Candle("b", 9, 9, 9, 9, 9, 9, 9)))
+  }
+
+  /** 91 minute-candles from minute 30; rebin(align=true, 60) → one 60-min
+    * candle starting 1800, end 5340, vol 60 (time_bars.rs:418-455). */
+  test("rebin snap-to-grid golden") {
+    import spark.implicits._
+    val bars = (30 to 120).map { i =>
+      Candle("t", 60L * i, 60L * i + 60, 0.0, 2.0, 0.0, 1.0, 1.0)
+    }
+    val got = candles(TimeBars.rebin(spark.createDataset(bars).toDF(),
+      newScale = 60, align = true))
+    assert(got === Seq(Candle("t", 1800, 5340, 0, 2, 0, 1, 60)))
+  }
+
+  /** Candles at minutes 30..120 minus 50..60 → missing epochs 3000..3600,
+    * one range (3000, 3600); empty after continuation fill
+    * (time_bars.rs:501-544). */
+  test("missing ranges + continuation golden") {
+    import spark.implicits._
+    val bars = (30 to 120).filterNot(i => i >= 50 && i <= 60).map { i =>
+      Candle("t", 60L * i, 60L * i + 60, 0.0, 2.0, 0.0, 1.0, 1.0)
+    }
+    val df = spark.createDataset(bars).toDF()
+    val missing = TimeBars.missingEpochs(df).orderBy("epoch")
+      .select("epoch").as[Long].collect().toSeq
+    assert(missing === (3000L to 3600L by 60L).toSeq)
+    val rng = TimeBars.missingRanges(df)
+      .select("start", "end").collect().toSeq
+    assert(rng === Seq(Row(3000L, 3600L)))
+    val filled = TimeBars.continuationFill(df)
+    assert(TimeBars.missingEpochs(filled).count() === 0)
+    // synthetic candles carry prev close, volume 0, end = start + 60
+    val synth = candles(filled).filter(c => c.start == 3000)
+    assert(synth === Seq(Candle("t", 3000, 3060, 1, 1, 1, 1, 0)))
+  }
+
+  /** ranges() golden (time_bars.rs:548-558). */
+  test("gaps-and-islands ranges golden") {
+    import spark.implicits._
+    def run(epochs: Seq[Long]): Seq[(Long, Long)] =
+      TimeBars.ranges(epochs.toDF("epoch").withColumn("symbol", lit("t")))
+        .orderBy("start").select("start", "end").as[(Long, Long)]
+        .collect().toSeq
+    assert(run(Seq(60, 120, 180, 600, 660, 720)) ===
+      Seq((60L, 180L), (600L, 720L)))
+    assert(run(Seq(0, 60, 120, 180, 240, 600, 660, 720)) ===
+      Seq((0L, 240L), (600L, 720L)))
+  }
+
+  test("time bars drop the in-progress final bucket per symbol") {
+    // trades in two minute-buckets; the later bucket must be dropped
+    val ups = Seq(
+      Update("t", 0L, 0, true, true, 1.0, 2.0),
+      Update("t", 1000L, 1, true, true, 3.0, 4.0),
+      Update("t", 60000L, 2, true, true, 5.0, 6.0))
+    val got = candles(TimeBars.bars(updatesDf(ups)))
+    assert(got === Seq(Candle("t", 0, 0, 1, 3, 1, 3, 6)))
+    val all = candles(TimeBars.bars(updatesDf(ups), dropLast = false))
+    assert(all.map(_.start) === Seq(0L, 60L))
+  }
+}
