@@ -15,7 +15,8 @@ object SparkEntry {
 
   /** All correctness-gate entries, grouped by domain. */
   def registry: Seq[Q] =
-    TickQueries.all ++ BarQueries.all ++ BookQueries.all
+    TickQueries.all ++ BarQueries.all ++ BookQueries.all ++
+      RelationalQueries.all ++ ExtQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's minimum end-to-end slice (SURVEY §7.2): 1-minute OHLCV

@@ -1,0 +1,185 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact (hash
+  * groupBy), MinHash+LSH near-dup candidates with exact-Jaccard
+  * verification, SimHash fingerprints, and rolling-hash document
+  * fingerprints.
+  *
+  * Hashing is md5-based throughout — md5 of UTF-8 text is identical across
+  * Spark and DuckDB, and the lexicographic MIN over fixed-width lowercase
+  * hex equals the numeric min, so MinHash signatures are portable with no
+  * bigint conversion.
+  *
+  * Scale shape: everything is per-shingle/per-doc groupBy-aggregation plus
+  * an equi-join on band buckets — the canonical LSH layout that shuffles on
+  * bucket keys instead of materializing the O(n²) pair space.
+  */
+object Dedup {
+
+  /** Exact dedup groups: md5(text) -> keeper doc (min id) + group size. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
+
+  val exactDedupSql: String =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keeper,
+      | count(*) AS n_dups
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin.replace('\n', ' ')
+
+  /** Distinct word n-gram shingles per doc: (doc_id, sh). */
+  def shingles(docs: DataFrame, n: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = docs.select(col("doc_id"),
+      posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "w")))
+    val gram = (1 until n).foldLeft(col("w")) { (acc, i) =>
+      concat(acc, lit(" "), lead(col("w"), i).over(w))
+    }
+    words.select(col("doc_id"), gram.as("sh"))
+      .where(col("sh").isNotNull).distinct()
+  }
+
+  def shinglesSql(n: Int = 2): String = {
+    val parts = (0 until n).map {
+      case 0 => "w"
+      case i => s"lead(w, $i) OVER (PARTITION BY doc_id ORDER BY pos)"
+    }.mkString(" || ' ' || ")
+    s"""SELECT DISTINCT doc_id, sh FROM (
+       | SELECT doc_id, $parts AS sh FROM (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w,
+       |   generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+       |  FROM documents))
+       |WHERE sh IS NOT NULL""".stripMargin.replace('\n', ' ')
+  }
+
+  /** k-permutation MinHash signature per doc: columns h0..h(k-1). */
+  def minhashSignature(sh: DataFrame, k: Int = 8): DataFrame = {
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  def minhashSignatureSql(k: Int = 8): String = {
+    val aggs = (0 until k)
+      .map(i => s"min(md5('$i:' || sh)) AS h$i").mkString(", ")
+    s"SELECT doc_id, $aggs FROM sh GROUP BY doc_id"
+  }
+
+  /** LSH banding (bands of `r` hashes) + exact-Jaccard verification of the
+    * candidate pairs. Output: (doc_a, doc_b, inter, uni, jaccard) for
+    * jaccard >= threshold. */
+  def minhashNearDup(docs: DataFrame, n: Int = 2, k: Int = 8, r: Int = 2,
+      threshold: Double = 0.2): DataFrame = {
+    val sh = shingles(docs, n).cache()
+    val sig = minhashSignature(sh, k)
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until k / r).map(j =>
+        md5(concat_ws("", (0 until r).map(i => col(s"h${j * r + i}")): _*))): _*))
+        .as(Seq("band", "bval")))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    val cands = a.join(b,
+      col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val inter = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    cands.join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "inter", "uni", "jaccard")
+  }
+
+  def minhashNearDupSql(n: Int = 2, k: Int = 8, r: Int = 2,
+      threshold: Double = 0.2): String = {
+    val bandSelects = (0 until k / r).map { j =>
+      val cat = (0 until r).map(i => s"h${j * r + i}").mkString(" || ")
+      s"SELECT doc_id, $j AS band, md5($cat) AS bval FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH sh AS (${shinglesSql(n)}),
+       |sig AS (${minhashSignatureSql(k)}),
+       |bands AS ($bandSelects),
+       |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+       | FROM cands c
+       | JOIN sh sa ON sa.doc_id = c.doc_a
+       | JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       | GROUP BY 1, 2)
+       |SELECT c.doc_a, c.doc_b, coalesce(i.inter, 0) AS inter,
+       | na.nsh + nb.nsh - coalesce(i.inter, 0) AS uni,
+       | CAST(coalesce(i.inter, 0) AS DOUBLE)
+       |   / (na.nsh + nb.nsh - coalesce(i.inter, 0)) AS jaccard
+       |FROM cands c
+       |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |JOIN sizes na ON na.doc_id = c.doc_a
+       |JOIN sizes nb ON nb.doc_id = c.doc_b
+       |WHERE CAST(coalesce(i.inter, 0) AS DOUBLE)
+       |   / (na.nsh + nb.nsh - coalesce(i.inter, 0)) >= $threshold
+       |ORDER BY 1, 2""".stripMargin.replace('\n', ' ')
+  }
+
+  /** 16-bit SimHash per doc from word-frequency votes: bit b is the sign of
+    * Σ tf(w) · (±1 from nibble b of md5(w)). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .withColumn("h", md5(col("w")))
+    val bitSums = (0 until 16).map { b =>
+      sum(when(substring(col("h"), b + 1, 1).isin(
+        "8", "9", "a", "b", "c", "d", "e", "f"),
+        col("tf")).otherwise(-col("tf"))).as(s"s$b")
+    }
+    words.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(b =>
+          when(col(s"s$b") > 0, 1L << b).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  val simhashSql: String = {
+    val sums = (0 until 16).map { b =>
+      s"""sum(CASE WHEN substr(h, ${b + 1}, 1) IN
+         | ('8','9','a','b','c','d','e','f') THEN tf ELSE -tf END) AS s$b"""
+        .stripMargin.replace('\n', ' ')
+    }.mkString(", ")
+    val hash = (0 until 16)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT doc_id, $hash AS simhash FROM (
+       | SELECT doc_id, $sums FROM (
+       |  SELECT doc_id, w, count(*) AS tf, md5(w) AS h FROM (
+       |   SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+       |   FROM documents)
+       |  GROUP BY 1, 2)
+       | GROUP BY doc_id)
+       |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+  }
+
+  /** Document fingerprint: leading 60 bits of md5 as a bigint — portable
+    * across engines (hex parse). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+        .as("fingerprint"))
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      | CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+}

@@ -1,0 +1,156 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`): brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane LSH bucketing as the scale path.
+  *
+  * Determinism: float→double casts make per-element products exact;
+  * dot/norm accumulation is a strict left fold in index order in BOTH
+  * engines (Spark `aggregate` HOF ≡ an explicit 64-term +-chain in the
+  * DuckDB twin), so similarities are bit-identical — no rounding anywhere.
+  *
+  * Scale shape: brute force is a broadcast of the (small) query set against
+  * a partitioned scan of the corpus — no shuffle of the big side; LSH
+  * replaces the cross join with an equi-join on bucket keys.
+  */
+object Similarity {
+
+  private val Dims = 64
+
+  /** Dot product as a strict LEFT FOLD over index order. Spark's
+    * `aggregate` HOF evaluates `((0+p1)+p2)+…` sequentially; the DuckDB
+    * twin spells the same chain out as a left-associative 64-term
+    * expression, so both engines perform the identical IEEE operation
+    * sequence → bit-identical similarity with no rounding. (A decimal-cast
+    * path does NOT work here: Spark's double→decimal cast goes through the
+    * shortest decimal repr, DuckDB expands the exact binary value.) */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def dotSql(a: String, b: String): String =
+    (1 to Dims).map(i => s"$a.emb[$i] * $b.emb[$i]").mkString(" + ")
+
+  private def normSql(v: String): String =
+    "sqrt(" + (1 to Dims).map(i => s"$v.emb[$i] * $v.emb[$i]")
+      .mkString(" + ") + ")"
+
+  /** (vec_id, emb: array<double>, norm) with left-fold norms. */
+  def withNorms(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+      .withColumn("norm",
+        sqrt(aggregate(transform(col("emb"), x => x * x), lit(0.0),
+          (acc, x) => acc + x)))
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
+    * the k nearest corpus vectors (self excluded), ranked by
+    * (sim DESC, vec_id). */
+  def cosineTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5)
+      : DataFrame = {
+    val vecs = withNorms(embeddings)
+    val q = vecs.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("norm").as("q_norm"))
+    val pairs = q.hint("broadcast").crossJoin(vecs)
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dotD(col("q_emb"), col("emb")) / (col("q_norm") * col("norm")))
+          .as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "sim")
+  }
+
+  def cosineTopKSql(nQueries: Int = 20, k: Int = 5): String =
+    s"""WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |sims AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+       |  (${dotSql("a", "b")}) / (${normSql("a")} * ${normSql("b")}) AS sim
+       | FROM vecs a JOIN vecs b ON b.vec_id <> a.vec_id
+       | WHERE a.vec_id < $nQueries)
+       |SELECT q_id, rank, vec_id, sim FROM (
+       | SELECT *, row_number() OVER (
+       |   PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+       | FROM sims)
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin.replace('\n', ' ')
+
+  /** Random-hyperplane LSH bucket per vector: `planes` pseudo-random ±1
+    * hyperplanes derived from md5(plane:dim) parity; bucket bit p = sign of
+    * Σ_d plane(p,d)·emb[d]. Deterministic and portable. */
+  def lshBuckets(embeddings: DataFrame, planes: Int = 4): DataFrame = {
+    val vecs = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    // plane(p,d) = +1 if first hex nibble of md5("p:d") is >= '8' else -1
+    val dims = 64
+    val planeSign: (Int, Int) => Double = (p, d) => {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$d".getBytes("UTF-8"))
+      if ((h(0) & 0x80) != 0) 1.0 else -1.0
+    }
+    // plain double chain: both engines evaluate the textual +-chain
+    // left-to-right, so the sign is bit-identical without decimal
+    val bucketBits = (0 until planes).map { p =>
+      val terms = (0 until dims).map { d =>
+        element_at(col("emb"), d + 1) * lit(planeSign(p, d))
+      }.reduce(_ + _)
+      when(terms > 0.0, 1L << p).otherwise(0L)
+    }
+    vecs.select(col("vec_id"), bucketBits.reduce(_ + _).as("bucket"))
+  }
+
+  def lshBucketsSql(planes: Int = 4): String = {
+    val dims = 64
+    def sign(p: Int, d: Int): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$d".getBytes("UTF-8"))
+      if ((h(0) & 0x80) != 0) "1" else "-1"
+    }
+    val bits = (0 until planes).map { p =>
+      val terms = (0 until dims)
+        .map(d => s"emb[${d + 1}] * (${sign(p, d)})")
+        .mkString(" + ")
+      s"CASE WHEN ($terms) > 0.0 THEN ${1L << p} ELSE 0 END"
+    }.mkString(" + ")
+    s"""SELECT vec_id, $bits AS bucket
+       |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+       |ORDER BY vec_id""".stripMargin.replace('\n', ' ')
+  }
+
+  /** LSH-bucketed ANN: nearest neighbor per query within its bucket —
+    * the candidate join is an equi-join on bucket, no cross join. */
+  def lshNearest(embeddings: DataFrame, planes: Int = 4): DataFrame = {
+    val vecs = withNorms(embeddings)
+      .join(lshBuckets(embeddings, planes), "vec_id")
+    val a = vecs.select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+      col("norm").as("q_norm"), col("bucket"))
+    val pairs = a.join(vecs, Seq("bucket"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dotD(col("q_emb"), col("emb")) / (col("q_norm") * col("norm")))
+          .as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") === 1)
+      .select("q_id", "vec_id", "sim")
+  }
+
+  def lshNearestSql(planes: Int = 4): String =
+    s"""WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |buckets AS (${lshBucketsSql(planes).replace(" ORDER BY vec_id", "")}),
+       |sims AS (SELECT qa.vec_id AS q_id, b.vec_id AS vec_id,
+       |  (${dotSql("a", "b")}) / (${normSql("a")} * ${normSql("b")}) AS sim
+       | FROM buckets qa JOIN buckets qb
+       |  ON qa.bucket = qb.bucket AND qa.vec_id <> qb.vec_id
+       | JOIN vecs a ON a.vec_id = qa.vec_id
+       | JOIN vecs b ON b.vec_id = qb.vec_id)
+       |SELECT q_id, vec_id, sim FROM (
+       | SELECT *, row_number() OVER (
+       |   PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM sims)
+       |WHERE rank = 1 ORDER BY q_id""".stripMargin.replace('\n', ' ')
+}

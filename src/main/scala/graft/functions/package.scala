@@ -69,12 +69,15 @@ package object functions {
     * data-derived doubles (plain double sums differ across engines by
     * accumulation order). */
   def exactSum(c: Column): Column =
-    sum(c.cast("decimal(30,10)")).cast("double")
+    sum(c.cast("decimal(30,4)")).cast("double")
 
   /** Exact sum of a product of two double columns (e.g. price*size,
-    * extendedprice*(1-discount)): multiply in decimal, sum exactly. */
+    * extendedprice*(1-discount)): multiply in decimal, sum exactly.
+    * Operand widths are chosen so the product stays ≤ DECIMAL(33,10):
+    * DuckDB silently converts >38-width decimal products to double, which
+    * would destroy cross-engine exactness. */
   def exactSumProduct(a: Column, b: Column): Column =
-    sum(a.cast("decimal(20,6)") * b.cast("decimal(20,6)")).cast("double")
+    sum(a.cast("decimal(18,2)") * b.cast("decimal(16,4)")).cast("double")
 
   /** Ordered-first: value of `v` at the smallest `(ts, seq)` in the group.
     * Spark's `first()` is order-nondeterministic; `min_by` over the order

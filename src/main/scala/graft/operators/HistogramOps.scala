@@ -211,9 +211,9 @@ object HistogramOps {
 
   val statsSql: String =
     s"""WITH base AS (SELECT symbol, count(*) AS n,
-       |  CAST(SUM(CAST(price AS DECIMAL(30,10))) AS DOUBLE) AS sum,
+       |  CAST(SUM(CAST(price AS DECIMAL(30,4))) AS DOUBLE) AS sum,
        |  min(price) AS min, max(price) AS max,
-       |  CAST(SUM(CAST(price AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS mean
+       |  CAST(SUM(CAST(price AS DECIMAL(30,4))) AS DOUBLE) / count(*) AS mean
        | FROM updates GROUP BY symbol),
        |med AS (${percentileSql("updates", "price", 50.0, "median")}),
        |q1 AS (${percentileSql("updates", "price", 25.0, "q1")}),

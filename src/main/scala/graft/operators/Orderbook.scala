@@ -63,7 +63,7 @@ object Orderbook {
        |LEFT JOIN (
        | SELECT u.symbol, u.is_bid, CAST(floor(u.price * $p) AS BIGINT) AS level,
        |  ls.kts, ls.kseq,
-       |  CAST(SUM(CAST(u.size AS DECIMAL(30,10))) AS DOUBLE) AS traded
+       |  CAST(SUM(CAST(u.size AS DECIMAL(30,4))) AS DOUBLE) AS traded
        | FROM updates u
        | JOIN (SELECT symbol, is_bid, CAST(floor(price * $p) AS BIGINT) AS level,
        |        last(ts ORDER BY ts, seq) AS kts, last(seq ORDER BY ts, seq) AS kseq

@@ -48,7 +48,7 @@ object TickBars {
     s"""SELECT symbol, min(ts) AS start, max(ts) AS "end",
        | first(price ORDER BY ts, seq) AS open, max(price) AS high,
        | min(price) AS low, last(price ORDER BY ts, seq) AS close,
-       | CAST(SUM(CAST(size AS DECIMAL(30,10))) AS DOUBLE) AS volume
+       | CAST(SUM(CAST(size AS DECIMAL(30,4))) AS DOUBLE) AS volume
        |FROM (
        | SELECT *, sum(b) OVER (PARTITION BY symbol ORDER BY rn) AS grp FROM (
        |  SELECT *, CASE WHEN rn % $interval = 1 AND rn > 1 THEN 1 ELSE 0 END AS b

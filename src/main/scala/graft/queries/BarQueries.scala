@@ -29,7 +29,7 @@ object BarQueries {
       | first(price ORDER BY ts, seq) AS open,
       | max(price) AS high, min(price) AS low,
       | last(price ORDER BY ts, seq) AS close,
-      | CAST(SUM(CAST(size AS DECIMAL(30,10))) AS DOUBLE) AS volume
+      | CAST(SUM(CAST(size AS DECIMAL(30,4))) AS DOUBLE) AS volume
       |FROM updates WHERE is_trade GROUP BY 1, 2
       |QUALIFY start < max(start) OVER (PARTITION BY symbol))"""
       .stripMargin.replace('\n', ' ')
@@ -94,7 +94,7 @@ object BarQueries {
         """SELECT symbol, min(start) AS start, max(start) AS "end",
           | first(open ORDER BY start) AS open, max(high) AS high,
           | min(low) AS low, last(close ORDER BY start) AS close,
-          | CAST(SUM(CAST(volume AS DECIMAL(30,10))) AS DOUBLE) AS volume
+          | CAST(SUM(CAST(volume AS DECIMAL(30,4))) AS DOUBLE) AS volume
           |FROM (SELECT *, (row_number() OVER (PARTITION BY symbol ORDER BY start) - 1) // 5 AS grp
           |      FROM filled)
           |GROUP BY symbol, grp HAVING count(*) = 5

@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext._
+
+/** Correctness-gate entries for the training-data-pipeline extensions
+  * (builder brief): dedup, similarity search, text analysis, multimodal
+  * plumbing. All oracle-backed and bit-exact. */
+object ExtQueries {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.table(s, dir, "documents")
+  private def embs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.table(s, dir, "embeddings")
+
+  val all: Seq[Q] = Seq(
+
+    // exact dedup: hash groupBy
+    Q("q_dedup_exact",
+      (s, dir) => Dedup.exactDedup(docs(s, dir)).orderBy("text_hash"),
+      Some(Dedup.exactDedupSql)),
+
+    // MinHash + LSH near-dup candidates, exact-Jaccard verified
+    Q("q_minhash_neardup",
+      (s, dir) => Dedup.minhashNearDup(docs(s, dir))
+        .orderBy("doc_a", "doc_b"),
+      Some(Dedup.minhashNearDupSql())),
+
+    // SimHash fingerprints
+    Q("q_simhash",
+      (s, dir) => Dedup.simhash(docs(s, dir)).orderBy("doc_id"),
+      Some(Dedup.simhashSql)),
+
+    // rolling document fingerprint (md5-60bit)
+    Q("q_fingerprint",
+      (s, dir) => Dedup.fingerprint(docs(s, dir)).orderBy("doc_id"),
+      Some(Dedup.fingerprintSql)),
+
+    // n-gram Jaccard similarity over rare-shingle-blocked pairs is covered
+    // by q_minhash_neardup's verification join; the brute-force cosine ANN:
+    Q("q_ann_cosine_topk",
+      (s, dir) => Similarity.cosineTopK(embs(s, dir))
+        .orderBy("q_id", "rank"),
+      Some(Similarity.cosineTopKSql())),
+
+    // LSH bucket assignment (scale path for ANN)
+    Q("q_ann_lsh_buckets",
+      (s, dir) => Similarity.lshBuckets(embs(s, dir)).orderBy("vec_id"),
+      Some(Similarity.lshBucketsSql())),
+
+    // nearest neighbor within LSH bucket
+    Q("q_ann_lsh_nearest",
+      (s, dir) => Similarity.lshNearest(embs(s, dir)).orderBy("q_id"),
+      Some(Similarity.lshNearestSql())),
+
+    // token counting
+    Q("q_token_count",
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id"),
+      Some(s"SELECT doc_id, ${TextOps.tokenCountSql} AS n_tokens " +
+        "FROM documents ORDER BY doc_id")),
+
+    // quality scoring
+    Q("q_quality",
+      (s, dir) => TextOps.quality(docs(s, dir)).orderBy("doc_id"),
+      Some(TextOps.qualitySql)),
+
+    // language id heuristic
+    Q("q_langid",
+      (s, dir) => TextOps.langId(docs(s, dir)).orderBy("doc_id"),
+      Some(TextOps.langIdSql)),
+
+    // multimodal decode plumbing (stub kernel, real batching)
+    Q("q_multimodal_meta",
+      (s, dir) => Multimodal.decodeMeta(docs(s, dir)).orderBy("doc_id"),
+      Some(Multimodal.decodeMetaSql))
+  )
+}

@@ -69,7 +69,7 @@ object TickQueries {
           | first(price ORDER BY ts, seq) AS open,
           | max(price) AS high, min(price) AS low,
           | last(price ORDER BY ts, seq) AS close,
-          | CAST(SUM(CAST(size AS DECIMAL(30,10))) AS DOUBLE) AS volume
+          | CAST(SUM(CAST(size AS DECIMAL(30,4))) AS DOUBLE) AS volume
           |FROM updates WHERE is_trade GROUP BY 1, 2
           |QUALIFY start < max(start) OVER (PARTITION BY symbol))
           |ORDER BY symbol, start""".stripMargin.replace('\n', ' ')))),
