@@ -1,0 +1,146 @@
+package graft.dtf
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, FileInputStream, FileOutputStream, RandomAccessFile}
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.model.Update
+
+/** DTF ("Dense Tick Format") interop codec.
+  *
+  * Byte-level implementation of the reference's on-disk format so its
+  * fixtures are loadable as `Dataset[Update]` and our results can be
+  * written back for its tools:
+  *
+  *  - header: magic `44 54 46 90 01`, 20-byte space-padded symbol, u64
+  *    count @25, u64 max_ts @33, main section @80
+  *    (`crates/tdb-core/src/dtf/file_format.rs:1-26,49-54`)
+  *  - main section: batches of `0x1, u64 ref_ts, u32 ref_seq, u16 count`
+  *    then `count` 12-byte rows `u16 dts, u8 dseq, u8 flags, f32 price,
+  *    f32 size` big-endian (`file_format.rs:79-86,159-211`,
+  *    `update.rs:124-142`); flags bit0 = is_bid, bit1 = is_trade
+  *  - batch rollover when `ts >= ref_ts + 0xFFFF`, `seq >= ref_seq + 0xF`,
+  *    backwards ts/seq, or count 0xFFFF (`file_format.rs:169-211`)
+  *
+  * This is deliberately a plain Scala codec, not a Catalyst `FileFormat` —
+  * DTF is an interop format here; parquet is the native store (SURVEY §1.3).
+  */
+object DtfCodec {
+
+  val Magic: Array[Byte] =
+    Array(0x44, 0x54, 0x46, 0x90, 0x01).map(_.toByte)
+  private val SymbolLen = 20
+  private val MainOffset = 80L
+
+  case class Metadata(symbol: String, count: Long, maxTs: Long, minTs: Long)
+
+  /** Read header metadata only (min_ts comes from the first batch's ref_ts,
+    * `file_format.rs:502-518`). */
+  def metadata(path: String): Metadata = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      val magic = new Array[Byte](5)
+      raf.readFully(magic)
+      require(magic.sameElements(Magic), s"$path: bad DTF magic")
+      val symBytes = new Array[Byte](SymbolLen)
+      raf.readFully(symBytes)
+      val symbol = new String(symBytes, "UTF-8").trim
+      val count = raf.readLong()
+      val maxTs = raf.readLong()
+      raf.seek(MainOffset)
+      val minTs =
+        if (count == 0) 0L
+        else { raf.readByte(); raf.readLong() }
+      Metadata(symbol, count, maxTs, minTs)
+    } finally raf.close()
+  }
+
+  /** Decode the whole file. */
+  def decode(path: String): Seq[Update] = {
+    val in = new DataInputStream(
+      new BufferedInputStream(new FileInputStream(path)))
+    try {
+      val magic = new Array[Byte](5)
+      in.readFully(magic)
+      require(magic.sameElements(Magic), s"$path: bad DTF magic")
+      val symBytes = new Array[Byte](SymbolLen)
+      in.readFully(symBytes)
+      val symbol = new String(symBytes, "UTF-8").trim
+      in.readLong() // count
+      in.readLong() // max_ts
+      in.skipBytes((MainOffset - 41).toInt)
+      val out = Seq.newBuilder[Update]
+      try {
+        while (true) {
+          val marker = in.readByte()
+          require(marker == 1, s"$path: bad batch marker $marker")
+          val refTs = in.readLong()
+          val refSeq = Integer.toUnsignedLong(in.readInt())
+          val n = java.lang.Short.toUnsignedInt(in.readShort())
+          var i = 0
+          while (i < n) {
+            val dts = java.lang.Short.toUnsignedInt(in.readShort())
+            val dseq = java.lang.Byte.toUnsignedInt(in.readByte())
+            val flags = in.readByte()
+            val price = in.readFloat()
+            val size = in.readFloat()
+            out += Update(symbol, refTs + dts, refSeq + dseq,
+              is_trade = (flags & 0x2) != 0, is_bid = (flags & 0x1) != 0,
+              price = price.toDouble, size = size.toDouble)
+            i += 1
+          }
+        }
+      } catch { case _: EOFException => () }
+      out.result()
+    } finally in.close()
+  }
+
+  /** Encode `(ts,seq)`-sorted updates (`encode_buffer`,
+    * `file_format.rs:222-238`). */
+  def encode(path: String, symbol: String, ups: Seq[Update]): Unit = {
+    require(symbol.length <= SymbolLen, s"symbol longer than $SymbolLen")
+    val out = new DataOutputStream(
+      new BufferedOutputStream(new FileOutputStream(path)))
+    try {
+      out.write(Magic)
+      out.write(symbol.padTo(SymbolLen, ' ').getBytes("UTF-8"))
+      out.writeLong(ups.size.toLong)
+      out.writeLong(if (ups.isEmpty) 0L else ups.map(_.ts).max)
+      out.write(new Array[Byte]((MainOffset - 41).toInt)) // pad to 80
+      if (ups.nonEmpty) {
+        var refTs = ups.head.ts
+        var refSeq = ups.head.seq
+        var batch = Vector.empty[Update]
+        def flush(): Unit = if (batch.nonEmpty) {
+          out.writeByte(1)
+          out.writeLong(refTs)
+          out.writeInt(refSeq.toInt)
+          out.writeShort(batch.size)
+          batch.foreach { u =>
+            out.writeShort((u.ts - refTs).toInt)
+            out.writeByte((u.seq - refSeq).toInt)
+            out.writeByte(
+              (if (u.is_bid) 1 else 0) | (if (u.is_trade) 2 else 0))
+            out.writeFloat(u.price.toFloat)
+            out.writeFloat(u.size.toFloat)
+          }
+          batch = Vector.empty
+        }
+        ups.foreach { u =>
+          val rollover = batch.nonEmpty && (
+            u.ts >= refTs + 0xFFFF || u.seq >= refSeq + 0xF ||
+              u.seq < refSeq || u.ts < refTs || batch.size == 0xFFFF)
+          if (rollover) { flush(); refTs = u.ts; refSeq = u.seq }
+          batch = batch :+ u
+        }
+        flush()
+      }
+    } finally out.close()
+  }
+
+  /** Load a DTF file as a Dataset (fixture interop path). */
+  def toDataset(spark: SparkSession, path: String): Dataset[Update] = {
+    import spark.implicits._
+    spark.createDataset(decode(path))
+  }
+}

@@ -37,6 +37,15 @@ object BookQueries {
         s"book AS (${Orderbook.snapshotSql(Decimals)})",
         Orderbook.topSql(Decimals)))),
 
+    // B3 — rebinned orderbook: 2-D (price-bin × time-bin) downsample of
+    // book evolution (`orderbook.rs:174-281`); sequential coarse-delta fold
+    // with clamping — not SQL-expressible, rows-only check + invariants in
+    // RebinnedBookSpec.
+    Q("q_rebinned_book",
+      (s, dir) => RebinnedBook.rebinned(u(s, dir), Decimals, StepBins,
+        TickBins, M).orderBy("symbol", "time_bin", "is_bid", "level"),
+      None),
+
     // B4 — event classification: trade / cancel / create via lag over the
     // same-raw-price partition (`event.rs:28-72`).
     Q("q_events_classify",

@@ -1,0 +1,215 @@
+package graft.server
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.model.Update
+import graft.operators.Orderbook
+
+/** Executes the command surface against Spark — the rebuild of the
+  * reference's broker (`TectonicServer`, `tdb-server-core/src/state.rs`).
+  *
+  * State model (SURVEY §1.2): a book = in-memory staging rows (the
+  * reference's `Vec<Update>`) + a parquet directory under `dtfFolder`
+  * (the reference's `{book}.dtf` files). Queries union mem + fs exactly
+  * like `TectonicServer::get` (`state.rs:604-671`); FLUSH appends staging
+  * to parquet keeping only `ts > max` rows (append semantics S6,
+  * `file_format.rs:783-819`).
+  *
+  * The driver-side mutable maps are metadata-only (book registry, staging
+  * buffers, subscriber queues); all scans/aggregations stay distributed
+  * DataFrame plans.
+  */
+final class Engine(spark: SparkSession, dtfFolder: String) {
+  import spark.implicits._
+
+  private val books = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Update]]
+  private val subscribers =
+    mutable.Map.empty[String, mutable.ArrayBuffer[Update]]
+  private var currentBook: String = "default"
+  books(currentBook) = mutable.ArrayBuffer.empty
+  new java.io.File(dtfFolder).mkdirs()
+
+  private def fsPath(book: String) = s"$dtfFolder/book=$book"
+  private def hasFs(book: String) = new java.io.File(fsPath(book)).exists()
+
+  def memDf(book: String): DataFrame =
+    spark.createDataset(books.getOrElse(book, mutable.ArrayBuffer.empty).toSeq)
+      .toDF()
+
+  def fsDf(book: String): Option[DataFrame] =
+    if (hasFs(book)) Some(spark.read.parquet(fsPath(book))) else None
+
+  /** mem ++ fs view of one book (J1, `state.rs:639-656`) — re-sorted by
+    * (ts,seq), a documented deviation from the reference's raw concat. */
+  def bookDf(book: String): DataFrame =
+    fsDf(book).map(memDf(book).unionByName(_)).getOrElse(memDf(book))
+      .orderBy("ts", "seq")
+
+  sealed trait Reply
+  case class Text(s: String) extends Reply
+  case class Frame(df: DataFrame) extends Reply
+  case class Err(s: String) extends Reply
+
+  def execute(cmd: Command): Reply = cmd match {
+    case Command.Noop => Text("")
+    case Command.Ping => Text("PONG.\n")
+    case Command.Help => Text(Engine.HelpText)
+    case Command.Info => Text(info())
+    case Command.Perf => Text(perf())
+    case Command.Unknown => Err("Unknown command.")
+    case Command.BadFormat => Err("Bad format.")
+
+    case Command.Create(book) =>
+      if (books.contains(book)) Err(s"DB $book already exists.")
+      else { books(book) = mutable.ArrayBuffer.empty; currentBook = book
+        Text(s"Created DB `$book`.\n") }
+
+    case Command.Use(book) =>
+      if (books.contains(book) || hasFs(book)) {
+        books.getOrElseUpdate(book, mutable.ArrayBuffer.empty)
+        currentBook = book
+        Text(s"SWITCHED TO DB `$book`.\n")
+      } else Err(s"DB $book not found.")
+
+    case Command.Exists(book) =>
+      if (books.contains(book) || hasFs(book)) Text("1")
+      else Err(s"DB $book not found.")
+
+    case Command.Insert(Some(up), bookOpt) =>
+      val book = bookOpt.getOrElse(currentBook)
+      books.get(book) match {
+        case None => Err(s"DB $book not found.")
+        case Some(buf) =>
+          val tagged = up.copy(symbol = book)
+          buf += tagged
+          subscribers.get(book).foreach(_ += tagged)
+          Text("")
+      }
+    case Command.Insert(None, _) => Err("Unable to parse line.")
+
+    case Command.Count(which, loc) =>
+      val names = which match {
+        case ReqCount.All => books.keys.toSeq
+        case _ => Seq(currentBook)
+      }
+      val n = names.map { b =>
+        val mem = books.get(b).map(_.size.toLong).getOrElse(0L)
+        loc match {
+          case Loc.Mem => mem
+          case Loc.Fs => mem + fsDf(b).map(_.count()).getOrElse(0L)
+        }
+      }.sum
+      Text(s"$n\n")
+
+    case Command.Clear(which) =>
+      val names = which match {
+        case ReqCount.All => books.keys.toSeq
+        case _ => Seq(currentBook)
+      }
+      names.foreach(b => books.get(b).foreach(_.clear()))
+      Text("1\n")
+
+    case Command.Flush(which) =>
+      val names = which match {
+        case ReqCount.All => books.keys.toSeq
+        case _ => Seq(currentBook)
+      }
+      names.foreach(flush)
+      Text("1\n")
+
+    case Command.Load(book) =>
+      if (hasFs(book)) {
+        val loaded = fsDf(book).get.as[Update].collect()
+        val buf = books.getOrElseUpdate(book, mutable.ArrayBuffer.empty)
+        buf ++= loaded
+        currentBook = book
+        Text(s"Loaded DB `$book`.\n")
+      } else Err(s"DB $book not found.")
+
+    case Command.Subscribe(book) =>
+      subscribers(book) = mutable.ArrayBuffer.empty
+      Text(s"Subscribed to $book\n")
+
+    case Command.Orderbook(bookOpt) =>
+      val book = bookOpt.getOrElse(currentBook)
+      Frame(Orderbook.snapshot(bookDf(book))
+        .orderBy("is_bid", "level"))
+
+    case Command.Get(count, format, range, loc) =>
+      val book = currentBook
+      val base = loc match {
+        case Loc.Mem => memDf(book)
+        case Loc.Fs => bookDf(book)
+      }
+      val ranged = range match {
+        // reference mem filter is exclusive (`state.rs:617-624`); we use
+        // consistent inclusive bounds (documented deviation, SURVEY §7.4-4)
+        case Some((lo, hi)) => base.where(col("ts").between(lo, hi))
+        case None => base
+      }
+      val limited = count match {
+        case ReqCount.All => ranged.orderBy("ts", "seq")
+        case ReqCount.N(n) => ranged.orderBy("ts", "seq").limit(n)
+      }
+      format match {
+        case GetFormat.Csv => Frame(limited.select(
+          concat_ws(",", tsAsSecondsFloat(col("ts")), col("seq"),
+            tfBool(col("is_trade")), tfBool(col("is_bid")),
+            col("price"), col("size")).as("csv")))
+        case GetFormat.Json => Frame(limited.select(
+          to_json(struct(
+            tsAsSecondsFloat(col("ts")).as("ts"), col("seq"),
+            col("is_trade"), col("is_bid"), col("price"), col("size")))
+            .as("json")))
+        case GetFormat.Dtf => Frame(limited)
+      }
+  }
+
+  /** Flush staging to parquet, keeping only rows newer than the stored
+    * max_ts (append semantics S6). */
+  private def flush(book: String): Unit =
+    books.get(book).filter(_.nonEmpty).foreach { buf =>
+      val maxTs = fsDf(book)
+        .map(_.agg(max(col("ts"))).as[Option[Long]].head().getOrElse(Long.MinValue))
+        .getOrElse(Long.MinValue)
+      val fresh = buf.filter(_.ts > maxTs).toSeq
+      if (fresh.nonEmpty)
+        spark.createDataset(fresh).toDF()
+          .orderBy("ts", "seq")
+          .write.mode("append").parquet(fsPath(book))
+      buf.clear()
+    }
+
+  def drainSubscription(book: String): Seq[Update] = {
+    val out = subscribers.get(book).map(_.toSeq).getOrElse(Seq.empty)
+    subscribers.get(book).foreach(_.clear())
+    out
+  }
+
+  private def info(): String = {
+    val rows = books.map { case (name, buf) =>
+      s"""{"name":"$name","in_memory":${buf.nonEmpty},"count":${buf.size}}"""
+    }.mkString(",")
+    s"""{"dbs":[$rows]}\n"""
+  }
+
+  private def perf(): String =
+    books.map { case (n, b) => s"""\"$n\":${b.size}""" }
+      .mkString("{", ",", "}\n")
+}
+
+object Engine {
+  val HelpText: String =
+    """Commands:
+      |PING, INFO, PERF, HELP
+      |USE [db], CREATE [db], EXISTS [db], LOAD [db]
+      |ADD [update]; INSERT [update]; INTO [db]
+      |GET [n] | GET ALL [FROM a TO b] [AS JSON|AS CSV] [IN MEM]
+      |COUNT [ALL] [IN MEM], CLEAR [ALL], FLUSH [ALL]
+      |OB [db], SUBSCRIBE [db]
+      |""".stripMargin
+}

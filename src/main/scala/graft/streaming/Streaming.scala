@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.Update
+import graft.server.CommandParser
+
+/** Structured-Streaming rebuild of the reference's server loop
+  * (SURVEY §2.8): text-line ingest (T2), incremental per-book orderbook
+  * state (the broker's `Book.orderbook`, `state.rs:127-141`), and
+  * SUBSCRIBE-style fan-out (T3) as a per-symbol filtered stream.
+  *
+  * The reference drops late/overlapping data at flush and keeps no
+  * watermarks; streaming bar aggregation below adds event-time watermarking
+  * as a documented new capability (T6).
+  */
+object Streaming {
+
+  /** Ingest deserializer (S7): lines like
+    * `"1505177459.658, 139010, t, f, 0.0703629, 7.65064249; bookname"`
+    * — here the stream carries (book, line) pairs; malformed lines drop
+    * (the reference returns an error string per bad line). */
+  def parseLines(lines: Dataset[(String, String)]): Dataset[Update] = {
+    import lines.sparkSession.implicits._
+    lines.flatMap { case (book, line) =>
+      CommandParser.parseLine(line).map(_.copy(symbol = book))
+    }
+  }
+
+  /** Per-symbol book state: price level -> size, updated incrementally per
+    * micro-batch (flatMapGroupsWithState, key = symbol — bounded state:
+    * live price levels only, SURVEY §7.4-7). Emits (symbol, best_bid,
+    * best_ask, mid, n_levels) after each batch. */
+  case class BookTop(symbol: String, best_bid: Double, best_ask: Double,
+      mid: Double, n_levels: Int)
+
+  def streamingBookTop(updates: Dataset[Update], decimals: Int = 2)
+      : Dataset[BookTop] = {
+    import updates.sparkSession.implicits._
+    val mult = math.pow(10, decimals)
+    // state key packs (is_bid, level) into one Long: (level << 1) | bid
+    def fn(sym: String, rows: Iterator[Update],
+        state: GroupState[Map[Long, Double]]): Iterator[BookTop] = {
+      var b = state.getOption.getOrElse(Map.empty[Long, Double])
+      rows.toSeq.sortBy(u => (u.ts, u.seq)).foreach { u =>
+        val lvl = math.floor(u.price * mult).toLong
+        val key = (lvl << 1) | (if (u.is_bid) 1L else 0L)
+        if (u.is_trade) b.get(key).foreach(sz => b = b.updated(key, sz - u.size))
+        else if (u.size == 0.0) b = b.removed(key)
+        else b = b.updated(key, u.size)
+      }
+      state.update(b)
+      val bids = b.keysIterator.filter(k => (k & 1L) == 1L).map(_ >> 1).toSeq
+      val asks = b.keysIterator.filter(k => (k & 1L) == 0L).map(_ >> 1).toSeq
+      if (bids.isEmpty || asks.isEmpty) Iterator.empty
+      else {
+        val bb = bids.max / mult
+        val ba = asks.min / mult
+        Iterator.single(BookTop(sym, bb, ba, (bb + ba) / 2, b.size))
+      }
+    }
+    updates
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Streaming 1-minute OHLCV bars with watermarking (T6 — new capability
+    * vs. the reference). */
+  def streamingTimeBars(updates: DataFrame, seconds: Long = 60): DataFrame =
+    updates
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", "10 minutes")
+      .where(col("is_trade"))
+      .groupBy(col("symbol"),
+        window(col("event_time"), s"$seconds seconds"))
+      .agg(
+        min_by(col("price"), struct(col("ts"), col("seq"))).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), struct(col("ts"), col("seq"))).as("close"),
+        sum(col("size")).as("volume"))
+      .select(col("symbol"),
+        unix_millis(col("window.start")).as("start"),
+        unix_millis(col("window.end")).as("end"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+
+  /** SUBSCRIBE fan-out (T3): one filtered streaming view per book. */
+  def subscribe(updates: Dataset[Update], book: String): Dataset[Update] =
+    updates.filter(_.symbol == book)
+}

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.server._
+
+/** Server state-machine goldens ported from `handler.rs:197-260` and
+  * `parser.rs:125-206`. */
+class EngineSpec extends SparkSpec {
+
+  private def engine() =
+    new Engine(spark, Files.createTempDirectory("graft-db").toString)
+
+  test("command parsing goldens (parser.rs:125-206)") {
+    import Command._
+    assert(CommandParser.parse("PING") === Ping)
+    assert(CommandParser.parse("") === Noop)
+    assert(CommandParser.parse("COUNT ALL IN MEM") ===
+      Count(ReqCount.All, Loc.Mem))
+    assert(CommandParser.parse("GET 20 FROM 100 TO 200 AS CSV") ===
+      Get(ReqCount.N(20), GetFormat.Csv, Some((100000L, 200000L)), Loc.Fs))
+    assert(CommandParser.parse("GET ALL AS JSON") ===
+      Get(ReqCount.All, GetFormat.Json, None, Loc.Mem))
+    // parse_line golden: ms normalization drops the decimal point
+    val up = CommandParser
+      .parseLine("1505177459.658, 139010, t, f, 0.0703629, 7.65064249;").get
+    assert(up.ts === 1505177459658L)
+    assert(up.seq === 139010L)
+    assert(up.is_trade)
+    assert(!up.is_bid)
+    assert(up.price === 0.0703629f.toDouble)
+    assert(up.size === 7.65064249f.toDouble)
+    // malformed: double bools / missing fields -> None
+    assert(CommandParser
+      .parseLine("1505177459.658, 139010,,, f, t, 0.0703629, 7.65064249;")
+      .isEmpty)
+    // second-resolution epochs normalize to 13 digits
+    assert(CommandParser.parseLine("1505177459, 139010, t, f, 0.1, 1.0;")
+      .get.ts === 1505177459000L)
+  }
+
+  test("server state machine (handler.rs:214-260)") {
+    val e = engine()
+    assert(e.execute(Command.Ping) === e.Text("PONG.\n"))
+    // insert into missing db errors
+    val bad = e.execute(CommandParser.parse(
+      "ADD 1505177459.658, 139010, t, f, 0.0703629, 7.65064249; INTO nodb"))
+    assert(bad === e.Err("DB nodb not found."))
+    // create + insert + count
+    assert(e.execute(CommandParser.parse("CREATE mydb")) ===
+      e.Text("Created DB `mydb`.\n"))
+    e.execute(CommandParser.parse(
+      "ADD 1505177459.658, 139010, t, f, 0.0703629, 7.65064249; INTO mydb"))
+    e.execute(CommandParser.parse(
+      "ADD 1505177460.658, 139011, f, t, 0.0703630, 1.0; INTO mydb"))
+    assert(e.execute(CommandParser.parse("COUNT IN MEM")) === e.Text("2\n"))
+    // flush then count from fs
+    e.execute(CommandParser.parse("FLUSH"))
+    assert(e.execute(CommandParser.parse("COUNT IN MEM")) === e.Text("0\n"))
+    assert(e.execute(CommandParser.parse("COUNT")) === e.Text("2\n"))
+    // GET ALL returns both rows, sorted
+    val got = e.execute(CommandParser.parse("GET ALL FROM 1505177459 TO 1505177461"))
+    val rows = got.asInstanceOf[e.Frame].df.collect()
+    assert(rows.length === 2)
+    // EXISTS / USE
+    assert(e.execute(CommandParser.parse("EXISTS mydb")) === e.Text("1"))
+    assert(e.execute(CommandParser.parse("EXISTS ghost")) ===
+      e.Err("DB ghost not found."))
+  }
+
+  test("subscribe receives inserted updates") {
+    val e = engine()
+    e.execute(CommandParser.parse("CREATE s1"))
+    e.execute(CommandParser.parse("SUBSCRIBE s1"))
+    e.execute(CommandParser.parse(
+      "ADD 1505177459.658, 1, t, f, 1.0, 2.0; INTO s1"))
+    val got = e.drainSubscription("s1")
+    assert(got.map(_.seq) === Seq(1L))
+    assert(e.drainSubscription("s1").isEmpty)
+  }
+}

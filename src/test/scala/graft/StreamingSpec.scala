@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.model.Update
+import graft.streaming.Streaming
+
+class StreamingSpec extends SparkSpec {
+
+  test("line ingest -> stateful book top over micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val tops = Streaming.streamingBookTop(Streaming.parseLines(in.toDS()))
+    val q = tops.writeStream.outputMode("append")
+      .format("memory").queryName("tops").start()
+
+    in.addData(
+      ("b1", "1505177459.658, 1, f, t, 10.00, 5.0;"),  // bid level
+      ("b1", "1505177459.659, 2, f, f, 11.00, 3.0;"))  // ask level
+    q.processAllAvailable()
+    val batch1 = spark.table("tops").as[Streaming.BookTop].collect()
+    assert(batch1.length === 1)
+    assert(batch1.head.best_bid === 10.0)
+    assert(batch1.head.best_ask === 11.0)
+    assert(batch1.head.mid === 10.5)
+
+    // second batch mutates state: delete the ask, add a better bid
+    in.addData(
+      ("b1", "1505177460.000, 3, f, f, 11.00, 0.0;"),
+      ("b1", "1505177460.001, 4, f, f, 12.00, 1.0;"),
+      ("b1", "1505177460.002, 5, f, t, 10.50, 2.0;"))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("tops").as[Streaming.BookTop].collect()
+    assert(all.length === 2)
+    val last = all.last
+    assert(last.best_bid === 10.5)
+    assert(last.best_ask === 12.0)
+  }
+
+  test("streaming time bars over a memory stream of updates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Update]
+    val bars = Streaming.streamingTimeBars(in.toDF())
+    val q = bars.writeStream.outputMode("append")
+      .format("memory").queryName("sbars").start()
+    val t0 = 1700000000000L
+    in.addData(
+      Update("s", t0, 1, true, true, 10.0, 1.0),
+      Update("s", t0 + 1000, 2, true, true, 12.0, 2.0),
+      // next minute + far-future row to advance the watermark past minute 0
+      Update("s", t0 + 60000, 3, true, true, 11.0, 1.0),
+      Update("s", t0 + 30 * 60000, 4, true, true, 11.0, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sbars")
+      .orderBy("start").collect()
+    assert(rows.length >= 1)
+    val first = rows.head
+    assert(first.getAs[Long]("start") === (t0 / 60000) * 60000)
+    assert(first.getAs[Double]("open") === 10.0)
+    assert(first.getAs[Double]("close") === 12.0)
+    assert(first.getAs[Double]("volume") === 3.0)
+  }
+
+  test("subscribe filter fans out one book") {
+    import spark.implicits._
+    val ups = Seq(
+      Update("a", 1, 1, true, true, 1, 1),
+      Update("b", 2, 2, true, true, 1, 1))
+    assert(Streaming.subscribe(spark.createDataset(ups), "a")
+      .collect().map(_.symbol).toSeq === Seq("a"))
+  }
+}
