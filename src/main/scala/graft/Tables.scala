@@ -34,11 +34,7 @@ object Tables {
   def enableNanos(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  /** Canonical tick table derived from `events`:
-    * one symbol per event_type, ms timestamps, globally-unique seq. */
-  def updates(spark: SparkSession, dir: String): DataFrame = {
-    enableNanos(spark)
-    val ev = table(spark, dir, "events")
+  private def projectUpdates(ev: DataFrame): DataFrame = {
     // ns-long (nanosAsLong) vs timestamp (µs) — both truncate to ms
     val tsMs = ev.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
@@ -54,6 +50,35 @@ object Tables {
       when(col("event_id") % 31 === 0, lit(0.0))
         .otherwise((col("event_id") % 97 + 1).cast("double") / 4.0)
         .as("size"))
+  }
+
+  /** Canonical tick table derived from `events`:
+    * one symbol per event_type, ms timestamps, globally-unique seq. */
+  def updates(spark: SparkSession, dir: String): DataFrame = {
+    enableNanos(spark)
+    projectUpdates(table(spark, dir, "events"))
+  }
+
+  /** Range-scan entry (S3/S4): the ms-range predicate is rewritten onto the
+    * RAW source timestamp before projection, so it reaches the parquet scan
+    * as a PushedFilter and prunes row groups / partitions — a filter on the
+    * derived `ts` column cannot push through the `div` (at 100 TB this is
+    * the difference between a pruned scan and a full read). Inclusive
+    * bounds; `ms ∈ [lo,hi] ⇔ ns ∈ [lo·1e6, (hi+1)·1e6)` exactly (trunc
+    * division is monotone). */
+  def updatesInRange(spark: SparkSession, dir: String, loMs: Long,
+      hiMs: Long): DataFrame = {
+    enableNanos(spark)
+    val ev = table(spark, dir, "events")
+    val ranged = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        ev.where(col("ts") >= loMs * 1000000L &&
+          col("ts") < (hiMs + 1) * 1000000L)
+      case _ =>
+        ev.where(col("ts") >= timestamp_millis(lit(loMs)) &&
+          col("ts") < timestamp_millis(lit(hiMs + 1)))
+    }
+    projectUpdates(ranged)
   }
 
   def updatesDs(spark: SparkSession, dir: String): Dataset[Update] = {

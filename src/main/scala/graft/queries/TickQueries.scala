@@ -34,8 +34,7 @@ object TickQueries {
     // S3/S4 — ts-range scan, inclusive bounds (`file_format.rs:292-413`);
     // Parquet row-group stats give the reference's batch-skipping for free.
     Q("q_range_scan",
-      (s, dir) => u(s, dir)
-        .where(col("ts").between(RangeLo, RangeHi))
+      (s, dir) => Tables.updatesInRange(s, dir, RangeLo, RangeHi)
         .orderBy("ts", "seq"),
       Some(Tables.withUpdates(
         s"SELECT * FROM updates WHERE ts BETWEEN $RangeLo AND $RangeHi ORDER BY ts, seq"))),
@@ -43,8 +42,7 @@ object TickQueries {
     // F1 — in-memory filter uses EXCLUSIVE bounds (`state.rs:617-624`) —
     // reference quirk preserved as its own operator.
     Q("q_range_scan_exclusive",
-      (s, dir) => u(s, dir)
-        .where(col("ts") > RangeLo && col("ts") < RangeHi)
+      (s, dir) => Tables.updatesInRange(s, dir, RangeLo + 1, RangeHi - 1)
         .orderBy("ts", "seq"),
       Some(Tables.withUpdates(
         s"SELECT * FROM updates WHERE ts > $RangeLo AND ts < $RangeHi ORDER BY ts, seq"))),
@@ -53,8 +51,7 @@ object TickQueries {
     // (the reference's fs-path off-by-one is a documented latent bug,
     // SURVEY §7.4-4).
     Q("q_get_n",
-      (s, dir) => u(s, dir)
-        .where(col("ts").between(RangeLo, RangeHi))
+      (s, dir) => Tables.updatesInRange(s, dir, RangeLo, RangeHi)
         .orderBy("ts", "seq").limit(100),
       Some(Tables.withUpdates(
         s"SELECT * FROM updates WHERE ts BETWEEN $RangeLo AND $RangeHi ORDER BY ts, seq LIMIT 100"))),
@@ -77,8 +74,7 @@ object TickQueries {
     // S10/C7 — JSON/CSV rendering exprs: ts as seconds float, t/f bools
     // (`dtf/update.rs:144-168`).
     Q("q_render",
-      (s, dir) => u(s, dir)
-        .where(col("ts").between(RangeLo, RangeHi))
+      (s, dir) => Tables.updatesInRange(s, dir, RangeLo, RangeHi)
         .select(col("seq"),
           tsAsSecondsFloat(col("ts")).as("ts_s"),
           tfBool(col("is_trade")).as("is_trade_c"),
