@@ -142,4 +142,16 @@ object TimeBars {
   /** missingEpochs |> ranges (`missing_ranges`, `time_bars.rs:183-186`). */
   def missingRanges(bars: DataFrame, seconds: Long = 60): DataFrame =
     ranges(missingEpochs(bars, seconds), seconds)
+
+  /** Epoch-sequence check (`_test_epochs_must_be_sequential`,
+    * `time_bars.rs:236-247`): rows whose start is NOT exactly
+    * `60*scale` after the previous — empty result ⇔ sequential. */
+  def epochGaps(bars: DataFrame, scale: Int = 1): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("start"))
+    bars
+      .withColumn("_prev", lag(col("start"), 1).over(w))
+      .where(col("_prev").isNotNull &&
+        col("start") =!= col("_prev") + 60L * scale)
+      .select(col("symbol"), col("_prev").as("prev_start"), col("start"))
+  }
 }

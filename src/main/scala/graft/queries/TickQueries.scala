@@ -71,6 +71,16 @@ object TickQueries {
           |QUALIFY start < max(start) OVER (PARTITION BY symbol))
           |ORDER BY symbol, start""".stripMargin.replace('\n', ' ')))),
 
+    // O4 — iterator offset/limit (`file_format.rs:575-648`):
+    // start at the i-th update, stop at the j-th.
+    Q("q_offset_limit",
+      (s, dir) => Tables.updatesInRange(s, dir, RangeLo, RangeHi)
+        .orderBy("ts", "seq").offset(50).limit(100),
+      Some(Tables.withUpdates(
+        s"""SELECT * FROM updates WHERE ts BETWEEN $RangeLo AND $RangeHi
+           |ORDER BY ts, seq LIMIT 100 OFFSET 50"""
+          .stripMargin.replace('\n', ' ')))),
+
     // S10/C7 — JSON/CSV rendering exprs: ts as seconds float, t/f bools
     // (`dtf/update.rs:144-168`).
     Q("q_render",

@@ -29,6 +29,12 @@ final class Engine(spark: SparkSession, dtfFolder: String) {
   private val books = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Update]]
   private val subscribers =
     mutable.Map.empty[String, mutable.ArrayBuffer[Update]]
+  /** A11 — per-book (wall-ts, in-mem count) ring buffer
+    * (`state.rs:193-203,338-360`), capacity = reference default
+    * q_capacity 300. */
+  private val history =
+    mutable.Map.empty[String, mutable.ArrayDeque[(Long, Long)]]
+  val historyCapacity = 300
   private var currentBook: String = "default"
   books(currentBook) = mutable.ArrayBuffer.empty
   new java.io.File(dtfFolder).mkdirs()
@@ -197,9 +203,22 @@ final class Engine(spark: SparkSession, dtfFolder: String) {
     s"""{"dbs":[$rows]}\n"""
   }
 
+  /** Timer tick (T8, `plugins/history.rs:6-16`): snapshot per-book in-mem
+    * counts into the ring buffer. */
+  def recordHistory(nowMs: Long): Unit =
+    books.foreach { case (name, buf) =>
+      val q = history.getOrElseUpdate(name, mutable.ArrayDeque.empty)
+      q.append((nowMs, buf.size.toLong))
+      while (q.size > historyCapacity) q.removeHead()
+    }
+
+  /** PERF — `{book: {ts: count}}` over the recorded history
+    * (`state.rs:445-460`). */
   private def perf(): String =
-    books.map { case (n, b) => s"""\"$n\":${b.size}""" }
-      .mkString("{", ",", "}\n")
+    history.map { case (n, q) =>
+      val inner = q.map { case (ts, c) => s""""$ts":$c""" }.mkString(",")
+      s""""$n":{$inner}"""
+    }.mkString("{", ",", "}\n")
 }
 
 object Engine {

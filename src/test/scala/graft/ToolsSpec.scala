@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.dtf.{DtfCodec, DtfTools}
+import graft.model.Candle
+import graft.operators.{CandlestickChart, TimeBars}
+
+class ToolsSpec extends SparkSpec {
+
+  private val Fixture = "/root/reference/test/test-data/bnc_zrx_btc.dtf"
+
+  test("dtfsplit + dtfconcat + dtfrepair roundtrip the fixture") {
+    val dir = Files.createTempDirectory("graft-tools").toString
+    val ups = DtfCodec.decode(Fixture)
+
+    val parts = DtfTools.split(Fixture, s"$dir/part", 20)
+    assert(parts.size === math.ceil(ups.size / 20.0).toInt)
+    val reread = parts.flatMap(DtfCodec.decode)
+    assert(reread === ups)
+
+    // concat the first two (overlap check: contiguous chunks don't overlap,
+    // so re-encode overlapping slices first)
+    val a = s"$dir/a.dtf"; val b = s"$dir/b.dtf"; val out = s"$dir/m.dtf"
+    DtfCodec.encode(a, "bnc_zrx_btc", ups.take(60))
+    DtfCodec.encode(b, "bnc_zrx_btc", ups.slice(40, 97))
+    assert(DtfTools.concat(a, b, out).isRight)
+    assert(DtfCodec.decode(out) === ups.take(97))
+
+    val rep = s"$dir/r.dtf"
+    assert(DtfTools.repair(Fixture, rep) === ups.size)
+    assert(DtfCodec.decode(rep) === ups)
+
+    // the reference's within_range OR-bug is fixed (C4)
+    assert(DtfTools.rangesOverlap(0, 10, 5, 20))
+    assert(!DtfTools.rangesOverlap(0, 10, 11, 20))
+  }
+
+  test("dtfcat clips ranges inclusively (F7)") {
+    val ups = DtfCodec.decode(Fixture)
+    val lo = ups(10).ts; val hi = ups(50).ts
+    val got = DtfTools.cat(spark, Fixture, Some((lo, hi))).count()
+    assert(got === ups.count(u => u.ts >= lo && u.ts <= hi).toLong)
+  }
+
+  test("kaiko csv converter (S9, filetype.rs:43-96)") {
+    val dir = Files.createTempDirectory("graft-kaiko").toString
+    val csv = s"$dir/k.csv"
+    Files.writeString(java.nio.file.Paths.get(csv),
+      """id,exchange,symbol,date,price,amount,sell
+        |109797481,be,dashbtc,1498694478000,0.07154,0.40495999,false
+        |109797482,be,dashbtc,1498694479000,0.07155,1.5,true
+        |""".stripMargin)
+    val rows = DtfTools.fromKaikoCsv(spark, csv).orderBy("seq").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Long]("ts") === 1498694478000L)
+    assert(rows(0).getAs[Boolean]("is_trade"))
+    assert(rows(0).getAs[Boolean]("is_bid")) // !sell
+    assert(!rows(1).getAs[Boolean]("is_bid"))
+    assert(rows(0).getAs[Double]("price") === 0.07154f.toDouble)
+  }
+
+  test("ascii candlestick chart renders (B9)") {
+    val candles = (0 until 20).map { i =>
+      Candle("c", i * 60L, i * 60L, 10.0 + i % 5, 12.0 + i % 3,
+        9.0 + (i % 2), 11.0, 1.0)
+    }
+    val chart = CandlestickChart.render(candles, height = 10)
+    assert(chart.linesIterator.size === 12)
+    assert(chart.contains("█"))
+    assert(chart.contains("|"))
+    assert(CandlestickChart.render(Nil) === "(no candles)")
+  }
+
+  test("epoch-sequence check (B10, time_bars.rs:236-247)") {
+    import spark.implicits._
+    val seqOk = (0 until 5).map(i =>
+      Candle("s", i * 60L, i * 60L, 1, 1, 1, 1, 1))
+    val gap = seqOk.filterNot(_.start == 120L)
+    assert(TimeBars.epochGaps(spark.createDataset(seqOk).toDF()).count() === 0)
+    assert(TimeBars.epochGaps(spark.createDataset(gap).toDF()).count() === 1)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.model.Update
+import graft.server._
+
+/** End-to-end wire protocol: real TCP sockets against the Engine,
+  * reference framing (u32-len requests, u8+u64-len responses), binary raw
+  * inserts, and the client benchmark loop shape
+  * (`tests/integration_test.rs:8-35`). */
+class WireSpec extends SparkSpec {
+
+  test("raw-insert frame roundtrip (utils.rs:50-87, update.rs:215-234)") {
+    // exact reference golden (update.rs:216-229)
+    val golden = Update("", 1L, 1L, is_trade = false, is_bid = false,
+      1e13f.toDouble, 1e12f.toDouble)
+    assert(Wire.serializeRaw(golden).map(b => b & 0xFF).toSeq ===
+      Seq(0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 1, 0, 85, 17, 132, 231, 83,
+        104, 212, 165))
+    val up = Update("", 1L, 2L, is_trade = false, is_bid = true, 3.0, 4.0)
+    val frame = Wire.encodeInsertInto(Some("mybook"), up)
+    val Some((Some(back), Some(book))) = Wire.decodeInsertInto(frame)
+    assert(book === "mybook")
+    assert(back.copy(symbol = "") === up)
+  }
+
+  test("tcp server: command round-trips and raw-insert ingest") {
+    val engine =
+      new Engine(spark, Files.createTempDirectory("graft-wire").toString)
+    val server = new TcpServer(engine)
+    val client = new TcpClient("127.0.0.1", server.boundPort)
+    try {
+      assert(client.cmd("PING") === ((true, "PONG.\n")))
+      assert(client.cmd("CREATE w1")._1)
+      // text insert + binary raw insert
+      assert(client.cmd("ADD 1505177459.658, 1, t, f, 1.5, 2.0; INTO w1")._1)
+      assert(client.insertRaw(Some("w1"),
+        Update("", 1505177460000L, 2, is_trade = false, is_bid = true,
+          1.25, 3.5)))
+      assert(client.cmd("COUNT ALL IN MEM") === ((true, "2\n")))
+      // errors frame as failures
+      val (ok, err) = client.cmd("GIBBERISH")
+      assert(!ok && err.startsWith("ERR:"))
+      // GET ALL returns concatenated 21-byte raw updates
+      client.cmd("USE w1")
+      val (gok, body) = client.request("GET ALL".getBytes("UTF-8"))
+      assert(gok && body.length === 2 * 21)
+      val first = Wire.deserializeRaw(body.slice(0, 21)).get
+      assert(first.ts === 1505177459658L)
+      // CSV format returns text
+      val (cok, csv) = client.cmd("GET ALL AS CSV")
+      assert(cok && csv.contains("1.5") && csv.split("\n").length === 2)
+    } finally { client.close(); server.stop() }
+  }
+
+  test("integration throughput shape: 10k raw inserts land in mem") {
+    val engine =
+      new Engine(spark, Files.createTempDirectory("graft-bench").toString)
+    val server = new TcpServer(engine)
+    val client = new TcpClient("127.0.0.1", server.boundPort)
+    try {
+      client.cmd("CREATE bench")
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 10000) {
+        client.insertRaw(Some("bench"),
+          Update("", 1500000000000L + i, i.toLong, i % 2 == 0, i % 3 == 0,
+            1.0f + (i % 100), 2.0))
+        i += 1
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(client.cmd("COUNT ALL IN MEM") === ((true, "10000\n")))
+      info(f"10k inserts in $secs%.2f s (${10000 / secs}%.0f inserts/s)")
+      assert(secs < 15.0) // integration_test.rs bound
+    } finally { client.close(); server.stop() }
+  }
+}
