@@ -30,16 +30,21 @@ object Dedup {
       | count(*) AS n_dups
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin.replace('\n', ' ')
 
-  /** Distinct word n-gram shingles per doc: (doc_id, sh). */
+  /** Distinct word n-gram shingles per doc: (doc_id, sh).
+    *
+    * Pure array expressions (split → sequence → slice → array_join):
+    * shingling stays map-side inside whole-stage codegen — no per-doc
+    * window sort, the only shuffle is the final distinct. Output is
+    * identical to a `lead`-based formulation (the DuckDB twin keeps that
+    * shape). */
   def shingles(docs: DataFrame, n: Int = 2): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val words = docs.select(col("doc_id"),
-      posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "w")))
-    val gram = (1 until n).foldLeft(col("w")) { (acc, i) =>
-      concat(acc, lit(" "), lead(col("w"), i).over(w))
-    }
-    words.select(col("doc_id"), gram.as("sh"))
-      .where(col("sh").isNotNull).distinct()
+    val ws = split(lower(trim(col("text"))), "\\s+")
+    docs.select(col("doc_id"), ws.as("ws"))
+      .where(size(col("ws")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+          i => array_join(slice(col("ws"), i, lit(n)), " "))).as("sh"))
+      .distinct()
   }
 
   def shinglesSql(n: Int = 2): String = {
@@ -131,6 +136,63 @@ object Dedup {
        |   / (na.nsh + nb.nsh - coalesce(i.inter, 0)) >= $threshold
        |ORDER BY 1, 2""".stripMargin.replace('\n', ' ')
   }
+
+  /** n-gram Jaccard near-dup with rare-shingle blocking: candidate pairs
+    * share at least one shingle whose document frequency is in
+    * [dfMin, dfMax] (common shingles are useless as blocking keys and
+    * would blow the join up; singleton shingles pair with nobody), then
+    * exact set-Jaccard over ALL shingles verifies each candidate.
+    *
+    * Scale shape: the df table is a per-shingle aggregation; the candidate
+    * join shuffles only the rare-shingle postings (bounded by dfMax per
+    * key, so no skew); verification joins shuffle on doc ids. */
+  def ngramJaccard(docs: DataFrame, n: Int = 2, dfMin: Int = 2,
+      dfMax: Int = 5, threshold: Double = 0.1): DataFrame = {
+    val sh = shingles(docs, n).cache()
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df").between(dfMin, dfMax))
+    val rare = sh.join(dfreq.select("sh"), "sh")
+    val cands = rare.as("a").join(rare.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val inter = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "inter", "uni", "jaccard")
+  }
+
+  def ngramJaccardSql(n: Int = 2, dfMin: Int = 2, dfMax: Int = 5,
+      threshold: Double = 0.1): String =
+    s"""WITH sh AS (${shinglesSql(n)}),
+       |d AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+       |rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN d USING (sh)
+       |  WHERE d.df BETWEEN $dfMin AND $dfMax),
+       |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+       | FROM cands c
+       | JOIN sh sa ON sa.doc_id = c.doc_a
+       | JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       | GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b, i.inter,
+       | na.nsh + nb.nsh - i.inter AS uni,
+       | CAST(i.inter AS DOUBLE) / (na.nsh + nb.nsh - i.inter) AS jaccard
+       |FROM inter i
+       |JOIN sizes na ON na.doc_id = i.doc_a
+       |JOIN sizes nb ON nb.doc_id = i.doc_b
+       |WHERE CAST(i.inter AS DOUBLE) / (na.nsh + nb.nsh - i.inter)
+       |  >= $threshold
+       |ORDER BY 1, 2""".stripMargin.replace('\n', ' ')
 
   /** 16-bit SimHash per doc from word-frequency votes: bit b is the sign of
     * Σ tf(w) · (±1 from nibble b of md5(w)). */

@@ -140,6 +140,103 @@ object Similarity {
       .select("q_id", "vec_id", "sim")
   }
 
+  /** Embedding-cosine near-dup (dedup surface): unordered pairs that share
+    * an LSH bucket AND have exact cosine >= threshold. The bucket equi-join
+    * is the blocking step — no O(n²) pair space; the left-fold cosine is
+    * the exact verification, same determinism contract as `cosineTopK`. */
+  def cosineNearDup(embeddings: DataFrame, planes: Int = 4,
+      threshold: Double = 0.4): DataFrame = {
+    val vecs = withNorms(embeddings)
+      .join(lshBuckets(embeddings, planes), "vec_id")
+    val a = vecs.select(col("vec_id").as("vec_a"), col("emb").as("a_emb"),
+      col("norm").as("a_norm"), col("bucket"))
+    a.join(vecs, Seq("bucket"))
+      .where(col("vec_a") < col("vec_id"))
+      .select(col("vec_a"), col("vec_id").as("vec_b"),
+        (dotD(col("a_emb"), col("emb")) / (col("a_norm") * col("norm")))
+          .as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
+  def cosineNearDupSql(planes: Int = 4, threshold: Double = 0.4): String =
+    s"""WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |buckets AS (${lshBucketsSql(planes).replace(" ORDER BY vec_id", "")}),
+       |sims AS (SELECT qa.vec_id AS vec_a, qb.vec_id AS vec_b,
+       |  (${dotSql("a", "b")}) / (${normSql("a")} * ${normSql("b")}) AS sim
+       | FROM buckets qa JOIN buckets qb
+       |  ON qa.bucket = qb.bucket AND qa.vec_id < qb.vec_id
+       | JOIN vecs a ON a.vec_id = qa.vec_id
+       | JOIN vecs b ON b.vec_id = qb.vec_id)
+       |SELECT vec_a, vec_b, sim FROM sims WHERE sim >= $threshold
+       |ORDER BY vec_a, vec_b""".stripMargin.replace('\n', ' ')
+
+  /** IVF (inverted-file) ANN — the other classic scale path: a small
+    * coarse-quantizer table of centroids (here: deterministic seed vectors
+    * `vec_id < nCentroids`, broadcast), every corpus vector assigned to
+    * its nearest cell (argmax cosine, centroid id tiebreak), queries probe
+    * the `nProbe` nearest cells and search only those inverted lists.
+    *
+    * Scale shape: assignment is a broadcast nested-loop against the tiny
+    * centroid table (map-side, no shuffle of the corpus); the probe join
+    * is an equi-join on cell id, so a query touches nProbe/nCentroids of
+    * the corpus instead of all of it. */
+  def ivfTopK(embeddings: DataFrame, nCentroids: Int = 8, nProbe: Int = 2,
+      nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val vecs = withNorms(embeddings)
+    val cents = vecs.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("emb").as("c_emb"),
+        col("norm").as("c_norm"))
+    val csims = vecs.crossJoin(cents.hint("broadcast"))
+      .select(col("vec_id"), col("cid"),
+        (dotD(col("emb"), col("c_emb")) / (col("norm") * col("c_norm")))
+          .as("csim"))
+    val byCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val assigned = csims.withColumn("rn", row_number().over(byCell))
+      .where(col("rn") === 1).select(col("vec_id"), col("cid").as("cell"))
+    val probes = csims.where(col("vec_id") < nQueries)
+      .withColumn("rn", row_number().over(byCell))
+      .where(col("rn") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("cid").as("cell"))
+    val q = vecs.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("norm").as("q_norm"))
+    val pairs = probes.join(q, "q_id")
+      .join(assigned.join(vecs, "vec_id"), "cell")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dotD(col("q_emb"), col("emb")) / (col("q_norm") * col("norm")))
+          .as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "sim")
+  }
+
+  def ivfTopKSql(nCentroids: Int = 8, nProbe: Int = 2, nQueries: Int = 10,
+      k: Int = 3): String =
+    s"""WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, emb FROM vecs WHERE vec_id < $nCentroids),
+       |csims AS (SELECT a.vec_id, c.cid,
+       |  (${dotSql("a", "c")}) / (${normSql("a")} * ${normSql("c")}) AS csim
+       | FROM vecs a CROSS JOIN cents c),
+       |ranked AS (SELECT vec_id, cid, row_number() OVER (
+       |   PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn FROM csims),
+       |assigned AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+       |probes AS (SELECT vec_id AS q_id, cid AS cell FROM ranked
+       |  WHERE rn <= $nProbe AND vec_id < $nQueries),
+       |sims AS (SELECT p.q_id, s.vec_id,
+       |  (${dotSql("a", "b")}) / (${normSql("a")} * ${normSql("b")}) AS sim
+       | FROM probes p
+       | JOIN assigned s ON s.cell = p.cell AND s.vec_id <> p.q_id
+       | JOIN vecs a ON a.vec_id = p.q_id
+       | JOIN vecs b ON b.vec_id = s.vec_id)
+       |SELECT q_id, rank, vec_id, sim FROM (
+       | SELECT *, row_number() OVER (
+       |   PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM sims)
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin.replace('\n', ' ')
+
   def lshNearestSql(planes: Int = 4): String =
     s"""WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |buckets AS (${lshBucketsSql(planes).replace(" ORDER BY vec_id", "")}),

@@ -38,8 +38,25 @@ object ExtQueries {
       (s, dir) => Dedup.fingerprint(docs(s, dir)).orderBy("doc_id"),
       Some(Dedup.fingerprintSql)),
 
-    // n-gram Jaccard similarity over rare-shingle-blocked pairs is covered
-    // by q_minhash_neardup's verification join; the brute-force cosine ANN:
+    // n-gram Jaccard near-dup over rare-shingle-blocked pairs
+    Q("q_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccard(docs(s, dir))
+        .orderBy("doc_a", "doc_b"),
+      Some(Dedup.ngramJaccardSql())),
+
+    // embedding-cosine near-dup (LSH-blocked, exact-verified)
+    Q("q_cosine_neardup",
+      (s, dir) => Similarity.cosineNearDup(embs(s, dir))
+        .orderBy("vec_a", "vec_b"),
+      Some(Similarity.cosineNearDupSql())),
+
+    // IVF ANN: coarse-quantizer cells + nProbe probing
+    Q("q_ann_ivf_topk",
+      (s, dir) => Similarity.ivfTopK(embs(s, dir))
+        .orderBy("q_id", "rank"),
+      Some(Similarity.ivfTopKSql())),
+
+    // brute-force cosine ANN (exact baseline):
     Q("q_ann_cosine_topk",
       (s, dir) => Similarity.cosineTopK(embs(s, dir))
         .orderBy("q_id", "rank"),

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.ext.{Dedup, Similarity}
+
+/** Property checks for the training-data-pipeline extension operators
+  * (dedup family + ANN family). The bit-exact oracle gate is Verify +
+  * tools/validate.py; these pin the semantics on small planted inputs. */
+class ExtSpec extends SparkSpec {
+
+  private def docsDf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def embsDf(rows: (Long, Seq[Float])*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("shingles: word n-grams, distinct, short docs dropped") {
+    val sh = Dedup.shingles(docsDf(
+      (1L, "a b c a b"),
+      (2L, "x"),           // 1 word < n=2 -> no shingles
+      (3L, "  A  b  ")),   // trim + lower + multi-space
+      n = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sh === Set((1L, "a b"), (1L, "b c"), (1L, "c a"), (3L, "a b")))
+  }
+
+  test("ngramJaccard: identical docs score 1.0, disjoint docs absent") {
+    val docs = docsDf(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"), // exact dup of 1
+      (3L, "the quick brown cat sits"),  // partial overlap
+      (4L, "entirely different words here"))
+    val out = Dedup.ngramJaccard(docs, dfMin = 2, dfMax = 5, threshold = 0.1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4))).toMap
+    assert(out((1L, 2L)) === 1.0)
+    assert(out.get((1L, 4L)).isEmpty && out.get((2L, 4L)).isEmpty)
+    out.values.foreach(j => assert(j >= 0.1 && j <= 1.0))
+  }
+
+  test("cosineNearDup: planted duplicate embedding found with sim ~ 1") {
+    val v = Seq.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val u = Seq.tabulate(64)(i => math.cos(3 * i + 2).toFloat)
+    val out = Similarity.cosineNearDup(
+      embsDf((10L, v), (11L, v), (12L, u)), threshold = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(out.map(_._1).contains((10L, 11L)))
+    out.foreach { case ((a, b), s) =>
+      assert(a < b); assert(s >= 0.9 && s <= 1.0 + 1e-12)
+    }
+  }
+
+  test("ivfTopK: ranks contiguous, sims non-increasing, no self match") {
+    val embs = embsDf((0L until 40L).map(i =>
+      i -> Seq.tabulate(64)(d => math.sin(i * 64 + d + 1).toFloat)): _*)
+    val rows = Similarity.ivfTopK(embs, nCentroids = 4, nProbe = 2,
+      nQueries = 5, k = 3).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet === (0L until 5L).toSet)
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to sorted.length))
+      val sims = sorted.map(_.getDouble(3)).toSeq
+      assert(sims === sims.sorted.reverse)
+      sorted.foreach(r => assert(r.getLong(2) !== q))
+    }
+  }
+
+  test("ivfTopK probes beat single-cell search (recall sanity)") {
+    // with nProbe = nCentroids the search is exhaustive over cells, so the
+    // top-1 must equal the brute-force nearest among non-self vectors
+    val embs = embsDf((0L until 30L).map(i =>
+      i -> Seq.tabulate(64)(d => math.sin(i * 7 + d).toFloat)): _*)
+    val ivf = Similarity.ivfTopK(embs, nCentroids = 4, nProbe = 4,
+      nQueries = 3, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val brute = Similarity.cosineTopK(embs, nQueries = 3, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ivf === brute)
+  }
+}
