@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.parallelized
+
 /** Deduplication operators for training-data pipelines: exact (hash
   * groupBy), MinHash+LSH near-dup candidates with exact-Jaccard
   * verification, SimHash fingerprints, and rolling-hash document
@@ -38,8 +40,11 @@ object Dedup {
     * identical to a `lead`-based formulation (the DuckDB twin keeps that
     * shape). */
   def shingles(docs: DataFrame, n: Int = 2): DataFrame = {
+    // explode(array(...)) puts a Generate boundary under the word array:
+    // CollapseProject would otherwise inline the split() alias into every
+    // lambda reference and re-tokenize the doc once per shingle
     val ws = split(lower(trim(col("text"))), "\\s+")
-    docs.select(col("doc_id"), ws.as("ws"))
+    parallelized(docs).select(col("doc_id"), explode(array(ws)).as("ws"))
       .where(size(col("ws")) >= n)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("ws")) - (n - 1)),
@@ -61,13 +66,13 @@ object Dedup {
   }
 
   /** k-permutation MinHash signature per doc: columns h0..h(k-1). */
-  def minhashSignature(sh: DataFrame, k: Int = 8): DataFrame = {
+  def minhashSignature(sh: DataFrame, k: Int = 16): DataFrame = {
     val aggs = (0 until k).map(i =>
       min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  def minhashSignatureSql(k: Int = 8): String = {
+  def minhashSignatureSql(k: Int = 16): String = {
     val aggs = (0 until k)
       .map(i => s"min(md5('$i:' || sh)) AS h$i").mkString(", ")
     s"SELECT doc_id, $aggs FROM sh GROUP BY doc_id"
@@ -76,14 +81,22 @@ object Dedup {
   /** LSH banding (bands of `r` hashes) + exact-Jaccard verification of the
     * candidate pairs. Output: (doc_a, doc_b, inter, uni, jaccard) for
     * jaccard >= threshold. */
-  def minhashNearDup(docs: DataFrame, n: Int = 2, k: Int = 8, r: Int = 2,
+  def minhashNearDup(docs: DataFrame, n: Int = 2, k: Int = 16, r: Int = 4,
       threshold: Double = 0.2): DataFrame = {
+    require(threshold > 0.0,
+      "threshold must be > 0 (zero-overlap candidates are never emitted)")
+    // Multi-pass algorithm: the final plan references the shingle table 4×
+    // and the band table 2×. Lazy caching is NOT enough — within one action
+    // the independent stages run concurrently and each recomputes a
+    // not-yet-populated cache. Eager count()s materialize each layer once.
     val sh = shingles(docs, n).cache()
+    sh.count()
     val sig = minhashSignature(sh, k)
     val bands = sig.select(col("doc_id"),
       posexplode(array((0 until k / r).map(j =>
         md5(concat_ws("", (0 until r).map(i => col(s"h${j * r + i}")): _*))): _*))
-        .as(Seq("band", "bval")))
+        .as(Seq("band", "bval"))).cache()
+    bands.count()
     val a = bands.as("a")
     val b = bands.as("b")
     val cands = a.join(b,
@@ -92,12 +105,13 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    // candidates sharing zero shingles have jaccard 0 < threshold, so the
+    // intersection table IS the survivor base — no left-join back to cands
     val inter = cands
       .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    cands.join(inter, Seq("doc_a", "doc_b"), "left")
-      .na.fill(0L, Seq("inter"))
+    inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
       .withColumn("uni", col("na") + col("nb") - col("inter"))
@@ -106,7 +120,7 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "uni", "jaccard")
   }
 
-  def minhashNearDupSql(n: Int = 2, k: Int = 8, r: Int = 2,
+  def minhashNearDupSql(n: Int = 2, k: Int = 16, r: Int = 4,
       threshold: Double = 0.2): String = {
     val bandSelects = (0 until k / r).map { j =>
       val cat = (0 until r).map(i => s"h${j * r + i}").mkString(" || ")
@@ -148,10 +162,13 @@ object Dedup {
     * key, so no skew); verification joins shuffle on doc ids. */
   def ngramJaccard(docs: DataFrame, n: Int = 2, dfMin: Int = 2,
       dfMax: Int = 5, threshold: Double = 0.1): DataFrame = {
+    // eager caches — see minhashNearDup for why lazy caching is not enough
     val sh = shingles(docs, n).cache()
+    sh.count()
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df").between(dfMin, dfMax))
-    val rare = sh.join(dfreq.select("sh"), "sh")
+    val rare = sh.join(dfreq.select("sh"), "sh").cache()
+    rare.count()
     val cands = rare.as("a").join(rare.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -197,7 +214,7 @@ object Dedup {
   /** 16-bit SimHash per doc from word-frequency votes: bit b is the sign of
     * Σ tf(w) · (±1 from nibble b of md5(w)). */
   def simhash(docs: DataFrame): DataFrame = {
-    val words = docs
+    val words = parallelized(docs)
       .select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.parallelized
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (`Array[Float]`): brute-force cosine top-k as the exact baseline, and a
   * random-hyperplane LSH bucketing as the scale path.
@@ -25,9 +27,13 @@ object Similarity {
     * `aggregate` HOF evaluates `((0+p1)+p2)+…` sequentially; the DuckDB
     * twin spells the same chain out as a left-associative 64-term
     * expression, so both engines perform the identical IEEE operation
-    * sequence → bit-identical similarity with no rounding. (A decimal-cast
-    * path does NOT work here: Spark's double→decimal cast goes through the
-    * shortest decimal repr, DuckDB expands the exact binary value.) */
+    * sequence → bit-identical similarity with no rounding. The HOF form is
+    * deliberate: an explicit 64-term element_at chain builds a ~400-node
+    * expression tree whose generated code blows past JIT method limits and
+    * evaluates SLOWER than the HOF's tight loop (measured 2×). (A
+    * decimal-cast path does NOT work here: Spark's double→decimal cast
+    * goes through the shortest decimal repr, DuckDB expands the exact
+    * binary value.) */
   private def dotD(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
@@ -38,9 +44,10 @@ object Similarity {
     "sqrt(" + (1 to Dims).map(i => s"$v.emb[$i] * $v.emb[$i]")
       .mkString(" + ") + ")"
 
-  /** (vec_id, emb: array<double>, norm) with left-fold norms. */
+  /** (vec_id, emb: array<double>, norm) with left-fold norms (HOF loop,
+    * see [[dotD]] for why not an explicit chain). */
   def withNorms(embeddings: DataFrame): DataFrame =
-    embeddings.select(col("vec_id"),
+    parallelized(embeddings).select(col("vec_id"),
       col("embedding").cast("array<double>").as("emb"))
       .withColumn("norm",
         sqrt(aggregate(transform(col("emb"), x => x * x), lit(0.0),
@@ -83,8 +90,6 @@ object Similarity {
     * hyperplanes derived from md5(plane:dim) parity; bucket bit p = sign of
     * Σ_d plane(p,d)·emb[d]. Deterministic and portable. */
   def lshBuckets(embeddings: DataFrame, planes: Int = 4): DataFrame = {
-    val vecs = embeddings.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("emb"))
     // plane(p,d) = +1 if first hex nibble of md5("p:d") is >= '8' else -1
     val dims = 64
     val planeSign: (Int, Int) => Double = (p, d) => {
@@ -93,14 +98,18 @@ object Similarity {
       if ((h(0) & 0x80) != 0) 1.0 else -1.0
     }
     // plain double chain: both engines evaluate the textual +-chain
-    // left-to-right, so the sign is bit-identical without decimal
+    // left-to-right, so the sign is bit-identical without decimal.
+    // element-wise float→double casts (not a whole-array cast alias that
+    // projection collapse would re-evaluate per term)
     val bucketBits = (0 until planes).map { p =>
       val terms = (0 until dims).map { d =>
-        element_at(col("emb"), d + 1) * lit(planeSign(p, d))
+        element_at(col("embedding"), d + 1).cast("double") *
+          lit(planeSign(p, d))
       }.reduce(_ + _)
       when(terms > 0.0, 1L << p).otherwise(0L)
     }
-    vecs.select(col("vec_id"), bucketBits.reduce(_ + _).as("bucket"))
+    parallelized(embeddings)
+      .select(col("vec_id"), bucketBits.reduce(_ + _).as("bucket"))
   }
 
   def lshBucketsSql(planes: Int = 4): String = {
@@ -124,8 +133,13 @@ object Similarity {
   /** LSH-bucketed ANN: nearest neighbor per query within its bucket —
     * the candidate join is an equi-join on bucket, no cross join. */
   def lshNearest(embeddings: DataFrame, planes: Int = 4): DataFrame = {
-    val vecs = withNorms(embeddings)
-      .join(lshBuckets(embeddings, planes), "vec_id")
+    // cache only the (vec_id, bucket) table: tiny and referenced per side;
+    // columnar-caching the array column costs more than recomputing the
+    // map-side cast from parquet. Eager count: concurrent stages would
+    // otherwise each compute the cold cache.
+    val buckets = lshBuckets(embeddings, planes).cache()
+    buckets.count()
+    val vecs = withNorms(embeddings).join(buckets, "vec_id")
     val a = vecs.select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
       col("norm").as("q_norm"), col("bucket"))
     val pairs = a.join(vecs, Seq("bucket"))
@@ -146,8 +160,10 @@ object Similarity {
     * the exact verification, same determinism contract as `cosineTopK`. */
   def cosineNearDup(embeddings: DataFrame, planes: Int = 4,
       threshold: Double = 0.4): DataFrame = {
-    val vecs = withNorms(embeddings)
-      .join(lshBuckets(embeddings, planes), "vec_id")
+    // cache only the (vec_id, bucket) table (see lshNearest)
+    val buckets = lshBuckets(embeddings, planes).cache()
+    buckets.count()
+    val vecs = withNorms(embeddings).join(buckets, "vec_id")
     val a = vecs.select(col("vec_id").as("vec_a"), col("emb").as("a_emb"),
       col("norm").as("a_norm"), col("bucket"))
     a.join(vecs, Seq("bucket"))
@@ -182,6 +198,9 @@ object Similarity {
     * the corpus instead of all of it. */
   def ivfTopK(embeddings: DataFrame, nCentroids: Int = 8, nProbe: Int = 2,
       nQueries: Int = 10, k: Int = 3): DataFrame = {
+    // csims feeds both assignment and probes — cache it (small, no
+    // arrays); vecs recomputes map-side from parquet which is cheaper
+    // than columnar-caching the embedding arrays
     val vecs = withNorms(embeddings)
     val cents = vecs.where(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("emb").as("c_emb"),
@@ -189,7 +208,8 @@ object Similarity {
     val csims = vecs.crossJoin(cents.hint("broadcast"))
       .select(col("vec_id"), col("cid"),
         (dotD(col("emb"), col("c_emb")) / (col("norm") * col("c_norm")))
-          .as("csim"))
+          .as("csim")).cache()
+    csims.count()
     val byCell = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cid"))
     val assigned = csims.withColumn("rn", row_number().over(byCell))

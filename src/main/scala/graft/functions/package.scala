@@ -11,6 +11,17 @@ import org.apache.spark.sql.functions._
   */
 package object functions {
 
+  /** Spread a narrow input across the cluster's cores when the scan gave
+    * too few partitions (e.g. one small parquet file locally). At scale,
+    * file splits already provide parallelism and this is a no-op; the
+    * check reads only the plan's partitioning, it triggers no job. */
+  def parallelized(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
+
   /** Normalize an epoch to 13-digit milliseconds by repeated *10, exactly the
     * reference's `fill_digits` loop (`crates/tdb-core/src/utils.rs:11-22`):
     * multiplies by 10 until the value is >= 1_000_000_000_000. 0 stays 0.

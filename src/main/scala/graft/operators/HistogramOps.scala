@@ -32,26 +32,34 @@ object HistogramOps {
 
   /** (symbol, out) = pct-percentile of `value` over `df` rows per symbol. */
   def percentileBy(df: DataFrame, value: Column, pct: Double,
-      out: String): DataFrame = {
+      out: String): DataFrame =
+    percentilesBy(df, value, Seq(pct -> out))
+
+  /** Several percentiles of the SAME value column in ONE sorted pass:
+    * the window sort is the expensive part, so q1/median/q3 must not each
+    * pay for their own. Emits (symbol, out₁, out₂, …). */
+  def percentilesBy(df: DataFrame, value: Column,
+      pcts: Seq[(Double, String)]): DataFrame = {
     val w = Window.partitionBy(col("symbol")).orderBy(col("_v"))
     val wn = Window.partitionBy(col("symbol"))
-    val rank = lit(pct / 100.0) * (col("_n") - 1)
-    val lrank = floor(rank)
-    val d = rank - lrank
-    df.select(col("symbol"), value.as("_v"))
+    val base = df.select(col("symbol"), value.as("_v"))
       .withColumn("_rn0", row_number().over(w) - 1)
       .withColumn("_n", count(lit(1)).over(wn))
-      .withColumn("_lrank", lrank)
-      .withColumn("_d", d)
-      .groupBy("symbol")
-      .agg(
-        max(when(col("_rn0") === col("_lrank"), col("_v"))).as("_lo"),
-        max(when(col("_rn0") === col("_lrank") + 1, col("_v"))).as("_hi"),
-        max(col("_d")).as("_dd"))
-      .select(col("symbol"),
-        when(col("_dd") === 0.0, col("_lo"))
-          .otherwise(col("_lo") + (col("_hi") - col("_lo")) * col("_dd"))
-          .as(out))
+    val aggs = pcts.flatMap { case (pct, out) =>
+      val rank = lit(pct / 100.0) * (col("_n") - 1)
+      val lrank = floor(rank)
+      Seq(
+        max(when(col("_rn0") === lrank, col("_v"))).as(s"_lo_$out"),
+        max(when(col("_rn0") === lrank + 1, col("_v"))).as(s"_hi_$out"),
+        max(rank - lrank).as(s"_d_$out"))
+    }
+    base.groupBy("symbol").agg(aggs.head, aggs.tail: _*)
+      .select(col("symbol") +: pcts.map { case (_, out) =>
+        when(col(s"_d_$out") === 0.0, col(s"_lo_$out"))
+          .otherwise(col(s"_lo_$out") +
+            (col(s"_hi_$out") - col(s"_lo_$out")) * col(s"_d_$out"))
+          .as(out)
+      }: _*)
   }
 
   /** DuckDB twin of [[percentileBy]]: percentile of `valExpr` over
@@ -107,7 +115,11 @@ object HistogramOps {
     * bins-1; ALL bins emitted (zero counts included), with their lower
     * boundaries `min + i*bucket`. */
   def histogram(updates: DataFrame, bins: Int, m: Double): DataFrame = {
-    val kept = madKeep(updates, m)
+    // kept feeds both bounds and counts; cache the 2-column projection so
+    // the two-percentile MAD filter chain is computed once, not per branch
+    // (eager count: concurrent stages would each compute the cold cache)
+    val kept = madKeep(updates, m).select("symbol", "price").cache()
+    kept.count()
     val bounds = kept.groupBy("symbol")
       .agg(min(col("price")).as("hmin"), max(col("price")).as("hmax"))
       .withColumn("bucket", (col("hmax") - col("hmin")) / (bins - 1))
@@ -183,9 +195,10 @@ object HistogramOps {
       min(col("price")).as("min"),
       max(col("price")).as("max"))
       .withColumn("mean", col("sum") / col("n"))
-    val med = percentileBy(updates, col("price"), 50.0, "median")
-    val q1 = percentileBy(updates, col("price"), 25.0, "q1")
-    val q3 = percentileBy(updates, col("price"), 75.0, "q3")
+    // q1/median/q3 share one sorted pass
+    val quartiles = percentilesBy(updates, col("price"),
+      Seq(25.0 -> "q1", 50.0 -> "median", 75.0 -> "q3"))
+    val med = quartiles.select("symbol", "median")
     val withMean = updates.join(base.select(col("symbol"), col("mean")),
       "symbol")
     // scale 26: per-term cast error 1e-26 stays far below the double ulp of
@@ -198,7 +211,7 @@ object HistogramOps {
       val wMed = updates.join(med, "symbol")
       percentileBy(wMed, abs(col("price") - col("median")), 50.0, "_mdev")
     }
-    base.join(med, "symbol").join(q1, "symbol").join(q3, "symbol")
+    base.join(quartiles, "symbol")
       .join(varDf, "symbol").join(mdev, "symbol")
       .select(col("symbol"), col("n"), col("sum"), col("min"), col("max"),
         col("mean"), col("median"), col("var"),
