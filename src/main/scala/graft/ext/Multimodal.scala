@@ -59,6 +59,58 @@ object Multimodal {
     }(enc)
   }
 
+  /** Frame sampling over video payloads: every `everyK`-th frame index of
+    * each decoded video. The sampling itself is pure Spark
+    * (`sequence` + `explode` — a Generate, no UDF); a real pipeline would
+    * then feed (doc_id, frame_idx) to a frame-extract kernel. */
+  def frameSample(docs: DataFrame, everyK: Int = 5): DataFrame =
+    decodeMeta(docs)
+      .where(col("modality") === "video")
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(everyK.toLong)))
+          .as("frame_idx"))
+
+  def frameSampleSql(everyK: Int = 5): String =
+    s"""SELECT doc_id, n_frames, unnest(generate_series(0, n_frames - 1, $everyK)) AS frame_idx
+       |FROM (SELECT doc_id, 1 + doc_id % 30 AS n_frames,
+       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       |    ELSE 'video' END AS modality
+       | FROM documents)
+       |WHERE modality = 'video'
+       |ORDER BY doc_id, frame_idx""".stripMargin.replace('\n', ' ')
+
+  val resizeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("n_bytes", LongType)))
+
+  /** STUB resize kernel over image payloads via the same `mapPartitions`
+    * batch plumbing as [[decodeMeta]]: output dimensions are the target,
+    * byte size is the deterministic RGB-buffer stub `w*h*3`. Swap the row
+    * mapper for a real scaler without touching schema or batching. */
+  def resizeStub(docs: DataFrame, width: Int, height: Int): DataFrame = {
+    val binary = docs.select(col("doc_id"),
+      col("text").cast("binary").as("payload"))
+    val enc = org.apache.spark.sql.Encoders.row(resizeSchema)
+    val (w, h) = (width.toLong, height.toLong)
+    binary.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val (_, _, _, modality) = stubDecode(id, payload)
+        // a real kernel resizes here; only images pass through
+        if (modality == "image") Some(Row(id, w, h, w * h * 3L)) else None
+      }
+    }(enc)
+  }
+
+  def resizeStubSql(width: Int, height: Int): String =
+    s"""SELECT doc_id, $width AS width, $height AS height,
+       | ${width.toLong * height * 3} AS n_bytes
+       |FROM documents WHERE doc_id % 3 = 0
+       |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
   /** DuckDB twin of the stub arithmetic (text is ASCII in the testdata, so
     * byte length == char length). */
   val decodeMetaSql: String =

