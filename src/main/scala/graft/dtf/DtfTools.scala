@@ -69,6 +69,31 @@ object DtfTools {
     ups.size
   }
 
+  /** Columnar per-field export (S11, `bins/dtftools/dtfnumpy.rs:13-91`):
+    * the reference writes an `.npz` with one little-endian array per field
+    * (ts <i8, seq <i4, price/size <f4, bools ?). Parquet is already
+    * columnar, so the faithful analogue is one single-column parquet
+    * directory per field under `outDir/<field>` — same field set, same
+    * narrowing casts (seq→int, price/size→float). Returns the per-field
+    * paths. */
+  def exportColumnar(spark: SparkSession, dtfPath: String,
+      outDir: String): Map[String, String] = {
+    import org.apache.spark.sql.functions.col
+    val df = cat(spark, dtfPath)
+    val fields = Map(
+      "ts" -> col("ts"),
+      "seq" -> col("seq").cast("int").as("seq"),
+      "is_trade" -> col("is_trade"),
+      "is_bid" -> col("is_bid"),
+      "price" -> col("price").cast("float").as("price"),
+      "size" -> col("size").cast("float").as("size"))
+    fields.map { case (name, c) =>
+      val out = s"$outDir/$name"
+      df.select(c).write.mode("overwrite").parquet(out)
+      name -> out
+    }
+  }
+
   /** Kaiko trade-CSV converter (S9, `storage/filetype.rs:43-96`):
     * `id,exchange,symbol,date,price,amount,sell` → updates with
     * `is_trade=true, is_bid=!sell, seq=id` (f32-cast prices/sizes like the

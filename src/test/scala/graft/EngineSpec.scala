@@ -78,4 +78,27 @@ class EngineSpec extends SparkSpec {
     assert(got.map(_.seq) === Seq(1L))
     assert(e.drainSubscription("s1").isEmpty)
   }
+
+  test("PERF ring-buffer history (A11, state.rs:193-203,338-360)") {
+    val e = engine()
+    e.execute(CommandParser.parse("CREATE hist_db"))
+    e.execute(CommandParser.parse("USE hist_db"))
+    e.execute(CommandParser.parse("ADD 1505177459.658, 1, t, f, 1.0, 2.0;"))
+    e.recordHistory(1000L)
+    e.execute(CommandParser.parse("ADD 1505177459.659, 2, t, f, 1.0, 2.0;"))
+    e.recordHistory(2000L)
+    val out = e.execute(CommandParser.parse("PERF")) match {
+      case e.Text(t) => t
+      case other => fail(s"unexpected: $other")
+    }
+    assert(out.contains(""""hist_db":{"1000":1,"2000":2}"""), out)
+    // ring buffer caps at historyCapacity entries
+    (0 until e.historyCapacity + 50).foreach(i => e.recordHistory(3000L + i))
+    val out2 = e.execute(CommandParser.parse("PERF")) match {
+      case e.Text(t) => t
+      case other => fail(s"unexpected: $other")
+    }
+    val entries = out2.split("hist_db").last.count(_ == ':') - 1
+    assert(entries <= e.historyCapacity + 1, s"ring not bounded: $entries")
+  }
 }

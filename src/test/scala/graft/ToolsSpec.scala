@@ -60,6 +60,21 @@ class ToolsSpec extends SparkSpec {
     assert(rows(0).getAs[Double]("price") === 0.07154f.toDouble)
   }
 
+  test("columnar per-field export (S11, dtfnumpy.rs:13-91)") {
+    val dir = Files.createTempDirectory("graft-npy").toString
+    val ups = DtfCodec.decode(Fixture)
+    val paths = DtfTools.exportColumnar(spark, Fixture, dir)
+    assert(paths.keySet === Set("ts", "seq", "is_trade", "is_bid",
+      "price", "size"))
+    val ts = spark.read.parquet(paths("ts"))
+    assert(ts.schema.fields.map(_.name).toSeq === Seq("ts"))
+    assert(ts.count() === ups.size.toLong)
+    // narrowing casts match the npz dtypes: price is f4
+    val price = spark.read.parquet(paths("price"))
+    assert(price.schema.fields.head.dataType ===
+      org.apache.spark.sql.types.FloatType)
+  }
+
   test("ascii candlestick chart renders (B9)") {
     val candles = (0 until 20).map { i =>
       Candle("c", i * 60L, i * 60L, 10.0 + i % 5, 12.0 + i % 3,
