@@ -69,6 +69,27 @@ object DtfTools {
     ups.size
   }
 
+  /** dtfcat --timebars (S12 / SURVEY §3.3, `dtfcat.rs:41-48`): the full
+    * batch-analytics lifecycle — decode → 1-min OHLCV → continuation fill →
+    * aligned rebin → the reference's `to_csv` column shape `T,O,H,L,C,V`
+    * (`candle/time_bars.rs:143-153`). One job: scan → filter → window agg →
+    * grid join + forward fill → positional re-agg. */
+  def catTimebars(spark: SparkSession, path: String, minutes: Int = 1)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TimeBars
+    val ups = cat(spark, path)
+    val oneMin = TimeBars.bars(ups)
+    val filled = TimeBars.continuationFill(oneMin)
+    val rebinned =
+      if (minutes == 1) filled
+      else TimeBars.rebin(filled, minutes, align = true)
+    rebinned.select(
+      col("start").as("T"), col("open").as("O"), col("high").as("H"),
+      col("low").as("L"), col("close").as("C"), col("volume").as("V"))
+      .orderBy("T")
+  }
+
   /** Columnar per-field export (S11, `bins/dtftools/dtfnumpy.rs:13-91`):
     * the reference writes an `.npz` with one little-endian array per field
     * (ts <i8, seq <i4, price/size <f4, bools ?). Parquet is already

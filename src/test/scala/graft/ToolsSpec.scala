@@ -60,6 +60,28 @@ class ToolsSpec extends SparkSpec {
     assert(rows(0).getAs[Double]("price") === 0.07154f.toDouble)
   }
 
+  test("dtfcat --timebars lifecycle (S12, SURVEY 3.3)") {
+    val out = DtfTools.catTimebars(spark, Fixture, minutes = 1).collect()
+    assert(out.nonEmpty)
+    // continuation fill makes the minute grid contiguous
+    val ts = out.map(_.getAs[Long]("T"))
+    ts.sliding(2).foreach {
+      case Array(a, b) => assert(b - a === 60L, s"gap in grid: $a -> $b")
+      case _ =>
+    }
+    // OHLC invariants hold on every (real or synthetic) candle
+    out.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Double]("O"), r.getAs[Double]("H"),
+        r.getAs[Double]("L"), r.getAs[Double]("C"))
+      assert(h >= math.max(o, c) && l <= math.min(o, c))
+    }
+    // rebin to 3-minute bars: positional groups of 3, partials dropped
+    // (the short fixture may yield zero complete groups — that IS the
+    // reference's `res.len == v.len / k` contract)
+    val r3 = DtfTools.catTimebars(spark, Fixture, minutes = 3).collect()
+    assert(r3.length === ts.length / 3)
+  }
+
   test("columnar per-field export (S11, dtfnumpy.rs:13-91)") {
     val dir = Files.createTempDirectory("graft-npy").toString
     val ups = DtfCodec.decode(Fixture)
