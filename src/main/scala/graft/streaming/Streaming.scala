@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.model.Update
+import graft.model.{Candle, Update}
 import graft.server.CommandParser
 
 /** Structured-Streaming rebuild of the reference's server loop
@@ -90,4 +90,49 @@ object Streaming {
   /** SUBSCRIBE fan-out (T3): one filtered streaming view per book. */
   def subscribe(updates: Dataset[Update], book: String): Dataset[Update] =
     updates.filter(_.symbol == book)
+
+  /** Streaming reset-semantics volume bars: the FoldBars state machine
+    * (`volume_bars.rs:20-103`) carried across micro-batches via
+    * flatMapGroupsWithState, key = symbol. Closed bars emit as soon as the
+    * accumulator crosses the interval; the in-progress candle and elapsed
+    * weight live in bounded per-symbol state. Same sampler quirks as the
+    * batch fold (boundary trade starts the next bar, first trade of a run
+    * never feeds the accumulator). Rows within a batch are processed in
+    * (ts, seq) order; cross-batch disorder is dropped late data (the
+    * reference drops late data at flush too, SURVEY T6). */
+  case class BarState(cur: Option[Candle], elapsed: Double)
+
+  def streamingVolumeBars(updates: Dataset[Update], interval: Double)
+      : Dataset[Candle] = {
+    import updates.sparkSession.implicits._
+    def fn(sym: String, rows: Iterator[Update],
+        state: GroupState[BarState]): Iterator[Candle] = {
+      var st = state.getOption.getOrElse(BarState(None, 0.0))
+      val out = Seq.newBuilder[Candle]
+      rows.toSeq.filter(_.is_trade).sortBy(u => (u.ts, u.seq)).foreach { u =>
+        st.cur match {
+          case None =>
+            st = BarState(Some(Candle(sym, u.ts, u.ts, u.price, u.price,
+              u.price, u.price, u.size)), st.elapsed)
+          case Some(c) =>
+            val elapsed = st.elapsed + u.size
+            if (elapsed > interval) { // is_sample: close, start next bar
+              out += c
+              st = BarState(Some(Candle(sym, u.ts, u.ts, u.price, u.price,
+                u.price, u.price, u.size)), 0.0)
+            } else {
+              st = BarState(Some(Candle(sym, c.start, u.ts, c.open,
+                math.max(c.high, u.price), math.min(c.low, u.price),
+                u.price, c.volume + u.size)), elapsed)
+            }
+        }
+      }
+      state.update(st)
+      out.result().iterator
+    }
+    updates
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
 }

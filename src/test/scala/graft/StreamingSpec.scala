@@ -65,6 +65,30 @@ class StreamingSpec extends SparkSpec {
     assert(first.getAs[Double]("volume") === 3.0)
   }
 
+  test("streaming volume bars match the batch fold's closed bars") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ups = (0 until 30).map(i =>
+      Update("v", 1000L + i, i.toLong, is_trade = true, is_bid = true,
+        10.0 + i % 4, 3.0))
+    val in = MemoryStream[Update]
+    val bars = Streaming.streamingVolumeBars(in.toDS(), interval = 10.0)
+    val q = bars.writeStream.outputMode("append")
+      .format("memory").queryName("svbars").start()
+    // two micro-batches: state must carry the in-progress bar across
+    in.addData(ups.take(13): _*)
+    q.processAllAvailable()
+    in.addData(ups.drop(13): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("svbars").as[graft.model.Candle]
+      .collect().sortBy(_.start).toSeq
+    val batch = graft.operators.FoldBars.volumeBars(updatesDf(ups), 10.0)
+      .as[graft.model.Candle].collect().sortBy(_.start).toSeq
+    // batch emits the final partial bar; streaming holds it in state
+    assert(streamed === batch.dropRight(1))
+  }
+
   test("subscribe filter fans out one book") {
     import spark.implicits._
     val ups = Seq(
