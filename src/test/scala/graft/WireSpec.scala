@@ -75,4 +75,27 @@ class WireSpec extends SparkSpec {
       assert(secs < 15.0) // integration_test.rs bound
     } finally { client.close(); server.stop() }
   }
+
+  test("pipelined fire-and-forget inserts (tdb -b benchmark mode)") {
+    val engine =
+      new Engine(spark, Files.createTempDirectory("graft-bench2").toString)
+    val server = new TcpServer(engine)
+    val client = new TcpClient("127.0.0.1", server.boundPort)
+    try {
+      client.cmd("CREATE pbench")
+      val n = 100000
+      val ups = (0 until n).map(i =>
+        Update("", 1500000000000L + i, i.toLong, i % 2 == 0, i % 3 == 0,
+          1.0f + (i % 100), 2.0))
+      val t0 = System.nanoTime()
+      val sent = client.insertRawPipelined(Some("pbench"), ups)
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(sent === n)
+      assert(client.cmd("COUNT ALL IN MEM") === ((true, s"$n\n")))
+      info(f"$n pipelined inserts in $secs%.2f s (${n / secs}%.0f inserts/s)")
+      // reference baseline: 600k inserts/thread/s (README.md:28); the
+      // pipelined path must be within the same order of magnitude
+      assert(n / secs > 50000.0, f"pipelined rate too low: ${n / secs}%.0f/s")
+    } finally { client.close(); server.stop() }
+  }
 }
