@@ -98,4 +98,39 @@ class WireSpec extends SparkSpec {
       assert(n / secs > 50000.0, f"pipelined rate too low: ${n / secs}%.0f/s")
     } finally { client.close(); server.stop() }
   }
+
+  test("concurrent pipelined ingest across connections stays consistent") {
+    val engine =
+      new Engine(spark, Files.createTempDirectory("graft-bench3").toString)
+    val server = new TcpServer(engine)
+    val setup = new TcpClient("127.0.0.1", server.boundPort)
+    val books = (0 until 4).map(i => s"cbench$i")
+    try {
+      books.foreach(b => setup.cmd(s"CREATE $b"))
+      val perConn = 25000
+      val t0 = System.nanoTime()
+      val threads = books.map { b =>
+        val t = new Thread(() => {
+          val c = new TcpClient("127.0.0.1", server.boundPort)
+          try {
+            val ups = (0 until perConn).map(i =>
+              Update("", 1500000000000L + i, i.toLong, i % 2 == 0,
+                i % 3 == 0, 1.0 + (i % 100), 2.0))
+            assert(c.insertRawPipelined(Some(b), ups) === perConn)
+          } finally c.close()
+        })
+        t.start(); t
+      }
+      threads.foreach(_.join(120000))
+      val secs = (System.nanoTime() - t0) / 1e9
+      val total = books.length * perConn
+      assert(setup.cmd("COUNT ALL IN MEM") === ((true, s"$total\n")))
+      books.foreach { b =>
+        setup.cmd(s"USE $b")
+        assert(setup.cmd("COUNT IN MEM") === ((true, s"$perConn\n")))
+      }
+      info(f"$total concurrent inserts over ${books.length} connections " +
+        f"in $secs%.2f s (${total / secs}%.0f inserts/s)")
+    } finally { setup.close(); server.stop() }
+  }
 }
