@@ -61,4 +61,25 @@ class OrderbookSpec extends SparkSpec {
     assert(got === Seq("create", "cancel", "trade", "create", "cancel",
       "create"))
   }
+
+  test("typed Aggregator snapshot == relational snapshot (mergeable fold)") {
+    import spark.implicits._
+    val ups = graft.Tables.updates(spark, sf()).as[graft.model.Update]
+    val viaAgg = graft.operators.BookAggregator.snapshot(ups)
+      .toDF("symbol", "is_bid", "level", "size")
+      .orderBy("symbol", "is_bid", "level")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2),
+        r.getDouble(3)))
+    val viaRel = graft.operators.Orderbook.snapshot(ups.toDF())
+      .orderBy("symbol", "is_bid", "level")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(viaAgg.length === viaRel.length)
+    viaAgg.zip(viaRel).foreach { case ((s1, b1, l1, z1), (s2, b2, l2, z2)) =>
+      assert((s1, b1, l1) === ((s2, b2, l2)))
+      // relational path sums trades through decimal(30,4); the typed
+      // aggregate sums doubles — identical to FP noise
+      assert(math.abs(z1 - z2) < 1e-6, s"size mismatch at $s1/$b1/$l1")
+    }
+  }
 }

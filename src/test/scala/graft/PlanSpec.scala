@@ -47,6 +47,19 @@ class PlanSpec extends SparkSpec {
     // + partial_ is the load-bearing property here
   }
 
+  test("brute-force ANN broadcasts the query side, not the corpus") {
+    val p = plan("q_ann_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"query side not broadcast:\n$p")
+  }
+
+  test("LSH near-dup joins on bucket keys — no cartesian product") {
+    val p = plan("q_cosine_neardup")
+    assert(!p.contains("CartesianProduct"),
+      s"similarity join degenerated to a cartesian product:\n$p")
+  }
+
   test("trade filter is applied at the scan, before aggregation") {
     // updates derives is_trade from event_id, so the predicate appears as
     // the derived `% 3` condition in the Filter directly above the scan —
