@@ -1,0 +1,146 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
+import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.dtf.DtfCodec
+
+/** DataSource V2 for the reference's `.dtf` files (SURVEY §4 stretch item):
+  * `spark.read.format("dtf").load(pathOrDir)` yields the canonical update
+  * schema. One input partition per file; `ts` range predicates push down
+  * and prune whole files against the DTF header's (min_ts, max_ts) before
+  * any batch is decoded — the Spark rebuild of the reference's multi-file
+  * scan pruning (`scan_files_for_range`, `dtf/file_format.rs:822-874`),
+  * with the correct AND overlap test rather than the reference's OR bug
+  * (`utils.rs:34-36`, SURVEY C4). Pushed filters are also re-applied by
+  * Spark above the scan, so pruning is purely an optimization. */
+class DtfDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "dtf"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DtfDataSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new DtfTable(properties.asScala.getOrElse("path",
+      throw new IllegalArgumentException("dtf source requires a path")))
+}
+
+object DtfDataSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("symbol", StringType),
+    StructField("ts", LongType),
+    StructField("seq", LongType),
+    StructField("is_trade", BooleanType),
+    StructField("is_bid", BooleanType),
+    StructField("price", DoubleType),
+    StructField("size", DoubleType)))
+
+  def listDtfFiles(path: String): Seq[String] = {
+    val f = new java.io.File(path)
+    if (f.isDirectory)
+      f.listFiles().filter(_.getName.endsWith(".dtf")).map(_.getPath).sorted
+        .toSeq
+    else Seq(path)
+  }
+}
+
+final class DtfTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"dtf:$path"
+  override def schema(): StructType = DtfDataSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DtfScanBuilder(path)
+}
+
+final class DtfScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownFilters {
+
+  // accepted ts bounds: [lo, hi] — refined per pushed filter
+  private var lo = Long.MinValue
+  private var hi = Long.MaxValue
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rest) = filters.partition {
+      case GreaterThanOrEqual("ts", _: Long) => true
+      case GreaterThan("ts", _: Long) => true
+      case LessThanOrEqual("ts", _: Long) => true
+      case LessThan("ts", _: Long) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThanOrEqual("ts", v: Long) => lo = math.max(lo, v)
+      case GreaterThan("ts", v: Long) => lo = math.max(lo, v + 1)
+      case LessThanOrEqual("ts", v: Long) => hi = math.min(hi, v)
+      case LessThan("ts", v: Long) => hi = math.min(hi, v - 1)
+      case _ => ()
+    }
+    pushed = accepted
+    // everything is returned as residual: Spark re-applies the predicates
+    // row-wise; the pushdown only prunes whole files by header stats
+    rest ++ accepted
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new DtfScan(path, lo, hi)
+}
+
+final case class DtfFilePartition(file: String) extends InputPartition
+
+final class DtfScan(path: String, lo: Long, hi: Long) extends Scan with Batch {
+  override def readSchema(): StructType = DtfDataSource.Schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"DtfScan(path=$path, ts in [$lo, $hi])"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    DtfDataSource.listDtfFiles(path)
+      .filter { f =>
+        // the reference reads each header and skips files whose range
+        // misses the query range (`file_format.rs:848-864`)
+        val m = DtfCodec.metadata(f)
+        m.count == 0 || (lo <= m.maxTs && hi >= m.minTs)
+      }
+      .map(f => DtfFilePartition(f): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DtfReaderFactory
+}
+
+final class DtfReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new DtfPartitionReader(p.asInstanceOf[DtfFilePartition].file)
+}
+
+final class DtfPartitionReader(file: String)
+    extends PartitionReader[InternalRow] {
+  private val rows = DtfCodec.decode(file).iterator
+  private var cur: InternalRow = _
+
+  override def next(): Boolean =
+    if (!rows.hasNext) false
+    else {
+      val u = rows.next()
+      cur = InternalRow(UTF8String.fromString(u.symbol), u.ts, u.seq,
+        u.is_trade, u.is_bid, u.price, u.size)
+      true
+    }
+
+  override def get(): InternalRow = cur
+  override def close(): Unit = ()
+}
