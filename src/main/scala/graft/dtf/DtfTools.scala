@@ -17,17 +17,18 @@ object DtfTools {
       fileMax: Long): Boolean =
     targetMin <= fileMax && targetMax >= fileMin
 
-  /** dtfcat (`dtfcat.rs:7-131`): file → rows (optionally clipped to a
-    * range, F7 semantics: inclusive bounds). */
+  /** dtfcat (`dtfcat.rs:7-131`): file/dir → rows (optionally clipped to a
+    * range, F7 semantics: inclusive bounds) — via the `dtf` DataSource V2,
+    * so reads are distributed (one partition per file) and the ts bounds
+    * push down to prune whole files by header stats. */
   def cat(spark: SparkSession, path: String,
       range: Option[(Long, Long)] = None): DataFrame = {
-    val ups = DtfCodec.decode(path)
-    val clipped = range match {
-      case Some((lo, hi)) => ups.filter(u => u.ts >= lo && u.ts <= hi)
-      case None => ups
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.format("dtf").load(path)
+    range match {
+      case Some((lo, hi)) => df.where(col("ts").between(lo, hi))
+      case None => df
     }
-    import spark.implicits._
-    spark.createDataset(clipped).toDF()
   }
 
   /** dtfsplit (`dtfsplit.rs:4-21`): split into chunks of `batchSize`
