@@ -281,6 +281,17 @@ object HistogramOps {
       .agg(orderedLast(col("size"), col("ts"), col("seq")).as("size"))
   }
 
+  /** Matrix form of [[levels]] (`level.rs` is consumed as a
+    * price × time grid): one row per (symbol, price_bin), one column per
+    * time bin. Presentation-shaped — the pivot collects the (bounded:
+    * stepBins-1) time-bin domain; use [[levels]] for relational output. */
+  def levelsMatrix(updates: DataFrame, stepBins: Int, tickBins: Int,
+      m: Double): DataFrame =
+    levels(updates, stepBins, tickBins, m)
+      .groupBy("symbol", "price_bin")
+      .pivot("time_bin")
+      .agg(first(col("size")))
+
   def levelsSql(stepBins: Int, tickBins: Int, m: Double): String =
     s"""WITH ${madKeepSql(m)},
        |bounds AS (SELECT symbol, min(price) AS hmin, max(price) AS hmax,

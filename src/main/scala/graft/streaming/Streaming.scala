@@ -91,6 +91,22 @@ object Streaming {
   def subscribe(updates: Dataset[Update], book: String): Dataset[Update] =
     updates.filter(_.symbol == book)
 
+  /** Streaming exact dedup on the natural key (symbol, ts, seq):
+    * watermarked `dropDuplicates`, so replayed/overlapping frames (the
+    * case the reference's append path panics on, `file_format.rs:798-800`)
+    * collapse instead of corrupting downstream state. The watermark bounds
+    * the dedup state — keys older than the horizon age out. */
+  def streamingDedup(updates: Dataset[Update],
+      watermark: String = "10 minutes"): Dataset[Update] = {
+    import updates.sparkSession.implicits._
+    updates
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicates("symbol", "ts", "seq")
+      .drop("event_time")
+      .as[Update]
+  }
+
   /** Streaming reset-semantics volume bars: the FoldBars state machine
     * (`volume_bars.rs:20-103`) carried across micro-batches via
     * flatMapGroupsWithState, key = symbol. Closed bars emit as soon as the

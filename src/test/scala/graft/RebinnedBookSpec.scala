@@ -23,4 +23,16 @@ class RebinnedBookSpec extends SparkSpec {
     // no zero-size levels are emitted (clean())
     rows.foreach(r => assert(r.getDouble(4) != 0.0))
   }
+
+  test("levels matrix pivot: one row per (symbol, price_bin)") {
+    val rel = graft.operators.HistogramOps.levels(
+      Tables.updates(spark, sf()), stepBins = 10, tickBins = 20, m = 3.0)
+    val mat = graft.operators.HistogramOps.levelsMatrix(
+      Tables.updates(spark, sf()), stepBins = 10, tickBins = 20, m = 3.0)
+    val relKeys = rel.select("symbol", "price_bin").distinct().count()
+    assert(mat.count() === relKeys)
+    // pivot columns = symbol, price_bin + one per distinct time bin
+    val nTimeBins = rel.select("time_bin").distinct().count()
+    assert(mat.columns.length.toLong === 2L + nTimeBins)
+  }
 }

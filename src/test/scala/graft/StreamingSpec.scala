@@ -65,6 +65,25 @@ class StreamingSpec extends SparkSpec {
     assert(first.getAs[Double]("volume") === 3.0)
   }
 
+  test("streaming dedup collapses replayed frames across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    def up(i: Int) = Update("d", t0 + i, i.toLong, is_trade = true,
+      is_bid = true, 1.0 + i, 2.0)
+    val in = MemoryStream[Update]
+    val q = Streaming.streamingDedup(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("sdedup").start()
+    in.addData(up(0), up(1), up(1)) // dup within batch
+    q.processAllAvailable()
+    in.addData(up(1), up(2))        // replay across batches
+    q.processAllAvailable()
+    q.stop()
+    val seqs = spark.table("sdedup").select("seq")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(seqs === Seq(0L, 1L, 2L))
+  }
+
   test("streaming volume bars match the batch fold's closed bars") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
