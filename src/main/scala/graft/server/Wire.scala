@@ -76,6 +76,13 @@ object Wire {
     Some((deserializeRaw(rest), name))
   }
 
+  /** Decode a concatenated stream of 21-byte raw updates — the client
+    * side of a binary GET body (the reference's `parse_stream`,
+    * `dtf/ffi.rs:120-160`). */
+  def parseStream(bytes: Array[Byte]): Seq[Update] =
+    bytes.grouped(21).filter(_.length == 21)
+      .flatMap(deserializeRaw).toSeq
+
   def isRawInsert(payload: Array[Byte]): Boolean =
     payload.length > 2 && payload(0) == RawInsertPrefix(0) &&
       payload(1) == RawInsertPrefix(1)
@@ -195,6 +202,13 @@ final class TcpClient(host: String, port: Int) {
 
   def insertRaw(book: Option[String], u: Update): Boolean =
     request(Wire.encodeInsertInto(book, u))._1
+
+  /** Run a GET returning binary DTF bodies and decode the updates
+    * (`tdb-cli` client surface + `parse_stream` semantics). */
+  def getUpdates(command: String): Seq[Update] = {
+    val (ok, body) = request(command.getBytes("UTF-8"))
+    if (!ok) Seq.empty else Wire.parseStream(body)
+  }
 
   /** Pipelined fire-and-forget inserts — the reference benchmark's
     * `discard_result` mode (`tdb-cli/src/lib.rs:47-77`): frames stream

@@ -42,12 +42,12 @@ class WireSpec extends SparkSpec {
       // errors frame as failures
       val (ok, err) = client.cmd("GIBBERISH")
       assert(!ok && err.startsWith("ERR:"))
-      // GET ALL returns concatenated 21-byte raw updates
+      // GET ALL returns concatenated 21-byte raw updates (parse_stream)
       client.cmd("USE w1")
-      val (gok, body) = client.request("GET ALL".getBytes("UTF-8"))
-      assert(gok && body.length === 2 * 21)
-      val first = Wire.deserializeRaw(body.slice(0, 21)).get
-      assert(first.ts === 1505177459658L)
+      val got = client.getUpdates("GET ALL")
+      assert(got.length === 2)
+      assert(got.head.ts === 1505177459658L)
+      assert(got(1).ts === 1505177460000L && !got(1).is_trade)
       // CSV format returns text
       val (cok, csv) = client.cmd("GET ALL AS CSV")
       assert(cok && csv.contains("1.5") && csv.split("\n").length === 2)
