@@ -106,7 +106,10 @@ object Dedup {
       .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     // candidates sharing zero shingles have jaccard 0 < threshold, so the
-    // intersection table IS the survivor base — no left-join back to cands
+    // intersection table IS the survivor base — no left-join back to cands.
+    // (A candidate-doc semi-join before these joins trims the postings
+    // shuffle and pays at corpus scale, but measured SLOWER at sf0.1 —
+    // the extra eager stages dominate. Revisit if the corpus grows.)
     val inter = cands
       .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
