@@ -1,0 +1,86 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.model.Update
+import graft.operators.{EventsOps, Orderbook}
+import graft.ext.TextOps
+
+/** Cross-cutting property checks: event classification against a scalar
+  * reimplementation, orderbook relational-vs-fold equivalence on random
+  * inputs (not just testdata), and text-op identities. Plain `Gen` +
+  * fixed seeds, deterministic across runs. */
+class OperatorPropertySpec extends SparkSpec {
+
+  private val genUpdates: Gen[List[Update]] = for {
+    n <- Gen.choose(1, 100)
+    ups <- Gen.listOfN(n, for {
+      sym <- Gen.oneOf("a", "b")
+      ts <- Gen.choose(0L, 300L)
+      seq <- Gen.choose(0L, 30L)
+      isTrade <- Gen.prob(0.3)
+      isBid <- Gen.prob(0.5)
+      price <- Gen.choose(1, 20).map(_ / 4.0) // few levels: collisions likely
+      size <- Gen.choose(0, 12).map(_ / 2.0)  // zeros exercise deletes
+    } yield Update(sym, ts, seq, isTrade, isBid, price, size))
+  } yield ups.distinctBy(u => (u.symbol, u.ts, u.seq))
+
+  private def cases(n: Int): Seq[List[Update]] =
+    (0 until n).flatMap(i =>
+      genUpdates.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("event classification matches a scalar replay (event.rs:28-72)") {
+    cases(10).foreach { ups =>
+      val got = EventsOps.classify(updatesDf(ups))
+        .select("symbol", "ts", "seq", "event_class")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getString(3))
+        .toMap
+      // scalar replay: prev size per (symbol, price), ordered by (ts, seq)
+      val prev = scala.collection.mutable.Map.empty[(String, Double), Double]
+      ups.sortBy(u => (u.symbol, u.ts, u.seq)).foreach { u =>
+        val p = prev.getOrElse((u.symbol, u.price), 0.0)
+        val want =
+          if (u.is_trade) "trade"
+          else if (u.size == 0.0 || u.size <= p) "cancel"
+          else "create"
+        assert(got((u.symbol, u.ts, u.seq)) === want,
+          s"mismatch at $u (prev=$p)")
+        prev((u.symbol, u.price)) = u.size
+      }
+    }
+  }
+
+  test("orderbook: relational snapshot == sequential fold on random input") {
+    cases(10).foreach { ups =>
+      val rel = Orderbook.snapshot(updatesDf(ups))
+        .orderBy("symbol", "is_bid", "level").collect()
+        .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2),
+          r.getDouble(3)))
+      val fold = Orderbook.replayFold(updatesDf(ups))
+        .orderBy("symbol", "is_bid", "level").collect()
+        .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2),
+          r.getDouble(3)))
+      assert(rel.map(t => (t._1, t._2, t._3)).toSeq ===
+        fold.map(t => (t._1, t._2, t._3)).toSeq)
+      rel.zip(fold).foreach { case ((_, _, _, a), (_, _, _, b)) =>
+        assert(math.abs(a - b) < 1e-9)
+      }
+    }
+  }
+
+  test("tokenCount == whitespace-split length on arbitrary text") {
+    import spark.implicits._
+    val texts = Seq("", "  ", "a", "a b  c", " lead", "trail ",
+      "many   spaces   here", "tab\tsep", "x " * 50)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextOps.tokenCount($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = t.trim.split("\\s+").length // matches split-on-trimmed
+      assert(got(i.toLong) === want, s"text <$t>")
+    }
+  }
+}
