@@ -106,4 +106,10 @@ object Tables {
   def withUpdatesChain(sqlStartingWithWith: String): String =
     s"WITH updates AS ($updatesSql), " +
       sqlStartingWithWith.stripPrefix("WITH ")
+
+  /** Like [[withUpdatesChain]] but RECURSIVE — DuckDB scopes the keyword to
+    * the whole WITH list, so non-recursive CTEs ride along unchanged. */
+  def withUpdatesChainRecursive(sqlStartingWithWith: String): String =
+    s"WITH RECURSIVE updates AS ($updatesSql), " +
+      sqlStartingWithWith.stripPrefix("WITH ")
 }

@@ -48,6 +48,44 @@ object FoldBars {
       .toDF()
   }
 
+  /** DuckDB oracle twin of [[volumeBars]]: the reset-accumulator fold as a
+    * linear-recursive CTE — bar membership depends on the accumulator state
+    * after the previous trade, which window functions cannot express, but a
+    * recursive CTE stepping `rn -> rn+1` per symbol can (one working row per
+    * symbol per step). Bit-exact vs the Spark fold: sizes are
+    * quarter-multiples (exact doubles) and the accumulator advances in the
+    * same (ts,seq) order as [[BarFold]]. Oracle-only — O(max rows/symbol)
+    * iterations is fine at correctness SF; the Spark fold is the scale path. */
+  def volumeBarsOracleSql(interval: Double): String =
+    foldOracleSql("t.size", interval)
+
+  /** DuckDB oracle twin of [[dollarBars]] (accumulates `price*size`,
+    * one IEEE multiply + add per trade, same order ⇒ same bits). */
+  def dollarBarsOracleSql(interval: Double): String =
+    foldOracleSql("(t.price * t.size)", interval)
+
+  /** Body starts with WITH; wrap via [[graft.Tables.withUpdatesChainRecursive]]. */
+  private def foldOracleSql(weight: String, interval: Double): String =
+    s"""WITH trades AS (
+       |  SELECT symbol, ts, seq, price, size,
+       |         row_number() OVER (PARTITION BY symbol ORDER BY ts, seq) AS rn
+       |  FROM updates WHERE is_trade),
+       |fold AS (
+       |  SELECT symbol, rn, ts, price, size, 1 AS bar, CAST(0.0 AS DOUBLE) AS acc
+       |  FROM trades WHERE rn = 1
+       |  UNION ALL
+       |  SELECT t.symbol, t.rn, t.ts, t.price, t.size,
+       |    CASE WHEN f.acc + $weight > $interval THEN f.bar + 1 ELSE f.bar END,
+       |    CASE WHEN f.acc + $weight > $interval THEN CAST(0.0 AS DOUBLE)
+       |         ELSE f.acc + $weight END
+       |  FROM fold f JOIN trades t ON t.symbol = f.symbol AND t.rn = f.rn + 1)
+       |SELECT symbol, min(ts) AS start, max(ts) AS "end",
+       |  first(price ORDER BY rn) AS open, max(price) AS high, min(price) AS low,
+       |  last(price ORDER BY rn) AS close,
+       |  CAST(SUM(CAST(size AS DECIMAL(30,4))) AS DOUBLE) AS volume
+       |FROM fold GROUP BY symbol, bar ORDER BY symbol, start"""
+      .stripMargin.replace('\n', ' ')
+
   private def newCandle(u: Update): Candle =
     Candle(u.symbol, u.ts, u.ts, u.price, u.price, u.price, u.price, u.size)
 

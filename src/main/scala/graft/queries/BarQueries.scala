@@ -7,10 +7,10 @@ import graft.operators._
 
 /** Correctness-gate entries for the bar/candle family (SURVEY §2.4-§2.5):
   * tick/volume/dollar bars, continuation fill, rebin, missing ranges, gap
-  * detection. Volume/dollar bars carry reset-accumulator semantics that SQL
-  * cannot express — those two ship without oracle (rows-only check) and are
-  * instead golden-tested against the reference test vectors in
-  * `FoldBarsSpec`. */
+  * detection. Volume/dollar bars carry reset-accumulator semantics that
+  * window functions cannot express; their oracles are linear-recursive CTEs
+  * ([[graft.operators.FoldBars.volumeBarsOracleSql]]), and the reference
+  * test vectors are additionally golden-tested in `FoldBarsSpec`. */
 object BarQueries {
 
   private val TickInterval = 50
@@ -62,17 +62,19 @@ object BarQueries {
       Some(Tables.withUpdates(TickBars.oracleSql(TickInterval)))),
 
     // A5 — volume bars: reset-accumulator sampler
-    // (`volume_bars.rs:20-34`); ordered fold, rows-only oracle.
+    // (`volume_bars.rs:20-34`); ordered Spark fold, recursive-CTE oracle.
     Q("q_volume_bars",
       (s, dir) => FoldBars.volumeBars(u(s, dir), VolumeInterval)
         .orderBy("symbol", "start"),
-      None),
+      Some(Tables.withUpdatesChainRecursive(
+        FoldBars.volumeBarsOracleSql(VolumeInterval)))),
 
     // A7 — dollar bars: price*size accumulator (`dollar_bars.rs:25-35`).
     Q("q_dollar_bars",
       (s, dir) => FoldBars.dollarBars(u(s, dir), DollarInterval)
         .orderBy("symbol", "start"),
-      None),
+      Some(Tables.withUpdatesChainRecursive(
+        FoldBars.dollarBarsOracleSql(DollarInterval)))),
 
     // B8/J4 — continuation candles: grid left-join + forward fill
     // (`time_bars.rs:190-223`).

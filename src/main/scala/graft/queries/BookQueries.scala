@@ -38,13 +38,14 @@ object BookQueries {
         Orderbook.topSql(Decimals)))),
 
     // B3 — rebinned orderbook: 2-D (price-bin × time-bin) downsample of
-    // book evolution (`orderbook.rs:174-281`); sequential coarse-delta fold
-    // with clamping — not SQL-expressible, rows-only check + invariants in
-    // RebinnedBookSpec.
+    // book evolution (`orderbook.rs:174-281`); Spark side is the sequential
+    // coarse-delta fold, oracle side rewrites the clamp-at-0 state with the
+    // prefix-min identity (see RebinnedBook.rebinnedOracleSql).
     Q("q_rebinned_book",
       (s, dir) => RebinnedBook.rebinned(u(s, dir), Decimals, StepBins,
         TickBins, M).orderBy("symbol", "time_bin", "is_bid", "level"),
-      None),
+      Some(Tables.withUpdatesChain(
+        RebinnedBook.rebinnedOracleSql(Decimals, StepBins, TickBins, M)))),
 
     // B4 — event classification: trade / cancel / create via lag over the
     // same-raw-price partition (`event.rs:28-72`).
