@@ -69,31 +69,76 @@ object DtfCodec {
       in.readLong() // count
       in.readLong() // max_ts
       in.skipBytes((MainOffset - 41).toInt)
-      val out = Seq.newBuilder[Update]
-      try {
-        while (true) {
-          val marker = in.readByte()
-          require(marker == 1, s"$path: bad batch marker $marker")
-          val refTs = in.readLong()
-          val refSeq = Integer.toUnsignedLong(in.readInt())
-          val n = java.lang.Short.toUnsignedInt(in.readShort())
-          var i = 0
-          while (i < n) {
-            val dts = java.lang.Short.toUnsignedInt(in.readShort())
-            val dseq = java.lang.Byte.toUnsignedInt(in.readByte())
-            val flags = in.readByte()
-            val price = in.readFloat()
-            val size = in.readFloat()
-            out += Update(symbol, refTs + dts, refSeq + dseq,
-              is_trade = (flags & 0x2) != 0, is_bid = (flags & 0x1) != 0,
-              price = price.toDouble, size = size.toDouble)
-            i += 1
-          }
-        }
-      } catch { case _: EOFException => () }
-      out.result()
+      decodeBatches(in, symbol)
     } finally in.close()
   }
+
+  /** Decode batch-framed updates until EOF — the main-section format, which
+    * is ALSO the body of a binary GET response (`into_format` ->
+    * `write_batches`, `tdb-server-core/src/state.rs:31-37`; clients decode
+    * via `parse_stream` -> `decode_buffer`, `dtf/file_format.rs:839-851`). */
+  def decodeBatches(in: DataInputStream, symbol: String = ""): Seq[Update] = {
+    val out = Seq.newBuilder[Update]
+    try {
+      while (true) {
+        val marker = in.readByte()
+        require(marker == 1, s"bad batch marker $marker")
+        val refTs = in.readLong()
+        val refSeq = Integer.toUnsignedLong(in.readInt())
+        val n = java.lang.Short.toUnsignedInt(in.readShort())
+        var i = 0
+        while (i < n) {
+          val dts = java.lang.Short.toUnsignedInt(in.readShort())
+          val dseq = java.lang.Byte.toUnsignedInt(in.readByte())
+          val flags = in.readByte()
+          val price = in.readFloat()
+          val size = in.readFloat()
+          out += Update(symbol, refTs + dts, refSeq + dseq,
+            is_trade = (flags & 0x2) != 0, is_bid = (flags & 0x1) != 0,
+            price = price.toDouble, size = size.toDouble)
+          i += 1
+        }
+      }
+    } catch { case _: EOFException => () }
+    out.result()
+  }
+
+  /** Encode `(ts,seq)`-sorted updates as batch framing (`write_batches`,
+    * `file_format.rs:169-211`): `0x1, u64 ref_ts, u32 ref_seq, u16 count`
+    * then `count` 12-byte delta rows. Takes an iterator and buffers only the
+    * current batch (≤ 0xFFFF rows), so a large stream encodes with bounded
+    * memory. */
+  def encodeBatches(out: DataOutputStream, ups: Iterator[Update]): Unit =
+    if (ups.nonEmpty) {
+      var refTs = 0L
+      var refSeq = 0L
+      var first = true
+      var batch = Vector.empty[Update]
+      def flushBatch(): Unit = if (batch.nonEmpty) {
+        out.writeByte(1)
+        out.writeLong(refTs)
+        out.writeInt(refSeq.toInt)
+        out.writeShort(batch.size)
+        batch.foreach { u =>
+          out.writeShort((u.ts - refTs).toInt)
+          out.writeByte((u.seq - refSeq).toInt)
+          out.writeByte(
+            (if (u.is_bid) 1 else 0) | (if (u.is_trade) 2 else 0))
+          out.writeFloat(u.price.toFloat)
+          out.writeFloat(u.size.toFloat)
+        }
+        batch = Vector.empty
+      }
+      ups.foreach { u =>
+        if (first) { refTs = u.ts; refSeq = u.seq; first = false }
+        val rollover = batch.nonEmpty && (
+          u.ts >= refTs + 0xFFFF || u.seq >= refSeq + 0xF ||
+            u.seq < refSeq || u.ts < refTs || batch.size == 0xFFFF)
+        if (rollover) { flushBatch(); refTs = u.ts; refSeq = u.seq }
+        batch = batch :+ u
+      }
+      flushBatch()
+    }
 
   /** Encode `(ts,seq)`-sorted updates (`encode_buffer`,
     * `file_format.rs:222-238`). */
@@ -107,34 +152,7 @@ object DtfCodec {
       out.writeLong(ups.size.toLong)
       out.writeLong(if (ups.isEmpty) 0L else ups.map(_.ts).max)
       out.write(new Array[Byte]((MainOffset - 41).toInt)) // pad to 80
-      if (ups.nonEmpty) {
-        var refTs = ups.head.ts
-        var refSeq = ups.head.seq
-        var batch = Vector.empty[Update]
-        def flush(): Unit = if (batch.nonEmpty) {
-          out.writeByte(1)
-          out.writeLong(refTs)
-          out.writeInt(refSeq.toInt)
-          out.writeShort(batch.size)
-          batch.foreach { u =>
-            out.writeShort((u.ts - refTs).toInt)
-            out.writeByte((u.seq - refSeq).toInt)
-            out.writeByte(
-              (if (u.is_bid) 1 else 0) | (if (u.is_trade) 2 else 0))
-            out.writeFloat(u.price.toFloat)
-            out.writeFloat(u.size.toFloat)
-          }
-          batch = Vector.empty
-        }
-        ups.foreach { u =>
-          val rollover = batch.nonEmpty && (
-            u.ts >= refTs + 0xFFFF || u.seq >= refSeq + 0xF ||
-              u.seq < refSeq || u.ts < refTs || batch.size == 0xFFFF)
-          if (rollover) { flush(); refTs = u.ts; refSeq = u.seq }
-          batch = batch :+ u
-        }
-        flush()
-      }
+      encodeBatches(out, ups.iterator)
     } finally out.close()
   }
 

@@ -25,12 +25,15 @@ package object functions {
   /** Normalize an epoch to 13-digit milliseconds by repeated *10, exactly the
     * reference's `fill_digits` loop (`crates/tdb-core/src/utils.rs:11-22`):
     * multiplies by 10 until the value is >= 1_000_000_000_000. 0 stays 0.
-    * Implemented as a when-chain (the input domain is bounded: a 19-digit
-    * epoch is already > i64 max / 10, so 7 steps cover everything). */
+    * Implemented as a when-chain: 12 steps reach ts=1 (1 -> 10^12), matching
+    * the scalar `CommandParser.fillDigits` loop on the whole positive domain.
+    * No overflow is reachable — the first true branch is the smallest k with
+    * `ts*10^k >= lim`, whose product is < 10^13; larger-k branches are never
+    * evaluated, and `ts >= lim` inputs take the leading branch. */
   def fillDigits(ts: Column): Column = {
     val lim = 1000000000000L
     // ts * 10^k for the smallest k with ts * 10^k >= lim (ts > 0)
-    (1 to 7).foldLeft(when(ts === 0L || ts >= lim, ts)) { (acc, k) =>
+    (1 to 12).foldLeft(when(ts === 0L || ts >= lim, ts)) { (acc, k) =>
       val m = math.pow(10, k).toLong
       acc.when(ts * m >= lim, ts * m)
     }.otherwise(ts)

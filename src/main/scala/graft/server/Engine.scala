@@ -9,6 +9,15 @@ import graft.functions._
 import graft.model.Update
 import graft.operators.Orderbook
 
+/** Per-connection state — the reference tracks the current book per
+  * connection (`Connection.book_entry`, `state.rs:177-188,510`), so USE /
+  * CREATE / LOAD on one connection never redirects implicit-book commands
+  * on another. Each TCP connection gets its own instance; embedded callers
+  * that don't pass one share the engine's default session. */
+final class Session {
+  var book: String = "default"
+}
+
 /** Executes the command surface against Spark — the rebuild of the
   * reference's broker (`TectonicServer`, `tdb-server-core/src/state.rs`).
   *
@@ -35,8 +44,8 @@ final class Engine(spark: SparkSession, dtfFolder: String) {
   private val history =
     mutable.Map.empty[String, mutable.ArrayDeque[(Long, Long)]]
   val historyCapacity = 300
-  private var currentBook: String = "default"
-  books(currentBook) = mutable.ArrayBuffer.empty
+  private val defaultSession = new Session
+  books(defaultSession.book) = mutable.ArrayBuffer.empty
   new java.io.File(dtfFolder).mkdirs()
 
   private def fsPath(book: String) = s"$dtfFolder/book=$book"
@@ -60,7 +69,9 @@ final class Engine(spark: SparkSession, dtfFolder: String) {
   case class Frame(df: DataFrame) extends Reply
   case class Err(s: String) extends Reply
 
-  def execute(cmd: Command): Reply = cmd match {
+  def execute(cmd: Command): Reply = execute(cmd, defaultSession)
+
+  def execute(cmd: Command, session: Session): Reply = cmd match {
     case Command.Noop => Text("")
     case Command.Ping => Text("PONG.\n")
     case Command.Help => Text(Engine.HelpText)
@@ -71,13 +82,13 @@ final class Engine(spark: SparkSession, dtfFolder: String) {
 
     case Command.Create(book) =>
       if (books.contains(book)) Err(s"DB $book already exists.")
-      else { books(book) = mutable.ArrayBuffer.empty; currentBook = book
+      else { books(book) = mutable.ArrayBuffer.empty; session.book = book
         Text(s"Created DB `$book`.\n") }
 
     case Command.Use(book) =>
       if (books.contains(book) || hasFs(book)) {
         books.getOrElseUpdate(book, mutable.ArrayBuffer.empty)
-        currentBook = book
+        session.book = book
         Text(s"SWITCHED TO DB `$book`.\n")
       } else Err(s"DB $book not found.")
 
@@ -86,7 +97,7 @@ final class Engine(spark: SparkSession, dtfFolder: String) {
       else Err(s"DB $book not found.")
 
     case Command.Insert(Some(up), bookOpt) =>
-      val book = bookOpt.getOrElse(currentBook)
+      val book = bookOpt.getOrElse(session.book)
       books.get(book) match {
         case None => Err(s"DB $book not found.")
         case Some(buf) =>
@@ -100,7 +111,7 @@ final class Engine(spark: SparkSession, dtfFolder: String) {
     case Command.Count(which, loc) =>
       val names = which match {
         case ReqCount.All => books.keys.toSeq
-        case _ => Seq(currentBook)
+        case _ => Seq(session.book)
       }
       val n = names.map { b =>
         val mem = books.get(b).map(_.size.toLong).getOrElse(0L)
@@ -114,7 +125,7 @@ final class Engine(spark: SparkSession, dtfFolder: String) {
     case Command.Clear(which) =>
       val names = which match {
         case ReqCount.All => books.keys.toSeq
-        case _ => Seq(currentBook)
+        case _ => Seq(session.book)
       }
       names.foreach(b => books.get(b).foreach(_.clear()))
       Text("1\n")
@@ -122,7 +133,7 @@ final class Engine(spark: SparkSession, dtfFolder: String) {
     case Command.Flush(which) =>
       val names = which match {
         case ReqCount.All => books.keys.toSeq
-        case _ => Seq(currentBook)
+        case _ => Seq(session.book)
       }
       names.foreach(flush)
       Text("1\n")
@@ -132,7 +143,7 @@ final class Engine(spark: SparkSession, dtfFolder: String) {
         val loaded = fsDf(book).get.as[Update].collect()
         val buf = books.getOrElseUpdate(book, mutable.ArrayBuffer.empty)
         buf ++= loaded
-        currentBook = book
+        session.book = book
         Text(s"Loaded DB `$book`.\n")
       } else Err(s"DB $book not found.")
 
@@ -141,12 +152,13 @@ final class Engine(spark: SparkSession, dtfFolder: String) {
       Text(s"Subscribed to $book\n")
 
     case Command.Orderbook(bookOpt) =>
-      val book = bookOpt.getOrElse(currentBook)
-      Frame(Orderbook.snapshot(bookDf(book))
-        .orderBy("is_bid", "level"))
+      val book = bookOpt.getOrElse(session.book)
+      if (!books.contains(book) && !hasFs(book))
+        Err("Unable to get orderbook")
+      else Text(orderbookJson(book))
 
     case Command.Get(count, format, range, loc) =>
-      val book = currentBook
+      val book = session.book
       val base = loc match {
         case Loc.Mem => memDf(book)
         case Loc.Fs => bookDf(book)
@@ -173,6 +185,23 @@ final class Engine(spark: SparkSession, dtfFolder: String) {
             .as("json")))
         case GetFormat.Dtf => Frame(limited)
       }
+  }
+
+  /** OB reply — serde-shaped orderbook JSON exactly like the reference's
+    * `orderbook_as_json_str` (`state.rs:437-441` serializing `Orderbook`,
+    * `postprocessing/orderbook.rs:15-23`): `{"price_decimals":N,
+    * "bids":{"<level>":size,...},"asks":{...}}` with BTreeMap
+    * ascending-level key order. The snapshot of one book is bounded by its
+    * distinct price levels, so collecting it is fine. */
+  private def orderbookJson(book: String, decimals: Int = 2): String = {
+    val rows = Orderbook.snapshot(bookDf(book), decimals)
+      .select(col("is_bid"), col("level"), col("size"))
+      .orderBy("level").collect()
+    def side(bid: Boolean): String = rows.iterator
+      .filter(_.getBoolean(0) == bid)
+      .map(r => s""""${r.getLong(1)}":${r.getDouble(2)}""")
+      .mkString(",")
+    s"""{"price_decimals":$decimals,"bids":{${side(true)}},"asks":{${side(false)}}}"""
   }
 
   /** Flush staging to parquet, keeping only rows newer than the stored

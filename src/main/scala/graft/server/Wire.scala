@@ -76,12 +76,24 @@ object Wire {
     Some((deserializeRaw(rest), name))
   }
 
-  /** Decode a concatenated stream of 21-byte raw updates — the client
-    * side of a binary GET body (the reference's `parse_stream`,
-    * `dtf/ffi.rs:120-160`). */
+  /** Decode a binary GET response body. The reference serializes GET bodies
+    * with DTF BATCH framing, not raw 21-byte frames (`into_format` ->
+    * `write_batches`, `tdb-server-core/src/state.rs:31-37`); reference
+    * clients decode via `parse_stream` -> `decode_buffer` ->
+    * `read_one_batch` (`dtf/file_format.rs:839-851`). */
   def parseStream(bytes: Array[Byte]): Seq[Update] =
-    bytes.grouped(21).filter(_.length == 21)
-      .flatMap(deserializeRaw).toSeq
+    graft.dtf.DtfCodec.decodeBatches(new DataInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+
+  /** Encode updates as a binary GET response body (batch framing, see
+    * [[parseStream]]). Buffers encoded bytes (~12 B/row), not rows. */
+  def serializeBatches(ups: Iterator[Update]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new DataOutputStream(bos)
+    graft.dtf.DtfCodec.encodeBatches(dos, ups)
+    dos.flush()
+    bos.toByteArray
+  }
 
   def isRawInsert(payload: Array[Byte]): Boolean =
     payload.length > 2 && payload(0) == RawInsertPrefix(0) &&
@@ -121,6 +133,10 @@ final class TcpServer(engine: Engine, port: Int = 0) {
       new BufferedInputStream(sock.getInputStream, 1 << 16))
     val out = new DataOutputStream(
       new BufferedOutputStream(sock.getOutputStream, 1 << 16))
+    // per-connection current book, as the reference's `Connection.book_entry`
+    // (`state.rs:177-188,510`) — USE/CREATE/LOAD on one connection must not
+    // redirect implicit-book commands on another
+    val session = new Session
     try {
       while (true) {
         val len = in.readInt()
@@ -132,8 +148,10 @@ final class TcpServer(engine: Engine, port: Int = 0) {
               case Some((up, book)) => Command.Insert(up, book)
               case None => Command.BadFormat
             }
-          else CommandParser.parse(new String(payload, "UTF-8"))
-        val reply = engine.synchronized(engine.execute(cmd))
+          else // a malformed GET range etc. is a Bad-format reply, not a hangup
+            scala.util.Try(CommandParser.parse(new String(payload, "UTF-8")))
+              .getOrElse(Command.BadFormat)
+        val reply = engine.synchronized(engine.execute(cmd, session))
         reply match {
           case engine.Text(s) => write(out, ok = true, s.getBytes("UTF-8"))
           case engine.Err(e) =>
@@ -142,13 +160,23 @@ final class TcpServer(engine: Engine, port: Int = 0) {
             val isText = df.schema.fields.length == 1 &&
               df.schema.fields(0).dataType ==
                 org.apache.spark.sql.types.StringType
+            // toLocalIterator streams one partition at a time: the driver
+            // holds the encoded body bytes (~12 B/row for DTF), never the
+            // full Row array — a GET ALL over a big book stays bounded by
+            // the response size, not by row-object overhead
             val body = engine.synchronized {
-              if (isText) // AS CSV / AS JSON: newline-joined text body
-                df.collect().map(_.getString(0)).mkString("\n")
-                  .getBytes("UTF-8")
-              else { // DTF wire format: concatenated 21-byte raw updates
+              import scala.jdk.CollectionConverters._
+              if (isText) { // AS CSV / AS JSON: newline-joined text body
+                val sb = new java.lang.StringBuilder
+                df.toLocalIterator().asScala.foreach { r =>
+                  if (sb.length > 0) sb.append('\n')
+                  sb.append(r.getString(0))
+                }
+                sb.toString.getBytes("UTF-8")
+              } else { // binary GET: DTF batch framing (state.rs:31-37)
                 import df.sparkSession.implicits._
-                df.as[Update].collect().flatMap(Wire.serializeRaw)
+                Wire.serializeBatches(
+                  df.as[Update].toLocalIterator().asScala)
               }
             }
             write(out, ok = true, body)
@@ -158,7 +186,11 @@ final class TcpServer(engine: Engine, port: Int = 0) {
         // client (exactly one in-flight request) flushes immediately
         if (in.available() == 0) out.flush()
       }
-    } catch { case _: Exception => () }
+    } catch {
+      case _: java.io.EOFException => () // normal client disconnect
+      case e: Exception =>
+        System.err.println(s"[graft-wire] connection handler died: $e")
+    }
     finally sock.close()
   }
 

@@ -42,7 +42,7 @@ class WireSpec extends SparkSpec {
       // errors frame as failures
       val (ok, err) = client.cmd("GIBBERISH")
       assert(!ok && err.startsWith("ERR:"))
-      // GET ALL returns concatenated 21-byte raw updates (parse_stream)
+      // GET ALL returns a DTF batch-framed body (into_format/write_batches)
       client.cmd("USE w1")
       val got = client.getUpdates("GET ALL")
       assert(got.length === 2)
@@ -51,6 +51,87 @@ class WireSpec extends SparkSpec {
       // CSV format returns text
       val (cok, csv) = client.cmd("GET ALL AS CSV")
       assert(cok && csv.contains("1.5") && csv.split("\n").length === 2)
+    } finally { client.close(); server.stop() }
+  }
+
+  test("binary GET bodies use DTF batch framing (write_batches golden)") {
+    // reference byte golden (`file_format.rs:1219-1261`): one all-zero
+    // update framed as marker, u64 ref_ts, u32 ref_seq, u16 count, 12-byte
+    // delta row
+    val zero = Update("", 0L, 0L, is_trade = false, is_bid = false, 0.0, 0.0)
+    val bytes = Wire.serializeBatches(Iterator(zero))
+    assert(bytes.map(b => b & 0xFF).toSeq ===
+      Seq(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1,
+        0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+    assert(Wire.parseStream(bytes) === Seq(zero))
+    // multi-batch roundtrip: a backwards seq forces a batch rollover
+    val ups = Seq(
+      Update("", 100L, 10L, is_trade = true, is_bid = true, 1.5, 2.0),
+      Update("", 100L, 11L, is_trade = false, is_bid = false, 1.25, 0.5),
+      Update("", 200L, 3L, is_trade = false, is_bid = true, 2.5, 1.0))
+    val body = Wire.serializeBatches(ups.iterator)
+    assert(body.length === 2 * 15 + 3 * 12) // two batch headers
+    assert(Wire.parseStream(body) === ups)
+  }
+
+  test("OB over TCP returns serde-shaped orderbook JSON (state.rs:437-441)") {
+    val engine =
+      new Engine(spark, Files.createTempDirectory("graft-ob").toString)
+    val server = new TcpServer(engine)
+    val client = new TcpClient("127.0.0.1", server.boundPort)
+    try {
+      client.cmd("CREATE obbook")
+      // bid level 1.25 -> 125, ask level 1.5 -> 150
+      assert(client.cmd("ADD 1505177459.658, 1, f, t, 1.25, 4.5;")._1)
+      assert(client.cmd("ADD 1505177459.659, 2, f, f, 1.5, 2.0;")._1)
+      val (ok, json) = client.cmd("OB")
+      assert(ok, json)
+      assert(json ===
+        """{"price_decimals":2,"bids":{"125":4.5},"asks":{"150":2.0}}""")
+      val (ok2, _) = client.cmd("OB obbook")
+      assert(ok2)
+      // unknown book errors instead of killing the connection
+      val (ok3, err) = client.cmd("OB nosuchbook")
+      assert(!ok3 && err.contains("Unable to get orderbook"))
+      assert(client.cmd("PING")._1)
+    } finally { client.close(); server.stop() }
+  }
+
+  test("current book is per-connection (Connection.book_entry semantics)") {
+    val engine =
+      new Engine(spark, Files.createTempDirectory("graft-sess").toString)
+    val server = new TcpServer(engine)
+    val c1 = new TcpClient("127.0.0.1", server.boundPort)
+    val c2 = new TcpClient("127.0.0.1", server.boundPort)
+    try {
+      c1.cmd("CREATE booka") // switches c1's session to booka
+      c2.cmd("CREATE bookb") // switches c2's session to bookb
+      assert(c1.cmd("ADD 1505177459.658, 1, t, f, 1.0, 2.0;")._1)
+      assert(c1.cmd("ADD 1505177459.659, 2, t, f, 1.0, 2.0;")._1)
+      assert(c2.cmd("ADD 1505177459.660, 3, t, f, 1.0, 2.0;")._1)
+      // implicit-book COUNT must read each connection's own current book
+      assert(c1.cmd("COUNT IN MEM") === ((true, "2\n")))
+      assert(c2.cmd("COUNT IN MEM") === ((true, "1\n")))
+      // c2's USE does not redirect c1
+      c2.cmd("USE booka")
+      assert(c2.cmd("COUNT IN MEM") === ((true, "2\n")))
+      assert(c1.cmd("COUNT IN MEM") === ((true, "2\n")))
+    } finally { c1.close(); c2.close(); server.stop() }
+  }
+
+  test("malformed command yields an error frame, not a disconnect") {
+    val engine =
+      new Engine(spark, Files.createTempDirectory("graft-bad").toString)
+    val server = new TcpServer(engine)
+    val client = new TcpClient("127.0.0.1", server.boundPort)
+    try {
+      // FROM without TO garbles parseRange's substring -> parse throws;
+      // the server must reply Bad format and keep the connection alive
+      val (ok, err) = client.cmd("GET 5 FROM 100")
+      assert(!ok && err.contains("Bad format"))
+      val (ok2, err2) = client.cmd("GET ALL FROM x TO y")
+      assert(!ok2 && err2.contains("Bad format"))
+      assert(client.cmd("PING") === ((true, "PONG.\n")))
     } finally { client.close(); server.stop() }
   }
 
