@@ -32,9 +32,13 @@ object Wire {
   }
 
   def deserializeRaw(bytes: Array[Byte]): Option[Update] =
-    if (bytes.length < 21) None
+    deserializeRaw(bytes, 0, bytes.length)
+
+  /** Zero-copy variant: decode the 21-byte raw update at `off` in place. */
+  def deserializeRaw(bytes: Array[Byte], off: Int, len: Int): Option[Update] =
+    if (len < 21) None
     else {
-      val b = ByteBuffer.wrap(bytes)
+      val b = ByteBuffer.wrap(bytes, off, len)
       val ts = b.getLong()
       val seq = Integer.toUnsignedLong(b.getInt())
       val flags = b.get()
@@ -56,7 +60,8 @@ object Wire {
     b.array()
   }
 
-  /** `decode_insert_into` (`utils.rs:67-87`). */
+  /** `decode_insert_into` (`utils.rs:67-87`). The raw update is decoded in
+    * place (no intermediate copy) — this sits on the ingest hot path. */
   def decodeInsertInto(buf: Array[Byte])
       : Option[(Option[Update], Option[String])] = {
     if (buf.length < 2 + 8 ||
@@ -71,9 +76,8 @@ object Wire {
         b.get(nb)
         Some(new String(nb, "UTF-8"))
       } else None
-    val rest = new Array[Byte](b.remaining())
-    b.get(rest)
-    Some((deserializeRaw(rest), name))
+    val off = 2 + 8 + len
+    Some((deserializeRaw(buf, off, buf.length - off), name))
   }
 
   /** Decode a binary GET response body. The reference serializes GET bodies
@@ -98,6 +102,91 @@ object Wire {
   def isRawInsert(payload: Array[Byte]): Boolean =
     payload.length > 2 && payload(0) == RawInsertPrefix(0) &&
       payload(1) == RawInsertPrefix(1)
+
+  def isRawInsert(buf: Array[Byte], off: Int, len: Int): Boolean =
+    len > 2 && buf(off) == RawInsertPrefix(0) &&
+      buf(off + 1) == RawInsertPrefix(1)
+
+  /** [[decodeInsertInto]] on a buffer slice — the ingest hot path decodes
+    * straight out of the connection's read buffer, no per-frame copy. */
+  def decodeInsertIntoAt(buf: Array[Byte], off: Int, len: Int)
+      : Option[(Option[Update], Option[String])] = {
+    if (len < 2 + 8 || !isRawInsert(buf, off, len)) return None
+    val b = ByteBuffer.wrap(buf, off + 2, len - 2)
+    val nameLen = b.getLong().toInt
+    if (b.remaining() < nameLen) return None
+    val name =
+      if (nameLen > 0) {
+        val s = new String(buf, off + 10, nameLen, "UTF-8")
+        Some(s)
+      } else None
+    val uOff = off + 10 + nameLen
+    Some((deserializeRaw(buf, uOff, off + len - uOff), name))
+  }
+}
+
+/** Length-prefixed frame reader over a raw socket stream with explicit
+  * buffering: one `read` syscall refills up to the buffer capacity
+  * (~1.6k insert frames), frames are then sliced out with zero copies and
+  * zero `available()` (FIONREAD) syscalls. `onStarve` fires before any
+  * BLOCKING refill, letting the server flush batched work + responses
+  * exactly when the connection goes idle — the syscall-free equivalent of
+  * the old `if (in.available() == 0) out.flush()` heuristic. */
+private final class FrameReader(is: java.io.InputStream,
+    onStarve: () => Unit, cap: Int = 1 << 16) {
+  private val buf = new Array[Byte](cap)
+  private var lo = 0
+  private var hi = 0
+
+  /** Bytes already buffered (no syscall). */
+  def buffered: Int = hi - lo
+
+  /** Ensure `n` bytes buffered; false on EOF. */
+  private def ensure(n: Int): Boolean = {
+    if (hi - lo >= n) return true
+    if (lo > 0) { System.arraycopy(buf, lo, buf, 0, hi - lo); hi -= lo; lo = 0 }
+    onStarve() // about to block: flush pending work downstream
+    while (hi - lo < n) {
+      val r = is.read(buf, hi, buf.length - hi)
+      if (r < 0) return false
+      hi += r
+    }
+    true
+  }
+
+  private def lengthAt(p: Int): Int =
+    ((buf(p) & 0xFF) << 24) | ((buf(p + 1) & 0xFF) << 16) |
+      ((buf(p + 2) & 0xFF) << 8) | (buf(p + 3) & 0xFF)
+
+  /** Next frame as a (array, offset, length) slice valid until the next
+    * call; null on EOF. Frames larger than the buffer take a copy path. */
+  def next(): FrameReader.Slice = {
+    if (!ensure(4)) return null
+    val len = lengthAt(lo)
+    if (len + 4 > buf.length) { // oversized frame: dedicated array
+      val big = new Array[Byte](len)
+      var copied = hi - (lo + 4)
+      System.arraycopy(buf, lo + 4, big, 0, copied)
+      lo = 0; hi = 0
+      while (copied < len) {
+        val r = is.read(big, copied, len - copied)
+        if (r < 0) return null
+        copied += r
+      }
+      return new FrameReader.Slice(big, 0, len)
+    }
+    if (!ensure(4 + len)) return null
+    val s = new FrameReader.Slice(buf, lo + 4, len)
+    lo += 4 + len
+    s
+  }
+}
+
+private object FrameReader {
+  final class Slice(val buf: Array[Byte], val off: Int, val len: Int) {
+    def toArray: Array[Byte] = java.util.Arrays.copyOfRange(buf, off, off + len)
+    def asString: String = new String(buf, off, len, "UTF-8")
+  }
 }
 
 /** Minimal TCP front-end speaking the reference wire protocol, translating
@@ -105,6 +194,13 @@ object Wire {
   * a synchronized Engine — driver-side metadata only; scans stay
   * distributed). One thread per connection; good enough for the protocol
   * surface, swap for Netty if connection counts matter. */
+object TcpServer {
+  /** Preserialized success-with-empty-body response (u8 ok + u64 len 0) —
+    * the reply to every raw insert, written once per insert. */
+  private[server] val OkEmpty: Array[Byte] =
+    Array[Byte](1, 0, 0, 0, 0, 0, 0, 0, 0)
+}
+
 final class TcpServer(engine: Engine, port: Int = 0) {
   private val server = new ServerSocket(port)
   private val running = new AtomicBoolean(true)
@@ -129,62 +225,85 @@ final class TcpServer(engine: Engine, port: Int = 0) {
     // write-write-read pattern trips Nagle/delayed-ACK stalls, capping the
     // pipelined insert path at ~2k/s instead of >100k/s
     sock.setTcpNoDelay(true)
-    val in = new DataInputStream(
-      new BufferedInputStream(sock.getInputStream, 1 << 16))
     val out = new DataOutputStream(
       new BufferedOutputStream(sock.getOutputStream, 1 << 16))
     // per-connection current book, as the reference's `Connection.book_entry`
     // (`state.rs:177-188,510`) — USE/CREATE/LOAD on one connection must not
     // redirect implicit-book commands on another
     val session = new Session
+    // Ingest batching: a pipelined client streams raw-insert frames
+    // back-to-back; every socket read delivers up to 64 KB (~1.6k frames),
+    // which are decoded OUT of the read buffer (no per-frame copy, no
+    // per-frame syscall) outside the engine lock and applied in ONE lock
+    // acquisition (the reference's broker equally owns state while its
+    // reader tasks parse lock-free). The batch + output flush when the
+    // connection goes idle (FrameReader.onStarve) or at MaxBatch.
+    val pending = new scala.collection.mutable.ArrayBuffer[Command](1024)
+    val MaxBatch = 16384
+    def flushInserts(): Unit = if (pending.nonEmpty) {
+      val replies = engine.synchronized(pending.map(engine.execute(_, session)))
+      pending.clear()
+      replies.foreach {
+        case engine.Text(s) if s.isEmpty => out.write(TcpServer.OkEmpty)
+        case engine.Text(s) => write(out, ok = true, s.getBytes("UTF-8"))
+        case engine.Err(e) =>
+          write(out, ok = false, s"ERR: $e\n".getBytes("UTF-8"))
+        case _ => () // inserts never produce frames
+      }
+    }
+    val reader = new FrameReader(sock.getInputStream,
+      onStarve = () => { flushInserts(); out.flush() })
     try {
       while (true) {
-        val len = in.readInt()
-        val payload = new Array[Byte](len)
-        in.readFully(payload)
-        val cmd =
-          if (Wire.isRawInsert(payload))
-            Wire.decodeInsertInto(payload) match {
-              case Some((up, book)) => Command.Insert(up, book)
-              case None => Command.BadFormat
-            }
-          else // a malformed GET range etc. is a Bad-format reply, not a hangup
-            scala.util.Try(CommandParser.parse(new String(payload, "UTF-8")))
+        val f = reader.next()
+        if (f == null) return // clean EOF
+        if (Wire.isRawInsert(f.buf, f.off, f.len)) {
+          pending += (Wire.decodeInsertIntoAt(f.buf, f.off, f.len) match {
+            case Some((up, book)) => Command.Insert(up, book)
+            case None => Command.BadFormat
+          })
+          if (pending.length >= MaxBatch) flushInserts()
+        } else {
+          flushInserts() // preserve per-connection command order
+          val cmd = // malformed GET range etc. is a Bad-format reply, not a hangup
+            scala.util.Try(CommandParser.parse(f.asString))
               .getOrElse(Command.BadFormat)
-        val reply = engine.synchronized(engine.execute(cmd, session))
-        reply match {
-          case engine.Text(s) => write(out, ok = true, s.getBytes("UTF-8"))
-          case engine.Err(e) =>
-            write(out, ok = false, s"ERR: $e\n".getBytes("UTF-8"))
-          case engine.Frame(df) =>
-            val isText = df.schema.fields.length == 1 &&
-              df.schema.fields(0).dataType ==
-                org.apache.spark.sql.types.StringType
-            // toLocalIterator streams one partition at a time: the driver
-            // holds the encoded body bytes (~12 B/row for DTF), never the
-            // full Row array — a GET ALL over a big book stays bounded by
-            // the response size, not by row-object overhead
-            val body = engine.synchronized {
-              import scala.jdk.CollectionConverters._
-              if (isText) { // AS CSV / AS JSON: newline-joined text body
-                val sb = new java.lang.StringBuilder
-                df.toLocalIterator().asScala.foreach { r =>
-                  if (sb.length > 0) sb.append('\n')
-                  sb.append(r.getString(0))
+          val reply = engine.synchronized(engine.execute(cmd, session))
+          reply match {
+            case engine.Text(s) =>
+              write(out, ok = true, s.getBytes("UTF-8"))
+            case engine.Err(e) =>
+              write(out, ok = false, s"ERR: $e\n".getBytes("UTF-8"))
+            case engine.Frame(df) =>
+              val isText = df.schema.fields.length == 1 &&
+                df.schema.fields(0).dataType ==
+                  org.apache.spark.sql.types.StringType
+              // toLocalIterator streams one partition at a time: the driver
+              // holds the encoded body bytes (~12 B/row for DTF), never the
+              // full Row array — a GET ALL over a big book stays bounded by
+              // the response size, not by row-object overhead
+              val body = engine.synchronized {
+                import scala.jdk.CollectionConverters._
+                if (isText) { // AS CSV / AS JSON: newline-joined text body
+                  val sb = new java.lang.StringBuilder
+                  df.toLocalIterator().asScala.foreach { r =>
+                    if (sb.length > 0) sb.append('\n')
+                    sb.append(r.getString(0))
+                  }
+                  sb.toString.getBytes("UTF-8")
+                } else { // binary GET: DTF batch framing (state.rs:31-37)
+                  import df.sparkSession.implicits._
+                  Wire.serializeBatches(
+                    df.as[Update].toLocalIterator().asScala)
                 }
-                sb.toString.getBytes("UTF-8")
-              } else { // binary GET: DTF batch framing (state.rs:31-37)
-                import df.sparkSession.implicits._
-                Wire.serializeBatches(
-                  df.as[Update].toLocalIterator().asScala)
               }
-            }
-            write(out, ok = true, body)
+              write(out, ok = true, body)
+          }
+          out.flush() // commands are rare: reply immediately
         }
-        // flush only when no request is already waiting: a pipelined
-        // client's responses coalesce into large writes, a synchronous
-        // client (exactly one in-flight request) flushes immediately
-        if (in.available() == 0) out.flush()
+        // insert responses flush on reader starvation (connection idle) —
+        // a pipelined client's responses coalesce into large writes, a
+        // synchronous client flushes before the next blocking read
       }
     } catch {
       case _: java.io.EOFException => () // normal client disconnect
