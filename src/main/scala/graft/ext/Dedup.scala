@@ -85,18 +85,25 @@ object Dedup {
       threshold: Double = 0.2): DataFrame = {
     require(threshold > 0.0,
       "threshold must be > 0 (zero-overlap candidates are never emitted)")
-    // Multi-pass algorithm: the final plan references the shingle table 4×
-    // and the band table 2×. Lazy caching is NOT enough — within one action
-    // the independent stages run concurrently and each recomputes a
-    // not-yet-populated cache. Eager count()s materialize each layer once.
+    // Multi-pass algorithm: the final plan references the shingle table 3×
+    // and the per-doc table 4×. Lazy caching is NOT enough — within one
+    // action the independent stages run concurrently and each recomputes a
+    // not-yet-populated cache. But ONE eager materialization suffices: the
+    // perDoc job reads sh, so its count() populates BOTH caches before any
+    // concurrent consumer runs (was two cache+count ladders in round 1;
+    // the signature and the shingle-set size also now share a single
+    // groupBy(doc_id) pass instead of aggregating sh twice).
     val sh = shingles(docs, n).cache()
-    sh.count()
-    val sig = minhashSignature(sh, k)
-    val bands = sig.select(col("doc_id"),
+    val sigAggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i")) :+
+      count(lit(1)).as("nsh")
+    val perDoc = sh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+      .cache()
+    perDoc.count()
+    val bands = perDoc.select(col("doc_id"),
       posexplode(array((0 until k / r).map(j =>
         md5(concat_ws("", (0 until r).map(i => col(s"h${j * r + i}")): _*))): _*))
-        .as(Seq("band", "bval"))).cache()
-    bands.count()
+        .as(Seq("band", "bval")))
     val a = bands.as("a")
     val b = bands.as("b")
     val cands = a.join(b,
@@ -104,7 +111,6 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     // candidates sharing zero shingles have jaccard 0 < threshold, so the
     // intersection table IS the survivor base — no left-join back to cands.
     // (A candidate-doc semi-join before these joins trims the postings
@@ -115,8 +121,8 @@ object Dedup {
       .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+      .join(perDoc.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
+      .join(perDoc.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .where(col("jaccard") >= threshold)
@@ -165,9 +171,10 @@ object Dedup {
     * key, so no skew); verification joins shuffle on doc ids. */
   def ngramJaccard(docs: DataFrame, n: Int = 2, dfMin: Int = 2,
       dfMax: Int = 5, threshold: Double = 0.1): DataFrame = {
-    // eager caches — see minhashNearDup for why lazy caching is not enough
+    // ONE eager materialization (see minhashNearDup): the rare job reads
+    // sh, so rare.count() populates both caches before the concurrent
+    // consumers run.
     val sh = shingles(docs, n).cache()
-    sh.count()
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df").between(dfMin, dfMax))
     val rare = sh.join(dfreq.select("sh"), "sh").cache()
