@@ -21,46 +21,90 @@ object HistogramOps {
 
   // ---------------------------------------------------------------- medians
 
-  /** Manual linear-interpolated percentile of `price` per symbol.
-    * Emits (symbol, <out>). */
-  private def percentileAgg(pct: Double): (Column, Column, Column) = {
-    val rank = lit(pct / 100.0) * (col("_n") - 1)
-    val lrank = floor(rank)
-    val d = rank - lrank
-    (lrank, d, col("_rn0"))
-  }
-
   /** (symbol, out) = pct-percentile of `value` over `df` rows per symbol. */
   def percentileBy(df: DataFrame, value: Column, pct: Double,
       out: String): DataFrame =
     percentilesBy(df, value, Seq(pct -> out))
 
-  /** Several percentiles of the SAME value column in ONE sorted pass:
-    * the window sort is the expensive part, so q1/median/q3 must not each
-    * pay for their own. Emits (symbol, out₁, out₂, …). */
+  /** Several percentiles of the SAME value column via DISTRIBUTED order
+    * statistics (two-pass bucketed rank) — no per-symbol full window sort,
+    * so one hot symbol never funnels its whole history through one task:
+    *
+    *  1. per-symbol min/max/count (one aggregation);
+    *  2. equi-width bucket counts over [min,max] ([[PctBuckets]] buckets) +
+    *     an exclusive prefix sum over the TINY per-symbol bucket table
+    *     (≤ [[PctBuckets]] rows/symbol — bounded, not a funnel) locates the
+    *     bucket holding each target rank;
+    *  3. only rows inside located buckets (expected n/B per bucket) get a
+    *     local `row_number` within (symbol, bucket).
+    *
+    * Bit-parity with a full sort: IEEE subtraction/division by a constant
+    * are monotone, so `floor((v-min)/width)` is nondecreasing in v and
+    * bucket-local ranks compose to exact global ranks; equal values always
+    * share a bucket. The interpolation `lo + (hi-lo)*d`
+    * (`percentile_of_sorted`, histogram.rs:370-390) is unchanged.
+    * Emits (symbol, out₁, out₂, …). */
   def percentilesBy(df: DataFrame, value: Column,
       pcts: Seq[(Double, String)]): DataFrame = {
-    val w = Window.partitionBy(col("symbol")).orderBy(col("_v"))
-    val wn = Window.partitionBy(col("symbol"))
+    val B = PctBuckets
     val base = df.select(col("symbol"), value.as("_v"))
-      .withColumn("_rn0", row_number().over(w) - 1)
-      .withColumn("_n", count(lit(1)).over(wn))
-    val aggs = pcts.flatMap { case (pct, out) =>
-      val rank = lit(pct / 100.0) * (col("_n") - 1)
-      val lrank = floor(rank)
+    val stats = base.groupBy("symbol").agg(
+      min(col("_v")).as("_mn"), max(col("_v")).as("_mx"),
+      count(lit(1)).as("_n"))
+    // two target ranks per percentile: lrank and lrank+1 (the hi neighbor;
+    // rank n never matches a bucket -> null, unused when d == 0)
+    val targets = stats.select(col("symbol"),
+      explode(array(pcts.flatMap { case (pct, out) =>
+        val lrank = floor(lit(pct / 100.0) * (col("_n") - 1))
+        Seq(
+          struct(lrank.cast("long").as("_tr"), lit(s"lo_$out").as("_tag")),
+          struct((lrank + 1).cast("long").as("_tr"),
+            lit(s"hi_$out").as("_tag")))
+      }: _*)).as("_t"))
+      .select(col("symbol"), col("_t._tr").as("_tr"), col("_t._tag").as("_tag"))
+    val bucketed = base.join(stats.select("symbol", "_mn", "_mx"), "symbol")
+      .withColumn("_w", (col("_mx") - col("_mn")) / B)
+      .withColumn("_b",
+        when(col("_w") > 0.0,
+          least(floor((col("_v") - col("_mn")) / col("_w")),
+            lit((B - 1).toDouble)))
+          .otherwise(0.0).cast("long"))
+      .select("symbol", "_v", "_b")
+    val bcounts = bucketed.groupBy("symbol", "_b").agg(count(lit(1)).as("_c"))
+    val wcum = Window.partitionBy("symbol").orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = bcounts.withColumn("_base",
+      coalesce(sum(col("_c")).over(wcum), lit(0L)))
+    val located = targets.join(cum, "symbol")
+      .where(col("_tr") >= col("_base") && col("_tr") < col("_base") + col("_c"))
+    val needed = located.select("symbol", "_b", "_base").distinct()
+    val wloc = Window.partitionBy("symbol", "_b").orderBy("_v")
+    val ranked = bucketed.join(needed, Seq("symbol", "_b"))
+      .withColumn("_r", row_number().over(wloc) - 1 + col("_base"))
+    val vals = ranked.select(col("symbol"), col("_r"), col("_v"))
+      .join(targets, "symbol")
+      .where(col("_r") === col("_tr"))
+    val aggs = pcts.flatMap { case (_, out) =>
       Seq(
-        max(when(col("_rn0") === lrank, col("_v"))).as(s"_lo_$out"),
-        max(when(col("_rn0") === lrank + 1, col("_v"))).as(s"_hi_$out"),
-        max(rank - lrank).as(s"_d_$out"))
+        max(when(col("_tag") === s"lo_$out", col("_v"))).as(s"_lo_$out"),
+        max(when(col("_tag") === s"hi_$out", col("_v"))).as(s"_hi_$out"))
     }
-    base.groupBy("symbol").agg(aggs.head, aggs.tail: _*)
-      .select(col("symbol") +: pcts.map { case (_, out) =>
-        when(col(s"_d_$out") === 0.0, col(s"_lo_$out"))
+    vals.groupBy("symbol").agg(aggs.head, aggs.tail: _*)
+      .join(stats.select("symbol", "_n"), "symbol")
+      .select(col("symbol") +: pcts.map { case (pct, out) =>
+        val rank = lit(pct / 100.0) * (col("_n") - 1)
+        val d = rank - floor(rank)
+        when(d === 0.0, col(s"_lo_$out"))
           .otherwise(col(s"_lo_$out") +
-            (col(s"_hi_$out") - col(s"_lo_$out")) * col(s"_d_$out"))
+            (col(s"_hi_$out") - col(s"_lo_$out")) * d)
           .as(out)
       }: _*)
   }
+
+  /** Bucket count for the distributed percentile: expected rows ranked in
+    * pass 3 is n/B per located bucket; the per-symbol bucket table (≤ B
+    * rows) must stay small enough to prefix-sum cheaply. */
+  val PctBuckets = 4096
 
   /** DuckDB twin of [[percentileBy]]: percentile of `valExpr` over
     * `fromRel` (must expose symbol), emitted as (symbol, out). */

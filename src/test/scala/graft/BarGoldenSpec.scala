@@ -96,14 +96,17 @@ class BarGoldenSpec extends SparkSpec {
   }
 
   test("time bars drop the in-progress final bucket per symbol") {
-    // trades in two minute-buckets; the later bucket must be dropped
+    // trades in two minute-buckets; the later bucket must be dropped.
+    // 13-digit ms timestamps: fill_digits normalizes anything shorter
+    // (utils.rs:11-22), so sub-1e12 inputs are not fixed points of ts
+    val T = 1500000000000L
     val ups = Seq(
-      Update("t", 0L, 0, true, true, 1.0, 2.0),
-      Update("t", 1000L, 1, true, true, 3.0, 4.0),
-      Update("t", 60000L, 2, true, true, 5.0, 6.0))
+      Update("t", T, 0, true, true, 1.0, 2.0),
+      Update("t", T + 1000L, 1, true, true, 3.0, 4.0),
+      Update("t", T + 60000L, 2, true, true, 5.0, 6.0))
     val got = candles(TimeBars.bars(updatesDf(ups)))
-    assert(got === Seq(Candle("t", 0, 0, 1, 3, 1, 3, 6)))
+    assert(got === Seq(Candle("t", 1500000000L, 1500000000L, 1, 3, 1, 3, 6)))
     val all = candles(TimeBars.bars(updatesDf(ups), dropLast = false))
-    assert(all.map(_.start) === Seq(0L, 60L))
+    assert(all.map(_.start) === Seq(1500000000L, 1500000060L))
   }
 }

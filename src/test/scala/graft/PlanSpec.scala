@@ -60,6 +60,30 @@ class PlanSpec extends SparkSpec {
       s"similarity join degenerated to a cartesian product:\n$p")
   }
 
+  test("percentiles use bucketed rank — no per-symbol full window sort") {
+    // VERDICT r1 #3/#4: a Window over (symbol) ordered by the value column
+    // funnels a hot symbol's entire history through one task. The
+    // distributed order-statistics path only ever windows (a) the tiny
+    // bucket-count table and (b) rows inside located buckets, both keyed
+    // by (symbol, _b).
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("q_stats")(spark, sf("sf0.001"))
+    def windows(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[WindowExec] = p.collect {
+      case w: WindowExec => Seq(w)
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+    }.flatten
+    val ws = windows(df.queryExecution.executedPlan)
+    assert(ws.nonEmpty, "expected window nodes in the percentile plan")
+    ws.foreach { w =>
+      val sortsValue = w.orderSpec.exists(_.child.toString.contains("_v"))
+      assert(!(w.partitionSpec.length == 1 && sortsValue),
+        s"hot-symbol window funnel: partition=${w.partitionSpec} " +
+          s"order=${w.orderSpec}")
+    }
+  }
+
   test("trade filter is applied at the scan, before aggregation") {
     // updates derives is_trade from event_id, so the predicate appears as
     // the derived `% 3` condition in the Filter directly above the scan —
