@@ -23,6 +23,39 @@ import graft.model.{Candle, Update}
   *  - a boundary trade closes the previous bar and STARTS the next one
   *    (its weight is swallowed by the reset);
   *  - the final partial bar is emitted.
+  *
+  * == Chunk-stitched parallel fold: experiment result (round 2) ==
+  *
+  * Can one hot symbol's fold be parallelized by folding time-chunks
+  * independently and stitching prefix states?
+  *
+  *  1. NAIVE STITCHING IS SEMANTICALLY IMPOSSIBLE. A chunk's output is a
+  *     function of its entry state (accumulator, open candle), and the
+  *     position of the FIRST in-chunk boundary shifts with the entry
+  *     accumulator — which shifts every subsequent boundary. The chunk
+  *     transition function has O(chunk) descriptive complexity (it is the
+  *     step function of the chunk's prefix-sum crossings), so there is no
+  *     compact per-chunk summary to combine — unlike decomposable aggs.
+  *  2. AN EXACT PARALLEL REFORMULATION EXISTS. In cumulative-weight terms
+  *     (C over trades in (ts,seq) order), boundary b_{m+1} is the first j
+  *     with `C_j > C_{b_m} + interval` — a jump chain over a monotone
+  *     array. Distributed prefix sums give C without a funnel (local sums
+  *     + broadcast partition offsets), and the boundary orbit is then a
+  *     LIST-RANKING problem: O(log bars) pointer-doubling rounds, each a
+  *     full shuffle of the trade index. That loses to this one-shuffle
+  *     O(1)-memory streaming fold unless a single symbol's linear scan
+  *     exceeds a task's wall-time budget by more than the list-ranking
+  *     constant — and the fold already spills (external sort), so memory
+  *     is never the forcing issue.
+  *  3. BIT-STABILITY: the reformulation is exact for VOLUME bars (sizes
+  *     are quarter-multiples, so `C_j - C_{b_m}` is exact), but NOT for
+  *     dollar bars — `C_j - C_{b_m} > interval` reassociates the float
+  *     accumulation that the sequential `acc += price*size` performs, and
+  *     can flip a boundary at the ulp edge.
+  *
+  * Verdict: the streaming fold stays the shipped path; revisit list
+  * ranking only for a deployment with one symbol so large that its linear
+  * scan dominates the job's critical path.
   */
 object FoldBars {
 
