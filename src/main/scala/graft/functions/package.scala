@@ -11,14 +11,19 @@ import org.apache.spark.sql.functions._
   */
 package object functions {
 
-  /** Spread a narrow input across the cluster's cores when the scan gave
-    * too few partitions (e.g. one small parquet file locally). At scale,
-    * file splits already provide parallelism and this is a no-op; the
-    * check reads only the plan's partitioning, it triggers no job. */
+  /** Spread a narrow input across the local cores when the scan gave too
+    * few partitions (e.g. one small parquet file on local[n]). LOCAL-ONLY:
+    * the partition-count probe (`df.rdd`) forces a second physical
+    * planning outside AQE's view, and on a cluster file splits already
+    * provide parallelism — so this is an identity unless the master is
+    * local (VERDICT r1). */
   def parallelized(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val sc = df.sparkSession.sparkContext
+    if (!sc.isLocal) df
+    else if (df.rdd.getNumPartitions < sc.defaultParallelism)
+      df.repartition(sc.defaultParallelism)
+    else df
   }
 
 

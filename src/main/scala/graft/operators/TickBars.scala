@@ -18,6 +18,15 @@ import graft.functions._
   * Hence: number all updates, keep trades, bar id = running count of
   * boundary TRADES — pure window functions, no custom code, one shuffle for
   * the window + one for the aggregation.
+  *
+  * SCALE NOTE (named funnel, VERDICT r1): the `row_number` window sorts a
+  * symbol's ENTIRE update stream through one task. Unlike the percentile
+  * path (now distributed order statistics), the tick counter is inherently
+  * a global per-symbol enumeration; the distributed alternative is a
+  * two-pass rank (per-partition counts + broadcast offsets) over a
+  * range-partitioned sort, worth wiring only if a single symbol's history
+  * outgrows one task's sort budget — the window's external sort already
+  * spills, so memory is not the forcing issue.
   */
 object TickBars {
 

@@ -44,6 +44,12 @@ final class Engine(spark: SparkSession, dtfFolder: String) {
   private val history =
     mutable.Map.empty[String, mutable.ArrayDeque[(Long, Long)]]
   val historyCapacity = 300
+  /** Lifetime ingested rows per book (the reference's `nominal_count`,
+    * `state.rs:197-203` — survives CLEAR/FLUSH; INFO's `count`). */
+  private val nominal = mutable.Map.empty[String, Long]
+  /** Live TCP connections, maintained by [[TcpServer.handle]] (INFO's
+    * `clis`). */
+  val connections = new java.util.concurrent.atomic.AtomicInteger(0)
   private val defaultSession = new Session
   books(defaultSession.book) = mutable.ArrayBuffer.empty
   new java.io.File(dtfFolder).mkdirs()
@@ -103,6 +109,7 @@ final class Engine(spark: SparkSession, dtfFolder: String) {
         case Some(buf) =>
           val tagged = up.copy(symbol = book)
           buf += tagged
+          nominal(book) = nominal.getOrElse(book, 0L) + 1L
           subscribers.get(book).foreach(_ += tagged)
           Text("")
       }
@@ -225,11 +232,25 @@ final class Engine(spark: SparkSession, dtfFolder: String) {
     out
   }
 
+  /** INFO — the reference's field set (`state.rs:377-435`): per-book
+    * `in_memory` (staging rows) and `count` (lifetime nominal count), plus
+    * a `meta` object (connection count, subscription count, wall seconds,
+    * autoflush settings, folder, totals). Timer autoflush is not
+    * implemented (FLUSH is explicit), so those fields report disabled. */
   private def info(): String = {
     val rows = books.map { case (name, buf) =>
-      s"""{"name":"$name","in_memory":${buf.nonEmpty},"count":${buf.size}}"""
+      s"""{"name":"$name","in_memory":${buf.size},"count":${
+        nominal.getOrElse(name, 0L)}}"""
     }.mkString(",")
-    s"""{"dbs":[$rows]}\n"""
+    val totalMem = books.valuesIterator.map(_.size.toLong).sum
+    val totalCount = nominal.valuesIterator.sum
+    val meta =
+      s"""{"clis":${connections.get()},"subs":${subscribers.size},""" +
+        s""""ts":${System.currentTimeMillis() / 1000},""" +
+        s""""autoflush_enabled":false,"autoflush_interval":0,""" +
+        s""""dtf_folder":"$dtfFolder",""" +
+        s""""total_in_memory_count":$totalMem,"total_count":$totalCount}"""
+    s"""{"meta":$meta,"dbs":[$rows]}\n"""
   }
 
   /** Timer tick (T8, `plugins/history.rs:6-16`): snapshot per-book in-mem
@@ -241,13 +262,15 @@ final class Engine(spark: SparkSession, dtfFolder: String) {
       while (q.size > historyCapacity) q.removeHead()
     }
 
-  /** PERF — `{book: {ts: count}}` over the recorded history
-    * (`state.rs:445-460`). */
+  /** PERF — the reference's array-of-objects shape with SECOND-granular
+    * keys: `[{"book": {"<ts_secs>":count, ...}}, ...]` (`state.rs:444-460`:
+    * `as_secs`, objects joined with ", "). */
   private def perf(): String =
     history.map { case (n, q) =>
-      val inner = q.map { case (ts, c) => s""""$ts":$c""" }.mkString(",")
-      s""""$n":{$inner}"""
-    }.mkString("{", ",", "}\n")
+      val inner = q.map { case (ts, c) => s""""${ts / 1000}":$c""" }
+        .mkString(", ")
+      s"""{"$n": {$inner}}"""
+    }.mkString("[", ", ", "]\n")
 }
 
 object Engine {

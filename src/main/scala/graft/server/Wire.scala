@@ -225,6 +225,7 @@ final class TcpServer(engine: Engine, port: Int = 0) {
     // write-write-read pattern trips Nagle/delayed-ACK stalls, capping the
     // pipelined insert path at ~2k/s instead of >100k/s
     sock.setTcpNoDelay(true)
+    engine.connections.incrementAndGet()
     val out = new DataOutputStream(
       new BufferedOutputStream(sock.getOutputStream, 1 << 16))
     // per-connection current book, as the reference's `Connection.book_entry`
@@ -310,7 +311,10 @@ final class TcpServer(engine: Engine, port: Int = 0) {
       case e: Exception =>
         System.err.println(s"[graft-wire] connection handler died: $e")
     }
-    finally sock.close()
+    finally {
+      engine.connections.decrementAndGet()
+      sock.close()
+    }
   }
 
   private def write(out: DataOutputStream, ok: Boolean,

@@ -79,6 +79,25 @@ class EngineSpec extends SparkSpec {
     assert(e.drainSubscription("s1").isEmpty)
   }
 
+  test("INFO carries the reference meta + dbs shape (state.rs:377-435)") {
+    val e = engine()
+    e.execute(CommandParser.parse("CREATE infodb"))
+    e.execute(CommandParser.parse("ADD 1505177459.658, 1, t, f, 1.0, 2.0;"))
+    def info(): String = e.execute(CommandParser.parse("INFO")) match {
+      case e.Text(t) => t
+      case other => fail(s"unexpected: $other")
+    }
+    val out = info()
+    assert(out.contains(""""meta":{"clis":0"""), out)
+    assert(out.contains(""""total_in_memory_count":1"""), out)
+    assert(out.contains(""""name":"infodb","in_memory":1,"count":1"""), out)
+    // CLEAR drops staging but not the lifetime nominal count
+    e.execute(CommandParser.parse("CLEAR"))
+    val out2 = info()
+    assert(out2.contains(""""name":"infodb","in_memory":0,"count":1"""), out2)
+    assert(out2.contains(""""total_count":1"""), out2)
+  }
+
   test("PERF ring-buffer history (A11, state.rs:193-203,338-360)") {
     val e = engine()
     e.execute(CommandParser.parse("CREATE hist_db"))
@@ -91,7 +110,10 @@ class EngineSpec extends SparkSpec {
       case e.Text(t) => t
       case other => fail(s"unexpected: $other")
     }
-    assert(out.contains(""""hist_db":{"1000":1,"2000":2}"""), out)
+    // reference PERF shape (state.rs:444-460): array of one-key objects,
+    // second-granular keys, ", " joins
+    assert(out.contains("""{"hist_db": {"1":1, "2":2}}"""), out)
+    assert(out.trim.startsWith("[") && out.trim.endsWith("]"), out)
     // ring buffer caps at historyCapacity entries
     (0 until e.historyCapacity + 50).foreach(i => e.recordHistory(3000L + i))
     val out2 = e.execute(CommandParser.parse("PERF")) match {
