@@ -36,9 +36,13 @@ object Dedup {
     *
     * Pure array expressions (split → sequence → slice → array_join):
     * shingling stays map-side inside whole-stage codegen — no per-doc
-    * window sort, the only shuffle is the final distinct. Output is
-    * identical to a `lead`-based formulation (the DuckDB twin keeps that
-    * shape). */
+    * window sort. The ONE shuffle is an explicit doc_id repartition:
+    * HashPartitioning(doc_id) satisfies the clustering required by the
+    * (doc_id, sh) distinct, the per-doc signature/size aggregation, AND
+    * the doc-keyed verification joins downstream, so the whole dedup
+    * chain reuses this single exchange instead of re-shuffling per step.
+    * Output is identical to a `lead`-based formulation (the DuckDB twin
+    * keeps that shape). */
   def shingles(docs: DataFrame, n: Int = 2): DataFrame = {
     // explode(array(...)) puts a Generate boundary under the word array:
     // CollapseProject would otherwise inline the split() alias into every
@@ -49,6 +53,7 @@ object Dedup {
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("ws")) - (n - 1)),
           i => array_join(slice(col("ws"), i, lit(n)), " "))).as("sh"))
+      .repartition(col("doc_id"))
       .distinct()
   }
 
@@ -85,19 +90,20 @@ object Dedup {
       threshold: Double = 0.2): DataFrame = {
     require(threshold > 0.0,
       "threshold must be > 0 (zero-overlap candidates are never emitted)")
-    // Multi-pass algorithm: the final plan references the shingle table 3×
-    // and the per-doc table 4×. Lazy caching is NOT enough — within one
-    // action the independent stages run concurrently and each recomputes a
-    // not-yet-populated cache. But ONE eager materialization suffices: the
-    // perDoc job reads sh, so its count() populates BOTH caches before any
-    // concurrent consumer runs (was two cache+count ladders in round 1;
-    // the signature and the shingle-set size also now share a single
-    // groupBy(doc_id) pass instead of aggregating sh twice).
-    val sh = shingles(docs, n).cache()
+    // ONE aggregation pass over the shingle stream produces everything the
+    // verification needs per doc: the k-permutation signature, the set
+    // size, AND the shingle set itself (bounded by the doc's own length).
+    // Candidate pairs then verify with array_intersect on two array
+    // columns — no postings re-join, no re-shuffle of the shingle table;
+    // exact Jaccard runs as a scalar expression on the (few) candidate
+    // rows. ONE eager count materializes the cached per-doc table before
+    // the concurrent band/verify consumers read it (lazy caching races
+    // within an action; round-1 had two cache+count ladders here).
     val sigAggs = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i")) :+
-      count(lit(1)).as("nsh")
-    val perDoc = sh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i")) ++ Seq(
+      count(lit(1)).as("nsh"), collect_set(col("sh")).as("shset"))
+    val perDoc = shingles(docs, n).groupBy("doc_id")
+      .agg(sigAggs.head, sigAggs.tail: _*)
       .cache()
     perDoc.count()
     val bands = perDoc.select(col("doc_id"),
@@ -111,23 +117,27 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // candidates sharing zero shingles have jaccard 0 < threshold, so the
-    // intersection table IS the survivor base — no left-join back to cands.
-    // (A candidate-doc semi-join before these joins trims the postings
-    // shuffle and pays at corpus scale, but measured SLOWER at sf0.1 —
-    // the extra eager stages dominate. Revisit if the corpus grows.)
-    val inter = cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(perDoc.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
-      .join(perDoc.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+    verifyJaccard(cands, perDoc, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against cached per-doc
+    * (nsh, shset) columns: `array_intersect` performs the set intersection
+    * as a scalar expression, so verification shuffles only the candidate
+    * pairs — never the shingle postings. Zero-overlap candidates get
+    * jaccard 0 and drop at any threshold > 0. */
+  private def verifyJaccard(cands: DataFrame, perDoc: DataFrame,
+      threshold: Double): DataFrame =
+    cands
+      .join(perDoc.select(col("doc_id").as("doc_a"),
+        col("shset").as("_sa"), col("nsh").as("na")), "doc_a")
+      .join(perDoc.select(col("doc_id").as("doc_b"),
+        col("shset").as("_sb"), col("nsh").as("nb")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "inter", "uni", "jaccard")
-  }
 
   def minhashNearDupSql(n: Int = 2, k: Int = 16, r: Int = 4,
       threshold: Double = 0.2): String = {
@@ -171,9 +181,13 @@ object Dedup {
     * key, so no skew); verification joins shuffle on doc ids. */
   def ngramJaccard(docs: DataFrame, n: Int = 2, dfMin: Int = 2,
       dfMax: Int = 5, threshold: Double = 0.1): DataFrame = {
-    // ONE eager materialization (see minhashNearDup): the rare job reads
-    // sh, so rare.count() populates both caches before the concurrent
-    // consumers run.
+    // Candidate generation needs the per-shingle document frequency, so
+    // the shingle table stays materialized and the postings-join
+    // verification stays cheap (sh is already cached and doc-partitioned;
+    // the array_intersect shape used by minhashNearDup measured SLOWER
+    // here because the uncached rare self-join recomputed the df filter).
+    // ONE eager count: the rare job reads sh, so rare.count() populates
+    // both caches before the concurrent consumers run.
     val sh = shingles(docs, n).cache()
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df").between(dfMin, dfMax))
