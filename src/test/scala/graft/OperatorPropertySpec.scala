@@ -30,6 +30,37 @@ class OperatorPropertySpec extends SparkSpec {
     (0 until n).flatMap(i =>
       genUpdates.apply(Gen.Parameters.default, Seed(i.toLong)))
 
+  test("distributed percentile == scalar sorted-rank interpolation") {
+    // the bucketed-rank rewrite (HistogramOps.percentilesBy) must equal
+    // the naive percentile_of_sorted (histogram.rs:370-390) bit-for-bit
+    // on random inputs, including tie-heavy value distributions
+    import graft.operators.HistogramOps
+    import org.apache.spark.sql.functions.col
+    def scalar(vs: Seq[Double], pct: Double): Double = {
+      val s = vs.sorted
+      val rank = pct / 100.0 * (s.length - 1)
+      val lrank = math.floor(rank)
+      val d = rank - lrank
+      if (d == 0.0) s(lrank.toInt)
+      else s(lrank.toInt) + (s(lrank.toInt + 1) - s(lrank.toInt)) * d
+    }
+    val pcts = Seq(25.0 -> "q1", 50.0 -> "med", 75.0 -> "q3")
+    cases(8).filter(_.nonEmpty).foreach { ups =>
+      val got = HistogramOps.percentilesBy(updatesDf(ups), col("price"), pcts)
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
+      val bySym = ups.groupBy(_.symbol)
+      assert(got.keySet === bySym.keySet)
+      bySym.foreach { case (sym, rows) =>
+        val vs = rows.map(_.price)
+        val want = (scalar(vs, 25.0), scalar(vs, 50.0), scalar(vs, 75.0))
+        assert(got(sym) === want, s"symbol $sym values $vs")
+      }
+    }
+  }
+
   test("event classification matches a scalar replay (event.rs:28-72)") {
     cases(10).foreach { ups =>
       val got = EventsOps.classify(updatesDf(ups))
