@@ -7,12 +7,17 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: treat opaque binary payloads with typed
   * metadata, run per-partition batch "decode / feature-extract" kernels.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked DETERMINISTIC STUB (`stubDecode`) — what is real and
-  * tested is the Spark-side plumbing: binary column + schema, partition
-  * batching via `mapPartitions` (the Scala analogue of `mapInPandas` batch
-  * UDFs), and the output schema contract. Swap `stubDecode` for a real
-  * codec (JNI/ONNX/ffmpeg) without touching the plumbing.
+  * Two kernel tiers:
+  *
+  *  - the ORACLE-GATED operators ([[decodeMeta]], [[resizeStub]]) use a
+  *    clearly-marked DETERMINISTIC STUB (`stubDecode`) because the DuckDB
+  *    correctness twin must replicate the kernel in SQL;
+  *  - [[decodeImageMeta]] / [[resizeImage]] are REAL image kernels on the
+  *    same `mapPartitions` batch plumbing, built on the JDK's own codec
+  *    surface (`javax.imageio`: PNG/JPEG/BMP/GIF, headless-safe) —
+  *    spec-gated with synthesized images since the driver testdata carries
+  *    no real payloads. Audio/video codecs are not in the JDK; those stay
+  *    stubbed (swap the kernel for JNI/ffmpeg without touching plumbing).
   */
 object Multimodal {
 
@@ -110,6 +115,63 @@ object Multimodal {
        | ${width.toLong * height * 3} AS n_bytes
        |FROM documents WHERE doc_id % 3 = 0
        |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
+  /** REAL image decode over a `(doc_id, payload: binary)` frame — the JDK
+    * codec surface (`ImageIO.read`) parses PNG/JPEG/BMP/GIF headers and
+    * pixels; undecodable payloads come back with null dimensions and
+    * modality "unknown" instead of failing the task. Same batch plumbing
+    * and output schema as [[decodeMeta]]. */
+  def decodeImageMeta(images: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(metaSchema)
+    images.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null)
+          Row(id, payload.length.toLong, null, null, null, "unknown")
+        else
+          Row(id, payload.length.toLong, img.getWidth.toLong,
+            img.getHeight.toLong, 1L, "image")
+      }
+    }(enc)
+  }
+
+  val imageSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("payload", BinaryType)))
+
+  /** REAL resize kernel: bilinear `Graphics2D` scale, re-encoded as PNG.
+    * Undecodable payloads are dropped (the real-pipeline convention:
+    * corrupt blobs filter out, they don't poison the batch). */
+  def resizeImage(images: DataFrame, width: Int, height: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(imageSchema)
+    images.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val src = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (src == null) None
+        else {
+          val out = new java.awt.image.BufferedImage(width, height,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, width, height, null)
+          g.dispose()
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", baos)
+          Some(Row(id, width.toLong, height.toLong, baos.toByteArray))
+        }
+      }
+    }(enc)
+  }
 
   /** DuckDB twin of the stub arithmetic (text is ASCII in the testdata, so
     * byte length == char length). */

@@ -126,6 +126,37 @@ class ExtSpec extends SparkSpec {
     info(s"recall >= $target first reached at nProbe=${found.get._1}/$cents")
   }
 
+  test("real image kernels: JDK codec decode + bilinear resize (PNG roundtrip)") {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import graft.ext.Multimodal
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+      val baos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    import spark.implicits._
+    val df = Seq(
+      (0L, png(8, 5, 0xFF0000)),
+      (1L, png(16, 16, 0x00FF00)),
+      (2L, "not an image".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val meta = Multimodal.decodeImageMeta(df)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(meta(0L).getLong(2) === 8L && meta(0L).getLong(3) === 5L)
+    assert(meta(1L).getString(5) === "image")
+    // corrupt payloads surface as unknown with null dims, no task failure
+    assert(meta(2L).getString(5) === "unknown" && meta(2L).isNullAt(2))
+    val resized = Multimodal.resizeImage(df, 4, 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(resized.keySet === Set(0L, 1L)) // corrupt payload dropped
+    val out = javax.imageio.ImageIO.read(new ByteArrayInputStream(
+      resized(0L).getAs[Array[Byte]]("payload")))
+    assert(out.getWidth === 4 && out.getHeight === 3)
+    assert((out.getRGB(1, 1) & 0xFFFFFF) === 0xFF0000) // solid color survives
+  }
+
   test("ivfTopK probes beat single-cell search (recall sanity)") {
     // with nProbe = nCentroids the search is exhaustive over cells, so the
     // top-1 must equal the brute-force nearest among non-self vectors
