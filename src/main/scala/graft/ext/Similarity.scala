@@ -301,6 +301,28 @@ object Similarity {
        |   PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM sims)
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin.replace('\n', ' ')
 
+  /** DuckDB twin of [[lshNearestMultiProbe]]: the probe set unnests
+    * `[bucket, xor(bucket, 2^p)...]`, mirroring the Spark side's
+    * bitwiseXOR explode; DISTINCT dedups pairs reachable via several
+    * probes before ranking (sim is deterministic, duplicates identical). */
+  def lshNearestMultiProbeSql(planes: Int = 4): String = {
+    val probeList = ("bucket" +:
+      (0 until planes).map(p => s"xor(bucket, ${1L << p})")).mkString(", ")
+    s"""WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |buckets AS (${lshBucketsSql(planes).replace(" ORDER BY vec_id", "")}),
+       |probes AS (SELECT vec_id AS q_id, unnest([$probeList]) AS bucket FROM buckets),
+       |sims AS (SELECT DISTINCT p.q_id, qb.vec_id,
+       |  (${dotSql("a", "b")}) / (${normSql("a")} * ${normSql("b")}) AS sim
+       | FROM probes p JOIN buckets qb
+       |  ON qb.bucket = p.bucket AND qb.vec_id <> p.q_id
+       | JOIN vecs a ON a.vec_id = p.q_id
+       | JOIN vecs b ON b.vec_id = qb.vec_id)
+       |SELECT q_id, vec_id, sim FROM (
+       | SELECT *, row_number() OVER (
+       |   PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM sims)
+       |WHERE rank = 1 ORDER BY q_id""".stripMargin.replace('\n', ' ')
+  }
+
   def lshNearestSql(planes: Int = 4): String =
     s"""WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |buckets AS (${lshBucketsSql(planes).replace(" ORDER BY vec_id", "")}),

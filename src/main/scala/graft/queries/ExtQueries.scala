@@ -72,6 +72,12 @@ object ExtQueries {
       (s, dir) => Similarity.lshNearest(embs(s, dir)).orderBy("q_id"),
       Some(Similarity.lshNearestSql())),
 
+    // multi-probe LSH nearest: own + every Hamming-1 bucket (recall lever)
+    Q("q_ann_lsh_multiprobe",
+      (s, dir) => Similarity.lshNearestMultiProbe(embs(s, dir))
+        .orderBy("q_id"),
+      Some(Similarity.lshNearestMultiProbeSql())),
+
     // token counting
     Q("q_token_count",
       (s, dir) => docs(s, dir)
