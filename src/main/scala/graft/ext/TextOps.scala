@@ -22,6 +22,20 @@ object TextOps {
   val tokenCountSql: String =
     "len(regexp_split_to_array(trim(text), '\\s+'))"
 
+  /** BPE-ish subword token count — the GPT-2-style pre-tokenizer classes
+    * (letter runs, single digits, single punctuation/symbol chars) spelled
+    * with explicit ASCII classes only, so the Java (Spark) and RE2
+    * (DuckDB) regex engines match identically. The count approximates BPE
+    * *pre-token* cardinality; real merges only split further, so it is
+    * the canonical cheap upper-ish budget signal for token accounting. */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  val bpeTokenCountSql: String =
+    """len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))"""
+
   /** Occurrences of literal `needle` (no regex) via replace-length. */
   def countOcc(haystack: Column, needle: String): Column =
     (length(haystack) - length(replace(haystack, lit(needle), lit("")))) /

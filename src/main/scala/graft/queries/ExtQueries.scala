@@ -86,6 +86,15 @@ object ExtQueries {
       Some(s"SELECT doc_id, ${TextOps.tokenCountSql} AS n_tokens " +
         "FROM documents ORDER BY doc_id")),
 
+    // BPE-ish subword token count (GPT-2-style pre-tokenizer classes)
+    Q("q_token_count_bpe",
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"),
+          TextOps.bpeTokenCount(col("text")).as("n_bpe"))
+        .orderBy("doc_id"),
+      Some(s"SELECT doc_id, ${TextOps.bpeTokenCountSql} AS n_bpe " +
+        "FROM documents ORDER BY doc_id")),
+
     // quality scoring
     Q("q_quality",
       (s, dir) => TextOps.quality(docs(s, dir)).orderBy("doc_id"),
