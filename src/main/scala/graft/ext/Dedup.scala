@@ -281,6 +281,69 @@ object Dedup {
       conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
         .as("fingerprint"))
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS algorithm): hash every word n-gram, slide a `window`-wide frame
+    * over the hash sequence, keep the DISTINCT per-window minima. The
+    * guarantee: any shared run of `window + n - 1` words between two
+    * documents shares at least one fingerprint, with output density
+    * ~2/(window+1) of the grams. Pure window-min over per-doc positions —
+    * partitions are bounded by doc length, never a corpus-wide funnel.
+    * Docs shorter than a full window contribute their leading partial
+    * window's min (one fingerprint), matching the classical boundary
+    * handling. */
+  def winnowFingerprints(docs: DataFrame, n: Int = 3, window: Int = 4)
+      : DataFrame = {
+    val ws = split(lower(trim(col("text"))), "\\s+")
+    val grams = parallelized(docs)
+      .select(col("doc_id"), explode(array(ws)).as("ws"))
+      .where(size(col("ws")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+          i => array_join(slice(col("ws"), i, lit(n)), " ")))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long")
+          .as("h"))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, window - 1)
+    val count = Window.partitionBy(col("doc_id"))
+    grams
+      .withColumn("wmin", min(col("h")).over(frame))
+      .withColumn("ng", org.apache.spark.sql.functions.count(lit(1)).over(count))
+      // only full windows select (0-based pos <= ng - window); short docs
+      // keep their single leading partial window
+      .where(col("pos") <= greatest(col("ng") - window, lit(0)))
+      .select(col("doc_id"), col("wmin").as("fingerprint"))
+      .distinct()
+  }
+
+  /** DuckDB twin of [[winnowFingerprints]] (1-based positions, same
+    * window frame and full-window filter). */
+  def winnowFingerprintsSql(n: Int = 3, window: Int = 4): String = {
+    val parts = (0 until n).map {
+      case 0 => "w"
+      case i => s"lead(w, $i) OVER (PARTITION BY doc_id ORDER BY pos)"
+    }.mkString(" || ' ' || ")
+    s"""WITH grams AS (
+       | SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+       |  CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h
+       | FROM (
+       |  SELECT doc_id, pos, $parts AS gram FROM (
+       |   SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w,
+       |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+       |   FROM documents))
+       | WHERE gram IS NOT NULL),
+       |win AS (
+       | SELECT doc_id, pos,
+       |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN CURRENT ROW AND ${window - 1} FOLLOWING) AS wmin,
+       |  count(*) OVER (PARTITION BY doc_id) AS ng
+       | FROM grams)
+       |SELECT DISTINCT doc_id, wmin AS fingerprint FROM win
+       |WHERE pos <= greatest(ng - $window + 1, 1)
+       |ORDER BY doc_id, fingerprint""".stripMargin.replace('\n', ' ')
+  }
+
   val fingerprintSql: String =
     """SELECT doc_id,
       | CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fingerprint

@@ -38,6 +38,12 @@ object ExtQueries {
       (s, dir) => Dedup.fingerprint(docs(s, dir)).orderBy("doc_id"),
       Some(Dedup.fingerprintSql)),
 
+    // winnowing fingerprints (MOSS rolling-hash window minima)
+    Q("q_winnow_fingerprint",
+      (s, dir) => Dedup.winnowFingerprints(docs(s, dir))
+        .orderBy("doc_id", "fingerprint"),
+      Some(Dedup.winnowFingerprintsSql())),
+
     // n-gram Jaccard near-dup over rare-shingle-blocked pairs
     Q("q_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccard(docs(s, dir))
