@@ -150,6 +150,9 @@ final class Engine(spark: SparkSession, dtfFolder: String) {
         val loaded = fsDf(book).get.as[Update].collect()
         val buf = books.getOrElseUpdate(book, mutable.ArrayBuffer.empty)
         buf ++= loaded
+        // the reference's load RESETS nominal_count to the stored header
+        // size (state.rs:115-118); subsequent adds increment from there
+        nominal(book) = loaded.length.toLong
         session.book = book
         Text(s"Loaded DB `$book`.\n")
       } else Err(s"DB $book not found.")

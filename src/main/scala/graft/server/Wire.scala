@@ -163,6 +163,7 @@ private final class FrameReader(is: java.io.InputStream,
   def next(): FrameReader.Slice = {
     if (!ensure(4)) return null
     val len = lengthAt(lo)
+    if (len < 0) return null // garbage length prefix: treat as EOF
     if (len + 4 > buf.length) { // oversized frame: dedicated array
       val big = new Array[Byte](len)
       var copied = hi - (lo + 4)
