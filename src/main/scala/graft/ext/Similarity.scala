@@ -23,19 +23,25 @@ object Similarity {
 
   private val Dims = 64
 
-  /** Dot product as a strict LEFT FOLD over index order. Spark's
-    * `aggregate` HOF evaluates `((0+p1)+p2)+…` sequentially; the DuckDB
-    * twin spells the same chain out as a left-associative 64-term
-    * expression, so both engines perform the identical IEEE operation
-    * sequence → bit-identical similarity with no rounding. The HOF form is
-    * deliberate: an explicit 64-term element_at chain builds a ~400-node
-    * expression tree whose generated code blows past JIT method limits and
-    * evaluates SLOWER than the HOF's tight loop (measured 2×). (A
-    * decimal-cast path does NOT work here: Spark's double→decimal cast
+  /** Dot product as a strict LEFT FOLD over index order — the DuckDB twin
+    * spells the same chain out as a left-associative 64-term expression,
+    * so both engines perform the identical IEEE operation sequence →
+    * bit-identical similarity with no rounding.
+    *
+    * Implementation history (all measured): an explicit 64-term
+    * `element_at` chain builds a ~400-node tree that blows past JIT method
+    * limits (2× slower); the `aggregate`/`zip_with` HOF is CodegenFallback
+    * (interpreted per-element lambdas); the shipped form is a native
+    * Catalyst expression with `doGenCode` ([[graft.plans.ArrayDotProduct]])
+    * — a primitive loop inside whole-stage codegen, same fold order.
+    * (A decimal-cast path does NOT work here: Spark's double→decimal cast
     * goes through the shortest decimal repr, DuckDB expands the exact
     * binary value.) */
-  private def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def dotD(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftglue.Bridge
+    Bridge.column(graft.plans.ArrayDotProduct(
+      Bridge.expression(a), Bridge.expression(b)))
+  }
 
   private def dotSql(a: String, b: String): String =
     (1 to Dims).map(i => s"$a.emb[$i] * $b.emb[$i]").mkString(" + ")
@@ -44,14 +50,15 @@ object Similarity {
     "sqrt(" + (1 to Dims).map(i => s"$v.emb[$i] * $v.emb[$i]")
       .mkString(" + ") + ")"
 
-  /** (vec_id, emb: array<double>, norm) with left-fold norms (HOF loop,
-    * see [[dotD]] for why not an explicit chain). */
-  def withNorms(embeddings: DataFrame): DataFrame =
-    parallelized(embeddings).select(col("vec_id"),
+  /** (vec_id, emb: array<double>, norm) with left-fold norms — the norm is
+    * `sqrt(dot(emb, emb))` through the same native codegen'd kernel, an
+    * identical operation sequence to the old `transform`+`aggregate` HOF
+    * (square-then-left-fold-add). */
+  def withNorms(embeddings: DataFrame): DataFrame = {
+    val base = parallelized(embeddings).select(col("vec_id"),
       col("embedding").cast("array<double>").as("emb"))
-      .withColumn("norm",
-        sqrt(aggregate(transform(col("emb"), x => x * x), lit(0.0),
-          (acc, x) => acc + x)))
+    base.withColumn("norm", sqrt(dotD(col("emb"), col("emb"))))
+  }
 
   /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
     * the k nearest corpus vectors (self excluded), ranked by

@@ -33,6 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { case Seq(price, d) => discretizeExpr(price, d) })
     register(ext, "undiscretize", "integer level -> price at 10^decimals",
       { case Seq(level, d) => undiscretizeExpr(level, d) })
+    register(ext, "array_dot", "codegen'd dot product of two array<double>",
+      { case Seq(a, b) => ArrayDotProduct(a, b) })
   }
 
   private def register(ext: SparkSessionExtensions, name: String,
