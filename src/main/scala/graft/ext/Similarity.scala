@@ -95,7 +95,14 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket per vector: `planes` pseudo-random ±1
     * hyperplanes derived from md5(plane:dim) parity; bucket bit p = sign of
-    * Σ_d plane(p,d)·emb[d]. Deterministic and portable. */
+    * Σ_d plane(p,d)·emb[d]. Deterministic and portable.
+    *
+    * Each plane projection is the native codegen'd dot product against a
+    * ±1 plane-vector LITERAL — round 1's explicit 64-term `element_at`
+    * chain built a ~400-node tree per plane that strained JIT method
+    * limits. The loop multiplies `emb[d] * sign` then adds left-to-right,
+    * exactly the operation sequence of the old chain and of the DuckDB
+    * twin's textual `+`-chain, so buckets are bit-identical. */
   def lshBuckets(embeddings: DataFrame, planes: Int = 4): DataFrame = {
     // plane(p,d) = +1 if first hex nibble of md5("p:d") is >= '8' else -1
     val dims = 64
@@ -104,16 +111,10 @@ object Similarity {
         .digest(s"$p:$d".getBytes("UTF-8"))
       if ((h(0) & 0x80) != 0) 1.0 else -1.0
     }
-    // plain double chain: both engines evaluate the textual +-chain
-    // left-to-right, so the sign is bit-identical without decimal.
-    // element-wise float→double casts (not a whole-array cast alias that
-    // projection collapse would re-evaluate per term)
+    val emb = col("embedding").cast("array<double>")
     val bucketBits = (0 until planes).map { p =>
-      val terms = (0 until dims).map { d =>
-        element_at(col("embedding"), d + 1).cast("double") *
-          lit(planeSign(p, d))
-      }.reduce(_ + _)
-      when(terms > 0.0, 1L << p).otherwise(0L)
+      val plane = typedlit((0 until dims).map(d => planeSign(p, d)))
+      when(dotD(emb, plane) > 0.0, 1L << p).otherwise(0L)
     }
     parallelized(embeddings)
       .select(col("vec_id"), bucketBits.reduce(_ + _).as("bucket"))
