@@ -96,16 +96,18 @@ object Dedup {
     // Candidate pairs then verify with array_intersect on two array
     // columns — no postings re-join, no re-shuffle of the shingle table;
     // exact Jaccard runs as a scalar expression on the (few) candidate
-    // rows. ONE eager count materializes the cached per-doc table before
-    // the concurrent band/verify consumers read it (lazy caching races
-    // within an action; round-1 had two cache+count ladders here).
+    // rows. ONE eager localCheckpoint materializes the per-doc table
+    // before the concurrent band/verify consumers read it (lazy caching
+    // races within an action; round-1 had two cache+count ladders here);
+    // unlike cache(), the checkpoint blocks are owned by THIS plan and GC
+    // with it — repeated engine calls leave no CacheManager residue
+    // (round-2 ADVICE).
     val sigAggs = (0 until k).map(i =>
       min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i")) ++ Seq(
       count(lit(1)).as("nsh"), collect_set(col("sh")).as("shset"))
     val perDoc = shingles(docs, n).groupBy("doc_id")
       .agg(sigAggs.head, sigAggs.tail: _*)
-      .cache()
-    perDoc.count()
+      .localCheckpoint(true)
     val bands = perDoc.select(col("doc_id"),
       posexplode(array((0 until k / r).map(j =>
         md5(concat_ws("", (0 until r).map(i => col(s"h${j * r + i}")): _*))): _*))
@@ -183,16 +185,16 @@ object Dedup {
       dfMax: Int = 5, threshold: Double = 0.1): DataFrame = {
     // Candidate generation needs the per-shingle document frequency, so
     // the shingle table stays materialized and the postings-join
-    // verification stays cheap (sh is already cached and doc-partitioned;
-    // the array_intersect shape used by minhashNearDup measured SLOWER
-    // here because the uncached rare self-join recomputed the df filter).
-    // ONE eager count: the rare job reads sh, so rare.count() populates
-    // both caches before the concurrent consumers run.
-    val sh = shingles(docs, n).cache()
+    // verification stays cheap (the array_intersect shape used by
+    // minhashNearDup measured SLOWER here because the unmaterialized rare
+    // self-join recomputed the df filter). Eager localCheckpoints instead
+    // of cache+count: blocks are plan-owned (GC with the plan, no
+    // CacheManager residue across engine calls — round-2 ADVICE); the rare
+    // checkpoint reads the sh checkpoint, so the second pass is cheap.
+    val sh = shingles(docs, n).localCheckpoint(true)
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df").between(dfMin, dfMax))
-    val rare = sh.join(dfreq.select("sh"), "sh").cache()
-    rare.count()
+    val rare = sh.join(dfreq.select("sh"), "sh").localCheckpoint(true)
     val cands = rare.as("a").join(rare.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -141,12 +141,12 @@ object Similarity {
   /** LSH-bucketed ANN: nearest neighbor per query within its bucket —
     * the candidate join is an equi-join on bucket, no cross join. */
   def lshNearest(embeddings: DataFrame, planes: Int = 4): DataFrame = {
-    // cache only the (vec_id, bucket) table: tiny and referenced per side;
-    // columnar-caching the array column costs more than recomputing the
-    // map-side cast from parquet. Eager count: concurrent stages would
-    // otherwise each compute the cold cache.
-    val buckets = lshBuckets(embeddings, planes).cache()
-    buckets.count()
+    // materialize only the (vec_id, bucket) table: tiny and referenced
+    // per side; columnar-caching the array column costs more than
+    // recomputing the map-side cast from parquet. Eager localCheckpoint
+    // (not cache+count): blocks are plan-owned and GC with the plan — no
+    // CacheManager residue across engine calls (round-2 ADVICE).
+    val buckets = lshBuckets(embeddings, planes).localCheckpoint(true)
     val vecs = withNorms(embeddings).join(buckets, "vec_id")
     val a = vecs.select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
       col("norm").as("q_norm"), col("bucket"))
@@ -185,8 +185,7 @@ object Similarity {
     * deterministic, so duplicates are identical rows). */
   def lshNearestMultiProbe(embeddings: DataFrame, planes: Int = 4)
       : DataFrame = {
-    val buckets = lshBuckets(embeddings, planes).cache()
-    buckets.count()
+    val buckets = lshBuckets(embeddings, planes).localCheckpoint(true) // see lshNearest
     val vecs = withNorms(embeddings).join(buckets, "vec_id")
     val probes = col("bucket") +:
       (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))
@@ -212,9 +211,7 @@ object Similarity {
     * the exact verification, same determinism contract as `cosineTopK`. */
   def cosineNearDup(embeddings: DataFrame, planes: Int = 4,
       threshold: Double = 0.4): DataFrame = {
-    // cache only the (vec_id, bucket) table (see lshNearest)
-    val buckets = lshBuckets(embeddings, planes).cache()
-    buckets.count()
+    val buckets = lshBuckets(embeddings, planes).localCheckpoint(true) // see lshNearest
     val vecs = withNorms(embeddings).join(buckets, "vec_id")
     val a = vecs.select(col("vec_id").as("vec_a"), col("emb").as("a_emb"),
       col("norm").as("a_norm"), col("bucket"))
@@ -250,8 +247,9 @@ object Similarity {
     * the corpus instead of all of it. */
   def ivfTopK(embeddings: DataFrame, nCentroids: Int = 8, nProbe: Int = 2,
       nQueries: Int = 10, k: Int = 3): DataFrame = {
-    // csims feeds both assignment and probes — cache it (small, no
-    // arrays); vecs recomputes map-side from parquet which is cheaper
+    // csims feeds both assignment and probes — materialize it via eager
+    // localCheckpoint (small, no arrays; plan-owned blocks, see
+    // lshNearest); vecs recomputes map-side from parquet which is cheaper
     // than columnar-caching the embedding arrays
     val vecs = withNorms(embeddings)
     val cents = vecs.where(col("vec_id") < nCentroids)
@@ -260,8 +258,7 @@ object Similarity {
     val csims = vecs.crossJoin(cents.hint("broadcast"))
       .select(col("vec_id"), col("cid"),
         (dotD(col("emb"), col("c_emb")) / (col("norm") * col("c_norm")))
-          .as("csim")).cache()
-    csims.count()
+          .as("csim")).localCheckpoint(true)
     val byCell = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cid"))
     val assigned = csims.withColumn("rn", row_number().over(byCell))

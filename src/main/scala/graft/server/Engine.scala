@@ -134,7 +134,13 @@ final class Engine(spark: SparkSession, dtfFolder: String) {
         case ReqCount.All => books.keys.toSeq
         case _ => Seq(session.book)
       }
-      names.foreach(b => books.get(b).foreach(_.clear()))
+      names.foreach { b =>
+        books.get(b).foreach(_.clear())
+        // the reference's clear()/clearall() call load_size_from_file()
+        // (state.rs:562-579, 112-118), resetting nominal_count to the
+        // on-disk header size; books with no file keep their count
+        if (hasFs(b)) nominal(b) = fsDf(b).map(_.count()).getOrElse(0L)
+      }
       Text("1\n")
 
     case Command.Flush(which) =>
@@ -202,8 +208,12 @@ final class Engine(spark: SparkSession, dtfFolder: String) {
     * `postprocessing/orderbook.rs:15-23`): `{"price_decimals":N,
     * "bids":{"<level>":size,...},"asks":{...}}` with BTreeMap
     * ascending-level key order. The snapshot of one book is bounded by its
-    * distinct price levels, so collecting it is fine. */
-  private def orderbookJson(book: String, decimals: Int = 2): String = {
+    * distinct price levels, so collecting it is fine. Default decimals is
+    * the reference's hardcoded `PRICE_DECIMALS = 10` (`state.rs:23`,
+    * `Book::new`) so level keys and level-merge granularity are
+    * key-compatible with reference OB replies. */
+  private def orderbookJson(book: String,
+      decimals: Int = Engine.PriceDecimals): String = {
     val rows = Orderbook.snapshot(bookDf(book), decimals)
       .select(col("is_bid"), col("level"), col("size"))
       .orderBy("level").collect()
@@ -277,6 +287,10 @@ final class Engine(spark: SparkSession, dtfFolder: String) {
 }
 
 object Engine {
+  /** The reference's `PRICE_DECIMALS` (`state.rs:23`) — every book's
+    * orderbook discretizes prices at 10 decimals. */
+  val PriceDecimals = 10
+
   val HelpText: String =
     """Commands:
       |PING, INFO, PERF, HELP

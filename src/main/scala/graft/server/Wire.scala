@@ -68,8 +68,11 @@ object Wire {
       buf(0) != RawInsertPrefix(0) || buf(1) != RawInsertPrefix(1))
       return None
     val b = ByteBuffer.wrap(buf, 2, buf.length - 2)
+    // a garbage negative length would pass `remaining < len` (remaining is
+    // never < a negative number) and crash downstream — malformed frames
+    // must become Bad-format replies, not dead connections
     val len = b.getLong().toInt
-    if (b.remaining() < len) return None
+    if (len < 0 || b.remaining() < len) return None
     val name =
       if (len > 0) {
         val nb = new Array[Byte](len)
@@ -113,8 +116,12 @@ object Wire {
       : Option[(Option[Update], Option[String])] = {
     if (len < 2 + 8 || !isRawInsert(buf, off, len)) return None
     val b = ByteBuffer.wrap(buf, off + 2, len - 2)
+    // negative or frame-overrunning name length = malformed frame -> None
+    // (the caller replies Bad format.); a negative value would pass the
+    // `remaining < nameLen` check and index out of bounds below
     val nameLen = b.getLong().toInt
-    if (b.remaining() < nameLen) return None
+    if (nameLen < 0 || 10 + nameLen > len || b.remaining() < nameLen)
+      return None
     val name =
       if (nameLen > 0) {
         val s = new String(buf, off + 10, nameLen, "UTF-8")
@@ -163,7 +170,12 @@ private final class FrameReader(is: java.io.InputStream,
   def next(): FrameReader.Slice = {
     if (!ensure(4)) return null
     val len = lengthAt(lo)
-    if (len < 0) return null // garbage length prefix: treat as EOF
+    // guard BEFORE any arithmetic: `len + 4` overflows Int for
+    // len > MaxValue-4, which would skip both this check and the oversized
+    // path and tear the connection down mid-Slice. Anything beyond MaxFrame
+    // is a protocol error (requests are commands + 32-byte inserts), not a
+    // frame to allocate.
+    if (len < 0 || len > FrameReader.MaxFrame) return null
     if (len + 4 > buf.length) { // oversized frame: dedicated array
       val big = new Array[Byte](len)
       var copied = hi - (lo + 4)
@@ -184,6 +196,11 @@ private final class FrameReader(is: java.io.InputStream,
 }
 
 private object FrameReader {
+  /** Largest request frame the server will buffer (16 MiB — far above any
+    * legitimate command; a forged multi-GB length must not reach
+    * `new Array[Byte](len)`). */
+  val MaxFrame: Int = 1 << 24
+
   final class Slice(val buf: Array[Byte], val off: Int, val len: Int) {
     def toArray: Array[Byte] = java.util.Arrays.copyOfRange(buf, off, off + len)
     def asString: String = new String(buf, off, len, "UTF-8")

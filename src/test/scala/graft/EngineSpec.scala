@@ -98,6 +98,25 @@ class EngineSpec extends SparkSpec {
     assert(out2.contains(""""total_count":1"""), out2)
   }
 
+  test("CLEAR resets nominal count from disk (state.rs:562-579,112-118)") {
+    val e = engine()
+    e.execute(CommandParser.parse("CREATE cleardb"))
+    e.execute(CommandParser.parse("USE cleardb"))
+    e.execute(CommandParser.parse("ADD 1505177459.658, 1, t, f, 1.0, 2.0;"))
+    e.execute(CommandParser.parse("ADD 1505177459.659, 2, t, f, 1.0, 2.0;"))
+    e.execute(CommandParser.parse("FLUSH"))
+    // third insert bumps lifetime nominal to 3, but never reaches disk
+    // before CLEAR; the reference's clear() -> load_size_from_file resets
+    // the count to the stored size (2), not the lifetime count
+    e.execute(CommandParser.parse("ADD 1505177459.100, 3, t, f, 1.0, 2.0;"))
+    e.execute(CommandParser.parse("CLEAR"))
+    val out = e.execute(CommandParser.parse("INFO")) match {
+      case e.Text(t) => t
+      case other => fail(s"unexpected: $other")
+    }
+    assert(out.contains(""""name":"cleardb","in_memory":0,"count":2"""), out)
+  }
+
   test("PERF ring-buffer history (A11, state.rs:193-203,338-360)") {
     val e = engine()
     e.execute(CommandParser.parse("CREATE hist_db"))

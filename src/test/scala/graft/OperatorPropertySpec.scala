@@ -31,9 +31,10 @@ class OperatorPropertySpec extends SparkSpec {
       genUpdates.apply(Gen.Parameters.default, Seed(i.toLong)))
 
   test("distributed percentile == scalar sorted-rank interpolation") {
-    // the bucketed-rank rewrite (HistogramOps.percentilesBy) must equal
-    // the naive percentile_of_sorted (histogram.rs:370-390) bit-for-bit
-    // on random inputs, including tie-heavy value distributions
+    // BOTH percentile plans (the bucketed-rank rewrite AND the window-sort
+    // small path percentilesBy dispatches between) must equal the naive
+    // percentile_of_sorted (histogram.rs:370-390) bit-for-bit on random
+    // inputs, including tie-heavy value distributions
     import graft.operators.HistogramOps
     import org.apache.spark.sql.functions.col
     def scalar(vs: Seq[Double], pct: Double): Double = {
@@ -45,18 +46,25 @@ class OperatorPropertySpec extends SparkSpec {
       else s(lrank.toInt) + (s(lrank.toInt + 1) - s(lrank.toInt)) * d
     }
     val pcts = Seq(25.0 -> "q1", 50.0 -> "med", 75.0 -> "q3")
+    val plans: Seq[(String, org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame)] = Seq(
+      "bucketed" -> (df => HistogramOps.bucketedPlan(df, col("price"), pcts)),
+      "window" -> (df => HistogramOps.windowPlan(df, col("price"), pcts)),
+      "adaptive" -> (df => HistogramOps.percentilesBy(df, col("price"), pcts)))
     cases(8).filter(_.nonEmpty).foreach { ups =>
-      val got = HistogramOps.percentilesBy(updatesDf(ups), col("price"), pcts)
-        .collect()
-        .map(r => r.getString(0) ->
-          (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
-        .toMap
       val bySym = ups.groupBy(_.symbol)
-      assert(got.keySet === bySym.keySet)
-      bySym.foreach { case (sym, rows) =>
-        val vs = rows.map(_.price)
-        val want = (scalar(vs, 25.0), scalar(vs, 50.0), scalar(vs, 75.0))
-        assert(got(sym) === want, s"symbol $sym values $vs")
+      plans.foreach { case (label, mk) =>
+        val got = mk(updatesDf(ups))
+          .collect()
+          .map(r => r.getString(0) ->
+            (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+          .toMap
+        assert(got.keySet === bySym.keySet, s"plan $label")
+        bySym.foreach { case (sym, rows) =>
+          val vs = rows.map(_.price)
+          val want = (scalar(vs, 25.0), scalar(vs, 50.0), scalar(vs, 75.0))
+          assert(got(sym) === want, s"plan $label symbol $sym values $vs")
+        }
       }
     }
   }

@@ -63,12 +63,16 @@ class PlanSpec extends SparkSpec {
   test("percentiles use bucketed rank — no per-symbol full window sort") {
     // VERDICT r1 #3/#4: a Window over (symbol) ordered by the value column
     // funnels a hot symbol's entire history through one task. The
-    // distributed order-statistics path only ever windows (a) the tiny
-    // bucket-count table and (b) rows inside located buckets, both keyed
-    // by (symbol, _b).
+    // distributed order-statistics path (what percentilesBy dispatches to
+    // above PctWindowMaxRows; asserted here on the lazy plan builder) only
+    // ever windows (a) the tiny bucket-count table and (b) rows inside
+    // located buckets, both keyed by (symbol, _b).
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    val df = SparkEntry.queries("q_stats")(spark, sf("sf0.001"))
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.HistogramOps.bucketedPlan(
+      Tables.updates(spark, sf("sf0.001")), col("price"),
+      Seq(25.0 -> "q1", 50.0 -> "med", 75.0 -> "q3"))
     def windows(p: org.apache.spark.sql.execution.SparkPlan)
         : Seq[WindowExec] = p.collect {
       case w: WindowExec => Seq(w)

@@ -81,13 +81,15 @@ class WireSpec extends SparkSpec {
     val client = new TcpClient("127.0.0.1", server.boundPort)
     try {
       client.cmd("CREATE obbook")
-      // bid level 1.25 -> 125, ask level 1.5 -> 150
+      // levels discretize at the reference's hardcoded PRICE_DECIMALS=10
+      // (state.rs:23): bid 1.25 -> 12500000000, ask 1.5 -> 15000000000
       assert(client.cmd("ADD 1505177459.658, 1, f, t, 1.25, 4.5;")._1)
       assert(client.cmd("ADD 1505177459.659, 2, f, f, 1.5, 2.0;")._1)
       val (ok, json) = client.cmd("OB")
       assert(ok, json)
       assert(json ===
-        """{"price_decimals":2,"bids":{"125":4.5},"asks":{"150":2.0}}""")
+        """{"price_decimals":10,"bids":{"12500000000":4.5},""" +
+          """"asks":{"15000000000":2.0}}""")
       val (ok2, _) = client.cmd("OB obbook")
       assert(ok2)
       // unknown book errors instead of killing the connection
@@ -133,6 +135,53 @@ class WireSpec extends SparkSpec {
       assert(!ok2 && err2.contains("Bad format"))
       assert(client.cmd("PING") === ((true, "PONG.\n")))
     } finally { client.close(); server.stop() }
+  }
+
+  test("malformed raw insert (negative name length) replies Bad format") {
+    val engine =
+      new Engine(spark, Files.createTempDirectory("graft-badra").toString)
+    val server = new TcpServer(engine)
+    val client = new TcpClient("127.0.0.1", server.boundPort)
+    try {
+      // forge `ra` + negative i64 name length + padding: decodeInsertIntoAt
+      // must return None (Bad format reply), not throw out-of-bounds and
+      // kill the connection
+      val b = java.nio.ByteBuffer.allocate(2 + 8 + 22)
+      b.put("ra".getBytes("UTF-8"))
+      b.putLong(-42L)
+      b.put(new Array[Byte](22))
+      val (ok, err) = client.request(b.array())
+      assert(!ok && new String(err, "UTF-8").contains("Bad format"))
+      // frame-overrunning name length is equally malformed
+      val b2 = java.nio.ByteBuffer.allocate(2 + 8 + 22)
+      b2.put("ra".getBytes("UTF-8"))
+      b2.putLong(1000000L)
+      b2.put(new Array[Byte](22))
+      val (ok2, err2) = client.request(b2.array())
+      assert(!ok2 && new String(err2, "UTF-8").contains("Bad format"))
+      assert(client.cmd("PING") === ((true, "PONG.\n")))
+    } finally { client.close(); server.stop() }
+  }
+
+  test("forged oversize/overflowing frame length closes cleanly") {
+    val engine =
+      new Engine(spark, Files.createTempDirectory("graft-hugelen").toString)
+    val server = new TcpServer(engine)
+    // Int.MaxValue-2 as a length prefix: `len + 4` would overflow Int and
+    // slip past both the negative-length and oversized-frame guards; the
+    // server must treat it as a protocol error (EOF), never allocate, and
+    // keep accepting fresh connections
+    val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+    try {
+      val out = new java.io.DataOutputStream(sock.getOutputStream)
+      out.writeInt(Int.MaxValue - 2)
+      out.write(new Array[Byte](64))
+      out.flush()
+      assert(sock.getInputStream.read() === -1) // server hung up, no reply
+      val client = new TcpClient("127.0.0.1", server.boundPort)
+      try assert(client.cmd("PING") === ((true, "PONG.\n")))
+      finally client.close()
+    } finally { sock.close(); server.stop() }
   }
 
   test("integration throughput shape: 10k raw inserts land in mem") {
