@@ -237,6 +237,72 @@ object Dedup {
        |  >= $threshold
        |ORDER BY 1, 2""".stripMargin.replace('\n', ' ')
 
+  /** Near-dup CLUSTERING: connected components over a verified near-dup
+    * pair graph, then canonical-doc selection — the final step of a dedup
+    * pipeline (a pair list alone cannot say what to drop once A~B and B~C
+    * but A≁C; the component is the dedup group). Emits one row per
+    * document: (doc_id, group_id = min doc id reachable through pairs,
+    * keep = doc is its group's canonical representative). Documents in no
+    * pair are their own singleton group.
+    *
+    * Components via iterative min-label propagation: each round every
+    * node's label becomes the min of its own and its neighbors' labels;
+    * convergence when no label changed. Rounds = graph diameter — near-dup
+    * clusters are shallow (dozens of docs, diameter ≤ a few hops), so this
+    * terminates in a handful of rounds; each round is one equi-join + one
+    * aggregation, shuffling only the pair graph (not the corpus), with an
+    * eager localCheckpoint truncating lineage so round N's plan does not
+    * replay rounds 1..N-1. For adversarially chained graphs (diameter
+    * ~log n matters) swap the body for alternating large-star/small-star
+    * ("Connected Components in MapReduce", Kiveris et al.) — same
+    * interface, not needed for near-dup cluster shapes. */
+  def dedupGroups(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val viaNbr = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("comp")).as("ncomp"))
+      val next = labels.join(viaNbr, Seq("id"), "left")
+        .select(col("id"), col("comp").as("_old"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp")))
+            .as("comp"))
+        .localCheckpoint(true)
+      changed = next.where(col("comp") =!= col("_old")).count()
+      labels = next.select("id", "comp")
+    }
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("group_id"))
+      .withColumn("keep", col("doc_id") === col("group_id"))
+  }
+
+  /** DuckDB twin of [[dedupGroups]] over the minhash pair graph: the
+    * transitive closure as a recursive CTE (min reachable id ==
+    * propagated min label at convergence). */
+  def dedupGroupsSql(n: Int = 2, k: Int = 16, r: Int = 4,
+      threshold: Double = 0.2): String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (${minhashNearDupSql(n, k, r, threshold)})),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+       |comp AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id)
+       |SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS group_id,
+       | d.doc_id = coalesce(c.group_id, d.doc_id) AS keep
+       |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin.replace('\n', ' ')
+
   /** 16-bit SimHash per doc from word-frequency votes: bit b is the sign of
     * Σ tf(w) · (±1 from nibble b of md5(w)). */
   def simhash(docs: DataFrame): DataFrame = {

@@ -134,4 +134,145 @@ object TextOps {
        |  SELECT doc_id, lang AS lang_meta, $sels FROM documents))
        |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
   }
+
+  // -------------------------------------------------------- keyword search
+
+  /** Natural log quantized to 12 decimals via exact IEEE ops
+    * (`floor(ln(x)·1e12)/1e12`): libm `log` is NOT bit-portable across
+    * engines (measured: 7/10500 idf arguments differ by 1 ulp between the
+    * JVM and DuckDB), but floor-quantization collapses every measured
+    * 1-ulp pair onto the same double. The 1e-12 score perturbation is ~4
+    * orders below any ranking-relevant difference. */
+  private def lnQ(x: Column): Column = floor(log(x) * 1e12) / 1e12
+  // outer parens: the quantizing division must bind to floor() BEFORE any
+  // surrounding multiplication, or left-associativity reorders the rounding
+  private def lnQSql(x: String): String =
+    s"(floor(ln($x) * 1e12) / 1e12)"
+
+  /** Whitespace tokens, one row per occurrence: (doc_id, term). */
+  private def tokens(docs: DataFrame): DataFrame =
+    graft.functions.parallelized(docs).select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+
+  private val tokensSql: String =
+    """SELECT doc_id,
+      | unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |FROM documents""".stripMargin.replace('\n', ' ')
+
+  /** BM25 keyword search: top-`topK` documents for a bag of query `terms`
+    * (Robertson idf with the +1 floor, k1/b defaults per the literature).
+    * Determinism contract: idf through [[lnQ]]; the per-document score is
+    * an explicit left-to-right `+`-chain over the FIXED query-term order
+    * (terms sorted), never an unordered float SUM — both engines perform
+    * the identical IEEE sequence, so scores are bit-exact.
+    *
+    * Scale shape: tf filters to query terms AT the token stream (the
+    * corpus never aggregates the full vocabulary); corpus constants
+    * (N, avgdl) and per-term df are bounded aggregates materialized local
+    * and broadcast; top-k is a TakeOrdered, not a global sort. */
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, topK: Int = 10): DataFrame = {
+    import graft.functions.localRelation
+    val qterms = terms.map(_.toLowerCase).distinct.sorted
+    val toks = tokens(docs)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val consts = localRelation(dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("tdl"))
+      .select(col("n_docs"),
+        (col("tdl").cast("double") / col("n_docs")).as("avgdl")))
+    val tf = toks.where(col("term").isin(qterms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = localRelation(
+      tf.groupBy("term").agg(count(lit(1)).as("df")))
+    val scored = tf.join(dl, "doc_id").join(dfreq, "term").crossJoin(consts)
+      .withColumn("idf",
+        lnQ((col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("tscore",
+        col("idf") * (col("tf") * (lit(k1) + lit(1.0))) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+    val perTerm = qterms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("tscore"))).as(s"_s$i")
+    }
+    scored.groupBy("doc_id").agg(perTerm.head, perTerm.tail: _*)
+      .select(col("doc_id"),
+        qterms.indices.map(i => coalesce(col(s"_s$i"), lit(0.0)))
+          .reduceLeft(_ + _).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** DuckDB twin of [[bm25]] — textually the same arithmetic, same
+    * left-to-right term chain. Every fractional literal is
+    * exponent-suffixed (`1.2e0`): DuckDB types a bare `1.2` as DECIMAL and
+    * computes EXACT decimal products where Spark computes IEEE doubles —
+    * `tf * (1.2 + 1.0)` came out 6.6 exact vs 6.6000000000000005 binary
+    * until every constant was forced DOUBLE. */
+  def bm25Sql(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 10): String = {
+    val qterms = terms.map(_.toLowerCase).distinct.sorted
+    val inList = qterms.map(t => s"'$t'").mkString(", ")
+    val perTerm = qterms.zipWithIndex.map { case (t, i) =>
+      s"max(CASE WHEN term = '$t' THEN tscore END) AS _s$i"
+    }.mkString(", ")
+    val chain = qterms.indices.map(i => s"coalesce(_s$i, 0.0e0)")
+      .mkString(" + ")
+    s"""WITH toks AS ($tokensSql),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       |consts AS (SELECT count(*) AS n_docs,
+       |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       |  WHERE term IN ($inList) GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (SELECT t.doc_id, t.term,
+       |  ${lnQSql("(c.n_docs - f.df + 0.5e0) / (f.df + 0.5e0) + 1.0e0")}
+       |    * (t.tf * (${k1}e0 + 1.0e0)) /
+       |    (t.tf + ${k1}e0 * (1.0e0 - ${b}e0 + ${b}e0 * d.dl / c.avgdl))
+       |    AS tscore
+       | FROM tf t JOIN dl d USING (doc_id) JOIN dfreq f USING (term)
+       | CROSS JOIN consts c)
+       |SELECT doc_id, $chain AS score FROM (
+       | SELECT doc_id, $perTerm FROM scored GROUP BY doc_id)
+       |ORDER BY score DESC, doc_id LIMIT $topK"""
+      .stripMargin.replace('\n', ' ')
+  }
+
+  /** TF-IDF keyword extraction: the `topK` highest-tf·idf terms per
+    * document (idf = quantized ln(N/df), ties broken by term). No float
+    * sums at all — tf·idf is a single exact product — so bit-portability
+    * needs only [[lnQ]]. The per-doc rank window is bounded by the doc's
+    * own vocabulary: no hot-key funnel. */
+  def tfidfTopTerms(docs: DataFrame, topK: Int = 3): DataFrame = {
+    import graft.functions.localRelation
+    val tf = tokens(docs).groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = localRelation(
+      docs.agg(count(lit(1)).as("n_docs")))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term").crossJoin(nDocs)
+      .withColumn("tfidf",
+        col("tf") * lnQ(col("n_docs").cast("double") / col("df")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select("doc_id", "rank", "term", "tfidf")
+  }
+
+  def tfidfTopTermsSql(topK: Int = 3): String =
+    s"""WITH toks AS ($tokensSql),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |nd AS (SELECT count(*) AS n_docs FROM documents),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (SELECT t.doc_id, t.term,
+       |  t.tf * ${lnQSql("CAST(n.n_docs AS DOUBLE) / f.df")} AS tfidf
+       | FROM tf t JOIN dfreq f USING (term) CROSS JOIN nd n)
+       |SELECT doc_id, rank, term, tfidf FROM (
+       | SELECT *, row_number() OVER (
+       |   PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+       | FROM scored)
+       |WHERE rank <= $topK ORDER BY doc_id, rank"""
+      .stripMargin.replace('\n', ' ')
 }

@@ -27,6 +27,19 @@ package object functions {
   }
 
 
+  /** Materialize a BOUNDED aggregate (per-symbol bin parameters, corpus
+    * constants, percentile tables — anything whose cardinality is the
+    * GROUP key domain, not the data size) as a LocalRelation: downstream
+    * joins against it become broadcasts, composed operators never
+    * recompute the subtree, and nothing is left registered in the
+    * CacheManager. The collect is the same "tiny result, collected and
+    * broadcast" phase-1 pattern as RebinnedBook's bin parameters. */
+  def localRelation(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.createDataFrame(df.collect().toSeq.asJava, df.schema)
+  }
+
   /** Normalize an epoch to 13-digit milliseconds by repeated *10, exactly the
     * reference's `fill_digits` loop (`crates/tdb-core/src/utils.rs:11-22`):
     * multiplies by 10 until the value is >= 1_000_000_000_000. 0 stays 0.

@@ -57,14 +57,9 @@ object HistogramOps {
     } finally base.unpersist()
   }
 
-  /** Materialize a BOUNDED per-symbol aggregate as a LocalRelation (the
-    * collect is bounded by group cardinality — the same "tiny result,
-    * collected and broadcast" phase-1 pattern as RebinnedBook's bin
-    * parameters). */
-  private def localized(df: DataFrame): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    df.sparkSession.createDataFrame(df.collect().toSeq.asJava, df.schema)
-  }
+  /** See [[graft.functions.localRelation]] — bounded per-symbol aggregate
+    * to LocalRelation. */
+  private def localized(df: DataFrame): DataFrame = localRelation(df)
 
   /** Single-pass per-symbol window-sort percentile plan — the exact
     * `percentile_of_sorted` rank arithmetic over `row_number`. Right for

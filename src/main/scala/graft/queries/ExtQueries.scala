@@ -15,6 +15,10 @@ object ExtQueries {
   private def embs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.table(s, dir, "embeddings")
 
+  /** Query bag for the BM25 gate — mid-frequency vocabulary words so df
+    * spreads across terms. */
+  private val BM25Terms = Seq("spark", "merge", "join", "hash")
+
   val all: Seq[Q] = Seq(
 
     // exact dedup: hash groupBy
@@ -27,6 +31,14 @@ object ExtQueries {
       (s, dir) => Dedup.minhashNearDup(docs(s, dir))
         .orderBy("doc_a", "doc_b"),
       Some(Dedup.minhashNearDupSql())),
+
+    // near-dup clustering: connected components over the verified minhash
+    // pair graph + canonical-doc selection (the dedup-apply step)
+    Q("q_dedup_groups",
+      (s, dir) => Dedup.dedupGroups(docs(s, dir),
+          Dedup.minhashNearDup(docs(s, dir)).select("doc_a", "doc_b"))
+        .orderBy("doc_id"),
+      Some(Dedup.dedupGroupsSql())),
 
     // SimHash fingerprints
     Q("q_simhash",
@@ -100,6 +112,17 @@ object ExtQueries {
         .orderBy("doc_id"),
       Some(s"SELECT doc_id, ${TextOps.bpeTokenCountSql} AS n_bpe " +
         "FROM documents ORDER BY doc_id")),
+
+    // BM25 keyword search (quantized-ln idf, ordered term chain)
+    Q("q_bm25",
+      (s, dir) => TextOps.bm25(docs(s, dir), BM25Terms),
+      Some(TextOps.bm25Sql(BM25Terms))),
+
+    // TF-IDF keyword extraction: top terms per document
+    Q("q_tfidf_topterms",
+      (s, dir) => TextOps.tfidfTopTerms(docs(s, dir))
+        .orderBy("doc_id", "rank"),
+      Some(TextOps.tfidfTopTermsSql())),
 
     // quality scoring
     Q("q_quality",

@@ -131,6 +131,13 @@ object TickQueries {
           | string_split('bnc_' || symbol || '_usd', '_')[2] AS currency,
           | string_split('bnc_' || symbol || '_usd', '_')[3] AS asset
           |FROM (SELECT DISTINCT symbol FROM updates) ORDER BY book"""
-          .stripMargin.replace('\n', ' '))))
+          .stripMargin.replace('\n', ' ')))),
+
+    // as-of join (kdb `aj` shape): every trade joined to the prevailing
+    // quote — single-pass last-non-null window, no per-trade point lookup.
+    Q("q_asof_quote",
+      (s, dir) => AsofJoin.tradesWithQuote(u(s, dir))
+        .orderBy("symbol", "ts", "seq"),
+      Some(Tables.withUpdates(AsofJoin.tradesWithQuoteSql)))
   )
 }

@@ -42,6 +42,60 @@ class ExtSpec extends SparkSpec {
     out.values.foreach(j => assert(j >= 0.1 && j <= 1.0))
   }
 
+  test("dedupGroups: transitive closure + canonical-doc selection") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = docsDf((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"),
+      (5L, "e"), (6L, "f"), (7L, "g"))
+    // chain 1-2-3 plus 3-1 (cycle), pair 5-6; 4 and 7 singletons.
+    // The chain needs >1 propagation round to reach 3 -> 1.
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 1L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.dedupGroups(docs, pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out === Map(
+      1L -> ((1L, true)), 2L -> ((1L, false)), 3L -> ((1L, false)),
+      4L -> ((4L, true)), 5L -> ((5L, true)), 6L -> ((5L, false)),
+      7L -> ((7L, true))))
+    // deep chain: diameter 5, forces several min-propagation rounds
+    val chain = Seq((9L, 8L), (10L, 9L), (11L, 10L), (12L, 11L),
+      (13L, 12L)).toDF("doc_a", "doc_b")
+    val docs2 = docsDf((8L to 13L).map(i => (i, "x")): _*)
+    val out2 = Dedup.dedupGroups(docs2, chain)
+      .where(col("group_id") =!= 8L).count()
+    assert(out2 === 0, "all chain members must collapse to min id 8")
+  }
+
+  test("bm25: term-bearing docs only, more matched terms outranks fewer") {
+    import graft.ext.TextOps
+    val docs = docsDf(
+      (1L, "alpha beta gamma delta"),   // 2 query terms
+      (2L, "alpha alpha alpha zeta"),   // 1 term, high tf
+      (3L, "epsilon zeta eta theta"),   // 0 terms
+      (4L, "alpha beta alpha beta"))    // 2 terms, tf 2 each
+    val out = TextOps.bm25(docs, Seq("alpha", "beta"), topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!out.contains(3L), "doc without any query term must not score")
+    assert(out(4L) > out(1L), "higher tf on both terms must outrank")
+    assert(out(4L) > out(2L), "two matched terms must outrank one")
+    out.values.foreach(s => assert(s > 0.0))
+  }
+
+  test("tfidfTopTerms: ubiquitous terms score 0, rare terms rank first") {
+    import graft.ext.TextOps
+    val docs = docsDf(
+      (1L, "common rare1 common"),
+      (2L, "common rare2"),
+      (3L, "common filler"))
+    val rows = TextOps.tfidfTopTerms(docs, topK = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2),
+        r.getDouble(3)))).toMap
+    // 'common' appears in every doc -> idf = ln(1) = 0
+    assert(rows((1L, 1))._1 === "rare1" && rows((1L, 1))._2 > 0.0)
+    assert(rows((2L, 1))._1 === "rare2")
+    rows.collect { case ((_, _), ("common", s)) => assert(s === 0.0) }
+  }
+
   test("cosineNearDup: planted duplicate embedding found with sim ~ 1") {
     val v = Seq.tabulate(64)(i => math.sin(i + 1).toFloat)
     val u = Seq.tabulate(64)(i => math.cos(3 * i + 2).toFloat)

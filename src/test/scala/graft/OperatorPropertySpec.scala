@@ -109,6 +109,25 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("as-of join matches a scalar replay (prevailing quote per trade)") {
+    import graft.operators.AsofJoin
+    cases(10).foreach { ups =>
+      val got = AsofJoin.tradesWithQuote(updatesDf(ups))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+          (if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+        .toMap
+      val lastQuote = scala.collection.mutable.Map.empty[String, Double]
+      ups.sortBy(u => (u.symbol, u.ts, u.seq)).foreach { u =>
+        if (u.is_trade) {
+          val want = lastQuote.get(u.symbol)
+          assert(got((u.symbol, u.ts, u.seq)) === want, s"at $u")
+        } else lastQuote(u.symbol) = u.price
+      }
+      assert(got.size === ups.count(_.is_trade))
+    }
+  }
+
   test("tokenCount == whitespace-split length on arbitrary text") {
     import spark.implicits._
     val texts = Seq("", "  ", "a", "a b  c", " lead", "trail ",
