@@ -135,6 +135,102 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
   }
 
+  // ---------------------------------------------------- repetition signals
+
+  /** Gopher-style repetition signals per document: total / distinct word
+    * n-gram counts, the most-frequent n-gram's share of all n-grams, and
+    * the type-token ratio. The repetition share is the classic "fraction
+    * of characters in the most common n-gram" filter family ("Scaling
+    * Language Models" Gopher §A.1.1) restated over n-gram counts; all
+    * outputs are integer counts plus single exact IEEE divisions, so the
+    * oracle is bit-trivial.
+    *
+    * Scale shape: one map-side n-gram explode, one (doc_id, gram)
+    * aggregation, one per-doc aggregation — same single-exchange layout
+    * as [[Dedup.shingles]]. */
+  def repetition(docs: DataFrame, n: Int = 2): DataFrame = {
+    val ws = split(lower(trim(col("text"))), "\\s+")
+    val grams = graft.functions.parallelized(docs)
+      .select(col("doc_id"), explode(array(ws)).as("ws"))
+      .where(size(col("ws")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+          i => array_join(slice(col("ws"), i, lit(n)), " "))).as("g"))
+      .repartition(col("doc_id"))
+    grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_grams"),
+        count(lit(1)).as("distinct_grams"),
+        max(col("c")).as("top_gram_count"))
+      .select(col("doc_id"), col("n_grams"), col("distinct_grams"),
+        col("top_gram_count"),
+        (col("top_gram_count").cast("double") / col("n_grams"))
+          .as("top_gram_frac"),
+        (col("distinct_grams").cast("double") / col("n_grams")).as("ttr"))
+  }
+
+  def repetitionSql(n: Int = 2): String = {
+    val parts = (0 until n).map {
+      case 0 => "w"
+      case i => s"lead(w, $i) OVER (PARTITION BY doc_id ORDER BY pos)"
+    }.mkString(" || ' ' || ")
+    s"""SELECT doc_id, n_grams, distinct_grams, top_gram_count,
+       | CAST(top_gram_count AS DOUBLE) / n_grams AS top_gram_frac,
+       | CAST(distinct_grams AS DOUBLE) / n_grams AS ttr
+       |FROM (
+       | SELECT doc_id, sum(c) AS n_grams, count(*) AS distinct_grams,
+       |  max(c) AS top_gram_count
+       | FROM (SELECT doc_id, g, count(*) AS c FROM (
+       |   SELECT doc_id, $parts AS g FROM (
+       |    SELECT doc_id,
+       |     unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w,
+       |     generate_subscripts(
+       |       regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+       |    FROM documents))
+       |  WHERE g IS NOT NULL GROUP BY 1, 2)
+       | GROUP BY doc_id)
+       |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+  }
+
+  /** C4/Gopher-style document filter: the standard pre-training keep/drop
+    * decision composed from [[quality]] and [[repetition]] signals, with
+    * per-rule flags retained so drops are attributable (the practical
+    * pipeline need: you audit WHY a document fell out). Thresholds are
+    * parameters; defaults chosen to discriminate on the synthetic corpus.
+    * Every comparison operates on bit-identical doubles, so the boolean
+    * output is oracle-stable. */
+  def qualityFilter(docs: DataFrame, minTokens: Long = 25,
+      maxTopGramFrac: Double = 0.08, minMeanTokLen: Double = 3.0,
+      maxMeanTokLen: Double = 8.0): DataFrame = {
+    val q = quality(docs).select("doc_id", "n_tokens", "mean_token_len")
+    val r = repetition(docs).select("doc_id", "top_gram_frac")
+    q.join(r, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_tokens") >= minTokens).as("len_ok"),
+        (coalesce(col("top_gram_frac"), lit(0.0)) <= maxTopGramFrac)
+          .as("rep_ok"),
+        (col("mean_token_len") >= minMeanTokLen &&
+          col("mean_token_len") <= maxMeanTokLen).as("toklen_ok"))
+      .withColumn("keep",
+        col("len_ok") && col("rep_ok") && col("toklen_ok"))
+  }
+
+  def qualityFilterSql(minTokens: Long = 25, maxTopGramFrac: Double = 0.08,
+      minMeanTokLen: Double = 3.0, maxMeanTokLen: Double = 8.0): String =
+    s"""SELECT q.doc_id,
+       | q.n_tokens >= $minTokens AS len_ok,
+       | coalesce(r.top_gram_frac, 0.0e0) <= ${maxTopGramFrac}e0 AS rep_ok,
+       | (q.mean_token_len >= ${minMeanTokLen}e0
+       |   AND q.mean_token_len <= ${maxMeanTokLen}e0) AS toklen_ok,
+       | (q.n_tokens >= $minTokens
+       |   AND coalesce(r.top_gram_frac, 0.0e0) <= ${maxTopGramFrac}e0
+       |   AND q.mean_token_len >= ${minMeanTokLen}e0
+       |   AND q.mean_token_len <= ${maxMeanTokLen}e0) AS keep
+       |FROM (${qualitySql.replace(" ORDER BY doc_id", "")}) q
+       |LEFT JOIN (${repetitionSql().replace(" ORDER BY doc_id", "")}) r
+       |  ON r.doc_id = q.doc_id
+       |ORDER BY q.doc_id""".stripMargin.replace('\n', ' ')
+
   // -------------------------------------------------------- keyword search
 
   /** Natural log quantized to 12 decimals via exact IEEE ops

@@ -129,6 +129,16 @@ object ExtQueries {
       (s, dir) => TextOps.quality(docs(s, dir)).orderBy("doc_id"),
       Some(TextOps.qualitySql)),
 
+    // Gopher-style repetition signals (top n-gram share, type-token ratio)
+    Q("q_repetition",
+      (s, dir) => TextOps.repetition(docs(s, dir)).orderBy("doc_id"),
+      Some(TextOps.repetitionSql())),
+
+    // C4/Gopher keep/drop filter with per-rule attribution flags
+    Q("q_quality_filter",
+      (s, dir) => TextOps.qualityFilter(docs(s, dir)).orderBy("doc_id"),
+      Some(TextOps.qualityFilterSql())),
+
     // language id heuristic
     Q("q_langid",
       (s, dir) => TextOps.langId(docs(s, dir)).orderBy("doc_id"),

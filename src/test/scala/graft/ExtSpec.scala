@@ -96,6 +96,25 @@ class ExtSpec extends SparkSpec {
     rows.collect { case ((_, _), ("common", s)) => assert(s === 0.0) }
   }
 
+  test("repetition + qualityFilter: planted repetitive doc flagged") {
+    import graft.ext.TextOps
+    val healthy = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = docsDf(
+      (1L, healthy),                         // 30 distinct tokens
+      (2L, "spam ham " * 20 + "spam ham"),   // one bigram dominates
+      (3L, "tiny doc"))                      // too short
+    val rep = TextOps.repetition(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(rep(1L) < 0.08, s"healthy doc top-gram frac ${rep(1L)}")
+    assert(rep(2L) > 0.4, s"repetitive doc top-gram frac ${rep(2L)}")
+    val keep = TextOps.qualityFilter(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(4)))).toMap
+    assert(keep(1L) === ((true, true, true)))
+    assert(keep(2L)._2 === false && keep(2L)._3 === false) // rep_ok fails
+    assert(keep(3L)._1 === false && keep(3L)._3 === false) // len_ok fails
+  }
+
   test("cosineNearDup: planted duplicate embedding found with sim ~ 1") {
     val v = Seq.tabulate(64)(i => math.sin(i + 1).toFloat)
     val u = Seq.tabulate(64)(i => math.cos(3 * i + 2).toFloat)
