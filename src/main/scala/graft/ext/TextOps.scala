@@ -272,8 +272,11 @@ object TextOps {
     val qterms = terms.map(_.toLowerCase).distinct.sorted
     val toks = tokens(docs)
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val consts = localRelation(dl.agg(count(lit(1)).as("n_docs"),
-        sum(col("dl")).as("tdl"))
+    // one pass for both corpus constants: Σdl == token count, |docs| ==
+    // distinct doc_id (every doc yields ≥ 1 token row — split("") = [""])
+    val consts = localRelation(toks.agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("tdl"))
       .select(col("n_docs"),
         (col("tdl").cast("double") / col("n_docs")).as("avgdl")))
     val tf = toks.where(col("term").isin(qterms: _*))
@@ -316,8 +319,9 @@ object TextOps {
       .mkString(" + ")
     s"""WITH toks AS ($tokensSql),
        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-       |consts AS (SELECT count(*) AS n_docs,
-       |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |consts AS (SELECT count(DISTINCT doc_id) AS n_docs,
+       |  CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl
+       | FROM toks),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
        |  WHERE term IN ($inList) GROUP BY 1, 2),
        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
