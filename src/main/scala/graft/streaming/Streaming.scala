@@ -107,6 +107,38 @@ object Streaming {
       .as[Update]
   }
 
+  /** Streaming as-of join (the incremental twin of
+    * [[graft.operators.AsofJoin.tradesWithQuote]]): per-symbol state is
+    * just the prevailing quote (price, ts) — O(1) per key — carried across
+    * micro-batches via flatMapGroupsWithState; each trade emits joined to
+    * that state. Rows within a batch process in (ts, seq) order; trades
+    * before any quote emit with no quote fields (None), matching the
+    * batch operator's NULLs. */
+  case class TradeQuote(symbol: String, ts: Long, seq: Long, price: Double,
+      quote_price: Option[Double], quote_ts: Option[Long],
+      slippage: Option[Double])
+
+  def streamingAsof(updates: Dataset[Update]): Dataset[TradeQuote] = {
+    import updates.sparkSession.implicits._
+    def fn(sym: String, rows: Iterator[Update],
+        state: GroupState[(Double, Long)]): Iterator[TradeQuote] = {
+      var q = state.getOption
+      val out = Seq.newBuilder[TradeQuote]
+      rows.toSeq.sortBy(u => (u.ts, u.seq)).foreach { u =>
+        if (u.is_trade)
+          out += TradeQuote(sym, u.ts, u.seq, u.price, q.map(_._1),
+            q.map(_._2), q.map(u.price - _._1))
+        else q = Some((u.price, u.ts))
+      }
+      q.foreach(state.update)
+      out.result().iterator
+    }
+    updates
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Streaming reset-semantics volume bars: the FoldBars state machine
     * (`volume_bars.rs:20-103`) carried across micro-batches via
     * flatMapGroupsWithState, key = symbol. Closed bars emit as soon as the

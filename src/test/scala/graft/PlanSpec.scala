@@ -88,6 +88,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("as-of join is one pass: a single symbol exchange, no point-lookup join") {
+    // the naive as-of shape is a per-trade range join (quadratic); ours
+    // must be one window pass — exactly one shuffle (hashpartitioning on
+    // symbol) and zero join operators
+    val p = plan("q_asof_quote")
+    assert(!p.contains("Join"), s"as-of degenerated to a join:\n$p")
+    // formatted mode: each Exchange node's spec is an "Arguments:" line.
+    // exactly one hash shuffle (the symbol window); the only other
+    // exchange is the output-order rangepartitioning from orderBy
+    val hashEx = "Arguments: hashpartitioning".r.findAllIn(p).size
+    val allEx = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash shuffle, found $hashEx:\n$p")
+    assert(allEx <= 2, s"unexpected extra exchanges ($allEx):\n$p")
+  }
+
+  test("bm25 joins its bounded stats as broadcasts, no cartesian blowup") {
+    // df table + corpus constants are LocalRelations -> every join against
+    // them must broadcast; the 1-row constants cross join is a broadcast
+    // nested loop, never a CartesianProduct
+    val p = plan("q_bm25")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"bounded stats not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in bm25 plan:\n$p")
+  }
+
   test("trade filter is applied at the scan, before aggregation") {
     // updates derives is_trade from event_id, so the predicate appears as
     // the derived `% 3` condition in the Filter directly above the scan —

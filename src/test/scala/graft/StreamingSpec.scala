@@ -108,6 +108,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch.dropRight(1))
   }
 
+  test("streaming as-of join matches the batch operator across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // alternating quotes/trades on two symbols; split mid-stream so the
+    // prevailing quote must survive in state across micro-batches
+    val ups = (0 until 40).map { i =>
+      val sym = if (i % 2 == 0) "x" else "y"
+      Update(sym, 1000L + i, i.toLong, is_trade = i % 3 == 0,
+        is_bid = true, 10.0 + (i % 7), 1.0)
+    }
+    val in = MemoryStream[Update]
+    val joined = Streaming.streamingAsof(in.toDS())
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("sasof").start()
+    in.addData(ups.take(17): _*)
+    q.processAllAvailable()
+    in.addData(ups.drop(17): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sasof")
+      .as[Streaming.TradeQuote].collect()
+      .map(t => (t.symbol, t.ts, t.seq) -> ((t.quote_price, t.slippage)))
+      .toMap
+    val batch = graft.operators.AsofJoin.tradesWithQuote(updatesDf(ups))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        ((if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6)))))
+      .toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("subscribe filter fans out one book") {
     import spark.implicits._
     val ups = Seq(
