@@ -12,11 +12,12 @@ import org.apache.spark.sql.types._
   *  - the ORACLE-GATED operators ([[decodeMeta]], [[resizeStub]]) use a
   *    clearly-marked DETERMINISTIC STUB (`stubDecode`) because the DuckDB
   *    correctness twin must replicate the kernel in SQL;
-  *  - [[decodeImageMeta]] / [[resizeImage]] are REAL image kernels on the
-  *    same `mapPartitions` batch plumbing, built on the JDK's own codec
-  *    surface (`javax.imageio`: PNG/JPEG/BMP/GIF, headless-safe) —
-  *    spec-gated with synthesized images since the driver testdata carries
-  *    no real payloads. Audio/video codecs are not in the JDK; those stay
+  *  - [[decodeImageMeta]] / [[resizeImage]] / [[decodeAudioMeta]] are REAL
+  *    kernels on the same `mapPartitions` batch plumbing, built on the
+  *    JDK's own codec surfaces (`javax.imageio`: PNG/JPEG/BMP/GIF;
+  *    `javax.sound.sampled`: WAV/AIFF/AU PCM — both headless-safe) —
+  *    spec-gated with synthesized payloads since the driver testdata
+  *    carries no real blobs. Only video lacks a JDK codec and stays
   *    stubbed (swap the kernel for JNI/ffmpeg without touching plumbing).
   */
 object Multimodal {
@@ -168,6 +169,60 @@ object Multimodal {
           val baos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(out, "png", baos)
           Some(Row(id, width.toLong, height.toLong, baos.toByteArray))
+        }
+      }
+    }(enc)
+  }
+
+  val audioSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("sample_rate", DoubleType),
+    StructField("channels", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("duration_s", DoubleType),
+    StructField("rms", DoubleType)))
+
+  /** REAL audio decode over a `(doc_id, payload: binary)` frame — the
+    * JDK's own codec surface (`javax.sound.sampled.AudioSystem`) parses
+    * WAV/AIFF/AU containers and PCM frames, no external library. Emits
+    * container metadata plus RMS energy over the decoded 16-bit samples
+    * (the standard cheap audio-quality / silence-detection signal).
+    * Undecodable payloads come back with null audio fields — corrupt
+    * blobs are data, not task failures. Same batch plumbing as
+    * [[decodeMeta]]; only video now lacks a real kernel (no JDK codec). */
+  def decodeAudioMeta(audio: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(audioSchema)
+    audio.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val fmt = in.getFormat
+          val frames = in.getFrameLength
+          val bytes = in.readAllBytes()
+          // RMS over 16-bit little-endian PCM samples (all channels)
+          var sumSq = 0.0
+          var i = 0
+          val step = 2
+          val be = fmt.isBigEndian
+          while (i + 1 < bytes.length) {
+            val lo = bytes(if (be) i + 1 else i) & 0xFF
+            val hi = bytes(if (be) i else i + 1).toInt
+            val s = ((hi << 8) | lo).toShort / 32768.0
+            sumSq += s * s
+            i += step
+          }
+          val n = bytes.length / 2
+          val rms = if (n > 0) math.sqrt(sumSq / n) else 0.0
+          Row(id, payload.length.toLong, fmt.getSampleRate.toDouble,
+            fmt.getChannels, frames,
+            frames / fmt.getSampleRate.toDouble, rms)
+        } catch {
+          case _: Exception =>
+            Row(id, payload.length.toLong, null, null, null, null, null)
         }
       }
     }(enc)

@@ -230,6 +230,40 @@ class ExtSpec extends SparkSpec {
     assert((out.getRGB(1, 1) & 0xFFFFFF) === 0xFF0000) // solid color survives
   }
 
+  test("real audio kernel: JDK WAV decode + RMS (sine golden)") {
+    import graft.ext.Multimodal
+    import spark.implicits._
+    // synthesize a 0.1 s 440 Hz sine, 16-bit PCM mono 8 kHz, amp 0.5
+    val rate = 8000f
+    val n = 800
+    val amp = 0.5
+    val samples = Array.tabulate(n)(i =>
+      (amp * math.sin(2 * math.Pi * 440 * i / rate) * 32767).toShort)
+    val pcm = java.nio.ByteBuffer.allocate(n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(pcm.putShort)
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm.array()), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+    val df = Seq((1L, wav), (2L, "not audio".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeAudioMeta(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val ok = out(1L)
+    assert(ok.getDouble(2) === 8000.0)           // sample_rate
+    assert(ok.getInt(3) === 1)                   // channels
+    assert(ok.getLong(4) === n.toLong)           // n_samples (frames)
+    assert(math.abs(ok.getDouble(5) - 0.1) < 1e-9) // duration
+    // RMS of a sine = amp / sqrt(2)
+    assert(math.abs(ok.getDouble(6) - amp / math.sqrt(2)) < 0.01,
+      s"rms ${ok.getDouble(6)}")
+    assert(out(2L).isNullAt(2), "garbage payload must yield null fields")
+  }
+
   test("ivfTopK probes beat single-cell search (recall sanity)") {
     // with nProbe = nCentroids the search is exhaustive over cells, so the
     // top-1 must equal the brute-force nearest among non-self vectors
