@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction for append-heavy tick stores.
+  *
+  * The Engine's FLUSH path (like the reference's append,
+  * `file_format.rs:783-819`) writes one file per flush; a long-running
+  * ingest leaves thousands of KB-sized parquet files, and at 100 TB the
+  * scan's task-per-file scheduling and footer reads dominate query time.
+  * Compaction rewrites a book directory into ~`targetBytes` files, each
+  * internally sorted by (ts, seq) so parquet row-group min/max stats keep
+  * the S3/S4 range-scan pruning exact.
+  *
+  * Scale shape: a single `repartitionByRange(ts, seq)` pass — ranges come
+  * from a distributed sample (no driver materialization), writers stream
+  * one sorted partition each, and the ts-range file layout preserves the
+  * reference's time-partitioned-file property (SURVEY S4) so header-stat
+  * pruning still skips whole files.
+  */
+object Compaction {
+
+  /** Rewrite `dir` (a parquet directory) into ≈`targetBytes` files.
+    * Returns (files before, files after). Atomicity: writes to
+    * `dir + ".compact"` then swaps, so a crash mid-compaction leaves the
+    * original directory intact. */
+  def compact(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): (Int, Int) = {
+    val src = new java.io.File(dir)
+    def parquetFiles(d: java.io.File): Array[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet") && f.isFile)
+    val before = parquetFiles(src)
+    val totalBytes = before.map(_.length()).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+
+    val tmp = dir + ".compact"
+    spark.read.parquet(dir)
+      .repartitionByRange(nOut, col("ts"), col("seq"))
+      .sortWithinPartitions("ts", "seq")
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+
+    // swap: remove originals, move compacted files in
+    before.foreach(_.delete())
+    Option(src.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("_")).foreach(_.delete())
+    val moved = parquetFiles(new java.io.File(tmp))
+    moved.foreach { f =>
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(src, f.getName).toPath)
+    }
+    deleteRecursively(new java.io.File(tmp))
+    (before.length, moved.length)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
+
+  /** The scan-side pruning contract compaction must preserve: per-file
+    * (min ts, max ts) ranges are disjoint after a range-partitioned
+    * rewrite, so a ts-predicate scan opens only overlapping files. */
+  def fileTsRanges(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
+        count(lit(1)).as("rows"))
+}
