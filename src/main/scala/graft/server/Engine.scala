@@ -32,7 +32,8 @@ final class Session {
   * buffers, subscriber queues); all scans/aggregations stay distributed
   * DataFrame plans.
   */
-final class Engine(spark: SparkSession, dtfFolder: String) {
+final class Engine(spark: SparkSession, dtfFolder: String,
+    autoflush: Boolean = false, flushInterval: Long = 1000L) {
   import spark.implicits._
 
   private val books = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Update]]
@@ -111,6 +112,11 @@ final class Engine(spark: SparkSession, dtfFolder: String) {
           buf += tagged
           nominal(book) = nominal.getOrElse(book, 0L) + 1L
           subscribers.get(book).foreach(_ += tagged)
+          // T4 autoflush — the reference flushes a book whenever its
+          // staging length hits a multiple of flush_interval
+          // (Book::add, state.rs:130-140)
+          if (autoflush && buf.nonEmpty &&
+            buf.size % flushInterval == 0) flush(book)
           Text("")
       }
     case Command.Insert(None, _) => Err("Unable to parse line.")
@@ -248,8 +254,7 @@ final class Engine(spark: SparkSession, dtfFolder: String) {
   /** INFO — the reference's field set (`state.rs:377-435`): per-book
     * `in_memory` (staging rows) and `count` (lifetime nominal count), plus
     * a `meta` object (connection count, subscription count, wall seconds,
-    * autoflush settings, folder, totals). Timer autoflush is not
-    * implemented (FLUSH is explicit), so those fields report disabled. */
+    * autoflush settings, folder, totals). */
   private def info(): String = {
     val rows = books.map { case (name, buf) =>
       s"""{"name":"$name","in_memory":${buf.size},"count":${
@@ -260,7 +265,8 @@ final class Engine(spark: SparkSession, dtfFolder: String) {
     val meta =
       s"""{"clis":${connections.get()},"subs":${subscribers.size},""" +
         s""""ts":${System.currentTimeMillis() / 1000},""" +
-        s""""autoflush_enabled":false,"autoflush_interval":0,""" +
+        s""""autoflush_enabled":$autoflush,""" +
+        s""""autoflush_interval":$flushInterval,""" +
         s""""dtf_folder":"$dtfFolder",""" +
         s""""total_in_memory_count":$totalMem,"total_count":$totalCount}"""
     s"""{"meta":$meta,"dbs":[$rows]}\n"""

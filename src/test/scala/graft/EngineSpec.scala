@@ -98,6 +98,26 @@ class EngineSpec extends SparkSpec {
     assert(out2.contains(""""total_count":1"""), out2)
   }
 
+  test("autoflush flushes a book at flush_interval inserts (state.rs:130-140)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-af").toString
+    val e = new graft.server.Engine(spark, dir, autoflush = true,
+      flushInterval = 5L)
+    e.execute(CommandParser.parse("CREATE afdb"))
+    e.execute(CommandParser.parse("USE afdb"))
+    (1 to 5).foreach(i => e.execute(CommandParser.parse(
+      s"ADD 150517745$i.000, $i, t, f, 1.0, 2.0;")))
+    // 5th insert crossed the interval: staging flushed to parquet
+    val fs = spark.read.parquet(s"$dir/book=afdb")
+    assert(fs.count() === 5)
+    val out = e.execute(CommandParser.parse("INFO")) match {
+      case e.Text(t) => t
+      case other => fail(s"unexpected: $other")
+    }
+    assert(out.contains(""""in_memory":0"""), out)
+    assert(out.contains(""""autoflush_enabled":true"""), out)
+    assert(out.contains(""""autoflush_interval":5"""), out)
+  }
+
   test("CLEAR resets nominal count from disk (state.rs:562-579,112-118)") {
     val e = engine()
     e.execute(CommandParser.parse("CREATE cleardb"))
