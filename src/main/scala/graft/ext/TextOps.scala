@@ -231,6 +231,41 @@ object TextOps {
        |  ON r.doc_id = q.doc_id
        |ORDER BY q.doc_id""".stripMargin.replace('\n', ' ')
 
+  // -------------------------------------------------------- text scrubbing
+
+  // ASCII-only character classes: the Java (Spark) and RE2 (DuckDB) regex
+  // engines match these identically — the portability rule this file uses
+  // everywhere
+  private val UrlPat = """https?://[^\s]+"""
+  private val EmailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+
+  /** C4-style scrubbing: URLs and email addresses replaced with
+    * placeholder tokens, whitespace normalized, with per-doc counts of
+    * what was removed (counts are over the RAW text) — the standard
+    * PII/boilerplate cleaning pass before tokenization. Pure codegen'd
+    * expressions, no UDF. */
+  def clean(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(UrlPat), lit(0)))
+        .as("n_urls"),
+      size(regexp_extract_all(col("text"), lit(EmailPat), lit(0)))
+        .as("n_emails"),
+      trim(regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), UrlPat, " <URL> "),
+          EmailPat, " <EMAIL> "),
+        "\\s+", " ")).as("clean_text"))
+
+  val cleanSql: String =
+    s"""SELECT doc_id,
+       | len(regexp_extract_all(text, '$UrlPat')) AS n_urls,
+       | len(regexp_extract_all(text, '$EmailPat')) AS n_emails,
+       | trim(regexp_replace(regexp_replace(regexp_replace(text,
+       |   '$UrlPat', ' <URL> ', 'g'),
+       |   '$EmailPat', ' <EMAIL> ', 'g'),
+       |   '\\s+', ' ', 'g')) AS clean_text
+       |FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
   // -------------------------------------------------------- keyword search
 
   /** Natural log quantized to 12 decimals via exact IEEE ops

@@ -129,6 +129,11 @@ object ExtQueries {
       (s, dir) => TextOps.quality(docs(s, dir)).orderBy("doc_id"),
       Some(TextOps.qualitySql)),
 
+    // C4-style scrubbing: URL/email placeholders + whitespace normalize
+    Q("q_text_clean",
+      (s, dir) => TextOps.clean(docs(s, dir)).orderBy("doc_id"),
+      Some(TextOps.cleanSql)),
+
     // Gopher-style repetition signals (top n-gram share, type-token ratio)
     Q("q_repetition",
       (s, dir) => TextOps.repetition(docs(s, dir)).orderBy("doc_id"),

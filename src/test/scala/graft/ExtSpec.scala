@@ -96,6 +96,20 @@ class ExtSpec extends SparkSpec {
     rows.collect { case ((_, _), ("common", s)) => assert(s === 0.0) }
   }
 
+  test("clean: URLs/emails tokenized, whitespace normalized, counts kept") {
+    import graft.ext.TextOps
+    val docs = docsDf(
+      (1L, "see https://example.com/x?q=1 and mail bob@corp.io  now"),
+      (2L, "plain   text\twith \n gaps"),
+      (3L, "two urls http://a.io/1 http://b.io/2"))
+    val out = TextOps.clean(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) === ((1, 1, "see <URL> and mail <EMAIL> now")))
+    assert(out(2L) === ((0, 0, "plain text with gaps")))
+    assert(out(3L) === ((2, 0, "two urls <URL> <URL>")))
+  }
+
   test("repetition + qualityFilter: planted repetitive doc flagged") {
     import graft.ext.TextOps
     val healthy = (1 to 30).map(i => s"w$i").mkString(" ")
