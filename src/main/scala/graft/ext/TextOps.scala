@@ -274,7 +274,7 @@ object TextOps {
     * JVM and DuckDB), but floor-quantization collapses every measured
     * 1-ulp pair onto the same double. The 1e-12 score perturbation is ~4
     * orders below any ranking-relevant difference. */
-  private def lnQ(x: Column): Column = floor(log(x) * 1e12) / 1e12
+  def lnQ(x: Column): Column = floor(log(x) * 1e12) / 1e12
   // outer parens: the quantizing division must bind to floor() BEFORE any
   // surrounding multiplication, or left-associativity reorders the rounding
   private def lnQSql(x: String): String =

@@ -35,6 +35,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { case Seq(level, d) => undiscretizeExpr(level, d) })
     register(ext, "array_dot", "codegen'd dot product of two array<double>",
       { case Seq(a, b) => ArrayDotProduct(a, b) })
+    // text-pipeline scalars (same semantics as graft.ext.TextOps;
+    // ExtensionsSpec pins SQL == Column API on shared inputs)
+    register(ext, "token_count", "whitespace token count",
+      { case Seq(t) => tokenCountExpr(t) })
+    register(ext, "bpe_token_count", "GPT-2-style pre-token count",
+      { case Seq(t) => bpeTokenCountExpr(t) })
+    register(ext, "ln_q", "ln quantized to 12 decimals (bit-portable idf)",
+      { case Seq(x) => lnQExpr(x) })
   }
 
   private def register(ext: SparkSessionExtensions, name: String,
@@ -76,4 +84,21 @@ object GraftExtensions {
   def undiscretizeExpr(level: Expression, decimals: Expression): Expression =
     Divide(Cast(level, DoubleType),
       Pow(Literal(10.0), Cast(decimals, DoubleType)))
+
+  /** `size(split(trim(text), '\s+'))` — graft.ext.TextOps.tokenCount. */
+  def tokenCountExpr(text: Expression): Expression =
+    Size(StringSplit(StringTrim(text), Literal("\\s+"), Literal(-1)))
+
+  /** `size(regexp_extract_all(text, BpePattern, 0))` —
+    * graft.ext.TextOps.bpeTokenCount. */
+  def bpeTokenCountExpr(text: Expression): Expression =
+    Size(RegExpExtractAll(text,
+      Literal(graft.ext.TextOps.BpePattern), Literal(0)))
+
+  /** `floor(ln(x) * 1e12) / 1e12` — graft.ext.TextOps.lnQ. */
+  def lnQExpr(x: Expression): Expression =
+    Divide(
+      Cast(Floor(Multiply(Log(Cast(x, DoubleType)), Literal(1e12))),
+        DoubleType),
+      Literal(1e12))
 }

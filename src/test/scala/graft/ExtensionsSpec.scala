@@ -53,6 +53,16 @@ class ExtensionsSpec extends SparkSpec {
       val fd = s.sql("SELECT fill_digits(1505177459) v").head().getLong(0)
       assert(fd === 1505177459000L)
       assert(s.sql("SELECT fill_digits(0) v").head().getLong(0) === 0L)
+      // text-pipeline scalars: SQL == Column API on the same engine
+      assert(s.sql("SELECT token_count(' a b  c ') v").head().getInt(0) === 3)
+      assert(s.sql("SELECT bpe_token_count('ab 12, x') v")
+        .head().getInt(0) === 5) // ab | 1 | 2 | , | x
+      val lnqSql = s.sql("SELECT ln_q(2.5) v").head().getDouble(0)
+      val lnqCol = s.range(1)
+        .select(graft.ext.TextOps.lnQ(
+          org.apache.spark.sql.functions.lit(2.5)).as("v"))
+        .head().getDouble(0)
+      assert(lnqSql === lnqCol)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
