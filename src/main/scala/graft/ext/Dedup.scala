@@ -245,17 +245,18 @@ object Dedup {
     * keep = doc is its group's canonical representative). Documents in no
     * pair are their own singleton group.
     *
-    * Components via iterative min-label propagation: each round every
-    * node's label becomes the min of its own and its neighbors' labels;
-    * convergence when no label changed. Rounds = graph diameter — near-dup
-    * clusters are shallow (dozens of docs, diameter ≤ a few hops), so this
-    * terminates in a handful of rounds; each round is one equi-join + one
-    * aggregation, shuffling only the pair graph (not the corpus), with an
-    * eager localCheckpoint truncating lineage so round N's plan does not
-    * replay rounds 1..N-1. For adversarially chained graphs (diameter
-    * ~log n matters) swap the body for alternating large-star/small-star
-    * ("Connected Components in MapReduce", Kiveris et al.) — same
-    * interface, not needed for near-dup cluster shapes. */
+    * Components via min-label propagation WITH pointer jumping: each
+    * round a node's label becomes the min over itself and its neighbors'
+    * labels (propagation), then labels compress through one
+    * label-of-label join (`comp ← comp(comp)` — the union-find pointer
+    * jump), which doubles the effective propagation distance per round.
+    * Rounds are therefore O(log diameter), not O(diameter) — the property
+    * that matters if a 100 TB near-dup graph contains long chains
+    * (the same guarantee class as large-star/small-star, "Connected
+    * Components in MapReduce", Kiveris et al.). Each round shuffles only
+    * the pair graph (never the corpus), and an eager localCheckpoint
+    * truncates lineage so round N's plan does not replay rounds 1..N-1;
+    * convergence is an exact no-label-changed test. */
   def dedupGroups(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -269,9 +270,18 @@ object Dedup {
       val viaNbr = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("comp")).as("ncomp"))
-      val next = labels.join(viaNbr, Seq("id"), "left")
+      val prop = labels.join(viaNbr, Seq("id"), "left")
         .select(col("id"), col("comp").as("_old"),
           least(col("comp"), coalesce(col("ncomp"), col("comp")))
+            .as("comp"))
+      // pointer jump: comp ← comp(comp). Labels are node ids, so every
+      // comp value is itself a key in `prop`; one self-join halves the
+      // remaining chain depth (log-rounds convergence).
+      val next = prop.as("a")
+        .join(prop.select(col("id").as("comp"),
+          col("comp").as("_cc")).as("b"), Seq("comp"), "left")
+        .select(col("id"), col("_old"),
+          least(col("comp"), coalesce(col("_cc"), col("comp")))
             .as("comp"))
         .localCheckpoint(true)
       changed = next.where(col("comp") =!= col("_old")).count()

@@ -231,6 +231,58 @@ object TextOps {
        |  ON r.doc_id = q.doc_id
        |ORDER BY q.doc_id""".stripMargin.replace('\n', ' ')
 
+  // ------------------------------------------------------ hash sampling
+
+  /** 32-hex-char threshold for rate r: md5(id) < threshold keeps an
+    * r-fraction of ids. Comparing the md5 STRING lexicographically equals
+    * comparing the 128-bit value numerically (fixed-width lowercase hex),
+    * so membership needs no hex→int conversion — the same md5-ordering
+    * trick the MinHash signatures use, portable verbatim to DuckDB. */
+  private[graft] def rateThresholdHex(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0,1]")
+    if (rate >= 1.0) "g" // > every hex char: keep all
+    else {
+      val scaled = (BigDecimal(rate) *
+        BigDecimal(BigInt(16).pow(32))).toBigInt
+      val hex = scaled.toString(16)
+      "0" * (32 - hex.length) + hex
+    }
+  }
+
+  /** Deterministic Bernoulli membership: keep `id` with probability
+    * ~`rate`, as a pure function of the id (no RNG) — the reproducible
+    * subsampling primitive: stable across runs, engines, partitionings,
+    * and cluster sizes, and a superset-property holds (rate r ⊂ rate r'
+    * for r < r'), which is what makes staged data ablations comparable. */
+  def hashKeep(id: Column, rate: Double): Column =
+    md5(id.cast("string")) < lit(rateThresholdHex(rate))
+
+  def hashKeepSql(idExpr: String, rate: Double): String =
+    s"md5(CAST($idExpr AS VARCHAR)) < '${rateThresholdHex(rate)}'"
+
+  /** Stratified deterministic sampling: per-stratum keep rates (e.g.
+    * downsample dominant languages, keep the tail) with a default for
+    * unlisted strata. One codegen'd predicate — no shuffle, no RNG. */
+  def stratifiedSample(docs: DataFrame, strata: Column,
+      rates: Seq[(String, Double)], defaultRate: Double): DataFrame = {
+    val id = col("doc_id")
+    val keep = rates.foldRight(hashKeep(id, defaultRate)) {
+      case ((stratum, r), acc) =>
+        when(strata === stratum, hashKeep(id, r)).otherwise(acc)
+    }
+    docs.where(keep)
+  }
+
+  def stratifiedSampleSql(strataExpr: String, rates: Seq[(String, Double)],
+      defaultRate: Double): String = {
+    val cases = rates.foldRight(hashKeepSql("doc_id", defaultRate)) {
+      case ((stratum, r), acc) =>
+        s"CASE WHEN $strataExpr = '$stratum' " +
+          s"THEN ${hashKeepSql("doc_id", r)} ELSE $acc END"
+    }
+    s"SELECT * FROM documents WHERE $cases ORDER BY doc_id"
+  }
+
   // -------------------------------------------------------- text scrubbing
 
   // ASCII-only character classes: the Java (Spark) and RE2 (DuckDB) regex

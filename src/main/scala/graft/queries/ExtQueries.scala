@@ -19,6 +19,10 @@ object ExtQueries {
     * spreads across terms. */
   private val BM25Terms = Seq("spark", "merge", "join", "hash")
 
+  /** Per-language keep rates for the stratified-sampling gate: halve the
+    * dominant language, keep a third of mid-size strata. */
+  private val SampleRates = Seq("en" -> 0.5, "zh" -> 0.3)
+
   val all: Seq[Q] = Seq(
 
     // exact dedup: hash groupBy
@@ -128,6 +132,13 @@ object ExtQueries {
     Q("q_quality",
       (s, dir) => TextOps.quality(docs(s, dir)).orderBy("doc_id"),
       Some(TextOps.qualitySql)),
+
+    // deterministic stratified sampling: downsample 'en', keep the tail
+    Q("q_sample_stratified",
+      (s, dir) => TextOps.stratifiedSample(docs(s, dir), col("lang"),
+          SampleRates, defaultRate = 0.9).orderBy("doc_id"),
+      Some(TextOps.stratifiedSampleSql("lang", SampleRates,
+        defaultRate = 0.9))),
 
     // C4-style scrubbing: URL/email placeholders + whitespace normalize
     Q("q_text_clean",

@@ -96,6 +96,30 @@ class ExtSpec extends SparkSpec {
     rows.collect { case ((_, _), ("common", s)) => assert(s === 0.0) }
   }
 
+  test("hash sampling: deterministic, ~rate, supersets nest, strata apply") {
+    import graft.ext.TextOps
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val ids = (0L until 10000L).toDF("doc_id")
+    def sample(r: Double): Set[Long] =
+      ids.where(TextOps.hashKeep(col("doc_id"), r))
+        .collect().map(_.getLong(0)).toSet
+    val s30 = sample(0.3)
+    val s60 = sample(0.6)
+    assert(math.abs(s30.size / 10000.0 - 0.3) < 0.02, s"rate ${s30.size}")
+    assert(math.abs(s60.size / 10000.0 - 0.6) < 0.02, s"rate ${s60.size}")
+    assert(s30.subsetOf(s60), "lower-rate sample must nest in higher-rate")
+    assert(sample(0.3) === s30, "must be deterministic")
+    assert(sample(1.0).size === 10000 && sample(0.0).isEmpty)
+    // strata: rate 0 for 'a' removes exactly the 'a' stratum
+    val docs = (0L until 100L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b")).toDF("doc_id", "lang")
+    val kept = TextOps.stratifiedSample(docs, col("lang"),
+      Seq("a" -> 0.0), defaultRate = 1.0)
+      .collect().map(_.getString(1)).toSet
+    assert(kept === Set("b"))
+  }
+
   test("clean: URLs/emails tokenized, whitespace normalized, counts kept") {
     import graft.ext.TextOps
     val docs = docsDf(
