@@ -101,7 +101,13 @@ object Dedup {
     // races within an action; round-1 had two cache+count ladders here);
     // unlike cache(), the checkpoint blocks are owned by THIS plan and GC
     // with it — repeated engine calls leave no CacheManager residue
-    // (round-2 ADVICE).
+    // (round-2 ADVICE). Known trade-off (applies to every localCheckpoint
+    // in Dedup/Similarity/TextOps): lineage is truncated, so losing an
+    // executor mid-query fails the query instead of recomputing the lost
+    // partitions — right for interactive engine queries; a multi-hour
+    // batch campaign on preemptible nodes should swap in RELIABLE
+    // checkpointing (sc.setCheckpointDir + .checkpoint()) at the same
+    // call sites.
     val sigAggs = (0 until k).map(i =>
       min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i")) ++ Seq(
       count(lit(1)).as("nsh"), collect_set(col("sh")).as("shset"))

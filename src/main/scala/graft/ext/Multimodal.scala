@@ -185,11 +185,14 @@ object Multimodal {
 
   /** REAL audio decode over a `(doc_id, payload: binary)` frame — the
     * JDK's own codec surface (`javax.sound.sampled.AudioSystem`) parses
-    * WAV/AIFF/AU containers and PCM frames, no external library. Emits
-    * container metadata plus RMS energy over the decoded 16-bit samples
-    * (the standard cheap audio-quality / silence-detection signal).
-    * Undecodable payloads come back with null audio fields — corrupt
-    * blobs are data, not task failures. Same batch plumbing as
+    * WAV/AIFF/AU containers, no external library. Any supported encoding
+    * (8/16-bit PCM, µ-law/a-law) is CONVERTED to signed 16-bit PCM before
+    * the sample loop, so RMS energy (the standard cheap silence /
+    * quality signal) is computed over real samples, never over raw
+    * container bytes. Sample counts come from the decoded byte stream,
+    * not the header's (possibly NOT_SPECIFIED) frame length.
+    * NULL or undecodable payloads come back with null audio fields —
+    * corrupt blobs are data, not task failures. Same batch plumbing as
     * [[decodeMeta]]; only video now lacks a real kernel (no JDK codec). */
   def decodeAudioMeta(audio: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(audioSchema)
@@ -197,32 +200,38 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
+        // payload length is read OUTSIDE the try: the failure row uses it,
+        // and a NULL payload must not NPE inside the catch
+        val nBytes = if (payload == null) 0L else payload.length.toLong
         try {
-          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(payload))
-          val fmt = in.getFormat
-          val frames = in.getFrameLength
+          val srcFmt = raw.getFormat
+          val pcm16 = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            srcFmt.getSampleRate, 16, srcFmt.getChannels,
+            srcFmt.getChannels * 2, srcFmt.getSampleRate, false)
+          val in = javax.sound.sampled.AudioSystem
+            .getAudioInputStream(pcm16, raw)
           val bytes = in.readAllBytes()
-          // RMS over 16-bit little-endian PCM samples (all channels)
+          // RMS over signed 16-bit little-endian samples (all channels)
           var sumSq = 0.0
           var i = 0
-          val step = 2
-          val be = fmt.isBigEndian
           while (i + 1 < bytes.length) {
-            val lo = bytes(if (be) i + 1 else i) & 0xFF
-            val hi = bytes(if (be) i else i + 1).toInt
-            val s = ((hi << 8) | lo).toShort / 32768.0
+            val s = (((bytes(i + 1).toInt << 8) |
+              (bytes(i) & 0xFF)).toShort) / 32768.0
             sumSq += s * s
-            i += step
+            i += 2
           }
           val n = bytes.length / 2
           val rms = if (n > 0) math.sqrt(sumSq / n) else 0.0
-          Row(id, payload.length.toLong, fmt.getSampleRate.toDouble,
-            fmt.getChannels, frames,
-            frames / fmt.getSampleRate.toDouble, rms)
+          val frames = n.toLong / srcFmt.getChannels
+          Row(id, nBytes, srcFmt.getSampleRate.toDouble,
+            srcFmt.getChannels, frames,
+            frames / srcFmt.getSampleRate.toDouble, rms)
         } catch {
           case _: Exception =>
-            Row(id, payload.length.toLong, null, null, null, null, null)
+            Row(id, nBytes, null, null, null, null, null)
         }
       }
     }(enc)

@@ -219,13 +219,14 @@ object TextOps {
       minMeanTokLen: Double = 3.0, maxMeanTokLen: Double = 8.0): String =
     s"""SELECT q.doc_id,
        | q.n_tokens >= $minTokens AS len_ok,
-       | coalesce(r.top_gram_frac, 0.0e0) <= ${maxTopGramFrac}e0 AS rep_ok,
-       | (q.mean_token_len >= ${minMeanTokLen}e0
-       |   AND q.mean_token_len <= ${maxMeanTokLen}e0) AS toklen_ok,
+       | coalesce(r.top_gram_frac, 0.0e0) <= ${sqlDouble(maxTopGramFrac)}
+       |   AS rep_ok,
+       | (q.mean_token_len >= ${sqlDouble(minMeanTokLen)}
+       |   AND q.mean_token_len <= ${sqlDouble(maxMeanTokLen)}) AS toklen_ok,
        | (q.n_tokens >= $minTokens
-       |   AND coalesce(r.top_gram_frac, 0.0e0) <= ${maxTopGramFrac}e0
-       |   AND q.mean_token_len >= ${minMeanTokLen}e0
-       |   AND q.mean_token_len <= ${maxMeanTokLen}e0) AS keep
+       |   AND coalesce(r.top_gram_frac, 0.0e0) <= ${sqlDouble(maxTopGramFrac)}
+       |   AND q.mean_token_len >= ${sqlDouble(minMeanTokLen)}
+       |   AND q.mean_token_len <= ${sqlDouble(maxMeanTokLen)}) AS keep
        |FROM (${qualitySql.replace(" ORDER BY doc_id", "")}) q
        |LEFT JOIN (${repetitionSql().replace(" ORDER BY doc_id", "")}) r
        |  ON r.doc_id = q.doc_id
@@ -327,6 +328,13 @@ object TextOps {
     * 1-ulp pair onto the same double. The 1e-12 score perturbation is ~4
     * orders below any ranking-relevant difference. */
   def lnQ(x: Column): Column = floor(log(x) * 1e12) / 1e12
+
+  /** A Scala double as a DuckDB DOUBLE literal. String-parse round-trip:
+    * `CAST('<toString>' AS DOUBLE)` recovers the identical IEEE value for
+    * ANY double (toString is read-back-exact), where naive `"${x}e0"`
+    * breaks on scientific-notation renderings (1.0E-5 -> `1.0E-5e0`) and
+    * a bare literal would be typed DECIMAL. */
+  private def sqlDouble(x: Double): String = s"CAST('$x' AS DOUBLE)"
   // outer parens: the quantizing division must bind to floor() BEFORE any
   // surrounding multiplication, or left-associativity reorders the rounding
   private def lnQSql(x: String): String =
@@ -358,16 +366,19 @@ object TextOps {
     import graft.functions.localRelation
     val qterms = terms.map(_.toLowerCase).distinct.sorted
     val toks = tokens(docs)
+    // exactly TWO tokenization passes: the per-doc lengths and the
+    // query-term counts, each materialized once (localCheckpoint) —
+    // corpus constants, the df table, and the scored join all read the
+    // two small checkpointed tables, never the token stream again
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    // one pass for both corpus constants: Σdl == token count, |docs| ==
-    // distinct doc_id (every doc yields ≥ 1 token row — split("") = [""])
-    val consts = localRelation(toks.agg(
-        countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("tdl"))
+      .localCheckpoint(true)
+    val consts = localRelation(dl.agg(
+        count(lit(1)).as("n_docs"), sum(col("dl")).as("tdl"))
       .select(col("n_docs"),
         (col("tdl").cast("double") / col("n_docs")).as("avgdl")))
     val tf = toks.where(col("term").isin(qterms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfreq = localRelation(
       tf.groupBy("term").agg(count(lit(1)).as("df")))
     val scored = tf.join(dl, "doc_id").join(dfreq, "term").crossJoin(consts)
@@ -406,16 +417,16 @@ object TextOps {
       .mkString(" + ")
     s"""WITH toks AS ($tokensSql),
        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-       |consts AS (SELECT count(DISTINCT doc_id) AS n_docs,
-       |  CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl
-       | FROM toks),
+       |consts AS (SELECT count(*) AS n_docs,
+       |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
        |  WHERE term IN ($inList) GROUP BY 1, 2),
        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
        |scored AS (SELECT t.doc_id, t.term,
        |  ${lnQSql("(c.n_docs - f.df + 0.5e0) / (f.df + 0.5e0) + 1.0e0")}
-       |    * (t.tf * (${k1}e0 + 1.0e0)) /
-       |    (t.tf + ${k1}e0 * (1.0e0 - ${b}e0 + ${b}e0 * d.dl / c.avgdl))
+       |    * (t.tf * (${sqlDouble(k1)} + 1.0e0)) /
+       |    (t.tf + ${sqlDouble(k1)} * (1.0e0 - ${sqlDouble(b)}
+       |      + ${sqlDouble(b)} * d.dl / c.avgdl))
        |    AS tscore
        | FROM tf t JOIN dl d USING (doc_id) JOIN dfreq f USING (term)
        | CROSS JOIN consts c)

@@ -34,6 +34,8 @@ final class Session {
   */
 final class Engine(spark: SparkSession, dtfFolder: String,
     autoflush: Boolean = false, flushInterval: Long = 1000L) {
+  require(!autoflush || flushInterval > 0L,
+    s"autoflush requires flushInterval > 0 (got $flushInterval)")
   import spark.implicits._
 
   private val books = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Update]]

@@ -68,11 +68,12 @@ object Wire {
       buf(0) != RawInsertPrefix(0) || buf(1) != RawInsertPrefix(1))
       return None
     val b = ByteBuffer.wrap(buf, 2, buf.length - 2)
-    // a garbage negative length would pass `remaining < len` (remaining is
-    // never < a negative number) and crash downstream — malformed frames
-    // must become Bad-format replies, not dead connections
-    val len = b.getLong().toInt
-    if (len < 0 || b.remaining() < len) return None
+    // validate the RAW 64-bit length before narrowing: `.toInt` first
+    // would wrap e.g. 1L<<32 to 0 and decode garbage as a real insert —
+    // malformed frames must become Bad-format replies, not data
+    val lenL = b.getLong()
+    if (lenL < 0L || lenL > b.remaining().toLong) return None
+    val len = lenL.toInt
     val name =
       if (len > 0) {
         val nb = new Array[Byte](len)
@@ -116,12 +117,12 @@ object Wire {
       : Option[(Option[Update], Option[String])] = {
     if (len < 2 + 8 || !isRawInsert(buf, off, len)) return None
     val b = ByteBuffer.wrap(buf, off + 2, len - 2)
-    // negative or frame-overrunning name length = malformed frame -> None
-    // (the caller replies Bad format.); a negative value would pass the
-    // `remaining < nameLen` check and index out of bounds below
-    val nameLen = b.getLong().toInt
-    if (nameLen < 0 || 10 + nameLen > len || b.remaining() < nameLen)
-      return None
+    // validate the RAW 64-bit name length: negative OR frame-overrunning
+    // values are malformed (None -> Bad-format reply); narrowing first
+    // would wrap forged lengths like 1L<<32 to 0 and decode garbage
+    val nameLenL = b.getLong()
+    if (nameLenL < 0L || 10L + nameLenL > len.toLong) return None
+    val nameLen = nameLenL.toInt
     val name =
       if (nameLen > 0) {
         val s = new String(buf, off + 10, nameLen, "UTF-8")

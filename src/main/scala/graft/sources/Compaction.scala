@@ -22,9 +22,20 @@ import org.apache.spark.sql.functions._
 object Compaction {
 
   /** Rewrite `dir` (a parquet directory) into ≈`targetBytes` files.
-    * Returns (files before, files after). Atomicity: writes to
-    * `dir + ".compact"` then swaps, so a crash mid-compaction leaves the
-    * original directory intact. */
+    * Returns (files before, files after).
+    *
+    * Safety properties:
+    *  - the input set is PINNED to the files listed at entry (read by
+    *    explicit path) — a flush that appends a new file mid-compaction
+    *    is neither folded in nor deleted, so no row duplicates or loses;
+    *  - the swap parks originals in `dir + ".old"` (per-file rename,
+    *    no data copy) BEFORE moving compacted files in, so every byte is
+    *    on disk in one of the three directories at every instant; a crash
+    *    leaves either the originals (possibly parked — restore by moving
+    *    `.old` back) or the completed swap. The `.old` staging dir is
+    *    removed last.
+    * Single-writer assumption as elsewhere in the engine: one compactor
+    * at a time per book (the Engine lock provides this). */
   def compact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20): (Int, Int) = {
     val src = new java.io.File(dir)
@@ -32,25 +43,33 @@ object Compaction {
       Option(d.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.endsWith(".parquet") && f.isFile)
     val before = parquetFiles(src)
+    if (before.isEmpty) return (0, 0)
     val totalBytes = before.map(_.length()).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 
     val tmp = dir + ".compact"
-    spark.read.parquet(dir)
+    // read EXACTLY the pinned file set — not the directory, which may
+    // gain files from concurrent flushes while the job runs
+    spark.read.parquet(before.map(_.getPath).toIndexedSeq: _*)
       .repartitionByRange(nOut, col("ts"), col("seq"))
       .sortWithinPartitions("ts", "seq")
       .write.mode(SaveMode.Overwrite).parquet(tmp)
 
-    // swap: remove originals, move compacted files in
-    before.foreach(_.delete())
-    Option(src.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("_")).foreach(_.delete())
+    // swap: park pinned originals aside, move compacted files in,
+    // then drop the parked copies
+    val old = new java.io.File(dir + ".old")
+    old.mkdirs()
+    before.foreach { f =>
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(old, f.getName).toPath)
+    }
     val moved = parquetFiles(new java.io.File(tmp))
     moved.foreach { f =>
       java.nio.file.Files.move(f.toPath,
         new java.io.File(src, f.getName).toPath)
     }
     deleteRecursively(new java.io.File(tmp))
+    deleteRecursively(old)
     (before.length, moved.length)
   }
 

@@ -159,6 +159,16 @@ class WireSpec extends SparkSpec {
       b2.put(new Array[Byte](22))
       val (ok2, err2) = client.request(b2.array())
       assert(!ok2 && new String(err2, "UTF-8").contains("Bad format"))
+      // a 64-bit length that narrows to 0 (1L<<32) must NOT decode the
+      // trailing garbage as a real insert — validate before .toInt
+      val b3 = java.nio.ByteBuffer.allocate(2 + 8 + 22)
+      b3.put("ra".getBytes("UTF-8"))
+      b3.putLong(1L << 32)
+      b3.put(new Array[Byte](22))
+      val (ok3, err3) = client.request(b3.array())
+      assert(!ok3 && new String(err3, "UTF-8").contains("Bad format"))
+      assert(client.cmd("COUNT") === ((true, "0\n")),
+        "forged-length frame must not insert data")
       assert(client.cmd("PING") === ((true, "PONG.\n")))
     } finally { client.close(); server.stop() }
   }
