@@ -287,7 +287,21 @@ class ExtSpec extends SparkSpec {
     javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
     val wav = baos.toByteArray
-    val df = Seq((1L, wav), (2L, "not audio".getBytes("UTF-8")))
+    // same sine as 8-bit mu-law in an AU container: the kernel must
+    // CONVERT to 16-bit PCM before the sample loop, not pair raw
+    // mu-law bytes as samples (mu-law quantization error ~1%)
+    val ulawFmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.ULAW, rate, 8, 1, 1, rate,
+      false)
+    val ulaw = javax.sound.sampled.AudioSystem.getAudioInputStream(ulawFmt,
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm.array()), fmt, n.toLong))
+    val baosU = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ulaw,
+      javax.sound.sampled.AudioFileFormat.Type.AU, baosU)
+    val au = baosU.toByteArray
+    val df = Seq((1L, wav), (2L, "not audio".getBytes("UTF-8")),
+      (3L, au), (4L, null))
       .toDF("doc_id", "payload")
     val out = Multimodal.decodeAudioMeta(df).collect()
       .map(r => r.getLong(0) -> r).toMap
@@ -299,7 +313,14 @@ class ExtSpec extends SparkSpec {
     // RMS of a sine = amp / sqrt(2)
     assert(math.abs(ok.getDouble(6) - amp / math.sqrt(2)) < 0.01,
       s"rms ${ok.getDouble(6)}")
+    val mu = out(3L)
+    assert(mu.getInt(3) === 1 && mu.getLong(4) === n.toLong,
+      s"mu-law meta $mu")
+    assert(math.abs(mu.getDouble(6) - amp / math.sqrt(2)) < 0.02,
+      s"mu-law rms ${mu.getDouble(6)} — raw bytes treated as samples?")
     assert(out(2L).isNullAt(2), "garbage payload must yield null fields")
+    assert(out(4L).isNullAt(2) && out(4L).getLong(1) === 0L,
+      "NULL payload must yield a null-fields row, not a task failure")
   }
 
   test("ivfTopK probes beat single-cell search (recall sanity)") {
