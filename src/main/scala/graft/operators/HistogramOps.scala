@@ -331,11 +331,19 @@ object HistogramOps {
     val med = quartiles.select("symbol", "median")
     val withMean = updates.join(base.select(col("symbol"), col("mean")),
       "symbol")
-    // scale 26: per-term cast error 1e-26 stays far below the double ulp of
-    // the final value while the 12 integer digits hold sf0.1-sized sums
+    // Determinism contract for the two-pass variance: the squared
+    // deviation is an ARBITRARY double, and double→decimal casts are not
+    // bit-portable (Spark goes through the shortest decimal repr, DuckDB
+    // expands the exact binary value — divergence surfaced at sf0.1 after
+    // passing at sf0.01). Quantize each term to the exact INTEGER
+    // floor(d²·1e8) — an integer-valued double ≤ ~1e12, which both
+    // engines cast identically — sum exactly in wide decimal, divide
+    // once. The 1e-8 per-term floor shifts var by ≤ n·1e-8/Σ (~1e-12
+    // relative), far below statistical meaning; same quantize-then-exact
+    // pattern as TextOps.lnQ.
+    val d2 = (col("price") - col("mean")) * (col("price") - col("mean"))
     val varDf = withMean.groupBy("symbol").agg(
-      (sum(((col("price") - col("mean")) * (col("price") - col("mean")))
-        .cast("decimal(38,26)")).cast("double") /
+      (sum(floor(d2 * 1e8).cast("decimal(38,0)")).cast("double") / 1e8 /
         (count(lit(1)) - 1)).as("var"))
     val mdev = {
       val wMed = updates.join(med, "symbol")
@@ -362,8 +370,8 @@ object HistogramOps {
        |q1 AS (${percentileSql("updates", "price", 25.0, "q1")}),
        |q3 AS (${percentileSql("updates", "price", 75.0, "q3")}),
        |vr AS (SELECT u.symbol,
-       |  CAST(SUM(CAST((u.price - b.mean) * (u.price - b.mean) AS DECIMAL(38,26))) AS DOUBLE)
-       |    / (count(*) - 1) AS var
+       |  CAST(SUM(CAST(floor((u.price - b.mean) * (u.price - b.mean) * 1e8)
+       |    AS HUGEINT)) AS DOUBLE) / 1e8 / (count(*) - 1) AS var
        | FROM updates u JOIN base b USING (symbol) GROUP BY u.symbol),
        |wmed AS (SELECT u.*, med.median FROM updates u JOIN med USING (symbol)),
        |mdev AS (${percentileSql("wmed", "abs(price - median)", 50.0, "mdev")})
