@@ -178,7 +178,8 @@ object TextOps {
        | CAST(top_gram_count AS DOUBLE) / n_grams AS top_gram_frac,
        | CAST(distinct_grams AS DOUBLE) / n_grams AS ttr
        |FROM (
-       | SELECT doc_id, sum(c) AS n_grams, count(*) AS distinct_grams,
+       | SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+       |  count(*) AS distinct_grams,
        |  max(c) AS top_gram_count
        | FROM (SELECT doc_id, g, count(*) AS c FROM (
        |   SELECT doc_id, $parts AS g FROM (
@@ -278,7 +279,7 @@ object TextOps {
       defaultRate: Double): String = {
     val cases = rates.foldRight(hashKeepSql("doc_id", defaultRate)) {
       case ((stratum, r), acc) =>
-        s"CASE WHEN $strataExpr = '$stratum' " +
+        s"CASE WHEN $strataExpr = ${sqlStr(stratum)} " +
           s"THEN ${hashKeepSql("doc_id", r)} ELSE $acc END"
     }
     s"SELECT * FROM documents WHERE $cases ORDER BY doc_id"
@@ -335,6 +336,11 @@ object TextOps {
     * breaks on scientific-notation renderings (1.0E-5 -> `1.0E-5e0`) and
     * a bare literal would be typed DECIMAL. */
   private def sqlDouble(x: Double): String = s"CAST('$x' AS DOUBLE)"
+
+  /** A Scala string as a DuckDB string literal: single quotes doubled.
+    * Every builder-interpolated term/stratum goes through this — a term
+    * containing `'` must not break (or inject into) the generated twin. */
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
   // outer parens: the quantizing division must bind to floor() BEFORE any
   // surrounding multiplication, or left-associativity reorders the rounding
   private def lnQSql(x: String): String =
@@ -409,9 +415,9 @@ object TextOps {
   def bm25Sql(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       topK: Int = 10): String = {
     val qterms = terms.map(_.toLowerCase).distinct.sorted
-    val inList = qterms.map(t => s"'$t'").mkString(", ")
+    val inList = qterms.map(sqlStr).mkString(", ")
     val perTerm = qterms.zipWithIndex.map { case (t, i) =>
-      s"max(CASE WHEN term = '$t' THEN tscore END) AS _s$i"
+      s"max(CASE WHEN term = ${sqlStr(t)} THEN tscore END) AS _s$i"
     }.mkString(", ")
     val chain = qterms.indices.map(i => s"coalesce(_s$i, 0.0e0)")
       .mkString(" + ")

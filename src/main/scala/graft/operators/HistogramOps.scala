@@ -310,6 +310,42 @@ object HistogramOps {
 
   // ----------------------------------------------------------------- stats
 
+  /** Variance-quantizer scale: the largest power of two `2^k` (k ≤ 26,
+    * ≈ the old 1e8 granularity) with `maxdev² · 2^k ≤ 2^53`, so
+    * `floor(d² · scale)` is an exactly-representable integer double for
+    * every deviation `d ≤ maxdev`. Selected by comparing `maxdev` against
+    * exact power-of-two thresholds — comparisons and the scale multiply
+    * itself (an exponent shift) are bit-identical in Spark and DuckDB, so
+    * the choice and the quantized terms are portable at ANY price scale.
+    * Branch `maxdev < 2^(e+1)` → `k = 51 − 2e` (d² < 2^(2e+2), product
+    * < 2^53). The ladder covers maxdev < 2^51; the `ELSE 2^-75` tail
+    * stays exact to maxdev < 2^64 — beyond that (absurd for prices) the
+    * floor argument may exceed 2^53 and the cross-engine guarantee ends
+    * (documented bound, was silently ~9.5e3 before). */
+  private def vscaleLadder(maxdev: Column): Column =
+    (13 to 50).foldLeft(
+      when(maxdev < lit(math.pow(2, 13)), lit(math.pow(2, 26)))) {
+      (acc, e) =>
+        acc.when(maxdev < lit(math.pow(2, e + 1)),
+          lit(math.pow(2, 51 - 2 * e)))
+    }.otherwise(lit(math.pow(2, -75)))
+
+  /** Any double as a DuckDB DOUBLE literal via the read-back-exact
+    * toString round-trip (same trick as TextOps.sqlDouble). */
+  private def sqlD(x: Double): String = s"CAST('$x' AS DOUBLE)"
+
+  /** The SQL twin of [[vscaleLadder]] over `b.maxdev` — textually the
+    * same exact-power-of-two thresholds and scales. */
+  private val vscaleCaseSql: String = {
+    val branches = (13 to 50).map { e =>
+      s"WHEN b.maxdev < ${sqlD(math.pow(2, e + 1))} " +
+        s"THEN ${sqlD(math.pow(2, 51 - 2 * e))}"
+    }.mkString(" ")
+    s"CASE WHEN b.maxdev < ${sqlD(math.pow(2, 13))} " +
+      s"THEN ${sqlD(math.pow(2, 26))} $branches " +
+      s"ELSE ${sqlD(math.pow(2, -75))} END"
+  }
+
   /** Full descriptive-stats suite per symbol over `price`
     * (`Stats for [f64]`, histogram.rs:160-366): exact sum, min/max, mean,
     * manual median, TWO-PASS sample variance (the reference's algorithm),
@@ -324,27 +360,34 @@ object HistogramOps {
       exactSum(col("price")).as("sum"),
       min(col("price")).as("min"),
       max(col("price")).as("max"))
-      .withColumn("mean", col("sum") / col("n")))
+      .withColumn("mean", col("sum") / col("n"))
+      .withColumn("maxdev",
+        greatest(col("max") - col("mean"), col("mean") - col("min")))
+      .withColumn("vscale", vscaleLadder(col("maxdev"))))
     // q1/median/q3 share one sorted pass
     val quartiles = percentilesBy(updates, col("price"),
       Seq(25.0 -> "q1", 50.0 -> "median", 75.0 -> "q3"))
     val med = quartiles.select("symbol", "median")
-    val withMean = updates.join(base.select(col("symbol"), col("mean")),
-      "symbol")
+    val withMean = updates.join(
+      base.select(col("symbol"), col("mean"), col("vscale")), "symbol")
     // Determinism contract for the two-pass variance: the squared
     // deviation is an ARBITRARY double, and double→decimal casts are not
     // bit-portable (Spark goes through the shortest decimal repr, DuckDB
     // expands the exact binary value — divergence surfaced at sf0.1 after
     // passing at sf0.01). Quantize each term to the exact INTEGER
-    // floor(d²·1e8) — an integer-valued double ≤ ~1e12, which both
-    // engines cast identically — sum exactly in wide decimal, divide
-    // once. The 1e-8 per-term floor shifts var by ≤ n·1e-8/Σ (~1e-12
-    // relative), far below statistical meaning; same quantize-then-exact
-    // pattern as TextOps.lnQ.
+    // floor(d²·vscale), sum exactly in wide decimal, divide once. vscale
+    // is a per-symbol POWER OF TWO picked by [[vscaleLadder]] so that
+    // d²·vscale provably stays ≤ 2^53: the product is a lossless exponent
+    // shift, floor() of it is an integer-valued double both engines cast
+    // identically — at ANY price scale, not just |dev| ≤ ~9.5e3 as the
+    // old fixed 1e8 scale required. The per-term floor shifts var by
+    // ≤ n·2^-k/Σ (~1e-12 relative at default granularity), far below
+    // statistical meaning; same quantize-then-exact pattern as
+    // TextOps.lnQ.
     val d2 = (col("price") - col("mean")) * (col("price") - col("mean"))
     val varDf = withMean.groupBy("symbol").agg(
-      (sum(floor(d2 * 1e8).cast("decimal(38,0)")).cast("double") / 1e8 /
-        (count(lit(1)) - 1)).as("var"))
+      (sum(floor(d2 * col("vscale")).cast("decimal(38,0)")).cast("double") /
+        max(col("vscale")) / (count(lit(1)) - 1)).as("var"))
     val mdev = {
       val wMed = updates.join(med, "symbol")
       percentileBy(wMed, abs(col("price") - col("median")), 50.0, "_mdev")
@@ -366,13 +409,17 @@ object HistogramOps {
        |  min(price) AS min, max(price) AS max,
        |  CAST(SUM(CAST(price AS DECIMAL(30,4))) AS DOUBLE) / count(*) AS mean
        | FROM updates GROUP BY symbol),
+       |basev AS (SELECT b.*, $vscaleCaseSql AS vscale
+       | FROM (SELECT *,
+       |   greatest(max - mean, mean - min) AS maxdev FROM base) b),
        |med AS (${percentileSql("updates", "price", 50.0, "median")}),
        |q1 AS (${percentileSql("updates", "price", 25.0, "q1")}),
        |q3 AS (${percentileSql("updates", "price", 75.0, "q3")}),
        |vr AS (SELECT u.symbol,
-       |  CAST(SUM(CAST(floor((u.price - b.mean) * (u.price - b.mean) * 1e8)
-       |    AS HUGEINT)) AS DOUBLE) / 1e8 / (count(*) - 1) AS var
-       | FROM updates u JOIN base b USING (symbol) GROUP BY u.symbol),
+       |  CAST(SUM(CAST(floor(
+       |    (u.price - b.mean) * (u.price - b.mean) * b.vscale)
+       |    AS HUGEINT)) AS DOUBLE) / max(b.vscale) / (count(*) - 1) AS var
+       | FROM updates u JOIN basev b USING (symbol) GROUP BY u.symbol),
        |wmed AS (SELECT u.*, med.median FROM updates u JOIN med USING (symbol)),
        |mdev AS (${percentileSql("wmed", "abs(price - median)", 50.0, "mdev")})
        |SELECT b.symbol, b.n, b.sum, b.min, b.max, b.mean, med.median, vr.var,

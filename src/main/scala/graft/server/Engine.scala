@@ -247,6 +247,19 @@ final class Engine(spark: SparkSession, dtfFolder: String,
       buf.clear()
     }
 
+  /** Compact a book's parquet directory into ≈`targetBytes` files.
+    * Runs the Spark rewrite unlocked, but passes THIS engine as the
+    * swap lock — Wire materializes every GET/scan inside
+    * `engine.synchronized`, so no reader can list the directory while
+    * files are mid-rename (the ADVICE race: a concurrent GET during the
+    * swap saw an empty/partial book). Returns (files before, after). */
+  def compactBook(book: String,
+      targetBytes: Long = 128L << 20): (Int, Int) =
+    if (hasFs(book))
+      graft.sources.Compaction.compact(spark, fsPath(book), targetBytes,
+        swapLock = this)
+    else (0, 0)
+
   def drainSubscription(book: String): Seq[Update] = {
     val out = subscribers.get(book).map(_.toSeq).getOrElse(Seq.empty)
     subscribers.get(book).foreach(_.clear())

@@ -35,9 +35,19 @@ object Compaction {
     *    `.old` back) or the completed swap. The `.old` staging dir is
     *    removed last.
     * Single-writer assumption as elsewhere in the engine: one compactor
-    * at a time per book (the Engine lock provides this). */
+    * at a time per book (the Engine lock provides this).
+    *
+    * Reader exclusion: the rename swap is NOT atomic — a reader listing
+    * the directory mid-swap would see a partial book. `swapLock` must be
+    * the same monitor readers scan under (for the server path that is the
+    * Engine itself — [[graft.server.Engine.compactBook]] passes it; Wire
+    * materializes every GET body inside `engine.synchronized`). The
+    * expensive Spark rewrite runs OUTSIDE the lock; only the O(files)
+    * rename sequence holds it. Standalone callers with no concurrent
+    * readers may omit it. */
   def compact(spark: SparkSession, dir: String,
-      targetBytes: Long = 128L << 20): (Int, Int) = {
+      targetBytes: Long = 128L << 20,
+      swapLock: AnyRef = new AnyRef): (Int, Int) = {
     val src = new java.io.File(dir)
     def parquetFiles(d: java.io.File): Array[java.io.File] =
       Option(d.listFiles()).getOrElse(Array.empty)
@@ -55,19 +65,24 @@ object Compaction {
       .sortWithinPartitions("ts", "seq")
       .write.mode(SaveMode.Overwrite).parquet(tmp)
 
-    // swap: park pinned originals aside, move compacted files in,
-    // then drop the parked copies
+    // swap: park pinned originals aside, move compacted files in —
+    // under the reader-exclusion lock, so no scan ever lists a
+    // partially-swapped directory
     val old = new java.io.File(dir + ".old")
-    old.mkdirs()
-    before.foreach { f =>
-      java.nio.file.Files.move(f.toPath,
-        new java.io.File(old, f.getName).toPath)
+    val moved = swapLock.synchronized {
+      old.mkdirs()
+      before.foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(old, f.getName).toPath)
+      }
+      val compacted = parquetFiles(new java.io.File(tmp))
+      compacted.foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(src, f.getName).toPath)
+      }
+      compacted
     }
-    val moved = parquetFiles(new java.io.File(tmp))
-    moved.foreach { f =>
-      java.nio.file.Files.move(f.toPath,
-        new java.io.File(src, f.getName).toPath)
-    }
+    // cleanup outside the lock: readers never list .compact or .old
     deleteRecursively(new java.io.File(tmp))
     deleteRecursively(old)
     (before.length, moved.length)

@@ -120,15 +120,24 @@ object Streaming {
 
   def streamingAsof(updates: Dataset[Update]): Dataset[TradeQuote] = {
     import updates.sparkSession.implicits._
+    // State = (price, ts, seq) of the prevailing quote. A quote only
+    // ADVANCES the state — a quote arriving in a later micro-batch with an
+    // older (ts, seq) than the stored one must not regress it (it is late
+    // data; the batch operator would have joined it behind the newer
+    // quote). Trades arriving after a newer quote already consumed the
+    // state remain an inherent append-mode limitation — documented, same
+    // late-data-drops-at-flush stance as SURVEY T6.
     def fn(sym: String, rows: Iterator[Update],
-        state: GroupState[(Double, Long)]): Iterator[TradeQuote] = {
+        state: GroupState[(Double, Long, Long)]): Iterator[TradeQuote] = {
       var q = state.getOption
       val out = Seq.newBuilder[TradeQuote]
       rows.toSeq.sortBy(u => (u.ts, u.seq)).foreach { u =>
         if (u.is_trade)
           out += TradeQuote(sym, u.ts, u.seq, u.price, q.map(_._1),
             q.map(_._2), q.map(u.price - _._1))
-        else q = Some((u.price, u.ts))
+        else if (q.forall(p =>
+            u.ts > p._2 || (u.ts == p._2 && u.seq > p._3)))
+          q = Some((u.price, u.ts, u.seq))
       }
       q.foreach(state.update)
       out.result().iterator
