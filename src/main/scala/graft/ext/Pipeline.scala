@@ -1,0 +1,230 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus assembly operators (north-star extensions, builder
+  * brief): the steps BETWEEN a filtered/deduped document set and actual
+  * training batches — sequence packing, mixture (epoch-weighted) sampling,
+  * train/eval decontamination, embedding quantization. Each has a
+  * bit-exact DuckDB twin for the correctness gate.
+  *
+  * Scale stance shared by every operator here:
+  *  - all decisions are pure deterministic functions of the row (id
+  *    hashes, literal weights) — no RNG, no driver state, so results are
+  *    stable across runs, partitionings, and cluster sizes;
+  *  - the only non-map-side construct is the per-shard packing window,
+  *    whose parallelism is the shard count — an explicit, user-scaled
+  *    parameter (exactly how per-worker packing runs in production
+  *    loaders), not a hidden global funnel.
+  */
+object Pipeline {
+
+  // ------------------------------------------------------ sequence packing
+
+  /** Concat-and-chunk sequence packing (the GPT-style pre-training layout):
+    * documents are concatenated in a deterministic order and cut every
+    * `seqLen` tokens; a document therefore lands in sequences
+    * `[first_seq, last_seq]` of its shard, starting at `start_off` tokens
+    * into the stream.
+    *
+    * Sharding: `doc_id % nShards` splits the corpus into independent
+    * token streams packed in parallel — the window cumsum runs per shard,
+    * so per-task work is corpus/nShards and scaling is a parameter bump
+    * (production loaders pack per data-parallel worker the same way).
+    * Empty documents (0 tokens) are dropped — they occupy no tokens.
+    *
+    * All outputs are integers derived from an integer cumsum; token
+    * counts stay below 2^53 per shard by construction (a shard would need
+    * ~9e15 tokens to overflow the double-division rounding), so
+    * `floor(x / seqLen)` is bit-trivial in both engines. */
+  def packSequences(docs: DataFrame, seqLen: Int = 512,
+      nShards: Int = 8): DataFrame = {
+    val toks = TextOps.tokenCount(col("text")).cast("long")
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    docs
+      .select(col("doc_id"), (col("doc_id") % nShards).as("shard"),
+        toks.as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("start_off"),
+        floor((col("cum") - col("n_tokens")) / seqLen).cast("long")
+          .as("first_seq"),
+        floor((col("cum") - 1) / seqLen).cast("long").as("last_seq"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+  }
+
+  def packSequencesSql(seqLen: Int = 512, nShards: Int = 8): String =
+    s"""SELECT doc_id, shard, n_tokens,
+       | cum - n_tokens AS start_off,
+       | CAST(floor((cum - n_tokens) / $seqLen) AS BIGINT) AS first_seq,
+       | CAST(floor((cum - 1) / $seqLen) AS BIGINT) AS last_seq,
+       | CAST(floor((cum - 1) / $seqLen) AS BIGINT)
+       |  - CAST(floor((cum - n_tokens) / $seqLen) AS BIGINT) + 1 AS n_seqs
+       |FROM (
+       | SELECT doc_id, shard, n_tokens,
+       |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+       | FROM (SELECT doc_id, doc_id % $nShards AS shard,
+       |   CAST(${TextOps.tokenCountSql} AS BIGINT) AS n_tokens
+       |  FROM documents)
+       | WHERE n_tokens > 0)
+       |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------- mixture / epoch sampling
+
+  /** Epoch-weighted mixture sampling: each source gets a mixture weight
+    * `w` — a document from that source appears `floor(w)` times plus one
+    * more with probability `frac(w)`, decided by the same deterministic
+    * md5-order membership as [[TextOps.hashKeep]] (no RNG; the fractional
+    * epoch is a stable document subset, so two runs — or two cluster
+    * sizes — build the SAME corpus). This is the standard "dataset X for
+    * 2.3 epochs, dataset Y downweighted to 0.4" pre-training mix knob.
+    *
+    * Pure map-side: a literal CASE over sources plus an explode of
+    * `sequence(0, n_copies-1)` — no shuffle, no driver state. Output one
+    * row per (doc, copy). */
+  def mixtureSample(docs: DataFrame, weights: Seq[(String, Double)],
+      defaultWeight: Double = 1.0): DataFrame = {
+    def copies(wt: Double): Column = {
+      val whole = math.floor(wt).toLong
+      val frac = wt - math.floor(wt)
+      lit(whole) +
+        when(TextOps.hashKeep(col("doc_id"), frac), 1L).otherwise(0L)
+    }
+    val n = weights.foldRight(copies(defaultWeight)) {
+      case ((src, wt), acc) =>
+        when(col("source") === src, copies(wt)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("source"), n.as("n_copies"))
+      .where(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"), col("n_copies"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy"))
+  }
+
+  def mixtureSampleSql(weights: Seq[(String, Double)],
+      defaultWeight: Double = 1.0): String = {
+    def copies(wt: Double): String = {
+      val whole = math.floor(wt).toLong
+      val frac = wt - math.floor(wt)
+      s"$whole + CASE WHEN ${TextOps.hashKeepSql("doc_id", frac)} " +
+        "THEN 1 ELSE 0 END"
+    }
+    val cases = weights.foldRight(copies(defaultWeight)) {
+      case ((src, wt), acc) =>
+        s"CASE WHEN source = '${src.replace("'", "''")}' " +
+          s"THEN ${copies(wt)} ELSE $acc END"
+    }
+    s"""SELECT doc_id, source, n_copies,
+       | unnest(generate_series(0, n_copies - 1)) AS copy
+       |FROM (SELECT doc_id, source, CAST($cases AS BIGINT) AS n_copies
+       | FROM documents)
+       |WHERE n_copies > 0
+       |ORDER BY doc_id, copy""".stripMargin.replace('\n', ' ')
+  }
+
+  // ------------------------------------------------------- decontamination
+
+  /** Train/eval overlap (decontamination) check: the benchmark set is the
+    * deterministic slice `doc_id % evalMod == 0`; every OTHER document is
+    * scored by how many distinct word `n`-grams it shares with any
+    * benchmark document. Rows come back only for hits ≥ 1 — the
+    * contamination report a pipeline acts on (drop or flag before
+    * training).
+    *
+    * Scale shape: the benchmark gram set is corpus/evalMod and deduped, so
+    * the equi-join on the gram key broadcasts in practice; the train side
+    * is the same one-explode gram stream as [[TextOps.repetition]]. No
+    * all-pairs document comparison anywhere. */
+  def decontaminate(docs: DataFrame, n: Int = 3,
+      evalMod: Int = 97): DataFrame = {
+    def grams(df: DataFrame): DataFrame = {
+      val ws = split(lower(trim(col("text"))), "\\s+")
+      df.select(col("doc_id"), ws.as("ws"))
+        .where(size(col("ws")) >= n)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+            i => array_join(slice(col("ws"), i, lit(n)), " "))).as("g"))
+    }
+    val evalGrams = grams(docs.where(col("doc_id") % evalMod === 0))
+      .select("g").distinct()
+    val train = grams(docs.where(col("doc_id") % evalMod =!= 0))
+    train.join(broadcast(evalGrams), "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("hits"))
+  }
+
+  def decontaminateSql(n: Int = 3, evalMod: Int = 97): String = {
+    val parts = (0 until n).map {
+      case 0 => "w"
+      case i => s"lead(w, $i) OVER (PARTITION BY doc_id ORDER BY pos)"
+    }.mkString(" || ' ' || ")
+    val gramSrc =
+      s"""SELECT doc_id, $parts AS g FROM (
+         | SELECT doc_id,
+         |  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w,
+         |  generate_subscripts(
+         |    regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+         | FROM documents)""".stripMargin
+    s"""WITH grams AS ($gramSrc),
+       |eval AS (SELECT DISTINCT g FROM grams
+       |  WHERE doc_id % $evalMod = 0 AND g IS NOT NULL),
+       |train AS (SELECT doc_id, g FROM grams
+       |  WHERE doc_id % $evalMod <> 0 AND g IS NOT NULL)
+       |SELECT t.doc_id, count(DISTINCT t.g) AS hits
+       |FROM train t JOIN eval e ON t.g = e.g
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+      .replace('\n', ' ')
+  }
+
+  // ------------------------------------------------ embedding quantization
+
+  /** Per-vector symmetric int8 quantization of an embedding column — the
+    * storage/serving compression step (8× smaller than float32, the
+    * common layout ANN services and vector stores ingest):
+    * `scale = amax/127`, `q_i = floor(x_i·127/amax + 0.5)` (round half
+    * up, identical in both engines — no round-half-even ambiguity).
+    *
+    * Emits integer-exact summaries (`qsum`, `ql1`, `qmin`, `qmax`): each
+    * `q_i` is an integer-valued double with |q_i| ≤ 127, so their sums are
+    * exact and ORDER-INDEPENDENT — the gate needs no float tolerance and
+    * no fold-order pinning. `amax` itself is one float read back as an
+    * exact double (cast is value-preserving). Zero vectors quantize to
+    * all-zero (guarded, no 0/0). Pure map-side higher-order expressions —
+    * no UDF, no shuffle. */
+  def quantizeEmbeddings(embs: DataFrame): DataFrame = {
+    val amax = array_max(transform(col("embedding"),
+      x => abs(x.cast("double"))))
+    def q(x: Column): Column =
+      when(col("amax") === 0d, 0d)
+        .otherwise(floor(x.cast("double") * 127d / col("amax") + 0.5d))
+    embs
+      .select(col("vec_id"), col("embedding"), amax.as("amax"))
+      .withColumn("q", transform(col("embedding"), x => q(x)))
+      .select(col("vec_id"), col("amax"),
+        aggregate(col("q"), lit(0d), (acc, x) => acc + x).cast("long")
+          .as("qsum"),
+        aggregate(col("q"), lit(0d), (acc, x) => acc + abs(x)).cast("long")
+          .as("ql1"),
+        array_min(col("q")).cast("long").as("qmin"),
+        array_max(col("q")).cast("long").as("qmax"))
+  }
+
+  val quantizeEmbeddingsSql: String =
+    """SELECT vec_id, amax,
+      | CAST(list_sum(q) AS BIGINT) AS qsum,
+      | CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS ql1,
+      | CAST(list_min(q) AS BIGINT) AS qmin,
+      | CAST(list_max(q) AS BIGINT) AS qmax
+      |FROM (
+      | SELECT vec_id, amax,
+      |  list_transform(embedding, x -> CASE WHEN amax = 0 THEN 0.0
+      |    ELSE floor(CAST(x AS DOUBLE) * 127 / amax + 0.5) END) AS q
+      | FROM (
+      |  SELECT vec_id, embedding,
+      |   list_max(list_transform(embedding,
+      |     x -> abs(CAST(x AS DOUBLE)))) AS amax
+      |  FROM embeddings))
+      |ORDER BY vec_id""".stripMargin.replace('\n', ' ')
+}

@@ -23,6 +23,10 @@ object ExtQueries {
     * dominant language, keep a third of mid-size strata. */
   private val SampleRates = Seq("en" -> 0.5, "zh" -> 0.3)
 
+  /** Mixture weights for the epoch-sampling gate: upsample src0 past one
+    * epoch (2.5×), downweight src1, default single epoch elsewhere. */
+  private val MixtureWeights = Seq("src0" -> 2.5, "src1" -> 0.4)
+
   val all: Seq[Q] = Seq(
 
     // exact dedup: hash groupBy
@@ -159,6 +163,28 @@ object ExtQueries {
     Q("q_langid",
       (s, dir) => TextOps.langId(docs(s, dir)).orderBy("doc_id"),
       Some(TextOps.langIdSql)),
+
+    // concat-and-chunk sequence packing (per-shard token-cumsum windows)
+    Q("q_pack_sequences",
+      (s, dir) => Pipeline.packSequences(docs(s, dir)).orderBy("doc_id"),
+      Some(Pipeline.packSequencesSql())),
+
+    // epoch-weighted mixture sampling (2.5 epochs of src0, 0.4 of src1)
+    Q("q_mixture",
+      (s, dir) => Pipeline.mixtureSample(docs(s, dir), MixtureWeights,
+          defaultWeight = 1.0).orderBy("doc_id", "copy"),
+      Some(Pipeline.mixtureSampleSql(MixtureWeights, defaultWeight = 1.0))),
+
+    // train/eval n-gram decontamination report
+    Q("q_decontam",
+      (s, dir) => Pipeline.decontaminate(docs(s, dir)).orderBy("doc_id"),
+      Some(Pipeline.decontaminateSql())),
+
+    // per-vector symmetric int8 embedding quantization
+    Q("q_embed_quant",
+      (s, dir) => Pipeline.quantizeEmbeddings(embs(s, dir))
+        .orderBy("vec_id"),
+      Some(Pipeline.quantizeEmbeddingsSql)),
 
     // multimodal decode plumbing (stub kernel, real batching)
     Q("q_multimodal_meta",

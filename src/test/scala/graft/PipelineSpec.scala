@@ -1,0 +1,100 @@
+package graft
+
+import graft.ext.Pipeline
+
+/** Planted-input semantics checks for the corpus-assembly operators
+  * (packing, mixture sampling, decontamination, embedding quantization).
+  * The bit-exact oracle gate is Verify + tools/validate.py; these pin the
+  * semantics on small inputs where the expected values are hand-derivable. */
+class PipelineSpec extends SparkSpec {
+
+  private def docsDf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("packSequences: offsets and chunk spans over one shard") {
+    // single shard so the whole stream is one deterministic concatenation.
+    // NOTE the tokenizer counts empty text as ONE (empty) token — split of
+    // "" yields [""], identically in Spark and DuckDB (q_token_count pins
+    // this) — so no document is ever 0 tokens under this tokenizer.
+    val docs = docsDf(
+      (0L, "a b c"),         // 3 tokens, [0,3)  -> seq 0
+      (1L, "d e"),           // 2 tokens, [3,5)  -> seq 0 (3..4 < 5)
+      (2L, ""),              // 1 token,  [5,6)  -> seq 1
+      (3L, "f g h i j k"))   // 6 tokens, [6,12) -> seqs 1..2
+    val out = Pipeline.packSequences(docs, seqLen = 5, nShards = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    // (n_tokens, start_off, first_seq, last_seq, n_seqs)
+    assert(out === Map(
+      0L -> ((3L, 0L, 0L, 0L, 1L)),
+      1L -> ((2L, 3L, 0L, 0L, 1L)),
+      2L -> ((1L, 5L, 1L, 1L, 1L)),
+      3L -> ((6L, 6L, 1L, 2L, 2L))))
+  }
+
+  test("packSequences: shards pack independently") {
+    val docs = docsDf((0L, "a b c"), (1L, "d e f"), (2L, "g"), (3L, "h"))
+    val out = Pipeline.packSequences(docs, seqLen = 2, nShards = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3))))
+      .toMap
+    // shard 0: docs 0,2 -> offsets 0,3; shard 1: docs 1,3 -> offsets 0,3
+    assert(out === Map(0L -> ((0L, 0L)), 2L -> ((0L, 3L)),
+      1L -> ((1L, 0L)), 3L -> ((1L, 3L))))
+  }
+
+  test("mixtureSample: integer weights give exact copy counts, 0 drops") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "c"))
+      .toDF("doc_id", "source")
+    val out = Pipeline.mixtureSample(docs,
+        Seq("a" -> 2.0, "b" -> 0.0), defaultWeight = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
+      .toMap
+    assert(byDoc === Map(
+      1L -> Seq(0L, 1L), 3L -> Seq(0L, 1L), 4L -> Seq(0L)))
+  }
+
+  test("mixtureSample: fractional epoch is deterministic and bounded") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, "a")).toDF("doc_id", "source")
+    def run() = Pipeline.mixtureSample(docs, Seq("a" -> 1.5))
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run()
+    assert(a === run())                          // pure function of the id
+    assert(a.values.forall(c => c == 1 || c == 2)) // floor(w) or floor(w)+1
+    val extra = a.values.count(_ == 2)
+    assert(extra > 40 && extra < 160)            // ~half get the 0.5 epoch
+  }
+
+  test("decontaminate: planted 3-gram overlap with the eval slice") {
+    // doc 0 is eval (0 % 97 == 0); doc 1 shares "q w e" and "w e r",
+    // doc 2 shares nothing
+    val docs = docsDf(
+      (0L, "q w e r"),
+      (1L, "x q w e r"),
+      (2L, "a b c d e"))
+    val out = Pipeline.decontaminate(docs, n = 3, evalMod = 97)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L))
+  }
+
+  test("quantizeEmbeddings: hand-derived int8 values, zero vector safe") {
+    import spark.implicits._
+    val embs = Seq(
+      (1L, Seq(1.0f, -2.0f, 4.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Pipeline.quantizeEmbeddings(embs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // amax=4: q = [floor(31.75+.5)=32, floor(-63.5+.5)=-63, 127]
+    assert(out(1L) === ((4.0, 96L, 222L, -63L, 127L)))
+    assert(out(2L) === ((0.0, 0L, 0L, 0L, 0L)))
+  }
+}
