@@ -27,6 +27,18 @@ object Bench {
     SparkEntry.queries.get("q_time_bars")
       .foreach(fn => fn(spark, "/root/testdata/sf0.001").count())
 
+    // fixed calibration workload: identical every round, so cross-round
+    // query comparisons can be normalized for host-speed drift (measured
+    // ±15% box variance between same-code runs two hours apart). Run
+    // before AND after the query sweep to expose drift within the run.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(200L * 1000 * 1000)
+        .selectExpr("sum(id * 2654435761 % 1000000007)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibStart = calibrate()
+
     val results = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
       val ok =
@@ -64,8 +76,9 @@ object Bench {
         bytes.toDouble / rows
       } catch { case _: Throwable => -1.0 }
 
+    val calibEnd = calibrate()
     println(
-      f"""{"metric":"total_query_seconds","value":$total%.3f,"unit":"sec","queries":$qs,"storage_bytes_per_event":$densityBpe%.2f,"sf":"$sfDir"}""")
+      f"""{"metric":"total_query_seconds","value":$total%.3f,"unit":"sec","queries":$qs,"storage_bytes_per_event":$densityBpe%.2f,"calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

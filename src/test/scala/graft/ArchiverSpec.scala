@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.server.Archiver
+
+/** S17 archival sink: size-thresholded tiering sweep, exit hook, metadata
+  * catalog, crash re-run safety (gstorage plugin semantics, run.rs:90-137). */
+class ArchiverSpec extends SparkSpec {
+
+  private def mkTree(): (String, String) = {
+    val src = Files.createTempDirectory("arch-src").toString
+    val dest = Files.createTempDirectory("arch-dest").toString
+    Files.createDirectories(Paths.get(src, "book1"))
+    Files.write(Paths.get(src, "book1", "big.parquet"),
+      Array.fill[Byte](4096)(7))
+    Files.write(Paths.get(src, "book1", "small.parquet"),
+      Array.fill[Byte](16)(3))
+    (src, "file://" + dest)
+  }
+
+  test("sweep archives files over the threshold, preserves book paths") {
+    val (src, dest) = mkTree()
+    val a = new Archiver(spark, src, dest, minFileSize = 1024,
+      removeLocal = false)
+    val recs = a.scanOnce()
+    assert(recs.map(_.name) === Seq("book1/big.parquet"))
+    assert(recs.head.size === 4096 && !recs.head.removed)
+    // local retained (removeLocal=false), dest byte-identical
+    assert(Files.exists(Paths.get(src, "book1", "big.parquet")))
+    val destFile = Paths.get(dest.stripPrefix("file://"),
+      "book1", "big.parquet")
+    assert(Files.readAllBytes(destFile).toSeq ===
+      Array.fill[Byte](4096)(7).toSeq)
+  }
+
+  test("removeLocal deletes the local copy only after the verified copy") {
+    val (src, dest) = mkTree()
+    val a = new Archiver(spark, src, dest, minFileSize = 1024)
+    val recs = a.scanOnce()
+    assert(recs.head.removed)
+    assert(!Files.exists(Paths.get(src, "book1", "big.parquet")))
+    assert(Files.exists(Paths.get(src, "book1", "small.parquet"))) // under threshold
+  }
+
+  test("exit hook archives everything regardless of size") {
+    val (src, dest) = mkTree()
+    val a = new Archiver(spark, src, dest, minFileSize = 1024)
+    a.scanOnce()
+    val recs = a.exitHook()
+    assert(recs.map(_.name) === Seq("book1/small.parquet"))
+    assert(!Files.exists(Paths.get(src, "book1", "small.parquet")))
+  }
+
+  test("metadata catalog is queryable and md5 matches the bytes") {
+    val (src, dest) = mkTree()
+    val a = new Archiver(spark, src, dest, minFileSize = 1024)
+    a.scanOnce()
+    val expectMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.fill[Byte](4096)(7))
+      .map("%02x".format(_)).mkString
+    val rows = a.metadata().collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[String]("name") === "book1/big.parquet")
+    assert(r.getAs[Long]("size") === 4096L)
+    assert(r.getAs[String]("md5") === expectMd5)
+    assert(r.getAs[Boolean]("removed"))
+  }
+
+  test("re-run after a crash between copy and delete is safe") {
+    val (src, dest) = mkTree()
+    // first pass without local removal simulates copy-done-delete-missed
+    new Archiver(spark, src, dest, minFileSize = 1024,
+      removeLocal = false).scanOnce()
+    // second pass with removal: must not fail on the existing dest file,
+    // must remove the local copy now
+    val recs = new Archiver(spark, src, dest, minFileSize = 1024)
+      .scanOnce()
+    assert(recs.map(_.name) === Seq("book1/big.parquet"))
+    assert(recs.head.removed)
+    assert(!Files.exists(Paths.get(src, "book1", "big.parquet")))
+  }
+}

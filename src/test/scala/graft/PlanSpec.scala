@@ -113,6 +113,45 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in bm25 plan:\n$p")
   }
 
+  test("decontamination broadcasts the eval gram set over the train side") {
+    // the eval slice is corpus/97 and deduped — the gram equi-join must
+    // broadcast it, never shuffle the (much larger) train gram stream
+    // against a shuffled eval side
+    val p = plan("q_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval gram set not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in decontam:\n$p")
+  }
+
+  test("mixture sampling is pure map-side — no shuffle at all") {
+    // copies come from a literal CASE + md5 threshold + explode: the plan
+    // before the output orderBy must contain no aggregate and no hash
+    // exchange (the only exchange is the orderBy's rangepartitioning)
+    val p = plan("q_mixture")
+    assert(!p.contains("HashAggregate"), s"unexpected aggregate:\n$p")
+    val hashEx = "Arguments: hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 0, s"mixture sampling shuffled ($hashEx):\n$p")
+  }
+
+  test("sequence packing windows by shard — parallelism is the shard knob") {
+    // the cumsum must partition by `shard`, not run as one global window
+    // (an empty partitionBy would funnel the whole corpus into one task)
+    val p = plan("q_pack_sequences")
+    assert(p.contains("Window"), s"no window in packing plan:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"packing window collapsed to a single partition:\n$p")
+  }
+
+  test("embedding quantization stays map-side over the scan") {
+    // amax + per-element transform + integer summaries are all scalar
+    // expressions: no aggregate, no join, no hash shuffle
+    val p = plan("q_embed_quant")
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      s"quantization not map-side:\n$p")
+    val hashEx = "Arguments: hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 0, s"quantization shuffled ($hashEx):\n$p")
+  }
+
   test("trade filter is applied at the scan, before aggregation") {
     // updates derives is_trade from event_id, so the predicate appears as
     // the derived `% 3` condition in the Filter directly above the scan —
