@@ -72,6 +72,17 @@ object Pipeline {
        | WHERE n_tokens > 0)
        |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
 
+  /** Shard count as a function of corpus size (the packing analog of
+    * `Similarity.planesFor`): each shard's cumsum window is one ordered
+    * task, so shards must grow with total tokens to bound per-task work.
+    * Default bound ≈ 100M tokens/shard — minutes of window work, far
+    * under any executor memory limit (the window state is one running
+    * sum). */
+  def shardsFor(totalTokens: Long,
+      tokensPerShard: Long = 100L * 1000 * 1000): Int =
+    math.max(8, math.ceil(
+      totalTokens.toDouble / tokensPerShard.toDouble).toInt)
+
   // ------------------------------------------------- mixture / epoch sampling
 
   /** Epoch-weighted mixture sampling: each source gets a mixture weight
@@ -175,6 +186,71 @@ object Pipeline {
        |SELECT t.doc_id, count(DISTINCT t.g) AS hits
        |FROM train t JOIN eval e ON t.g = e.g
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+      .replace('\n', ' ')
+  }
+
+  // ------------------------------------------- cross-doc duplicated spans
+
+  /** Cross-document duplicated-span signal (the exact-substring dedup
+    * family, "Deduplicating Training Data Makes Language Models Better",
+    * Lee et al. 2022 — restated at word-`n`-gram granularity): a span is
+    * "duplicated" when the SAME n-gram occurs in at least `minDocs`
+    * DISTINCT documents (internal repeats within one doc do NOT count —
+    * that is [[TextOps.repetition]]'s signal). Per document: total spans,
+    * duplicated spans, and the duplicated fraction — the standard
+    * drop/trim criterion before training.
+    *
+    * Scale shape: one (gram → distinct-doc-count) aggregation, one
+    * equi-join of the gram stream back to the flagged grams, one per-doc
+    * aggregation — all shuffles on gram/doc keys with bounded fan-out; no
+    * pair materialization (contrast suffix-array builds: this is the
+    * shuffle-native restatement that scales to 100 TB). */
+  def dupSpans(docs: DataFrame, n: Int = 5, minDocs: Int = 2): DataFrame = {
+    def grams(df: DataFrame): DataFrame = {
+      val ws = split(lower(trim(col("text"))), "\\s+")
+      df.select(col("doc_id"), ws.as("ws"))
+        .where(size(col("ws")) >= n)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+            i => array_join(slice(col("ws"), i, lit(n)), " "))).as("g"))
+    }
+    val g = grams(docs)
+    val dupGrams = g.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .where(col("ndocs") >= minDocs)
+      .select("g")
+    g.join(dupGrams.withColumn("_dup", lit(1L)), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("_dup"), lit(0L))).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        (col("n_dup_spans").cast("double") / col("n_spans"))
+          .as("dup_frac"))
+  }
+
+  def dupSpansSql(n: Int = 5, minDocs: Int = 2): String = {
+    val parts = (0 until n).map {
+      case 0 => "w"
+      case i => s"lead(w, $i) OVER (PARTITION BY doc_id ORDER BY pos)"
+    }.mkString(" || ' ' || ")
+    s"""WITH grams AS (
+       | SELECT doc_id, g FROM (
+       |  SELECT doc_id, $parts AS g FROM (
+       |   SELECT doc_id,
+       |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w,
+       |    generate_subscripts(
+       |      regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+       |   FROM documents))
+       | WHERE g IS NOT NULL),
+       |dup AS (SELECT g FROM grams
+       | GROUP BY g HAVING count(DISTINCT doc_id) >= $minDocs)
+       |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       | CAST(sum(CASE WHEN d.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |  AS n_dup_spans,
+       | CAST(sum(CASE WHEN d.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |  / count(*) AS dup_frac
+       |FROM grams g LEFT JOIN dup d ON g.g = d.g
+       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
       .replace('\n', ' ')
   }
 

@@ -180,6 +180,11 @@ object ExtQueries {
       (s, dir) => Pipeline.decontaminate(docs(s, dir)).orderBy("doc_id"),
       Some(Pipeline.decontaminateSql())),
 
+    // cross-doc duplicated-span fraction (exact-substring dedup signal)
+    Q("q_dup_spans",
+      (s, dir) => Pipeline.dupSpans(docs(s, dir)).orderBy("doc_id"),
+      Some(Pipeline.dupSpansSql())),
+
     // per-vector symmetric int8 embedding quantization
     Q("q_embed_quant",
       (s, dir) => Pipeline.quantizeEmbeddings(embs(s, dir))

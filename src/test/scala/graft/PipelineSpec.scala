@@ -83,6 +83,20 @@ class PipelineSpec extends SparkSpec {
     assert(out === Map(1L -> 2L))
   }
 
+  test("dupSpans: cross-doc spans flagged, internal repeats are not") {
+    val docs = docsDf(
+      (1L, "a b c d e x"),      // shares "a b c d e" with doc 2
+      (2L, "z a b c d e"),
+      (3L, "p q r s t p q r s t")) // internal repeat only -> 0 dup spans
+    val out = Pipeline.dupSpans(docs, n = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // doc1: spans {a b c d e, b c d e x} -> 1 dup; doc2 symmetric
+    assert(out(1L) === ((2L, 1L)) && out(2L) === ((2L, 1L)))
+    // doc3: "p q r s t" occurs twice but in ONE doc -> not duplicated
+    assert(out(3L)._2 === 0L)
+  }
+
   test("quantizeEmbeddings: hand-derived int8 values, zero vector safe") {
     import spark.implicits._
     val embs = Seq(
