@@ -72,6 +72,43 @@ object Pipeline {
        | WHERE n_tokens > 0)
        |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
 
+  /** Per-training-sequence manifest — the inverse view of
+    * [[packSequences]]: one row per (shard, seq) with how many documents
+    * contribute tokens to that sequence and how many tokens land in it
+    * (= `seqLen` everywhere except each shard's final partial sequence —
+    * the integrity property a loader checks before building batches).
+    * A document spanning several sequences contributes its clipped token
+    * range to each: `min(end, (seq+1)·L) − max(start, seq·L)`.
+    *
+    * Scale shape: the explode fans each doc out to its (few) spanned
+    * sequences; the aggregation shuffles on (shard, seq) — bounded keys,
+    * no funnel beyond the packing window itself. All-integer outputs. */
+  def packManifest(docs: DataFrame, seqLen: Int = 512,
+      nShards: Int = 8): DataFrame =
+    packSequences(docs, seqLen, nShards)
+      .select(col("shard"), col("start_off"),
+        (col("start_off") + col("n_tokens")).as("end_off"),
+        explode(sequence(col("first_seq"), col("last_seq"))).as("seq"))
+      .groupBy("shard", "seq")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("end_off"), (col("seq") + 1) * seqLen) -
+          greatest(col("start_off"), col("seq") * seqLen)).as("n_tokens"))
+
+  def packManifestSql(seqLen: Int = 512, nShards: Int = 8): String =
+    // stripSuffix, NOT replace: the window's own `ORDER BY doc_id` (the
+    // cumsum ordering!) contains the same text as the trailing output sort
+    s"""WITH packed AS (
+       | ${packSequencesSql(seqLen, nShards).stripSuffix("ORDER BY doc_id")}),
+       |spans AS (SELECT shard, start_off,
+       |  start_off + n_tokens AS end_off,
+       |  unnest(generate_series(first_seq, last_seq)) AS seq
+       | FROM packed)
+       |SELECT shard, seq, CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(least(end_off, (seq + 1) * $seqLen)
+       |   - greatest(start_off, seq * $seqLen)) AS BIGINT) AS n_tokens
+       |FROM spans GROUP BY shard, seq
+       |ORDER BY shard, seq""".stripMargin.replace('\n', ' ')
+
   /** Shard count as a function of corpus size (the packing analog of
     * `Similarity.planesFor`): each shard's cumsum window is one ordered
     * task, so shards must grow with total tokens to bound per-task work.

@@ -193,6 +193,37 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
   }
 
+  /** The repetition top-gram share as a PURE per-row scalar expression —
+    * no explode, no groupBy: every n-gram of a document lives in its own
+    * row, so sort the gram array and fold it counting the longest equal
+    * run (= the max multiplicity = [[repetition]]'s `top_gram_count`).
+    * Bit-identical to the aggregated `top_gram_frac` (integer counts, one
+    * IEEE division); NULL when the doc has fewer than `n` words (the
+    * aggregated form emits no row — callers coalesce identically).
+    *
+    * Why it exists: stateless ⇒ the repetition signal (and therefore the
+    * whole [[qualityFilter]]) runs UNCHANGED on a document stream —
+    * see `Streaming.streamingQualityFilter`. */
+  def topGramFrac(text: Column, n: Int = 2): Column = {
+    val ws = split(lower(trim(text)), "\\s+")
+    val grams = when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => array_join(slice(ws, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val sorted = array_sort(grams)
+    val folded = aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      })
+    when(size(grams) > 0,
+      folded.getField("best").cast("double") / size(grams).cast("long"))
+      .otherwise(lit(null).cast("double"))
+  }
+
   /** C4/Gopher-style document filter: the standard pre-training keep/drop
     * decision composed from [[quality]] and [[repetition]] signals, with
     * per-rule flags retained so drops are attributable (the practical

@@ -169,6 +169,12 @@ object ExtQueries {
       (s, dir) => Pipeline.packSequences(docs(s, dir)).orderBy("doc_id"),
       Some(Pipeline.packSequencesSql())),
 
+    // per-sequence packing manifest (inverse view: loader integrity check)
+    Q("q_pack_manifest",
+      (s, dir) => Pipeline.packManifest(docs(s, dir))
+        .orderBy("shard", "seq"),
+      Some(Pipeline.packManifestSql())),
+
     // epoch-weighted mixture sampling (2.5 epochs of src0, 0.4 of src1)
     Q("q_mixture",
       (s, dir) => Pipeline.mixtureSample(docs(s, dir), MixtureWeights,

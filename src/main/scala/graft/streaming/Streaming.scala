@@ -192,4 +192,32 @@ object Streaming {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(fn)
   }
+
+  /** The C4/Gopher document filter on a STREAM of documents — the corpus
+    * ingest path run incrementally instead of as a batch job.
+    *
+    * Same decision as [[graft.ext.TextOps.qualityFilter]] (same defaults,
+    * same per-rule attribution flags), but every signal is a per-row
+    * scalar: the repetition share uses [[graft.ext.TextOps.topGramFrac]]
+    * (sort-and-fold over the doc's own gram array) instead of the batch
+    * explode+groupBy, so the plan has NO stateful operator — no watermark,
+    * no state store, works in append mode on any unbounded source, and
+    * emits bit-identical keep/drop decisions to the batch operator
+    * (StreamingSpec proves streamed ≡ batch on the same docs). */
+  def streamingQualityFilter(docs: DataFrame, minTokens: Long = 25,
+      maxTopGramFrac: Double = 0.08, minMeanTokLen: Double = 3.0,
+      maxMeanTokLen: Double = 8.0): DataFrame = {
+    import graft.ext.TextOps
+    val t = col("text")
+    val toks = TextOps.tokenCount(t)
+    val meanTok = length(t).cast("double") / toks
+    docs.select(col("doc_id"),
+      (toks.cast("long") >= minTokens).as("len_ok"),
+      (coalesce(TextOps.topGramFrac(t), lit(0.0)) <= maxTopGramFrac)
+        .as("rep_ok"),
+      (meanTok >= minMeanTokLen && meanTok <= maxMeanTokLen)
+        .as("toklen_ok"))
+      .withColumn("keep",
+        col("len_ok") && col("rep_ok") && col("toklen_ok"))
+  }
 }

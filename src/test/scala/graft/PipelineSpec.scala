@@ -45,6 +45,20 @@ class PipelineSpec extends SparkSpec {
       1L -> ((1L, 0L)), 3L -> ((1L, 3L))))
   }
 
+  test("packManifest: every sequence holds exactly seqLen tokens except the tail") {
+    val docs = docsDf(
+      (0L, "a b c"),         // 3 tokens [0,3)
+      (1L, "d e"),           // 2 tokens [3,5)
+      (2L, ""),              // 1 token  [5,6)
+      (3L, "f g h i j k"))   // 6 tokens [6,12)
+    val out = Pipeline.packManifest(docs, seqLen = 5, nShards = 1)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // seq0: docs 0,1 -> 5 tokens; seq1: docs 2,3 -> 1+4 = 5; seq2: tail 2
+    assert(out === Map(0L -> ((2L, 5L)), 1L -> ((2L, 5L)),
+      2L -> ((1L, 2L))))
+  }
+
   test("mixtureSample: integer weights give exact copy counts, 0 drops") {
     import spark.implicits._
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "c"))

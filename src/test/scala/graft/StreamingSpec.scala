@@ -141,6 +141,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming quality filter ≡ batch filter, stateless plan") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then " +
+        "keeps running through the quiet field toward the distant " +
+        "hills while the sun sets slowly behind them tonight again"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam " +
+        "spam spam spam spam spam spam spam spam spam spam spam spam " +
+        "spam spam spam"),                     // repetition drop
+      (3L, "too short"),                       // length drop
+      (4L, "x"))                               // 1 word: no grams (null path)
+    val in = MemoryStream[(Long, String)]
+    val filtered = Streaming.streamingQualityFilter(
+      in.toDS().toDF("doc_id", "text"))
+    assert(filtered.isStreaming)
+    val q = filtered.writeStream.outputMode("append")
+      .format("memory").queryName("sqf").start()
+    in.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    val streamed = spark.table("sqf").collect().map(key).toMap
+    val batch = graft.ext.TextOps.qualityFilter(
+      docs.toDF("doc_id", "text")).collect().map(key).toMap
+    assert(streamed === batch)
+    assert(streamed(1L)._4 && !streamed(2L)._2 && !streamed(3L)._1)
+  }
+
   test("subscribe filter fans out one book") {
     import spark.implicits._
     val ups = Seq(
