@@ -116,6 +116,22 @@ object TickQueries {
           |      ELSE 10000 END AS pw
           |FROM updates) ORDER BY seq""".stripMargin.replace('\n', ' ')))),
 
+    // C2 — epoch_to_human render (`utils.rs:39-45`): epoch seconds to
+    // "YYYY-MM-DD HH:MM:SS UTC". Session TZ is UTC on the Spark side; the
+    // oracle uses make_timestamp (naive, TZ-free) so neither engine
+    // consults a local zone.
+    Q("q_epoch_human",
+      (s, dir) => u(s, dir)
+        .select(col("ts"), col("seq"),
+          epochToHuman(tsSeconds(col("ts"))).as("human"))
+        .orderBy("ts", "seq"),
+      Some(Tables.withUpdates(
+        """SELECT ts, seq,
+          | strftime(make_timestamp((ts // 1000) * 1000000),
+          |   '%Y-%m-%d %H:%M:%S') || ' UTC' AS human
+          |FROM updates ORDER BY ts, seq""".stripMargin
+          .replace('\n', ' ')))),
+
     // C6 — symbol parse `exchange_currency_asset` (`dtf/symbol.rs:15-29`).
     Q("q_symbol_parse", (s, dir) => {
       val full = concat(lit("bnc_"), col("symbol"), lit("_usd"))
