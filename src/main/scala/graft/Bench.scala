@@ -52,11 +52,15 @@ object Bench {
     def render(rs: Seq[(String, Double)]): String = rs
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    // sweep 1 = the cross-round comparable (same single-shot methodology
-    // as every earlier round); sweep 2 = steady state — JIT settled,
-    // page cache warm — which is what distinguishes a plan regression
-    // from a host hiccup on this high-variance box (per-query times
-    // measured varying up to 5x run-to-run at identical code)
+    // sweep 1 = the cross-round comparable: same single-shot order as
+    // every earlier round, though the calibration job above adds some
+    // extra JVM warm-up earlier rounds didn't have (bias is toward
+    // slightly faster sweep-1 times — small next to the measured
+    // run-to-run variance, and stated here rather than hidden);
+    // sweep 2 = steady state — JIT settled, page cache warm — which is
+    // what distinguishes a plan regression from a host hiccup on this
+    // high-variance box (per-query times measured varying up to 5x
+    // run-to-run at identical code)
     val results = sweep()
     val warm = sweep()
     val qs = render(results)

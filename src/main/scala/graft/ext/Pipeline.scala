@@ -172,6 +172,39 @@ object Pipeline {
        |ORDER BY doc_id, copy""".stripMargin.replace('\n', ' ')
   }
 
+  // --------------------------------------------------- shared gram stream
+
+  /** Non-distinct word n-gram stream (doc_id, g) — ONE definition shared
+    * by [[decontaminate]] and [[dupSpans]] so the tokenization (trim,
+    * lower, `\s+` split, slice/join) can never drift between the two
+    * gates. `TextOps.repetition` and `Dedup.shingles` keep their own
+    * variants deliberately (distinct + repartition semantics differ). */
+  private def gramStream(df: DataFrame, n: Int): DataFrame = {
+    val ws = split(lower(trim(col("text"))), "\\s+")
+    df.select(col("doc_id"), ws.as("ws"))
+      .where(size(col("ws")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+          i => array_join(slice(col("ws"), i, lit(n)), " "))).as("g"))
+  }
+
+  /** DuckDB twin of [[gramStream]]: a full SELECT producing (doc_id, g),
+    * NULL lead-tails already filtered. */
+  private def gramStreamSql(n: Int): String = {
+    val parts = (0 until n).map {
+      case 0 => "w"
+      case i => s"lead(w, $i) OVER (PARTITION BY doc_id ORDER BY pos)"
+    }.mkString(" || ' ' || ")
+    s"""SELECT doc_id, g FROM (
+       | SELECT doc_id, $parts AS g FROM (
+       |  SELECT doc_id,
+       |   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w,
+       |   generate_subscripts(
+       |     regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+       |  FROM documents))
+       |WHERE g IS NOT NULL""".stripMargin
+  }
+
   // ------------------------------------------------------- decontamination
 
   /** Train/eval overlap (decontamination) check: the benchmark set is the
@@ -187,44 +220,23 @@ object Pipeline {
     * all-pairs document comparison anywhere. */
   def decontaminate(docs: DataFrame, n: Int = 3,
       evalMod: Int = 97): DataFrame = {
-    def grams(df: DataFrame): DataFrame = {
-      val ws = split(lower(trim(col("text"))), "\\s+")
-      df.select(col("doc_id"), ws.as("ws"))
-        .where(size(col("ws")) >= n)
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("ws")) - (n - 1)),
-            i => array_join(slice(col("ws"), i, lit(n)), " "))).as("g"))
-    }
-    val evalGrams = grams(docs.where(col("doc_id") % evalMod === 0))
+    val evalGrams = gramStream(docs.where(col("doc_id") % evalMod === 0), n)
       .select("g").distinct()
-    val train = grams(docs.where(col("doc_id") % evalMod =!= 0))
+    val train = gramStream(docs.where(col("doc_id") % evalMod =!= 0), n)
     train.join(broadcast(evalGrams), "g")
       .groupBy("doc_id")
       .agg(countDistinct(col("g")).as("hits"))
   }
 
-  def decontaminateSql(n: Int = 3, evalMod: Int = 97): String = {
-    val parts = (0 until n).map {
-      case 0 => "w"
-      case i => s"lead(w, $i) OVER (PARTITION BY doc_id ORDER BY pos)"
-    }.mkString(" || ' ' || ")
-    val gramSrc =
-      s"""SELECT doc_id, $parts AS g FROM (
-         | SELECT doc_id,
-         |  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w,
-         |  generate_subscripts(
-         |    regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
-         | FROM documents)""".stripMargin
-    s"""WITH grams AS ($gramSrc),
-       |eval AS (SELECT DISTINCT g FROM grams
-       |  WHERE doc_id % $evalMod = 0 AND g IS NOT NULL),
+  def decontaminateSql(n: Int = 3, evalMod: Int = 97): String =
+    s"""WITH grams AS (${gramStreamSql(n)}),
+       |eval AS (SELECT DISTINCT g FROM grams WHERE doc_id % $evalMod = 0),
        |train AS (SELECT doc_id, g FROM grams
-       |  WHERE doc_id % $evalMod <> 0 AND g IS NOT NULL)
+       |  WHERE doc_id % $evalMod <> 0)
        |SELECT t.doc_id, count(DISTINCT t.g) AS hits
        |FROM train t JOIN eval e ON t.g = e.g
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
       .replace('\n', ' ')
-  }
 
   // ------------------------------------------- cross-doc duplicated spans
 
@@ -243,15 +255,7 @@ object Pipeline {
     * pair materialization (contrast suffix-array builds: this is the
     * shuffle-native restatement that scales to 100 TB). */
   def dupSpans(docs: DataFrame, n: Int = 5, minDocs: Int = 2): DataFrame = {
-    def grams(df: DataFrame): DataFrame = {
-      val ws = split(lower(trim(col("text"))), "\\s+")
-      df.select(col("doc_id"), ws.as("ws"))
-        .where(size(col("ws")) >= n)
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("ws")) - (n - 1)),
-            i => array_join(slice(col("ws"), i, lit(n)), " "))).as("g"))
-    }
-    val g = grams(docs)
+    val g = gramStream(docs, n)
     val dupGrams = g.groupBy("g")
       .agg(countDistinct(col("doc_id")).as("ndocs"))
       .where(col("ndocs") >= minDocs)
@@ -265,20 +269,8 @@ object Pipeline {
           .as("dup_frac"))
   }
 
-  def dupSpansSql(n: Int = 5, minDocs: Int = 2): String = {
-    val parts = (0 until n).map {
-      case 0 => "w"
-      case i => s"lead(w, $i) OVER (PARTITION BY doc_id ORDER BY pos)"
-    }.mkString(" || ' ' || ")
-    s"""WITH grams AS (
-       | SELECT doc_id, g FROM (
-       |  SELECT doc_id, $parts AS g FROM (
-       |   SELECT doc_id,
-       |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w,
-       |    generate_subscripts(
-       |      regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
-       |   FROM documents))
-       | WHERE g IS NOT NULL),
+  def dupSpansSql(n: Int = 5, minDocs: Int = 2): String =
+    s"""WITH grams AS (${gramStreamSql(n)}),
        |dup AS (SELECT g FROM grams
        | GROUP BY g HAVING count(DISTINCT doc_id) >= $minDocs)
        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
@@ -289,7 +281,6 @@ object Pipeline {
        |FROM grams g LEFT JOIN dup d ON g.g = d.g
        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
       .replace('\n', ' ')
-  }
 
   // ------------------------------------------------ embedding quantization
 

@@ -22,54 +22,65 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - the reference's DCB metadata post (metadata.rs: name, bucket, size,
   *    md5Hash, start/finish/response_time) becomes a JSON-lines metadata
   *    log at `<dest>/_archive_meta/`, directly queryable as a DataFrame
-  *    ([[metadata]]) — the queryable catalog a 100 TB archive needs;
+  *    ([[metadata]]) — the queryable catalog a 100 TB archive needs. One
+  *    catalog row per ARCHIVAL (the durable copy), written after the
+  *    verified rename and BEFORE any local delete, and never duplicated
+  *    on re-sweeps of already-archived files;
   *  - archive unit is a closed parquet flush file; relative paths (book
   *    dirs) are preserved at the destination, so `spark.read.parquet(dest)`
-  *    over the archive keeps working per book.
+  *    over the archive keeps working per book. In-flight staging paths
+  *    (`*.compact`, `*.old` swap dirs, Spark `_temporary`) are NEVER
+  *    swept — archiving those would race Compaction/flush and delete
+  *    files mid-swap.
   *
   * Durability order per file (upload.rs uploads then deletes): copy to a
-  * temporary name at the destination, fsync-close, verify length, atomic
-  * rename into place, append metadata, and only then delete the local file
-  * (when `removeLocal`) — a crash at any point leaves either the local
-  * file, or both copies, never neither. The local delete (the only
-  * reader-visible mutation) runs under `swapLock` — pass the Engine when
-  * archiving a live folder, same reader-exclusion contract as
-  * [[graft.sources.Compaction]].
+  * temporary name at the destination, close, verify length, atomic rename
+  * into place, append the catalog record, and only then delete the local
+  * file (when `removeLocal`) — a crash at any point leaves either the
+  * local file, or both copies plus a catalog row, never an unrecorded
+  * deletion. Re-running after a crash between rename and delete skips the
+  * copy (same-length dest), appends nothing, and completes the delete.
+  * The local delete (the only reader-visible mutation) runs under
+  * `swapLock` — pass the Engine when archiving a live folder, same
+  * reader-exclusion contract as [[graft.sources.Compaction]].
   */
 final class Archiver(spark: SparkSession, srcDir: String, destUri: String,
     minFileSize: Long = 1L << 20, removeLocal: Boolean = true,
     swapLock: AnyRef = new AnyRef) {
 
+  /** `copied` = the bytes moved THIS sweep (false: dest already had
+    * them, md5 not recomputed); `removed` = local delete performed. */
   case class ArchiveRecord(name: String, size: Long, md5: String,
-      dest: String, startMs: Long, finishMs: Long, removed: Boolean)
+      dest: String, startMs: Long, finishMs: Long, copied: Boolean,
+      removed: Boolean)
 
   private val conf: Configuration = spark.sessionState.newHadoopConf()
   private val stopped = new AtomicBoolean(false)
 
   private def destFs: FileSystem = new HPath(destUri).getFileSystem(conf)
 
-  /** One archival sweep: every parquet file under `srcDir` (recursive, book
-    * subdirs preserved) with size ≥ `threshold` is copied to the
-    * destination, verified, logged, and (optionally) removed locally.
-    * Returns the records for this sweep. Files already present at the
-    * destination with the same length are treated as previously-archived
-    * (re-run safe after a crash between copy and delete). */
+  /** One archival sweep: every parquet file under `srcDir` (recursive,
+    * book subdirs preserved, staging dirs excluded) with size ≥
+    * `threshold` is copied to the destination, verified, cataloged, and
+    * (optionally) removed locally. Returns records for every eligible
+    * file this sweep — already-archived files get `copied = false`. */
   def scanOnce(threshold: Long = minFileSize): Seq[ArchiveRecord] = {
     val src = new java.io.File(srcDir)
+    def stagingDir(d: java.io.File): Boolean =
+      d.getName.endsWith(".compact") || d.getName.endsWith(".old") ||
+        d.getName == "_temporary"
     def walk(d: java.io.File): Seq[java.io.File] =
       Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
-        if (f.isDirectory) walk(f)
+        if (f.isDirectory) { if (stagingDir(f)) Seq.empty else walk(f) }
         else if (f.getName.endsWith(".parquet") && f.length >= threshold)
           Seq(f)
         else Seq.empty
       }
     val fs = destFs
-    val recs = walk(src).map { f =>
+    walk(src).map { f =>
       val rel = src.toPath.relativize(f.toPath).toString
       archiveOne(fs, f, rel)
     }
-    if (recs.nonEmpty) appendMeta(fs, recs)
-    recs
   }
 
   private def archiveOne(fs: FileSystem, f: java.io.File,
@@ -77,8 +88,10 @@ final class Archiver(spark: SparkSession, srcDir: String, destUri: String,
     val t0 = System.currentTimeMillis()
     val dest = new HPath(destUri, rel)
     val size = f.length
-    val md5hex = fileMd5(f)
-    if (!(fs.exists(dest) && fs.getFileStatus(dest).getLen == size)) {
+    val alreadyArchived =
+      fs.exists(dest) && fs.getFileStatus(dest).getLen == size
+    val md5hex = if (alreadyArchived) "" else fileMd5(f)
+    if (!alreadyArchived) {
       val tmp = new HPath(destUri, rel + ".inprogress")
       fs.mkdirs(dest.getParent)
       val out = fs.create(tmp, true)
@@ -87,24 +100,36 @@ final class Archiver(spark: SparkSession, srcDir: String, destUri: String,
         s"archive length mismatch for $rel")
       fs.delete(dest, false) // re-archive after partial: replace
       require(fs.rename(tmp, dest), s"archive rename failed for $rel")
+      // catalog row BEFORE any local delete: a crash later never leaves
+      // an archived-but-unrecorded (or deleted-but-unrecorded) file
+      appendMeta(fs, rel, size, md5hex, dest.toString, t0)
     }
     val removed = removeLocal && swapLock.synchronized(f.delete())
     ArchiveRecord(rel, size, md5hex, dest.toString, t0,
-      System.currentTimeMillis(), removed)
+      System.currentTimeMillis(), copied = !alreadyArchived, removed)
   }
 
   /** Archive EVERYTHING still local, regardless of size — the reference's
     * shutdown path (`run_exit_hook`, run.rs:134-137). */
   def exitHook(): Seq[ArchiveRecord] = scanOnce(threshold = 0L)
 
-  /** Background interval loop (run.rs:90-131's sleeping thread). Returns
-    * the thread; [[stop]] ends it at the next wakeup. */
+  /** Background interval loop (run.rs:90-131's sleeping thread). A failed
+    * sweep (transient FS error, file moved mid-walk by a concurrent
+    * compaction) logs and retries next interval — it must never kill the
+    * thread (the reference logs per-file errors and keeps running too).
+    * Returns the thread; [[stop]] ends it at the next wakeup. */
   def start(intervalSecs: Long = 30L): Thread = {
     val t = new Thread(() => {
       while (!stopped.get()) {
         try Thread.sleep(intervalSecs * 1000L)
         catch { case _: InterruptedException => () }
-        if (!stopped.get()) scanOnce()
+        if (!stopped.get())
+          try scanOnce()
+          catch {
+            case e: Throwable =>
+              System.err.println(
+                s"[graft-archiver] sweep failed, retrying next interval: $e")
+          }
       }
     }, s"graft-archiver-$srcDir")
     t.setDaemon(true)
@@ -116,29 +141,28 @@ final class Archiver(spark: SparkSession, srcDir: String, destUri: String,
 
   /** The archive catalog as a DataFrame — the DCB-post analog, but
     * queryable in place: one row per archived file (name, size, md5,
-    * dest, timings, removed). */
+    * dest, archival timestamp). */
   def metadata(): DataFrame =
     spark.read.schema(
       "name STRING, size BIGINT, md5 STRING, dest STRING, " +
-        "startMs BIGINT, finishMs BIGINT, removed BOOLEAN")
+        "archivedMs BIGINT")
       .json(metaDir)
 
   private def metaDir: String = destUri + "/_archive_meta"
 
-  private def appendMeta(fs: FileSystem, recs: Seq[ArchiveRecord]): Unit = {
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def appendMeta(fs: FileSystem, name: String, size: Long,
+      md5: String, dest: String, ts: Long): Unit = {
     val dir = new HPath(metaDir)
     fs.mkdirs(dir)
-    val part = new HPath(dir,
-      s"meta-${System.currentTimeMillis()}-${recs.hashCode.abs}.json")
+    val part = new HPath(dir, s"meta-$ts-${(name.hashCode & 0x7fffffff)}.json")
     val out = fs.create(part, true)
     try {
       val w = new java.io.OutputStreamWriter(out, "UTF-8")
-      recs.foreach { r =>
-        w.write(
-          s"""{"name":"${r.name}","size":${r.size},"md5":"${r.md5}",""" +
-            s""""dest":"${r.dest}","startMs":${r.startMs},""" +
-            s""""finishMs":${r.finishMs},"removed":${r.removed}}""" + "\n")
-      }
+      w.write(s"""{"name":${jstr(name)},"size":$size,"md5":${jstr(md5)},""" +
+        s""""dest":${jstr(dest)},"archivedMs":$ts}""" + "\n")
       w.flush()
     } finally out.close()
   }

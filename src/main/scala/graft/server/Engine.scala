@@ -247,18 +247,29 @@ final class Engine(spark: SparkSession, dtfFolder: String,
       buf.clear()
     }
 
+  /** Books with a compaction in flight — enforces the single-compactor-
+    * per-book contract Compaction documents (two concurrent rewrites
+    * would clobber each other's `.compact`/`.old` staging dirs). */
+  private val compactingBooks =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Compact a book's parquet directory into ≈`targetBytes` files.
     * Runs the Spark rewrite unlocked, but passes THIS engine as the
-    * swap lock — Wire materializes every GET/scan inside
-    * `engine.synchronized`, so no reader can list the directory while
-    * files are mid-rename (the ADVICE race: a concurrent GET during the
-    * swap saw an empty/partial book). Returns (files before, after). */
+    * swap lock — Wire holds `engine.synchronized` from GET execution
+    * through row materialization, so no reader's captured file listing
+    * can straddle the rename swap (the ADVICE race: a concurrent GET
+    * during the swap saw an empty/partial book). A second concurrent
+    * call for the SAME book is a no-op returning (0, 0) — the staging
+    * dirs are per-book, so two rewrites must never overlap. Returns
+    * (files before, after). */
   def compactBook(book: String,
       targetBytes: Long = 128L << 20): (Int, Int) =
-    if (hasFs(book))
-      graft.sources.Compaction.compact(spark, fsPath(book), targetBytes,
+    if (!hasFs(book)) (0, 0)
+    else if (!compactingBooks.add(book)) (0, 0)
+    else
+      try graft.sources.Compaction.compact(spark, fsPath(book), targetBytes,
         swapLock = this)
-    else (0, 0)
+      finally compactingBooks.remove(book)
 
   def drainSubscription(book: String): Seq[Update] = {
     val out = subscribers.get(book).map(_.toSeq).getOrElse(Seq.empty)

@@ -288,21 +288,28 @@ final class TcpServer(engine: Engine, port: Int = 0) {
           val cmd = // malformed GET range etc. is a Bad-format reply, not a hangup
             scala.util.Try(CommandParser.parse(f.asString))
               .getOrElse(Command.BadFormat)
-          val reply = engine.synchronized(engine.execute(cmd, session))
-          reply match {
-            case engine.Text(s) =>
-              write(out, ok = true, s.getBytes("UTF-8"))
-            case engine.Err(e) =>
-              write(out, ok = false, s"ERR: $e\n".getBytes("UTF-8"))
-            case engine.Frame(df) =>
-              val isText = df.schema.fields.length == 1 &&
-                df.schema.fields(0).dataType ==
-                  org.apache.spark.sql.types.StringType
-              // toLocalIterator streams one partition at a time: the driver
-              // holds the encoded body bytes (~12 B/row for DTF), never the
-              // full Row array — a GET ALL over a big book stays bounded by
-              // the response size, not by row-object overhead
-              val body = engine.synchronized {
+          // ONE synchronized section from execute through materialization:
+          // execute's Frame plan captures the book's file listing, so the
+          // lock must not be released before the rows are drained — a
+          // compaction/archival swap in the gap would move the listed
+          // files out from under the cached index (FileNotFoundException
+          // on a GET that should have succeeded). Cost: concurrent GETs
+          // serialize — the single-owner-state stance the engine already
+          // takes for inserts (and the reference's single-threaded book).
+          val (okFlag, body) = engine.synchronized {
+            engine.execute(cmd, session) match {
+              case engine.Text(s) => (true, s.getBytes("UTF-8"))
+              case engine.Err(e) =>
+                (false, s"ERR: $e\n".getBytes("UTF-8"))
+              case engine.Frame(df) =>
+                val isText = df.schema.fields.length == 1 &&
+                  df.schema.fields(0).dataType ==
+                    org.apache.spark.sql.types.StringType
+                // toLocalIterator streams one partition at a time: the
+                // driver holds the encoded body bytes (~12 B/row for DTF),
+                // never the full Row array — a GET ALL over a big book
+                // stays bounded by the response size, not by row-object
+                // overhead
                 import scala.jdk.CollectionConverters._
                 if (isText) { // AS CSV / AS JSON: newline-joined text body
                   val sb = new java.lang.StringBuilder
@@ -310,15 +317,15 @@ final class TcpServer(engine: Engine, port: Int = 0) {
                     if (sb.length > 0) sb.append('\n')
                     sb.append(r.getString(0))
                   }
-                  sb.toString.getBytes("UTF-8")
+                  (true, sb.toString.getBytes("UTF-8"))
                 } else { // binary GET: DTF batch framing (state.rs:31-37)
                   import df.sparkSession.implicits._
-                  Wire.serializeBatches(
-                    df.as[Update].toLocalIterator().asScala)
+                  (true, Wire.serializeBatches(
+                    df.as[Update].toLocalIterator().asScala))
                 }
-              }
-              write(out, ok = true, body)
+            }
           }
+          write(out, ok = okFlag, body)
           out.flush() // commands are rare: reply immediately
         }
         // insert responses flush on reader starvation (connection idle) —

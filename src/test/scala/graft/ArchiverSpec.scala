@@ -25,7 +25,7 @@ class ArchiverSpec extends SparkSpec {
       removeLocal = false)
     val recs = a.scanOnce()
     assert(recs.map(_.name) === Seq("book1/big.parquet"))
-    assert(recs.head.size === 4096 && !recs.head.removed)
+    assert(recs.head.size === 4096 && recs.head.copied && !recs.head.removed)
     // local retained (removeLocal=false), dest byte-identical
     assert(Files.exists(Paths.get(src, "book1", "big.parquet")))
     val destFile = Paths.get(dest.stripPrefix("file://"),
@@ -52,10 +52,12 @@ class ArchiverSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(src, "book1", "small.parquet")))
   }
 
-  test("metadata catalog is queryable and md5 matches the bytes") {
+  test("metadata catalog is queryable, md5 matches, no duplicate rows") {
     val (src, dest) = mkTree()
-    val a = new Archiver(spark, src, dest, minFileSize = 1024)
+    val a = new Archiver(spark, src, dest, minFileSize = 1024,
+      removeLocal = false)
     a.scanOnce()
+    a.scanOnce() // re-sweep of an already-archived file: no new row
     val expectMd5 = java.security.MessageDigest.getInstance("MD5")
       .digest(Array.fill[Byte](4096)(7))
       .map("%02x".format(_)).mkString
@@ -65,7 +67,21 @@ class ArchiverSpec extends SparkSpec {
     assert(r.getAs[String]("name") === "book1/big.parquet")
     assert(r.getAs[Long]("size") === 4096L)
     assert(r.getAs[String]("md5") === expectMd5)
-    assert(r.getAs[Boolean]("removed"))
+  }
+
+  test("staging dirs (.compact/.old/_temporary) are never swept") {
+    val (src, dest) = mkTree()
+    for (d <- Seq("book1.compact", "book1.old", "_temporary")) {
+      Files.createDirectories(Paths.get(src, d))
+      Files.write(Paths.get(src, d, "part.parquet"),
+        Array.fill[Byte](4096)(9))
+    }
+    val recs = new Archiver(spark, src, dest, minFileSize = 1024)
+      .scanOnce()
+    assert(recs.map(_.name) === Seq("book1/big.parquet"))
+    // in-flight files untouched locally
+    for (d <- Seq("book1.compact", "book1.old", "_temporary"))
+      assert(Files.exists(Paths.get(src, d, "part.parquet")))
   }
 
   test("re-run after a crash between copy and delete is safe") {
@@ -74,11 +90,11 @@ class ArchiverSpec extends SparkSpec {
     new Archiver(spark, src, dest, minFileSize = 1024,
       removeLocal = false).scanOnce()
     // second pass with removal: must not fail on the existing dest file,
-    // must remove the local copy now
+    // must skip the copy (copied=false) and remove the local copy now
     val recs = new Archiver(spark, src, dest, minFileSize = 1024)
       .scanOnce()
     assert(recs.map(_.name) === Seq("book1/big.parquet"))
-    assert(recs.head.removed)
+    assert(!recs.head.copied && recs.head.removed)
     assert(!Files.exists(Paths.get(src, "book1", "big.parquet")))
   }
 }
