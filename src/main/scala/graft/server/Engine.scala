@@ -247,6 +247,15 @@ final class Engine(spark: SparkSession, dtfFolder: String,
       buf.clear()
     }
 
+  /** An [[Archiver]] for this engine's data folder, wired to THIS engine
+    * as the swap lock (S17): local deletes exclude readers exactly like
+    * the compaction swap. Not started — call `.start(intervalSecs)` for
+    * the background sweep or `.scanOnce()`/`.exitHook()` directly. */
+  def newArchiver(destUri: String, minFileSize: Long = 1L << 20,
+      removeLocal: Boolean = false): Archiver =
+    new Archiver(spark, dtfFolder, destUri, minFileSize, removeLocal,
+      swapLock = this)
+
   /** Books with a compaction in flight — enforces the single-compactor-
     * per-book contract Compaction documents (two concurrent rewrites
     * would clobber each other's `.compact`/`.old` staging dirs). */

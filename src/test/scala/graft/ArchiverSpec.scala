@@ -84,6 +84,25 @@ class ArchiverSpec extends SparkSpec {
       assert(Files.exists(Paths.get(src, d, "part.parquet")))
   }
 
+  test("engine-wired archiver tiers a flushed book, archive stays readable") {
+    import graft.server.{CommandParser, Engine}
+    val e = new Engine(spark,
+      Files.createTempDirectory("graft-arch-eng").toString)
+    e.execute(CommandParser.parse("CREATE ab"))
+    e.execute(CommandParser.parse("USE ab"))
+    for (j <- 0 until 20)
+      e.execute(CommandParser.parse(
+        f"ADD ${1505177000.0 + j}%.3f, $j, t, f, 1.5, 2.0; INTO ab"))
+    e.execute(CommandParser.parse("FLUSH ALL"))
+    val dest = "file://" + Files.createTempDirectory("graft-arch-cold")
+    val recs = e.newArchiver(dest).exitHook()
+    assert(recs.nonEmpty && recs.forall(r => r.copied && !r.removed))
+    // book path preserved: the archive reads back as the same table
+    val archived = spark.read
+      .parquet(dest.stripPrefix("file://") + "/book=ab")
+    assert(archived.count() === 20)
+  }
+
   test("re-run after a crash between copy and delete is safe") {
     val (src, dest) = mkTree()
     // first pass without local removal simulates copy-done-delete-missed

@@ -97,6 +97,32 @@ class PipelineSpec extends SparkSpec {
     assert(out === Map(1L -> 2L))
   }
 
+  test("packing ↔ manifest invariants hold on real documents") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.table(spark, sf("sf0.001"), "documents")
+    val packed = Pipeline.packSequences(docs, seqLen = 512, nShards = 4)
+    // contiguity per shard: offsets tile [0, total) with no gap/overlap
+    val shards = packed.groupBy("shard").agg(
+      sum(col("n_tokens")).as("total"),
+      max(col("start_off") + col("n_tokens")).as("hi"))
+      .collect()
+    assert(shards.nonEmpty)
+    shards.foreach(r => assert(r.getLong(1) === r.getLong(2),
+      s"shard ${r.getLong(0)}: token stream has gaps or overlaps"))
+    // manifest conserves tokens and fills every non-tail sequence exactly
+    val manifest = Pipeline.packManifest(docs, seqLen = 512, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val packedTotal = shards.map(_.getLong(1)).sum
+    assert(manifest.values.map(_._2).sum === packedTotal)
+    val lastSeq = manifest.keys.groupBy(_._1).view.mapValues(_.map(_._2).max)
+    manifest.foreach { case ((shard, seq), (_, toks)) =>
+      if (seq < lastSeq(shard))
+        assert(toks === 512L, s"non-tail sequence ($shard,$seq) has $toks")
+      else assert(toks <= 512L)
+    }
+  }
+
   test("dupSpans: cross-doc spans flagged, internal repeats are not") {
     val docs = docsDf(
       (1L, "a b c d e x"),      // shares "a b c d e" with doc 2

@@ -240,6 +240,57 @@ class WireSpec extends SparkSpec {
     } finally { client.close(); server.stop() }
   }
 
+  test("GET stays correct while compaction swaps the book dir under it") {
+    // regression for the round-4 race: Wire used to release the engine
+    // lock between GET execution (which captures the parquet file
+    // listing) and row materialization — a compaction swap in that gap
+    // made GETs fail on moved files. Now both run in one synchronized
+    // section, so swaps and GETs interleave but never overlap.
+    val engine =
+      new Engine(spark, Files.createTempDirectory("graft-race").toString)
+    val server = new TcpServer(engine)
+    val client = new TcpClient("127.0.0.1", server.boundPort)
+    try {
+      assert(client.cmd("CREATE rc")._1)
+      client.cmd("USE rc")
+      // several flush files so every compaction performs a real swap
+      for (i <- 0 until 4) {
+        for (j <- 0 until 25) {
+          val ts = 1505177000.0 + i * 100 + j
+          assert(client.cmd(f"ADD $ts%.3f, ${i * 25 + j}, t, f, 1.5, 2.0;")._1)
+        }
+        assert(client.cmd("FLUSH")._1)
+      }
+      @volatile var stop = false
+      @volatile var compactions = 0
+      @volatile var compactErr: Option[Throwable] = None
+      val compactor = new Thread(() => {
+        try {
+          while (!stop) {
+            engine.compactBook("rc", targetBytes = 16L << 10)
+            compactions += 1
+          }
+        } catch { case e: Throwable => compactErr = Some(e) }
+      })
+      compactor.start()
+      val deadline = System.currentTimeMillis + 3000
+      var gets = 0
+      while (System.currentTimeMillis < deadline) {
+        // ranged GET -> Loc.Fs: reads the parquet book dir being swapped
+        val got = client.getUpdates(
+          "GET 100 FROM 1505176000 TO 1505180000")
+        assert(got.length === 100,
+          s"GET during compaction lost rows: ${got.length}/100")
+        gets += 1
+      }
+      stop = true
+      compactor.join(10000)
+      assert(compactErr.isEmpty, s"compactor failed: $compactErr")
+      assert(gets > 0 && compactions > 0,
+        s"no real interleaving: $gets GETs, $compactions compactions")
+    } finally { client.close(); server.stop() }
+  }
+
   test("concurrent pipelined ingest across connections stays consistent") {
     val engine =
       new Engine(spark, Files.createTempDirectory("graft-bench3").toString)
