@@ -193,6 +193,55 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
   }
 
+  /** Corpus-frequency log-probability quality signal (the CCNet-family
+    * "word rarity" score): the mean over a document's word OCCURRENCES of
+    * `ln(c_w / N)` — `c_w` the word's corpus count, `N` total corpus
+    * tokens. Documents of common words score high (≈ -6), gibberish and
+    * rare-token spam score low — the cheap proxy for an LM-perplexity
+    * filter when no model is available.
+    *
+    * Determinism contract: each term is integer-quantized
+    * `floor(ln(p)·1e12)` (the lnQ pattern — raw ln differs by 1 ulp
+    * across libms), summed EXACTLY in decimal, divided once at the end —
+    * so the mean is bit-identical across engines and accumulation orders
+    * (same shape as the variance quantizer).
+    *
+    * Scale: one word explode, one vocab aggregation, one equi-join on
+    * the word key (AQE picks broadcast vs shuffle by vocab size), one
+    * per-doc aggregation; the corpus total joins as a 1-row
+    * LocalRelation (bm25's corpus-constants pattern). */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val words = graft.functions.parallelized(docs)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+    val freq = words.groupBy("w").agg(count(lit(1)).as("c"))
+    val consts = graft.functions.localRelation(
+      freq.agg(sum(col("c")).cast("long").as("n_total")))
+    val qterm = floor(
+      log(col("c").cast("double") / col("n_total").cast("double")) * 1e12)
+    words.join(freq, "w")
+      .crossJoin(broadcast(consts))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_words"),
+        sum(qterm.cast("decimal(38,0)")).cast("double").as("_qsum"))
+      .select(col("doc_id"), col("n_words"),
+        (col("_qsum") / 1e12 / col("n_words")).as("avg_logprob"))
+  }
+
+  val unigramLogProbSql: String =
+    """WITH words AS (SELECT doc_id,
+      |  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+      | FROM documents),
+      |freq AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM freq)
+      |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      | CAST(SUM(CAST(floor(ln(CAST(f.c AS DOUBLE)
+      |    / CAST(t.n_total AS DOUBLE)) * 1e12) AS HUGEINT)) AS DOUBLE)
+      |  / 1e12 / count(*) AS avg_logprob
+      |FROM words w JOIN freq f USING (w) CROSS JOIN tot t
+      |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
+      .replace('\n', ' ')
+
   /** The repetition top-gram share as a PURE per-row scalar expression —
     * no explode, no groupBy: every n-gram of a document lives in its own
     * row, so sort the gram array and fold it counting the longest equal

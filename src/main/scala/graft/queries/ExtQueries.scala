@@ -159,6 +159,11 @@ object ExtQueries {
       (s, dir) => TextOps.qualityFilter(docs(s, dir)).orderBy("doc_id"),
       Some(TextOps.qualityFilterSql())),
 
+    // corpus-frequency log-prob (word-rarity quality proxy, lnQ-exact)
+    Q("q_unigram_logprob",
+      (s, dir) => TextOps.unigramLogProb(docs(s, dir)).orderBy("doc_id"),
+      Some(TextOps.unigramLogProbSql)),
+
     // language id heuristic
     Q("q_langid",
       (s, dir) => TextOps.langId(docs(s, dir)).orderBy("doc_id"),

@@ -137,6 +137,22 @@ class PipelineSpec extends SparkSpec {
     assert(out(3L)._2 === 0L)
   }
 
+  test("unigramLogProb: common words score higher than rare ones") {
+    import graft.ext.TextOps
+    val docs = docsDf(
+      (1L, "a a b"),  // mostly the corpus-common word
+      (2L, "c"))      // one rare word
+    val out = TextOps.unigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // N=4: c(a)=2, c(b)=1, c(c)=1
+    val expect1 = (2 * math.log(2.0 / 4) + math.log(1.0 / 4)) / 3
+    val expect2 = math.log(1.0 / 4)
+    assert(out(1L)._1 === 3L && out(2L)._1 === 1L)
+    assert(math.abs(out(1L)._2 - expect1) < 1e-9)
+    assert(math.abs(out(2L)._2 - expect2) < 1e-9)
+    assert(out(2L)._2 < out(1L)._2) // rare-word doc scores lower
+  }
+
   test("quantizeEmbeddings: hand-derived int8 values, zero vector safe") {
     import spark.implicits._
     val embs = Seq(
