@@ -152,6 +152,30 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 0, s"quantization shuffled ($hashEx):\n$p")
   }
 
+  test("dup-span scoring joins on the gram key — no pair materialization") {
+    val p = plan("q_dup_spans")
+    assert(!p.contains("CartesianProduct"),
+      s"dup-span join degenerated to a cartesian:\n$p")
+    assert(p.contains("HashAggregate"), s"no hash aggregation:\n$p")
+  }
+
+  test("unigram log-prob joins its 1-row corpus total as a broadcast") {
+    // the LocalRelation constants cross-join must be a broadcast nested
+    // loop (1 row), never a CartesianProduct over the word stream
+    val p = plan("q_unigram_logprob")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"corpus constants not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in logprob:\n$p")
+  }
+
+  test("packing manifest keeps the per-shard window — no global funnel") {
+    val p = plan("q_pack_manifest")
+    assert(p.contains("Window"), s"no window in manifest plan:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"manifest window collapsed to a single partition:\n$p")
+  }
+
   test("trade filter is applied at the scan, before aggregation") {
     // updates derives is_trade from event_id, so the predicate appears as
     // the derived `% 3` condition in the Filter directly above the scan —
