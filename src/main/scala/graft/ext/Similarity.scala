@@ -81,6 +81,46 @@ object Similarity {
       .select("q_id", "rank", "vec_id", "sim")
   }
 
+  /** Hard-negative mining for contrastive / embedding training: for each
+    * query vector, the k most-similar corpus vectors with a DIFFERENT
+    * label — the highest-value negatives (near the decision boundary)
+    * that in-batch random negatives miss. Same broadcast-query-side
+    * brute-force shape as [[cosineTopK]] (the corpus never shuffles);
+    * the label inequality drops same-class pairs before ranking. */
+  def hardNegatives(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5)
+      : DataFrame = {
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val vecs = withNorms(embeddings).join(labels, "vec_id")
+    val q = vecs.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("norm").as("q_norm"), col("label").as("q_label"))
+    val pairs = q.hint("broadcast").crossJoin(vecs)
+      .where(col("vec_id") =!= col("q_id") &&
+        col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id"),
+        (dotD(col("q_emb"), col("emb")) / (col("q_norm") * col("norm")))
+          .as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "sim")
+  }
+
+  def hardNegativesSql(nQueries: Int = 20, k: Int = 5): String =
+    s"""WITH vecs AS (SELECT vec_id, label,
+       |  CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |sims AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+       |  (${dotSql("a", "b")}) / (${normSql("a")} * ${normSql("b")}) AS sim
+       | FROM vecs a JOIN vecs b
+       |  ON b.vec_id <> a.vec_id AND b.label <> a.label
+       | WHERE a.vec_id < $nQueries)
+       |SELECT q_id, rank, vec_id, sim FROM (
+       | SELECT *, row_number() OVER (
+       |   PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+       | FROM sims)
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin.replace('\n', ' ')
+
   def cosineTopKSql(nQueries: Int = 20, k: Int = 5): String =
     s"""WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |sims AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id,

@@ -88,6 +88,12 @@ object ExtQueries {
         .orderBy("q_id", "rank"),
       Some(Similarity.cosineTopKSql())),
 
+    // hard-negative mining (top-k similar with a DIFFERENT label)
+    Q("q_hard_negatives",
+      (s, dir) => Similarity.hardNegatives(embs(s, dir))
+        .orderBy("q_id", "rank"),
+      Some(Similarity.hardNegativesSql())),
+
     // LSH bucket assignment (scale path for ANN)
     Q("q_ann_lsh_buckets",
       (s, dir) => Similarity.lshBuckets(embs(s, dir)).orderBy("vec_id"),

@@ -137,6 +137,23 @@ class PipelineSpec extends SparkSpec {
     assert(out(3L)._2 === 0L)
   }
 
+  test("hardNegatives: nearest same-label vector is excluded") {
+    import spark.implicits._
+    import graft.ext.Similarity
+    // vec 0 (label 1) is nearly identical to vec 1 (label 1) — a random
+    // in-batch negative would never be vec 2, but vec 1 must be excluded
+    // and vec 2 (label 2, moderately similar) surface as the hard negative
+    val embs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 1),
+      (1L, Seq(0.99f, 0.1f, 0.0f), 1),   // same label: excluded
+      (2L, Seq(0.8f, 0.6f, 0.0f), 2),    // hard negative
+      (3L, Seq(0.0f, 0.0f, 1.0f), 2))    // easy negative
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(embs, nQueries = 1, k = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1, 2L), (2, 3L)))
+  }
+
   test("unigramLogProb: common words score higher than rare ones") {
     import graft.ext.TextOps
     val docs = docsDf(
