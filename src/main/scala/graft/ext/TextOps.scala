@@ -242,6 +242,28 @@ object TextOps {
       |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
       .replace('\n', ' ')
 
+  /** Vocabulary induction: the top-`size` corpus words by frequency with
+    * their counts — the seed step of tokenizer training (word-level vocab,
+    * or the pre-merge alphabet statistics for BPE). Deterministic
+    * tie-break on the word itself. Executes as TakeOrdered over the
+    * per-word counts (distributed partial top-k per partition, merged on
+    * the driver) — NOT a global row_number window, which would funnel the
+    * whole vocabulary through one task. */
+  def vocab(docs: DataFrame, size: Int = 1000): DataFrame =
+    graft.functions.parallelized(docs)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(size)
+
+  def vocabSql(size: Int = 1000): String =
+    s"""SELECT w, c FROM (
+       | SELECT w, count(*) AS c FROM (
+       |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+       |  FROM documents)
+       | GROUP BY w)
+       |ORDER BY c DESC, w LIMIT $size""".stripMargin.replace('\n', ' ')
+
   /** The repetition top-gram share as a PURE per-row scalar expression —
     * no explode, no groupBy: every n-gram of a document lives in its own
     * row, so sort the gram array and fold it counting the longest equal

@@ -165,6 +165,11 @@ object ExtQueries {
       (s, dir) => TextOps.qualityFilter(docs(s, dir)).orderBy("doc_id"),
       Some(TextOps.qualityFilterSql())),
 
+    // vocabulary induction: top-V corpus words (tokenizer seed step)
+    Q("q_vocab",
+      (s, dir) => TextOps.vocab(docs(s, dir)),
+      Some(TextOps.vocabSql())),
+
     // corpus-frequency log-prob (word-rarity quality proxy, lnQ-exact)
     Q("q_unigram_logprob",
       (s, dir) => TextOps.unigramLogProb(docs(s, dir)).orderBy("doc_id"),
