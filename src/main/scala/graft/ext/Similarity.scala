@@ -64,13 +64,26 @@ object Similarity {
     * the k nearest corpus vectors (self excluded), ranked by
     * (sim DESC, vec_id). */
   def cosineTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5)
-      : DataFrame = {
-    val vecs = withNorms(embeddings)
-    val q = vecs.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
-        col("norm").as("q_norm"))
+      : DataFrame =
+    bruteTopK(withNorms(embeddings), nQueries, k, excludeSameLabel = false)
+
+  /** The ONE brute-force top-k shape ([[cosineTopK]] and
+    * [[hardNegatives]] differ only in the same-label exclusion): query
+    * side filtered and broadcast, corpus side scanned in place, native
+    * dot-product sim, per-query rank window over the (tiny) pair set. */
+  private def bruteTopK(vecs: DataFrame, nQueries: Int, k: Int,
+      excludeSameLabel: Boolean): DataFrame = {
+    val qCols = Seq(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+      col("norm").as("q_norm")) ++
+      (if (excludeSameLabel) Seq(col("label").as("q_label")) else Seq.empty)
+    val q = vecs.where(col("vec_id") < nQueries).select(qCols: _*)
+    val keep = {
+      val notSelf = col("vec_id") =!= col("q_id")
+      if (excludeSameLabel) notSelf && col("label") =!= col("q_label")
+      else notSelf
+    }
     val pairs = q.hint("broadcast").crossJoin(vecs)
-      .where(col("vec_id") =!= col("q_id"))
+      .where(keep)
       .select(col("q_id"), col("vec_id"),
         (dotD(col("q_emb"), col("emb")) / (col("q_norm") * col("norm")))
           .as("sim"))
@@ -80,58 +93,45 @@ object Similarity {
       .where(col("rank") <= k)
       .select("q_id", "rank", "vec_id", "sim")
   }
+
+  /** Shared SQL twin of [[bruteTopK]]. */
+  private def bruteTopKSql(nQueries: Int, k: Int,
+      vecsLabelCol: String = "", joinLabelCond: String = ""): String =
+    s"""WITH vecs AS (SELECT vec_id,$vecsLabelCol
+       |  CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |sims AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+       |  (${dotSql("a", "b")}) / (${normSql("a")} * ${normSql("b")}) AS sim
+       | FROM vecs a JOIN vecs b
+       |  ON b.vec_id <> a.vec_id$joinLabelCond
+       | WHERE a.vec_id < $nQueries)
+       |SELECT q_id, rank, vec_id, sim FROM (
+       | SELECT *, row_number() OVER (
+       |   PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+       | FROM sims)
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin.replace('\n', ' ')
 
   /** Hard-negative mining for contrastive / embedding training: for each
     * query vector, the k most-similar corpus vectors with a DIFFERENT
     * label — the highest-value negatives (near the decision boundary)
     * that in-batch random negatives miss. Same broadcast-query-side
-    * brute-force shape as [[cosineTopK]] (the corpus never shuffles);
-    * the label inequality drops same-class pairs before ranking. */
+    * brute-force shape as [[cosineTopK]] (label is carried in the ONE
+    * map-side corpus projection — no self-join, the corpus never
+    * shuffles); the label inequality drops same-class pairs before
+    * ranking. */
   def hardNegatives(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5)
       : DataFrame = {
-    val labels = embeddings.select(col("vec_id"), col("label"))
-    val vecs = withNorms(embeddings).join(labels, "vec_id")
-    val q = vecs.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
-        col("norm").as("q_norm"), col("label").as("q_label"))
-    val pairs = q.hint("broadcast").crossJoin(vecs)
-      .where(col("vec_id") =!= col("q_id") &&
-        col("label") =!= col("q_label"))
-      .select(col("q_id"), col("vec_id"),
-        (dotD(col("q_emb"), col("emb")) / (col("q_norm") * col("norm")))
-          .as("sim"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    pairs.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("q_id", "rank", "vec_id", "sim")
+    val base = parallelized(embeddings).select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("emb"))
+      .withColumn("norm", sqrt(dotD(col("emb"), col("emb"))))
+    bruteTopK(base, nQueries, k, excludeSameLabel = true)
   }
 
   def hardNegativesSql(nQueries: Int = 20, k: Int = 5): String =
-    s"""WITH vecs AS (SELECT vec_id, label,
-       |  CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-       |sims AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
-       |  (${dotSql("a", "b")}) / (${normSql("a")} * ${normSql("b")}) AS sim
-       | FROM vecs a JOIN vecs b
-       |  ON b.vec_id <> a.vec_id AND b.label <> a.label
-       | WHERE a.vec_id < $nQueries)
-       |SELECT q_id, rank, vec_id, sim FROM (
-       | SELECT *, row_number() OVER (
-       |   PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
-       | FROM sims)
-       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin.replace('\n', ' ')
+    bruteTopKSql(nQueries, k, vecsLabelCol = " label,",
+      joinLabelCond = " AND b.label <> a.label")
 
   def cosineTopKSql(nQueries: Int = 20, k: Int = 5): String =
-    s"""WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-       |sims AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
-       |  (${dotSql("a", "b")}) / (${normSql("a")} * ${normSql("b")}) AS sim
-       | FROM vecs a JOIN vecs b ON b.vec_id <> a.vec_id
-       | WHERE a.vec_id < $nQueries)
-       |SELECT q_id, rank, vec_id, sim FROM (
-       | SELECT *, row_number() OVER (
-       |   PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
-       | FROM sims)
-       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin.replace('\n', ' ')
+    bruteTopKSql(nQueries, k)
 
   /** Random-hyperplane LSH bucket per vector: `planes` pseudo-random ±1
     * hyperplanes derived from md5(plane:dim) parity; bucket bit p = sign of

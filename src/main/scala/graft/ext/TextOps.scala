@@ -211,15 +211,17 @@ object TextOps {
     * per-doc aggregation; the corpus total joins as a 1-row
     * LocalRelation (bm25's corpus-constants pattern). */
   def unigramLogProb(docs: DataFrame): DataFrame = {
-    val words = graft.functions.parallelized(docs)
-      .select(col("doc_id"),
-        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
-    val freq = words.groupBy("w").agg(count(lit(1)).as("c"))
+    // freq is checkpointed so the corpus tokenizes exactly TWICE (freq
+    // build + join probe side), not three times — bm25's materialization
+    // contract; consts derive from the checkpointed layer for free
+    val words = tokens(docs)
+    val freq = words.groupBy("term").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val consts = graft.functions.localRelation(
       freq.agg(sum(col("c")).cast("long").as("n_total")))
     val qterm = floor(
       log(col("c").cast("double") / col("n_total").cast("double")) * 1e12)
-    words.join(freq, "w")
+    words.join(freq, "term")
       .crossJoin(broadcast(consts))
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_words"),
@@ -228,17 +230,17 @@ object TextOps {
         (col("_qsum") / 1e12 / col("n_words")).as("avg_logprob"))
   }
 
-  val unigramLogProbSql: String =
-    """WITH words AS (SELECT doc_id,
-      |  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
-      | FROM documents),
-      |freq AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+  // lazy: tokensSql is declared later in the object — a strict val here
+  // would capture null during object initialization
+  lazy val unigramLogProbSql: String =
+    s"""WITH words AS ($tokensSql),
+      |freq AS (SELECT term, count(*) AS c FROM words GROUP BY term),
       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM freq)
       |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
       | CAST(SUM(CAST(floor(ln(CAST(f.c AS DOUBLE)
       |    / CAST(t.n_total AS DOUBLE)) * 1e12) AS HUGEINT)) AS DOUBLE)
       |  / 1e12 / count(*) AS avg_logprob
-      |FROM words w JOIN freq f USING (w) CROSS JOIN tot t
+      |FROM words w JOIN freq f USING (term) CROSS JOIN tot t
       |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
       .replace('\n', ' ')
 
@@ -250,19 +252,15 @@ object TextOps {
     * the driver) — NOT a global row_number window, which would funnel the
     * whole vocabulary through one task. */
   def vocab(docs: DataFrame, size: Int = 1000): DataFrame =
-    graft.functions.parallelized(docs)
-      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w"))
+    tokens(docs)
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term"))
       .limit(size)
 
   def vocabSql(size: Int = 1000): String =
-    s"""SELECT w, c FROM (
-       | SELECT w, count(*) AS c FROM (
-       |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
-       |  FROM documents)
-       | GROUP BY w)
-       |ORDER BY c DESC, w LIMIT $size""".stripMargin.replace('\n', ' ')
+    s"""SELECT term, c FROM (
+       | SELECT term, count(*) AS c FROM ($tokensSql) GROUP BY term)
+       |ORDER BY c DESC, term LIMIT $size""".stripMargin.replace('\n', ' ')
 
   /** The repetition top-gram share as a PURE per-row scalar expression —
     * no explode, no groupBy: every n-gram of a document lives in its own

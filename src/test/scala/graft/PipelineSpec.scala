@@ -150,7 +150,7 @@ class PipelineSpec extends SparkSpec {
       (3L, Seq(0.0f, 0.0f, 1.0f), 2))    // easy negative
       .toDF("vec_id", "embedding", "label")
     val out = Similarity.hardNegatives(embs, nQueries = 1, k = 2)
-      .collect().map(r => (r.getInt(1), r.getLong(2)))
+      .collect().map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
     assert(out.toSeq === Seq((1, 2L), (2, 3L)))
   }
 
