@@ -90,8 +90,23 @@ object Bench {
       } catch { case _: Throwable => -1.0 }
 
     val calibEnd = calibrate()
-    println(
-      f"""{"metric":"total_query_seconds","value":$total%.3f,"unit":"sec","queries":$qs,"queries_warm":${render(warm)},"total_warm_sec":$totalWarm%.3f,"storage_bytes_per_event":$densityBpe%.2f,"calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f,"sf":"$sfDir"}""")
+    // min-of-sweeps: the robust per-query number on this high-variance box
+    // (BENCH_r04's warm sweep carried two 10x host-noise outliers) — the
+    // minimum of two independent runs bounds host contention from above
+    val minQ = results.map { case (k, cold) =>
+      val w = warm.find(_._1 == k).map(_._2).getOrElse(-1.0)
+      k -> (if (cold < 0) w else if (w < 0) cold else math.min(cold, w))
+    }
+    val totalMin = minQ.map(_._2).filter(_ >= 0).sum
+    val line =
+      f"""{"metric":"total_query_seconds","value":$total%.3f,"unit":"sec","queries":$qs,"queries_warm":${render(warm)},"total_warm_sec":$totalWarm%.3f,"queries_min":${render(minQ)},"total_min_sec":$totalMin%.3f,"storage_bytes_per_event":$densityBpe%.2f,"calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO write the line to a file: the driver's stdout tail-capture
+    // truncated BENCH_r04 ("parsed": null) — a file can't be truncated by
+    // whatever buffers sit between println and the capture
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

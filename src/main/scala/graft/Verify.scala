@@ -10,6 +10,10 @@ object Verify {
     // (the driver always passes exactly 2 args → full run).
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // Oracle SQL for data-parameterized ops (ANN planes/centroids) must be
+    // built against the SAME dir the queries run on — set before the
+    // registry is first touched.
+    Tables.oracleSfDir.set(sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -300,6 +300,31 @@ object Dedup {
       .withColumn("keep", col("doc_id") === col("group_id"))
   }
 
+  /** Dedup APPLY — the end of the pipeline: compose [[dedupGroups]]'s
+    * keep-flags back onto the corpus and emit only the surviving
+    * documents (one canonical per near-dup group, all singletons) — the
+    * corpus a trainer actually reads. Output carries the group id and the
+    * document length as the content witness; the anti-join semantics
+    * (drop keep=false) are gated bit-exact by `q_dedup_apply`. */
+  def dedupApply(docs: DataFrame, pairs: DataFrame): DataFrame =
+    docs.join(
+      dedupGroups(docs, pairs).where(col("keep"))
+        .select("doc_id", "group_id"),
+      "doc_id")
+      .select(col("doc_id"), col("group_id"),
+        length(col("text")).cast("long").as("n_chars"))
+
+  /** DuckDB twin of [[dedupApply]]: the closure-based groups filtered to
+    * keepers, joined back to documents. */
+  def dedupApplySql(n: Int = 2, k: Int = 16, r: Int = 4,
+      threshold: Double = 0.2): String =
+    s"""SELECT g.doc_id, g.group_id, CAST(length(d.text) AS BIGINT) AS n_chars
+       |FROM (${dedupGroupsSql(n, k, r, threshold)
+        .stripSuffix("ORDER BY d.doc_id")}) g
+       |JOIN documents d ON d.doc_id = g.doc_id
+       |WHERE g.keep
+       |ORDER BY g.doc_id""".stripMargin.replace('\n', ' ')
+
   /** DuckDB twin of [[dedupGroups]] over the minhash pair graph: the
     * transitive closure as a recursive CTE (min reachable id ==
     * propagated min label at convergence). */

@@ -12,13 +12,15 @@ import org.apache.spark.sql.types._
   *  - the ORACLE-GATED operators ([[decodeMeta]], [[resizeStub]]) use a
   *    clearly-marked DETERMINISTIC STUB (`stubDecode`) because the DuckDB
   *    correctness twin must replicate the kernel in SQL;
-  *  - [[decodeImageMeta]] / [[resizeImage]] / [[decodeAudioMeta]] are REAL
-  *    kernels on the same `mapPartitions` batch plumbing, built on the
-  *    JDK's own codec surfaces (`javax.imageio`: PNG/JPEG/BMP/GIF;
-  *    `javax.sound.sampled`: WAV/AIFF/AU PCM — both headless-safe) —
-  *    spec-gated with synthesized payloads since the driver testdata
-  *    carries no real blobs. Only video lacks a JDK codec and stays
-  *    stubbed (swap the kernel for JNI/ffmpeg without touching plumbing).
+  *  - [[decodeImageMeta]] / [[resizeImage]] / [[decodeAudioMeta]] /
+  *    [[decodeVideoMeta]] are REAL kernels on the same `mapPartitions`
+  *    batch plumbing: the JDK's own codec surfaces (`javax.imageio`:
+  *    PNG/JPEG/BMP/GIF; `javax.sound.sampled`: WAV/AIFF/AU PCM — both
+  *    headless-safe) plus a hand-rolled MP4/ISO-BMFF box walk for video
+  *    metadata (pure byte parsing, no codec needed) — all spec-gated with
+  *    synthesized payloads since the driver testdata carries no real
+  *    blobs. Only video PIXEL decode still needs an external codec
+  *    (JNI/ffmpeg would swap in without touching the plumbing).
   */
 object Multimodal {
 
@@ -235,6 +237,129 @@ object Multimodal {
         }
       }
     }(enc)
+  }
+
+  val videoSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("n_frames", LongType),
+    StructField("duration_s", DoubleType)))
+
+  /** REAL video METADATA kernel: an MP4/ISO-BMFF box walk — pure byte
+    * parsing, no codec required for metadata (the same class of work as
+    * the WAV header path): `moov/trak/tkhd` → width/height (16.16 fixed
+    * point), `moov/trak/mdia/mdhd` → timescale + duration,
+    * `moov/trak/mdia/hdlr` = 'vide' selects the video track among audio /
+    * hint tracks, `stbl/stsz` → sample (frame) count. Handles version 0
+    * and version 1 full boxes and 64-bit `largesize` boxes. PIXEL decode
+    * genuinely needs a codec the JDK lacks and stays out of scope.
+    * Undecodable / non-MP4 payloads yield null video fields — corrupt
+    * blobs are data, not task failures. Same batch plumbing as
+    * [[decodeMeta]]. */
+  def decodeVideoMeta(videos: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(videoSchema)
+    videos.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val nBytes = if (payload == null) 0L else payload.length.toLong
+        parseMp4VideoTrack(payload) match {
+          case Some((w, h, frames, dur)) =>
+            Row(id, nBytes, w, h, frames, dur)
+          case None => Row(id, nBytes, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Iterate the ISO-BMFF boxes in `b[from, to)` as
+    * (type, payloadStart, boxEnd). Malformed sizes end the walk instead of
+    * throwing — whatever parsed up to that point stands. */
+  private def boxes(b: Array[Byte], from: Int, to: Int)
+      : Seq[(String, Int, Int)] = {
+    def be32(off: Int): Long =
+      ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+        ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+    def be64(off: Int): Long = (be32(off) << 32) | be32(off + 4)
+    val out = Seq.newBuilder[(String, Int, Int)]
+    var off = from
+    var ok = true
+    while (ok && off + 8 <= to) {
+      val size32 = be32(off)
+      val tpe = new String(b, off + 4, 4, "ISO-8859-1")
+      val (payloadStart, end) =
+        if (size32 == 1L && off + 16 <= to) (off + 16L, off + be64(off + 8))
+        else if (size32 == 0L) (off + 8L, to.toLong) // box runs to EOF
+        else (off + 8L, off + size32)
+      if (size32 != 0L && size32 != 1L && size32 < 8L) ok = false
+      else if (end > to || payloadStart > end) ok = false
+      else {
+        out += ((tpe, payloadStart.toInt, end.toInt))
+        off = end.toInt
+      }
+    }
+    out.result()
+  }
+
+  /** Width/height/frame-count/duration of the FIRST `vide` track, or None
+    * when the payload is not parseable MP4. Exposed for the spec. */
+  private[ext] def parseMp4VideoTrack(b: Array[Byte])
+      : Option[(Long, Long, Long, Double)] = {
+    if (b == null || b.length < 16) return None
+    try {
+      def be16(off: Int): Int =
+        ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
+      def be32(off: Int): Long =
+        ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+          ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+      def be64(off: Int): Long = (be32(off) << 32) | be32(off + 4)
+      val top = boxes(b, 0, b.length)
+      // require the MP4 signature: an ftyp/styp before (or a bare) moov —
+      // pure-garbage payloads otherwise risk accidental "box" framing
+      if (!top.exists(t => t._1 == "ftyp" || t._1 == "styp" ||
+        t._1 == "moov")) return None
+      val moov = top.find(_._1 == "moov").getOrElse(return None)
+      val traks = boxes(b, moov._2, moov._3).filter(_._1 == "trak")
+      traks.iterator.flatMap { case (_, ts, te) =>
+        val tboxes = boxes(b, ts, te)
+        val mdia = tboxes.find(_._1 == "mdia")
+        val mboxes = mdia.map(m => boxes(b, m._2, m._3)).getOrElse(Seq.empty)
+        val handler = mboxes.find(_._1 == "hdlr").map { case (_, p, _) =>
+          new String(b, p + 8, 4, "ISO-8859-1")
+        }
+        if (!handler.contains("vide")) Iterator.empty
+        else {
+          // tkhd: after version(1)+flags(3), v0 has 5×u32 (creation,
+          // modification, track_id, reserved, duration) = 20 B, v1 grows
+          // times+duration to u64 = 32 B; then 8 B reserved, layer/
+          // alternate_group/volume/reserved (2 B each), 36 B matrix,
+          // then width/height as 16.16 fixed point.
+          val wh = tboxes.find(_._1 == "tkhd").map { case (_, p, _) =>
+            val fixed = if (b(p) == 0) 20 else 32
+            val at = p + 4 + fixed + 8 + 2 + 2 + 2 + 2 + 36
+            (be32(at) >> 16, be32(at + 4) >> 16)
+          }
+          // mdhd: v0 = u32 creation/modification/timescale/duration,
+          // v1 = u64 times, u32 timescale, u64 duration
+          val dur = mboxes.find(_._1 == "mdhd").map { case (_, p, _) =>
+            if (b(p) == 0) (be32(p + 12), be32(p + 16).toDouble)
+            else (be32(p + 20), be64(p + 24).toDouble)
+          }.collect { case (scale, d) if scale > 0 => d / scale }
+          // stsz sample_count = frame count (entries may be fixed-size)
+          val frames = for {
+            (_, mp, me) <- mboxes.find(_._1 == "minf")
+            (_, sp, se) <- boxes(b, mp, me).find(_._1 == "stbl")
+            (_, zp, _) <- boxes(b, sp, se).find(_._1 == "stsz")
+          } yield be32(zp + 8)
+          (wh, frames, dur) match {
+            case (Some((w, h)), Some(f), Some(d)) => Iterator((w, h, f, d))
+            case _ => Iterator.empty
+          }
+        }
+      }.nextOption()
+    } catch { case _: IndexOutOfBoundsException => None }
   }
 
   /** DuckDB twin of the stub arithmetic (text is ASCII in the testdata, so

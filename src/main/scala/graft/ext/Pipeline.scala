@@ -58,7 +58,7 @@ object Pipeline {
 
   def packSequencesSql(seqLen: Int = 512, nShards: Int = 8): String =
     s"""SELECT doc_id, shard, n_tokens,
-       | cum - n_tokens AS start_off,
+       | CAST(cum - n_tokens AS BIGINT) AS start_off,
        | CAST(floor((cum - n_tokens) / $seqLen) AS BIGINT) AS first_seq,
        | CAST(floor((cum - 1) / $seqLen) AS BIGINT) AS last_seq,
        | CAST(floor((cum - 1) / $seqLen) AS BIGINT)
@@ -219,11 +219,23 @@ object Pipeline {
     * is the same one-explode gram stream as [[TextOps.repetition]]. No
     * all-pairs document comparison anywhere. */
   def decontaminate(docs: DataFrame, n: Int = 3,
-      evalMod: Int = 97): DataFrame = {
-    val evalGrams = gramStream(docs.where(col("doc_id") % evalMod === 0), n)
+      evalMod: Int = 97): DataFrame =
+    decontaminate(docs.where(col("doc_id") % evalMod =!= 0),
+      docs.where(col("doc_id") % evalMod === 0), n)
+
+  /** The production shape: the eval/benchmark suite is an EXTERNAL table
+    * (`(doc_id, text)`-shaped), not a slice of the corpus — pass any
+    * DataFrame with a `text` column as `evalDocs`. The `evalMod` overload
+    * above (the oracle-gated case) is this with the deterministic
+    * `doc_id % evalMod` slice as the eval set and the rest as the train
+    * side. Scale shape unchanged: the eval gram set is small and deduped
+    * → broadcast; the train side streams one gram explode. */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame,
+      n: Int): DataFrame = {
+    val evalGrams = gramStream(
+      evalDocs.select(col("doc_id"), col("text")), n)
       .select("g").distinct()
-    val train = gramStream(docs.where(col("doc_id") % evalMod =!= 0), n)
-    train.join(broadcast(evalGrams), "g")
+    gramStream(docs, n).join(broadcast(evalGrams), "g")
       .groupBy("doc_id")
       .agg(countDistinct(col("g")).as("hits"))
   }

@@ -15,6 +15,16 @@ object ExtQueries {
   private def embs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.table(s, dir, "embeddings")
 
+  /** Corpus size from the parquet footer — drives the DATA-DEPENDENT ANN
+    * parameters (LSH plane count, IVF centroid count) so the gates exercise
+    * the scale dials instead of toy-pinned defaults (VERDICT r4 #3). The
+    * Spark side derives it from the dir each query fn receives; the oracle
+    * side (no dir in the contract) from [[Tables.oracleSfDir]], which
+    * Verify sets to the same dir before the registry is built. */
+  private def embCount(dir: String): Long =
+    Tables.parquetRowCount(s"$dir/embeddings.parquet")
+  private def oracleEmbCount: Long = embCount(Tables.oracleSfDir.get)
+
   /** Query bag for the BM25 gate — mid-frequency vocabulary words so df
     * spreads across terms. */
   private val BM25Terms = Seq("spark", "merge", "join", "hash")
@@ -27,7 +37,10 @@ object ExtQueries {
     * epoch (2.5×), downweight src1, default single epoch elsewhere. */
   private val MixtureWeights = Seq("src0" -> 2.5, "src1" -> 0.4)
 
-  val all: Seq[Q] = Seq(
+  // def, not val: the ANN oracle strings depend on Tables.oracleSfDir,
+  // which Verify sets at startup — a val could freeze SQL built against
+  // the wrong dir if the object initializes first.
+  def all: Seq[Q] = Seq(
 
     // exact dedup: hash groupBy
     Q("q_dedup_exact",
@@ -47,6 +60,15 @@ object ExtQueries {
           Dedup.minhashNearDup(docs(s, dir)).select("doc_a", "doc_b"))
         .orderBy("doc_id"),
       Some(Dedup.dedupGroupsSql())),
+
+    // dedup APPLY: surviving corpus after dropping non-canonical members
+    // of each near-dup group — the end-to-end loop from pair detection to
+    // the corpus a trainer reads
+    Q("q_dedup_apply",
+      (s, dir) => Dedup.dedupApply(docs(s, dir),
+          Dedup.minhashNearDup(docs(s, dir)).select("doc_a", "doc_b"))
+        .orderBy("doc_id"),
+      Some(Dedup.dedupApplySql())),
 
     // SimHash fingerprints
     Q("q_simhash",
@@ -70,17 +92,23 @@ object ExtQueries {
         .orderBy("doc_a", "doc_b"),
       Some(Dedup.ngramJaccardSql())),
 
-    // embedding-cosine near-dup (LSH-blocked, exact-verified)
+    // embedding-cosine near-dup (LSH-blocked, exact-verified; plane count
+    // scales with corpus size)
     Q("q_cosine_neardup",
-      (s, dir) => Similarity.cosineNearDup(embs(s, dir))
+      (s, dir) => Similarity.cosineNearDup(embs(s, dir),
+          Similarity.planesFor(embCount(dir)))
         .orderBy("vec_a", "vec_b"),
-      Some(Similarity.cosineNearDupSql())),
+      Some(Similarity.cosineNearDupSql(
+        Similarity.planesFor(oracleEmbCount)))),
 
-    // IVF ANN: coarse-quantizer cells + nProbe probing
+    // IVF ANN: coarse-quantizer cells + nProbe probing; centroid count
+    // scales as √n (the assignment/probe balance point)
     Q("q_ann_ivf_topk",
-      (s, dir) => Similarity.ivfTopK(embs(s, dir))
+      (s, dir) => Similarity.ivfTopK(embs(s, dir),
+          Similarity.centroidsFor(embCount(dir)))
         .orderBy("q_id", "rank"),
-      Some(Similarity.ivfTopKSql())),
+      Some(Similarity.ivfTopKSql(
+        Similarity.centroidsFor(oracleEmbCount)))),
 
     // brute-force cosine ANN (exact baseline):
     Q("q_ann_cosine_topk",
@@ -94,21 +122,28 @@ object ExtQueries {
         .orderBy("q_id", "rank"),
       Some(Similarity.hardNegativesSql())),
 
-    // LSH bucket assignment (scale path for ANN)
+    // LSH bucket assignment (scale path for ANN; planes = planesFor(n) so
+    // bucket count tracks corpus size — 4 planes at n=500, 5 at n=2000)
     Q("q_ann_lsh_buckets",
-      (s, dir) => Similarity.lshBuckets(embs(s, dir)).orderBy("vec_id"),
-      Some(Similarity.lshBucketsSql())),
+      (s, dir) => Similarity.lshBuckets(embs(s, dir),
+          Similarity.planesFor(embCount(dir))).orderBy("vec_id"),
+      Some(Similarity.lshBucketsSql(
+        Similarity.planesFor(oracleEmbCount)))),
 
     // nearest neighbor within LSH bucket
     Q("q_ann_lsh_nearest",
-      (s, dir) => Similarity.lshNearest(embs(s, dir)).orderBy("q_id"),
-      Some(Similarity.lshNearestSql())),
+      (s, dir) => Similarity.lshNearest(embs(s, dir),
+          Similarity.planesFor(embCount(dir))).orderBy("q_id"),
+      Some(Similarity.lshNearestSql(
+        Similarity.planesFor(oracleEmbCount)))),
 
     // multi-probe LSH nearest: own + every Hamming-1 bucket (recall lever)
     Q("q_ann_lsh_multiprobe",
-      (s, dir) => Similarity.lshNearestMultiProbe(embs(s, dir))
+      (s, dir) => Similarity.lshNearestMultiProbe(embs(s, dir),
+          Similarity.planesFor(embCount(dir)))
         .orderBy("q_id"),
-      Some(Similarity.lshNearestMultiProbeSql())),
+      Some(Similarity.lshNearestMultiProbeSql(
+        Similarity.planesFor(oracleEmbCount)))),
 
     // token counting
     Q("q_token_count",

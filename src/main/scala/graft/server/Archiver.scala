@@ -102,7 +102,16 @@ final class Archiver(spark: SparkSession, srcDir: String, destUri: String,
       require(fs.rename(tmp, dest), s"archive rename failed for $rel")
       // catalog row BEFORE any local delete: a crash later never leaves
       // an archived-but-unrecorded (or deleted-but-unrecorded) file
-      appendMeta(fs, rel, size, md5hex, dest.toString, t0)
+      appendMeta(fs, rel, size, md5hex, dest.toString, t0,
+        overwrite = true)
+    } else {
+      // Repair the rename→appendMeta crash window: the dest file exists
+      // but its catalog row may not (a crash in the gap would otherwise
+      // let the local delete below produce an archived-but-unrecorded
+      // file). The catalog part name is deterministic per rel path, so
+      // this is a cheap create-if-absent, a no-op on the common path.
+      appendMeta(fs, rel, size, md5hex, dest.toString, t0,
+        overwrite = false)
     }
     val removed = removeLocal && swapLock.synchronized(f.delete())
     ArchiveRecord(rel, size, md5hex, dest.toString, t0,
@@ -153,12 +162,29 @@ final class Archiver(spark: SparkSession, srcDir: String, destUri: String,
   private def jstr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
+  /** One catalog part per ARCHIVED PATH, named by the md5 of the relative
+    * path — deterministic, so (a) two files archived in the same
+    * millisecond can never collide onto one part (the old
+    * `(millis, hashCode)` scheme could silently lose a record), and (b)
+    * the alreadyArchived path can idempotently ensure the row exists
+    * (`overwrite = false`: create-if-absent, races resolve to one row).
+    * A fresh archival passes `overwrite = true` — re-archiving changed
+    * content replaces the row, keeping one catalog row per live archived
+    * file. */
   private def appendMeta(fs: FileSystem, name: String, size: Long,
-      md5: String, dest: String, ts: Long): Unit = {
+      md5: String, dest: String, ts: Long, overwrite: Boolean): Unit = {
     val dir = new HPath(metaDir)
     fs.mkdirs(dir)
-    val part = new HPath(dir, s"meta-$ts-${(name.hashCode & 0x7fffffff)}.json")
-    val out = fs.create(part, true)
+    val nameMd5 = MessageDigest.getInstance("MD5")
+      .digest(name.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val part = new HPath(dir, s"meta-$nameMd5.json")
+    if (!overwrite && fs.exists(part)) return
+    val out =
+      try fs.create(part, overwrite)
+      catch {
+        // create-if-absent race (another sweep won): the row exists, done
+        case _: java.io.IOException if !overwrite => return
+      }
     try {
       val w = new java.io.OutputStreamWriter(out, "UTF-8")
       w.write(s"""{"name":${jstr(name)},"size":$size,"md5":${jstr(md5)},""" +

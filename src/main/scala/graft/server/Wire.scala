@@ -293,9 +293,15 @@ final class TcpServer(engine: Engine, port: Int = 0) {
           // lock must not be released before the rows are drained — a
           // compaction/archival swap in the gap would move the listed
           // files out from under the cached index (FileNotFoundException
-          // on a GET that should have succeeded). Cost: concurrent GETs
-          // serialize — the single-owner-state stance the engine already
-          // takes for inserts (and the reference's single-threaded book).
+          // on a GET that should have succeeded). Cost: EVERY command on
+          // EVERY connection — concurrent GETs, but also inserts and
+          // flushes — queues behind the largest in-flight GET for its full
+          // serialization, so a GET ALL over a big book stalls ingest for
+          // that long. That is the single-owner-state stance the engine
+          // already takes (and the reference's single-threaded book), and
+          // correct-first; if ingest-latency-under-GET ever matters,
+          // reference-count in-flight reads so compaction's swap waits on
+          // readers instead of readers holding the engine monitor.
           val (okFlag, body) = engine.synchronized {
             engine.execute(cmd, session) match {
               case engine.Text(s) => (true, s.getBytes("UTF-8"))

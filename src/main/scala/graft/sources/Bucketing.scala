@@ -25,6 +25,21 @@ object Bucketing {
       .format("parquet")
       .saveAsTable(table)
 
+  /** General bucketed writer for the star schema: pre-bucketing BOTH fact
+    * tables on the join key (lineitem ⋈ orders on orderkey) removes the
+    * only large exchange in the revenue/top-k join plans — at 100 TB the
+    * facts are written once and joined shuffle-free forever after
+    * (BucketingSpec gates the no-Exchange plan). Matching bucket COUNTS
+    * on both sides is required for the exchange to drop. */
+  def writeBucketedBy(df: DataFrame, table: String, keys: Seq[String],
+      buckets: Int = 32): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   def readBucketed(spark: org.apache.spark.sql.SparkSession,
       table: String): DataFrame = spark.table(table)
 }

@@ -103,6 +103,29 @@ class ArchiverSpec extends SparkSpec {
     assert(archived.count() === 20)
   }
 
+  test("crash between rename and catalog append: re-run restores the row before deleting local") {
+    val (src, dest) = mkTree()
+    new Archiver(spark, src, dest, minFileSize = 1024,
+      removeLocal = false).scanOnce()
+    // simulate the crash window: dest file in place, catalog row missing
+    val metaDir = Paths.get(dest.stripPrefix("file://"), "_archive_meta")
+    Files.list(metaDir).forEach(p => Files.delete(p))
+    // re-run with removal: alreadyArchived path must recreate the catalog
+    // row BEFORE the local delete — never an unrecorded deletion
+    val recs = new Archiver(spark, src, dest, minFileSize = 1024)
+      .scanOnce()
+    assert(!recs.head.copied && recs.head.removed)
+    val rows = new Archiver(spark, src, dest, minFileSize = 1024)
+      .metadata().collect()
+    assert(rows.length === 1 &&
+      rows.head.getAs[String]("name") === "book1/big.parquet")
+    // and the repair row does not clobber an EXISTING row on re-sweeps:
+    // deterministic per-path part name, create-if-absent semantics
+    new Archiver(spark, src, dest, minFileSize = 1024).scanOnce()
+    assert(new Archiver(spark, src, dest, minFileSize = 1024)
+      .metadata().collect().length === 1)
+  }
+
   test("re-run after a crash between copy and delete is safe") {
     val (src, dest) = mkTree()
     // first pass without local removal simulates copy-done-delete-missed

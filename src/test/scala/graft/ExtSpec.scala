@@ -237,6 +237,38 @@ class ExtSpec extends SparkSpec {
     info(s"recall >= $target first reached at nProbe=${found.get._1}/$cents")
   }
 
+  test("registry wires scaled ANN params: oracle SQL tracks oracleSfDir corpus size") {
+    // planesFor/centroidsFor must actually reach the gates (VERDICT r4 #3):
+    // the generated oracle SQL's SHAPE changes with the corpus the
+    // registry is pointed at — 4 planes / 23 centroids at n=500 (sf0.001),
+    // 5 planes / 45 centroids at n=2000 (sf0.1).
+    assert(Similarity.planesFor(500) === 4)
+    assert(Similarity.planesFor(2000) === 5)
+    assert(Similarity.centroidsFor(500) === 23)
+    assert(Similarity.centroidsFor(2000) === 45)
+    val prev = Tables.oracleSfDir.get
+    try {
+      def planesInSql(sql: String): Int = "CASE WHEN".r.findAllIn(sql).length
+      Tables.oracleSfDir.set(sf("sf0.001"))
+      val small = graft.queries.ExtQueries.all
+        .map(q => q.name -> q).toMap
+      Tables.oracleSfDir.set(sf("sf0.1"))
+      val large = graft.queries.ExtQueries.all
+        .map(q => q.name -> q).toMap
+      assert(planesInSql(small("q_ann_lsh_buckets").oracle.get) === 4)
+      assert(planesInSql(large("q_ann_lsh_buckets").oracle.get) === 5)
+      assert(small("q_ann_ivf_topk").oracle.get.contains("vec_id < 23"))
+      assert(large("q_ann_ivf_topk").oracle.get.contains("vec_id < 45"))
+      // Spark side derives the same planes from the dir the fn receives:
+      // bucket ids at sf0.1 must use 5 bits (some bucket >= 16) and stay
+      // under 2^5.
+      val buckets = large("q_ann_lsh_buckets")
+        .fn(spark, sf("sf0.1")).select("bucket")
+        .collect().map(_.getLong(0))
+      assert(buckets.max < 32 && buckets.max >= 16)
+    } finally Tables.oracleSfDir.set(prev)
+  }
+
   test("real image kernels: JDK codec decode + bilinear resize (PNG roundtrip)") {
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
     import graft.ext.Multimodal
@@ -321,6 +353,85 @@ class ExtSpec extends SparkSpec {
     assert(out(2L).isNullAt(2), "garbage payload must yield null fields")
     assert(out(4L).isNullAt(2) && out(4L).getLong(1) === 0L,
       "NULL payload must yield a null-fields row, not a task failure")
+  }
+
+  test("real video kernel: MP4/ISO-BMFF box walk (synthesized moov tree)") {
+    import graft.ext.Multimodal
+    import java.nio.ByteBuffer
+    def u32(v: Long): Array[Byte] =
+      ByteBuffer.allocate(4).putInt(v.toInt).array
+    def u16(v: Int): Array[Byte] =
+      ByteBuffer.allocate(2).putShort(v.toShort).array
+    def u64(v: Long): Array[Byte] = ByteBuffer.allocate(8).putLong(v).array
+    def box(name: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      u32(8L + body.length) ++ name.getBytes("ASCII") ++ body
+    }
+    val matrix = Array.fill(36)(0.toByte)
+    // v0 track: 640x360, mdhd timescale 600 / duration 6000 -> 10 s, 240 frames
+    def mp4v0: Array[Byte] = {
+      val tkhd = box("tkhd", Array.fill(4)(0.toByte), // v0 + flags
+        u32(0), u32(0), u32(1), u32(0), u32(0),       // times, id, rsvd, dur
+        Array.fill(8)(0.toByte), u16(0), u16(0), u16(0), u16(0), matrix,
+        u32(640L << 16), u32(360L << 16))
+      val mdhd = box("mdhd", Array.fill(4)(0.toByte),
+        u32(0), u32(0), u32(600), u32(6000), u16(0x55c4), u16(0))
+      val hdlr = box("hdlr", Array.fill(4)(0.toByte), u32(0),
+        "vide".getBytes("ASCII"), Array.fill(12)(0.toByte),
+        Array(0.toByte))
+      val stsz = box("stsz", Array.fill(4)(0.toByte), u32(100), u32(240))
+      val stbl = box("stbl", stsz)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", mdhd, hdlr, minf)
+      val trak = box("trak", tkhd, mdia)
+      val mvhd = box("mvhd", Array.fill(4)(0.toByte),
+        u32(0), u32(0), u32(600), u32(6000), u32(0x00010000), u16(0x0100),
+        Array.fill(10)(0.toByte), matrix, Array.fill(24)(0.toByte), u32(2))
+      box("ftyp", "isom".getBytes("ASCII"), u32(512),
+        "isomiso2".getBytes("ASCII")) ++ box("moov", mvhd, trak)
+    }
+    // v1 variant (64-bit times): 1920x1080, timescale 90000 / dur 450000
+    // -> 5 s, 150 frames; plus a NON-video track first (audio hdlr 'soun')
+    // the walker must skip
+    def mp4v1: Array[Byte] = {
+      def trakOf(hdlrType: String, w: Long, h: Long, frames: Long)
+          : Array[Byte] = {
+        val tkhd = box("tkhd", Array(1.toByte, 0, 0, 0),
+          u64(0), u64(0), u32(1), u32(0), u64(0),
+          Array.fill(8)(0.toByte), u16(0), u16(0), u16(0), u16(0), matrix,
+          u32(w << 16), u32(h << 16))
+        val mdhd = box("mdhd", Array(1.toByte, 0, 0, 0),
+          u64(0), u64(0), u32(90000), u64(450000), u16(0x55c4), u16(0))
+        val hdlr = box("hdlr", Array.fill(4)(0.toByte), u32(0),
+          hdlrType.getBytes("ASCII"), Array.fill(12)(0.toByte),
+          Array(0.toByte))
+        val stsz = box("stsz", Array.fill(4)(0.toByte), u32(0), u32(frames))
+        box("trak", tkhd, box("mdia", mdhd, hdlr,
+          box("minf", box("stbl", stsz))))
+      }
+      box("ftyp", "isom".getBytes("ASCII"), u32(512)) ++
+        box("moov", trakOf("soun", 0, 0, 99),
+          trakOf("vide", 1920, 1080, 150))
+    }
+    import spark.implicits._
+    val df = Seq((0L, mp4v0), (1L, mp4v1),
+      (2L, "not a video".getBytes("UTF-8")), (3L, null))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeVideoMeta(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val v0 = out(0L)
+    assert(v0.getLong(2) === 640L && v0.getLong(3) === 360L,
+      s"v0 dims $v0")
+    assert(v0.getLong(4) === 240L)
+    assert(math.abs(v0.getDouble(5) - 10.0) < 1e-9)
+    val v1 = out(1L)
+    assert(v1.getLong(2) === 1920L && v1.getLong(3) === 1080L,
+      s"v1 dims $v1 — v1 tkhd/mdhd offsets or track selection wrong")
+    assert(v1.getLong(4) === 150L)
+    assert(math.abs(v1.getDouble(5) - 5.0) < 1e-9)
+    assert(out(2L).isNullAt(2), "garbage payload must yield null fields")
+    assert(out(3L).isNullAt(2) && out(3L).getLong(1) === 0L,
+      "NULL payload must yield a null-fields row")
   }
 
   test("ivfTopK probes beat single-cell search (recall sanity)") {

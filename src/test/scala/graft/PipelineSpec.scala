@@ -97,6 +97,27 @@ class PipelineSpec extends SparkSpec {
     assert(out === Map(1L -> 2L))
   }
 
+  test("decontaminate against an EXTERNAL eval set (production shape)") {
+    // benchmark suites are external tables, not corpus slices: the train
+    // corpus here contains NO doc satisfying the modulo slice — only the
+    // explicit eval DataFrame defines contamination
+    val train = docsDf(
+      (1L, "x q w e r"),      // shares "q w e" + "w e r" with eval 100
+      (2L, "a b c d e"),      // clean
+      (3L, "m n o q w e"))    // shares "q w e"
+    val eval = docsDf((100L, "q w e r"))
+    val out = Pipeline.decontaminate(train, eval, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L, 3L -> 1L))
+    // the slice-based overload is this operator with the slice as eval:
+    // same result when the slice reproduces the explicit set
+    val docs = docsDf((0L, "q w e r"), (1L, "x q w e r"),
+      (2L, "a b c d e"), (3L, "m n o q w e"))
+    val sliced = Pipeline.decontaminate(docs, n = 3, evalMod = 97)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sliced === Map(1L -> 2L, 3L -> 1L))
+  }
+
   test("packing ↔ manifest invariants hold on real documents") {
     import org.apache.spark.sql.functions._
     val docs = Tables.table(spark, sf("sf0.001"), "documents")

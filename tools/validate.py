@@ -58,6 +58,21 @@ def main():
             print(f"FAIL {name}: rows spark={len(got)} oracle={len(want)}")
             failed.append(name)
             continue
+        # Dtype-kind-strict: the driver hashes value representations, so an
+        # oracle column arriving as float64 (e.g. DuckDB HUGEINT from a
+        # window sum coerced by pandas) against an integer Spark column IS a
+        # failure even when values compare equal ("3.0" vs "3"). Integer
+        # WIDTH differences (int32 vs int64) hash identically and pass.
+        def kind(dt):
+            return "i" if dt.kind in "iu" else dt.kind
+        dtype_bad = [c for c in got.columns
+                     if kind(got[c].dtype) != kind(want[c].dtype)]
+        if dtype_bad:
+            for c in dtype_bad:
+                print(f"FAIL {name}: dtype-kind mismatch col={c} "
+                      f"spark={got[c].dtype} oracle={want[c].dtype}")
+            failed.append(name)
+            continue
         try:
             pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                           check_exact=True)
