@@ -343,4 +343,106 @@ object Pipeline {
       |     x -> abs(CAST(x AS DOUBLE)))) AS amax
       |  FROM embeddings))
       |ORDER BY vec_id""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------ corpus curation
+
+  /** Deterministic per-source document ordering — the shared sort key of
+    * [[sourceCap]] and [[tokenBudget]]: md5 of the doc id (the same
+    * portable hash as [[TextOps.hashKeep]]), id tiebreak. "First K docs"
+    * / "first B tokens" of a source is then a STABLE subset across runs,
+    * partitionings, and cluster sizes — no RNG, no sampling drift between
+    * pipeline reruns. */
+  private def sourceOrder: Seq[Column] =
+    Seq(md5(col("doc_id").cast("string")), col("doc_id"))
+
+  private val sourceOrderSql = "md5(CAST(doc_id AS VARCHAR)), doc_id"
+
+  /** Per-source document cap (the RefinedWeb-family domain-balancing
+    * step): keep at most `k` documents per source, chosen in the
+    * deterministic md5 order — stops any single domain/source from
+    * dominating the mixture regardless of its crawl volume.
+    *
+    * Scale shape: one window keyed on `source` — a key-bounded shuffle,
+    * one ordered task per source (the same accepted shape as the
+    * per-symbol folds). The heaviest domain bounds the task: its docs
+    * sort once even though only k survive; if one source is a large
+    * fraction of the whole corpus, pre-thin it with
+    * [[TextOps.stratifiedSample]] (map-side) before capping. */
+  def sourceCap(docs: DataFrame, k: Int = 100): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(sourceOrder: _*)
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("rank_in_source", row_number().over(w).cast("long"))
+      .where(col("rank_in_source") <= k)
+  }
+
+  def sourceCapSql(k: Int = 100): String =
+    s"""SELECT doc_id, source, rank_in_source FROM (
+       | SELECT doc_id, source, row_number() OVER (
+       |   PARTITION BY source ORDER BY $sourceOrderSql) AS rank_in_source
+       | FROM documents)
+       |WHERE rank_in_source <= $k
+       |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
+  /** Per-source token budget ("take the first B tokens of every source"
+    * — the budgeted-mixture step when the mix is specified in tokens, as
+    * pre-training mixes are): documents accumulate in the deterministic
+    * md5 order and a source stops contributing once its cumulative token
+    * count passes `budget`. A document is kept iff it FITS ENTIRELY
+    * within the remaining budget (the loader-friendly convention — no
+    * mid-document truncation here; packing handles intra-doc cuts).
+    *
+    * All-integer cumsum → exact in both engines (the window sum output is
+    * CAST BIGINT in the twin — DuckDB types it HUGEINT otherwise). Same
+    * key-bounded per-source window as [[sourceCap]]. */
+  def tokenBudget(docs: DataFrame, budget: Long = 5000L): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(sourceOrder: _*)
+    docs
+      .select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= budget)
+  }
+
+  def tokenBudgetSql(budget: Long = 5000L): String =
+    s"""SELECT doc_id, source, n_tokens,
+       | CAST(cum_tokens AS BIGINT) AS cum_tokens FROM (
+       | SELECT doc_id, source, n_tokens, sum(n_tokens) OVER (
+       |   PARTITION BY source ORDER BY $sourceOrderSql) AS cum_tokens
+       | FROM (SELECT doc_id, source,
+       |   CAST(${TextOps.tokenCountSql} AS BIGINT) AS n_tokens
+       |  FROM documents))
+       |WHERE cum_tokens <= $budget
+       |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
+  /** The mixture audit table every pipeline builds before training: per
+    * (source, lang) — document count, total tokens, total chars, and the
+    * doc-length extremes. This is the artifact a data lead reads to set
+    * [[mixtureSample]] weights and [[tokenBudget]] budgets.
+    *
+    * One hash aggregation over bounded (source, lang) keys — partial
+    * map-side combine, a few-thousand-row result at any corpus size.
+    * Sums are integer-exact (token/char counts are ints). */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+
+  val corpusStatsSql: String =
+    s"""SELECT source, lang, count(*) AS n_docs,
+       | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       | min(n_chars) AS min_chars, max(n_chars) AS max_chars
+       |FROM (SELECT source, lang,
+       |  CAST(${TextOps.tokenCountSql} AS BIGINT) AS n_tokens,
+       |  CAST(length(text) AS BIGINT) AS n_chars
+       | FROM documents)
+       |GROUP BY source, lang
+       |ORDER BY source, lang""".stripMargin.replace('\n', ' ')
 }

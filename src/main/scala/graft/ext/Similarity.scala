@@ -346,6 +346,148 @@ object Similarity {
        |   PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM sims)
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin.replace('\n', ' ')
 
+  /** Product-quantization codes (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011) — the classic companion
+    * compression to IVF: each vector splits into `subspaces` contiguous
+    * subvectors, each quantized to its nearest per-subspace codebook
+    * entry (codebook = the deterministic seed vectors
+    * `vec_id < nCentroids`, the same convention as [[ivfTopK]]'s coarse
+    * quantizer). Output per vector: the packed code word (4 bits per
+    * subspace → 64-dim f32 compresses 256 B → 4 B, the layout ANN
+    * serving tiers hold in RAM) and an integer-quantized reconstruction
+    * error (`Σ_s floor(dist_s · 1e9)` — float-tolerance-free gate).
+    *
+    * Determinism: each subspace distance expands to dot products through
+    * the same codegen'd left-fold kernel as every similarity op
+    * (`d = x·x − 2·(x·c) + c·c`, identical operation order to the DuckDB
+    * twin's spelled-out chains — exactly 0 for a codebook vector against
+    * itself); argmin tiebreaks on centroid id via (dist, cid) ordering.
+    *
+    * Scale shape: the (nCentroids)-row codebook broadcasts against a
+    * map-side corpus scan; the explode fans each pair to `subspaces`
+    * rows (bounded ×(16·8) blowup of tiny 4-scalar rows); the argmin
+    * window keys on (vec_id, s) and the final aggregation on unique
+    * vec_id — key-bounded shuffles only, the corpus array column never
+    * shuffles. */
+  /** Per-(vector, centroid, subspace) squared distances — the shared
+    * core of [[pqCodes]] (argmin per subspace) and [[pqAdcTopK]] (the
+    * query-side lookup table IS this stream filtered to queries). */
+  private def pqDists(embeddings: DataFrame, subspaces: Int,
+      nCentroids: Int): DataFrame = {
+    require(nCentroids <= 16, "packed nibble codes need nCentroids <= 16")
+    require(Dims % subspaces == 0, s"$subspaces must divide $Dims")
+    val sub = Dims / subspaces
+    val vecs = withNorms(embeddings).select(col("vec_id"), col("emb"))
+    val cents = vecs.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("emb").as("c_emb"))
+    val sd = (0 until subspaces).map { s =>
+      val xs = slice(col("emb"), s * sub + 1, sub)
+      val cs = slice(col("c_emb"), s * sub + 1, sub)
+      struct(lit(s).as("s"), lit(1L << (4 * s)).as("w"),
+        (dotD(xs, xs) - lit(2d) * dotD(xs, cs) + dotD(cs, cs)).as("dist"))
+    }
+    vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), explode(array(sd: _*)).as("sd"))
+      .select(col("vec_id"), col("cid"), col("sd.s").as("s"),
+        col("sd.w").as("w"), col("sd.dist").as("dist"))
+  }
+
+  /** Argmin centroid per (vector, subspace) — (dist, cid) tiebreak. */
+  private def pqAssign(dists: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("dist"), col("cid"))
+    dists.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+  }
+
+  def pqCodes(embeddings: DataFrame, subspaces: Int = 8,
+      nCentroids: Int = 16): DataFrame =
+    pqAssign(pqDists(embeddings, subspaces, nCentroids))
+      .groupBy("vec_id")
+      .agg(sum(col("cid") * col("w")).as("pq_code"),
+        sum(floor(col("dist") * lit(1e9)).cast("long")).as("err_q"))
+
+  /** ADC (asymmetric distance computation) top-k over the PQ codes — how
+    * a serving tier actually searches compressed vectors: the query stays
+    * full-precision and builds a per-subspace lookup table of distances
+    * to every codebook entry (nCentroids × subspaces scalars); each
+    * corpus vector's approximate distance is then the SUM OF TABLE
+    * LOOKUPS selected by its code — no corpus floats touched at query
+    * time. Per-subspace distances are integer-quantized
+    * (`floor(d·1e9)`) BEFORE summing, so the 8-term sum is exact and
+    * order-independent (no float fold-order pinning needed) and the
+    * (adc, vec_id) ranking is fully deterministic.
+    *
+    * Scale shape: the lookup table is queries × centroids × subspaces —
+    * tiny, broadcast side of the equi-join on (s, cid); the corpus side
+    * is the code assignment stream (n × subspaces small rows). The final
+    * aggregation keys on (q_id, vec_id) with exactly `subspaces` rows
+    * each — bounded fan-in, then TakeOrdered-style per-query ranking. */
+  def pqAdcTopK(embeddings: DataFrame, subspaces: Int = 8,
+      nCentroids: Int = 16, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val dists = pqDists(embeddings, subspaces, nCentroids)
+      .localCheckpoint(true) // feeds both the LUT and the assignments
+    val lut = dists.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("s"), col("cid"),
+        floor(col("dist") * lit(1e9)).cast("long").as("dq"))
+    val asg = pqAssign(dists).select(col("vec_id"), col("s"), col("cid"))
+    val adc = asg.join(broadcast(lut), Seq("s", "cid"))
+      .where(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("dq")).as("adc_q"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_q"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "adc_q")
+  }
+
+  /** Shared CTE prefix of the PQ twins: vecs, cents, the per-(vector,
+    * centroid, subspace) distance stream, and the argmin assignment. */
+  private def pqCtesSql(subspaces: Int, nCentroids: Int): String = {
+    val sub = Dims / subspaces
+    def chain(a: String, b: String, s: Int): String =
+      (1 to sub).map(i => s"$a.emb[${s * sub + i}] * $b.emb[${s * sub + i}]")
+        .mkString(" + ")
+    val branches = (0 until subspaces).map { s =>
+      s"""SELECT v.vec_id, c.cid, $s AS s, ${1L << (4 * s)} AS w,
+         | (${chain("v", "v", s)}) - 2e0 * (${chain("v", "c", s)})
+         |  + (${chain("c", "c", s)}) AS dist
+         | FROM vecs v CROSS JOIN cents c""".stripMargin
+        .replace('\n', ' ')
+    }.mkString(" UNION ALL ")
+    s"""vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, emb FROM vecs WHERE vec_id < $nCentroids),
+       |dists AS ($branches),
+       |best AS (SELECT vec_id, cid, s, w, dist FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id, s ORDER BY dist, cid) AS rn FROM dists)
+       | WHERE rn = 1)""".stripMargin.replace('\n', ' ')
+  }
+
+  def pqCodesSql(subspaces: Int = 8, nCentroids: Int = 16): String =
+    s"""WITH ${pqCtesSql(subspaces, nCentroids)}
+       |SELECT vec_id, CAST(sum(cid * w) AS BIGINT) AS pq_code,
+       | CAST(sum(CAST(floor(dist * 1e9) AS BIGINT)) AS BIGINT) AS err_q
+       |FROM best GROUP BY vec_id
+       |ORDER BY vec_id""".stripMargin.replace('\n', ' ')
+
+  def pqAdcTopKSql(subspaces: Int = 8, nCentroids: Int = 16,
+      nQueries: Int = 10, k: Int = 3): String =
+    s"""WITH ${pqCtesSql(subspaces, nCentroids)},
+       |lut AS (SELECT vec_id AS q_id, s, cid,
+       |  CAST(floor(dist * 1e9) AS BIGINT) AS dq
+       | FROM dists WHERE vec_id < $nQueries),
+       |adc AS (SELECT l.q_id, a.vec_id, CAST(sum(l.dq) AS BIGINT) AS adc_q
+       | FROM best a
+       | JOIN lut l ON l.s = a.s AND l.cid = a.cid
+       | WHERE a.vec_id <> l.q_id
+       | GROUP BY l.q_id, a.vec_id)
+       |SELECT q_id, rank, vec_id, adc_q FROM (
+       | SELECT *, row_number() OVER (
+       |   PARTITION BY q_id ORDER BY adc_q, vec_id) AS rank FROM adc)
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+      .replace('\n', ' ')
+
   /** DuckDB twin of [[lshNearestMultiProbe]]: the probe set unnests
     * `[bucket, xor(bucket, 2^p)...]`, mirroring the Spark side's
     * bitwiseXOR explode; DISTINCT dedups pairs reachable via several

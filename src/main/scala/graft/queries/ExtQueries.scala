@@ -122,6 +122,19 @@ object ExtQueries {
         .orderBy("q_id", "rank"),
       Some(Similarity.hardNegativesSql())),
 
+    // product-quantization codes (IVF's companion compression: 4-bit
+    // nibble per subspace, integer-quantized reconstruction error)
+    Q("q_pq_code",
+      (s, dir) => Similarity.pqCodes(embs(s, dir)).orderBy("vec_id"),
+      Some(Similarity.pqCodesSql())),
+
+    // ADC top-k over the PQ codes (compressed-domain search: LUT join,
+    // integer-quantized order-free distance sums)
+    Q("q_pq_adc_topk",
+      (s, dir) => Similarity.pqAdcTopK(embs(s, dir))
+        .orderBy("q_id", "rank"),
+      Some(Similarity.pqAdcTopKSql())),
+
     // LSH bucket assignment (scale path for ANN; planes = planesFor(n) so
     // bucket count tracks corpus size — 4 planes at n=500, 5 at n=2000)
     Q("q_ann_lsh_buckets",
@@ -241,6 +254,25 @@ object ExtQueries {
     Q("q_dup_spans",
       (s, dir) => Pipeline.dupSpans(docs(s, dir)).orderBy("doc_id"),
       Some(Pipeline.dupSpansSql())),
+
+    // per-source document cap (domain balancing, deterministic md5 order)
+    Q("q_source_cap",
+      (s, dir) => Pipeline.sourceCap(docs(s, dir), k = 20)
+        .orderBy("doc_id"),
+      Some(Pipeline.sourceCapSql(k = 20))),
+
+    // per-source token budget (budgeted mixture: first B tokens/source;
+    // 800 < every source's total at sf0.01 — the cutoff always fires)
+    Q("q_token_budget",
+      (s, dir) => Pipeline.tokenBudget(docs(s, dir), budget = 800L)
+        .orderBy("doc_id"),
+      Some(Pipeline.tokenBudgetSql(budget = 800L))),
+
+    // mixture audit table: per (source, lang) doc/token/char totals
+    Q("q_corpus_stats",
+      (s, dir) => Pipeline.corpusStats(docs(s, dir))
+        .orderBy("source", "lang"),
+      Some(Pipeline.corpusStatsSql)),
 
     // per-vector symmetric int8 embedding quantization
     Q("q_embed_quant",

@@ -434,6 +434,54 @@ class ExtSpec extends SparkSpec {
       "NULL payload must yield a null-fields row")
   }
 
+  test("pqCodes: codes in range, deterministic, reconstruct seed vectors exactly") {
+    // 30 vectors, 64 dims; codebook = seed vectors 0..15 per subspace
+    val embs = embsDf((0L until 30L).map(i =>
+      i -> Seq.tabulate(64)(d => math.cos(i * 13 + d).toFloat)): _*)
+    val m = 8
+    val out = Similarity.pqCodes(embs, subspaces = m, nCentroids = 16)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 30)
+    out.values.foreach { r =>
+      val code = r.getLong(1)
+      // 8 nibbles, each < 16 -> packed code fits in 32 bits
+      assert(code >= 0 && code < (1L << (4 * m)))
+    }
+    // a CODEBOOK vector's nearest centroid in every subspace is itself:
+    // code = cid repeated in all nibbles, reconstruction error exactly 0
+    (0L until 16L).foreach { cid =>
+      val r = out(cid)
+      val expect = (0 until m).map(s => cid << (4 * s)).sum
+      assert(r.getLong(1) === expect, s"codebook vec $cid code ${r.getLong(1)}")
+      assert(r.getLong(2) === 0L, s"codebook vec $cid err_q ${r.getLong(2)}")
+    }
+    // non-codebook vectors have strictly positive quantization error
+    (16L until 30L).foreach(i => assert(out(i).getLong(2) > 0L))
+    // deterministic across reruns
+    val again = Similarity.pqCodes(embs, subspaces = m, nCentroids = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === out.map { case (k, v) => k -> v.getLong(1) })
+  }
+
+  test("pqAdcTopK: codebook queries retrieve codebook-identical vectors first") {
+    // vectors 16..19 are exact COPIES of codebook vectors 0..3: their PQ
+    // codes match, so ADC distance is exactly the query's own
+    // reconstruction error — the copy must rank first for its twin query
+    val base = (0L until 16L).map(i =>
+      i -> Seq.tabulate(64)(d => math.cos(i * 13 + d).toFloat))
+    val copies = (0L until 4L).map(i =>
+      (16L + i) -> Seq.tabulate(64)(d => math.cos(i * 13 + d).toFloat))
+    val noise = (20L until 30L).map(i =>
+      i -> Seq.tabulate(64)(d => math.sin(i * 29 + d).toFloat))
+    val embs = embsDf((base ++ copies ++ noise): _*)
+    val top = Similarity.pqAdcTopK(embs, nQueries = 4, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0L until 4L).foreach { q =>
+      assert(top(q) === 16L + q,
+        s"query $q should retrieve its exact copy, got ${top(q)}")
+    }
+  }
+
   test("ivfTopK probes beat single-cell search (recall sanity)") {
     // with nProbe = nCentroids the search is exhaustive over cells, so the
     // top-1 must equal the brute-force nearest among non-self vectors

@@ -118,6 +118,50 @@ class PipelineSpec extends SparkSpec {
     assert(sliced === Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("sourceCap: at most k per source, deterministic choice, stable under rerun") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    def run() = graft.ext.Pipeline.sourceCap(docs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val a = run()
+    assert(a.toSeq === run().toSeq)                 // deterministic
+    val bySrc = a.groupBy(_._2)
+    assert(bySrc.keySet === Set("src0", "src1", "src2"))
+    bySrc.values.foreach { rs =>
+      assert(rs.length === 5)
+      assert(rs.map(_._3).sorted.toSeq === (1L to 5L)) // ranks contiguous
+    }
+    // k beyond source size keeps everything
+    assert(graft.ext.Pipeline.sourceCap(docs, k = 100).count() === 50)
+  }
+
+  test("tokenBudget: whole docs accumulate until the budget, never past it") {
+    // src a: docs of 3 tokens each in md5 order; budget 7 -> exactly 2 docs
+    // (6 tokens), the third would cross
+    val docs = docsDf((1L, "a b c"), (2L, "d e f"), (3L, "g h i"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("a"))
+    val out = graft.ext.Pipeline.tokenBudget(docs, budget = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.length === 2)
+    assert(out.map(_._2).forall(_ === 3L))
+    assert(out.map(_._3).max === 6L)          // cumsum stops under budget
+    // budget below the smallest doc keeps nothing; huge budget keeps all
+    assert(graft.ext.Pipeline.tokenBudget(docs, budget = 2L).count() === 0)
+    assert(graft.ext.Pipeline.tokenBudget(docs, budget = 100L).count() === 3)
+  }
+
+  test("corpusStats: totals agree with direct aggregation on real documents") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.table(spark, sf("sf0.001"), "documents")
+    val stats = graft.ext.Pipeline.corpusStats(docs)
+    val total = stats.agg(sum("n_docs"), sum("total_tokens")).head()
+    assert(total.getLong(0) === docs.count())
+    val direct = docs.select(
+      sum(graft.ext.TextOps.tokenCount(col("text")).cast("long"))).head()
+    assert(total.getLong(1) === direct.getLong(0))
+  }
+
   test("packing ↔ manifest invariants hold on real documents") {
     import org.apache.spark.sql.functions._
     val docs = Tables.table(spark, sf("sf0.001"), "documents")

@@ -176,6 +176,37 @@ class PlanSpec extends SparkSpec {
       s"manifest window collapsed to a single partition:\n$p")
   }
 
+  test("source cap / token budget window by source — key-bounded, no funnel") {
+    for (q <- Seq("q_source_cap", "q_token_budget")) {
+      val p = plan(q)
+      assert(p.contains("Window"), s"no window in $q plan:\n$p")
+      assert(!p.contains("SinglePartition"),
+        s"$q window collapsed to a single partition:\n$p")
+      assert(p.contains("hashpartitioning(source"),
+        s"$q window not keyed on source:\n$p")
+    }
+  }
+
+  test("PQ ADC search joins the lookup table as a broadcast") {
+    // the query LUT (queries x centroids x subspaces) must broadcast onto
+    // the corpus code stream — a shuffle join here would move the corpus
+    // for the benefit of a kilobyte-scale table
+    val p = plan("q_pq_adc_topk")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"ADC LUT not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in ADC:\n$p")
+  }
+
+  test("corpus stats aggregates with map-side partial combine") {
+    val p = plan("q_corpus_stats")
+    // two HashAggregates (partial + final) around one exchange on the
+    // bounded (source, lang) key — the canonical scalable agg shape
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation in corpus stats:\n$p")
+    assert(p.contains("hashpartitioning(source"),
+      s"stats not shuffled on the group key:\n$p")
+  }
+
   test("trade filter is applied at the scan, before aggregation") {
     // updates derives is_trade from event_id, so the predicate appears as
     // the derived `% 3` condition in the Filter directly above the scan —
