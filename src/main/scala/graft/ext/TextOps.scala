@@ -565,6 +565,95 @@ object TextOps {
       .select("doc_id", "rank", "term", "tfidf")
   }
 
+  /** TF-IDF cosine document similarity — vector-space near-dup WITHOUT
+    * embeddings (the text-side analog of
+    * [[Similarity.cosineNearDup]]): documents are sparse tf·idf vectors
+    * over the DISCRIMINATIVE vocabulary (terms with `df <= dfMax` — hot
+    * terms carry no cosine mass and all of the pair blowup, so the
+    * vector space itself is restricted, keeping the cosine exact over
+    * that vocabulary rather than approximated). Pairs meet through the
+    * inverted-index equi-join on term; `sim >= threshold` survives.
+    *
+    * Determinism: weights are exact products of integer tf and
+    * lnQ-quantized idf; each pair dot and each doc's squared norm are
+    * sums of `floor(w·w·1e6)` INTEGER terms — exact and order-free (no
+    * float fold-order pinning) — and the final
+    * `sab / (sqrt(sa)·sqrt(sb))` is the identical IEEE sequence in both
+    * engines.
+    *
+    * Scale shape: the term join is df-capped (≤ dfMax² pairs per term);
+    * per-pair and per-doc aggregations key on bounded ids; the token
+    * stream aggregates once into the (doc, term, tf) table that feeds
+    * everything else. */
+  /** The df cap as a fraction of corpus size — "discriminative" is a
+    * RATIO (a term in ≤5% of documents), not an absolute count, so the
+    * blocking survives any corpus scale (the ANN `planesFor` lesson
+    * applied to text). */
+  def dfMaxFor(nDocs: Long, frac: Double = 0.05): Int =
+    math.max(1, math.ceil(nDocs * frac).toInt)
+
+  def tfidfCosine(docs: DataFrame, dfMax: Int = 25,
+      threshold: Double = 0.3): DataFrame = {
+    import graft.functions.localRelation
+    val tf = tokens(docs).groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // feeds df AND weights
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfMax)
+    val nDocs = localRelation(docs.agg(count(lit(1)).as("n_docs")))
+    val wts = tf.join(dfreq, "term").crossJoin(nDocs)
+      .select(col("doc_id"), col("term"),
+        (col("tf") * lnQ(col("n_docs").cast("double") / col("df")))
+          .as("w"))
+      .localCheckpoint(true) // feeds norms AND the pair dots
+    val norms = wts.groupBy("doc_id")
+      .agg(sum(floor(col("w") * col("w") * lit(1e6)).cast("long"))
+        .as("s2"))
+    val a = wts.select(col("doc_id").as("doc_a"), col("term"),
+      col("w").as("wa"))
+    val b = wts.select(col("doc_id").as("doc_b"), col("term"),
+      col("w").as("wb"))
+    val dots = a.join(b, "term").where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(floor(col("wa") * col("wb") * lit(1e6)).cast("long"))
+        .as("sab"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("s2").as("na")),
+        "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("s2").as("nb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("sab").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
+  def tfidfCosineSql(dfMax: Int = 25, threshold: Double = 0.3): String =
+    s"""WITH toks AS ($tokensSql),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |nd AS (SELECT count(*) AS n_docs FROM documents),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf
+       |  GROUP BY 1 HAVING count(*) <= $dfMax),
+       |wts AS (SELECT t.doc_id, t.term,
+       |  t.tf * ${lnQSql("CAST(n.n_docs AS DOUBLE) / f.df")} AS w
+       | FROM tf t JOIN dfreq f USING (term) CROSS JOIN nd n),
+       |norms AS (SELECT doc_id,
+       |  CAST(sum(CAST(floor(w * w * 1e6) AS BIGINT)) AS BIGINT) AS s2
+       | FROM wts GROUP BY 1),
+       |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(sum(CAST(floor(a.w * b.w * 1e6) AS BIGINT)) AS BIGINT) AS sab
+       | FROM wts a JOIN wts b ON a.term = b.term AND a.doc_id < b.doc_id
+       | GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, sim FROM (
+       | SELECT d.doc_a, d.doc_b, CAST(d.sab AS DOUBLE) /
+       |   (sqrt(CAST(na.s2 AS DOUBLE)) * sqrt(CAST(nb.s2 AS DOUBLE))) AS sim
+       | FROM dots d
+       | JOIN norms na ON na.doc_id = d.doc_a
+       | JOIN norms nb ON nb.doc_id = d.doc_b)
+       |WHERE sim >= ${sqlDouble(threshold)}
+       |ORDER BY doc_a, doc_b""".stripMargin.replace('\n', ' ')
+
   def tfidfTopTermsSql(topK: Int = 3): String =
     s"""WITH toks AS ($tokensSql),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),

@@ -24,6 +24,9 @@ object ExtQueries {
   private def embCount(dir: String): Long =
     Tables.parquetRowCount(s"$dir/embeddings.parquet")
   private def oracleEmbCount: Long = embCount(Tables.oracleSfDir.get)
+  private def docCount(dir: String): Long =
+    Tables.parquetRowCount(s"$dir/documents.parquet")
+  private def oracleDocCount: Long = docCount(Tables.oracleSfDir.get)
 
   /** Query bag for the BM25 gate — mid-frequency vocabulary words so df
     * spreads across terms. */
@@ -185,6 +188,15 @@ object ExtQueries {
       (s, dir) => TextOps.tfidfTopTerms(docs(s, dir))
         .orderBy("doc_id", "rank"),
       Some(TextOps.tfidfTopTermsSql())),
+
+    // TF-IDF cosine document similarity (text-space near-dup, inverted
+    // index blocked on discriminative terms: df <= 5% of corpus — a
+    // RATIO cap so the blocking is non-degenerate at every SF)
+    Q("q_tfidf_cosine",
+      (s, dir) => TextOps.tfidfCosine(docs(s, dir),
+          TextOps.dfMaxFor(docCount(dir)))
+        .orderBy("doc_a", "doc_b"),
+      Some(TextOps.tfidfCosineSql(TextOps.dfMaxFor(oracleDocCount)))),
 
     // quality scoring
     Q("q_quality",

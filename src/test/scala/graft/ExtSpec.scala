@@ -434,6 +434,36 @@ class ExtSpec extends SparkSpec {
       "NULL payload must yield a null-fields row")
   }
 
+  test("tfidfCosine: identical docs score 1.0, hot terms don't create pairs") {
+    import graft.ext.TextOps
+    val docs = docsDf(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),   // exact dup of 1
+      (3L, "alpha beta epsilon zeta"),  // partial overlap with 1/2
+      (4L, "the the the the"),          // only a "hot" term (df-capped out below)
+      (5L, "the the the the"))          // identical to 4 but invisible
+    // dfMax = 3: "the" has df 2 <= 3 here, so pick dfMax that excludes a
+    // PLANTED hot term instead — make "hot" appear in 4 docs
+    val docs2 = docsDf(
+      (1L, "alpha beta hot"),
+      (2L, "alpha beta hot"),
+      (3L, "gamma delta hot"),
+      (4L, "epsilon zeta hot"))
+    val out = TextOps.tfidfCosine(docs2, dfMax = 3, threshold = 0.1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    // 1-2 share (alpha, beta) -> sim 1.0 over the restricted vocab;
+    // pairs through "hot" alone (df=4 > dfMax) must not exist
+    assert(math.abs(out((1L, 2L)) - 1.0) < 1e-9)
+    assert(!out.contains((1L, 3L)) && !out.contains((3L, 4L)),
+      s"hot-term-only pairs leaked: ${out.keys}")
+    val sym = TextOps.tfidfCosine(docs, dfMax = 3, threshold = 0.1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(math.abs(sym((1L, 2L)) - 1.0) < 1e-9)
+    assert(sym((1L, 3L)) > 0.1 && sym((1L, 3L)) < 1.0)
+  }
+
   test("pqCodes: codes in range, deterministic, reconstruct seed vectors exactly") {
     // 30 vectors, 64 dims; codebook = seed vectors 0..15 per subspace
     val embs = embsDf((0L until 30L).map(i =>
