@@ -441,6 +441,88 @@ object Similarity {
       .select("q_id", "rank", "vec_id", "adc_q")
   }
 
+  /** IVF-ADC — the composed FAISS-style serving shape: the coarse
+    * quantizer (cosine cells, as [[ivfTopK]]) restricts each query to its
+    * `nProbe` nearest cells' inverted lists, and ranking within those
+    * lists runs in the COMPRESSED domain via [[pqAdcTopK]]'s lookup-table
+    * sums — so a query touches ~nProbe/nCells of the corpus AND never
+    * reads a corpus float. (This variant quantizes raw vectors, not
+    * cell residuals — the residual refinement changes the codebook, not
+    * the plan shape.) Same determinism contract as both parents:
+    * integer-quantized per-subspace distances, (adc, vec_id) ranking.
+    *
+    * Scale shape: cell assignment and code assignment are both
+    * broadcast-against-scan map-side passes; the probe join restricts on
+    * the cell equi-key BEFORE codes fan in; the LUT broadcast is
+    * queries × centroids × subspaces scalars. No corpus shuffle, no
+    * all-pairs. */
+  def ivfAdcTopK(embeddings: DataFrame, subspaces: Int = 8,
+      nCentroids: Int = 16, nCells: Int = 8, nProbe: Int = 2,
+      nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val vecs = withNorms(embeddings)
+    val ccents = vecs.where(col("vec_id") < nCells)
+      .select(col("vec_id").as("ccid"), col("emb").as("c_emb"),
+        col("norm").as("c_norm"))
+    val csims = vecs.crossJoin(broadcast(ccents))
+      .select(col("vec_id"), col("ccid"),
+        (dotD(col("emb"), col("c_emb")) / (col("norm") * col("c_norm")))
+          .as("csim"))
+      .localCheckpoint(true) // feeds assignment AND probes
+    val byCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("ccid"))
+    val ranked = csims.withColumn("rn", row_number().over(byCell))
+    val assigned = ranked.where(col("rn") === 1)
+      .select(col("vec_id"), col("ccid").as("cell"))
+    val probes = ranked
+      .where(col("rn") <= nProbe && col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("ccid").as("cell"))
+    val dists = pqDists(embeddings, subspaces, nCentroids)
+      .localCheckpoint(true) // feeds the LUT AND the code assignment
+    val lut = dists.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("s"), col("cid"),
+        floor(col("dist") * lit(1e9)).cast("long").as("dq"))
+    val codes = pqAssign(dists).select(col("vec_id"), col("s"), col("cid"))
+    val adc = probes.join(assigned, "cell")
+      .where(col("vec_id") =!= col("q_id"))
+      .join(codes, "vec_id")
+      .join(broadcast(lut), Seq("q_id", "s", "cid"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("dq")).as("adc_q"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_q"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "adc_q")
+  }
+
+  def ivfAdcTopKSql(subspaces: Int = 8, nCentroids: Int = 16,
+      nCells: Int = 8, nProbe: Int = 2, nQueries: Int = 10,
+      k: Int = 3): String =
+    s"""WITH ${pqCtesSql(subspaces, nCentroids)},
+       |ccents AS (SELECT vec_id AS ccid, emb FROM vecs WHERE vec_id < $nCells),
+       |csims AS (SELECT a.vec_id, c.ccid,
+       |  (${dotSql("a", "c")}) / (${normSql("a")} * ${normSql("c")}) AS csim
+       | FROM vecs a CROSS JOIN ccents c),
+       |cranked AS (SELECT vec_id, ccid, row_number() OVER (
+       |   PARTITION BY vec_id ORDER BY csim DESC, ccid) AS rn FROM csims),
+       |assignedcell AS (SELECT vec_id, ccid AS cell FROM cranked WHERE rn = 1),
+       |probes AS (SELECT vec_id AS q_id, ccid AS cell FROM cranked
+       |  WHERE rn <= $nProbe AND vec_id < $nQueries),
+       |lut AS (SELECT vec_id AS q_id, s, cid,
+       |  CAST(floor(dist * 1e9) AS BIGINT) AS dq
+       | FROM dists WHERE vec_id < $nQueries),
+       |adc AS (SELECT p.q_id, ac.vec_id, CAST(sum(l.dq) AS BIGINT) AS adc_q
+       | FROM probes p
+       | JOIN assignedcell ac ON ac.cell = p.cell AND ac.vec_id <> p.q_id
+       | JOIN best b ON b.vec_id = ac.vec_id
+       | JOIN lut l ON l.q_id = p.q_id AND l.s = b.s AND l.cid = b.cid
+       | GROUP BY 1, 2)
+       |SELECT q_id, rank, vec_id, adc_q FROM (
+       | SELECT *, row_number() OVER (
+       |   PARTITION BY q_id ORDER BY adc_q, vec_id) AS rank FROM adc)
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+      .replace('\n', ' ')
+
   /** Shared CTE prefix of the PQ twins: vecs, cents, the per-(vector,
     * centroid, subspace) distance stream, and the argmin assignment. */
   private def pqCtesSql(subspaces: Int, nCentroids: Int): String = {

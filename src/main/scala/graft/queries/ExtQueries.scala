@@ -138,6 +138,14 @@ object ExtQueries {
         .orderBy("q_id", "rank"),
       Some(Similarity.pqAdcTopKSql())),
 
+    // IVF-ADC: coarse-cell restriction + compressed-domain ranking (the
+    // composed FAISS serving shape — a query touches nProbe/nCells of
+    // the corpus and no corpus floats)
+    Q("q_ivf_adc_topk",
+      (s, dir) => Similarity.ivfAdcTopK(embs(s, dir))
+        .orderBy("q_id", "rank"),
+      Some(Similarity.ivfAdcTopKSql())),
+
     // LSH bucket assignment (scale path for ANN; planes = planesFor(n) so
     // bucket count tracks corpus size — 4 planes at n=500, 5 at n=2000)
     Q("q_ann_lsh_buckets",

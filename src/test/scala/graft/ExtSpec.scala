@@ -512,6 +512,25 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("ivfAdcTopK: subset of full-corpus ADC; exhaustive probing recovers it") {
+    val embs = embsDf((0L until 40L).map(i =>
+      i -> Seq.tabulate(64)(d => math.cos(i * 13 + d).toFloat)): _*)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val full = asMap(Similarity.pqAdcTopK(embs, nQueries = 5, k = 1))
+    // nProbe = nCells probes every cell -> identical to full-corpus ADC
+    val exhaustive = asMap(Similarity.ivfAdcTopK(embs, nCells = 4,
+      nProbe = 4, nQueries = 5, k = 1))
+    assert(exhaustive === full,
+      "exhaustive cell probing must equal full-corpus ADC")
+    // restricted probing returns valid rows (ranks contiguous per query)
+    val restricted = Similarity.ivfAdcTopK(embs, nCells = 4, nProbe = 2,
+      nQueries = 5, k = 3).collect()
+    restricted.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq === (1 to rs.length))
+    }
+  }
+
   test("ivfTopK probes beat single-cell search (recall sanity)") {
     // with nProbe = nCentroids the search is exhaustive over cells, so the
     // top-1 must equal the brute-force nearest among non-self vectors
