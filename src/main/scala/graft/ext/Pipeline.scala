@@ -109,6 +109,29 @@ object Pipeline {
        |FROM spans GROUP BY shard, seq
        |ORDER BY shard, seq""".stripMargin.replace('\n', ' ')
 
+  /** Materialize the packed corpus as loader-ready training shards: one
+    * parquet directory per shard (`shard=N/`, Hive-partitioned so a
+    * loader — or any engine — prunes to its shard without listing the
+    * rest), rows sorted by `doc_id` INSIDE each file, which is exactly
+    * the cumsum order of [[packSequences]] — a loader streams the file
+    * and reconstructs the token stream with no further sort.
+    *
+    * Scale shape: `repartition(shard)` routes each shard to one writer
+    * task (the per-shard file is the unit a data-parallel worker maps),
+    * `sortWithinPartitions` is a local sort of one shard, and the write
+    * is parallel across shards. Returns the written row count. */
+  def writePackedShards(docs: DataFrame, dir: String, seqLen: Int = 512,
+      nShards: Int = 8): Long = {
+    val packed = packSequences(docs, seqLen, nShards)
+    packed
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .parquet(dir)
+    packed.sparkSession.read.parquet(dir).count()
+  }
+
   /** Shard count as a function of corpus size (the packing analog of
     * `Similarity.planesFor`): each shard's cumsum window is one ordered
     * task, so shards must grow with total tokens to bound per-task work.

@@ -193,6 +193,49 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Per-source token budgeting on a STREAM of documents — the ingest-time
+    * twin of [[graft.ext.Pipeline.tokenBudget]]: per-source state is one
+    * running token total (O(1) per key) carried across micro-batches; a
+    * document passes iff it fits ENTIRELY in its source's remaining
+    * budget (same whole-doc-fit convention as the batch operator). Within
+    * a micro-batch rows process in the batch operator's deterministic
+    * md5(doc_id) order; ACROSS batches the order is arrival order — the
+    * inherent streaming deviation (a stream cannot see future arrivals),
+    * same stance as [[streamingAsof]]'s late-data note. Feeding the
+    * md5-ordered corpus as one batch reproduces the batch operator
+    * bit-for-bit (StreamingSpec proves it). The cumulative total advances
+    * for EVERY arriving doc, kept or not — the batch operator's
+    * prefix-cumsum semantics: once a source crosses its budget it is
+    * closed, a smaller later doc cannot sneak in. */
+  case class BudgetedDoc(doc_id: Long, source: String, n_tokens: Long,
+      cum_tokens: Long)
+
+  def streamingTokenBudget(docs: Dataset[(Long, String, Long)],
+      budget: Long): Dataset[BudgetedDoc] = {
+    import docs.sparkSession.implicits._
+    def md5Key(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    def fn(src: String, rows: Iterator[(Long, String, Long)],
+        state: GroupState[Long]): Iterator[BudgetedDoc] = {
+      var cum = state.getOption.getOrElse(0L)
+      val out = Seq.newBuilder[BudgetedDoc]
+      rows.toSeq
+        .sortBy { case (id, _, _) => (md5Key(id), id) }
+        .foreach { case (id, _, n) =>
+          cum += n
+          if (cum <= budget) out += BudgetedDoc(id, src, n, cum)
+        }
+      state.update(cum)
+      out.result().iterator
+    }
+    docs.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** The C4/Gopher document filter on a STREAM of documents — the corpus
     * ingest path run incrementally instead of as a batch job.
     *

@@ -118,6 +118,56 @@ class PipelineSpec extends SparkSpec {
     assert(sliced === Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("writePackedShards: partition-pruned shard dirs, in-file cumsum order") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.table(spark, sf("sf0.001"), "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    try {
+      val n = graft.ext.Pipeline.writePackedShards(docs, dir, seqLen = 128,
+        nShards = 4)
+      val packed = graft.ext.Pipeline.packSequences(docs, 128, 4)
+      assert(n === packed.count())
+      // Hive-partitioned layout: shard=N dirs exist, a single-shard read
+      // prunes to one directory
+      val shardDirs = new java.io.File(dir).listFiles()
+        .filter(_.isDirectory).map(_.getName).sorted
+      assert(shardDirs.toSeq === (0 until 4).map(s => s"shard=$s"))
+      val one = spark.read.parquet(dir).where(col("shard") === 2)
+      val plan = one.queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode
+          .fromString("formatted"))
+      assert(plan.contains("PartitionFilters: [isnotnull(shard"),
+        s"shard filter not pushed to partition pruning:\n$plan")
+      // read-back equals the operator output (same rows, any order)
+      val a = spark.read.parquet(dir)
+        .select("doc_id", "shard", "n_tokens", "start_off")
+        .collect().map(r => (r.getLong(0), r.getInt(1).toLong,
+          r.getLong(2), r.getLong(3))).toSet
+      val b = packed.select("doc_id", "shard", "n_tokens", "start_off")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(a === b)
+      // in-FILE ordering: each parquet file's doc_id column is sorted
+      // (the loader streams it without sorting)
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      val parquets = scala.jdk.CollectionConverters
+        .IteratorHasAsScala(files).asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+      assert(parquets.nonEmpty)
+      parquets.foreach { p =>
+        val ids = spark.read.parquet(p.toString).select("doc_id")
+          .collect().map(_.getLong(0)).toSeq
+        assert(ids === ids.sorted, s"unsorted shard file $p")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("sourceCap: at most k per source, deterministic choice, stable under rerun") {
     import spark.implicits._
     val docs = (1L to 50L).map(i => (i, s"src${i % 3}"))

@@ -172,6 +172,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(1L)._4 && !streamed(2L)._2 && !streamed(3L)._1)
   }
 
+  test("streaming token budget: single-batch ≡ batch operator; state persists across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // real documents, one micro-batch: streamed output must equal the
+    // batch tokenBudget rows exactly (same md5 order, same prefix cumsum)
+    val docs = Tables.table(spark, sf("sf0.001"), "documents")
+    val budget = 800L
+    val batchRows = graft.ext.Pipeline.tokenBudget(docs, budget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val triples = docs.select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("source"),
+      graft.ext.TextOps.tokenCount(
+        org.apache.spark.sql.functions.col("text")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val in = MemoryStream[(Long, String, Long)]
+    val out = Streaming.streamingTokenBudget(in.toDS(), budget)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("stb").start()
+    in.addData(triples: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("stb").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(streamed === batchRows)
+    // cross-batch state: a fresh source blows its budget in batch 2
+    // (cum = budget+1 -> dropped AND the total advances); a tiny doc in
+    // batch 3 must ALSO drop — the source closed when it crossed
+    in.addData((999998L, "zz_fresh", budget + 1))
+    q.processAllAvailable()
+    in.addData((999999L, "zz_fresh", 1L))
+    q.processAllAvailable()
+    q.stop()
+    val after = spark.table("stb").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(after === batchRows,
+      "a source that crossed its budget must stay closed across batches")
+  }
+
   test("subscribe filter fans out one book") {
     import spark.implicits._
     val ups = Seq(
