@@ -262,6 +262,141 @@ object TextOps {
        | SELECT term, count(*) AS c FROM ($tokensSql) GROUP BY term)
        |ORDER BY c DESC, term LIMIT $size""".stripMargin.replace('\n', ' ')
 
+  /** BPE merge induction (Sennrich et al., "Neural Machine Translation of
+    * Rare Words with Subword Units", ACL 2016) — actual tokenizer
+    * TRAINING, not just counting: k rounds of (most frequent adjacent
+    * symbol pair, weighted by word frequency) → merge it everywhere →
+    * recount. Emits the learned merge table (rank, pair, merged symbol,
+    * weighted count) — the artifact a tokenizer ships. Word-internal
+    * merges only (no end-of-word marker — a documented simplification;
+    * adding one is a constant in the symbol init).
+    *
+    * Determinism: counts are integer sums; the per-round winner tiebreaks
+    * on the pair text. Merge application is string `replace` of the
+    * space-bounded pair on the space-padded symbol string, applied TWICE:
+    * one left-to-right replace pass can skip an occurrence whose leading
+    * space was consumed by the previous replacement (" a b a b " →
+    * " ab a b "); after pass one every remaining occurrence is
+    * space-bounded again, so the second pass is exact — the two-pass
+    * replace IS greedy non-overlapping BPE application, in both engines.
+    *
+    * Scale shape: the corpus aggregates ONCE into the (distinct word,
+    * freq) table; the k training rounds loop on that vocab-sized table —
+    * pair counting is an explode + sum keyed on pair text, the winner is
+    * a 1-row TakeOrdered, and the rewrite is a map-side expression with
+    * the winner inlined as a literal (the same driver-loop pattern as
+    * [[Dedup.dedupGroups]]'s rounds, with localCheckpoint truncating
+    * lineage so round N never replays rounds 1..N-1). */
+  /** The training loop shared by [[bpeMerges]] and [[bpeSegment]]:
+    * returns the learned merge rows and the final
+    * (term, sym, freq) vocabulary after all k rewrites. */
+  private def bpeTrain(docs: DataFrame, k: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = tokens(docs).groupBy("term").agg(count(lit(1)).as("freq"))
+      .select(col("term"),
+        concat(lit(" "),
+          array_join(regexp_extract_all(col("term"), lit("."), lit(0)),
+            " "), lit(" ")).as("sym"),
+        col("freq"))
+      .localCheckpoint(true)
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    for (rank <- 1 to k) {
+      val syms = split(trim(col("sym")), " ")
+      val top = words
+        .select(col("freq"), explode(when(size(syms) >= 2,
+          transform(sequence(lit(1), size(syms) - 1),
+            i => concat(element_at(syms, i), lit(" "),
+              element_at(syms, i + 1))))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1)
+        .as[(String, Long)].collect()
+      require(top.nonEmpty, s"vocabulary exhausted before merge $rank")
+      val (pair, cnt) = top.head
+      val merged = pair.replace(" ", "")
+      out += ((rank, pair, merged, cnt))
+      // plain substring replace (never regex — symbols may carry regex
+      // metachars); two-pass = exact greedy application (see scaladoc)
+      def rep1(c: Column): Column = call_function("replace", c,
+        lit(s" $pair "), lit(s" $merged "))
+      words = words.select(col("term"),
+        rep1(rep1(col("sym"))).as("sym"), col("freq"))
+        .localCheckpoint(true)
+    }
+    (out.result(), words)
+  }
+
+  def bpeMerges(docs: DataFrame, k: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    spark.createDataset(bpeTrain(docs, k)._1)
+      .toDF("merge_rank", "pair", "merged", "cnt")
+  }
+
+  /** Tokenize WITH the learned tokenizer: every distinct word segmented
+    * by the k trained merges — (term, freq, n_pieces, pieces). The
+    * round-trip a tokenizer ships: [[bpeMerges]] is the training
+    * artifact, this is its application (greedy merge application is
+    * exactly the training rewrite, so segmenting the training corpus is
+    * the final vocab state — no separate apply pass needed). */
+  def bpeSegment(docs: DataFrame, k: Int = 6): DataFrame =
+    bpeTrain(docs, k)._2
+      .select(col("term"), col("freq"),
+        size(split(trim(col("sym")), " ")).cast("long").as("n_pieces"),
+        trim(col("sym")).as("pieces"))
+
+  def bpeSegmentSql(k: Int = 6): String =
+    s"""WITH ${bpeCtesSql(k)}
+       |SELECT term, freq,
+       | CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n_pieces,
+       | trim(sym) AS pieces
+       |FROM w$k ORDER BY term""".stripMargin.replace('\n', ' ')
+
+  /** Shared CTE chain of the BPE twins: w0 (char-split vocab) and k
+    * (m_i winner, w_i rewrite) stages — each stage counts pairs,
+    * LIMIT-1s the winner (same (cnt DESC, pair) order), and rewrites the
+    * vocab with the same two-pass bounded replace. */
+  private def bpeCtesSql(k: Int): String = {
+    def pairsOf(rel: String): String =
+      s"""SELECT freq, unnest(CASE WHEN len(string_split(trim(sym), ' ')) >= 2
+         | THEN list_transform(range(1, len(string_split(trim(sym), ' '))),
+         |   j -> string_split(trim(sym), ' ')[j] || ' ' ||
+         |        string_split(trim(sym), ' ')[j + 1])
+         | ELSE [] END) AS pair FROM $rel""".stripMargin.replace('\n', ' ')
+    val stages = (1 to k).map { i =>
+      val prev = s"w${i - 1}"
+      s"""m$i AS (SELECT $i AS merge_rank, pair,
+         |  replace(pair, ' ', '') AS merged, cnt FROM (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (${pairsOf(prev)}) GROUP BY pair
+         |  ORDER BY cnt DESC, pair LIMIT 1)),
+         |w$i AS (SELECT w.term, replace(replace(w.sym,
+         |   ' ' || m.pair || ' ', ' ' || m.merged || ' '),
+         |   ' ' || m.pair || ' ', ' ' || m.merged || ' ') AS sym, w.freq
+         | FROM $prev w CROSS JOIN m$i m)""".stripMargin.replace('\n', ' ')
+    }.mkString(", ")
+    s"""toks AS ($tokensSql),
+       |w0 AS (SELECT term,
+       |  ' ' || array_to_string(regexp_extract_all(term, '.'), ' ')
+       |    || ' ' AS sym, count(*) AS freq
+       |  FROM toks GROUP BY term),
+       |$stages""".stripMargin.replace('\n', ' ')
+  }
+
+  /** DuckDB twin of [[bpeMerges]]: the merge rows unioned off the shared
+    * chain. */
+  def bpeMergesSql(k: Int = 6): String = {
+    val union = (1 to k)
+      .map(i => s"SELECT merge_rank, pair, merged, cnt FROM m$i")
+      .mkString(" UNION ALL ")
+    s"""WITH ${bpeCtesSql(k)}
+       |SELECT * FROM ($union) ORDER BY merge_rank"""
+      .stripMargin.replace('\n', ' ')
+  }
+
   /** The repetition top-gram share as a PURE per-row scalar expression —
     * no explode, no groupBy: every n-gram of a document lives in its own
     * row, so sort the gram array and fold it counting the longest equal

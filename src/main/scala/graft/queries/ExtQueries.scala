@@ -233,6 +233,18 @@ object ExtQueries {
       (s, dir) => TextOps.qualityFilter(docs(s, dir)).orderBy("doc_id"),
       Some(TextOps.qualityFilterSql())),
 
+    // BPE merge induction: k rounds of tokenizer TRAINING (most frequent
+    // pair -> merge everywhere -> recount), the learned merge table
+    Q("q_bpe_merges",
+      (s, dir) => TextOps.bpeMerges(docs(s, dir)),
+      Some(TextOps.bpeMergesSql())),
+
+    // BPE segmentation: every distinct word tokenized by the learned
+    // merges (the training round-trip a tokenizer ships)
+    Q("q_bpe_segment",
+      (s, dir) => TextOps.bpeSegment(docs(s, dir)).orderBy("term"),
+      Some(TextOps.bpeSegmentSql())),
+
     // vocabulary induction: top-V corpus words (tokenizer seed step)
     Q("q_vocab",
       (s, dir) => TextOps.vocab(docs(s, dir)),

@@ -434,6 +434,35 @@ class ExtSpec extends SparkSpec {
       "NULL payload must yield a null-fields row")
   }
 
+  test("bpeMerges: classic low/lower/lowest merges, freq weighting, overlap runs") {
+    import graft.ext.TextOps
+    // the Sennrich walkthrough: ties break on pair text ("l o" beats
+    // "o w" at equal count), then merges chain lo -> low -> lowe -> lower
+    val docs = docsDf((1L, "low lower lowest"))
+    val m = TextOps.bpeMerges(docs, k = 4).collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getString(2),
+        r.getLong(3)))).toMap
+    assert(m(1) === (("l o", "lo", 3L)))
+    assert(m(2) === (("lo w", "low", 3L)))
+    assert(m(3) === (("low e", "lowe", 2L)))
+    assert(m(4) === (("lowe r", "lower", 1L)))
+    // word FREQUENCY weights the counts: 3 copies of "ab" outvote one
+    // "cd cd" doc's internal pair
+    val weighted = TextOps.bpeMerges(
+      docsDf((1L, "ab ab ab"), (2L, "cd")), k = 1).collect()
+    assert(weighted.head.getString(1) === "a b" &&
+      weighted.head.getLong(3) === 3L)
+    // overlapping runs: greedy non-overlapping application — "ababab"
+    // holds 3 disjoint "a b" pairs (the two-pass replace must catch the
+    // middle one), so after merge 1 the word is "ab ab ab" and merge 2
+    // is "ab ab" with count 2
+    val runs = TextOps.bpeMerges(docsDf((1L, "ababab")), k = 2).collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(runs(1) === (("a b", 3L)))
+    assert(runs(2) === (("ab ab", 2L)),
+      "middle pair lost: two-pass replace not applied")
+  }
+
   test("tfidfCosine: identical docs score 1.0, hot terms don't create pairs") {
     import graft.ext.TextOps
     val docs = docsDf(
