@@ -355,6 +355,29 @@ object TextOps {
        | trim(sym) AS pieces
        |FROM w$k ORDER BY term""".stripMargin.replace('\n', ' ')
 
+  /** Per-document token count under the TRAINED tokenizer — the number a
+    * production pipeline actually budgets and packs by (whitespace counts
+    * are the bootstrap proxy; once merges exist, sequence lengths are
+    * measured in learned subword pieces). One broadcast join of the token
+    * stream against the vocab-sized segmentation table — the corpus
+    * aggregates per doc, nothing else shuffles. */
+  def bpeDocTokens(docs: DataFrame, k: Int = 6): DataFrame = {
+    val seg = bpeSegment(docs, k).select(col("term"), col("n_pieces"))
+    tokens(docs).join(broadcast(seg), "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_bpe_tokens"))
+  }
+
+  def bpeDocTokensSql(k: Int = 6): String =
+    s"""WITH ${bpeCtesSql(k)}
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       | CAST(sum(len(string_split(trim(w.sym), ' '))) AS BIGINT)
+       |  AS n_bpe_tokens
+       |FROM toks t JOIN w$k w USING (term)
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+      .replace('\n', ' ')
+
   /** Shared CTE chain of the BPE twins: w0 (char-split vocab) and k
     * (m_i winner, w_i rewrite) stages — each stage counts pairs,
     * LIMIT-1s the winner (same (cnt DESC, pair) order), and rewrites the

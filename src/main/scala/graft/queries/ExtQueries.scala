@@ -245,6 +245,12 @@ object ExtQueries {
       (s, dir) => TextOps.bpeSegment(docs(s, dir)).orderBy("term"),
       Some(TextOps.bpeSegmentSql())),
 
+    // per-doc token count under the TRAINED tokenizer (what budgets and
+    // packing measure once merges exist)
+    Q("q_bpe_doc_tokens",
+      (s, dir) => TextOps.bpeDocTokens(docs(s, dir)).orderBy("doc_id"),
+      Some(TextOps.bpeDocTokensSql())),
+
     // vocabulary induction: top-V corpus words (tokenizer seed step)
     Q("q_vocab",
       (s, dir) => TextOps.vocab(docs(s, dir)),

@@ -463,6 +463,22 @@ class ExtSpec extends SparkSpec {
       "middle pair lost: two-pass replace not applied")
   }
 
+  test("bpeDocTokens: piece counts shrink toward word counts as merges apply") {
+    import graft.ext.TextOps
+    val docs = docsDf((1L, "low lower"), (2L, "low low low"))
+    // k=2 learns "l o" then "lo w" (lo: 5 occurrences dominates) -> "low"
+    // is ONE piece, "lower" is low+e+r = 3 pieces
+    val out = TextOps.bpeDocTokens(docs, k = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((2L, 1L + 3L)), s"doc1 $out")   // low(1) lower(3)
+    assert(out(2L) === ((3L, 3L)))                      // low x3, 1 piece each
+    // with zero merges every word is its character count
+    val raw = TextOps.bpeDocTokens(docs, k = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(raw(1L) === ("lowlower".length.toLong))
+    assert(raw(2L) === 9L)
+  }
+
   test("tfidfCosine: identical docs score 1.0, hot terms don't create pairs") {
     import graft.ext.TextOps
     val docs = docsDf(
