@@ -128,6 +128,66 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("bpeMerges matches a scalar BPE trainer on random corpora") {
+    // scalar reference: word-freq map -> k rounds of (count adjacent
+    // symbol pairs weighted by freq, argmax with (count desc, pair asc)
+    // tiebreak, greedy non-overlapping left-to-right merge)
+    def scalarBpe(words: Map[String, Long], k: Int)
+        : Seq[(Int, String, String, Long)] = {
+      var vocab: Map[Vector[String], Long] =
+        words.map { case (w, f) => w.map(_.toString).toVector -> f }
+      (1 to k).flatMap { rank =>
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, f) =>
+          syms.sliding(2).filter(_.length == 2).foreach { p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+          }
+        }
+        if (counts.isEmpty) Seq.empty
+        else {
+          val ((a, b), cnt) = counts.toSeq
+            .minBy { case ((x, y), c) => (-c, x + " " + y) }
+          def mergeWord(syms: Vector[String]): Vector[String] = {
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                out += (a + b); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            out.result()
+          }
+          vocab = vocab.groupMapReduce { case (s, _) => mergeWord(s) } {
+            case (_, f) => f
+          }(_ + _)
+          Seq((rank, s"$a $b", a + b, cnt))
+        }
+      }
+    }
+    import spark.implicits._
+    val genCorpus: Gen[List[String]] = for {
+      n <- Gen.choose(3, 25)
+      ws <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 6)
+        cs <- Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+      } yield cs.mkString)
+    } yield ws
+    val corpora = (0 until 12).flatMap(i =>
+      genCorpus.apply(Gen.Parameters.default, Seed(100L + i)))
+    corpora.foreach { ws =>
+      val docs = Seq((1L, ws.mkString(" "))).toDF("doc_id", "text")
+      val freq = ws.groupMapReduce(identity)(_ => 1L)(_ + _)
+      val want = scalarBpe(freq, 4)
+      val k = want.length // corpus may exhaust before 4 merges
+      if (k > 0) {
+        val got = TextOps.bpeMerges(docs, k).collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+            r.getLong(3))).toSeq.sortBy(_._1)
+        assert(got === want.take(k), s"corpus: ${ws.mkString(" ")}")
+      }
+    }
+  }
+
   test("tokenCount == whitespace-split length on arbitrary text") {
     import spark.implicits._
     val texts = Seq("", "  ", "a", "a b  c", " lead", "trail ",

@@ -197,6 +197,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in ADC:\n$p")
   }
 
+  test("BPE doc-token join broadcasts the vocab-sized segmentation") {
+    val p = plan("q_bpe_doc_tokens")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"segmentation table not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in doc tokens:\n$p")
+  }
+
+  test("tfidf cosine joins on the term key — no pair materialization") {
+    val p = plan("q_tfidf_cosine")
+    assert(!p.contains("CartesianProduct"), s"cartesian in cosine:\n$p")
+    assert(p.contains("hashpartitioning(term") ||
+      p.contains("BroadcastHashJoin"),
+      s"pair join not keyed on term:\n$p")
+  }
+
   test("corpus stats aggregates with map-side partial combine") {
     val p = plan("q_corpus_stats")
     // two HashAggregates (partial + final) around one exchange on the
