@@ -383,6 +383,83 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
   }
 
+  /** SimHash near-dup pairs — the banded completion of [[simhash]]
+    * (mirroring how [[minhashNearDup]] completes the minhash
+    * signatures): the 16-bit hash splits into 4 nibble bands; pairs
+    * sharing ANY band value are candidates (a Hamming distance ≤
+    * `maxHamming` ≤ 3 guarantees at least one untouched band — the
+    * standard pigeonhole blocking), verified by exact popcount of the
+    * XOR. All-integer, fully deterministic.
+    *
+    * Scale shape: the self-join is an equi-join on (band, nibble) keys —
+    * never all-pairs; candidate multiplicity across bands dedups BEFORE
+    * the (cheap) popcount verify. Honest width caveat: a 16-bit simhash
+    * ([[simhash]]'s width) saturates by the birthday bound around 10³
+    * docs — the sf0.1 gate already yields ~1.5M pairs because the
+    * synthetic shared-vocab corpus clusters hard. At production scale
+    * the same pipeline runs a 64-bit hash with 4×16-bit bands: identical
+    * plan shape, collision rate 2⁻⁴⁸ lower; the gate pins the 16-bit
+    * form because it exercises band collisions densely in small data. */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 2): DataFrame = {
+    val s = simhash(docs).localCheckpoint(true)
+    val banded = s.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), 4 * b).bitwiseAND(lit(15L))
+            .as("v"))): _*)).as("bv"))
+      .select(col("doc_id"), col("simhash"),
+        col("bv.band").as("band"), col("bv.v").as("v"))
+    val a = banded.select(col("doc_id").as("doc_a"),
+      col("simhash").as("ha"), col("band"), col("v"))
+    val b = banded.select(col("doc_id").as("doc_b"),
+      col("simhash").as("hb"), col("band"), col("v"))
+    a.join(b, Seq("band", "v"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  def simhashNearDupSql(maxHamming: Int = 2): String = {
+    val bands = (0 until 4)
+      .map(b => s"SELECT doc_id, simhash, $b AS band, " +
+        s"(simhash // ${1 << (4 * b)}) % 16 AS v FROM s")
+      .mkString(" UNION ALL ")
+    s"""WITH s AS ($simhashSql),
+       |banded AS ($bands),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       | FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM cand
+       |WHERE hamming <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin.replace('\n', ' ')
+  }
+
+  /** Dedup-group SIZE distribution — the audit view of [[dedupGroups]]
+    * (how much of the corpus is duplicated, at what cluster sizes): one
+    * row per group size with the number of groups and documents at that
+    * size. Bounded output (≤ distinct sizes), one extra aggregation over
+    * the group table. */
+  def dedupGroupSizes(docs: DataFrame, pairs: DataFrame): DataFrame =
+    dedupGroups(docs, pairs)
+      .groupBy("group_id").agg(count(lit(1)).as("group_size"))
+      .groupBy("group_size").agg(count(lit(1)).as("n_groups"),
+        sum(col("group_size")).as("n_docs"))
+
+  def dedupGroupSizesSql(n: Int = 2, k: Int = 16, r: Int = 4,
+      threshold: Double = 0.2): String =
+    s"""SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups,
+       | CAST(sum(group_size) AS BIGINT) AS n_docs FROM (
+       | SELECT group_id, CAST(count(*) AS BIGINT) AS group_size
+       | FROM (${dedupGroupsSql(n, k, r, threshold)
+        .stripSuffix("ORDER BY d.doc_id")})
+       | GROUP BY group_id)
+       |GROUP BY group_size ORDER BY group_size""".stripMargin
+      .replace('\n', ' ')
+
   /** Document fingerprint: leading 60 bits of md5 as a bigint — portable
     * across engines (hex parse). */
   def fingerprint(docs: DataFrame): DataFrame =

@@ -78,6 +78,19 @@ object ExtQueries {
       (s, dir) => Dedup.simhash(docs(s, dir)).orderBy("doc_id"),
       Some(Dedup.simhashSql)),
 
+    // SimHash near-dup pairs (nibble-band blocking + exact popcount)
+    Q("q_simhash_neardup",
+      (s, dir) => Dedup.simhashNearDup(docs(s, dir))
+        .orderBy("doc_a", "doc_b"),
+      Some(Dedup.simhashNearDupSql())),
+
+    // dedup-group size histogram (the duplication audit view)
+    Q("q_dedup_sizes",
+      (s, dir) => Dedup.dedupGroupSizes(docs(s, dir),
+          Dedup.minhashNearDup(docs(s, dir)).select("doc_a", "doc_b"))
+        .orderBy("group_size"),
+      Some(Dedup.dedupGroupSizesSql())),
+
     // rolling document fingerprint (md5-60bit)
     Q("q_fingerprint",
       (s, dir) => Dedup.fingerprint(docs(s, dir)).orderBy("doc_id"),

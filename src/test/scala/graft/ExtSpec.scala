@@ -434,6 +434,31 @@ class ExtSpec extends SparkSpec {
       "NULL payload must yield a null-fields row")
   }
 
+  test("simhashNearDup: identical docs at hamming 0, band blocking finds near pairs") {
+    val docs = docsDf(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact dup -> hamming 0
+      (3L, "alpha beta gamma delta zeta"),    // near dup
+      (4L, "omega psi chi phi upsilon"))      // different vocab
+    val out = Dedup.simhashNearDup(docs, maxHamming = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    assert(out((1L, 2L)) === 0L, s"exact dup hamming: $out")
+    assert(out.get((1L, 3L)).exists(h => h > 0 && h <= 4),
+      s"near pair missing/too far: $out")
+    out.values.foreach(h => assert(h >= 0 && h <= 4))
+  }
+
+  test("dedupGroupSizes: histogram counts docs and groups per size") {
+    import spark.implicits._
+    val docs = docsDf((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dedupGroupSizes(docs, pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // one 3-group {1,2,3}, two singletons {4} {5}
+    assert(out === Map(3L -> ((1L, 3L)), 1L -> ((2L, 2L))))
+  }
+
   test("bpeMerges: classic low/lower/lowest merges, freq weighting, overlap runs") {
     import graft.ext.TextOps
     // the Sennrich walkthrough: ties break on pair text ("l o" beats
