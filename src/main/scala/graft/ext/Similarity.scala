@@ -523,6 +523,155 @@ object Similarity {
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
       .replace('\n', ' ')
 
+  /** Residual IVF-PQ (the full FAISS IVFPQ form): vectors are PQ-coded
+    * on their RESIDUAL against the assigned coarse cell (r = x − g),
+    * which is what makes small codebooks accurate — residuals
+    * concentrate near zero, so the same 16 entries cover them far
+    * tighter than raw vectors. The codebook is the residuals of the
+    * seed vectors (`vec_id < nCentroids`) against THEIR OWN cells (the
+    * deterministic-seed convention of [[ivfTopK]]/[[pqCodes]]). Queries
+    * probe `nProbe` cells and build a PER-PROBED-CELL lookup table
+    * (dq over the query's residual against that cell), so the ADC sum
+    * is cell-consistent. Same integer-quantization determinism contract
+    * as [[pqAdcTopK]].
+    *
+    * Scale shape: residuals are map-side `zip_with` arithmetic after a
+    * broadcast join to the (tiny) cell-centroid table; codes and LUT
+    * flow exactly as [[ivfAdcTopK]] — probe equi-join first, bounded
+    * fan-in aggregation, broadcast LUT. */
+  def ivfPqTopK(embeddings: DataFrame, subspaces: Int = 8,
+      nCentroids: Int = 16, nCells: Int = 8, nProbe: Int = 2,
+      nQueries: Int = 10, k: Int = 3): DataFrame = {
+    require(Dims % subspaces == 0, s"$subspaces must divide $Dims")
+    val sub = Dims / subspaces
+    val vecs = withNorms(embeddings)
+    val ccents = vecs.where(col("vec_id") < nCells)
+      .select(col("vec_id").as("ccid"), col("emb").as("g_emb"),
+        col("norm").as("g_norm"))
+    val csims = vecs.crossJoin(broadcast(ccents))
+      .select(col("vec_id"), col("ccid"),
+        (dotD(col("emb"), col("g_emb")) / (col("norm") * col("g_norm")))
+          .as("csim"))
+      .localCheckpoint(true)
+    val byCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("ccid"))
+    val ranked = csims.withColumn("rn", row_number().over(byCell))
+    val assigned = ranked.where(col("rn") === 1)
+      .select(col("vec_id"), col("ccid").as("cell"))
+    val probes = ranked
+      .where(col("rn") <= nProbe && col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("ccid").as("cell"))
+    // residual of every vector against its OWN cell (map-side zip_with
+    // after a broadcast join to the 8-row centroid table)
+    val res = vecs.join(assigned, "vec_id")
+      .join(broadcast(ccents.select(col("ccid").as("cell"),
+        col("g_emb"))), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("emb"), col("g_emb"), (x, g) => x - g).as("res"))
+      .localCheckpoint(true)
+    // codebook = residuals of the seed vectors (vs their own cells)
+    val cbook = res.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("res").as("c_res"))
+    def subDist(aCol: Column, bCol: Column, s: Int): Column = {
+      val as = slice(aCol, s * sub + 1, sub)
+      val bs = slice(bCol, s * sub + 1, sub)
+      dotD(as, as) - lit(2d) * dotD(as, bs) + dotD(bs, bs)
+    }
+    def sdStream(base: DataFrame, resCol: String): DataFrame = {
+      val sd = (0 until subspaces).map(s =>
+        struct(lit(s).as("s"),
+          subDist(col(resCol), col("c_res"), s).as("dist")))
+      base.crossJoin(broadcast(cbook))
+        .select(col("vec_id"), col("cell"), col("cid"),
+          explode(array(sd: _*)).as("sd"))
+        .select(col("vec_id"), col("cell"), col("cid"),
+          col("sd.s").as("s"), col("sd.dist").as("dist"))
+    }
+    // corpus codes: argmin codebook entry per (vector, subspace)
+    val codes = pqAssign(sdStream(res, "res"))
+      .select(col("vec_id"), col("s"), col("cid"))
+    // query LUT per PROBED cell: the query's residual against THAT cell
+    val qres = probes.join(vecs.select(col("vec_id").as("q_id"),
+        col("emb")), "q_id")
+      .join(broadcast(ccents.select(col("ccid").as("cell"),
+        col("g_emb"))), "cell")
+      .select(col("q_id").as("vec_id"), col("cell"),
+        zip_with(col("emb"), col("g_emb"), (x, g) => x - g).as("res"))
+    val lut = sdStream(qres, "res")
+      .select(col("vec_id").as("q_id"), col("cell"), col("cid"),
+        col("s"), floor(col("dist") * lit(1e9)).cast("long").as("dq"))
+    val adc = probes.join(assigned.withColumnRenamed("vec_id", "c_vec"),
+        "cell")
+      .where(col("c_vec") =!= col("q_id"))
+      .join(codes.withColumnRenamed("vec_id", "c_vec"), "c_vec")
+      .join(broadcast(lut), Seq("q_id", "cell", "s", "cid"))
+      .groupBy(col("q_id"), col("c_vec").as("vec_id"))
+      .agg(sum(col("dq")).as("adc_q"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_q"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "adc_q")
+  }
+
+  def ivfPqTopKSql(subspaces: Int = 8, nCentroids: Int = 16,
+      nCells: Int = 8, nProbe: Int = 2, nQueries: Int = 10,
+      k: Int = 3): String = {
+    val sub = Dims / subspaces
+    def chain(a: String, b: String, s: Int): String =
+      (1 to sub).map(i => s"$a.res[${s * sub + i}] * $b.res[${s * sub + i}]")
+        .mkString(" + ")
+    def sdBranches(rel: String): String = (0 until subspaces).map { s =>
+      s"""SELECT v.vec_id, v.cell, c.cid, $s AS s,
+         | (${chain("v", "v", s)}) - 2e0 * (${chain("v", "c", s)})
+         |  + (${chain("c", "c", s)}) AS dist
+         | FROM $rel v CROSS JOIN cbook c""".stripMargin
+        .replace('\n', ' ')
+    }.mkString(" UNION ALL ")
+    s"""WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |ccents AS (SELECT vec_id AS ccid, emb FROM vecs WHERE vec_id < $nCells),
+       |csims AS (SELECT a.vec_id, c.ccid,
+       |  (${dotSql("a", "c")}) / (${normSql("a")} * ${normSql("c")}) AS csim
+       | FROM vecs a CROSS JOIN ccents c),
+       |cranked AS (SELECT vec_id, ccid, row_number() OVER (
+       |   PARTITION BY vec_id ORDER BY csim DESC, ccid) AS rn FROM csims),
+       |assignedcell AS (SELECT vec_id, ccid AS cell FROM cranked WHERE rn = 1),
+       |probes AS (SELECT vec_id AS q_id, ccid AS cell FROM cranked
+       |  WHERE rn <= $nProbe AND vec_id < $nQueries),
+       |res AS (SELECT v.vec_id, a.cell,
+       |  list_transform(range(1, ${Dims + 1}),
+       |    i -> v.emb[i] - g.emb[i]) AS res
+       | FROM vecs v JOIN assignedcell a ON a.vec_id = v.vec_id
+       | JOIN ccents g ON g.ccid = a.cell),
+       |cbook AS (SELECT vec_id AS cid, res FROM res
+       |  WHERE vec_id < $nCentroids),
+       |cdists AS (${sdBranches("res")}),
+       |codes AS (SELECT vec_id, s, cid FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id, s ORDER BY dist, cid) AS rn FROM cdists)
+       | WHERE rn = 1),
+       |qres AS (SELECT p.q_id AS vec_id, p.cell,
+       |  list_transform(range(1, ${Dims + 1}),
+       |    i -> v.emb[i] - g.emb[i]) AS res
+       | FROM probes p JOIN vecs v ON v.vec_id = p.q_id
+       | JOIN ccents g ON g.ccid = p.cell),
+       |lut AS (SELECT vec_id AS q_id, cell, cid, s,
+       |  CAST(floor(dist * 1e9) AS BIGINT) AS dq
+       | FROM (${sdBranches("qres")})),
+       |adc AS (SELECT p.q_id, ac.vec_id, CAST(sum(l.dq) AS BIGINT) AS adc_q
+       | FROM probes p
+       | JOIN assignedcell ac ON ac.cell = p.cell AND ac.vec_id <> p.q_id
+       | JOIN codes cd ON cd.vec_id = ac.vec_id
+       | JOIN lut l ON l.q_id = p.q_id AND l.cell = p.cell
+       |  AND l.s = cd.s AND l.cid = cd.cid
+       | GROUP BY 1, 2)
+       |SELECT q_id, rank, vec_id, adc_q FROM (
+       | SELECT *, row_number() OVER (
+       |   PARTITION BY q_id ORDER BY adc_q, vec_id) AS rank FROM adc)
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+      .replace('\n', ' ')
+  }
+
   /** Shared CTE prefix of the PQ twins: vecs, cents, the per-(vector,
     * centroid, subspace) distance stream, and the argmin assignment. */
   private def pqCtesSql(subspaces: Int, nCentroids: Int): String = {

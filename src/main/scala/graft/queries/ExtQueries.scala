@@ -159,6 +159,13 @@ object ExtQueries {
         .orderBy("q_id", "rank"),
       Some(Similarity.ivfAdcTopKSql())),
 
+    // residual IVF-PQ (full FAISS IVFPQ: codes on cell residuals,
+    // per-probed-cell query LUTs)
+    Q("q_ivfpq_topk",
+      (s, dir) => Similarity.ivfPqTopK(embs(s, dir))
+        .orderBy("q_id", "rank"),
+      Some(Similarity.ivfPqTopKSql())),
+
     // LSH bucket assignment (scale path for ANN; planes = planesFor(n) so
     // bucket count tracks corpus size — 4 planes at n=500, 5 at n=2000)
     Q("q_ann_lsh_buckets",

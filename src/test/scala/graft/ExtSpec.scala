@@ -582,6 +582,32 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK: exact copies retrieved first under residual coding") {
+    // copies share cell, residual, and therefore code with their twin
+    // query — the per-cell LUT entry at the query's own code is the
+    // per-subspace minimum, so the copy must rank first
+    val base = (0L until 16L).map(i =>
+      i -> Seq.tabulate(64)(d => math.cos(i * 13 + d).toFloat))
+    val copies = (0L until 4L).map(i =>
+      (16L + i) -> Seq.tabulate(64)(d => math.cos(i * 13 + d).toFloat))
+    val noise = (20L until 32L).map(i =>
+      i -> Seq.tabulate(64)(d => math.sin(i * 29 + d).toFloat))
+    val embs = embsDf((base ++ copies ++ noise): _*)
+    val top = Similarity.ivfPqTopK(embs, nCells = 4, nProbe = 4,
+      nQueries = 4, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0L until 4L).foreach { q =>
+      assert(top(q) === 16L + q,
+        s"query $q should retrieve its exact copy, got ${top(q)}")
+    }
+    // restricted probing: ranks stay contiguous per query
+    val restricted = Similarity.ivfPqTopK(embs, nCells = 4, nProbe = 2,
+      nQueries = 4, k = 3).collect()
+    restricted.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq === (1 to rs.length))
+    }
+  }
+
   test("ivfAdcTopK: subset of full-corpus ADC; exhaustive probing recovers it") {
     val embs = embsDf((0L until 40L).map(i =>
       i -> Seq.tabulate(64)(d => math.cos(i * 13 + d).toFloat)): _*)
