@@ -523,6 +523,44 @@ object Similarity {
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
       .replace('\n', ' ')
 
+  /** In-engine ANN recall audit — the quality-monitoring query a
+    * production vector pipeline runs continuously: recall@1 of the
+    * multi-probe LSH path against brute-force ground truth on a query
+    * SAMPLE (ground truth is O(sample·n) exact dots — affordable as an
+    * audit, never as the serving path). Output is one row:
+    * (n_queries, hits, recall). Integer hit counts, one final division —
+    * deterministic. */
+  def annRecall(embeddings: DataFrame, planes: Int = 4,
+      nQueries: Int = 100): DataFrame = {
+    val truth = bruteTopK(withNorms(embeddings), nQueries, 1,
+      excludeSameLabel = false)
+      .select(col("q_id"), col("vec_id").as("true_nn"))
+    val approx = lshNearest(embeddings, planes)
+      .where(col("q_id") < nQueries)
+      .select(col("q_id"), col("vec_id").as("ann_nn"))
+    truth.join(approx, Seq("q_id"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("ann_nn") === col("true_nn"), 1L).otherwise(0L))
+          .as("hits"))
+      .select(col("n_queries"), col("hits"),
+        (col("hits").cast("double") / col("n_queries").cast("double"))
+          .as("recall"))
+  }
+
+  def annRecallSql(planes: Int = 4, nQueries: Int = 100): String =
+    s"""WITH truth AS (
+       | SELECT q_id, vec_id AS true_nn FROM (${bruteTopKSql(nQueries, 1)
+        .stripSuffix("ORDER BY q_id, rank")})),
+       |approx AS (SELECT q_id, vec_id AS ann_nn FROM (${lshNearestSql(planes)
+        .stripSuffix("ORDER BY q_id")}) WHERE q_id < $nQueries)
+       |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       | CAST(sum(CASE WHEN a.ann_nn = t.true_nn THEN 1 ELSE 0 END) AS BIGINT)
+       |  AS hits,
+       | CAST(sum(CASE WHEN a.ann_nn = t.true_nn THEN 1 ELSE 0 END) AS DOUBLE)
+       |  / count(*) AS recall
+       |FROM truth t LEFT JOIN approx a USING (q_id)""".stripMargin
+      .replace('\n', ' ')
+
   /** Residual IVF-PQ (the full FAISS IVFPQ form): vectors are PQ-coded
     * on their RESIDUAL against the assigned coarse cell (r = x − g),
     * which is what makes small codebooks accurate — residuals

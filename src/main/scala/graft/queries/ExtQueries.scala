@@ -181,6 +181,13 @@ object ExtQueries {
       Some(Similarity.lshNearestSql(
         Similarity.planesFor(oracleEmbCount)))),
 
+    // in-engine ANN recall audit: LSH vs brute ground truth on a sample
+    Q("q_ann_recall",
+      (s, dir) => Similarity.annRecall(embs(s, dir),
+        Similarity.planesFor(embCount(dir))),
+      Some(Similarity.annRecallSql(
+        Similarity.planesFor(oracleEmbCount)))),
+
     // multi-probe LSH nearest: own + every Hamming-1 bucket (recall lever)
     Q("q_ann_lsh_multiprobe",
       (s, dir) => Similarity.lshNearestMultiProbe(embs(s, dir),
