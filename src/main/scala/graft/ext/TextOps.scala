@@ -244,6 +244,45 @@ object TextOps {
       |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
       .replace('\n', ' ')
 
+  /** Character-distribution entropy per document —
+    * `H = −Σ (c_i/n)·ln(c_i/n)` over the doc's character counts: the
+    * cheap gibberish/encoding-junk detector (natural text sits in a
+    * narrow entropy band; base64 blobs, binary spills, and
+    * single-char spam fall far outside it). Restated as
+    * `−(Σ c_i·lnQ(c_i/n)) / 1e12 / n` so each ln is quantized ONCE per
+    * distinct character (the lnQ portability contract) and the weighted
+    * sum is exact integer arithmetic — deterministic at any
+    * accumulation order. The per-doc window is bounded by the alphabet,
+    * not the corpus. */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val counts = docs.select(col("doc_id"),
+      explode(regexp_extract_all(col("text"), lit("."), lit(0))).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    counts.withColumn("n", sum(col("c")).over(w))
+      .select(col("doc_id"), col("n"),
+        (col("c") * floor(log(col("c").cast("double") /
+          col("n").cast("double")) * 1e12).cast("long")).as("t"))
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("n_chars"),
+        sum(col("t").cast("decimal(38,0)")).cast("double").as("_s"))
+      .select(col("doc_id"), col("n_chars"),
+        (-col("_s") / 1e12 / col("n_chars").cast("double")).as("entropy"))
+  }
+
+  val charEntropySql: String =
+    """WITH counts AS (SELECT doc_id, ch, count(*) AS c FROM (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+      |  FROM documents) GROUP BY 1, 2),
+      |wn AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n
+      | FROM counts)
+      |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+      | -CAST(sum(CAST(c * CAST(floor(ln(CAST(c AS DOUBLE)
+      |     / CAST(n AS DOUBLE)) * 1e12) AS BIGINT) AS HUGEINT)) AS DOUBLE)
+      |  / 1e12 / CAST(max(n) AS DOUBLE) AS entropy
+      |FROM wn GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      .replace('\n', ' ')
+
   /** Vocabulary induction: the top-`size` corpus words by frequency with
     * their counts — the seed step of tokenizer training (word-level vocab,
     * or the pre-merge alphabet statistics for BPE). Deterministic

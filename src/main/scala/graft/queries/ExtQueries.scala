@@ -288,6 +288,11 @@ object ExtQueries {
       (s, dir) => TextOps.unigramLogProb(docs(s, dir)).orderBy("doc_id"),
       Some(TextOps.unigramLogProbSql)),
 
+    // character-distribution entropy (gibberish / encoding-junk signal)
+    Q("q_char_entropy",
+      (s, dir) => TextOps.charEntropy(docs(s, dir)).orderBy("doc_id"),
+      Some(TextOps.charEntropySql)),
+
     // language id heuristic
     Q("q_langid",
       (s, dir) => TextOps.langId(docs(s, dir)).orderBy("doc_id"),

@@ -434,6 +434,20 @@ class ExtSpec extends SparkSpec {
       "NULL payload must yield a null-fields row")
   }
 
+  test("charEntropy: zero for single-char text, ln(k) for uniform k-char text") {
+    import graft.ext.TextOps
+    val docs = docsDf(
+      (1L, "aaaaaaaa"),          // one symbol -> H = 0
+      (2L, "abcdabcd"),          // uniform over 4 -> H = ln 4
+      (3L, "aab"))               // (2/3)ln(3/2) + (1/3)ln 3
+    val out = TextOps.charEntropy(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 === 8L && out(1L)._2 === 0.0)
+    assert(math.abs(out(2L)._2 - math.log(4)) < 1e-9)
+    val h3 = 2.0 / 3 * math.log(3.0 / 2) + 1.0 / 3 * math.log(3)
+    assert(math.abs(out(3L)._2 - h3) < 1e-9)
+  }
+
   test("simhashNearDup: identical docs at hamming 0, band blocking finds near pairs") {
     val docs = docsDf(
       (1L, "alpha beta gamma delta epsilon"),
