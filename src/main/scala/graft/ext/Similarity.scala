@@ -523,6 +523,125 @@ object Similarity {
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
       .replace('\n', ' ')
 
+  /** Deterministic distributed k-means (Lloyd) — the TRAINED coarse
+    * quantizer the IVF/PQ family is parameterized to accept: `iters`
+    * rounds of (assign every vector to its nearest centroid by L2,
+    * centroid-id tiebreak) → (recompute each centroid as the mean of its
+    * members). The novelty needed for an oracle gate: centroid
+    * recomputation accumulates INTEGER-QUANTIZED elements
+    * (`Σ floor(x_d·1e6)`, exact at any accumulation order) and divides
+    * once — so the trained centroids are bit-identical across engines,
+    * partitionings, and cluster sizes, which float k-means never is.
+    * Init = the member seed vectors `vec_id < k`; a seed always assigns
+    * to itself (self-distance 0), so clusters are never empty and no
+    * empty-cluster repair branch exists to diverge.
+    *
+    * Scale shape per round: assignment is a broadcast of k centroids
+    * against a map-side corpus scan (argmin over a k-row explode); the
+    * recomputation explodes dims (corpus × 64 small rows) and aggregates
+    * on (cid, dim) keys — bounded fan-in, map-side partial sums; the
+    * driver loop holds k×64 doubles, never data. */
+  def kmeansCentroids(embeddings: DataFrame, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val vecs = withNorms(embeddings).select(col("vec_id"), col("emb"))
+      .localCheckpoint(true)
+    var cents = vecs.where(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val dists = vecs.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          (dotD(col("emb"), col("emb"))
+            - lit(2d) * dotD(col("emb"), col("cemb"))
+            + dotD(col("cemb"), col("cemb"))).as("dist"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist"), col("cid"))
+      val assigned = dists.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).select(col("vec_id"), col("cid"))
+      val means = vecs.join(assigned, "vec_id")
+        .select(col("cid"), posexplode(col("emb")).as(Seq("d", "x")))
+        .groupBy("cid", "d")
+        .agg(sum(floor(col("x") * lit(1e6)).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("cid"), col("d"),
+          (col("s").cast("double") / col("n") / lit(1e6)).as("m"))
+      cents = means.groupBy("cid")
+        .agg(sort_array(collect_list(struct(col("d"), col("m"))))
+          .as("dm"))
+        .select(col("cid"),
+          transform(col("dm"), e => e.getField("m")).as("cemb"))
+        .localCheckpoint(true)
+    }
+    // gate-friendly integer summaries (array columns don't diff cleanly)
+    val members = {
+      val dists = vecs.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          (dotD(col("emb"), col("emb"))
+            - lit(2d) * dotD(col("emb"), col("cemb"))
+            + dotD(col("cemb"), col("cemb"))).as("dist"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist"), col("cid"))
+      dists.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .groupBy("cid").agg(count(lit(1)).as("n_members"))
+    }
+    cents
+      .select(col("cid"),
+        aggregate(transform(col("cemb"), x => floor(x * lit(1e6))),
+          lit(0d), (a, x) => a + x).cast("long").as("csum_q"),
+        aggregate(transform(col("cemb"), x => abs(floor(x * lit(1e6)))),
+          lit(0d), (a, x) => a + x).cast("long").as("cl1_q"))
+      .join(members, "cid")
+  }
+
+  /** DuckDB twin of [[kmeansCentroids]]: `iters` chained (assignment,
+    * quantized-mean) CTE stages — the same generated-stage pattern as
+    * the BPE twins. */
+  def kmeansCentroidsSql(k: Int = 8, iters: Int = 2): String = {
+    // L2 dist spelled as the SAME ((x·x) − 2·(x·c)) + (c·c) chain shape
+    // the Spark side evaluates
+    def distChain(vRel: String, cRel: String): String = {
+      def ch(a: String, ac: String, b: String, bc: String): String =
+        (1 to Dims).map(i => s"$a.$ac[$i] * $b.$bc[$i]").mkString(" + ")
+      s"(${ch(vRel, "emb", vRel, "emb")}) " +
+        s"- 2e0 * (${ch(vRel, "emb", cRel, "cemb")}) " +
+        s"+ (${ch(cRel, "cemb", cRel, "cemb")})"
+    }
+    def assignSql(name: String, centsRel: String): String =
+      s"""$name AS (SELECT vec_id, cid FROM (
+         |  SELECT v.vec_id, c.cid, row_number() OVER (
+         |    PARTITION BY v.vec_id
+         |    ORDER BY ${distChain("v", "c")}, c.cid) AS rn
+         |  FROM vecs v CROSS JOIN $centsRel c)
+         | WHERE rn = 1)""".stripMargin.replace('\n', ' ')
+    val stages = (1 to iters).map { i =>
+      s"""${assignSql(s"a$i", s"c${i - 1}")},
+         |e$i AS (SELECT a.cid,
+         |  generate_subscripts(v.emb, 1) AS d, unnest(v.emb) AS x
+         | FROM vecs v JOIN a$i a USING (vec_id)),
+         |c$i AS (SELECT cid, list(m ORDER BY d) AS cemb FROM (
+         |  SELECT cid, d,
+         |   CAST(sum(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE)
+         |     / count(*) / 1e6 AS m
+         |  FROM e$i GROUP BY cid, d)
+         | GROUP BY cid)""".stripMargin.replace('\n', ' ')
+    }.mkString(", ")
+    s"""WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, emb AS cemb FROM vecs WHERE vec_id < $k),
+       |$stages,
+       |${assignSql("fin", s"c$iters")},
+       |members AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members
+       | FROM fin GROUP BY cid)
+       |SELECT c.cid,
+       | CAST(list_sum(list_transform(c.cemb,
+       |   x -> floor(x * 1e6))) AS BIGINT) AS csum_q,
+       | CAST(list_sum(list_transform(c.cemb,
+       |   x -> abs(floor(x * 1e6)))) AS BIGINT) AS cl1_q,
+       | m.n_members
+       |FROM c$iters c JOIN members m USING (cid)
+       |ORDER BY c.cid""".stripMargin.replace('\n', ' ')
+  }
+
   /** In-engine ANN recall audit — the quality-monitoring query a
     * production vector pipeline runs continuously: recall@1 of the
     * multi-probe LSH path against brute-force ground truth on a query
@@ -562,12 +681,16 @@ object Similarity {
       .replace('\n', ' ')
 
   /** Residual IVF-PQ (the full FAISS IVFPQ form): vectors are PQ-coded
-    * on their RESIDUAL against the assigned coarse cell (r = x − g),
-    * which is what makes small codebooks accurate — residuals
-    * concentrate near zero, so the same 16 entries cover them far
-    * tighter than raw vectors. The codebook is the residuals of the
-    * seed vectors (`vec_id < nCentroids`) against THEIR OWN cells (the
-    * deterministic-seed convention of [[ivfTopK]]/[[pqCodes]]). Queries
+    * on their RESIDUAL against the assigned coarse cell (r = x − g) —
+    * with TRAINED quantizers this is what makes small codebooks
+    * accurate (residuals concentrate near zero). The gate here uses the
+    * deterministic-seed convention of [[ivfTopK]]/[[pqCodes]] (codebook
+    * = residuals of `vec_id < nCentroids` against their own cells), so
+    * it certifies the plan shape and bit-exactness, NOT tuned recall:
+    * ExtSpec measures the quality trade explicitly, and with untrained
+    * seed quantizers residual coding shows no benefit — training the
+    * coarse centroids (see [[kmeansCentroids]]) is where the
+    * concentration benefit comes from. Queries
     * probe `nProbe` cells and build a PER-PROBED-CELL lookup table
     * (dq over the query's residual against that cell), so the ADC sum
     * is cell-consistent. Same integer-quantization determinism contract

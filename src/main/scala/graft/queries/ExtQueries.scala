@@ -181,6 +181,13 @@ object ExtQueries {
       Some(Similarity.lshNearestSql(
         Similarity.planesFor(oracleEmbCount)))),
 
+    // deterministic k-means training (integer-quantized Lloyd means —
+    // the trained coarse quantizer, bit-exact across engines)
+    Q("q_kmeans",
+      (s, dir) => Similarity.kmeansCentroids(embs(s, dir))
+        .orderBy("cid"),
+      Some(Similarity.kmeansCentroidsSql())),
+
     // in-engine ANN recall audit: LSH vs brute ground truth on a sample
     Q("q_ann_recall",
       (s, dir) => Similarity.annRecall(embs(s, dir),

@@ -237,6 +237,54 @@ class ExtSpec extends SparkSpec {
     info(s"recall >= $target first reached at nProbe=${found.get._1}/$cents")
   }
 
+  test("compressed-domain recall: ADC and residual IVF-PQ measured vs L2 truth (sf0.1)") {
+    // quantified quality evidence for the compressed paths: PQ codes are
+    // a LOSSY compression (64 dims -> 8 nibbles), so recall is the trade
+    // being bought — measure it against the metric the codes APPROXIMATE
+    // (L2 on raw vectors; cosine truth would conflate metric mismatch
+    // with quantization loss on these unnormalized embeddings).
+    val embs = Tables.table(spark, sf("sf0.1"), "embeddings")
+    val nQ = 200
+    val all = embs.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray
+    }
+    val byId = all.toMap
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val truth = (0L until nQ.toLong).map { q =>
+      val qv = byId(q)
+      q -> all.filter(_._1 != q)
+        .minBy { case (id, v) => (l2(qv, v), id) }._1
+    }.toMap
+    def recallOf(m: Map[Long, Long]): Double =
+      truth.count { case (q, v) => m.get(q).contains(v) }.toDouble / nQ
+    val adc = Similarity.pqAdcTopK(embs, nQueries = nQ, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val rAdc = recallOf(adc)
+    val cells = 8
+    val ivfpq = Similarity.ivfPqTopK(embs, nCells = cells, nProbe = cells,
+      nQueries = nQ, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val rIvfpq = recallOf(ivfpq)
+    info(f"recall@1 vs L2 truth: full-corpus ADC $rAdc%.3f, " +
+      f"residual IVF-PQ (exhaustive cells) $rIvfpq%.3f")
+    // MEASURED finding (sf0.1): ~0.03 and ~0.01 — far above the 1/2000
+    // chance floor but low in absolute terms, and residual coding buys
+    // NOTHING here: with UNTRAINED quantizers (deterministic seed
+    // vectors as centroids/codebooks — the oracle-gate convention)
+    // residuals are not centered and the codebook is arbitrary, so the
+    // concentration benefit never materializes. The oracle gates
+    // therefore certify the PLAN SHAPE and bit-exactness of the
+    // compressed paths; tuned quality needs trained quantizers
+    // (deterministic k-means exists as Similarity.kmeansCentroids).
+    // Floors only guard collapse-to-noise.
+    assert(rAdc > 0.005 && rIvfpq > 0.005,
+      f"compressed recall collapsed to noise: adc=$rAdc%.3f ivfpq=$rIvfpq%.3f")
+  }
+
   test("registry wires scaled ANN params: oracle SQL tracks oracleSfDir corpus size") {
     // planesFor/centroidsFor must actually reach the gates (VERDICT r4 #3):
     // the generated oracle SQL's SHAPE changes with the corpus the
@@ -546,6 +594,40 @@ class ExtSpec extends SparkSpec {
       .toMap
     assert(math.abs(sym((1L, 2L)) - 1.0) < 1e-9)
     assert(sym((1L, 3L)) > 0.1 && sym((1L, 3L)) < 1.0)
+  }
+
+  test("kmeansCentroids: planted two-pole clustering, self-centroids at k=n") {
+    // two tight poles: 12 vectors near +cos pattern, 8 near -cos pattern;
+    // k=2 with member-seeded init must separate them exactly
+    def near(pole: Int, j: Int): Seq[Float] =
+      Seq.tabulate(64)(d => (pole * math.cos(d + 1) +
+        0.01 * math.sin(j * 31 + d)).toFloat)
+    val a = (0L until 12L).map(i => i -> near(1, i.toInt))
+    val b = (12L until 20L).map(i => i -> near(-1, i.toInt))
+    // ids 0 and 1 are both pole-A seeds; re-id so seeds span both poles:
+    // seed 0 = pole A, seed 1 = pole B
+    val embs = embsDf((Seq(0L -> near(1, 0), 1L -> near(-1, 99)) ++
+      a.drop(2) ++ b): _*)
+    val out = Similarity.kmeansCentroids(embs, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out === Map(0L -> 11L, 1L -> 9L), s"cluster sizes: $out")
+    // k = n, one iteration: every vector is its own centroid, so the
+    // quantized centroid sum equals the vector's own quantized sum
+    val tiny = embsDf((0L until 4L).map(i =>
+      i -> Seq.tabulate(64)(d => math.sin(i * 7 + d).toFloat)): _*)
+    val self = Similarity.kmeansCentroids(tiny, k = 4, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    self.foreach { case (cid, csum, n) =>
+      // mirror the operator's quantized-mean roundtrip exactly:
+      // m = floor(x·1e6)/n/1e6 (n=1), summary = Σ floor(m·1e6)
+      val want = Seq.tabulate(64) { d =>
+        val x = math.sin(cid * 7 + d).toFloat.toDouble
+        val m = math.floor(x * 1e6).toLong.toDouble / 1 / 1e6
+        math.floor(m * 1e6).toLong
+      }.sum
+      assert(n === 1L)
+      assert(csum === want, s"centroid $cid not its own vector")
+    }
   }
 
   test("pqCodes: codes in range, deterministic, reconstruct seed vectors exactly") {
