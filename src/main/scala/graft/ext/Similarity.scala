@@ -541,23 +541,33 @@ object Similarity {
     * recomputation explodes dims (corpus × 64 small rows) and aggregates
     * on (cid, dim) keys — bounded fan-in, map-side partial sums; the
     * driver loop holds k×64 doubles, never data. */
-  def kmeansCentroids(embeddings: DataFrame, k: Int = 8,
-      iters: Int = 2): DataFrame = {
+  /** L2 distance to a centroid column through the shared chain shape. */
+  private def l2ToCent(emb: Column, cemb: Column): Column =
+    dotD(emb, emb) - lit(2d) * dotD(emb, cemb) + dotD(cemb, cemb)
+
+  /** Nearest-centroid ranking (vec_id, cid, rn) — rn=1 is the
+    * assignment, rn ≤ p the probe set. */
+  private def centRank(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cid"))
+    vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        l2ToCent(col("emb"), col("cemb")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+  }
+
+  /** The Lloyd loop of [[kmeansCentroids]], returning the trained
+    * (cid, cemb) table for composition ([[ivfTrainedTopK]]). */
+  private def kmeansLoop(embeddings: DataFrame, k: Int,
+      iters: Int): (DataFrame, DataFrame) = {
     val vecs = withNorms(embeddings).select(col("vec_id"), col("emb"))
       .localCheckpoint(true)
     var cents = vecs.where(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val dists = vecs.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cid"),
-          (dotD(col("emb"), col("emb"))
-            - lit(2d) * dotD(col("emb"), col("cemb"))
-            + dotD(col("cemb"), col("cemb"))).as("dist"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("dist"), col("cid"))
-      val assigned = dists.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1).select(col("vec_id"), col("cid"))
+      val assigned = centRank(vecs, cents).where(col("rn") === 1)
+        .select(col("vec_id"), col("cid"))
       val means = vecs.join(assigned, "vec_id")
         .select(col("cid"), posexplode(col("emb")).as(Seq("d", "x")))
         .groupBy("cid", "d")
@@ -572,19 +582,15 @@ object Similarity {
           transform(col("dm"), e => e.getField("m")).as("cemb"))
         .localCheckpoint(true)
     }
+    (vecs, cents)
+  }
+
+  def kmeansCentroids(embeddings: DataFrame, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val (vecs, cents) = kmeansLoop(embeddings, k, iters)
     // gate-friendly integer summaries (array columns don't diff cleanly)
-    val members = {
-      val dists = vecs.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cid"),
-          (dotD(col("emb"), col("emb"))
-            - lit(2d) * dotD(col("emb"), col("cemb"))
-            + dotD(col("cemb"), col("cemb"))).as("dist"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("dist"), col("cid"))
-      dists.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .groupBy("cid").agg(count(lit(1)).as("n_members"))
-    }
+    val members = centRank(vecs, cents).where(col("rn") === 1)
+      .groupBy("cid").agg(count(lit(1)).as("n_members"))
     cents
       .select(col("cid"),
         aggregate(transform(col("cemb"), x => floor(x * lit(1e6))),
@@ -594,44 +600,90 @@ object Similarity {
       .join(members, "cid")
   }
 
+  /** IVF search over TRAINED cells — [[ivfTopK]]'s serving shape with
+    * [[kmeansCentroids]]'s quantizer instead of raw seed members: cells
+    * are the (bit-exact) Lloyd means, assignment and probing are L2 (the
+    * metric the training minimized), ranking within the probed inverted
+    * lists is exact L2 on raw vectors. The structural close of the
+    * quality loop: train → index → search, all oracle-gated. */
+  def ivfTrainedTopK(embeddings: DataFrame, kCells: Int = 8,
+      iters: Int = 2, nProbe: Int = 2, nQueries: Int = 10,
+      k: Int = 3): DataFrame = {
+    val (vecs, cents) = kmeansLoop(embeddings, kCells, iters)
+    val ranked = centRank(vecs, cents).localCheckpoint(true)
+    val assigned = ranked.where(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val probes = ranked
+      .where(col("rn") <= nProbe && col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("cid").as("cell"))
+    val q = vecs.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val pairs = probes.join(q, "q_id")
+      .join(assigned.join(vecs, "vec_id"), "cell")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dotD(col("q_emb"), col("q_emb"))
+          - lit(2d) * dotD(col("q_emb"), col("emb"))
+          + dotD(col("emb"), col("emb"))).as("dist"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist"), col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "dist")
+  }
+
   /** DuckDB twin of [[kmeansCentroids]]: `iters` chained (assignment,
     * quantized-mean) CTE stages — the same generated-stage pattern as
     * the BPE twins. */
-  def kmeansCentroidsSql(k: Int = 8, iters: Int = 2): String = {
-    // L2 dist spelled as the SAME ((x·x) − 2·(x·c)) + (c·c) chain shape
-    // the Spark side evaluates
-    def distChain(vRel: String, cRel: String): String = {
-      def ch(a: String, ac: String, b: String, bc: String): String =
-        (1 to Dims).map(i => s"$a.$ac[$i] * $b.$bc[$i]").mkString(" + ")
-      s"(${ch(vRel, "emb", vRel, "emb")}) " +
-        s"- 2e0 * (${ch(vRel, "emb", cRel, "cemb")}) " +
-        s"+ (${ch(cRel, "cemb", cRel, "cemb")})"
-    }
+  // L2 dist spelled as the SAME ((x·x) − 2·(x·c)) + (c·c) chain shape
+  // the Spark side evaluates; column names parameterized so the chain
+  // serves both centroid ("cemb") and raw-vector ("emb") relations
+  private def l2ChainSql(vRel: String, vCol: String, cRel: String,
+      cCol: String): String = {
+    def ch(a: String, ac: String, b: String, bc: String): String =
+      (1 to Dims).map(i => s"$a.$ac[$i] * $b.$bc[$i]").mkString(" + ")
+    s"(${ch(vRel, vCol, vRel, vCol)}) " +
+      s"- 2e0 * (${ch(vRel, vCol, cRel, cCol)}) " +
+      s"+ (${ch(cRel, cCol, cRel, cCol)})"
+  }
+
+  /** Shared Lloyd CTE chain: vecs, c0 (seed init), and the per-round
+    * assignment/quantized-mean stages ending at `c<iters>`, plus
+    * `ranked` (nearest-centroid rank vs the trained table). */
+  private def kmeansCtesSql(k: Int, iters: Int): String = {
     def assignSql(name: String, centsRel: String): String =
-      s"""$name AS (SELECT vec_id, cid FROM (
+      s"""$name AS MATERIALIZED (SELECT vec_id, cid FROM (
          |  SELECT v.vec_id, c.cid, row_number() OVER (
          |    PARTITION BY v.vec_id
-         |    ORDER BY ${distChain("v", "c")}, c.cid) AS rn
+         |    ORDER BY ${l2ChainSql("v", "emb", "c", "cemb")}, c.cid) AS rn
          |  FROM vecs v CROSS JOIN $centsRel c)
          | WHERE rn = 1)""".stripMargin.replace('\n', ' ')
     val stages = (1 to iters).map { i =>
       s"""${assignSql(s"a$i", s"c${i - 1}")},
-         |e$i AS (SELECT a.cid,
+         |e$i AS MATERIALIZED (SELECT a.cid,
          |  generate_subscripts(v.emb, 1) AS d, unnest(v.emb) AS x
          | FROM vecs v JOIN a$i a USING (vec_id)),
-         |c$i AS (SELECT cid, list(m ORDER BY d) AS cemb FROM (
+         |c$i AS MATERIALIZED (SELECT cid, list(m ORDER BY d) AS cemb FROM (
          |  SELECT cid, d,
          |   CAST(sum(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE)
          |     / count(*) / 1e6 AS m
          |  FROM e$i GROUP BY cid, d)
          | GROUP BY cid)""".stripMargin.replace('\n', ' ')
     }.mkString(", ")
-    s"""WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, emb AS cemb FROM vecs WHERE vec_id < $k),
+    s"""vecs AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |c0 AS MATERIALIZED (SELECT vec_id AS cid, emb AS cemb FROM vecs WHERE vec_id < $k),
        |$stages,
-       |${assignSql("fin", s"c$iters")},
+       |ranked AS MATERIALIZED (SELECT v.vec_id, c.cid, row_number() OVER (
+       |   PARTITION BY v.vec_id
+       |   ORDER BY ${l2ChainSql("v", "emb", "c", "cemb")}, c.cid) AS rn
+       | FROM vecs v CROSS JOIN c$iters c)""".stripMargin
+      .replace('\n', ' ')
+  }
+
+  def kmeansCentroidsSql(k: Int = 8, iters: Int = 2): String =
+    s"""WITH ${kmeansCtesSql(k, iters)},
        |members AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members
-       | FROM fin GROUP BY cid)
+       | FROM ranked WHERE rn = 1 GROUP BY cid)
        |SELECT c.cid,
        | CAST(list_sum(list_transform(c.cemb,
        |   x -> floor(x * 1e6))) AS BIGINT) AS csum_q,
@@ -640,7 +692,24 @@ object Similarity {
        | m.n_members
        |FROM c$iters c JOIN members m USING (cid)
        |ORDER BY c.cid""".stripMargin.replace('\n', ' ')
-  }
+
+  def ivfTrainedTopKSql(kCells: Int = 8, iters: Int = 2, nProbe: Int = 2,
+      nQueries: Int = 10, k: Int = 3): String =
+    s"""WITH ${kmeansCtesSql(kCells, iters)},
+       |assignedcell AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+       |probes AS (SELECT vec_id AS q_id, cid AS cell FROM ranked
+       |  WHERE rn <= $nProbe AND vec_id < $nQueries),
+       |pairs AS (SELECT p.q_id, s.vec_id,
+       |  ${l2ChainSql("a", "emb", "b", "emb")} AS dist
+       | FROM probes p
+       | JOIN assignedcell s ON s.cell = p.cell AND s.vec_id <> p.q_id
+       | JOIN vecs a ON a.vec_id = p.q_id
+       | JOIN vecs b ON b.vec_id = s.vec_id)
+       |SELECT q_id, rank, vec_id, dist FROM (
+       | SELECT *, row_number() OVER (
+       |   PARTITION BY q_id ORDER BY dist, vec_id) AS rank FROM pairs)
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+      .replace('\n', ' ')
 
   /** In-engine ANN recall audit — the quality-monitoring query a
     * production vector pipeline runs continuously: recall@1 of the

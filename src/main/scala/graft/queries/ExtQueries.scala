@@ -188,6 +188,13 @@ object ExtQueries {
         .orderBy("cid"),
       Some(Similarity.kmeansCentroidsSql())),
 
+    // IVF over TRAINED cells: the train -> index -> search loop closed,
+    // all oracle-gated (cells = bit-exact Lloyd means)
+    Q("q_ivf_trained_topk",
+      (s, dir) => Similarity.ivfTrainedTopK(embs(s, dir))
+        .orderBy("q_id", "rank"),
+      Some(Similarity.ivfTrainedTopKSql())),
+
     // in-engine ANN recall audit: LSH vs brute ground truth on a sample
     Q("q_ann_recall",
       (s, dir) => Similarity.annRecall(embs(s, dir),

@@ -596,6 +596,29 @@ class ExtSpec extends SparkSpec {
     assert(sym((1L, 3L)) > 0.1 && sym((1L, 3L)) < 1.0)
   }
 
+  test("ivfTrainedTopK: exhaustive probing over trained cells equals exact L2 nearest") {
+    val data = (0L until 40L).map(i =>
+      i -> Seq.tabulate(64)(d => math.cos(i * 13 + d).toFloat))
+    val embs = embsDf(data: _*)
+    val vecs = data.map { case (id, v) =>
+      id -> v.map(_.toDouble).toArray
+    }.toMap
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val truth = (0L until 5L).map { q =>
+      q -> vecs.filter(_._1 != q)
+        .minBy { case (id, v) => (l2(vecs(q), v), id) }._1
+    }.toMap
+    // nProbe = kCells probes every trained cell -> exact L2 search
+    val got = Similarity.ivfTrainedTopK(embs, kCells = 4, iters = 2,
+      nProbe = 4, nQueries = 5, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === truth)
+  }
+
   test("kmeansCentroids: planted two-pole clustering, self-centroids at k=n") {
     // two tight poles: 12 vectors near +cos pattern, 8 near -cos pattern;
     // k=2 with member-seeded init must separate them exactly
