@@ -711,6 +711,111 @@ object Similarity {
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
       .replace('\n', ' ')
 
+  /** TRAINED product-quantization codes — [[pqCodes]] with per-subspace
+    * codebooks learned by GROUPED Lloyd iterations instead of raw seed
+    * subvectors: every (vector, subspace) slice is a training point, the
+    * `subspaces` codebooks train simultaneously (assignment keys on
+    * (vec, s), means on (s, cid, dim) — all bounded), and the means use
+    * the same integer-quantized accumulation as [[kmeansCentroids]], so
+    * the TRAINED codebooks — and therefore the codes — are bit-exact
+    * across engines. Output shape identical to [[pqCodes]]
+    * (vec_id, pq_code, err_q); ExtSpec measures the training benefit
+    * directly: total quantization error strictly below the seed-codebook
+    * baseline. */
+  def pqTrainedCodes(embeddings: DataFrame, subspaces: Int = 8,
+      nCentroids: Int = 16, iters: Int = 2): DataFrame = {
+    require(nCentroids <= 16, "packed nibble codes need nCentroids <= 16")
+    require(Dims % subspaces == 0, s"$subspaces must divide $Dims")
+    val sub = Dims / subspaces
+    val vecs = withNorms(embeddings).select(col("vec_id"), col("emb"))
+      .localCheckpoint(true)
+    val points = vecs.select(col("vec_id"),
+      explode(array((0 until subspaces).map(s =>
+        struct(lit(s).as("s"), lit(1L << (4 * s)).as("w"),
+          slice(col("emb"), s * sub + 1, sub).as("sv"))): _*)).as("p"))
+      .select(col("vec_id"), col("p.s").as("s"), col("p.w").as("w"),
+        col("p.sv").as("sv"))
+      .localCheckpoint(true)
+    var cbook = points.where(col("vec_id") < nCentroids)
+      .select(col("s"), col("vec_id").as("cid"), col("sv").as("cv"))
+      .localCheckpoint(true)
+    def ranked(cb: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"), col("s"))
+        .orderBy(col("dist"), col("cid"))
+      points.join(broadcast(cb), Seq("s"))
+        .select(col("vec_id"), col("s"), col("w"), col("cid"),
+          (dotD(col("sv"), col("sv"))
+            - lit(2d) * dotD(col("sv"), col("cv"))
+            + dotD(col("cv"), col("cv"))).as("dist"))
+        .withColumn("rn", row_number().over(w))
+    }
+    for (_ <- 1 to iters) {
+      val assigned = ranked(cbook).where(col("rn") === 1)
+        .select(col("vec_id"), col("s"), col("cid"))
+      val means = points.join(assigned, Seq("vec_id", "s"))
+        .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy("s", "cid", "d")
+        .agg(sum(floor(col("x") * lit(1e6)).cast("long")).as("q"),
+          count(lit(1)).as("n"))
+        .select(col("s"), col("cid"), col("d"),
+          (col("q").cast("double") / col("n") / lit(1e6)).as("m"))
+      cbook = means.groupBy("s", "cid")
+        .agg(sort_array(collect_list(struct(col("d"), col("m")))).as("dm"))
+        .select(col("s"), col("cid"),
+          transform(col("dm"), e => e.getField("m")).as("cv"))
+        .localCheckpoint(true)
+    }
+    ranked(cbook).where(col("rn") === 1)
+      .groupBy("vec_id")
+      .agg(sum(col("cid") * col("w")).as("pq_code"),
+        sum(floor(col("dist") * lit(1e9)).cast("long")).as("err_q"))
+  }
+
+  def pqTrainedCodesSql(subspaces: Int = 8, nCentroids: Int = 16,
+      iters: Int = 2): String = {
+    val sub = Dims / subspaces
+    def ch(a: String, ac: String, b: String, bc: String): String =
+      (1 to sub).map(i => s"$a.$ac[$i] * $b.$bc[$i]").mkString(" + ")
+    def dist(p: String, c: String): String =
+      s"(${ch(p, "sv", p, "sv")}) - 2e0 * (${ch(p, "sv", c, "cv")}) " +
+        s"+ (${ch(c, "cv", c, "cv")})"
+    val branches = (0 until subspaces).map { s =>
+      s"SELECT vec_id, $s AS s, ${1L << (4 * s)} AS w, " +
+        s"emb[${s * sub + 1}:${s * sub + sub}] AS sv FROM vecs"
+    }.mkString(" UNION ALL ")
+    def rankSql(name: String, cbRel: String): String =
+      s"""$name AS MATERIALIZED (SELECT vec_id, s, w, cid, dist,
+         |  row_number() OVER (PARTITION BY vec_id, s
+         |    ORDER BY dist, cid) AS rn FROM (
+         |  SELECT p.vec_id, p.s, p.w, c.cid, ${dist("p", "c")} AS dist
+         |  FROM points p JOIN $cbRel c ON c.s = p.s))""".stripMargin
+        .replace('\n', ' ')
+    val stages = (1 to iters).map { i =>
+      s"""${rankSql(s"r$i", s"cb${i - 1}")},
+         |m$i AS MATERIALIZED (SELECT a.s, a.cid,
+         |  generate_subscripts(p.sv, 1) AS d, unnest(p.sv) AS x
+         | FROM points p JOIN (SELECT vec_id, s, cid FROM r$i WHERE rn = 1) a
+         |  ON a.vec_id = p.vec_id AND a.s = p.s),
+         |cb$i AS MATERIALIZED (SELECT s, cid, list(m ORDER BY d) AS cv FROM (
+         |  SELECT s, cid, d,
+         |   CAST(sum(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE)
+         |     / count(*) / 1e6 AS m
+         |  FROM m$i GROUP BY s, cid, d)
+         | GROUP BY s, cid)""".stripMargin.replace('\n', ' ')
+    }.mkString(", ")
+    s"""WITH vecs AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |points AS MATERIALIZED ($branches),
+       |cb0 AS MATERIALIZED (SELECT s, vec_id AS cid, sv AS cv FROM points
+       |  WHERE vec_id < $nCentroids),
+       |$stages,
+       |${rankSql("fin", s"cb$iters")}
+       |SELECT vec_id,
+       | CAST(sum(cid * w) AS BIGINT) AS pq_code,
+       | CAST(sum(CAST(floor(dist * 1e9) AS BIGINT)) AS BIGINT) AS err_q
+       |FROM fin WHERE rn = 1 GROUP BY vec_id
+       |ORDER BY vec_id""".stripMargin.replace('\n', ' ')
+  }
+
   /** In-engine ANN recall audit — the quality-monitoring query a
     * production vector pipeline runs continuously: recall@1 of the
     * multi-probe LSH path against brute-force ground truth on a query

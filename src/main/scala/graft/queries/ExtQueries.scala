@@ -144,6 +144,13 @@ object ExtQueries {
       (s, dir) => Similarity.pqCodes(embs(s, dir)).orderBy("vec_id"),
       Some(Similarity.pqCodesSql())),
 
+    // TRAINED PQ codes: per-subspace codebooks learned by grouped Lloyd
+    // (bit-exact trained quantizers; lower error than seed codebooks)
+    Q("q_pq_trained_code",
+      (s, dir) => Similarity.pqTrainedCodes(embs(s, dir))
+        .orderBy("vec_id"),
+      Some(Similarity.pqTrainedCodesSql())),
+
     // ADC top-k over the PQ codes (compressed-domain search: LUT join,
     // integer-quantized order-free distance sums)
     Q("q_pq_adc_topk",

@@ -596,6 +596,25 @@ class ExtSpec extends SparkSpec {
     assert(sym((1L, 3L)) > 0.1 && sym((1L, 3L)) < 1.0)
   }
 
+  test("pqTrainedCodes: training strictly reduces total quantization error (sf0.01)") {
+    // THE measurable benefit of codebook training: summed quantization
+    // error across the corpus must drop strictly below the seed-codebook
+    // baseline (same subspaces, same entry count)
+    val embs = Tables.table(spark, sf("sf0.01"), "embeddings")
+    def totalErr(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(org.apache.spark.sql.functions.sum("err_q")).head().getLong(0)
+    val seed = totalErr(Similarity.pqCodes(embs))
+    val trained = totalErr(Similarity.pqTrainedCodes(embs, iters = 2))
+    info(f"total quantization error: seed $seed%d, trained $trained%d " +
+      f"(${100.0 * (seed - trained) / seed}%.1f%% lower)")
+    assert(trained < seed,
+      s"training did not reduce quantization error: $trained >= $seed")
+    // codes stay within the nibble packing range
+    val codes = Similarity.pqTrainedCodes(embs, iters = 1)
+      .collect().map(_.getLong(1))
+    assert(codes.forall(c => c >= 0 && c < (1L << 32)))
+  }
+
   test("ivfTrainedTopK: exhaustive probing over trained cells equals exact L2 nearest") {
     val data = (0L until 40L).map(i =>
       i -> Seq.tabulate(64)(d => math.cos(i * 13 + d).toFloat))
