@@ -722,35 +722,41 @@ object Similarity {
     * (vec_id, pq_code, err_q); ExtSpec measures the training benefit
     * directly: total quantization error strictly below the seed-codebook
     * baseline. */
-  def pqTrainedCodes(embeddings: DataFrame, subspaces: Int = 8,
-      nCentroids: Int = 16, iters: Int = 2): DataFrame = {
-    require(nCentroids <= 16, "packed nibble codes need nCentroids <= 16")
-    require(Dims % subspaces == 0, s"$subspaces must divide $Dims")
+  /** (vec_id, s, w, sv) subvector slice stream of an array column. */
+  private def subPoints(src: DataFrame, arrCol: String,
+      subspaces: Int): DataFrame = {
     val sub = Dims / subspaces
-    val vecs = withNorms(embeddings).select(col("vec_id"), col("emb"))
-      .localCheckpoint(true)
-    val points = vecs.select(col("vec_id"),
+    src.select(col("vec_id"),
       explode(array((0 until subspaces).map(s =>
         struct(lit(s).as("s"), lit(1L << (4 * s)).as("w"),
-          slice(col("emb"), s * sub + 1, sub).as("sv"))): _*)).as("p"))
+          slice(col(arrCol), s * sub + 1, sub).as("sv"))): _*)).as("p"))
       .select(col("vec_id"), col("p.s").as("s"), col("p.w").as("w"),
         col("p.sv").as("sv"))
-      .localCheckpoint(true)
+  }
+
+  /** Rank codebook entries per (vector, subspace) by L2 — rn=1 is the
+    * code assignment. */
+  private def subRank(points: DataFrame, cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("dist"), col("cid"))
+    points.join(broadcast(cb), Seq("s"))
+      .select(col("vec_id"), col("s"), col("w"), col("cid"),
+        (dotD(col("sv"), col("sv"))
+          - lit(2d) * dotD(col("sv"), col("cv"))
+          + dotD(col("cv"), col("cv"))).as("dist"))
+      .withColumn("rn", row_number().over(w))
+  }
+
+  /** Grouped Lloyd over subvector points: all `subspaces` codebooks
+    * train simultaneously; integer-quantized means (see
+    * [[kmeansCentroids]]). Returns (s, cid, cv). */
+  private def groupedLloyd(points: DataFrame, nCentroids: Int,
+      iters: Int): DataFrame = {
     var cbook = points.where(col("vec_id") < nCentroids)
       .select(col("s"), col("vec_id").as("cid"), col("sv").as("cv"))
       .localCheckpoint(true)
-    def ranked(cb: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"), col("s"))
-        .orderBy(col("dist"), col("cid"))
-      points.join(broadcast(cb), Seq("s"))
-        .select(col("vec_id"), col("s"), col("w"), col("cid"),
-          (dotD(col("sv"), col("sv"))
-            - lit(2d) * dotD(col("sv"), col("cv"))
-            + dotD(col("cv"), col("cv"))).as("dist"))
-        .withColumn("rn", row_number().over(w))
-    }
     for (_ <- 1 to iters) {
-      val assigned = ranked(cbook).where(col("rn") === 1)
+      val assigned = subRank(points, cbook).where(col("rn") === 1)
         .select(col("vec_id"), col("s"), col("cid"))
       val means = points.join(assigned, Seq("vec_id", "s"))
         .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("d", "x")))
@@ -765,29 +771,115 @@ object Similarity {
           transform(col("dm"), e => e.getField("m")).as("cv"))
         .localCheckpoint(true)
     }
-    ranked(cbook).where(col("rn") === 1)
+    cbook
+  }
+
+  def pqTrainedCodes(embeddings: DataFrame, subspaces: Int = 8,
+      nCentroids: Int = 16, iters: Int = 2): DataFrame = {
+    require(nCentroids <= 16, "packed nibble codes need nCentroids <= 16")
+    require(Dims % subspaces == 0, s"$subspaces must divide $Dims")
+    val vecs = withNorms(embeddings).select(col("vec_id"), col("emb"))
+      .localCheckpoint(true)
+    val points = subPoints(vecs, "emb", subspaces).localCheckpoint(true)
+    val cbook = groupedLloyd(points, nCentroids, iters)
+    subRank(points, cbook).where(col("rn") === 1)
       .groupBy("vec_id")
       .agg(sum(col("cid") * col("w")).as("pq_code"),
         sum(floor(col("dist") * lit(1e9)).cast("long")).as("err_q"))
   }
 
-  def pqTrainedCodesSql(subspaces: Int = 8, nCentroids: Int = 16,
-      iters: Int = 2): String = {
+  /** FULLY-TRAINED residual IVF-PQ — the production composition with
+    * every quantizer learned: coarse cells from [[kmeansCentroids]]'s
+    * Lloyd loop, per-subspace codebooks trained by [[groupedLloyd]] on
+    * the CELL RESIDUALS (now centered near zero — the regime where
+    * residual coding actually pays, unlike the seed-quantizer gate), and
+    * ADC search with a per-probed-cell query LUT. Every stage bit-exact,
+    * so the entire train → encode → search pipeline is oracle-gated. */
+  def ivfPqTrainedTopK(embeddings: DataFrame, subspaces: Int = 8,
+      nCentroids: Int = 16, nCells: Int = 8, cellIters: Int = 2,
+      pqIters: Int = 2, nProbe: Int = 2, nQueries: Int = 10,
+      k: Int = 3): DataFrame = {
+    val (vecs, cents) = kmeansLoop(embeddings, nCells, cellIters)
+    val ranked = centRank(vecs, cents).localCheckpoint(true)
+    val assigned = ranked.where(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val probes = ranked
+      .where(col("rn") <= nProbe && col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("cid").as("cell"))
+    val centsAsCell = cents.select(col("cid").as("cell"), col("cemb"))
+    val res = vecs.join(assigned, "vec_id")
+      .join(broadcast(centsAsCell), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("emb"), col("cemb"), (x, g) => x - g).as("res"))
+      .localCheckpoint(true)
+    val points = subPoints(res.select(col("vec_id"), col("res")),
+      "res", subspaces).localCheckpoint(true)
+    val cbook = groupedLloyd(points, nCentroids, pqIters)
+    val codes = subRank(points, cbook).where(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("cid"))
+    // query residual per PROBED cell → LUT over ALL codebook entries
+    val qres = probes
+      .join(vecs.select(col("vec_id").as("q_id"), col("emb")), "q_id")
+      .join(broadcast(centsAsCell), "cell")
+      .select(col("q_id"), col("cell"),
+        zip_with(col("emb"), col("cemb"), (x, g) => x - g).as("res"))
     val sub = Dims / subspaces
+    val qpoints = qres.select(col("q_id"), col("cell"),
+      explode(array((0 until subspaces).map(s =>
+        struct(lit(s).as("s"),
+          slice(col("res"), s * sub + 1, sub).as("sv"))): _*)).as("p"))
+      .select(col("q_id"), col("cell"), col("p.s").as("s"),
+        col("p.sv").as("sv"))
+    val lut = qpoints.join(broadcast(cbook), Seq("s"))
+      .select(col("q_id"), col("cell"), col("s"), col("cid"),
+        floor((dotD(col("sv"), col("sv"))
+          - lit(2d) * dotD(col("sv"), col("cv"))
+          + dotD(col("cv"), col("cv"))) * lit(1e9)).cast("long").as("dq"))
+    val adc = probes.join(assigned.withColumnRenamed("vec_id", "c_vec"),
+        "cell")
+      .where(col("c_vec") =!= col("q_id"))
+      .join(codes.withColumnRenamed("vec_id", "c_vec"), "c_vec")
+      .join(broadcast(lut), Seq("q_id", "cell", "s", "cid"))
+      .groupBy(col("q_id"), col("c_vec").as("vec_id"))
+      .agg(sum(col("dq")).as("adc_q"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_q"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "adc_q")
+  }
+
+  /** Subvector L2 chain over `sub`-dim slices. */
+  private def subChainSql(sub: Int, p: String, pc: String, c: String,
+      cc: String): String = {
     def ch(a: String, ac: String, b: String, bc: String): String =
       (1 to sub).map(i => s"$a.$ac[$i] * $b.$bc[$i]").mkString(" + ")
-    def dist(p: String, c: String): String =
-      s"(${ch(p, "sv", p, "sv")}) - 2e0 * (${ch(p, "sv", c, "cv")}) " +
-        s"+ (${ch(c, "cv", c, "cv")})"
-    val branches = (0 until subspaces).map { s =>
-      s"SELECT vec_id, $s AS s, ${1L << (4 * s)} AS w, " +
-        s"emb[${s * sub + 1}:${s * sub + sub}] AS sv FROM vecs"
+    s"(${ch(p, pc, p, pc)}) - 2e0 * (${ch(p, pc, c, cc)}) " +
+      s"+ (${ch(c, cc, c, cc)})"
+  }
+
+  /** Subvector-slice branches of an array column in relation `rel`. */
+  private def subBranchesSql(rel: String, arrCol: String, subspaces: Int,
+      keyCols: String = "vec_id"): String = {
+    val sub = Dims / subspaces
+    (0 until subspaces).map { s =>
+      s"SELECT $keyCols, $s AS s, ${1L << (4 * s)} AS w, " +
+        s"$arrCol[${s * sub + 1}:${s * sub + sub}] AS sv FROM $rel"
     }.mkString(" UNION ALL ")
+  }
+
+  /** Grouped-Lloyd CTE stages assuming `points(vec_id, s, w, sv)`
+    * exists: cb0 (seed slices), r/m/cb per round, `fin` ranked vs the
+    * trained books. All MATERIALIZED (DuckDB inlines per reference). */
+  private def groupedPqStagesSql(subspaces: Int, nCentroids: Int,
+      iters: Int): String = {
+    val sub = Dims / subspaces
     def rankSql(name: String, cbRel: String): String =
       s"""$name AS MATERIALIZED (SELECT vec_id, s, w, cid, dist,
          |  row_number() OVER (PARTITION BY vec_id, s
          |    ORDER BY dist, cid) AS rn FROM (
-         |  SELECT p.vec_id, p.s, p.w, c.cid, ${dist("p", "c")} AS dist
+         |  SELECT p.vec_id, p.s, p.w, c.cid,
+         |   ${subChainSql(sub, "p", "sv", "c", "cv")} AS dist
          |  FROM points p JOIN $cbRel c ON c.s = p.s))""".stripMargin
         .replace('\n', ' ')
     val stages = (1 to iters).map { i =>
@@ -803,17 +895,63 @@ object Similarity {
          |  FROM m$i GROUP BY s, cid, d)
          | GROUP BY s, cid)""".stripMargin.replace('\n', ' ')
     }.mkString(", ")
-    s"""WITH vecs AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-       |points AS MATERIALIZED ($branches),
-       |cb0 AS MATERIALIZED (SELECT s, vec_id AS cid, sv AS cv FROM points
+    s"""cb0 AS MATERIALIZED (SELECT s, vec_id AS cid, sv AS cv FROM points
        |  WHERE vec_id < $nCentroids),
        |$stages,
-       |${rankSql("fin", s"cb$iters")}
+       |${rankSql("fin", s"cb$iters")}""".stripMargin.replace('\n', ' ')
+  }
+
+  def pqTrainedCodesSql(subspaces: Int = 8, nCentroids: Int = 16,
+      iters: Int = 2): String =
+    s"""WITH vecs AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |points AS MATERIALIZED (${subBranchesSql("vecs", "emb", subspaces)}),
+       |${groupedPqStagesSql(subspaces, nCentroids, iters)}
        |SELECT vec_id,
        | CAST(sum(cid * w) AS BIGINT) AS pq_code,
        | CAST(sum(CAST(floor(dist * 1e9) AS BIGINT)) AS BIGINT) AS err_q
        |FROM fin WHERE rn = 1 GROUP BY vec_id
        |ORDER BY vec_id""".stripMargin.replace('\n', ' ')
+
+  def ivfPqTrainedTopKSql(subspaces: Int = 8, nCentroids: Int = 16,
+      nCells: Int = 8, cellIters: Int = 2, pqIters: Int = 2,
+      nProbe: Int = 2, nQueries: Int = 10, k: Int = 3): String = {
+    val sub = Dims / subspaces
+    s"""WITH ${kmeansCtesSql(nCells, cellIters)},
+       |assignedcell AS MATERIALIZED (SELECT vec_id, cid AS cell
+       |  FROM ranked WHERE rn = 1),
+       |probes AS MATERIALIZED (SELECT vec_id AS q_id, cid AS cell
+       |  FROM ranked WHERE rn <= $nProbe AND vec_id < $nQueries),
+       |res AS MATERIALIZED (SELECT v.vec_id,
+       |  list_transform(range(1, ${Dims + 1}),
+       |    i -> v.emb[i] - g.cemb[i]) AS res
+       | FROM vecs v JOIN assignedcell a ON a.vec_id = v.vec_id
+       | JOIN c$cellIters g ON g.cid = a.cell),
+       |points AS MATERIALIZED (${subBranchesSql("res", "res", subspaces)}),
+       |${groupedPqStagesSql(subspaces, nCentroids, pqIters)},
+       |qres AS MATERIALIZED (SELECT p.q_id, p.cell,
+       |  list_transform(range(1, ${Dims + 1}),
+       |    i -> v.emb[i] - g.cemb[i]) AS res
+       | FROM probes p JOIN vecs v ON v.vec_id = p.q_id
+       | JOIN c$cellIters g ON g.cid = p.cell),
+       |qpoints AS MATERIALIZED (
+       |  ${subBranchesSql("qres", "res", subspaces, "q_id, cell")}),
+       |lut AS MATERIALIZED (SELECT q.q_id, q.cell, q.s, c.cid,
+       |  CAST(floor((${subChainSql(sub, "q", "sv", "c", "cv")}) * 1e9)
+       |    AS BIGINT) AS dq
+       | FROM qpoints q JOIN cb$pqIters c ON c.s = q.s),
+       |adc AS (SELECT p.q_id, ac.vec_id, CAST(sum(l.dq) AS BIGINT) AS adc_q
+       | FROM probes p
+       | JOIN assignedcell ac ON ac.cell = p.cell AND ac.vec_id <> p.q_id
+       | JOIN (SELECT vec_id, s, cid FROM fin WHERE rn = 1) cd
+       |  ON cd.vec_id = ac.vec_id
+       | JOIN lut l ON l.q_id = p.q_id AND l.cell = p.cell
+       |  AND l.s = cd.s AND l.cid = cd.cid
+       | GROUP BY 1, 2)
+       |SELECT q_id, rank, vec_id, adc_q FROM (
+       | SELECT *, row_number() OVER (
+       |   PARTITION BY q_id ORDER BY adc_q, vec_id) AS rank FROM adc)
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+      .replace('\n', ' ')
   }
 
   /** In-engine ANN recall audit — the quality-monitoring query a

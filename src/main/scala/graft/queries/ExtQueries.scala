@@ -202,6 +202,14 @@ object ExtQueries {
         .orderBy("q_id", "rank"),
       Some(Similarity.ivfTrainedTopKSql())),
 
+    // FULLY-TRAINED residual IVF-PQ: trained cells + codebooks trained
+    // on residuals + per-cell ADC — the production composition, every
+    // stage oracle-gated
+    Q("q_ivfpq_trained_topk",
+      (s, dir) => Similarity.ivfPqTrainedTopK(embs(s, dir))
+        .orderBy("q_id", "rank"),
+      Some(Similarity.ivfPqTrainedTopKSql())),
+
     // in-engine ANN recall audit: LSH vs brute ground truth on a sample
     Q("q_ann_recall",
       (s, dir) => Similarity.annRecall(embs(s, dir),

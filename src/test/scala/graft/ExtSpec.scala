@@ -269,8 +269,18 @@ class ExtSpec extends SparkSpec {
       nQueries = nQ, k = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     val rIvfpq = recallOf(ivfpq)
+    val trained = Similarity.ivfPqTrainedTopK(embs, nCells = cells,
+      nProbe = cells, nQueries = nQ, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val rTrained = recallOf(trained)
     info(f"recall@1 vs L2 truth: full-corpus ADC $rAdc%.3f, " +
-      f"residual IVF-PQ (exhaustive cells) $rIvfpq%.3f")
+      f"residual IVF-PQ (exhaustive cells) $rIvfpq%.3f, " +
+      f"TRAINED residual IVF-PQ $rTrained%.3f")
+    // the point of training both quantizers: recall must beat BOTH
+    // untrained compressed paths
+    assert(rTrained > rIvfpq && rTrained > rAdc,
+      f"training did not lift recall: trained=$rTrained%.3f " +
+        f"adc=$rAdc%.3f ivfpq=$rIvfpq%.3f")
     // MEASURED finding (sf0.1): ~0.03 and ~0.01 — far above the 1/2000
     // chance floor but low in absolute terms, and residual coding buys
     // NOTHING here: with UNTRAINED quantizers (deterministic seed
