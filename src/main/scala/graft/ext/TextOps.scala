@@ -283,6 +283,73 @@ object TextOps {
       |FROM wn GROUP BY doc_id ORDER BY doc_id""".stripMargin
       .replace('\n', ' ')
 
+  /** Phrase/collocation detection (the word2phrase scoring of Mikolov et
+    * al.'s phrase step, used to merge "new york" → "new_york" before
+    * tokenizer/embedding training): for every adjacent word pair with
+    * `c12 >= minCount`, the score
+    * `(c12 − delta) · N / (c1 · c2)` — counts are exact integers, the
+    * score one identical double expression in both engines, so the gate
+    * is bit-exact with no quantization needed. High score = the pair
+    * co-occurs far beyond chance; the caller merges pairs above a
+    * threshold and re-runs for trigrams.
+    *
+    * Scale shape: one token explode with a per-doc position window for
+    * bigrams (the [[gramStream]]-family shape), two bounded aggregations
+    * (pair counts, word counts), one broadcast-size join of pair→word
+    * counts. */
+  def phraseScores(docs: DataFrame, minCount: Long = 3L,
+      delta: Double = 2.0): DataFrame = {
+    import graft.functions.localRelation
+    val toks = tokens(docs)
+    val uni = toks.groupBy("term").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val nTotal = localRelation(uni.agg(sum(col("c")).cast("long")
+      .as("n_total")))
+    val ws = split(lower(trim(col("text"))), "\\s+")
+    val pairs = docs
+      .select(explode(when(size(ws) >= 2,
+        transform(sequence(lit(1), size(ws) - 1),
+          i => struct(element_at(ws, i).as("w1"),
+            element_at(ws, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= minCount)
+    pairs
+      .join(uni.select(col("term").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("term").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nTotal))
+      .select(col("w1"), col("w2"), col("c12"),
+        ((col("c12").cast("double") - lit(delta)) *
+          col("n_total").cast("double") /
+          (col("c1") * col("c2")).cast("double")).as("score"))
+  }
+
+  def phraseScoresSql(minCount: Long = 3L, delta: Double = 2.0): String =
+    s"""WITH toks AS ($tokensSql),
+       |uni AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni),
+       |bi AS (SELECT w1, w2, count(*) AS c12 FROM (
+       |  SELECT w AS w1,
+       |   lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       |  FROM (SELECT doc_id,
+       |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w,
+       |    generate_subscripts(
+       |      regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+       |   FROM documents))
+       | WHERE w2 IS NOT NULL GROUP BY w1, w2
+       | HAVING count(*) >= $minCount)
+       |SELECT b.w1, b.w2, b.c12,
+       | (CAST(b.c12 AS DOUBLE) - ${sqlDouble(delta)})
+       |  * CAST(t.n_total AS DOUBLE)
+       |  / CAST(u1.c * u2.c AS DOUBLE) AS score
+       |FROM bi b
+       |JOIN uni u1 ON u1.term = b.w1
+       |JOIN uni u2 ON u2.term = b.w2
+       |CROSS JOIN tot t
+       |ORDER BY w1, w2""".stripMargin.replace('\n', ' ')
+
   /** Vocabulary induction: the top-`size` corpus words by frequency with
     * their counts — the seed step of tokenizer training (word-level vocab,
     * or the pre-merge alphabet statistics for BPE). Deterministic

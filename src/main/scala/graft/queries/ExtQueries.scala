@@ -307,6 +307,13 @@ object ExtQueries {
       (s, dir) => TextOps.bpeDocTokens(docs(s, dir)).orderBy("doc_id"),
       Some(TextOps.bpeDocTokensSql())),
 
+    // phrase/collocation scores (word2phrase: merge candidates before
+    // tokenizer/embedding training)
+    Q("q_phrase_scores",
+      (s, dir) => TextOps.phraseScores(docs(s, dir))
+        .orderBy("w1", "w2"),
+      Some(TextOps.phraseScoresSql())),
+
     // vocabulary induction: top-V corpus words (tokenizer seed step)
     Q("q_vocab",
       (s, dir) => TextOps.vocab(docs(s, dir)),

@@ -492,6 +492,25 @@ class ExtSpec extends SparkSpec {
       "NULL payload must yield a null-fields row")
   }
 
+  test("phraseScores: collocations outscore incidental pairs, minCount filters") {
+    import graft.ext.TextOps
+    // "new york" always adjacent (4x); "the cat"/"the dog" split "the"'s
+    // mass; rare pair "ad hoc" (2x) dies to minCount=3
+    val docs = docsDf(
+      (1L, "new york is big new york is old"),
+      (2L, "new york and new york"),
+      (3L, "the cat the dog the cat the dog the cat ad hoc"),
+      (4L, "ad hoc"))
+    val out = TextOps.phraseScores(docs, minCount = 3L)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("new", "york"))._1 === 4L)
+    assert(!out.contains(("ad", "hoc")), "minCount must drop rare pairs")
+    // "new york" (exclusive partners) outscores "the cat" (shared "the")
+    assert(out(("new", "york"))._2 > out(("the", "cat"))._2)
+    out.values.foreach { case (c, _) => assert(c >= 3L) }
+  }
+
   test("charEntropy: zero for single-char text, ln(k) for uniform k-char text") {
     import graft.ext.TextOps
     val docs = docsDf(
