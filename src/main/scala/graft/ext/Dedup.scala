@@ -418,8 +418,12 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")
           .as("hamming"))
-      .distinct()
+      // filter BEFORE the dedup shuffle: hamming is a pure function of
+      // the pair, so the order is result-identical and the distinct only
+      // shuffles survivors (at sf0.1 that skips shuffling the large
+      // majority of the ~1.5M-candidate stream)
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   def simhashNearDupSql(maxHamming: Int = 2): String = {
@@ -432,9 +436,9 @@ object Dedup {
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        | FROM banded a JOIN banded b
-       |  ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)
+       |  ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+       | WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming)
        |SELECT doc_a, doc_b, hamming FROM cand
-       |WHERE hamming <= $maxHamming
        |ORDER BY doc_a, doc_b""".stripMargin.replace('\n', ' ')
   }
 

@@ -120,4 +120,12 @@ package object functions {
   /** Ordered-last: value of `v` at the largest `(ts, seq)` in the group. */
   def orderedLast(v: Column, ts: Column, seq: Column): Column =
     max_by(v, struct(ts, seq))
+
+  /** Lowercase hex md5 of a byte array — the ONE spelling of the
+    * digest-to-hex fold (it must match Spark's `md5()` SQL function and
+    * DuckDB's `md5()` for every streamed-equals-batch and catalog
+    * contract; hand-rolled copies invite silent divergence). */
+  def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
 }

@@ -40,10 +40,18 @@ object ExtQueries {
     * epoch (2.5×), downweight src1, default single epoch elsewhere. */
   private val MixtureWeights = Seq("src0" -> 2.5, "src1" -> 0.4)
 
-  // def, not val: the ANN oracle strings depend on Tables.oracleSfDir,
-  // which Verify sets at startup — a val could freeze SQL built against
-  // the wrong dir if the object initializes first.
-  def all: Seq[Q] = Seq(
+  // Memoized PER oracleSfDir (not a val: the ANN/curation oracle strings
+  // depend on Tables.oracleSfDir, which Verify sets at startup — a val
+  // could freeze SQL built against the wrong dir if the object
+  // initializes first; not a bare def: every registry access would
+  // re-read parquet footers and regenerate the large k-means/PQ/BPE CTE
+  // strings — Bench touches the registry per sweep and needs it I/O-free).
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Q]]()
+  def all: Seq[Q] =
+    memo.computeIfAbsent(Tables.oracleSfDir.get, _ => build())
+
+  private def build(): Seq[Q] = Seq(
 
     // exact dedup: hash groupBy
     Q("q_dedup_exact",

@@ -110,7 +110,10 @@ final class Archiver(spark: SparkSession, srcDir: String, destUri: String,
       // let the local delete below produce an archived-but-unrecorded
       // file). The catalog part name is deterministic per rel path, so
       // this is a cheap create-if-absent, a no-op on the common path.
-      appendMeta(fs, rel, size, md5hex, dest.toString, t0,
+      // md5 is BY-NAME: computed from the still-present local file only
+      // when the row is actually missing — a repair row with an empty
+      // checksum would permanently degrade the catalog it repairs.
+      appendMeta(fs, rel, size, fileMd5(f), dest.toString, t0,
         overwrite = false)
     }
     val removed = removeLocal && swapLock.synchronized(f.delete())
@@ -170,14 +173,19 @@ final class Archiver(spark: SparkSession, srcDir: String, destUri: String,
     * (`overwrite = false`: create-if-absent, races resolve to one row).
     * A fresh archival passes `overwrite = true` — re-archiving changed
     * content replaces the row, keeping one catalog row per live archived
-    * file. */
+    * file. `md5` is by-name: the repair path only pays the checksum read
+    * when the part is actually missing. Migration note: catalogs written
+    * by the old `(millis, hashCode)` scheme keep their legacy parts — a
+    * re-archive under this scheme adds the deterministic part without
+    * removing the legacy one, so pre-existing destinations should run a
+    * one-time catalog compaction (read `metadata()`, keep the newest row
+    * per name, rewrite) if duplicate rows matter to them. */
   private def appendMeta(fs: FileSystem, name: String, size: Long,
-      md5: String, dest: String, ts: Long, overwrite: Boolean): Unit = {
+      md5: => String, dest: String, ts: Long, overwrite: Boolean): Unit = {
     val dir = new HPath(metaDir)
     fs.mkdirs(dir)
-    val nameMd5 = MessageDigest.getInstance("MD5")
-      .digest(name.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val part = new HPath(dir, s"meta-$nameMd5.json")
+    val part = new HPath(dir,
+      s"meta-${graft.functions.md5Hex(name.getBytes("UTF-8"))}.json")
     if (!overwrite && fs.exists(part)) return
     val out =
       try fs.create(part, overwrite)

@@ -213,11 +213,8 @@ object Streaming {
   def streamingTokenBudget(docs: Dataset[(Long, String, Long)],
       budget: Long): Dataset[BudgetedDoc] = {
     import docs.sparkSession.implicits._
-    def md5Key(id: Long): String = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(id.toString.getBytes("UTF-8"))
-      d.map("%02x".format(_)).mkString
-    }
+    def md5Key(id: Long): String =
+      graft.functions.md5Hex(id.toString.getBytes("UTF-8"))
     def fn(src: String, rows: Iterator[(Long, String, Long)],
         state: GroupState[Long]): Iterator[BudgetedDoc] = {
       var cum = state.getOption.getOrElse(0L)

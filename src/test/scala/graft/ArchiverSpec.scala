@@ -119,6 +119,11 @@ class ArchiverSpec extends SparkSpec {
       .metadata().collect()
     assert(rows.length === 1 &&
       rows.head.getAs[String]("name") === "book1/big.parquet")
+    // the repair row carries the REAL checksum, not a placeholder
+    val expectMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.fill[Byte](4096)(7)).map("%02x".format(_)).mkString
+    assert(rows.head.getAs[String]("md5") === expectMd5,
+      "crash-window repair row must carry the file's md5")
     // and the repair row does not clobber an EXISTING row on re-sweeps:
     // deterministic per-path part name, create-if-absent semantics
     new Archiver(spark, src, dest, minFileSize = 1024).scanOnce()
