@@ -305,14 +305,16 @@ object TextOps {
       .localCheckpoint(true)
     val nTotal = localRelation(uni.agg(sum(col("c")).cast("long")
       .as("n_total")))
-    val ws = split(lower(trim(col("text"))), "\\s+")
+    // materialize the split ONCE per row before the pair lambda — an
+    // element_at over the inline split() re-evaluates the regex split per
+    // element (O(len²) splits per doc, measured 12 s vs 2 s at sf0.1);
+    // the gramStream projection shape keeps it linear
     val pairs = docs
-      .select(explode(when(size(ws) >= 2,
-        transform(sequence(lit(1), size(ws) - 1),
-          i => struct(element_at(ws, i).as("w1"),
-            element_at(ws, i + 1).as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
-        .as("p"))
+      .select(split(lower(trim(col("text"))), "\\s+").as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .where(col("c12") >= minCount)
@@ -537,8 +539,16 @@ object TextOps {
     * Why it exists: stateless ⇒ the repetition signal (and therefore the
     * whole [[qualityFilter]]) runs UNCHANGED on a document stream —
     * see `Streaming.streamingQualityFilter`. */
-  def topGramFrac(text: Column, n: Int = 2): Column = {
-    val ws = split(lower(trim(text)), "\\s+")
+  def topGramFrac(text: Column, n: Int = 2): Column =
+    topGramFracWords(split(lower(trim(text)), "\\s+"), n)
+
+  /** [[topGramFrac]] over an ALREADY-SPLIT word array — callers that can
+    * bind the split into a projected column first should (an inline
+    * split referenced inside the gram lambda re-evaluates the regex per
+    * element: O(words²) splits per document, the same measured trap as
+    * phraseScores' original pair build; an attribute reference reads the
+    * row value once). */
+  def topGramFracWords(ws: Column, n: Int = 2): Column = {
     val grams = when(size(ws) >= n,
       transform(sequence(lit(1), size(ws) - (n - 1)),
         i => array_join(slice(ws, i, lit(n)), " ")))

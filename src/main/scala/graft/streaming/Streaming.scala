@@ -251,12 +251,17 @@ object Streaming {
     val t = col("text")
     val toks = TextOps.tokenCount(t)
     val meanTok = length(t).cast("double") / toks
-    docs.select(col("doc_id"),
-      (toks.cast("long") >= minTokens).as("len_ok"),
-      (coalesce(TextOps.topGramFrac(t), lit(0.0)) <= maxTopGramFrac)
-        .as("rep_ok"),
-      (meanTok >= minMeanTokLen && meanTok <= maxMeanTokLen)
-        .as("toklen_ok"))
+    // the word array is BOUND into a projected column before the gram
+    // lambda: an inline split would re-run the regex per gram element
+    // (O(words²) per document — fatal on long streamed docs)
+    docs.select(col("doc_id"), t,
+      split(lower(trim(t)), "\\s+").as("ws"))
+      .select(col("doc_id"),
+        (toks.cast("long") >= minTokens).as("len_ok"),
+        (coalesce(TextOps.topGramFracWords(col("ws")), lit(0.0))
+          <= maxTopGramFrac).as("rep_ok"),
+        (meanTok >= minMeanTokLen && meanTok <= maxMeanTokLen)
+          .as("toklen_ok"))
       .withColumn("keep",
         col("len_ok") && col("rep_ok") && col("toklen_ok"))
   }
