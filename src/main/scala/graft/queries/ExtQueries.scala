@@ -86,11 +86,14 @@ object ExtQueries {
       (s, dir) => Dedup.simhash(docs(s, dir)).orderBy("doc_id"),
       Some(Dedup.simhashSql)),
 
-    // SimHash near-dup pairs (nibble-band blocking + exact popcount)
+    // SimHash near-dup pairs (64-bit hash, band width scales with corpus
+    // size via bandBitsFor — 4-bit bands at n=500, 8-bit at n=2000 — so
+    // the band self-join stays occupancy-bounded at any SF)
     Q("q_simhash_neardup",
-      (s, dir) => Dedup.simhashNearDup(docs(s, dir))
+      (s, dir) => Dedup.simhashNearDup(docs(s, dir),
+          Dedup.bandBitsFor(docCount(dir)))
         .orderBy("doc_a", "doc_b"),
-      Some(Dedup.simhashNearDupSql())),
+      Some(Dedup.simhashNearDupSql(Dedup.bandBitsFor(oracleDocCount)))),
 
     // dedup-group size histogram (the duplication audit view)
     Q("q_dedup_sizes",

@@ -317,6 +317,12 @@ class ExtSpec extends SparkSpec {
       assert(planesInSql(large("q_ann_lsh_buckets").oracle.get) === 5)
       assert(small("q_ann_ivf_topk").oracle.get.contains("vec_id < 23"))
       assert(large("q_ann_ivf_topk").oracle.get.contains("vec_id < 45"))
+      // simhash band width rides the same wiring: 16 4-bit bands at
+      // n=500, 8 8-bit bands at n=2000 (band 15 vs band 7 in the twin)
+      assert(small("q_simhash_neardup").oracle.get.contains("15 AS band"))
+      assert(!small("q_simhash_neardup").oracle.get.contains("16 AS band"))
+      assert(large("q_simhash_neardup").oracle.get.contains("7 AS band"))
+      assert(!large("q_simhash_neardup").oracle.get.contains("8 AS band"))
       // Spark side derives the same planes from the dir the fn receives:
       // bucket ids at sf0.1 must use 5 bits (some bucket >= 16) and stay
       // under 2^5.
@@ -525,19 +531,39 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(out(3L)._2 - h3) < 1e-9)
   }
 
-  test("simhashNearDup: identical docs at hamming 0, band blocking finds near pairs") {
+  test("simhashNearDup: identical docs at hamming 0, banding complete to nBands-1") {
     val docs = docsDf(
       (1L, "alpha beta gamma delta epsilon"),
       (2L, "alpha beta gamma delta epsilon"), // exact dup -> hamming 0
       (3L, "alpha beta gamma delta zeta"),    // near dup
       (4L, "omega psi chi phi upsilon"))      // different vocab
-    val out = Dedup.simhashNearDup(docs, maxHamming = 4)
+    // derive the TRUE 64-bit hamming of the near pair, then assert the
+    // pigeonhole guarantee: 16 4-bit bands are complete to hamming 15,
+    // so any pair within radius MUST surface through some shared band
+    val h = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trueH = java.lang.Long.bitCount(h(1L) ^ h(3L)).toLong
+    assert(trueH > 0 && trueH <= 15,
+      s"test corpus drifted out of the complete radius: hamming $trueH")
+    val out = Dedup.simhashNearDup(docs, bandBits = 4, maxHamming = 15)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
       .toMap
     assert(out((1L, 2L)) === 0L, s"exact dup hamming: $out")
-    assert(out.get((1L, 3L)).exists(h => h > 0 && h <= 4),
-      s"near pair missing/too far: $out")
-    out.values.foreach(h => assert(h >= 0 && h <= 4))
+    assert(out((1L, 3L)) === trueH, s"near pair missing/wrong: $out")
+    out.values.foreach(hm => assert(hm >= 0 && hm <= 15))
+    // completeness is ENFORCED, not assumed: a radius past nBands-1 throws
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDup(docs, bandBits = 16, maxHamming = 4)
+    }
+  }
+
+  test("bandBitsFor: band width scales with corpus size (the planesFor pattern)") {
+    // n=500 (sf0.001/0.01) -> 4-bit bands; n=2000 (sf0.1) -> 8-bit; the
+    // widths the registry gates actually run at — plus the far tail
+    assert(Dedup.bandBitsFor(500L) === 4)
+    assert(Dedup.bandBitsFor(2000L) === 8)
+    assert(Dedup.bandBitsFor(1000L * 1000) === 16)
+    assert(Dedup.bandBitsFor(10L * 1000 * 1000 * 1000) === 32)
   }
 
   test("dedupGroupSizes: histogram counts docs and groups per size") {
