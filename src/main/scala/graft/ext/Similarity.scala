@@ -374,7 +374,6 @@ object Similarity {
     * query-side lookup table IS this stream filtered to queries). */
   private def pqDists(embeddings: DataFrame, subspaces: Int,
       nCentroids: Int): DataFrame = {
-    require(nCentroids <= 16, "packed nibble codes need nCentroids <= 16")
     require(Dims % subspaces == 0, s"$subspaces must divide $Dims")
     val sub = Dims / subspaces
     val vecs = withNorms(embeddings).select(col("vec_id"), col("emb"))
@@ -399,12 +398,29 @@ object Similarity {
     dists.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
   }
 
+  /** Pack per-subspace assignments into the code word. Codebooks that
+    * fit 4 bits keep the nibble-weighted BIGINT (the original gate
+    * encoding); wider codebooks — production PQ is 256 centroids, one
+    * BYTE per subspace — emit two hex digits per subspace in subspace
+    * order instead, because a numeric pack of 8 byte-wide codes needs
+    * all 64 bits and the top byte would overflow a signed BIGINT
+    * multiply in both engines. Same packing text in the DuckDB twin. */
+  private def packCodes(asg: DataFrame, nCentroids: Int): DataFrame = {
+    val code =
+      if (nCentroids <= 16) sum(col("cid") * col("w")).as("pq_code")
+      else array_join(transform(
+        sort_array(collect_list(struct(col("s"), col("cid")))),
+        e => lpad(lower(hex(e.getField("cid"))), 2, "0")), "")
+        .as("pq_code")
+    asg.groupBy("vec_id")
+      .agg(code,
+        sum(floor(col("dist") * lit(1e9)).cast("long")).as("err_q"))
+  }
+
   def pqCodes(embeddings: DataFrame, subspaces: Int = 8,
       nCentroids: Int = 16): DataFrame =
-    pqAssign(pqDists(embeddings, subspaces, nCentroids))
-      .groupBy("vec_id")
-      .agg(sum(col("cid") * col("w")).as("pq_code"),
-        sum(floor(col("dist") * lit(1e9)).cast("long")).as("err_q"))
+    packCodes(pqAssign(pqDists(embeddings, subspaces, nCentroids)),
+      nCentroids)
 
   /** ADC (asymmetric distance computation) top-k over the PQ codes — how
     * a serving tier actually searches compressed vectors: the query stays
@@ -776,16 +792,12 @@ object Similarity {
 
   def pqTrainedCodes(embeddings: DataFrame, subspaces: Int = 8,
       nCentroids: Int = 16, iters: Int = 2): DataFrame = {
-    require(nCentroids <= 16, "packed nibble codes need nCentroids <= 16")
     require(Dims % subspaces == 0, s"$subspaces must divide $Dims")
     val vecs = withNorms(embeddings).select(col("vec_id"), col("emb"))
       .localCheckpoint(true)
     val points = subPoints(vecs, "emb", subspaces).localCheckpoint(true)
     val cbook = groupedLloyd(points, nCentroids, iters)
-    subRank(points, cbook).where(col("rn") === 1)
-      .groupBy("vec_id")
-      .agg(sum(col("cid") * col("w")).as("pq_code"),
-        sum(floor(col("dist") * lit(1e9)).cast("long")).as("err_q"))
+    packCodes(subRank(points, cbook).where(col("rn") === 1), nCentroids)
   }
 
   /** FULLY-TRAINED residual IVF-PQ — the production composition with
@@ -907,7 +919,7 @@ object Similarity {
        |points AS MATERIALIZED (${subBranchesSql("vecs", "emb", subspaces)}),
        |${groupedPqStagesSql(subspaces, nCentroids, iters)}
        |SELECT vec_id,
-       | CAST(sum(cid * w) AS BIGINT) AS pq_code,
+       | ${packCodeSql(nCentroids)},
        | CAST(sum(CAST(floor(dist * 1e9) AS BIGINT)) AS BIGINT) AS err_q
        |FROM fin WHERE rn = 1 GROUP BY vec_id
        |ORDER BY vec_id""".stripMargin.replace('\n', ' ')
@@ -1168,9 +1180,15 @@ object Similarity {
        | WHERE rn = 1)""".stripMargin.replace('\n', ' ')
   }
 
+  /** The code-packing aggregate of the PQ twins — the SQL half of
+    * [[packCodes]]'s width branch. */
+  private def packCodeSql(nCentroids: Int): String =
+    if (nCentroids <= 16) "CAST(sum(cid * w) AS BIGINT) AS pq_code"
+    else "string_agg(lpad(lower(hex(cid)), 2, '0'), '' ORDER BY s) AS pq_code"
+
   def pqCodesSql(subspaces: Int = 8, nCentroids: Int = 16): String =
     s"""WITH ${pqCtesSql(subspaces, nCentroids)}
-       |SELECT vec_id, CAST(sum(cid * w) AS BIGINT) AS pq_code,
+       |SELECT vec_id, ${packCodeSql(nCentroids)},
        | CAST(sum(CAST(floor(dist * 1e9) AS BIGINT)) AS BIGINT) AS err_q
        |FROM best GROUP BY vec_id
        |ORDER BY vec_id""".stripMargin.replace('\n', ' ')

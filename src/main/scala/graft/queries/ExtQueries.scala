@@ -155,6 +155,14 @@ object ExtQueries {
       (s, dir) => Similarity.pqCodes(embs(s, dir)).orderBy("vec_id"),
       Some(Similarity.pqCodesSql())),
 
+    // production-width PQ: 256 centroids = one BYTE per subspace (the
+    // FAISS default); codes pack as two hex digits per subspace because
+    // a numeric pack of 8 byte codes would overflow a signed 64-bit
+    Q("q_pq_code256",
+      (s, dir) => Similarity.pqCodes(embs(s, dir), nCentroids = 256)
+        .orderBy("vec_id"),
+      Some(Similarity.pqCodesSql(nCentroids = 256))),
+
     // TRAINED PQ codes: per-subspace codebooks learned by grouped Lloyd
     // (bit-exact trained quantizers; lower error than seed codebooks)
     Q("q_pq_trained_code",

@@ -670,6 +670,32 @@ class ExtSpec extends SparkSpec {
     assert(codes.forall(c => c >= 0 && c < (1L << 32)))
   }
 
+  test("pqCodes at 256 centroids: byte-wide hex codes, finer codebook lowers error (sf0.01)") {
+    // the production PQ width (one byte per subspace): codes become two
+    // hex digits per subspace, and the 16x finer codebook must strictly
+    // lower total quantization error vs the nibble-width baseline
+    val embs = Tables.table(spark, sf("sf0.01"), "embeddings")
+    def totalErr(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(org.apache.spark.sql.functions.sum("err_q")).head().getLong(0)
+    val narrow = totalErr(Similarity.pqCodes(embs, nCentroids = 16))
+    val wide256 = Similarity.pqCodes(embs, nCentroids = 256)
+    val wide = totalErr(wide256)
+    info(f"total quantization error: 16 centroids $narrow%d, " +
+      f"256 centroids $wide%d (${100.0 * (narrow - wide) / narrow}%.1f%% lower)")
+    assert(wide < narrow,
+      s"256-entry codebook did not lower error: $wide >= $narrow")
+    // byte-wide codes: 16 hex chars (2 per subspace), every byte a valid
+    // cid < 256, and codebook vectors reconstruct themselves exactly
+    val rows = wide256.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    rows.values.foreach { case (code, _) =>
+      assert(code.length === 16 && code.matches("[0-9a-f]{16}"), code)
+    }
+    val (selfCode, selfErr) = rows(7L) // a codebook vector
+    assert(selfErr === 0L, s"codebook vector err_q: $selfErr")
+    assert(selfCode === "07" * 8, s"codebook self-code: $selfCode")
+  }
+
   test("ivfTrainedTopK: exhaustive probing over trained cells equals exact L2 nearest") {
     val data = (0L until 40L).map(i =>
       i -> Seq.tabulate(64)(d => math.cos(i * 13 + d).toFloat))
