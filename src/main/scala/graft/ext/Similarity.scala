@@ -548,9 +548,12 @@ object Similarity {
     * (`Σ floor(x_d·1e6)`, exact at any accumulation order) and divides
     * once — so the trained centroids are bit-identical across engines,
     * partitionings, and cluster sizes, which float k-means never is.
-    * Init = the member seed vectors `vec_id < k`; a seed always assigns
-    * to itself (self-distance 0), so clusters are never empty and no
-    * empty-cluster repair branch exists to diverge.
+    * Init = the member seed vectors `vec_id < k`, so round 1 never has
+    * an empty cluster (a seed assigns to itself at distance 0) — but
+    * from round 2 centroids are means and a cluster CAN lose every
+    * member, so each round carries the previous centroid forward for
+    * empty clusters (left-join + coalesce, identically in the DuckDB
+    * twin): the trained table always holds exactly k centroids.
     *
     * Scale shape per round: assignment is a broadcast of k centroids
     * against a map-side corpus scan (argmin over a k-row explode); the
@@ -591,11 +594,17 @@ object Similarity {
           count(lit(1)).as("n"))
         .select(col("cid"), col("d"),
           (col("s").cast("double") / col("n") / lit(1e6)).as("m"))
-      cents = means.groupBy("cid")
+      val recomputed = means.groupBy("cid")
         .agg(sort_array(collect_list(struct(col("d"), col("m"))))
           .as("dm"))
         .select(col("cid"),
-          transform(col("dm"), e => e.getField("m")).as("cemb"))
+          transform(col("dm"), e => e.getField("m")).as("_new"))
+      // empty-cluster carry-forward: a cluster that lost every member
+      // has no mean row — keep its previous centroid so the trained
+      // table stays exactly k rows (r5 ADVICE; twin does the same)
+      cents = cents.join(recomputed, Seq("cid"), "left")
+        .select(col("cid"),
+          coalesce(col("_new"), col("cemb")).as("cemb"))
         .localCheckpoint(true)
     }
     (vecs, cents)
@@ -613,7 +622,10 @@ object Similarity {
           lit(0d), (a, x) => a + x).cast("long").as("csum_q"),
         aggregate(transform(col("cemb"), x => abs(floor(x * lit(1e6)))),
           lit(0d), (a, x) => a + x).cast("long").as("cl1_q"))
-      .join(members, "cid")
+      // LEFT join: an empty (carried-forward) cluster still reports,
+      // with n_members 0 — the trained table is always exactly k rows
+      .join(members, Seq("cid"), "left")
+      .withColumn("n_members", coalesce(col("n_members"), lit(0L)))
   }
 
   /** IVF search over TRAINED cells — [[ivfTopK]]'s serving shape with
@@ -674,17 +686,24 @@ object Similarity {
          |    ORDER BY ${l2ChainSql("v", "emb", "c", "cemb")}, c.cid) AS rn
          |  FROM vecs v CROSS JOIN $centsRel c)
          | WHERE rn = 1)""".stripMargin.replace('\n', ' ')
+    // empty-cluster carry-forward (r5 ADVICE): n$i holds only clusters
+    // with members; c$i left-joins it to the previous table so every
+    // round keeps exactly k centroids, mirroring the Spark loop
     val stages = (1 to iters).map { i =>
       s"""${assignSql(s"a$i", s"c${i - 1}")},
          |e$i AS MATERIALIZED (SELECT a.cid,
          |  generate_subscripts(v.emb, 1) AS d, unnest(v.emb) AS x
          | FROM vecs v JOIN a$i a USING (vec_id)),
-         |c$i AS MATERIALIZED (SELECT cid, list(m ORDER BY d) AS cemb FROM (
+         |n$i AS MATERIALIZED (SELECT cid, list(m ORDER BY d) AS cemb FROM (
          |  SELECT cid, d,
          |   CAST(sum(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE)
          |     / count(*) / 1e6 AS m
          |  FROM e$i GROUP BY cid, d)
-         | GROUP BY cid)""".stripMargin.replace('\n', ' ')
+         | GROUP BY cid),
+         |c$i AS MATERIALIZED (SELECT p.cid,
+         |  coalesce(n.cemb, p.cemb) AS cemb
+         | FROM c${i - 1} p LEFT JOIN n$i n ON n.cid = p.cid)"""
+        .stripMargin.replace('\n', ' ')
     }.mkString(", ")
     s"""vecs AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |c0 AS MATERIALIZED (SELECT vec_id AS cid, emb AS cemb FROM vecs WHERE vec_id < $k),
@@ -705,8 +724,8 @@ object Similarity {
        |   x -> floor(x * 1e6))) AS BIGINT) AS csum_q,
        | CAST(list_sum(list_transform(c.cemb,
        |   x -> abs(floor(x * 1e6)))) AS BIGINT) AS cl1_q,
-       | m.n_members
-       |FROM c$iters c JOIN members m USING (cid)
+       | CAST(coalesce(m.n_members, 0) AS BIGINT) AS n_members
+       |FROM c$iters c LEFT JOIN members m USING (cid)
        |ORDER BY c.cid""".stripMargin.replace('\n', ' ')
 
   def ivfTrainedTopKSql(kCells: Int = 8, iters: Int = 2, nProbe: Int = 2,
@@ -781,10 +800,14 @@ object Similarity {
           count(lit(1)).as("n"))
         .select(col("s"), col("cid"), col("d"),
           (col("q").cast("double") / col("n") / lit(1e6)).as("m"))
-      cbook = means.groupBy("s", "cid")
+      val recomputed = means.groupBy("s", "cid")
         .agg(sort_array(collect_list(struct(col("d"), col("m")))).as("dm"))
         .select(col("s"), col("cid"),
-          transform(col("dm"), e => e.getField("m")).as("cv"))
+          transform(col("dm"), e => e.getField("m")).as("_new"))
+      // same empty-cluster carry-forward as kmeansLoop, per (s, cid)
+      cbook = cbook.join(recomputed, Seq("s", "cid"), "left")
+        .select(col("s"), col("cid"),
+          coalesce(col("_new"), col("cv")).as("cv"))
         .localCheckpoint(true)
     }
     cbook
@@ -894,18 +917,24 @@ object Similarity {
          |   ${subChainSql(sub, "p", "sv", "c", "cv")} AS dist
          |  FROM points p JOIN $cbRel c ON c.s = p.s))""".stripMargin
         .replace('\n', ' ')
+    // per-(s, cid) empty-cluster carry-forward, as kmeansCtesSql
     val stages = (1 to iters).map { i =>
       s"""${rankSql(s"r$i", s"cb${i - 1}")},
          |m$i AS MATERIALIZED (SELECT a.s, a.cid,
          |  generate_subscripts(p.sv, 1) AS d, unnest(p.sv) AS x
          | FROM points p JOIN (SELECT vec_id, s, cid FROM r$i WHERE rn = 1) a
          |  ON a.vec_id = p.vec_id AND a.s = p.s),
-         |cb$i AS MATERIALIZED (SELECT s, cid, list(m ORDER BY d) AS cv FROM (
+         |nb$i AS MATERIALIZED (SELECT s, cid, list(m ORDER BY d) AS cv FROM (
          |  SELECT s, cid, d,
          |   CAST(sum(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE)
          |     / count(*) / 1e6 AS m
          |  FROM m$i GROUP BY s, cid, d)
-         | GROUP BY s, cid)""".stripMargin.replace('\n', ' ')
+         | GROUP BY s, cid),
+         |cb$i AS MATERIALIZED (SELECT p.s, p.cid,
+         |  coalesce(n.cv, p.cv) AS cv
+         | FROM cb${i - 1} p LEFT JOIN nb$i n
+         |  ON n.s = p.s AND n.cid = p.cid)""".stripMargin
+        .replace('\n', ' ')
     }.mkString(", ")
     s"""cb0 AS MATERIALIZED (SELECT s, vec_id AS cid, sv AS cv FROM points
        |  WHERE vec_id < $nCentroids),

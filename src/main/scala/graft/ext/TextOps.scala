@@ -259,13 +259,18 @@ object TextOps {
       explode(regexp_extract_all(col("text"), lit("."), lit(0))).as("ch"))
       .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    // widen c BEFORE the multiply: c * lnQ at c ~ 3e5 repeats of one
+    // char approaches Long.Max — a 64-bit product would wrap in Spark
+    // and raise in DuckDB (r5 ADVICE); decimal×decimal stays exact
     counts.withColumn("n", sum(col("c")).over(w))
       .select(col("doc_id"), col("n"),
-        (col("c") * floor(log(col("c").cast("double") /
-          col("n").cast("double")) * 1e12).cast("long")).as("t"))
+        (col("c").cast("decimal(38,0)") *
+          floor(log(col("c").cast("double") /
+            col("n").cast("double")) * 1e12).cast("long")
+            .cast("decimal(38,0)")).as("t"))
       .groupBy("doc_id")
       .agg(max(col("n")).as("n_chars"),
-        sum(col("t").cast("decimal(38,0)")).cast("double").as("_s"))
+        sum(col("t")).cast("double").as("_s"))
       .select(col("doc_id"), col("n_chars"),
         (-col("_s") / 1e12 / col("n_chars").cast("double")).as("entropy"))
   }
@@ -277,8 +282,8 @@ object TextOps {
       |wn AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n
       | FROM counts)
       |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
-      | -CAST(sum(CAST(c * CAST(floor(ln(CAST(c AS DOUBLE)
-      |     / CAST(n AS DOUBLE)) * 1e12) AS BIGINT) AS HUGEINT)) AS DOUBLE)
+      | -CAST(sum(CAST(c AS HUGEINT) * CAST(floor(ln(CAST(c AS DOUBLE)
+      |     / CAST(n AS DOUBLE)) * 1e12) AS BIGINT)) AS DOUBLE)
       |  / 1e12 / CAST(max(n) AS DOUBLE) AS entropy
       |FROM wn GROUP BY doc_id ORDER BY doc_id""".stripMargin
       .replace('\n', ' ')
@@ -410,7 +415,9 @@ object TextOps {
         col("freq"))
       .localCheckpoint(true)
     val out = Seq.newBuilder[(Int, String, String, Long)]
-    for (rank <- 1 to k) {
+    var rank = 1
+    var exhausted = false
+    while (rank <= k && !exhausted) {
       val syms = split(trim(col("sym")), " ")
       val top = words
         .select(col("freq"), explode(when(size(syms) >= 2,
@@ -422,17 +429,27 @@ object TextOps {
         .orderBy(col("cnt").desc, col("pair"))
         .limit(1)
         .as[(String, Long)].collect()
-      require(top.nonEmpty, s"vocabulary exhausted before merge $rank")
-      val (pair, cnt) = top.head
-      val merged = pair.replace(" ", "")
-      out += ((rank, pair, merged, cnt))
-      // plain substring replace (never regex — symbols may carry regex
-      // metachars); two-pass = exact greedy application (see scaladoc)
-      def rep1(c: Column): Column = call_function("replace", c,
-        lit(s" $pair "), lit(s" $merged "))
-      words = words.select(col("term"),
-        rep1(rep1(col("sym"))).as("sym"), col("freq"))
-        .localCheckpoint(true)
+      if (top.isEmpty) {
+        // vocabulary exhausted (every word fully merged): stop with the
+        // merges learned so far — the DuckDB twin's empty-winner stages
+        // pass the vocab through unchanged, so both engines agree on
+        // the short merge table AND the final segmentation (r5 ADVICE:
+        // the old `require` threw here while the twin silently wiped
+        // the vocab via a CROSS JOIN against the empty winner)
+        exhausted = true
+      } else {
+        val (pair, cnt) = top.head
+        val merged = pair.replace(" ", "")
+        out += ((rank, pair, merged, cnt))
+        // plain substring replace (never regex — symbols may carry regex
+        // metachars); two-pass = exact greedy application (see scaladoc)
+        def rep1(c: Column): Column = call_function("replace", c,
+          lit(s" $pair "), lit(s" $merged "))
+        words = words.select(col("term"),
+          rep1(rep1(col("sym"))).as("sym"), col("freq"))
+          .localCheckpoint(true)
+        rank += 1
+      }
     }
     (out.result(), words)
   }
@@ -504,10 +521,14 @@ object TextOps {
          |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
          |  FROM (${pairsOf(prev)}) GROUP BY pair
          |  ORDER BY cnt DESC, pair LIMIT 1)),
-         |w$i AS (SELECT w.term, replace(replace(w.sym,
-         |   ' ' || m.pair || ' ', ' ' || m.merged || ' '),
-         |   ' ' || m.pair || ' ', ' ' || m.merged || ' ') AS sym, w.freq
-         | FROM $prev w CROSS JOIN m$i m)""".stripMargin.replace('\n', ' ')
+         |w$i AS (SELECT w.term,
+         |  CASE WHEN m.pair IS NULL THEN w.sym
+         |   ELSE replace(replace(w.sym,
+         |    ' ' || m.pair || ' ', ' ' || m.merged || ' '),
+         |    ' ' || m.pair || ' ', ' ' || m.merged || ' ') END AS sym,
+         |  w.freq
+         | FROM $prev w LEFT JOIN m$i m ON true)""".stripMargin
+        .replace('\n', ' ')
     }.mkString(", ")
     s"""toks AS ($tokensSql),
        |w0 AS (SELECT term,

@@ -38,8 +38,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * into place, append the catalog record, and only then delete the local
   * file (when `removeLocal`) — a crash at any point leaves either the
   * local file, or both copies plus a catalog row, never an unrecorded
-  * deletion. Re-running after a crash between rename and delete skips the
-  * copy (same-length dest), appends nothing, and completes the delete.
+  * deletion. Re-running after a crash between rename and delete verifies
+  * the dest checksum against the local bytes, skips the copy when they
+  * match, repairs the catalog row, and completes the delete. A local
+  * file MODIFIED after its archival (even at identical size) is detected
+  * by mtime-vs-catalog-row comparison and re-archived — size equality
+  * alone is not an identity check (r5 ADVICE).
   * The local delete (the only reader-visible mutation) runs under
   * `swapLock` — pass the Engine when archiving a live folder, same
   * reader-exclusion contract as [[graft.sources.Compaction]].
@@ -88,37 +92,71 @@ final class Archiver(spark: SparkSession, srcDir: String, destUri: String,
     val t0 = System.currentTimeMillis()
     val dest = new HPath(destUri, rel)
     val size = f.length
-    val alreadyArchived =
+    val sameSize =
       fs.exists(dest) && fs.getFileStatus(dest).getLen == size
-    val md5hex = if (alreadyArchived) "" else fileMd5(f)
-    if (!alreadyArchived) {
+    val rowMs = catalogArchivedMs(fs, rel)
+    def finish(md5hex: String, copied: Boolean): ArchiveRecord = {
+      val removed = removeLocal && swapLock.synchronized(f.delete())
+      ArchiveRecord(rel, size, md5hex, dest.toString, t0,
+        System.currentTimeMillis(), copied, removed)
+    }
+    def copyAndCatalog(): ArchiveRecord = {
+      val md5hex = fileMd5(f)
       val tmp = new HPath(destUri, rel + ".inprogress")
       fs.mkdirs(dest.getParent)
       val out = fs.create(tmp, true)
       try java.nio.file.Files.copy(f.toPath, out) finally out.close()
       require(fs.getFileStatus(tmp).getLen == size,
         s"archive length mismatch for $rel")
-      fs.delete(dest, false) // re-archive after partial: replace
+      fs.delete(dest, false) // re-archive after partial/changed: replace
       require(fs.rename(tmp, dest), s"archive rename failed for $rel")
       // catalog row BEFORE any local delete: a crash later never leaves
       // an archived-but-unrecorded (or deleted-but-unrecorded) file
       appendMeta(fs, rel, size, md5hex, dest.toString, t0,
         overwrite = true)
-    } else {
-      // Repair the rename→appendMeta crash window: the dest file exists
-      // but its catalog row may not (a crash in the gap would otherwise
-      // let the local delete below produce an archived-but-unrecorded
-      // file). The catalog part name is deterministic per rel path, so
-      // this is a cheap create-if-absent, a no-op on the common path.
-      // md5 is BY-NAME: computed from the still-present local file only
-      // when the row is actually missing — a repair row with an empty
-      // checksum would permanently degrade the catalog it repairs.
-      appendMeta(fs, rel, size, fileMd5(f), dest.toString, t0,
-        overwrite = false)
+      finish(md5hex, copied = true)
     }
-    val removed = removeLocal && swapLock.synchronized(f.delete())
-    ArchiveRecord(rel, size, md5hex, dest.toString, t0,
-      System.currentTimeMillis(), copied = !alreadyArchived, removed)
+    if (sameSize && rowMs.exists(ms => f.lastModified() <= ms)) {
+      // cheap common path: dest has the bytes and the catalog row
+      // postdates the local file's last modification — size alone can
+      // collide on changed content (r5 ADVICE); mtime-vs-row detects
+      // that without hashing anything
+      finish("", copied = false)
+    } else if (sameSize && rowMs.isEmpty) {
+      // Repair the rename→appendMeta crash window: the dest file exists
+      // but its catalog row does not (a crash in the gap would otherwise
+      // let the local delete below produce an archived-but-unrecorded
+      // file). The repair row must describe the ARCHIVED bytes, so the
+      // destination object is checksummed and compared to the local
+      // file: equal → create-if-absent row with the verified checksum;
+      // different (content changed at identical size while the row was
+      // missing) → fall through to a full re-archive.
+      val localMd5 = fileMd5(f)
+      if (destMd5(fs, dest) == localMd5) {
+        appendMeta(fs, rel, size, localMd5, dest.toString, t0,
+          overwrite = false)
+        finish(localMd5, copied = false)
+      } else copyAndCatalog()
+    } else {
+      // fresh file, size mismatch, or local modified after its catalog
+      // row (changed-content-same-size) → (re-)archive
+      copyAndCatalog()
+    }
+  }
+
+  /** `archivedMs` of the catalog row for `rel`, if the row exists — the
+    * deterministic per-path part name makes this one tiny read. */
+  private def catalogArchivedMs(fs: FileSystem, rel: String): Option[Long] = {
+    val part = new HPath(new HPath(metaDir),
+      s"meta-${graft.functions.md5Hex(rel.getBytes("UTF-8"))}.json")
+    if (!fs.exists(part)) None
+    else {
+      val in = fs.open(part)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      "\"archivedMs\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+    }
   }
 
   /** Archive EVERYTHING still local, regardless of size — the reference's
@@ -201,9 +239,16 @@ final class Archiver(spark: SparkSession, srcDir: String, destUri: String,
     } finally out.close()
   }
 
-  private def fileMd5(f: java.io.File): String = {
+  private def fileMd5(f: java.io.File): String =
+    streamMd5(java.nio.file.Files.newInputStream(f.toPath))
+
+  /** md5 of the archived destination object (read through the Hadoop
+    * FS — works on any scheme the archive targets). */
+  private def destMd5(fs: FileSystem, p: HPath): String =
+    streamMd5(fs.open(p))
+
+  private def streamMd5(in: java.io.InputStream): String = {
     val md = MessageDigest.getInstance("MD5")
-    val in = java.nio.file.Files.newInputStream(f.toPath)
     try {
       val buf = new Array[Byte](64 * 1024)
       var n = in.read(buf)

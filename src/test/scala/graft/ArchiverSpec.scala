@@ -34,6 +34,37 @@ class ArchiverSpec extends SparkSpec {
       Array.fill[Byte](4096)(7).toSeq)
   }
 
+  test("changed content at identical size is re-archived (mtime vs catalog row)") {
+    val (src, dest) = mkTree()
+    val first = new Archiver(spark, src, dest, minFileSize = 1024,
+      removeLocal = false).scanOnce()
+    assert(first.head.copied)
+    // overwrite the local file with DIFFERENT bytes, same 4096 size, and
+    // force the mtime past the catalog row's archivedMs
+    val local = Paths.get(src, "book1", "big.parquet")
+    Files.write(local, Array.fill[Byte](4096)(9))
+    local.toFile.setLastModified(System.currentTimeMillis() + 5000)
+    val second = new Archiver(spark, src, dest, minFileSize = 1024,
+      removeLocal = false).scanOnce()
+    assert(second.head.copied,
+      "size-only identity must not skip a changed file")
+    // dest and catalog both describe the NEW bytes
+    val destFile = Paths.get(dest.stripPrefix("file://"),
+      "book1", "big.parquet")
+    assert(Files.readAllBytes(destFile).toSeq ===
+      Array.fill[Byte](4096)(9).toSeq)
+    val newMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.fill[Byte](4096)(9)).map("%02x".format(_)).mkString
+    val rows = new Archiver(spark, src, dest, minFileSize = 1024)
+      .metadata().collect()
+    assert(rows.length === 1 && rows.head.getAs[String]("md5") === newMd5)
+    // untouched after the re-archive: third sweep is a cheap skip
+    local.toFile.setLastModified(System.currentTimeMillis() - 5000)
+    val third = new Archiver(spark, src, dest, minFileSize = 1024,
+      removeLocal = false).scanOnce()
+    assert(!third.head.copied)
+  }
+
   test("removeLocal deletes the local copy only after the verified copy") {
     val (src, dest) = mkTree()
     val a = new Archiver(spark, src, dest, minFileSize = 1024)

@@ -576,6 +576,22 @@ class ExtSpec extends SparkSpec {
     assert(out === Map(3L -> ((1L, 3L)), 1L -> ((2L, 2L))))
   }
 
+  test("bpeMerges: vocab exhaustion stops training early instead of throwing") {
+    import graft.ext.TextOps
+    // "ab ab" admits exactly ONE merge; asking for 5 must return the one
+    // learned row (the twin's empty-winner stages pass the vocab through,
+    // so both engines agree on the short table and the segmentation)
+    val docs = docsDf((1L, "ab ab"))
+    val m = TextOps.bpeMerges(docs, k = 5).collect()
+    assert(m.length === 1 && m.head.getString(1) === "a b")
+    val seg = TextOps.bpeSegment(docs, k = 5).collect()
+    assert(seg.length === 1 && seg.head.getString(3) === "ab")
+    // single-symbol corpus: zero merges, vocabulary intact
+    val none = docsDf((1L, "a b c a"))
+    assert(TextOps.bpeMerges(none, k = 3).collect().isEmpty)
+    assert(TextOps.bpeSegment(none, k = 3).collect().length === 3)
+  }
+
   test("bpeMerges: classic low/lower/lowest merges, freq weighting, overlap runs") {
     import graft.ext.TextOps
     // the Sennrich walkthrough: ties break on pair text ("l o" beats
@@ -694,6 +710,32 @@ class ExtSpec extends SparkSpec {
     val (selfCode, selfErr) = rows(7L) // a codebook vector
     assert(selfErr === 0L, s"codebook vector err_q: $selfErr")
     assert(selfCode === "07" * 8, s"codebook self-code: $selfCode")
+  }
+
+  test("kmeansCentroids: emptied cluster carries its centroid forward, reports 0 members") {
+    // 1-D geometry (dim 0, rest zero) where cluster 1 loses EVERY member
+    // in round 2: seed v1=10 defects to c0 (whose round-1 mean ~4.94 is
+    // nearer than c1's own mean 16.6), and the two 19.9 points defect to
+    // c2 (round-1 mean 21.2). Pre-fix the groupBy silently dropped c1.
+    def pt(id: Long, x: Float) =
+      id -> (x +: Seq.fill(63)(0f))
+    val data = Seq(pt(0L, 0f), pt(1L, 10f), pt(2L, 30f)) ++
+      (3L to 102L).map(pt(_, 4.99f)) ++          // crowd A -> c0
+      Seq(pt(103L, 19.9f), pt(104L, 19.9f)) ++   // round-1 c1, then c2
+      (105L to 112L).map(pt(_, 20.1f))           // crowd B -> c2
+    val embs = embsDf(data: _*)
+    def byCid(iters: Int) =
+      Similarity.kmeansCentroids(embs, k = 3, iters = iters).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    val r1 = byCid(1)
+    val r2 = byCid(2)
+    assert(r2.size === 3, s"empty cluster dropped from trained table: $r2")
+    assert(r2(1L)._2 === 0L, s"c1 should have no members: ${r2(1L)}")
+    // carry-forward: c1's round-2 centroid IS its round-1 mean
+    assert(r2(1L)._1 === r1(1L)._1,
+      s"c1 centroid not carried forward: ${r2(1L)._1} vs ${r1(1L)._1}")
+    // non-empty clusters keep training normally (c0's mean moved)
+    assert(r2(0L)._1 !== r1(0L)._1)
   }
 
   test("ivfTrainedTopK: exhaustive probing over trained cells equals exact L2 nearest") {
