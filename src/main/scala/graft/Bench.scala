@@ -98,8 +98,17 @@ object Bench {
       k -> (if (cold < 0) w else if (w < 0) cold else math.min(cold, w))
     }
     val totalMin = minQ.map(_._2).filter(_ >= 0).sum
+    // per-group totals (core = reference surface, ext = pipeline ops) so
+    // future regressions localize to a group in cross-round diffs
+    val groupTotals = {
+      val minByName = minQ.toMap
+      SparkEntry.registryGroups.map { case (g, qs2) =>
+        val t = qs2.flatMap(q => minByName.get(q.name)).filter(_ >= 0).sum
+        "\"" + g + "_min_sec\":" + f"$t%.3f"
+      }.mkString(",")
+    }
     val line =
-      f"""{"metric":"total_query_seconds","value":$total%.3f,"unit":"sec","queries":$qs,"queries_warm":${render(warm)},"total_warm_sec":$totalWarm%.3f,"queries_min":${render(minQ)},"total_min_sec":$totalMin%.3f,"storage_bytes_per_event":$densityBpe%.2f,"calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f,"sf":"$sfDir"}"""
+      f"""{"metric":"total_query_seconds","value":$total%.3f,"unit":"sec","queries":$qs,"queries_warm":${render(warm)},"total_warm_sec":$totalWarm%.3f,"queries_min":${render(minQ)},"total_min_sec":$totalMin%.3f,$groupTotals,"storage_bytes_per_event":$densityBpe%.2f,"calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f,"sf":"$sfDir"}"""
     println(line)
     // ALSO write the line to a file: the driver's stdout tail-capture
     // truncated BENCH_r04 ("parsed": null) — a file can't be truncated by

@@ -18,6 +18,15 @@ object SparkEntry {
     TickQueries.all ++ BarQueries.all ++ BookQueries.all ++
       RelationalQueries.all ++ ExtQueries.all
 
+  /** Registry partitioned for the bench's per-group totals: `core` =
+    * the reference's own operator surface (ticks/bars/books/relational),
+    * `ext` = the training-data-pipeline extensions. Regressions localize
+    * to a group as the suite grows (VERDICT r5 #8). */
+  def registryGroups: Seq[(String, Seq[Q])] = Seq(
+    "core" -> (TickQueries.all ++ BarQueries.all ++ BookQueries.all ++
+      RelationalQueries.all),
+    "ext" -> ExtQueries.all)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's minimum end-to-end slice (SURVEY §7.2): 1-minute OHLCV
     * bars over the tick stream. */
