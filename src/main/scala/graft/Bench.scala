@@ -39,7 +39,12 @@ object Bench {
     }
     val calibStart = calibrate()
 
-    def sweep(): Seq[(String, Double)] = SparkEntry.registry.map { q =>
+    // optional comma-separated name filter for isolated A/B timing runs
+    // (the driver sets no filter -> full sweep)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    def sweep(): Seq[(String, Double)] = SparkEntry.registry
+      .filter(q => only.forall(_.contains(q.name))).map { q =>
       val t0 = System.nanoTime()
       val ok =
         try {
