@@ -393,6 +393,35 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
   }
 
+  /** Scalar twin of [[simhash]] — one document's 64-bit hash, the exact
+    * bit mapping of the DataFrame op (bit b votes from hex nibble b/4,
+    * mask 1 << (b%4), of md5(word); bit set iff the tf-weighted vote sum
+    * is strictly positive). Used by the streaming dedup path, where the
+    * hash must exist BEFORE the band-keyed shuffle, and by specs as the
+    * independent replay oracle. */
+  def simhash64(text: String): Long = {
+    val words = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val tf = new scala.collection.mutable.HashMap[String, Long]()
+    words.foreach(w => tf.update(w, tf.getOrElse(w, 0L) + 1L))
+    val sums = new Array[Long](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    tf.foreach { case (w, f) =>
+      md.reset()
+      val h = md.digest(w.getBytes("UTF-8"))
+      var b = 0
+      while (b < 64) {
+        // hex nibble b/4 of the digest: high nibble of byte b/8 first —
+        // the same character order substring() sees
+        val byte = h(b / 8) & 0xff
+        val nib = if ((b / 4) % 2 == 0) byte >> 4 else byte & 0xf
+        if ((nib & (1 << (b % 4))) != 0) sums(b) += f else sums(b) -= f
+        b += 1
+      }
+    }
+    (0 until 64).map(b => if (sums(b) > 0) 1L << b else 0L)
+      .foldLeft(0L)(_ | _)
+  }
+
   /** Band width (bits) as a function of corpus size — the simhash twin of
     * [[Similarity.planesFor]]: each band has 2^w buckets, expected bucket
     * occupancy n/2^w, and the band self-join is O(nBands · n²/2^w)

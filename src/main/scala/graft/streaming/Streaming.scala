@@ -233,6 +233,101 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Streaming EXACT dedup on a document stream — the ingest-time twin of
+    * [[graft.ext.Dedup.exactDedup]]: state per content hash (md5 of the
+    * text) is ONE long (the keeper's doc id), so state grows with the
+    * number of DISTINCT documents, not the stream. Emits a decision per
+    * arriving doc: keep (first arrival of its content) or drop (with the
+    * keeper recorded). Within a micro-batch rows process in doc_id order,
+    * so a single-batch replay of an id-ordered corpus reproduces the
+    * batch operator's min-id keeper exactly; across batches the keeper is
+    * the FIRST-ARRIVED doc — the inherent streaming semantics (an emitted
+    * keep decision cannot be retracted in append mode), same arrival-
+    * order stance as [[streamingTokenBudget]]. */
+  case class DedupDecision(doc_id: Long, keeper: Long, keep: Boolean)
+
+  def streamingExactDedup(docs: Dataset[(Long, String)])
+      : Dataset[DedupDecision] = {
+    import docs.sparkSession.implicits._
+    def fn(hash: String, rows: Iterator[(String, Long)],
+        state: GroupState[Long]): Iterator[DedupDecision] = {
+      var keeper = state.getOption
+      val out = rows.map(_._2).toSeq.sorted.map { id =>
+        keeper match {
+          case None =>
+            keeper = Some(id); DedupDecision(id, id, keep = true)
+          case Some(k) =>
+            DedupDecision(id, k, keep = id == k)
+        }
+      }
+      keeper.foreach(state.update)
+      out.iterator
+    }
+    docs.map { case (id, text) =>
+      (graft.functions.md5Hex(text.getBytes("UTF-8")), id)
+    }.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Streaming SimHash near-dup detection — the ingest-time twin of
+    * [[graft.ext.Dedup.simhashNearDup]]: each arriving document hashes
+    * map-side ([[graft.ext.Dedup.simhash64]], the scalar twin of the
+    * batch op's bit mapping), fans out to its 64/`bandBits` band keys,
+    * and the stateful stage — keyed on the PACKED (band, value) bucket,
+    * exactly the batch op's blocking key — compares it against the
+    * bucket's members by exact XOR popcount, emitting every pair within
+    * `maxHamming`. Same pigeonhole completeness guarantee as the batch
+    * op (enforced), evaluated incrementally.
+    *
+    * State per bucket = the member (doc_id, simhash) list: 16 bytes per
+    * member, bounded by bucket occupancy — with [[graft.ext.Dedup
+    * .bandBitsFor]] widths that is ~targetBucket (64) members per
+    * bucket, NOT the stream length; `bucket_n` carries the post-insert
+    * occupancy so callers (and the spec's state-size gate) can audit the
+    * bound live. A pair sharing several bands emits once per shared band
+    * (identical rows — the batch op's pre-distinct candidate multiset);
+    * consumers dedup downstream exactly as the batch op's `.distinct()`. */
+  case class SimPair(doc_a: Long, doc_b: Long, hamming: Long, bucket_n: Int)
+
+  def streamingSimhashNearDup(docs: Dataset[(Long, String)],
+      bandBits: Int = 8, maxHamming: Int = 2): Dataset[SimPair] = {
+    import docs.sparkSession.implicits._
+    require(64 % bandBits == 0, s"bandBits $bandBits must divide 64")
+    val nBands = 64 / bandBits
+    require(maxHamming <= nBands - 1,
+      s"banding with $nBands bands is only complete for Hamming <= ${nBands - 1}")
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    def fn(bucket: Long, rows: Iterator[(Long, Long, Long)],
+        state: GroupState[List[(Long, Long)]]): Iterator[SimPair] = {
+      var members = state.getOption.getOrElse(List.empty)
+      val out = Seq.newBuilder[SimPair]
+      rows.toSeq.sortBy(_._2).foreach { case (_, id, h) =>
+        if (!members.exists(_._1 == id)) { // replayed frame: no self-pairs
+          members.foreach { case (oid, oh) =>
+            val ham = java.lang.Long.bitCount(oh ^ h).toLong
+            if (ham <= maxHamming)
+              out += SimPair(math.min(oid, id), math.max(oid, id), ham,
+                members.size + 1)
+          }
+          members = (id, h) :: members
+        }
+      }
+      state.update(members)
+      out.result().iterator
+    }
+    docs.flatMap { case (id, text) =>
+      val h = graft.ext.Dedup.simhash64(text)
+      // packed bucket key: band index in the high bits, the (≤32-bit)
+      // band value in the low 32 — collision-free for every bandBits
+      (0 until nBands).map { b =>
+        ((b.toLong << 32) | ((h >>> (bandBits * b)) & mask), id, h)
+      }
+    }.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** The C4/Gopher document filter on a STREAM of documents — the corpus
     * ingest path run incrementally instead of as a batch job.
     *

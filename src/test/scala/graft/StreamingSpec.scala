@@ -221,4 +221,85 @@ class StreamingSpec extends SparkSpec {
     assert(Streaming.subscribe(spark.createDataset(ups), "a")
       .collect().map(_.symbol).toSeq === Seq("a"))
   }
+
+  // near-dup streaming corpus: exact dup pair (1,2), near pair (3 vs 1/2),
+  // disjoint vocab (4), and a second wave with another copy (5) plus noise
+  private val nearDupDocs = Seq(
+    1L -> "alpha beta gamma delta epsilon",
+    2L -> "alpha beta gamma delta epsilon",
+    3L -> "alpha beta gamma delta zeta",
+    4L -> "omega psi chi phi upsilon")
+  private val nearDupWave2 = Seq(
+    5L -> "alpha beta gamma delta epsilon",
+    6L -> "totally different words here")
+
+  test("streaming simhash near-dup ≡ batch pair set, including cross-batch pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val pairs = Streaming.streamingSimhashNearDup(in.toDS(),
+      bandBits = 4, maxHamming = 15)
+    val q = pairs.writeStream.outputMode("append")
+      .format("memory").queryName("spairs").start()
+    in.addData(nearDupDocs: _*)
+    q.processAllAvailable()
+    in.addData(nearDupWave2: _*) // doc 5 pairs with docs 1/2 from batch 1
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("spairs").as[Streaming.SimPair].collect()
+    val gotSet = got.map(p => (p.doc_a, p.doc_b, p.hamming)).toSet
+    val batch = graft.ext.Dedup.simhashNearDup(
+      (nearDupDocs ++ nearDupWave2).toDF("doc_id", "text"),
+      bandBits = 4, maxHamming = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotSet === batch, s"streamed $gotSet vs batch $batch")
+    // the cross-batch pair (1,5) can only exist through carried state
+    assert(gotSet.contains((1L, 5L, 0L)), "cross-batch pair lost")
+    // state-size gate: no bucket ever held more members than the true
+    // per-(band,value) occupancy of the full corpus
+    val all = nearDupDocs ++ nearDupWave2
+    val maxOcc = all
+      .map { case (_, t) => graft.ext.Dedup.simhash64(t) }
+      .flatMap(h => (0 until 16).map(b => (b, (h >>> (4 * b)) & 15L)))
+      .groupBy(identity).values.map(_.size).max
+    assert(got.map(_.bucket_n).max <= maxOcc,
+      s"bucket state exceeded true occupancy $maxOcc")
+  }
+
+  test("scalar simhash64 ≡ DataFrame simhash bit-for-bit") {
+    import spark.implicits._
+    val docs = (nearDupDocs ++ nearDupWave2) :+ (7L -> "") :+
+      (8L -> "  MiXeD   Case  words mixed case WORDS  ")
+    val df = graft.ext.Dedup.simhash(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.foreach { case (id, t) =>
+      assert(df(id) === graft.ext.Dedup.simhash64(t), s"doc $id <$t>")
+    }
+  }
+
+  test("streaming exact dedup: first arrival keeps, replays and dups drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.streamingExactDedup(in.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sdedup").start()
+    in.addData(1L -> "same text", 2L -> "same text", 3L -> "other")
+    q.processAllAvailable()
+    in.addData(4L -> "same text", 3L -> "other") // late dup + replayed id
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sdedup").as[Streaming.DedupDecision].collect()
+      .map(d => d.doc_id -> ((d.keeper, d.keep))).toMap
+    assert(got(1L) === ((1L, true)))   // min-id keeper in the id-sorted batch
+    assert(got(2L) === ((1L, false)))
+    assert(got(3L) === ((3L, true)))   // replay of the keeper stays kept
+    assert(got(4L) === ((1L, false))) // cross-batch dup sees batch-1 keeper
+    // single-batch replay of the id-ordered corpus == batch keeper choice
+    val batchKeepers = graft.ext.Dedup.exactDedup(
+      Seq(1L -> "same text", 2L -> "same text", 3L -> "other")
+        .toDF("doc_id", "text"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(batchKeepers.values.toSet === Set(1L, 3L))
+  }
 }
