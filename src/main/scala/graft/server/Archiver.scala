@@ -50,7 +50,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class Archiver(spark: SparkSession, srcDir: String, destUri: String,
     minFileSize: Long = 1L << 20, removeLocal: Boolean = true,
-    swapLock: AnyRef = new AnyRef) {
+    swapLock: java.util.concurrent.locks.Lock =
+      new java.util.concurrent.locks.ReentrantLock()) {
 
   /** `copied` = the bytes moved THIS sweep (false: dest already had
     * them, md5 not recomputed); `removed` = local delete performed. */
@@ -96,7 +97,10 @@ final class Archiver(spark: SparkSession, srcDir: String, destUri: String,
       fs.exists(dest) && fs.getFileStatus(dest).getLen == size
     val rowMs = catalogArchivedMs(fs, rel)
     def finish(md5hex: String, copied: Boolean): ArchiveRecord = {
-      val removed = removeLocal && swapLock.synchronized(f.delete())
+      val removed = removeLocal && {
+        swapLock.lock()
+        try f.delete() finally swapLock.unlock()
+      }
       ArchiveRecord(rel, size, md5hex, dest.toString, t0,
         System.currentTimeMillis(), copied, removed)
     }

@@ -53,6 +53,20 @@ final class Engine(spark: SparkSession, dtfFolder: String,
   /** Live TCP connections, maintained by [[TcpServer.handle]] (INFO's
     * `clis`). */
   val connections = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Reader/swapper gate (VERDICT r5 #7): wire connections hold the READ
+    * side (shared) from command execution through row materialization;
+    * directory swaps — compaction's rename sequence, archival's local
+    * delete — hold the WRITE side. Readers therefore never block each
+    * other or ingest on OTHER connections (those hold the engine monitor
+    * only for their own O(µs) execute), while a swap still waits for
+    * every in-flight read and excludes new ones for its O(files) renames.
+    * Fair mode so a stream of readers cannot starve a waiting swap.
+    * Ordering contract: the read lock is acquired BEFORE the engine
+    * monitor and never the reverse; swappers take only the write lock —
+    * a thread holding the read lock must NOT call [[compactBook]] /
+    * archival sweeps (RRWL reads don't upgrade; it would self-deadlock). */
+  val swapGate =
+    new java.util.concurrent.locks.ReentrantReadWriteLock(true)
   private val defaultSession = new Session
   books(defaultSession.book) = mutable.ArrayBuffer.empty
   new java.io.File(dtfFolder).mkdirs()
@@ -254,7 +268,7 @@ final class Engine(spark: SparkSession, dtfFolder: String,
   def newArchiver(destUri: String, minFileSize: Long = 1L << 20,
       removeLocal: Boolean = false): Archiver =
     new Archiver(spark, dtfFolder, destUri, minFileSize, removeLocal,
-      swapLock = this)
+      swapLock = swapGate.writeLock())
 
   /** Books with a compaction in flight — enforces the single-compactor-
     * per-book contract Compaction documents (two concurrent rewrites
@@ -263,21 +277,22 @@ final class Engine(spark: SparkSession, dtfFolder: String,
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Compact a book's parquet directory into ≈`targetBytes` files.
-    * Runs the Spark rewrite unlocked, but passes THIS engine as the
-    * swap lock — Wire holds `engine.synchronized` from GET execution
-    * through row materialization, so no reader's captured file listing
-    * can straddle the rename swap (the ADVICE race: a concurrent GET
-    * during the swap saw an empty/partial book). A second concurrent
-    * call for the SAME book is a no-op returning (0, 0) — the staging
-    * dirs are per-book, so two rewrites must never overlap. Returns
-    * (files before, after). */
+    * Runs the Spark rewrite unlocked and passes [[swapGate]]'s WRITE
+    * lock for the rename swap — Wire holds the READ side from GET
+    * execution through row materialization, so no reader's captured
+    * file listing can straddle the swap (the round-4 ADVICE race), and
+    * unlike the r5 monitor scheme the swap waits on readers instead of
+    * readers serializing every other connection's commands behind the
+    * engine monitor. A second concurrent call for the SAME book is a
+    * no-op returning (0, 0) — the staging dirs are per-book, so two
+    * rewrites must never overlap. Returns (files before, after). */
   def compactBook(book: String,
       targetBytes: Long = 128L << 20): (Int, Int) =
     if (!hasFs(book)) (0, 0)
     else if (!compactingBooks.add(book)) (0, 0)
     else
       try graft.sources.Compaction.compact(spark, fsPath(book), targetBytes,
-        swapLock = this)
+        swapLock = swapGate.writeLock())
       finally compactingBooks.remove(book)
 
   def drainSubscription(book: String): Seq[Update] = {

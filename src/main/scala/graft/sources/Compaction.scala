@@ -38,16 +38,19 @@ object Compaction {
     * at a time per book (the Engine lock provides this).
     *
     * Reader exclusion: the rename swap is NOT atomic — a reader listing
-    * the directory mid-swap would see a partial book. `swapLock` must be
-    * the same monitor readers scan under (for the server path that is the
-    * Engine itself — [[graft.server.Engine.compactBook]] passes it; Wire
-    * materializes every GET body inside `engine.synchronized`). The
-    * expensive Spark rewrite runs OUTSIDE the lock; only the O(files)
-    * rename sequence holds it. Standalone callers with no concurrent
-    * readers may omit it. */
+    * the directory mid-swap would see a partial book. `swapLock` must
+    * exclude the readers scanning this directory; for the server path
+    * that is the WRITE side of `Engine.swapGate`
+    * ([[graft.server.Engine.compactBook]] passes it; Wire holds the READ
+    * side from GET execution through row materialization), so the swap
+    * waits for in-flight reads instead of readers serializing the whole
+    * engine. The expensive Spark rewrite runs OUTSIDE the lock; only the
+    * O(files) rename sequence holds it. Standalone callers with no
+    * concurrent readers may omit it. */
   def compact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20,
-      swapLock: AnyRef = new AnyRef): (Int, Int) = {
+      swapLock: java.util.concurrent.locks.Lock =
+        new java.util.concurrent.locks.ReentrantLock()): (Int, Int) = {
     val src = new java.io.File(dir)
     def parquetFiles(d: java.io.File): Array[java.io.File] =
       Option(d.listFiles()).getOrElse(Array.empty)
@@ -69,19 +72,21 @@ object Compaction {
     // under the reader-exclusion lock, so no scan ever lists a
     // partially-swapped directory
     val old = new java.io.File(dir + ".old")
-    val moved = swapLock.synchronized {
-      old.mkdirs()
-      before.foreach { f =>
-        java.nio.file.Files.move(f.toPath,
-          new java.io.File(old, f.getName).toPath)
-      }
-      val compacted = parquetFiles(new java.io.File(tmp))
-      compacted.foreach { f =>
-        java.nio.file.Files.move(f.toPath,
-          new java.io.File(src, f.getName).toPath)
-      }
-      compacted
-    }
+    swapLock.lock()
+    val moved =
+      try {
+        old.mkdirs()
+        before.foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(old, f.getName).toPath)
+        }
+        val compacted = parquetFiles(new java.io.File(tmp))
+        compacted.foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(src, f.getName).toPath)
+        }
+        compacted
+      } finally swapLock.unlock()
     // cleanup outside the lock: readers never list .compact or .old
     deleteRecursively(new java.io.File(tmp))
     deleteRecursively(old)

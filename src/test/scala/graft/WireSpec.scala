@@ -291,6 +291,55 @@ class WireSpec extends SparkSpec {
     } finally { client.close(); server.stop() }
   }
 
+  test("ingest proceeds while a big GET ALL materializes on another connection") {
+    // VERDICT r5 #7: the r5 scheme materialized every GET body inside
+    // engine.synchronized, so a GET ALL over a big book stalled ingest on
+    // every other connection for its full duration. Now readers share
+    // swapGate's read side and the monitor covers only execute(), so
+    // inserts on connection B must complete WHILE connection A's large
+    // GET is still draining — red under the old locking.
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-rw").toString
+    val n = 2 * 1000 * 1000
+    spark.range(n.toLong).select(
+      lit("big").as("symbol"), (lit(1500000000000L) + col("id")).as("ts"),
+      col("id").as("seq"), lit(true).as("is_trade"),
+      lit(true).as("is_bid"), lit(1.5).as("price"), lit(2.0).as("size"))
+      .write.parquet(s"$dir/book=big")
+    val engine = new Engine(spark, dir)
+    val server = new TcpServer(engine)
+    val getter = new TcpClient("127.0.0.1", server.boundPort)
+    val inserter = new TcpClient("127.0.0.1", server.boundPort)
+    try {
+      assert(getter.cmd("USE big")._1)
+      assert(inserter.cmd("CREATE other")._1)
+      val getDone = new java.util.concurrent.atomic.AtomicLong(0L)
+      @volatile var getRows = -1
+      val getThread = new Thread(() => {
+        getRows = getter.getUpdates(
+          s"GET ALL FROM 1400000000 TO 1600000000").length
+        getDone.set(System.nanoTime())
+      })
+      getThread.start()
+      Thread.sleep(100) // let the GET enter materialization
+      val insStart = System.nanoTime()
+      for (i <- 0 until 200)
+        assert(inserter.insertRaw(Some("other"),
+          graft.model.Update("other", 1500000000000L + i, i.toLong,
+            true, true, 1.0, 1.0)))
+      val insDone = System.nanoTime()
+      getThread.join(120000)
+      assert(getRows === n, s"GET ALL lost rows: $getRows/$n")
+      assert(getDone.get() > 0, "GET never completed")
+      assert(insDone < getDone.get(),
+        "inserts queued behind the GET: reader gate not shared")
+      val insSecs = (insDone - insStart) / 1e9
+      assert(insSecs < 5.0, f"insert latency under GET: $insSecs%.2f s")
+      info(f"200 inserts in $insSecs%.3f s while GET ALL drained " +
+        f"${(getDone.get() - insStart) / 1e9}%.2f s behind them")
+    } finally { getter.close(); inserter.close(); server.stop() }
+  }
+
   test("concurrent pipelined ingest across connections stays consistent") {
     val engine =
       new Engine(spark, Files.createTempDirectory("graft-bench3").toString)
