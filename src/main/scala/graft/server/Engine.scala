@@ -295,6 +295,33 @@ final class Engine(spark: SparkSession, dtfFolder: String,
         swapLock = swapGate.writeLock())
       finally compactingBooks.remove(book)
 
+  /** A [[MetricsRecorder]] for this engine (T7 — the influx plugin's
+    * history recorder). Not started — call `.start(intervalSecs)` for
+    * the background sweep or `.pushOnce()` directly. */
+  def newMetricsRecorder(destUri: String,
+      db: String = "tectonic"): MetricsRecorder =
+    new MetricsRecorder(spark, this, destUri, db)
+
+  /** Per-book (disk bytes, in-mem row count) snapshot — the reference
+    * broker's `FetchSizes` reply the influx plugin consumes
+    * (`plugins/influx.rs:20-31`). Books seen on disk but not yet in the
+    * mem map are included (size 0 mem). */
+  def bookSizes(): Seq[(String, Long, Long)] = synchronized {
+    def diskBytes(book: String): Long = {
+      val d = new java.io.File(fsPath(book))
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.length()).sum
+    }
+    val fsBooks = Option(new java.io.File(dtfFolder).listFiles())
+      .getOrElse(Array.empty).toSeq
+      .filter(d => d.isDirectory && d.getName.startsWith("book="))
+      .map(_.getName.stripPrefix("book="))
+    (books.keys.toSeq ++ fsBooks).distinct.sorted.map { b =>
+      (b, diskBytes(b), books.get(b).map(_.size.toLong).getOrElse(0L))
+    }
+  }
+
   def drainSubscription(book: String): Seq[Update] = {
     val out = subscribers.get(book).map(_.toSeq).getOrElse(Seq.empty)
     subscribers.get(book).foreach(_.clear())
