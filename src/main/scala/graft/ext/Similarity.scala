@@ -377,25 +377,44 @@ object Similarity {
     require(Dims % subspaces == 0, s"$subspaces must divide $Dims")
     val sub = Dims / subspaces
     val vecs = withNorms(embeddings).select(col("vec_id"), col("emb"))
-    val cents = vecs.where(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("emb").as("c_emb"))
-    val sd = (0 until subspaces).map { s =>
-      val xs = slice(col("emb"), s * sub + 1, sub)
-      val cs = slice(col("c_emb"), s * sub + 1, sub)
-      struct(lit(s).as("s"), lit(1L << (4 * s)).as("w"),
-        (dotD(xs, xs) - lit(2d) * dotD(xs, cs) + dotD(cs, cs)).as("dist"))
-    }
-    vecs.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"), explode(array(sd: _*)).as("sd"))
-      .select(col("vec_id"), col("cid"), col("sd.s").as("s"),
-        col("sd.w").as("w"), col("sd.dist").as("dist"))
+    // pre-slice each side ONCE per (row, subspace) and pre-compute the
+    // x·x / c·c self-terms, so the n×nCentroids×subspaces pair stream
+    // evaluates a single sub-dim dot product per row instead of three
+    // full-slice dots (at 256 centroids the old shape re-sliced the
+    // 64-dim array 12M times — q_pq_code256 measured 21.8 s; the
+    // arithmetic here is the identical (xx − 2·xc) + cc left-fold
+    // chain, so distances stay bit-exact)
+    val pts = vecs
+      .select(col("vec_id"), explode(array((0 until subspaces).map(s =>
+        struct(lit(s).as("s"), lit(1L << (4 * s)).as("w"),
+          slice(col("emb"), s * sub + 1, sub).as("sv"))): _*)).as("p"))
+      .select(col("vec_id"), col("p.s").as("s"), col("p.w").as("w"),
+        col("p.sv").as("sv"))
+      .withColumn("xx", dotD(col("sv"), col("sv")))
+    val cents = pts.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("s"), col("sv").as("cv"),
+        col("xx").as("cc"))
+    pts.join(broadcast(cents), Seq("s"))
+      .select(col("vec_id"), col("cid"), col("s"), col("w"),
+        (col("xx") - lit(2d) * dotD(col("sv"), col("cv")) + col("cc"))
+          .as("dist"))
   }
 
-  /** Argmin centroid per (vector, subspace) — (dist, cid) tiebreak. */
+  /** Argmin centroid per (vector, subspace) — (dist, cid) tiebreak.
+    * A hash aggregation over `min(struct(dist, cid, …))` (struct order =
+    * lexicographic = the same (dist, cid) argmin the old row_number
+    * window computed), so the pair stream combines map-side instead of
+    * sorting n×nCentroids×subspaces rows through a window exchange. */
   private def pqAssign(dists: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("s"))
-      .orderBy(col("dist"), col("cid"))
-    dists.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+    val hasW = dists.columns.contains("w")
+    val ord =
+      if (hasW) struct(col("dist"), col("cid"), col("w"))
+      else struct(col("dist"), col("cid"))
+    val base = dists.groupBy("vec_id", "s").agg(min(ord).as("m"))
+    val out = Seq(col("vec_id"), col("s"), col("m.cid").as("cid")) ++
+      (if (hasW) Seq(col("m.w").as("w")) else Seq.empty) :+
+      col("m.dist").as("dist")
+    base.select(out: _*)
   }
 
   /** Pack per-subspace assignments into the code word. Codebooks that
