@@ -788,17 +788,21 @@ object Similarity {
         col("p.sv").as("sv"))
   }
 
-  /** Rank codebook entries per (vector, subspace) by L2 — rn=1 is the
-    * code assignment. */
-  private def subRank(points: DataFrame, cb: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("s"))
-      .orderBy(col("dist"), col("cid"))
-    points.join(broadcast(cb), Seq("s"))
+  /** Nearest codebook entry per (vector, subspace) by L2 — (dist, cid)
+    * tiebreak, via the same hash-agg `min(struct(…))` argmin and
+    * precomputed self-terms as [[pqAssign]]/[[pqDists]] (identical IEEE
+    * chain, no window sort of the points×codebook stream). */
+  private def subAssign(points: DataFrame, cb: DataFrame): DataFrame = {
+    val pts = points.withColumn("xx", dotD(col("sv"), col("sv")))
+    val cbb = cb.withColumn("cc", dotD(col("cv"), col("cv")))
+    pts.join(broadcast(cbb), Seq("s"))
       .select(col("vec_id"), col("s"), col("w"), col("cid"),
-        (dotD(col("sv"), col("sv"))
-          - lit(2d) * dotD(col("sv"), col("cv"))
-          + dotD(col("cv"), col("cv"))).as("dist"))
-      .withColumn("rn", row_number().over(w))
+        (col("xx") - lit(2d) * dotD(col("sv"), col("cv")) + col("cc"))
+          .as("dist"))
+      .groupBy("vec_id", "s")
+      .agg(min(struct(col("dist"), col("cid"), col("w"))).as("m"))
+      .select(col("vec_id"), col("s"), col("m.w").as("w"),
+        col("m.cid").as("cid"), col("m.dist").as("dist"))
   }
 
   /** Grouped Lloyd over subvector points: all `subspaces` codebooks
@@ -810,7 +814,7 @@ object Similarity {
       .select(col("s"), col("vec_id").as("cid"), col("sv").as("cv"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val assigned = subRank(points, cbook).where(col("rn") === 1)
+      val assigned = subAssign(points, cbook)
         .select(col("vec_id"), col("s"), col("cid"))
       val means = points.join(assigned, Seq("vec_id", "s"))
         .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("d", "x")))
@@ -839,7 +843,7 @@ object Similarity {
       .localCheckpoint(true)
     val points = subPoints(vecs, "emb", subspaces).localCheckpoint(true)
     val cbook = groupedLloyd(points, nCentroids, iters)
-    packCodes(subRank(points, cbook).where(col("rn") === 1), nCentroids)
+    packCodes(subAssign(points, cbook), nCentroids)
   }
 
   /** FULLY-TRAINED residual IVF-PQ — the production composition with
@@ -869,7 +873,7 @@ object Similarity {
     val points = subPoints(res.select(col("vec_id"), col("res")),
       "res", subspaces).localCheckpoint(true)
     val cbook = groupedLloyd(points, nCentroids, pqIters)
-    val codes = subRank(points, cbook).where(col("rn") === 1)
+    val codes = subAssign(points, cbook)
       .select(col("vec_id"), col("s"), col("cid"))
     // query residual per PROBED cell → LUT over ALL codebook entries
     val qres = probes
