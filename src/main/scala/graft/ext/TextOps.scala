@@ -230,6 +230,89 @@ object TextOps {
         (col("_qsum") / 1e12 / col("n_words")).as("avg_logprob"))
   }
 
+  /** Interpolated BIGRAM language-model log-prob per document — the
+    * CCNet-style quality signal one model order up from
+    * [[unigramLogProb]] (perplexity under an n-gram LM is THE standard
+    * pre-training quality score; the unigram form ranks word rarity,
+    * the bigram form additionally scores word ORDER — shuffled or
+    * machine-mangled text keeps its unigram score but collapses here).
+    * The LM is self-trained on the corpus: per consecutive word pair,
+    * `p(w2|w1) = λ·c12/c1 + (1−λ)·c2/N` (interpolated backoff to the
+    * unigram — never zero, so ln is total).
+    *
+    * Determinism contract: counts are exact integers, p is ONE
+    * identically-spelled double chain in both engines, each pair's ln
+    * goes through the lnQ quantizer, and the per-doc sum is exact
+    * decimal — bit-identical at any accumulation order
+    * ([[unigramLogProb]]'s recipe).
+    *
+    * Scale shape: one bigram explode (map-side, split bound to a
+    * projected column — the O(words²) trap avoided), ONE aggregation
+    * per model table (bigram counts, unigram counts), equi-joins on the
+    * pair/word keys (AQE picks broadcast vs shuffle by vocab size), the
+    * corpus total as a 1-row LocalRelation, one per-doc aggregation.
+    * Docs with fewer than 2 words have no bigrams and emit no row,
+    * identically in both engines. */
+  def bigramLogProb(docs: DataFrame, lambda: Double = 0.9): DataFrame = {
+    import graft.functions.localRelation
+    val pairs = docs
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .localCheckpoint(true) // model AND probe side: build pairs once
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = tokens(docs).groupBy("term").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val consts = localRelation(
+      uni.agg(sum(col("c")).cast("long").as("n_total")))
+    // p spelled as ((λ·c12)/c1 + ((1−λ)·c2)/N) — the same left-assoc
+    // chain the twin writes textually
+    val p = lit(lambda) * col("c12").cast("double") / col("c1").cast("double") +
+      lit(1.0 - lambda) * col("c2").cast("double") /
+        col("n_total").cast("double")
+    val qpair = floor(log(p) * 1e12)
+    pairs
+      .join(c12, Seq("w1", "w2"))
+      .join(uni.select(col("term").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("term").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(consts))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(qpair.cast("decimal(38,0)")).cast("double").as("_qsum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("_qsum") / 1e12 / col("n_bigrams")).as("avg_logprob"))
+  }
+
+  def bigramLogProbSql(lambda: Double = 0.9): String =
+    s"""WITH toks AS ($tokensSql),
+       |bigr AS (SELECT doc_id, w1, lead(w1) OVER (
+       |   PARTITION BY doc_id ORDER BY pos) AS w2 FROM (
+       |  SELECT doc_id,
+       |   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w1,
+       |   generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+       |  FROM documents)),
+       |pairs AS (SELECT doc_id, w1, w2 FROM bigr WHERE w2 IS NOT NULL),
+       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+       |uni AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni)
+       |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       | CAST(sum(CAST(floor(ln(
+       |   ${sqlDouble(lambda)} * CAST(b.c12 AS DOUBLE) / CAST(u1.c AS DOUBLE)
+       |   + ${sqlDouble(1.0 - lambda)} * CAST(u2.c AS DOUBLE)
+       |     / CAST(t.n_total AS DOUBLE)) * 1e12) AS HUGEINT))
+       |  AS DOUBLE) / 1e12 / count(*) AS avg_logprob
+       |FROM pairs p
+       |JOIN c12 b ON b.w1 = p.w1 AND b.w2 = p.w2
+       |JOIN uni u1 ON u1.term = p.w1
+       |JOIN uni u2 ON u2.term = p.w2
+       |CROSS JOIN tot t
+       |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+      .replace('\n', ' ')
+
   // lazy: tokensSql is declared later in the object — a strict val here
   // would capture null during object initialization
   lazy val unigramLogProbSql: String =

@@ -357,6 +357,12 @@ object ExtQueries {
       (s, dir) => TextOps.unigramLogProb(docs(s, dir)).orderBy("doc_id"),
       Some(TextOps.unigramLogProbSql)),
 
+    // interpolated bigram LM log-prob (CCNet-style quality: word ORDER,
+    // not just rarity — the n-gram perplexity signal pipelines gate on)
+    Q("q_bigram_logprob",
+      (s, dir) => TextOps.bigramLogProb(docs(s, dir)).orderBy("doc_id"),
+      Some(TextOps.bigramLogProbSql())),
+
     // character-distribution entropy (gibberish / encoding-junk signal)
     Q("q_char_entropy",
       (s, dir) => TextOps.charEntropy(docs(s, dir)).orderBy("doc_id"),

@@ -517,6 +517,31 @@ class ExtSpec extends SparkSpec {
     out.values.foreach { case (c, _) => assert(c >= 3L) }
   }
 
+  test("bigramLogProb: hand-computed interpolated probabilities; order sensitivity") {
+    import graft.ext.TextOps
+    // corpus "a b a b" + "b a": N=6, c(a)=3, c(b)=3;
+    // bigrams: doc1 (a,b)x2 (b,a)x1; doc2 (b,a)x1 -> c12(a,b)=2, c12(b,a)=2
+    val docs = docsDf((1L, "a b a b"), (2L, "b a"))
+    def lnQ(x: Double): Double = math.floor(math.log(x) * 1e12) / 1e12
+    val pAB = 0.9 * 2 / 3 + (1.0 - 0.9) * 3 / 6
+    val pBA = 0.9 * 2 / 3 + (1.0 - 0.9) * 3 / 6
+    val out = TextOps.bigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 === 3L && out(2L)._1 === 1L)
+    assert(math.abs(out(1L)._2 - (2 * lnQ(pAB) + lnQ(pBA)) / 3) < 1e-9)
+    assert(math.abs(out(2L)._2 - lnQ(pBA)) < 1e-9)
+    // word ORDER sensitivity — the signal unigram scoring cannot see:
+    // natural docs repeat their bigrams, shuffled text hits rare ones
+    val nat = docsDf((1L, "the cat sat the cat sat the cat sat"),
+      (2L, "sat the cat cat sat the the sat cat"))
+    val scores = TextOps.bigramLogProb(nat).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(1L) > scores(2L),
+      s"repeated-bigram doc must outscore shuffled: $scores")
+    // single-word docs emit no row (no bigrams), both engines
+    assert(TextOps.bigramLogProb(docsDf((9L, "solo"))).collect().isEmpty)
+  }
+
   test("charEntropy: zero for single-char text, ln(k) for uniform k-char text") {
     import graft.ext.TextOps
     val docs = docsDf(
