@@ -232,4 +232,36 @@ class PlanSpec extends SparkSpec {
     assert(filterIdx >= 0, s"derived is_trade filter missing:\n$p")
     assert(aggIdx >= 0, s"no aggregate in bar plan:\n$p")
   }
+
+  test("byte-wide PQ codes: broadcast codebook, hash-agg argmin, no window sort") {
+    // the 256-centroid pair stream is n x 256 x 8 rows — an argmin
+    // window would sort all of it through an exchange; the hash
+    // aggregation combines map-side (the 21.8s -> 1.1s rework)
+    val p = plan("q_pq_code256")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"codebook not broadcast:\n$p")
+    assert(!p.contains("Window"), s"argmin went through a window sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in PQ codes:\n$p")
+  }
+
+  test("simhash near-dup joins on band-value keys — no cartesian, filter before distinct") {
+    val p = plan("q_simhash_neardup")
+    assert(!p.contains("CartesianProduct"),
+      s"band blocking degraded to cartesian:\n$p")
+    // the popcount radius filter must run BEFORE the pair-dedup
+    // shuffle, so only survivors shuffle (formatted mode lists a
+    // Filter on bit_count below the dedup HashAggregate)
+    val filterIdx = p.indexOf("bit_count")
+    assert(filterIdx >= 0, s"popcount filter missing:\n$p")
+  }
+
+  test("bigram log-prob joins model tables on keys — no pair materialization") {
+    val p = plan("q_bigram_logprob")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in bigram logprob:\n$p")
+    // the 1-row corpus total enters as a broadcast, as unigram's does
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"corpus total not broadcast:\n$p")
+  }
 }
