@@ -188,6 +188,37 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("scalar simhash64 == DataFrame simhash on random corpora") {
+    // the streaming dedup path hashes map-side with the scalar twin; any
+    // bit-mapping drift between the two silently breaks streamed ≡ batch.
+    // Random words over a tiny alphabet force heavy tf collisions, plus
+    // whitespace/case/empty edge shapes.
+    import spark.implicits._
+    val genDocs: Gen[List[String]] = for {
+      n <- Gen.choose(1, 8)
+      ds <- Gen.listOfN(n, for {
+        w <- Gen.choose(0, 30)
+        ws <- Gen.listOfN(w, for {
+          len <- Gen.choose(1, 5)
+          cs <- Gen.listOfN(len, Gen.oneOf("a", "B", "c", "Δ"))
+        } yield cs.mkString)
+        pad <- Gen.oneOf("", " ", "  \t ")
+      } yield pad + ws.mkString(" ") + pad)
+    } yield ds
+    val corpora = (0 until 10).flatMap(i =>
+      genDocs.apply(Gen.Parameters.default, Seed(500L + i)))
+    corpora.foreach { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val df = graft.ext.Dedup.simhash(docs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(df(i.toLong) === graft.ext.Dedup.simhash64(t),
+          s"scalar/DataFrame drift on <$t>")
+      }
+    }
+  }
+
   test("tokenCount == whitespace-split length on arbitrary text") {
     import spark.implicits._
     val texts = Seq("", "  ", "a", "a b  c", " lead", "trail ",
