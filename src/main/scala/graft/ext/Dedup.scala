@@ -400,19 +400,10 @@ object Dedup {
     * hash must exist BEFORE the band-keyed shuffle, and by specs as the
     * independent replay oracle. */
   def simhash64(text: String): Long = {
-    // SQL trim() strips SPACES only — Java's String.trim strips every
-    // control char <= U+0020 (tabs included) and silently drifts from
-    // the DataFrame op (found by the property gate); replicate the SQL
-    // semantics exactly
-    var s0 = 0
-    var e = text.length
-    while (s0 < e && text.charAt(s0) == ' ') s0 += 1
-    while (e > s0 && text.charAt(e - 1) == ' ') e -= 1
-    // limit -1: Spark's split KEEPS a trailing empty token after a
-    // trailing separator; Java's default limit 0 drops it (also found
-    // by the property gate)
-    val words = text.substring(s0, e)
-      .toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+    // TextOps.sqlWords replicates the SQL trim/split semantics exactly
+    // (space-only trim, trailing empty token kept) — both divergences
+    // from Java's defaults were caught by the property gate
+    val words = TextOps.sqlWords(text)
     val tf = new scala.collection.mutable.HashMap[String, Long]()
     words.foreach(w => tf.update(w, tf.getOrElse(w, 0L) + 1L))
     val sums = new Array[Long](64)

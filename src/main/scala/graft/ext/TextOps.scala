@@ -253,17 +253,29 @@ object TextOps {
     * corpus total as a 1-row LocalRelation, one per-doc aggregation.
     * Docs with fewer than 2 words have no bigrams and emit no row,
     * identically in both engines. */
-  def bigramLogProb(docs: DataFrame, lambda: Double = 0.9): DataFrame = {
+  /** The per-doc bigram stream (doc_id, w1, w2), multiplicity kept. */
+  private def bigramPairs(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ws"))
+    .where(size(col("ws")) >= 2)
+    .select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("p"))
+    .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+
+  /** The TRAINED interpolated-bigram model as a first-class artifact:
+    * one row per distinct corpus bigram, `(w1, w2, q_lnp)` with
+    * `q_lnp = floor(ln(λ·c12/c1 + (1−λ)·c2/N)·1e12)` — the lnQ-quantized
+    * pair log-prob [[bigramLogProb]] aggregates and the streaming scorer
+    * ([[graft.streaming.Streaming.streamingBigramScore]]) broadcasts
+    * (train batch, score the ingest stream — the shape a production
+    * quality gate runs). Bounded by the bigram vocabulary. */
+  def bigramModel(docs: DataFrame, lambda: Double = 0.9): DataFrame =
+    bigramModelFrom(bigramPairs(docs), docs, lambda)
+
+  private def bigramModelFrom(pairs: DataFrame, docs: DataFrame,
+      lambda: Double): DataFrame = {
     import graft.functions.localRelation
-    val pairs = docs
-      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ws"))
-      .where(size(col("ws")) >= 2)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("ws")) - 1),
-          i => struct(element_at(col("ws"), i).as("w1"),
-            element_at(col("ws"), i + 1).as("w2")))).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .localCheckpoint(true) // model AND probe side: build pairs once
     val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val uni = tokens(docs).groupBy("term").agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
@@ -274,15 +286,23 @@ object TextOps {
     val p = lit(lambda) * col("c12").cast("double") / col("c1").cast("double") +
       lit(1.0 - lambda) * col("c2").cast("double") /
         col("n_total").cast("double")
-    val qpair = floor(log(p) * 1e12)
-    pairs
-      .join(c12, Seq("w1", "w2"))
+    c12
       .join(uni.select(col("term").as("w1"), col("c").as("c1")), "w1")
       .join(uni.select(col("term").as("w2"), col("c").as("c2")), "w2")
       .crossJoin(broadcast(consts))
+      .select(col("w1"), col("w2"),
+        floor(log(p) * 1e12).cast("long").as("q_lnp"))
+  }
+
+  def bigramLogProb(docs: DataFrame, lambda: Double = 0.9): DataFrame = {
+    // checkpoint: pairs feed the model's c12 AND the probe side — the
+    // corpus tokenizes into bigrams exactly once
+    val pairs = bigramPairs(docs).localCheckpoint(true)
+    pairs
+      .join(bigramModelFrom(pairs, docs, lambda), Seq("w1", "w2"))
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_bigrams"),
-        sum(qpair.cast("decimal(38,0)")).cast("double").as("_qsum"))
+        sum(col("q_lnp").cast("decimal(38,0)")).cast("double").as("_qsum"))
       .select(col("doc_id"), col("n_bigrams"),
         (col("_qsum") / 1e12 / col("n_bigrams")).as("avg_logprob"))
   }
@@ -825,6 +845,21 @@ object TextOps {
     s"(floor(ln($x) * 1e12) / 1e12)"
 
   /** Whitespace tokens, one row per occurrence: (doc_id, term). */
+  /** Scalar twin of the engine-wide word split
+    * `split(lower(trim(text)), "\\s+")` — SQL semantics exactly: trim
+    * strips SPACES only (Java's String.trim also strips tabs — a real
+    * drift a property gate caught), and split keeps a trailing empty
+    * token (Java's default limit drops it). Shared by every scalar /
+    * streaming twin that tokenizes off-DataFrame. */
+  def sqlWords(text: String): Array[String] = {
+    var s0 = 0
+    var e = text.length
+    while (s0 < e && text.charAt(s0) == ' ') s0 += 1
+    while (e > s0 && text.charAt(e - 1) == ' ') e -= 1
+    text.substring(s0, e)
+      .toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+  }
+
   private def tokens(docs: DataFrame): DataFrame =
     graft.functions.parallelized(docs).select(col("doc_id"),
       explode(split(lower(trim(col("text"))), "\\s+")).as("term"))

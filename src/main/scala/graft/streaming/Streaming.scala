@@ -328,6 +328,69 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** A trained interpolated-bigram LM as a broadcastable serving
+    * artifact: the lnQ-quantized pair log-probs (exactly
+    * [[graft.ext.TextOps.bigramModel]]'s rows), the unigram counts, and
+    * the corpus total — everything OOV backoff needs. Bounded by the
+    * bigram vocabulary (a model, not a dataset). */
+  case class LmModel(q: Map[(String, String), Long],
+      uni: Map[String, Long], nTotal: Long, lambda: Double)
+
+  /** Collect the trained model off the batch corpus (the train step of
+    * train-batch / score-stream). */
+  def lmModelOf(docs: DataFrame, lambda: Double = 0.9): LmModel = {
+    import graft.ext.TextOps
+    val q = TextOps.bigramModel(docs, lambda).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val uni = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    LmModel(q, uni, uni.values.sum, lambda)
+  }
+
+  /** Score a DOCUMENT STREAM under a trained bigram LM — the quality
+    * gate a production ingest pipeline runs per arriving document
+    * (train batch, score stream). Stateless: the model broadcasts, each
+    * row scores via its own bigrams — no state store, no watermark,
+    * append mode on any unbounded source.
+    *
+    * In-vocabulary bigrams reuse the model's quantized q values, so a
+    * document from the training corpus scores BIT-IDENTICALLY to
+    * [[graft.ext.TextOps.bigramLogProb]] (StreamingSpec proves it). A
+    * stream sees novel text too — the inherent difference from the
+    * closed-corpus batch op — so unseen pairs back off to the
+    * interpolated unigram term with OOV words counted as hapax:
+    * `p = (1−λ)·max(c2,1)/N` (deterministic, documented; ln stays
+    * total). Tokenization is [[graft.ext.TextOps.sqlWords]] — the exact
+    * SQL split semantics. */
+  case class LmScore(doc_id: Long, n_bigrams: Long, avg_logprob: Double)
+
+  def streamingBigramScore(docs: Dataset[(Long, String)], model: LmModel)
+      : Dataset[LmScore] = {
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    docs.flatMap { case (id, text) =>
+      val ws = graft.ext.TextOps.sqlWords(text)
+      if (ws.length < 2) Iterator.empty
+      else {
+        val m = bc.value
+        var qsum = 0L
+        var i = 0
+        while (i < ws.length - 1) {
+          qsum += m.q.getOrElse((ws(i), ws(i + 1)), {
+            val c2 = math.max(m.uni.getOrElse(ws(i + 1), 0L), 1L)
+            math.floor(math.log(
+              (1.0 - m.lambda) * c2 / m.nTotal) * 1e12).toLong
+          })
+          i += 1
+        }
+        val n = (ws.length - 1).toLong
+        Iterator.single(LmScore(id, n, qsum.toDouble / 1e12 / n))
+      }
+    }
+  }
+
   /** The C4/Gopher document filter on a STREAM of documents — the corpus
     * ingest path run incrementally instead of as a batch job.
     *

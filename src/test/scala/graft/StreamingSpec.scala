@@ -277,6 +277,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming bigram LM score ≡ batch on training docs; OOV backs off finitely") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(1L -> "the cat sat on the mat",
+      2L -> "the dog sat on the cat", 3L -> "a cat and a dog")
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val model = Streaming.lmModelOf(corpusDf)
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.streamingBigramScore(in.toDS(), model)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lmscores").start()
+    in.addData(corpus: _*)
+    in.addData(10L -> "the cat sat zzz unseenword qqq", 11L -> "solo")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("lmscores").as[Streaming.LmScore].collect()
+      .map(s => s.doc_id -> ((s.n_bigrams, s.avg_logprob))).toMap
+    // training docs: BIT-identical to the batch operator
+    val batch = graft.ext.TextOps.bigramLogProb(corpusDf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    corpus.foreach { case (id, _) =>
+      assert(got(id) === batch(id), s"doc $id: ${got(id)} vs ${batch(id)}")
+    }
+    // novel text: finite score through the hapax backoff, and strictly
+    // below any training doc (unseen bigrams are maximally surprising)
+    assert(got(10L)._1 === 5L)
+    assert(!got(10L)._2.isNaN && !got(10L)._2.isInfinite)
+    assert(got(10L)._2 < batch.values.map(_._2).min)
+    assert(!got.contains(11L), "single-word docs emit no row, as batch")
+  }
+
   test("streaming exact dedup: first arrival keeps, replays and dups drop") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
