@@ -299,4 +299,78 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L) === ((4.0, 96L, 222L, -63L, 127L)))
     assert(out(2L) === ((0.0, 0L, 0L, 0L, 0L)))
   }
+
+  test("end-to-end corpus assembly: filter -> dedup -> cap -> budget -> pack composes") {
+    // the ops as a real training-corpus build runs them, on real driver
+    // data — each stage consumes the previous stage's surviving docs and
+    // the loader-facing invariants hold at the end
+    import org.apache.spark.sql.functions._
+    import graft.ext.{Dedup, TextOps}
+    val docs = Tables.table(spark, sf("sf0.01"), "documents")
+    val n0 = docs.count()
+
+    // 1. quality filter
+    val kept = docs.join(
+      TextOps.qualityFilter(docs).where(col("keep")).select("doc_id"),
+      "doc_id").localCheckpoint(true)
+    val n1 = kept.count()
+
+    // 2. near-dup dedup on the FILTERED corpus (order matters: junk docs
+    // must not become dedup keepers of good ones)
+    val pairs = Dedup.minhashNearDup(kept).select("doc_a", "doc_b")
+    val deduped = kept.join(
+      Dedup.dedupApply(kept, pairs).select("doc_id"), "doc_id")
+      .localCheckpoint(true)
+    val n2 = deduped.count()
+    // no surviving exact duplicates, and no verified near-dup pair has
+    // both endpoints surviving
+    assert(deduped.groupBy(md5(col("text"))).count()
+      .where(col("count") > 1).count() === 0L)
+    val surv = deduped.select(col("doc_id"))
+    assert(pairs.join(surv.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(surv.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+      .count() === 0L, "a near-dup pair survived dedup intact")
+
+    // 3. per-source cap, then 4. per-source token budget
+    val capK = 30
+    val capped = deduped.join(
+      graft.ext.Pipeline.sourceCap(deduped, k = capK).select("doc_id"),
+      "doc_id").localCheckpoint(true)
+    val srcCounts = capped.groupBy("source").count().collect()
+    assert(srcCounts.nonEmpty &&
+      srcCounts.forall(_.getLong(1) <= capK))
+    val budget = 600L
+    val budgeted = capped.join(
+      graft.ext.Pipeline.tokenBudget(capped, budget).select("doc_id"),
+      "doc_id").localCheckpoint(true)
+    val perSrcTokens = budgeted
+      .select(col("source"), TextOps.tokenCount(col("text"))
+        .cast("long").as("t"))
+      .groupBy("source").agg(sum(col("t")).as("tt")).collect()
+    assert(perSrcTokens.forall(_.getLong(1) <= budget))
+
+    // 5. pack the surviving corpus; loader integrity
+    val packed = graft.ext.Pipeline.packSequences(budgeted)
+    val manifest = graft.ext.Pipeline.packManifest(budgeted)
+    val totTokens = budgeted
+      .select(sum(TextOps.tokenCount(col("text")).cast("long")))
+      .head().getLong(0)
+    assert(packed.agg(sum(col("n_tokens"))).head().getLong(0) === totTokens,
+      "packing lost tokens")
+    assert(manifest.agg(sum(col("n_tokens"))).head().getLong(0) === totTokens,
+      "manifest lost tokens")
+    // every sequence is full except at most one partial per shard
+    val partials = manifest.where(col("n_tokens") =!= 512).collect()
+    val nShardsUsed = manifest.select("shard").distinct().count()
+    assert(partials.length <= nShardsUsed)
+
+    val n3 = budgeted.count()
+    info(s"corpus assembly: $n0 -> filter $n1 -> dedup $n2 " +
+      s"-> cap+budget $n3 -> ${packed.count()} packed docs, " +
+      s"$totTokens tokens, ${manifest.count()} sequences")
+    // every stage non-degenerate and monotone
+    assert(n0 >= n1 && n1 >= n2 && n2 >= n3 && n3 > 0)
+    assert(n1 < n0, "filter dropped nothing — thresholds degenerate")
+    assert(n2 < n1, "dedup dropped nothing — corpus has known dups")
+  }
 }
