@@ -433,10 +433,16 @@ object Dedup {
     * bands tile the hash exactly; wider bands mean fewer bands and a
     * smaller guaranteed-complete Hamming radius (nBands − 1) — the
     * inherent simhash-LSH trade Manku et al. resolve the same way. */
-  def bandBitsFor(n: Long, targetBucket: Int = 64): Int =
-    Seq(4, 8, 16, 32)
-      .find(w => (1L << w) >= n.toDouble / targetBucket)
-      .getOrElse(32)
+  def bandBitsFor(n: Long, targetBucket: Int = 64, maxHamming: Int = 2): Int = {
+    // Joint cap with the verify radius: banding is complete only when
+    // 64/w - 1 >= maxHamming, so radius 2 tops out at 16-bit bands (3
+    // bands). Beyond ~4M docs occupancy then grows with n -- the price of
+    // a guaranteed radius (popcount verify still bounds the RESULT
+    // stream); callers that relax the radius unlock 32-bit bands.
+    val allowed = Seq(4, 8, 16, 32).filter(w => 64 / w - 1 >= maxHamming)
+    allowed.find(w => (1L << w) >= n.toDouble / targetBucket)
+      .getOrElse(allowed.max)
+  }
 
   /** SimHash near-dup pairs — the banded completion of [[simhash]]
     * (mirroring how [[minhashNearDup]] completes the minhash
@@ -459,7 +465,7 @@ object Dedup {
     val nBands = 64 / bandBits
     require(maxHamming <= nBands - 1,
       s"banding with $nBands bands is only complete for Hamming <= ${nBands - 1}")
-    val mask = (1 << bandBits) - 1L // bandBits <= 32, fits
+    val mask = (1L << bandBits) - 1 // Long shift: correct up to bandBits=32
     val s = simhash(docs).localCheckpoint(true)
     val banded = s.select(col("doc_id"), col("simhash"),
       explode(array((0 until nBands).map(b =>
@@ -486,7 +492,7 @@ object Dedup {
 
   def simhashNearDupSql(bandBits: Int = 8, maxHamming: Int = 2): String = {
     require(64 % bandBits == 0 && maxHamming <= 64 / bandBits - 1)
-    val mask = (1 << bandBits) - 1L
+    val mask = (1L << bandBits) - 1
     // mask AFTER the shift: DuckDB >> is a logical shift, Spark's is
     // arithmetic — they agree on the masked low bits for every band
     // including the top one

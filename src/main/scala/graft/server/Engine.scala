@@ -306,7 +306,17 @@ final class Engine(spark: SparkSession, dtfFolder: String,
     * broker's `FetchSizes` reply the influx plugin consumes
     * (`plugins/influx.rs:20-31`). Books seen on disk but not yet in the
     * mem map are included (size 0 mem). */
-  def bookSizes(): Seq[(String, Long, Long)] = synchronized {
+  def bookSizes(): Seq[(String, Long, Long)] = {
+    // Snapshot the mem map under the monitor ONLY — the disk walk below
+    // grows with book/file count, and holding the engine lock for its
+    // duration would stall every command (inserts included) once per
+    // metrics sweep. The walk then runs lock-free on the copy; a book
+    // flushed mid-walk just lands in the next sweep's numbers, which is
+    // the same monotone-snapshot semantics the reference's async
+    // FetchSizes reply has.
+    val memSizes: Map[String, Long] = synchronized {
+      books.iterator.map { case (b, buf) => b -> buf.size.toLong }.toMap
+    }
     def diskBytes(book: String): Long = {
       val d = new java.io.File(fsPath(book))
       Option(d.listFiles()).getOrElse(Array.empty)
@@ -317,8 +327,8 @@ final class Engine(spark: SparkSession, dtfFolder: String,
       .getOrElse(Array.empty).toSeq
       .filter(d => d.isDirectory && d.getName.startsWith("book="))
       .map(_.getName.stripPrefix("book="))
-    (books.keys.toSeq ++ fsBooks).distinct.sorted.map { b =>
-      (b, diskBytes(b), books.get(b).map(_.size.toLong).getOrElse(0L))
+    (memSizes.keys.toSeq ++ fsBooks).distinct.sorted.map { b =>
+      (b, diskBytes(b), memSizes.getOrElse(b, 0L))
     }
   }
 

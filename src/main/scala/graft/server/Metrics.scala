@@ -33,12 +33,36 @@ final class MetricsRecorder(spark: SparkSession, engine: Engine,
 
   private def metricsDir: String = destUri + "/_metrics"
 
+  /** JSON string escape (the [[Archiver]] `jstr` pattern, plus control
+    * chars): book names are user input over the wire, so an embedded
+    * quote/backslash must not corrupt the catalog rows [[metrics]] reads. */
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Influx line-protocol tag/measurement escape: `\` before space,
+    * comma and `=` (the format's reserved separators) and backslash
+    * itself, per the line-protocol spec — without it a book named
+    * `a b,c=d` yields a malformed line. */
+  private def lpTag(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case ' ' => "\\ "
+      case ',' => "\\,"
+      case '=' => "\\="
+      case c => c.toString
+    }
+
   /** The influx line-protocol body of one snapshot — exactly the
     * reference's `buf` (`influx.rs:22-31`): one
     * `<db>,ob=<book> disk=<n>,size=<n>` line per book. */
   def lineProtocol(sizes: Seq[(String, Long, Long)]): String =
     sizes.map { case (ob, disk, mem) =>
-      s"$db,ob=$ob disk=$disk,size=$mem"
+      s"${lpTag(db)},ob=${lpTag(ob)} disk=$disk,size=$mem"
     }.mkString("", "\n", "\n")
 
   /** One recording sweep: snapshot [[Engine.bookSizes]], append a part
@@ -58,7 +82,7 @@ final class MetricsRecorder(spark: SparkSession, engine: Engine,
     try {
       val w = new java.io.OutputStreamWriter(out, "UTF-8")
       sizes.foreach { case (ob, disk, mem) =>
-        w.write(s"""{"ts":$ts,"db":"$db","ob":"$ob",""" +
+        w.write(s"""{"ts":$ts,"db":${jstr(db)},"ob":${jstr(ob)},""" +
           s""""disk":$disk,"size":$mem}""" + "\n")
       }
       w.flush()

@@ -375,14 +375,19 @@ object Streaming {
       if (ws.length < 2) Iterator.empty
       else {
         val m = bc.value
-        var qsum = 0L
+        // BigInt accumulator: each quantized term is ~1e13–3e13, so a
+        // ~3e5-bigram document overflows a Long sum silently; the batch
+        // twin sums in decimal(38,0), and BigInt is its exact scalar
+        // counterpart (bit-identical for every length, not just short docs)
+        var qsum = BigInt(0)
         var i = 0
         while (i < ws.length - 1) {
-          qsum += m.q.getOrElse((ws(i), ws(i + 1)), {
+          val term: Long = m.q.getOrElse((ws(i), ws(i + 1)), {
             val c2 = math.max(m.uni.getOrElse(ws(i + 1), 0L), 1L)
             math.floor(math.log(
               (1.0 - m.lambda) * c2 / m.nTotal) * 1e12).toLong
           })
+          qsum += term
           i += 1
         }
         val n = (ws.length - 1).toLong

@@ -588,7 +588,28 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.bandBitsFor(500L) === 4)
     assert(Dedup.bandBitsFor(2000L) === 8)
     assert(Dedup.bandBitsFor(1000L * 1000) === 16)
-    assert(Dedup.bandBitsFor(10L * 1000 * 1000 * 1000) === 32)
+    // joint cap with the verify radius: at the default maxHamming=2 the
+    // widest COMPLETE banding is 16 bits (3 bands) — 32-bit bands would
+    // leave nBands-1=1 < 2 and simhashNearDup's require would throw at
+    // exactly the corpus size the adaptive width targets
+    assert(Dedup.bandBitsFor(10L * 1000 * 1000 * 1000) === 16)
+    // a relaxed radius unlocks the 32-bit width for huge corpora
+    assert(Dedup.bandBitsFor(10L * 1000 * 1000 * 1000, maxHamming = 1) === 32)
+  }
+
+  test("simhashNearDup: 32-bit band mask is Long-correct (no Int-shift wrap)") {
+    import spark.implicits._
+    // identical docs share both 32-bit bands, so the pair MUST surface at
+    // bandBits=32 (maxHamming=1, 2 bands). Under the old Int-shift mask
+    // ((1 << 32) wraps, mask 0) every band value collapsed to bucket 0 —
+    // silently all-pairs at exactly the width huge corpora select.
+    val docs = docsDf(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "totally unrelated words here"))
+    val out = Dedup.simhashNearDup(docs, bandBits = 32, maxHamming = 1)
+    val pairs = out.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(((1L << 32) - 1) === 0xFFFFFFFFL) // the Long-shift mask itself
   }
 
   test("dedupGroupSizes: histogram counts docs and groups per size") {

@@ -41,6 +41,31 @@ class MetricsSpec extends SparkSpec {
     assert(body === "tdb,ob=btc disk=4096,size=7\ntdb,ob=eth disk=0,size=0\n")
   }
 
+  test("hostile book names survive both sinks: JSON escape + influx tag escape") {
+    val e = mkEngine()
+    val dest = "file://" + Files.createTempDirectory("graft-metrics-esc")
+    val rec = e.newMetricsRecorder(dest, db = "my db,x=1")
+    // influx line protocol: \ before space, comma, '=' in tags AND the
+    // measurement, backslash doubled — otherwise the separators shift
+    val body = rec.lineProtocol(Seq(("""a b,c=d\e""", 1L, 2L)))
+    assert(body === """my\ db\,x\=1,ob=a\ b\,c\=d\\e disk=1,size=2""" + "\n")
+    // JSON sink: a book name with quote/backslash/newline must round-trip
+    // through the writer and be readable (not a null row) by metrics()
+    val hostile = "q\"uote\\back\nline"
+    val n = {
+      // route through pushOnce by staging a hostile-named book
+      e.execute(CommandParser.parse("CREATE hostile")) // placeholder book
+      rec.pushOnce()
+    }
+    assert(n >= 1)
+    // direct writer check: jstr semantics via a custom-name recorder row
+    val rec2 = e.newMetricsRecorder(dest + "/r2", db = hostile)
+    assert(rec2.pushOnce() >= 1)
+    val rows = rec2.metrics().collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[String]("db") == hostile),
+      s"JSON rows must round-trip the hostile db name: ${rows.toSeq}")
+  }
+
   test("interval sweeps append a queryable time series") {
     val e = mkEngine()
     val dest = "file://" + Files.createTempDirectory("graft-metrics-sink")

@@ -308,6 +308,28 @@ class StreamingSpec extends SparkSpec {
     assert(!got.contains(11L), "single-word docs emit no row, as batch")
   }
 
+  test("streaming bigram score: 2M-bigram doc does not wrap (BigInt accumulator)") {
+    import spark.implicits._
+    // All-OOV doc: every bigram backs off to the SAME quantized term
+    // (ln(0.1/17)·1e12 ≈ -5.14e12 units), so the exact average equals
+    // that single term. 2e6 bigrams sum to ≈ -1.03e19 — past Long.Min, so
+    // the old Long accumulator wraps POSITIVE; BigInt stays exact (the
+    // scalar counterpart of the batch twin's decimal(38,0) sum).
+    val corpus = Seq(1L -> "the cat sat on the mat").toDF("doc_id", "text")
+    val model = Streaming.lmModelOf(corpus)
+    val words = Array.fill(2000001)("zzz").mkString(" ")
+    val out = Streaming.streamingBigramScore(
+      Seq(90L -> words).toDS(), model).collect()
+    assert(out.length === 1)
+    val s = out.head
+    assert(s.n_bigrams === 2000000L)
+    val expectedTerm = math.floor(math.log(
+      (1.0 - model.lambda) * 1.0 / model.nTotal) * 1e12).toLong
+    assert(math.abs(s.avg_logprob - expectedTerm.toDouble / 1e12) < 1e-9,
+      s"avg must equal the per-term backoff exactly: ${s.avg_logprob}")
+    assert(s.avg_logprob < 0, "a wrapped Long sum flips the sign")
+  }
+
   test("streaming exact dedup: first arrival keeps, replays and dups drop") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
