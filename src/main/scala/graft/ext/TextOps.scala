@@ -270,13 +270,30 @@ object TextOps {
     * ([[graft.streaming.Streaming.streamingBigramScore]]) broadcasts
     * (train batch, score the ingest stream — the shape a production
     * quality gate runs). Bounded by the bigram vocabulary. */
-  def bigramModel(docs: DataFrame, lambda: Double = 0.9): DataFrame =
-    bigramModelFrom(bigramPairs(docs), docs, lambda)
+  def bigramModel(docs: DataFrame, lambda: Double = 0.9,
+      minCount: Long = 1L): DataFrame =
+    bigramModelFrom(bigramPairs(docs), docs, lambda, minCount)
+
+  /** Serving-model row budget → count-prune threshold, the
+    * [[dfMaxFor]]/[[graft.ext.Dedup.bandBitsFor]] pattern with a HARD
+    * guarantee instead of a heuristic: of N bigram tokens, at most N/m
+    * distinct bigrams can have count ≥ m (pigeonhole), so pruning at
+    * `minCount = ceil(N / targetRows)` bounds the model to ≤ targetRows
+    * rows for ANY corpus — no Zipf assumption. At test/sf scale
+    * (N ≤ targetRows) this returns 1: no pruning, bit-identical serving.
+    * Count-pruning is also what shipped LM servers (KenLM, the
+    * CCNet wikipedia models) do — rare bigrams carry no stable signal. */
+  def minCountFor(nTokens: Long, targetRows: Long = 2000000L): Long =
+    math.max(1L, (nTokens + targetRows - 1) / targetRows)
 
   private def bigramModelFrom(pairs: DataFrame, docs: DataFrame,
-      lambda: Double): DataFrame = {
+      lambda: Double, minCount: Long = 1L): DataFrame = {
     import graft.functions.localRelation
-    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c12raw = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // prune BEFORE the two vocab joins: the filter sits directly on the
+    // aggregate, so the (huge) rare-bigram tail never joins or shuffles
+    val c12 = if (minCount > 1L) c12raw.where(col("c12") >= minCount)
+              else c12raw
     val uni = tokens(docs).groupBy("term").agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
     val consts = localRelation(

@@ -331,22 +331,43 @@ object Streaming {
   /** A trained interpolated-bigram LM as a broadcastable serving
     * artifact: the lnQ-quantized pair log-probs (exactly
     * [[graft.ext.TextOps.bigramModel]]'s rows), the unigram counts, and
-    * the corpus total — everything OOV backoff needs. Bounded by the
-    * bigram vocabulary (a model, not a dataset). */
+    * the corpus total — everything OOV backoff needs. */
   case class LmModel(q: Map[(String, String), Long],
       uni: Map[String, Long], nTotal: Long, lambda: Double)
 
   /** Collect the trained model off the batch corpus (the train step of
-    * train-batch / score-stream). */
-  def lmModelOf(docs: DataFrame, lambda: Double = 0.9): LmModel = {
+    * train-batch / score-stream).
+    *
+    * Driver/executor memory is BOUNDED by construction, not by hope: the
+    * bigram and unigram tables are count-pruned at
+    * [[graft.ext.TextOps.minCountFor]]`(nTotal, targetRows)` before
+    * collecting, and pigeonhole guarantees ≤ targetRows rows each for
+    * ANY corpus — a 100-TB corpus collects the same ≤ 2×targetRows-row
+    * model a laptop corpus does (the pruning a shipped KenLM/CCNet
+    * model applies anyway). When the corpus is small enough that
+    * minCount = 1 (every sf the gates run at), the model is the full
+    * table and serving is bit-identical to [[graft.ext.TextOps
+    * .bigramLogProb]]. Pruned rare bigrams back off to the interpolated
+    * unigram term; pruned rare unigrams score as hapax (c2 → 1) — the
+    * same deterministic backoff OOV words already take. `nTotal` stays
+    * the FULL corpus token count (pruning bounds the table, it does not
+    * rescale the distribution). */
+  def lmModelOf(docs: DataFrame, lambda: Double = 0.9,
+      targetRows: Long = 2000000L): LmModel = {
     import graft.ext.TextOps
-    val q = TextOps.bigramModel(docs, lambda).collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    val uni = docs
+    val uniDf = docs
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val nTotal = uniDf.agg(coalesce(sum(col("c")), lit(0L)).cast("long"))
+      .head.getLong(0)
+    val minCount = TextOps.minCountFor(nTotal, targetRows)
+    val q = TextOps.bigramModel(docs, lambda, minCount).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val uni = (if (minCount > 1L) uniDf.where(col("c") >= minCount)
+               else uniDf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    LmModel(q, uni, uni.values.sum, lambda)
+    LmModel(q, uni, nTotal, lambda)
   }
 
   /** Score a DOCUMENT STREAM under a trained bigram LM — the quality

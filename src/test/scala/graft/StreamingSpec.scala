@@ -308,6 +308,37 @@ class StreamingSpec extends SparkSpec {
     assert(!got.contains(11L), "single-word docs emit no row, as batch")
   }
 
+  test("lmModelOf: model rows are pigeonhole-bounded by targetRows; serving stays total") {
+    import spark.implicits._
+    import graft.ext.TextOps
+    // minCountFor is a hard bound, not a heuristic: ceil(N/targetRows)
+    assert(TextOps.minCountFor(100L, 1000L) === 1L)
+    assert(TextOps.minCountFor(1000L, 1000L) === 1L)
+    assert(TextOps.minCountFor(1001L, 1000L) === 2L)
+    assert(TextOps.minCountFor(1000L * 1000 * 1000 * 1000) === 500000L)
+    // corpus: "a b" x 30 docs (common bigram), plus 20 distinct rare ones
+    val docs = ((1 to 30).map(i => i.toLong -> "a b") ++
+      (1 to 20).map(i => (100L + i) -> s"r$i s$i")).toDF("doc_id", "text")
+    // N = 100 tokens; targetRows 20 -> minCount 5: only (a,b) survives
+    val m = Streaming.lmModelOf(docs, targetRows = 20L)
+    assert(m.nTotal === 100L, "nTotal stays the FULL corpus count")
+    assert(m.q.size.toLong <= 20L && m.uni.size.toLong <= 20L,
+      s"pigeonhole bound violated: ${m.q.size} bigrams, ${m.uni.size} unis")
+    assert(m.q.contains(("a", "b")) && !m.q.contains(("r1", "s1")))
+    assert(m.uni.contains("a") && !m.uni.contains("r1"))
+    // pruned-away bigrams score through the same deterministic hapax
+    // backoff OOV takes — ln stays total, no crash, strictly worse score
+    val out = Streaming.streamingBigramScore(
+      Seq(201L -> "a b", 202L -> "r1 s1").toDS(), m).collect()
+      .map(s => s.doc_id -> s.avg_logprob).toMap
+    assert(!out(202L).isNaN && !out(202L).isInfinite)
+    assert(out(202L) < out(201L))
+    // and the un-pruned regime (default targetRows) is the identity:
+    // same corpus, minCount=1, full tables
+    val full = Streaming.lmModelOf(docs)
+    assert(full.q.contains(("r1", "s1")) && full.uni("r1") === 1L)
+  }
+
   test("streaming bigram score: 2M-bigram doc does not wrap (BigInt accumulator)") {
     import spark.implicits._
     // All-OOV doc: every bigram backs off to the SAME quantized term
