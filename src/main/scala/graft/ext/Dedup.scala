@@ -425,6 +425,27 @@ object Dedup {
       .foldLeft(0L)(_ | _)
   }
 
+  /** Scalar twin of [[shingles]] — one document's DISTINCT word n-gram
+    * set, SQL tokenization semantics exactly ([[TextOps.sqlWords]]).
+    * Docs with fewer than n words shingle to the empty set, identically
+    * to the batch op's `size(ws) >= n` filter. Used by the streaming
+    * near-dup path, where the set must exist BEFORE the band-keyed
+    * shuffle, and by specs as the independent replay oracle. */
+  def shingleSet(text: String, n: Int = 2): Set[String] = {
+    val ws = TextOps.sqlWords(text)
+    if (ws.length < n) Set.empty
+    else (0 to ws.length - n).iterator
+      .map(i => ws.slice(i, i + n).mkString(" ")).toSet
+  }
+
+  /** Scalar twin of [[minhashSignature]] — the k-permutation signature
+    * `h_i = min(md5("i:" ++ sh))` over a doc's shingle set. md5 renders
+    * lowercase hex (exactly Spark/DuckDB `md5()`), and the min is the
+    * same lexicographic order on ASCII hex strings both engines use. */
+  def minhashSig(shset: Set[String], k: Int = 16): Array[String] =
+    Array.tabulate(k)(i => shset.iterator
+      .map(sh => graft.functions.md5Hex(s"$i:$sh".getBytes("UTF-8"))).min)
+
   /** Band width (bits) as a function of corpus size — the simhash twin of
     * [[Similarity.planesFor]]: each band has 2^w buckets, expected bucket
     * occupancy n/2^w, and the band self-join is O(nBands · n²/2^w)

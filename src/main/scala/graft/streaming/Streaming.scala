@@ -328,6 +328,78 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Streaming MinHash+LSH near-dup detection — the ingest-time twin of
+    * [[graft.ext.Dedup.minhashNearDup]], the dedup most production
+    * pipelines actually run. Each arriving document shingles and signs
+    * map-side ([[graft.ext.Dedup.shingleSet]] /
+    * [[graft.ext.Dedup.minhashSig]], the scalar twins of the batch
+    * shingle/signature aggregations), fans out to its k/r LSH band
+    * buckets (band value = md5 of the band's r signature hashes — the
+    * batch op's exact banding key), and the stateful stage verifies the
+    * arrival against the bucket's members by EXACT set Jaccard — the
+    * same inter/uni/jaccard arithmetic the batch op's array_intersect
+    * verification computes, evaluated incrementally on arrival.
+    *
+    * State per bucket = the member (doc_id, distinct-shingle array)
+    * list: per-member size is the doc's own shingle set (exactly what
+    * the batch op's collect_set holds per doc), member count is bounded
+    * by LSH bucket occupancy — NOT the stream length. `bucket_n`
+    * carries the post-insert occupancy so the spec's state-size gate
+    * audits the bound live. A pair agreeing in several bands emits once
+    * per shared band (the batch op's pre-distinct candidate multiset);
+    * consumers dedup downstream exactly as the batch `.distinct()`.
+    * Docs with fewer than n words have no shingles, emit to no bucket
+    * and pair with nothing — identically to the batch op. */
+  case class MhPair(doc_a: Long, doc_b: Long, inter: Long, uni: Long,
+      jaccard: Double, bucket_n: Int)
+
+  def streamingMinhashNearDup(docs: Dataset[(Long, String)], n: Int = 2,
+      k: Int = 16, r: Int = 4, threshold: Double = 0.2)
+      : Dataset[MhPair] = {
+    import docs.sparkSession.implicits._
+    require(threshold > 0.0,
+      "threshold must be > 0 (zero-overlap candidates are never emitted)")
+    require(k % r == 0, s"r $r must divide k $k")
+    def fn(bucket: String, rows: Iterator[(String, Long, Array[String])],
+        state: GroupState[List[(Long, Array[String])]])
+        : Iterator[MhPair] = {
+      var members = state.getOption.getOrElse(List.empty)
+      val out = Seq.newBuilder[MhPair]
+      rows.toSeq.sortBy(_._2).foreach { case (_, id, shArr) =>
+        if (!members.exists(_._1 == id)) { // replayed frame: no self-pairs
+          val shSet = shArr.toSet
+          members.foreach { case (oid, oArr) =>
+            var inter = 0L
+            oArr.foreach(sh => if (shSet.contains(sh)) inter += 1L)
+            val uni = shSet.size.toLong + oArr.length - inter
+            val j = if (uni == 0L) 0.0 else inter.toDouble / uni
+            if (j >= threshold)
+              out += MhPair(math.min(oid, id), math.max(oid, id), inter,
+                uni, j, members.size + 1)
+          }
+          members = (id, shArr) :: members
+        }
+      }
+      state.update(members)
+      out.result().iterator
+    }
+    docs.flatMap { case (id, text) =>
+      val shset = graft.ext.Dedup.shingleSet(text, n)
+      if (shset.isEmpty) Iterator.empty
+      else {
+        val sig = graft.ext.Dedup.minhashSig(shset, k)
+        val shArr = shset.toArray.sorted
+        (0 until k / r).iterator.map { j =>
+          val bval = graft.functions.md5Hex(
+            sig.slice(j * r, j * r + r).mkString("").getBytes("UTF-8"))
+          (s"$j:$bval", id, shArr)
+        }
+      }
+    }.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** A trained interpolated-bigram LM as a broadcastable serving
     * artifact: the lnQ-quantized pair log-probs (exactly
     * [[graft.ext.TextOps.bigramModel]]'s rows), the unigram counts, and

@@ -308,6 +308,69 @@ class StreamingSpec extends SparkSpec {
     assert(!got.contains(11L), "single-word docs emit no row, as batch")
   }
 
+  test("streaming minhash near-dup ≡ batch pair set, including cross-batch pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.streamingMinhashNearDup(in.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mpairs").start()
+    in.addData(nearDupDocs: _*)
+    q.processAllAvailable()
+    in.addData(nearDupWave2: _*) // doc 5 pairs with docs 1/2 from batch 1
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("mpairs").as[Streaming.MhPair].collect()
+    val gotSet = got
+      .map(p => (p.doc_a, p.doc_b, p.inter, p.uni, p.jaccard)).toSet
+    val batch = graft.ext.Dedup.minhashNearDup(
+      (nearDupDocs ++ nearDupWave2).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(gotSet === batch, s"streamed $gotSet vs batch $batch")
+    // identical docs 1 and 5 arrived in DIFFERENT batches: the pair can
+    // only exist through carried state, with exact-Jaccard 1.0
+    assert(gotSet.exists(t => t._1 == 1L && t._2 == 5L && t._5 == 1.0),
+      "cross-batch pair lost")
+    // state-size gate: no bucket ever held more members than the true
+    // per-(band, bval) occupancy of the full corpus
+    val maxOcc = (nearDupDocs ++ nearDupWave2)
+      .flatMap { case (_, t) =>
+        val shset = graft.ext.Dedup.shingleSet(t)
+        if (shset.isEmpty) Seq.empty[String]
+        else {
+          val sig = graft.ext.Dedup.minhashSig(shset)
+          (0 until 4).map(j => s"$j:" + graft.functions.md5Hex(
+            sig.slice(j * 4, j * 4 + 4).mkString("").getBytes("UTF-8")))
+        }
+      }.groupBy(identity).values.map(_.size).max
+    assert(got.map(_.bucket_n).max <= maxOcc,
+      s"bucket state exceeded true occupancy $maxOcc")
+  }
+
+  test("scalar shingleSet/minhashSig ≡ batch shingles/minhashSignature") {
+    import spark.implicits._
+    val docs = (nearDupDocs ++ nearDupWave2) :+ (7L -> "") :+
+      (8L -> " one ") :+ (9L -> "  MiXeD   Case words mixed CASE  ")
+    val df = docs.toDF("doc_id", "text")
+    val batchSh = graft.ext.Dedup.shingles(df).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getString(1)).toSet).toMap
+    docs.foreach { case (id, t) =>
+      assert(batchSh.getOrElse(id, Set.empty[String]) ===
+        graft.ext.Dedup.shingleSet(t), s"shingles doc $id <$t>")
+    }
+    val batchSig = graft.ext.Dedup
+      .minhashSignature(graft.ext.Dedup.shingles(df)).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(i => r.getString(i))).toMap
+    docs.foreach { case (id, t) =>
+      val s = graft.ext.Dedup.shingleSet(t)
+      if (s.nonEmpty)
+        assert(batchSig(id) === graft.ext.Dedup.minhashSig(s).toSeq,
+          s"signature doc $id <$t>")
+    }
+  }
+
   test("lmModelOf: model rows are pigeonhole-bounded by targetRows; serving stays total") {
     import spark.implicits._
     import graft.ext.TextOps
