@@ -502,6 +502,17 @@ object Streaming {
     * (StreamingSpec proves streamed ≡ batch on the same docs). */
   def streamingQualityFilter(docs: DataFrame, minTokens: Long = 25,
       maxTopGramFrac: Double = 0.08, minMeanTokLen: Double = 3.0,
+      maxMeanTokLen: Double = 8.0): DataFrame =
+    qualityFlags(docs, minTokens, maxTopGramFrac, minMeanTokLen,
+      maxMeanTokLen)
+      .select(col("doc_id"), col("len_ok"), col("rep_ok"),
+        col("toklen_ok"), col("keep"))
+
+  /** The quality decision of [[streamingQualityFilter]] APPENDED to the
+    * input rows (all other columns pass through) — the composable form
+    * the assembly chain below filters on. */
+  def qualityFlags(docs: DataFrame, minTokens: Long = 25,
+      maxTopGramFrac: Double = 0.08, minMeanTokLen: Double = 3.0,
       maxMeanTokLen: Double = 8.0): DataFrame = {
     import graft.ext.TextOps
     val t = col("text")
@@ -510,15 +521,112 @@ object Streaming {
     // the word array is BOUND into a projected column before the gram
     // lambda: an inline split would re-run the regex per gram element
     // (O(words²) per document — fatal on long streamed docs)
-    docs.select(col("doc_id"), t,
-      split(lower(trim(t)), "\\s+").as("ws"))
-      .select(col("doc_id"),
-        (toks.cast("long") >= minTokens).as("len_ok"),
-        (coalesce(TextOps.topGramFracWords(col("ws")), lit(0.0))
-          <= maxTopGramFrac).as("rep_ok"),
-        (meanTok >= minMeanTokLen && meanTok <= maxMeanTokLen)
-          .as("toklen_ok"))
+    docs
+      .withColumn("ws", split(lower(trim(t)), "\\s+"))
+      .withColumn("len_ok", toks.cast("long") >= minTokens)
+      .withColumn("rep_ok",
+        coalesce(TextOps.topGramFracWords(col("ws")), lit(0.0))
+          <= maxTopGramFrac)
+      .withColumn("toklen_ok",
+        meanTok >= minMeanTokLen && meanTok <= maxMeanTokLen)
       .withColumn("keep",
         col("len_ok") && col("rep_ok") && col("toklen_ok"))
+      .drop("ws")
+  }
+
+  /** Parsed document-ingest line — the corpus pipeline's T2, one
+    * tab-separated `<doc_id>\t<source>\t<text>` record per wire line
+    * (text may itself contain tabs; only the first two split). */
+  case class DocLine(doc_id: Long, source: String, text: String)
+
+  /** Ingest deserializer for document lines; malformed lines drop, the
+    * same per-line error stance as [[parseLines]]. */
+  def parseDocLines(lines: Dataset[String]): Dataset[DocLine] = {
+    import lines.sparkSession.implicits._
+    lines.flatMap { s =>
+      val i = s.indexOf('\t')
+      val j = if (i < 0) -1 else s.indexOf('\t', i + 1)
+      if (i <= 0 || j < 0) None
+      else scala.util.Try(DocLine(s.substring(0, i).toLong,
+        s.substring(i + 1, j), s.substring(j + 1))).toOption
+    }
+  }
+
+  /** A document that survived the FULL streaming assembly chain —
+    * quality gate, content dedup, per-source token budget — with the
+    * budget bookkeeping a packing stage consumes. */
+  case class AssembledDoc(doc_id: Long, source: String, text: String,
+      n_tokens: Long, cum_tokens: Long)
+
+  /** The end-to-end corpus-assembly pipeline on a STREAM — the
+    * streaming twin of the batch chain PipelineSpec composes (quality
+    * filter → dedup → token budget → pack), wired as ONE streaming
+    * query: a stateless scalar quality gate ([[qualityFlags]], the
+    * batch operator's exact decisions), then exact content dedup
+    * (state = one keeper id per distinct md5, the
+    * [[streamingExactDedup]] semantics with the row carried through),
+    * then the per-source token budget ([[streamingTokenBudget]]
+    * semantics). Two chained flatMapGroupsWithState stages — legal in
+    * Spark because both emit in Append mode; each keeps the same
+    * bounded state its standalone op keeps. The survivors feed any
+    * sink; the spec lands them in parquet via foreachBatch and packs
+    * them with [[graft.ext.Pipeline.writePackedShards]] — the
+    * stream-ingest, batch-pack split production loaders run (packing
+    * wants the epoch's corpus frozen; dedup/budget want per-arrival
+    * decisions). */
+  def streamingCorpusAssembly(docs: Dataset[DocLine], budget: Long,
+      minTokens: Long = 25, maxTopGramFrac: Double = 0.08,
+      minMeanTokLen: Double = 3.0, maxMeanTokLen: Double = 8.0)
+      : Dataset[AssembledDoc] = {
+    import docs.sparkSession.implicits._
+    val kept = qualityFlags(docs.toDF(), minTokens, maxTopGramFrac,
+      minMeanTokLen, maxMeanTokLen)
+      .where(col("keep"))
+      .select(col("doc_id"), col("source"), col("text"),
+        graft.ext.TextOps.tokenCount(col("text")).cast("long")
+          .as("n_tokens"))
+      .as[(Long, String, String, Long)]
+    // content-dedup stage: key = md5(text), state = keeper id; first
+    // arrival of a content wins (doc_id order within a batch — the batch
+    // operator's min-id keeper on a single-batch replay). A replayed
+    // keeper row is DROPPED, not re-emitted: the downstream budget stage
+    // counts every emitted row, so re-emission would double-charge the
+    // source's budget.
+    def dedupFn(hash: String,
+        rows: Iterator[(Long, String, String, Long)],
+        state: GroupState[Long])
+        : Iterator[(Long, String, String, Long)] = {
+      var keeper = state.getOption
+      val out = Seq.newBuilder[(Long, String, String, Long)]
+      rows.toSeq.sortBy(_._1).foreach { r =>
+        if (keeper.isEmpty) { keeper = Some(r._1); out += r }
+      }
+      keeper.foreach(state.update)
+      out.result().iterator
+    }
+    val deduped = kept
+      .groupByKey(r => graft.functions.md5Hex(r._3.getBytes("UTF-8")))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(dedupFn)
+    // budget stage: key = source, state = cumulative tokens; md5(doc_id)
+    // order within a batch (the batch operator's deterministic order),
+    // arrival order across batches — streamingTokenBudget's stance
+    def md5Key(id: Long): String =
+      graft.functions.md5Hex(id.toString.getBytes("UTF-8"))
+    def budgetFn(src: String,
+        rows: Iterator[(Long, String, String, Long)],
+        state: GroupState[Long]): Iterator[AssembledDoc] = {
+      var cum = state.getOption.getOrElse(0L)
+      val out = Seq.newBuilder[AssembledDoc]
+      rows.toSeq.sortBy(r => (md5Key(r._1), r._1)).foreach { r =>
+        cum += r._4
+        if (cum <= budget) out += AssembledDoc(r._1, src, r._3, r._4, cum)
+      }
+      state.update(cum)
+      out.result().iterator
+    }
+    deduped.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(budgetFn)
   }
 }
