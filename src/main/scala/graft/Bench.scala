@@ -39,10 +39,15 @@ object Bench {
     }
     val calibStart = calibrate()
 
-    // optional comma-separated name filter for isolated A/B timing runs
-    // (the driver sets no filter -> full sweep)
+    // optional comma-separated filter for isolated A/B timing runs (the
+    // driver sets no filter -> full sweep); a token naming a registry
+    // FAMILY (core/dedup/ann/text/pipeline/multimodal) expands to that
+    // family's queries, so one token sweeps a family
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+        .map(_.flatMap(tok =>
+          SparkEntry.registryFamilies.find(_._1 == tok)
+            .map(_._2.map(_.name).toSet).getOrElse(Set(tok))))
     def sweep(): Seq[(String, Double)] = SparkEntry.registry
       .filter(q => only.forall(_.contains(q.name))).map { q =>
       val t0 = System.nanoTime()
@@ -107,10 +112,14 @@ object Bench {
     // future regressions localize to a group in cross-round diffs
     val groupTotals = {
       val minByName = minQ.toMap
-      SparkEntry.registryGroups.map { case (g, qs2) =>
-        val t = qs2.flatMap(q => minByName.get(q.name)).filter(_ >= 0).sum
-        "\"" + g + "_min_sec\":" + f"$t%.3f"
-      }.mkString(",")
+      def totals(gs: Seq[(String, Seq[graft.queries.Q])], suffix: String) =
+        gs.map { case (g, qs2) =>
+          val t = qs2.flatMap(q => minByName.get(q.name)).filter(_ >= 0).sum
+          "\"" + g + suffix + "\":" + f"$t%.3f"
+        }.mkString(",")
+      totals(SparkEntry.registryGroups, "_min_sec") + "," +
+        "\"families\":{" +
+        totals(SparkEntry.registryFamilies, "") + "}"
     }
     val line =
       f"""{"metric":"total_query_seconds","value":$total%.3f,"unit":"sec","queries":$qs,"queries_warm":${render(warm)},"total_warm_sec":$totalWarm%.3f,"queries_min":${render(minQ)},"total_min_sec":$totalMin%.3f,$groupTotals,"storage_bytes_per_event":$densityBpe%.2f,"calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f,"sf":"$sfDir"}"""

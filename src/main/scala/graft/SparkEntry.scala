@@ -27,6 +27,14 @@ object SparkEntry {
       RelationalQueries.all),
     "ext" -> ExtQueries.all)
 
+  /** Finer per-query families (VERDICT r6 #7): `core` plus the ext
+    * registry's dedup/ann/text/pipeline/multimodal blocks. Emitted as
+    * per-family totals in bench.json (regressions localize to a family
+    * in cross-round diffs) and accepted as `SPARK_GRAFT_BENCH_ONLY`
+    * tokens (one-token family A/B sweeps). */
+  def registryFamilies: Seq[(String, Seq[Q])] =
+    Seq("core" -> registryGroups.head._2) ++ ExtQueries.families
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's minimum end-to-end slice (SURVEY §7.2): 1-minute OHLCV
     * bars over the tick stream. */

@@ -68,6 +68,34 @@ object ExtQueries {
   def all: Seq[Q] =
     memo.computeIfAbsent(Tables.oracleSfDir.get, _ => build())
 
+  /** The ext registry partitioned into bench families (VERDICT r6 #7):
+    * `build()` lists queries in family blocks, and each entry here names
+    * a block's FIRST query — the slice boundaries. A spec gates that the
+    * families exactly partition `all`, so reordering build() without
+    * updating a boundary fails fast instead of mis-tagging silently. */
+  private val familyStarts = Seq(
+    "dedup" -> "q_dedup_exact",
+    "ann" -> "q_cosine_neardup",
+    "text" -> "q_token_count",
+    "pipeline" -> "q_pack_sequences",
+    "multimodal" -> "q_multimodal_meta")
+
+  def families: Seq[(String, Seq[Q])] = {
+    val qs = all
+    val starts = familyStarts.map { case (f, n) =>
+      val i = qs.indexWhere(_.name == n)
+      require(i >= 0, s"family boundary $n missing from registry")
+      f -> i
+    }
+    require(starts.head._2 == 0, "first family must start the registry")
+    require(starts.map(_._2) == starts.map(_._2).sorted,
+      "family boundaries out of registry order")
+    val ends = starts.tail.map(_._2) :+ qs.length
+    starts.zip(ends).map { case ((f, from), until) =>
+      f -> qs.slice(from, until)
+    }
+  }
+
   private def build(): Seq[Q] = Seq(
 
     // exact dedup: hash groupBy

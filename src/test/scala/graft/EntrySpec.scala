@@ -18,6 +18,20 @@ class EntrySpec extends SparkSpec {
     SparkEntry.oracleSql.keySet.foreach(k => assert(qs.contains(k), k))
   }
 
+  test("bench families exactly partition the registry") {
+    // the family slices are boundary-derived from build() order — this
+    // gate is what makes a silent re-order impossible (VERDICT r6 #7)
+    val fams = SparkEntry.registryFamilies
+    val tagged = fams.flatMap(_._2.map(_.name))
+    assert(tagged.distinct.length === tagged.length,
+      "a query landed in two families")
+    assert(tagged.toSet === SparkEntry.registry.map(_.name).toSet,
+      "families must cover the registry exactly")
+    assert(fams.forall(_._2.nonEmpty), "empty family")
+    assert(fams.map(_._1) ===
+      Seq("core", "dedup", "ann", "text", "pipeline", "multimodal"))
+  }
+
   test("every registry query analyzes against sf0.001") {
     Tables.enableNanos(spark)
     SparkEntry.queries.foreach { case (name, fn) =>
