@@ -264,4 +264,36 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastExchange"),
       s"corpus total not broadcast:\n$p")
   }
+
+  test("pruned bigram model filters the count aggregate BEFORE the vocab joins") {
+    import graft.ext.TextOps
+    // serving-model prune (lmModelOf): the c12 >= minCount filter must
+    // sit directly on the pair aggregate so the rare-bigram tail never
+    // reaches the two unigram joins — at 100 TB that tail IS the table
+    val df = TextOps.bigramModel(
+      Tables.table(spark, sf(), "documents").select("doc_id", "text"),
+      minCount = 5L)
+    val p = df.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"))
+    // optimized plan: the Filter referencing c12 must sit DIRECTLY on the
+    // pair aggregate (child chain of projections down to an Aggregate,
+    // crossing no Join) — i.e. the tail is dropped before any join work
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
+      Join, LogicalPlan, Project}
+    val opt = df.queryExecution.optimizedPlan
+    val c12Filters = opt.collect {
+      case f: Filter if f.condition.references.exists(_.name == "c12") => f
+    }
+    assert(c12Filters.nonEmpty, s"minCount filter missing from plan:\n$opt")
+    def onAggregate(n: LogicalPlan): Boolean = n match {
+      case _: Aggregate => true
+      case p: Project => onAggregate(p.child)
+      case _: Join => false
+      case other if other.children.size == 1 => onAggregate(other.children.head)
+      case _ => false
+    }
+    assert(c12Filters.forall(f => onAggregate(f.child)),
+      s"minCount filter not directly on the pair aggregate:\n$opt")
+  }
 }
