@@ -324,6 +324,41 @@ object TextOps {
         (col("_qsum") / 1e12 / col("n_bigrams")).as("avg_logprob"))
   }
 
+  /** DuckDB twin of [[bigramModel]] — the trained artifact itself as an
+    * oracle-gated table: (w1, w2, q_lnp), same left-assoc interpolation
+    * chain and lnQ quantization as the logprob twin. With `targetRows`
+    * set, the count-prune threshold is computed IN SQL from the corpus's
+    * own token count (`ceil(n_tokens / targetRows)` — exactly
+    * [[minCountFor]]), so both engines derive the same data-dependent
+    * minCount with no parameter side-channel. */
+  def bigramModelSql(lambda: Double = 0.9,
+      targetRows: Option[Long] = None): String = {
+    val having = targetRows.map(t =>
+      s"HAVING count(*) >= (SELECT CAST(ceil(CAST(count(*) AS DOUBLE)" +
+        s" / $t) AS BIGINT) FROM toks)").getOrElse("")
+    s"""WITH toks AS ($tokensSql),
+       |bigr AS (SELECT doc_id, w1, lead(w1) OVER (
+       |   PARTITION BY doc_id ORDER BY pos) AS w2 FROM (
+       |  SELECT doc_id,
+       |   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w1,
+       |   generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+       |  FROM documents)),
+       |pairs AS (SELECT doc_id, w1, w2 FROM bigr WHERE w2 IS NOT NULL),
+       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2
+       | $having),
+       |uni AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni)
+       |SELECT b.w1, b.w2, CAST(floor(ln(
+       |  ${sqlDouble(lambda)} * CAST(b.c12 AS DOUBLE) / CAST(u1.c AS DOUBLE)
+       |  + ${sqlDouble(1.0 - lambda)} * CAST(u2.c AS DOUBLE)
+       |    / CAST(t.n_total AS DOUBLE)) * 1e12) AS BIGINT) AS q_lnp
+       |FROM c12 b
+       |JOIN uni u1 ON u1.term = b.w1
+       |JOIN uni u2 ON u2.term = b.w2
+       |CROSS JOIN tot t
+       |ORDER BY b.w1, b.w2""".stripMargin.replace('\n', ' ')
+  }
+
   def bigramLogProbSql(lambda: Double = 0.9): String =
     s"""WITH toks AS ($tokensSql),
        |bigr AS (SELECT doc_id, w1, lead(w1) OVER (

@@ -391,6 +391,26 @@ object ExtQueries {
       (s, dir) => TextOps.bigramLogProb(docs(s, dir)).orderBy("doc_id"),
       Some(TextOps.bigramLogProbSql())),
 
+    // the trained bigram-LM artifact itself (w1, w2, q_lnp) — the table
+    // the streaming scorer serves; full model oracle-gated bit-exact
+    Q("q_lm_model",
+      (s, dir) => TextOps.bigramModel(docs(s, dir)).orderBy("w1", "w2"),
+      Some(TextOps.bigramModelSql())),
+
+    // the PRUNED serving model (lmModelOf's bound): both engines derive
+    // minCount = ceil(n_tokens / targetRows) from the corpus itself —
+    // targetRows 2000 engages the prune at BOTH gated SFs (minCount 14
+    // at sf0.01, 136 at sf0.1) while pigeonhole-bounding the rows
+    Q("q_lm_model_pruned",
+      (s, dir) => {
+        val n = docs(s, dir)
+          .select(explode(split(lower(trim(col("text"))), "\\s+")))
+          .count()
+        TextOps.bigramModel(docs(s, dir),
+          minCount = TextOps.minCountFor(n, 2000L)).orderBy("w1", "w2")
+      },
+      Some(TextOps.bigramModelSql(targetRows = Some(2000L)))),
+
     // character-distribution entropy (gibberish / encoding-junk signal)
     Q("q_char_entropy",
       (s, dir) => TextOps.charEntropy(docs(s, dir)).orderBy("doc_id"),
