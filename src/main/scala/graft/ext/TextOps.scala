@@ -253,8 +253,10 @@ object TextOps {
     * corpus total as a 1-row LocalRelation, one per-doc aggregation.
     * Docs with fewer than 2 words have no bigrams and emit no row,
     * identically in both engines. */
-  /** The per-doc bigram stream (doc_id, w1, w2), multiplicity kept. */
-  private def bigramPairs(docs: DataFrame): DataFrame = docs
+  /** The per-doc bigram stream (doc_id, w1, w2), multiplicity kept.
+    * Pure stateless expressions, so it applies to STREAMING DataFrames
+    * too — the join-scorer's stream side. */
+  private[graft] def bigramPairs(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ws"))
     .where(size(col("ws")) >= 2)
     .select(col("doc_id"),

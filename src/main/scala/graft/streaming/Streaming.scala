@@ -442,6 +442,78 @@ object Streaming {
     LmModel(q, uni, nTotal, lambda)
   }
 
+  /** A trained bigram LM left IN THE CLUSTER: the model and unigram
+    * DataFrames (optionally [[graft.ext.TextOps.minCountFor]]-pruned)
+    * plus the two scalars OOV backoff needs. The serving path for
+    * models too large even for the pruned broadcast — nothing but two
+    * Longs ever reaches the driver. */
+  case class LmModelRef(model: DataFrame, uni: DataFrame, nTotal: Long,
+      lambda: Double)
+
+  /** Train on the batch corpus, keep the model distributed (the
+    * stream-static-join twin of [[lmModelOf]]): same tables, same
+    * pruning bound, zero collect — `nTotal` is the only driver value
+    * (an O(1) aggregate). */
+  def lmModelRefOf(docs: DataFrame, lambda: Double = 0.9,
+      targetRows: Long = 2000000L): LmModelRef = {
+    import graft.ext.TextOps
+    val uniDf = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val nTotal = uniDf.agg(coalesce(sum(col("c")), lit(0L)).cast("long"))
+      .head.getLong(0)
+    val minCount = TextOps.minCountFor(nTotal, targetRows)
+    val model = TextOps.bigramModel(docs, lambda, minCount)
+      .localCheckpoint(true)
+    val uniP = (if (minCount > 1L) uniDf.where(col("c") >= minCount)
+                else uniDf).localCheckpoint(true)
+    LmModelRef(model, uniP, nTotal, lambda)
+  }
+
+  /** Score a document stream by STREAM-STATIC JOINS against the model
+    * tables (VERDICT r6 #1 option b): arriving docs explode to their
+    * bigram rows ([[graft.ext.TextOps.bigramPairs]] — stateless
+    * expressions, legal on a stream), LEFT-join the model for in-vocab
+    * q values and the unigram table for the backoff count, and
+    * re-aggregate per doc. The per-doc aggregation is a
+    * flatMapGroupsWithState that stores NO state: a doc's bigram rows
+    * all originate from one input row, so they are complete within its
+    * micro-batch — the group exists to reassemble them after the join
+    * shuffle, not to remember anything.
+    *
+    * Identical arithmetic to [[streamingBigramScore]] (same left-assoc
+    * backoff chain, BigInt-exact summation): StreamingSpec proves the
+    * two serving paths and the batch scorer agree bit-for-bit. Spark
+    * plans the model join as broadcast or shuffle by size — exactly the
+    * knob a 100-TB model needs (the broadcast path ships the model per
+    * task; this one shuffles bigram keys to it). */
+  def streamingBigramScoreJoined(docs: Dataset[(Long, String)],
+      ref: LmModelRef): Dataset[LmScore] = {
+    import docs.sparkSession.implicits._
+    val backoff = floor(log(
+      lit(1.0 - ref.lambda) *
+        greatest(coalesce(col("c2"), lit(0L)), lit(1L)).cast("double") /
+        lit(ref.nTotal.toDouble)) * 1e12).cast("long")
+    val scored = graft.ext.TextOps.bigramPairs(docs.toDF("doc_id", "text"))
+      .join(ref.model, Seq("w1", "w2"), "left")
+      .join(ref.uni.select(col("term").as("w2"), col("c").as("c2")),
+        Seq("w2"), "left")
+      .select(col("doc_id"), coalesce(col("q_lnp"), backoff).as("q"))
+      .as[(Long, Long)]
+    def fn(id: Long, rows: Iterator[(Long, Long)],
+        state: GroupState[Boolean]): Iterator[LmScore] = {
+      var n = 0L
+      var qsum = BigInt(0)
+      rows.foreach { case (_, q) => n += 1; qsum += q }
+      if (n == 0) Iterator.empty
+      else Iterator.single(LmScore(id, n, qsum.toDouble / 1e12 / n))
+    }
+    scored.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Score a DOCUMENT STREAM under a trained bigram LM — the quality
     * gate a production ingest pipeline runs per arriving document
     * (train batch, score stream). Stateless: the model broadcasts, each

@@ -402,6 +402,48 @@ class StreamingSpec extends SparkSpec {
     assert(full.q.contains(("r1", "s1")) && full.uni("r1") === 1L)
   }
 
+  test("stream-static join scorer ≡ broadcast scorer ≡ batch (zero-collect serving)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(1L -> "the cat sat on the mat",
+      2L -> "the dog sat on the cat", 3L -> "a cat and a dog")
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val ref = Streaming.lmModelRefOf(corpusDf)   // model stays distributed
+    val model = Streaming.lmModelOf(corpusDf)    // broadcast path
+    val probe = corpus :+ (10L -> "the cat sat zzz unseenword qqq") :+
+      (11L -> "solo")
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.streamingBigramScoreJoined(in.toDS(), ref)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lmjoin").start()
+    in.addData(probe: _*)
+    q.processAllAvailable()
+    q.stop()
+    val joined = spark.table("lmjoin").as[Streaming.LmScore].collect()
+      .map(s => s.doc_id -> ((s.n_bigrams, s.avg_logprob))).toMap
+    // ≡ the broadcast scorer on every doc, OOV included
+    val bcast = Streaming.streamingBigramScore(probe.toDS(), model)
+      .collect().map(s => s.doc_id -> ((s.n_bigrams, s.avg_logprob))).toMap
+    assert(joined === bcast, s"join $joined vs broadcast $bcast")
+    // ≡ the batch operator on training docs
+    val batch = graft.ext.TextOps.bigramLogProb(corpusDf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    corpus.foreach { case (id, _) => assert(joined(id) === batch(id)) }
+    assert(!joined.contains(11L), "single-word docs emit no row")
+    // pruned serving parity: both paths under the same tight bound agree
+    val docs2 = ((1 to 30).map(i => i.toLong -> "a b") ++
+      (1 to 20).map(i => (100L + i) -> s"r$i s$i")).toDF("doc_id", "text")
+    val refP = Streaming.lmModelRefOf(docs2, targetRows = 20L)
+    val modelP = Streaming.lmModelOf(docs2, targetRows = 20L)
+    assert(refP.model.count() === modelP.q.size.toLong)
+    val probe2 = Seq(201L -> "a b", 202L -> "r1 s1")
+    val j2 = Streaming.streamingBigramScoreJoined(probe2.toDS(), refP)
+      .collect().map(s => s.doc_id -> s.avg_logprob).toMap
+    val b2 = Streaming.streamingBigramScore(probe2.toDS(), modelP)
+      .collect().map(s => s.doc_id -> s.avg_logprob).toMap
+    assert(j2 === b2, s"pruned serving drifted: $j2 vs $b2")
+  }
+
   test("streaming bigram score: 2M-bigram doc does not wrap (BigInt accumulator)") {
     import spark.implicits._
     // All-OOV doc: every bigram backs off to the SAME quantized term
