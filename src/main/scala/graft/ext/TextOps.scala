@@ -276,6 +276,19 @@ object TextOps {
       minCount: Long = 1L): DataFrame =
     bigramModelFrom(bigramPairs(docs), docs, lambda, minCount)
 
+  /** [[bigramModel]] pruned to the [[minCountFor]] row budget with the
+    * threshold derived IN-PLAN: the model's own 1-row corpus-total
+    * broadcast (needed for the interpolation anyway) also yields
+    * `minCount = ceil(n_total / targetRows)`, so the prune costs zero
+    * extra scans and no driver action — the tail drops in a filter that
+    * sits on the pair aggregate behind a 1-row broadcast, BEFORE the
+    * vocab joins. The oracle twin ([[bigramModelSql]] with targetRows)
+    * computes the same threshold as a SQL subquery. */
+  def bigramModelBudget(docs: DataFrame, lambda: Double = 0.9,
+      targetRows: Long = 2000000L): DataFrame =
+    bigramModelFrom(bigramPairs(docs), docs, lambda, 1L,
+      Some(targetRows))
+
   /** Serving-model row budget → count-prune threshold, the
     * [[dfMaxFor]]/[[graft.ext.Dedup.bandBitsFor]] pattern with a HARD
     * guarantee instead of a heuristic: of N bigram tokens, at most N/m
@@ -289,17 +302,28 @@ object TextOps {
     math.max(1L, (nTokens + targetRows - 1) / targetRows)
 
   private def bigramModelFrom(pairs: DataFrame, docs: DataFrame,
-      lambda: Double, minCount: Long = 1L): DataFrame = {
+      lambda: Double, minCount: Long = 1L,
+      targetRows: Option[Long] = None): DataFrame = {
     import graft.functions.localRelation
     val c12raw = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    // prune BEFORE the two vocab joins: the filter sits directly on the
-    // aggregate, so the (huge) rare-bigram tail never joins or shuffles
-    val c12 = if (minCount > 1L) c12raw.where(col("c12") >= minCount)
-              else c12raw
     val uni = tokens(docs).groupBy("term").agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
     val consts = localRelation(
       uni.agg(sum(col("c")).cast("long").as("n_total")))
+    // prune BEFORE the two vocab joins, so the (huge) rare-bigram tail
+    // never joins or shuffles: a literal minCount filters the aggregate
+    // directly; a targetRows budget derives the threshold from the SAME
+    // 1-row corpus-total broadcast the interpolation needs anyway
+    // (ceil(n_total / targetRows) — minCountFor in-plan, no driver
+    // action, no extra scan)
+    val c12 = (minCount, targetRows) match {
+      case (_, Some(t)) => c12raw.crossJoin(broadcast(consts))
+        .where(col("c12") >=
+          ceil(col("n_total").cast("double") / lit(t)).cast("long"))
+        .select(col("w1"), col("w2"), col("c12"))
+      case (m, None) if m > 1L => c12raw.where(col("c12") >= m)
+      case _ => c12raw
+    }
     // p spelled as ((λ·c12)/c1 + ((1−λ)·c2)/N) — the same left-assoc
     // chain the twin writes textually
     val p = lit(lambda) * col("c12").cast("double") / col("c1").cast("double") +

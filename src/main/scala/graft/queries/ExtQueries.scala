@@ -399,16 +399,13 @@ object ExtQueries {
 
     // the PRUNED serving model (lmModelOf's bound): both engines derive
     // minCount = ceil(n_tokens / targetRows) from the corpus itself —
-    // targetRows 2000 engages the prune at BOTH gated SFs (minCount 14
-    // at sf0.01, 136 at sf0.1) while pigeonhole-bounding the rows
+    // the engine IN-PLAN off the model's own corpus-total broadcast, the
+    // oracle as a SQL subquery; targetRows 2000 engages the prune at
+    // BOTH gated SFs (minCount 14 at sf0.01, 136 at sf0.1) while
+    // pigeonhole-bounding the rows
     Q("q_lm_model_pruned",
-      (s, dir) => {
-        val n = docs(s, dir)
-          .select(explode(split(lower(trim(col("text"))), "\\s+")))
-          .count()
-        TextOps.bigramModel(docs(s, dir),
-          minCount = TextOps.minCountFor(n, 2000L)).orderBy("w1", "w2")
-      },
+      (s, dir) => TextOps.bigramModelBudget(docs(s, dir),
+        targetRows = 2000L).orderBy("w1", "w2"),
       Some(TextOps.bigramModelSql(targetRows = Some(2000L)))),
 
     // character-distribution entropy (gibberish / encoding-junk signal)

@@ -295,5 +295,24 @@ class PlanSpec extends SparkSpec {
     }
     assert(c12Filters.forall(f => onAggregate(f.child)),
       s"minCount filter not directly on the pair aggregate:\n$opt")
+
+    // the in-plan budget variant: Catalyst fuses the threshold filter
+    // into the 1-row-broadcast cross join's CONDITION, sitting directly
+    // on the pair aggregate — below both vocab joins
+    val dfB = TextOps.bigramModelBudget(
+      Tables.table(spark, sf(), "documents").select("doc_id", "text"),
+      targetRows = 100L)
+    val optB = dfB.queryExecution.optimizedPlan
+    val pruneJoins = optB.collect {
+      case j: Join if j.condition.exists(
+        _.references.exists(_.name == "c12")) => j
+    }
+    assert(pruneJoins.nonEmpty, s"budget prune condition missing:\n$optB")
+    pruneJoins.foreach { j =>
+      assert(j.collect { case jj: Join => jj }.size === 1,
+        s"budget prune floated above a vocab join:\n$optB")
+      assert(j.collect { case a: Aggregate => a }.nonEmpty,
+        s"budget prune lost its aggregate:\n$optB")
+    }
   }
 }
