@@ -33,6 +33,26 @@ class StreamingAssemblySpec extends SparkSpec {
   private def goodText(id: Long): String =
     (0 until 30).map(k => f"w$id%02d$k%02d").mkString(" ")
 
+  test("parseDocLines: malformed lines drop, text keeps its own tabs") {
+    import spark.implicits._
+    val lines = Seq(
+      "1\tweb\thello world",            // well-formed
+      "2\tweb\ta\tb\tc",                // tabs INSIDE text are content
+      "3\tweb\t",                       // empty text is a valid doc
+      "-4\tweb\tnegative id ok",        // ids are any Long
+      "notanum\tweb\ttext",             // non-numeric id -> drop
+      "justtext",                       // no tabs -> drop
+      "5\tonly-one-tab",                // one tab -> drop
+      "\tweb\tempty id -> drop")
+    val out = Streaming.parseDocLines(spark.createDataset(lines))
+      .collect().map(d => d.doc_id -> ((d.source, d.text))).toMap
+    assert(out === Map(
+      1L -> (("web", "hello world")),
+      2L -> (("web", "a\tb\tc")),
+      3L -> (("web", "")),
+      -4L -> (("web", "negative id ok"))))
+  }
+
   test("socket -> parse -> quality -> dedup -> budget -> packed shards ≡ batch chain") {
     import spark.implicits._
     // web: 5 good docs + id 3 duplicating id 2's content (2 < 3 and
