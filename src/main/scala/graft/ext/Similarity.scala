@@ -37,10 +37,51 @@ object Similarity {
     * (A decimal-cast path does NOT work here: Spark's double→decimal cast
     * goes through the shortest decimal repr, DuckDB expands the exact
     * binary value.) */
-  private def dotD(a: Column, b: Column): Column = {
+  private[graft] def dotD(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graftglue.Bridge
     Bridge.column(graft.plans.ArrayDotProduct(
       Bridge.expression(a), Bridge.expression(b)))
+  }
+
+  /** Scalar twin of the [[dotD]] kernel — identical left-fold IEEE
+    * sequence to `ArrayDotProduct.nullSafeEval`/codegen. */
+  private[graft] def dotScalar(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Scalar twin of [[lshBuckets]] — one vector's bucket, the exact bit
+    * mapping of the DataFrame op (plane p votes from the md5("p:d")
+    * parity sign, bit set iff the left-fold projection is strictly
+    * positive). Used by the streaming ANN path, where the bucket must
+    * exist BEFORE the stream-static join, and by specs as the
+    * independent replay oracle. */
+  private val planeSignCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Double]]]()
+  private def planeSigns(planes: Int): Array[Array[Double]] =
+    planeSignCache.computeIfAbsent(planes, _ =>
+      Array.tabulate(planes, 64) { (p, d) =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p:$d".getBytes("UTF-8"))
+        if ((h(0) & 0x80) != 0) 1.0 else -1.0
+      })
+
+  def lshBucket64(emb: Array[Double], planes: Int): Long = {
+    val signs = planeSigns(planes)
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var s = 0.0
+      var d = 0
+      val n = math.min(64, emb.length)
+      while (d < n) { s += emb(d) * signs(p)(d); d += 1 }
+      if (s > 0.0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
   }
 
   private def dotSql(a: String, b: String): String =

@@ -442,6 +442,72 @@ object Streaming {
     LmModel(q, uni, nTotal, lambda)
   }
 
+  /** An LSH ANN index left IN THE CLUSTER: the bucketed, normed corpus
+    * table (vec_id, emb, norm, bucket), built once batch-side and
+    * served to a stream of query vectors by stream-static joins —
+    * online ANN serving off a trained index, the embedding twin of
+    * [[LmModelRef]]. Nothing reaches the driver. */
+  case class AnnIndexRef(vecs: DataFrame, planes: Int)
+
+  def annIndexOf(embeddings: DataFrame, planes: Int): AnnIndexRef = {
+    import graft.ext.Similarity
+    val buckets = Similarity.lshBuckets(embeddings, planes)
+    AnnIndexRef(Similarity.withNorms(embeddings).join(buckets, "vec_id")
+      .localCheckpoint(true), planes)
+  }
+
+  /** Nearest corpus vectors for a STREAM of query vectors — the serving
+    * twin of [[graft.ext.Similarity.lshNearest]] /
+    * [[graft.ext.Similarity.lshNearestMultiProbe]]: each arriving query
+    * buckets map-side ([[graft.ext.Similarity.lshBucket64]], the scalar
+    * twin of the batch bucket mapping, property-gated bit-for-bit) and
+    * optionally fans out to its Hamming-1 probe buckets, stream-static
+    * equi-joins the index on the bucket key (the corpus is only ever
+    * touched through the blocking key — no cross join), and a stateless
+    * per-query reassembly ranks candidates by (sim DESC, vec_id) and
+    * emits the top k. Same left-fold cosine kernel as the batch ops, so
+    * results are bit-identical (StreamingSpec proves streamed ≡ batch
+    * for both probe modes). Queries landing in an empty bucket emit no
+    * row, exactly as the batch equi-join drops them. */
+  case class AnnHit(q_id: Long, vec_id: Long, sim: Double, rank: Int)
+
+  def streamingAnnNearest(queries: Dataset[(Long, Array[Double])],
+      index: AnnIndexRef, k: Int = 1, multiProbe: Boolean = false)
+      : Dataset[AnnHit] = {
+    import queries.sparkSession.implicits._
+    import graft.ext.Similarity
+    val qdf = queries.flatMap { case (id, emb) =>
+      val b = Similarity.lshBucket64(emb, index.planes)
+      val probes =
+        if (multiProbe) b +: (0 until index.planes).map(p => b ^ (1L << p))
+        else Seq(b)
+      val norm = math.sqrt(Similarity.dotScalar(emb, emb))
+      probes.map(pb => (id, pb, emb, norm))
+    }.toDF("q_id", "bucket", "q_emb", "q_norm")
+    val cand = qdf.join(index.vecs, Seq("bucket"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (Similarity.dotD(col("q_emb"), col("emb")) /
+          (col("q_norm") * col("norm"))).as("sim"))
+      .as[(Long, Long, Double)]
+    // stateless reassembly after the join shuffle (the LM join-scorer
+    // pattern): a query's candidate rows are complete within its batch;
+    // multi-probe duplicates are identical rows, deduped by vec_id as
+    // the batch op's .distinct() does
+    def fn(id: Long, rows: Iterator[(Long, Long, Double)],
+        state: GroupState[Boolean]): Iterator[AnnHit] = {
+      val best = rows.map { case (_, v, s) => (v, s) }.toSeq
+        .distinct
+        .sortBy { case (v, s) => (-s, v) }.take(k)
+      best.iterator.zipWithIndex.map { case ((v, s), i) =>
+        AnnHit(id, v, s, i + 1)
+      }
+    }
+    cand.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** A trained bigram LM left IN THE CLUSTER: the model and unigram
     * DataFrames (optionally [[graft.ext.TextOps.minCountFor]]-pruned)
     * plus the two scalars OOV backoff needs. The serving path for

@@ -402,6 +402,49 @@ class StreamingSpec extends SparkSpec {
     assert(full.q.contains(("r1", "s1")) && full.uni("r1") === 1L)
   }
 
+  test("streaming ANN nearest ≡ batch LSH nearest, single and multi-probe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val embs = Tables.table(spark, sf(), "embeddings")
+      .select("vec_id", "embedding")
+    val planes = graft.ext.Similarity.planesFor(500)
+    // scalar bucket twin ≡ DataFrame op over the whole real corpus
+    val dfBuckets = graft.ext.Similarity.lshBuckets(embs, planes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = embs
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    vecs.foreach { case (id, e) =>
+      assert(graft.ext.Similarity.lshBucket64(e, planes) === dfBuckets(id),
+        s"vec $id bucket drifted")
+    }
+    // the served index vs the batch operator, queries in two waves
+    val index = Streaming.annIndexOf(embs, planes)
+    val in = MemoryStream[(Long, Array[Double])]
+    val q = Streaming.streamingAnnNearest(in.toDS(), index).writeStream
+      .outputMode("append").format("memory").queryName("annhits").start()
+    val (w1, w2) = vecs.splitAt(vecs.length / 2)
+    in.addData(w1.toSeq: _*)
+    q.processAllAvailable()
+    in.addData(w2.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("annhits").as[Streaming.AnnHit].collect()
+      .map(h => (h.q_id, h.vec_id, h.sim)).toSet
+    val batch = graft.ext.Similarity.lshNearest(embs, planes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === batch, s"${got.size} streamed vs ${batch.size} batch")
+    // multi-probe serving ≡ the batch multi-probe op (batch-mode Dataset
+    // exercises the same flatMap/join/reassembly path)
+    val got2 = Streaming.streamingAnnNearest(vecs.toSeq.toDS(), index,
+      multiProbe = true).collect().map(h => (h.q_id, h.vec_id, h.sim)).toSet
+    val batch2 = graft.ext.Similarity.lshNearestMultiProbe(embs, planes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got2 === batch2,
+      s"multiprobe: ${got2.size} streamed vs ${batch2.size} batch")
+  }
+
   test("stream-static join scorer ≡ broadcast scorer ≡ batch (zero-collect serving)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
