@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.Streaming
+
+/** Measured single-node throughput for the two streaming SERVING paths
+  * the pipeline runs hottest: corpus-assembly ingest (docs/s through
+  * quality → dedup → budget) and ANN query serving (queries/s against
+  * the cluster-resident LSH index). The reference publishes ingest
+  * throughput as its headline number (~600k tick inserts/thread/s,
+  * README.md:27) — these gates put the document-pipeline equivalents on
+  * record each round. Floors are deliberately conservative (~10× under
+  * the measured rate on this box) so host noise cannot flake the suite;
+  * the `info` lines carry the real measurement into the test report. */
+class ThroughputSpec extends SparkSpec {
+
+  test("assembly ingest: 20k docs through quality->dedup->budget") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val n = 20000
+    // realistic mix: 70% unique good docs, 20% duplicates, 10% junk
+    val docs = (0 until n).map { i =>
+      val id = i.toLong
+      if (i % 10 == 9) Streaming.DocLine(id, s"src${i % 4}", "too short")
+      else if (i % 5 == 4) // 10 distinct texts shared by 2k docs: dup load
+        Streaming.DocLine(id, s"src${i % 4}",
+          (0 until 30).map(k => f"w${i % 100}%03d$k%02d").mkString(" "))
+      else // unique good docs: 6-char words keep mean token length < 8
+        Streaming.DocLine(id, s"src${i % 4}",
+          (0 until 30).map(k => f"u${(i * 31 + k) % 99999}%05d")
+            .mkString(" "))
+    }
+    val in = MemoryStream[Streaming.DocLine]
+    val q = Streaming.streamingCorpusAssembly(in.toDS(),
+        budget = Long.MaxValue / 4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tput_assembly").start()
+    val t0 = System.nanoTime()
+    in.addData(docs: _*)
+    q.processAllAvailable()
+    val sec = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    val out = spark.table("tput_assembly").count()
+    val rate = n / sec
+    info(f"assembly: $n%,d docs in $sec%.2f s = $rate%,.0f docs/s " +
+      f"($out%,d survivors)")
+    assert(out > 0L && out < n.toLong, "mix must both keep and drop")
+    assert(rate > 200.0, f"assembly ingest collapsed: $rate%,.0f docs/s")
+  }
+
+  test("ANN serving: sf0.01 corpus as query stream against its index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val embs = Tables.table(spark, sf("sf0.01"), "embeddings")
+      .select("vec_id", "embedding")
+    val nVec = Tables.parquetRowCount(s"${sf("sf0.01")}/embeddings.parquet")
+    val planes = graft.ext.Similarity.planesFor(nVec)
+    val index = Streaming.annIndexOf(embs, planes)
+    val vecs = embs
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    val in = MemoryStream[(Long, Array[Double])]
+    val q = Streaming.streamingAnnNearest(in.toDS(), index).writeStream
+      .outputMode("append").format("memory").queryName("tput_ann").start()
+    val t0 = System.nanoTime()
+    in.addData(vecs.toSeq: _*)
+    q.processAllAvailable()
+    val sec = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    val hits = spark.table("tput_ann").count()
+    val rate = vecs.length / sec
+    info(f"ann serving: ${vecs.length}%,d queries in $sec%.2f s = " +
+      f"$rate%,.0f q/s ($hits%,d hits)")
+    assert(hits > 0L)
+    assert(rate > 50.0, f"ann serving collapsed: $rate%,.0f q/s")
+  }
+}
