@@ -508,6 +508,87 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** An IVF ANN index left IN THE CLUSTER: the coarse-quantizer
+    * centroid table and the cell-assigned corpus (vec_id, cell, emb,
+    * norm), built once batch-side with exactly
+    * [[graft.ext.Similarity.ivfTopK]]'s assignment (same csim
+    * arithmetic, same (csim DESC, cid) argmax). */
+  case class IvfIndexRef(cents: DataFrame, cells: DataFrame)
+
+  def ivfIndexOf(embeddings: DataFrame, nCentroids: Int): IvfIndexRef = {
+    import graft.ext.Similarity
+    import org.apache.spark.sql.expressions.Window
+    val vecs = Similarity.withNorms(embeddings)
+    val cents = vecs.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("emb").as("c_emb"),
+        col("norm").as("c_norm"))
+      .localCheckpoint(true)
+    val csims = vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (Similarity.dotD(col("emb"), col("c_emb")) /
+          (col("norm") * col("c_norm"))).as("csim"))
+    val byCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val assigned = csims.withColumn("rn", row_number().over(byCell))
+      .where(col("rn") === 1).select(col("vec_id"), col("cid").as("cell"))
+    IvfIndexRef(cents, assigned.join(vecs, "vec_id").localCheckpoint(true))
+  }
+
+  /** IVF top-k for a STREAM of query vectors — the serving twin of
+    * [[graft.ext.Similarity.ivfTopK]], the index production ANN tiers
+    * actually run at corpus scale (cells of ~√n, probe a few). Two
+    * stream-static joins and two STATELESS reassemblies: (1) each query
+    * cross-joins the broadcast centroid table (the inherent n_q×C
+    * assignment cost) and keeps its `nProbe` best cells by
+    * (csim DESC, cid); (2) the probed cells equi-join the cell-assigned
+    * corpus — the search touches ONLY probed cells, never the corpus —
+    * and the per-query top-k ranks by (sim DESC, vec_id). Same left-fold
+    * kernels and tiebreaks as batch: StreamingSpec proves streamed ≡
+    * batch bit-for-bit. A corpus vector lives in exactly one cell, so
+    * probes produce no duplicate candidates — no dedup stage, exactly
+    * as the batch op. */
+  def streamingIvfTopK(queries: Dataset[(Long, Array[Double])],
+      index: IvfIndexRef, nProbe: Int = 2, k: Int = 3): Dataset[AnnHit] = {
+    import queries.sparkSession.implicits._
+    import graft.ext.Similarity
+    val qdf = queries.map { case (id, emb) =>
+      (id, emb, math.sqrt(Similarity.dotScalar(emb, emb)))
+    }.toDF("q_id", "q_emb", "q_norm")
+    val probed = qdf.crossJoin(broadcast(index.cents))
+      .select(col("q_id"), col("cid"),
+        (Similarity.dotD(col("q_emb"), col("c_emb")) /
+          (col("q_norm") * col("c_norm"))).as("csim"),
+        col("q_emb"), col("q_norm"))
+      .as[(Long, Long, Double, Array[Double], Double)]
+    def probeFn(id: Long,
+        rows: Iterator[(Long, Long, Double, Array[Double], Double)],
+        state: GroupState[Boolean])
+        : Iterator[(Long, Long, Array[Double], Double)] = {
+      rows.toSeq.sortBy { case (_, cid, cs, _, _) => (-cs, cid) }
+        .take(nProbe)
+        .map { case (q, cid, _, e, n) => (q, cid, e, n) }.iterator
+    }
+    val probes = probed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(probeFn)
+      .toDF("q_id", "cell", "q_emb", "q_norm")
+    val cand = probes.join(index.cells, Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (Similarity.dotD(col("q_emb"), col("emb")) /
+          (col("q_norm") * col("norm"))).as("sim"))
+      .as[(Long, Long, Double)]
+    def topkFn(id: Long, rows: Iterator[(Long, Long, Double)],
+        state: GroupState[Boolean]): Iterator[AnnHit] = {
+      rows.map { case (_, v, s) => (v, s) }.toSeq
+        .sortBy { case (v, s) => (-s, v) }.take(k).iterator.zipWithIndex
+        .map { case ((v, s), i) => AnnHit(id, v, s, i + 1) }
+    }
+    cand.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(topkFn)
+  }
+
   /** A trained bigram LM left IN THE CLUSTER: the model and unigram
     * DataFrames (optionally [[graft.ext.TextOps.minCountFor]]-pruned)
     * plus the two scalars OOV backoff needs. The serving path for

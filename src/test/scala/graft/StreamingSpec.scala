@@ -445,6 +445,34 @@ class StreamingSpec extends SparkSpec {
       s"multiprobe: ${got2.size} streamed vs ${batch2.size} batch")
   }
 
+  test("streaming IVF top-k ≡ batch IVF, probed cells only, across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val embs = Tables.table(spark, sf(), "embeddings")
+      .select("vec_id", "embedding")
+    val index = Streaming.ivfIndexOf(embs, nCentroids = 8)
+    // the batch op's query set (vec_id < 10), streamed in two waves
+    val queries = embs
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().filter(_._1 < 10L)
+    val in = MemoryStream[(Long, Array[Double])]
+    val q = Streaming.streamingIvfTopK(in.toDS(), index).writeStream
+      .outputMode("append").format("memory").queryName("ivfhits").start()
+    val (w1, w2) = queries.splitAt(5)
+    in.addData(w1.toSeq: _*)
+    q.processAllAvailable()
+    in.addData(w2.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ivfhits").as[Streaming.AnnHit].collect()
+      .map(h => (h.q_id, h.rank.toLong, h.vec_id, h.sim)).toSet
+    val batch = graft.ext.Similarity.ivfTopK(embs).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got === batch, s"${got.size} streamed vs ${batch.size} batch")
+  }
+
   test("stream-static join scorer ≡ broadcast scorer ≡ batch (zero-collect serving)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
