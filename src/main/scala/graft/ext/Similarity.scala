@@ -416,30 +416,61 @@ object Similarity {
   private def pqDists(embeddings: DataFrame, subspaces: Int,
       nCentroids: Int): DataFrame = {
     require(Dims % subspaces == 0, s"$subspaces must divide $Dims")
+    val pts = pqPoints(
+      withNorms(embeddings).select(col("vec_id"), col("emb")), subspaces)
+    pqDistsAgainst(pts, pts.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("s"), col("sv").as("cv"),
+        col("xx").as("cc")))
+  }
+
+  /** Pre-sliced subvectors + self-terms per (row, subspace) — shared by
+    * the batch PQ chain and the streaming ADC serving path (stateless
+    * expressions, legal on a streaming DataFrame). Pre-slicing ONCE per
+    * (row, subspace) and pre-computing the x·x / c·c self-terms lets
+    * the n×nCentroids×subspaces pair stream evaluate a single sub-dim
+    * dot per row instead of three full-slice dots (at 256 centroids the
+    * old shape re-sliced the 64-dim array 12M times — q_pq_code256
+    * measured 21.8 s). */
+  private[graft] def pqPoints(vecs: DataFrame, subspaces: Int): DataFrame = {
     val sub = Dims / subspaces
-    val vecs = withNorms(embeddings).select(col("vec_id"), col("emb"))
-    // pre-slice each side ONCE per (row, subspace) and pre-compute the
-    // x·x / c·c self-terms, so the n×nCentroids×subspaces pair stream
-    // evaluates a single sub-dim dot product per row instead of three
-    // full-slice dots (at 256 centroids the old shape re-sliced the
-    // 64-dim array 12M times — q_pq_code256 measured 21.8 s; the
-    // arithmetic here is the identical (xx − 2·xc) + cc left-fold
-    // chain, so distances stay bit-exact)
-    val pts = vecs
+    vecs
       .select(col("vec_id"), explode(array((0 until subspaces).map(s =>
         struct(lit(s).as("s"), lit(1L << (4 * s)).as("w"),
           slice(col("emb"), s * sub + 1, sub).as("sv"))): _*)).as("p"))
       .select(col("vec_id"), col("p.s").as("s"), col("p.w").as("w"),
         col("p.sv").as("sv"))
       .withColumn("xx", dotD(col("sv"), col("sv")))
-    val cents = pts.where(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("s"), col("sv").as("cv"),
-        col("xx").as("cc"))
+  }
+
+  /** The (xx − 2·xc) + cc distance of every point row against every
+    * same-subspace codebook row — the identical left-fold chain both
+    * engines spell, so distances are bit-exact wherever the points come
+    * from (batch corpus or arriving query vectors). */
+  private[graft] def pqDistsAgainst(pts: DataFrame,
+      cents: DataFrame): DataFrame =
     pts.join(broadcast(cents), Seq("s"))
       .select(col("vec_id"), col("cid"), col("s"), col("w"),
         (col("xx") - lit(2d) * dotD(col("sv"), col("cv")) + col("cc"))
           .as("dist"))
+
+  /** The seed PQ codebook as a standalone table (s, cid, cv, cc) — the
+    * static side a serving tier broadcasts to arriving queries. */
+  private[graft] def pqCodebookOf(embeddings: DataFrame, subspaces: Int,
+      nCentroids: Int): DataFrame = {
+    require(Dims % subspaces == 0, s"$subspaces must divide $Dims")
+    pqPoints(withNorms(embeddings).select(col("vec_id"), col("emb")),
+      subspaces)
+      .where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("s"), col("sv").as("cv"),
+        col("xx").as("cc"))
   }
+
+  /** The corpus's per-(vector, subspace) code assignments (vec_id, s,
+    * cid) — the compressed representation a serving tier holds. */
+  private[graft] def pqAssignments(embeddings: DataFrame, subspaces: Int,
+      nCentroids: Int): DataFrame =
+    pqAssign(pqDists(embeddings, subspaces, nCentroids))
+      .select(col("vec_id"), col("s"), col("cid"))
 
   /** Argmin centroid per (vector, subspace) — (dist, cid) tiebreak.
     * A hash aggregation over `min(struct(dist, cid, …))` (struct order =

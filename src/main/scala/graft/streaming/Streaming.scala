@@ -589,6 +589,68 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(topkFn)
   }
 
+  /** A PQ-ADC serving index left IN THE CLUSTER: the corpus's code
+    * assignments (the compressed RAM-tier representation — no corpus
+    * floats) and the subspace codebook arriving queries build their
+    * lookup tables against. */
+  case class AdcIndexRef(codes: DataFrame, codebook: DataFrame,
+      subspaces: Int)
+
+  def adcIndexOf(embeddings: DataFrame, subspaces: Int = 8,
+      nCentroids: Int = 16): AdcIndexRef = {
+    import graft.ext.Similarity
+    AdcIndexRef(
+      Similarity.pqAssignments(embeddings, subspaces, nCentroids)
+        .localCheckpoint(true),
+      Similarity.pqCodebookOf(embeddings, subspaces, nCentroids)
+        .localCheckpoint(true),
+      subspaces)
+  }
+
+  /** ADC top-k for a STREAM of query vectors — the serving twin of
+    * [[graft.ext.Similarity.pqAdcTopK]]: each arriving query slices
+    * into subvectors and builds its per-(s, cid) distance lookup table
+    * against the broadcast codebook (the SAME pqPoints/pqDistsAgainst
+    * expressions the batch chain runs — bit-exact by construction),
+    * integer-quantized per subspace; the corpus codes join the LUT on
+    * (s, cid) and a stateless per-query reassembly sums each vector's
+    * exactly-`subspaces` quantized terms (order-free integer sum) and
+    * ranks by (adc, vec_id). The corpus contributes only its CODES —
+    * no corpus float is ever read at query time, the ADC property.
+    * Plain ADC is a full compressed-domain scan by design; compose with
+    * [[streamingIvfTopK]]'s cell restriction when the corpus is too big
+    * to scan even compressed (the batch `ivfAdcTopK` shape). */
+  case class AdcHit(q_id: Long, vec_id: Long, adc_q: Long, rank: Int)
+
+  def streamingAdcTopK(queries: Dataset[(Long, Array[Double])],
+      index: AdcIndexRef, k: Int = 3): Dataset[AdcHit] = {
+    import queries.sparkSession.implicits._
+    import graft.ext.Similarity
+    val qpts = Similarity.pqPoints(
+      queries.toDF("vec_id", "emb"), index.subspaces)
+    val lut = Similarity.pqDistsAgainst(qpts, index.codebook)
+      .select(col("vec_id").as("q_id"), col("s"), col("cid"),
+        floor(col("dist") * lit(1e9)).cast("long").as("dq"))
+    val cand = lut.join(index.codes.withColumnRenamed("vec_id", "c_vec"),
+        Seq("s", "cid"))
+      .where(col("c_vec") =!= col("q_id"))
+      .select(col("q_id"), col("c_vec"), col("dq"))
+      .as[(Long, Long, Long)]
+    def fn(id: Long, rows: Iterator[(Long, Long, Long)],
+        state: GroupState[Boolean]): Iterator[AdcHit] = {
+      val sums = scala.collection.mutable.HashMap.empty[Long, Long]
+      rows.foreach { case (_, v, dq) =>
+        sums.update(v, sums.getOrElse(v, 0L) + dq)
+      }
+      sums.toSeq.sortBy { case (v, a) => (a, v) }.take(k)
+        .iterator.zipWithIndex
+        .map { case ((v, a), i) => AdcHit(id, v, a, i + 1) }
+    }
+    cand.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** A trained bigram LM left IN THE CLUSTER: the model and unigram
     * DataFrames (optionally [[graft.ext.TextOps.minCountFor]]-pruned)
     * plus the two scalars OOV backoff needs. The serving path for

@@ -473,6 +473,33 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch, s"${got.size} streamed vs ${batch.size} batch")
   }
 
+  test("streaming ADC top-k ≡ batch ADC: compressed-domain serving, no corpus floats") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val embs = Tables.table(spark, sf(), "embeddings")
+      .select("vec_id", "embedding")
+    val index = Streaming.adcIndexOf(embs)
+    val queries = embs
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().filter(_._1 < 10L)
+    val in = MemoryStream[(Long, Array[Double])]
+    val q = Streaming.streamingAdcTopK(in.toDS(), index).writeStream
+      .outputMode("append").format("memory").queryName("adchits").start()
+    val (w1, w2) = queries.splitAt(5)
+    in.addData(w1.toSeq: _*)
+    q.processAllAvailable()
+    in.addData(w2.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("adchits").as[Streaming.AdcHit].collect()
+      .map(h => (h.q_id, h.rank.toLong, h.vec_id, h.adc_q)).toSet
+    val batch = graft.ext.Similarity.pqAdcTopK(embs).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === batch, s"${got.size} streamed vs ${batch.size} batch")
+  }
+
   test("stream-static join scorer ≡ broadcast scorer ≡ batch (zero-collect serving)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
