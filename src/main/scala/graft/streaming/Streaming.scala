@@ -270,6 +270,56 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Exact dedup with an EVENT-TIME retention horizon — the rolling-
+    * window form of [[streamingExactDedup]] for streams where "keep
+    * every content hash forever" is impossible: a content's keeper
+    * state expires once the watermark passes its LAST arrival plus
+    * `ttlSecs`, and later arrivals of the same content are admitted as
+    * fresh keepers. The horizon IS the semantics (production ingest
+    * dedups against a recency window), not a state leak — and it makes
+    * total state O(distinct contents within the horizon), bounded for
+    * any stream length. Each duplicate arrival REFRESHES its content's
+    * expiry (timeout = last arrival + ttl), the LRU-ish behavior a
+    * rolling dedup wants. */
+  case class TimedDoc(doc_id: Long, text: String,
+      ts: java.sql.Timestamp)
+
+  def streamingExactDedupTtl(docs: Dataset[TimedDoc], ttlSecs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[DedupDecision] = {
+    import docs.sparkSession.implicits._
+    def fn(hash: String,
+        rows: Iterator[(String, Long, java.sql.Timestamp)],
+        state: GroupState[Long]): Iterator[DedupDecision] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      var keeper = state.getOption
+      var maxTs = Long.MinValue
+      val out = rows.toSeq.sortBy(_._2).map { case (_, id, ts) =>
+        maxTs = math.max(maxTs, ts.getTime)
+        keeper match {
+          case None =>
+            keeper = Some(id); DedupDecision(id, id, keep = true)
+          case Some(kp) => DedupDecision(id, kp, keep = id == kp)
+        }
+      }
+      keeper.foreach(state.update)
+      if (maxTs != Long.MinValue)
+        state.setTimeoutTimestamp(maxTs + ttlSecs * 1000L)
+      out.iterator
+    }
+    // the watermark must be declared on the TIMESTAMP COLUMN that reaches
+    // the stateful operator: a typed .map re-creates columns and drops
+    // the event-time metadata, so hash first, watermark after
+    docs
+      .map(d => (graft.functions.md5Hex(d.text.getBytes("UTF-8")),
+        d.doc_id, d.ts))
+      .toDF("hash", "doc_id", "ts")
+      .withWatermark("ts", watermarkDelay)
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Streaming SimHash near-dup detection — the ingest-time twin of
     * [[graft.ext.Dedup.simhashNearDup]]: each arriving document hashes
     * map-side ([[graft.ext.Dedup.simhash64]], the scalar twin of the

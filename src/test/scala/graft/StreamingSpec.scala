@@ -308,6 +308,38 @@ class StreamingSpec extends SparkSpec {
     assert(!got.contains(11L), "single-word docs emit no row, as batch")
   }
 
+  test("TTL dedup: state expires with the event-time watermark, content re-admits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val in = MemoryStream[Streaming.TimedDoc]
+    val q = Streaming.streamingExactDedupTtl(in.toDS(), ttlSecs = 500L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ttldedup").start()
+    // batch 1: X kept, its dup dropped; watermark -> 1001
+    in.addData(Streaming.TimedDoc(1L, "content X", ts(1000)),
+      Streaming.TimedDoc(2L, "content X", ts(1001)))
+    q.processAllAvailable()
+    // batch 2: wm at start (1001) < X's expiry (1001+500) -> X state live
+    in.addData(Streaming.TimedDoc(3L, "other Y", ts(2000)))
+    q.processAllAvailable()
+    // batch 3: wm at start (2000) > 1501 -> X's keeper state expires now
+    in.addData(Streaming.TimedDoc(4L, "other Z", ts(2100)))
+    q.processAllAvailable()
+    // batch 4: X re-admitted as a FRESH keeper (doc 5, not doc 1)
+    in.addData(Streaming.TimedDoc(5L, "content X", ts(2105)),
+      Streaming.TimedDoc(6L, "content X", ts(2106)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ttldedup").as[Streaming.DedupDecision]
+      .collect().map(d => d.doc_id -> ((d.keeper, d.keep))).toMap
+    assert(got === Map(
+      1L -> ((1L, true)), 2L -> ((1L, false)),
+      3L -> ((3L, true)), 4L -> ((4L, true)),
+      5L -> ((5L, true)), 6L -> ((5L, false))),
+      s"got $got")
+  }
+
   test("streaming minhash near-dup ≡ batch pair set, including cross-batch pairs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
