@@ -652,12 +652,12 @@ object Similarity {
     * on (cid, dim) keys — bounded fan-in, map-side partial sums; the
     * driver loop holds k×64 doubles, never data. */
   /** L2 distance to a centroid column through the shared chain shape. */
-  private def l2ToCent(emb: Column, cemb: Column): Column =
+  private[graft] def l2ToCent(emb: Column, cemb: Column): Column =
     dotD(emb, emb) - lit(2d) * dotD(emb, cemb) + dotD(cemb, cemb)
 
   /** Nearest-centroid ranking (vec_id, cid, rn) — rn=1 is the
     * assignment, rn ≤ p the probe set. */
-  private def centRank(vecs: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def centRank(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("dist"), col("cid"))
     vecs.crossJoin(broadcast(cents))
@@ -668,7 +668,7 @@ object Similarity {
 
   /** The Lloyd loop of [[kmeansCentroids]], returning the trained
     * (cid, cemb) table for composition ([[ivfTrainedTopK]]). */
-  private def kmeansLoop(embeddings: DataFrame, k: Int,
+  private[graft] def kmeansLoop(embeddings: DataFrame, k: Int,
       iters: Int): (DataFrame, DataFrame) = {
     val vecs = withNorms(embeddings).select(col("vec_id"), col("emb"))
       .localCheckpoint(true)

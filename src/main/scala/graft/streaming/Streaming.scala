@@ -639,6 +639,70 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(topkFn)
   }
 
+  /** A TRAINED (Lloyd k-means) IVF index left IN THE CLUSTER — the L2
+    * twin of [[IvfIndexRef]]: the trained centroid table and the
+    * cell-assigned corpus, built with exactly
+    * [[graft.ext.Similarity.ivfTrainedTopK]]'s training loop and
+    * assignment (same quantized-mean rounds, same (dist, cid) argmin). */
+  case class IvfL2IndexRef(cents: DataFrame, cells: DataFrame)
+
+  def ivfIndexTrainedOf(embeddings: DataFrame, kCells: Int = 8,
+      iters: Int = 2): IvfL2IndexRef = {
+    import graft.ext.Similarity
+    val (vecs, cents) = Similarity.kmeansLoop(embeddings, kCells, iters)
+    val assigned = Similarity.centRank(vecs, cents)
+      .where(col("rn") === 1).select(col("vec_id"), col("cid").as("cell"))
+    IvfL2IndexRef(cents.localCheckpoint(true),
+      assigned.join(vecs, "vec_id").localCheckpoint(true))
+  }
+
+  /** Trained-IVF top-k for a STREAM of query vectors — the serving twin
+    * of [[graft.ext.Similarity.ivfTrainedTopK]], same two-stage shape
+    * as [[streamingIvfTopK]] but in the trained index's L2 metric:
+    * probe the `nProbe` nearest trained cells by ((q·q − 2·q·c) + c·c,
+    * cid), search only those cells, rank by (dist ASC, vec_id). The
+    * same left-fold L2 chain as batch, so StreamingSpec proves
+    * streamed ≡ batch bit-for-bit. */
+  case class AnnL2Hit(q_id: Long, vec_id: Long, dist: Double, rank: Int)
+
+  def streamingIvfTrainedTopK(queries: Dataset[(Long, Array[Double])],
+      index: IvfL2IndexRef, nProbe: Int = 2, k: Int = 3)
+      : Dataset[AnnL2Hit] = {
+    import queries.sparkSession.implicits._
+    import graft.ext.Similarity
+    val probed = queries.toDF("q_id", "q_emb")
+      .crossJoin(broadcast(index.cents))
+      .select(col("q_id"), col("cid"),
+        Similarity.l2ToCent(col("q_emb"), col("cemb")).as("cdist"),
+        col("q_emb"))
+      .as[(Long, Long, Double, Array[Double])]
+    def probeFn(id: Long,
+        rows: Iterator[(Long, Long, Double, Array[Double])],
+        state: GroupState[Boolean])
+        : Iterator[(Long, Long, Array[Double])] = {
+      rows.toSeq.sortBy { case (_, cid, d, _) => (d, cid) }.take(nProbe)
+        .map { case (q, cid, _, e) => (q, cid, e) }.iterator
+    }
+    val probes = probed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(probeFn)
+      .toDF("q_id", "cell", "q_emb")
+    val cand = probes.join(index.cells, Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        Similarity.l2ToCent(col("q_emb"), col("emb")).as("dist"))
+      .as[(Long, Long, Double)]
+    def topkFn(id: Long, rows: Iterator[(Long, Long, Double)],
+        state: GroupState[Boolean]): Iterator[AnnL2Hit] = {
+      rows.map { case (_, v, d) => (v, d) }.toSeq
+        .sortBy { case (v, d) => (d, v) }.take(k).iterator.zipWithIndex
+        .map { case ((v, d), i) => AnnL2Hit(id, v, d, i + 1) }
+    }
+    cand.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(topkFn)
+  }
+
   /** A PQ-ADC serving index left IN THE CLUSTER: the corpus's code
     * assignments (the compressed RAM-tier representation — no corpus
     * floats) and the subspace codebook arriving queries build their
