@@ -378,6 +378,68 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** SimHash near-dup with an EVENT-TIME retention horizon — the
+    * rolling-window form of [[streamingSimhashNearDup]], completing the
+    * TTL story [[streamingExactDedupTtl]] starts: bucket members whose
+    * last arrival has fallen `ttlSecs` behind the watermark stop
+    * pairing (pruned on the arrival path, since a bucket receiving new
+    * data in the same batch its timeout would fire suppresses the
+    * timeout), and a bucket whose NEWEST member expires clears its
+    * state entirely via EventTimeTimeout. State is therefore
+    * O(bucket occupancy within the horizon) for any stream length. */
+  def streamingSimhashNearDupTtl(docs: Dataset[(Long, String,
+      java.sql.Timestamp)], ttlSecs: Long, bandBits: Int = 8,
+      maxHamming: Int = 2, watermarkDelay: String = "0 seconds")
+      : Dataset[SimPair] = {
+    import docs.sparkSession.implicits._
+    require(64 % bandBits == 0, s"bandBits $bandBits must divide 64")
+    val nBands = 64 / bandBits
+    require(maxHamming <= nBands - 1,
+      s"banding with $nBands bands is only complete for Hamming <= ${nBands - 1}")
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val ttlMs = ttlSecs * 1000L
+    def fn(bucket: Long,
+        rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+        state: GroupState[List[(Long, Long, Long)]])
+        : Iterator[SimPair] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val horizon = state.getCurrentWatermarkMs() - ttlMs
+      var members = state.getOption.getOrElse(List.empty)
+        .filter(_._3 > horizon)
+      val out = Seq.newBuilder[SimPair]
+      rows.toSeq.sortBy(_._2).foreach { case (_, id, h, ts) =>
+        members.find(_._1 == id) match {
+          case Some(m) => // replayed frame: refresh recency, no self-pairs
+            members = (id, h, math.max(m._3, ts.getTime)) ::
+              members.filterNot(_._1 == id)
+          case None =>
+            members.foreach { case (oid, oh, _) =>
+              val ham = java.lang.Long.bitCount(oh ^ h).toLong
+              if (ham <= maxHamming)
+                out += SimPair(math.min(oid, id), math.max(oid, id), ham,
+                  members.size + 1)
+            }
+            members = (id, h, ts.getTime) :: members
+        }
+      }
+      state.update(members)
+      if (members.nonEmpty)
+        state.setTimeoutTimestamp(members.map(_._3).max + ttlMs)
+      out.result().iterator
+    }
+    docs.flatMap { case (id, text, ts) =>
+      val h = graft.ext.Dedup.simhash64(text)
+      (0 until nBands).map { b =>
+        ((b.toLong << 32) | ((h >>> (bandBits * b)) & mask), id, h, ts)
+      }
+    }.toDF("bucket", "doc_id", "simhash", "ts")
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Streaming MinHash+LSH near-dup detection — the ingest-time twin of
     * [[graft.ext.Dedup.minhashNearDup]], the dedup most production
     * pipelines actually run. Each arriving document shingles and signs

@@ -340,6 +340,34 @@ class StreamingSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("TTL simhash near-dup: expired members stop pairing, live ones still pair") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val text = "alpha beta gamma delta epsilon"
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = Streaming.streamingSimhashNearDupTtl(in.toDS(), ttlSecs = 500L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ttlsim").start()
+    // batch 1: identical docs 1, 2 pair; watermark -> 1001
+    in.addData((1L, text, ts(1000)), (2L, text, ts(1001)))
+    q.processAllAvailable()
+    // batch 2: unrelated content advances the watermark past 1501
+    in.addData((3L, "totally different words here", ts(2000)))
+    q.processAllAvailable()
+    // batch 3: doc 4 = same content, but 1 and 2 fell out of the horizon
+    // (arrival-path prune: wm 2000 > 1001 + 500) -> NO pair
+    in.addData((4L, text, ts(2100)))
+    q.processAllAvailable()
+    // batch 4: doc 5 pairs with the still-live doc 4 ONLY
+    in.addData((5L, text, ts(2150)))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("ttlsim").as[Streaming.SimPair].collect()
+      .map(p => (p.doc_a, p.doc_b)).toSet
+    assert(pairs === Set((1L, 2L), (4L, 5L)), s"got $pairs")
+  }
+
   test("streaming minhash near-dup ≡ batch pair set, including cross-batch pairs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
