@@ -512,6 +512,77 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** MinHash near-dup with an EVENT-TIME retention horizon — the
+    * rolling-window form of [[streamingMinhashNearDup]], completing the
+    * TTL family (exact, simhash, minhash): same banding and exact
+    * on-arrival Jaccard verify, with bucket members pruned on the
+    * arrival path once `ttlSecs` behind the watermark and whole buckets
+    * cleared via EventTimeTimeout when their newest member expires
+    * (the [[streamingSimhashNearDupTtl]] mechanics — arrival-path
+    * pruning is what guarantees an expired member never pairs even
+    * when same-batch data suppresses the timeout). */
+  def streamingMinhashNearDupTtl(docs: Dataset[(Long, String,
+      java.sql.Timestamp)], ttlSecs: Long, n: Int = 2, k: Int = 16,
+      r: Int = 4, threshold: Double = 0.2,
+      watermarkDelay: String = "0 seconds"): Dataset[MhPair] = {
+    import docs.sparkSession.implicits._
+    require(threshold > 0.0,
+      "threshold must be > 0 (zero-overlap candidates are never emitted)")
+    require(k % r == 0, s"r $r must divide k $k")
+    val ttlMs = ttlSecs * 1000L
+    def fn(bucket: String,
+        rows: Iterator[(String, Long, Array[String], java.sql.Timestamp)],
+        state: GroupState[List[(Long, Array[String], Long)]])
+        : Iterator[MhPair] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val horizon = state.getCurrentWatermarkMs() - ttlMs
+      var members = state.getOption.getOrElse(List.empty)
+        .filter(_._3 > horizon)
+      val out = Seq.newBuilder[MhPair]
+      rows.toSeq.sortBy(_._2).foreach { case (_, id, shArr, ts) =>
+        members.find(_._1 == id) match {
+          case Some(m) => // replayed frame: refresh recency, no self-pairs
+            members = (id, m._2, math.max(m._3, ts.getTime)) ::
+              members.filterNot(_._1 == id)
+          case None =>
+            val shSet = shArr.toSet
+            members.foreach { case (oid, oArr, _) =>
+              var inter = 0L
+              oArr.foreach(sh => if (shSet.contains(sh)) inter += 1L)
+              val uni = shSet.size.toLong + oArr.length - inter
+              val j = if (uni == 0L) 0.0 else inter.toDouble / uni
+              if (j >= threshold)
+                out += MhPair(math.min(oid, id), math.max(oid, id), inter,
+                  uni, j, members.size + 1)
+            }
+            members = (id, shArr, ts.getTime) :: members
+        }
+      }
+      state.update(members)
+      if (members.nonEmpty)
+        state.setTimeoutTimestamp(members.map(_._3).max + ttlMs)
+      out.result().iterator
+    }
+    docs.flatMap { case (id, text, ts) =>
+      val shset = graft.ext.Dedup.shingleSet(text, n)
+      if (shset.isEmpty) Iterator.empty
+      else {
+        val sig = graft.ext.Dedup.minhashSig(shset, k)
+        val shArr = shset.toArray.sorted
+        (0 until k / r).iterator.map { j =>
+          val bval = graft.functions.md5Hex(
+            sig.slice(j * r, j * r + r).mkString("").getBytes("UTF-8"))
+          (s"$j:$bval", id, shArr, ts)
+        }
+      }
+    }.toDF("bucket", "doc_id", "shingles", "ts")
+      .withWatermark("ts", watermarkDelay)
+      .as[(String, Long, Array[String], java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** A trained interpolated-bigram LM as a broadcastable serving
     * artifact: the lnQ-quantized pair log-probs (exactly
     * [[graft.ext.TextOps.bigramModel]]'s rows), the unigram counts, and

@@ -368,6 +368,31 @@ class StreamingSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L), (4L, 5L)), s"got $pairs")
   }
 
+  test("TTL minhash near-dup: horizon governs pairing, Jaccard verify intact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val text = "alpha beta gamma delta epsilon"
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = Streaming.streamingMinhashNearDupTtl(in.toDS(), ttlSecs = 500L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ttlmh").start()
+    in.addData((1L, text, ts(1000)), (2L, text, ts(1001)))
+    q.processAllAvailable()
+    in.addData((3L, "totally different words here", ts(2000)))
+    q.processAllAvailable()
+    in.addData((4L, text, ts(2100))) // 1, 2 out of horizon: no pair
+    q.processAllAvailable()
+    in.addData((5L, text, ts(2150))) // pairs with live 4 only
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ttlmh").as[Streaming.MhPair].collect()
+    assert(got.map(p => (p.doc_a, p.doc_b)).toSet === Set((1L, 2L), (4L, 5L)),
+      s"got ${got.toSeq}")
+    // the exact verification still runs: identical docs are jaccard 1.0
+    assert(got.forall(p => p.jaccard == 1.0 && p.inter == p.uni))
+  }
+
   test("streaming minhash near-dup ≡ batch pair set, including cross-batch pairs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
