@@ -442,9 +442,13 @@ object Dedup {
     * `h_i = min(md5("i:" ++ sh))` over a doc's shingle set. md5 renders
     * lowercase hex (exactly Spark/DuckDB `md5()`), and the min is the
     * same lexicographic order on ASCII hex strings both engines use. */
-  def minhashSig(shset: Set[String], k: Int = 16): Array[String] =
+  def minhashSig(shset: Set[String], k: Int = 16): Array[String] = {
+    require(shset.nonEmpty,
+      "minhashSig of an empty shingle set (min over nothing) — callers " +
+        "drop shingle-less docs first, as the batch groupBy does")
     Array.tabulate(k)(i => shset.iterator
       .map(sh => graft.functions.md5Hex(s"$i:$sh".getBytes("UTF-8"))).min)
+  }
 
   /** Band width (bits) as a function of corpus size — the simhash twin of
     * [[Similarity.planesFor]]: each band has 2^w buckets, expected bucket

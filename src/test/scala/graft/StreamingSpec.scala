@@ -308,6 +308,35 @@ class StreamingSpec extends SparkSpec {
     assert(!got.contains(11L), "single-word docs emit no row, as batch")
   }
 
+  test("multimodal decode plumbing runs incrementally: streamed decodeMeta ≡ batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the batch operator is a stateless mapPartitions over a binary
+    // column (the decode-kernel batching shape) — apply it UNCHANGED to
+    // a streaming DataFrame: per-micro-batch kernel invocations, same
+    // rows out. This is T6 coverage for the multimodal family: the
+    // ingest path decodes arriving blobs incrementally.
+    val docs = Seq(1L -> "some image bytes", 2L -> "aud", 3L -> "vvvvv",
+      4L -> "")
+    val in = MemoryStream[(Long, String)]
+    val q = graft.ext.Multimodal.decodeMeta(in.toDS().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mmeta").start()
+    in.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("mmeta").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSet
+    val batch = graft.ext.Multimodal.decodeMeta(docs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSet
+    assert(got === batch, s"streamed $got vs batch $batch")
+  }
+
   test("TTL dedup: state expires with the event-time watermark, content re-admits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
