@@ -642,6 +642,28 @@ object TextOps {
       .toDF("merge_rank", "pair", "merged", "cnt")
   }
 
+  /** Scalar twin of the BPE rewrite — one word segmented by the trained
+    * merges, in rank order, with EXACTLY the training semantics: chars
+    * split by the same Java-regex `.` the DataFrame op uses
+    * (regexp_extract_all — code-point faithful, unlike toCharArray on
+    * surrogates), each merge applied as the same two-pass bounded
+    * ` pair ` → ` merged ` literal replace. Applying the rules to a
+    * training-corpus word reproduces the trained vocab state
+    * bit-for-bit (greedy application IS the training rewrite); on an
+    * unseen word it performs standard BPE apply — the serving behavior
+    * a shipped tokenizer has and the batch join can't express. */
+  def bpeApplyWord(word: String, merges: Seq[(String, String)]): String = {
+    val m = java.util.regex.Pattern.compile(".").matcher(word)
+    val sb = new StringBuilder(" ")
+    while (m.find()) { sb.append(m.group()); sb.append(' ') }
+    var sym = sb.toString
+    merges.foreach { case (pair, merged) =>
+      sym = sym.replace(s" $pair ", s" $merged ")
+      sym = sym.replace(s" $pair ", s" $merged ")
+    }
+    sym.trim
+  }
+
   /** Tokenize WITH the learned tokenizer: every distinct word segmented
     * by the k trained merges — (term, freq, n_pieces, pieces). The
     * round-trip a tokenizer ships: [[bpeMerges]] is the training

@@ -583,6 +583,44 @@ object Streaming {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Trained BPE merges as a broadcastable serving artifact — k rows by
+    * construction (the model is the parameter-bounded merge list, never
+    * corpus-sized). */
+  def bpeMergesOf(docs: DataFrame, k: Int = 6): Seq[(String, String)] =
+    graft.ext.TextOps.bpeMerges(docs, k).collect()
+      .sortBy(_.getAs[Int]("merge_rank"))
+      .map(r => (r.getAs[String]("pair"), r.getAs[String]("merged"))).toSeq
+
+  /** Tokenize a DOCUMENT STREAM under the trained BPE — train-batch /
+    * apply-stream for the tokenizer artifact, the count a production
+    * loader budgets arriving docs by. Stateless: the merge list
+    * broadcasts, each doc segments its words via
+    * [[graft.ext.TextOps.bpeApplyWord]] (the exact training rewrite, so
+    * training-corpus docs count BIT-identically to
+    * [[graft.ext.TextOps.bpeDocTokens]] — spec proves it), with a
+    * per-doc memo so repeated words segment once. Unseen words segment
+    * by rule — the standard serving behavior; the batch op's vocab join
+    * silently drops them, so OOV-bearing docs are the documented
+    * deviation (streaming counts them, batch can't see them). */
+  case class BpeCount(doc_id: Long, n_words: Long, n_bpe_tokens: Long)
+
+  def streamingBpeDocTokens(docs: Dataset[(Long, String)],
+      merges: Seq[(String, String)]): Dataset[BpeCount] = {
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(merges)
+    docs.map { case (id, text) =>
+      val ws = graft.ext.TextOps.sqlWords(text)
+      val memo = scala.collection.mutable.HashMap.empty[String, Long]
+      var bpe = 0L
+      ws.foreach { w =>
+        bpe += memo.getOrElseUpdate(w,
+          graft.ext.TextOps.bpeApplyWord(w, bc.value)
+            .split(" ", -1).length.toLong)
+      }
+      BpeCount(id, ws.length.toLong, bpe)
+    }
+  }
+
   /** A trained interpolated-bigram LM as a broadcastable serving
     * artifact: the lnQ-quantized pair log-probs (exactly
     * [[graft.ext.TextOps.bigramModel]]'s rows), the unigram counts, and

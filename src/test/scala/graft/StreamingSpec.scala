@@ -640,6 +640,46 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch, s"${got.size} streamed vs ${batch.size} batch")
   }
 
+  test("BPE apply-stream ≡ batch doc tokens on training docs; OOV segments by rule") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // real corpus slice so merges are non-trivial
+    val corpusDf = Tables.table(spark, sf(), "documents")
+      .select("doc_id", "text").limit(50).localCheckpoint(true)
+    val merges = Streaming.bpeMergesOf(corpusDf, k = 6)
+    assert(merges.size.toLong <= 6L, "model is parameter-bounded")
+    // scalar rewrite ≡ the trained segmentation for EVERY vocab word
+    val seg = graft.ext.TextOps.bpeSegment(corpusDf, 6).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getString(3))))
+    seg.foreach { case (term, (nPieces, pieces)) =>
+      val s = graft.ext.TextOps.bpeApplyWord(term, merges)
+      assert(s === pieces && s.split(" ", -1).length.toLong === nPieces,
+        s"word <$term>: scalar <$s> vs trained <$pieces>")
+    }
+    // streamed doc counts ≡ batch on the training corpus
+    val docs = corpusDf.as[(Long, String)].collect()
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.streamingBpeDocTokens(in.toDS(), merges)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bpecounts").start()
+    in.addData(docs.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("bpecounts").as[Streaming.BpeCount].collect()
+      .map(c => c.doc_id -> ((c.n_words, c.n_bpe_tokens))).toMap
+    val batch = graft.ext.TextOps.bpeDocTokens(corpusDf, 6).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === batch, "training docs must count bit-identically")
+    // OOV: the stream counts what the batch join cannot see, by rule
+    val oov = Streaming.streamingBpeDocTokens(
+      Seq(999L -> "zzqx wwvv").toDS(), merges).collect()
+    assert(oov.length === 1 && oov.head.n_words === 2L)
+    val expected = Seq("zzqx", "wwvv")
+      .map(w => graft.ext.TextOps.bpeApplyWord(w, merges)
+        .split(" ", -1).length.toLong).sum
+    assert(oov.head.n_bpe_tokens === expected)
+  }
+
   test("stream-static join scorer ≡ broadcast scorer ≡ batch (zero-collect serving)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
