@@ -302,8 +302,14 @@ object Streaming {
         }
       }
       keeper.foreach(state.update)
+      // clamp past the watermark: Spark REJECTS a timeout that is not
+      // strictly later than the current watermark, and a sufficiently
+      // late arrival (event time + ttl already behind the watermark)
+      // would otherwise kill the query — such state expires at the next
+      // trigger instead
       if (maxTs != Long.MinValue)
-        state.setTimeoutTimestamp(maxTs + ttlSecs * 1000L)
+        state.setTimeoutTimestamp(math.max(maxTs + ttlSecs * 1000L,
+          state.getCurrentWatermarkMs() + 1L))
       out.iterator
     }
     // the watermark must be declared on the TIMESTAMP COLUMN that reaches
@@ -423,8 +429,10 @@ object Streaming {
         }
       }
       state.update(members)
+      // clamped past the watermark -- see streamingExactDedupTtl
       if (members.nonEmpty)
-        state.setTimeoutTimestamp(members.map(_._3).max + ttlMs)
+        state.setTimeoutTimestamp(math.max(members.map(_._3).max + ttlMs,
+          state.getCurrentWatermarkMs() + 1L))
       out.result().iterator
     }
     docs.flatMap { case (id, text, ts) =>
@@ -559,8 +567,10 @@ object Streaming {
         }
       }
       state.update(members)
+      // clamped past the watermark -- see streamingExactDedupTtl
       if (members.nonEmpty)
-        state.setTimeoutTimestamp(members.map(_._3).max + ttlMs)
+        state.setTimeoutTimestamp(math.max(members.map(_._3).max + ttlMs,
+          state.getCurrentWatermarkMs() + 1L))
       out.result().iterator
     }
     docs.flatMap { case (id, text, ts) =>

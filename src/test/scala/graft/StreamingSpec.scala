@@ -369,6 +369,34 @@ class StreamingSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("TTL dedup: watermark drops very-late arrivals BEFORE the state function") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val in = MemoryStream[Streaming.TimedDoc]
+    val q = Streaming.streamingExactDedupTtl(in.toDS(), ttlSecs = 500L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ttllate").start()
+    in.addData(Streaming.TimedDoc(1L, "fresh", ts(10000))) // wm -> 10000
+    q.processAllAvailable()
+    // event time far behind the watermark: Spark's late-row filter drops
+    // the row before flatMapGroupsWithState — no decision row, no state,
+    // no crash (this filter is also why accepted rows can never compute
+    // a timeout behind the watermark; the clamp in the op is insurance
+    // for ttl < watermarkDelay configurations)
+    in.addData(Streaming.TimedDoc(2L, "late content", ts(100)))
+    q.processAllAvailable()
+    // the same content arriving ON TIME is a fresh keeper — the late
+    // row left no trace
+    in.addData(Streaming.TimedDoc(3L, "late content", ts(10050)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ttllate").as[Streaming.DedupDecision]
+      .collect().map(d => d.doc_id -> ((d.keeper, d.keep))).toMap
+    assert(got === Map(1L -> ((1L, true)), 3L -> ((3L, true))),
+      s"got $got")
+  }
+
   test("TTL simhash near-dup: expired members stop pairing, live ones still pair") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
