@@ -849,7 +849,7 @@ object Similarity {
     * directly: total quantization error strictly below the seed-codebook
     * baseline. */
   /** (vec_id, s, w, sv) subvector slice stream of an array column. */
-  private def subPoints(src: DataFrame, arrCol: String,
+  private[graft] def subPoints(src: DataFrame, arrCol: String,
       subspaces: Int): DataFrame = {
     val sub = Dims / subspaces
     src.select(col("vec_id"),
@@ -864,7 +864,7 @@ object Similarity {
     * tiebreak, via the same hash-agg `min(struct(…))` argmin and
     * precomputed self-terms as [[pqAssign]]/[[pqDists]] (identical IEEE
     * chain, no window sort of the points×codebook stream). */
-  private def subAssign(points: DataFrame, cb: DataFrame): DataFrame = {
+  private[graft] def subAssign(points: DataFrame, cb: DataFrame): DataFrame = {
     val pts = points.withColumn("xx", dotD(col("sv"), col("sv")))
     val cbb = cb.withColumn("cc", dotD(col("cv"), col("cv")))
     pts.join(broadcast(cbb), Seq("s"))
@@ -880,7 +880,7 @@ object Similarity {
   /** Grouped Lloyd over subvector points: all `subspaces` codebooks
     * train simultaneously; integer-quantized means (see
     * [[kmeansCentroids]]). Returns (s, cid, cv). */
-  private def groupedLloyd(points: DataFrame, nCentroids: Int,
+  private[graft] def groupedLloyd(points: DataFrame, nCentroids: Int,
       iters: Int): DataFrame = {
     var cbook = points.where(col("vec_id") < nCentroids)
       .select(col("s"), col("vec_id").as("cid"), col("sv").as("cv"))

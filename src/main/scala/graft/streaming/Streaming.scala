@@ -593,6 +593,111 @@ object Streaming {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** The FULLY-TRAINED residual IVF-PQ index left IN THE CLUSTER — the
+    * FAISS-style production composition of
+    * [[graft.ext.Similarity.ivfPqTrainedTopK]] as a serving artifact:
+    * Lloyd-trained coarse cells, residual-trained per-subspace
+    * codebooks, the corpus's residual codes joined with its cell
+    * assignment (one static table, so a probed cell restricts the code
+    * join directly), built with exactly the batch op's training
+    * stages. */
+  case class IvfPqIndexRef(cents: DataFrame, cbook: DataFrame,
+      codesWithCell: DataFrame, subspaces: Int)
+
+  def ivfPqIndexOf(embeddings: DataFrame, subspaces: Int = 8,
+      nCentroids: Int = 16, nCells: Int = 8, cellIters: Int = 2,
+      pqIters: Int = 2): IvfPqIndexRef = {
+    import graft.ext.Similarity
+    val (vecs, cents) = Similarity.kmeansLoop(embeddings, nCells,
+      cellIters)
+    val assigned = Similarity.centRank(vecs, cents)
+      .where(col("rn") === 1).select(col("vec_id"), col("cid").as("cell"))
+    val centsAsCell = cents.select(col("cid").as("cell"), col("cemb"))
+    val res = vecs.join(assigned, "vec_id")
+      .join(broadcast(centsAsCell), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("emb"), col("cemb"), (x, g) => x - g).as("res"))
+      .localCheckpoint(true)
+    val points = Similarity.subPoints(
+      res.select(col("vec_id"), col("res")), "res", subspaces)
+      .localCheckpoint(true)
+    val cbook = Similarity.groupedLloyd(points, nCentroids, pqIters)
+    val codes = Similarity.subAssign(points, cbook)
+      .select(col("vec_id"), col("s"), col("cid"))
+    IvfPqIndexRef(centsAsCell.localCheckpoint(true),
+      cbook.localCheckpoint(true),
+      codes.join(assigned, "vec_id").localCheckpoint(true), subspaces)
+  }
+
+  /** Residual IVF-PQ top-k for a STREAM of query vectors — the serving
+    * twin of [[graft.ext.Similarity.ivfPqTrainedTopK]]: probe the
+    * nProbe nearest trained cells (L2, the [[streamingIvfTrainedTopK]]
+    * stage), compute the query's PER-CELL residual map-side (stateless
+    * zip_with against the broadcast cell centroid), build the
+    * integer-quantized LUT against the broadcast residual codebooks,
+    * join the cell-restricted corpus CODES on (cell, s, cid) — a query
+    * touches only its probed cells' inverted lists and never reads a
+    * corpus float — and rank per query by (adc, vec_id) in a stateless
+    * reassembly. Same subvector L2 chains and quantization as batch:
+    * spec proves streamed ≡ batch bit-for-bit. */
+  def streamingIvfPqTopK(queries: Dataset[(Long, Array[Double])],
+      index: IvfPqIndexRef, nProbe: Int = 2, k: Int = 3)
+      : Dataset[AdcHit] = {
+    import queries.sparkSession.implicits._
+    import graft.ext.Similarity
+    val probed = queries.toDF("q_id", "q_emb")
+      .crossJoin(broadcast(index.cents))
+      .select(col("q_id"), col("cell"),
+        Similarity.l2ToCent(col("q_emb"), col("cemb")).as("cdist"),
+        col("q_emb"))
+      .as[(Long, Long, Double, Array[Double])]
+    def probeFn(id: Long,
+        rows: Iterator[(Long, Long, Double, Array[Double])],
+        state: GroupState[Boolean])
+        : Iterator[(Long, Long, Array[Double])] = {
+      rows.toSeq.sortBy { case (_, cell, d, _) => (d, cell) }.take(nProbe)
+        .map { case (q, cell, _, e) => (q, cell, e) }.iterator
+    }
+    val probes = probed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(probeFn)
+      .toDF("q_id", "cell", "q_emb")
+    val qres = probes.join(broadcast(index.cents), Seq("cell"))
+      .select(col("q_id"), col("cell"),
+        zip_with(col("q_emb"), col("cemb"), (x, g) => x - g).as("res"))
+    val sub = 64 / index.subspaces
+    val qpoints = qres.select(col("q_id"), col("cell"),
+      explode(array((0 until index.subspaces).map(s =>
+        struct(lit(s).as("s"),
+          slice(col("res"), s * sub + 1, sub).as("sv"))): _*)).as("p"))
+      .select(col("q_id"), col("cell"), col("p.s").as("s"),
+        col("p.sv").as("sv"))
+    val lut = qpoints.join(broadcast(index.cbook), Seq("s"))
+      .select(col("q_id"), col("cell"), col("s"), col("cid"),
+        floor((Similarity.dotD(col("sv"), col("sv"))
+          - lit(2d) * Similarity.dotD(col("sv"), col("cv"))
+          + Similarity.dotD(col("cv"), col("cv"))) * lit(1e9))
+          .cast("long").as("dq"))
+    val cand = lut.join(index.codesWithCell
+        .withColumnRenamed("vec_id", "c_vec"), Seq("cell", "s", "cid"))
+      .where(col("c_vec") =!= col("q_id"))
+      .select(col("q_id"), col("c_vec"), col("dq"))
+      .as[(Long, Long, Long)]
+    def topkFn(id: Long, rows: Iterator[(Long, Long, Long)],
+        state: GroupState[Boolean]): Iterator[AdcHit] = {
+      val sums = scala.collection.mutable.HashMap.empty[Long, Long]
+      rows.foreach { case (_, v, dq) =>
+        sums.update(v, sums.getOrElse(v, 0L) + dq)
+      }
+      sums.toSeq.sortBy { case (v, a) => (a, v) }.take(k)
+        .iterator.zipWithIndex
+        .map { case ((v, a), i) => AdcHit(id, v, a, i + 1) }
+    }
+    cand.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(topkFn)
+  }
+
   /** Trained BPE merges as a broadcastable serving artifact — k rows by
     * construction (the model is the parameter-bounded merge list, never
     * corpus-sized). */

@@ -641,6 +641,32 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch, s"${got.size} streamed vs ${batch.size} batch")
   }
 
+  test("streaming residual IVF-PQ top-k ≡ batch (fully-trained FAISS composition)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val embs = Tables.table(spark, sf(), "embeddings")
+      .select("vec_id", "embedding")
+    val index = Streaming.ivfPqIndexOf(embs)
+    val queries = embs
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().filter(_._1 < 10L)
+    val in = MemoryStream[(Long, Array[Double])]
+    val q = Streaming.streamingIvfPqTopK(in.toDS(), index).writeStream
+      .outputMode("append").format("memory").queryName("ivfpqhits").start()
+    in.addData(queries.take(5).toSeq: _*)
+    q.processAllAvailable()
+    in.addData(queries.drop(5).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ivfpqhits").as[Streaming.AdcHit].collect()
+      .map(h => (h.q_id, h.rank.toLong, h.vec_id, h.adc_q)).toSet
+    val batch = graft.ext.Similarity.ivfPqTrainedTopK(embs).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === batch, s"${got.size} streamed vs ${batch.size} batch")
+  }
+
   test("streaming ADC top-k ≡ batch ADC: compressed-domain serving, no corpus floats") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
