@@ -649,9 +649,14 @@ object TextOps {
     * surrogates), each merge applied as the same two-pass bounded
     * ` pair ` → ` merged ` literal replace. Applying the rules to a
     * training-corpus word reproduces the trained vocab state
-    * bit-for-bit (greedy application IS the training rewrite); on an
-    * unseen word it performs standard BPE apply — the serving behavior
-    * a shipped tokenizer has and the batch join can't express. */
+    * bit-for-bit (the rewrite IS the training rewrite); on an unseen
+    * word it applies the same bounded two-pass rewrite per merge — NOT
+    * full fixpoint greedy BPE: an OOV word with ≥3 non-overlapping
+    * repetitions of a pair (e.g. `aaaaaa` under `a a → aa`) under-merges
+    * relative to a fixpoint apply. The bound is deliberate — matching
+    * the training rewrite exactly is what keeps the streamed
+    * segmentation ≡ trained segmentation gate bit-exact; a fixpoint
+    * loop would diverge from training on exactly those words. */
   def bpeApplyWord(word: String, merges: Seq[(String, String)]): String = {
     val m = java.util.regex.Pattern.compile(".").matcher(word)
     val sb = new StringBuilder(" ")

@@ -44,10 +44,10 @@ final class MetricsRecorder(spark: SparkSession, engine: Engine,
       case c => c.toString
     } + "\""
 
-  /** Influx line-protocol tag/measurement escape: `\` before space,
-    * comma and `=` (the format's reserved separators) and backslash
-    * itself, per the line-protocol spec — without it a book named
-    * `a b,c=d` yields a malformed line. */
+  /** Influx line-protocol TAG-value escape: `\` before space, comma,
+    * `=` (reserved in tag keys/values) and backslash itself, per the
+    * line-protocol spec — without it a book named `a b,c=d` yields a
+    * malformed line. */
   private def lpTag(s: String): String =
     s.flatMap {
       case '\\' => "\\\\"
@@ -57,12 +57,24 @@ final class MetricsRecorder(spark: SparkSession, engine: Engine,
       case c => c.toString
     }
 
+  /** Influx line-protocol MEASUREMENT escape: only space, comma and
+    * backslash are reserved in the measurement position — `=` is NOT,
+    * and escaping it there would make conforming parsers read a literal
+    * backslash (a db named `a=b` must serialize as `a=b`, not `a\=b`). */
+  private def lpMeasurement(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case ' ' => "\\ "
+      case ',' => "\\,"
+      case c => c.toString
+    }
+
   /** The influx line-protocol body of one snapshot — exactly the
     * reference's `buf` (`influx.rs:22-31`): one
     * `<db>,ob=<book> disk=<n>,size=<n>` line per book. */
   def lineProtocol(sizes: Seq[(String, Long, Long)]): String =
     sizes.map { case (ob, disk, mem) =>
-      s"${lpTag(db)},ob=${lpTag(ob)} disk=$disk,size=$mem"
+      s"${lpMeasurement(db)},ob=${lpTag(ob)} disk=$disk,size=$mem"
     }.mkString("", "\n", "\n")
 
   /** One recording sweep: snapshot [[Engine.bookSizes]], append a part

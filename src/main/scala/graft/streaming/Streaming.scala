@@ -287,12 +287,18 @@ object Streaming {
   def streamingExactDedupTtl(docs: Dataset[TimedDoc], ttlSecs: Long,
       watermarkDelay: String = "0 seconds"): Dataset[DedupDecision] = {
     import docs.sparkSession.implicits._
+    // state = (keeperId, maxArrivalTsMs): the stored max event time makes
+    // the refresh monotone — a batch of ONLY out-of-order duplicates
+    // (older ts than the keeper's latest arrival) must not move the
+    // expiry earlier than the already-promised 'last arrival + ttl',
+    // mirroring the per-member max-ts handling in the simhash/minhash
+    // TTL twins
     def fn(hash: String,
         rows: Iterator[(String, Long, java.sql.Timestamp)],
-        state: GroupState[Long]): Iterator[DedupDecision] = {
+        state: GroupState[(Long, Long)]): Iterator[DedupDecision] = {
       if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-      var keeper = state.getOption
-      var maxTs = Long.MinValue
+      var keeper = state.getOption.map(_._1)
+      var maxTs = state.getOption.map(_._2).getOrElse(Long.MinValue)
       val out = rows.toSeq.sortBy(_._2).map { case (_, id, ts) =>
         maxTs = math.max(maxTs, ts.getTime)
         keeper match {
@@ -301,7 +307,7 @@ object Streaming {
           case Some(kp) => DedupDecision(id, kp, keep = id == kp)
         }
       }
-      keeper.foreach(state.update)
+      keeper.foreach(kp => state.update((kp, maxTs)))
       // clamp past the watermark: Spark REJECTS a timeout that is not
       // strictly later than the current watermark, and a sufficiently
       // late arrival (event time + ttl already behind the watermark)
@@ -415,8 +421,12 @@ object Streaming {
       val out = Seq.newBuilder[SimPair]
       rows.toSeq.sortBy(_._2).foreach { case (_, id, h, ts) =>
         members.find(_._1 == id) match {
-          case Some(m) => // replayed frame: refresh recency, no self-pairs
-            members = (id, h, math.max(m._3, ts.getTime)) ::
+          case Some(m) =>
+            // replayed frame: refresh recency only — the STORED payload
+            // wins (a re-sent doc_id with changed text keeps its original
+            // simhash rather than silently swapping it without pairing),
+            // the same replay stance as the minhash TTL twin
+            members = (id, m._2, math.max(m._3, ts.getTime)) ::
               members.filterNot(_._1 == id)
           case None =>
             members.foreach { case (oid, oh, _) =>

@@ -45,10 +45,12 @@ class MetricsSpec extends SparkSpec {
     val e = mkEngine()
     val dest = "file://" + Files.createTempDirectory("graft-metrics-esc")
     val rec = e.newMetricsRecorder(dest, db = "my db,x=1")
-    // influx line protocol: \ before space, comma, '=' in tags AND the
-    // measurement, backslash doubled — otherwise the separators shift
+    // influx line protocol: tag values escape \ before space, comma,
+    // '=' and double the backslash; the MEASUREMENT position escapes
+    // only space/comma/backslash — '=' is not reserved there, so the
+    // db's '=' passes through literally
     val body = rec.lineProtocol(Seq(("""a b,c=d\e""", 1L, 2L)))
-    assert(body === """my\ db\,x\=1,ob=a\ b\,c\=d\\e disk=1,size=2""" + "\n")
+    assert(body === """my\ db\,x=1,ob=a\ b\,c\=d\\e disk=1,size=2""" + "\n")
     // JSON sink: a book name with quote/backslash/newline must round-trip
     // through the writer and be readable (not a null row) by metrics()
     val hostile = "q\"uote\\back\nline"

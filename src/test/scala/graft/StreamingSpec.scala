@@ -369,6 +369,42 @@ class StreamingSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("TTL dedup: out-of-order duplicate cannot move the expiry EARLIER") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val in = MemoryStream[Streaming.TimedDoc]
+    // wide watermark delay so an out-of-order duplicate is ACCEPTED,
+    // not dropped by the late-row filter
+    val q = Streaming.streamingExactDedupTtl(in.toDS(), ttlSecs = 500L,
+      watermarkDelay = "1000 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ttlmono").start()
+    // batch 1: keeper @2000 -> promised expiry 2500
+    in.addData(Streaming.TimedDoc(1L, "content X", ts(2000)))
+    q.processAllAvailable()
+    // batch 2: OUT-OF-ORDER duplicate @1500 — refresh must be monotone:
+    // expiry stays 2500 (state stores max arrival ts), it must NOT
+    // shrink to 1500+500=2000
+    in.addData(Streaming.TimedDoc(2L, "content X", ts(1500)))
+    q.processAllAvailable()
+    // batch 3: advance the watermark to 2400 — past the BUGGY expiry
+    // (2000) but before the promised one (2500). processAllAvailable
+    // also runs the follow-up no-data batch at wm 2400, which is
+    // exactly where an understated timeout would fire and drop X
+    in.addData(Streaming.TimedDoc(3L, "other Y", ts(3400)))
+    q.processAllAvailable()
+    // batch 4: X again @3450 (wm still 2400 for this batch) — within
+    // the promised horizon, so the keeper MUST still be doc 1
+    in.addData(Streaming.TimedDoc(4L, "content X", ts(3450)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ttlmono").as[Streaming.DedupDecision]
+      .collect().map(d => d.doc_id -> ((d.keeper, d.keep))).toMap
+    assert(got(4L) === ((1L, false)),
+      s"out-of-order dup shrank the TTL horizon: got $got")
+  }
+
   test("TTL dedup: watermark drops very-late arrivals BEFORE the state function") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
