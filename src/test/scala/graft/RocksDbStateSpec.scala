@@ -1,0 +1,236 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.Streaming
+
+/** VERDICT r7 #1 — the streaming/TTL family on the RocksDB state store.
+  *
+  * Everything stateful in [[graft.streaming.Streaming]] is designed so
+  * state is bounded (bucket occupancy, retention horizon), but a 100-TB
+  * deployment cannot keep even bounded state on executor HEAP — the
+  * default HDFSBackedStateStoreProvider holds every version of every
+  * bucket in JVM maps. Production runs
+  * `spark.sql.streaming.stateStore.providerClass =
+  * RocksDBStateStoreProvider` (off-heap, spillable, incremental
+  * checkpointing); these gates prove the ops run UNCHANGED under it —
+  * same decisions, same pair sets, same state-expiry semantics — and
+  * that the provider actually engaged (RocksDB custom metrics in the
+  * query progress, not a silently-ignored conf).
+  *
+  * The last gate is the state-SIZE audit the r7 verdict asked for: the
+  * TTL family's state tracks the retention horizon, not the stream
+  * length — measured via `numRowsTotal` at 1× vs 4× stream length under
+  * RocksDB, where eviction happens through real EventTimeTimeout firings.
+  */
+class RocksDbStateSpec extends SparkSpec {
+
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def withRocksDb[T](body: => T): T = {
+    spark.conf.set(ProviderKey, RocksDb)
+    try body finally spark.conf.unset(ProviderKey)
+  }
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  test("TTL exact dedup under RocksDB: expiry + re-admission semantics intact") {
+    withRocksDb {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[Streaming.TimedDoc]
+      val q = Streaming.streamingExactDedupTtl(in.toDS(), ttlSecs = 500L)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("rdbttl").start()
+      in.addData(Streaming.TimedDoc(1L, "content X", ts(1000)),
+        Streaming.TimedDoc(2L, "content X", ts(1001)))
+      q.processAllAvailable()
+      in.addData(Streaming.TimedDoc(3L, "other Y", ts(2000)))
+      q.processAllAvailable()
+      in.addData(Streaming.TimedDoc(4L, "other Z", ts(2100)))
+      q.processAllAvailable()
+      // X's keeper state expired (wm 2000 > 1001+500): re-admitted fresh
+      in.addData(Streaming.TimedDoc(5L, "content X", ts(2105)),
+        Streaming.TimedDoc(6L, "content X", ts(2106)))
+      q.processAllAvailable()
+      // the provider must have ENGAGED: RocksDB reports its own custom
+      // metrics (rocksdbGet/Put/commit latencies) in every progress
+      val progress = q.lastProgress.json
+      q.stop()
+      assert(progress.toLowerCase.contains("rocksdb"),
+        s"no RocksDB metrics in progress — provider not engaged: $progress")
+      val got = spark.table("rdbttl").as[Streaming.DedupDecision]
+        .collect().map(d => d.doc_id -> ((d.keeper, d.keep))).toMap
+      assert(got === Map(
+        1L -> ((1L, true)), 2L -> ((1L, false)),
+        3L -> ((3L, true)), 4L -> ((4L, true)),
+        5L -> ((5L, true)), 6L -> ((5L, false))),
+        s"got $got")
+    }
+  }
+
+  test("TTL simhash + minhash near-dup under RocksDB: pair sets unchanged") {
+    withRocksDb {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val text = "alpha beta gamma delta epsilon"
+      val inS = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val qS = Streaming.streamingSimhashNearDupTtl(inS.toDS(), ttlSecs = 500L)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("rdbsim").start()
+      val inM = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val qM = Streaming.streamingMinhashNearDupTtl(inM.toDS(), ttlSecs = 500L)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("rdbmh").start()
+      for (in <- Seq(inS, inM)) {
+        in.addData((1L, text, ts(1000)), (2L, text, ts(1001)))
+      }
+      qS.processAllAvailable(); qM.processAllAvailable()
+      for (in <- Seq(inS, inM)) {
+        in.addData((3L, "totally different words here", ts(2000)))
+      }
+      qS.processAllAvailable(); qM.processAllAvailable()
+      // 1 and 2 fell out of the horizon: 4 pairs with nobody, 5 with 4
+      for (in <- Seq(inS, inM)) { in.addData((4L, text, ts(2100))) }
+      qS.processAllAvailable(); qM.processAllAvailable()
+      for (in <- Seq(inS, inM)) { in.addData((5L, text, ts(2150))) }
+      qS.processAllAvailable(); qM.processAllAvailable()
+      assert(qS.lastProgress.json.toLowerCase.contains("rocksdb"))
+      assert(qM.lastProgress.json.toLowerCase.contains("rocksdb"))
+      qS.stop(); qM.stop()
+      val simPairs = spark.table("rdbsim").as[Streaming.SimPair]
+        .collect().map(p => (p.doc_a, p.doc_b)).toSet
+      assert(simPairs === Set((1L, 2L), (4L, 5L)), s"simhash got $simPairs")
+      val mhPairs = spark.table("rdbmh").as[Streaming.MhPair].collect()
+      assert(mhPairs.map(p => (p.doc_a, p.doc_b)).toSet ===
+        Set((1L, 2L), (4L, 5L)), s"minhash got ${mhPairs.toSeq}")
+      assert(mhPairs.forall(p => p.jaccard == 1.0 && p.inter == p.uni))
+    }
+  }
+
+  test("stateful book top under RocksDB: cross-batch book mutation intact") {
+    withRocksDb {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(String, String)]
+      val q = Streaming.streamingBookTop(Streaming.parseLines(in.toDS()))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("rdbtops").start()
+      in.addData(
+        ("b1", "1505177459.658, 1, f, t, 10.00, 5.0;"),
+        ("b1", "1505177459.659, 2, f, f, 11.00, 3.0;"))
+      q.processAllAvailable()
+      in.addData(
+        ("b1", "1505177460.000, 3, f, f, 11.00, 0.0;"),
+        ("b1", "1505177460.001, 4, f, f, 12.00, 1.0;"),
+        ("b1", "1505177460.002, 5, f, t, 10.50, 2.0;"))
+      q.processAllAvailable()
+      assert(q.lastProgress.json.toLowerCase.contains("rocksdb"))
+      q.stop()
+      val all = spark.table("rdbtops").as[Streaming.BookTop].collect()
+      assert(all.length === 2)
+      assert(all.last.best_bid === 10.5 && all.last.best_ask === 12.0)
+    }
+  }
+
+  test("streaming minhash near-dup under RocksDB ≡ batch pair set") {
+    withRocksDb {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      // the heaviest state payload in the family (per-member shingle
+      // arrays) — exercises RocksDB round-trip serialization of the
+      // nested state rows, not just scalar keepers
+      val docs = Seq(
+        1L -> "alpha beta gamma delta epsilon",
+        2L -> "alpha beta gamma delta epsilon",
+        3L -> "alpha beta gamma delta zeta",
+        4L -> "omega psi chi phi upsilon")
+      val wave2 = Seq(
+        5L -> "alpha beta gamma delta epsilon",
+        6L -> "totally different words here")
+      val in = MemoryStream[(Long, String)]
+      val q = Streaming.streamingMinhashNearDup(in.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("rdbmh2").start()
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      in.addData(wave2: _*)
+      q.processAllAvailable()
+      assert(q.lastProgress.json.toLowerCase.contains("rocksdb"))
+      q.stop()
+      val got = spark.table("rdbmh2").as[Streaming.MhPair].collect()
+        .map(p => (p.doc_a, p.doc_b, p.inter, p.uni, p.jaccard)).toSet
+      val batch = graft.ext.Dedup.minhashNearDup(
+        (docs ++ wave2).toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(got === batch, s"streamed $got vs batch $batch")
+    }
+  }
+
+  test("IVF serving under RocksDB ≡ batch IVF top-k") {
+    withRocksDb {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      implicit val sqlCtx = spark.sqlContext
+      val embs = Tables.table(spark, sf(), "embeddings")
+        .select("vec_id", "embedding")
+      val index = Streaming.ivfIndexOf(embs, nCentroids = 8)
+      val queries = embs
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .as[(Long, Array[Double])].collect().filter(_._1 < 10L)
+      val in = MemoryStream[(Long, Array[Double])]
+      val q = Streaming.streamingIvfTopK(in.toDS(), index).writeStream
+        .outputMode("append").format("memory").queryName("rdbivf").start()
+      val (w1, w2) = queries.splitAt(5)
+      in.addData(w1.toSeq: _*)
+      q.processAllAvailable()
+      in.addData(w2.toSeq: _*)
+      q.processAllAvailable()
+      assert(q.lastProgress.json.toLowerCase.contains("rocksdb"))
+      q.stop()
+      val got = spark.table("rdbivf").as[Streaming.AnnHit].collect()
+        .map(h => (h.q_id, h.rank.toLong, h.vec_id, h.sim)).toSet
+      val batch = graft.ext.Similarity.ivfTopK(embs).collect()
+        .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(got === batch, s"${got.size} streamed vs ${batch.size} batch")
+    }
+  }
+
+  /** Feed `n` all-distinct docs, 1 doc/event-second in 200-doc batches,
+    * TTL = 100 s; returns the state-store row count after the final
+    * watermark advance. With eviction working, live state ≈ the ~101
+    * contents inside the rolling horizon — independent of `n`. */
+  private def ttlStateRows(n: Int): Long = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streaming.TimedDoc]
+    val q = Streaming.streamingExactDedupTtl(in.toDS(), ttlSecs = 100L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(s"rdbaudit$n").start()
+    (0 until n).grouped(200).foreach { chunk =>
+      in.addData(chunk.map(i =>
+        Streaming.TimedDoc(i.toLong, s"content $i", ts(i.toLong))): _*)
+      q.processAllAvailable()
+    }
+    val rows = q.lastProgress.stateOperators(0).numRowsTotal
+    q.stop()
+    rows
+  }
+
+  test("state-size audit: TTL state tracks the retention horizon, not stream length") {
+    withRocksDb {
+      val at1x = ttlStateRows(800)
+      val at4x = ttlStateRows(3200)
+      // horizon = 100 s at 1 doc/s -> ~101 live contents either way; a
+      // provider (or op) that stopped evicting would show ~n instead
+      assert(at1x <= 150L, s"1x stream left $at1x state rows (horizon ~101)")
+      assert(at4x <= 150L, s"4x stream left $at4x state rows (horizon ~101)")
+      assert(at4x <= at1x + 50L,
+        s"state grew with stream length: $at1x -> $at4x")
+    }
+  }
+}
