@@ -438,6 +438,30 @@ object Dedup {
       .map(i => ws.slice(i, i + n).mkString(" ")).toSet
   }
 
+  /** 64-bit shingle fingerprint: the first 8 bytes (big-endian) of the
+    * md5 the minhash signature already computes per shingle. Fixed
+    * width regardless of the shingle's TEXT size — the streaming
+    * near-dup ops store these instead of raw shingle strings, so
+    * per-member state is 8 bytes per distinct shingle however long the
+    * words are, and set intersection stays EXACT Jaccard up to md5-
+    * prefix collision (~2⁻³² for a billion-shingle corpus). */
+  def shingleHash64(sh: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(sh.getBytes("UTF-8"))
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+
+  /** A shingle set as its SORTED distinct 64-bit fingerprints — the
+    * fixed-width member payload the streaming minhash ops carry through
+    * the band shuffle and keep in bucket state. Sorted so the on-arrival
+    * intersection is a linear two-pointer merge, no per-comparison set
+    * build. */
+  def shingleHashes64(shset: Set[String]): Array[Long] = {
+    val arr = shset.iterator.map(shingleHash64).toSet.toArray
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
   /** Scalar twin of [[minhashSignature]] — the k-permutation signature
     * `h_i = min(md5("i:" ++ sh))` over a doc's shingle set. md5 renders
     * lowercase hex (exactly Spark/DuckDB `md5()`), and the min is the

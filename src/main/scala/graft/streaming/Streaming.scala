@@ -470,18 +470,35 @@ object Streaming {
     * same inter/uni/jaccard arithmetic the batch op's array_intersect
     * verification computes, evaluated incrementally on arrival.
     *
-    * State per bucket = the member (doc_id, distinct-shingle array)
-    * list: per-member size is the doc's own shingle set (exactly what
-    * the batch op's collect_set holds per doc), member count is bounded
-    * by LSH bucket occupancy — NOT the stream length. `bucket_n`
-    * carries the post-insert occupancy so the spec's state-size gate
-    * audits the bound live. A pair agreeing in several bands emits once
-    * per shared band (the batch op's pre-distinct candidate multiset);
-    * consumers dedup downstream exactly as the batch `.distinct()`.
-    * Docs with fewer than n words have no shingles, emit to no bucket
-    * and pair with nothing — identically to the batch op. */
+    * State per bucket = the member (doc_id, shingle-FINGERPRINT array)
+    * list: each member stores its doc's distinct shingles as sorted
+    * 64-bit md5 prefixes ([[graft.ext.Dedup.shingleHashes64]]) — 8
+    * bytes per shingle regardless of word length (the r7 verdict's
+    * state-slimming ask: the raw-string payload was O(text bytes) per
+    * member), with the Jaccard arithmetic EXACT up to md5-prefix
+    * collision. Member count is bounded by LSH bucket occupancy — NOT
+    * the stream length; `bucket_n` carries the post-insert occupancy so
+    * the spec's state-size gate audits the bound live. A pair agreeing
+    * in several bands emits once per shared band (the batch op's
+    * pre-distinct candidate multiset); consumers dedup downstream
+    * exactly as the batch `.distinct()`. Docs with fewer than n words
+    * have no shingles, emit to no bucket and pair with nothing —
+    * identically to the batch op. */
   case class MhPair(doc_a: Long, doc_b: Long, inter: Long, uni: Long,
       jaccard: Double, bucket_n: Int)
+
+  /** Intersection size of two SORTED distinct long arrays — the linear
+    * two-pointer merge the on-arrival Jaccard verify runs per bucket
+    * member (the fingerprint arrays are sorted at build time). */
+  private def sortedIntersect(a: Array[Long], b: Array[Long]): Long = {
+    var i = 0; var j = 0; var n = 0L
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { n += 1L; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    n
+  }
 
   def streamingMinhashNearDup(docs: Dataset[(Long, String)], n: Int = 2,
       k: Int = 16, r: Int = 4, threshold: Double = 0.2)
@@ -490,18 +507,16 @@ object Streaming {
     require(threshold > 0.0,
       "threshold must be > 0 (zero-overlap candidates are never emitted)")
     require(k % r == 0, s"r $r must divide k $k")
-    def fn(bucket: String, rows: Iterator[(String, Long, Array[String])],
-        state: GroupState[List[(Long, Array[String])]])
+    def fn(bucket: String, rows: Iterator[(String, Long, Array[Long])],
+        state: GroupState[List[(Long, Array[Long])]])
         : Iterator[MhPair] = {
       var members = state.getOption.getOrElse(List.empty)
       val out = Seq.newBuilder[MhPair]
       rows.toSeq.sortBy(_._2).foreach { case (_, id, shArr) =>
         if (!members.exists(_._1 == id)) { // replayed frame: no self-pairs
-          val shSet = shArr.toSet
           members.foreach { case (oid, oArr) =>
-            var inter = 0L
-            oArr.foreach(sh => if (shSet.contains(sh)) inter += 1L)
-            val uni = shSet.size.toLong + oArr.length - inter
+            val inter = sortedIntersect(shArr, oArr)
+            val uni = shArr.length.toLong + oArr.length - inter
             val j = if (uni == 0L) 0.0 else inter.toDouble / uni
             if (j >= threshold)
               out += MhPair(math.min(oid, id), math.max(oid, id), inter,
@@ -518,7 +533,7 @@ object Streaming {
       if (shset.isEmpty) Iterator.empty
       else {
         val sig = graft.ext.Dedup.minhashSig(shset, k)
-        val shArr = shset.toArray.sorted
+        val shArr = graft.ext.Dedup.shingleHashes64(shset)
         (0 until k / r).iterator.map { j =>
           val bval = graft.functions.md5Hex(
             sig.slice(j * r, j * r + r).mkString("").getBytes("UTF-8"))
@@ -549,8 +564,8 @@ object Streaming {
     require(k % r == 0, s"r $r must divide k $k")
     val ttlMs = ttlSecs * 1000L
     def fn(bucket: String,
-        rows: Iterator[(String, Long, Array[String], java.sql.Timestamp)],
-        state: GroupState[List[(Long, Array[String], Long)]])
+        rows: Iterator[(String, Long, Array[Long], java.sql.Timestamp)],
+        state: GroupState[List[(Long, Array[Long], Long)]])
         : Iterator[MhPair] = {
       if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       val horizon = state.getCurrentWatermarkMs() - ttlMs
@@ -563,11 +578,9 @@ object Streaming {
             members = (id, m._2, math.max(m._3, ts.getTime)) ::
               members.filterNot(_._1 == id)
           case None =>
-            val shSet = shArr.toSet
             members.foreach { case (oid, oArr, _) =>
-              var inter = 0L
-              oArr.foreach(sh => if (shSet.contains(sh)) inter += 1L)
-              val uni = shSet.size.toLong + oArr.length - inter
+              val inter = sortedIntersect(shArr, oArr)
+              val uni = shArr.length.toLong + oArr.length - inter
               val j = if (uni == 0L) 0.0 else inter.toDouble / uni
               if (j >= threshold)
                 out += MhPair(math.min(oid, id), math.max(oid, id), inter,
@@ -588,7 +601,7 @@ object Streaming {
       if (shset.isEmpty) Iterator.empty
       else {
         val sig = graft.ext.Dedup.minhashSig(shset, k)
-        val shArr = shset.toArray.sorted
+        val shArr = graft.ext.Dedup.shingleHashes64(shset)
         (0 until k / r).iterator.map { j =>
           val bval = graft.functions.md5Hex(
             sig.slice(j * r, j * r + r).mkString("").getBytes("UTF-8"))
@@ -597,7 +610,7 @@ object Streaming {
       }
     }.toDF("bucket", "doc_id", "shingles", "ts")
       .withWatermark("ts", watermarkDelay)
-      .as[(String, Long, Array[String], java.sql.Timestamp)]
+      .as[(String, Long, Array[Long], java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)

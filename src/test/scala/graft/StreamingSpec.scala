@@ -549,6 +549,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("minhash member state is fixed-width: bytes track shingle COUNT, not text size") {
+    import graft.ext.Dedup
+    // same word count, wildly different word lengths: the fingerprint
+    // payload (8 bytes/shingle) must be IDENTICAL in size, where the old
+    // raw-string payload was O(text bytes) per member
+    val short = "a b c d e f"
+    val long = (1 to 6).map(i => ("w" + i.toString) * 15).mkString(" ")
+    val ss = Dedup.shingleSet(short); val sl = Dedup.shingleSet(long)
+    assert(ss.size === sl.size, "fixture must have equal shingle counts")
+    val hs = Dedup.shingleHashes64(ss); val hl = Dedup.shingleHashes64(sl)
+    assert(hs.length === hl.length,
+      "fingerprint count must not depend on word length")
+    assert(hs.length * 8 === hl.length * 8) // state bytes equal by width
+    // raw strings, for contrast, differ ~15x in bytes
+    assert(sl.map(_.length).sum > 10 * ss.map(_.length).sum)
+    // fingerprints are sorted + distinct (the two-pointer intersect's
+    // precondition) and collision-free on the fixtures
+    assert(hs.toSeq === hs.toSeq.sorted && hs.distinct.length === hs.length)
+    // Jaccard over fingerprints ≡ Jaccard over raw shingle sets, across
+    // seeded random word-bag pairs (exact up to md5-prefix collision)
+    val rnd = new scala.util.Random(42)
+    (1 to 50).foreach { _ =>
+      val vocab = (1 to 12).map(i => s"tok$i")
+      def doc() = (1 to (3 + rnd.nextInt(15)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val (a, b) = (Dedup.shingleSet(doc()), Dedup.shingleSet(doc()))
+      val (ha, hb) = (Dedup.shingleHashes64(a).toSet,
+        Dedup.shingleHashes64(b).toSet)
+      assert(ha.intersect(hb).size === a.intersect(b).size)
+      assert(ha.union(hb).size === a.union(b).size)
+    }
+  }
+
   test("lmModelOf: model rows are pigeonhole-bounded by targetRows; serving stays total") {
     import spark.implicits._
     import graft.ext.TextOps
