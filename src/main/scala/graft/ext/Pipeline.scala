@@ -317,6 +317,87 @@ object Pipeline {
        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
       .replace('\n', ' ')
 
+  /** [[gramStream]] with the gram's 1-based START POSITION — the offsets
+    * the maximal-span merge below coalesces over. */
+  private def gramStreamPos(df: DataFrame, n: Int): DataFrame = {
+    val ws = split(lower(trim(col("text"))), "\\s+")
+    df.select(col("doc_id"), ws.as("ws"))
+      .where(size(col("ws")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+          i => array_join(slice(col("ws"), i, lit(n)), " "))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("g"))
+  }
+
+  /** MAXIMAL duplicated spans (VERDICT r7 #3) — [[dupSpans]] coalesced to
+    * the span form Lee et al.'s exact-substring output reports: adjacent
+    * duplicated n-grams (start positions differing by 1) merge into one
+    * maximal island per document, emitted as
+    * `(doc_id, span_start, span_end, span_words, n_grams)` in word
+    * coordinates (`span_end = last island gram's start + n − 1`, the last
+    * word the span covers). A run of k overlapping duplicated grams is
+    * ONE span of k+n−1 words, not k separate signals — the unit a
+    * trim/drop pass actually cuts.
+    *
+    * Scale shape: the gram-frequency aggregation and the equi-join back
+    * are [[dupSpans]]'s; the merge itself is gaps-and-islands over gram
+    * offsets (`pos − row_number()` per doc — the `missing_ranges`
+    * pattern, `TimeBars.scala:133`), a per-document window whose
+    * partition is the doc's own duplicated-gram count: shuffle-native,
+    * no pair materialization, no driver state. */
+  def dupSpansMerged(docs: DataFrame, n: Int = 5,
+      minDocs: Int = 2): DataFrame = {
+    val g = gramStreamPos(docs, n)
+    val dupGrams = g.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .where(col("ndocs") >= minDocs)
+      .select("g")
+    val hits = g.join(dupGrams, "g").select("doc_id", "pos")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn("grp", col("pos") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (n - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_words"),
+        col("n_grams"))
+  }
+
+  /** DuckDB twin of [[gramStreamPos]]. */
+  private def gramStreamPosSql(n: Int): String = {
+    val parts = (0 until n).map {
+      case 0 => "w"
+      case i => s"lead(w, $i) OVER (PARTITION BY doc_id ORDER BY pos)"
+    }.mkString(" || ' ' || ")
+    s"""SELECT doc_id, pos, g FROM (
+       | SELECT doc_id, CAST(pos AS BIGINT) AS pos, $parts AS g FROM (
+       |  SELECT doc_id,
+       |   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w,
+       |   generate_subscripts(
+       |     regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+       |  FROM documents))
+       |WHERE g IS NOT NULL""".stripMargin
+  }
+
+  def dupSpansMergedSql(n: Int = 5, minDocs: Int = 2): String =
+    s"""WITH gramsp AS (${gramStreamPosSql(n)}),
+       |dup AS (SELECT g FROM gramsp
+       | GROUP BY g HAVING count(DISTINCT doc_id) >= $minDocs),
+       |hits AS (SELECT gp.doc_id, gp.pos FROM gramsp gp
+       | JOIN dup d ON gp.g = d.g),
+       |isl AS (SELECT doc_id, pos,
+       | pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       | FROM hits)
+       |SELECT doc_id, min(pos) AS span_start,
+       | max(pos) + ${n - 1} AS span_end,
+       | max(pos) + ${n - 1} - min(pos) + 1 AS span_words,
+       | CAST(count(*) AS BIGINT) AS n_grams
+       |FROM isl GROUP BY doc_id, grp
+       |ORDER BY doc_id, span_start""".stripMargin.replace('\n', ' ')
+
   // ------------------------------------------------ embedding quantization
 
   /** Per-vector symmetric int8 quantization of an embedding column — the

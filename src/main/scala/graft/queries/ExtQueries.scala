@@ -445,6 +445,13 @@ object ExtQueries {
       (s, dir) => Pipeline.dupSpans(docs(s, dir)).orderBy("doc_id"),
       Some(Pipeline.dupSpansSql())),
 
+    // maximal duplicated spans: adjacent duplicated grams coalesced to
+    // Lee-et-al-style span coordinates (gaps-and-islands over offsets)
+    Q("q_dup_spans_merged",
+      (s, dir) => Pipeline.dupSpansMerged(docs(s, dir))
+        .orderBy("doc_id", "span_start"),
+      Some(Pipeline.dupSpansMergedSql())),
+
     // per-source document cap (domain balancing, deterministic md5 order)
     Q("q_source_cap",
       (s, dir) => Pipeline.sourceCap(docs(s, dir), k = 20)

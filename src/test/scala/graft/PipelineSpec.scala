@@ -252,6 +252,74 @@ class PipelineSpec extends SparkSpec {
     assert(out(3L)._2 === 0L)
   }
 
+  test("dupSpansMerged: overlapping duplicated grams coalesce to ONE maximal span") {
+    val docs = docsDf(
+      (1L, "a b c d e f g x"),   // shares words 1-7 with doc 2
+      (2L, "z a b c d e f g"))
+    // shared 5-grams: "a b c d e", "b c d e f", "c d e f g" — three
+    // overlapping grams = one 7-word span, not three signals
+    val out = Pipeline.dupSpansMerged(docs, n = 5, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(out === Set(
+      (1L, 1L, 7L, 7L, 3L),   // doc1: starts 1..3 -> words 1..7
+      (2L, 2L, 8L, 7L, 3L)))  // doc2: starts 2..4 -> words 2..8
+  }
+
+  test("dupSpansMerged: separated duplicated regions stay separate islands") {
+    val docs = docsDf(
+      (1L, "a b c q q q q q q a b c"), // "a b c" dup'd at starts 1 and 10
+      (2L, "a b c"),
+      (3L, "x y z"))
+    val out = Pipeline.dupSpansMerged(docs, n = 3, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(out === Set(
+      (1L, 1L, 3L, 3L, 1L), (1L, 10L, 12L, 3L, 1L),
+      (2L, 1L, 3L, 3L, 1L)))
+  }
+
+  test("dupSpansMerged ≡ scalar gaps-and-islands twin on seeded random corpora") {
+    val n = 3; val minDocs = 2
+    def scalarSpans(corpus: Seq[(Long, String)])
+        : Set[(Long, Long, Long, Long, Long)] = {
+      val grams = corpus.flatMap { case (id, t) =>
+        val ws = t.trim.toLowerCase.split("\\s+").toSeq
+        if (ws.length < n) Seq.empty
+        else (0 to ws.length - n).map(i =>
+          (id, i + 1L, ws.slice(i, i + n).mkString(" ")))
+      }
+      val dup = grams.groupBy(_._3)
+        .filter(_._2.map(_._1).distinct.size >= minDocs).keySet
+      grams.filter(g => dup(g._3)).groupBy(_._1).flatMap {
+        case (id, hs) =>
+          val ps = hs.map(_._2).sorted
+          // islands: split where consecutive starts gap by > 1
+          val islands = ps.foldLeft(List.empty[List[Long]]) {
+            case (acc, p) => acc match {
+              case (h :: t) :: rest if p == h + 1 => (p :: h :: t) :: rest
+              case _ => List(p) :: acc
+            }
+          }
+          islands.map { isl =>
+            val (lo, hi) = (isl.min, isl.max + (n - 1))
+            (id, lo, hi, hi - lo + 1, isl.size.toLong)
+          }
+      }.toSet
+    }
+    val rnd = new scala.util.Random(7)
+    (1 to 20).foreach { trial =>
+      val vocab = (1 to 8).map(i => s"v$i")
+      val corpus = (1L to 6L).map(id => id ->
+        (1 to (n + rnd.nextInt(20)))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val got = Pipeline.dupSpansMerged(docsDf(corpus: _*), n, minDocs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got === scalarSpans(corpus), s"trial $trial: $corpus")
+    }
+  }
+
   test("hardNegatives: nearest same-label vector is excluded") {
     import spark.implicits._
     import graft.ext.Similarity
