@@ -492,6 +492,34 @@ object ExtQueries {
     Q("q_resize",
       (s, dir) => Multimodal.resizeStub(docs(s, dir), 224, 224)
         .orderBy("doc_id"),
-      Some(Multimodal.resizeStubSql(224, 224)))
+      Some(Multimodal.resizeStubSql(224, 224))),
+
+    // REAL video pixel decode: deterministic solid-gray DIB-in-AVI
+    // payloads built per doc (frame i gray = (doc_id*31+i*7)%256), then
+    // the genuine RIFF walk + frame decode + integer luma stats, frames
+    // sampled every 2 — DuckDB replays the stats arithmetically, so a
+    // broken walk/stride/bottom-up order fails the gate bit-exactly
+    Q("q_frame_stats",
+      (s, dir) => {
+        val enc = org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.BINARY)
+        val avis = docs(s, dir).select("doc_id")
+          .map(r => (r.getLong(0), Multimodal.syntheticAvi(r.getLong(0),
+            nFrames = 1 + (r.getLong(0) % 4).toInt, w = 16, h = 8)))(enc)
+          .toDF("doc_id", "payload")
+        Multimodal.decodeVideoFrames(avis, everyK = 2)
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""SELECT doc_id, frame_idx,
+        | CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        | CAST(128 AS BIGINT) AS n_px,
+        | CAST(((doc_id*31 + frame_idx*7) % 256) * 128 AS BIGINT)
+        |  AS luma_sum,
+        | CAST((doc_id*31 + frame_idx*7) % 256 AS DOUBLE) AS mean_luma
+        |FROM (SELECT doc_id,
+        |  unnest(generate_series(0, doc_id % 4, 2)) AS frame_idx
+        | FROM documents)
+        |ORDER BY doc_id, frame_idx""".stripMargin.replace('\n', ' ')))
   )
 }
