@@ -23,9 +23,12 @@ object Bench {
     Tables.enableNanos(spark)
 
     // JVM/codegen warmup on the smallest SF so per-query numbers measure
-    // the plan, not class loading
-    SparkEntry.queries.get("q_time_bars")
+    // the plan, not class loading. Guarded: one broken query must cost its
+    // own sweep row, never the round's entire bench signal (BENCH_r08 died
+    // here on an unguarded analysis exception and produced no numbers).
+    try SparkEntry.queries.get("q_time_bars")
       .foreach(fn => fn(spark, "/root/testdata/sf0.001").count())
+    catch { case _: Throwable => () }
 
     // fixed calibration workload: identical every round, so cross-round
     // query comparisons can be normalized for host-speed drift (measured

@@ -66,9 +66,17 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   private def projectUpdates(ev: DataFrame): DataFrame = {
-    // ns-long (nanosAsLong) vs timestamp (µs) — both truncate to ms
+    // The driver has shipped events.ts as three different parquet flavors
+    // across rounds: TIMESTAMP(NANOS) (read as a raw ns Long under
+    // nanosAsLong), TIMESTAMP(MICROS) with tz (TimestampType), and
+    // TIMESTAMP(MICROS) without tz (TimestampNTZType). All truncate to the
+    // same ms epoch — NTZ via a cast to TimestampType, which is
+    // value-preserving under the engine's pinned UTC session timezone and
+    // matches DuckDB's epoch_ms(ts) on the same file bit-exactly.
     val tsMs = ev.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_millis(col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => unix_millis(col("ts"))
     }
     ev.select(
@@ -105,6 +113,15 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         ev.where(col("ts") >= loMs * 1000000L &&
           col("ts") < (hiMs + 1) * 1000000L)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ-typed bounds: cast the FOLDABLE literal (not the column!) so
+        // Catalyst constant-folds it and the predicate still reaches the
+        // parquet scan as a PushedFilter on the source column.
+        val lo = timestamp_millis(lit(loMs))
+          .cast(org.apache.spark.sql.types.TimestampNTZType)
+        val hi = timestamp_millis(lit(hiMs + 1))
+          .cast(org.apache.spark.sql.types.TimestampNTZType)
+        ev.where(col("ts") >= lo && col("ts") < hi)
       case _ =>
         ev.where(col("ts") >= timestamp_millis(lit(loMs)) &&
           col("ts") < timestamp_millis(lit(hiMs + 1)))
