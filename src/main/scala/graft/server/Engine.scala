@@ -89,14 +89,20 @@ final class Engine(spark: SparkSession, dtfFolder: String,
 
   sealed trait Reply
   case class Text(s: String) extends Reply
-  case class Frame(df: DataFrame) extends Reply
+  /** A distributed result to materialize on the wire. For single-string-
+    * column frames (AS JSON / AS CSV) the server joins rows with `sep` and
+    * appends `trailer` — the reference joins JSON objects with `", "` and
+    * CSV rows with newlines, then pushes one trailing `'\n'` on both
+    * (`state.rs:31-52`, `update.rs:34-42`). */
+  case class Frame(df: DataFrame, sep: String = "\n", trailer: String = "")
+    extends Reply
   case class Err(s: String) extends Reply
 
   def execute(cmd: Command): Reply = execute(cmd, defaultSession)
 
   def execute(cmd: Command, session: Session): Reply = cmd match {
     case Command.Noop => Text("")
-    case Command.Ping => Text("PONG.\n")
+    case Command.Ping => Text("PONG")
     case Command.Help => Text(Engine.HelpText)
     case Command.Info => Text(info())
     case Command.Perf => Text(perf())
@@ -104,20 +110,20 @@ final class Engine(spark: SparkSession, dtfFolder: String,
     case Command.BadFormat => Err("Bad format.")
 
     case Command.Create(book) =>
-      if (books.contains(book)) Err(s"DB $book already exists.")
+      if (books.contains(book)) Err(s"Unable to create orderbook `$book`.")
       else { books(book) = mutable.ArrayBuffer.empty; session.book = book
-        Text(s"Created DB `$book`.\n") }
+        Text(s"Created orderbook `$book`.") }
 
     case Command.Use(book) =>
       if (books.contains(book) || hasFs(book)) {
         books.getOrElseUpdate(book, mutable.ArrayBuffer.empty)
         session.book = book
-        Text(s"SWITCHED TO DB `$book`.\n")
-      } else Err(s"DB $book not found.")
+        Text(s"SWITCHED TO orderbook `$book`.")
+      } else Err(s"No db named `$book`")
 
     case Command.Exists(book) =>
       if (books.contains(book) || hasFs(book)) Text("1")
-      else Err(s"DB $book not found.")
+      else Err(s"No db named `$book`")
 
     case Command.Insert(Some(up), bookOpt) =>
       val book = bookOpt.getOrElse(session.book)
@@ -135,7 +141,7 @@ final class Engine(spark: SparkSession, dtfFolder: String,
             buf.size % flushInterval == 0) flush(book)
           Text("")
       }
-    case Command.Insert(None, _) => Err("Unable to parse line.")
+    case Command.Insert(None, _) => Err("Unable to parse line")
 
     case Command.Count(which, loc) =>
       val names = which match {
@@ -149,7 +155,7 @@ final class Engine(spark: SparkSession, dtfFolder: String,
           case Loc.Fs => mem + fsDf(b).map(_.count()).getOrElse(0L)
         }
       }.sum
-      Text(s"$n\n")
+      Text(s"$n")
 
     case Command.Clear(which) =>
       val names = which match {
@@ -163,7 +169,7 @@ final class Engine(spark: SparkSession, dtfFolder: String,
         // on-disk header size; books with no file keep their count
         if (hasFs(b)) nominal(b) = fsDf(b).map(_.count()).getOrElse(0L)
       }
-      Text("1\n")
+      Text("1")
 
     case Command.Flush(which) =>
       val names = which match {
@@ -171,7 +177,7 @@ final class Engine(spark: SparkSession, dtfFolder: String,
         case _ => Seq(session.book)
       }
       names.foreach(flush)
-      Text("1\n")
+      Text("1")
 
     case Command.Load(book) =>
       if (hasFs(book)) {
@@ -182,12 +188,12 @@ final class Engine(spark: SparkSession, dtfFolder: String,
         // size (state.rs:115-118); subsequent adds increment from there
         nominal(book) = loaded.length.toLong
         session.book = book
-        Text(s"Loaded DB `$book`.\n")
-      } else Err(s"DB $book not found.")
+        Text(s"Loaded orderbook `$book`.")
+      } else Err(s"No db named `$book`")
 
     case Command.Subscribe(book) =>
       subscribers(book) = mutable.ArrayBuffer.empty
-      Text(s"Subscribed to $book\n")
+      Text(s"Subscribed to $book")
 
     case Command.Orderbook(bookOpt) =>
       val book = bookOpt.getOrElse(session.book)
@@ -211,16 +217,28 @@ final class Engine(spark: SparkSession, dtfFolder: String,
         case ReqCount.All => ranged.orderBy("ts", "seq")
         case ReqCount.N(n) => ranged.orderBy("ts", "seq").limit(n)
       }
+      // Floats render with Rust `{}` Display semantics (plain decimal,
+      // shortest round-trip digits, no ".0") — Spark's native double→string
+      // cast and to_json both emit scientific notation for |x| ≥ 1e7, which
+      // would corrupt every ts-seconds field on the wire. The UDF is
+      // sanctioned here: this is the response-size-bounded server
+      // materialization path, not an analytics hot path.
+      val rr = udf(Engine.rustRepr _)
       format match {
         case GetFormat.Csv => Frame(limited.select(
-          concat_ws(",", tsAsSecondsFloat(col("ts")), col("seq"),
+          concat_ws(",", rr(tsAsSecondsFloat(col("ts"))),
+            col("seq").cast("string"),
             tfBool(col("is_trade")), tfBool(col("is_bid")),
-            col("price"), col("size")).as("csv")))
+            rr(col("price")), rr(col("size"))).as("csv")),
+          sep = "\n", trailer = "\n")
         case GetFormat.Json => Frame(limited.select(
-          to_json(struct(
-            tsAsSecondsFloat(col("ts")).as("ts"), col("seq"),
-            col("is_trade"), col("is_bid"), col("price"), col("size")))
-            .as("json")))
+          concat(lit("{\"ts\":"), rr(tsAsSecondsFloat(col("ts"))),
+            lit(",\"seq\":"), col("seq").cast("string"),
+            lit(",\"is_trade\":"), col("is_trade").cast("string"),
+            lit(",\"is_bid\":"), col("is_bid").cast("string"),
+            lit(",\"price\":"), rr(col("price")),
+            lit(",\"size\":"), rr(col("size")), lit("}")).as("json")),
+          sep = ", ", trailer = "\n")
         case GetFormat.Dtf => Frame(limited)
       }
   }
@@ -343,20 +361,25 @@ final class Engine(spark: SparkSession, dtfFolder: String,
     * a `meta` object (connection count, subscription count, wall seconds,
     * autoflush settings, folder, totals). */
   private def info(): String = {
+    // byte-parity with `state.rs:379-435`, including the pretty-printed
+    // whitespace and the reference's quirk of binding the per-book
+    // `"in_memory"` key to the staging-row COUNT (vec.len()), not a bool
     val rows = books.map { case (name, buf) =>
-      s"""{"name":"$name","in_memory":${buf.size},"count":${
-        nominal.getOrElse(name, 0L)}}"""
-    }.mkString(",")
+      "{\n    \"name\": \"" + name + "\",\n    \"in_memory\": " + buf.size +
+        ",\n    \"count\": " + nominal.getOrElse(name, 0L) + "\n  }"
+    }.mkString(", ")
     val totalMem = books.valuesIterator.map(_.size.toLong).sum
     val totalCount = nominal.valuesIterator.sum
     val meta =
-      s"""{"clis":${connections.get()},"subs":${subscribers.size},""" +
-        s""""ts":${System.currentTimeMillis() / 1000},""" +
-        s""""autoflush_enabled":$autoflush,""" +
-        s""""autoflush_interval":$flushInterval,""" +
-        s""""dtf_folder":"$dtfFolder",""" +
-        s""""total_in_memory_count":$totalMem,"total_count":$totalCount}"""
-    s"""{"meta":$meta,"dbs":[$rows]}\n"""
+      "{\n    \"clis\": " + connections.get() +
+        ",\n    \"subs\": " + subscribers.size +
+        ",\n    \"ts\": " + (System.currentTimeMillis() / 1000) +
+        ",\n    \"autoflush_enabled\": " + autoflush +
+        ",\n    \"autoflush_interval\": " + flushInterval +
+        ",\n    \"dtf_folder\": \"" + dtfFolder + "\"" +
+        ",\n    \"total_in_memory_count\": " + totalMem +
+        ",\n    \"total_count\": " + totalCount + "\n  }"
+    "{\n  \"meta\": " + meta + ",\n  \"dbs\": [" + rows + "]\n}\n"
   }
 
   /** Timer tick (T8, `plugins/history.rs:6-16`): snapshot per-book in-mem
@@ -380,17 +403,30 @@ final class Engine(spark: SparkSession, dtfFolder: String,
 }
 
 object Engine {
+  /** Rust `{}` Display for doubles (`update.rs:145-168` renders ts/price/
+    * size with `format!("{}")`): plain decimal notation with the shortest
+    * round-trip digits and no trailing ".0" — never scientific. Java's
+    * `Double.toString` supplies the shortest digits; BigDecimal re-expands
+    * its scientific form to plain notation. */
+  def rustRepr(d: Double): String =
+    if (d.isNaN) "NaN"
+    else if (d.isPosInfinity) "inf"
+    else if (d.isNegInfinity) "-inf"
+    else {
+      val s = new java.math.BigDecimal(java.lang.Double.toString(d))
+        .toPlainString
+      if (s.contains('.'))
+        s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      else s
+    }
+
   /** The reference's `PRICE_DECIMALS` (`state.rs:23`) — every book's
     * orderbook discretizes prices at 10 decimals. */
   val PriceDecimals = 10
 
+  /** The reference's `HELP_STR` byte-for-byte (`handler.rs:13-15`). */
   val HelpText: String =
-    """Commands:
-      |PING, INFO, PERF, HELP
-      |USE [db], CREATE [db], EXISTS [db], LOAD [db]
-      |ADD [update]; INSERT [update]; INTO [db]
-      |GET [n] | GET ALL [FROM a TO b] [AS JSON|AS CSV] [IN MEM]
-      |COUNT [ALL] [IN MEM], CLEAR [ALL], FLUSH [ALL]
-      |OB [db], SUBSCRIBE [db]
-      |""".stripMargin
+    "\n    PING, INFO, USE [db], CREATE [db],\n" +
+      "    ADD [ts],[seq],[is_trade],[is_bid],[price],[size];\n" +
+      "    FLUSH, FLUSH ALL, GET ALL, GET [count], CLEAR"
 }

@@ -311,7 +311,7 @@ final class TcpServer(engine: Engine, port: Int = 0) {
                 case engine.Text(s) => (true, s.getBytes("UTF-8"))
                 case engine.Err(e) =>
                   (false, s"ERR: $e\n".getBytes("UTF-8"))
-                case engine.Frame(df) =>
+                case engine.Frame(df, sep, trailer) =>
                   val isText = df.schema.fields.length == 1 &&
                     df.schema.fields(0).dataType ==
                       org.apache.spark.sql.types.StringType
@@ -321,12 +321,13 @@ final class TcpServer(engine: Engine, port: Int = 0) {
                   // book stays bounded by the response size, not by
                   // row-object overhead
                   import scala.jdk.CollectionConverters._
-                  if (isText) { // AS CSV / AS JSON: newline-joined text
+                  if (isText) { // AS CSV / AS JSON: sep-joined + trailer
                     val sb = new java.lang.StringBuilder
                     df.toLocalIterator().asScala.foreach { r =>
-                      if (sb.length > 0) sb.append('\n')
+                      if (sb.length > 0) sb.append(sep)
                       sb.append(r.getString(0))
                     }
+                    sb.append(trailer)
                     (true, sb.toString.getBytes("UTF-8"))
                   } else { // binary GET: DTF batch framing (state.rs:31-37)
                     import df.sparkSession.implicits._

@@ -41,23 +41,23 @@ class EngineSpec extends SparkSpec {
 
   test("server state machine (handler.rs:214-260)") {
     val e = engine()
-    assert(e.execute(Command.Ping) === e.Text("PONG.\n"))
+    assert(e.execute(Command.Ping) === e.Text("PONG"))
     // insert into missing db errors
     val bad = e.execute(CommandParser.parse(
       "ADD 1505177459.658, 139010, t, f, 0.0703629, 7.65064249; INTO nodb"))
     assert(bad === e.Err("DB nodb not found."))
     // create + insert + count
     assert(e.execute(CommandParser.parse("CREATE mydb")) ===
-      e.Text("Created DB `mydb`.\n"))
+      e.Text("Created orderbook `mydb`."))
     e.execute(CommandParser.parse(
       "ADD 1505177459.658, 139010, t, f, 0.0703629, 7.65064249; INTO mydb"))
     e.execute(CommandParser.parse(
       "ADD 1505177460.658, 139011, f, t, 0.0703630, 1.0; INTO mydb"))
-    assert(e.execute(CommandParser.parse("COUNT IN MEM")) === e.Text("2\n"))
+    assert(e.execute(CommandParser.parse("COUNT IN MEM")) === e.Text("2"))
     // flush then count from fs
     e.execute(CommandParser.parse("FLUSH"))
-    assert(e.execute(CommandParser.parse("COUNT IN MEM")) === e.Text("0\n"))
-    assert(e.execute(CommandParser.parse("COUNT")) === e.Text("2\n"))
+    assert(e.execute(CommandParser.parse("COUNT IN MEM")) === e.Text("0"))
+    assert(e.execute(CommandParser.parse("COUNT")) === e.Text("2"))
     // GET ALL returns both rows, sorted
     val got = e.execute(CommandParser.parse("GET ALL FROM 1505177459 TO 1505177461"))
     val rows = got.asInstanceOf[e.Frame].df.collect()
@@ -65,7 +65,7 @@ class EngineSpec extends SparkSpec {
     // EXISTS / USE
     assert(e.execute(CommandParser.parse("EXISTS mydb")) === e.Text("1"))
     assert(e.execute(CommandParser.parse("EXISTS ghost")) ===
-      e.Err("DB ghost not found."))
+      e.Err("No db named `ghost`"))
   }
 
   test("subscribe receives inserted updates") {
@@ -88,14 +88,14 @@ class EngineSpec extends SparkSpec {
       case other => fail(s"unexpected: $other")
     }
     val out = info()
-    assert(out.contains(""""meta":{"clis":0"""), out)
-    assert(out.contains(""""total_in_memory_count":1"""), out)
-    assert(out.contains(""""name":"infodb","in_memory":1,"count":1"""), out)
+    assert(out.contains("\"meta\": {\n    \"clis\": 0"), out)
+    assert(out.contains("\"total_in_memory_count\": 1"), out)
+    assert(out.contains("\"name\": \"infodb\",\n    \"in_memory\": 1,\n    \"count\": 1"), out)
     // CLEAR drops staging but not the lifetime nominal count
     e.execute(CommandParser.parse("CLEAR"))
     val out2 = info()
-    assert(out2.contains(""""name":"infodb","in_memory":0,"count":1"""), out2)
-    assert(out2.contains(""""total_count":1"""), out2)
+    assert(out2.contains("\"name\": \"infodb\",\n    \"in_memory\": 0,\n    \"count\": 1"), out2)
+    assert(out2.contains("\"total_count\": 1"), out2)
   }
 
   test("autoflush flushes a book at flush_interval inserts (state.rs:130-140)") {
@@ -113,9 +113,9 @@ class EngineSpec extends SparkSpec {
       case e.Text(t) => t
       case other => fail(s"unexpected: $other")
     }
-    assert(out.contains(""""in_memory":0"""), out)
-    assert(out.contains(""""autoflush_enabled":true"""), out)
-    assert(out.contains(""""autoflush_interval":5"""), out)
+    assert(out.contains("\"in_memory\": 0"), out)
+    assert(out.contains("\"autoflush_enabled\": true"), out)
+    assert(out.contains("\"autoflush_interval\": 5"), out)
   }
 
   test("CLEAR resets nominal count from disk (state.rs:562-579,112-118)") {
@@ -134,7 +134,7 @@ class EngineSpec extends SparkSpec {
       case e.Text(t) => t
       case other => fail(s"unexpected: $other")
     }
-    assert(out.contains(""""name":"cleardb","in_memory":0,"count":2"""), out)
+    assert(out.contains("\"name\": \"cleardb\",\n    \"in_memory\": 0,\n    \"count\": 2"), out)
   }
 
   test("PERF ring-buffer history (A11, state.rs:193-203,338-360)") {

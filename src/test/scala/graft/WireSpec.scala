@@ -31,14 +31,14 @@ class WireSpec extends SparkSpec {
     val server = new TcpServer(engine)
     val client = new TcpClient("127.0.0.1", server.boundPort)
     try {
-      assert(client.cmd("PING") === ((true, "PONG.\n")))
+      assert(client.cmd("PING") === ((true, "PONG")))
       assert(client.cmd("CREATE w1")._1)
       // text insert + binary raw insert
       assert(client.cmd("ADD 1505177459.658, 1, t, f, 1.5, 2.0; INTO w1")._1)
       assert(client.insertRaw(Some("w1"),
         Update("", 1505177460000L, 2, is_trade = false, is_bid = true,
           1.25, 3.5)))
-      assert(client.cmd("COUNT ALL IN MEM") === ((true, "2\n")))
+      assert(client.cmd("COUNT ALL IN MEM") === ((true, "2")))
       // errors frame as failures
       val (ok, err) = client.cmd("GIBBERISH")
       assert(!ok && err.startsWith("ERR:"))
@@ -112,12 +112,12 @@ class WireSpec extends SparkSpec {
       assert(c1.cmd("ADD 1505177459.659, 2, t, f, 1.0, 2.0;")._1)
       assert(c2.cmd("ADD 1505177459.660, 3, t, f, 1.0, 2.0;")._1)
       // implicit-book COUNT must read each connection's own current book
-      assert(c1.cmd("COUNT IN MEM") === ((true, "2\n")))
-      assert(c2.cmd("COUNT IN MEM") === ((true, "1\n")))
+      assert(c1.cmd("COUNT IN MEM") === ((true, "2")))
+      assert(c2.cmd("COUNT IN MEM") === ((true, "1")))
       // c2's USE does not redirect c1
       c2.cmd("USE booka")
-      assert(c2.cmd("COUNT IN MEM") === ((true, "2\n")))
-      assert(c1.cmd("COUNT IN MEM") === ((true, "2\n")))
+      assert(c2.cmd("COUNT IN MEM") === ((true, "2")))
+      assert(c1.cmd("COUNT IN MEM") === ((true, "2")))
     } finally { c1.close(); c2.close(); server.stop() }
   }
 
@@ -133,7 +133,7 @@ class WireSpec extends SparkSpec {
       assert(!ok && err.contains("Bad format"))
       val (ok2, err2) = client.cmd("GET ALL FROM x TO y")
       assert(!ok2 && err2.contains("Bad format"))
-      assert(client.cmd("PING") === ((true, "PONG.\n")))
+      assert(client.cmd("PING") === ((true, "PONG")))
     } finally { client.close(); server.stop() }
   }
 
@@ -167,9 +167,9 @@ class WireSpec extends SparkSpec {
       b3.put(new Array[Byte](22))
       val (ok3, err3) = client.request(b3.array())
       assert(!ok3 && new String(err3, "UTF-8").contains("Bad format"))
-      assert(client.cmd("COUNT") === ((true, "0\n")),
+      assert(client.cmd("COUNT") === ((true, "0")),
         "forged-length frame must not insert data")
-      assert(client.cmd("PING") === ((true, "PONG.\n")))
+      assert(client.cmd("PING") === ((true, "PONG")))
     } finally { client.close(); server.stop() }
   }
 
@@ -189,7 +189,7 @@ class WireSpec extends SparkSpec {
       out.flush()
       assert(sock.getInputStream.read() === -1) // server hung up, no reply
       val client = new TcpClient("127.0.0.1", server.boundPort)
-      try assert(client.cmd("PING") === ((true, "PONG.\n")))
+      try assert(client.cmd("PING") === ((true, "PONG")))
       finally client.close()
     } finally { sock.close(); server.stop() }
   }
@@ -210,7 +210,7 @@ class WireSpec extends SparkSpec {
         i += 1
       }
       val secs = (System.nanoTime() - t0) / 1e9
-      assert(client.cmd("COUNT ALL IN MEM") === ((true, "10000\n")))
+      assert(client.cmd("COUNT ALL IN MEM") === ((true, "10000")))
       info(f"10k inserts in $secs%.2f s (${10000 / secs}%.0f inserts/s)")
       assert(secs < 15.0) // integration_test.rs bound
     } finally { client.close(); server.stop() }
@@ -231,7 +231,7 @@ class WireSpec extends SparkSpec {
       val sent = client.insertRawPipelined(Some("pbench"), ups)
       val secs = (System.nanoTime() - t0) / 1e9
       assert(sent === n)
-      assert(client.cmd("COUNT ALL IN MEM") === ((true, s"$n\n")))
+      assert(client.cmd("COUNT ALL IN MEM") === ((true, s"$n")))
       info(f"$n pipelined inserts in $secs%.2f s (${n / secs}%.0f inserts/s)")
       // reference baseline: 600k inserts/thread/s (README.md:28); the
       // batched read path measures ~750k/s here — gate well above the old
@@ -365,10 +365,10 @@ class WireSpec extends SparkSpec {
       threads.foreach(_.join(120000))
       val secs = (System.nanoTime() - t0) / 1e9
       val total = books.length * perConn
-      assert(setup.cmd("COUNT ALL IN MEM") === ((true, s"$total\n")))
+      assert(setup.cmd("COUNT ALL IN MEM") === ((true, s"$total")))
       books.foreach { b =>
         setup.cmd(s"USE $b")
-        assert(setup.cmd("COUNT IN MEM") === ((true, s"$perConn\n")))
+        assert(setup.cmd("COUNT IN MEM") === ((true, s"$perConn")))
       }
       info(f"$total concurrent inserts over ${books.length} connections " +
         f"in $secs%.2f s (${total / secs}%.0f inserts/s)")
