@@ -76,6 +76,31 @@ object Bench {
     // run-to-run at identical code)
     val results = sweep()
     val warm = sweep()
+    // sweep 3 (full runs only): per-family ISOLATED — each family swept
+    // contiguously with its own calibration sample taken immediately
+    // before, so the host-noise class that consumed the r6/r7 A/B effort
+    // (minutes-apart drift polluting cross-family comparisons inside one
+    // sweep) is visible per run: a family whose isolated total disagrees
+    // with its full-sweep total by more than its calib ratio was measured
+    // under transient contention, not a plan change (VERDICT r7 #8).
+    val famIso: Option[String] = if (only.isDefined) None else Some {
+      SparkEntry.registryFamilies.map { case (fam, fqs) =>
+        val calib = calibrate()
+        val rs = fqs.map { q =>
+          val t0 = System.nanoTime()
+          val ok =
+            try {
+              q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              true
+            } catch { case _: Throwable => false }
+          val sec = (System.nanoTime() - t0) / 1e9
+          q.name -> (if (ok) sec else -1.0)
+        }
+        val tot = rs.map(_._2).filter(_ >= 0).sum
+        "\"" + fam + "\":{" + f""""calib_sec":$calib%.3f,""" +
+          f""""total_sec":$tot%.3f,"queries":${render(rs)}}"""
+      }.mkString("{", ",", "}")
+    }
     val qs = render(results)
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalWarm = warm.map(_._2).filter(_ >= 0).sum
@@ -124,8 +149,9 @@ object Bench {
         "\"families\":{" +
         totals(SparkEntry.registryFamilies, "") + "}"
     }
+    val famIsoField = famIso.map(j => s""","families_isolated":$j""").getOrElse("")
     val line =
-      f"""{"metric":"total_query_seconds","value":$total%.3f,"unit":"sec","queries":$qs,"queries_warm":${render(warm)},"total_warm_sec":$totalWarm%.3f,"queries_min":${render(minQ)},"total_min_sec":$totalMin%.3f,$groupTotals,"storage_bytes_per_event":$densityBpe%.2f,"calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f,"sf":"$sfDir"}"""
+      f"""{"metric":"total_query_seconds","value":$total%.3f,"unit":"sec","queries":$qs,"queries_warm":${render(warm)},"total_warm_sec":$totalWarm%.3f,"queries_min":${render(minQ)},"total_min_sec":$totalMin%.3f,$groupTotals,"storage_bytes_per_event":$densityBpe%.2f,"calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f$famIsoField,"sf":"$sfDir"}"""
     println(line)
     // ALSO write the line to a file: the driver's stdout tail-capture
     // truncated BENCH_r04 ("parsed": null) — a file can't be truncated by

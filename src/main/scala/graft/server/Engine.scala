@@ -39,6 +39,26 @@ final class Engine(spark: SparkSession, dtfFolder: String,
   import spark.implicits._
 
   private val books = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Update]]
+  /** Live wire subscribers (the reference's per-connection sender channels,
+    * `state.rs:469-477`): each sink is a connection-owned callback that
+    * frames the update onto its socket. Registered/removed under the
+    * engine monitor; invoked on the inserting thread inside `execute`. */
+  private val subSinks =
+    mutable.Map.empty[String, mutable.ArrayBuffer[Update => Unit]]
+
+  def subscribeSink(book: String, sink: Update => Unit): Unit =
+    synchronized {
+      subSinks.getOrElseUpdate(book, mutable.ArrayBuffer.empty) += sink
+    }
+
+  def unsubscribeSink(book: String, sink: Update => Unit): Unit =
+    synchronized {
+      subSinks.get(book).foreach { b =>
+        val i = b.indexWhere(_ eq sink)
+        if (i >= 0) b.remove(i)
+      }
+    }
+
   private val subscribers =
     mutable.Map.empty[String, mutable.ArrayBuffer[Update]]
   /** A11 — per-book (wall-ts, in-mem count) ring buffer
@@ -134,6 +154,9 @@ final class Engine(spark: SparkSession, dtfFolder: String,
           buf += tagged
           nominal(book) = nominal.getOrElse(book, 0L) + 1L
           subscribers.get(book).foreach(_ += tagged)
+          // wire-push fan-out (`state.rs:469-477` send_subs): every insert
+          // to a subscribed book pushes to each subscriber connection
+          subSinks.get(book).foreach(_.foreach(f => f(tagged)))
           // T4 autoflush — the reference flushes a book whenever its
           // staging length hits a multiple of flush_interval
           // (Book::add, state.rs:130-140)

@@ -251,6 +251,13 @@ final class TcpServer(engine: Engine, port: Int = 0) {
     // (`state.rs:177-188,510`) — USE/CREATE/LOAD on one connection must not
     // redirect implicit-book commands on another
     val session = new Session
+    // all frame writes to this connection synchronize here: the handler
+    // thread's replies and OTHER connections' subscription pushes
+    // (Engine.subSinks) interleave frame-atomically on one socket — the
+    // reference's per-connection sender channel collapsed to a lock
+    val outLock = new Object
+    // sinks this connection registered via SUBSCRIBE, for disconnect cleanup
+    var mySinks = List.empty[(String, Update => Unit)]
     // Ingest batching: a pipelined client streams raw-insert frames
     // back-to-back; every socket read delivers up to 64 KB (~1.6k frames),
     // which are decoded OUT of the read buffer (no per-frame copy, no
@@ -267,16 +274,20 @@ final class TcpServer(engine: Engine, port: Int = 0) {
         try engine.synchronized(pending.map(engine.execute(_, session)))
         finally readGate.unlock()
       pending.clear()
-      replies.foreach {
-        case engine.Text(s) if s.isEmpty => out.write(TcpServer.OkEmpty)
-        case engine.Text(s) => write(out, ok = true, s.getBytes("UTF-8"))
-        case engine.Err(e) =>
-          write(out, ok = false, s"ERR: $e\n".getBytes("UTF-8"))
-        case _ => () // inserts never produce frames
+      outLock.synchronized {
+        replies.foreach {
+          case engine.Text(s) if s.isEmpty => out.write(TcpServer.OkEmpty)
+          case engine.Text(s) => write(out, ok = true, s.getBytes("UTF-8"))
+          case engine.Err(e) =>
+            write(out, ok = false, s"ERR: $e\n".getBytes("UTF-8"))
+          case _ => () // inserts never produce frames
+        }
       }
     }
     val reader = new FrameReader(sock.getInputStream,
-      onStarve = () => { flushInserts(); out.flush() })
+      onStarve = () => {
+        flushInserts(); outLock.synchronized { out.flush() }
+      })
     try {
       while (true) {
         val f = reader.next()
@@ -336,8 +347,33 @@ final class TcpServer(engine: Engine, port: Int = 0) {
                   }
               }
             } finally readGate.unlock()
-          write(out, ok = okFlag, body)
-          out.flush() // commands are rare: reply immediately
+          outLock.synchronized {
+            write(out, ok = okFlag, body)
+            out.flush() // commands are rare: reply immediately
+          }
+          // a successful SUBSCRIBE registers this connection for pushed
+          // frames (`state.rs:469-477`): every subsequent insert to the
+          // book arrives as a success frame whose body is the raw
+          // encode_insert_into bytes — what the reference's send_subs
+          // pushes and its clients poll for
+          cmd match {
+            case Command.Subscribe(book) if okFlag =>
+              val sink: Update => Unit = up => {
+                val b = Wire.encodeInsertInto(Some(book), up)
+                // a torn-down subscriber socket must cost nothing: the
+                // push runs on the PUBLISHER's insert path, so an
+                // IOException here is the subscriber's problem, never a
+                // failed insert (the reference's channel send equally
+                // drops errors: `.ok()?`)
+                try outLock.synchronized {
+                  write(out, ok = true, b)
+                  out.flush()
+                } catch { case _: java.io.IOException => () }
+              }
+              engine.subscribeSink(book, sink)
+              mySinks = (book, sink) :: mySinks
+            case _ => ()
+          }
         }
         // insert responses flush on reader starvation (connection idle) —
         // a pipelined client's responses coalesce into large writes, a
@@ -349,6 +385,7 @@ final class TcpServer(engine: Engine, port: Int = 0) {
         System.err.println(s"[graft-wire] connection handler died: $e")
     }
     finally {
+      mySinks.foreach { case (b, s) => engine.unsubscribeSink(b, s) }
       engine.connections.decrementAndGet()
       sock.close()
     }

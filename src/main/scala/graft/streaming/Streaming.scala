@@ -18,6 +18,13 @@ import graft.server.CommandParser
   */
 object Streaming {
 
+  /** ADC/IVF-PQ serving join dispatch bound: corpora whose code tables fit
+    * comfortably in an executor broadcast (~1M (s,cid) rows ≈ 25 MB)
+    * broadcast the STATIC codes; anything larger keeps the codes in place
+    * and broadcasts the per-micro-batch query LUT instead — either way,
+    * no per-trigger shuffle of the bigger side. */
+  val BroadcastCodesMaxRows: Long = 1000000L
+
   /** Ingest deserializer (S7): lines like
     * `"1505177459.658, 139010, t, f, 0.0703629, 7.65064249; bookname"`
     * — here the stream carries (book, line) pairs; malformed lines drop
@@ -625,7 +632,7 @@ object Streaming {
     * join directly), built with exactly the batch op's training
     * stages. */
   case class IvfPqIndexRef(cents: DataFrame, cbook: DataFrame,
-      codesWithCell: DataFrame, subspaces: Int)
+      codesWithCell: DataFrame, subspaces: Int, codesRows: Long)
 
   def ivfPqIndexOf(embeddings: DataFrame, subspaces: Int = 8,
       nCentroids: Int = 16, nCells: Int = 8, cellIters: Int = 2,
@@ -647,9 +654,10 @@ object Streaming {
     val cbook = Similarity.groupedLloyd(points, nCentroids, pqIters)
     val codes = Similarity.subAssign(points, cbook)
       .select(col("vec_id"), col("s"), col("cid"))
+    val codesWithCell = codes.join(assigned, "vec_id").localCheckpoint(true)
     IvfPqIndexRef(centsAsCell.localCheckpoint(true),
       cbook.localCheckpoint(true),
-      codes.join(assigned, "vec_id").localCheckpoint(true), subspaces)
+      codesWithCell, subspaces, codesWithCell.count())
   }
 
   /** Residual IVF-PQ top-k for a STREAM of query vectors — the serving
@@ -701,8 +709,15 @@ object Streaming {
           - lit(2d) * Similarity.dotD(col("sv"), col("cv"))
           + Similarity.dotD(col("cv"), col("cv"))) * lit(1e9))
           .cast("long").as("dq"))
-    val cand = lut.join(index.codesWithCell
-        .withColumnRenamed("vec_id", "c_vec"), Seq("cell", "s", "cid"))
+    // same size dispatch as streamingAdcTopK (VERDICT r7 #7): small
+    // corpus → broadcast its codes; big corpus → ONE broadcast LUT table
+    // per micro-batch, codes never shuffle
+    val codes = index.codesWithCell.withColumnRenamed("vec_id", "c_vec")
+    val joined =
+      if (index.codesRows <= Streaming.BroadcastCodesMaxRows)
+        lut.join(broadcast(codes), Seq("cell", "s", "cid"))
+      else codes.join(broadcast(lut), Seq("cell", "s", "cid"))
+    val cand = joined
       .where(col("c_vec") =!= col("q_id"))
       .select(col("q_id"), col("c_vec"), col("dq"))
       .as[(Long, Long, Long)]
@@ -1017,17 +1032,17 @@ object Streaming {
     * floats) and the subspace codebook arriving queries build their
     * lookup tables against. */
   case class AdcIndexRef(codes: DataFrame, codebook: DataFrame,
-      subspaces: Int)
+      subspaces: Int, codesRows: Long)
 
   def adcIndexOf(embeddings: DataFrame, subspaces: Int = 8,
       nCentroids: Int = 16): AdcIndexRef = {
     import graft.ext.Similarity
-    AdcIndexRef(
-      Similarity.pqAssignments(embeddings, subspaces, nCentroids)
-        .localCheckpoint(true),
+    val codes = Similarity.pqAssignments(embeddings, subspaces, nCentroids)
+      .localCheckpoint(true)
+    AdcIndexRef(codes,
       Similarity.pqCodebookOf(embeddings, subspaces, nCentroids)
         .localCheckpoint(true),
-      subspaces)
+      subspaces, codes.count())
   }
 
   /** ADC top-k for a STREAM of query vectors — the serving twin of
@@ -1054,8 +1069,21 @@ object Streaming {
     val lut = Similarity.pqDistsAgainst(qpts, index.codebook)
       .select(col("vec_id").as("q_id"), col("s"), col("cid"),
         floor(col("dist") * lit(1e9)).cast("long").as("dq"))
-    val cand = lut.join(index.codes.withColumnRenamed("vec_id", "c_vec"),
-        Seq("s", "cid"))
+    // No side of the candidate join may shuffle per trigger (VERDICT
+    // r7 #7). Which side broadcasts depends on a size only the index
+    // knows: a small corpus broadcasts its CODES once per trigger
+    // (trivial), a 100-TB-scale corpus must stay put while the batch's
+    // whole LUT (queries × subspaces × centroids — bounded by the
+    // trigger, not the corpus) broadcasts as ONE table per micro-batch.
+    // The old unhinted join let Catalyst shuffle BOTH sides on (s, cid)
+    // whenever the codes outgrew the auto-broadcast threshold — a
+    // per-trigger exchange of the entire compressed corpus.
+    val codes = index.codes.withColumnRenamed("vec_id", "c_vec")
+    val joined =
+      if (index.codesRows <= Streaming.BroadcastCodesMaxRows)
+        lut.join(broadcast(codes), Seq("s", "cid"))
+      else codes.join(broadcast(lut), Seq("s", "cid"))
+    val cand = joined
       .where(col("c_vec") =!= col("q_id"))
       .select(col("q_id"), col("c_vec"), col("dq"))
       .as[(Long, Long, Long)]

@@ -54,6 +54,16 @@ class ConformanceSpec extends SparkSpec {
       header ++ body
     }
 
+    /** Read one unsolicited frame (subscription push) without sending. */
+    def readFrame(): Array[Byte] = {
+      val header = new Array[Byte](9)
+      in.readFully(header)
+      val len = java.nio.ByteBuffer.wrap(header, 1, 8).getLong.toInt
+      val body = new Array[Byte](len)
+      in.readFully(body)
+      header ++ body
+    }
+
     def close(): Unit = sock.close()
   }
 
@@ -176,6 +186,40 @@ class ConformanceSpec extends SparkSpec {
       val decoded = Wire.parseStream(body)
       assert(decoded.map(_.copy(symbol = "")) === Seq(up))
     }
+  }
+
+  test("SUBSCRIBE push transcript: inserts to a subscribed book arrive " +
+    "as raw encode_insert_into frames (state.rs:469-477)") {
+    val engine = new Engine(spark,
+      Files.createTempDirectory("graft-subs").toString)
+    val server = new TcpServer(engine)
+    val sub = new RawClient(server.boundPort)
+    val pub = new RawClient(server.boundPort)
+    try {
+      check(pub, "CREATE subbook", ok("Created orderbook `subbook`."))
+      check(sub, "SUBSCRIBE subbook", ok("Subscribed to subbook"))
+      // publisher inserts; the subscriber's NEXT frame (unsolicited — no
+      // request sent) must be a success frame whose body is exactly the
+      // send_subs payload: encode_insert_into(book, update)
+      check(pub, "ADD 1505177459.658, 7, t, f, 1.25, 4.5; INTO subbook",
+        ok(""))
+      val up = graft.model.Update("subbook", 1505177459658L, 7L,
+        is_trade = true, is_bid = false, 1.25, 4.5)
+      val expected = frame(1, Wire.encodeInsertInto(Some("subbook"), up))
+      val got = sub.readFrame()
+      assert(hex(got) === hex(expected), "pushed frame mismatch")
+      // the pushed body round-trips through the raw-insert decoder the
+      // reference clients use
+      val Some((Some(back), Some(book))) =
+        Wire.decodeInsertInto(got.drop(9))
+      assert(book === "subbook" && back.copy(symbol = "subbook") === up)
+      // disconnecting the subscriber unregisters its sink: further
+      // inserts must not error the server
+      sub.close()
+      Thread.sleep(50)
+      check(pub, "ADD 1505177460.0, 8, t, f, 1.5, 2.0; INTO subbook", ok(""))
+      check(pub, "COUNT IN MEM", ok("2"))
+    } finally { pub.close(); server.stop() }
   }
 
   test("INFO body matches the reference's pretty-printed shape " +

@@ -219,6 +219,60 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("dupSpansMerged == scalar gaps-and-islands coalescer on random " +
+    "duplicated-gram sets (VERDICT r8 #7)") {
+    import spark.implicits._
+    val n = 3
+    val minDocs = 2
+    // tiny vocabulary + short docs → dense cross-doc gram collisions,
+    // adjacent AND disjoint islands, single-gram spans, docs with none
+    val genDocs: Gen[List[String]] = for {
+      nd <- Gen.choose(2, 6)
+      ds <- Gen.listOfN(nd, for {
+        len <- Gen.choose(n, 14)
+        ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+      } yield ws.mkString(" "))
+    } yield ds
+
+    def scalar(texts: Seq[String]): Set[(Long, Long, Long, Long, Long)] = {
+      val grams = texts.zipWithIndex.flatMap { case (t, id) =>
+        val ws = t.trim.toLowerCase.split("\\s+").toSeq
+        (0 to ws.length - n).map(i =>
+          (id.toLong, (i + 1).toLong, ws.slice(i, i + n).mkString(" ")))
+      }
+      val dup = grams.groupBy(_._3)
+        .filter(_._2.map(_._1).distinct.size >= minDocs).keySet
+      grams.filter(g => dup(g._3)).groupBy(_._1).flatMap {
+        case (id, hs) =>
+          val ps = hs.map(_._2).sorted
+          // islands: consecutive start positions merge into one maximal run
+          val runs = ps.foldLeft(List.empty[List[Long]]) {
+            case (Nil, p) => List(List(p))
+            case (cur :: done, p) =>
+              if (p == cur.head + 1) (p :: cur) :: done
+              else List(p) :: cur :: done
+          }
+          runs.map { run =>
+            val start = run.min
+            val end = run.max + (n - 1)
+            (id, start, end, end - start + 1, run.size.toLong)
+          }
+      }.toSet
+    }
+
+    val corpora = (0 until 12).flatMap(i =>
+      genDocs.apply(Gen.Parameters.default, Seed(900L + i)))
+    corpora.foreach { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.ext.Pipeline.dupSpansMerged(docs, n, minDocs)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(got === scalar(texts), s"corpus drift on <$texts>")
+    }
+  }
+
   test("tokenCount == whitespace-split length on arbitrary text") {
     import spark.implicits._
     val texts = Seq("", "  ", "a", "a b  c", " lead", "trail ",

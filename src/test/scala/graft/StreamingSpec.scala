@@ -763,6 +763,53 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch, s"${got.size} streamed vs ${batch.size} batch")
   }
 
+  test("ADC + IVF-PQ scale join order (broadcast per-batch LUT) ≡ batch " +
+    "(VERDICT r7 #7: forced big-corpus dispatch)") {
+    // forge codesRows over the dispatch bound so the SCALE branch runs:
+    // static codes stay un-shuffled, the micro-batch LUT broadcasts —
+    // results must still be bit-identical to the batch ops
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val embs = Tables.table(spark, sf(), "embeddings")
+      .select("vec_id", "embedding")
+    val queries = embs
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().filter(_._1 < 10L)
+
+    val adcIdx = Streaming.adcIndexOf(embs)
+      .copy(codesRows = Streaming.BroadcastCodesMaxRows + 1L)
+    val in1 = MemoryStream[(Long, Array[Double])]
+    val q1 = Streaming.streamingAdcTopK(in1.toDS(), adcIdx).writeStream
+      .outputMode("append").format("memory").queryName("adcbig").start()
+    in1.addData(queries.toSeq: _*)
+    q1.processAllAvailable()
+    q1.stop()
+    val gotAdc = spark.table("adcbig").as[Streaming.AdcHit].collect()
+      .map(h => (h.q_id, h.rank.toLong, h.vec_id, h.adc_q)).toSet
+    val batchAdc = graft.ext.Similarity.pqAdcTopK(embs).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2),
+        r.getLong(3))).toSet
+    assert(gotAdc === batchAdc,
+      s"scale-branch ADC drift: ${gotAdc.size} vs ${batchAdc.size}")
+
+    val pqIdx = Streaming.ivfPqIndexOf(embs)
+      .copy(codesRows = Streaming.BroadcastCodesMaxRows + 1L)
+    val in2 = MemoryStream[(Long, Array[Double])]
+    val q2 = Streaming.streamingIvfPqTopK(in2.toDS(), pqIdx).writeStream
+      .outputMode("append").format("memory").queryName("ivfpqbig").start()
+    in2.addData(queries.toSeq: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val gotPq = spark.table("ivfpqbig").as[Streaming.AdcHit].collect()
+      .map(h => (h.q_id, h.rank.toLong, h.vec_id, h.adc_q)).toSet
+    val batchPq = graft.ext.Similarity.ivfPqTrainedTopK(embs).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2),
+        r.getLong(3))).toSet
+    assert(gotPq === batchPq,
+      s"scale-branch IVF-PQ drift: ${gotPq.size} vs ${batchPq.size}")
+  }
+
   test("BPE apply-stream ≡ batch doc tokens on training docs; OOV segments by rule") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

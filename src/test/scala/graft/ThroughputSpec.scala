@@ -49,6 +49,32 @@ class ThroughputSpec extends SparkSpec {
     assert(rate > 200.0, f"assembly ingest collapsed: $rate%,.0f docs/s")
   }
 
+  test("ADC serving: streamed PQ queries touch only broadcast LUTs + codes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val embs = Tables.table(spark, sf("sf0.01"), "embeddings")
+      .select("vec_id", "embedding")
+    val index = Streaming.adcIndexOf(embs)
+    val vecs = embs
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    val in = MemoryStream[(Long, Array[Double])]
+    val q = Streaming.streamingAdcTopK(in.toDS(), index).writeStream
+      .outputMode("append").format("memory").queryName("tput_adc").start()
+    val t0 = System.nanoTime()
+    in.addData(vecs.toSeq: _*)
+    q.processAllAvailable()
+    val sec = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    val hits = spark.table("tput_adc").count()
+    val rate = vecs.length / sec
+    info(f"adc serving: ${vecs.length}%,d queries in $sec%.2f s = " +
+      f"$rate%,.0f q/s ($hits%,d hits)")
+    assert(hits > 0L)
+    assert(rate > 50.0, f"adc serving collapsed: $rate%,.0f q/s")
+  }
+
   test("ANN serving: sf0.01 corpus as query stream against its index") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
