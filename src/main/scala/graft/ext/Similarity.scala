@@ -174,6 +174,56 @@ object Similarity {
   def cosineTopKSql(nQueries: Int = 20, k: Int = 5): String =
     bruteTopKSql(nQueries, k)
 
+  /** kNN label-vote classification — the weak-supervision /
+    * label-propagation primitive a training-data pipeline uses to
+    * pseudo-label vectors from a labeled seed set: each query's k
+    * cosine-nearest neighbors ([[cosineTopK]]'s plan — broadcast query
+    * side, corpus scanned in place) vote with their `label`; majority
+    * wins, ties break to the SMALLEST label (integer counts throughout —
+    * deterministic, no float comparison). Output
+    * `(q_id, true_label, pred_label, correct)`, so the same query doubles
+    * as the held-out accuracy eval of the labeling pass. At scale the
+    * corpus-sized label table never shuffles: the nQ×k hit list and the
+    * nQ-row prediction table are the broadcast sides of both joins. */
+  def knnClassify(embeddings: DataFrame, nQueries: Int = 50, k: Int = 5)
+      : DataFrame = {
+    val labels = parallelized(embeddings).select(col("vec_id"), col("label"))
+    val hits = cosineTopK(embeddings, nQueries, k).select("q_id", "vec_id")
+    val votes = labels.join(broadcast(hits), "vec_id")
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    val pred = votes.groupBy("q_id")
+      .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+      .select(col("q_id"), col("m.l").as("pred_label"))
+    labels.select(col("vec_id").as("q_id"), col("label").as("true_label"))
+      .join(broadcast(pred), "q_id")
+      .select(col("q_id"), col("true_label"), col("pred_label"),
+        (col("true_label") === col("pred_label")).as("correct"))
+      .orderBy("q_id")
+  }
+
+  def knnClassifySql(nQueries: Int = 50, k: Int = 5): String =
+    s"""WITH vecs AS (SELECT vec_id, label,
+       |  CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |sims AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+       |  (${dotSql("a", "b")}) / (${normSql("a")} * ${normSql("b")}) AS sim
+       | FROM vecs a JOIN vecs b ON b.vec_id <> a.vec_id
+       | WHERE a.vec_id < $nQueries),
+       |topk AS (SELECT q_id, vec_id FROM (
+       | SELECT *, row_number() OVER (
+       |   PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM sims)
+       | WHERE rank <= $k),
+       |votes AS (SELECT t.q_id, v.label, count(*) AS c FROM topk t
+       | JOIN vecs v ON v.vec_id = t.vec_id GROUP BY t.q_id, v.label),
+       |pred AS (SELECT q_id, label AS pred_label FROM (
+       | SELECT *, row_number() OVER (
+       |   PARTITION BY q_id ORDER BY c DESC, label) AS rn FROM votes)
+       | WHERE rn = 1)
+       |SELECT p.q_id, v.label AS true_label, p.pred_label,
+       | (v.label = p.pred_label) AS correct
+       |FROM pred p JOIN vecs v ON v.vec_id = p.q_id
+       |ORDER BY p.q_id""".stripMargin.replace('\n', ' ')
+
   /** Random-hyperplane LSH bucket per vector: `planes` pseudo-random ±1
     * hyperplanes derived from md5(plane:dim) parity; bucket bit p = sign of
     * Σ_d plane(p,d)·emb[d]. Deterministic and portable.

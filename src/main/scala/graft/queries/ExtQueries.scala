@@ -191,6 +191,11 @@ object ExtQueries {
         .orderBy("q_id", "rank"),
       Some(Similarity.hardNegativesSql())),
 
+    // kNN label-vote pseudo-labeling + its held-out accuracy view
+    Q("q_knn_classify",
+      (s, dir) => Similarity.knnClassify(embs(s, dir)),
+      Some(Similarity.knnClassifySql())),
+
     // product-quantization codes (IVF's companion compression: 4-bit
     // nibble per subspace, integer-quantized reconstruction error)
     Q("q_pq_code",
