@@ -549,4 +549,289 @@ object Pipeline {
        | FROM documents)
        |GROUP BY source, lang
        |ORDER BY source, lang""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------ duplicated-span removal APPLY
+
+  /** The shared normalized word stream `(doc_id, pos, w)` (1-based `pos`
+    * over `split(lower(trim(text)), "\\s+")` — the same word coordinates
+    * [[dupSpansMerged]] reports spans in). */
+  private def wordStream(docs: DataFrame): DataFrame =
+    graft.functions.parallelized(docs)
+      .select(col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), "\\s+"))
+          .as(Seq("pos0", "w")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("w"))
+
+  /** DuckDB twin of [[wordStream]]. */
+  private val wordStreamSql: String =
+    """SELECT doc_id, CAST(pos AS BIGINT) AS pos, w FROM (
+      | SELECT doc_id,
+      |  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w,
+      |  generate_subscripts(
+      |    regexp_split_to_array(lower(trim(text)), '\s+'), 1) AS pos
+      | FROM documents)""".stripMargin
+
+  /** APPLY step of the exact-substring dedup family: cut every maximal
+    * duplicated span [[dupSpansMerged]] reports out of its document and
+    * re-emit the surviving text — Lee et al. 2022's "remove the duplicated
+    * substring" pass, the step that turns the span REPORT into the corpus
+    * a trainer actually reads. Output text is in normalized word space
+    * (lowercased, single-space joined) for every document — spans are
+    * defined over that normalization, so removal is exact there; a doc
+    * whose every word sits inside some span comes back empty, never
+    * missing.
+    *
+    * Scale shape: covered word positions come from exploding each span's
+    * `sequence(span_start, span_end)` (bounded by the doc's own length,
+    * deduped — overlapping islands from the n−1 gram tail can cover the
+    * same word twice); removal is one LEFT ANTI equi-join on
+    * `(doc_id, pos)`; reassembly is a per-document sort-and-join
+    * aggregation. No pair materialization, no driver state — the same
+    * shuffle-on-doc-key budget as the span report itself. */
+  def dupSpansRemoved(docs: DataFrame, n: Int = 5,
+      minDocs: Int = 2): DataFrame = {
+    val words = wordStream(docs)
+    val covered = dupSpansMerged(docs, n, minDocs)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+      .distinct()
+    val kept = words.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("clean_text"))
+    words.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  def dupSpansRemovedSql(n: Int = 5, minDocs: Int = 2): String =
+    s"""WITH gramsp AS (${gramStreamPosSql(n)}),
+       |dup AS (SELECT g FROM gramsp
+       | GROUP BY g HAVING count(DISTINCT doc_id) >= $minDocs),
+       |hits AS (SELECT gp.doc_id, gp.pos FROM gramsp gp
+       | JOIN dup d ON gp.g = d.g),
+       |isl AS (SELECT doc_id, pos,
+       | pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       | FROM hits),
+       |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + ${n - 1} AS e
+       | FROM isl GROUP BY doc_id, grp),
+       |covered AS (SELECT DISTINCT doc_id, pos FROM (
+       | SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM spans)),
+       |words AS ($wordStreamSql),
+       |kept AS (SELECT w.doc_id, w.pos, w.w FROM words w
+       | WHERE NOT EXISTS (SELECT 1 FROM covered c
+       |  WHERE c.doc_id = w.doc_id AND c.pos = w.pos)),
+       |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       | string_agg(w, ' ' ORDER BY pos) AS clean_text
+       | FROM kept GROUP BY doc_id),
+       |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words
+       | FROM words GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_words,
+       | t.n_words - coalesce(k.n_kept, 0) AS n_removed,
+       | coalesce(k.clean_text, '') AS clean_text
+       |FROM tot t LEFT JOIN ka k USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin.replace('\n', ' ')
+
+  // --------------------------------------------- chunk-level (line) dedup
+
+  /** Chunk-level dedup (the RefinedWeb/CCNet LINE-dedup shape restated
+    * for unstructured text): documents split into fixed-`width`-word
+    * chunks, each chunk hashed, every repeat of a chunk already seen
+    * anywhere in the corpus dropped (keep-FIRST by `(doc_id, chunk_idx)`
+    * — including repeats within one document), surviving chunks
+    * reassembled in order. Output per document: chunk counts and the
+    * cleaned text (normalized word space, like [[dupSpansRemoved]]).
+    *
+    * Scale shape: the chunk split is one map-side explode (per-doc
+    * `slice` windows — no shuffle); the keep-first decision is a window
+    * over `md5(chunk_text)` whose partitions are duplicate GROUPS
+    * (bounded by the corpus duplication factor, never a global funnel);
+    * reassembly is per-document. At 100 TB this is exactly the
+    * shuffle-on-content-hash budget of exact doc dedup, one granularity
+    * down. */
+  def chunkDedup(docs: DataFrame, width: Int = 20): DataFrame = {
+    val ws = split(lower(trim(col("text"))), "\\s+")
+    val chunks = graft.functions.parallelized(docs)
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0L),
+            floor((size(col("ws")).cast("long") - 1) / width).cast("long")),
+          i => array_join(
+            slice(col("ws"), (i * width + 1).cast("int"), lit(width)),
+            " "))).as(Seq("chunk_idx", "chunk_text")))
+    val byHash = Window.partitionBy(md5(col("chunk_text")))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    val flagged = chunks.withColumn("rn", row_number().over(byHash))
+    val kept = flagged.where(col("rn") === 1)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(
+            struct(col("chunk_idx"), col("chunk_text")))),
+          x => x.getField("chunk_text")), " ").as("clean_text"))
+    flagged.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dup_chunks"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  def chunkDedupSql(width: Int = 20): String =
+    s"""WITH words AS ($wordStreamSql),
+       |chunks AS (SELECT doc_id,
+       | CAST((pos - 1) // $width AS BIGINT) AS chunk_idx,
+       | string_agg(w, ' ' ORDER BY pos) AS chunk_text
+       | FROM words GROUP BY doc_id, chunk_idx),
+       |flagged AS (SELECT doc_id, chunk_idx, chunk_text,
+       | row_number() OVER (PARTITION BY md5(chunk_text)
+       |   ORDER BY doc_id, chunk_idx) AS rn FROM chunks),
+       |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       | string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS clean_text
+       | FROM flagged WHERE rn = 1 GROUP BY doc_id),
+       |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+       | FROM flagged GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_chunks,
+       | t.n_chunks - coalesce(k.n_kept, 0) AS n_dup_chunks,
+       | coalesce(k.clean_text, '') AS clean_text
+       |FROM tot t LEFT JOIN ka k USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin.replace('\n', ' ')
+
+  // ---------------------------------------- Bloom-filter decontamination
+
+  /** [[decontaminate]]'s bounded-memory sibling: the eval-set gram test
+    * via a RELATIONAL Bloom filter — `k` deterministic md5-derived bit
+    * positions per gram over an `mBits`-bit space, the SET-bit table
+    * built from the eval grams, train grams counted as contaminated when
+    * all `k` probe bits are set. Reports `(doc_id, bloom_hits)` for docs
+    * with ≥1 hit gram: a SUPERSET of the exact report (Bloom false
+    * positives, rate ≈ (1−e^(−k·n/m))^k; never false negatives).
+    *
+    * Why it exists at 100 TB: [[decontaminate]] broadcasts the DISTINCT
+    * eval gram set — fine while the eval suite is small, unbounded if
+    * it isn't. The bit table here is ≤ `mBits` rows NO MATTER how large
+    * the eval set grows — a fixed-size broadcast by construction. And
+    * because the "filter" is a plain table of bit positions, membership
+    * is an equi-join Catalyst can plan (broadcast hash join), not an
+    * opaque sketch UDF — no driver-side sketch collection anywhere. */
+  def bloomDecontam(docs: DataFrame, n: Int = 3, evalMod: Int = 97,
+      mBits: Int = 1 << 14, k: Int = 3): DataFrame = {
+    def bitpos(g: Column, j: Column): Column =
+      pmod(conv(substring(md5(concat(g, lit("|"), j.cast("string"))),
+        1, 15), 16, 10).cast("long"), lit(mBits.toLong))
+    val js = explode(array((0 until k).map(lit): _*)).as("j")
+    val bits = gramStream(docs.where(col("doc_id") % evalMod === 0), n)
+      .select("g").distinct()
+      .select(col("g"), js)
+      .select(bitpos(col("g"), col("j")).as("bit")).distinct()
+    gramStream(docs.where(col("doc_id") % evalMod =!= 0), n)
+      .select("doc_id", "g").distinct()
+      .select(col("doc_id"), col("g"), js)
+      .withColumn("bit", bitpos(col("g"), col("j")))
+      .join(broadcast(bits), "bit")
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("nset"))
+      .where(col("nset") === k)
+      .groupBy("doc_id").agg(count(lit(1)).as("bloom_hits"))
+  }
+
+  def bloomDecontamSql(n: Int = 3, evalMod: Int = 97,
+      mBits: Int = 1 << 14, k: Int = 3): String = {
+    def bitposSql(g: String, j: String): String =
+      s"CAST(('0x' || substr(md5($g || '|' || CAST($j AS VARCHAR)), " +
+        s"1, 15)) AS BIGINT) % $mBits"
+    s"""WITH grams AS (${gramStreamSql(n)}),
+       |js AS (SELECT unnest(generate_series(0, ${k - 1})) AS j),
+       |evalg AS (SELECT DISTINCT g FROM grams
+       | WHERE doc_id % $evalMod = 0),
+       |bits AS (SELECT DISTINCT ${bitposSql("g", "j")} AS bit
+       | FROM evalg CROSS JOIN js),
+       |cand AS (SELECT DISTINCT doc_id, g FROM grams
+       | WHERE doc_id % $evalMod <> 0),
+       |probes AS (SELECT c.doc_id, c.g,
+       | ${bitposSql("c.g", "j.j")} AS bit FROM cand c CROSS JOIN js j),
+       |hitg AS (SELECT doc_id, g FROM probes p JOIN bits b USING (bit)
+       | GROUP BY doc_id, g HAVING count(*) = $k)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS bloom_hits
+       |FROM hitg GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      .replace('\n', ' ')
+  }
+
+  // ------------------------------------- DSIR importance weighting (LLR)
+
+  /** DSIR-style importance weighting ("Data Selection for Language Models
+    * via Importance Resampling", Xie et al. 2023, restated at the
+    * unigram feature level): every document scored by the log-likelihood
+    * ratio of its tokens under the TARGET-domain unigram distribution
+    * (here: the `targetSource` slice, playing the high-quality corpus)
+    * vs the RAW corpus distribution, add-1 smoothed over the shared
+    * vocabulary. `llr > 0` ⇔ the doc looks more target-like than
+    * raw-like — the natural selection cut, emitted as `selected`.
+    *
+    * Determinism contract: both `ln` terms go through the lnQ quantizer
+    * (`floor(ln·1e12)`, integral-double difference is exact), the per-doc
+    * sum is exact decimal/HUGEINT, divided once — bit-identical across
+    * engines and accumulation orders ([[TextOps.unigramLogProb]]'s
+    * recipe).
+    *
+    * Scale shape: one token explode, ONE vocab aggregation carrying both
+    * counts (raw + conditional target — not two passes), corpus totals
+    * as a 1-row LocalRelation, one equi-join on the term key, one
+    * per-doc aggregation. The LLR needs no global sort — selection is a
+    * per-row threshold, not a rank. */
+  def dsirWeights(docs: DataFrame,
+      targetSource: String = "src0"): DataFrame = {
+    val words = graft.functions.parallelized(docs)
+      .select(col("doc_id"), col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    val freq = words.groupBy("term").agg(
+      count(lit(1)).as("c_raw"),
+      sum(when(col("source") === targetSource, 1L).otherwise(0L))
+        .as("c_tgt"))
+      .localCheckpoint(true)
+    val consts = graft.functions.localRelation(freq.agg(
+      sum(col("c_raw")).cast("long").as("n_raw"),
+      sum(col("c_tgt")).cast("long").as("n_tgt"),
+      count(lit(1)).cast("long").as("v")))
+    def lnQ(c: Column, tot: Column): Column =
+      floor(log((c.cast("double") + 1.0d) /
+        (tot.cast("double") + col("v").cast("double"))) * 1e12)
+    words.join(freq, "term").crossJoin(broadcast(consts))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_words"),
+        sum((lnQ(col("c_tgt"), col("n_tgt")) -
+          lnQ(col("c_raw"), col("n_raw"))).cast("decimal(38,0)"))
+          .cast("double").as("_q"))
+      .select(col("doc_id"), col("n_words"),
+        (col("_q") / 1e12).as("llr"), (col("_q") > 0d).as("selected"))
+  }
+
+  def dsirWeightsSql(targetSource: String = "src0"): String = {
+    def lnQSql(c: String, tot: String): String =
+      s"floor(ln((CAST($c AS DOUBLE) + 1.0) / " +
+        s"(CAST($tot AS DOUBLE) + CAST(t.v AS DOUBLE))) * 1e12)"
+    s"""WITH words AS (SELECT doc_id, source,
+       |  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+       | FROM documents),
+       |freq AS (SELECT term, count(*) AS c_raw,
+       | sum(CASE WHEN source = '$targetSource' THEN 1 ELSE 0 END)
+       |  AS c_tgt FROM words GROUP BY term),
+       |tot AS (SELECT CAST(sum(c_raw) AS BIGINT) AS n_raw,
+       | CAST(sum(c_tgt) AS BIGINT) AS n_tgt,
+       | CAST(count(*) AS BIGINT) AS v FROM freq)
+       |SELECT doc_id, n_words, CAST(q AS DOUBLE) / 1e12 AS llr,
+       | CAST(q AS DOUBLE) > 0 AS selected FROM (
+       | SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  SUM(CAST(${lnQSql("f.c_tgt", "t.n_tgt")} -
+       |    ${lnQSql("f.c_raw", "t.n_raw")} AS HUGEINT)) AS q
+       | FROM words w JOIN freq f USING (term) CROSS JOIN tot t
+       | GROUP BY w.doc_id)
+       |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+  }
 }

@@ -457,6 +457,32 @@ object ExtQueries {
         .orderBy("doc_id", "span_start"),
       Some(Pipeline.dupSpansMergedSql())),
 
+    // duplicated-span REMOVAL apply: maximal spans cut out of each doc,
+    // surviving text reassembled (the Lee-et-al substring-dedup apply)
+    Q("q_dup_spans_removed",
+      (s, dir) => Pipeline.dupSpansRemoved(docs(s, dir))
+        .orderBy("doc_id"),
+      Some(Pipeline.dupSpansRemovedSql())),
+
+    // chunk-level dedup (RefinedWeb line-dedup analog): 20-word chunks,
+    // keep-first by content hash, per-doc reassembly
+    Q("q_chunk_dedup",
+      (s, dir) => Pipeline.chunkDedup(docs(s, dir)).orderBy("doc_id"),
+      Some(Pipeline.chunkDedupSql())),
+
+    // Bloom-filter decontamination: fixed-size relational bloom of eval
+    // grams; deterministic md5 probes — bit-exact across engines
+    Q("q_bloom_decontam",
+      (s, dir) => Pipeline.bloomDecontam(docs(s, dir))
+        .orderBy("doc_id"),
+      Some(Pipeline.bloomDecontamSql())),
+
+    // DSIR importance weights: unigram log-likelihood ratio vs the
+    // src0 target slice, lnQ-quantized, llr>0 selection cut
+    Q("q_dsir_weights",
+      (s, dir) => Pipeline.dsirWeights(docs(s, dir)).orderBy("doc_id"),
+      Some(Pipeline.dsirWeightsSql())),
+
     // per-source document cap (domain balancing, deterministic md5 order)
     Q("q_source_cap",
       (s, dir) => Pipeline.sourceCap(docs(s, dir), k = 20)

@@ -441,4 +441,92 @@ class PipelineSpec extends SparkSpec {
     assert(n1 < n0, "filter dropped nothing — thresholds degenerate")
     assert(n2 < n1, "dedup dropped nothing — corpus has known dups")
   }
+
+  test("dupSpansRemoved: planted cross-doc span is cut from BOTH docs") {
+    // docs 0 and 1 share the 6-word run "a b c d e f" → two overlapping
+    // 5-grams → ONE maximal span in each doc; doc 2 is too short for any
+    // gram and must come back untouched.
+    val docs = docsDf(
+      (0L, "a b c d e f x1 x2"),
+      (1L, "y1 a b c d e f"),
+      (2L, "z1 z2"))
+    val out = Pipeline.dupSpansRemoved(docs, n = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out === Map(
+      0L -> ((8L, 6L, "x1 x2")),
+      1L -> ((7L, 6L, "y1")),
+      2L -> ((2L, 0L, "z1 z2"))))
+  }
+
+  test("dupSpansRemoved: counts reconcile with clean_text on real docs") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.table(spark, sf("sf0.001"), "documents")
+    val out = Pipeline.dupSpansRemoved(docs).localCheckpoint(true)
+    // kept word count == words in the reassembled text ('' → 0), per doc
+    val bad = out.where(
+      (col("n_words") - col("n_removed")) =!=
+        when(col("clean_text") === "", 0L)
+          .otherwise(size(split(col("clean_text"), " ")).cast("long")))
+      .count()
+    assert(bad === 0L)
+    // the pass is non-degenerate on this corpus (dup spans exist) yet
+    // never removes everything from every doc
+    val removed = out.agg(sum(col("n_removed"))).head().getLong(0)
+    val keptAll = out.where(col("n_removed") === 0).count()
+    assert(removed > 0L && keptAll > 0L)
+  }
+
+  test("chunkDedup: keep-first across docs AND within one doc") {
+    // width=2 chunks: doc0 [a b][c d]; doc1 [a b][x]; doc2 [c d][c d].
+    // "a b" survives only at its first site (0,0); "c d" only at (0,1) —
+    // doc2's internal repeat drops BOTH its copies.
+    val docs = docsDf(
+      (0L, "a b c d"), (1L, "a b x"), (2L, "c d c d"))
+    val out = Pipeline.chunkDedup(docs, width = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out === Map(
+      0L -> ((2L, 0L, "a b c d")),
+      1L -> ((2L, 1L, "x")),
+      2L -> ((2L, 2L, ""))))
+  }
+
+  test("bloomDecontam: superset of exact decontam; exact at large m") {
+    val docs = Tables.table(spark, sf("sf0.001"), "documents")
+    val exact = Pipeline.decontaminate(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Pipeline.bloomDecontam(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty, "decontam gate degenerate on sf0.001")
+    // no false negatives: every exact-contaminated doc is bloom-flagged,
+    // with at least as many flagged grams
+    exact.foreach { case (d, hits) =>
+      assert(bloom.contains(d), s"doc $d missed by bloom")
+      assert(bloom(d) >= hits, s"doc $d: bloom ${bloom(d)} < exact $hits")
+    }
+    // with a filter 2^22 bits wide the FP probability on this corpus is
+    // ~0 — bloom must equal exact EXACTLY (hits counts included)
+    val wide = Pipeline.bloomDecontam(docs, mBits = 1 << 22)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wide === exact)
+  }
+
+  test("dsirWeights: target-like docs score positive, raw-like negative") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t t t t", "src0"),   // pure target language
+      (2L, "r r r r", "src1"),   // pure raw-side language
+      (3L, "t t t r", "src1"))   // mostly target-like
+      .toDF("doc_id", "text", "source")
+    val out = Pipeline.dsirWeights(docs, targetSource = "src0")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    assert(out(1L)._1 > 0d && out(1L)._2)
+    assert(out(2L)._1 < 0d && !out(2L)._2)
+    assert(out(3L)._1 > 0d, "3/4 target tokens should stay positive")
+    // selected ⇔ llr > 0, per row
+    out.values.foreach { case (llr, sel) => assert(sel === (llr > 0d)) }
+  }
 }
