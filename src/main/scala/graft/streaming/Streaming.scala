@@ -277,6 +277,52 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Streaming CHUNK-level dedup — the ingest-time twin of
+    * [[graft.ext.Pipeline.chunkDedup]]: each arriving document splits
+    * into `width`-word chunks (stateless map side, the scalar twin of
+    * the batch slice explode via [[graft.ext.TextOps.sqlWords]]), and
+    * state per chunk-content hash is ONE `(doc_id, chunk_idx)` pair —
+    * the keeper site. Emits a decision per chunk: keep (first arrival
+    * of its content) or drop. Within a micro-batch rows process in
+    * `(doc_id, chunk_idx)` order, so a single-batch replay of an
+    * id-ordered corpus reproduces the batch operator's keep-first
+    * choice exactly; across batches the keeper is the FIRST-ARRIVED
+    * site — [[streamingExactDedup]]'s arrival-order stance, one
+    * granularity down. State grows with DISTINCT chunk contents, not
+    * the stream. */
+  case class ChunkDecision(doc_id: Long, chunk_idx: Long,
+      chunk_text: String, keeper_doc: Long, keeper_idx: Long,
+      keep: Boolean)
+
+  def streamingChunkDedup(docs: Dataset[(Long, String)],
+      width: Int = 20): Dataset[ChunkDecision] = {
+    import docs.sparkSession.implicits._
+    def fn(hash: String, rows: Iterator[(String, Long, Long, String)],
+        state: GroupState[(Long, Long)]): Iterator[ChunkDecision] = {
+      var keeper = state.getOption
+      val out = rows.toSeq.sortBy(r => (r._2, r._3)).map {
+        case (_, d, i, t) => keeper match {
+          case None =>
+            keeper = Some((d, i))
+            ChunkDecision(d, i, t, d, i, keep = true)
+          case Some((kd, ki)) =>
+            ChunkDecision(d, i, t, kd, ki, keep = d == kd && i == ki)
+        }
+      }
+      keeper.foreach(state.update)
+      out.iterator
+    }
+    docs.flatMap { case (id, text) =>
+      graft.ext.TextOps.sqlWords(text).grouped(width).zipWithIndex
+        .map { case (chunk, i) =>
+          val t = chunk.mkString(" ")
+          (graft.functions.md5Hex(t.getBytes("UTF-8")), id, i.toLong, t)
+        }
+    }.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Exact dedup with an EVENT-TIME retention horizon — the rolling-
     * window form of [[streamingExactDedup]] for streams where "keep
     * every content hash forever" is impossible: a content's keeper

@@ -939,4 +939,63 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(batchKeepers.values.toSet === Set(1L, 3L))
   }
+
+  test("streaming chunk dedup: keep-first sites; cross-batch dups drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.streamingChunkDedup(in.toDS(), width = 2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("schunk").start()
+    // doc0 [a b][c d]; doc1 [a b][x]; doc2 [c d][c d] — the batch
+    // operator's planted fixture, one micro-batch
+    in.addData(0L -> "a b c d", 1L -> "a b x", 2L -> "c d c d")
+    q.processAllAvailable()
+    in.addData(3L -> "x c d") // later batch: [x c] fresh, [d] fresh
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("schunk").as[Streaming.ChunkDecision].collect()
+      .map(d => (d.doc_id, d.chunk_idx) ->
+        ((d.keeper_doc, d.keeper_idx, d.keep))).toMap
+    assert(got((0L, 0L)) === ((0L, 0L, true)))
+    assert(got((0L, 1L)) === ((0L, 1L, true)))
+    assert(got((1L, 0L)) === ((0L, 0L, false))) // "a b" seen at (0,0)
+    assert(got((1L, 1L)) === ((1L, 1L, true)))  // "x"
+    assert(got((2L, 0L)) === ((0L, 1L, false))) // "c d" seen at (0,1)
+    assert(got((2L, 1L)) === ((0L, 1L, false))) // internal repeat drops
+    assert(got((3L, 0L)) === ((3L, 0L, true)))  // "x c" is a NEW chunk
+    assert(got((3L, 1L)) === ((3L, 1L, true)))  // "d" ≠ "c d"
+  }
+
+  test("streaming chunk dedup: id-ordered replay ≡ batch chunkDedup") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = Tables.table(spark, sf("sf0.001"), "documents")
+    val docs = docsDf.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.streamingChunkDedup(in.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("schunkreal").start()
+    in.addData(docs: _*) // ONE micro-batch, id order == batch keep-first
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("schunkreal")
+      .as[Streaming.ChunkDecision].collect()
+    val streamedClean = streamed.filter(_.keep)
+      .groupBy(_.doc_id).map { case (d, cs) =>
+        d -> cs.sortBy(_.chunk_idx).map(_.chunk_text).mkString(" ")
+      }
+    val batch = graft.ext.Pipeline.chunkDedup(docsDf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(streamed.map(_.doc_id).distinct.length === batch.size)
+    batch.foreach { case (d, (nChunks, nDup, clean)) =>
+      val mine = streamed.filter(_.doc_id == d)
+      assert(mine.length.toLong === nChunks, s"doc $d chunk count")
+      assert(mine.count(!_.keep).toLong === nDup, s"doc $d dup count")
+      assert(streamedClean.getOrElse(d, "") === clean, s"doc $d text")
+    }
+  }
 }
