@@ -887,6 +887,62 @@ object Similarity {
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
       .replace('\n', ' ')
 
+  /** SemDeDup ("SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication", Abbas et al. 2023), restated
+    * deterministic: k-means cells partition the embedding space (the
+    * bit-exact Lloyd quantizer of [[kmeansCentroids]]), and WITHIN each
+    * cell a vector is a semantic duplicate when some LOWER-id cell-mate
+    * sits at cosine similarity ≥ `threshold` — keep-lowest-id, the same
+    * deterministic keeper rule as the text-dedup family. Output per
+    * vector: its cell, its lower-id near-twin count, and whether it
+    * survives the pass.
+    *
+    * Scale shape: candidate pairs exist ONLY within a cell — the pair
+    * surface is n²/cells instead of n², and the cell count scales as √n
+    * ([[centroidsFor]]), so per-cell inverted lists stay bounded as the
+    * corpus grows; the pair join is an equi-join on cell id, assignment
+    * is [[centRank]]'s broadcast argmin (map-side, no corpus shuffle).
+    * The sim chain is the identically-spelled double fold both engines
+    * evaluate ([[cosineNearDup]]'s portability contract). */
+  def semDedup(embeddings: DataFrame, kCells: Int = 8, iters: Int = 2,
+      threshold: Double = 0.8): DataFrame = {
+    val (vecs, cents) = kmeansLoop(embeddings, kCells, iters)
+    val assigned = centRank(vecs, cents).where(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+      .join(vecs, "vec_id")
+      .withColumn("norm", sqrt(dotD(col("emb"), col("emb"))))
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("emb").as("a_emb"), col("norm").as("a_norm"))
+    val dups = a.join(assigned, Seq("cell"))
+      .where(col("vec_a") < col("vec_id"))
+      .where((dotD(col("a_emb"), col("emb")) /
+        (col("a_norm") * col("norm"))) >= threshold)
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_twins"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_twins"), lit(0L)).as("n_twins"),
+        (coalesce(col("n_twins"), lit(0L)) === 0L).as("kept"))
+  }
+
+  def semDedupSql(kCells: Int = 8, iters: Int = 2,
+      threshold: Double = 0.8): String =
+    s"""WITH ${kmeansCtesSql(kCells, iters)},
+       |cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+       |dups AS (SELECT qb.vec_id, CAST(count(*) AS BIGINT) AS n_twins
+       | FROM cells qa JOIN cells qb
+       |  ON qa.cell = qb.cell AND qa.vec_id < qb.vec_id
+       | JOIN vecs a ON a.vec_id = qa.vec_id
+       | JOIN vecs b ON b.vec_id = qb.vec_id
+       | WHERE (${dotSql("a", "b")}) / (${normSql("a")} * ${normSql("b")})
+       |   >= $threshold
+       | GROUP BY qb.vec_id)
+       |SELECT c.vec_id, c.cell,
+       | CAST(coalesce(d.n_twins, 0) AS BIGINT) AS n_twins,
+       | coalesce(d.n_twins, 0) = 0 AS kept
+       |FROM cells c LEFT JOIN dups d USING (vec_id)
+       |ORDER BY c.vec_id""".stripMargin.replace('\n', ' ')
+
   /** TRAINED product-quantization codes — [[pqCodes]] with per-subspace
     * codebooks learned by GROUPED Lloyd iterations instead of raw seed
     * subvectors: every (vector, subspace) slice is a training point, the

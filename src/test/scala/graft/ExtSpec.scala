@@ -165,6 +165,23 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("semDedup: planted duplicate drops, keeper and distinct vecs survive") {
+    val v = Seq.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val u = Seq.tabulate(64)(i => math.cos(3 * i + 2).toFloat)
+    // 0 and 2 identical (sim 1.0) → same cell → 2 drops, 0 keeps;
+    // 1 and 3 are distinct directions and survive wherever they land
+    val out = Similarity.semDedup(
+      embsDf((0L, v), (1L, u), (2L, v),
+        (3L, Seq.tabulate(64)(i => math.sin(7 * i + 5).toFloat))),
+      kCells = 2, iters = 1, threshold = 0.9)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(0L) === ((0L, true)))
+    assert(out(2L) === ((1L, false)), "identical twin must drop")
+    assert(out(1L)._2 && out(3L)._2)
+    assert(out.size === 4, "every vector reports a row")
+  }
+
   test("ivfTopK: ranks contiguous, sims non-increasing, no self match") {
     val embs = embsDf((0L until 40L).map(i =>
       i -> Seq.tabulate(64)(d => math.sin(i * 64 + d + 1).toFloat)): _*)
