@@ -550,6 +550,68 @@ object Pipeline {
        |GROUP BY source, lang
        |ORDER BY source, lang""".stripMargin.replace('\n', ' ')
 
+  // ------------------------------------------- end-to-end corpus assembly
+
+  /** The WHOLE pre-training data loop as ONE oracle-gated operator:
+    * quality filter → exact-dedup keepers → eval-slice decontamination
+    * (drop at ≥ `minHits` shared `n`-grams) → per-source cap → per-source
+    * token budget. Output is [[tokenBudget]]'s manifest over the
+    * surviving corpus — the artifact a trainer's loader reads. Every
+    * stage is the SAME operator the per-stage gates pin (quality and the
+    * eval gram set are per-doc/corpus-fixed, so computing them on the
+    * full corpus and semijoining is exact); what THIS gate adds is the
+    * composition: set-dependent stages (dedup keepers, cap, budget) run
+    * on each stage's SURVIVOR set, which no per-stage gate exercises.
+    *
+    * Scale shape inherits from the stages: per-doc scores, one gram
+    * equi-join, hash-keyed dedup groupBy, key-bounded per-source
+    * windows. The composition adds only doc_id semijoins. */
+  def corpusAssembly(docs: DataFrame, evalMod: Int = 97, n: Int = 3,
+      minHits: Long = 2L, capK: Int = 20, budget: Long = 800L)
+      : DataFrame = {
+    val s1 = docs.join(
+      TextOps.qualityFilter(docs).where(col("keep")).select("doc_id"),
+      "doc_id")
+    val s2 = s1.join(
+      Dedup.exactDedup(s1).select(col("keeper").as("doc_id")), "doc_id")
+      .where(col("doc_id") % evalMod =!= 0)
+    val contaminated = decontaminate(s2,
+        docs.where(col("doc_id") % evalMod === 0), n)
+      .where(col("hits") >= minHits).select("doc_id")
+    val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti")
+    val s4 = s3.join(sourceCap(s3, capK).select("doc_id"), "doc_id")
+    tokenBudget(s4, budget)
+  }
+
+  def corpusAssemblySql(evalMod: Int = 97, n: Int = 3,
+      minHits: Long = 2L, capK: Int = 20, budget: Long = 800L): String =
+    s"""WITH qf AS (${TextOps.qualityFilterSql()
+          .replace(" ORDER BY q.doc_id", "")}),
+       |s1 AS (SELECT d.* FROM documents d
+       |  JOIN qf ON qf.doc_id = d.doc_id AND qf.keep),
+       |kp AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
+       |s2 AS (SELECT s1.* FROM s1 JOIN kp USING (doc_id)
+       |  WHERE doc_id % $evalMod <> 0),
+       |grams AS (${gramStreamSql(n)}),
+       |evalg AS (SELECT DISTINCT g FROM grams WHERE doc_id % $evalMod = 0),
+       |contaminated AS (SELECT t.doc_id FROM grams t
+       |  JOIN evalg e USING (g) JOIN s2 ON s2.doc_id = t.doc_id
+       |  GROUP BY t.doc_id HAVING count(DISTINCT t.g) >= $minHits),
+       |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN
+       |  (SELECT doc_id FROM contaminated)),
+       |cap AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER (
+       |    PARTITION BY source ORDER BY $sourceOrderSql) AS rn FROM s3)
+       |  WHERE rn <= $capK),
+       |s4 AS (SELECT s3.* FROM s3 JOIN cap USING (doc_id)),
+       |tb AS (SELECT doc_id, source, n_tokens, sum(n_tokens) OVER (
+       |    PARTITION BY source ORDER BY $sourceOrderSql) AS cum
+       |  FROM (SELECT doc_id, source,
+       |    CAST(${TextOps.tokenCountSql} AS BIGINT) AS n_tokens
+       |   FROM s4))
+       |SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+       |FROM tb WHERE cum <= $budget
+       |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
   // ------------------------------------------ duplicated-span removal APPLY
 
   /** The shared normalized word stream `(doc_id, pos, w)` (1-based `pos`

@@ -495,6 +495,14 @@ object ExtQueries {
       (s, dir) => Pipeline.dsirWeights(docs(s, dir)).orderBy("doc_id"),
       Some(Pipeline.dsirWeightsSql())),
 
+    // END-TO-END corpus assembly: quality → dedup keepers → decontam
+    // drop (≥2 shared grams) → source cap → token budget, composed on
+    // each stage's survivor set — the full loop under one oracle
+    Q("q_corpus_e2e",
+      (s, dir) => Pipeline.corpusAssembly(docs(s, dir))
+        .orderBy("doc_id"),
+      Some(Pipeline.corpusAssemblySql())),
+
     // per-source document cap (domain balancing, deterministic md5 order)
     Q("q_source_cap",
       (s, dir) => Pipeline.sourceCap(docs(s, dir), k = 20)
