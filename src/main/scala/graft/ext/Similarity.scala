@@ -907,10 +907,14 @@ object Similarity {
   def semDedup(embeddings: DataFrame, kCells: Int = 8, iters: Int = 2,
       threshold: Double = 0.8): DataFrame = {
     val (vecs, cents) = kmeansLoop(embeddings, kCells, iters)
+    // both sides of the pair join read the assignment — checkpoint it
+    // once (ivfTrainedTopK's ranked-reuse pattern) instead of running
+    // the argmin window twice
     val assigned = centRank(vecs, cents).where(col("rn") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
       .join(vecs, "vec_id")
       .withColumn("norm", sqrt(dotD(col("emb"), col("emb"))))
+      .localCheckpoint(true)
     val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
       col("emb").as("a_emb"), col("norm").as("a_norm"))
     val dups = a.join(assigned, Seq("cell"))

@@ -273,6 +273,50 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("chunkDedup == scalar keep-first replay on random word soups") {
+    import spark.implicits._
+    val width = 3
+    // tiny vocabulary → dense chunk collisions across AND within docs;
+    // lengths below/above width exercise the partial-tail chunk
+    val genDocs: Gen[List[String]] = for {
+      nd <- Gen.choose(2, 6)
+      ds <- Gen.listOfN(nd, for {
+        len <- Gen.choose(1, 12)
+        ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+      } yield ws.mkString(" "))
+    } yield ds
+
+    def scalar(texts: Seq[String]): Map[Long, (Long, Long, String)] = {
+      val chunks = texts.zipWithIndex.flatMap { case (t, id) =>
+        graft.ext.TextOps.sqlWords(t).grouped(width).zipWithIndex
+          .map { case (c, i) => (id.toLong, i.toLong, c.mkString(" ")) }
+      }
+      val seen = scala.collection.mutable.Set[String]()
+      val kept = chunks.sortBy(c => (c._1, c._2)).filter { c =>
+        if (seen(c._3)) false else { seen += c._3; true }
+      }.toSet
+      texts.indices.map { id0 =>
+        val id = id0.toLong
+        val all = chunks.filter(_._1 == id)
+        val k = all.filter(kept)
+        id -> ((all.size.toLong, (all.size - k.size).toLong,
+          k.sortBy(_._2).map(_._3).mkString(" ")))
+      }.toMap
+    }
+
+    val corpora = (0 until 12).flatMap(i =>
+      genDocs.apply(Gen.Parameters.default, Seed(1700L + i))) ++
+      Seq(List("", "", "a b c"), List("  ", "a"))  // empty/space edge
+    corpora.foreach { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.ext.Pipeline.chunkDedup(docs, width).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(got === scalar(texts), s"corpus drift on <$texts>")
+    }
+  }
+
   test("tokenCount == whitespace-split length on arbitrary text") {
     import spark.implicits._
     val texts = Seq("", "  ", "a", "a b  c", " lead", "trail ",
