@@ -307,6 +307,19 @@ object Similarity {
   def centroidsFor(n: Long): Int =
     math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
 
+  /** Cell count for SEMANTIC DEDUP — deliberately NOT [[centroidsFor]]:
+    * IVF balances assignment (n·C) against probe length (n/C), √n. Dedup
+    * instead pays the WITHIN-cell pair surface Σ occ·(occ−1)/2, so the
+    * right dial holds cell SIZE constant: k ≈ n/`targetCell` ⇒ pair work
+    * ≈ n·targetCell — LINEAR in the corpus (√n cells would grow it as
+    * n^1.5). This is the SemDeDup paper's fixed-cluster-granularity
+    * stance. Assignment stays a map-side broadcast argmin up to roughly
+    * the 10^5-cell range; past that the centroid table stops fitting a
+    * broadcast and assignment itself becomes a coarse-quantizer probe
+    * join (hierarchical IVF) — composable from the same pieces here. */
+  def semCellsFor(n: Long, targetCell: Int = 64): Int =
+    math.max(8, math.ceil(n.toDouble / targetCell).toInt)
+
   /** Multi-probe LSH nearest neighbor: each query probes its own bucket
     * PLUS every bucket at Hamming distance 1 (one hyperplane flipped) —
     * the standard recall lever that avoids multiplying hash tables. The

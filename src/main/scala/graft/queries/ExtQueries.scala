@@ -292,16 +292,18 @@ object ExtQueries {
         Similarity.planesFor(oracleEmbCount)))),
 
     // SemDeDup: k-means cells + within-cell cosine near-twin drop
-    // (keep-lowest-id); cell count scales √n with the corpus. τ=0.25
-    // sits inside this synthetic corpus's similarity band (pairwise
-    // max ≈0.40, p99 ≈0.29) so the drop path actually exercises;
-    // production embeddings use the canonical ≈0.8 default.
+    // (keep-lowest-id); cell count holds cell SIZE constant (k ≈ n/64,
+    // semCellsFor — the dial that keeps the pair surface linear in the
+    // corpus; ScaleProbeSpec measures it). τ=0.25 sits inside this
+    // synthetic corpus's similarity band (pairwise max ≈0.40, p99
+    // ≈0.29) so the drop path actually exercises; production embeddings
+    // use the canonical ≈0.8 default.
     Q("q_semdedup",
       (s, dir) => Similarity.semDedup(embs(s, dir),
-          Similarity.centroidsFor(embCount(dir)), threshold = 0.25)
+          Similarity.semCellsFor(embCount(dir)), threshold = 0.25)
         .orderBy("vec_id"),
       Some(Similarity.semDedupSql(
-        Similarity.centroidsFor(oracleEmbCount), threshold = 0.25))),
+        Similarity.semCellsFor(oracleEmbCount), threshold = 0.25))),
 
     // token counting
     Q("q_token_count",
