@@ -202,7 +202,7 @@ object Pipeline {
     * lower, `\s+` split, slice/join) can never drift between the two
     * gates. `TextOps.repetition` and `Dedup.shingles` keep their own
     * variants deliberately (distinct + repartition semantics differ). */
-  private def gramStream(df: DataFrame, n: Int): DataFrame = {
+  private[graft] def gramStream(df: DataFrame, n: Int): DataFrame = {
     val ws = split(lower(trim(col("text"))), "\\s+")
     df.select(col("doc_id"), ws.as("ws"))
       .where(size(col("ws")) >= n)
@@ -783,20 +783,35 @@ object Pipeline {
     * because the "filter" is a plain table of bit positions, membership
     * is an equi-join Catalyst can plan (broadcast hash join), not an
     * opaque sketch UDF — no driver-side sketch collection anywhere. */
+  /** Probe-`j` bit position of gram `g` in an `mBits`-bit Bloom space —
+    * md5-derived, identically spelled in the DuckDB twin and reused by
+    * the STREAM-side prober. */
+  private[graft] def bloomBitpos(g: Column, j: Column,
+      mBits: Int): Column =
+    pmod(conv(substring(md5(concat(g, lit("|"), j.cast("string"))),
+      1, 15), 16, 10).cast("long"), lit(mBits.toLong))
+
+  private[graft] def bloomJs(k: Int): Column =
+    explode(array((0 until k).map(lit): _*)).as("j")
+
+  /** The SET-BIT table of an eval corpus — ≤ `mBits` rows no matter the
+    * eval-set size; the broadcast side of every Bloom membership join
+    * (batch below, and the stream-static ingest gate in
+    * [[graft.streaming.Streaming.streamingBloomDecontam]]). */
+  def bloomBits(evalDocs: DataFrame, n: Int = 3, mBits: Int = 1 << 14,
+      k: Int = 3): DataFrame =
+    gramStream(evalDocs, n).select("g").distinct()
+      .select(col("g"), bloomJs(k))
+      .select(bloomBitpos(col("g"), col("j"), mBits).as("bit")).distinct()
+
   def bloomDecontam(docs: DataFrame, n: Int = 3, evalMod: Int = 97,
       mBits: Int = 1 << 14, k: Int = 3): DataFrame = {
-    def bitpos(g: Column, j: Column): Column =
-      pmod(conv(substring(md5(concat(g, lit("|"), j.cast("string"))),
-        1, 15), 16, 10).cast("long"), lit(mBits.toLong))
-    val js = explode(array((0 until k).map(lit): _*)).as("j")
-    val bits = gramStream(docs.where(col("doc_id") % evalMod === 0), n)
-      .select("g").distinct()
-      .select(col("g"), js)
-      .select(bitpos(col("g"), col("j")).as("bit")).distinct()
+    val bits = bloomBits(docs.where(col("doc_id") % evalMod === 0),
+      n, mBits, k)
     gramStream(docs.where(col("doc_id") % evalMod =!= 0), n)
       .select("doc_id", "g").distinct()
-      .select(col("doc_id"), col("g"), js)
-      .withColumn("bit", bitpos(col("g"), col("j")))
+      .select(col("doc_id"), col("g"), bloomJs(k))
+      .withColumn("bit", bloomBitpos(col("g"), col("j"), mBits))
       .join(broadcast(bits), "bit")
       .groupBy("doc_id", "g").agg(count(lit(1)).as("nset"))
       .where(col("nset") === k)
@@ -847,16 +862,42 @@ object Pipeline {
     * as a 1-row LocalRelation, one equi-join on the term key, one
     * per-doc aggregation. The LLR needs no global sort — selection is a
     * per-row threshold, not a rank. */
+  /** The (term → raw count, target count) model table both the batch
+    * scorer and the stream scorer join against — ONE vocab aggregation
+    * carrying both counts. */
+  private[graft] def dsirFreq(docs: DataFrame,
+      targetSource: String): DataFrame =
+    graft.functions.parallelized(docs)
+      .select(col("doc_id"), col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .groupBy("term").agg(
+        count(lit(1)).as("c_raw"),
+        sum(when(col("source") === targetSource, 1L).otherwise(0L))
+          .as("c_tgt"))
+      .localCheckpoint(true)
+
+  /** Zero-collect DSIR model for stream scoring (the LmModelRef
+    * pattern): the vocab table stays a DataFrame — the stream-static
+    * join side — and only the three BOUNDED corpus constants surface as
+    * scalars. */
+  case class DsirModelRef(freq: DataFrame, nRaw: Long, nTgt: Long,
+      v: Long)
+
+  def dsirModel(docs: DataFrame,
+      targetSource: String = "src0"): DsirModelRef = {
+    val freq = dsirFreq(docs, targetSource)
+    val r = freq.agg(
+      sum(col("c_raw")).cast("long"), sum(col("c_tgt")).cast("long"),
+      count(lit(1))).head()
+    DsirModelRef(freq, r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
   def dsirWeights(docs: DataFrame,
       targetSource: String = "src0"): DataFrame = {
     val words = graft.functions.parallelized(docs)
       .select(col("doc_id"), col("source"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
-    val freq = words.groupBy("term").agg(
-      count(lit(1)).as("c_raw"),
-      sum(when(col("source") === targetSource, 1L).otherwise(0L))
-        .as("c_tgt"))
-      .localCheckpoint(true)
+    val freq = dsirFreq(docs, targetSource)
     val consts = graft.functions.localRelation(freq.agg(
       sum(col("c_raw")).cast("long").as("n_raw"),
       sum(col("c_tgt")).cast("long").as("n_tgt"),

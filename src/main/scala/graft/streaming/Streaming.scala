@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -1216,6 +1216,88 @@ object Streaming {
       else Iterator.single(LmScore(id, n, qsum.toDouble / 1e12 / n))
     }
     scored.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** DSIR importance scoring of a DOCUMENT STREAM — train
+    * [[graft.ext.Pipeline.dsirModel]] on a reference corpus batch-side,
+    * score every arriving doc by stream-static joining its tokens
+    * against the model vocab (zero collect: the freq table never leaves
+    * the cluster — only the three BOUNDED corpus constants are
+    * scalars). In-vocab tokens reproduce the batch lnQ terms exactly,
+    * so a doc from the training corpus scores BIT-IDENTICALLY to
+    * [[graft.ext.Pipeline.dsirWeights]] (StreamingSpec proves it).
+    * Unseen words take the add-1 smoothed prior on BOTH sides (c=0):
+    * their contribution is the fixed prior ratio
+    * ln((nRaw+v)/(nTgt+v)) — standard add-1 behavior for novel stream
+    * text, deterministic and total. */
+  case class DsirScore(doc_id: Long, n_words: Long, llr: Double,
+      selected: Boolean)
+
+  def streamingDsirScore(docs: Dataset[(Long, String)],
+      ref: graft.ext.Pipeline.DsirModelRef): Dataset[DsirScore] = {
+    import docs.sparkSession.implicits._
+    def lnQ(c: Column, tot: Long): Column =
+      floor(log((c.cast("double") + 1.0d) /
+        lit(tot.toDouble + ref.v.toDouble)) * 1e12)
+    val q = (lnQ(coalesce(col("c_tgt"), lit(0L)), ref.nTgt) -
+      lnQ(coalesce(col("c_raw"), lit(0L)), ref.nRaw)).cast("long")
+    val scored = docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .join(ref.freq, Seq("term"), "left")
+      .select(col("doc_id"), q.as("q")).as[(Long, Long)]
+    def fn(id: Long, rows: Iterator[(Long, Long)],
+        state: GroupState[Boolean]): Iterator[DsirScore] = {
+      var n = 0L
+      var qsum = BigInt(0)
+      rows.foreach { case (_, qq) => n += 1; qsum += qq }
+      if (n == 0) Iterator.empty
+      else Iterator.single(
+        DsirScore(id, n, qsum.toDouble / 1e12, qsum > 0))
+    }
+    scored.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Bloom decontamination of a DOCUMENT STREAM — the ingest-time
+    * train/eval gate: the fixed-size set-bit table comes from the eval
+    * suite batch-side ([[graft.ext.Pipeline.bloomBits]], ≤ mBits rows
+    * forever); every arriving doc is flagged with the count of its
+    * grams whose `k` probe bits are ALL set. Stream-static broadcast
+    * equi-join on the bit key + a per-doc in-memory (gram, probe) set —
+    * no state store (the working set is the doc's OWN grams, bounded by
+    * its length; docs arrive whole, the per-arrival stance of the LM
+    * scorers). Single-batch replay of the train corpus reproduces
+    * [[graft.ext.Pipeline.bloomDecontam]] bit-for-bit
+    * (StreamingSpec). */
+  case class BloomHit(doc_id: Long, bloom_hits: Long)
+
+  def streamingBloomDecontam(docs: Dataset[(Long, String)],
+      bits: DataFrame, n: Int = 3, mBits: Int = 1 << 14,
+      k: Int = 3): Dataset[BloomHit] = {
+    import docs.sparkSession.implicits._
+    val probed = graft.ext.Pipeline.gramStream(
+        docs.toDF("doc_id", "text"), n)
+      .select(col("doc_id"), col("g"), graft.ext.Pipeline.bloomJs(k))
+      .withColumn("bit",
+        graft.ext.Pipeline.bloomBitpos(col("g"), col("j"), mBits))
+      .join(broadcast(bits), "bit")
+      .select(col("doc_id"), col("g"), col("j"))
+      .as[(Long, String, Int)]
+    def fn(id: Long, rows: Iterator[(Long, String, Int)],
+        state: GroupState[Boolean]): Iterator[BloomHit] = {
+      // (gram, probe) set: gram multiplicity inside the doc collapses,
+      // matching the batch op's DISTINCT (doc_id, g) probe stream
+      val seen = scala.collection.mutable.Set.empty[(String, Int)]
+      rows.foreach { case (_, g, j) => seen += ((g, j)) }
+      val hits = seen.groupBy(_._1).valuesIterator.count(_.size == k)
+      if (hits == 0) Iterator.empty
+      else Iterator.single(BloomHit(id, hits.toLong))
+    }
+    probed.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(fn)
   }

@@ -967,6 +967,63 @@ class StreamingSpec extends SparkSpec {
     assert(got((3L, 1L)) === ((3L, 1L, true)))  // "d" ≠ "c d"
   }
 
+  test("streaming DSIR score: replay of the training corpus ≡ batch weights") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = Tables.table(spark, sf("sf0.001"), "documents")
+    val ref = graft.ext.Pipeline.dsirModel(docsDf)
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.streamingDsirScore(in.toDS(), ref)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sdsir").start()
+    val docs = docsDf.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    in.addData(docs: _*)
+    q.processAllAvailable()
+    // a NOVEL doc: every word OOV -> per-token fixed prior ratio
+    in.addData(9999L -> "zzz qqq")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sdsir").as[Streaming.DsirScore].collect()
+      .map(s => s.doc_id -> ((s.n_words, s.llr, s.selected))).toMap
+    val batch = graft.ext.Pipeline.dsirWeights(docsDf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(batch.nonEmpty && batch.keySet.forall(streamed.contains))
+    batch.foreach { case (d, want) =>
+      assert(streamed(d) === want, s"doc $d drift")
+    }
+    // OOV contribution = n_words * lnQ-prior-ratio, positive (target
+    // corpus is the smaller side under add-1)
+    val (nOov, llrOov, selOov) = streamed(9999L)
+    assert(nOov === 2L && llrOov > 0d && selOov)
+  }
+
+  test("streaming bloom decontam: replay of the train corpus ≡ batch") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = Tables.table(spark, sf("sf0.001"), "documents")
+    val bits = graft.ext.Pipeline.bloomBits(
+      docsDf.where(col("doc_id") % 97 === 0)).localCheckpoint(true)
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.streamingBloomDecontam(in.toDS(), bits)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sbloom").start()
+    val train = docsDf.where(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    in.addData(train: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sbloom").as[Streaming.BloomHit].collect()
+      .map(h => h.doc_id -> h.bloom_hits).toMap
+    val batch = graft.ext.Pipeline.bloomDecontam(docsDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch.nonEmpty, "bloom gate degenerate on sf0.001")
+    assert(streamed === batch, "stream/batch bloom drift")
+  }
+
   test("streaming chunk dedup: id-ordered replay ≡ batch chunkDedup") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
