@@ -942,6 +942,18 @@ object Similarity {
         (coalesce(col("n_twins"), lit(0L)) === 0L).as("kept"))
   }
 
+  /** Trained centroid table MATERIALIZED for stream-side assignment —
+    * bounded (kCells × Dims doubles; the collected-model stance of
+    * LmModel, never data). Sorted by cid so the scalar argmin's
+    * first-minimum-wins tiebreak equals [[centRank]]'s (dist, cid)
+    * order. */
+  def semDedupCentroids(embeddings: DataFrame, kCells: Int = 8,
+      iters: Int = 2): Array[(Long, Array[Double])] = {
+    val (_, cents) = kmeansLoop(embeddings, kCells, iters)
+    cents.orderBy("cid").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+  }
+
   def semDedupSql(kCells: Int = 8, iters: Int = 2,
       threshold: Double = 0.8): String =
     s"""WITH ${kmeansCtesSql(kCells, iters)},

@@ -511,6 +511,94 @@ object Streaming {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Streaming SemDeDup with an event-time retention horizon — the
+    * ingest-time twin of [[graft.ext.Similarity.semDedup]]: centroids
+    * train batch-side ([[graft.ext.Similarity.semDedupCentroids]], a
+    * bounded collected model), each arriving vector assigns to its
+    * nearest cell map-side (scalar argmin over the broadcast table —
+    * the identical L2 chain and (dist, cid) tiebreak as the batch
+    * `centRank`), and the stateful stage compares the arrival against
+    * its cell's stored members by the EXACT cosine chain
+    * ([[graft.ext.Similarity.dotScalar]], the dotD fold order) — twins
+    * at sim ≥ `threshold` mean drop. ALL arrivals join the member list
+    * (kept AND dropped — a dropped vector is still a valid twin for
+    * later arrivals, exactly as the batch pair set counts every
+    * cell-mate), so a single-batch id-ordered replay reproduces the
+    * batch op's (cell, n_twins, kept) verdicts bit-exactly
+    * (StreamingSpec proves it). Member state expires per the rolling
+    * `ttlSecs` horizon — the bounded-state stance of the simhash TTL
+    * twin; the horizon IS the production semantics (dedup against a
+    * recency window). */
+  case class TimedVec(vec_id: Long, emb: Array[Double],
+      ts: java.sql.Timestamp)
+  case class SemDecision(vec_id: Long, cell: Long, n_twins: Long,
+      keep: Boolean)
+
+  def streamingSemDedupTtl(vecs: Dataset[TimedVec],
+      cents: Array[(Long, Array[Double])], threshold: Double,
+      ttlSecs: Long, watermarkDelay: String = "0 seconds")
+      : Dataset[SemDecision] = {
+    import vecs.sparkSession.implicits._
+    import graft.ext.Similarity.dotScalar
+    val ttlMs = ttlSecs * 1000L
+    val bc = vecs.sparkSession.sparkContext.broadcast(cents)
+    // scalar centRank: first strict minimum over cid-ascending = the
+    // batch (dist, cid) window tiebreak
+    def assign(e: Array[Double]): Long = {
+      var bestCid = Long.MaxValue
+      var best = Double.PositiveInfinity
+      bc.value.foreach { case (cid, c) =>
+        val d = dotScalar(e, e) - 2.0 * dotScalar(e, c) +
+          dotScalar(c, c)
+        if (d < best) { best = d; bestCid = cid }
+      }
+      bestCid
+    }
+    def fn(cell: Long,
+        rows: Iterator[(Long, Long, Array[Double], java.sql.Timestamp)],
+        state: GroupState[List[(Long, Array[Double], Double, Long)]])
+        : Iterator[SemDecision] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val horizon = state.getCurrentWatermarkMs() - ttlMs
+      var members = state.getOption.getOrElse(List.empty)
+        .filter(_._4 > horizon)
+      val out = Seq.newBuilder[SemDecision]
+      rows.toSeq.sortBy(_._2).foreach { case (_, id, e, ts) =>
+        members.find(_._1 == id) match {
+          case Some(m) =>
+            // replayed id: refresh recency, stored payload wins (the
+            // simhash TTL twin's replay stance)
+            members = (id, m._2, m._3, math.max(m._4, ts.getTime)) ::
+              members.filterNot(_._1 == id)
+          case None =>
+            val norm = math.sqrt(dotScalar(e, e))
+            var twins = 0L
+            members.foreach { case (_, oe, onorm, _) =>
+              // earlier member on the LEFT of the dot — the batch
+              // pair join's (a_emb, emb) operand order
+              if (dotScalar(oe, e) / (onorm * norm) >= threshold)
+                twins += 1
+            }
+            out += SemDecision(id, cell, twins, twins == 0L)
+            members = (id, e, norm, ts.getTime) :: members
+        }
+      }
+      state.update(members)
+      // clamped past the watermark -- see streamingExactDedupTtl
+      if (members.nonEmpty)
+        state.setTimeoutTimestamp(math.max(members.map(_._4).max + ttlMs,
+          state.getCurrentWatermarkMs() + 1L))
+      out.result().iterator
+    }
+    vecs.map(v => (assign(v.emb), v.vec_id, v.emb, v.ts))
+      .toDF("cell", "vec_id", "emb", "ts")
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Long, Array[Double], java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Streaming MinHash+LSH near-dup detection — the ingest-time twin of
     * [[graft.ext.Dedup.minhashNearDup]], the dedup most production
     * pipelines actually run. Each arriving document shingles and signs

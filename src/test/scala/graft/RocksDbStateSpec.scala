@@ -233,4 +233,72 @@ class RocksDbStateSpec extends SparkSpec {
         s"state grew with stream length: $at1x -> $at4x")
     }
   }
+
+  test("round-9 scorers under RocksDB: chunk dedup, DSIR, bloom unchanged") {
+    withRocksDb {
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+
+      // chunk dedup: the planted keep-first fixture, cross-batch keeper
+      val inC = MemoryStream[(Long, String)]
+      val qC = Streaming.streamingChunkDedup(inC.toDS(), width = 2)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("rdbchunk").start()
+      inC.addData(0L -> "a b c d", 1L -> "a b x", 2L -> "c d c d")
+      qC.processAllAvailable()
+      inC.addData(3L -> "a b") // later batch: dup of (0,0) still drops
+      qC.processAllAvailable()
+      val progC = qC.lastProgress.json
+      qC.stop()
+      assert(progC.toLowerCase.contains("rocksdb"),
+        "chunk dedup: provider not engaged")
+      val gotC = spark.table("rdbchunk").as[Streaming.ChunkDecision]
+        .collect().map(d => (d.doc_id, d.chunk_idx) -> d.keep).toMap
+      assert(gotC === Map((0L, 0L) -> true, (0L, 1L) -> true,
+        (1L, 0L) -> false, (1L, 1L) -> true,
+        (2L, 0L) -> false, (2L, 1L) -> false, (3L, 0L) -> false))
+
+      // DSIR + bloom: real-corpus replay must equal the batch ops
+      val docsDf = Tables.table(spark, sf("sf0.001"), "documents")
+      val docs = docsDf.select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+
+      val inD = MemoryStream[(Long, String)]
+      val qD = Streaming.streamingDsirScore(inD.toDS(),
+          graft.ext.Pipeline.dsirModel(docsDf))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("rdbdsir").start()
+      inD.addData(docs: _*)
+      qD.processAllAvailable()
+      val progD = qD.lastProgress.json
+      qD.stop()
+      assert(progD.toLowerCase.contains("rocksdb"),
+        "dsir: provider not engaged")
+      val gotD = spark.table("rdbdsir").as[Streaming.DsirScore].collect()
+        .map(s => s.doc_id -> ((s.n_words, s.llr, s.selected))).toMap
+      val batchD = graft.ext.Pipeline.dsirWeights(docsDf).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+      assert(gotD === batchD)
+
+      val inB = MemoryStream[(Long, String)]
+      val qB = Streaming.streamingBloomDecontam(inB.toDS(),
+          graft.ext.Pipeline.bloomBits(
+            docsDf.where(col("doc_id") % 97 === 0)).localCheckpoint(true))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("rdbbloom").start()
+      inB.addData(docs.filter(_._1 % 97 != 0): _*)
+      qB.processAllAvailable()
+      val progB = qB.lastProgress.json
+      qB.stop()
+      assert(progB.toLowerCase.contains("rocksdb"),
+        "bloom: provider not engaged")
+      val gotB = spark.table("rdbbloom").as[Streaming.BloomHit].collect()
+        .map(h => h.doc_id -> h.bloom_hits).toMap
+      val batchB = graft.ext.Pipeline.bloomDecontam(docsDf).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotB === batchB)
+    }
+  }
 }

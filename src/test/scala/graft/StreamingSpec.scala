@@ -1024,6 +1024,61 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch, "stream/batch bloom drift")
   }
 
+  test("streaming semdedup: id-ordered replay ≡ batch; TTL re-admits") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val embsDf = Tables.table(spark, sf("sf0.001"), "embeddings")
+    val k = graft.ext.Similarity.semCellsFor(embsDf.count())
+    val thr = 0.25
+    val cents = graft.ext.Similarity.semDedupCentroids(embsDf, k)
+    val data = embsDf
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+      .map { case (id, e) =>
+        Streaming.TimedVec(id, e, new java.sql.Timestamp(1000L)) }
+    val in = MemoryStream[Streaming.TimedVec]
+    val q = Streaming.streamingSemDedupTtl(in.toDS(), cents, thr,
+        ttlSecs = 1000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssem").start()
+    in.addData(data: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssem").as[Streaming.SemDecision]
+      .collect()
+      .map(s => s.vec_id -> ((s.cell, s.n_twins, s.keep))).toMap
+    val batch = graft.ext.Similarity.semDedup(embsDf, k, iters = 2,
+        threshold = thr)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(batch.values.exists(!_._3) && batch.values.exists(_._3),
+      "equivalence fixture degenerate")
+    assert(streamed === batch, "stream/batch semdedup drift")
+
+    // TTL: an expired twin re-admits fresh
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val v = Array.tabulate(64)(i => math.sin(i + 1))
+    val u = Array.tabulate(64)(i => math.cos(2 * i + 1))
+    val in2 = MemoryStream[Streaming.TimedVec]
+    val q2 = Streaming.streamingSemDedupTtl(in2.toDS(),
+        Array(0L -> v, 1L -> u), threshold = 0.9, ttlSecs = 100L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssemttl").start()
+    in2.addData(Streaming.TimedVec(10L, v, ts(1000)),
+      Streaming.TimedVec(11L, v, ts(1001)))
+    q2.processAllAvailable()
+    in2.addData(Streaming.TimedVec(12L, u, ts(2000))) // advances wm
+    q2.processAllAvailable()
+    in2.addData(Streaming.TimedVec(13L, v, ts(2050))) // past 10/11+ttl
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.table("ssemttl").as[Streaming.SemDecision].collect()
+      .map(s => s.vec_id -> s.keep).toMap
+    assert(got === Map(10L -> true, 11L -> false, 12L -> true,
+      13L -> true), s"got $got")
+  }
+
   test("streaming chunk dedup: id-ordered replay ≡ batch chunkDedup") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
