@@ -518,6 +518,134 @@ object Pipeline {
        |WHERE cum_tokens <= $budget
        |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
 
+  /** UniMax language-budget allocation (Chung et al. 2023): distribute a
+    * total token budget across languages under a per-language repeat cap
+    * — no language may be sampled past `maxEpochs` epochs of its own
+    * corpus (the fix for low-resource languages being either drowned by
+    * proportional sampling or degenerately over-repeated by uniform
+    * sampling). Water-filling in closed form: languages in ascending
+    * capacity order (`cap = n_tokens · maxEpochs`, `lang` tiebreak); a
+    * language is cap-bound while its cap is at most the fair share of
+    * what the remaining languages split, and from the FIRST language
+    * whose cap exceeds its fair share onward, every remaining language
+    * takes the same `floor(remaining / remaining_langs)` share (caps are
+    * ascending, so once the fair share fits under one cap it fits under
+    * all later ones). The budget is derived from the corpus itself —
+    * `budget = n_total_tokens · budgetNum / budgetDen` (integer, in-plan)
+    * — so the dial binds at every SF instead of a constant going stale.
+    *
+    * All-integer arithmetic (row_number / cumsum / `div`), so both
+    * engines allocate bit-identically; the only double is the final
+    * `epochs_served = alloc / n_tokens`, one IEEE division spelled the
+    * same on both sides. The language table is bounded (ISO codes, not
+    * data volume) — every window here is over a few-hundred-row
+    * aggregate, a LocalRelation-class cost at any corpus size; the one
+    * corpus-wide pass is the per-lang token count, a map-side partial
+    * agg on a bounded key. */
+  def unimaxAlloc(docs: DataFrame, maxEpochs: Int = 2,
+      budgetNum: Int = 3, budgetDen: Int = 2): DataFrame = {
+    val ord = Window.orderBy(col("cap"), col("lang"))
+    val full = ord.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    graft.functions.parallelized(docs)
+      .select(col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("nt"))
+      .groupBy("lang").agg(sum(col("nt")).as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * maxEpochs)
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .withColumn("s_prev", coalesce(
+        sum(col("cap")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("n_langs", count(lit(1)).over(full))
+      .withColumn("budget",
+        expr(s"(sum(n_tokens) OVER (ORDER BY cap, lang ROWS BETWEEN " +
+          s"UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) * $budgetNum) " +
+          s"div $budgetDen"))
+      .withColumn("fair", expr("(budget - s_prev) div (n_langs - i + 1)"))
+      .withColumn("cross_i",
+        min(when(col("cap") > col("fair"), col("i"))).over(full))
+      .withColumn("fair_cross",
+        max(when(col("i") === col("cross_i"), col("fair"))).over(full))
+      .select(col("lang"), col("n_tokens"), col("cap"),
+        when(col("cross_i").isNull || col("i") < col("cross_i"), col("cap"))
+          .otherwise(col("fair_cross")).as("alloc"))
+      .withColumn("epochs_served",
+        col("alloc").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  def unimaxAllocSql(maxEpochs: Int = 2, budgetNum: Int = 3,
+      budgetDen: Int = 2): String =
+    s"""WITH tl AS (SELECT lang,
+       |  CAST(sum(CAST(${TextOps.tokenCountSql} AS BIGINT)) AS BIGINT)
+       |   AS n_tokens
+       | FROM documents GROUP BY lang),
+       |ord AS (SELECT lang, n_tokens, n_tokens * $maxEpochs AS cap,
+       |  CAST(row_number() OVER (ORDER BY n_tokens * $maxEpochs, lang)
+       |   AS BIGINT) AS i,
+       |  CAST(COALESCE(sum(n_tokens * $maxEpochs) OVER (
+       |    ORDER BY n_tokens * $maxEpochs, lang
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |   AS BIGINT) AS s_prev,
+       |  CAST(count(*) OVER () AS BIGINT) AS n_langs,
+       |  CAST((sum(n_tokens) OVER () * $budgetNum) // $budgetDen
+       |   AS BIGINT) AS budget
+       | FROM tl),
+       |fair AS (SELECT *,
+       |  CAST((budget - s_prev) // (n_langs - i + 1) AS BIGINT) AS fair
+       | FROM ord),
+       |cx AS (SELECT *,
+       |  min(CASE WHEN cap > fair THEN i END) OVER () AS cross_i FROM fair),
+       |fc AS (SELECT *,
+       |  max(CASE WHEN i = cross_i THEN fair END) OVER () AS fair_cross
+       | FROM cx)
+       |SELECT lang, n_tokens, CAST(cap AS BIGINT) AS cap, alloc,
+       | CAST(alloc AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs_served
+       |FROM (SELECT lang, n_tokens, cap,
+       |  CAST(CASE WHEN cross_i IS NULL OR i < cross_i THEN cap
+       |   ELSE fair_cross END AS BIGINT) AS alloc FROM fc)
+       |ORDER BY lang""".stripMargin.replace('\n', ' ')
+
+  /** [[unimaxAlloc]] APPLIED: each language contributes documents in the
+    * deterministic md5 order until its allocated token budget is spent —
+    * [[tokenBudget]]'s keep-whole-documents convention with the budget a
+    * JOINED per-language column instead of a constant. Languages whose
+    * allocation exceeds one epoch (`alloc ≥ n_tokens`) keep every
+    * document (the repeat copies beyond epoch 1 are [[mixtureSample]]'s
+    * job — selection here, multiplicity there). The allocation table is
+    * language-bounded → broadcast; the selection window is the same
+    * key-bounded per-lang pass as [[tokenBudget]]'s per-source one. */
+  def unimaxApply(docs: DataFrame, maxEpochs: Int = 2,
+      budgetNum: Int = 3, budgetDen: Int = 2): DataFrame = {
+    val alloc = unimaxAlloc(docs, maxEpochs, budgetNum, budgetDen)
+      .select(col("lang"), col("alloc"))
+    val w = Window.partitionBy("lang").orderBy(sourceOrder: _*)
+    docs
+      .select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .join(broadcast(alloc), "lang")
+      .where(col("cum_tokens") <= col("alloc"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("cum_tokens"))
+  }
+
+  def unimaxApplySql(maxEpochs: Int = 2, budgetNum: Int = 3,
+      budgetDen: Int = 2): String =
+    s"""WITH alloc AS (
+       | SELECT lang, alloc FROM (
+       |  ${unimaxAllocSql(maxEpochs, budgetNum, budgetDen)
+            .replace(" ORDER BY lang", "")})),
+       |sel AS (SELECT doc_id, lang, n_tokens,
+       |  CAST(sum(n_tokens) OVER (PARTITION BY lang
+       |    ORDER BY $sourceOrderSql) AS BIGINT) AS cum_tokens
+       | FROM (SELECT doc_id, lang,
+       |   CAST(${TextOps.tokenCountSql} AS BIGINT) AS n_tokens
+       |  FROM documents))
+       |SELECT s.doc_id, s.lang, s.n_tokens, s.cum_tokens
+       |FROM sel s JOIN alloc a ON a.lang = s.lang
+       |WHERE s.cum_tokens <= a.alloc
+       |ORDER BY s.doc_id""".stripMargin.replace('\n', ' ')
+
   /** The mixture audit table every pipeline builds before training: per
     * (source, lang) — document count, total tokens, total chars, and the
     * doc-length extremes. This is the artifact a data lead reads to set

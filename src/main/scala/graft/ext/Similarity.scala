@@ -379,6 +379,53 @@ object Similarity {
        |SELECT vec_a, vec_b, sim FROM sims WHERE sim >= $threshold
        |ORDER BY vec_a, vec_b""".stripMargin.replace('\n', ' ')
 
+  /** Semantic decontamination — the embedding-space analog of
+    * [[graft.ext.Pipeline.decontaminate]]: a corpus vector is
+    * contaminated when its cosine similarity to ANY vector of the eval
+    * slice (`label = evalLabel`) reaches `tau`. This is the removal pass
+    * that catches paraphrased / near-duplicate benchmark items n-gram
+    * overlap misses (the reason modern decontam stacks run an embedding
+    * pass beside the exact-match one). Output one audit row per corpus
+    * vector: `(vec_id, max_eval_sim, kept)` — the report AND the apply
+    * predicate in one table.
+    *
+    * Scale shape: the eval suite is the SMALL side by construction (a
+    * benchmark, not a crawl) — broadcast against the partitioned corpus
+    * scan; each corpus row meets every eval vector inside its own
+    * partition, and the per-vector max collapses map-side (partial agg)
+    * before any shuffle, so the corpus never moves and the shuffle
+    * carries one row per corpus vector. Similarity is the [[dotD]]
+    * left-fold — bit-exact cross-engine, so the max and the kept flag
+    * are exact, no epsilon. */
+  def semDecontam(embeddings: DataFrame, evalLabel: Int = 0,
+      tau: Double = 0.28): DataFrame = {
+    val base = parallelized(embeddings).select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("emb"))
+      .withColumn("norm", sqrt(dotD(col("emb"), col("emb"))))
+    val eval = base.where(col("label") === evalLabel)
+      .select(col("emb").as("q_emb"), col("norm").as("q_norm"))
+    val corpus = base.where(col("label") =!= evalLabel)
+    eval.hint("broadcast").crossJoin(corpus)
+      .select(col("vec_id"),
+        (dotD(col("q_emb"), col("emb")) / (col("q_norm") * col("norm")))
+          .as("sim"))
+      .groupBy("vec_id").agg(max(col("sim")).as("max_eval_sim"))
+      .select(col("vec_id"), col("max_eval_sim"),
+        (col("max_eval_sim") < tau).as("kept"))
+  }
+
+  def semDecontamSql(evalLabel: Int = 0, tau: Double = 0.28): String =
+    s"""WITH vecs AS (SELECT vec_id, label,
+       |  CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |sims AS (SELECT b.vec_id,
+       |  max((${dotSql("a", "b")}) / (${normSql("a")} * ${normSql("b")}))
+       |   AS max_eval_sim
+       | FROM vecs a JOIN vecs b
+       |  ON a.label = $evalLabel AND b.label <> $evalLabel
+       | GROUP BY b.vec_id)
+       |SELECT vec_id, max_eval_sim, max_eval_sim < $tau AS kept
+       |FROM sims ORDER BY vec_id""".stripMargin.replace('\n', ' ')
+
   /** IVF (inverted-file) ANN — the other classic scale path: a small
     * coarse-quantizer table of centroids (here: deterministic seed vectors
     * `vec_id < nCentroids`, broadcast), every corpus vector assigned to

@@ -135,6 +135,41 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
   }
 
+  /** Feature-hashing document vectors (the hashing trick, Weinberger et
+    * al. ICML'09): every token maps to a bucket in a fixed `dims`-wide
+    * space via its md5, with a ±1 sign from an independent hash bit (the
+    * signed variant that makes hash collisions cancel in expectation);
+    * the document's vector is the signed occurrence count per bucket.
+    * The zero-training text embedder: feeds k-means / kNN / SemDeDup /
+    * cosine near-dup when no neural embedding column exists, at any
+    * vocabulary size and with no model artifact to ship. Emitted SPARSE
+    * (`doc_id, bucket, val` — only touched buckets), which is both the
+    * join-friendly shape for downstream cosine (a (bucket)-keyed
+    * equi-join of two sparse vectors) and integer-exact cross-engine.
+    *
+    * Scale shape: tokenize → map-side hash/sign → ONE (doc_id, bucket)
+    * aggregation with partial combine; nothing else. Output is bounded
+    * by docs × dims. */
+  def hashEmbed(docs: DataFrame, dims: Int = 64): DataFrame = {
+    val h = conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long")
+    val sgn = when(
+      conv(substring(md5(col("term")), 16, 1), 16, 10).cast("int") < 8,
+      1L).otherwise(-1L)
+    tokens(docs)
+      .select(col("doc_id"), (h % dims).as("bucket"), sgn.as("s"))
+      .groupBy("doc_id", "bucket").agg(sum(col("s")).as("val"))
+  }
+
+  def hashEmbedSql(dims: Int = 64): String =
+    s"""WITH toks AS ($tokensSql)
+       |SELECT doc_id,
+       | CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % $dims
+       |  AS bucket,
+       | CAST(sum(CASE WHEN CAST(('0x' || substr(md5(term), 16, 1))
+       |    AS BIGINT) < 8 THEN 1 ELSE -1 END) AS BIGINT) AS val
+       |FROM toks GROUP BY doc_id, bucket
+       |ORDER BY doc_id, bucket""".stripMargin.replace('\n', ' ')
+
   // ---------------------------------------------------- repetition signals
 
   /** Gopher-style repetition signals per document: total / distinct word
@@ -384,6 +419,50 @@ object TextOps {
        |CROSS JOIN tot t
        |ORDER BY b.w1, b.w2""".stripMargin.replace('\n', ' ')
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): each document
+    * scored by the corpus-trained interpolated bigram LM
+    * ([[bigramLogProb]]) and cut into per-LANGUAGE head / middle / tail
+    * terciles by average log-prob (higher log-prob = lower perplexity =
+    * `head`) — the quality stratification CCNet filters on (keep head,
+    * sometimes middle; drop tail). Rank-based terciles with a `doc_id`
+    * tiebreak, so the cut is total-ordered and bit-portable — no
+    * percentile interpolation (whose midpoint arithmetic is not spelled
+    * identically across engines).
+    *
+    * Scale shape: scoring is the [[bigramLogProb]] plan (model joins +
+    * one per-doc agg). The tercile window is one ordered pass per
+    * language — a key-bounded shuffle like the per-symbol folds, but the
+    * heaviest language can dominate (English is ~half a web crawl); at
+    * that scale CCNet itself switches to SAMPLED thresholds — train
+    * cut-points on a sample, then bucket map-side by comparing to the
+    * broadcast boundary keys (the exact serving shape of the streaming
+    * twin, which replays batch buckets bit-exactly from the boundary
+    * (avg_logprob, doc_id) pairs). */
+  def pplBuckets(docs: DataFrame, lambda: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_logprob").desc, col("doc_id"))
+    bigramLogProb(docs, lambda)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("nt", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("avg_logprob"),
+        when(col("nt") === 1, "head").when(col("nt") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  def pplBucketsSql(lambda: Double = 0.9): String =
+    s"""WITH scored AS (
+       | ${bigramLogProbSql(lambda).replace(" ORDER BY p.doc_id", "")})
+       |SELECT doc_id, lang, n_bigrams, avg_logprob,
+       | CASE WHEN nt = 1 THEN 'head' WHEN nt = 2 THEN 'middle'
+       |  ELSE 'tail' END AS bucket
+       |FROM (SELECT s.doc_id, d.lang, s.n_bigrams, s.avg_logprob,
+       |  ntile(3) OVER (PARTITION BY d.lang
+       |    ORDER BY s.avg_logprob DESC, s.doc_id) AS nt
+       | FROM scored s JOIN documents d USING (doc_id))
+       |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
 
   def bigramLogProbSql(lambda: Double = 0.9): String =
     s"""WITH toks AS ($tokensSql),

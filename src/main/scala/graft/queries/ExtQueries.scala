@@ -196,6 +196,12 @@ object ExtQueries {
       (s, dir) => Similarity.knnClassify(embs(s, dir)),
       Some(Similarity.knnClassifySql())),
 
+    // semantic decontamination: corpus vectors cosine-near ANY eval-slice
+    // (label 0) vector are contaminated; eval suite broadcast, map-side max
+    Q("q_sem_decontam",
+      (s, dir) => Similarity.semDecontam(embs(s, dir)).orderBy("vec_id"),
+      Some(Similarity.semDecontamSql())),
+
     // product-quantization codes (IVF's companion compression: 4-bit
     // nibble per subspace, integer-quantized reconstruction error)
     Q("q_pq_code",
@@ -410,6 +416,18 @@ object ExtQueries {
       (s, dir) => TextOps.bigramLogProb(docs(s, dir)).orderBy("doc_id"),
       Some(TextOps.bigramLogProbSql())),
 
+    // CCNet perplexity bucketing: per-language head/middle/tail terciles
+    // of the bigram-LM score (rank-based, doc_id tiebreak — bit-portable)
+    Q("q_ppl_buckets",
+      (s, dir) => TextOps.pplBuckets(docs(s, dir)).orderBy("doc_id"),
+      Some(TextOps.pplBucketsSql())),
+
+    // hashing-trick doc vectors: signed md5 bucket counts, sparse output
+    Q("q_hash_embed",
+      (s, dir) => TextOps.hashEmbed(docs(s, dir))
+        .orderBy("doc_id", "bucket"),
+      Some(TextOps.hashEmbedSql())),
+
     // the trained bigram-LM artifact itself (w1, w2, q_lnp) — the table
     // the streaming scorer serves; full model oracle-gated bit-exact
     Q("q_lm_model",
@@ -517,6 +535,18 @@ object ExtQueries {
       (s, dir) => Pipeline.tokenBudget(docs(s, dir), budget = 800L)
         .orderBy("doc_id"),
       Some(Pipeline.tokenBudgetSql(budget = 800L))),
+
+    // UniMax language-budget allocation: water-filling under a repeat
+    // cap, all-integer closed form, budget derived from the corpus
+    Q("q_unimax",
+      (s, dir) => Pipeline.unimaxAlloc(docs(s, dir)).orderBy("lang"),
+      Some(Pipeline.unimaxAllocSql())),
+
+    // UniMax applied: per-lang md5-ordered selection under the JOINED
+    // allocation column (tokenBudget with a data-derived budget table)
+    Q("q_unimax_apply",
+      (s, dir) => Pipeline.unimaxApply(docs(s, dir)).orderBy("doc_id"),
+      Some(Pipeline.unimaxApplySql())),
 
     // mixture audit table: per (source, lang) doc/token/char totals
     Q("q_corpus_stats",

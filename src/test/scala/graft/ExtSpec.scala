@@ -1070,4 +1070,72 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(ivf === brute)
   }
+
+  test("semDecontam: planted eval duplicate drops, orthogonal vector keeps") {
+    import spark.implicits._
+    def vec(hot: Int): Seq[Float] =
+      Seq.tabulate(64)(d => if (d == hot) 1f else 0f)
+    val embs = Seq(
+      (0L, vec(0), 0),            // the eval vector
+      (1L, vec(0), 3),            // exact copy in the corpus -> sim 1.0
+      (2L, vec(1), 4),            // orthogonal -> sim 0.0
+      (3L, Seq.tabulate(64)(d =>  // 45 degrees off -> sim ~0.707
+        if (d <= 1) 1f else 0f), 5))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.semDecontam(embs, evalLabel = 0, tau = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2))))
+      .toMap
+    assert(out.keySet === Set(1L, 2L, 3L), "eval slice itself not scored")
+    assert(out(1L)._1 === 1.0 && !out(1L)._2)
+    assert(out(2L)._1 === 0.0 && out(2L)._2)
+    assert(out(3L)._1 > 0.7 && out(3L)._1 < 0.71 && !out(3L)._2)
+  }
+
+  test("hashEmbed ≡ scalar md5 bucket/sign twin; sparse and bounded") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def scalar(text: String, dims: Int): Map[Long, Long] =
+      text.trim.toLowerCase.split("\\s+").toSeq
+        .map { t =>
+          val h = md5hex(t)
+          val b = java.lang.Long.parseLong(h.substring(0, 15), 16) % dims
+          val s = if (Integer.parseInt(h.substring(15, 16), 16) < 8) 1L
+            else -1L
+          b -> s
+        }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+    val texts = Seq(1L -> "spark join merge spark spark",
+      2L -> "a b c d e f g h", 3L -> "x")
+    val out = graft.ext.TextOps.hashEmbed(docsDf(texts: _*), dims = 8)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (d, rs) =>
+        d -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap
+      }
+    texts.foreach { case (d, t) =>
+      // every TOUCHED bucket groups to a row (a zero sum from colliding
+      // +1/-1 still emits), exactly like the scalar groupMapReduce
+      assert(out(d) === scalar(t, 8), s"doc $d")
+      assert(out(d).keys.forall(b => b >= 0 && b < 8))
+    }
+  }
+
+  test("pplBuckets: per-lang terciles sized within 1, scores ordered " +
+      "head >= middle >= tail (real documents)") {
+    val docs = Tables.table(spark, sf(), "documents")
+    val rows = graft.ext.TextOps.pplBuckets(docs).collect()
+      .map(r => (r.getString(1), r.getDouble(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_._3).view.mapValues(_.length).toMap
+      val counts = Seq("head", "middle", "tail").map(sizes.getOrElse(_, 0))
+      assert(counts.max - counts.min <= 1, s"$lang tercile sizes $counts")
+      def scores(b: String) = rs.filter(_._3 == b).map(_._2)
+      for (Seq(hi, lo) <- Seq("head", "middle", "tail").sliding(2))
+        if (scores(hi).nonEmpty && scores(lo).nonEmpty)
+          assert(scores(hi).min >= scores(lo).max,
+            s"$lang: $hi scores must dominate $lo")
+    }
+  }
 }

@@ -529,4 +529,92 @@ class PipelineSpec extends SparkSpec {
     // selected ⇔ llr > 0, per row
     out.values.foreach { case (llr, sel) => assert(sel === (llr > 0d)) }
   }
+
+  /** Scalar water-filling twin of [[Pipeline.unimaxAlloc]]: process
+    * languages in ascending (cap, lang) order; each takes its cap while
+    * cap fits the floor fair share of what remains, and from the first
+    * language whose cap exceeds its fair share onward every remaining
+    * language takes that SAME frozen share. */
+  private def waterfill(caps: Seq[(String, Long)], budget: Long)
+      : Map[String, Long] = {
+    var remaining = budget
+    var m = caps.length
+    var frozen: Option[Long] = None
+    caps.sortBy { case (l, c) => (c, l) }.map { case (l, c) =>
+      val fair = remaining / m
+      if (frozen.isEmpty && c > fair) frozen = Some(fair)
+      val a = frozen.getOrElse(c)
+      remaining -= a
+      m -= 1
+      l -> a
+    }.toMap
+  }
+
+  test("unimaxAlloc ≡ scalar water-filling twin on seeded random tables") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 20) {
+      val nLangs = 1 + rnd.nextInt(7)
+      val toks = (0 until nLangs).map(i => s"l$i" -> (1L + rnd.nextInt(40)))
+      // one doc per lang with exactly that many single-char tokens
+      val docs = toks.map { case (l, t) =>
+        (l.drop(1).toLong, Seq.fill(t.toInt)("w").mkString(" "), l)
+      }.toDF("doc_id", "text", "lang")
+      val total = toks.map(_._2).sum
+      val budget = total * 3 / 2 // the in-plan dial: num=3, den=2
+      val want = waterfill(toks.map { case (l, t) => l -> t * 2 }, budget)
+      val got = Pipeline.unimaxAlloc(docs, maxEpochs = 2)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      assert(got === want, s"toks=$toks budget=$budget")
+      // invariants: never past the cap, never past the budget in total
+      got.foreach { case (l, a) =>
+        assert(a <= toks.toMap.apply(l) * 2)
+      }
+      assert(got.values.sum <= budget)
+    }
+  }
+
+  test("unimaxAlloc on real documents: cap-bound prefix, equal-share " +
+      "suffix, both regimes engaged") {
+    val docs = Tables.table(spark, sf(), "documents")
+    val rows = Pipeline.unimaxAlloc(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .sortBy(r => (r._3, r._1)) // the water-filling (cap, lang) order
+    // in capacity order the cap-bound languages form a PREFIX, and every
+    // budget-bound language after the crossover takes the SAME share
+    val (capBound, budgetBound) = rows.span(r => r._4 === r._3)
+    assert(capBound.nonEmpty, "some language must serve its full cap")
+    assert(budgetBound.nonEmpty,
+      "the dial must leave at least one language budget-bound")
+    assert(budgetBound.map(_._4).distinct.length === 1,
+      "budget-bound languages split the remainder equally")
+    budgetBound.foreach(r => assert(r._4 < r._3 && r._5 < 2.0))
+    capBound.foreach(r => assert(r._5 === 2.0))
+    // en dominates the synthetic corpus at every SF -> never cap-bound
+    assert(budgetBound.exists(_._1 == "en"))
+  }
+
+  test("unimaxApply: per-lang token totals never exceed the allocation; " +
+      "cap-bound langs keep every document") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.table(spark, sf(), "documents")
+    val alloc = Pipeline.unimaxAlloc(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val kept = Pipeline.unimaxApply(docs)
+      .groupBy("lang").agg(
+        sum(col("n_tokens")).as("t"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docCounts = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptCounts = Pipeline.unimaxApply(docs).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    alloc.foreach { case (l, (nTokens, a)) =>
+      assert(kept(l) <= a, s"$l kept tokens past its allocation")
+      if (a >= nTokens) // >= one epoch allocated -> selection keeps all
+        assert(keptCounts(l) === docCounts(l), s"$l should keep all docs")
+      else
+        assert(keptCounts(l) < docCounts(l), s"$l must truncate")
+    }
+  }
 }
