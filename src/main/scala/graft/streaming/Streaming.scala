@@ -1350,6 +1350,100 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** CCNet bucket boundaries trained batch-side: the per-language LAST
+    * head / last middle (avg_logprob, doc_id) keys of
+    * [[graft.ext.TextOps.pplBuckets]]'s tercile cut, plus the LM that
+    * produced the scores. Rank cuts can't be recomputed on a stream (a
+    * tercile needs the whole population) — but they don't need to be:
+    * a document's bucket is fully determined by WHERE its ordering key
+    * sits relative to the two boundary keys, so serving is a broadcast
+    * of one bounded row per language. This is exactly how CCNet ships:
+    * thresholds trained on a corpus snapshot, applied per document. */
+  case class PplBoundsRef(bounds: DataFrame, lm: LmModelRef)
+
+  def pplBoundsOf(docs: DataFrame, lambda: Double = 0.9,
+      targetRows: Long = 2000000L): PplBoundsRef = {
+    val bnd = (b: String, p: String) => max(when(col("bucket") === b,
+      struct((-col("avg_logprob")).as("nlp"), col("doc_id").as("id"))))
+      .as(p)
+    val bounds = graft.ext.TextOps.pplBuckets(docs, lambda)
+      .groupBy("lang").agg(bnd("head", "hb"), bnd("middle", "mb"))
+      .select(col("lang"),
+        (-col("hb.nlp")).as("h_lp"), col("hb.id").as("h_id"),
+        (-col("mb.nlp")).as("m_lp"), col("mb.id").as("m_id"))
+      .localCheckpoint(true)
+    PplBoundsRef(bounds, lmModelRefOf(docs, lambda, targetRows))
+  }
+
+  /** CCNet perplexity bucketing of a DOCUMENT STREAM: score each
+    * arriving `(doc_id, text, lang)` under the batch-trained bigram LM
+    * (the [[streamingBigramScoreJoined]] stream-static-join arithmetic,
+    * with `lang` carried through the bigram explode) and assign
+    * head / middle / tail by comparing the (avg_logprob DESC, doc_id)
+    * ordering key against the broadcast per-language boundary keys.
+    * A training-corpus replay lands every doc in exactly its batch
+    * tercile — the boundary keys cut the SAME total order the batch
+    * ntile ranked, ties included (StreamingSpec proves bit-equality).
+    * Novel docs compare deterministically against the frozen
+    * boundaries; a language with no trained boundary row buckets as
+    * `unknown` (no model — CCNet's own out-of-scope case). */
+  case class PplBucketScore(doc_id: Long, lang: String, n_bigrams: Long,
+      avg_logprob: Double, bucket: String)
+
+  def streamingPplBucket(docs: Dataset[(Long, String, String)],
+      ref: PplBoundsRef): Dataset[PplBucketScore] = {
+    import docs.sparkSession.implicits._
+    val lm = ref.lm
+    val backoff = floor(log(
+      lit(1.0 - lm.lambda) *
+        greatest(coalesce(col("c2"), lit(0L)), lit(1L)).cast("double") /
+        lit(lm.nTotal.toDouble)) * 1e12).cast("long")
+    val pairs = docs.toDF("doc_id", "text", "lang")
+      .select(col("doc_id"), col("lang"),
+        split(lower(trim(col("text"))), "\\s+").as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("lang"), col("p.w1").as("w1"),
+        col("p.w2").as("w2"))
+    val scored = pairs
+      .join(lm.model, Seq("w1", "w2"), "left")
+      .join(lm.uni.select(col("term").as("w2"), col("c").as("c2")),
+        Seq("w2"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("q_lnp"), backoff).as("q"))
+      .as[(Long, String, Long)]
+    def fn(id: Long, rows: Iterator[(Long, String, Long)],
+        state: GroupState[Boolean])
+        : Iterator[(Long, String, Long, Double)] = {
+      var n = 0L
+      var qsum = BigInt(0)
+      var lang = ""
+      rows.foreach { case (_, l, q) => n += 1; qsum += q; lang = l }
+      if (n == 0) Iterator.empty
+      else Iterator.single((id, lang, n, qsum.toDouble / 1e12 / n))
+    }
+    val perDoc = scored.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+      .toDF("doc_id", "lang", "n_bigrams", "avg_logprob")
+    // at-or-before a boundary in the (avg_logprob DESC, doc_id) order
+    def before(bLp: Column, bId: Column): Column =
+      col("avg_logprob") > bLp ||
+        (col("avg_logprob") === bLp && col("doc_id") <= bId)
+    perDoc.join(broadcast(ref.bounds), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("avg_logprob"),
+        when(col("h_lp").isNull, "unknown")
+          .when(before(col("h_lp"), col("h_id")), "head")
+          .when(col("m_lp").isNotNull && before(col("m_lp"), col("m_id")),
+            "middle")
+          .otherwise("tail").as("bucket"))
+      .as[PplBucketScore]
+  }
+
   /** Bloom decontamination of a DOCUMENT STREAM — the ingest-time
     * train/eval gate: the fixed-size set-bit table comes from the eval
     * suite batch-side ([[graft.ext.Pipeline.bloomBits]], ≤ mBits rows

@@ -1000,6 +1000,51 @@ class StreamingSpec extends SparkSpec {
     assert(nOov === 2L && llrOov > 0d && selOov)
   }
 
+  test("streaming ppl bucket: training replay ≡ batch terciles; novel " +
+      "docs cut by the frozen boundary keys; unknown lang flagged") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = Tables.table(spark, sf("sf0.001"), "documents")
+    val ref = Streaming.pplBoundsOf(docsDf)
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streaming.streamingPplBucket(in.toDS(), ref)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sppl").start()
+    in.addData(docsDf.select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)].collect(): _*)
+    q.processAllAvailable()
+    // a novel all-OOV doc in a trained lang + an untrained language
+    in.addData((9999L, "zzz qqq xxx", "en"), (9998L, "a b", "tlh"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sppl").as[Streaming.PplBucketScore]
+      .collect()
+      .map(s => s.doc_id -> ((s.lang, s.n_bigrams, s.avg_logprob, s.bucket)))
+      .toMap
+    val batch = graft.ext.TextOps.pplBuckets(docsDf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getDouble(3), r.getString(4))))
+      .toMap
+    assert(batch.nonEmpty)
+    batch.foreach { case (d, want) =>
+      assert(streamed(d) === want, s"doc $d drift")
+    }
+    // the novel doc's bucket is exactly what the frozen en boundary keys
+    // dictate for its (score, id) ordering key — semantics twin
+    val en = ref.bounds.where(col("lang") === "en").head()
+    def isBefore(lp: Double, id: Long, bLp: Double, bId: Long): Boolean =
+      lp > bLp || (lp == bLp && id <= bId)
+    val nv = streamed(9999L)
+    val want = if (isBefore(nv._3, 9999L, en.getDouble(1), en.getLong(2)))
+      "head"
+    else if (!en.isNullAt(3) &&
+        isBefore(nv._3, 9999L, en.getDouble(3), en.getLong(4))) "middle"
+    else "tail"
+    assert(nv._1 === "en" && nv._4 === want)
+    assert(streamed(9998L)._4 === "unknown")
+  }
+
   test("streaming bloom decontam: replay of the train corpus ≡ batch") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
