@@ -108,6 +108,17 @@ object Dedup {
     // batch campaign on preemptible nodes should swap in RELIABLE
     // checkpointing (sc.setCheckpointDir + .checkpoint()) at the same
     // call sites.
+    val (cands, perDoc) = bandedCandidates(docs, n, k, r)
+    verifyJaccard(cands, perDoc, threshold)
+  }
+
+  /** The shared LSH blocking step: per-doc signature table (+ shingle
+    * set for Jaccard verification) and the distinct banded candidate
+    * pair set. [[minhashNearDup]] verifies the pairs by exact Jaccard,
+    * [[editDistNearDup]] by normalized edit distance — same candidates,
+    * different verifier. */
+  private def bandedCandidates(docs: DataFrame, n: Int, k: Int, r: Int)
+      : (DataFrame, DataFrame) = {
     val sigAggs = (0 until k).map(i =>
       min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i")) ++ Seq(
       count(lit(1)).as("nsh"), collect_set(col("sh")).as("shset"))
@@ -125,7 +136,64 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cands, perDoc, threshold)
+    (cands, perDoc)
+  }
+
+  /** Edit-distance near-dup (the RETSim-family verification stance:
+    * near-duplicates are judged by CHARACTER edits, not set overlap —
+    * catches reorder-resistant templates and small in-place edits that
+    * shift every shingle): the same banded-LSH candidate pairs as
+    * [[minhashNearDup]], verified by normalized Levenshtein similarity
+    * `1 − dist/max(len)` at `minSim`. Both engines ship the classic DP
+    * `levenshtein` — an integer metric, so the similarity is one exact
+    * IEEE divide-and-subtract per pair.
+    *
+    * Scale shape: blocking is the band equi-join (no all-pairs);
+    * verification cost is O(len_a · len_b) PER CANDIDATE — fine under
+    * LSH-bounded candidate counts, but cap document length upstream
+    * (chunk first, as the exact-substring family does) before running
+    * this on book-length texts. */
+  def editDistNearDup(docs: DataFrame, n: Int = 2, k: Int = 16, r: Int = 4,
+      minSim: Double = 0.95): DataFrame = {
+    val (cands, _) = bandedCandidates(docs, n, k, r)
+    val texts = parallelized(docs).select(col("doc_id"), col("text"))
+    cands
+      .join(texts.select(col("doc_id").as("doc_a"),
+        col("text").as("_ta")), "doc_a")
+      .join(texts.select(col("doc_id").as("doc_b"),
+        col("text").as("_tb")), "doc_b")
+      .withColumn("dist", levenshtein(col("_ta"), col("_tb")).cast("long"))
+      .withColumn("max_len",
+        greatest(length(col("_ta")), length(col("_tb"))).cast("long"))
+      .withColumn("edit_sim", lit(1.0d) -
+        col("dist").cast("double") / col("max_len").cast("double"))
+      .where(col("edit_sim") >= minSim)
+      .select("doc_a", "doc_b", "dist", "max_len", "edit_sim")
+  }
+
+  def editDistNearDupSql(n: Int = 2, k: Int = 16, r: Int = 4,
+      minSim: Double = 0.95): String = {
+    val bandSelects = (0 until k / r).map { j =>
+      val cat = (0 until r).map(i => s"h${j * r + i}").mkString(" || ")
+      s"SELECT doc_id, $j AS band, md5($cat) AS bval FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH sh AS (${shinglesSql(n)}),
+       |sig AS (${minhashSignatureSql(k)}),
+       |bands AS ($bandSelects),
+       |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, dist, max_len, edit_sim FROM (
+       | SELECT c.doc_a, c.doc_b,
+       |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+       |  CAST(greatest(len(a.text), len(b.text)) AS BIGINT) AS max_len,
+       |  1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+       |    / CAST(greatest(len(a.text), len(b.text)) AS DOUBLE) AS edit_sim
+       | FROM cands c
+       | JOIN documents a ON a.doc_id = c.doc_a
+       | JOIN documents b ON b.doc_id = c.doc_b)
+       |WHERE edit_sim >= $minSim
+       |ORDER BY doc_a, doc_b""".stripMargin.replace('\n', ' ')
   }
 
   /** Exact-Jaccard verification of candidate pairs against cached per-doc

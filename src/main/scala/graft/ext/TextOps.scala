@@ -915,6 +915,74 @@ object TextOps {
        |  ON r.doc_id = q.doc_id
        |ORDER BY q.doc_id""".stripMargin.replace('\n', ' ')
 
+  /** Tokenizer fertility per language — the standard tokenizer-eval
+    * metric (BPE pieces emitted per word): high fertility on a language
+    * means the merge table under-serves it, the signal multilingual
+    * tokenizer work (XLM-R, NLLB) balances vocab budgets on. Composed
+    * from [[bpeDocTokens]] (the TRAINED segmenter's per-doc counts)
+    * joined to the language column and re-aggregated — integer sums,
+    * one exact IEEE division per language row. Output is
+    * language-bounded; the heavy lifting is bpeDocTokens' own plan. */
+  def bpeFertility(docs: DataFrame, k: Int = 6): DataFrame =
+    bpeDocTokens(docs, k)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .withColumn("fertility",
+        col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+
+  def bpeFertilitySql(k: Int = 6): String =
+    s"""WITH bdt AS (
+       | ${bpeDocTokensSql(k).replace(" ORDER BY t.doc_id", "")})
+       |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(b.n_words) AS BIGINT) AS n_words,
+       | CAST(sum(b.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       | CAST(sum(b.n_bpe_tokens) AS DOUBLE) / CAST(sum(b.n_words) AS DOUBLE)
+       |  AS fertility
+       |FROM bdt b JOIN documents d USING (doc_id)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin.replace('\n', ' ')
+
+  /** Per-source domain scorecard — the FineWeb-style audit table a data
+    * lead reads before setting [[graft.ext.Pipeline.mixtureSample]]
+    * weights: document count, token/char totals, and the
+    * [[qualityFilter]] pass rate per source. Integer sums + one exact
+    * division per emitted mean; the aggregation key is source (bounded),
+    * so the output is a few rows at any corpus size and the shuffle
+    * carries map-side-combined partials only. */
+  def sourceQuality(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("nc"),
+        tokenCount(col("text")).cast("long").as("nt"))
+      .join(qualityFilter(docs).select(col("doc_id"), col("keep")),
+        "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens"),
+        sum(col("nc")).as("total_chars"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .withColumn("keep_rate",
+        col("n_keep").cast("double") / col("n_docs").cast("double"))
+      .withColumn("mean_tokens",
+        col("total_tokens").cast("double") / col("n_docs").cast("double"))
+
+  def sourceQualitySql(): String =
+    s"""WITH qf AS (
+       | ${qualityFilterSql().replace(" ORDER BY q.doc_id", "")}),
+       |base AS (SELECT doc_id, source,
+       |  CAST(length(text) AS BIGINT) AS nc,
+       |  CAST($tokenCountSql AS BIGINT) AS nt FROM documents)
+       |SELECT b.source, CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(b.nt) AS BIGINT) AS total_tokens,
+       | CAST(sum(b.nc) AS BIGINT) AS total_chars,
+       | CAST(sum(CASE WHEN q.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       | CAST(sum(CASE WHEN q.keep THEN 1 ELSE 0 END) AS DOUBLE)
+       |   / CAST(count(*) AS DOUBLE) AS keep_rate,
+       | CAST(sum(b.nt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_tokens
+       |FROM base b JOIN qf q USING (doc_id)
+       |GROUP BY b.source ORDER BY b.source""".stripMargin.replace('\n', ' ')
+
   // ------------------------------------------------------ hash sampling
 
   /** 32-hex-char threshold for rate r: md5(id) < threshold keeps an

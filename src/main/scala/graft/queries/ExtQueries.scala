@@ -155,6 +155,13 @@ object ExtQueries {
         .orderBy("doc_id", "fingerprint"),
       Some(Dedup.winnowFingerprintsSql())),
 
+    // edit-distance near-dup: the SAME banded-LSH candidates as minhash,
+    // verified by normalized Levenshtein instead of set overlap
+    Q("q_editdist_neardup",
+      (s, dir) => Dedup.editDistNearDup(docs(s, dir))
+        .orderBy("doc_a", "doc_b"),
+      Some(Dedup.editDistNearDupSql())),
+
     // n-gram Jaccard near-dup over rare-shingle-blocked pairs
     Q("q_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccard(docs(s, dir))
@@ -375,6 +382,11 @@ object ExtQueries {
       (s, dir) => TextOps.qualityFilter(docs(s, dir)).orderBy("doc_id"),
       Some(TextOps.qualityFilterSql())),
 
+    // per-source domain scorecard: totals + quality-filter pass rate
+    Q("q_source_quality",
+      (s, dir) => TextOps.sourceQuality(docs(s, dir)).orderBy("source"),
+      Some(TextOps.sourceQualitySql())),
+
     // BPE merge induction: k rounds of tokenizer TRAINING (most frequent
     // pair -> merge everywhere -> recount), the learned merge table
     Q("q_bpe_merges",
@@ -392,6 +404,12 @@ object ExtQueries {
     Q("q_bpe_doc_tokens",
       (s, dir) => TextOps.bpeDocTokens(docs(s, dir)).orderBy("doc_id"),
       Some(TextOps.bpeDocTokensSql())),
+
+    // tokenizer fertility per language (pieces/word under the trained
+    // merges — the multilingual vocab-budget signal)
+    Q("q_bpe_fertility",
+      (s, dir) => TextOps.bpeFertility(docs(s, dir)).orderBy("lang"),
+      Some(TextOps.bpeFertilitySql())),
 
     // phrase/collocation scores (word2phrase: merge candidates before
     // tokenizer/embedding training)

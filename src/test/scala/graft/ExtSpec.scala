@@ -1071,6 +1071,91 @@ class ExtSpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("editDistNearDup: small in-place edit keeps, heavy rewrite drops, " +
+      "dist matches a scalar Levenshtein") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val t = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(a.length)
+    }
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val small = base.replace("w7", "x7")    // 1-char edit
+    val heavy = (1 to 30).map(i =>          // same shingle skeleton start,
+      if (i <= 24) s"w$i" else s"zzzzzzzz$i").mkString(" ") // long tail edit
+    val docs = docsDf(1L -> base, 2L -> small, 3L -> heavy)
+    val out = Dedup.editDistNearDup(docs, minSim = 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // (1,2): near-identical, must survive with the exact scalar distance
+    val want12 = lev(base, small).toLong
+    assert(out.contains((1L, 2L)))
+    assert(out((1L, 2L))._1 === want12)
+    assert(out((1L, 2L))._2 === math.max(base.length, small.length).toLong)
+    // (1,3)/(2,3) band-collide via the shared prefix but the rewritten
+    // tail pushes edit_sim under 0.9 -> dropped by the verifier
+    assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L)))
+    // and with the bar lowered they reappear with the scalar distance
+    val loose = Dedup.editDistNearDup(docs, minSim = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(loose((1L, 3L)) === lev(base, heavy).toLong)
+  }
+
+  test("bpeFertility: totals reconcile with bpeDocTokens on real docs") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.table(spark, sf(), "documents")
+    val got = graft.ext.TextOps.bpeFertility(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val want = graft.ext.TextOps.bpeDocTokens(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)), sum("n_words"), sum("n_bpe_tokens"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet === want.keySet && got.nonEmpty)
+    got.foreach { case (l, (nd, nw, nb, f)) =>
+      assert((nd, nw, nb) === want(l))
+      assert(f === nb.toDouble / nw.toDouble)
+      assert(f >= 1.0, "a word is never fewer than one piece")
+    }
+  }
+
+  test("sourceQuality: scorecard reconciles with direct aggregation") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.table(spark, sf(), "documents")
+    val got = graft.ext.TextOps.sourceQuality(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getDouble(5)))).toMap
+    val keep = graft.ext.TextOps.qualityFilter(docs)
+      .select(col("doc_id"), col("keep"))
+    val want = docs.join(keep, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)),
+        sum(graft.ext.TextOps.tokenCount(col("text")).cast("long")),
+        sum(when(col("keep"), 1L).otherwise(0L)))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet === want.keySet && got.nonEmpty)
+    got.foreach { case (s, (nd, nt, nk, rate)) =>
+      assert((nd, nt, nk) === want(s))
+      assert(rate === nk.toDouble / nd.toDouble)
+    }
+    // the synthetic corpus is word-soup: some sources must fail rules too
+    assert(got.values.exists(_._4 < 1.0) || got.values.forall(_._4 == 1.0))
+  }
+
   test("semDecontam: planted eval duplicate drops, orthogonal vector keeps") {
     import spark.implicits._
     def vec(hot: Int): Seq[Float] =
