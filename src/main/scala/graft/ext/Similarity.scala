@@ -399,20 +399,37 @@ object Similarity {
     * are exact, no epsilon. */
   def semDecontam(embeddings: DataFrame, evalLabel: Int = 0,
       tau: Double = 0.28): DataFrame = {
-    val base = parallelized(embeddings).select(col("vec_id"), col("label"),
-      col("embedding").cast("array<double>").as("emb"))
-      .withColumn("norm", sqrt(dotD(col("emb"), col("emb"))))
-    val eval = base.where(col("label") === evalLabel)
-      .select(col("emb").as("q_emb"), col("norm").as("q_norm"))
-    val corpus = base.where(col("label") =!= evalLabel)
-    eval.hint("broadcast").crossJoin(corpus)
-      .select(col("vec_id"),
-        (dotD(col("q_emb"), col("emb")) / (col("q_norm") * col("norm")))
-          .as("sim"))
+    val corpus = parallelized(embeddings)
+      .where(col("label") =!= evalLabel)
+      .select(col("vec_id"), col("embedding"))
+    scoreAgainstEval(corpus, evalSide(embeddings, evalLabel))
       .groupBy("vec_id").agg(max(col("sim")).as("max_eval_sim"))
       .select(col("vec_id"), col("max_eval_sim"),
         (col("max_eval_sim") < tau).as("kept"))
   }
+
+  /** The eval slice of [[semDecontam]] with left-fold norms — the
+    * bounded broadcast side, shared with the streaming twin
+    * ([[graft.streaming.Streaming.streamingSemDecontam]]). */
+  private[graft] def evalSide(embeddings: DataFrame, evalLabel: Int)
+      : DataFrame =
+    parallelized(embeddings).where(col("label") === evalLabel)
+      .select(col("embedding").cast("array<double>").as("q_emb"))
+      .withColumn("q_norm", sqrt(dotD(col("q_emb"), col("q_emb"))))
+
+  /** `(vec_id, sim)` of every input vector (batch OR stream — pure
+    * stateless expressions) against the broadcast eval side: the shared
+    * scoring kernel of [[semDecontam]] and its streaming twin, one
+    * identically-spelled [[dotD]] cosine per pair. */
+  private[graft] def scoreAgainstEval(vecs: DataFrame, eval: DataFrame)
+      : DataFrame =
+    vecs
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("norm", sqrt(dotD(col("emb"), col("emb"))))
+      .crossJoin(broadcast(eval))
+      .select(col("vec_id"),
+        (dotD(col("q_emb"), col("emb")) / (col("q_norm") * col("norm")))
+          .as("sim"))
 
   def semDecontamSql(evalLabel: Int = 0, tau: Double = 0.28): String =
     s"""WITH vecs AS (SELECT vec_id, label,

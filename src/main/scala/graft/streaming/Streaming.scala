@@ -1350,6 +1350,92 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** The eval-suite side of semantic decontamination, materialized
+    * batch-side for stream serving: `(q_emb, q_norm)` with the
+    * [[graft.ext.Similarity]] left-fold norms. Bounded by the benchmark
+    * suite — a broadcast table, zero collect. */
+  def semDecontamEvalRef(embeddings: DataFrame, evalLabel: Int = 0)
+      : DataFrame =
+    graft.ext.Similarity.evalSide(embeddings, evalLabel)
+      .localCheckpoint(true)
+
+  /** Semantic decontamination of a VECTOR STREAM — the ingest-time twin
+    * of [[graft.ext.Similarity.semDecontam]]: every arriving vector
+    * meets the broadcast eval suite inside its own partition (the batch
+    * op's exact join shape — the stream side never shuffles), cosines
+    * run through the same native [[graft.plans.ArrayDotProduct]]
+    * left-fold, and the per-vector max reassembles in a stateless
+    * flatMapGroupsWithState (a vector's pair rows are complete within
+    * its micro-batch — the [[streamingBigramScoreJoined]] stance). Max
+    * is order-independent exactly, so any replay of the corpus scores
+    * BIT-IDENTICALLY to the batch op (StreamingSpec). No state store. */
+  case class SemDecontamDecision(vec_id: Long, max_eval_sim: Double,
+      kept: Boolean)
+
+  def streamingSemDecontam(vecs: Dataset[(Long, Seq[Float])],
+      evalRef: DataFrame, tau: Double = 0.28)
+      : Dataset[SemDecontamDecision] = {
+    import vecs.sparkSession.implicits._
+    val scored = graft.ext.Similarity
+      .scoreAgainstEval(vecs.toDF("vec_id", "embedding"), evalRef)
+      .as[(Long, Double)]
+    def fn(id: Long, rows: Iterator[(Long, Double)],
+        state: GroupState[Boolean]): Iterator[SemDecontamDecision] = {
+      var m = Double.NegativeInfinity
+      var n = 0
+      rows.foreach { case (_, s) => n += 1; if (s > m) m = s }
+      if (n == 0) Iterator.empty
+      else Iterator.single(SemDecontamDecision(id, m, m < tau))
+    }
+    scored.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** UniMax budget enforcement on a DOCUMENT STREAM — the serving twin
+    * of [[graft.ext.Pipeline.unimaxApply]]: the language allocation
+    * trains batch-side ([[graft.ext.Pipeline.unimaxAlloc]], a bounded
+    * table) and broadcasts onto arriving `(doc_id, text, lang)` docs;
+    * state per language is ONE long (tokens admitted so far — state
+    * grows with the language inventory, not the stream). Within a
+    * micro-batch rows process in the batch op's md5 order, so a
+    * single-batch replay of the training corpus reproduces
+    * [[graft.ext.Pipeline.unimaxApply]] exactly; across batches
+    * admission is arrival-ordered ([[streamingTokenBudget]]'s stance).
+    * A language with no allocation row contributes nothing (no budget
+    * was granted). */
+  case class UnimaxDoc(doc_id: Long, lang: String, n_tokens: Long,
+      cum_tokens: Long)
+
+  def streamingUnimaxApply(docs: Dataset[(Long, String, String)],
+      alloc: DataFrame): Dataset[UnimaxDoc] = {
+    import docs.sparkSession.implicits._
+    def md5Key(id: Long): String =
+      graft.functions.md5Hex(id.toString.getBytes("UTF-8"))
+    val rows = docs.toDF("doc_id", "text", "lang")
+      .select(col("doc_id"), col("lang"),
+        graft.ext.TextOps.tokenCount(col("text")).cast("long")
+          .as("n_tokens"))
+      .join(broadcast(alloc), "lang")
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("alloc"))
+      .as[(Long, String, Long, Long)]
+    def fn(lang: String, it: Iterator[(Long, String, Long, Long)],
+        state: GroupState[Long]): Iterator[UnimaxDoc] = {
+      var cum = state.getOption.getOrElse(0L)
+      val out = Seq.newBuilder[UnimaxDoc]
+      it.toSeq.sortBy { case (id, _, _, _) => (md5Key(id), id) }
+        .foreach { case (id, _, n, budget) =>
+          cum += n
+          if (cum <= budget) out += UnimaxDoc(id, lang, n, cum)
+        }
+      state.update(cum)
+      out.result().iterator
+    }
+    rows.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** CCNet bucket boundaries trained batch-side: the per-language LAST
     * head / last middle (avg_logprob, doc_id) keys of
     * [[graft.ext.TextOps.pplBuckets]]'s tercile cut, plus the LM that

@@ -222,6 +222,35 @@ class PlanSpec extends SparkSpec {
       s"stats not shuffled on the group key:\n$p")
   }
 
+  test("semantic decontam broadcasts the eval suite; corpus max is partial") {
+    val p = plan("q_sem_decontam")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"eval suite not broadcast:\n$p")
+    assert(p.contains("partial_max"),
+      s"per-vector max not map-side partial:\n$p")
+  }
+
+  test("hash embedding: one partial aggregation over the token stream") {
+    val p = plan("q_hash_embed")
+    assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("unimax apply broadcasts the bounded allocation, windows by lang") {
+    val p = plan("q_unimax_apply")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"allocation table not broadcast:\n$p")
+    assert(p.contains("Window"), s"no per-lang selection window:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("edit-distance near-dup blocks on band keys — no cartesian") {
+    val p = plan("q_editdist_neardup")
+    assert(!p.contains("CartesianProduct"),
+      s"edit-distance verification degenerated to all-pairs:\n$p")
+  }
+
   test("trade filter is applied at the scan, before aggregation") {
     // updates derives is_trade from event_id, so the predicate appears as
     // the derived `% 3` condition in the Filter directly above the scan —

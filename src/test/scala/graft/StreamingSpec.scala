@@ -1000,6 +1000,73 @@ class StreamingSpec extends SparkSpec {
     assert(nOov === 2L && llrOov > 0d && selOov)
   }
 
+  test("streaming semantic decontam: corpus replay ≡ batch; novel vector " +
+      "scored against the frozen eval suite") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val embsDf = Tables.table(spark, sf("sf0.001"), "embeddings")
+    val ref = Streaming.semDecontamEvalRef(embsDf)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Streaming.streamingSemDecontam(in.toDS(), ref)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssemdc").start()
+    val corpus = embsDf.where(col("label") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    in.addData(corpus: _*)
+    q.processAllAvailable()
+    // a novel vector: copy of an eval vector -> max sim 1.0, dropped
+    val evalCopy = embsDf.where(col("label") === 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].head()
+    in.addData(99999L -> evalCopy._2)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssemdc")
+      .as[Streaming.SemDecontamDecision].collect()
+      .map(s => s.vec_id -> ((s.max_eval_sim, s.kept))).toMap
+    val batch = graft.ext.Similarity.semDecontam(embsDf).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(batch.nonEmpty && batch.keySet.forall(streamed.contains))
+    batch.foreach { case (v, want) =>
+      assert(streamed(v) === want, s"vec $v drift")
+    }
+    // self-cosine lands within one ulp of 1 (dot == norm² only up to
+    // the sqrt/multiply rounding), far above any sane tau -> dropped
+    assert(math.abs(streamed(99999L)._1 - 1.0) < 1e-12)
+    assert(!streamed(99999L)._2)
+  }
+
+  test("streaming unimax apply: md5-ordered replay ≡ batch; unbudgeted " +
+      "language contributes nothing") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = Tables.table(spark, sf("sf0.001"), "documents")
+    val alloc = graft.ext.Pipeline.unimaxAlloc(docsDf)
+      .select(col("lang"), col("alloc")).localCheckpoint(true)
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streaming.streamingUnimaxApply(in.toDS(), alloc)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sunimax").start()
+    in.addData((docsDf.select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)].collect() :+
+      ((99999L, "a b c", "tlh"))): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sunimax").as[Streaming.UnimaxDoc].collect()
+      .map(d => d.doc_id -> ((d.lang, d.n_tokens, d.cum_tokens))).toMap
+    val batch = graft.ext.Pipeline.unimaxApply(docsDf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(batch.nonEmpty)
+    assert(streamed.keySet === batch.keySet,
+      "replay must admit exactly the batch selection")
+    batch.foreach { case (d, want) => assert(streamed(d) === want) }
+    assert(!streamed.contains(99999L), "unbudgeted language admitted")
+  }
+
   test("streaming ppl bucket: training replay ≡ batch terciles; novel " +
       "docs cut by the frozen boundary keys; unknown lang flagged") {
     import org.apache.spark.sql.functions.col
