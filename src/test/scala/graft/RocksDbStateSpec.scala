@@ -301,4 +301,57 @@ class RocksDbStateSpec extends SparkSpec {
       assert(gotB === batchB)
     }
   }
+
+  test("late round-9 scorers under RocksDB: unimax budget crosses " +
+      "batches, ppl buckets replay ≡ batch") {
+    withRocksDb {
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+
+      // unimax: per-lang cum state must survive the batch boundary
+      val alloc = Seq(("xx", 10L)).toDF("lang", "alloc")
+        .localCheckpoint(true)
+      val inU = MemoryStream[(Long, String, String)]
+      val qU = Streaming.streamingUnimaxApply(inU.toDS(), alloc)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("rdbunimax").start()
+      inU.addData((1L, "a b c d", "xx"), (2L, "e f g h", "xx"))
+      qU.processAllAvailable()
+      inU.addData((3L, "i j k l", "xx")) // cum 12 > 10: over budget
+      qU.processAllAvailable()
+      val progU = qU.lastProgress.json
+      qU.stop()
+      assert(progU.toLowerCase.contains("rocksdb"),
+        "unimax: provider not engaged")
+      val gotU = spark.table("rdbunimax").as[Streaming.UnimaxDoc]
+        .collect().map(d => d.doc_id -> d.cum_tokens).toMap
+      assert(gotU.keySet === Set(1L, 2L) && gotU.values.max === 8L,
+        s"cross-batch budget state broken: $gotU")
+
+      // ppl buckets: planted one-lang corpus, replay ≡ batch terciles
+      val corpus = Seq(
+        (1L, "a a a a a a", "xx"), (2L, "a a a a a b", "xx"),
+        (3L, "a a a a b b", "xx"), (4L, "a a a b b b", "xx"),
+        (5L, "a a b b b c", "xx"), (6L, "a b c a b c", "xx"))
+      val corpusDf = corpus.toDF("doc_id", "text", "lang")
+      val inP = MemoryStream[(Long, String, String)]
+      val qP = Streaming.streamingPplBucket(inP.toDS(),
+          Streaming.pplBoundsOf(corpusDf))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("rdbppl").start()
+      inP.addData(corpus: _*)
+      qP.processAllAvailable()
+      val progP = qP.lastProgress.json
+      qP.stop()
+      assert(progP.toLowerCase.contains("rocksdb"),
+        "ppl: provider not engaged")
+      val gotP = spark.table("rdbppl").as[Streaming.PplBucketScore]
+        .collect().map(s => s.doc_id -> s.bucket).toMap
+      val batchP = graft.ext.TextOps.pplBuckets(corpusDf).collect()
+        .map(r => r.getLong(0) -> r.getString(4)).toMap
+      assert(gotP === batchP && batchP.values.toSet ===
+        Set("head", "middle", "tail"))
+    }
+  }
 }
