@@ -518,6 +518,73 @@ object Pipeline {
        |WHERE cum_tokens <= $budget
        |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
 
+  /** Per-document n-gram novelty — the template/boilerplate detector on
+    * the CORPUS axis: a document's gram is novel when no lower-id
+    * document contains it, and the novelty ratio is the share of the
+    * doc's distinct grams that are corpus-first-seen. Template spam and
+    * mirrored content sit near 0; original text near 1. (The dedup
+    * family asks "who shares grams with whom"; this asks each doc "did
+    * you bring anything new" — the audit number curation dashboards
+    * track per crawl snapshot.)
+    *
+    * Scale shape: one distinct gram stream, one per-gram min aggregate
+    * (map-side combine on the gram key), one equi-join back, one
+    * per-doc aggregate — [[dupSpans]]' exact layout, no pair surface. */
+  def gramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val g = gramStream(docs, n).distinct()
+    val firstDoc = g.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+    g.join(firstDoc, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+  }
+
+  def gramNoveltySql(n: Int = 3): String =
+    s"""WITH g AS (SELECT DISTINCT doc_id, g FROM (${gramStreamSql(n)})),
+       |fd AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g)
+       |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       | CAST(sum(CASE WHEN fd.first_doc = g.doc_id THEN 1 ELSE 0 END)
+       |  AS BIGINT) AS n_novel,
+       | CAST(sum(CASE WHEN fd.first_doc = g.doc_id THEN 1 ELSE 0 END)
+       |   AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+       |FROM g JOIN fd USING (g)
+       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+      .replace('\n', ' ')
+
+  /** Sequence-length histogram per source — the packing/loader audit
+    * table: document token counts bucketed at explicit power-of-2 edges
+    * (integer comparisons only, no float log2 at the boundary). Reads
+    * directly against `seqLen` choices: everything in the 256+ bucket
+    * will be chunked by [[packSequences]], the <16 tail is
+    * filter-fodder. Bounded output (sources × 6 buckets); map-side
+    * partial combine. */
+  def lenHist(docs: DataFrame): DataFrame = {
+    val nt = TextOps.tokenCount(col("text")).cast("long")
+    val edges = Seq(16L, 32L, 64L, 128L, 256L)
+    val bucket = edges.foldRight(lit(256L): Column) { (e, acc) =>
+      when(nt < e, if (e == 16L) 0L else e / 2).otherwise(acc)
+    }
+    docs.select(col("source"), nt.as("nt"), bucket.as("bucket_lo"))
+      .groupBy("source", "bucket_lo")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"))
+  }
+
+  def lenHistSql(): String = {
+    val nt = s"CAST(${TextOps.tokenCountSql} AS BIGINT)"
+    s"""SELECT source, bucket_lo, CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(nt) AS BIGINT) AS total_tokens
+       |FROM (SELECT source, $nt AS nt,
+       |  CASE WHEN $nt < 16 THEN 0 WHEN $nt < 32 THEN 16
+       |   WHEN $nt < 64 THEN 32 WHEN $nt < 128 THEN 64
+       |   WHEN $nt < 256 THEN 128 ELSE 256 END AS bucket_lo
+       | FROM documents)
+       |GROUP BY source, bucket_lo
+       |ORDER BY source, bucket_lo""".stripMargin.replace('\n', ' ')
+  }
+
   /** UniMax language-budget allocation (Chung et al. 2023): distribute a
     * total token budget across languages under a per-language repeat cap
     * — no language may be sampled past `maxEpochs` epochs of its own

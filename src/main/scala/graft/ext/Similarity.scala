@@ -964,6 +964,42 @@ object Similarity {
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
       .replace('\n', ' ')
 
+  /** Cluster-balanced (diversity) sampling — the embedding-space analog
+    * of [[graft.ext.Pipeline.sourceCap]], the D4/DCLM-family step that
+    * bounds any one SEMANTIC mode's share of the corpus the way a
+    * domain cap bounds a crawl host: at most `cap` vectors per
+    * bit-exact k-means cell, chosen in the deterministic md5 order (the
+    * same stable-subset contract as the source/token caps — reruns,
+    * repartitions, and cluster sizes all pick the same survivors).
+    *
+    * Scale shape: assignment is [[centRank]]'s broadcast argmin
+    * (map-side); the cap is one window per cell — key-bounded shuffle,
+    * and under the [[semCellsFor]] constant-cell-size dial the heaviest
+    * cell stays ~targetCell at any corpus size, so no task outgrows its
+    * peers. */
+  def cellBalance(embeddings: DataFrame, kCells: Int = 8, iters: Int = 2,
+      cap: Int = 32): DataFrame = {
+    val (vecs, cents) = kmeansLoop(embeddings, kCells, iters)
+    val assigned = centRank(vecs, cents).where(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val w = Window.partitionBy("cell")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    assigned
+      .withColumn("rank_in_cell", row_number().over(w).cast("long"))
+      .where(col("rank_in_cell") <= cap)
+  }
+
+  def cellBalanceSql(kCells: Int = 8, iters: Int = 2,
+      cap: Int = 32): String =
+    s"""WITH ${kmeansCtesSql(kCells, iters)},
+       |assigned AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+       |sel AS (SELECT vec_id, cell, CAST(row_number() OVER (
+       |   PARTITION BY cell ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+       |  AS BIGINT) AS rank_in_cell FROM assigned)
+       |SELECT vec_id, cell, rank_in_cell FROM sel
+       |WHERE rank_in_cell <= $cap
+       |ORDER BY vec_id""".stripMargin.replace('\n', ' ')
+
   /** SemDeDup ("SemDeDup: Data-efficient learning at web-scale through
     * semantic deduplication", Abbas et al. 2023), restated
     * deterministic: k-means cells partition the embedding space (the

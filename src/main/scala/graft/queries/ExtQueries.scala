@@ -318,6 +318,15 @@ object ExtQueries {
       Some(Similarity.semDedupSql(
         Similarity.semCellsFor(oracleEmbCount), threshold = 0.25))),
 
+    // cluster-balanced diversity sampling: at most cap vectors per
+    // k-means cell, md5-stable choice (the semantic sourceCap)
+    Q("q_cell_balance",
+      (s, dir) => Similarity.cellBalance(embs(s, dir),
+          Similarity.semCellsFor(embCount(dir)))
+        .orderBy("vec_id"),
+      Some(Similarity.cellBalanceSql(
+        Similarity.semCellsFor(oracleEmbCount)))),
+
     // token counting
     Q("q_token_count",
       (s, dir) => docs(s, dir)
@@ -495,6 +504,11 @@ object ExtQueries {
       (s, dir) => Pipeline.decontaminate(docs(s, dir)).orderBy("doc_id"),
       Some(Pipeline.decontaminateSql())),
 
+    // per-doc n-gram novelty: share of grams first seen in this doc
+    Q("q_gram_novelty",
+      (s, dir) => Pipeline.gramNovelty(docs(s, dir)).orderBy("doc_id"),
+      Some(Pipeline.gramNoveltySql())),
+
     // cross-doc duplicated-span fraction (exact-substring dedup signal)
     Q("q_dup_spans",
       (s, dir) => Pipeline.dupSpans(docs(s, dir)).orderBy("doc_id"),
@@ -565,6 +579,12 @@ object ExtQueries {
     Q("q_unimax_apply",
       (s, dir) => Pipeline.unimaxApply(docs(s, dir)).orderBy("doc_id"),
       Some(Pipeline.unimaxApplySql())),
+
+    // sequence-length histogram per source (power-of-2 edges)
+    Q("q_len_hist",
+      (s, dir) => Pipeline.lenHist(docs(s, dir))
+        .orderBy("source", "bucket_lo"),
+      Some(Pipeline.lenHistSql())),
 
     // mixture audit table: per (source, lang) doc/token/char totals
     Q("q_corpus_stats",

@@ -1156,6 +1156,27 @@ class ExtSpec extends SparkSpec {
     assert(got.values.exists(_._4 < 1.0) || got.values.forall(_._4 == 1.0))
   }
 
+  test("cellBalance: cap binds per cell, small cells keep everything, " +
+      "choice is md5-stable") {
+    // two tight planted poles -> two cells: a 6-member pole capped at 4,
+    // a 2-member pole kept whole
+    def pole(hot: Int, i: Long): (Long, Seq[Float]) =
+      i -> Seq.tabulate(64)(d =>
+        (if (d == hot) 10f else 0f) + (i % 3) * 0.01f)
+    val embs = embsDf(((0L until 6L).map(pole(0, _)) ++
+      (10L until 12L).map(pole(40, _))): _*)
+    val out = Similarity.cellBalance(embs, kCells = 2, cap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val byCell = Similarity.cellBalance(embs, kCells = 2, cap = 4)
+      .collect().groupBy(_.getLong(1))
+    assert(byCell.values.map(_.length).toSeq.sorted === Seq(2, 4))
+    assert(out.forall(_._2 <= 4L))
+    // deterministic: a rerun picks the identical survivor set
+    val again = Similarity.cellBalance(embs, kCells = 2, cap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
   test("semDecontam: planted eval duplicate drops, orthogonal vector keeps") {
     import spark.implicits._
     def vec(hot: Int): Seq[Float] =

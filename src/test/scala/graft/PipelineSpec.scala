@@ -530,6 +530,45 @@ class PipelineSpec extends SparkSpec {
     out.values.foreach { case (llr, sel) => assert(sel === (llr > 0d)) }
   }
 
+  test("gramNovelty: original doc 1.0, verbatim copy 0.0, partial copy " +
+      "in between; n-grams shorter than n emit no row") {
+    val docs = docsDf(
+      1L -> "a b c d e f",          // all grams first-seen here
+      2L -> "a b c d e f",          // verbatim copy: nothing novel
+      3L -> "a b c x y z",          // half copied, half fresh
+      4L -> "q r")                  // 2 words < n=3: no grams, no row
+    val out = Pipeline.gramNovelty(docs, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) === ((4L, 4L, 1.0)))
+    assert(out(2L) === ((4L, 0L, 0.0)))
+    // doc3 grams: "a b c" (seen), "b c x", "c x y", "x y z" (novel)
+    assert(out(3L) === ((4L, 3L, 0.75)))
+  }
+
+  test("lenHist: power-of-2 edges honored at the boundary, totals " +
+      "reconcile on real docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val boundary = Seq(
+      (1L, Seq.fill(15)("w").mkString(" "), "s"),  // 15 -> bucket 0
+      (2L, Seq.fill(16)("w").mkString(" "), "s"),  // 16 -> bucket 16
+      (3L, Seq.fill(255)("w").mkString(" "), "s"), // 255 -> bucket 128
+      (4L, Seq.fill(256)("w").mkString(" "), "s")) // 256 -> bucket 256
+      .toDF("doc_id", "text", "source")
+    val got = Pipeline.lenHist(boundary).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got === Map(0L -> 1L, 16L -> 1L, 128L -> 1L, 256L -> 1L))
+    val docs = Tables.table(spark, sf(), "documents")
+    val hist = Pipeline.lenHist(docs)
+    val totals = hist.agg(sum("n_docs"), sum("total_tokens")).head()
+    assert(totals.getLong(0) === docs.count())
+    val want = docs.agg(
+      sum(graft.ext.TextOps.tokenCount(col("text")).cast("long"))).head()
+    assert(totals.getLong(1) === want.getLong(0))
+  }
+
   /** Scalar water-filling twin of [[Pipeline.unimaxAlloc]]: process
     * languages in ascending (cap, lang) order; each takes its cap while
     * cap fits the floor fair share of what remains, and from the first
