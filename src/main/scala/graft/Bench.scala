@@ -155,9 +155,13 @@ object Bench {
     println(line)
     // ALSO write the line to a file: the driver's stdout tail-capture
     // truncated BENCH_r04 ("parsed": null) — a file can't be truncated by
-    // whatever buffers sit between println and the capture
+    // whatever buffers sit between println and the capture. Filtered
+    // (SPARK_GRAFT_BENCH_ONLY) A/B runs write their own file: a subset
+    // line must never clobber the round's full-sweep bench.json (which
+    // is exactly what the r9 isolated attribution run did to the r8 one).
+    val outFile = if (only.isDefined) "bench_isolated.json" else "bench.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench.json"), line + "\n")
+      java.nio.file.Paths.get(outFile), line + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }
