@@ -895,6 +895,76 @@ object Pipeline {
        |FROM tot t LEFT JOIN ka k USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin.replace('\n', ' ')
 
+  /** INTRA-document repeated-gram removal — the within-page cousin of
+    * [[dupSpansRemoved]]: an n-gram occurrence is a repeat when the SAME
+    * doc contains it at an earlier position; repeat start-positions
+    * coalesce to maximal islands (the same gaps-and-islands move) whose
+    * covered words are cut, first occurrences kept, survivors
+    * reassembled in order. Catches what cross-doc dedup is blind to by
+    * construction: nav boilerplate repeated down one page, chorus/verse
+    * repeats, copy-paste stutter.
+    *
+    * Scale shape: one (doc_id, gram) min aggregate, per-doc windows and
+    * joins only — every stage is bounded by the document's own length,
+    * no cross-doc surface at all (embarrassingly parallel over docs). */
+  def intradocDedup(docs: DataFrame, n: Int = 3): DataFrame = {
+    val gp = gramStreamPos(docs, n)
+    val firstPos = gp.groupBy("doc_id", "g")
+      .agg(min(col("pos")).as("first_pos"))
+    val hits = gp.join(firstPos, Seq("doc_id", "g"))
+      .where(col("pos") > col("first_pos"))
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = hits
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (n - 1)).as("e"))
+    val covered = spans.select(col("doc_id"),
+      explode(sequence(col("s"), col("e"))).as("pos")).distinct()
+    val words = wordStream(docs)
+    val kept = words.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("clean_text"))
+    words.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  def intradocDedupSql(n: Int = 3): String =
+    s"""WITH gramsp AS (${gramStreamPosSql(n)}),
+       |fp AS (SELECT doc_id, g, min(pos) AS first_pos FROM gramsp
+       | GROUP BY doc_id, g),
+       |hits AS (SELECT gp.doc_id, gp.pos FROM gramsp gp
+       | JOIN fp ON fp.doc_id = gp.doc_id AND fp.g = gp.g
+       | WHERE gp.pos > fp.first_pos),
+       |isl AS (SELECT doc_id, pos,
+       | pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       | FROM hits),
+       |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + ${n - 1} AS e
+       | FROM isl GROUP BY doc_id, grp),
+       |covered AS (SELECT DISTINCT doc_id, pos FROM (
+       | SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM spans)),
+       |words AS ($wordStreamSql),
+       |kept AS (SELECT w.doc_id, w.pos, w.w FROM words w
+       | WHERE NOT EXISTS (SELECT 1 FROM covered c
+       |  WHERE c.doc_id = w.doc_id AND c.pos = w.pos)),
+       |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       | string_agg(w, ' ' ORDER BY pos) AS clean_text
+       | FROM kept GROUP BY doc_id),
+       |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words
+       | FROM words GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_words,
+       | t.n_words - coalesce(k.n_kept, 0) AS n_removed,
+       | coalesce(k.clean_text, '') AS clean_text
+       |FROM tot t LEFT JOIN ka k USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin.replace('\n', ' ')
+
   // --------------------------------------------- chunk-level (line) dedup
 
   /** Chunk-level dedup (the RefinedWeb/CCNet LINE-dedup shape restated

@@ -978,13 +978,14 @@ object Similarity {
     * cell stays ~targetCell at any corpus size, so no task outgrows its
     * peers. */
   def cellBalance(embeddings: DataFrame, kCells: Int = 8, iters: Int = 2,
-      cap: Int = 32): DataFrame = {
-    val (vecs, cents) = kmeansLoop(embeddings, kCells, iters)
-    val assigned = centRank(vecs, cents).where(col("rn") === 1)
-      .select(col("vec_id"), col("cid").as("cell"))
+      cap: Int = 32): DataFrame =
+    cellBalanceFrom(cellAssignment(embeddings, kCells, iters), cap)
+
+  /** [[cellBalance]] running on a precomputed [[cellAssignment]]. */
+  def cellBalanceFrom(assigned: DataFrame, cap: Int): DataFrame = {
     val w = Window.partitionBy("cell")
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-    assigned
+    assigned.select(col("vec_id"), col("cell"))
       .withColumn("rank_in_cell", row_number().over(w).cast("long"))
       .where(col("rank_in_cell") <= cap)
   }
@@ -1018,16 +1019,30 @@ object Similarity {
     * The sim chain is the identically-spelled double fold both engines
     * evaluate ([[cosineNearDup]]'s portability contract). */
   def semDedup(embeddings: DataFrame, kCells: Int = 8, iters: Int = 2,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8): DataFrame =
+    semDedupFrom(cellAssignment(embeddings, kCells, iters), threshold)
+
+  /** The trained-and-checkpointed `(vec_id, cell, emb, norm)` table the
+    * whole cell family reads — [[semDedup]]'s pair pass and
+    * [[cellBalance]]'s cap both consume the SAME assignment, so a
+    * pipeline that runs several cell-keyed passes (exactly what a
+    * curation stack does: dedup + balance + audit off one clustering)
+    * trains ONCE and shares the artifact (the registry memoizes it per
+    * (session, dir), the [[graft.queries.ExtQueries]] pairsFor pattern).
+    * Both sides of the pair join read it — eager localCheckpoint, the
+    * ivfTrainedTopK ranked-reuse move. */
+  private[graft] def cellAssignment(embeddings: DataFrame, kCells: Int,
+      iters: Int): DataFrame = {
     val (vecs, cents) = kmeansLoop(embeddings, kCells, iters)
-    // both sides of the pair join read the assignment — checkpoint it
-    // once (ivfTrainedTopK's ranked-reuse pattern) instead of running
-    // the argmin window twice
-    val assigned = centRank(vecs, cents).where(col("rn") === 1)
+    centRank(vecs, cents).where(col("rn") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
       .join(vecs, "vec_id")
       .withColumn("norm", sqrt(dotD(col("emb"), col("emb"))))
       .localCheckpoint(true)
+  }
+
+  /** [[semDedup]] running on a precomputed [[cellAssignment]]. */
+  def semDedupFrom(assigned: DataFrame, threshold: Double): DataFrame = {
     val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
       col("emb").as("a_emb"), col("norm").as("a_norm"))
     val dups = a.join(assigned, Seq("cell"))

@@ -530,6 +530,29 @@ class PipelineSpec extends SparkSpec {
     out.values.foreach { case (llr, sel) => assert(sel === (llr > 0d)) }
   }
 
+  test("intradocDedup: copy-paste stutter cut, first occurrence kept, " +
+      "cross-doc repeats untouched") {
+    val docs = docsDf(
+      1L -> "p q r s p q r s",    // verbatim self-repeat
+      2L -> "a b c d e f",        // clean
+      3L -> "a b c d e f")        // cross-doc dup: NOT this op's business
+    val out = Pipeline.intradocDedup(docs, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    // doc1 grams repeat at pos 5,6 -> island [5,6] -> covers words 5..8
+    assert(out(1L) === ((8L, 4L, "p q r s")))
+    assert(out(2L) === ((6L, 0L, "a b c d e f")))
+    assert(out(3L) === ((6L, 0L, "a b c d e f")),
+      "cross-doc duplication must not trigger intra-doc removal")
+    // separated repeats stay separate islands; middles survive
+    val sep = Pipeline.intradocDedup(
+      docsDf(9L -> "x y z m m m x y z k k k x y z"), n = 3).collect()
+      .map(r => (r.getLong(2), r.getString(3))).head
+    // grams "x y z" repeat at 7 and 13 -> two islands [7..9], [13..15]
+    assert(sep._2 === "x y z m m m k k k")
+    assert(sep._1 === 6L)
+  }
+
   test("gramNovelty: original doc 1.0, verbatim copy 0.0, partial copy " +
       "in between; n-grams shorter than n emit no row") {
     val docs = docsDf(
