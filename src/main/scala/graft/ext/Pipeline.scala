@@ -713,6 +713,67 @@ object Pipeline {
        |WHERE s.cum_tokens <= a.alloc
        |ORDER BY s.doc_id""".stripMargin.replace('\n', ' ')
 
+  /** Temperature-scaled language sampling (the multilingual-BERT /
+    * XLM-R `p_l ∝ n_l^α` classic) — the OTHER canonical allocator next
+    * to [[unimaxAlloc]]'s water-filling: raw proportional sampling
+    * drowns low-resource languages, uniform over-repeats them;
+    * temperature α ∈ (0,1) interpolates. Fixed at α = 1/2 (T = 2), the
+    * one exponent where the power is an IEEE-*correctly-rounded*
+    * primitive (`sqrt`) on every engine — `pow(x, 0.3)` is libm-lottery,
+    * `sqrt(x)` is bit-portable by spec.
+    *
+    * Portability shape: the temperature weight is quantized to an
+    * INTEGER (`floor(sqrt(n_l)·1e6)`) before the cross-language sum, so
+    * the normalizer is an exact integer no matter the aggregation order
+    * — the same order-independence contract as the classifier's
+    * fixed-point gradients; each emitted probability is then ONE IEEE
+    * division of identical operands. The per-lang allocation avoids
+    * 64-bit overflow of `budget·wq` by going through exact-rounded
+    * double multiply+floor (`budget·(wq/W)`), identically spelled on
+    * both engines. Language table is bounded — every window below is
+    * LocalRelation-class at any corpus size. */
+  def mixtureTemp(docs: DataFrame, budgetNum: Int = 1,
+      budgetDen: Int = 1): DataFrame = {
+    val full = Window.orderBy("lang").rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    graft.functions.parallelized(docs)
+      .select(col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("nt"))
+      .groupBy("lang").agg(sum(col("nt")).as("n_tokens"))
+      .withColumn("wq",
+        floor(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+      .withColumn("n_total", sum(col("n_tokens")).over(full))
+      .withColumn("w_total", sum(col("wq")).over(full))
+      .withColumn("budget",
+        expr(s"(n_total * $budgetNum) div $budgetDen"))
+      .select(col("lang"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_total").cast("double"))
+          .as("p_raw"),
+        (col("wq").cast("double") / col("w_total").cast("double"))
+          .as("p_temp"),
+        floor(col("budget").cast("double") *
+            (col("wq").cast("double") / col("w_total").cast("double")))
+          .cast("long").as("alloc"))
+  }
+
+  def mixtureTempSql(budgetNum: Int = 1, budgetDen: Int = 1): String =
+    s"""WITH tl AS (SELECT lang,
+       |  CAST(sum(CAST(${TextOps.tokenCountSql} AS BIGINT)) AS BIGINT)
+       |   AS n_tokens
+       | FROM documents GROUP BY lang),
+       |w AS (SELECT lang, n_tokens,
+       |  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1.0e6) AS BIGINT)
+       |   AS wq FROM tl),
+       |t AS (SELECT *, CAST(sum(n_tokens) OVER () AS BIGINT) AS n_total,
+       |  CAST(sum(wq) OVER () AS BIGINT) AS w_total FROM w)
+       |SELECT lang, n_tokens,
+       | CAST(n_tokens AS DOUBLE) / CAST(n_total AS DOUBLE) AS p_raw,
+       | CAST(wq AS DOUBLE) / CAST(w_total AS DOUBLE) AS p_temp,
+       | CAST(floor(CAST((n_total * $budgetNum) // $budgetDen AS DOUBLE)
+       |   * (CAST(wq AS DOUBLE) / CAST(w_total AS DOUBLE))) AS BIGINT)
+       |  AS alloc
+       |FROM t ORDER BY lang""".stripMargin.replace('\n', ' ')
+
   /** The mixture audit table every pipeline builds before training: per
     * (source, lang) — document count, total tokens, total chars, and the
     * doc-length extremes. This is the artifact a data lead reads to set

@@ -408,6 +408,14 @@ object ExtQueries {
       (s, dir) => TextOps.qualityFilter(docs(s, dir)).orderBy("doc_id"),
       Some(TextOps.qualityFilterSql())),
 
+    // distilled quality classifier: class-weighted linear probe trained
+    // by fixed-point (order-independent) distributed gradient descent
+    // to mimic the rule cascade — the fastText-distillation pattern
+    Q("q_quality_classifier",
+      (s, dir) => TextOps.qualityClassifier(docs(s, dir))
+        .orderBy("doc_id"),
+      Some(TextOps.qualityClassifierSql())),
+
     // per-source domain scorecard: totals + quality-filter pass rate
     Q("q_source_quality",
       (s, dir) => TextOps.sourceQuality(docs(s, dir)).orderBy("source"),
@@ -602,6 +610,13 @@ object ExtQueries {
     Q("q_unimax_apply",
       (s, dir) => Pipeline.unimaxApply(docs(s, dir)).orderBy("doc_id"),
       Some(Pipeline.unimaxApplySql())),
+
+    // temperature-scaled sampling (p ∝ n^α at α=1/2 — the one exponent
+    // where the power is bit-portable sqrt); integer-quantized weights
+    // so the normalizer is order-independent
+    Q("q_mixture_temp",
+      (s, dir) => Pipeline.mixtureTemp(docs(s, dir)).orderBy("lang"),
+      Some(Pipeline.mixtureTempSql())),
 
     // sequence-length histogram per source (power-of-2 edges)
     Q("q_len_hist",

@@ -153,6 +153,26 @@ class ExtSpec extends SparkSpec {
     assert(keep(3L)._1 === false && keep(3L)._3 === false) // len_ok fails
   }
 
+  test("qualityClassifier: beats the all-keep baseline on real docs, " +
+      "detects the drop class, and is run-to-run deterministic") {
+    import graft.ext.TextOps
+    val docs = Tables.table(spark, sf(), "documents")
+    val out = TextOps.qualityClassifier(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2),
+        r.getBoolean(3)))
+    val n = out.length.toDouble
+    val acc = out.count(r => r._3 == r._4) / n
+    val base = out.count(_._4) / n // predict-all-keep accuracy
+    assert(acc > base,
+      s"classifier accuracy $acc must beat the all-keep baseline $base")
+    assert(out.exists(!_._3), "minority drop class must be detected")
+    // fixed-point gradients => bit-identical weights on any run/order
+    val again = TextOps.qualityClassifier(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.map(r => (r._1, r._2)).sortBy(_._1).toSeq ===
+      again.sortBy(_._1).toSeq)
+  }
+
   test("cosineNearDup: planted duplicate embedding found with sim ~ 1") {
     val v = Seq.tabulate(64)(i => math.sin(i + 1).toFloat)
     val u = Seq.tabulate(64)(i => math.cos(3 * i + 2).toFloat)

@@ -657,6 +657,27 @@ class PipelineSpec extends SparkSpec {
     assert(budgetBound.exists(_._1 == "en"))
   }
 
+  test("mixtureTemp: strict flattening at the extremes, rank preserved, " +
+      "allocation conserves the budget") {
+    val docs = Tables.table(spark, sf(), "documents")
+    val rows = Pipeline.mixtureTemp(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.length > 2)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
+    // sqrt-temperature flattens: the dominant language loses share, the
+    // rarest gains; the ranking is preserved (monotone transform)
+    assert(rows.maxBy(_._3)._4 < rows.map(_._3).max)
+    assert(rows.minBy(_._3)._4 > rows.map(_._3).min)
+    assert(rows.sortBy(_._3).map(_._1).toSeq ===
+      rows.sortBy(_._4).map(_._1).toSeq)
+    // floor'd allocations never oversubscribe one epoch of the corpus
+    val nTotal = rows.map(_._2).sum
+    assert(rows.map(_._5).sum <= nTotal)
+    assert(rows.forall(r => r._5 > 0))
+  }
+
   test("unimaxApply: per-lang token totals never exceed the allocation; " +
       "cap-bound langs keep every document") {
     import org.apache.spark.sql.functions._
