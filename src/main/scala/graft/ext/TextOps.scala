@@ -923,17 +923,22 @@ object TextOps {
     * the expensive rule cascade, then serve the model). Centering
     * constants are FIXED (not data-derived) so the feature map needs no
     * extra corpus pass and is identical at every scale. */
-  private def classifierFeatures(docs: DataFrame): DataFrame =
+  /** The x-side alone — pure per-row expressions over `(doc_id, text)`,
+    * no joins, so the SAME map serves a STREAM (ingest-time scoring,
+    * [[graft.streaming.Streaming.streamingQualityScore]]). */
+  private[graft] def classifierXFeatures(docs: DataFrame): DataFrame =
     quality(docs)
-      .select(col("doc_id"), col("n_tokens"), col("mean_token_len"),
-        col("stopword_ratio"), col("space_ratio"))
-      .join(qualityFilter(docs).select(col("doc_id"), col("keep")),
-        "doc_id")
       .select(col("doc_id"),
         (lnQ(col("n_tokens").cast("double")) / 8.0 - 0.5).as("x1"),
         (col("mean_token_len") / 8.0 - 0.625).as("x2"),
         (col("stopword_ratio") - 0.05).as("x3"),
-        (col("space_ratio") - 0.15).as("x4"),
+        (col("space_ratio") - 0.15).as("x4"))
+
+  private def classifierFeatures(docs: DataFrame): DataFrame =
+    classifierXFeatures(docs)
+      .join(qualityFilter(docs).select(col("doc_id"), col("keep")),
+        "doc_id")
+      .select(col("doc_id"), col("x1"), col("x2"), col("x3"), col("x4"),
         when(col("keep"), lit(1.0)).otherwise(lit(0.0)).as("y"))
 
   private def classifierFeaturesSql: String =
@@ -970,10 +975,16 @@ object TextOps {
     * `iters` passes reduces 5 quantized sums (a 6-value driver
     * round-trip per iteration — the same bounded-model-aggregate class
     * as kmeansLoop's centroid collect). */
-  def qualityClassifier(docs: DataFrame, iters: Int = 24,
-      eta: Double = 1.0): DataFrame = {
-    val f = graft.functions.parallelized(classifierFeatures(docs))
-      .localCheckpoint(true)
+  /** The linear-probe score head: `z = b + Σ wᵢ·xᵢ` in the fixed fold
+    * order both engines spell. */
+  private[graft] def classifierZ(w: Array[Double]): Column =
+    Seq(col("x1"), col("x2"), col("x3"), col("x4")).zipWithIndex
+      .foldLeft(lit(w(0)): Column) {
+        case (acc, (x, i)) => acc + lit(w(i + 1)) * x
+      }
+
+  private def trainOn(f: DataFrame, iters: Int, eta: Double)
+      : Array[Double] = {
     val Array(nPos, nNeg) = f.agg(
       sum(when(col("y") === 1.0, 1L).otherwise(0L)),
       sum(when(col("y") === 0.0, 1L).otherwise(0L)))
@@ -981,15 +992,10 @@ object TextOps {
     require(nNeg > 0 && nPos > 0,
       "degenerate label: classifier needs both classes")
     val cw = nPos.toDouble / nNeg.toDouble
-    val xs = Seq(col("x1"), col("x2"), col("x3"), col("x4"))
-    def z(w: Array[Double]): Column =
-      xs.zipWithIndex.foldLeft(lit(w(0)): Column) {
-        case (acc, (x, i)) => acc + lit(w(i + 1)) * x
-      }
     var w = Array.fill(5)(0.0)
     val dec = "decimal(38,0)"
     for (_ <- 1 to iters) {
-      val gd = (z(w) - col("y")) *
+      val gd = (classifierZ(w) - col("y")) *
         when(col("y") === 0.0, lit(cw)).otherwise(lit(1.0))
       val row = f.agg(
         count(lit(1)),
@@ -1003,8 +1009,30 @@ object TextOps {
         wj - eta * ((row.getDecimal(j + 1).doubleValue() / 1e9) / n)
       }
     }
-    f.select(col("doc_id"), z(w).as("score"),
-      (z(w) >= 0.5).as("keep_pred"),
+    w
+  }
+
+  /** Train the probe and return the 5 weights (bias, w1..w4) — the
+    * model artifact the streaming serving path broadcasts. */
+  def trainQualityClassifier(docs: DataFrame, iters: Int = 24,
+      eta: Double = 1.0): Array[Double] =
+    trainOn(graft.functions.parallelized(classifierFeatures(docs))
+      .localCheckpoint(true), iters, eta)
+
+  /** Score any `(doc_id, text)` relation (batch OR stream — the feature
+    * map is stateless per-row expressions) with trained weights. */
+  def scoreQuality(docs: DataFrame, w: Array[Double]): DataFrame =
+    classifierXFeatures(docs)
+      .select(col("doc_id"), classifierZ(w).as("score"),
+        (classifierZ(w) >= 0.5).as("keep_pred"))
+
+  def qualityClassifier(docs: DataFrame, iters: Int = 24,
+      eta: Double = 1.0): DataFrame = {
+    val f = graft.functions.parallelized(classifierFeatures(docs))
+      .localCheckpoint(true)
+    val w = trainOn(f, iters, eta)
+    f.select(col("doc_id"), classifierZ(w).as("score"),
+      (classifierZ(w) >= 0.5).as("keep_pred"),
       (col("y") === 1.0).as("keep_rule"))
   }
 

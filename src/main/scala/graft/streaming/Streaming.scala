@@ -1662,6 +1662,20 @@ object Streaming {
       .drop("ws")
   }
 
+  /** Trained-probe quality scoring on a STREAM — the serving half of
+    * [[graft.ext.TextOps.qualityClassifier]]'s train/serve split:
+    * weights are trained ONCE batch-side (the bounded 5-double model
+    * artifact) and baked into the plan as literals; the per-document
+    * feature map is pure stateless per-row expressions (token count,
+    * ratios — no joins, no state store), so every arriving document
+    * scores inside its own partition with zero shuffle and the stream
+    * plan is a single codegen'd projection. Scores are BIT-IDENTICAL
+    * to the batch op on the same rows (StreamingSpec gate): the score
+    * head is the identically-spelled IEEE fold on both paths. */
+  def streamingQualityScore(docs: DataFrame, w: Array[Double])
+      : DataFrame =
+    graft.ext.TextOps.scoreQuality(docs, w)
+
   /** Parsed document-ingest line — the corpus pipeline's T2, one
     * tab-separated `<doc_id>\t<source>\t<text>` record per wire line
     * (text may itself contain tabs; only the first two split). */

@@ -172,6 +172,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(1L)._4 && !streamed(2L)._2 && !streamed(3L)._1)
   }
 
+  test("streaming quality score ≡ batch classifier scores bit-exact, " +
+      "stateless plan, cross-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.table(spark, sf("sf0.001"), "documents")
+    // train ONCE batch-side; serve the same corpus as a 2-batch stream
+    val w = graft.ext.TextOps.trainQualityClassifier(docs)
+    val batch = graft.ext.TextOps.scoreQuality(docs, w).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2))))
+      .toMap
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val scored = Streaming.streamingQualityScore(
+      in.toDS().toDF("doc_id", "text"), w)
+    assert(scored.isStreaming)
+    val q = scored.writeStream.outputMode("append")
+      .format("memory").queryName("sqs").start()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sqs").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2))))
+      .toMap
+    assert(streamed === batch)
+    assert(streamed.values.exists(!_._2), "drop class must appear")
+  }
+
   test("streaming token budget: single-batch ≡ batch operator; state persists across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
