@@ -416,6 +416,13 @@ object ExtQueries {
         .orderBy("doc_id"),
       Some(TextOps.qualityClassifierSql())),
 
+    // per-source unigram KL drift from the corpus distribution (which
+    // source is distributionally unlike the rest) — integer-quantized
+    // logs, decimal sums, one final division
+    Q("q_source_drift",
+      (s, dir) => TextOps.sourceDrift(docs(s, dir)).orderBy("source"),
+      Some(TextOps.sourceDriftSql())),
+
     // per-source domain scorecard: totals + quality-filter pass rate
     Q("q_source_quality",
       (s, dir) => TextOps.sourceQuality(docs(s, dir)).orderBy("source"),

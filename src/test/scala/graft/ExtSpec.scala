@@ -153,6 +153,27 @@ class ExtSpec extends SparkSpec {
     assert(keep(3L)._1 === false && keep(3L)._3 === false) // len_ok fails
   }
 
+  test("sourceDrift: planted off-distribution source has the largest " +
+      "KL; near-corpus sources sit near zero; KL is non-negative") {
+    import graft.ext.TextOps
+    import spark.implicits._
+    val common = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, "s_typical", common), (2L, "s_typical", common),
+      (3L, "s_typical2", common), (4L, "s_typical2", common),
+      (5L, "s_drift", "qq rr ss tt uu vv ww xx"), // disjoint vocab
+      (6L, "s_drift", "qq rr ss tt uu vv ww xx"))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.sourceDrift(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // quantization bias is ≤1e-12/word; KL must be ≥ -1e-9 everywhere
+    out.values.foreach(kl => assert(kl >= -1e-9))
+    assert(out("s_drift") > out("s_typical") + 0.1,
+      s"disjoint-vocab source must dominate: $out")
+    assert(math.abs(out("s_typical") - out("s_typical2")) < 1e-12,
+      "identical sources drift identically")
+  }
+
   test("qualityClassifier: beats the all-keep baseline on real docs, " +
       "detects the drop class, and is run-to-run deterministic") {
     import graft.ext.TextOps
