@@ -1092,6 +1092,90 @@ object Pipeline {
        |FROM tot t LEFT JOIN ka k USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin.replace('\n', ' ')
 
+  /** Content-defined chunk dedup — [[chunkDedup]]'s shift-robust
+    * sibling (the FastCDC idea at word level): a chunk boundary falls
+    * AFTER position i when the rolling hash of the `w` words ending at
+    * i lands on the zero residue (`md5(gram) % div == 0`, expected
+    * chunk ≈ div words). Because boundaries are functions of CONTENT,
+    * not offsets, inserting a prefix re-synchronizes within one window
+    * — the duplicated tail still chunks identically and dedups, where
+    * fixed-width chunking shifts every chunk and sees nothing
+    * (PipelineSpec plants exactly this). Keep-first (doc_id, chunk)
+    * order, per-doc reassembly — [[chunkDedup]]'s exact output
+    * contract.
+    *
+    * Scale shape: two per-doc windows (lag-gram + boundary cumsum) and
+    * the same hash-partitioned keep-first as chunkDedup — no cross-doc
+    * surface beyond the chunk-hash shuffle. */
+  def cdcChunkDedup(docs: DataFrame, w: Int = 4, div: Int = 16)
+      : DataFrame = {
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val gram = concat_ws(" ",
+      ((w - 1) to 1 by -1).map(k => lag(col("w"), k).over(wd)) :+
+        col("w"): _*)
+    val bnd = when(col("pos") >= w,
+      conv(substring(md5(gram), 1, 8), 16, 10).cast("long") % div === 0)
+      .otherwise(lit(false))
+    val cum = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunked = wordStream(docs)
+      .withColumn("bnd", bnd)
+      .withColumn("cid", coalesce(
+        sum(when(col("bnd"), 1L).otherwise(0L)).over(cum), lit(0L)))
+    val chunks = chunked.groupBy("doc_id", "cid")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("w")))),
+        x => x.getField("w")), " ").as("chunk_text"))
+    val byHash = Window.partitionBy(md5(col("chunk_text")))
+      .orderBy(col("doc_id"), col("cid"))
+    val flagged = chunks.withColumn("rn", row_number().over(byHash))
+    val kept = flagged.where(col("rn") === 1)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("cid"), col("chunk_text")))),
+          x => x.getField("chunk_text")), " ").as("clean_text"))
+    flagged.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dup_chunks"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  def cdcChunkDedupSql(w: Int = 4, div: Int = 16): String = {
+    val lags = ((w - 1) to 1 by -1)
+      .map(k => s"lag(w, $k) OVER wd").mkString(", ")
+    s"""WITH words AS ($wordStreamSql),
+       |g AS (SELECT doc_id, pos, w,
+       |  CASE WHEN pos >= $w THEN
+       |   (CAST(('0x' || substr(md5(concat_ws(' ', $lags, w)), 1, 8))
+       |     AS BIGINT) % $div = 0)
+       |  ELSE false END AS bnd
+       | FROM words WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)),
+       |c AS (SELECT doc_id, pos, w, CAST(coalesce(
+       |   sum(CASE WHEN bnd THEN 1 ELSE 0 END) OVER (
+       |    PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |  AS BIGINT) AS cid FROM g),
+       |chunks AS (SELECT doc_id, cid,
+       |  string_agg(w, ' ' ORDER BY pos) AS chunk_text
+       | FROM c GROUP BY doc_id, cid),
+       |flagged AS (SELECT doc_id, cid, chunk_text,
+       | row_number() OVER (PARTITION BY md5(chunk_text)
+       |   ORDER BY doc_id, cid) AS rn FROM chunks),
+       |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       | string_agg(chunk_text, ' ' ORDER BY cid) AS clean_text
+       | FROM flagged WHERE rn = 1 GROUP BY doc_id),
+       |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+       | FROM flagged GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_chunks,
+       | t.n_chunks - coalesce(k.n_kept, 0) AS n_dup_chunks,
+       | coalesce(k.clean_text, '') AS clean_text
+       |FROM tot t LEFT JOIN ka k USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin.replace('\n', ' ')
+  }
+
   // ---------------------------------------- Bloom-filter decontamination
 
   /** [[decontaminate]]'s bounded-memory sibling: the eval-set gram test

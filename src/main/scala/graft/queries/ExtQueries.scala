@@ -566,6 +566,12 @@ object ExtQueries {
       (s, dir) => Pipeline.intradocDedup(docs(s, dir)).orderBy("doc_id"),
       Some(Pipeline.intradocDedupSql())),
 
+    // content-defined chunk dedup (FastCDC at word level): boundaries
+    // from rolling-hash residue, shift-robust where fixed chunks are not
+    Q("q_cdc_chunk_dedup",
+      (s, dir) => Pipeline.cdcChunkDedup(docs(s, dir)).orderBy("doc_id"),
+      Some(Pipeline.cdcChunkDedupSql())),
+
     // chunk-level dedup (RefinedWeb line-dedup analog): 20-word chunks,
     // keep-first by content hash, per-doc reassembly
     Q("q_chunk_dedup",

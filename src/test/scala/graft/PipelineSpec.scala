@@ -553,6 +553,31 @@ class PipelineSpec extends SparkSpec {
     assert(sep._1 === 6L)
   }
 
+  test("cdcChunkDedup: boundaries resync after an inserted prefix — " +
+      "the duplicated tail dedups where fixed-width chunking is blind") {
+    // ~200 words of deterministic pseudo-text; doc 2 = prefix + same text
+    val base = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val docs = docsDf(1L -> base, 2L -> ("inserted prefix words " + base))
+    val cdc = Pipeline.cdcChunkDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // content-defined: doc 2's post-resync chunks hash-match doc 1's
+    assert(cdc(1L)._2 === 0L, "first doc keeps everything")
+    assert(cdc(2L)._2 > 0L,
+      s"CDC must catch the shifted duplicate tail: $cdc")
+    // fixed-width control: the 3-word shift misaligns every 20-word
+    // chunk, so fixed chunking sees zero duplication on the same input
+    val fixed = Pipeline.chunkDedup(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fixed(2L) === 0L,
+      "control: fixed-width chunking must be blind to the shift")
+    // identical docs still fully dedup under CDC (sanity)
+    val twin = Pipeline.cdcChunkDedup(docsDf(1L -> base, 2L -> base))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(twin(2L)._1 === twin(2L)._2, "verbatim copy drops every chunk")
+    assert(twin(1L)._2 === 0L)
+  }
+
   test("gramNovelty: original doc 1.0, verbatim copy 0.0, partial copy " +
       "in between; n-grams shorter than n emit no row") {
     val docs = docsDf(
