@@ -311,6 +311,59 @@ object Dedup {
        |  >= $threshold
        |ORDER BY 1, 2""".stripMargin.replace('\n', ' ')
 
+  /** Blocking-strategy agreement audit — the dial-tuning harness for
+    * the two near-dup candidate generators (the q_ann_recall idea
+    * applied to dedup): BOTH pipelines verify candidates by the same
+    * exact Jaccard at the same threshold, so any pair-set difference is
+    * purely BLOCKING — pairs one generator's candidate stage never
+    * surfaced. Neither side is ground truth: banding misses pairs that
+    * never collide in a band; df-bounded postings miss pairs whose
+    * every shared shingle is common (df > dfMax — measured dominant on
+    * the synthetic corpus: LSH 25 pairs vs postings 1 at τ=0.2). The
+    * one-row summary (pair counts + mutual coverage ratios) is what a
+    * data lead reads before trusting either generator's dials at a new
+    * corpus scale — coverage ≪ 1 on either side means that side's
+    * blocking is dropping verified duplicates. Counts are exact
+    * integers; the ratios are single IEEE divisions. */
+  def neardupEval(docs: DataFrame, threshold: Double = 0.2): DataFrame = {
+    val lsh = minhashNearDup(docs, threshold = threshold)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("l"))
+    val post = ngramJaccard(docs, threshold = threshold)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+    post.join(lsh, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("t"), lit(0L))).as("n_postings"),
+        sum(coalesce(col("l"), lit(0L))).as("n_lsh"),
+        sum(when(col("t").isNotNull && col("l").isNotNull, 1L)
+          .otherwise(0L)).as("n_common"))
+      .select(col("n_postings"), col("n_lsh"), col("n_common"),
+        when(col("n_postings") > 0, col("n_common").cast("double") /
+          col("n_postings").cast("double")).as("lsh_coverage"),
+        when(col("n_lsh") > 0, col("n_common").cast("double") /
+          col("n_lsh").cast("double")).as("postings_coverage"))
+  }
+
+  def neardupEvalSql(threshold: Double = 0.2): String =
+    s"""WITH lsh AS (SELECT doc_a, doc_b FROM (
+       |  ${minhashNearDupSql(threshold = threshold)
+            .replace(" ORDER BY 1, 2", "")})),
+       |post AS (SELECT doc_a, doc_b FROM (
+       |  ${ngramJaccardSql(threshold = threshold)
+            .replace(" ORDER BY 1, 2", "")})),
+       |ev AS (SELECT
+       |  CAST(count(t.doc_a) AS BIGINT) AS n_postings,
+       |  CAST(count(l.doc_a) AS BIGINT) AS n_lsh,
+       |  CAST(sum(CASE WHEN t.doc_a IS NOT NULL AND l.doc_a IS NOT NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+       | FROM post t FULL JOIN lsh l
+       |  ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b)
+       |SELECT n_postings, n_lsh, n_common,
+       | CASE WHEN n_postings > 0 THEN CAST(n_common AS DOUBLE)
+       |   / CAST(n_postings AS DOUBLE) END AS lsh_coverage,
+       | CASE WHEN n_lsh > 0 THEN CAST(n_common AS DOUBLE)
+       |   / CAST(n_lsh AS DOUBLE) END AS postings_coverage
+       |FROM ev""".stripMargin.replace('\n', ' ')
+
   /** Near-dup CLUSTERING: connected components over a verified near-dup
     * pair graph, then canonical-doc selection — the final step of a dedup
     * pipeline (a pair list alone cannot say what to drop once A~B and B~C

@@ -185,6 +185,12 @@ object ExtQueries {
         .orderBy("doc_a", "doc_b"),
       Some(Dedup.ngramJaccardSql())),
 
+    // blocking-strategy agreement: LSH vs df-bounded postings pair sets
+    // at the same verify threshold — mutual coverage, the dial audit
+    Q("q_neardup_eval",
+      (s, dir) => Dedup.neardupEval(docs(s, dir)),
+      Some(Dedup.neardupEvalSql())),
+
     // embedding-cosine near-dup (LSH-blocked, exact-verified; plane count
     // scales with corpus size)
     Q("q_cosine_neardup",

@@ -153,6 +153,20 @@ class ExtSpec extends SparkSpec {
     assert(keep(3L)._1 === false && keep(3L)._3 === false) // len_ok fails
   }
 
+  test("neardupEval: planted verbatim duplicates are found by both " +
+      "blockers; coverage ratios are consistent with the counts") {
+    val shared = (1 to 30).map(i => s"dup$i").mkString(" ")
+    val docs = docsDf(
+      (1L, shared), (2L, shared),        // verbatim pair: every blocker
+      (3L, (1 to 30).map(i => s"uniq$i").mkString(" ")))
+    val r = Dedup.neardupEval(docs).collect()(0)
+    val (np, nl, nc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nc >= 1L, "the verbatim pair must be in the agreement set")
+    assert(nc <= np && nc <= nl)
+    assert(r.getDouble(3) === nc.toDouble / np)
+    assert(r.getDouble(4) === nc.toDouble / nl)
+  }
+
   test("sourceDrift: planted off-distribution source has the largest " +
       "KL; near-corpus sources sit near zero; KL is non-negative") {
     import graft.ext.TextOps
