@@ -518,6 +518,90 @@ object Pipeline {
        |WHERE cum_tokens <= $budget
        |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
 
+  /** Per-document PROVENANCE record — the audit artifact a compliance
+    * or data-governance review asks for (the Dolma-style "why is this
+    * document in/out" ledger): every curation stage's verdict on every
+    * document in one row, plus the composed keep decision and the FIRST
+    * failing stage as a drop reason. Stages report INDEPENDENTLY (each
+    * judges the full corpus, not the previous stage's survivors) — the
+    * attribution stance: "which gates would this doc fail", not "which
+    * gate happened to fire first in one particular sequencing".
+    *
+    * Composition only — quality cascade, exact-dup keeper, eval-slice
+    * membership, n-gram contamination, token budget are each the
+    * already-gated operator; the provenance joins are all on doc_id
+    * (one shuffle key) with the md5 keeper join on the text hash. */
+  def provenance(docs: DataFrame, budget: Long = 5000L, n: Int = 3,
+      evalMod: Int = 97): DataFrame = {
+    val qf = TextOps.qualityFilter(docs)
+      .select(col("doc_id"), col("len_ok"), col("rep_ok"),
+        col("toklen_ok"), col("keep").as("keep_quality"))
+    val ex = docs.select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .join(Dedup.exactDedup(docs), "text_hash")
+      .select(col("doc_id"),
+        (col("doc_id") === col("keeper")).as("is_keeper"))
+    val dc = decontaminate(docs, n, evalMod)
+    val tb = tokenBudget(docs, budget)
+      .select(col("doc_id"), lit(true).as("in_budget0"))
+    docs.select(col("doc_id"), col("source"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .join(qf, "doc_id").join(ex, "doc_id")
+      .join(dc, Seq("doc_id"), "left").join(tb, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        col("len_ok"), col("rep_ok"), col("toklen_ok"),
+        col("keep_quality"), col("is_keeper"),
+        (col("doc_id") % evalMod === 0).as("eval_slice"),
+        coalesce(col("hits"), lit(0L)).as("contam_hits"),
+        coalesce(col("in_budget0"), lit(false)).as("in_budget"))
+      .withColumn("kept",
+        !col("eval_slice") && col("is_keeper") && col("keep_quality") &&
+          col("contam_hits") === 0 && col("in_budget"))
+      .withColumn("drop_reason",
+        when(col("eval_slice"), "eval_slice")
+          .when(!col("is_keeper"), "duplicate")
+          .when(!col("keep_quality"), "quality")
+          .when(col("contam_hits") > 0, "contaminated")
+          .when(!col("in_budget"), "budget")
+          .otherwise(lit(null).cast("string")))
+  }
+
+  def provenanceSql(budget: Long = 5000L, n: Int = 3,
+      evalMod: Int = 97): String =
+    s"""WITH qf AS (
+       | ${TextOps.qualityFilterSql().replace(" ORDER BY q.doc_id", "")}),
+       |ex AS ($exactDedupNoOrder),
+       |dc AS (SELECT * FROM (
+       |  ${decontaminateSql(n, evalMod).replace(" ORDER BY t.doc_id", "")})),
+       |tb AS (SELECT doc_id FROM (
+       |  ${tokenBudgetSql(budget).replace(" ORDER BY doc_id", "")})),
+       |base AS (SELECT doc_id, source, lang,
+       |  CAST(${TextOps.tokenCountSql} AS BIGINT) AS n_tokens,
+       |  md5(text) AS text_hash FROM documents),
+       |flat AS (SELECT b.doc_id, b.source, b.lang, b.n_tokens,
+       |  q.len_ok, q.rep_ok, q.toklen_ok, q.keep AS keep_quality,
+       |  b.doc_id = e.keeper AS is_keeper,
+       |  (b.doc_id % $evalMod = 0) AS eval_slice,
+       |  CAST(coalesce(d.hits, 0) AS BIGINT) AS contam_hits,
+       |  (t.doc_id IS NOT NULL) AS in_budget
+       | FROM base b
+       | JOIN qf q ON q.doc_id = b.doc_id
+       | JOIN ex e ON e.text_hash = b.text_hash
+       | LEFT JOIN dc d ON d.doc_id = b.doc_id
+       | LEFT JOIN tb t ON t.doc_id = b.doc_id)
+       |SELECT *,
+       | (NOT eval_slice AND is_keeper AND keep_quality
+       |   AND contam_hits = 0 AND in_budget) AS kept,
+       | CASE WHEN eval_slice THEN 'eval_slice'
+       |  WHEN NOT is_keeper THEN 'duplicate'
+       |  WHEN NOT keep_quality THEN 'quality'
+       |  WHEN contam_hits > 0 THEN 'contaminated'
+       |  WHEN NOT in_budget THEN 'budget'
+       |  ELSE NULL END AS drop_reason
+       |FROM flat ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
+  private def exactDedupNoOrder: String =
+    Dedup.exactDedupSql.replace(" ORDER BY 1", "")
+
   /** Per-document n-gram novelty — the template/boilerplate detector on
     * the CORPUS axis: a document's gram is novel when no lower-id
     * document contains it, and the novelty ratio is the share of the

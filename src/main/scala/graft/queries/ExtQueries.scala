@@ -566,6 +566,12 @@ object ExtQueries {
         .orderBy("doc_id"),
       Some(Pipeline.dupSpansRemovedSql())),
 
+    // per-doc provenance ledger: every stage's independent verdict +
+    // composed keep + first-failing-stage drop attribution
+    Q("q_provenance",
+      (s, dir) => Pipeline.provenance(docs(s, dir)).orderBy("doc_id"),
+      Some(Pipeline.provenanceSql())),
+
     // intra-doc repeated-gram removal: within-page boilerplate cut,
     // first occurrence kept, gaps-and-islands coalescing per doc
     Q("q_intradoc_dedup",

@@ -553,6 +553,35 @@ class PipelineSpec extends SparkSpec {
     assert(sep._1 === 6L)
   }
 
+  test("provenance: every drop reason attributable, priority order " +
+      "fixed, kept iff all stages pass") {
+    import spark.implicits._
+    val good = (1 to 40).map(i => s"w$i word$i").mkString(" ")
+    val evalTxt = (1 to 40).map(i => s"ev$i eword$i").mkString(" ")
+    val docs = Seq(
+      (1L, "srcA", "en", good),              // kept
+      (2L, "srcA", "en", good),              // exact dup of 1 -> duplicate
+      (3L, "srcA", "en", "too short"),       // quality
+      (97L, "srcB", "en", evalTxt),          // 97 % 97 = 0 -> eval_slice
+      (5L, "srcB", "en", (1 to 40).map(i => s"t$i tok$i").mkString(" ") +
+        " ev1 eword1 ev2"))                  // shares 3-grams w/ 97 -> contam
+      .toDF("doc_id", "source", "lang", "text")
+    val out = Pipeline.provenance(docs, budget = 1000L).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(12), Option(r.getString(13))))).toMap
+    assert(out(1L) === ((true, None)))
+    assert(out(2L) === ((false, Some("duplicate"))))
+    assert(out(3L) === ((false, Some("quality"))))
+    assert(out(97L) === ((false, Some("eval_slice"))))
+    assert(out(5L) === ((false, Some("contaminated"))))
+    // budget: a 1-token budget drops every non-fitting doc with reason
+    // 'budget' once the earlier gates pass
+    val tiny = Pipeline.provenance(
+      Seq((1L, "s", "en", good)).toDF("doc_id", "source", "lang", "text"),
+      budget = 1L).collect()(0)
+    assert(!tiny.getBoolean(12) && tiny.getString(13) === "budget")
+  }
+
   test("cdcChunkDedup: boundaries resync after an inserted prefix — " +
       "the duplicated tail dedups where fixed-width chunking is blind") {
     // ~200 words of deterministic pseudo-text; doc 2 = prefix + same text
