@@ -1260,6 +1260,39 @@ object Pipeline {
        |ORDER BY t.doc_id""".stripMargin.replace('\n', ' ')
   }
 
+  /** Scalar twin of [[cdcChunkDedup]]'s chunking stage — one document's
+    * `(chunk_id, chunk_text)` list, the exact boundary rule of the
+    * DataFrame op (boundary after position i when the md5 of the
+    * trailing `w`-gram's first 8 hex chars lands on residue 0 mod
+    * `div`). Used by the streaming CDC dedup path, where chunks must
+    * exist BEFORE the chunk-hash-keyed shuffle, and by specs as the
+    * independent replay oracle. */
+  private[graft] def cdcChunksOf(text: String, w: Int = 4,
+      div: Int = 16): Seq[(Long, String)] = {
+    val ws = TextOps.sqlWords(text)
+    val bnd = Array.tabulate(ws.length) { i0 =>
+      val pos = i0 + 1
+      pos >= w && {
+        val gram = ws.slice(i0 - w + 1, i0 + 1).mkString(" ")
+        val hex = graft.functions.md5Hex(gram.getBytes("UTF-8"))
+          .substring(0, 8)
+        java.lang.Long.parseLong(hex, 16) % div == 0
+      }
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var cid = 0L
+    val cur = new StringBuilder
+    ws.indices.foreach { i0 =>
+      if (i0 > 0 && bnd(i0 - 1)) {
+        out += ((cid, cur.toString)); cid += 1; cur.setLength(0)
+      }
+      if (cur.nonEmpty) cur.append(' ')
+      cur.append(ws(i0))
+    }
+    out += ((cid, cur.toString))
+    out.toSeq
+  }
+
   // ---------------------------------------- Bloom-filter decontamination
 
   /** [[decontaminate]]'s bounded-memory sibling: the eval-set gram test

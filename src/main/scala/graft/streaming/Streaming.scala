@@ -294,24 +294,28 @@ object Streaming {
       chunk_text: String, keeper_doc: Long, keeper_idx: Long,
       keep: Boolean)
 
+  /** Keep-first chunk arbitration shared by the fixed-width and CDC
+    * streaming dedups: state per chunk hash = the keeper (doc, idx). */
+  private def chunkKeeperFn(hash: String,
+      rows: Iterator[(String, Long, Long, String)],
+      state: GroupState[(Long, Long)]): Iterator[ChunkDecision] = {
+    var keeper = state.getOption
+    val out = rows.toSeq.sortBy(r => (r._2, r._3)).map {
+      case (_, d, i, t) => keeper match {
+        case None =>
+          keeper = Some((d, i))
+          ChunkDecision(d, i, t, d, i, keep = true)
+        case Some((kd, ki)) =>
+          ChunkDecision(d, i, t, kd, ki, keep = d == kd && i == ki)
+      }
+    }
+    keeper.foreach(state.update)
+    out.iterator
+  }
+
   def streamingChunkDedup(docs: Dataset[(Long, String)],
       width: Int = 20): Dataset[ChunkDecision] = {
     import docs.sparkSession.implicits._
-    def fn(hash: String, rows: Iterator[(String, Long, Long, String)],
-        state: GroupState[(Long, Long)]): Iterator[ChunkDecision] = {
-      var keeper = state.getOption
-      val out = rows.toSeq.sortBy(r => (r._2, r._3)).map {
-        case (_, d, i, t) => keeper match {
-          case None =>
-            keeper = Some((d, i))
-            ChunkDecision(d, i, t, d, i, keep = true)
-          case Some((kd, ki)) =>
-            ChunkDecision(d, i, t, kd, ki, keep = d == kd && i == ki)
-        }
-      }
-      keeper.foreach(state.update)
-      out.iterator
-    }
     docs.flatMap { case (id, text) =>
       graft.ext.TextOps.sqlWords(text).grouped(width).zipWithIndex
         .map { case (chunk, i) =>
@@ -320,7 +324,28 @@ object Streaming {
         }
     }.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(fn)
+        GroupStateTimeout.NoTimeout)(chunkKeeperFn)
+  }
+
+  /** [[streamingChunkDedup]] with CONTENT-DEFINED boundaries — the
+    * ingest-time twin of [[graft.ext.Pipeline.cdcChunkDedup]]: each
+    * arriving document chunks at its own rolling-hash boundaries (the
+    * scalar twin of the batch op's window chain, per-doc and stateless),
+    * then the chunk hashes meet the SAME keep-first keeper state as the
+    * fixed-width path. Shift-robustness carries over: a re-crawled page
+    * with an injected banner still drops its unchanged tail chunks
+    * against the original's state. State = one (doc, idx) per distinct
+    * chunk hash, identical growth law to the fixed-width op. */
+  def streamingCdcChunkDedup(docs: Dataset[(Long, String)], w: Int = 4,
+      div: Int = 16): Dataset[ChunkDecision] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { case (id, text) =>
+      graft.ext.Pipeline.cdcChunksOf(text, w, div).map { case (cid, t) =>
+        (graft.functions.md5Hex(t.getBytes("UTF-8")), id, cid, t)
+      }
+    }.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(chunkKeeperFn)
   }
 
   /** Exact dedup with an EVENT-TIME retention horizon — the rolling-

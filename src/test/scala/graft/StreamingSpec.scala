@@ -996,6 +996,42 @@ class StreamingSpec extends SparkSpec {
     assert(got((3L, 1L)) === ((3L, 1L, true)))  // "d" ≠ "c d"
   }
 
+  test("streaming CDC chunk dedup ≡ batch reconstruction; shifted " +
+      "re-crawl drops resynced tail chunks cross-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(1L -> base,
+      2L -> (1 to 50).map(i => s"o$i").mkString(" "))
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.streamingCdcChunkDedup(in.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scdc").start()
+    in.addData(docs: _*)
+    q.processAllAvailable()
+    // later batch: a re-crawl of doc 1 with an injected banner — CDC
+    // boundaries resync, the tail chunks hash-match doc 1's state
+    in.addData(9L -> ("banner words here " + base))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("scdc").as[Streaming.ChunkDecision].collect()
+    val byDoc = got.filter(_.doc_id < 9L).groupBy(_.doc_id)
+      .map { case (d, cs) =>
+        d -> ((cs.length.toLong, cs.count(!_.keep).toLong,
+          cs.sortBy(_.chunk_idx).filter(_.keep).map(_.chunk_text)
+            .mkString(" ")))
+      }
+    val batch = graft.ext.Pipeline.cdcChunkDedup(
+      docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(byDoc === batch)
+    val recrawl = got.filter(_.doc_id == 9L)
+    assert(recrawl.exists(!_.keep),
+      "resynced tail chunks must drop against the original's state")
+    assert(recrawl.filter(!_.keep).forall(_.keeper_doc == 1L))
+  }
+
   test("streaming DSIR score: replay of the training corpus ≡ batch weights") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
