@@ -344,4 +344,53 @@ class PlanSpec extends SparkSpec {
         s"budget prune lost its aggregate:\n$optB")
     }
   }
+
+  test("classifier scoring head is one shuffle-free codegen projection") {
+    import graft.ext.TextOps
+    val docs = Tables.table(spark, sf(), "documents")
+    val p = TextOps.scoreQuality(docs, Array(0.1, 0.2, 0.3, 0.4, 0.5))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // serving must stay a stateless per-row map: no exchange, no
+    // aggregation, no join — this is what makes the same plan legal
+    // (and zero-shuffle) on a stream
+    assert(!p.contains("Exchange"), s"scoring head shuffles:\n$p")
+    assert(!p.contains("HashAggregate"), s"scoring head aggregates:\n$p")
+    // formatted mode marks codegen'd operators with a leading '*'
+    assert(p.contains("* Project"), s"not codegen'd:\n$p")
+  }
+
+  test("source drift joins on the word key, broadcasts the bounded " +
+      "source totals and corpus constant — no cartesian blowup") {
+    val p = plan("q_source_drift")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"bounded sides not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in drift:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"word counts not map-side partial:\n$p")
+  }
+
+  test("provenance: every stage joins on a key — no cartesian; the " +
+      "bounded stage tables broadcast") {
+    val p = plan("q_provenance")
+    assert(!p.contains("CartesianProduct"), s"cartesian in ledger:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"stage joins not keyed:\n$p")
+  }
+
+  test("mixture temperature: one bounded-key aggregation, windows over " +
+      "the language table only") {
+    val df = graft.ext.Pipeline.mixtureTemp(
+      Tables.table(spark, sf(), "documents"))
+    val p = df.queryExecution.explainString(
+      ExplainMode.fromString("formatted"))
+    assert(p.contains("partial_sum"), s"token sum not partial:\n$p")
+    // the only Window sits above the per-lang aggregate (a few rows),
+    // never over the word stream — formatted mode prints root-first, so
+    // the window must appear BEFORE the aggregate in the text
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx >= 0 && winIdx < aggIdx,
+      s"window not above the bounded aggregate:\n$p")
+  }
 }
