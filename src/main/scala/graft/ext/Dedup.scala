@@ -162,6 +162,16 @@ object Dedup {
         col("text").as("_ta")), "doc_a")
       .join(texts.select(col("doc_id").as("doc_b"),
         col("text").as("_tb")), "doc_b")
+      // length prefilter BEFORE the O(|a|·|b|) DP: edit distance is at
+      // least |len_a − len_b|, and FP division/subtraction are monotone,
+      // so (1 − |Δlen|/max < minSim) provably implies the final
+      // edit_sim test fails — result-identical, the DP never runs on a
+      // pair the length gap already rules out (the guard that matters
+      // when banding throws a short doc against a long one at scale)
+      .where(lit(1.0d) -
+        abs(length(col("_ta")) - length(col("_tb"))).cast("double") /
+          greatest(length(col("_ta")), length(col("_tb"))).cast("double")
+        >= minSim)
       .withColumn("dist", levenshtein(col("_ta"), col("_tb")).cast("long"))
       .withColumn("max_len",
         greatest(length(col("_ta")), length(col("_tb"))).cast("long"))
@@ -191,7 +201,10 @@ object Dedup {
        |    / CAST(greatest(len(a.text), len(b.text)) AS DOUBLE) AS edit_sim
        | FROM cands c
        | JOIN documents a ON a.doc_id = c.doc_a
-       | JOIN documents b ON b.doc_id = c.doc_b)
+       | JOIN documents b ON b.doc_id = c.doc_b
+       | WHERE 1.0 - CAST(abs(len(a.text) - len(b.text)) AS DOUBLE)
+       |    / CAST(greatest(len(a.text), len(b.text)) AS DOUBLE)
+       |   >= $minSim)
        |WHERE edit_sim >= $minSim
        |ORDER BY doc_a, doc_b""".stripMargin.replace('\n', ' ')
   }
