@@ -656,6 +656,47 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"))
   }
 
+  /** Per-source token-length percentiles — [[lenHist]]'s companion
+    * audit (the bucketed histogram says WHERE mass sits; this pins the
+    * exact p10/p50/p90/p99 cut values a seqLen or min-length dial is
+    * set against). Rank-based with NO interpolation: the p-th
+    * percentile is the VALUE at 1-based rank `ceil(p·n/100)` in
+    * (n_tokens, doc_id) order — all-integer rank arithmetic, and the
+    * value at any rank is deterministic under ties because equal
+    * values occupy a contiguous rank range. One per-source window
+    * (key-bounded), conditional-max extraction, bounded output. */
+  def lenPercentiles(docs: DataFrame,
+      ps: Seq[Int] = Seq(10, 50, 90, 99)): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("nt"), col("doc_id"))
+    val ranked = graft.functions.parallelized(docs)
+      .select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("nt"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+    val pcols = ps.map(p =>
+      max(when(col("rn") === expr(s"($p * n + 99) div 100"), col("nt")))
+        .as(s"p$p"))
+    ranked.groupBy("source")
+      .agg(max(col("n")).as("n_docs"), pcols: _*)
+  }
+
+  def lenPercentilesSql(ps: Seq[Int] = Seq(10, 50, 90, 99)): String = {
+    val pexprs = ps.map(p =>
+      s"max(CASE WHEN rn = ($p * n + 99) // 100 THEN nt END) AS p$p")
+      .mkString(", ")
+    s"""WITH r AS (SELECT doc_id, source, nt,
+       |  CAST(row_number() OVER (PARTITION BY source
+       |    ORDER BY nt, doc_id) AS BIGINT) AS rn,
+       |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+       | FROM (SELECT doc_id, source,
+       |   CAST(${TextOps.tokenCountSql} AS BIGINT) AS nt
+       |  FROM documents))
+       |SELECT source, max(n) AS n_docs, $pexprs
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+      .replace('\n', ' ')
+  }
+
   def lenHistSql(): String = {
     val nt = s"CAST(${TextOps.tokenCountSql} AS BIGINT)"
     s"""SELECT source, bucket_lo, CAST(count(*) AS BIGINT) AS n_docs,

@@ -649,6 +649,12 @@ object ExtQueries {
         .orderBy("source", "bucket_lo"),
       Some(Pipeline.lenHistSql())),
 
+    // per-source token-length percentiles: rank-based cut values, no
+    // interpolation — the dial-setting companion to the histogram
+    Q("q_len_percentiles",
+      (s, dir) => Pipeline.lenPercentiles(docs(s, dir)).orderBy("source"),
+      Some(Pipeline.lenPercentilesSql())),
+
     // mixture audit table: per (source, lang) doc/token/char totals
     Q("q_corpus_stats",
       (s, dir) => Pipeline.corpusStats(docs(s, dir))

@@ -553,6 +553,22 @@ class PipelineSpec extends SparkSpec {
     assert(sep._1 === 6L)
   }
 
+  test("lenPercentiles: hand-derivable rank cuts; ceil rank; ties safe") {
+    import spark.implicits._
+    val docs = (1 to 10).map(i =>
+      (i.toLong, "s", Seq.fill(i)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val r = Pipeline.lenPercentiles(docs).collect()(0)
+    // n=10: p10 -> rank ceil(1.0)=1 -> 1; p50 -> 5; p90 -> 9; p99 -> 10
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) === ((10L, 1L, 5L, 9L, 10L)))
+    // all-equal values: every percentile is that value (tie safety)
+    val flat = Pipeline.lenPercentiles((1 to 7).map(i =>
+      (i.toLong, "s", "a b c")).toDF("doc_id", "source", "text"))
+      .collect()(0)
+    assert((2 to 5).map(flat.getLong).toSet === Set(3L))
+  }
+
   test("provenance: every drop reason attributable, priority order " +
       "fixed, kept iff all stages pass") {
     import spark.implicits._
