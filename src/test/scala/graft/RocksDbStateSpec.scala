@@ -354,4 +354,39 @@ class RocksDbStateSpec extends SparkSpec {
         Set("head", "middle", "tail"))
     }
   }
+
+  test("CDC chunk dedup under RocksDB: cross-batch resync decisions " +
+      "intact, batch reconstruction unchanged") {
+    withRocksDb {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val base = (1 to 200).map(i => s"tok$i").mkString(" ")
+      val docs = Seq(1L -> base,
+        2L -> (1 to 50).map(i => s"o$i").mkString(" "))
+      val in = MemoryStream[(Long, String)]
+      val q = Streaming.streamingCdcChunkDedup(in.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("rdbcdc").start()
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      in.addData(9L -> ("banner words here " + base))
+      q.processAllAvailable()
+      val prog = q.lastProgress.json
+      q.stop()
+      assert(prog.toLowerCase.contains("rocksdb"),
+        "cdc: provider not engaged")
+      val got = spark.table("rdbcdc").as[Streaming.ChunkDecision]
+        .collect()
+      val byDoc = got.filter(_.doc_id < 9L).groupBy(_.doc_id)
+        .map { case (d, cs) =>
+          d -> ((cs.length.toLong, cs.count(!_.keep).toLong))
+        }
+      val batch = graft.ext.Pipeline.cdcChunkDedup(
+        docs.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(byDoc === batch)
+      assert(got.filter(_.doc_id == 9L).exists(!_.keep),
+        "resynced tail chunks must drop against RocksDB-held state")
+    }
+  }
 }
