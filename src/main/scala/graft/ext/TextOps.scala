@@ -1089,6 +1089,41 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
   }
 
+  /** Reliability table for [[qualityClassifier]] — the calibration
+    * audit every served ML filter needs (does score 0.7 actually mean
+    * ~70% of those docs pass the rule cascade?): predicted-score decile
+    * buckets × empirical rule-pass rate. A monotone keep_rate column is
+    * a sane probe threshold; a flat one means the probe memorized the
+    * majority class. Mean score per bucket goes through the fixed-point
+    * quantize-sum-once contract (order-independent); rates are single
+    * IEEE divisions of exact counts. */
+  def classifierCalibration(scored: DataFrame): DataFrame =
+    scored
+      .groupBy(floor(col("score") * 10).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep_rule"), 1L).otherwise(0L)).as("n_keep_rule"),
+        sum(floor(col("score") * 1e9).cast("decimal(38,0)")).as("sq"))
+      .select(col("bucket"), col("n_docs"), col("n_keep_rule"),
+        (col("n_keep_rule").cast("double") / col("n_docs").cast("double"))
+          .as("keep_rate"),
+        ((col("sq").cast("double") / 1e9) / col("n_docs").cast("double"))
+          .as("mean_score"))
+
+  def classifierCalibrationSql(iters: Int = 24,
+      eta: Double = 1.0): String =
+    s"""WITH scored AS (SELECT * FROM (
+       | ${qualityClassifierSql(iters, eta).replace(" ORDER BY doc_id", "")}))
+       |SELECT CAST(floor(score * 10) AS BIGINT) AS bucket,
+       | CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(CASE WHEN keep_rule THEN 1 ELSE 0 END) AS BIGINT)
+       |  AS n_keep_rule,
+       | CAST(sum(CASE WHEN keep_rule THEN 1 ELSE 0 END) AS DOUBLE)
+       |   / CAST(count(*) AS DOUBLE) AS keep_rate,
+       | (CAST(sum(CAST(floor(score * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+       |   / CAST(count(*) AS DOUBLE) AS mean_score
+       |FROM scored GROUP BY 1 ORDER BY bucket""".stripMargin
+      .replace('\n', ' ')
+
   /** Tokenizer fertility per language — the standard tokenizer-eval
     * metric (BPE pieces emitted per word): high fertility on a language
     * means the merge table under-serves it, the signal multilingual

@@ -62,6 +62,20 @@ object ExtQueries {
       _ => Similarity.cellAssignment(embs(s, dir),
         Similarity.semCellsFor(embCount(dir)), iters = 2))
 
+  /** Shared trained+scored classifier table: `q_quality_classifier` and
+    * `q_classifier_calibration` read the SAME 24-iteration training run
+    * (one model, score table + calibration audit off it — the served-ML
+    * production shape), memoized per (session, dir) like [[pairsFor]].
+    * The scored table is checkpointed so the calibration aggregate
+    * never re-trains. */
+  private val clsMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.DataFrame]()
+  private def classifierScoredFor(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    clsMemo.computeIfAbsent(
+      System.identityHashCode(s).toString + ":" + dir,
+      _ => TextOps.qualityClassifier(docs(s, dir)).localCheckpoint(true))
+
   /** Query bag for the BM25 gate — mid-frequency vocabulary words so df
     * spreads across terms. */
   private val BM25Terms = Seq("spark", "merge", "join", "hash")
@@ -418,9 +432,15 @@ object ExtQueries {
     // by fixed-point (order-independent) distributed gradient descent
     // to mimic the rule cascade — the fastText-distillation pattern
     Q("q_quality_classifier",
-      (s, dir) => TextOps.qualityClassifier(docs(s, dir))
-        .orderBy("doc_id"),
+      (s, dir) => classifierScoredFor(s, dir).orderBy("doc_id"),
       Some(TextOps.qualityClassifierSql())),
+
+    // reliability table: score deciles vs empirical rule-pass rate —
+    // reads the SAME memoized training run as the score table
+    Q("q_classifier_calibration",
+      (s, dir) => TextOps.classifierCalibration(classifierScoredFor(s, dir))
+        .orderBy("bucket"),
+      Some(TextOps.classifierCalibrationSql())),
 
     // per-source unigram KL drift from the corpus distribution (which
     // source is distributionally unlike the rest) — integer-quantized

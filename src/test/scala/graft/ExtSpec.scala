@@ -153,6 +153,27 @@ class ExtSpec extends SparkSpec {
     assert(keep(3L)._1 === false && keep(3L)._3 === false) // len_ok fails
   }
 
+  test("classifierCalibration: keep_rate monotone in score bucket, " +
+      "mean scores inside their buckets, totals reconcile") {
+    import graft.ext.TextOps
+    val scored = TextOps.qualityClassifier(
+      Tables.table(spark, sf(), "documents"))
+    val cal = TextOps.classifierCalibration(scored).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    assert(cal.length >= 3, "needs several score deciles to calibrate")
+    // reliability: empirical pass rate non-decreasing in predicted score
+    cal.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._4 <= hi._4,
+        s"keep_rate not monotone: $lo vs $hi")
+    }
+    // mean score sits inside its own decile
+    cal.foreach { case (b, _, _, _, m) =>
+      assert(m >= b / 10.0 - 1e-9 && m < (b + 1) / 10.0 + 1e-9)
+    }
+    assert(cal.map(_._2).sum === scored.count())
+  }
+
   test("neardupEval: planted verbatim duplicates are found by both " +
       "blockers; coverage ratios are consistent with the counts") {
     val shared = (1 to 30).map(i => s"dup$i").mkString(" ")
