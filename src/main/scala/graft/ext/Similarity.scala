@@ -1347,6 +1347,74 @@ object Similarity {
     * audit, never as the serving path). Output is one row:
     * (n_queries, hits, recall). Integer hit counts, one final division —
     * deterministic. */
+  /** Matryoshka truncation audit (Kusupati et al. 2022 — MRL): 1-NN
+    * recall of PREFIX-dimension embeddings against the full-dimension
+    * ground truth, one row per probed prefix width. This is the
+    * dimension-budget curve an embedding-store owner reads before
+    * cutting storage/bandwidth 4–8× — if recall\@dim-16 is already
+    * ~1.0, shipping 64 floats is waste; if it craters, the embedding
+    * was not trained matryoshka-style and truncation is unsafe.
+    *
+    * Same broadcast-query brute shape as [[cosineTopK]] (the ground
+    * truth and every truncated pass reuse the checkpointed norm table);
+    * the truncated sim is the identical left-fold dot over `slice(emb,
+    * 1, d)` — the portability contract at any prefix width. */
+  def mrlRecall(embeddings: DataFrame, dims: Seq[Int] = Seq(8, 16, 32),
+      nQueries: Int = 100): DataFrame = {
+    val full = withNorms(embeddings).localCheckpoint(true)
+    val truth = bruteTopK(full, nQueries, 1, excludeSameLabel = false)
+      .select(col("q_id"), col("vec_id").as("true_nn"))
+      .localCheckpoint(true)
+    dims.map { d =>
+      val trunc = full
+        .select(col("vec_id"), slice(col("emb"), 1, d).as("emb"))
+        .withColumn("norm", sqrt(dotD(col("emb"), col("emb"))))
+      val nn = bruteTopK(trunc, nQueries, 1, excludeSameLabel = false)
+        .select(col("q_id"), col("vec_id").as("mrl_nn"))
+      truth.join(nn, Seq("q_id"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("mrl_nn") === col("true_nn"), 1L).otherwise(0L))
+            .as("hits"))
+        .select(lit(d.toLong).as("dim"), col("n_queries"), col("hits"),
+          (col("hits").cast("double") / col("n_queries").cast("double"))
+            .as("recall"))
+    }.reduce(_ union _)
+  }
+
+  def mrlRecallSql(dims: Seq[Int] = Seq(8, 16, 32),
+      nQueries: Int = 100): String = {
+    def dotDSql(a: String, b: String, d: Int) =
+      (1 to d).map(i => s"$a.emb[$i] * $b.emb[$i]").mkString(" + ")
+    def normDSql(v: String, d: Int) =
+      "sqrt(" + (1 to d).map(i => s"$v.emb[$i] * $v.emb[$i]")
+        .mkString(" + ") + ")"
+    val nnCtes = dims.map { d =>
+      s"""nn$d AS (SELECT q_id, vec_id AS mrl_nn FROM (
+         | SELECT q_id, vec_id, row_number() OVER (
+         |   PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM (
+         |  SELECT a.vec_id AS q_id, b.vec_id,
+         |   (${dotDSql("a", "b", d)})
+         |    / (${normDSql("a", d)} * ${normDSql("b", d)}) AS sim
+         |  FROM vecs a JOIN vecs b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < $nQueries)) WHERE rank = 1)""".stripMargin
+    }.mkString(",\n")
+    val per = dims.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS dim,
+         | CAST(count(*) AS BIGINT) AS n_queries,
+         | CAST(sum(CASE WHEN a.mrl_nn = t.true_nn THEN 1 ELSE 0 END)
+         |  AS BIGINT) AS hits,
+         | CAST(sum(CASE WHEN a.mrl_nn = t.true_nn THEN 1 ELSE 0 END)
+         |   AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+         |FROM truth t LEFT JOIN nn$d a USING (q_id)""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""WITH vecs AS (SELECT vec_id,
+       |  CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |truth AS (SELECT q_id, vec_id AS true_nn FROM (
+       | ${bruteTopKSql(nQueries, 1).stripSuffix("ORDER BY q_id, rank")})),
+       |$nnCtes
+       |$per ORDER BY dim""".stripMargin.replace('\n', ' ')
+  }
+
   def annRecall(embeddings: DataFrame, planes: Int = 4,
       nQueries: Int = 100): DataFrame = {
     val truth = bruteTopK(withNorms(embeddings), nQueries, 1,

@@ -327,6 +327,12 @@ object ExtQueries {
       Some(Similarity.ivfPqTrainedTopKSql())),
 
     // in-engine ANN recall audit: LSH vs brute ground truth on a sample
+    // Matryoshka truncation audit: prefix-dim 1-NN recall vs the
+    // full-dim ground truth — the dimension-budget curve
+    Q("q_mrl_recall",
+      (s, dir) => Similarity.mrlRecall(embs(s, dir)).orderBy("dim"),
+      Some(Similarity.mrlRecallSql())),
+
     Q("q_ann_recall",
       (s, dir) => Similarity.annRecall(embs(s, dir),
         Similarity.planesFor(embCount(dir))),

@@ -153,6 +153,28 @@ class ExtSpec extends SparkSpec {
     assert(keep(3L)._1 === false && keep(3L)._3 === false) // len_ok fails
   }
 
+  test("mrlRecall: planted matryoshka embeddings keep recall 1.0 under " +
+      "truncation; the random-tail corpus embeddings do not") {
+    // information concentrated in dims 1..8, negligible tail → the
+    // dim-8 neighbor IS the full-dim neighbor (the MRL training target)
+    val planted = (0 until 20).map { i =>
+      (i.toLong, Seq.tabulate(64)(d =>
+        if (d < 8) math.sin(i * 8 + d).toFloat
+        else 1e-4f * ((i * 64 + d) % 7)))
+    }
+    val out = Similarity.mrlRecall(embsDf(planted: _*),
+        dims = Seq(8, 16), nQueries = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(8L) === 1.0 && out(16L) === 1.0,
+      s"matryoshka-planted truncation must be lossless: $out")
+    // the driver's synthetic embeddings are NOT matryoshka-trained:
+    // the audit must say truncation is unsafe (low prefix recall)
+    val real = Similarity.mrlRecall(
+        Tables.table(spark, sf(), "embeddings"), dims = Seq(8))
+      .collect()(0).getDouble(3)
+    assert(real < 0.5, s"random-tail embeddings can't truncate: $real")
+  }
+
   test("classifierCalibration: keep_rate monotone in score bucket, " +
       "mean scores inside their buckets, totals reconcile") {
     import graft.ext.TextOps
