@@ -377,6 +377,61 @@ object Dedup {
        |   / CAST(n_lsh AS DOUBLE) END AS postings_coverage
        |FROM ev""".stripMargin.replace('\n', ' ')
 
+  /** Hybrid near-dup — lexical blocking, SEMANTIC verification: the
+    * production two-stage pattern (cheap minhash banding surfaces
+    * candidate pairs at high recall; the embedding cosine verifies at
+    * high precision, catching paraphrase-level equivalence that exact
+    * Jaccard misses and rejecting coincidental shingle collisions).
+    * Candidates reuse [[bandedCandidates]] verbatim; verification is
+    * one broadcast-free doc-keyed join per side onto the norm table and
+    * the same left-fold cosine as the ANN family.
+    *
+    * `minCos` note: the driver's synthetic embeddings are INDEPENDENT
+    * of the text (measured: cos ∈ [−0.17, 0.28] on lexical-dup pairs),
+    * so the oracle gate runs at a demo threshold that exercises both
+    * keep and drop paths; production embeddings correlate and use the
+    * canonical ≈0.9. */
+  def hybridNearDup(docs: DataFrame, embeddings: DataFrame, n: Int = 2,
+      k: Int = 16, r: Int = 4, minCos: Double = 0.05): DataFrame = {
+    val (cands, _) = bandedCandidates(docs, n, k, r)
+    val vecs = Similarity.withNorms(embeddings)
+    cands
+      .join(vecs.select(col("vec_id").as("doc_a"), col("emb").as("ea"),
+        col("norm").as("na")), "doc_a")
+      .join(vecs.select(col("vec_id").as("doc_b"), col("emb").as("eb"),
+        col("norm").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (Similarity.dotD(col("ea"), col("eb")) /
+          (col("na") * col("nb"))).as("cosine"))
+      .where(col("cosine") >= minCos)
+  }
+
+  def hybridNearDupSql(n: Int = 2, k: Int = 16, r: Int = 4,
+      minCos: Double = 0.05): String = {
+    val bandSelects = (0 until k / r).map { j =>
+      val cat = (0 until r).map(i => s"h${j * r + i}").mkString(" || ")
+      s"SELECT doc_id, $j AS band, md5($cat) AS bval FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH sh AS (${shinglesSql(n)}),
+       |sig AS (${minhashSignatureSql(k)}),
+       |bands AS ($bandSelects),
+       |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+       |vecs AS (SELECT vec_id,
+       |  CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+       |SELECT doc_a, doc_b, cosine FROM (
+       | SELECT c.doc_a, c.doc_b,
+       |  (${Similarity.dotSql("a", "b")})
+       |   / (${Similarity.normSql("a")} * ${Similarity.normSql("b")})
+       |  AS cosine
+       | FROM cands c
+       | JOIN vecs a ON a.vec_id = c.doc_a
+       | JOIN vecs b ON b.vec_id = c.doc_b)
+       |WHERE cosine >= $minCos
+       |ORDER BY doc_a, doc_b""".stripMargin.replace('\n', ' ')
+  }
+
   /** Near-dup CLUSTERING: connected components over a verified near-dup
     * pair graph, then canonical-doc selection — the final step of a dedup
     * pipeline (a pair list alone cannot say what to drop once A~B and B~C

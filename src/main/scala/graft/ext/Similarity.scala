@@ -84,10 +84,10 @@ object Similarity {
     bucket
   }
 
-  private def dotSql(a: String, b: String): String =
+  private[graft] def dotSql(a: String, b: String): String =
     (1 to Dims).map(i => s"$a.emb[$i] * $b.emb[$i]").mkString(" + ")
 
-  private def normSql(v: String): String =
+  private[graft] def normSql(v: String): String =
     "sqrt(" + (1 to Dims).map(i => s"$v.emb[$i] * $v.emb[$i]")
       .mkString(" + ") + ")"
 

@@ -199,6 +199,14 @@ object ExtQueries {
         .orderBy("doc_a", "doc_b"),
       Some(Dedup.ngramJaccardSql())),
 
+    // hybrid near-dup: minhash-banded lexical candidates verified by
+    // embedding cosine (two-stage recall/precision split); demo
+    // threshold — the synthetic embeddings are text-independent
+    Q("q_hybrid_neardup",
+      (s, dir) => Dedup.hybridNearDup(docs(s, dir), embs(s, dir))
+        .orderBy("doc_a", "doc_b"),
+      Some(Dedup.hybridNearDupSql())),
+
     // blocking-strategy agreement: LSH vs df-bounded postings pair sets
     // at the same verify threshold — mutual coverage, the dial audit
     Q("q_neardup_eval",

@@ -153,6 +153,24 @@ class ExtSpec extends SparkSpec {
     assert(keep(3L)._1 === false && keep(3L)._3 === false) // len_ok fails
   }
 
+  test("hybridNearDup: lexical candidates verified semantically — " +
+      "same-embedding pair keeps, orthogonal-embedding pair drops") {
+    val shared = (1 to 30).map(i => s"dup$i").mkString(" ")
+    val other = (1 to 30).map(i => s"oth$i").mkString(" ")
+    // docs 1~2 and 3~4 are both verbatim text dups (lexical blocking
+    // surfaces both pairs); only 1~2 agree in embedding space
+    val docs = docsDf((1L, shared), (2L, shared), (3L, other), (4L, other))
+    val e1 = Seq.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val e2 = Seq.tabulate(64)(i => if (i == 0) 1f else 0f)
+    val e3 = Seq.tabulate(64)(i => if (i == 1) 1f else 0f) // ⊥ e2
+    val embs = embsDf((1L, e1), (2L, e1), (3L, e2), (4L, e3))
+    val out = Dedup.hybridNearDup(docs, embs, minCos = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet === Set((1L, 2L)),
+      s"only the embedding-consistent pair may survive: $out")
+    assert(math.abs(out((1L, 2L)) - 1.0) < 1e-9)
+  }
+
   test("mrlRecall: planted matryoshka embeddings keep recall 1.0 under " +
       "truncation; the random-tail corpus embeddings do not") {
     // information concentrated in dims 1..8, negligible tail → the
