@@ -1132,6 +1132,37 @@ class StreamingSpec extends SparkSpec {
     assert(!streamed.contains(99999L), "unbudgeted language admitted")
   }
 
+  test("temperature allocation serves through the same streaming budget " +
+      "enforcer: per-lang admitted tokens bounded by the √n allocation") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the allocator is swappable: mixtureTemp's (lang, alloc) table
+    // drops into streamingUnimaxApply unchanged — one serving path,
+    // two allocation policies
+    val docsDf = Tables.table(spark, sf("sf0.001"), "documents")
+    val alloc = graft.ext.Pipeline.mixtureTemp(docsDf)
+      .select(col("lang"), col("alloc")).localCheckpoint(true)
+    val allocMap = alloc.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streaming.streamingUnimaxApply(in.toDS(), alloc)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stempalloc").start()
+    in.addData(docsDf.select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)].collect(): _*)
+    q.processAllAvailable()
+    q.stop()
+    val byLang = spark.table("stempalloc").as[Streaming.UnimaxDoc]
+      .collect().groupBy(_.lang)
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, ds) =>
+      assert(ds.map(_.n_tokens).sum <= allocMap(lang),
+        s"$lang overshoots its √n allocation")
+      assert(ds.map(_.cum_tokens).max <= allocMap(lang))
+    }
+  }
+
   test("streaming ppl bucket: training replay ≡ batch terciles; novel " +
       "docs cut by the frozen boundary keys; unknown lang flagged") {
     import org.apache.spark.sql.functions.col
