@@ -602,6 +602,73 @@ object Pipeline {
   private def exactDedupNoOrder: String =
     Dedup.exactDedupSql.replace(" ORDER BY 1", "")
 
+  /** Corpus snapshot diff — the crawl-to-crawl churn report (what a
+    * data lead reads before re-training on a refreshed snapshot): per
+    * source, how many documents were ADDED, REMOVED, MODIFIED (same id,
+    * different content hash), or carried UNCHANGED, plus the token
+    * delta. Full outer join on doc_id with md5 content comparison —
+    * one doc-keyed shuffle per side, per-source rollup is bounded.
+    *
+    * The oracle gate derives two snapshots from the one documents table
+    * deterministically (id-residue membership + a marker edit), so both
+    * engines diff identical inputs; the operator takes ANY two
+    * `(doc_id, source, text)` relations. */
+  def corpusDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val ax = a.select(col("doc_id"), col("source").as("src_a"),
+      md5(col("text")).as("ha"),
+      TextOps.tokenCount(col("text")).cast("long").as("ta"))
+    val bx = b.select(col("doc_id"), col("source").as("src_b"),
+      md5(col("text")).as("hb"),
+      TextOps.tokenCount(col("text")).cast("long").as("tb"))
+    ax.join(bx, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src_a"), col("src_b")).as("source"),
+        when(col("ha").isNull, "added")
+          .when(col("hb").isNull, "removed")
+          .when(col("ha") =!= col("hb"), "modified")
+          .otherwise("unchanged").as("change"),
+        (coalesce(col("tb"), lit(0L)) - coalesce(col("ta"), lit(0L)))
+          .as("dt"))
+      .groupBy("source", "change")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dt")).as("token_delta"))
+  }
+
+  /** The oracle gate's deterministic snapshot pair: A = docs with
+    * `doc_id % 7 != 0`; B = docs with `doc_id % 11 != 0`, where docs
+    * with `doc_id % 13 == 0` carry an appended edit marker. */
+  def corpusDiffGate(docs: DataFrame): DataFrame = {
+    val a = docs.where(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("source"), col("text"))
+    val b = docs.where(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" edited"))).otherwise(col("text"))
+          .as("text"))
+    corpusDiff(a, b)
+  }
+
+  def corpusDiffSql(): String =
+    s"""WITH a AS (SELECT doc_id, source, text FROM documents
+       |  WHERE doc_id % 7 <> 0),
+       |b AS (SELECT doc_id, source,
+       |  CASE WHEN doc_id % 13 = 0 THEN text || ' edited' ELSE text END
+       |   AS text
+       | FROM documents WHERE doc_id % 11 <> 0),
+       |ax AS (SELECT doc_id, source AS src_a, md5(text) AS ha,
+       |  CAST(${TextOps.tokenCountSql} AS BIGINT) AS ta FROM a),
+       |bx AS (SELECT doc_id, source AS src_b, md5(text) AS hb,
+       |  CAST(${TextOps.tokenCountSql} AS BIGINT) AS tb FROM b),
+       |j AS (SELECT coalesce(src_a, src_b) AS source,
+       |  CASE WHEN ha IS NULL THEN 'added'
+       |   WHEN hb IS NULL THEN 'removed'
+       |   WHEN ha <> hb THEN 'modified'
+       |   ELSE 'unchanged' END AS change,
+       |  coalesce(tb, 0) - coalesce(ta, 0) AS dt
+       | FROM ax FULL JOIN bx USING (doc_id))
+       |SELECT source, change, CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(dt) AS BIGINT) AS token_delta
+       |FROM j GROUP BY source, change
+       |ORDER BY source, change""".stripMargin.replace('\n', ' ')
+
   /** Per-document n-gram novelty — the template/boilerplate detector on
     * the CORPUS axis: a document's gram is novel when no lower-id
     * document contains it, and the novelty ratio is the share of the

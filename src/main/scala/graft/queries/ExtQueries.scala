@@ -600,6 +600,13 @@ object ExtQueries {
         .orderBy("doc_id"),
       Some(Pipeline.dupSpansRemovedSql())),
 
+    // corpus snapshot diff: per-source added/removed/modified/unchanged
+    // churn + token delta between two derived snapshots
+    Q("q_corpus_diff",
+      (s, dir) => Pipeline.corpusDiffGate(docs(s, dir))
+        .orderBy("source", "change"),
+      Some(Pipeline.corpusDiffSql())),
+
     // per-doc provenance ledger: every stage's independent verdict +
     // composed keep + first-failing-stage drop attribution
     Q("q_provenance",

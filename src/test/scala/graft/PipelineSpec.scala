@@ -553,6 +553,23 @@ class PipelineSpec extends SparkSpec {
     assert(sep._1 === 6L)
   }
 
+  test("corpusDiff: planted add/remove/modify/unchanged all classified; " +
+      "token deltas signed correctly") {
+    import spark.implicits._
+    def snap(rows: (Long, String)*) =
+      rows.map { case (id, t) => (id, "s", t) }
+        .toDF("doc_id", "source", "text")
+    val a = snap(1L -> "a b c", 2L -> "d e", 3L -> "f g h i")
+    val b = snap(2L -> "d e", 3L -> "f g", 9L -> "new doc here")
+    val out = Pipeline.corpusDiff(a, b).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      "added" -> ((1L, 3L)),      // doc 9: +3 tokens
+      "removed" -> ((1L, -3L)),   // doc 1: −3 tokens
+      "modified" -> ((1L, -2L)),  // doc 3: 4 → 2 tokens
+      "unchanged" -> ((1L, 0L))))
+  }
+
   test("lenPercentiles: hand-derivable rank cuts; ceil rank; ties safe") {
     import spark.implicits._
     val docs = (1 to 10).map(i =>
