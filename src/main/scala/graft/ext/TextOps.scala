@@ -635,6 +635,42 @@ object TextOps {
        | SELECT term, count(*) AS c FROM ($tokensSql) GROUP BY term)
        |ORDER BY c DESC, term LIMIT $size""".stripMargin.replace('\n', ' ')
 
+  /** Per-source out-of-vocabulary rate against a corpus-derived top-V
+    * vocabulary — the tokenizer-coverage audit next to [[bpeFertility]]
+    * (fertility says how FINELY the tokenizer splits; OOV rate says
+    * what it cannot represent at all). A source whose OOV rate spikes
+    * is the one the vocab under-serves — the signal vocab budgets are
+    * rebalanced on. Token occurrences LEFT-join the vocab (bounded,
+    * broadcast) and count misses; exact integer counts, one division
+    * per source row. */
+  def oovRate(docs: DataFrame, size: Int = 1000): DataFrame = {
+    val v = graft.functions.localRelation(
+      vocab(docs, size).select(col("term"), lit(1L).as("in_v")))
+    docs.select(col("doc_id"), col("source"), col("text"))
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .join(broadcast(v), Seq("term"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  def oovRateSql(size: Int = 1000): String =
+    s"""WITH v AS (${vocabSql(size)}),
+       |t AS (SELECT source,
+       |  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+       | FROM documents)
+       |SELECT t.source, CAST(count(*) AS BIGINT) AS n_tokens,
+       | CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |  AS n_oov,
+       | CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |   / CAST(count(*) AS DOUBLE) AS oov_rate
+       |FROM t LEFT JOIN v ON v.term = t.term
+       |GROUP BY t.source ORDER BY t.source""".stripMargin
+      .replace('\n', ' ')
+
   /** BPE merge induction (Sennrich et al., "Neural Machine Translation of
     * Rare Words with Subword Units", ACL 2016) — actual tokenizer
     * TRAINING, not just counting: k rounds of (most frequent adjacent

@@ -456,6 +456,12 @@ object ExtQueries {
         .orderBy("bucket"),
       Some(TextOps.classifierCalibrationSql())),
 
+    // per-source OOV rate against the corpus top-V vocab — the
+    // tokenizer-coverage audit next to fertility
+    Q("q_oov_rate",
+      (s, dir) => TextOps.oovRate(docs(s, dir)).orderBy("source"),
+      Some(TextOps.oovRateSql())),
+
     // per-source unigram KL drift from the corpus distribution (which
     // source is distributionally unlike the rest) — integer-quantized
     // logs, decimal sums, one final division

@@ -153,6 +153,23 @@ class ExtSpec extends SparkSpec {
     assert(keep(3L)._1 === false && keep(3L)._3 === false) // len_ok fails
   }
 
+  test("oovRate: rare-vocab source flagged; full-coverage source at 0; " +
+      "counts reconcile") {
+    import graft.ext.TextOps
+    import spark.implicits._
+    // vocab size 3 under (count desc, term) order -> {x, y, z};
+    // source sB speaks only out-of-vocab words
+    val docs = Seq(
+      (1L, "sA", "x x y y z z"), (2L, "sA", "x y z"),
+      (3L, "sB", "qq rr ss"))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.oovRate(docs, size = 3).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("sA") === ((9L, 0L, 0.0)))
+    assert(out("sB") === ((3L, 3L, 1.0)))
+  }
+
   test("hybridNearDup: lexical candidates verified semantically — " +
       "same-embedding pair keeps, orthogonal-embedding pair drops") {
     val shared = (1 to 30).map(i => s"dup$i").mkString(" ")
