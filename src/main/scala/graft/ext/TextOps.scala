@@ -1160,6 +1160,44 @@ object TextOps {
        |FROM scored GROUP BY 1 ORDER BY bucket""".stripMargin
       .replace('\n', ' ')
 
+  /** Per-language disparate-impact audit for the quality filter stack —
+    * the responsible-curation check the C4 postmortems made standard
+    * (rule cascades and learned filters both tend to over-drop
+    * under-resourced languages/dialects; nobody notices until the
+    * per-group rates are printed). One row per language: classifier
+    * keep rate vs rule keep rate vs mean score. A language whose
+    * predicted keep rate sits far below the corpus mean is being
+    * filtered into under-representation — the dial to fix BEFORE
+    * training, not after. Exact counts, quantize-sum-once mean, one
+    * division per emitted rate. */
+  def classifierBias(scored: DataFrame, docs: DataFrame): DataFrame =
+    scored.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep_pred"), 1L).otherwise(0L)).as("n_keep_pred"),
+        sum(when(col("keep_rule"), 1L).otherwise(0L)).as("n_keep_rule"),
+        sum(floor(col("score") * 1e9).cast("decimal(38,0)")).as("sq"))
+      .select(col("lang"), col("n_docs"),
+        (col("n_keep_pred").cast("double") / col("n_docs").cast("double"))
+          .as("keep_rate_pred"),
+        (col("n_keep_rule").cast("double") / col("n_docs").cast("double"))
+          .as("keep_rate_rule"),
+        ((col("sq").cast("double") / 1e9) / col("n_docs").cast("double"))
+          .as("mean_score"))
+
+  def classifierBiasSql(iters: Int = 24, eta: Double = 1.0): String =
+    s"""WITH scored AS (SELECT * FROM (
+       | ${qualityClassifierSql(iters, eta).replace(" ORDER BY doc_id", "")}))
+       |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(CASE WHEN s.keep_pred THEN 1 ELSE 0 END) AS DOUBLE)
+       |   / CAST(count(*) AS DOUBLE) AS keep_rate_pred,
+       | CAST(sum(CASE WHEN s.keep_rule THEN 1 ELSE 0 END) AS DOUBLE)
+       |   / CAST(count(*) AS DOUBLE) AS keep_rate_rule,
+       | (CAST(sum(CAST(floor(s.score * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+       |   / CAST(count(*) AS DOUBLE) AS mean_score
+       |FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin.replace('\n', ' ')
+
   /** Tokenizer fertility per language — the standard tokenizer-eval
     * metric (BPE pieces emitted per word): high fertility on a language
     * means the merge table under-serves it, the signal multilingual

@@ -456,6 +456,13 @@ object ExtQueries {
         .orderBy("bucket"),
       Some(TextOps.classifierCalibrationSql())),
 
+    // per-language disparate-impact audit: keep rates + mean score by
+    // lang off the same memoized training run
+    Q("q_classifier_bias",
+      (s, dir) => TextOps.classifierBias(classifierScoredFor(s, dir),
+          docs(s, dir)).orderBy("lang"),
+      Some(TextOps.classifierBiasSql())),
+
     // per-source OOV rate against the corpus top-V vocab — the
     // tokenizer-coverage audit next to fertility
     Q("q_oov_rate",

@@ -153,6 +153,33 @@ class ExtSpec extends SparkSpec {
     assert(keep(3L)._1 === false && keep(3L)._3 === false) // len_ok fails
   }
 
+  test("classifierBias: per-lang rule rates reconcile with an " +
+      "independent rollup; every language audited; rates in [0,1]") {
+    import graft.ext.TextOps
+    import org.apache.spark.sql.functions.{avg, col, when}
+    val docs = Tables.table(spark, sf(), "documents")
+    val scored = TextOps.qualityClassifier(docs)
+    val out = TextOps.classifierBias(scored, docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val langs = docs.select("lang").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(out.keySet === langs)
+    assert(out.values.map(_._1).sum === docs.count())
+    out.values.foreach { case (_, p, r) =>
+      assert(p >= 0.0 && p <= 1.0 && r >= 0.0 && r <= 1.0)
+    }
+    // rule keep rate must equal an independent qualityFilter rollup
+    val indep = TextOps.qualityFilter(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(avg(when(col("keep"), 1.0).otherwise(0.0)).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    out.foreach { case (l, (_, _, ruleRate)) =>
+      assert(math.abs(ruleRate - indep(l)) < 1e-12, s"$l rollup drift")
+    }
+  }
+
   test("oovRate: rare-vocab source flagged; full-coverage source at 0; " +
       "counts reconcile") {
     import graft.ext.TextOps
