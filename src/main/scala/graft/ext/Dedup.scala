@@ -377,6 +377,80 @@ object Dedup {
        |   / CAST(n_lsh AS DOUBLE) END AS postings_coverage
        |FROM ev""".stripMargin.replace('\n', ' ')
 
+  /** Cross-source duplication attribution — the mirror-detection
+    * matrix: verified near-dup pairs rolled up to (source_a, source_b)
+    * with the canonical ordering `source_a <= source_b`, so "which
+    * domains copy which" reads off one bounded table (diagonal =
+    * within-source duplication — template farms; off-diagonal = mirror
+    * relationships). The pair list is whatever verified generator the
+    * caller trusts ([[minhashNearDup]] in the gate); attribution is
+    * two doc-keyed joins + a bounded-key rollup. */
+  def dupSourceMatrix(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"),
+        col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"),
+        col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  def dupSourceMatrixSql(): String =
+    s"""WITH p AS (SELECT doc_a, doc_b FROM (
+       |  ${minhashNearDupSql().replace(" ORDER BY 1, 2", "")})),
+       |src AS (SELECT doc_id, source FROM documents)
+       |SELECT least(a.source, b.source) AS source_a,
+       | greatest(a.source, b.source) AS source_b,
+       | CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM p
+       |JOIN src a ON a.doc_id = p.doc_a
+       |JOIN src b ON b.doc_id = p.doc_b
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace('\n', ' ')
+
+  /** Keeper-policy variant of [[exactDedup]] — keep the LONGEST copy
+    * (ties → min doc id): the policy real pipelines prefer when
+    * duplicates are truncated/partial mirrors of one page and the most
+    * complete version should survive. Same md5 groupBy shape; the
+    * keeper is one `max_by`-style struct argmax, exact integer
+    * ordering. */
+  /** Keeper-policy variant over [[dedupGroups]] — keep the LONGEST
+    * member of each near-dup group (ties → min doc id): the policy real
+    * pipelines prefer when duplicates are truncated or partial mirrors
+    * of one page and the most COMPLETE version should survive (min-id
+    * keeps whichever copy happened to be crawled first — often the
+    * truncated one). Exact dedup has no such choice (identical text ⇒
+    * identical length); it exists precisely for verified NEAR-dup
+    * groups. The composite argmax key is one exact BIGINT
+    * (`len·2^33 − doc_id`), so the per-group winner is a plain integer
+    * max over the group window — no text shuffled past the length
+    * projection. */
+  def dedupGroupsKeepLongest(docs: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val g = dedupGroups(docs, pairs).select("doc_id", "group_id")
+      .join(docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("len")), "doc_id")
+    val key = col("len") * 8589934592L - col("doc_id")
+    g.withColumn("keep",
+        key === max(key).over(Window.partitionBy("group_id")))
+      .select("doc_id", "group_id", "len", "keep")
+  }
+
+  def dedupGroupsKeepLongestSql(n: Int = 2, k: Int = 16, r: Int = 4,
+      threshold: Double = 0.2): String =
+    s"""WITH g AS (SELECT doc_id, group_id FROM (
+       |  ${dedupGroupsSql(n, k, r, threshold)
+            .replace(" ORDER BY d.doc_id", "")})),
+       |gl AS (SELECT g.doc_id, g.group_id,
+       |  CAST(length(d.text) AS BIGINT) AS len
+       | FROM g JOIN documents d ON d.doc_id = g.doc_id)
+       |SELECT doc_id, group_id, len,
+       | (len * 8589934592 - doc_id) = max(len * 8589934592 - doc_id)
+       |   OVER (PARTITION BY group_id) AS keep
+       |FROM gl ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
   /** Hybrid near-dup — lexical blocking, SEMANTIC verification: the
     * production two-stage pattern (cheap minhash banding surfaces
     * candidate pairs at high recall; the embedding cosine verifies at

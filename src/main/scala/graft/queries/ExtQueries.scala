@@ -199,6 +199,20 @@ object ExtQueries {
         .orderBy("doc_a", "doc_b"),
       Some(Dedup.ngramJaccardSql())),
 
+    // keeper-policy variant over near-dup groups: keep the LONGEST
+    // member (most complete mirror survives), composite integer argmax
+    Q("q_dedup_keep_longest",
+      (s, dir) => Dedup.dedupGroupsKeepLongest(docs(s, dir),
+          pairsFor(s, dir)).orderBy("doc_id"),
+      Some(Dedup.dedupGroupsKeepLongestSql())),
+
+    // mirror-detection matrix: verified near-dup pairs rolled up to
+    // canonical (source_a <= source_b) with the memoized pair list
+    Q("q_dup_source_matrix",
+      (s, dir) => Dedup.dupSourceMatrix(pairsFor(s, dir), docs(s, dir))
+        .orderBy("source_a", "source_b"),
+      Some(Dedup.dupSourceMatrixSql())),
+
     // hybrid near-dup: minhash-banded lexical candidates verified by
     // embedding cosine (two-stage recall/precision split); demo
     // threshold — the synthetic embeddings are text-independent

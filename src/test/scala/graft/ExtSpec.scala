@@ -153,6 +153,45 @@ class ExtSpec extends SparkSpec {
     assert(keep(3L)._1 === false && keep(3L)._3 === false) // len_ok fails
   }
 
+  test("dedupGroupsKeepLongest: the most complete mirror survives even " +
+      "with a higher id; min-id policy would pick the truncated copy") {
+    import spark.implicits._
+    val long = (1 to 40).map(i => s"m$i").mkString(" ")
+    val short = (1 to 30).map(i => s"m$i").mkString(" ") // truncated
+    val docs = docsDf((1L, short), (2L, long), (3L, "x y z unrelated"))
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dedupGroupsKeepLongest(docs, pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(out(1L) === ((1L, false)), "truncated copy must drop")
+    assert(out(2L) === ((1L, true)), "longest member keeps")
+    assert(out(3L) === ((3L, true)), "singleton keeps itself")
+    // control: the min-id policy keeps the truncated doc 1
+    val minId = Dedup.dedupGroups(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(minId(1L) && !minId(2L))
+    // tie on length -> min id wins
+    val tie = Dedup.dedupGroupsKeepLongest(
+      docsDf((5L, long), (6L, long)), Seq((5L, 6L)).toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(tie === Map(5L -> true, 6L -> false))
+  }
+
+  test("dupSourceMatrix: canonical source ordering, diagonal = " +
+      "within-source duplication, counts reconcile with the pair list") {
+    import spark.implicits._
+    val docs = Seq((1L, "sA", "t"), (2L, "sB", "t"), (3L, "sA", "t"),
+      (4L, "sC", "t")).toDF("doc_id", "source", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.dupSourceMatrix(pairs, docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      ("sA", "sB") -> 2L,   // 1~2 and 2~3, both ordered sA<=sB
+      ("sA", "sA") -> 1L,   // 1~3: within-source
+      ("sB", "sC") -> 1L))
+    assert(out.values.sum === pairs.count())
+  }
+
   test("classifierBias: per-lang rule rates reconcile with an " +
       "independent rollup; every language audited; rates in [0,1]") {
     import graft.ext.TextOps
