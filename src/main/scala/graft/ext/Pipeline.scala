@@ -602,6 +602,49 @@ object Pipeline {
   private def exactDedupNoOrder: String =
     Dedup.exactDedupSql.replace(" ORDER BY 1", "")
 
+  /** Strided sliding-window packing manifest — the long-context
+    * alternative to [[packSequences]]' concat-and-chunk: each document
+    * yields overlapping windows `[k·stride, k·stride + seqLen)` (the
+    * overlap preserves cross-boundary context that hard chunking
+    * destroys — the standard long-doc training prep). Short docs yield
+    * exactly one window; the last window clips to the document end.
+    * Pure integer arithmetic + one sequence explode — map-side,
+    * embarrassingly parallel over docs, zero shuffle. */
+  def packStrided(docs: DataFrame, seqLen: Int = 128,
+      stride: Int = 64): DataFrame = {
+    require(stride > 0 && seqLen >= stride,
+      "stride must be positive and no larger than seqLen")
+    graft.functions.parallelized(docs)
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("nt"))
+      .withColumn("n_win", when(col("nt") <= seqLen, 1L)
+        .otherwise(lit(1L) +
+          expr(s"(nt - $seqLen + ${stride - 1}) div $stride")))
+      .select(col("doc_id"), col("nt"),
+        explode(sequence(lit(0L), col("n_win") - 1)).as("win_idx"))
+      .select(col("doc_id"), col("win_idx"),
+        (col("win_idx") * stride).as("start_tok"),
+        least(col("win_idx") * stride + seqLen, col("nt")).as("end_tok"))
+      .withColumn("n_tokens", col("end_tok") - col("start_tok"))
+  }
+
+  def packStridedSql(seqLen: Int = 128, stride: Int = 64): String =
+    s"""WITH d AS (SELECT doc_id,
+       |  CAST(${TextOps.tokenCountSql} AS BIGINT) AS nt FROM documents),
+       |w AS (SELECT doc_id, nt,
+       |  CASE WHEN nt <= $seqLen THEN 1
+       |   ELSE 1 + (nt - $seqLen + ${stride - 1}) // $stride END
+       |  AS n_win FROM d),
+       |x AS (SELECT doc_id, nt,
+       |  unnest(generate_series(0, n_win - 1)) AS win_idx FROM w)
+       |SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+       | CAST(win_idx * $stride AS BIGINT) AS start_tok,
+       | CAST(least(win_idx * $stride + $seqLen, nt) AS BIGINT)
+       |  AS end_tok,
+       | CAST(least(win_idx * $stride + $seqLen, nt) - win_idx * $stride
+       |  AS BIGINT) AS n_tokens
+       |FROM x ORDER BY doc_id, win_idx""".stripMargin.replace('\n', ' ')
+
   /** Corpus snapshot diff — the crawl-to-crawl churn report (what a
     * data lead reads before re-training on a refreshed snapshot): per
     * source, how many documents were ADDED, REMOVED, MODIFIED (same id,

@@ -592,6 +592,13 @@ object ExtQueries {
         .orderBy("shard", "seq"),
       Some(Pipeline.packManifestSql())),
 
+    // strided sliding-window manifest (overlapping long-context windows;
+    // sf docs are short, so a small window exercises multi-window docs)
+    Q("q_pack_strided",
+      (s, dir) => Pipeline.packStrided(docs(s, dir), seqLen = 32,
+          stride = 16).orderBy("doc_id", "win_idx"),
+      Some(Pipeline.packStridedSql(seqLen = 32, stride = 16))),
+
     // epoch-weighted mixture sampling (2.5 epochs of src0, 0.4 of src1)
     Q("q_mixture",
       (s, dir) => Pipeline.mixtureSample(docs(s, dir), MixtureWeights,

@@ -553,6 +553,26 @@ class PipelineSpec extends SparkSpec {
     assert(sep._1 === 6L)
   }
 
+  test("packStrided: coverage, overlap, and clipping invariants on " +
+      "hand-derivable docs") {
+    // 10 tokens, seqLen 4, stride 2 -> windows [0,4) [2,6) [4,8) [6,10)
+    val docs = docsDf(1L -> (1 to 10).map(i => s"t$i").mkString(" "),
+      2L -> "a b") // short doc: one clipped window
+    val out = Pipeline.packStrided(docs, seqLen = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out === Map(
+      (1L, 0L) -> ((0L, 4L, 4L)), (1L, 1L) -> ((2L, 6L, 4L)),
+      (1L, 2L) -> ((4L, 8L, 4L)), (1L, 3L) -> ((6L, 10L, 4L)),
+      (2L, 0L) -> ((0L, 2L, 2L))))
+    // every token position covered by >= 1 window; consecutive windows
+    // overlap by seqLen - stride
+    val w1 = out.filter(_._1._1 == 1L).toSeq.sortBy(_._1._2).map(_._2)
+    w1.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._1 - a._1 === 2L && a._2 - b._1 === 2L)
+    }
+  }
+
   test("corpusDiff: planted add/remove/modify/unchanged all classified; " +
       "token deltas signed correctly") {
     import spark.implicits._
