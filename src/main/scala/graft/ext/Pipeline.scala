@@ -602,6 +602,34 @@ object Pipeline {
   private def exactDedupNoOrder: String =
     Dedup.exactDedupSql.replace(" ORDER BY 1", "")
 
+  /** Per-source content checksum — the transfer-integrity manifest
+    * (did every document survive the copy between clusters/snapshots,
+    * without shipping the text back): an ORDER-INDEPENDENT additive
+    * checksum of per-doc md5 prefixes, reduced mod 2^31−1 for a
+    * fixed-width comparable. Addition commutes, so any partitioning /
+    * shuffle order yields the same value — comparable across engines,
+    * clusters, and runs; the internal sum runs over decimal so no
+    * corpus size wraps it. Collision odds for an accidental mismatch
+    * to go unnoticed are ~2^-31 per source — an integrity audit, not a
+    * cryptographic commitment. */
+  def corpusChecksum(docs: DataFrame): DataFrame =
+    graft.functions.parallelized(docs)
+      .select(col("source"),
+        conv(substring(md5(col("text")), 1, 8), 16, 10)
+          .cast("decimal(38,0)").as("h"),
+        length(col("text")).cast("long").as("nc"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"),
+        (sum(col("h")) % 2147483647L).cast("long").as("checksum"))
+
+  def corpusChecksumSql(): String =
+    s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       | CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+       |   % 2147483647 AS BIGINT) AS checksum
+       |FROM documents GROUP BY source
+       |ORDER BY source""".stripMargin.replace('\n', ' ')
+
   /** Strided sliding-window packing manifest — the long-context
     * alternative to [[packSequences]]' concat-and-chunk: each document
     * yields overlapping windows `[k·stride, k·stride + seqLen)` (the

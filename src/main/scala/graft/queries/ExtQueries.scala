@@ -634,6 +634,12 @@ object ExtQueries {
         .orderBy("doc_id"),
       Some(Pipeline.dupSpansRemovedSql())),
 
+    // per-source order-independent content checksum (transfer-integrity
+    // manifest; additive md5-prefix sum mod 2^31-1)
+    Q("q_corpus_checksum",
+      (s, dir) => Pipeline.corpusChecksum(docs(s, dir)).orderBy("source"),
+      Some(Pipeline.corpusChecksumSql())),
+
     // corpus snapshot diff: per-source added/removed/modified/unchanged
     // churn + token delta between two derived snapshots
     Q("q_corpus_diff",

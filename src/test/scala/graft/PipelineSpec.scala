@@ -553,6 +553,22 @@ class PipelineSpec extends SparkSpec {
     assert(sep._1 === 6L)
   }
 
+  test("corpusChecksum: order/partition independent; any single-doc " +
+      "content change moves the checksum") {
+    import spark.implicits._
+    val rows = (1 to 50).map(i => (i.toLong, "s", s"doc number $i body"))
+    val a = rows.toDF("doc_id", "source", "text")
+    val b = scala.util.Random.shuffle(rows).toDF("doc_id", "source", "text")
+      .repartition(7)
+    def cs(df: org.apache.spark.sql.DataFrame) =
+      Pipeline.corpusChecksum(df).collect()
+        .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(cs(a) === cs(b), "checksum must not depend on order/partitions")
+    val mutated = rows.updated(10, (11L, "s", "doc number 11 MUTATED"))
+      .toDF("doc_id", "source", "text")
+    assert(cs(a)("s") !== cs(mutated)("s"), "mutation must be detected")
+  }
+
   test("packStrided: coverage, overlap, and clipping invariants on " +
       "hand-derivable docs") {
     // 10 tokens, seqLen 4, stride 2 -> windows [0,4) [2,6) [4,8) [6,10)
