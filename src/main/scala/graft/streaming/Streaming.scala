@@ -1701,6 +1701,24 @@ object Streaming {
       : DataFrame =
     graft.ext.TextOps.scoreQuality(docs, w)
 
+  /** Running per-source content checksum on a STREAM — the ingest-time
+    * twin of [[graft.ext.Pipeline.corpusChecksum]], and the op the
+    * additive design exists FOR: the checksum is a commutative monoid,
+    * so Spark's built-in streaming aggregation (complete mode, partial
+    * aggregation per micro-batch, state = one row per source) lands on
+    * EXACTLY the batch value after any replay, in any arrival order,
+    * across any batch boundaries. A transfer's receiving side runs this
+    * while ingesting and compares against the sender's batch manifest
+    * — no second pass over the corpus. */
+  def streamingCorpusChecksum(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        conv(substring(md5(col("text")), 1, 8), 16, 10)
+          .cast("decimal(38,0)").as("h"),
+        length(col("text")).cast("long").as("nc"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"),
+        (sum(col("h")) % 2147483647L).cast("long").as("checksum"))
+
   /** Parsed document-ingest line — the corpus pipeline's T2, one
     * tab-separated `<doc_id>\t<source>\t<text>` record per wire line
     * (text may itself contain tabs; only the first two split). */

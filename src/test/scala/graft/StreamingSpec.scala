@@ -172,6 +172,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(1L)._4 && !streamed(2L)._2 && !streamed(3L)._1)
   }
 
+  test("streaming corpus checksum ≡ batch manifest after cross-batch " +
+      "replay in shuffled order") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = Tables.table(spark, sf("sf0.001"), "documents")
+    val batch = graft.ext.Pipeline.corpusChecksum(docsDf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val rows = docsDf.select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val shuffled = new scala.util.Random(7).shuffle(rows.toSeq)
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streaming.streamingCorpusChecksum(
+        in.toDS().toDF("doc_id", "source", "text"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("scsum").start()
+    val (b1, b2) = shuffled.splitAt(shuffled.length / 3)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("scsum").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(streamed === batch,
+      "receiving-side running checksum must equal the sender manifest")
+  }
+
   test("streaming quality score ≡ batch classifier scores bit-exact, " +
       "stateless plan, cross-batch") {
     import spark.implicits._
