@@ -124,7 +124,7 @@ object Dedup {
       count(lit(1)).as("nsh"), collect_set(col("sh")).as("shset"))
     val perDoc = shingles(docs, n).groupBy("doc_id")
       .agg(sigAggs.head, sigAggs.tail: _*)
-      .localCheckpoint(true)
+      .transform(graft.functions.checkpointed)
     val bands = perDoc.select(col("doc_id"),
       posexplode(array((0 until k / r).map(j =>
         md5(concat_ws("", (0 until r).map(i => col(s"h${j * r + i}")): _*))): _*))
@@ -278,10 +278,10 @@ object Dedup {
     // of cache+count: blocks are plan-owned (GC with the plan, no
     // CacheManager residue across engine calls — round-2 ADVICE); the rare
     // checkpoint reads the sh checkpoint, so the second pass is cheap.
-    val sh = shingles(docs, n).localCheckpoint(true)
+    val sh = shingles(docs, n).transform(graft.functions.checkpointed)
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df").between(dfMin, dfMax))
-    val rare = sh.join(dfreq.select("sh"), "sh").localCheckpoint(true)
+    val rare = sh.join(dfreq.select("sh"), "sh").transform(graft.functions.checkpointed)
     val cands = rare.as("a").join(rare.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -530,10 +530,10 @@ object Dedup {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
+      .transform(graft.functions.checkpointed)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
+      .transform(graft.functions.checkpointed)
     var changed = 1L
     while (changed > 0) {
       val viaNbr = edges
@@ -552,7 +552,7 @@ object Dedup {
         .select(col("id"), col("_old"),
           least(col("comp"), coalesce(col("_cc"), col("comp")))
             .as("comp"))
-        .localCheckpoint(true)
+        .transform(graft.functions.checkpointed)
       changed = next.where(col("comp") =!= col("_old")).count()
       labels = next.select("id", "comp")
     }
@@ -786,7 +786,7 @@ object Dedup {
     require(maxHamming <= nBands - 1,
       s"banding with $nBands bands is only complete for Hamming <= ${nBands - 1}")
     val mask = (1L << bandBits) - 1 // Long shift: correct up to bandBits=32
-    val s = simhash(docs).localCheckpoint(true)
+    val s = simhash(docs).transform(graft.functions.checkpointed)
     val banded = s.select(col("doc_id"), col("simhash"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),

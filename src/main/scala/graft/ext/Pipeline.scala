@@ -1580,7 +1580,7 @@ object Pipeline {
         count(lit(1)).as("c_raw"),
         sum(when(col("source") === targetSource, 1L).otherwise(0L))
           .as("c_tgt"))
-      .localCheckpoint(true)
+      .transform(graft.functions.checkpointed)
 
   /** Zero-collect DSIR model for stream scoring (the LmModelRef
     * pattern): the vocab table stays a DataFrame — the stream-static

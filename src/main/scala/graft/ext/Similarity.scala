@@ -277,7 +277,7 @@ object Similarity {
     // recomputing the map-side cast from parquet. Eager localCheckpoint
     // (not cache+count): blocks are plan-owned and GC with the plan — no
     // CacheManager residue across engine calls (round-2 ADVICE).
-    val buckets = lshBuckets(embeddings, planes).localCheckpoint(true)
+    val buckets = lshBuckets(embeddings, planes).transform(graft.functions.checkpointed)
     val vecs = withNorms(embeddings).join(buckets, "vec_id")
     val a = vecs.select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
       col("norm").as("q_norm"), col("bucket"))
@@ -329,7 +329,7 @@ object Similarity {
     * deterministic, so duplicates are identical rows). */
   def lshNearestMultiProbe(embeddings: DataFrame, planes: Int = 4)
       : DataFrame = {
-    val buckets = lshBuckets(embeddings, planes).localCheckpoint(true) // see lshNearest
+    val buckets = lshBuckets(embeddings, planes).transform(graft.functions.checkpointed) // see lshNearest
     val vecs = withNorms(embeddings).join(buckets, "vec_id")
     val probes = col("bucket") +:
       (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))
@@ -355,7 +355,7 @@ object Similarity {
     * the exact verification, same determinism contract as `cosineTopK`. */
   def cosineNearDup(embeddings: DataFrame, planes: Int = 4,
       threshold: Double = 0.4): DataFrame = {
-    val buckets = lshBuckets(embeddings, planes).localCheckpoint(true) // see lshNearest
+    val buckets = lshBuckets(embeddings, planes).transform(graft.functions.checkpointed) // see lshNearest
     val vecs = withNorms(embeddings).join(buckets, "vec_id")
     val a = vecs.select(col("vec_id").as("vec_a"), col("emb").as("a_emb"),
       col("norm").as("a_norm"), col("bucket"))
@@ -466,7 +466,7 @@ object Similarity {
     val csims = vecs.crossJoin(cents.hint("broadcast"))
       .select(col("vec_id"), col("cid"),
         (dotD(col("emb"), col("c_emb")) / (col("norm") * col("c_norm")))
-          .as("csim")).localCheckpoint(true)
+          .as("csim")).transform(graft.functions.checkpointed)
     val byCell = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cid"))
     val assigned = csims.withColumn("rn", row_number().over(byCell))
@@ -659,7 +659,7 @@ object Similarity {
   def pqAdcTopK(embeddings: DataFrame, subspaces: Int = 8,
       nCentroids: Int = 16, nQueries: Int = 10, k: Int = 3): DataFrame = {
     val dists = pqDists(embeddings, subspaces, nCentroids)
-      .localCheckpoint(true) // feeds both the LUT and the assignments
+      .transform(graft.functions.checkpointed) // feeds both the LUT and the assignments
     val lut = dists.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("s"), col("cid"),
         floor(col("dist") * lit(1e9)).cast("long").as("dq"))
@@ -701,7 +701,7 @@ object Similarity {
       .select(col("vec_id"), col("ccid"),
         (dotD(col("emb"), col("c_emb")) / (col("norm") * col("c_norm")))
           .as("csim"))
-      .localCheckpoint(true) // feeds assignment AND probes
+      .transform(graft.functions.checkpointed) // feeds assignment AND probes
     val byCell = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("ccid"))
     val ranked = csims.withColumn("rn", row_number().over(byCell))
@@ -711,7 +711,7 @@ object Similarity {
       .where(col("rn") <= nProbe && col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("ccid").as("cell"))
     val dists = pqDists(embeddings, subspaces, nCentroids)
-      .localCheckpoint(true) // feeds the LUT AND the code assignment
+      .transform(graft.functions.checkpointed) // feeds the LUT AND the code assignment
     val lut = dists.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("s"), col("cid"),
         floor(col("dist") * lit(1e9)).cast("long").as("dq"))
@@ -798,10 +798,10 @@ object Similarity {
   private[graft] def kmeansLoop(embeddings: DataFrame, k: Int,
       iters: Int): (DataFrame, DataFrame) = {
     val vecs = withNorms(embeddings).select(col("vec_id"), col("emb"))
-      .localCheckpoint(true)
+      .transform(graft.functions.checkpointed)
     var cents = vecs.where(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"))
-      .localCheckpoint(true)
+      .transform(graft.functions.checkpointed)
     for (_ <- 1 to iters) {
       val assigned = centRank(vecs, cents).where(col("rn") === 1)
         .select(col("vec_id"), col("cid"))
@@ -823,7 +823,7 @@ object Similarity {
       cents = cents.join(recomputed, Seq("cid"), "left")
         .select(col("cid"),
           coalesce(col("_new"), col("cemb")).as("cemb"))
-        .localCheckpoint(true)
+        .transform(graft.functions.checkpointed)
     }
     (vecs, cents)
   }
@@ -856,7 +856,7 @@ object Similarity {
       iters: Int = 2, nProbe: Int = 2, nQueries: Int = 10,
       k: Int = 3): DataFrame = {
     val (vecs, cents) = kmeansLoop(embeddings, kCells, iters)
-    val ranked = centRank(vecs, cents).localCheckpoint(true)
+    val ranked = centRank(vecs, cents).transform(graft.functions.checkpointed)
     val assigned = ranked.where(col("rn") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
     val probes = ranked
@@ -1038,7 +1038,7 @@ object Similarity {
       .select(col("vec_id"), col("cid").as("cell"))
       .join(vecs, "vec_id")
       .withColumn("norm", sqrt(dotD(col("emb"), col("emb"))))
-      .localCheckpoint(true)
+      .transform(graft.functions.checkpointed)
   }
 
   /** [[semDedup]] running on a precomputed [[cellAssignment]]. */
@@ -1134,7 +1134,7 @@ object Similarity {
       iters: Int): DataFrame = {
     var cbook = points.where(col("vec_id") < nCentroids)
       .select(col("s"), col("vec_id").as("cid"), col("sv").as("cv"))
-      .localCheckpoint(true)
+      .transform(graft.functions.checkpointed)
     for (_ <- 1 to iters) {
       val assigned = subAssign(points, cbook)
         .select(col("vec_id"), col("s"), col("cid"))
@@ -1153,7 +1153,7 @@ object Similarity {
       cbook = cbook.join(recomputed, Seq("s", "cid"), "left")
         .select(col("s"), col("cid"),
           coalesce(col("_new"), col("cv")).as("cv"))
-        .localCheckpoint(true)
+        .transform(graft.functions.checkpointed)
     }
     cbook
   }
@@ -1162,8 +1162,8 @@ object Similarity {
       nCentroids: Int = 16, iters: Int = 2): DataFrame = {
     require(Dims % subspaces == 0, s"$subspaces must divide $Dims")
     val vecs = withNorms(embeddings).select(col("vec_id"), col("emb"))
-      .localCheckpoint(true)
-    val points = subPoints(vecs, "emb", subspaces).localCheckpoint(true)
+      .transform(graft.functions.checkpointed)
+    val points = subPoints(vecs, "emb", subspaces).transform(graft.functions.checkpointed)
     val cbook = groupedLloyd(points, nCentroids, iters)
     packCodes(subAssign(points, cbook), nCentroids)
   }
@@ -1180,7 +1180,7 @@ object Similarity {
       pqIters: Int = 2, nProbe: Int = 2, nQueries: Int = 10,
       k: Int = 3): DataFrame = {
     val (vecs, cents) = kmeansLoop(embeddings, nCells, cellIters)
-    val ranked = centRank(vecs, cents).localCheckpoint(true)
+    val ranked = centRank(vecs, cents).transform(graft.functions.checkpointed)
     val assigned = ranked.where(col("rn") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
     val probes = ranked
@@ -1191,9 +1191,9 @@ object Similarity {
       .join(broadcast(centsAsCell), "cell")
       .select(col("vec_id"), col("cell"),
         zip_with(col("emb"), col("cemb"), (x, g) => x - g).as("res"))
-      .localCheckpoint(true)
+      .transform(graft.functions.checkpointed)
     val points = subPoints(res.select(col("vec_id"), col("res")),
-      "res", subspaces).localCheckpoint(true)
+      "res", subspaces).transform(graft.functions.checkpointed)
     val cbook = groupedLloyd(points, nCentroids, pqIters)
     val codes = subAssign(points, cbook)
       .select(col("vec_id"), col("s"), col("cid"))
@@ -1361,10 +1361,10 @@ object Similarity {
     * 1, d)` — the portability contract at any prefix width. */
   def mrlRecall(embeddings: DataFrame, dims: Seq[Int] = Seq(8, 16, 32),
       nQueries: Int = 100): DataFrame = {
-    val full = withNorms(embeddings).localCheckpoint(true)
+    val full = withNorms(embeddings).transform(graft.functions.checkpointed)
     val truth = bruteTopK(full, nQueries, 1, excludeSameLabel = false)
       .select(col("q_id"), col("vec_id").as("true_nn"))
-      .localCheckpoint(true)
+      .transform(graft.functions.checkpointed)
     dims.map { d =>
       val trunc = full
         .select(col("vec_id"), slice(col("emb"), 1, d).as("emb"))
@@ -1479,7 +1479,7 @@ object Similarity {
       .select(col("vec_id"), col("ccid"),
         (dotD(col("emb"), col("g_emb")) / (col("norm") * col("g_norm")))
           .as("csim"))
-      .localCheckpoint(true)
+      .transform(graft.functions.checkpointed)
     val byCell = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("ccid"))
     val ranked = csims.withColumn("rn", row_number().over(byCell))
@@ -1495,7 +1495,7 @@ object Similarity {
         col("g_emb"))), "cell")
       .select(col("vec_id"), col("cell"),
         zip_with(col("emb"), col("g_emb"), (x, g) => x - g).as("res"))
-      .localCheckpoint(true)
+      .transform(graft.functions.checkpointed)
     // codebook = residuals of the seed vectors (vs their own cells)
     val cbook = res.where(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("res").as("c_res"))

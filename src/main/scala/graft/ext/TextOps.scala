@@ -251,7 +251,7 @@ object TextOps {
     // contract; consts derive from the checkpointed layer for free
     val words = tokens(docs)
     val freq = words.groupBy("term").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .transform(graft.functions.checkpointed)
     val consts = graft.functions.localRelation(
       freq.agg(sum(col("c")).cast("long").as("n_total")))
     val qterm = floor(
@@ -342,7 +342,7 @@ object TextOps {
     import graft.functions.localRelation
     val c12raw = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val uni = tokens(docs).groupBy("term").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .transform(graft.functions.checkpointed)
     val consts = localRelation(
       uni.agg(sum(col("c")).cast("long").as("n_total")))
     // prune BEFORE the two vocab joins, so the (huge) rare-bigram tail
@@ -375,7 +375,7 @@ object TextOps {
   def bigramLogProb(docs: DataFrame, lambda: Double = 0.9): DataFrame = {
     // checkpoint: pairs feed the model's c12 AND the probe side — the
     // corpus tokenizes into bigrams exactly once
-    val pairs = bigramPairs(docs).localCheckpoint(true)
+    val pairs = bigramPairs(docs).transform(graft.functions.checkpointed)
     pairs
       .join(bigramModelFrom(pairs, docs, lambda), Seq("w1", "w2"))
       .groupBy("doc_id").agg(
@@ -567,7 +567,7 @@ object TextOps {
     import graft.functions.localRelation
     val toks = tokens(docs)
     val uni = toks.groupBy("term").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .transform(graft.functions.checkpointed)
     val nTotal = localRelation(uni.agg(sum(col("c")).cast("long")
       .as("n_total")))
     // materialize the split ONCE per row before the pair lambda — an
@@ -709,7 +709,7 @@ object TextOps {
           array_join(regexp_extract_all(col("term"), lit("."), lit(0)),
             " "), lit(" ")).as("sym"),
         col("freq"))
-      .localCheckpoint(true)
+      .transform(graft.functions.checkpointed)
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 1
     var exhausted = false
@@ -743,7 +743,7 @@ object TextOps {
           lit(s" $pair "), lit(s" $merged "))
         words = words.select(col("term"),
           rep1(rep1(col("sym"))).as("sym"), col("freq"))
-          .localCheckpoint(true)
+          .transform(graft.functions.checkpointed)
         rank += 1
       }
     }
@@ -1053,7 +1053,7 @@ object TextOps {
   def trainQualityClassifier(docs: DataFrame, iters: Int = 24,
       eta: Double = 1.0): Array[Double] =
     trainOn(graft.functions.parallelized(classifierFeatures(docs))
-      .localCheckpoint(true), iters, eta)
+      .transform(graft.functions.checkpointed), iters, eta)
 
   /** Score any `(doc_id, text)` relation (batch OR stream — the feature
     * map is stateless per-row expressions) with trained weights. */
@@ -1065,7 +1065,7 @@ object TextOps {
   def qualityClassifier(docs: DataFrame, iters: Int = 24,
       eta: Double = 1.0): DataFrame = {
     val f = graft.functions.parallelized(classifierFeatures(docs))
-      .localCheckpoint(true)
+      .transform(graft.functions.checkpointed)
     val w = trainOn(f, iters, eta)
     f.select(col("doc_id"), classifierZ(w).as("score"),
       (classifierZ(w) >= 0.5).as("keep_pred"),
@@ -1488,14 +1488,14 @@ object TextOps {
     // corpus constants, the df table, and the scored join all read the
     // two small checkpointed tables, never the token stream again
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      .localCheckpoint(true)
+      .transform(graft.functions.checkpointed)
     val consts = localRelation(dl.agg(
         count(lit(1)).as("n_docs"), sum(col("dl")).as("tdl"))
       .select(col("n_docs"),
         (col("tdl").cast("double") / col("n_docs")).as("avgdl")))
     val tf = toks.where(col("term").isin(qterms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .transform(graft.functions.checkpointed)
     val dfreq = localRelation(
       tf.groupBy("term").agg(count(lit(1)).as("df")))
     val scored = tf.join(dl, "doc_id").join(dfreq, "term").crossJoin(consts)
@@ -1608,7 +1608,7 @@ object TextOps {
     import graft.functions.localRelation
     val tf = tokens(docs).groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true) // feeds df AND weights
+      .transform(graft.functions.checkpointed) // feeds df AND weights
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .where(col("df") <= dfMax)
     val nDocs = localRelation(docs.agg(count(lit(1)).as("n_docs")))
@@ -1616,7 +1616,7 @@ object TextOps {
       .select(col("doc_id"), col("term"),
         (col("tf") * lnQ(col("n_docs").cast("double") / col("df")))
           .as("w"))
-      .localCheckpoint(true) // feeds norms AND the pair dots
+      .transform(graft.functions.checkpointed) // feeds norms AND the pair dots
     val norms = wts.groupBy("doc_id")
       .agg(sum(floor(col("w") * col("w") * lit(1e6)).cast("long"))
         .as("s2"))

@@ -27,6 +27,26 @@ package object functions {
   }
 
 
+  /** Plan-stage materialization barrier with a DEPLOYMENT-SELECTED
+    * durability level. Default: `localCheckpoint(eager)` — blocks owned
+    * by the plan, GC'd with it, no CacheManager residue; the documented
+    * trade-off is that lineage is truncated, so losing an executor
+    * mid-query FAILS the query instead of recomputing (right for
+    * interactive engine queries). A multi-hour batch campaign on
+    * preemptible nodes sets `spark.graft.checkpoint.reliable=true`
+    * (plus `sc.setCheckpointDir` to a durable FS) and every
+    * materialization point in the engine switches to RELIABLE
+    * checkpointing — lost partitions reload from the checkpoint files
+    * and the query survives executor loss. One runtime conf, zero
+    * operator changes: every ext/streaming op materializes through this
+    * helper. */
+  def checkpointed(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    if (df.sparkSession.conf
+        .getOption("spark.graft.checkpoint.reliable").contains("true"))
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
   /** Materialize a BOUNDED aggregate (per-symbol bin parameters, corpus
     * constants, percentile tables — anything whose cardinality is the
     * GROUP key domain, not the data size) as a LocalRelation: downstream

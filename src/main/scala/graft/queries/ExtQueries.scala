@@ -43,7 +43,7 @@ object ExtQueries {
     pairsMemo.computeIfAbsent(
       System.identityHashCode(s).toString + ":" + dir,
       _ => Dedup.minhashNearDup(docs(s, dir)).select("doc_a", "doc_b")
-        .localCheckpoint(true))
+        .transform(graft.functions.checkpointed))
 
   /** Shared k-means cell assignment: `q_semdedup` and `q_cell_balance`
     * both consume the SAME trained clustering (the production shape — a
@@ -74,7 +74,7 @@ object ExtQueries {
       dir: String): org.apache.spark.sql.DataFrame =
     clsMemo.computeIfAbsent(
       System.identityHashCode(s).toString + ":" + dir,
-      _ => TextOps.qualityClassifier(docs(s, dir)).localCheckpoint(true))
+      _ => TextOps.qualityClassifier(docs(s, dir)).transform(graft.functions.checkpointed))
 
   /** Query bag for the BM25 gate — mid-frequency vocabulary words so df
     * spreads across terms. */

@@ -806,16 +806,16 @@ object Streaming {
       .join(broadcast(centsAsCell), "cell")
       .select(col("vec_id"), col("cell"),
         zip_with(col("emb"), col("cemb"), (x, g) => x - g).as("res"))
-      .localCheckpoint(true)
+      .transform(graft.functions.checkpointed)
     val points = Similarity.subPoints(
       res.select(col("vec_id"), col("res")), "res", subspaces)
-      .localCheckpoint(true)
+      .transform(graft.functions.checkpointed)
     val cbook = Similarity.groupedLloyd(points, nCentroids, pqIters)
     val codes = Similarity.subAssign(points, cbook)
       .select(col("vec_id"), col("s"), col("cid"))
-    val codesWithCell = codes.join(assigned, "vec_id").localCheckpoint(true)
-    IvfPqIndexRef(centsAsCell.localCheckpoint(true),
-      cbook.localCheckpoint(true),
+    val codesWithCell = codes.join(assigned, "vec_id").transform(graft.functions.checkpointed)
+    IvfPqIndexRef(centsAsCell.transform(graft.functions.checkpointed),
+      cbook.transform(graft.functions.checkpointed),
       codesWithCell, subspaces, codesWithCell.count())
   }
 
@@ -963,7 +963,7 @@ object Streaming {
     val uniDf = docs
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .transform(graft.functions.checkpointed)
     val nTotal = uniDf.agg(coalesce(sum(col("c")), lit(0L)).cast("long"))
       .head.getLong(0)
     val minCount = TextOps.minCountFor(nTotal, targetRows)
@@ -986,7 +986,7 @@ object Streaming {
     import graft.ext.Similarity
     val buckets = Similarity.lshBuckets(embeddings, planes)
     AnnIndexRef(Similarity.withNorms(embeddings).join(buckets, "vec_id")
-      .localCheckpoint(true), planes)
+      .transform(graft.functions.checkpointed), planes)
   }
 
   /** Nearest corpus vectors for a STREAM of query vectors — the serving
@@ -1055,7 +1055,7 @@ object Streaming {
     val cents = vecs.where(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("emb").as("c_emb"),
         col("norm").as("c_norm"))
-      .localCheckpoint(true)
+      .transform(graft.functions.checkpointed)
     val csims = vecs.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"),
         (Similarity.dotD(col("emb"), col("c_emb")) /
@@ -1064,7 +1064,7 @@ object Streaming {
       .orderBy(col("csim").desc, col("cid"))
     val assigned = csims.withColumn("rn", row_number().over(byCell))
       .where(col("rn") === 1).select(col("vec_id"), col("cid").as("cell"))
-    IvfIndexRef(cents, assigned.join(vecs, "vec_id").localCheckpoint(true))
+    IvfIndexRef(cents, assigned.join(vecs, "vec_id").transform(graft.functions.checkpointed))
   }
 
   /** IVF top-k for a STREAM of query vectors — the serving twin of
@@ -1135,8 +1135,8 @@ object Streaming {
     val (vecs, cents) = Similarity.kmeansLoop(embeddings, kCells, iters)
     val assigned = Similarity.centRank(vecs, cents)
       .where(col("rn") === 1).select(col("vec_id"), col("cid").as("cell"))
-    IvfL2IndexRef(cents.localCheckpoint(true),
-      assigned.join(vecs, "vec_id").localCheckpoint(true))
+    IvfL2IndexRef(cents.transform(graft.functions.checkpointed),
+      assigned.join(vecs, "vec_id").transform(graft.functions.checkpointed))
   }
 
   /** Trained-IVF top-k for a STREAM of query vectors — the serving twin
@@ -1197,10 +1197,10 @@ object Streaming {
       nCentroids: Int = 16): AdcIndexRef = {
     import graft.ext.Similarity
     val codes = Similarity.pqAssignments(embeddings, subspaces, nCentroids)
-      .localCheckpoint(true)
+      .transform(graft.functions.checkpointed)
     AdcIndexRef(codes,
       Similarity.pqCodebookOf(embeddings, subspaces, nCentroids)
-        .localCheckpoint(true),
+        .transform(graft.functions.checkpointed),
       subspaces, codes.count())
   }
 
@@ -1279,14 +1279,14 @@ object Streaming {
     val uniDf = docs
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .transform(graft.functions.checkpointed)
     val nTotal = uniDf.agg(coalesce(sum(col("c")), lit(0L)).cast("long"))
       .head.getLong(0)
     val minCount = TextOps.minCountFor(nTotal, targetRows)
     val model = TextOps.bigramModel(docs, lambda, minCount)
-      .localCheckpoint(true)
+      .transform(graft.functions.checkpointed)
     val uniP = (if (minCount > 1L) uniDf.where(col("c") >= minCount)
-                else uniDf).localCheckpoint(true)
+                else uniDf).transform(graft.functions.checkpointed)
     LmModelRef(model, uniP, nTotal, lambda)
   }
 
@@ -1382,7 +1382,7 @@ object Streaming {
   def semDecontamEvalRef(embeddings: DataFrame, evalLabel: Int = 0)
       : DataFrame =
     graft.ext.Similarity.evalSide(embeddings, evalLabel)
-      .localCheckpoint(true)
+      .transform(graft.functions.checkpointed)
 
   /** Semantic decontamination of a VECTOR STREAM — the ingest-time twin
     * of [[graft.ext.Similarity.semDecontam]]: every arriving vector
@@ -1482,7 +1482,7 @@ object Streaming {
       .select(col("lang"),
         (-col("hb.nlp")).as("h_lp"), col("hb.id").as("h_id"),
         (-col("mb.nlp")).as("m_lp"), col("mb.id").as("m_id"))
-      .localCheckpoint(true)
+      .transform(graft.functions.checkpointed)
     PplBoundsRef(bounds, lmModelRefOf(docs, lambda, targetRows))
   }
 

@@ -153,6 +153,30 @@ class ExtSpec extends SparkSpec {
     assert(keep(3L)._1 === false && keep(3L)._3 === false) // len_ok fails
   }
 
+  test("reliable-checkpoint mode: same results, checkpoint files land " +
+      "in the durable dir, default mode untouched") {
+    val shared = (1 to 30).map(i => s"dup$i").mkString(" ")
+    val docs = docsDf((1L, shared), (2L, shared),
+      (3L, (1 to 30).map(i => s"uq$i").mkString(" ")))
+    val defaultPairs = Dedup.minhashNearDup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-reliable-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set("spark.graft.checkpoint.reliable", "true")
+    try {
+      val reliablePairs = Dedup.minhashNearDup(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(reliablePairs === defaultPairs,
+        "durability level must not change results")
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .iterator()
+      var n = 0
+      while (files.hasNext) { files.next(); n += 1 }
+      assert(n > 1, "reliable mode must write checkpoint files")
+    } finally spark.conf.unset("spark.graft.checkpoint.reliable")
+  }
+
   test("dedupGroupsKeepLongest: the most complete mirror survives even " +
       "with a higher id; min-id policy would pick the truncated copy") {
     import spark.implicits._
