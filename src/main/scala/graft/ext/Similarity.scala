@@ -1347,6 +1347,50 @@ object Similarity {
     * audit, never as the serving path). Output is one row:
     * (n_queries, hits, recall). Integer hit counts, one final division —
     * deterministic. */
+  /** Per-dimension embedding health audit — the table read BEFORE any
+    * ANN index is built (a collapsed dimension, a dead dimension, or a
+    * runaway scale each silently poisons every downstream cosine):
+    * per dim — quantized mean and second moment, zero count, min/max.
+    * A dim whose m2 ≈ mean² has collapsed to a constant; a dim that is
+    * mostly zeros is dead weight the PQ codebooks waste bits on.
+    *
+    * Portability: means/moments go through the fixed-point
+    * quantize-then-integer-sum contract (`floor(x·1e9)` per value,
+    * decimal sums) — order-independent; min/max are exact. One
+    * posexplode + a 64-key aggregation — map-side combined, bounded
+    * output at any corpus size. */
+  def embedStats(embeddings: DataFrame): DataFrame = {
+    val x = col("x").cast("double")
+    parallelized(embeddings)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(x * 1e9).cast("decimal(38,0)")).as("s1"),
+        sum(floor((x * x) * 1e9).cast("decimal(38,0)")).as("s2"),
+        sum(when(x === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        min(x).as("mn"), max(x).as("mx"))
+      .select(col("dim"), col("n"), col("n_zero"),
+        ((col("s1").cast("double") / 1e9) / col("n").cast("double"))
+          .as("mean_q"),
+        ((col("s2").cast("double") / 1e9) / col("n").cast("double"))
+          .as("m2_q"),
+        col("mn"), col("mx"))
+  }
+
+  def embedStatsSql(): String =
+    s"""SELECT CAST(dim - 1 AS BIGINT) AS dim,
+       | CAST(count(*) AS BIGINT) AS n,
+       | CAST(sum(CASE WHEN x = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+       |  AS n_zero,
+       | (CAST(sum(CAST(floor(x * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+       |   / CAST(count(*) AS DOUBLE) AS mean_q,
+       | (CAST(sum(CAST(floor((x * x) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+       |   / CAST(count(*) AS DOUBLE) AS m2_q,
+       | min(x) AS mn, max(x) AS mx
+       |FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+       |  generate_subscripts(embedding, 1) AS dim FROM embeddings)
+       |GROUP BY dim ORDER BY dim""".stripMargin.replace('\n', ' ')
+
   /** Matryoshka truncation audit (Kusupati et al. 2022 — MRL): 1-NN
     * recall of PREFIX-dimension embeddings against the full-dimension
     * ground truth, one row per probed prefix width. This is the

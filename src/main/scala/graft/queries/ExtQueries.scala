@@ -349,6 +349,12 @@ object ExtQueries {
       Some(Similarity.ivfPqTrainedTopKSql())),
 
     // in-engine ANN recall audit: LSH vs brute ground truth on a sample
+    // per-dimension embedding health audit (collapsed/dead/runaway dims
+    // before any index build); fixed-point moments
+    Q("q_embed_stats",
+      (s, dir) => Similarity.embedStats(embs(s, dir)).orderBy("dim"),
+      Some(Similarity.embedStatsSql())),
+
     // Matryoshka truncation audit: prefix-dim 1-NN recall vs the
     // full-dim ground truth — the dimension-budget curve
     Q("q_mrl_recall",

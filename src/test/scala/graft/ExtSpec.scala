@@ -153,6 +153,31 @@ class ExtSpec extends SparkSpec {
     assert(keep(3L)._1 === false && keep(3L)._3 === false) // len_ok fails
   }
 
+  test("embedStats: collapsed, dead, and healthy dims each readable " +
+      "from the audit row") {
+    // dim0 constant 2.0 (collapsed), dim1 all zeros (dead), dim2 spread
+    val vecs = (0 until 8).map { i =>
+      (i.toLong, Seq.tabulate(4)(d => d match {
+        case 0 => 2.0f
+        case 1 => 0.0f
+        case 2 => (i - 4).toFloat
+        case _ => 0.5f
+      }))
+    }
+    val out = Similarity.embedStats(embsDf(vecs: _*)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // collapsed: m2 == mean^2 (zero variance), no zeros
+    val c = out(0L)
+    assert(c._1 === 0L && c._4 === 2.0 && c._5 === 2.0)
+    assert(math.abs(c._3 - c._2 * c._2) < 1e-8)
+    // dead: all zeros
+    assert(out(1L) === ((8L, 0.0, 0.0, 0.0, 0.0)))
+    // spread: variance strictly positive, min/max at the extremes
+    val s = out(2L)
+    assert(s._4 === -4.0 && s._5 === 3.0 && s._3 > s._2 * s._2)
+  }
+
   test("reliable-checkpoint mode: same results, checkpoint files land " +
       "in the durable dir, default mode untouched") {
     val shared = (1 to 30).map(i => s"dup$i").mkString(" ")
