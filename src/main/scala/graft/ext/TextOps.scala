@@ -635,6 +635,60 @@ object TextOps {
        | SELECT term, count(*) AS c FROM ($tokensSql) GROUP BY term)
        |ORDER BY c DESC, term LIMIT $size""".stripMargin.replace('\n', ' ')
 
+  /** Zipf rank-frequency fit per language — the corpus-linguistics
+    * health check (natural language sits near slope −1 on log rank vs
+    * log frequency; template spam, word soup, and synthetic filler bend
+    * it toward 0): closed-form least squares over the ranked vocabulary
+    * with EVERY sum integer-exact — log rank / log count are quantized
+    * to integers (`floor(ln·1e6)`, small enough that all cross products
+    * fit exact decimal/int128 arithmetic on both engines), summed as
+    * decimals, and the slope/intercept are three IEEE ops over exact
+    * integers. Rank is (count desc, term) — deterministic under ties.
+    * One vocab aggregation + a per-lang window; output is
+    * language-bounded. */
+  def zipfFit(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(col("c").desc, col("term"))
+    val dec = "decimal(38,0)"
+    val ranked = graft.functions.parallelized(docs)
+      .select(col("lang"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("c"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("lang"),
+        floor(log(col("rank").cast("double")) * 1e6).as("xq"),
+        floor(log(col("c").cast("double")) * 1e6).as("yq"))
+    ranked.groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+        sum((col("xq") * col("yq")).cast(dec)).as("sxy"),
+        sum((col("xq") * col("xq")).cast(dec)).as("sxx"))
+      .select(col("lang"), col("n").as("n_types"),
+        ((col("n") * col("sxy") - col("sx").cast(dec) * col("sy"))
+          .cast("double") /
+          (col("n") * col("sxx") - col("sx").cast(dec) * col("sx"))
+            .cast("double")).as("slope"))
+  }
+
+  def zipfFitSql(): String =
+    s"""WITH t AS (SELECT lang,
+       |  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+       | FROM documents),
+       |v AS (SELECT lang, term, count(*) AS c FROM t GROUP BY 1, 2),
+       |r AS (SELECT lang,
+       |  CAST(floor(ln(CAST(row_number() OVER (PARTITION BY lang
+       |    ORDER BY c DESC, term) AS DOUBLE)) * 1e6) AS BIGINT) AS xq,
+       |  CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS yq
+       | FROM v),
+       |s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       |  sum(xq) AS sx, sum(yq) AS sy,
+       |  sum(xq * yq) AS sxy, sum(xq * xq) AS sxx
+       | FROM r GROUP BY lang)
+       |SELECT lang, n AS n_types,
+       | CAST(n * sxy - sx * sy AS DOUBLE)
+       |   / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+       |FROM s ORDER BY lang""".stripMargin.replace('\n', ' ')
+
   /** Per-source out-of-vocabulary rate against a corpus-derived top-V
     * vocabulary — the tokenizer-coverage audit next to [[bpeFertility]]
     * (fertility says how FINELY the tokenizer splits; OOV rate says

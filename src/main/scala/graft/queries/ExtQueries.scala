@@ -483,6 +483,12 @@ object ExtQueries {
           docs(s, dir)).orderBy("lang"),
       Some(TextOps.classifierBiasSql())),
 
+    // Zipf rank-frequency slope per language (natural language ~ -1;
+    // spam/synthetic filler bends toward 0) — integer-exact least squares
+    Q("q_zipf_fit",
+      (s, dir) => TextOps.zipfFit(docs(s, dir)).orderBy("lang"),
+      Some(TextOps.zipfFitSql())),
+
     // per-source OOV rate against the corpus top-V vocab — the
     // tokenizer-coverage audit next to fertility
     Q("q_oov_rate",

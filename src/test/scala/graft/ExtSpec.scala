@@ -268,6 +268,25 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("zipfFit: planted Zipfian text near slope -1, uniform text near " +
+      "0, and the fit discriminates") {
+    import graft.ext.TextOps
+    import spark.implicits._
+    // Zipfian: word i occurs floor(120/i) times, i = 1..40
+    val zipf = (1 to 40).flatMap(i => Seq.fill(120 / i)(s"w$i"))
+      .mkString(" ")
+    // uniform: 40 words, 3 occurrences each
+    val uni = (1 to 40).flatMap(i => Seq.fill(3)(s"u$i")).mkString(" ")
+    val docs = Seq((1L, "zipf", zipf), (2L, "unif", uni))
+      .toDF("doc_id", "lang", "text")
+    val out = TextOps.zipfFit(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("zipf") < -0.8 && out("zipf") > -1.2,
+      s"Zipfian corpus must fit near -1: ${out("zipf")}")
+    assert(math.abs(out("unif")) < 0.15,
+      s"uniform corpus must fit near 0: ${out("unif")}")
+  }
+
   test("oovRate: rare-vocab source flagged; full-coverage source at 0; " +
       "counts reconcile") {
     import graft.ext.TextOps
