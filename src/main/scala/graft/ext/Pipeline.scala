@@ -602,6 +602,48 @@ object Pipeline {
   private def exactDedupNoOrder: String =
     Dedup.exactDedupSql.replace(" ORDER BY 1", "")
 
+  /** Duplication profile — corpus-level duplicated-gram mass as a
+    * FUNCTION of gram size: one row per probed `n` with total grams,
+    * cross-doc duplicated grams, and the duplicated fraction. This is
+    * the dial-choosing curve for the span-dedup family ([[dupSpans]]
+    * runs at ONE n; choosing that n blind is guesswork — short grams
+    * overcount coincidental overlap, long grams miss real boilerplate;
+    * the profile shows where the knee is). Each probe is the dupSpans
+    * corpus aggregate; probes are independent single-pass aggregations
+    * unioned into one bounded table. */
+  def dupProfile(docs: DataFrame, ns: Seq[Int] = Seq(3, 5, 8),
+      minDocs: Int = 2): DataFrame =
+    ns.map { n =>
+      val g = gramStream(docs, n)
+      val dupGrams = g.groupBy("g")
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+        .where(col("ndocs") >= minDocs)
+        .select("g")
+      g.join(dupGrams.withColumn("_dup", lit(1L)), Seq("g"), "left")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("_dup"), lit(0L))).as("n_dup"))
+        .select(lit(n.toLong).as("n"), col("n_grams"), col("n_dup"),
+          (col("n_dup").cast("double") / col("n_grams").cast("double"))
+            .as("dup_frac"))
+    }.reduce(_ union _)
+
+  def dupProfileSql(ns: Seq[Int] = Seq(3, 5, 8),
+      minDocs: Int = 2): String = {
+    val per = ns.map { n =>
+      s"""SELECT CAST($n AS BIGINT) AS n,
+         | CAST(count(*) AS BIGINT) AS n_grams,
+         | CAST(sum(CASE WHEN d.g IS NOT NULL THEN 1 ELSE 0 END)
+         |  AS BIGINT) AS n_dup,
+         | CAST(sum(CASE WHEN d.g IS NOT NULL THEN 1 ELSE 0 END)
+         |   AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_frac
+         |FROM (${gramStreamSql(n)}) g
+         |LEFT JOIN (SELECT g FROM (${gramStreamSql(n)})
+         |  GROUP BY g HAVING count(DISTINCT doc_id) >= $minDocs) d
+         | ON g.g = d.g""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"SELECT * FROM ($per) ORDER BY n".replace('\n', ' ')
+  }
+
   /** Per-source content checksum — the transfer-integrity manifest
     * (did every document survive the copy between clusters/snapshots,
     * without shipping the text back): an ORDER-INDEPENDENT additive

@@ -665,6 +665,12 @@ object ExtQueries {
       (s, dir) => Pipeline.provenance(docs(s, dir)).orderBy("doc_id"),
       Some(Pipeline.provenanceSql())),
 
+    // duplication profile: cross-doc duplicated-gram mass vs gram size
+    // (the dial-choosing knee curve for the span-dedup family)
+    Q("q_dup_profile",
+      (s, dir) => Pipeline.dupProfile(docs(s, dir)).orderBy("n"),
+      Some(Pipeline.dupProfileSql())),
+
     // intra-doc repeated-gram removal: within-page boilerplate cut,
     // first occurrence kept, gaps-and-islands coalescing per doc
     Q("q_intradoc_dedup",

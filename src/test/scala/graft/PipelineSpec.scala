@@ -553,6 +553,24 @@ class PipelineSpec extends SparkSpec {
     assert(sep._1 === 6L)
   }
 
+  test("dupProfile: hand-derivable counts; dup mass falls as n grows " +
+      "past the planted span") {
+    // docs share an exact 6-word span; everything else is unique
+    val span = "s1 s2 s3 s4 s5 s6"
+    val docs = docsDf(
+      1L -> (span + " " + (1 to 10).map(i => s"a$i").mkString(" ")),
+      2L -> ((1 to 10).map(i => s"b$i").mkString(" ") + " " + span))
+    val out = Pipeline.dupProfile(docs, ns = Seq(3, 6, 7)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // n=3: each doc contributes 4 duplicated 3-gram occurrences from
+    // the span (positions fully inside it), 14 grams per doc
+    assert(out(3L) === ((28L, 8L)))
+    // n=6: exactly the span itself duplicates once per doc
+    assert(out(6L) === ((22L, 2L)))
+    // n=7: no 7-gram crosses doc boundaries identically
+    assert(out(7L) === ((20L, 0L)))
+  }
+
   test("corpusChecksum: order/partition independent; any single-doc " +
       "content change moves the checksum") {
     import spark.implicits._
