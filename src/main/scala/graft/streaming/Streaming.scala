@@ -1719,6 +1719,25 @@ object Streaming {
       .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"),
         (sum(col("h")) % 2147483647L).cast("long").as("checksum"))
 
+  /** Running per-source OOV rate on a STREAM against a FROZEN vocab —
+    * ingest-time tokenizer-coverage monitoring (a source whose live OOV
+    * rate drifts up is changing under the crawler's feet; the batch
+    * audit only catches it at the next snapshot). The vocabulary is the
+    * batch-trained top-V table broadcast against arriving docs; counts
+    * are monoid sums, so complete-mode streaming aggregation equals the
+    * batch [[graft.ext.TextOps.oovRate]] after any replay order — the
+    * [[streamingCorpusChecksum]] stance. */
+  def streamingOovRate(docs: DataFrame, vocab: DataFrame): DataFrame =
+    docs.select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .join(broadcast(vocab.select(col("term"), lit(1L).as("in_v"))),
+        Seq("term"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+
   /** Parsed document-ingest line — the corpus pipeline's T2, one
     * tab-separated `<doc_id>\t<source>\t<text>` record per wire line
     * (text may itself contain tabs; only the first two split). */

@@ -378,6 +378,24 @@ class PlanSpec extends SparkSpec {
       s"stage joins not keyed:\n$p")
   }
 
+  test("wave-3 audits: partial aggregation everywhere, zipf window " +
+      "above the vocab aggregate, no cartesians") {
+    for (q <- Seq("q_corpus_checksum", "q_embed_stats", "q_oov_rate")) {
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q: no map-side combine:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian:\n$p")
+    }
+    val z = plan("q_zipf_fit")
+    assert(!z.contains("CartesianProduct"))
+    // root-first text: the regression aggregates sit above the window,
+    // and the window sits above the DEEPEST aggregate — the (lang,
+    // term) vocab count — never over the raw token stream
+    val winIdx = z.indexOf("Window")
+    val vocabAggIdx = z.lastIndexOf("HashAggregate")
+    assert(winIdx >= 0 && winIdx < vocabAggIdx,
+      s"zipf window not above the vocab aggregate:\n$z")
+  }
+
   test("mixture temperature: one bounded-key aggregation, windows over " +
       "the language table only") {
     val df = graft.ext.Pipeline.mixtureTemp(

@@ -172,6 +172,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(1L)._4 && !streamed(2L)._2 && !streamed(3L)._1)
   }
 
+  test("streaming OOV rate against a frozen vocab ≡ batch audit after " +
+      "cross-batch replay") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = Tables.table(spark, sf("sf0.001"), "documents")
+    val vocab = graft.ext.TextOps.vocab(docsDf)
+      .transform(graft.functions.localRelation)
+    val batch = graft.ext.TextOps.oovRate(docsDf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val rows = docsDf.select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streaming.streamingOovRate(
+        in.toDS().toDF("doc_id", "source", "text"), vocab)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("soov").start()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("soov").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(streamed === batch)
+  }
+
   test("streaming corpus checksum ≡ batch manifest after cross-batch " +
       "replay in shuffled order") {
     import org.apache.spark.sql.functions.col
