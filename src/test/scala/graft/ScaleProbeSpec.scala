@@ -179,7 +179,7 @@ class ScaleProbeSpec extends SparkSpec {
       scaledDocs.select(col("doc_id"), ws.as("w"))
         .where(size(col("w")) >= 2)
         .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
-          i => concat_ws(" ", element_at(col("w"), i),
+          i => concat_ws("\u0000", element_at(col("w"), i),
             element_at(col("w"), i + 1)))).as("bg"))
         .groupBy("bg").agg(count(lit(1)).as("c12"))
         .agg(expr("percentile(c12, 0.5)").cast("long")).head.getLong(0)
