@@ -1129,10 +1129,32 @@ object Pipeline {
     * windows. The composition adds only doc_id semijoins. */
   def corpusAssembly(docs: DataFrame, evalMod: Int = 97, n: Int = 3,
       minHits: Long = 2L, capK: Int = 20, budget: Long = 800L)
-      : DataFrame = {
-    val s1 = docs.join(
-      TextOps.qualityFilter(docs).where(col("keep")).select("doc_id"),
-      "doc_id")
+      : DataFrame =
+    assembleStages(docs,
+      docs.join(TextOps.qualityFilter(docs).where(col("keep"))
+        .select("doc_id"), "doc_id"),
+      evalMod, n, minHits, capK, budget)
+
+  /** [[corpusAssembly]] with the LEARNED quality gate — the e2e chain a
+    * classifier-filtered pipeline (fastText-style) actually runs: the
+    * trained probe's keep_pred replaces the rule cascade as stage 1;
+    * dedup, decontamination, cap, and budget are byte-identical stages.
+    * `scored` is the (memoized) [[TextOps.qualityClassifier]] output —
+    * train once, gate the corpus with the model. */
+  def corpusAssemblyMl(docs: DataFrame, scored: DataFrame,
+      evalMod: Int = 97, n: Int = 3, minHits: Long = 2L, capK: Int = 20,
+      budget: Long = 800L): DataFrame =
+    assembleStages(docs,
+      docs.join(scored.where(col("keep_pred")).select("doc_id"),
+        "doc_id"),
+      evalMod, n, minHits, capK, budget)
+
+  /** Stages 2..5 of the assembly chain (exact-dup keepers → eval-slice
+    * exclusion → decontamination → source cap → token budget), shared
+    * by the rule-gated and classifier-gated fronts. */
+  private def assembleStages(docs: DataFrame, s1: DataFrame,
+      evalMod: Int, n: Int, minHits: Long, capK: Int,
+      budget: Long): DataFrame = {
     val s2 = s1.join(
       Dedup.exactDedup(s1).select(col("keeper").as("doc_id")), "doc_id")
       .where(col("doc_id") % evalMod =!= 0)
@@ -1146,10 +1168,27 @@ object Pipeline {
 
   def corpusAssemblySql(evalMod: Int = 97, n: Int = 3,
       minHits: Long = 2L, capK: Int = 20, budget: Long = 800L): String =
-    s"""WITH qf AS (${TextOps.qualityFilterSql()
-          .replace(" ORDER BY q.doc_id", "")}),
-       |s1 AS (SELECT d.* FROM documents d
-       |  JOIN qf ON qf.doc_id = d.doc_id AND qf.keep),
+    assemblyTailSql(
+      s"""qf AS (${TextOps.qualityFilterSql()
+            .replace(" ORDER BY q.doc_id", "")}),
+         |s1 AS (SELECT d.* FROM documents d
+         |  JOIN qf ON qf.doc_id = d.doc_id AND qf.keep)""".stripMargin,
+      evalMod, n, minHits, capK, budget)
+
+  def corpusAssemblyMlSql(evalMod: Int = 97, n: Int = 3,
+      minHits: Long = 2L, capK: Int = 20, budget: Long = 800L): String =
+    assemblyTailSql(
+      s"""scored AS (SELECT * FROM (
+         | ${TextOps.qualityClassifierSql()
+             .replace(" ORDER BY doc_id", "")})),
+         |s1 AS (SELECT d.* FROM documents d
+         |  JOIN scored s ON s.doc_id = d.doc_id AND s.keep_pred)"""
+        .stripMargin,
+      evalMod, n, minHits, capK, budget)
+
+  private def assemblyTailSql(s1Ctes: String, evalMod: Int, n: Int,
+      minHits: Long, capK: Int, budget: Long): String =
+    s"""WITH $s1Ctes,
        |kp AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
        |s2 AS (SELECT s1.* FROM s1 JOIN kp USING (doc_id)
        |  WHERE doc_id % $evalMod <> 0),

@@ -710,6 +710,13 @@ object ExtQueries {
         .orderBy("doc_id"),
       Some(Pipeline.corpusAssemblySql())),
 
+    // END-TO-END with the LEARNED gate: the trained probe's keep_pred
+    // replaces the rule cascade as stage 1; stages 2..5 identical
+    Q("q_corpus_e2e_ml",
+      (s, dir) => Pipeline.corpusAssemblyMl(docs(s, dir),
+          classifierScoredFor(s, dir)).orderBy("doc_id"),
+      Some(Pipeline.corpusAssemblyMlSql())),
+
     // per-source document cap (domain balancing, deterministic md5 order)
     Q("q_source_cap",
       (s, dir) => Pipeline.sourceCap(docs(s, dir), k = 20)

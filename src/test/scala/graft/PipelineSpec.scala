@@ -553,6 +553,31 @@ class PipelineSpec extends SparkSpec {
     assert(sep._1 === 6L)
   }
 
+  test("corpusAssemblyMl: learned gate actually gates; downstream " +
+      "stages identical to the rule chain") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.table(spark, sf(), "documents")
+    val scored = graft.ext.TextOps.qualityClassifier(docs)
+      .localCheckpoint(true)
+    val ml = Pipeline.corpusAssemblyMl(docs, scored).collect()
+      .map(_.getLong(0)).toSet
+    assert(ml.nonEmpty)
+    // every survivor passed the learned gate
+    val keepPred = scored.where(col("keep_pred"))
+      .collect().map(_.getLong(0)).toSet
+    assert(ml.subsetOf(keepPred))
+    // swapping ONLY stage 1 reproduces the rule chain's tail: running
+    // the rule e2e with the rule-keep set as the learned verdicts must
+    // equal the rule e2e exactly
+    val ruleAsScores = scored.select(col("doc_id"),
+      col("keep_rule").as("keep_pred"))
+    val viaMl = Pipeline.corpusAssemblyMl(docs, ruleAsScores).collect()
+      .map(_.getLong(0)).toSet
+    val rule = Pipeline.corpusAssembly(docs).collect()
+      .map(_.getLong(0)).toSet
+    assert(viaMl === rule, "stages 2..5 must be gate-agnostic")
+  }
+
   test("dupProfile: hand-derivable counts; dup mass falls as n grows " +
       "past the planted span") {
     // docs share an exact 6-word span; everything else is unique
