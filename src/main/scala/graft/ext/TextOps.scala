@@ -1607,6 +1607,56 @@ object TextOps {
       .stripMargin.replace('\n', ' ')
   }
 
+  /** The full BM25 INVERTED INDEX — per (term, doc) the term's BM25
+    * contribution `tscore`, precomputed over the whole vocabulary: the
+    * static artifact a search-serving path joins arriving queries
+    * against ([[graft.streaming.Streaming.streamingBm25TopK]]). The
+    * arithmetic is [[bm25]]'s chain verbatim (same lnQ idf, same k1/b
+    * saturation), so serving a query through the index reproduces the
+    * batch scorer bit-exactly. Index size is Σ per-doc distinct terms —
+    * the standard postings scale; at 100 TB it lives as a term-keyed
+    * table (stream-static equi-join on term), never a broadcast. */
+  def bm25Index(docs: DataFrame, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import graft.functions.localRelation
+    val toks = tokens(docs)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .transform(graft.functions.checkpointed)
+    val consts = localRelation(dl.agg(
+        count(lit(1)).as("n_docs"), sum(col("dl")).as("tdl"))
+      .select(col("n_docs"),
+        (col("tdl").cast("double") / col("n_docs")).as("avgdl")))
+    val tf = toks.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+      .transform(graft.functions.checkpointed)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dl, "doc_id").join(dfreq, "term").crossJoin(consts)
+      .select(col("term"), col("doc_id"),
+        (lnQ((col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * (lit(k1) + lit(1.0))) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("tscore"))
+  }
+
+  def bm25IndexSql(k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH toks AS ($tokensSql),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       |consts AS (SELECT count(*) AS n_docs,
+       |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       |  GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+       |SELECT t.term, t.doc_id,
+       | ${lnQSql("(c.n_docs - f.df + 0.5e0) / (f.df + 0.5e0) + 1.0e0")}
+       |   * (t.tf * (${sqlDouble(k1)} + 1.0e0)) /
+       |   (t.tf + ${sqlDouble(k1)} * (1.0e0 - ${sqlDouble(b)}
+       |     + ${sqlDouble(b)} * d.dl / c.avgdl)) AS tscore
+       |FROM tf t JOIN dl d USING (doc_id) JOIN dfreq f USING (term)
+       |CROSS JOIN consts c
+       |ORDER BY t.term, t.doc_id""".stripMargin.replace('\n', ' ')
+
   /** TF-IDF keyword extraction: the `topK` highest-tf·idf terms per
     * document (idf = quantized ln(N/df), ties broken by term). No float
     * sums at all — tf·idf is a single exact product — so bit-portability

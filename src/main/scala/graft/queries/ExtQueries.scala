@@ -420,6 +420,13 @@ object ExtQueries {
       (s, dir) => TextOps.bm25(docs(s, dir), BM25Terms),
       Some(TextOps.bm25Sql(BM25Terms))),
 
+    // full BM25 inverted index: per-(term, doc) precomputed tscore —
+    // the static serving artifact the streaming search path joins
+    Q("q_bm25_index",
+      (s, dir) => TextOps.bm25Index(docs(s, dir))
+        .orderBy("term", "doc_id"),
+      Some(TextOps.bm25IndexSql())),
+
     // TF-IDF keyword extraction: top terms per document
     Q("q_tfidf_topterms",
       (s, dir) => TextOps.tfidfTopTerms(docs(s, dir))

@@ -1719,6 +1719,45 @@ object Streaming {
       .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"),
         (sum(col("h")) % 2147483647L).cast("long").as("checksum"))
 
+  /** BM25 search serving on a QUERY STREAM against the static inverted
+    * index ([[graft.ext.TextOps.bm25Index]]) — "search as you ingest":
+    * each arriving query explodes to its distinct terms, equi-joins the
+    * term-keyed postings (stream-static — the static side never
+    * recomputes), and the per-query top-k assembles in a stateless
+    * flatMapGroupsWithState (a query's postings rows are complete
+    * within its micro-batch, the [[streamingBigramScoreJoined]]
+    * stance). Determinism: per-doc contributions sum in SORTED term
+    * order — the batch scorer's fixed reduceLeft chain — so a served
+    * query's scores are BIT-IDENTICAL to [[graft.ext.TextOps.bm25]] on
+    * the same term bag (absent terms contribute exact +0.0).
+    * Ranking ties break (score desc, doc_id). */
+  case class Bm25Hit(q_id: Long, rank: Long, doc_id: Long, score: Double)
+
+  def streamingBm25TopK(queries: Dataset[(Long, String)],
+      index: DataFrame, topK: Int = 10): Dataset[Bm25Hit] = {
+    import queries.sparkSession.implicits._
+    val qt = queries.toDF("q_id", "qtext")
+      .select(col("q_id"),
+        explode(array_distinct(
+          split(lower(trim(col("qtext"))), "\\s+"))).as("term"))
+    val rows = qt.join(index, "term")
+      .select(col("q_id"), col("doc_id"), col("term"), col("tscore"))
+      .as[(Long, Long, String, Double)]
+    def fn(qid: Long, it: Iterator[(Long, Long, String, Double)],
+        state: GroupState[Boolean]): Iterator[Bm25Hit] = {
+      val perDoc = it.toSeq.groupBy(_._2).map { case (doc, rs) =>
+        doc -> rs.sortBy(_._3).map(_._4).foldLeft(0.0)(_ + _)
+      }
+      perDoc.toSeq.sortBy { case (doc, s) => (-s, doc) }.take(topK)
+        .zipWithIndex.map { case ((doc, s), i) =>
+          Bm25Hit(qid, i + 1L, doc, s)
+        }.iterator
+    }
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Running per-source OOV rate on a STREAM against a FROZEN vocab —
     * ingest-time tokenizer-coverage monitoring (a source whose live OOV
     * rate drifts up is changing under the crawler's feet; the batch

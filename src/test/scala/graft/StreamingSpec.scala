@@ -172,6 +172,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(1L)._4 && !streamed(2L)._2 && !streamed(3L)._1)
   }
 
+  test("streaming BM25 serving ≡ batch scorer bit-exact per query, " +
+      "cross-batch, ties and ranks aligned") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = Tables.table(spark, sf("sf0.001"), "documents")
+    val index = graft.ext.TextOps.bm25Index(docsDf)
+      .transform(graft.functions.checkpointed)
+    def batchTop(terms: Seq[String]) =
+      graft.ext.TextOps.bm25(docsDf, terms).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+    val b1 = batchTop(Seq("spark", "merge", "join", "hash"))
+    val b2 = batchTop(Seq("alpha", "merge"))
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.streamingBm25TopK(in.toDS(), index)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sbm25").start()
+    in.addData(1L -> "spark merge join hash")
+    q.processAllAvailable()
+    in.addData(2L -> "alpha merge alpha") // dup term collapses
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sbm25").as[Streaming.Bm25Hit].collect()
+      .groupBy(_.q_id).map { case (qid, hs) =>
+        qid -> hs.sortBy(_.rank).map(h => (h.doc_id, h.score)).toSeq
+      }
+    assert(got(1L) === b1.toSeq,
+      "served query 1 must equal the batch scorer bit-exactly")
+    assert(got(2L) === b2.toSeq,
+      "served query 2 must equal the batch scorer bit-exactly")
+  }
+
   test("streaming OOV rate against a frozen vocab ≡ batch audit after " +
       "cross-batch replay") {
     import org.apache.spark.sql.functions.col
