@@ -378,6 +378,19 @@ class PlanSpec extends SparkSpec {
       s"stage joins not keyed:\n$p")
   }
 
+  test("hybrid near-dup and bm25 index: keyed joins only, partial " +
+      "aggregation, no cartesian") {
+    // hybrid's aggregations sit behind the checkpointed blocking build
+    // (the plan shows the materialized scan), so only the join shape is
+    // assertable here; the index plan carries its own aggregates
+    val h = plan("q_hybrid_neardup")
+    assert(!h.contains("CartesianProduct"), s"hybrid cartesian:\n$h")
+    val i = plan("q_bm25_index")
+    assert(!i.contains("CartesianProduct") || i.contains("LocalTableScan"),
+      s"index cartesian beyond the 1-row consts:\n$i")
+    assert(i.contains("partial_"), s"index: no map-side combine:\n$i")
+  }
+
   test("wave-3 audits: partial aggregation everywhere, zipf window " +
       "above the vocab aggregate, no cartesians") {
     for (q <- Seq("q_corpus_checksum", "q_embed_stats", "q_oov_rate")) {
