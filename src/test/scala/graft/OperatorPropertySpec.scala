@@ -219,6 +219,38 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("scalar cdcChunksOf == DataFrame cdcChunkDedup chunking on " +
+      "random texts (the streaming twin's foundation)") {
+    import spark.implicits._
+    import graft.ext.Pipeline
+    // small vocab so boundary hashes repeat; lengths straddle the
+    // window size (short docs = single clipped chunk path)
+    val genText: Gen[String] = for {
+      len <- Gen.choose(1, 60)
+      ws <- Gen.listOfN(len, Gen.oneOf("aa", "bb", "cc", "dd", "ee"))
+    } yield ws.mkString(" ")
+    val texts = (0 until 30).flatMap(i =>
+      genText.apply(Gen.Parameters.default, Seed(1000L + i)))
+    texts.zipWithIndex.foreach { case (t, id) =>
+      val scalarChunks = Pipeline.cdcChunksOf(t)
+      // single-doc corpus: chunk ids/count and the reassembly are
+      // directly comparable (internal verbatim chunk repeats dedup on
+      // BOTH sides identically, keep-first by cid)
+      val row = Pipeline.cdcChunkDedup(
+        Seq((id.toLong, t)).toDF("doc_id", "text")).collect()(0)
+      assert(row.getLong(1) === scalarChunks.length.toLong,
+        s"chunk count diverged for '$t'")
+      val seen = scala.collection.mutable.Set[String]()
+      val kept = scalarChunks.filter { case (_, c) => seen.add(c) }
+      assert(row.getLong(2) === (scalarChunks.length - kept.length).toLong)
+      assert(row.getString(3) === kept.map(_._2).mkString(" "),
+        s"reassembly diverged for '$t'")
+      // chunks partition the word stream exactly
+      assert(scalarChunks.map(_._2).mkString(" ") ===
+        TextOps.sqlWords(t).mkString(" "))
+    }
+  }
+
   test("dupSpansMerged == scalar gaps-and-islands coalescer on random " +
     "duplicated-gram sets (VERDICT r8 #7)") {
     import spark.implicits._
