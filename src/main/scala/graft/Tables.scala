@@ -59,6 +59,57 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Plan-time unit guard for the raw-Long timestamp flavor: a Long
+    * `ts` column is interpreted as NANOSECONDS (the nanosAsLong read of
+    * parquet TIMESTAMP(NANOS)); if the driver ever ships a plain int64
+    * at a different unit, the `div 1000000` would mis-scale SILENTLY —
+    * the one residual of the round-8 outage class (every other flavor
+    * change fails loudly at analysis). This reads the parquet FOOTER
+    * min statistic (no Spark job) and refuses magnitudes that are not
+    * nanosecond-epoch, with a message naming the fix. Memoized per
+    * path — one footer read per (process, file). */
+  private val nsGuardMemo =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def assertNanosMagnitude(path: String): Unit = {
+    if (nsGuardMemo.contains(path)) return
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = new Configuration()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .find(_.getName.endsWith(".parquet")).getOrElse(p)
+      else p
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val blocks = r.getFooter.getBlocks
+      if (!blocks.isEmpty) {
+        import scala.jdk.CollectionConverters._
+        blocks.get(0).getColumns.asScala
+          .find(_.getPath.toDotString == "ts")
+          .flatMap(c => Option(c.getStatistics))
+          .filter(_.hasNonNullValue)
+          .foreach { st =>
+            val min = st.genericGetMin match {
+              case l: java.lang.Long => l.longValue()
+              case _ => return // non-int64 stats: other branches handle
+            }
+            require(min >= 100000000000000000L,
+              s"events.ts is a raw Long but its minimum $min is not a " +
+                "nanosecond epoch — the driver changed the timestamp " +
+                "unit again; extend Tables.projectUpdates/updatesInRange " +
+                "with the new flavor instead of letting `div 1000000` " +
+                "mis-scale silently")
+          }
+      }
+    } finally r.close()
+    nsGuardMemo.add(path)
+  }
+
   /** The driver's `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4
     * refuses to read natively; read it as a raw nanosecond Long instead.
     * Runtime-settable, so safe to flip here before the scan is planned. */
@@ -95,7 +146,11 @@ object Tables {
     * one symbol per event_type, ms timestamps, globally-unique seq. */
   def updates(spark: SparkSession, dir: String): DataFrame = {
     enableNanos(spark)
-    projectUpdates(table(spark, dir, "events"))
+    val ev = table(spark, dir, "events")
+    if (ev.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType)
+      assertNanosMagnitude(s"$dir/events.parquet")
+    projectUpdates(ev)
   }
 
   /** Range-scan entry (S3/S4): the ms-range predicate is rewritten onto the
@@ -111,6 +166,7 @@ object Tables {
     val ev = table(spark, dir, "events")
     val ranged = ev.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        assertNanosMagnitude(s"$dir/events.parquet")
         ev.where(col("ts") >= loMs * 1000000L &&
           col("ts") < (hiMs + 1) * 1000000L)
       case org.apache.spark.sql.types.TimestampNTZType =>

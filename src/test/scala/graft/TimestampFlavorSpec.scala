@@ -91,6 +91,29 @@ class TimestampFlavorSpec extends SparkSpec {
     }
   }
 
+  test("raw-Long ts at a NON-nanosecond magnitude is refused loudly at " +
+      "plan time (footer-stats unit guard), never mis-scaled silently") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tsflavor-bad")
+    // a plausible driver mistake: plain int64 MICROSECONDS (no logical
+    // type) — the ns interpretation would divide it 1000x wrong
+    rowsMicros.toDF("event_id", "ts")
+      .withColumn("event_type", lit("evt_0"))
+      .withColumn("value", lit(1.0))
+      .write.mode("overwrite")
+      .parquet(tmp.resolve("events.parquet").toString)
+    val e = intercept[IllegalArgumentException] {
+      Tables.updates(spark, tmp.toString).collect()
+    }
+    assert(e.getMessage.contains("not a nanosecond epoch"),
+      s"guard must name the failure: ${e.getMessage}")
+    // and the legitimate ns-long flavor still passes the guard
+    val good = writeFlavor(
+      java.nio.file.Files.createTempDirectory("graft-tsflavor-good"),
+      "nslong")
+    assert(Tables.updates(spark, good).count() > 0)
+  }
+
   test("NTZ range bounds still reach the parquet scan as PushedFilters") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-tsflavor-push")
     val d = writeFlavor(tmp, "ntz")
