@@ -423,18 +423,19 @@ object Dedup {
     * keeps whichever copy happened to be crawled first — often the
     * truncated one). Exact dedup has no such choice (identical text ⇒
     * identical length); it exists precisely for verified NEAR-dup
-    * groups. The composite argmax key is one exact BIGINT
-    * (`len·2^33 − doc_id`), so the per-group winner is a plain integer
-    * max over the group window — no text shuffled past the length
-    * projection. */
+    * groups. The winner is rank 1 of an explicit two-key window order
+    * (`len DESC, doc_id`) — NOT a packed-BIGINT argmax, which would
+    * silently mis-rank once doc_id ≥ 2^33 and overflow for
+    * billion-char docs (ADVICE r9); the explicit ordering has no range
+    * assumptions. No text shuffles past the length projection. */
   def dedupGroupsKeepLongest(docs: DataFrame,
       pairs: DataFrame): DataFrame = {
     val g = dedupGroups(docs, pairs).select("doc_id", "group_id")
       .join(docs.select(col("doc_id"),
         length(col("text")).cast("long").as("len")), "doc_id")
-    val key = col("len") * 8589934592L - col("doc_id")
     g.withColumn("keep",
-        key === max(key).over(Window.partitionBy("group_id")))
+        row_number().over(Window.partitionBy("group_id")
+          .orderBy(col("len").desc, col("doc_id"))) === 1)
       .select("doc_id", "group_id", "len", "keep")
   }
 
@@ -447,8 +448,8 @@ object Dedup {
        |  CAST(length(d.text) AS BIGINT) AS len
        | FROM g JOIN documents d ON d.doc_id = g.doc_id)
        |SELECT doc_id, group_id, len,
-       | (len * 8589934592 - doc_id) = max(len * 8589934592 - doc_id)
-       |   OVER (PARTITION BY group_id) AS keep
+       | row_number() OVER (PARTITION BY group_id
+       |   ORDER BY len DESC, doc_id) = 1 AS keep
        |FROM gl ORDER BY doc_id""".stripMargin.replace('\n', ' ')
 
   /** Hybrid near-dup — lexical blocking, SEMANTIC verification: the

@@ -1542,12 +1542,19 @@ object Pipeline {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
     var cid = 0L
     val cur = new StringBuilder
+    // separator between EVERY word pair, empty words included — the
+    // DataFrame side's array_join/string_agg joins all positions, so a
+    // leading empty word (text starting with non-space whitespace) must
+    // still contribute its separator (ADVICE r9)
+    var first = true
     ws.indices.foreach { i0 =>
       if (i0 > 0 && bnd(i0 - 1)) {
         out += ((cid, cur.toString)); cid += 1; cur.setLength(0)
+        first = true
       }
-      if (cur.nonEmpty) cur.append(' ')
+      if (!first) cur.append(' ')
       cur.append(ws(i0))
+      first = false
     }
     out += ((cid, cur.toString))
     out.toSeq

@@ -1329,8 +1329,10 @@ object TextOps {
     * `KL(P_s ‖ P_c) = Σ_w p_s(w)·(ln p_s(w) − ln p_c(w))`, computed
     * under the engine's integer-exactness contract: each log is floor-
     * quantized to an INTEGER (`floor(ln·1e12)`, a long), the per-word
-    * term is `c_sw · (Q_s − Q_c)` in exact 64-bit arithmetic, and the
-    * per-source sum runs over decimal(38,0) — order-independent at any
+    * term is `c_sw · (Q_s − Q_c)` in exact decimal arithmetic (the
+    * product is decimal(36,0) — Int64 would overflow once a word's
+    * count passes ~1e5 at production corpus sizes), and the per-source
+    * sum runs over decimal(38,0) — order-independent at any
     * partitioning; ONE double division pair at the end. Quantization
     * bias is ≤1e-12 nats/word — 10 orders below any drift signal.
     *
@@ -1356,7 +1358,13 @@ object TextOps {
       .groupBy("source")
       .agg(max(col("n_s")).as("n_tokens"),
         max(col("n_distinct")).as("n_distinct"),
-        sum((col("c_sw") * (qs - qc)).cast("decimal(38,0)")).as("s"))
+        // the multiply itself runs in decimal: |qs−qc| reaches ~1e14,
+        // so a word with c_sw ≳ 1e5 would overflow an Int64 product at
+        // production corpus sizes (ADVICE r9). decimal(20,0) covers any
+        // Long count, decimal(15,0) any quantized log-ratio; their
+        // product is decimal(36,0) — exact, no precision reduction
+        sum(col("c_sw").cast("decimal(20,0)") *
+          (qs - qc).cast("decimal(15,0)")).as("s"))
       .select(col("source"), col("n_tokens"), col("n_distinct"),
         ((col("s").cast("double") / 1e12) /
           col("n_tokens").cast("double")).as("kl_nats"))
@@ -1373,7 +1381,7 @@ object TextOps {
        |  CAST(count(*) AS BIGINT) AS n_distinct FROM sw GROUP BY source),
        |nt AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_corpus FROM cw)
        |SELECT s.source, ns.n_s AS n_tokens, ns.n_distinct,
-       | (CAST(sum(s.c_sw *
+       | (CAST(sum(CAST(s.c_sw AS HUGEINT) *
        |   (CAST(floor(ln(CAST(s.c_sw AS DOUBLE) / CAST(ns.n_s AS DOUBLE))
        |      * 1e12) AS BIGINT)
        |  - CAST(floor(ln(CAST(cw.c_w AS DOUBLE)

@@ -1462,28 +1462,71 @@ object Streaming {
   }
 
   /** CCNet bucket boundaries trained batch-side: the per-language LAST
-    * head / last middle (avg_logprob, doc_id) keys of
-    * [[graft.ext.TextOps.pplBuckets]]'s tercile cut, plus the LM that
-    * produced the scores. Rank cuts can't be recomputed on a stream (a
-    * tercile needs the whole population) — but they don't need to be:
-    * a document's bucket is fully determined by WHERE its ordering key
-    * sits relative to the two boundary keys, so serving is a broadcast
-    * of one bounded row per language. This is exactly how CCNet ships:
-    * thresholds trained on a corpus snapshot, applied per document. */
+    * head / last middle (avg_logprob, doc_id) keys of a tercile cut
+    * over the training corpus, plus the LM that produced the scores.
+    * Rank cuts can't be recomputed on a stream (a tercile needs the
+    * whole population) — but they don't need to be: a document's bucket
+    * is fully determined by WHERE its ordering key sits relative to the
+    * two boundary keys, so serving is a broadcast of one bounded row
+    * per language. This is exactly how CCNet ships: thresholds trained
+    * on a corpus snapshot, applied per document.
+    *
+    * The boundary scores come from [[lmScoresOf]] over the SAME pruned
+    * [[LmModelRef]] the serving path joins against — not from the
+    * unpruned [[graft.ext.TextOps.pplBuckets]] model. Below the
+    * [[graft.ext.TextOps.minCountFor]] prune threshold the two models
+    * are identical (minCount = 1) and the boundaries equal the batch
+    * tercile cut bit-for-bit; above it, deriving boundaries from the
+    * unpruned scores would silently break the replay contract (the
+    * stream would score through the pruned model against boundaries
+    * cut on different numbers). Training scorer ≡ serving scorer by
+    * construction, at any corpus size. */
   case class PplBoundsRef(bounds: DataFrame, lm: LmModelRef)
+
+  /** Batch-side scoring through a trained [[LmModelRef]] — the exact
+    * arithmetic of [[streamingBigramScoreJoined]] as a batch plan
+    * (left-join the pruned model, OOV pairs take the unigram backoff,
+    * decimal(38,0)-exact per-doc sum). The training half of the
+    * train/serve contract: boundaries cut on these scores replay
+    * bit-identically through the streaming scorer. */
+  def lmScoresOf(docs: DataFrame, lm: LmModelRef): DataFrame = {
+    val backoff = floor(log(
+      lit(1.0 - lm.lambda) *
+        greatest(coalesce(col("c2"), lit(0L)), lit(1L)).cast("double") /
+        lit(lm.nTotal.toDouble)) * 1e12).cast("long")
+    graft.ext.TextOps.bigramPairs(docs)
+      .join(lm.model, Seq("w1", "w2"), "left")
+      .join(lm.uni.select(col("term").as("w2"), col("c").as("c2")),
+        Seq("w2"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("q_lnp"), backoff).cast("decimal(38,0)"))
+          .cast("double").as("_qsum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("_qsum") / 1e12 / col("n_bigrams")).as("avg_logprob"))
+  }
 
   def pplBoundsOf(docs: DataFrame, lambda: Double = 0.9,
       targetRows: Long = 2000000L): PplBoundsRef = {
+    import org.apache.spark.sql.expressions.Window
+    val lm = lmModelRefOf(docs, lambda, targetRows)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_logprob").desc, col("doc_id"))
+    val bucketed = lmScoresOf(docs, lm)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("nt", ntile(3).over(w))
+      .withColumn("bucket", when(col("nt") === 1, "head")
+        .when(col("nt") === 2, "middle").otherwise("tail"))
     val bnd = (b: String, p: String) => max(when(col("bucket") === b,
       struct((-col("avg_logprob")).as("nlp"), col("doc_id").as("id"))))
       .as(p)
-    val bounds = graft.ext.TextOps.pplBuckets(docs, lambda)
+    val bounds = bucketed
       .groupBy("lang").agg(bnd("head", "hb"), bnd("middle", "mb"))
       .select(col("lang"),
         (-col("hb.nlp")).as("h_lp"), col("hb.id").as("h_id"),
         (-col("mb.nlp")).as("m_lp"), col("mb.id").as("m_id"))
       .transform(graft.functions.checkpointed)
-    PplBoundsRef(bounds, lmModelRefOf(docs, lambda, targetRows))
+    PplBoundsRef(bounds, lm)
   }
 
   /** CCNet perplexity bucketing of a DOCUMENT STREAM: score each

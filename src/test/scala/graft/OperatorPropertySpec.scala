@@ -224,11 +224,14 @@ class OperatorPropertySpec extends SparkSpec {
     import spark.implicits._
     import graft.ext.Pipeline
     // small vocab so boundary hashes repeat; lengths straddle the
-    // window size (short docs = single clipped chunk path)
+    // window size (short docs = single clipped chunk path); leading/
+    // trailing non-space whitespace produces EMPTY first/last words
+    // after trim+split — the separator-after-empty-word edge (ADVICE r9)
     val genText: Gen[String] = for {
       len <- Gen.choose(1, 60)
       ws <- Gen.listOfN(len, Gen.oneOf("aa", "bb", "cc", "dd", "ee"))
-    } yield ws.mkString(" ")
+      pad <- Gen.oneOf("", " ", "\t", "  \t ")
+    } yield pad + ws.mkString(" ") + pad
     val texts = (0 until 30).flatMap(i =>
       genText.apply(Gen.Parameters.default, Seed(1000L + i)))
     texts.zipWithIndex.foreach { case (t, id) =>

@@ -1296,6 +1296,59 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(9998L)._4 === "unknown")
   }
 
+  test("streaming ppl bucket ABOVE the prune threshold: boundaries cut " +
+      "from the SAME pruned model the stream serves (ADVICE r9)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = Tables.table(spark, sf("sf0.001"), "documents")
+    // a targetRows far below the corpus bigram count forces minCount > 1:
+    // the serving model is pruned, so the unpruned batch pplBuckets cut
+    // is the WRONG boundary source — this replay only stays tercile-exact
+    // because pplBoundsOf scores through the pruned LmModelRef itself
+    val tgt = 50L
+    val nTok = docsDf.select(explode(split(lower(trim(col("text"))),
+      "\\s+"))).count()
+    assert(graft.ext.TextOps.minCountFor(nTok, tgt) > 1L,
+      "fixture must exceed the prune threshold for this test to bite")
+    val ref = Streaming.pplBoundsOf(docsDf, targetRows = tgt)
+    // the pruned scores genuinely differ from the unpruned batch scorer
+    val pruned = Streaming.lmScoresOf(docsDf, ref.lm)
+      .select(col("doc_id"), col("avg_logprob"))
+      .as[(Long, Double)].collect().toMap
+    val unpruned = graft.ext.TextOps.bigramLogProb(docsDf)
+      .select(col("doc_id"), col("avg_logprob"))
+      .as[(Long, Double)].collect().toMap
+    assert(pruned.exists { case (d, s) => unpruned(d) != s },
+      "pruning should change at least one score, else the test is vacuous")
+    // batch expectation: terciles over the PRUNED scores
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_logprob").desc, col("doc_id"))
+    val want = Streaming.lmScoresOf(docsDf, ref.lm)
+      .join(docsDf.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("nt", ntile(3).over(w))
+      .select(col("doc_id"),
+        when(col("nt") === 1, "head").when(col("nt") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .as[(Long, String)].collect().toMap
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streaming.streamingPplBucket(in.toDS(), ref)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("spplpruned").start()
+    in.addData(docsDf.select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)].collect(): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("spplpruned")
+      .as[Streaming.PplBucketScore].collect()
+      .map(s => s.doc_id -> s.bucket).toMap
+    assert(streamed.size === want.size)
+    want.foreach { case (d, b) =>
+      assert(streamed(d) === b, s"doc $d: pruned-model tercile drift")
+    }
+  }
+
   test("streaming bloom decontam: replay of the train corpus ≡ batch") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
