@@ -361,4 +361,69 @@ class ScaleProbeSpec extends SparkSpec {
     assert(pairsFrozen >= pairsScaled * 3,
       f"frozen cells should blow up vs scaled: $pairsFrozen%,d vs $pairsScaled%,d")
   }
+
+  test("exact-substring dup spans: gram stream, dup-hit join and span " +
+      "removal stay ~linear at 10x (VERDICT r9 #1)") {
+    import graft.ext.Pipeline
+    val n = 5
+    val minDocs = 2
+    // the three shuffle surfaces of the family, in plan order:
+    //  1. the gram stream (input to the gram -> distinct-doc agg AND the
+    //     probe side of the join back),
+    //  2. the distinct (g, doc_id) pairs (the countDistinct agg's real
+    //     reduce input after partial dedup),
+    //  3. the dup-hit rows (grams joining a flagged gram — the join
+    //     OUTPUT, which tracks the corpus's duplication structure).
+    // Disjoint vocab shards replicate the base duplication structure
+    // 10x, so every surface must track Copies x, never n^2.
+    def surfaces(docs: DataFrame): (Long, Long, Long) = {
+      val g = Pipeline.gramStream(docs, n).localCheckpoint(true)
+      val gramRows = g.count()
+      val distinctPairs = g.select("g", "doc_id").distinct().count()
+      val dupGrams = g.groupBy("g")
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+        .where(col("ndocs") >= minDocs).select("g")
+      val dupHits = g.join(dupGrams, "g").count()
+      (gramRows, distinctPairs, dupHits)
+    }
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime
+      val r = f
+      (r, (System.nanoTime - t0) / 1e9)
+    }
+    val (gBase, pBase, hBase) = surfaces(baseDocs)
+    val (gScaled, pScaled, hScaled) = surfaces(scaledDocs)
+    info(f"gram stream: $gBase%,d -> $gScaled%,d; distinct (g,doc) " +
+      f"pairs: $pBase%,d -> $pScaled%,d; dup-hit rows: $hBase%,d -> " +
+      f"$hScaled%,d at ${Copies}x")
+    assert(gScaled <= gBase * Copies * 3 / 2,
+      f"gram stream superlinear: $gBase%,d -> $gScaled%,d")
+    assert(pScaled <= pBase * Copies * 3 / 2,
+      f"distinct-pair agg input superlinear: $pBase%,d -> $pScaled%,d")
+    assert(hScaled <= math.max(hBase, 1L) * Copies * 3 / 2,
+      f"dup-hit join output superlinear: $hBase%,d -> $hScaled%,d")
+    // end-to-end wall clock of the report and the apply pass: a
+    // superlinear (pair-materializing) implementation would show ~100x
+    // here; linear-with-overhead lands well under Copies x the base
+    val (nsBase, tSpanB) = timed(Pipeline.dupSpans(baseDocs, n, minDocs)
+      .agg(sum(col("n_dup_spans"))).head.getLong(0))
+    val (nsScaled, tSpanS) = timed(Pipeline.dupSpans(scaledDocs, n, minDocs)
+      .agg(sum(col("n_dup_spans"))).head.getLong(0))
+    val (remBase, tRemB) = timed(
+      Pipeline.dupSpansRemoved(baseDocs, n, minDocs)
+        .agg(sum(col("n_removed"))).head.getLong(0))
+    val (remScaled, tRemS) = timed(
+      Pipeline.dupSpansRemoved(scaledDocs, n, minDocs)
+        .agg(sum(col("n_removed"))).head.getLong(0))
+    info(f"dupSpans wall: $tSpanB%.1fs ($nsBase%,d dup spans) -> " +
+      f"$tSpanS%.1fs ($nsScaled%,d); dupSpansRemoved wall: $tRemB%.1fs " +
+      f"($remBase%,d removed) -> $tRemS%.1fs ($remScaled%,d)")
+    // shard-disjoint copies: per-copy results replicate the base exactly
+    assert(nsScaled === nsBase * Copies, "span structure must replicate")
+    assert(remScaled === remBase * Copies, "removal must replicate")
+    assert(tSpanS <= math.max(tSpanB, 1.0) * Copies * 3,
+      f"dupSpans wall superlinear: $tSpanB%.1fs -> $tSpanS%.1fs")
+    assert(tRemS <= math.max(tRemB, 1.0) * Copies * 3,
+      f"dupSpansRemoved wall superlinear: $tRemB%.1fs -> $tRemS%.1fs")
+  }
 }
