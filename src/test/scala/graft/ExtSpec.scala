@@ -1511,4 +1511,67 @@ class ExtSpec extends SparkSpec {
             s"$lang: $hi scores must dominate $lo")
     }
   }
+
+  test("absolute ANN recall on a clusterable mixture fixture: trained " +
+      "IVF >= 0.9, trained IVF-PQ >= 0.8 at data-derived dials " +
+      "(VERDICT r9 #2)") {
+    // The relative-lift gates can't catch a serving stack that is
+    // UNIFORMLY weak; this one pins absolute recall on a fixture where
+    // high recall is achievable by construction. Shape: 32
+    // well-separated Gaussian clusters at sf0.1-scale n (the driver's
+    // synthetic embeddings are near-unclustered, so the dial/structure
+    // regime IVF exists for never occurs there), with each vector
+    // planted as a TWIN PAIR (offset ~0.01 inside noise-std-0.5
+    // clusters) so every query's true NN is unambiguous — the standard
+    // recall-benchmark design: any sound index finds the twin, a
+    // uniformly weak one doesn't.
+    import org.apache.spark.sql.functions.col
+    val n = 2000
+    val d = 64
+    val kTrue = 32
+    val rng = new scala.util.Random(42)
+    val centers = Array.fill(kTrue, d)(rng.nextGaussian() * 4.0)
+    val vecs = new Array[Seq[Float]](n)
+    var m = 0
+    while (m < n / 2) {
+      val c = m % kTrue
+      val base = Array.tabulate(d)(j =>
+        centers(c)(j) + rng.nextGaussian() * 0.5)
+      vecs(2 * m) = base.map(_.toFloat).toSeq
+      vecs(2 * m + 1) = base.map(x =>
+        (x + rng.nextGaussian() * 0.01).toFloat).toSeq
+      m += 1
+    }
+    val embs = embsDf(vecs.zipWithIndex.map {
+      case (v, i) => (i.toLong, v) }: _*).localCheckpoint(true)
+    // ground truth: exact L2 NN (the metric both indexes rank by)
+    val all = vecs.map(_.map(_.toDouble).toArray)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val nQ = 200
+    val truth = (0 until nQ).map { q =>
+      q.toLong -> (0 until n).filter(_ != q)
+        .minBy(i => (l2(all(q), all(i)), i)).toLong
+    }.toMap
+    def recallOf(m: Map[Long, Long]): Double =
+      truth.count { case (q, v) => m.get(q).contains(v) }.toDouble / nQ
+    val cells = Similarity.centroidsFor(n.toLong) // 45 at n=2000
+    val ivf = Similarity.ivfTrainedTopK(embs, kCells = cells,
+      iters = 2, nProbe = 2, nQueries = nQ, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val rIvf = recallOf(ivf)
+    val ivfpq = Similarity.ivfPqTrainedTopK(embs, subspaces = 8,
+      nCentroids = 16, nCells = cells, cellIters = 2, pqIters = 2,
+      nProbe = 2, nQueries = nQ, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val rIvfpq = recallOf(ivfpq)
+    info(f"mixture fixture (n=$n, $kTrue clusters, C=$cells): " +
+      f"trained IVF recall@1 $rIvf%.3f, trained IVF-PQ $rIvfpq%.3f")
+    assert(rIvf >= 0.9, f"trained IVF absolute recall too low: $rIvf%.3f")
+    assert(rIvfpq >= 0.8,
+      f"trained IVF-PQ absolute recall too low: $rIvfpq%.3f")
+  }
 }
