@@ -98,8 +98,37 @@ final class Engine(spark: SparkSession, dtfFolder: String,
     spark.createDataset(books.getOrElse(book, mutable.ArrayBuffer.empty).toSeq)
       .toDF()
 
+  /** One book's on-disk side. Flushes write `day=<epochDay>` partition
+    * dirs inside the book dir ([[graft.sources.TickStore]] layout at
+    * book granularity); partition discovery re-adds the day column,
+    * which is dropped here so the schema stays the 7-column Update
+    * shape every consumer expects. Legacy flat dirs (no day subdirs)
+    * read identically — drop of an absent column is a no-op. */
   def fsDf(book: String): Option[DataFrame] =
-    if (hasFs(book)) Some(spark.read.parquet(fsPath(book))) else None
+    if (hasFs(book))
+      Some(spark.read.parquet(fsPath(book))
+        .drop(graft.sources.TickStore.DayCol))
+    else None
+
+  /** The fs side of a RANGED read, with the ms range mapped onto the
+    * `day=` partition dirs (plan-time pruning: only overlapping days
+    * are listed — the reference's file-header skip, S4, at directory
+    * granularity). The exact ts bounds stay with the caller; the day
+    * interval is closed over the range's floor-days, so pruning can
+    * never drop a row the ts predicate keeps. */
+  private def fsDfInRange(book: String, loMs: Long,
+      hiMs: Long): Option[DataFrame] =
+    if (!hasFs(book)) None
+    else {
+      import graft.sources.TickStore
+      val df = spark.read.parquet(fsPath(book))
+      Some(
+        if (df.columns.contains(TickStore.DayCol))
+          df.where(col(TickStore.DayCol).between(
+              TickStore.dayOfMs(loMs), TickStore.dayOfMs(hiMs)))
+            .drop(TickStore.DayCol)
+        else df)
+    }
 
   /** mem ++ fs view of one book (J1, `state.rs:639-656`) — re-sorted by
     * (ts,seq), a documented deviation from the reference's raw concat. */
@@ -228,7 +257,16 @@ final class Engine(spark: SparkSession, dtfFolder: String,
       val book = session.book
       val base = loc match {
         case Loc.Mem => memDf(book)
-        case Loc.Fs => bookDf(book)
+        // ranged fs reads go through the day-pruned fs side (same
+        // mem ++ fs ++ sort contract as bookDf; only the file listing
+        // shrinks to the range's days)
+        case Loc.Fs => range match {
+          case Some((lo, hi)) =>
+            fsDfInRange(book, lo, hi)
+              .map(memDf(book).unionByName(_)).getOrElse(memDf(book))
+              .orderBy("ts", "seq")
+          case None => bookDf(book)
+        }
       }
       val ranged = range match {
         // reference mem filter is exclusive (`state.rs:617-624`); we use
@@ -297,8 +335,12 @@ final class Engine(spark: SparkSession, dtfFolder: String,
       val fresh = buf.filter(_.ts > maxTs).toSeq
       if (fresh.nonEmpty)
         spark.createDataset(fresh).toDF()
+          .withColumn(graft.sources.TickStore.DayCol,
+            graft.sources.TickStore.dayOf(col("ts")))
           .orderBy("ts", "seq")
-          .write.mode("append").parquet(fsPath(book))
+          .write.mode("append")
+          .partitionBy(graft.sources.TickStore.DayCol)
+          .parquet(fsPath(book))
       buf.clear()
     }
 
@@ -332,8 +374,8 @@ final class Engine(spark: SparkSession, dtfFolder: String,
     if (!hasFs(book)) (0, 0)
     else if (!compactingBooks.add(book)) (0, 0)
     else
-      try graft.sources.Compaction.compact(spark, fsPath(book), targetBytes,
-        swapLock = swapGate.writeLock())
+      try graft.sources.Compaction.compactPartitioned(spark, fsPath(book),
+        targetBytes, swapLock = swapGate.writeLock())
       finally compactingBooks.remove(book)
 
   /** A [[MetricsRecorder]] for this engine (T7 — the influx plugin's
@@ -359,10 +401,12 @@ final class Engine(spark: SparkSession, dtfFolder: String,
       books.iterator.map { case (b, buf) => b -> buf.size.toLong }.toMap
     }
     def diskBytes(book: String): Long = {
-      val d = new java.io.File(fsPath(book))
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        .map(_.length()).sum
+      // recursive: flush writes day= partition subdirs inside the book
+      def walk(f: java.io.File): Long =
+        if (f.isFile)
+          (if (f.getName.endsWith(".parquet")) f.length() else 0L)
+        else Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+      walk(new java.io.File(fsPath(book)))
     }
     val fsBooks = Option(new java.io.File(dtfFolder).listFiles())
       .getOrElse(Array.empty).toSeq

@@ -50,7 +50,8 @@ object Compaction {
   def compact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20,
       swapLock: java.util.concurrent.locks.Lock =
-        new java.util.concurrent.locks.ReentrantLock()): (Int, Int) = {
+        new java.util.concurrent.locks.ReentrantLock(),
+      stagingBase: Option[String] = None): (Int, Int) = {
     val src = new java.io.File(dir)
     def parquetFiles(d: java.io.File): Array[java.io.File] =
       Option(d.listFiles()).getOrElse(Array.empty)
@@ -60,7 +61,12 @@ object Compaction {
     val totalBytes = before.map(_.length()).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 
-    val tmp = dir + ".compact"
+    // staging dirs default to siblings of `dir`; a PARTITIONED store
+    // must stage outside its partition tree instead (a `day=X.compact`
+    // sibling inside `symbol=Y/` would be read as a malformed partition
+    // value by any concurrent partition discovery of the store) —
+    // compactPartitioned passes the store-level base for that
+    val tmp = stagingBase.map(_ + ".compact").getOrElse(dir + ".compact")
     // read EXACTLY the pinned file set — not the directory, which may
     // gain files from concurrent flushes while the job runs
     spark.read.parquet(before.map(_.getPath).toIndexedSeq: _*)
@@ -71,7 +77,8 @@ object Compaction {
     // swap: park pinned originals aside, move compacted files in —
     // under the reader-exclusion lock, so no scan ever lists a
     // partially-swapped directory
-    val old = new java.io.File(dir + ".old")
+    val old = new java.io.File(
+      stagingBase.map(_ + ".old").getOrElse(dir + ".old"))
     swapLock.lock()
     val moved =
       try {
@@ -91,6 +98,51 @@ object Compaction {
     deleteRecursively(new java.io.File(tmp))
     deleteRecursively(old)
     (before.length, moved.length)
+  }
+
+  private def isStaging(d: java.io.File): Boolean =
+    d.getName.endsWith(".compact") || d.getName.endsWith(".old") ||
+      d.getName == "_temporary"
+
+  /** Leaf data directories of a (possibly Hive-partitioned) store:
+    * every directory under `root` (root included) that directly
+    * contains parquet files. Staging dirs are never descended into. */
+  def leafDataDirs(root: java.io.File): Seq[java.io.File] =
+    if (!root.isDirectory || isStaging(root)) Seq.empty
+    else {
+      val kids = Option(root.listFiles()).getOrElse(Array.empty)
+      val here =
+        if (kids.exists(f => f.isFile && f.getName.endsWith(".parquet")))
+          Seq(root)
+        else Seq.empty
+      here ++ kids.filter(_.isDirectory).toSeq.flatMap(leafDataDirs)
+    }
+
+  /** [[compact]] over a Hive-partitioned store ([[TickStore]]'s
+    * `symbol=/day=` layout, or the Engine's `book=<name>/day=` dirs):
+    * each leaf partition directory compacts independently and
+    * sequentially, so per-file ts ranges stay DISJOINT within every
+    * partition — the pruning contract — and the partition tree itself
+    * is untouched. Staging lives OUTSIDE the tree (siblings of `root`,
+    * one per leaf), so concurrent partition discovery never sees a
+    * malformed `day=...compact` entry. Same single-compactor and
+    * reader-exclusion contracts as [[compact]]. Returns summed
+    * (files before, files after). */
+  def compactPartitioned(spark: SparkSession, root: String,
+      targetBytes: Long = 128L << 20,
+      swapLock: java.util.concurrent.locks.Lock =
+        new java.util.concurrent.locks.ReentrantLock()): (Int, Int) = {
+    val rootF = new java.io.File(root)
+    val rootPath = rootF.toPath
+    leafDataDirs(rootF).foldLeft((0, 0)) { case ((b, a), leaf) =>
+      val rel =
+        if (leaf == rootF) "root"
+        else rootPath.relativize(leaf.toPath).toString
+          .replace(java.io.File.separatorChar, '_').replace('/', '_')
+      val (db, da) = compact(spark, leaf.getPath, targetBytes, swapLock,
+        stagingBase = Some(s"$root.stage_$rel"))
+      (b + db, a + da)
+    }
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -162,4 +162,58 @@ class EngineSpec extends SparkSpec {
     val entries = out2.split("hist_db").last.count(_ == ':') - 1
     assert(entries <= e.historyCapacity + 1, s"ring not bounded: $entries")
   }
+
+  test("flush writes day= partition dirs; cross-day ranged GET and " +
+      "compaction preserve the layout (VERDICT r9 #3)") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-daypart").toString
+    val e = new Engine(spark, dir)
+    e.execute(CommandParser.parse("CREATE dp"))
+    e.execute(CommandParser.parse("USE dp"))
+    // two flushes spanning four calendar days (86400 s apart). Flush
+    // freshness (S6) only keeps ts > stored max, so the second flush
+    // continues INSIDE day 2 (the multi-flush-per-day case that gives a
+    // day partition several files) and opens day 3.
+    for (d <- 0 until 3; i <- 0 until 4) {
+      val ts = 1505177459.0 + d * 86400 + i
+      e.execute(CommandParser.parse(
+        f"ADD $ts%.3f, ${d * 10 + i}, t, f, 1.0, 2.0;"))
+    }
+    e.execute(CommandParser.parse("FLUSH"))
+    for ((d, i) <- Seq((2, 4), (2, 5), (3, 0), (3, 1))) {
+      val ts = 1505177459.0 + d * 86400 + i
+      e.execute(CommandParser.parse(
+        f"ADD $ts%.3f, ${d * 10 + i}, t, f, 1.0, 2.0;"))
+    }
+    e.execute(CommandParser.parse("FLUSH"))
+    // layout: book dir contains day= partition dirs, one per day
+    val bookDir = new java.io.File(s"$dir/book=dp")
+    val dayDirs = bookDir.listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("day=")).sorted
+    assert(dayDirs.length === 4, dayDirs.mkString(", "))
+    // ranged GET crossing a day boundary: day pruning must not lose
+    // boundary rows (inclusive bounds, day interval closed)
+    val lo = 1505177459000L + 86400000L // first row of day 2
+    val hi = lo + 86400000L + 5000L     // into day 3
+    val got = e.execute(CommandParser.parse(
+      s"GET ALL FROM ${lo / 1000} TO ${hi / 1000} AS CSV")) match {
+      case e.Frame(df, _, _) => df.count()
+      case other => fail(s"unexpected: $other")
+    }
+    val want = e.bookDf("dp")
+      .where(col("ts").between(lo / 1000 * 1000, hi / 1000 * 1000))
+      .count()
+    assert(got === want && got > 0, s"ranged GET: $got vs $want")
+    // compaction: per-day leaves compacted in place, layout unchanged,
+    // counts identical
+    val total = e.bookDf("dp").count()
+    val (nb, na) = e.compactBook("dp", targetBytes = 128L << 20)
+    assert(nb === 5 && na === 4, s"compaction: $nb -> $na")
+    val dayDirs2 = bookDir.listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("day=")).sorted
+    assert(dayDirs2.toSeq === dayDirs.toSeq)
+    assert(e.bookDf("dp").count() === total)
+    assert(!bookDir.getParentFile.listFiles().exists(f =>
+      f.getName.contains(".stage_")), "staging residue left behind")
+  }
 }

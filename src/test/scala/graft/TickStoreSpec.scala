@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Compaction, TickStore}
+
+/** The Hive-partitioned tick-store layout (SURVEY §1.2's
+  * `symbol=/day=` mapping, VERDICT r9 #3): write → partition tree,
+  * scan → plan-time pruning (files touched = one symbol's overlapping
+  * days), compaction → layout preserved with disjoint per-file ts
+  * ranges within each partition. */
+class TickStoreSpec extends SparkSpec {
+
+  private lazy val updates =
+    Tables.updates(spark, sf("sf0.001")).localCheckpoint(true)
+
+  private def freshStore(): String = {
+    val root = Files.createTempDirectory("graft-tickstore").toString +
+      "/store"
+    TickStore.write(updates, root, SaveMode.Overwrite)
+    root
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) = df
+    .orderBy("symbol", "ts", "seq")
+    .collect().map(_.toSeq).toSeq
+
+  test("write/read round-trip: partition tree holds the whole table") {
+    val root = freshStore()
+    // the tree is symbol=<name>/day=<epochDay>/part-*
+    val symbolDirs = new java.io.File(root).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(symbolDirs.exists(_.startsWith("symbol=")), symbolDirs)
+    val dayDirs = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("symbol="))
+      .flatMap(_.listFiles()).filter(_.isDirectory).map(_.getName)
+    assert(dayDirs.nonEmpty && dayDirs.forall(_.startsWith("day=")))
+    assert(rows(TickStore.read(spark, root)) === rows(updates))
+  }
+
+  test("symbol+range scan prunes partitions at PLAN time and matches " +
+      "the unpartitioned filter exactly") {
+    val root = freshStore()
+    val symbol = "click"
+    // a 3-day window in the middle of the 30-day corpus
+    val lo = 1704672000000L // day 19730
+    val hi = 1704931199999L // day 19732
+    val scan = TickStore.scan(spark, root, symbol, lo, hi)
+    // semantics: identical to the brute filter over the raw table
+    val want = updates.where(col("symbol") === symbol &&
+      col("ts").between(lo, hi))
+    assert(rows(scan) === rows(want))
+    assert(scan.count() > 0, "window must be non-empty for the gate to bite")
+    // plan: both partition predicates evaluated at plan time
+    val p = scan.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("symbol#") || p.contains("(symbol"),
+      s"symbol not a partition predicate:\n$p")
+    // files listed: ONLY the one symbol's overlapping day dirs
+    val files = spark.read.parquet(root)
+      .where(col("symbol") === symbol &&
+        col(TickStore.DayCol).between(
+          TickStore.dayOfMs(lo), TickStore.dayOfMs(hi)))
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains(s"symbol=$symbol/")),
+      s"scan listed another symbol's files: ${files.mkString("\n")}")
+    val daysTouched = files.map { f =>
+      f.split("/").find(_.startsWith("day=")).get.stripPrefix("day=").toLong
+    }.toSet
+    assert(daysTouched.subsetOf(
+      (TickStore.dayOfMs(lo) to TickStore.dayOfMs(hi)).toSet),
+      s"scan touched days outside the range: $daysTouched")
+    assert(daysTouched.size <= 3)
+  }
+
+  test("compactPartitioned: layout preserved, data identical, per-file " +
+      "ts ranges disjoint within every partition") {
+    val root = freshStore()
+    // three more appends -> several files per (symbol, day) partition
+    (0 until 3).foreach(_ => TickStore.write(updates, root))
+    val before = rows(TickStore.read(spark, root))
+    val leavesBefore = Compaction.leafDataDirs(new java.io.File(root))
+      .map(_.getPath).toSet
+    val multiFile = leavesBefore.count(d =>
+      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet")) > 1)
+    assert(multiFile > 0, "fixture must have multi-file partitions")
+    // tiny target -> multiple sorted output files per leaf, so the
+    // disjointness assertion below actually has file pairs to check
+    val (nb, na) = Compaction.compactPartitioned(spark, root,
+      targetBytes = 8192L)
+    assert(na < nb, s"no compaction happened: $nb -> $na")
+    // layout: same leaf set, no staging residue, tree still symbol=/day=
+    val leavesAfter = Compaction.leafDataDirs(new java.io.File(root))
+      .map(_.getPath).toSet
+    assert(leavesAfter === leavesBefore)
+    val residue = new java.io.File(root).getParentFile.listFiles()
+      .map(_.getName).filter(n => n.contains(".stage_") ||
+        n.endsWith(".compact") || n.endsWith(".old"))
+    assert(residue.isEmpty, residue.mkString(", "))
+    // data: every row kept, fourfold as written
+    val after = rows(TickStore.read(spark, root))
+    assert(after.length === before.length)
+    assert(after === before)
+    // pruning contract: per-file (min_ts, max_ts) disjoint inside each
+    // partition dir
+    leavesAfter.foreach { leaf =>
+      val ranges = Compaction.fileTsRanges(spark, leaf)
+        .orderBy("min_ts").collect()
+        .map(r => (r.getLong(1), r.getLong(2)))
+      ranges.sliding(2).foreach {
+        case Array((_, hi1), (lo2, _)) =>
+          assert(hi1 <= lo2, s"$leaf: overlapping file ranges " +
+            s"$hi1 > $lo2 after compaction")
+        case _ =>
+      }
+    }
+  }
+}
