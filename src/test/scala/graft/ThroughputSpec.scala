@@ -102,4 +102,86 @@ class ThroughputSpec extends SparkSpec {
     assert(hits > 0L)
     assert(rate > 50.0, f"ann serving collapsed: $rate%,.0f q/s")
   }
+
+  test("BM25 serving: sf0.01 doc prefixes as query stream against the " +
+      "inverted index (VERDICT r9 #4)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = Tables.table(spark, sf("sf0.01"), "documents")
+    val index = graft.ext.TextOps.bm25Index(docsDf)
+      .transform(graft.functions.checkpointed)
+    // realistic query load: each doc's 6-word prefix is one query
+    val queries = docsDf.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).split("\\s+").take(6).mkString(" ")))
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.streamingBm25TopK(in.toDS(), index).writeStream
+      .outputMode("append").format("memory").queryName("tput_bm25").start()
+    val t0 = System.nanoTime()
+    in.addData(queries.toSeq: _*)
+    q.processAllAvailable()
+    val sec = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    val hits = spark.table("tput_bm25").count()
+    val rate = queries.length / sec
+    info(f"bm25 serving: ${queries.length}%,d queries in $sec%.2f s = " +
+      f"$rate%,.0f q/s ($hits%,d hits)")
+    assert(hits > 0L)
+    assert(rate > 50.0, f"bm25 serving collapsed: $rate%,.0f q/s")
+  }
+
+  test("quality-score serving: trained probe over a doc stream is a " +
+      "stateless projection (VERDICT r9 #4)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = Tables.table(spark, sf("sf0.01"), "documents")
+    val w = graft.ext.TextOps.trainQualityClassifier(docsDf)
+    val rows = docsDf.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.streamingQualityScore(
+        in.toDS().toDF("doc_id", "text"), w)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tput_qs").start()
+    val t0 = System.nanoTime()
+    in.addData(rows.toSeq: _*)
+    q.processAllAvailable()
+    val sec = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    val out = spark.table("tput_qs").count()
+    val rate = rows.length / sec
+    info(f"quality serving: ${rows.length}%,d docs in $sec%.2f s = " +
+      f"$rate%,.0f docs/s")
+    assert(out === rows.length.toLong)
+    assert(rate > 200.0, f"quality serving collapsed: $rate%,.0f docs/s")
+  }
+
+  test("OOV monitor: frozen-vocab coverage over a doc stream " +
+      "(VERDICT r9 #4)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = Tables.table(spark, sf("sf0.01"), "documents")
+    val vocab = graft.ext.TextOps.vocab(docsDf)
+      .transform(graft.functions.localRelation)
+    val rows = docsDf.select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streaming.streamingOovRate(
+        in.toDS().toDF("doc_id", "source", "text"), vocab)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tput_oov").start()
+    val t0 = System.nanoTime()
+    in.addData(rows.toSeq: _*)
+    q.processAllAvailable()
+    val sec = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    val out = spark.table("tput_oov").count()
+    val rate = rows.length / sec
+    info(f"oov monitor: ${rows.length}%,d docs in $sec%.2f s = " +
+      f"$rate%,.0f docs/s (${out}%,d sources)")
+    assert(out > 0L)
+    assert(rate > 200.0, f"oov monitor collapsed: $rate%,.0f docs/s")
+  }
 }
