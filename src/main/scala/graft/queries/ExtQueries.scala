@@ -833,6 +833,37 @@ object ExtQueries {
         |FROM (SELECT doc_id,
         |  unnest(generate_series(0, doc_id % 4, 2)) AS frame_idx
         | FROM documents)
+        |ORDER BY doc_id, frame_idx""".stripMargin.replace('\n', ' '))),
+
+    // MJPEG-in-MP4 pixel decode (VERDICT r9 #7): the ISO-BMFF twin of
+    // q_frame_stats — deterministic solid-gray JPEG samples (quality
+    // 1.0 round-trips solid gray bit-exactly through the JDK codec)
+    // addressed through a REAL stsz/stsc/stco sample-table walk (two
+    // samples per chunk), decoded by the same frame kernel. Identical
+    // oracle arithmetic: a broken box walk, chunk-offset sum, or JPEG
+    // decode fails the gate bit-exactly.
+    Q("q_mp4_frame_stats",
+      (s, dir) => {
+        val enc = org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.BINARY)
+        val mp4s = docs(s, dir).select("doc_id")
+          .map(r => (r.getLong(0), Multimodal.syntheticMjpegMp4(
+            r.getLong(0), nFrames = 1 + (r.getLong(0) % 4).toInt,
+            w = 16, h = 8)))(enc)
+          .toDF("doc_id", "payload")
+        Multimodal.decodeVideoFrames(mp4s, everyK = 2)
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""SELECT doc_id, frame_idx,
+        | CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        | CAST(128 AS BIGINT) AS n_px,
+        | CAST(((doc_id*31 + frame_idx*7) % 256) * 128 AS BIGINT)
+        |  AS luma_sum,
+        | CAST((doc_id*31 + frame_idx*7) % 256 AS DOUBLE) AS mean_luma
+        |FROM (SELECT doc_id,
+        |  unnest(generate_series(0, doc_id % 4, 2)) AS frame_idx
+        | FROM documents)
         |ORDER BY doc_id, frame_idx""".stripMargin.replace('\n', ' ')))
   )
 }

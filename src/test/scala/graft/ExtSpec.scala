@@ -1574,4 +1574,53 @@ class ExtSpec extends SparkSpec {
     assert(rIvfpq >= 0.8,
       f"trained IVF-PQ absolute recall too low: $rIvfpq%.3f")
   }
+
+  test("MJPEG-in-MP4: stsz/stsc/stco walk feeds the JPEG kernel; " +
+      "MP4 ≡ AVI container bit-exact; q=1.0 solid gray is lossless " +
+      "(VERDICT r9 #7)") {
+    import spark.implicits._
+    import graft.ext.Multimodal
+    // the gate's foundation: quality-1.0 solid-gray JPEG round-trips
+    // exactly for EVERY gray value (all-ones quant tables, zero AC)
+    (0 until 256).foreach { v =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.solidJpeg(v, 16, 8)))
+      val px = img.getRGB(3, 5)
+      assert(((px >> 16) & 0xFF) === v && ((px >> 8) & 0xFF) === v &&
+        (px & 0xFF) === v, s"gray $v not lossless")
+    }
+    // odd frame count exercises the trailing 1-sample stsc run
+    val mp4 = Multimodal.parseMp4Frames(
+      Multimodal.syntheticMjpegMp4(7L, 5, 16, 8))
+    assert(mp4.isDefined)
+    val (w, h, frames) = mp4.get
+    assert(w === 16L && h === 8L && frames.length === 5)
+    frames.foreach(f =>
+      assert((f(0) & 0xFF) === 0xFF && (f(1) & 0xFF) === 0xD8,
+        "sample slice is not a JPEG — chunk-offset walk broken"))
+    // same grays through both containers -> identical frame stats
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.BINARY)
+    def statsOf(payloads: Seq[(Long, Array[Byte])]) =
+      Multimodal.decodeVideoFrames(
+        payloads.toDF("doc_id", "payload"), everyK = 1)
+        .orderBy("doc_id", "frame_idx").collect().map(_.toSeq).toSeq
+    val ids = Seq(0L, 3L, 200L)
+    val viaMp4 = statsOf(ids.map(d =>
+      (d, Multimodal.syntheticMjpegMp4(d, 3, 16, 8))))
+    val viaAvi = statsOf(ids.map(d =>
+      (d, Multimodal.syntheticAvi(d, 3, 16, 8))))
+    assert(viaMp4.nonEmpty && viaMp4 === viaAvi,
+      "MP4 and AVI containers must decode identically")
+    // the metadata walk agrees with the frame walk on the same fixture
+    val meta = Multimodal.decodeVideoMeta(
+      Seq((7L, Multimodal.syntheticMjpegMp4(7L, 5, 16, 8)))
+        .toDF("doc_id", "payload")).collect()(0)
+    assert(meta.getLong(2) === 16L && meta.getLong(3) === 8L &&
+      meta.getLong(4) === 5L)
+    // garbage payloads drop, never throw
+    assert(Multimodal.parseMp4Frames(Array.fill(64)(0x42.toByte)).isEmpty)
+    assert(Multimodal.parseMp4Frames(null).isEmpty)
+  }
 }
