@@ -47,6 +47,35 @@ package object functions {
       df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
 
+  /** The newest materialized reliable-checkpoint directory (a
+    * `.../rdd-N` path) under `root` — the handle a campaign runner
+    * records after each [[checkpointed]] stage so a RESTARTED driver
+    * can [[resumeCheckpoint]] instead of recomputing. Spark nests the
+    * files as `<root>/<session-uuid>/rdd-<id>/part-*`; newest mtime
+    * wins. */
+  def latestCheckpointPath(root: String): Option[String] = {
+    val dirs = for {
+      uuid <- Option(new java.io.File(root).listFiles()).getOrElse(Array())
+      if uuid.isDirectory
+      rdd <- Option(uuid.listFiles()).getOrElse(Array[java.io.File]())
+      if rdd.isDirectory && rdd.getName.startsWith("rdd-")
+    } yield rdd
+    dirs.sortBy(d => (d.lastModified(), d.getName)).lastOption
+      .map(_.getPath)
+  }
+
+  /** Resume a [[checkpointed]] stage from its reliable checkpoint files
+    * — the driver-restart half of the durability contract (the
+    * executor-loss half is Spark's own in-session reload). The files
+    * store rows, not metadata, so the caller supplies the stage's
+    * schema; the result reads the part-files directly, recomputing
+    * nothing (ReliableResumeSpec measures resume ≪ recompute). */
+  def resumeCheckpoint(spark: org.apache.spark.sql.SparkSession,
+      path: String, schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.graftglue.CheckpointBridge
+      .readCheckpoint(spark, path, schema)
+
   /** Materialize a BOUNDED aggregate (per-symbol bin parameters, corpus
     * constants, percentile tables — anything whose cardinality is the
     * GROUP key domain, not the data size) as a LocalRelation: downstream
