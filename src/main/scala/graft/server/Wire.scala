@@ -347,15 +347,22 @@ final class TcpServer(engine: Engine, port: Int = 0) {
                   }
               }
             } finally readGate.unlock()
-          outLock.synchronized {
-            write(out, ok = okFlag, body)
-            out.flush() // commands are rare: reply immediately
-          }
           // a successful SUBSCRIBE registers this connection for pushed
           // frames (`state.rs:469-477`): every subsequent insert to the
           // book arrives as a success frame whose body is the raw
           // encode_insert_into bytes — what the reference's send_subs
-          // pushes and its clients poll for
+          // pushes and its clients poll for. Registration happens
+          // BEFORE the reply leaves the socket: a client that acts on
+          // the reply (publishing from another connection the moment it
+          // sees "Subscribed") must never race a not-yet-registered
+          // sink and silently miss the push. It cannot move inside the
+          // outLock block below — the push path holds the engine
+          // monitor and then takes outLock, so nesting monitor inside
+          // outLock here would be an ABBA deadlock with a concurrent
+          // insert. The residual reorder (a third connection's insert
+          // landing between registration and the reply write pushes
+          // before the reply) is the reference's own async-channel
+          // semantics.
           cmd match {
             case Command.Subscribe(book) if okFlag =>
               val sink: Update => Unit = up => {
@@ -373,6 +380,10 @@ final class TcpServer(engine: Engine, port: Int = 0) {
               engine.subscribeSink(book, sink)
               mySinks = (book, sink) :: mySinks
             case _ => ()
+          }
+          outLock.synchronized {
+            write(out, ok = okFlag, body)
+            out.flush() // commands are rare: reply immediately
           }
         }
         // insert responses flush on reader starvation (connection idle) —
