@@ -154,6 +154,24 @@ object TickQueries {
     Q("q_asof_quote",
       (s, dir) => AsofJoin.tradesWithQuote(u(s, dir))
         .orderBy("symbol", "ts", "seq"),
-      Some(Tables.withUpdates(AsofJoin.tradesWithQuoteSql)))
+      Some(Tables.withUpdates(AsofJoin.tradesWithQuoteSql))),
+
+    // microstructure features (beyond-reference consumer analytics,
+    // TimeBars plan shape: one shuffle, map-side partial, decimal-exact
+    // sums, single-IEEE-op ratios)
+    Q("q_vwap_bars",
+      (s, dir) => Microstructure.vwapBars(u(s, dir))
+        .orderBy("symbol", "start"),
+      Some(Tables.withUpdates(Microstructure.vwapBarsSql()))),
+
+    Q("q_trade_imbalance",
+      (s, dir) => Microstructure.tradeImbalance(u(s, dir))
+        .orderBy("symbol", "start"),
+      Some(Tables.withUpdates(Microstructure.tradeImbalanceSql()))),
+
+    Q("q_bucket_spread",
+      (s, dir) => Microstructure.bucketSpread(u(s, dir))
+        .orderBy("symbol", "start"),
+      Some(Tables.withUpdates(Microstructure.bucketSpreadSql())))
   )
 }

@@ -94,6 +94,58 @@ object Streaming {
         unix_millis(col("window.end")).as("end"),
         col("open"), col("high"), col("low"), col("close"), col("volume"))
 
+  /** Streaming VWAP bars — the ingest-time twin of
+    * [[graft.operators.Microstructure.vwapBars]]: a watermarked
+    * windowed aggregation whose operands are the SAME decimal-exact
+    * sums as the batch op (decimal addition is a commutative monoid,
+    * so any micro-batch slicing/replay order lands on the batch value
+    * bit-for-bit — the corpus-checksum stance), with the vwap ratio
+    * as the same single IEEE division. */
+  def streamingVwapBars(updates: DataFrame, seconds: Long = 60)
+      : DataFrame =
+    updates
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", "10 minutes")
+      .where(col("is_trade"))
+      .groupBy(col("symbol"),
+        window(col("event_time"), s"$seconds seconds"))
+      .agg(
+        count(lit(1)).as("n_trades"),
+        graft.functions.exactSum(col("size")).as("volume"),
+        graft.functions.exactSumProduct(col("price"), col("size"))
+          .as("turnover"))
+      .select(col("symbol"),
+        unix_millis(col("window.start")).divide(1000).cast("long")
+          .as("start"),
+        col("n_trades"), col("volume"), col("turnover"),
+        when(col("volume") =!= 0.0d, col("turnover") / col("volume"))
+          .as("vwap"))
+
+  /** Streaming trade-flow imbalance — twin of
+    * [[graft.operators.Microstructure.tradeImbalance]], same monoid
+    * decimal sums per side, same guarded ratio. */
+  def streamingTradeImbalance(updates: DataFrame, seconds: Long = 60)
+      : DataFrame =
+    updates
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", "10 minutes")
+      .where(col("is_trade"))
+      .groupBy(col("symbol"),
+        window(col("event_time"), s"$seconds seconds"))
+      .agg(
+        graft.functions.exactSum(
+          when(col("is_bid"), col("size")).otherwise(0.0d)).as("buy_vol"),
+        graft.functions.exactSum(
+          when(!col("is_bid"), col("size")).otherwise(0.0d))
+          .as("sell_vol"))
+      .select(col("symbol"),
+        unix_millis(col("window.start")).divide(1000).cast("long")
+          .as("start"),
+        col("buy_vol"), col("sell_vol"),
+        when(col("buy_vol") + col("sell_vol") =!= 0.0d,
+          (col("buy_vol") - col("sell_vol")) /
+            (col("buy_vol") + col("sell_vol"))).as("imbalance"))
+
   /** SUBSCRIBE fan-out (T3): one filtered streaming view per book. */
   def subscribe(updates: Dataset[Update], book: String): Dataset[Update] =
     updates.filter(_.symbol == book)

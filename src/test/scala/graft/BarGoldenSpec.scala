@@ -109,4 +109,46 @@ class BarGoldenSpec extends SparkSpec {
     val all = candles(TimeBars.bars(updatesDf(ups), dropLast = false))
     assert(all.map(_.start) === Seq(1500000000L, 1500000060L))
   }
+
+  test("microstructure: vwap/imbalance/spread hand-computed golden, " +
+      "missing sides and zero volume stay null") {
+    // realistic epoch seconds (fillDigits would rescale toy values)
+    def u(ts: Long, seq: Long, trade: Boolean, bid: Boolean, p: Double,
+        s: Double) =
+      Update("m", (1500000000L + ts) * 1000, seq, trade, bid, p, s)
+    val ups = Seq(
+      // bucket 0: trades 2@10 buy, 4@11 sell; quotes bid 9.5 then 9.8,
+      // ask 10.5; a size-0 level SET must not become the last bid
+      u(1, 1, trade = true, bid = true, 10.0, 2.0),
+      u(2, 2, trade = true, bid = false, 11.0, 4.0),
+      u(3, 3, trade = false, bid = true, 9.5, 1.0),
+      u(4, 4, trade = false, bid = false, 10.5, 2.0),
+      u(5, 5, trade = false, bid = true, 9.8, 1.0),
+      u(6, 6, trade = false, bid = true, 9.9, 0.0), // delete: no quote
+      // bucket 60: one zero-size trade (vwap null), quotes only bid side
+      u(61, 7, trade = true, bid = true, 12.0, 0.0),
+      u(62, 8, trade = false, bid = true, 11.5, 3.0))
+    val vw = Microstructure.vwapBars(updatesDf(ups)).orderBy("start")
+      .collect()
+    assert(vw.length === 2)
+    assert(vw(0).getLong(2) === 2L &&
+      vw(0).getDouble(3) === 6.0 && vw(0).getDouble(4) === 64.0 &&
+      vw(0).getDouble(5) === 64.0 / 6.0)
+    assert(vw(1).getDouble(3) === 0.0 && vw(1).isNullAt(5),
+      "zero-volume bucket must have null vwap")
+    val im = Microstructure.tradeImbalance(updatesDf(ups))
+      .orderBy("start").collect()
+    assert(im(0).getDouble(2) === 2.0 && im(0).getDouble(3) === 4.0 &&
+      im(0).getDouble(4) === (2.0 - 4.0) / (2.0 + 4.0))
+    assert(im(1).isNullAt(4), "zero-volume bucket must have null imbalance")
+    val sp = Microstructure.bucketSpread(updatesDf(ups))
+      .orderBy("start").collect()
+    assert(sp(0).getDouble(2) === 9.8 && sp(0).getDouble(3) === 10.5,
+      "last bid must skip the size-0 delete; sides resolve independently")
+    assert(sp(0).getDouble(4) === 10.5 - 9.8 &&
+      sp(0).getDouble(5) === (9.8 + 10.5) / 2.0)
+    assert(sp(1).getDouble(2) === 11.5 && sp(1).isNullAt(3) &&
+      sp(1).isNullAt(4) && sp(1).isNullAt(5),
+      "bucket missing the ask side emits null spread/mid")
+  }
 }

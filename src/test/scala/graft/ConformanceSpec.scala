@@ -37,6 +37,9 @@ class ConformanceSpec extends SparkSpec {
   private final class RawClient(port: Int) {
     private val sock = new Socket("127.0.0.1", port)
     sock.setTcpNoDelay(true)
+    // a protocol bug (lost push, short frame) must fail the test in
+    // seconds, never hang the suite on a blocking read
+    sock.setSoTimeout(30000)
     private val in = new DataInputStream(
       new BufferedInputStream(sock.getInputStream))
     private val out = new DataOutputStream(

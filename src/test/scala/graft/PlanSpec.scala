@@ -425,6 +425,21 @@ class PlanSpec extends SparkSpec {
       s"window not above the bounded aggregate:\n$p")
   }
 
+  test("microstructure features: one partial aggregation, trade filter " +
+      "at the scan") {
+    for (name <- Seq("q_vwap_bars", "q_trade_imbalance",
+        "q_bucket_spread")) {
+      val p = plan(name)
+      // map-side combine: the (symbol, bucket) aggregation is partial
+      assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+        s"$name: no aggregate in plan:\n$p")
+      assert(p.contains("partial"), s"$name: aggregation not partial:\n$p")
+      // the trade/level filter reaches the scan side, before the shuffle
+      assert(p.contains("Filter"), s"$name: no filter:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian:\n$p")
+    }
+  }
+
   test("tick store symbol+range scan: partition pruning at PLAN time, " +
       "ts bounds pushed to parquet (VERDICT r9 #3)") {
     import org.apache.spark.sql.SaveMode

@@ -65,6 +65,50 @@ class StreamingSpec extends SparkSpec {
     assert(first.getAs[Double]("volume") === 3.0)
   }
 
+  test("streaming vwap and imbalance replay the batch microstructure " +
+      "ops bit-exactly across micro-batches") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ups = Tables.updatesDs(spark, sf("sf0.001")).collect()
+    val maxTs = ups.map(_.ts).max
+    // far-future sentinel closes every real window past the watermark
+    val sentinel = Update("zzz", maxTs + 3600L * 1000, 0L,
+      is_trade = true, is_bid = true, 1.0, 1.0)
+    val all = ups :+ sentinel
+    val batchDf = updatesDf(all.toSeq)
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1))
+    val wantVwap = graft.operators.Microstructure.vwapBars(batchDf)
+      .collect().map(r => keyOf(r) -> r.toSeq.drop(2)).toMap
+    val wantImb = graft.operators.Microstructure.tradeImbalance(batchDf)
+      .collect().map(r => keyOf(r) -> r.toSeq.drop(2)).toMap
+    val in = MemoryStream[Update]
+    val qv = Streaming.streamingVwapBars(in.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("svwap").start()
+    val qi = Streaming.streamingTradeImbalance(in.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("simb").start()
+    // two micro-batches, then the sentinel to advance the watermark
+    val (b1, b2) = ups.splitAt(ups.length / 2)
+    in.addData(b1.toSeq: _*); qv.processAllAvailable(); qi.processAllAvailable()
+    in.addData(b2.toSeq: _*); qv.processAllAvailable(); qi.processAllAvailable()
+    in.addData(sentinel); qv.processAllAvailable(); qi.processAllAvailable()
+    qv.stop(); qi.stop()
+    val gotVwap = spark.table("svwap").collect()
+      .map(r => keyOf(r) -> r.toSeq.drop(2)).toMap
+    val gotImb = spark.table("simb").collect()
+      .map(r => keyOf(r) -> r.toSeq.drop(2)).toMap
+    // every closed (non-sentinel) batch bucket streamed bit-exactly
+    val closedV = wantVwap.keySet.filterNot(_._1 == "zzz")
+    assert(closedV.nonEmpty)
+    closedV.foreach { k =>
+      assert(gotVwap.get(k).contains(wantVwap(k)), s"vwap drift at $k")
+    }
+    wantImb.keySet.filterNot(_._1 == "zzz").foreach { k =>
+      assert(gotImb.get(k).contains(wantImb(k)), s"imbalance drift at $k")
+    }
+  }
+
   test("streaming dedup collapses replayed frames across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
