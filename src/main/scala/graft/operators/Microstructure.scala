@@ -106,6 +106,93 @@ object Microstructure {
         ((col("last_bid") + col("last_ask")) / 2.0d).as("mid"))
   }
 
+  /** Realized volatility per (symbol, bucket): the sum of squared
+    * trade-to-trade log returns, under the engine's integer-exactness
+    * contract — each return quantized to `floor(ln(p_i/p_{i−1})·1e6)`
+    * (a long; the LM family's floor-quantization stance at a coarser
+    * scale), squared and summed in decimal, emitted as an EXACT BIGINT
+    * `sum_sq_q` plus the conventional `rv = sqrt(sum_sq_q)/1e6`
+    * (one long→double cast + one sqrt + one division — identical IEEE
+    * steps both engines). A return belongs to the bucket of its LATER
+    * trade; the first trade of a symbol has no return. Exactness
+    * bound: |q| ≤ 1.1e7 on any price ratio within double range, so a
+    * bucket needs > ~7e4 trades before `sum_sq_q` even nears 2^63 —
+    * and the column is integer-compared, never double-rounded.
+    *
+    * Scale shape: one per-symbol ordered LAG window (key-bounded, the
+    * as-of join's shuffle budget) feeding one partial (symbol, bucket)
+    * aggregation.
+    *
+    * Returns are defined over POSITIVE-price trades only (a zero price
+    * is a data artifact with no log return; DuckDB's `ln(0)` errors
+    * where Spark's nulls, so the guard is also what keeps the twin
+    * total) — the lag runs over the filtered sequence, so a zero-price
+    * row neither produces nor interrupts returns. */
+  def realizedVol(updates: DataFrame, seconds: Long = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("symbol"))
+      .orderBy(col("ts"), col("seq"))
+    val q = floor(log(col("price") / lag(col("price"), 1).over(w)) *
+      1e6).cast("long")
+    updates.where(col("is_trade") && col("price") > 0.0d)
+      .select(col("symbol"), col("ts"), col("seq"), col("price"))
+      .withColumn("q", q)
+      .where(col("q").isNotNull)
+      .groupBy(col("symbol"), bucketed(seconds))
+      .agg(
+        count(lit(1)).as("n_returns"),
+        sum((col("q").cast("decimal(15,0)") *
+          col("q").cast("decimal(15,0)"))).cast("long").as("sum_sq_q"))
+      .select(col("symbol"), col("start"), col("n_returns"),
+        col("sum_sq_q"),
+        (sqrt(col("sum_sq_q").cast("double")) / 1e6).as("rv"))
+  }
+
+  def realizedVolSql(seconds: Long = 60): String =
+    s"""SELECT symbol, start, n_returns, sum_sq_q,
+       | sqrt(CAST(sum_sq_q AS DOUBLE)) / 1e6 AS rv
+       |FROM (
+       | SELECT symbol, ((ts // 1000) // $seconds) * $seconds AS start,
+       |  count(*) AS n_returns,
+       |  CAST(SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS BIGINT)
+       |   AS sum_sq_q
+       | FROM (
+       |  SELECT symbol, ts,
+       |   CAST(floor(ln(price / lag(price, 1) OVER (
+       |     PARTITION BY symbol ORDER BY ts, seq)) * 1e6) AS BIGINT) AS q
+       |  FROM updates WHERE is_trade AND price > 0.0)
+       | WHERE q IS NOT NULL GROUP BY 1, 2)
+       |ORDER BY symbol, start""".stripMargin.replace('\n', ' ')
+
+  /** Order-to-trade ratio per (symbol, bucket): level-update count per
+    * trade — the venue-health / quote-stuffing diagnostic. Exact
+    * integer counts; a trade-less bucket emits null ratio. */
+  def orderTradeRatio(updates: DataFrame, seconds: Long = 60): DataFrame =
+    updates
+      .groupBy(col("symbol"), bucketed(seconds))
+      .agg(
+        sum(when(!col("is_trade"), 1L).otherwise(0L)).as("n_levels"),
+        sum(when(col("is_trade"), 1L).otherwise(0L)).as("n_trades"))
+      .select(col("symbol"), col("start"), col("n_levels"),
+        col("n_trades"),
+        when(col("n_trades") =!= 0L,
+          col("n_levels").cast("double") / col("n_trades").cast("double"))
+          .as("order_trade_ratio"))
+
+  def orderTradeRatioSql(seconds: Long = 60): String =
+    s"""SELECT symbol, start, n_levels, n_trades,
+       | CASE WHEN n_trades <> 0 THEN
+       |  CAST(n_levels AS DOUBLE) / CAST(n_trades AS DOUBLE) END
+       |  AS order_trade_ratio
+       |FROM (
+       | SELECT symbol, ((ts // 1000) // $seconds) * $seconds AS start,
+       |  CAST(SUM(CASE WHEN NOT is_trade THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_levels,
+       |  CAST(SUM(CASE WHEN is_trade THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_trades
+       | FROM updates GROUP BY 1, 2)
+       |ORDER BY symbol, start""".stripMargin.replace('\n', ' ')
+
   def bucketSpreadSql(seconds: Long = 60): String =
     s"""SELECT symbol, start, last_bid, last_ask,
        | last_ask - last_bid AS spread,

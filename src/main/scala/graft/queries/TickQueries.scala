@@ -172,6 +172,16 @@ object TickQueries {
     Q("q_bucket_spread",
       (s, dir) => Microstructure.bucketSpread(u(s, dir))
         .orderBy("symbol", "start"),
-      Some(Tables.withUpdates(Microstructure.bucketSpreadSql())))
+      Some(Tables.withUpdates(Microstructure.bucketSpreadSql()))),
+
+    Q("q_realized_vol",
+      (s, dir) => Microstructure.realizedVol(u(s, dir))
+        .orderBy("symbol", "start"),
+      Some(Tables.withUpdates(Microstructure.realizedVolSql()))),
+
+    Q("q_order_trade_ratio",
+      (s, dir) => Microstructure.orderTradeRatio(u(s, dir))
+        .orderBy("symbol", "start"),
+      Some(Tables.withUpdates(Microstructure.orderTradeRatioSql())))
   )
 }

@@ -150,5 +150,27 @@ class BarGoldenSpec extends SparkSpec {
     assert(sp(1).getDouble(2) === 11.5 && sp(1).isNullAt(3) &&
       sp(1).isNullAt(4) && sp(1).isNullAt(5),
       "bucket missing the ask side emits null spread/mid")
+    // realized vol: returns ln(11/10) then ln(12/11) (the second crosses
+    // into bucket 60 — a return belongs to its LATER trade's bucket);
+    // the first trade has no return
+    val rvUps = Seq(
+      u(1, 1, trade = true, bid = true, 10.0, 1.0),
+      u(2, 2, trade = true, bid = true, 11.0, 1.0),
+      u(61, 3, trade = true, bid = true, 12.0, 1.0))
+    val rv = Microstructure.realizedVol(updatesDf(rvUps))
+      .orderBy("start").collect()
+    def qOf(r: Double): Long = math.floor(math.log(r) * 1e6).toLong
+    assert(rv.length === 2)
+    assert(rv(0).getLong(2) === 1L &&
+      rv(0).getLong(3) === qOf(11.0 / 10.0) * qOf(11.0 / 10.0))
+    assert(rv(1).getLong(3) === qOf(12.0 / 11.0) * qOf(12.0 / 11.0))
+    assert(rv(0).getDouble(4) ===
+      math.sqrt(rv(0).getLong(3).toDouble) / 1e6)
+    // order/trade ratio: bucket 0 has 4 levels (incl. the size-0
+    // delete — it IS order traffic) and 2 trades
+    val ot = Microstructure.orderTradeRatio(updatesDf(ups))
+      .orderBy("start").collect()
+    assert(ot(0).getLong(2) === 4L && ot(0).getLong(3) === 2L &&
+      ot(0).getDouble(4) === 2.0)
   }
 }

@@ -428,14 +428,16 @@ class PlanSpec extends SparkSpec {
   test("microstructure features: one partial aggregation, trade filter " +
       "at the scan") {
     for (name <- Seq("q_vwap_bars", "q_trade_imbalance",
-        "q_bucket_spread")) {
+        "q_bucket_spread", "q_realized_vol", "q_order_trade_ratio")) {
       val p = plan(name)
       // map-side combine: the (symbol, bucket) aggregation is partial
       assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
         s"$name: no aggregate in plan:\n$p")
       assert(p.contains("partial"), s"$name: aggregation not partial:\n$p")
-      // the trade/level filter reaches the scan side, before the shuffle
-      assert(p.contains("Filter"), s"$name: no filter:\n$p")
+      // the trade/level filter reaches the scan side, before the
+      // shuffle (order/trade ratio deliberately reads both kinds)
+      if (name != "q_order_trade_ratio")
+        assert(p.contains("Filter"), s"$name: no filter:\n$p")
       assert(!p.contains("CartesianProduct"), s"$name: cartesian:\n$p")
     }
   }
