@@ -146,6 +146,40 @@ object Streaming {
           (col("buy_vol") - col("sell_vol")) /
             (col("buy_vol") + col("sell_vol"))).as("imbalance"))
 
+  /** Streaming end-of-bucket quote state — twin of
+    * [[graft.operators.Microstructure.bucketSpread]]: the per-side
+    * `max_by` over `(ts, seq)` is itself a commutative aggregate (max
+    * of a total order), so the watermarked windowed aggregation
+    * replays the batch buckets bit-exactly in any arrival order.
+    *
+    * Watermark caveat (applies to every filtered twin here): Catalyst
+    * pushes the row-kind filter below the EventTimeWatermark node, so
+    * this query's watermark advances only on LEVEL rows — a quiet
+    * trade-only feed does not close quote windows (and vice versa for
+    * the trade twins). Deliberate: it matches per-stream-kind ingest
+    * topologies, and StreamingSpec pins it. */
+  def streamingBucketSpread(updates: DataFrame, seconds: Long = 60)
+      : DataFrame = {
+    def sideLast(side: org.apache.spark.sql.Column) =
+      max_by(when(side, col("price")),
+        when(side, struct(col("ts"), col("seq"))))
+    updates
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", "10 minutes")
+      .where(!col("is_trade") && col("size") > 0.0d)
+      .groupBy(col("symbol"),
+        window(col("event_time"), s"$seconds seconds"))
+      .agg(
+        sideLast(col("is_bid")).as("last_bid"),
+        sideLast(!col("is_bid")).as("last_ask"))
+      .select(col("symbol"),
+        unix_millis(col("window.start")).divide(1000).cast("long")
+          .as("start"),
+        col("last_bid"), col("last_ask"),
+        (col("last_ask") - col("last_bid")).as("spread"),
+        ((col("last_bid") + col("last_ask")) / 2.0d).as("mid"))
+  }
+
   /** SUBSCRIBE fan-out (T3): one filtered streaming view per book. */
   def subscribe(updates: Dataset[Update], book: String): Dataset[Update] =
     updates.filter(_.symbol == book)

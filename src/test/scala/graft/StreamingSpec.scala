@@ -72,10 +72,16 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val ups = Tables.updatesDs(spark, sf("sf0.001")).collect()
     val maxTs = ups.map(_.ts).max
-    // far-future sentinel closes every real window past the watermark
+    // far-future sentinels close every real window past the watermark.
+    // One per ROW KIND: predicate pushdown sinks each query's
+    // trade/level filter below the watermark node, so a query's
+    // watermark only advances on rows that survive ITS filter — a
+    // trade-only sentinel would never flush the quote windows
     val sentinel = Update("zzz", maxTs + 3600L * 1000, 0L,
       is_trade = true, is_bid = true, 1.0, 1.0)
-    val all = ups :+ sentinel
+    val sentinelLvl = Update("zzz", maxTs + 3600L * 1000, 1L,
+      is_trade = false, is_bid = true, 1.0, 1.0)
+    val all = ups ++ Seq(sentinel, sentinelLvl)
     val batchDf = updatesDf(all.toSeq)
     def keyOf(r: org.apache.spark.sql.Row) =
       (r.getString(0), r.getLong(1))
@@ -83,20 +89,34 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => keyOf(r) -> r.toSeq.drop(2)).toMap
     val wantImb = graft.operators.Microstructure.tradeImbalance(batchDf)
       .collect().map(r => keyOf(r) -> r.toSeq.drop(2)).toMap
+    val wantSpr = graft.operators.Microstructure.bucketSpread(batchDf)
+      .collect().map(r => keyOf(r) -> r.toSeq.drop(2)).toMap
     val in = MemoryStream[Update]
     val qv = Streaming.streamingVwapBars(in.toDF()).writeStream
       .outputMode("append").format("memory").queryName("svwap").start()
     val qi = Streaming.streamingTradeImbalance(in.toDF()).writeStream
       .outputMode("append").format("memory").queryName("simb").start()
+    val qs = Streaming.streamingBucketSpread(in.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("sspr").start()
     // two micro-batches, then the sentinel to advance the watermark
-    val (b1, b2) = ups.splitAt(ups.length / 2)
-    in.addData(b1.toSeq: _*); qv.processAllAvailable(); qi.processAllAvailable()
-    in.addData(b2.toSeq: _*); qv.processAllAvailable(); qi.processAllAvailable()
-    in.addData(sentinel); qv.processAllAvailable(); qi.processAllAvailable()
-    qv.stop(); qi.stop()
+    def drain(): Unit = {
+      qv.processAllAvailable(); qi.processAllAvailable()
+      qs.processAllAvailable()
+    }
+    // replay in event order (the ingest reality) — parquet row order is
+    // not time order, and an unsorted split would make batch-2 rows
+    // late beyond the watermark
+    val ordered = ups.sortBy(u0 => (u0.ts, u0.seq))
+    val (b1, b2) = ordered.splitAt(ordered.length / 2)
+    in.addData(b1.toSeq: _*); drain()
+    in.addData(b2.toSeq: _*); drain()
+    in.addData(sentinel, sentinelLvl); drain()
+    qv.stop(); qi.stop(); qs.stop()
     val gotVwap = spark.table("svwap").collect()
       .map(r => keyOf(r) -> r.toSeq.drop(2)).toMap
     val gotImb = spark.table("simb").collect()
+      .map(r => keyOf(r) -> r.toSeq.drop(2)).toMap
+    val gotSpr = spark.table("sspr").collect()
       .map(r => keyOf(r) -> r.toSeq.drop(2)).toMap
     // every closed (non-sentinel) batch bucket streamed bit-exactly
     val closedV = wantVwap.keySet.filterNot(_._1 == "zzz")
@@ -106,6 +126,11 @@ class StreamingSpec extends SparkSpec {
     }
     wantImb.keySet.filterNot(_._1 == "zzz").foreach { k =>
       assert(gotImb.get(k).contains(wantImb(k)), s"imbalance drift at $k")
+    }
+    val closedS = wantSpr.keySet.filterNot(_._1 == "zzz")
+    assert(closedS.nonEmpty)
+    closedS.foreach { k =>
+      assert(gotSpr.get(k).contains(wantSpr(k)), s"spread drift at $k")
     }
   }
 
