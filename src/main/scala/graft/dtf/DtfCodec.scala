@@ -161,4 +161,38 @@ object DtfCodec {
     import spark.implicits._
     spark.createDataset(decode(path))
   }
+
+  /** [[encode]] for a STREAM of sorted updates: the header's count and
+    * max_ts (offsets 25/33, `file_format.rs:143-152`) aren't known up
+    * front, so they're written as zeros, the batches stream through
+    * [[encodeBatches]]'s bounded buffering, and the two fields are
+    * back-patched by RandomAccessFile at close — an arbitrarily large
+    * book exports in O(batch) memory. Returns (count, maxTs). */
+  def encodeStream(path: String, symbol: String,
+      ups: Iterator[Update]): (Long, Long) = {
+    require(symbol.length <= SymbolLen, s"symbol longer than $SymbolLen")
+    var count = 0L
+    var maxTs = 0L
+    val out = new DataOutputStream(
+      new BufferedOutputStream(new FileOutputStream(path)))
+    try {
+      out.write(Magic)
+      out.write(symbol.padTo(SymbolLen, ' ').getBytes("UTF-8"))
+      out.writeLong(0L) // count: patched below
+      out.writeLong(0L) // max_ts: patched below
+      out.write(new Array[Byte]((MainOffset - 41).toInt)) // pad to 80
+      val counted = ups.map { u =>
+        count += 1
+        if (u.ts > maxTs) maxTs = u.ts
+        u
+      }
+      encodeBatches(out, counted)
+    } finally out.close()
+    val raf = new RandomAccessFile(path, "rw")
+    try {
+      raf.seek(25L); raf.writeLong(count)
+      raf.seek(33L); raf.writeLong(maxTs)
+    } finally raf.close()
+    (count, maxTs)
+  }
 }

@@ -59,6 +59,36 @@ object TickStore {
       col("symbol"), col("ts"), col("seq"), col("is_trade"),
       col("is_bid"), col("price"), col("size"))
 
+  /** MIGRATION bridge, reference → Spark: read an entire tdb
+    * `dtf_folder` through the DSv2 "dtf" source (file-parallel decode,
+    * ts pushdown at the header level) and lay it out as this
+    * partitioned store. The one-call switch path for a reference user:
+    * point it at the live folder, get a store every Spark operator
+    * scans with symbol/day pruning. */
+  def fromDtf(spark: SparkSession, dtfFolder: String, root: String,
+      mode: SaveMode = SaveMode.Append): Unit =
+    write(spark.read.format("dtf").load(dtfFolder), root, mode)
+
+  /** MIGRATION bridge, Spark → reference: export one symbol back to a
+    * reference-readable `.dtf` file (hand a book to a running
+    * tdb-server deployment). The symbol's rows stream to the local
+    * encoder in (ts, seq) order via `toLocalIterator` — one partition
+    * in memory at a time, with [[graft.dtf.DtfCodec.encodeStream]]'s
+    * back-patched header — so a book larger than driver memory still
+    * exports. Prices/sizes narrow to f32, the reference's own storage
+    * width. Returns the exported row count. */
+  def toDtf(spark: SparkSession, root: String, symbol: String,
+      outPath: String): Long = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Encoders
+    val rows = read(spark, root)
+      .where(col("symbol") === symbol)
+      .orderBy("ts", "seq")
+      .as[graft.model.Update](Encoders.product[graft.model.Update])
+      .toLocalIterator().asScala
+    graft.dtf.DtfCodec.encodeStream(outPath, symbol, rows)._1
+  }
+
   /** Symbol + inclusive ms-range scan with BOTH prunings: the symbol
     * equality and the derived day interval are partition-directory
     * predicates (plan-time pruning — `PartitionFilters` in the explain,

@@ -79,6 +79,56 @@ class TickStoreSpec extends SparkSpec {
     assert(daysTouched.size <= 3)
   }
 
+  test("DTF migration bridge: reference folder -> partitioned store -> " +
+      "back to .dtf, bit-exact both ways") {
+    import graft.dtf.DtfCodec
+    import org.apache.spark.sql.functions.col
+    // a reference-style dtf_folder: one sorted .dtf file per book,
+    // written by the engine's own encoder (f32-narrowed, like the
+    // reference stores)
+    val dtfDir = Files.createTempDirectory("graft-dtfdir").toString
+    val bySym = updates.collect()
+      .map(r => graft.model.Update(r.getString(0), r.getLong(1),
+        r.getLong(2), r.getBoolean(3), r.getBoolean(4), r.getDouble(5),
+        r.getDouble(6)))
+      .groupBy(_.symbol)
+    val twoBooks = bySym.view.filterKeys(Set("click", "view")).toMap
+    twoBooks.foreach { case (sym, rows) =>
+      DtfCodec.encode(s"$dtfDir/$sym.dtf", sym,
+        rows.sortBy(u => (u.ts, u.seq)).toSeq)
+    }
+    // forward: folder -> partitioned store
+    val root = Files.createTempDirectory("graft-mig").toString + "/store"
+    TickStore.fromDtf(spark, dtfDir, root, SaveMode.Overwrite)
+    val want = twoBooks.values.flatten.toSeq
+      .map(u => (u.symbol, u.ts, u.seq, u.is_trade, u.is_bid,
+        u.price.toFloat.toDouble, u.size.toFloat.toDouble))
+      .sortBy(t => (t._1, t._2, t._3))
+    val got = TickStore.read(spark, root)
+      .orderBy("symbol", "ts", "seq").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4), r.getDouble(5), r.getDouble(6)))
+      .toSeq
+    assert(got === want, "migrated store differs from the dtf folder")
+    // the store is genuinely partitioned (the migration kept the layout)
+    assert(new java.io.File(root).listFiles()
+      .exists(f => f.isDirectory && f.getName == "symbol=click"))
+    // reverse: one book back to a reference-readable file, header
+    // count/max_ts back-patched
+    val outDtf = s"$dtfDir/roundtrip.dtf"
+    val n = TickStore.toDtf(spark, root, "click", outDtf)
+    val clickWant = want.filter(_._1 == "click")
+    assert(n === clickWant.length.toLong)
+    val meta = DtfCodec.metadata(outDtf)
+    assert(meta.symbol === "click" && meta.count === n &&
+      meta.maxTs === clickWant.map(_._2).max)
+    val back = DtfCodec.decode(outDtf)
+      .map(u => (u.symbol, u.ts, u.seq, u.is_trade, u.is_bid,
+        u.price, u.size))
+    assert(back.map(t => t.copy(_1 = "click")) === clickWant,
+      "exported .dtf does not decode back to the book")
+  }
+
   test("compactPartitioned: layout preserved, data identical, per-file " +
       "ts ranges disjoint within every partition") {
     val root = freshStore()
