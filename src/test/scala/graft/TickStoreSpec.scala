@@ -129,6 +129,37 @@ class TickStoreSpec extends SparkSpec {
       "exported .dtf does not decode back to the book")
   }
 
+  test("property: scan == brute filter on random ranges, day-boundary " +
+      "edges included") {
+    import org.apache.spark.sql.functions.col
+    val root = freshStore()
+    val symbols = Seq("click", "view", "error")
+    val tsMin = 1704067798778L
+    val tsMax = 1706657176220L
+    val rnd = new scala.util.Random(7)
+    val dayMs = TickStore.MsPerDay
+    // random windows plus adversarial ones pinned to exact day
+    // boundaries (first/last ms of a day — where closed-interval day
+    // pruning must not drop rows the ts predicate keeps)
+    val ranges = (0 until 8).map { _ =>
+      val a = tsMin + (rnd.nextDouble() * (tsMax - tsMin)).toLong
+      val b = a + (rnd.nextDouble() * 5 * dayMs).toLong
+      (a, b)
+    } ++ Seq(
+      (TickStore.dayOfMs(tsMin + 3 * dayMs) * dayMs,
+        TickStore.dayOfMs(tsMin + 5 * dayMs) * dayMs - 1), // whole days
+      (TickStore.dayOfMs(tsMax) * dayMs, tsMax),           // last day
+      (tsMin, tsMin))                                      // single ms
+    ranges.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val sym = symbols(i % symbols.length)
+      val got = rows(TickStore.scan(spark, root, sym, lo, hi))
+      val want = rows(updates.where(col("symbol") === sym &&
+        col("ts").between(lo, hi)))
+      assert(got === want, s"range #$i [$lo,$hi] $sym: " +
+        s"${got.length} vs ${want.length} rows")
+    }
+  }
+
   test("compactPartitioned: layout preserved, data identical, per-file " +
       "ts ranges disjoint within every partition") {
     val root = freshStore()
