@@ -757,7 +757,17 @@ object Multimodal {
     * JDK codec for all 256 gray values (verified across v ∈ [0,256) in
     * the spec) — which is what makes the MP4 gate's luma arithmetic
     * SQL-replicable like the AVI gate's. */
-  private[graft] def solidJpeg(v: Int, w: Int, h: Int): Array[Byte] = {
+  // only 256·(w,h) distinct solid frames exist — memoized so a corpus-
+  // sized fixture build pays the JPEG encoder once per gray value, not
+  // once per frame (measured ~2x on the q_mp4_frame_stats gate)
+  private val solidJpegMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Byte]]()
+
+  private[graft] def solidJpeg(v: Int, w: Int, h: Int): Array[Byte] =
+    solidJpegMemo.computeIfAbsent((v, w, h),
+      _ => solidJpegUncached(v, w, h))
+
+  private def solidJpegUncached(v: Int, w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0

@@ -45,12 +45,19 @@ object TickStore {
     * each file so parquet row-group stats stay tight for the residual
     * ts pushdown. */
   def write(updates: DataFrame, root: String,
-      mode: SaveMode = SaveMode.Append): Unit =
+      mode: SaveMode = SaveMode.Append): Unit = {
+    val need = graft.model.Update.schema.fieldNames.toSet
+    val missing = need -- updates.columns.toSet
+    require(missing.isEmpty,
+      s"TickStore.write: input is missing Update columns " +
+        s"${missing.toSeq.sorted.mkString(", ")} " +
+        s"(got: ${updates.columns.mkString(", ")})")
     updates
       .withColumn(DayCol, dayOf(col("ts")))
       .repartition(col("symbol"), col(DayCol))
       .sortWithinPartitions("ts", "seq")
       .write.mode(mode).partitionBy("symbol", DayCol).parquet(root)
+  }
 
   /** The whole store, with the partition columns folded back into the
     * canonical Update column order. */
