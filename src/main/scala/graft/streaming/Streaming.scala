@@ -286,6 +286,61 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Per-symbol realized-volatility state: prevailing trade price, the
+    * open bucket, and its exact integer return accumulators. */
+  case class RvState(lastPrice: Double, bucket: Long, n: Long,
+      sumSq: Long)
+  case class RvBucket(symbol: String, start: Long, n_returns: Long,
+      sum_sq_q: Long, rv: Double)
+
+  /** Realized volatility on a STREAM — the ingest-time twin of
+    * [[graft.operators.Microstructure.realizedVol]] as a per-symbol
+    * ordered fold (the [[streamingVolumeBars]] shape): state is one
+    * (lastPrice, open bucket, n, Σq²) tuple, O(1) per key. A return
+    * belongs to the bucket of its LATER trade and closes the open
+    * bucket when it lands in a newer one — emit-on-advance, so the
+    * in-progress final bucket per symbol stays open (the fold twins'
+    * dropLast stance). Same floor-quantized `ln` arithmetic as the
+    * batch op on the same JVM, so emitted buckets match it bit-exactly
+    * (StreamingSpec). Within a micro-batch rows fold in (ts, seq)
+    * order; across batches in-order arrival per symbol is assumed —
+    * the engine's own append contract. */
+  def streamingRealizedVol(updates: Dataset[Update],
+      seconds: Long = 60): Dataset[RvBucket] = {
+    import updates.sparkSession.implicits._
+    def bucketOf(ts: Long): Long = {
+      val s = CommandParser.fillDigits(ts) / 1000L
+      s / seconds * seconds
+    }
+    def emit(sym: String, st: RvState): RvBucket =
+      RvBucket(sym, st.bucket, st.n, st.sumSq,
+        math.sqrt(st.sumSq.toDouble) / 1e6)
+    def fn(sym: String, rows: Iterator[Update],
+        state: GroupState[RvState]): Iterator[RvBucket] = {
+      var st = state.getOption.orNull
+      val out = Seq.newBuilder[RvBucket]
+      rows.toSeq.filter(u => u.is_trade && u.price > 0.0)
+        .sortBy(u => (u.ts, u.seq)).foreach { u =>
+          val b = bucketOf(u.ts)
+          if (st == null) st = RvState(u.price, b, 0L, 0L)
+          else {
+            val q = math.floor(
+              math.log(u.price / st.lastPrice) * 1e6).toLong
+            if (b != st.bucket) {
+              if (st.n > 0) out += emit(sym, st)
+              st = RvState(st.lastPrice, b, 0L, 0L)
+            }
+            st = RvState(u.price, b, st.n + 1, st.sumSq + q * q)
+          }
+        }
+      if (st != null) state.update(st)
+      out.result().iterator
+    }
+    updates.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Per-source token budgeting on a STREAM of documents — the ingest-time
     * twin of [[graft.ext.Pipeline.tokenBudget]]: per-source state is one
     * running token total (O(1) per key) carried across micro-batches; a

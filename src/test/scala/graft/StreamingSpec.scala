@@ -134,6 +134,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming realized vol: emitted buckets replay the batch op " +
+      "bit-exactly; final open bucket per symbol stays pending") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ups = Tables.updatesDs(spark, sf("sf0.001")).collect()
+      .sortBy(u0 => (u0.ts, u0.seq))
+    val batch = graft.operators.Microstructure
+      .realizedVol(updatesDf(ups.toSeq)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // emit-on-advance: everything except each symbol's last bucket
+    val lastPerSym = batch.keys.groupBy(_._1).view
+      .mapValues(_.map(_._2).max).toMap
+    val wantKeys = batch.keySet
+      .filterNot { case (s0, b) => lastPerSym(s0) == b }
+    val in = MemoryStream[Update]
+    val q = Streaming.streamingRealizedVol(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("srv").start()
+    val (b1, b2) = ups.splitAt(ups.length / 2)
+    in.addData(b1.toSeq: _*); q.processAllAvailable()
+    in.addData(b2.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("srv").as[Streaming.RvBucket].collect()
+      .map(r => (r.symbol, r.start) ->
+        ((r.n_returns, r.sum_sq_q, r.rv))).toMap
+    assert(wantKeys.nonEmpty)
+    assert(got.keySet === wantKeys,
+      s"missing ${(wantKeys -- got.keySet).take(3)}, " +
+        s"extra ${(got.keySet -- wantKeys).take(3)}")
+    wantKeys.foreach { k =>
+      assert(got(k) === batch(k), s"rv drift at $k")
+    }
+  }
+
   test("streaming dedup collapses replayed frames across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
