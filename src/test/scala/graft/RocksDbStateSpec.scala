@@ -389,4 +389,40 @@ class RocksDbStateSpec extends SparkSpec {
         "resynced tail chunks must drop against RocksDB-held state")
     }
   }
+
+  test("streaming realized vol under RocksDB: fold state crosses " +
+      "micro-batches, emitted buckets == batch op") {
+    withRocksDb {
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val ups = Tables.updatesDs(spark, sf("sf0.001")).collect()
+        .sortBy(u0 => (u0.ts, u0.seq))
+      val batch = graft.operators.Microstructure
+        .realizedVol(updatesDf(ups.toSeq)).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+      val lastPerSym = batch.keys.groupBy(_._1).view
+        .mapValues(_.map(_._2).max).toMap
+      val in = MemoryStream[graft.model.Update]
+      val q = Streaming.streamingRealizedVol(in.toDS()).writeStream
+        .outputMode("append").format("memory").queryName("rdbrv").start()
+      // three micro-batches: the per-symbol (lastPrice, bucket) state
+      // must survive in RocksDB between them
+      ups.grouped(math.max(1, ups.length / 3)).foreach { chunk =>
+        in.addData(chunk.toSeq: _*); q.processAllAvailable()
+      }
+      val progress = q.lastProgress.json
+      q.stop()
+      assert(progress.contains("rocksdb"),
+        s"RocksDB provider did not engage:\n$progress")
+      val got = spark.table("rdbrv").as[Streaming.RvBucket].collect()
+        .map(r => (r.symbol, r.start) ->
+          ((r.n_returns, r.sum_sq_q, r.rv))).toMap
+      val wantKeys = batch.keySet
+        .filterNot { case (s0, b) => lastPerSym(s0) == b }
+      assert(got.keySet === wantKeys)
+      wantKeys.foreach(k => assert(got(k) === batch(k), s"drift at $k"))
+    }
+  }
 }
