@@ -182,6 +182,37 @@ object TickQueries {
     Q("q_order_trade_ratio",
       (s, dir) => Microstructure.orderTradeRatio(u(s, dir))
         .orderBy("symbol", "start"),
-      Some(Tables.withUpdates(Microstructure.orderTradeRatioSql())))
+      Some(Tables.withUpdates(Microstructure.orderTradeRatioSql()))),
+
+    // the partitioned tick store itself, oracle-gated: write the
+    // updates table into the symbol=/day= layout (once per session+dir
+    // — the trained-quantizer memo pattern), scan one symbol's range
+    // through BOTH partition prunings, and let DuckDB recompute the
+    // expected rows from the RAW events — a source-of-truth round-trip
+    // of write → layout → prune → scan, not a reread of our own files
+    Q("q_tickstore_scan",
+      (s, dir) => {
+        val root = tickStoreFor(s, dir)
+        graft.sources.TickStore.scan(s, root, "click", RangeLo, RangeHi)
+          .orderBy("ts", "seq")
+      },
+      Some(Tables.withUpdates(
+        s"""SELECT * FROM updates WHERE symbol = 'click'
+           |AND ts BETWEEN $RangeLo AND $RangeHi ORDER BY ts, seq"""
+          .stripMargin.replace('\n', ' '))))
   )
+
+  /** One partitioned store per (session, sf dir), built on first use —
+    * rebuilt only when a fresh JVM runs (java.io.tmpdir scoped). */
+  private val storeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def tickStoreFor(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    storeMemo.computeIfAbsent(dir, { _ =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-tickstore-gate").toString + "/store"
+      graft.sources.TickStore.write(Tables.updates(s, dir), root,
+        org.apache.spark.sql.SaveMode.Overwrite)
+      root
+    })
 }
