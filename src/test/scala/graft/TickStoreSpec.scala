@@ -40,6 +40,18 @@ class TickStoreSpec extends SparkSpec {
       .flatMap(_.listFiles()).filter(_.isDirectory).map(_.getName)
     assert(dayDirs.nonEmpty && dayDirs.forall(_.startsWith("day=")))
     assert(rows(TickStore.read(spark, root)) === rows(updates))
+    // small-file discipline: the (symbol, day) repartition before the
+    // partitioned write means each leaf receives exactly ONE file per
+    // write — without it, every shuffle task writes a sliver into every
+    // partition dir (tasks x partitions files; at 100 TB that is the
+    // difference between one file per symbol-day and millions)
+    val leaves = graft.sources.Compaction
+      .leafDataDirs(new java.io.File(root))
+    assert(leaves.nonEmpty)
+    leaves.foreach { leaf =>
+      val n = leaf.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n === 1, s"$leaf: $n files from a single write")
+    }
   }
 
   test("symbol+range scan prunes partitions at PLAN time and matches " +
