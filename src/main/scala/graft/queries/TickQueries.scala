@@ -199,7 +199,32 @@ object TickQueries {
       Some(Tables.withUpdates(
         s"""SELECT * FROM updates WHERE symbol = 'click'
            |AND ts BETWEEN $RangeLo AND $RangeHi ORDER BY ts, seq"""
-          .stripMargin.replace('\n', ' '))))
+          .stripMargin.replace('\n', ' ')))),
+
+    // storage → operator composition: OHLCV bars computed directly over
+    // the PRUNED store scan (the plan a production query actually runs
+    // — partition pruning feeding the bar aggregation), against the
+    // same-window bars recomputed from raw events
+    Q("q_tickstore_bars",
+      (s, dir) => {
+        val root = tickStoreFor(s, dir)
+        TimeBars.bars(
+          graft.sources.TickStore.scan(s, root, "click", RangeLo, RangeHi))
+          .orderBy("symbol", "start")
+      },
+      Some(Tables.withUpdates(
+        s"""SELECT symbol, start, start AS "end", open, high, low, close,
+           | volume FROM (
+           |SELECT symbol, ((ts // 1000) // 60) * 60 AS start,
+           | first(price ORDER BY ts, seq) AS open,
+           | max(price) AS high, min(price) AS low,
+           | last(price ORDER BY ts, seq) AS close,
+           | CAST(SUM(CAST(size AS DECIMAL(30,4))) AS DOUBLE) AS volume
+           |FROM updates
+           |WHERE symbol = 'click' AND ts BETWEEN $RangeLo AND $RangeHi
+           | AND is_trade GROUP BY 1, 2
+           |QUALIFY start < max(start) OVER (PARTITION BY symbol))
+           |ORDER BY symbol, start""".stripMargin.replace('\n', ' '))))
   )
 
   /** One partitioned store per (session, sf dir), built on first use —
