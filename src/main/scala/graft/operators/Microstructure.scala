@@ -193,6 +193,72 @@ object Microstructure {
        | FROM updates GROUP BY 1, 2)
        |ORDER BY symbol, start""".stripMargin.replace('\n', ' ')
 
+  /** Bucket-local time-weighted average quote price per
+    * (symbol, side, bucket): each level SET (size > 0) prevails from
+    * its own timestamp until the side's next event or the end of its
+    * bucket, whichever is earlier — NO cross-bucket carry-forward (the
+    * continuation-fill op is the carry analog for bars), so the metric
+    * is complete within one bucket and needs no global state.
+    *
+    * Exactness: durations are exact ms longs; prices quantize
+    * round-half-up to integer cents (the 2-decimal data is exact
+    * there, and the spelling is identical in both engines); the
+    * duration·cents products and both sums run in decimal; the final
+    * `twap = (Σ dur·cents / Σ dur) / 100` is two IEEE divisions over
+    * identically-derived doubles. Zero-duration events (superseded in
+    * the same ms, or landing on their bucket's last ms) count in
+    * `n_events` but carry no weight; a bucket whose every event has
+    * zero weight emits null twap. */
+  def twapQuote(updates: DataFrame, seconds: Long = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("symbol"), col("is_bid"))
+      .orderBy(col("ts"), col("seq"))
+    val cents = floor(col("price") * 100d + 0.5d).cast("long")
+    updates.where(!col("is_trade") && col("size") > 0.0d)
+      .select(col("symbol"), col("is_bid"), col("ts"), col("seq"),
+        col("price"))
+      .withColumn("start", bucketed(seconds))
+      .withColumn("dur",
+        greatest(lit(0L),
+          least(coalesce(lead(col("ts"), 1).over(w), lit(Long.MaxValue)),
+            (col("start") + seconds) * 1000L) - col("ts")))
+      .groupBy(col("symbol"), col("is_bid"), col("start"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("dur").cast("decimal(38,0)")).cast("long").as("dur_ms"),
+        // decimal(12,0)x(12,0) -> exact decimal(25,0) product (dur is
+        // <= the bucket width in ms; cents <= 1e12 covers any real
+        // price); a 19x19 product would exceed precision 38 and round
+        sum(col("dur").cast("decimal(12,0)") *
+          cents.cast("decimal(12,0)")).cast("decimal(38,0)").as("_wq"))
+      .select(col("symbol"), col("is_bid"), col("start"),
+        col("n_events"), col("dur_ms"),
+        when(col("dur_ms") =!= 0L,
+          col("_wq").cast("double") / col("dur_ms").cast("double")
+            / 100.0d).as("twap"))
+  }
+
+  def twapQuoteSql(seconds: Long = 60): String =
+    s"""SELECT symbol, is_bid, start, n_events, dur_ms,
+       | CASE WHEN dur_ms <> 0 THEN
+       |  CAST(wq AS DOUBLE) / CAST(dur_ms AS DOUBLE) / 100.0 END AS twap
+       |FROM (
+       | SELECT symbol, is_bid, start, count(*) AS n_events,
+       |  CAST(SUM(CAST(dur AS HUGEINT)) AS BIGINT) AS dur_ms,
+       |  SUM(CAST(dur AS HUGEINT) * CAST(cents AS HUGEINT)) AS wq
+       | FROM (
+       |  SELECT symbol, is_bid, start,
+       |   greatest(0, least(
+       |     coalesce(lead(ts, 1) OVER (PARTITION BY symbol, is_bid
+       |       ORDER BY ts, seq), 9223372036854775807),
+       |     (start + $seconds) * 1000) - ts) AS dur,
+       |   CAST(floor(price * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM (SELECT symbol, is_bid, ts, seq, price,
+       |    ((ts // 1000) // $seconds) * $seconds AS start
+       |   FROM updates WHERE NOT is_trade AND size > 0.0))
+       | GROUP BY 1, 2, 3)
+       |ORDER BY symbol, is_bid, start""".stripMargin.replace('\n', ' ')
+
   def bucketSpreadSql(seconds: Long = 60): String =
     s"""SELECT symbol, start, last_bid, last_ask,
        | last_ask - last_bid AS spread,

@@ -184,6 +184,11 @@ object TickQueries {
         .orderBy("symbol", "start"),
       Some(Tables.withUpdates(Microstructure.orderTradeRatioSql()))),
 
+    Q("q_twap_quote",
+      (s, dir) => Microstructure.twapQuote(u(s, dir))
+        .orderBy("symbol", "is_bid", "start"),
+      Some(Tables.withUpdates(Microstructure.twapQuoteSql()))),
+
     // the partitioned tick store itself, oracle-gated: write the
     // updates table into the symbol=/day= layout (once per session+dir
     // — the trained-quantizer memo pattern), scan one symbol's range

@@ -172,5 +172,28 @@ class BarGoldenSpec extends SparkSpec {
       .orderBy("start").collect()
     assert(ot(0).getLong(2) === 4L && ot(0).getLong(3) === 2L &&
       ot(0).getDouble(4) === 2.0)
+    // twap: bid 9.5 prevails from t=3 to its successor at t=5 (2000 ms),
+    // 9.8 from t=5 to BUCKET END at t=60 (55000 ms — clipped, no carry
+    // into the next bucket); ask 10.5 runs t=4 -> bucket end (56000 ms)
+    val tw = Microstructure.twapQuote(updatesDf(ups))
+      .orderBy("is_bid", "start").collect()
+    val bid0 = tw.find(r => r.getBoolean(1) &&
+      r.getLong(2) === 1500000000L).get
+    assert(bid0.getLong(3) === 2L && bid0.getLong(4) === 57000L)
+    assert(bid0.getDouble(5) ===
+      (2000.0 * 950 + 55000.0 * 980) / 57000.0 / 100.0)
+    val ask0 = tw.find(r => !r.getBoolean(1) &&
+      r.getLong(2) === 1500000000L).get
+    assert(ask0.getLong(3) === 1L && ask0.getLong(4) === 56000L &&
+      ask0.getDouble(5) === 10.5)
+    // an event on its bucket's LAST second still gets clipped weight;
+    // one superseded in the same ms carries none but counts
+    val zed = Seq(
+      u(59, 1, trade = false, bid = true, 5.0, 1.0),
+      u(59, 2, trade = false, bid = true, 6.0, 1.0))
+    val tz = Microstructure.twapQuote(updatesDf(zed)).collect()(0)
+    assert(tz.getLong(3) === 2L && tz.getLong(4) === 1000L &&
+      tz.getDouble(5) === 6.0,
+      "same-ms supersession must zero-weight the first event only")
   }
 }
