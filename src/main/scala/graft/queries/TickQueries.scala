@@ -232,8 +232,11 @@ object TickQueries {
            |ORDER BY symbol, start""".stripMargin.replace('\n', ' '))))
   )
 
-  /** One partitioned store per (session, sf dir), built on first use —
-    * rebuilt only when a fresh JVM runs (java.io.tmpdir scoped). */
+  /** One partitioned store per sf DIR (keyed by dir alone, NOT per
+    * session: a second SparkSession in the same JVM reuses the store the
+    * first one wrote — benign, since the store content is a pure
+    * function of the dir's parquet), built on first use and rebuilt
+    * only when a fresh JVM runs (java.io.tmpdir scoped). */
   private val storeMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def tickStoreFor(s: org.apache.spark.sql.SparkSession,

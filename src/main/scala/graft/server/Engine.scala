@@ -98,17 +98,40 @@ final class Engine(spark: SparkSession, dtfFolder: String,
     spark.createDataset(books.getOrElse(book, mutable.ArrayBuffer.empty).toSeq)
       .toDF()
 
+  /** Root-level parquet files of a book dir — rows from LEGACY flat
+    * flushes (pre-`day=` layout). Spark's partition discovery silently
+    * ignores root-level files once any `day=` subdir exists, so a mixed
+    * dir read naively would DROP every legacy row without an error;
+    * [[fsDf]]/[[fsDfInRange]] union them explicitly instead.
+    * [[compactBook]] migrates them into the `day=` tree for good. */
+  private def legacyFlatFiles(book: String): Array[java.io.File] =
+    Option(new java.io.File(fsPath(book)).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+
   /** One book's on-disk side. Flushes write `day=<epochDay>` partition
     * dirs inside the book dir ([[graft.sources.TickStore]] layout at
     * book granularity); partition discovery re-adds the day column,
     * which is dropped here so the schema stays the 7-column Update
     * shape every consumer expects. Legacy flat dirs (no day subdirs)
-    * read identically — drop of an absent column is a no-op. */
+    * read identically — drop of an absent column is a no-op. A MIXED
+    * dir (root files + day= subdirs, i.e. a legacy book that has been
+    * flushed post-upgrade) reads as the union of the partitioned tree
+    * and the explicitly-listed root files — partition discovery alone
+    * would silently ignore the latter (verified Spark behavior, not a
+    * crash), which would be data loss on every pre-upgrade row. */
   def fsDf(book: String): Option[DataFrame] =
-    if (hasFs(book))
-      Some(spark.read.parquet(fsPath(book))
-        .drop(graft.sources.TickStore.DayCol))
-    else None
+    if (!hasFs(book)) None
+    else {
+      val flat = legacyFlatFiles(book)
+      val df = spark.read.parquet(fsPath(book))
+      Some(
+        if (flat.isEmpty || !df.columns.contains(graft.sources.TickStore.DayCol))
+          df.drop(graft.sources.TickStore.DayCol)
+        else
+          df.drop(graft.sources.TickStore.DayCol).unionByName(
+            spark.read.parquet(flat.map(_.getPath).toIndexedSeq: _*)))
+    }
 
   /** The fs side of a RANGED read, with the ms range mapped onto the
     * `day=` partition dirs (plan-time pruning: only overlapping days
@@ -122,12 +145,21 @@ final class Engine(spark: SparkSession, dtfFolder: String,
     else {
       import graft.sources.TickStore
       val df = spark.read.parquet(fsPath(book))
-      Some(
+      val pruned =
         if (df.columns.contains(TickStore.DayCol))
           df.where(col(TickStore.DayCol).between(
               TickStore.dayOfMs(loMs), TickStore.dayOfMs(hiMs)))
             .drop(TickStore.DayCol)
-        else df)
+        else df
+      // mixed-layout legacy rows (see fsDf): no day pruning available
+      // for root-level files — the caller's exact ts predicate still
+      // filters them, so correctness is unaffected; compactBook
+      // migration restores pruning
+      val flat = legacyFlatFiles(book)
+      Some(
+        if (flat.isEmpty || !df.columns.contains(TickStore.DayCol)) pruned
+        else pruned.unionByName(
+          spark.read.parquet(flat.map(_.getPath).toIndexedSeq: _*)))
     }
 
   /** mem ++ fs view of one book (J1, `state.rs:639-656`) — re-sorted by
@@ -374,9 +406,18 @@ final class Engine(spark: SparkSession, dtfFolder: String,
     if (!hasFs(book)) (0, 0)
     else if (!compactingBooks.add(book)) (0, 0)
     else
-      try graft.sources.Compaction.compactPartitioned(spark, fsPath(book),
-        targetBytes, swapLock = swapGate.writeLock())
-      finally compactingBooks.remove(book)
+      try {
+        // legacy flat files first: fold pre-`day=` rows into the
+        // partition tree (fsDf reads a mixed dir correctly via explicit
+        // union, but only migration restores plan-time day pruning and
+        // removes the silent-ignore trap for external readers); the
+        // per-leaf compaction right after restores the disjoint
+        // per-file ts-range contract migration may dent
+        graft.sources.Compaction.migrateFlatToPartitioned(spark,
+          fsPath(book), swapLock = swapGate.writeLock())
+        graft.sources.Compaction.compactPartitioned(spark, fsPath(book),
+          targetBytes, swapLock = swapGate.writeLock())
+      } finally compactingBooks.remove(book)
 
   /** A [[MetricsRecorder]] for this engine (T7 — the influx plugin's
     * history recorder). Not started — call `.start(intervalSecs)` for
@@ -408,9 +449,13 @@ final class Engine(spark: SparkSession, dtfFolder: String,
         else Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
       walk(new java.io.File(fsPath(book)))
     }
+    // skip compaction/migration staging siblings ('book=X.stage_*',
+    // '*.compact', '*.old', '*.migrate') — a sweep concurrent with a
+    // rewrite must not report phantom books
     val fsBooks = Option(new java.io.File(dtfFolder).listFiles())
       .getOrElse(Array.empty).toSeq
-      .filter(d => d.isDirectory && d.getName.startsWith("book="))
+      .filter(d => d.isDirectory && d.getName.startsWith("book=") &&
+        !graft.sources.Compaction.isStagingName(d.getName))
       .map(_.getName.stripPrefix("book="))
     (memSizes.keys.toSeq ++ fsBooks).distinct.sorted.map { b =>
       (b, diskBytes(b), memSizes.getOrElse(b, 0L))

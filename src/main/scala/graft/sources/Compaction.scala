@@ -102,7 +102,80 @@ object Compaction {
 
   private def isStaging(d: java.io.File): Boolean =
     d.getName.endsWith(".compact") || d.getName.endsWith(".old") ||
-      d.getName == "_temporary"
+      d.getName.endsWith(".migrate") || d.getName == "_temporary"
+
+  /** Names [[compact]]/[[compactPartitioned]]/[[migrateFlatToPartitioned]]
+    * may create as SIBLINGS of a store/book dir — directory listings that
+    * enumerate books (metrics sweeps, folder walks) must skip these or a
+    * sweep concurrent with a rewrite reports phantom books. */
+  def isStagingName(name: String): Boolean =
+    name.contains(".stage_") || name.endsWith(".compact") ||
+      name.endsWith(".old") || name.endsWith(".migrate") ||
+      name == "_temporary"
+
+  /** Migrate LEGACY root-level parquet files of `root` (flat flushes
+    * written before the `day=` layout existed) into the `day=<epochDay>`
+    * partition tree. A mixed dir is a data-loss trap for naive readers:
+    * Spark's partition discovery silently ignores root-level files once
+    * any `day=` subdir exists. The Engine reads such dirs correctly by
+    * unioning root files explicitly, but only migration restores
+    * plan-time day pruning and removes the trap for external readers.
+    *
+    * Same pinning/staging/swap discipline as [[compact]]: the pinned
+    * root file set is rewritten (day-partitioned, sorted by ts,seq)
+    * into `root + ".migrate"` OUTSIDE the lock; the per-file rename
+    * swap (park originals in `root + ".old"`, move staged files into
+    * their `day=` dirs — which may already exist and keep their files)
+    * holds `swapLock`. Migrated files can overlap existing files' ts
+    * ranges within a day — callers wanting the disjoint-range pruning
+    * contract should run [[compactPartitioned]] right after, as
+    * `Engine.compactBook` does. Returns the number of files migrated. */
+  def migrateFlatToPartitioned(spark: SparkSession, root: String,
+      swapLock: java.util.concurrent.locks.Lock =
+        new java.util.concurrent.locks.ReentrantLock()): Int = {
+    val rootF = new java.io.File(root)
+    val pinned = Option(rootF.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    if (pinned.isEmpty) return 0
+    val tmp = new java.io.File(root + ".migrate")
+    spark.read.parquet(pinned.map(_.getPath).toIndexedSeq: _*)
+      .withColumn(TickStore.DayCol, TickStore.dayOf(col("ts")))
+      .repartition(col(TickStore.DayCol))
+      .sortWithinPartitions("ts", "seq")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(TickStore.DayCol).parquet(tmp.getPath)
+    val old = new java.io.File(root + ".old")
+    swapLock.lock()
+    try {
+      old.mkdirs()
+      pinned.foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(old, f.getName).toPath)
+      }
+      // stale flat-write sidecars (_SUCCESS, .crc) serve nothing once
+      // their data files are parked — drop them so the root is clean
+      Option(rootF.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile &&
+          (f.getName == "_SUCCESS" || f.getName.endsWith(".crc")))
+        .foreach(_.delete())
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory &&
+          d.getName.startsWith(TickStore.DayCol + "="))
+        .foreach { dayDir =>
+          val dest = new java.io.File(rootF, dayDir.getName)
+          dest.mkdirs()
+          Option(dayDir.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            .foreach { f =>
+              java.nio.file.Files.move(f.toPath,
+                new java.io.File(dest, f.getName).toPath)
+            }
+        }
+    } finally swapLock.unlock()
+    deleteRecursively(tmp)
+    deleteRecursively(old)
+    pinned.length
+  }
 
   /** Leaf data directories of a (possibly Hive-partitioned) store:
     * every directory under `root` (root included) that directly

@@ -216,4 +216,69 @@ class EngineSpec extends SparkSpec {
     assert(!bookDir.getParentFile.listFiles().exists(f =>
       f.getName.contains(".stage_")), "staging residue left behind")
   }
+
+  test("mixed flat/day= layout: legacy rows survive post-upgrade " +
+      "flushes and compactBook migrates them (ADVICE r10 high)") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-legacy").toString
+    val e = new Engine(spark, dir)
+    // emulate the PRE-day= flush path: flat parquet at the book root
+    val legacy = (0 until 6).map(i =>
+      graft.model.Update("leg", 1505177459000L + i * 1000, i.toLong,
+        is_trade = true, is_bid = false, 1.0 + i, 2.0))
+    spark.createDataset(legacy)(
+        org.apache.spark.sql.Encoders.product[graft.model.Update])
+      .toDF().write.mode("append").parquet(s"$dir/book=leg")
+    // pure-flat dirs read as before
+    e.execute(CommandParser.parse("CREATE leg"))
+    e.execute(CommandParser.parse("USE leg"))
+    assert(e.execute(CommandParser.parse("COUNT")) === e.Text("6"))
+    // post-upgrade flush creates day= dirs next to the flat files; the
+    // union read must keep BOTH (naive partition discovery would
+    // silently drop all 6 legacy rows)
+    e.execute(CommandParser.parse(
+      "ADD 1505177470.000, 100, t, f, 9.0, 1.0;"))
+    e.execute(CommandParser.parse(
+      "ADD 1505263870.000, 101, t, f, 9.5, 1.0;")) // next day
+    e.execute(CommandParser.parse("FLUSH"))
+    val bookDir = new java.io.File(s"$dir/book=leg")
+    assert(bookDir.listFiles().exists(f =>
+      f.isFile && f.getName.endsWith(".parquet")), "flat files gone")
+    assert(bookDir.listFiles().exists(f =>
+      f.isDirectory && f.getName.startsWith("day=")), "no day= dirs")
+    assert(e.execute(CommandParser.parse("COUNT")) === e.Text("8"))
+    // ranged GET over the legacy span (fsDfInRange union path)
+    e.execute(CommandParser.parse("GET ALL FROM 1505177459 TO 1505177465 AS CSV")) match {
+      case e.Frame(df, _, _) => assert(df.count() === 6)
+      case other => fail(s"unexpected: $other")
+    }
+    // compactBook migrates the flat files into the day= tree for good
+    e.compactBook("leg")
+    assert(!bookDir.listFiles().exists(f =>
+      f.isFile && f.getName.endsWith(".parquet")),
+      "flat files not migrated")
+    assert(e.execute(CommandParser.parse("COUNT")) === e.Text("8"))
+    assert(e.bookDf("leg").where(col("ts") < 1505177470000L).count() === 6)
+    // no staging residue ('book=leg.migrate'/'.old'/'.stage_*')
+    assert(!new java.io.File(dir).listFiles().exists(f =>
+      graft.sources.Compaction.isStagingName(f.getName)),
+      "migration staging residue left behind")
+  }
+
+  test("metrics sweep skips compaction/migration staging dirs " +
+      "(ADVICE r10 low)") {
+    val dir = Files.createTempDirectory("graft-phantom").toString
+    val e = new Engine(spark, dir)
+    e.execute(CommandParser.parse("CREATE real"))
+    e.execute(CommandParser.parse("USE real"))
+    e.execute(CommandParser.parse("ADD 1505177459.658, 1, t, f, 1.0, 2.0;"))
+    e.execute(CommandParser.parse("FLUSH"))
+    // phantom staging siblings a concurrent rewrite would leave
+    for (n <- Seq("book=real.stage_day=2.compact", "book=real.stage_day=2.old",
+        "book=real.migrate", "book=real.old"))
+      new java.io.File(dir, n).mkdirs()
+    // 'default' is the session mem book; no phantom staging names
+    val names = e.bookSizes().map(_._1)
+    assert(names === Seq("default", "real"), names.mkString(", "))
+  }
 }
