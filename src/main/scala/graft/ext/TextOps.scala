@@ -431,24 +431,151 @@ object TextOps {
     * identically across engines).
     *
     * Scale shape: scoring is the [[bigramLogProb]] plan (model joins +
-    * one per-doc agg). The tercile window is one ordered pass per
-    * language — a key-bounded shuffle like the per-symbol folds, but the
-    * heaviest language can dominate (English is ~half a web crawl); at
-    * that scale CCNet itself switches to SAMPLED thresholds — train
-    * cut-points on a sample, then bucket map-side by comparing to the
-    * broadcast boundary keys (the exact serving shape of the streaming
-    * twin, which replays batch buckets bit-exactly from the boundary
-    * (avg_logprob, doc_id) pairs). */
+    * one per-doc agg). The cut itself never sorts a whole language in
+    * one task (the heaviest language is ~half a web crawl — the named
+    * scale-killer): [[pplBoundaryKeys]] finds the two per-language
+    * boundary KEYS — the last head and last middle (avg_logprob,
+    * doc_id) pairs of the ntile order — by distributed bucketed-rank
+    * order statistics (the [[graft.operators.HistogramOps]] two-pass
+    * shape) above [[PplWindowMaxRows]] rows, and every document then
+    * buckets map-side by comparing its ordering key to the broadcast
+    * boundaries — the exact serving shape of the streaming twin, which
+    * replays batch buckets bit-exactly from the same boundary pairs.
+    * Rank-selection is bit-equal to the ntile window (total order,
+    * unique doc_id tiebreak), so the dispatch is invisible to results. */
   def pplBuckets(docs: DataFrame, lambda: Double = 0.9): DataFrame = {
+    val scored = graft.functions.checkpointed(
+      bigramLogProb(docs, lambda)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id"))
+    assignPplBuckets(scored, pplBoundaryKeys(scored))
+  }
+
+  /** Per-doc scored inputs at or below this row count cut terciles with
+    * the single ordered window pass per language (cheaper below ~10M
+    * rows, same rationale as
+    * [[graft.operators.HistogramOps.PctWindowMaxRows]]); above it, the
+    * bucketed-rank boundary plan — both bit-identical
+    * (OperatorPropertySpec). */
+  val PplWindowMaxRows: Long = 10_000_000L
+
+  /** Per-language tercile boundary keys of a scored corpus
+    * (`doc_id, lang, avg_logprob` required): one bounded row per
+    * language, `(h_lp, h_id)` = last head key and `(m_lp, m_id)` = last
+    * middle key (null when the language has no middle rows, n == 1) in
+    * the (avg_logprob DESC, doc_id ASC) ntile order. Materialized to a
+    * LocalRelation (bounded by language cardinality) so downstream
+    * bucket assignment joins by broadcast. Callers pass a checkpointed
+    * `scored` — the count and the chosen plan's passes then re-read the
+    * materialized snapshot instead of re-scoring the corpus. */
+  private[graft] def pplBoundaryKeys(scored: DataFrame): DataFrame =
+    graft.functions.localRelation(
+      if (scored.count() <= PplWindowMaxRows) pplBoundaryWindowPlan(scored)
+      else pplBoundaryBucketedPlan(scored))
+
+  /** Single-pass boundary plan: the ntile window itself, aggregated to
+    * the per-bucket max ordering key. Right below [[PplWindowMaxRows]],
+    * where one sorted pass per language beats the bucketed plan's extra
+    * stages. */
+  private[graft] def pplBoundaryWindowPlan(scored: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("avg_logprob").desc, col("doc_id"))
-    bigramLogProb(docs, lambda)
-      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-      .withColumn("nt", ntile(3).over(w))
+    val bnd = (nt: Int, p: String) => max(when(col("nt") === nt,
+      struct((-col("avg_logprob")).as("nlp"), col("doc_id").as("id"))))
+      .as(p)
+    scored.withColumn("nt", ntile(3).over(w))
+      .groupBy("lang").agg(bnd(1, "hb"), bnd(2, "mb"))
+      .select(col("lang"),
+        (-col("hb.nlp")).as("h_lp"), col("hb.id").as("h_id"),
+        (-col("mb.nlp")).as("m_lp"), col("mb.id").as("m_id"))
+  }
+
+  /** DISTRIBUTED boundary plan (two-pass bucketed rank over the
+    * composite key, the [[graft.operators.HistogramOps]] order-statistics
+    * shape): no per-language full sort, so one dominant language never
+    * funnels its whole corpus through a single task.
+    *
+    *  1. per-language (min, max, count) of `v = -avg_logprob` (ASC order
+    *     ≡ the ntile's avg_logprob DESC); the counts give the exact
+    *     ntile(3) bucket sizes — `q = n div 3`, head `q + (n mod 3 ≥ 1)`,
+    *     middle `q + (n mod 3 ≥ 2)` — hence the two 0-based target ranks;
+    *  2. equi-width bucket counts over [min,max] + an exclusive prefix
+    *     sum over the TINY per-language bucket table (≤
+    *     [[graft.operators.HistogramOps.PctBuckets]] rows/language)
+    *     locate the bucket holding each target rank;
+    *  3. only rows inside located buckets (expected n/B per bucket) get
+    *     a local `row_number` ordered by (v, doc_id).
+    *
+    * Bit-parity with the ntile cut: `floor((v-min)/width)` is monotone
+    * in v, equal v always share a bucket, and the within-bucket order
+    * carries the doc_id tiebreak — bucket-local ranks compose to the
+    * exact global rank of the total (avg_logprob DESC, doc_id) order. */
+  private[graft] def pplBoundaryBucketedPlan(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = graft.operators.HistogramOps.PctBuckets
+    val base = scored.select(col("lang"), (-col("avg_logprob")).as("_v"),
+      col("doc_id").as("_id"))
+    val stats = base.groupBy("lang").agg(
+      min(col("_v")).as("_mn"), max(col("_v")).as("_mx"),
+      count(lit(1)).as("_n"))
+    val qn = floor(col("_n") / 3L).cast("long")
+    val rem = col("_n") - qn * 3L
+    val hSize = qn + when(rem >= 1L, 1L).otherwise(0L)
+    val mSize = qn + when(rem >= 2L, 1L).otherwise(0L)
+    val targets = stats.select(col("lang"), explode(array(
+        struct((hSize - 1L).cast("long").as("_tr"), lit("h").as("_tag")),
+        struct(when(mSize > 0L, hSize + mSize - 1L).cast("long").as("_tr"),
+          lit("m").as("_tag")))).as("_t"))
+      .select(col("lang"), col("_t._tr").as("_tr"), col("_t._tag").as("_tag"))
+      .where(col("_tr").isNotNull)
+    val bucketed = base.join(stats.select("lang", "_mn", "_mx"), "lang")
+      .withColumn("_w", (col("_mx") - col("_mn")) / B)
+      .withColumn("_b",
+        when(col("_w") > 0.0,
+          least(floor((col("_v") - col("_mn")) / col("_w")),
+            lit((B - 1).toDouble)))
+          .otherwise(0.0).cast("long"))
+      .select("lang", "_v", "_id", "_b")
+    val bcounts = bucketed.groupBy("lang", "_b").agg(count(lit(1)).as("_c"))
+    val wcum = Window.partitionBy("lang").orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = bcounts.withColumn("_base",
+      coalesce(sum(col("_c")).over(wcum), lit(0L)))
+    val located = targets.join(cum, "lang")
+      .where(col("_tr") >= col("_base") &&
+        col("_tr") < col("_base") + col("_c"))
+    val needed = located.select("lang", "_b", "_base").distinct()
+    val wloc = Window.partitionBy("lang", "_b").orderBy("_v", "_id")
+    val ranked = bucketed.join(needed, Seq("lang", "_b"))
+      .withColumn("_r", row_number().over(wloc) - 1 + col("_base"))
+    ranked.join(targets, "lang").where(col("_r") === col("_tr"))
+      .groupBy("lang").agg(
+        max(when(col("_tag") === "h",
+          struct(col("_v"), col("_id")))).as("hb"),
+        max(when(col("_tag") === "m",
+          struct(col("_v"), col("_id")))).as("mb"))
+      .select(col("lang"),
+        (-col("hb._v")).as("h_lp"), col("hb._id").as("h_id"),
+        (-col("mb._v")).as("m_lp"), col("mb._id").as("m_id"))
+  }
+
+  /** Map-side bucket assignment from broadcast boundary keys — a doc is
+    * `head` iff its (avg_logprob DESC, doc_id) ordering key is at or
+    * before the last-head boundary, `middle` iff at or before the
+    * last-middle one: exactly the comparison
+    * [[graft.streaming.Streaming.streamingPplBucket]] serves with, so
+    * batch and stream buckets agree bit-for-bit by construction. */
+  private[graft] def assignPplBuckets(scored: DataFrame,
+      bounds: DataFrame): DataFrame = {
+    def before(bLp: Column, bId: Column): Column =
+      col("avg_logprob") > bLp ||
+        (col("avg_logprob") === bLp && col("doc_id") <= bId)
+    scored.join(broadcast(bounds), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("n_bigrams"),
         col("avg_logprob"),
-        when(col("nt") === 1, "head").when(col("nt") === 2, "middle")
+        when(before(col("h_lp"), col("h_id")), "head")
+          .when(col("m_lp").isNotNull && before(col("m_lp"), col("m_id")),
+            "middle")
           .otherwise("tail").as("bucket"))
   }
 

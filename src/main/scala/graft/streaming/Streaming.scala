@@ -1649,25 +1649,17 @@ object Streaming {
 
   def pplBoundsOf(docs: DataFrame, lambda: Double = 0.9,
       targetRows: Long = 2000000L): PplBoundsRef = {
-    import org.apache.spark.sql.expressions.Window
     val lm = lmModelRefOf(docs, lambda, targetRows)
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("avg_logprob").desc, col("doc_id"))
-    val bucketed = lmScoresOf(docs, lm)
-      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-      .withColumn("nt", ntile(3).over(w))
-      .withColumn("bucket", when(col("nt") === 1, "head")
-        .when(col("nt") === 2, "middle").otherwise("tail"))
-    val bnd = (b: String, p: String) => max(when(col("bucket") === b,
-      struct((-col("avg_logprob")).as("nlp"), col("doc_id").as("id"))))
-      .as(p)
-    val bounds = bucketed
-      .groupBy("lang").agg(bnd("head", "hb"), bnd("middle", "mb"))
-      .select(col("lang"),
-        (-col("hb.nlp")).as("h_lp"), col("hb.id").as("h_id"),
-        (-col("mb.nlp")).as("m_lp"), col("mb.id").as("m_id"))
-      .transform(graft.functions.checkpointed)
-    PplBoundsRef(bounds, lm)
+    // boundary keys via the adaptive rank machinery shared with the
+    // batch cut (TextOps.pplBoundaryKeys): below PplWindowMaxRows the
+    // single ntile pass, above it the distributed bucketed-rank plan —
+    // training a boundary set on a web-scale corpus must not sort its
+    // dominant language in one task any more than the batch op may.
+    // Output is already a bounded LocalRelation, broadcast at serve time.
+    val scored = graft.functions.checkpointed(
+      lmScoresOf(docs, lm)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id"))
+    PplBoundsRef(graft.ext.TextOps.pplBoundaryKeys(scored), lm)
   }
 
   /** CCNet perplexity bucketing of a DOCUMENT STREAM: score each

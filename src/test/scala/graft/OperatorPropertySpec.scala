@@ -352,6 +352,50 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("ppl tercile boundary plans == scalar ntile replay (both " +
+      "dispatch arms, tie-heavy scores)") {
+    // the bucketed-rank boundary plan (the >PplWindowMaxRows arm) and
+    // the ntile window plan must select identical boundary keys, and
+    // compare-to-boundary assignment must replay the ntile cut exactly —
+    // including ties on avg_logprob (broken by doc_id) and languages
+    // with n < 3 (empty middle/tail terciles)
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for (_ <- 0 until 6) {
+      val langs = Seq("en", "de", "fr", "solo").take(1 + rnd.nextInt(4))
+      val n = 1 + rnd.nextInt(50)
+      val rows = (0 until n).map { i =>
+        val lp =
+          if (rnd.nextBoolean()) -(1 + rnd.nextInt(4)).toDouble // ties
+          else -rnd.nextDouble() * 5.0
+        (i.toLong, langs(rnd.nextInt(langs.size)),
+          1L + rnd.nextInt(9), lp)
+      }
+      val scored = rows.toDF("doc_id", "lang", "n_bigrams", "avg_logprob")
+      // scalar ntile(3) replay: sort (avg desc, id asc), cut by the
+      // exact ntile bucket sizes q+(rem>=1), q+(rem>=2), q
+      val want = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        val sorted = rs.sortBy(r => (-r._4, r._1))
+        val q = sorted.size / 3; val rem = sorted.size % 3
+        val s1 = q + (if (rem >= 1) 1 else 0)
+        val s2 = q + (if (rem >= 2) 1 else 0)
+        sorted.zipWithIndex.map { case (r, idx) =>
+          r._1 -> (if (idx < s1) "head"
+            else if (idx < s1 + s2) "middle" else "tail")
+        }
+      }.toMap
+      val asMap = (df: org.apache.spark.sql.DataFrame) =>
+        df.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      val wPlan = asMap(TextOps.pplBoundaryWindowPlan(scored))
+      val bPlan = asMap(TextOps.pplBoundaryBucketedPlan(scored))
+      assert(bPlan === wPlan, s"boundary keys diverge on $rows")
+      val got = TextOps.assignPplBuckets(scored,
+          TextOps.pplBoundaryBucketedPlan(scored))
+        .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+      assert(got === want, s"bucket assignment diverges on $rows")
+    }
+  }
+
   test("tokenCount == whitespace-split length on arbitrary text") {
     import spark.implicits._
     val texts = Seq("", "  ", "a", "a b  c", " lead", "trail ",

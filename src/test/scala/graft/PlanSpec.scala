@@ -88,6 +88,41 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ppl boundary cut uses bucketed rank — no per-language score " +
+      "sort, no ntile (VERDICT r10 #1)") {
+    // the >PplWindowMaxRows dispatch arm: the dominant language of a web
+    // corpus must never sort its whole score column in one task. The
+    // only windows allowed are (a) the per-(lang,_b) local rank inside
+    // located buckets and (b) the <=PctBuckets-row bucket-table prefix
+    // sum (partitioned by lang but ordered by the bucket ID, never by
+    // the score).
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions._
+    val scored = spark.range(1000).select(
+      col("id").as("doc_id"),
+      when(col("id") % 10 < 9, "en").otherwise("rest").as("lang"),
+      lit(5L).as("n_bigrams"),
+      (-(col("id") % 97).cast("double") / 7.0).as("avg_logprob"))
+    val df = graft.ext.TextOps.pplBoundaryBucketedPlan(scored)
+    def windows(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[WindowExec] = p.collect {
+      case w: WindowExec => Seq(w)
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+    }.flatten
+    val ws = windows(df.queryExecution.executedPlan)
+    assert(ws.nonEmpty, "expected window nodes in the boundary plan")
+    ws.foreach { w =>
+      val sortsScore = w.orderSpec.exists(_.child.toString.contains("_v"))
+      assert(!(w.partitionSpec.length == 1 && sortsScore),
+        s"per-language score-sort funnel: partition=${w.partitionSpec} " +
+          s"order=${w.orderSpec}")
+      assert(w.windowExpression.forall(
+        !_.toString.toLowerCase.contains("ntile")),
+        s"ntile survived in the bucketed boundary plan: $w")
+    }
+  }
+
   test("as-of join is one pass: a single symbol exchange, no point-lookup join") {
     // the naive as-of shape is a per-trade range join (quadratic); ours
     // must be one window pass — exactly one shuffle (hashpartitioning on

@@ -426,4 +426,65 @@ class ScaleProbeSpec extends SparkSpec {
     assert(tRemS <= math.max(tRemB, 1.0) * Copies * 3,
       f"dupSpansRemoved wall superlinear: $tRemB%.1fs -> $tRemS%.1fs")
   }
+
+  test("ppl tercile cut: per-task input stays bounded on a " +
+      "90%-one-language corpus at 10x (VERDICT r10 #1)") {
+    // the scale-killer the bucketed boundary plan retires: ntile OVER
+    // (PARTITION BY lang ...) sorts the dominant language (~90% of a
+    // real crawl) in ONE task. The bucketed plan's only per-row window
+    // runs inside (lang, equi-width score bucket) groups — so the probe
+    // measures exactly that group occupancy on a 10x corpus whose
+    // language column is 90% 'en', using REAL sf0.1 score values
+    // (replicated scores are tie-heavy — the hard case for equi-width
+    // bucketing) rather than synthetic uniforms.
+    import graft.operators.HistogramOps
+    val B = HistogramOps.PctBuckets
+    val n = Tables.parquetRowCount(s"$sfDir/documents.parquet")
+    val baseScores = TextOps.bigramLogProb(
+        Tables.table(spark, sfDir, "documents").select("doc_id", "text"))
+      .select("doc_id", "avg_logprob")
+    val scored = baseScores
+      .select(col("doc_id"), col("avg_logprob"),
+        explode(sequence(lit(0), lit(Copies - 1))).as("copy"))
+      .select((col("doc_id") + col("copy") * n).as("doc_id"),
+        lit(5L).as("n_bigrams"), col("avg_logprob"),
+        when(col("doc_id") % 10 < 9, "en")
+          .otherwise(concat(lit("l"), (col("doc_id") % 10).cast("string")))
+          .as("lang"))
+      .localCheckpoint(true)
+    val nEn = scored.where(col("lang") === "en").count()
+    // occupancy of the plan's OWN bucketing formula: the per-task input
+    // of the local-rank window is one (lang, _b) group
+    val occ = scored
+      .select(col("lang"), (-col("avg_logprob")).as("_v"))
+      .groupBy("lang").agg(min(col("_v")).as("_mn"), max(col("_v")).as("_mx"))
+      .join(scored.select(col("lang"), (-col("avg_logprob")).as("_v")),
+        "lang")
+      .withColumn("_w", (col("_mx") - col("_mn")) / B)
+      .withColumn("_b",
+        when(col("_w") > 0.0,
+          least(floor((col("_v") - col("_mn")) / col("_w")),
+            lit((B - 1).toDouble)))
+          .otherwise(0.0).cast("long"))
+      .groupBy("lang", "_b").agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("m")).head.getLong(0)
+    info(f"n=en rows: $nEn%,d; max (lang,bucket) occupancy: $occ%,d " +
+      f"(ntile funnel would be $nEn%,d in one task)")
+    // bounded: a loose 50x of the ideal nEn/B absorbs real score
+    // clustering (log-probs bunch near the corpus mode) and the 10x tie
+    // multiplicity (measured: ~36x ideal on this corpus); the primary
+    // claim is the 2 order-of-magnitude gap to the funnel, asserted
+    // directly as nEn/50
+    assert(occ <= math.max(nEn / B, 1L) * 50 + Copies,
+      f"located-bucket occupancy superlinear: $occ%,d vs ideal ${nEn / B}%,d")
+    assert(occ <= nEn / 50,
+      f"occupancy $occ%,d not far below the $nEn%,d-row funnel")
+    // and the cut itself stays bit-exact under this skew: bucketed
+    // boundaries == ntile boundaries on the full 10x corpus
+    val asMap = (df: DataFrame) =>
+      df.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(asMap(TextOps.pplBoundaryBucketedPlan(scored)) ===
+      asMap(TextOps.pplBoundaryWindowPlan(scored)),
+      "boundary keys diverge under 90%-one-language skew")
+  }
 }
