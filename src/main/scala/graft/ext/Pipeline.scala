@@ -984,21 +984,76 @@ object Pipeline {
     * allocation exceeds one epoch (`alloc ≥ n_tokens`) keep every
     * document (the repeat copies beyond epoch 1 are [[mixtureSample]]'s
     * job — selection here, multiplicity there). The allocation table is
-    * language-bounded → broadcast; the selection window is the same
-    * key-bounded per-lang pass as [[tokenBudget]]'s per-source one. */
+    * language-bounded → broadcast. The selection cumsum dispatches on
+    * size: one ordered window per language below [[LangWindowMaxRows]],
+    * the [[saltedCumTokens]] exact two-stage prefix sum above it — the
+    * per-lang window would otherwise funnel the dominant language of a
+    * real corpus through a single task ([[tokenBudget]]/[[sourceCap]]
+    * key on `source`, whose thousands-plus cardinality parallelizes the
+    * same window shape naturally). */
   def unimaxApply(docs: DataFrame, maxEpochs: Int = 2,
       budgetNum: Int = 3, budgetDen: Int = 2): DataFrame = {
     val alloc = unimaxAlloc(docs, maxEpochs, budgetNum, budgetDen)
       .select(col("lang"), col("alloc"))
-    val w = Window.partitionBy("lang").orderBy(sourceOrder: _*)
-    docs
-      .select(col("doc_id"), col("lang"),
-        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    val base = docs.select(col("doc_id"), col("lang"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val cum =
+      if (docs.count() <= LangWindowMaxRows) {
+        val w = Window.partitionBy("lang").orderBy(sourceOrder: _*)
+        base.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      } else saltedCumTokens(graft.functions.checkpointed(base), "lang")
+    cum
       .join(broadcast(alloc), "lang")
       .where(col("cum_tokens") <= col("alloc"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("cum_tokens"))
+  }
+
+  /** Inputs at or below this row count run the selection cumsum as one
+    * ordered window per language (cheapest below ~10M rows); above it,
+    * [[saltedCumTokens]] — bit-identical by integer exactness
+    * (OperatorPropertySpec), so the dispatch is invisible to results.
+    * Same adaptive-by-statistics stance as
+    * [[graft.operators.HistogramOps.PctWindowMaxRows]]. */
+  val LangWindowMaxRows: Long = 10_000_000L
+
+  /** EXACT distributed prefix sum of `n_tokens` over the deterministic
+    * md5 document order within `key` — the scale path for cumsum
+    * selection keyed on a SKEWED column (`lang`: one language is ~half
+    * of any real crawl, so `sum() OVER (PARTITION BY lang ORDER BY md5
+    * ...)` funnels that language through one task).
+    *
+    * Two stages, both bounded:
+    *  1. salt = the md5 key's first two hex chars — 256 RANGE buckets,
+    *     monotone in the (md5, doc_id) order because the salt is a
+    *     prefix of the fixed-width sort key itself; the local cumsum
+    *     windows (key, salt) groups of ~n/256 rows;
+    *  2. per-(key, salt) token totals (a tiny ≤ 256·|keys| table) get an
+    *     exclusive prefix sum over salt per key, and the offsets join
+    *     back by broadcast: `cum = local + offset`.
+    *
+    * Because the summand is an exact integer, partial sums compose
+    * associatively with no rounding — the salted result is bit-equal to
+    * the single-window cumsum by construction (the float bars can NOT be
+    * stitched this way, which is why they stay per-symbol folds). */
+  private[graft] def saltedCumTokens(base: DataFrame,
+      key: String): DataFrame = {
+    val salted = base
+      .withColumn("_m", md5(col("doc_id").cast("string")))
+      .withColumn("_salt", substring(col("_m"), 1, 2))
+    val wLoc = Window.partitionBy(col(key), col("_salt"))
+      .orderBy(col("_m"), col("doc_id"))
+    val offs = salted.groupBy(col(key), col("_salt"))
+      .agg(sum(col("n_tokens")).as("_t"))
+      .withColumn("_off", coalesce(
+        sum(col("_t")).over(Window.partitionBy(key).orderBy("_salt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(key), col("_salt"), col("_off"))
+    salted
+      .withColumn("_lc", sum(col("n_tokens")).over(wLoc))
+      .join(broadcast(offs), Seq(key, "_salt"))
+      .withColumn("cum_tokens", col("_lc") + col("_off"))
+      .drop("_m", "_salt", "_lc")
   }
 
   def unimaxApplySql(maxEpochs: Int = 2, budgetNum: Int = 3,

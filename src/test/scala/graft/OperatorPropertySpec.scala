@@ -396,6 +396,37 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("salted two-stage prefix sum == single-window cumsum over the " +
+      "md5 doc order") {
+    // the >LangWindowMaxRows arm of unimaxApply: integer partial sums
+    // compose associatively, so the (lang, md5-prefix salt) local cumsum
+    // plus broadcast per-salt offsets must be bit-equal to one ordered
+    // window per language — on random inputs including single-doc
+    // languages and languages spanning many salt buckets
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(8144L)
+    for (_ <- 0 until 4) {
+      val langs = Seq("en", "de", "fr", "solo").take(1 + rnd.nextInt(4))
+      val rows = (0 until (1 + rnd.nextInt(300))).map { i =>
+        (i.toLong, langs(rnd.nextInt(langs.size)),
+          rnd.nextInt(1000).toLong)
+      }
+      val base = rows.toDF("doc_id", "lang", "n_tokens")
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val want = base
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val got = graft.ext.Pipeline.saltedCumTokens(base, "lang")
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cum_tokens"))
+        .toMap
+      assert(got === want, s"salted cumsum diverges on $rows")
+    }
+  }
+
   test("tokenCount == whitespace-split length on arbitrary text") {
     import spark.implicits._
     val texts = Seq("", "  ", "a", "a b  c", " lead", "trail ",

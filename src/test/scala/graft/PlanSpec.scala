@@ -123,6 +123,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("salted prefix sum: no per-language md5-order window " +
+      "(VERDICT r10 #1)") {
+    // the >LangWindowMaxRows arm of unimaxApply: the only windows are
+    // the (lang, _salt) local cumsum and the <=256-rows-per-lang salt
+    // offset table; a window partitioned by lang alone must never order
+    // by the md5 doc key (that is the funnel being retired)
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions._
+    val base = spark.range(1000).select(
+      col("id").as("doc_id"),
+      when(col("id") % 10 < 9, "en").otherwise("rest").as("lang"),
+      (col("id") % 97 + 1).as("n_tokens"))
+    val df = graft.ext.Pipeline.saltedCumTokens(base, "lang")
+    def windows(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[WindowExec] = p.collect {
+      case w: WindowExec => Seq(w)
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+    }.flatten
+    val ws = windows(df.queryExecution.executedPlan)
+    assert(ws.nonEmpty, "expected window nodes in the salted-cumsum plan")
+    ws.foreach { w =>
+      val ordersDocKey = w.orderSpec.exists(o =>
+        o.child.toString.contains("_m") ||
+          o.child.toString.toLowerCase.contains("md5"))
+      assert(!(w.partitionSpec.length == 1 && ordersDocKey),
+        s"per-language md5-order funnel: partition=${w.partitionSpec} " +
+          s"order=${w.orderSpec}")
+    }
+  }
+
   test("as-of join is one pass: a single symbol exchange, no point-lookup join") {
     // the naive as-of shape is a per-trade range join (quadratic); ours
     // must be one window pass — exactly one shuffle (hashpartitioning on
