@@ -33,9 +33,13 @@ final class Session {
   * DataFrame plans.
   */
 final class Engine(spark: SparkSession, dtfFolder: String,
-    autoflush: Boolean = false, flushInterval: Long = 1000L) {
+    autoflush: Boolean = false, flushInterval: Long = 1000L,
+    autoCompact: Boolean = false, compactMaxLeafFiles: Int = 16,
+    compactTargetBytes: Long = 128L << 20) {
   require(!autoflush || flushInterval > 0L,
     s"autoflush requires flushInterval > 0 (got $flushInterval)")
+  require(!autoCompact || compactMaxLeafFiles > 0,
+    s"autoCompact requires compactMaxLeafFiles > 0 (got $compactMaxLeafFiles)")
   import spark.implicits._
 
   private val books = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Update]]
@@ -374,7 +378,52 @@ final class Engine(spark: SparkSession, dtfFolder: String,
           .partitionBy(graft.sources.TickStore.DayCol)
           .parquet(fsPath(book))
       buf.clear()
+      if (autoCompact && fresh.nonEmpty) maybeScheduleCompaction(book)
     }
+
+  // ---- auto-compaction (the compaction consequence of autoflush's
+  // one-file-per-day-per-flush discipline, VERDICT r10 gap #2): a
+  // sustained ingest must not accumulate unbounded small files.
+  // Compaction CANNOT run on the flushing thread — Wire holds the READ
+  // side of swapGate across execute (FLUSH included), and compactBook
+  // takes the WRITE side for its swaps; an RRWL read never upgrades, so
+  // an inline call would self-deadlock. A single daemon worker runs the
+  // rewrites instead: flush only checks the cheap per-leaf file counts
+  // and enqueues; compactingBooks already makes overlapping rewrites of
+  // one book a no-op, and queuedCompactions keeps a hot book from
+  // stacking duplicate jobs behind the worker.
+
+  private lazy val compactionWorker =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-auto-compaction")
+      t.setDaemon(true)
+      t
+    })
+  private val queuedCompactions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Any leaf of the book dir (a `day=` partition dir, or the root for a
+    * legacy flat book) holding more parquet files than the policy bound. */
+  private def leafOverPolicy(book: String): Boolean =
+    graft.sources.Compaction.leafDataDirs(new java.io.File(fsPath(book)))
+      .exists { leaf =>
+        Option(leaf.listFiles()).getOrElse(Array.empty)
+          .count(f => f.isFile && f.getName.endsWith(".parquet")) >
+          compactMaxLeafFiles
+      }
+
+  private def maybeScheduleCompaction(book: String): Unit =
+    if (leafOverPolicy(book) && queuedCompactions.add(book))
+      compactionWorker.execute { () =>
+        try compactBook(book, compactTargetBytes)
+        finally queuedCompactions.remove(book)
+      }
+
+  /** Test/ops hook: wait until every auto-compaction enqueued so far has
+    * finished (FIFO single worker — a marker task drains the queue). */
+  private[graft] def awaitAutoCompaction(timeoutMs: Long = 120000L): Unit =
+    compactionWorker.submit(new Runnable { def run(): Unit = () })
+      .get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
 
   /** An [[Archiver]] for this engine's data folder, wired to THIS engine
     * as the swap lock (S17): local deletes exclude readers exactly like

@@ -265,6 +265,51 @@ class EngineSpec extends SparkSpec {
       "migration staging residue left behind")
   }
 
+  test("auto-compaction bounds leaf file counts under sustained flushes " +
+      "(VERDICT r10 #2)") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-autocompact").toString
+    val e = new Engine(spark, dir, autoCompact = true,
+      compactMaxLeafFiles = 3)
+    e.execute(CommandParser.parse("CREATE ac"))
+    e.execute(CommandParser.parse("USE ac"))
+    val bookDir = new java.io.File(s"$dir/book=ac")
+    def leafCounts(): Seq[Int] =
+      graft.sources.Compaction.leafDataDirs(bookDir).map(l =>
+        l.listFiles().count(f =>
+          f.isFile && f.getName.endsWith(".parquet")))
+    // 12 flushes into the SAME day: one file per flush without
+    // compaction; the policy (>3 files in a leaf) must keep pruning
+    var seq = 0
+    for (round <- 0 until 12) {
+      for (i <- 0 until 3) {
+        val ts = 1505177459.0 + round * 10 + i
+        e.execute(CommandParser.parse(
+          f"ADD $ts%.3f, $seq%d, t, f, 1.0, 2.0;"))
+        seq += 1
+      }
+      e.execute(CommandParser.parse("FLUSH"))
+    }
+    e.awaitAutoCompaction()
+    val counts = leafCounts()
+    // the last flush may land after the final rewrite, hence bound + 1
+    assert(counts.nonEmpty && counts.forall(_ <= 4),
+      s"leaf file counts not bounded: ${counts.mkString(", ")}")
+    // GETs stay green across rewrites: every row present, exactly once
+    assert(e.execute(CommandParser.parse("COUNT")) === e.Text("36"))
+    assert(e.bookDf("ac").select("seq").distinct().count() === 36)
+    // the compaction pruning contract holds: per-file ts ranges disjoint
+    val ranges = graft.sources.Compaction
+      .fileTsRanges(spark, bookDir.getPath)
+      .orderBy(col("min_ts")).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"overlapping file ts ranges: ${ranges.toSeq}")
+      case _ => ()
+    }
+  }
+
   test("metrics sweep skips compaction/migration staging dirs " +
       "(ADVICE r10 low)") {
     val dir = Files.createTempDirectory("graft-phantom").toString
