@@ -341,6 +341,101 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Streaming order-to-trade ratio — twin of
+    * [[graft.operators.Microstructure.orderTradeRatio]]: STATELESS
+    * beyond the windowed aggregation itself (two integer counts are a
+    * commutative monoid), so any micro-batch slicing replays the batch
+    * buckets bit-exactly. No row-kind filter → the watermark advances
+    * on every update, unlike the filtered twins (their caveat does not
+    * apply here). */
+  def streamingOrderTradeRatio(updates: DataFrame, seconds: Long = 60)
+      : DataFrame =
+    updates
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(col("symbol"),
+        window(col("event_time"), s"$seconds seconds"))
+      .agg(
+        sum(when(!col("is_trade"), 1L).otherwise(0L)).as("n_levels"),
+        sum(when(col("is_trade"), 1L).otherwise(0L)).as("n_trades"))
+      .select(col("symbol"),
+        unix_millis(col("window.start")).divide(1000).cast("long")
+          .as("start"),
+        col("n_levels"), col("n_trades"),
+        when(col("n_trades") =!= 0L,
+          col("n_levels").cast("double") / col("n_trades").cast("double"))
+          .as("order_trade_ratio"))
+
+  /** Per-(symbol, side) TWAP state: the OPEN level event (its duration
+    * is unresolved until the side's next event arrives) plus the open
+    * bucket's resolved accumulators. All-integer: durations are exact
+    * ms, prices the batch op's round-half-up cents. Σdur within a
+    * bucket is ≤ the bucket width in ms (prevailing intervals are
+    * disjoint and clipped), so `wq ≤ width·cents` stays far inside a
+    * long for any real price — the same bound the batch op's
+    * decimal(12,0) operands encode. */
+  case class TwapState(lastTs: Long, lastCents: Long, bucket: Long,
+      nEvents: Long, durMs: Long, wq: Long)
+  case class TwapBucket(symbol: String, is_bid: Boolean, start: Long,
+      n_events: Long, dur_ms: Long, twap: Option[Double])
+
+  /** Bucket-local TWAP of quote prices on a STREAM — the ingest-time
+    * twin of [[graft.operators.Microstructure.twapQuote]] as a
+    * per-(symbol, side) ordered fold (the [[streamingRealizedVol]]
+    * shape, keyed two-part because the batch window is). An event's
+    * prevailing duration resolves when the side's NEXT event arrives —
+    * `min(next ts, own bucket end) − ts`, the batch formula — and lands
+    * in the event's own bucket; a later-bucket arrival closes the open
+    * bucket (emit-on-advance, final in-progress bucket per key stays
+    * open — the fold twins' dropLast stance). Same cents quantization
+    * and twap division as the batch op on the same JVM → emitted
+    * buckets match it bit-exactly (StreamingSpec). */
+  def streamingTwapQuote(updates: Dataset[Update],
+      seconds: Long = 60): Dataset[TwapBucket] = {
+    import updates.sparkSession.implicits._
+    def bucketOf(ts: Long): Long = {
+      val s = CommandParser.fillDigits(ts) / 1000L
+      s / seconds * seconds
+    }
+    def centsOf(price: Double): Long =
+      math.floor(price * 100d + 0.5d).toLong
+    def emit(key: (String, Boolean), st: TwapState): TwapBucket =
+      TwapBucket(key._1, key._2, st.bucket, st.nEvents, st.durMs,
+        if (st.durMs != 0L)
+          Some(st.wq.toDouble / st.durMs.toDouble / 100.0d)
+        else None)
+    def fn(key: (String, Boolean), rows: Iterator[Update],
+        state: GroupState[TwapState]): Iterator[TwapBucket] = {
+      var st = state.getOption.orNull
+      val out = Seq.newBuilder[TwapBucket]
+      rows.toSeq.filter(u => !u.is_trade && u.size > 0.0)
+        .sortBy(u => (u.ts, u.seq)).foreach { u =>
+          val b = bucketOf(u.ts)
+          if (st == null) st = TwapState(u.ts, centsOf(u.price), b, 1L, 0L, 0L)
+          else {
+            // resolve the open event against this arrival
+            val bucketEndMs = (st.bucket + seconds) * 1000L
+            val dur = math.max(0L, math.min(u.ts, bucketEndMs) - st.lastTs)
+            val durMs = st.durMs + dur
+            val wq = st.wq + dur * st.lastCents
+            st =
+              if (b == st.bucket)
+                TwapState(u.ts, centsOf(u.price), b, st.nEvents + 1,
+                  durMs, wq)
+              else {
+                out += emit(key, st.copy(durMs = durMs, wq = wq))
+                TwapState(u.ts, centsOf(u.price), b, 1L, 0L, 0L)
+              }
+          }
+        }
+      if (st != null) state.update(st)
+      out.result().iterator
+    }
+    updates.groupByKey(u => (u.symbol, u.is_bid))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Per-source token budgeting on a STREAM of documents — the ingest-time
     * twin of [[graft.ext.Pipeline.tokenBudget]]: per-source state is one
     * running token total (O(1) per key) carried across micro-batches; a

@@ -169,6 +169,63 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming order-trade ratio and twap quote replay the batch " +
+      "microstructure ops bit-exactly (VERDICT r10 #3)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ups = Tables.updatesDs(spark, sf("sf0.001")).collect()
+      .sortBy(u0 => (u0.ts, u0.seq))
+    val maxTs = ups.map(_.ts).max
+    // unfiltered twin: one sentinel of any kind advances its watermark
+    val sentinel = graft.model.Update("zzz", maxTs + 3600L * 1000, 0L,
+      is_trade = true, is_bid = true, 1.0, 1.0)
+    val wantOtr = graft.operators.Microstructure
+      .orderTradeRatio(updatesDf(ups.toSeq :+ sentinel)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+    val wantTwap = graft.operators.Microstructure
+      .twapQuote(updatesDf(ups.toSeq)).collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    val in = MemoryStream[graft.model.Update]
+    val qo = Streaming.streamingOrderTradeRatio(in.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("sotr").start()
+    val qt = Streaming.streamingTwapQuote(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("stwap").start()
+    def drain(): Unit = {
+      qo.processAllAvailable(); qt.processAllAvailable()
+    }
+    val (b1, b2) = ups.splitAt(ups.length / 2)
+    in.addData(b1.toSeq: _*); drain()
+    in.addData(b2.toSeq: _*); drain()
+    in.addData(sentinel); drain()
+    qo.stop(); qt.stop()
+    // order-trade ratio: every closed (non-sentinel) bucket bit-exact
+    val gotOtr = spark.table("sotr").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+    val closedO = wantOtr.keySet.filterNot(_._1 == "zzz")
+    assert(closedO.nonEmpty)
+    closedO.foreach { k =>
+      assert(gotOtr.get(k).contains(wantOtr(k)), s"otr drift at $k")
+    }
+    // twap: emit-on-advance — everything except each (symbol, side)
+    // key's final open bucket, bit-exact
+    val lastPerKey = wantTwap.keys.groupBy(k => (k._1, k._2)).view
+      .mapValues(_.map(_._3).max).toMap
+    val wantKeys = wantTwap.keySet
+      .filterNot(k => lastPerKey((k._1, k._2)) == k._3)
+    val got = spark.table("stwap").as[Streaming.TwapBucket].collect()
+      .map(r => (r.symbol, r.is_bid, r.start) ->
+        ((r.n_events, r.dur_ms, r.twap))).toMap
+    assert(wantKeys.nonEmpty)
+    assert(got.keySet === wantKeys,
+      s"missing ${(wantKeys -- got.keySet).take(3)}, " +
+        s"extra ${(got.keySet -- wantKeys).take(3)}")
+    wantKeys.foreach { k =>
+      assert(got(k) === wantTwap(k), s"twap drift at $k")
+    }
+  }
+
   test("streaming dedup collapses replayed frames across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
