@@ -162,6 +162,87 @@ object DtfCodec {
     spark.createDataset(decode(path))
   }
 
+  /** [[decode]] as a bounded-memory ITERATOR — the read-side symmetry of
+    * [[encodeStream]] and the reference's buffered-reader semantics
+    * (`DTFBufReader`, `file_format.rs:560-691`): exactly one batch frame
+    * (≤ 0xFFFF rows) is materialized at a time, so a multi-GB book file
+    * decodes in O(batch) memory. Same truncation tolerance as
+    * [[decodeBatches]]: a mid-batch EOF keeps the rows decoded so far
+    * (the dtfrepair recovery contract); a bad batch marker still throws.
+    * Close releases the stream; exhausting the iterator also closes. */
+  def decodeStream(path: String): DtfStreamReader =
+    new DtfStreamReader(
+      new BufferedInputStream(new FileInputStream(path)))
+
+  /** [[decodeStream]] over an arbitrary stream (test hook: a counting
+    * stream proves the bounded read-ahead byte-exactly). */
+  def decodeStream(in: java.io.InputStream): DtfStreamReader =
+    new DtfStreamReader(in)
+
+  final class DtfStreamReader private[dtf] (raw: java.io.InputStream)
+      extends Iterator[Update] with java.io.Closeable {
+    private val in = new DataInputStream(raw)
+    /** Header symbol, attached to every decoded row (as [[decode]]). */
+    val symbol: String = {
+      val magic = new Array[Byte](5)
+      in.readFully(magic)
+      require(magic.sameElements(Magic), "bad DTF magic")
+      val symBytes = new Array[Byte](SymbolLen)
+      in.readFully(symBytes)
+      in.readLong() // count
+      in.readLong() // max_ts
+      in.skipBytes((MainOffset - 41).toInt)
+      new String(symBytes, "UTF-8").trim
+    }
+    private var batch: Array[Update] = Array.empty
+    private var idx = 0
+    private var eof = false
+
+    private def fill(): Unit =
+      while (!eof && idx >= batch.length) {
+        try {
+          val marker = in.readByte()
+          require(marker == 1, s"bad batch marker $marker")
+          val refTs = in.readLong()
+          val refSeq = Integer.toUnsignedLong(in.readInt())
+          val n = java.lang.Short.toUnsignedInt(in.readShort())
+          val arr = new Array[Update](n)
+          var got = 0
+          try {
+            while (got < n) {
+              val dts = java.lang.Short.toUnsignedInt(in.readShort())
+              val dseq = java.lang.Byte.toUnsignedInt(in.readByte())
+              val flags = in.readByte()
+              val price = in.readFloat()
+              val size = in.readFloat()
+              arr(got) = Update(symbol, refTs + dts, refSeq + dseq,
+                is_trade = (flags & 0x2) != 0, is_bid = (flags & 0x1) != 0,
+                price = price.toDouble, size = size.toDouble)
+              got += 1
+            }
+          } catch { case _: EOFException => eof = true }
+          batch = if (got == n) arr else arr.take(got)
+          idx = 0
+        } catch {
+          case _: EOFException =>
+            eof = true; batch = Array.empty; idx = 0
+        }
+      }
+
+    override def hasNext: Boolean = {
+      fill()
+      val has = idx < batch.length
+      if (!has) close() // exhausted (close is idempotent)
+      has
+    }
+    override def next(): Update = {
+      if (!hasNext) throw new NoSuchElementException("DTF stream EOF")
+      val u = batch(idx); idx += 1
+      u
+    }
+    override def close(): Unit = in.close()
+  }
+
   /** [[encode]] for a STREAM of sorted updates: the header's count and
     * max_ts (offsets 25/33, `file_format.rs:143-152`) aren't known up
     * front, so they're written as zeros, the batches stream through

@@ -127,9 +127,14 @@ final class DtfReaderFactory extends PartitionReaderFactory {
     new DtfPartitionReader(p.asInstanceOf[DtfFilePartition].file)
 }
 
+/** Streams one batch frame at a time through
+  * [[graft.dtf.DtfCodec.decodeStream]] — O(batch) memory per task, the
+  * read-side symmetry of the write path's `encodeStream` (the
+  * reference's `DTFBufReader`, `file_format.rs:560-691`), instead of
+  * materializing the whole .dtf file per partition. */
 final class DtfPartitionReader(file: String)
     extends PartitionReader[InternalRow] {
-  private val rows = DtfCodec.decode(file).iterator
+  private val rows = DtfCodec.decodeStream(file)
   private var cur: InternalRow = _
 
   override def next(): Boolean =
@@ -142,5 +147,5 @@ final class DtfPartitionReader(file: String)
     }
 
   override def get(): InternalRow = cur
-  override def close(): Unit = ()
+  override def close(): Unit = rows.close()
 }
