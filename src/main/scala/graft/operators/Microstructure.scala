@@ -114,10 +114,20 @@ object Microstructure {
     * `sum_sq_q` plus the conventional `rv = sqrt(sum_sq_q)/1e6`
     * (one long→double cast + one sqrt + one division — identical IEEE
     * steps both engines). A return belongs to the bucket of its LATER
-    * trade; the first trade of a symbol has no return. Exactness
-    * bound: |q| ≤ 1.1e7 on any price ratio within double range, so a
-    * bucket needs > ~7e4 trades before `sum_sq_q` even nears 2^63 —
-    * and the column is integer-compared, never double-rounded.
+    * trade; the first trade of a symbol has no return.
+    *
+    * Exactness bounds (corrected, ADVICE r10): the ratio is a DOUBLE
+    * division, so a finite ratio caps |ln| at ~709.8 → |q| < 7.1e8 and
+    * q² < 5.04e17 — but ~19 pathological-ratio returns can already
+    * push the sum past 2^63, and a ratio that overflows the division
+    * itself (|ln| = ∞) would clamp the non-ANSI double→long cast to
+    * Long.Max. Both hazards are GUARDED loud: |q| > 1e9 (reachable
+    * only via an infinite ratio) raises, and the final decimal→long
+    * cast raises when the sum exceeds 2^63 — exactly where the DuckDB
+    * twin's `CAST(±inf AS BIGINT)` / `CAST(HUGEINT AS BIGINT)` error
+    * (OverflowAuditSpec drives both at the bound). On real tick data
+    * (|q| at ~1e6 scale) the sum stays exact through > 1e6 trades per
+    * bucket with several digits of headroom.
     *
     * Scale shape: one per-symbol ordered LAG window (key-bounded, the
     * as-of join's shuffle budget) feeding one partial (symbol, bucket)
@@ -138,14 +148,27 @@ object Microstructure {
       .select(col("symbol"), col("ts"), col("seq"), col("price"))
       .withColumn("q", q)
       .where(col("q").isNotNull)
+      // |q| > 1e9 is unreachable from any finite ratio (|ln| <= ~709.8
+      // -> |q| < 7.1e8): it means the double division overflowed and
+      // the long cast clamped — raise, as DuckDB's CAST(inf) does
+      .withColumn("q",
+        when(abs(col("q")) > 1000000000L,
+          raise_error(concat(lit("realizedVol: price ratio outside " +
+            "double range at symbol="), col("symbol"))).cast("long"))
+          .otherwise(col("q")))
       .groupBy(col("symbol"), bucketed(seconds))
       .agg(
         count(lit(1)).as("n_returns"),
         sum((col("q").cast("decimal(15,0)") *
-          col("q").cast("decimal(15,0)"))).cast("long").as("sum_sq_q"))
+          col("q").cast("decimal(15,0)"))).as("_sq"))
       .select(col("symbol"), col("start"), col("n_returns"),
-        col("sum_sq_q"),
-        (sqrt(col("sum_sq_q").cast("double")) / 1e6).as("rv"))
+        // guarded decimal->long: wrap would be silent under non-ANSI
+        // casts; raising matches the DuckDB twin's erroring BIGINT cast
+        when(col("_sq") > lit(Long.MaxValue),
+          raise_error(concat(lit("realizedVol: sum_sq_q overflows " +
+            "BIGINT at symbol="), col("symbol"))).cast("long"))
+          .otherwise(col("_sq").cast("long")).as("sum_sq_q"))
+      .withColumn("rv", sqrt(col("sum_sq_q").cast("double")) / 1e6)
   }
 
   def realizedVolSql(seconds: Long = 60): String =

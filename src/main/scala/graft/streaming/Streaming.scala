@@ -330,7 +330,10 @@ object Streaming {
               if (st.n > 0) out += emit(sym, st)
               st = RvState(st.lastPrice, b, 0L, 0L)
             }
-            st = RvState(u.price, b, st.n + 1, st.sumSq + q * q)
+            // exact-or-throw, matching the batch op's guarded decimal
+            // cast (a silent Long wrap would diverge from it)
+            st = RvState(u.price, b, st.n + 1,
+              Math.addExact(st.sumSq, Math.multiplyExact(q, q)))
           }
         }
       if (st != null) state.update(st)
@@ -417,7 +420,10 @@ object Streaming {
             val bucketEndMs = (st.bucket + seconds) * 1000L
             val dur = math.max(0L, math.min(u.ts, bucketEndMs) - st.lastTs)
             val durMs = st.durMs + dur
-            val wq = st.wq + dur * st.lastCents
+            // exact-or-throw: wq is bounded by width·cents by design,
+            // but a pathological price must fail loud, not wrap
+            val wq = Math.addExact(st.wq,
+              Math.multiplyExact(dur, st.lastCents))
             st =
               if (b == st.bucket)
                 TwapState(u.ts, centsOf(u.price), b, st.nEvents + 1,

@@ -1,0 +1,266 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.model.Update
+
+/** Systematic overflow audit for the quantized-integer arithmetic class
+  * (VERDICT r10 #5): rounds 9-10 fixed four Long-overflow/parity hazards
+  * found one at a time by review; this suite makes the class mechanical.
+  * Every lnQ/quantized operator is DRIVEN AT its documented magnitude
+  * bound with planted extreme inputs and must either (a) produce the
+  * exact value a BigInt scalar replay produces — no silent 64-bit wrap —
+  * or (b) where the documented bound is actually breachable from data
+  * (realized vol's pathological price ratios), fail LOUD, matching the
+  * DuckDB twins' erroring BIGINT casts. */
+class OverflowAuditSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def lnQ6(x: Double): Long = math.floor(math.log(x) * 1e6).toLong
+  private def lnQ12(x: Double): Long = math.floor(math.log(x) * 1e12).toLong
+
+  // ------------------------------------------------------- realized vol
+
+  /** The extreme FINITE ratio: 1 ↔ 1e300 gives |ln| ≈ 690.8 per return
+    * (near the finite-double ceiling ~709.8, the corrected bound), so
+    * q² ≈ 4.77e17 and 2^63 is crossed at the 20th return. */
+  private val pLo = 1.0
+  private val pHi = 1.0e300
+
+  private def rvTrades(n: Int): Seq[Update] =
+    (0 until n).map { i =>
+      Update("ovf", 1700000000000L + i, i.toLong, is_trade = true,
+        is_bid = true, if (i % 2 == 0) pLo else pHi, 1.0)
+    }
+
+  /** Scalar replay of the operator's own semantics: a ratio that
+    * UNDERFLOWS the double division to 0.0 yields `ln(0) -> null` in
+    * Spark and the row drops (unreachable from the reference's f32
+    * price domain, whose worst ratio ~4e-84 stays positive); an
+    * overflowed ratio (ln = inf) clamps lnQ6 to Long.Max and the q
+    * guard is expected to raise. */
+  private def rvScalarSum(prices: Seq[Double]): BigInt =
+    prices.sliding(2).flatMap { case Seq(a, b) =>
+      if (b / a == 0.0) None
+      else { val q = BigInt(lnQ6(b / a)); Some(q * q) }
+    }.sum
+
+  test("realizedVol at the |q| bound: exact below 2^63, loud raise above") {
+    // 19 extreme returns: ~9.07e18, still a long — must equal the
+    // BigInt scalar replay exactly (a wrap would differ by 2^64)
+    val ups19 = rvTrades(20)
+    val want = rvScalarSum(ups19.map(_.price))
+    assert(want < BigInt(Long.MaxValue), s"fixture broke: $want")
+    val row = graft.operators.Microstructure.realizedVol(updatesDf(ups19))
+      .select("n_returns", "sum_sq_q").head()
+    assert(row.getLong(0) === 19L)
+    assert(BigInt(row.getLong(1)) === want, "silent wrap below the bound")
+    // 20 extreme returns: ~9.54e18 > 2^63 — the guarded cast must raise
+    // (the DuckDB twin's CAST(HUGEINT AS BIGINT) errors identically),
+    // never silently wrap
+    val ups20 = rvTrades(21)
+    assert(rvScalarSum(ups20.map(_.price)) > BigInt(Long.MaxValue))
+    val ex = intercept[Exception] {
+      graft.operators.Microstructure.realizedVol(updatesDf(ups20)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("overflows BIGINT")),
+      s"wrong failure: ${messages(ex).mkString(" | ")}")
+  }
+
+  test("realizedVol with an infinite price ratio: loud raise, no clamp") {
+    // min-subnormal -> double-max overflows the double division itself;
+    // the non-ANSI double->long cast would clamp q to Long.Max and the
+    // decimal(15,0) cast would then silently NULL the row — the q guard
+    // raises instead, as DuckDB's CAST(inf AS BIGINT) errors
+    val ups = Seq(
+      Update("inf", 1700000000000L, 0L, is_trade = true, is_bid = true,
+        java.lang.Double.MIN_VALUE, 1.0),
+      Update("inf", 1700000000001L, 1L, is_trade = true, is_bid = true,
+        java.lang.Double.MAX_VALUE, 1.0))
+    val ex = intercept[Exception] {
+      graft.operators.Microstructure.realizedVol(updatesDf(ups)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("outside double range")),
+      s"wrong failure: ${messages(ex).mkString(" | ")}")
+  }
+
+  test("streamingRealizedVol fold: exact-or-throw at the same bound") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // 19 extreme returns then a bucket advance: emitted bucket must
+    // equal the scalar replay (the decimal sum's exact value) — i.e.
+    // the Long fold did not wrap where the decimal sum did not
+    val closer = Update("ovf", 1700000000000L + 120000L, 99L,
+      is_trade = true, is_bid = true, 1.0, 1.0)
+    val in = MemoryStream[Update]
+    val q = graft.streaming.Streaming.streamingRealizedVol(in.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ovfrv").start()
+    in.addData(rvTrades(20) :+ closer: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ovfrv")
+      .select("sum_sq_q").as[Long].collect().toSeq
+    assert(got === Seq(rvScalarSum(rvTrades(20).map(_.price)).toLong))
+    // 20 extreme returns inside one bucket: the fold's addExact must
+    // throw (ArithmeticException surfaces as a query failure), matching
+    // the batch raise — not wrap into a bogus emitted bucket
+    val in2 = MemoryStream[Update]
+    val q2 = graft.streaming.Streaming.streamingRealizedVol(in2.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ovfrv2").start()
+    in2.addData(rvTrades(21) :+ closer: _*)
+    val ex = intercept[Exception] { q2.processAllAvailable() }
+    q2.stop()
+    def rootChain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(e => e +: rootChain(e.getCause))
+    assert(rootChain(ex).exists(_.isInstanceOf[ArithmeticException]),
+      s"fold overflow not loud: $ex")
+  }
+
+  // --------------------------------------------------------- twap quote
+
+  test("twapQuote at the cents bound: exact vs BigInt scalar replay") {
+    // price 9.999e9 → cents 999,900,000,000: the last magnitude the
+    // documented decimal(12,0) operand holds (1e12 itself raises the
+    // ANSI decimal cast — loud, as the audit demands); durations fill
+    // the whole 60 s bucket, so Σ dur·cents approaches the width·cents
+    // ceiling (~6e16) the Scaladoc names
+    val t0 = 1700000000000L
+    val bucketStart = (t0 / 1000 / 60) * 60
+    val startMs = bucketStart * 1000
+    val ups = Seq(
+      Update("b", startMs, 0L, is_trade = false, is_bid = true,
+        9.999e9, 5.0),
+      Update("b", startMs + 20000, 1L, is_trade = false, is_bid = true,
+        9.998e9, 5.0),
+      Update("b", startMs + 70000, 2L, is_trade = false, is_bid = true,
+        1.0, 5.0)) // next bucket: clips event 2 at its bucket end
+    def cents(p: Double): Long = math.floor(p * 100d + 0.5d).toLong
+    val durs = Seq(20000L, 40000L) // event 1 clipped at bucket end
+    val wq = durs.zip(ups.take(2).map(u => BigInt(cents(u.price))))
+      .map { case (d, c) => BigInt(d) * c }.sum
+    val wantTwap = (wq.toDouble / durs.sum.toDouble) / 100.0d
+    val row = graft.operators.Microstructure.twapQuote(updatesDf(ups))
+      .where(col("start") === bucketStart).head()
+    assert(row.getAs[Long]("dur_ms") === durs.sum)
+    assert(row.getAs[Double]("twap") === wantTwap,
+      "twap diverged from the BigInt scalar replay")
+    // one order of magnitude past the edge: cents = 1e12 no longer fits
+    // decimal(12,0) — the ANSI cast raises (loud), never truncates
+    val beyond = ups.map(u => u.copy(price = u.price * 10.0))
+    intercept[Exception] {
+      graft.operators.Microstructure.twapQuote(updatesDf(beyond)).collect()
+    }
+  }
+
+  // ------------------------------------------------------- char entropy
+
+  test("charEntropy with a 300k-char skewed doc: exact vs BigInt replay") {
+    // the Scaladoc's c ~ 3e5 zone where a 64-bit c·lnQ product family
+    // would wrap: one dominant char + a rare tail
+    val text = "a" * 299999 + "b"
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val counts = Map('a' -> 299999L, 'b' -> 1L)
+    val n = counts.values.sum
+    val s = counts.values.map(c =>
+      BigInt(c) * BigInt(lnQ12(c.toDouble / n.toDouble))).sum
+    val want = -s.toDouble / 1e12 / n.toDouble
+    val row = graft.ext.TextOps.charEntropy(df).head()
+    assert(row.getAs[Long]("n_chars") === n)
+    assert(row.getAs[Double]("entropy") === want,
+      "entropy diverged from the BigInt scalar replay")
+  }
+
+  // ------------------------------------------------------- source drift
+
+  test("sourceDrift with a 200k-count word: exact vs BigInt replay") {
+    // c_sw = 2e5 with |Δq| ~ 0.7e12 puts the c_sw·Δq product at ~1.4e17
+    // — far past any 32-bit path and big enough that a precision-lossy
+    // plan shows; the decimal(36,0) sum must equal the BigInt replay
+    val big = ("x " * 200000).trim
+    val df = Seq((1L, "a", big), (2L, "b", "x y")).toDF(
+      "doc_id", "source", "text")
+    def drift(csw: Map[String, Long], ns: Long, cw: Map[String, Long],
+        nc: Long): BigInt =
+      csw.map { case (w, c) =>
+        val qs = lnQ12(c.toDouble / ns.toDouble)
+        val qc = lnQ12(cw(w).toDouble / nc.toDouble)
+        BigInt(c) * BigInt(qs - qc)
+      }.sum
+    val cw = Map("x" -> 200001L, "y" -> 1L)
+    val wantA = drift(Map("x" -> 200000L), 200000L, cw, 200002L)
+    val klA = (wantA.toDouble / 1e12) / 200000.0d
+    val row = graft.ext.TextOps.sourceDrift(df)
+      .where(col("source") === "a").head()
+    assert(row.getAs[Long]("n_tokens") === 200000L)
+    assert(row.getAs[Double]("kl_nats") === klA,
+      "sourceDrift diverged from the BigInt scalar replay")
+  }
+
+  // ----------------------------------------------------------- LM sums
+
+  test("bigramLogProb decimal sum on a 100k-bigram doc: exact vs BigInt") {
+    // one long doc: per-doc Σ q_lnp reaches ~1e17-1e18 territory (1e5
+    // bigrams · |q| ~ 1e12) — asserts the decimal(38,0) per-doc sum and
+    // the final double division replay the scalar bit-for-bit
+    val words = (0 until 100001).map(i => s"w${i % 50}")
+    val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val lambda = 0.9
+    val pairs = words.sliding(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val uni = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c12 = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTotal = words.size.toLong
+    val sum = pairs.map { case (a, b) =>
+      val p = lambda * c12((a, b)).toDouble / uni(a).toDouble +
+        (1.0 - lambda) * uni(b).toDouble / nTotal.toDouble
+      BigInt(lnQ12(p))
+    }.sum
+    val want = sum.toDouble / 1e12 / pairs.size.toDouble
+    val row = graft.ext.TextOps.bigramLogProb(df, lambda).head()
+    assert(row.getAs[Long]("n_bigrams") === pairs.size.toLong)
+    assert(row.getAs[Double]("avg_logprob") === want,
+      "LM sum diverged from the BigInt scalar replay")
+  }
+
+  // --------------------------------------- randomized magnitude sweep
+
+  test("realizedVol random log-uniform price sweep: always exact or loud") {
+    // prices sampled log-uniformly across the full double exponent range
+    // — every case either matches the BigInt replay exactly or raises
+    // the guarded-cast error; no third outcome exists
+    val genPrices: Gen[List[Double]] = for {
+      n <- Gen.choose(2, 12)
+      es <- Gen.listOfN(n, Gen.choose(-300.0, 300.0))
+    } yield es.map(e => math.pow(10.0, e))
+    (0 until 12).foreach { i =>
+      genPrices(Gen.Parameters.default, Seed(i.toLong)).foreach { ps =>
+        val ups = ps.zipWithIndex.map { case (p, j) =>
+          Update("r", 1700000000000L + j, j.toLong, is_trade = true,
+            is_bid = true, p, 1.0)
+        }
+        val want = rvScalarSum(ps)
+        if (want <= BigInt(Long.MaxValue)) {
+          val got = graft.operators.Microstructure
+            .realizedVol(updatesDf(ups)).select("sum_sq_q").head().getLong(0)
+          assert(BigInt(got) === want, s"wrap on prices $ps")
+        } else {
+          val ex = intercept[Exception] {
+            graft.operators.Microstructure.realizedVol(updatesDf(ups))
+              .collect()
+          }
+          assert(ex != null)
+        }
+      }
+    }
+  }
+}
