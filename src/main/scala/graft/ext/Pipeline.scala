@@ -1056,6 +1056,19 @@ object Pipeline {
       .drop("_m", "_salt", "_lc")
   }
 
+  /** DuckDB twin for the [[saltedCumTokens]] oracle gate: the cumsum the
+    * salted plan must reproduce, spelled as the plain single window —
+    * the gate pins the two-stage stitching against the reference
+    * semantics on real corpus data, not just property fixtures. */
+  def saltedCumSumSql(): String =
+    s"""SELECT doc_id, lang, n_tokens,
+       | CAST(sum(n_tokens) OVER (PARTITION BY lang
+       |   ORDER BY $sourceOrderSql) AS BIGINT) AS cum_tokens
+       |FROM (SELECT doc_id, lang,
+       |  CAST(${TextOps.tokenCountSql} AS BIGINT) AS n_tokens
+       | FROM documents)
+       |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
   def unimaxApplySql(maxEpochs: Int = 2, budgetNum: Int = 3,
       budgetDen: Int = 2): String =
     s"""WITH alloc AS (

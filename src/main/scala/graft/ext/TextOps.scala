@@ -579,6 +579,35 @@ object TextOps {
           .otherwise("tail").as("bucket"))
   }
 
+  /** DuckDB twin of [[pplBoundaryKeys]] — the boundary-key TABLE as an
+    * oracle artifact, spelled via the rank arithmetic (row_number at
+    * the exact ntile bucket-size cut) so the gate proves the BUCKETED
+    * plan (the Spark side runs [[pplBoundaryBucketedPlan]] directly)
+    * selects precisely the keys a full ntile sort would. */
+  def pplBoundsSql(lambda: Double = 0.9): String =
+    s"""WITH scored AS (
+       | ${bigramLogProbSql(lambda).replace(" ORDER BY p.doc_id", "")}),
+       |sl AS (SELECT s.doc_id, d.lang, s.avg_logprob
+       | FROM scored s JOIN documents d USING (doc_id)),
+       |ranked AS (SELECT lang, doc_id, avg_logprob,
+       |  CAST(row_number() OVER (PARTITION BY lang
+       |    ORDER BY avg_logprob DESC, doc_id) AS BIGINT) AS rn,
+       |  CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+       | FROM sl),
+       |sz AS (SELECT *,
+       |  (n // 3) + CASE WHEN n % 3 >= 1 THEN 1 ELSE 0 END AS hsize,
+       |  (n // 3) + CASE WHEN n % 3 >= 2 THEN 1 ELSE 0 END AS msize
+       | FROM ranked)
+       |SELECT lang,
+       | max(CASE WHEN rn = hsize THEN avg_logprob END) AS h_lp,
+       | CAST(max(CASE WHEN rn = hsize THEN doc_id END) AS BIGINT) AS h_id,
+       | max(CASE WHEN msize > 0 AND rn = hsize + msize
+       |   THEN avg_logprob END) AS m_lp,
+       | CAST(max(CASE WHEN msize > 0 AND rn = hsize + msize
+       |   THEN doc_id END) AS BIGINT) AS m_id
+       |FROM sz GROUP BY lang ORDER BY lang""".stripMargin
+      .replace('\n', ' ')
+
   def pplBucketsSql(lambda: Double = 0.9): String =
     s"""WITH scored AS (
        | ${bigramLogProbSql(lambda).replace(" ORDER BY p.doc_id", "")})

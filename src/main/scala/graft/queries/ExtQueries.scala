@@ -577,6 +577,18 @@ object ExtQueries {
       (s, dir) => TextOps.pplBuckets(docs(s, dir)).orderBy("doc_id"),
       Some(TextOps.pplBucketsSql())),
 
+    // the tercile boundary-key table via the DISTRIBUTED bucketed-rank
+    // plan (the >10M-row dispatch arm run unconditionally here): the
+    // scale path itself is oracle-gated against DuckDB's ntile-rank cut
+    Q("q_ppl_bounds",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val scored = TextOps.bigramLogProb(d)
+          .join(d.select(col("doc_id"), col("lang")), "doc_id")
+        TextOps.pplBoundaryBucketedPlan(scored).orderBy("lang")
+      },
+      Some(TextOps.pplBoundsSql())),
+
     // hashing-trick doc vectors: signed md5 bucket counts, sparse output
     Q("q_hash_embed",
       (s, dir) => TextOps.hashEmbed(docs(s, dir))
@@ -758,6 +770,19 @@ object ExtQueries {
     Q("q_unimax_apply",
       (s, dir) => Pipeline.unimaxApply(docs(s, dir)).orderBy("doc_id"),
       Some(Pipeline.unimaxApplySql())),
+
+    // the salted two-stage exact prefix sum (unimaxApply's >10M-row
+    // dispatch arm run unconditionally here): the stitched cumsum is
+    // oracle-gated bit-exact against DuckDB's single-window cumsum
+    Q("q_cumsum_salted",
+      (s, dir) => {
+        val base = docs(s, dir).select(col("doc_id"), col("lang"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        Pipeline.saltedCumTokens(base, "lang")
+          .select("doc_id", "lang", "n_tokens", "cum_tokens")
+          .orderBy("doc_id")
+      },
+      Some(Pipeline.saltedCumSumSql())),
 
     // temperature-scaled sampling (p ∝ n^α at α=1/2 — the one exponent
     // where the power is bit-portable sqrt); integer-quantized weights
