@@ -182,18 +182,24 @@ object DtfCodec {
   final class DtfStreamReader private[dtf] (raw: java.io.InputStream)
       extends Iterator[Update] with java.io.Closeable {
     private val in = new DataInputStream(raw)
-    /** Header symbol, attached to every decoded row (as [[decode]]). */
-    val symbol: String = {
-      val magic = new Array[Byte](5)
-      in.readFully(magic)
-      require(magic.sameElements(Magic), "bad DTF magic")
-      val symBytes = new Array[Byte](SymbolLen)
-      in.readFully(symBytes)
-      in.readLong() // count
-      in.readLong() // max_ts
-      in.skipBytes((MainOffset - 41).toInt)
-      new String(symBytes, "UTF-8").trim
-    }
+    /** Header symbol, attached to every decoded row (as [[decode]]).
+      * A bad/truncated header closes the stream before rethrowing — no
+      * caller holds a handle yet, so the constructor must not leak the
+      * descriptor (decode() has the same guarantee via its finally). */
+    val symbol: String =
+      try {
+        val magic = new Array[Byte](5)
+        in.readFully(magic)
+        require(magic.sameElements(Magic), "bad DTF magic")
+        val symBytes = new Array[Byte](SymbolLen)
+        in.readFully(symBytes)
+        in.readLong() // count
+        in.readLong() // max_ts
+        in.skipBytes((MainOffset - 41).toInt)
+        new String(symBytes, "UTF-8").trim
+      } catch {
+        case e: Throwable => in.close(); throw e
+      }
     private var batch: Array[Update] = Array.empty
     private var idx = 0
     private var eof = false

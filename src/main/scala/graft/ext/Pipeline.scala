@@ -995,13 +995,18 @@ object Pipeline {
       budgetNum: Int = 3, budgetDen: Int = 2): DataFrame = {
     val alloc = unimaxAlloc(docs, maxEpochs, budgetNum, budgetDen)
       .select(col("lang"), col("alloc"))
-    val base = docs.select(col("doc_id"), col("lang"),
-      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    // checkpoint the narrow 3-column frame BEFORE the dispatch count:
+    // the count and the chosen arm's passes then read the materialized
+    // snapshot instead of re-executing the upstream plan (the
+    // pplBoundaryKeys pattern)
+    val base = graft.functions.checkpointed(
+      docs.select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens")))
     val cum =
-      if (docs.count() <= LangWindowMaxRows) {
+      if (base.count() <= LangWindowMaxRows) {
         val w = Window.partitionBy("lang").orderBy(sourceOrder: _*)
         base.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      } else saltedCumTokens(graft.functions.checkpointed(base), "lang")
+      } else saltedCumTokens(base, "lang")
     cum
       .join(broadcast(alloc), "lang")
       .where(col("cum_tokens") <= col("alloc"))
@@ -1053,7 +1058,7 @@ object Pipeline {
       .withColumn("_lc", sum(col("n_tokens")).over(wLoc))
       .join(broadcast(offs), Seq(key, "_salt"))
       .withColumn("cum_tokens", col("_lc") + col("_off"))
-      .drop("_m", "_salt", "_lc")
+      .drop("_m", "_salt", "_lc", "_off")
   }
 
   /** DuckDB twin for the [[saltedCumTokens]] oracle gate: the cumsum the

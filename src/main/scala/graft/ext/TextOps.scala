@@ -458,11 +458,28 @@ object TextOps {
     * (OperatorPropertySpec). */
   val PplWindowMaxRows: Long = 10_000_000L
 
+  /** Sentinel standing in for a NULL language through the boundary
+    * machinery's equi-joins (null keys never equi-match, so a null-lang
+    * corpus slice would silently vanish — the ntile window the plans
+    * replace treats NULL as its own partition). A lone NUL byte cannot
+    * be a real language tag. */
+  private val NullLang = "\u0000"
+
+  private def langEnc(df: DataFrame): DataFrame =
+    df.withColumn("lang", coalesce(col("lang"), lit(NullLang)))
+
+  private def langDec(df: DataFrame): DataFrame =
+    df.withColumn("lang",
+      when(col("lang") === NullLang, lit(null: String))
+        .otherwise(col("lang")))
+
   /** Per-language tercile boundary keys of a scored corpus
     * (`doc_id, lang, avg_logprob` required): one bounded row per
     * language, `(h_lp, h_id)` = last head key and `(m_lp, m_id)` = last
     * middle key (null when the language has no middle rows, n == 1) in
-    * the (avg_logprob DESC, doc_id ASC) ntile order. Materialized to a
+    * the (avg_logprob DESC, doc_id ASC) ntile order. NULL langs form
+    * their own group (the ntile semantics), carried through the
+    * equi-joins by the [[NullLang]] sentinel. Materialized to a
     * LocalRelation (bounded by language cardinality) so downstream
     * bucket assignment joins by broadcast. Callers pass a checkpointed
     * `scored` — the count and the chosen plan's passes then re-read the
@@ -513,8 +530,11 @@ object TextOps {
   private[graft] def pplBoundaryBucketedPlan(scored: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val B = graft.operators.HistogramOps.PctBuckets
-    val base = scored.select(col("lang"), (-col("avg_logprob")).as("_v"),
-      col("doc_id").as("_id"))
+    // sentinel-encode NULL langs: the plan below is all equi-joins on
+    // lang, and a null key would silently drop the group the ntile
+    // window keeps; decoded on output
+    val base = langEnc(scored).select(col("lang"),
+      (-col("avg_logprob")).as("_v"), col("doc_id").as("_id"))
     val stats = base.groupBy("lang").agg(
       min(col("_v")).as("_mn"), max(col("_v")).as("_mx"),
       count(lit(1)).as("_n"))
@@ -548,15 +568,16 @@ object TextOps {
     val wloc = Window.partitionBy("lang", "_b").orderBy("_v", "_id")
     val ranked = bucketed.join(needed, Seq("lang", "_b"))
       .withColumn("_r", row_number().over(wloc) - 1 + col("_base"))
-    ranked.join(targets, "lang").where(col("_r") === col("_tr"))
-      .groupBy("lang").agg(
-        max(when(col("_tag") === "h",
-          struct(col("_v"), col("_id")))).as("hb"),
-        max(when(col("_tag") === "m",
-          struct(col("_v"), col("_id")))).as("mb"))
-      .select(col("lang"),
-        (-col("hb._v")).as("h_lp"), col("hb._id").as("h_id"),
-        (-col("mb._v")).as("m_lp"), col("mb._id").as("m_id"))
+    langDec(
+      ranked.join(targets, "lang").where(col("_r") === col("_tr"))
+        .groupBy("lang").agg(
+          max(when(col("_tag") === "h",
+            struct(col("_v"), col("_id")))).as("hb"),
+          max(when(col("_tag") === "m",
+            struct(col("_v"), col("_id")))).as("mb"))
+        .select(col("lang"),
+          (-col("hb._v")).as("h_lp"), col("hb._id").as("h_id"),
+          (-col("mb._v")).as("m_lp"), col("mb._id").as("m_id")))
   }
 
   /** Map-side bucket assignment from broadcast boundary keys — a doc is
@@ -570,13 +591,16 @@ object TextOps {
     def before(bLp: Column, bId: Column): Column =
       col("avg_logprob") > bLp ||
         (col("avg_logprob") === bLp && col("doc_id") <= bId)
-    scored.join(broadcast(bounds), Seq("lang"))
-      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+    // sentinel-encode both sides: a NULL lang never equi-matches, and
+    // its docs would silently vanish where the ntile window kept them
+    langDec(langEnc(scored).join(broadcast(langEnc(bounds)), Seq("lang"))
+      .select(col("lang"), col("doc_id"), col("n_bigrams"),
         col("avg_logprob"),
         when(before(col("h_lp"), col("h_id")), "head")
           .when(col("m_lp").isNotNull && before(col("m_lp"), col("m_id")),
             "middle")
-          .otherwise("tail").as("bucket"))
+          .otherwise("tail").as("bucket")))
+      .select("doc_id", "lang", "n_bigrams", "avg_logprob", "bucket")
   }
 
   /** DuckDB twin of [[pplBoundaryKeys]] — the boundary-key TABLE as an

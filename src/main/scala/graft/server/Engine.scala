@@ -378,7 +378,9 @@ final class Engine(spark: SparkSession, dtfFolder: String,
           .partitionBy(graft.sources.TickStore.DayCol)
           .parquet(fsPath(book))
       buf.clear()
-      if (autoCompact && fresh.nonEmpty) maybeScheduleCompaction(book)
+      if (autoCompact && fresh.nonEmpty)
+        maybeScheduleCompaction(book,
+          fresh.map(u => graft.sources.TickStore.dayOfMs(u.ts)).distinct)
     }
 
   // ---- auto-compaction (the compaction consequence of autoflush's
@@ -402,18 +404,24 @@ final class Engine(spark: SparkSession, dtfFolder: String,
   private val queuedCompactions =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Any leaf of the book dir (a `day=` partition dir, or the root for a
-    * legacy flat book) holding more parquet files than the policy bound. */
-  private def leafOverPolicy(book: String): Boolean =
-    graft.sources.Compaction.leafDataDirs(new java.io.File(fsPath(book)))
-      .exists { leaf =>
-        Option(leaf.listFiles()).getOrElse(Array.empty)
-          .count(f => f.isFile && f.getName.endsWith(".parquet")) >
-          compactMaxLeafFiles
-      }
+  /** Whether any of the JUST-FLUSHED day leaves holds more parquet
+    * files than the policy bound. Scoped to the flush's own days — a
+    * flush can only have grown the leaves it wrote, so the check stays
+    * O(flushed-days) instead of walking a book's whole multi-year
+    * `day=` history on every flush. (compactBook itself still sweeps
+    * every leaf once it runs.) */
+  private def leafOverPolicy(book: String, days: Seq[Long]): Boolean =
+    days.exists { day =>
+      val leaf = new java.io.File(fsPath(book),
+        s"${graft.sources.TickStore.DayCol}=$day")
+      Option(leaf.listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && f.getName.endsWith(".parquet")) >
+        compactMaxLeafFiles
+    }
 
-  private def maybeScheduleCompaction(book: String): Unit =
-    if (leafOverPolicy(book) && queuedCompactions.add(book))
+  private def maybeScheduleCompaction(book: String,
+      days: Seq[Long]): Unit =
+    if (leafOverPolicy(book, days) && queuedCompactions.add(book))
       compactionWorker.execute { () =>
         try compactBook(book, compactTargetBytes)
         finally queuedCompactions.remove(book)

@@ -78,7 +78,8 @@ object Streaming {
     * vs. the reference). */
   def streamingTimeBars(updates: DataFrame, seconds: Long = 60): DataFrame =
     updates
-      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withColumn("event_time",
+        timestamp_millis(graft.functions.fillDigits(col("ts"))))
       .withWatermark("event_time", "10 minutes")
       .where(col("is_trade"))
       .groupBy(col("symbol"),
@@ -104,7 +105,8 @@ object Streaming {
   def streamingVwapBars(updates: DataFrame, seconds: Long = 60)
       : DataFrame =
     updates
-      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withColumn("event_time",
+        timestamp_millis(graft.functions.fillDigits(col("ts"))))
       .withWatermark("event_time", "10 minutes")
       .where(col("is_trade"))
       .groupBy(col("symbol"),
@@ -127,7 +129,8 @@ object Streaming {
   def streamingTradeImbalance(updates: DataFrame, seconds: Long = 60)
       : DataFrame =
     updates
-      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withColumn("event_time",
+        timestamp_millis(graft.functions.fillDigits(col("ts"))))
       .withWatermark("event_time", "10 minutes")
       .where(col("is_trade"))
       .groupBy(col("symbol"),
@@ -164,7 +167,8 @@ object Streaming {
       max_by(when(side, col("price")),
         when(side, struct(col("ts"), col("seq"))))
     updates
-      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withColumn("event_time",
+        timestamp_millis(graft.functions.fillDigits(col("ts"))))
       .withWatermark("event_time", "10 minutes")
       .where(!col("is_trade") && col("size") > 0.0d)
       .groupBy(col("symbol"),
@@ -193,7 +197,8 @@ object Streaming {
       watermark: String = "10 minutes"): Dataset[Update] = {
     import updates.sparkSession.implicits._
     updates
-      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withColumn("event_time",
+        timestamp_millis(graft.functions.fillDigits(col("ts"))))
       .withWatermark("event_time", watermark)
       .dropDuplicates("symbol", "ts", "seq")
       .drop("event_time")
@@ -323,7 +328,13 @@ object Streaming {
         .sortBy(u => (u.ts, u.seq)).foreach { u =>
           val b = bucketOf(u.ts)
           if (st == null) st = RvState(u.price, b, 0L, 0L)
-          else {
+          else if (u.price / st.lastPrice == 0.0) {
+            // ratio underflowed the double division: the batch plan's
+            // Spark log(0.0) is NULL and the row's return DROPS (it
+            // still serves as the next return's lag) — replicate that,
+            // don't throw where the batch twin silently skips
+            st = st.copy(lastPrice = u.price)
+          } else {
             val q = math.floor(
               math.log(u.price / st.lastPrice) * 1e6).toLong
             if (b != st.bucket) {
@@ -354,7 +365,8 @@ object Streaming {
   def streamingOrderTradeRatio(updates: DataFrame, seconds: Long = 60)
       : DataFrame =
     updates
-      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withColumn("event_time",
+        timestamp_millis(graft.functions.fillDigits(col("ts"))))
       .withWatermark("event_time", "10 minutes")
       .groupBy(col("symbol"),
         window(col("event_time"), s"$seconds seconds"))

@@ -396,6 +396,33 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("ppl bucket assignment keeps NULL-lang docs — the ntile " +
+      "partition semantics, not an equi-join drop") {
+    // the boundary plans and assignment are equi-joins on lang; a NULL
+    // key never equi-matches, so without the sentinel encoding every
+    // NULL-lang doc would silently vanish where ntile(3) OVER
+    // (PARTITION BY lang ...) treats NULL as its own partition
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "en", 3L, -1.0), (2L, "en", 3L, -2.0), (3L, "en", 3L, -3.0),
+      (4L, null.asInstanceOf[String], 3L, -1.5),
+      (5L, null.asInstanceOf[String], 3L, -2.5),
+      (6L, null.asInstanceOf[String], 3L, -3.5))
+    val scored = rows.toDF("doc_id", "lang", "n_bigrams", "avg_logprob")
+    for (plan <- Seq(
+        TextOps.pplBoundaryWindowPlan(scored),
+        TextOps.pplBoundaryBucketedPlan(scored))) {
+      val got = TextOps.assignPplBuckets(scored, plan)
+        .collect().map(r => r.getLong(0) ->
+          ((Option(r.getString(1)), r.getString(4)))).toMap
+      assert(got.keySet === rows.map(_._1).toSet,
+        s"docs dropped: ${rows.map(_._1).toSet -- got.keySet}")
+      assert(got(4L) === ((None, "head")) && got(5L) === ((None, "middle"))
+        && got(6L) === ((None, "tail")), s"null-lang terciles wrong: $got")
+      assert(got(1L)._2 === "head" && got(3L)._2 === "tail")
+    }
+  }
+
   test("salted two-stage prefix sum == single-window cumsum over the " +
       "md5 doc order") {
     // the >LangWindowMaxRows arm of unimaxApply: integer partial sums

@@ -127,6 +127,41 @@ class OverflowAuditSpec extends SparkSpec {
       s"fold overflow not loud: $ex")
   }
 
+  test("streamingRealizedVol on a ratio that underflows to 0.0: the " +
+      "return drops like the batch plan's NULL log, no crash") {
+    // batch: Spark log(0.0) = NULL -> the return is filtered out but
+    // the row still serves as the next return's lag; the fold must
+    // replicate that, not throw from multiplyExact(Long.MinValue, ...)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    val ups = Seq(
+      Update("uf", t0, 0L, is_trade = true, is_bid = true, 1.0e300, 1.0),
+      Update("uf", t0 + 1, 1L, is_trade = true, is_bid = true,
+        1.0e-300, 1.0), // ratio 1e-600 -> 0.0: return drops
+      Update("uf", t0 + 2, 2L, is_trade = true, is_bid = true, 2.0e-300,
+        1.0), // ln(2) vs the DROPPED row's price — it is still the lag
+      Update("uf", t0 + 120000, 9L, is_trade = true, is_bid = true, 1.0,
+        1.0)) // next bucket: closes the first
+    val want = graft.operators.Microstructure
+      .realizedVol(updatesDf(ups))
+      .where(col("start") === t0 / 1000 / 60 * 60)
+      .select("n_returns", "sum_sq_q").head()
+    assert(want.getLong(0) === 1L) // only the ln(2) return survives
+    val in = MemoryStream[Update]
+    val q = graft.streaming.Streaming.streamingRealizedVol(in.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ufrv").start()
+    in.addData(ups: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ufrv")
+      .select("n_returns", "sum_sq_q").head()
+    assert((got.getLong(0), got.getLong(1)) ===
+      ((want.getLong(0), want.getLong(1))),
+      "streamed bucket diverges from batch on the underflow ratio")
+  }
+
   // --------------------------------------------------------- twap quote
 
   test("twapQuote at the cents bound: exact vs BigInt scalar replay") {
