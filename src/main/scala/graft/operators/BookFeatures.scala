@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Order-book derived features over the reconstructed snapshot
+  * ([[Orderbook.snapshot]]) and the raw trade stream — the microstructure
+  * signals a quant pipeline derives next after top-of-book (B2): the
+  * size-weighted microprice, depth imbalance near the touch, and rolling
+  * trailing-window trade volume. All compose the existing B-family
+  * operators (the reference stops at `orderbook.rs:84-131` midprice; these
+  * are the natural extensions its users compute downstream).
+  *
+  * Determinism contract as everywhere: exact decimal sums for anything
+  * accumulated, and the final ratios as single IEEE divisions spelled
+  * identically in the DuckDB twins.
+  */
+object BookFeatures {
+
+  /** Size-weighted microprice per symbol
+    * (`(bb·ask_size + ba·bid_size) / (bid_size + ask_size)` — the classic
+    * queue-imbalance-adjusted fair price): best levels AND their resting
+    * sizes off the snapshot. Levels are unique per (symbol, side), so the
+    * struct extrema pick each side's touch with its size deterministically.
+    * A symbol missing a side, or with zero total touch size, emits null
+    * microprice (0/0 is undefined, not 0 — the vwap stance). */
+  def microprice(book: DataFrame, decimals: Int = 2): DataFrame = {
+    def und(c: Column) = undiscretize(c, decimals)
+    book.groupBy("symbol")
+      .agg(
+        max(when(col("is_bid"),
+          struct(col("level"), col("size")))).as("bb"),
+        min(when(!col("is_bid"),
+          struct(col("level"), col("size")))).as("ba"))
+      .select(col("symbol"),
+        und(col("bb.level")).as("best_bid"),
+        col("bb.size").as("bid_size"),
+        und(col("ba.level")).as("best_ask"),
+        col("ba.size").as("ask_size"))
+      .withColumn("microprice",
+        when(col("bid_size") + col("ask_size") =!= 0.0d,
+          (col("best_bid") * col("ask_size") +
+            col("best_ask") * col("bid_size")) /
+            (col("bid_size") + col("ask_size"))))
+  }
+
+  /** DuckDB twin of [[microprice]] over a `book` CTE (the snapshot). */
+  def micropriceSql(decimals: Int = 2): String = {
+    val p = math.pow(10, decimals)
+    s"""SELECT symbol, best_bid, bid_size, best_ask, ask_size,
+       | CASE WHEN bid_size + ask_size <> 0.0 THEN
+       |  (best_bid * ask_size + best_ask * bid_size)
+       |   / (bid_size + ask_size) END AS microprice
+       |FROM (
+       | SELECT symbol,
+       |  CAST(max(CASE WHEN is_bid THEN level END) AS DOUBLE) / $p
+       |   AS best_bid,
+       |  arg_max(CASE WHEN is_bid THEN size END,
+       |    CASE WHEN is_bid THEN level END) AS bid_size,
+       |  CAST(min(CASE WHEN NOT is_bid THEN level END) AS DOUBLE) / $p
+       |   AS best_ask,
+       |  arg_min(CASE WHEN NOT is_bid THEN size END,
+       |    CASE WHEN NOT is_bid THEN level END) AS ask_size
+       | FROM book GROUP BY symbol)
+       |ORDER BY symbol""".stripMargin.replace('\n', ' ')
+  }
+
+  /** Depth imbalance near the touch, per symbol: resting size summed
+    * over each side's levels within `k` ticks of its own best
+    * (`bid: level ≥ bb − k`, `ask: level ≤ ba + k`), and
+    * `imbalance = (bid_depth − ask_depth) / (bid_depth + ask_depth)`.
+    * The per-symbol best-level table is bounded by symbol cardinality →
+    * broadcast; sums are exact decimal. */
+  def depthImbalance(book: DataFrame, k: Long = 10L): DataFrame = {
+    val bests = book.groupBy("symbol").agg(
+      max(when(col("is_bid"), col("level"))).as("bb"),
+      min(when(!col("is_bid"), col("level"))).as("ba"))
+    book.join(broadcast(bests), "symbol")
+      .where(
+        (col("is_bid") && col("bb").isNotNull &&
+          col("level") >= col("bb") - k) ||
+        (!col("is_bid") && col("ba").isNotNull &&
+          col("level") <= col("ba") + k))
+      .groupBy("symbol")
+      .agg(
+        exactSum(when(col("is_bid"), col("size")).otherwise(0.0d))
+          .as("bid_depth"),
+        exactSum(when(!col("is_bid"), col("size")).otherwise(0.0d))
+          .as("ask_depth"))
+      .withColumn("imbalance",
+        when(col("bid_depth") + col("ask_depth") =!= 0.0d,
+          (col("bid_depth") - col("ask_depth")) /
+            (col("bid_depth") + col("ask_depth"))))
+  }
+
+  /** DuckDB twin of [[depthImbalance]] over a `book` CTE. */
+  def depthImbalanceSql(k: Long = 10L): String =
+    s"""SELECT symbol, bid_depth, ask_depth,
+       | CASE WHEN bid_depth + ask_depth <> 0.0 THEN
+       |  (bid_depth - ask_depth) / (bid_depth + ask_depth)
+       | END AS imbalance
+       |FROM (
+       | SELECT b.symbol,
+       |  CAST(SUM(CAST(CASE WHEN b.is_bid THEN b.size ELSE 0.0 END
+       |    AS DECIMAL(30,4))) AS DOUBLE) AS bid_depth,
+       |  CAST(SUM(CAST(CASE WHEN NOT b.is_bid THEN b.size ELSE 0.0 END
+       |    AS DECIMAL(30,4))) AS DOUBLE) AS ask_depth
+       | FROM book b
+       | JOIN (SELECT symbol,
+       |    max(CASE WHEN is_bid THEN level END) AS bb,
+       |    min(CASE WHEN NOT is_bid THEN level END) AS ba
+       |   FROM book GROUP BY symbol) t ON b.symbol = t.symbol
+       | WHERE (b.is_bid AND t.bb IS NOT NULL AND b.level >= t.bb - $k)
+       |  OR (NOT b.is_bid AND t.ba IS NOT NULL AND b.level <= t.ba + $k)
+       | GROUP BY b.symbol)
+       |ORDER BY symbol""".stripMargin.replace('\n', ' ')
+
+  /** Rolling trailing-window trade volume: for every trade, the exact
+    * trade count and summed size over the symbol's trailing `windowMs`
+    * milliseconds (RANGE frame — peers at the same ts are all included,
+    * identical frame semantics in both engines). One per-symbol ordered
+    * window — the key-bounded shuffle shape of the per-symbol folds. */
+  def rollingVolume(updates: DataFrame,
+      windowMs: Long = 60000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("symbol")).orderBy(col("ts"))
+      .rangeBetween(-(windowMs - 1), 0)
+    updates.where(col("is_trade"))
+      .select(col("symbol"), col("ts"), col("seq"), col("size"))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("vol_window",
+        sum(col("size").cast("decimal(30,4)")).over(w).cast("double"))
+  }
+
+  /** DuckDB twin of [[rollingVolume]] over the `updates` CTE. */
+  def rollingVolumeSql(windowMs: Long = 60000L): String =
+    s"""SELECT symbol, ts, seq, size,
+       | CAST(count(*) OVER w AS BIGINT) AS n_window,
+       | CAST(SUM(CAST(size AS DECIMAL(30,4))) OVER w AS DOUBLE)
+       |  AS vol_window
+       |FROM updates WHERE is_trade
+       |WINDOW w AS (PARTITION BY symbol ORDER BY ts
+       | RANGE BETWEEN ${windowMs - 1} PRECEDING AND CURRENT ROW)
+       |ORDER BY symbol, ts, seq""".stripMargin.replace('\n', ' ')
+}

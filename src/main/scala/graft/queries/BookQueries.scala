@@ -37,6 +37,33 @@ object BookQueries {
         s"book AS (${Orderbook.snapshotSql(Decimals)})",
         Orderbook.topSql(Decimals)))),
 
+    // B2+ — size-weighted microprice off the snapshot touch (the
+    // queue-imbalance-adjusted fair price a quant pipeline derives
+    // right after midprice)
+    Q("q_microprice",
+      (s, dir) => BookFeatures.microprice(
+        Orderbook.snapshot(u(s, dir), Decimals), Decimals)
+        .orderBy("symbol"),
+      Some(Tables.withUpdates(
+        s"book AS (${Orderbook.snapshotSql(Decimals)})",
+        BookFeatures.micropriceSql(Decimals)))),
+
+    // B2+ — depth imbalance within 10 ticks of each side's best:
+    // exact decimal depth sums, bounded best-level table broadcast
+    Q("q_depth_imbalance",
+      (s, dir) => BookFeatures.depthImbalance(
+        Orderbook.snapshot(u(s, dir), Decimals)).orderBy("symbol"),
+      Some(Tables.withUpdates(
+        s"book AS (${Orderbook.snapshotSql(Decimals)})",
+        BookFeatures.depthImbalanceSql()))),
+
+    // A3+ — rolling trailing-60s trade volume per trade row (RANGE
+    // frame: identical peer semantics both engines; exact decimal sum)
+    Q("q_rolling_volume",
+      (s, dir) => BookFeatures.rollingVolume(u(s, dir))
+        .orderBy("symbol", "ts", "seq"),
+      Some(Tables.withUpdates(BookFeatures.rollingVolumeSql()))),
+
     // B3 — rebinned orderbook: 2-D (price-bin × time-bin) downsample of
     // book evolution (`orderbook.rs:174-281`); Spark side is the sequential
     // coarse-delta fold, oracle side rewrites the clamp-at-0 state with the

@@ -88,6 +88,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("book features: rolling window keyed on symbol; depth imbalance " +
+      "broadcasts its bounded best-level table; no cartesians") {
+    val pRoll = plan("q_rolling_volume")
+    assert(pRoll.contains("Window"), s"no window:\n$pRoll")
+    assert(pRoll.contains("hashpartitioning(symbol"),
+      s"rolling window not keyed on symbol:\n$pRoll")
+    assert(!pRoll.contains("SinglePartition"),
+      s"rolling window collapsed to one task:\n$pRoll")
+    for (q <- Seq("q_microprice", "q_depth_imbalance")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+    }
+    assert(plan("q_depth_imbalance").contains("BroadcastExchange"),
+      "best-level table not broadcast")
+  }
+
   test("ppl boundary cut uses bucketed rank — no per-language score " +
       "sort, no ntile (VERDICT r10 #1)") {
     // the >PplWindowMaxRows dispatch arm: the dominant language of a web
