@@ -282,6 +282,141 @@ object Microstructure {
        | GROUP BY 1, 2, 3)
        |ORDER BY symbol, is_bid, start""".stripMargin.replace('\n', ' ')
 
+  /** Tick-rule signed order flow per (symbol, bucket): each trade is
+    * classified buyer-initiated (+1) when its price UPticked vs the
+    * previous trade, seller-initiated (−1) on a downtick, and CARRIES
+    * the last non-zero sign on a zero tick (the classic Lee-Ready tick
+    * test without quote data — complements [[tradeImbalance]], which
+    * trusts the feed's side flag). `signed_vol = Σ sign·size`,
+    * `class_vol = Σ size` over CLASSIFIED trades (a symbol's leading
+    * trades before its first price change have no sign and carry no
+    * weight, though they count in `n_trades`), and
+    * `flow_ratio = signed_vol / class_vol` (null when class_vol = 0).
+    *
+    * Exactness: sign·size is an IEEE multiply by ±1 (exact), summed in
+    * decimal; the ratio is one IEEE division. Scale shape: both windows
+    * (the lag and the running last-non-zero) share one per-symbol
+    * (ts, seq) sort — a single shuffle — feeding the partial
+    * (symbol, bucket) aggregation. */
+  def tickRuleFlow(updates: DataFrame, seconds: Long = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("symbol")).orderBy(col("ts"), col("seq"))
+    val prev = lag(col("price"), 1).over(w)
+    val dir = when(col("price") > prev, 1)
+      .when(col("price") < prev, -1).otherwise(0)
+    updates.where(col("is_trade"))
+      .select(col("symbol"), col("ts"), col("seq"), col("price"),
+        col("size"))
+      .withColumn("dir", dir)
+      .withColumn("sgn",
+        last(when(col("dir") =!= 0, col("dir")), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      .groupBy(col("symbol"), bucketed(seconds))
+      .agg(
+        count(lit(1)).as("n_trades"),
+        exactSum(when(col("sgn") === 1, col("size"))
+          .when(col("sgn") === -1, -col("size"))
+          .otherwise(0.0d)).as("signed_vol"),
+        exactSum(when(col("sgn").isNotNull, col("size"))
+          .otherwise(0.0d)).as("class_vol"))
+      .select(col("symbol"), col("start"), col("n_trades"),
+        col("signed_vol"), col("class_vol"),
+        when(col("class_vol") =!= 0.0d,
+          col("signed_vol") / col("class_vol")).as("flow_ratio"))
+  }
+
+  def tickRuleFlowSql(seconds: Long = 60): String =
+    s"""SELECT symbol, start, n_trades, signed_vol, class_vol,
+       | CASE WHEN class_vol <> 0.0 THEN signed_vol / class_vol END
+       |  AS flow_ratio
+       |FROM (
+       | SELECT symbol, ((ts // 1000) // $seconds) * $seconds AS start,
+       |  count(*) AS n_trades,
+       |  CAST(SUM(CAST(CASE WHEN sgn = 1 THEN size
+       |   WHEN sgn = -1 THEN -size ELSE 0.0 END AS DECIMAL(30,4)))
+       |   AS DOUBLE) AS signed_vol,
+       |  CAST(SUM(CAST(CASE WHEN sgn IS NOT NULL THEN size ELSE 0.0 END
+       |   AS DECIMAL(30,4))) AS DOUBLE) AS class_vol
+       | FROM (
+       |  SELECT symbol, ts, size,
+       |   last_value(CASE WHEN dir <> 0 THEN dir END IGNORE NULLS)
+       |    OVER (PARTITION BY symbol ORDER BY ts, seq
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sgn
+       |  FROM (
+       |   SELECT symbol, ts, seq, size,
+       |    CASE WHEN price > lag(price, 1) OVER w THEN 1
+       |     WHEN price < lag(price, 1) OVER w THEN -1 ELSE 0 END AS dir
+       |   FROM updates WHERE is_trade
+       |   WINDOW w AS (PARTITION BY symbol ORDER BY ts, seq)))
+       | GROUP BY 1, 2)
+       |ORDER BY symbol, start""".stripMargin.replace('\n', ' ')
+
+  /** Effective spread per (symbol, bucket): for each trade,
+    * `2·|price − mid|` against the PREVAILING touch proxy — the last
+    * bid level price and last ask level price strictly earlier in the
+    * (ts, seq) total order (level SETs with size > 0, the
+    * [[bucketSpread]] convention; strictly-earlier is the
+    * [[graft.operators.AsofJoin]] frame) — the execution-quality
+    * metric benchmarked against the quoted spread. Emits the exact
+    * decimal sum and the count of CLASSIFIED trades (both prevailing
+    * sides known); `avg_eff_spread` is one IEEE division. A trade
+    * before its symbol's first two-sided quote is unclassified and
+    * carries no weight (it still counts in `n_trades`).
+    *
+    * Scale shape: both last-non-null windows share one per-symbol
+    * (ts, seq) sort — a single shuffle, O(1) frame state — feeding the
+    * partial (symbol, bucket) aggregation; no per-trade point lookup. */
+  def effectiveSpread(updates: DataFrame, seconds: Long = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("symbol")).orderBy(col("ts"), col("seq"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def sideLast(side: org.apache.spark.sql.Column) =
+      last(when(!col("is_trade") && col("size") > 0.0d && side,
+        col("price")), ignoreNulls = true).over(w)
+    updates
+      .withColumn("pb", sideLast(col("is_bid")))
+      .withColumn("pa", sideLast(!col("is_bid")))
+      .where(col("is_trade"))
+      .withColumn("eff",
+        lit(2.0d) * abs(col("price") - (col("pb") + col("pa")) / 2.0d))
+      .groupBy(col("symbol"), bucketed(seconds))
+      .agg(
+        count(lit(1)).as("n_trades"),
+        count(col("eff")).as("n_classified"),
+        exactSum(coalesce(col("eff"), lit(0.0d))).as("eff_sum"))
+      .select(col("symbol"), col("start"), col("n_trades"),
+        col("n_classified"), col("eff_sum"),
+        when(col("n_classified") =!= 0L,
+          col("eff_sum") / col("n_classified").cast("double"))
+          .as("avg_eff_spread"))
+  }
+
+  def effectiveSpreadSql(seconds: Long = 60): String =
+    s"""SELECT symbol, start, n_trades, n_classified, eff_sum,
+       | CASE WHEN n_classified <> 0 THEN
+       |  eff_sum / CAST(n_classified AS DOUBLE) END AS avg_eff_spread
+       |FROM (
+       | SELECT symbol, ((ts // 1000) // $seconds) * $seconds AS start,
+       |  count(*) AS n_trades,
+       |  count(eff) AS n_classified,
+       |  CAST(SUM(CAST(coalesce(eff, 0.0) AS DECIMAL(30,4))) AS DOUBLE)
+       |   AS eff_sum
+       | FROM (
+       |  SELECT symbol, ts, 2.0 * abs(price - (pb + pa) / 2.0) AS eff,
+       |   is_trade
+       |  FROM (
+       |   SELECT symbol, ts, is_trade, price,
+       |    last_value(CASE WHEN NOT is_trade AND size > 0.0 AND is_bid
+       |      THEN price END IGNORE NULLS) OVER w AS pb,
+       |    last_value(CASE WHEN NOT is_trade AND size > 0.0 AND NOT is_bid
+       |      THEN price END IGNORE NULLS) OVER w AS pa
+       |   FROM updates
+       |   WINDOW w AS (PARTITION BY symbol ORDER BY ts, seq
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)))
+       | WHERE is_trade GROUP BY 1, 2)
+       |ORDER BY symbol, start""".stripMargin.replace('\n', ' ')
+
   def bucketSpreadSql(seconds: Long = 60): String =
     s"""SELECT symbol, start, last_bid, last_ask,
        | last_ask - last_bid AS spread,

@@ -169,6 +169,16 @@ object TickQueries {
         .orderBy("symbol", "start"),
       Some(Tables.withUpdates(Microstructure.tradeImbalanceSql()))),
 
+    Q("q_tick_rule_flow",
+      (s, dir) => Microstructure.tickRuleFlow(u(s, dir))
+        .orderBy("symbol", "start"),
+      Some(Tables.withUpdates(Microstructure.tickRuleFlowSql()))),
+
+    Q("q_effective_spread",
+      (s, dir) => Microstructure.effectiveSpread(u(s, dir))
+        .orderBy("symbol", "start"),
+      Some(Tables.withUpdates(Microstructure.effectiveSpreadSql()))),
+
     Q("q_bucket_spread",
       (s, dir) => Microstructure.bucketSpread(u(s, dir))
         .orderBy("symbol", "start"),

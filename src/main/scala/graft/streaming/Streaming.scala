@@ -454,6 +454,178 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Scalar twins of the batch ops' decimal(·,4) arithmetic, in a
+    * standalone serializable holder so state-fold closures can call
+    * them without capturing the (non-serializable) enclosing object. */
+  private object Dec4 extends Serializable {
+    /** Twin of `cast(x AS decimal(·,4))`: Spark's double→decimal cast
+      * parses the double's SHORTEST decimal representation and rounds
+      * HALF_UP to scale 4 — reproduced here on the unscaled long so
+      * streaming folds can sum exactly and fail-loud on overflow
+      * instead of drifting. */
+    def dec4(d: Double): Long =
+      new java.math.BigDecimal(java.lang.Double.toString(d))
+        .setScale(4, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+
+    /** Twin of `cast(decimalValue AS double)` on a scale-4 sum. */
+    def dec4ToDouble(unscaled: Long): Double =
+      java.math.BigDecimal.valueOf(unscaled, 4).doubleValue()
+  }
+
+  /** Per-(symbol, is_bid, level) book-state cell carrying the BATCH
+    * snapshot's arithmetic shape, not the naive sequential one:
+    * [[graft.operators.Orderbook.snapshot]] computes each level as
+    * `lvl_size − cast(Σ decimal(30,4) traded-after-last-set AS double)`
+    * (one decimal sum, ONE double subtraction), which is not in general
+    * the IEEE value of `((lvl_size − t1) − t2)…` — so the stream keeps
+    * (last set size, exact unscaled traded sum) and materializes the
+    * subtraction only at emission, making every emitted size bit-equal
+    * to the batch snapshot by construction. */
+  case class LevelCell(lastSize: Double, tradedUnscaled: Long)
+
+  case class BookFeat(symbol: String,
+      best_bid: Option[Double], bid_size: Option[Double],
+      best_ask: Option[Double], ask_size: Option[Double],
+      microprice: Option[Double],
+      bid_depth: Double, ask_depth: Double, imbalance: Option[Double])
+
+  /** Book-derived features on a STREAM — the ingest-time twin of
+    * [[graft.operators.BookFeatures.microprice]] and
+    * [[graft.operators.BookFeatures.depthImbalance]] off ONE shared
+    * incremental book state (the [[streamingBookTop]] key packing,
+    * [[LevelCell]] cells for batch-exact sizes). Emits one row per
+    * symbol per micro-batch with the CURRENT features — the serving
+    * cadence; feeding the whole history is the batch result bit-for-bit
+    * (StreamingSpec proves both features against the batch ops).
+    *
+    * Parity notes, all inherited from the batch ops: a level set to
+    * size 0 is REMOVED; a level whose computed size reaches 0 via
+    * trades is KEPT (the batch filter is on last-set size only); a
+    * symbol missing a side emits null microprice and that side's
+    * best/size as null; depth sums quantize each included level's
+    * computed size to decimal scale 4 (the `exactSum` cast) and sum
+    * exactly. State is bounded by live price levels per symbol. */
+  def streamingBookFeatures(updates: Dataset[Update], decimals: Int = 2,
+      k: Long = 10L): Dataset[BookFeat] = {
+    import updates.sparkSession.implicits._
+    val mult = math.pow(10, decimals)
+    val Dec4 = Streaming.Dec4 // local binding: the closure captures the
+    // serializable holder, not the enclosing (non-serializable) object
+    def fn(sym: String, rows: Iterator[Update],
+        state: GroupState[Map[Long, LevelCell]]): Iterator[BookFeat] = {
+      var b = state.getOption.getOrElse(Map.empty[Long, LevelCell])
+      rows.toSeq.sortBy(u => (u.ts, u.seq)).foreach { u =>
+        val lvl = math.floor(u.price * mult).toLong
+        val key = (lvl << 1) | (if (u.is_bid) 1L else 0L)
+        if (u.is_trade)
+          b.get(key).foreach { c =>
+            b = b.updated(key, c.copy(tradedUnscaled =
+              Math.addExact(c.tradedUnscaled, Dec4.dec4(u.size))))
+          }
+        else if (u.size == 0.0) b = b.removed(key)
+        else b = b.updated(key, LevelCell(u.size, 0L))
+      }
+      state.update(b)
+      if (b.isEmpty) Iterator.empty
+      else {
+        // batch snapshot arithmetic: lastSize − double(Σ decimal traded)
+        def sizeOf(c: LevelCell): Double =
+          if (c.tradedUnscaled == 0L) c.lastSize
+          else c.lastSize - Dec4.dec4ToDouble(c.tradedUnscaled)
+        val bids = b.collect { case (kk, c) if (kk & 1L) == 1L =>
+          (kk >> 1, c) }
+        val asks = b.collect { case (kk, c) if (kk & 1L) == 0L =>
+          (kk >> 1, c) }
+        val bb = if (bids.isEmpty) None else Some(bids.keysIterator.max)
+        val ba = if (asks.isEmpty) None else Some(asks.keysIterator.min)
+        val bidSz = bb.map(l => sizeOf(bids(l)))
+        val askSz = ba.map(l => sizeOf(asks(l)))
+        val bestBid = bb.map(_.toDouble / mult)
+        val bestAsk = ba.map(_.toDouble / mult)
+        val micro = for {
+          bbd <- bestBid; bad <- bestAsk; bs <- bidSz; as <- askSz
+          if bs + as != 0.0d
+        } yield (bbd * as + bad * bs) / (bs + as)
+        // depth within k ticks of each side's own best, exact scale-4 sums
+        val bidDepth = bb.fold(0L)(l => bids.iterator
+          .filter(_._1 >= l - k)
+          .map(e => Dec4.dec4(sizeOf(e._2)))
+          .foldLeft(0L)(Math.addExact))
+        val askDepth = ba.fold(0L)(l => asks.iterator
+          .filter(_._1 <= l + k)
+          .map(e => Dec4.dec4(sizeOf(e._2)))
+          .foldLeft(0L)(Math.addExact))
+        val bd = Dec4.dec4ToDouble(bidDepth)
+        val ad = Dec4.dec4ToDouble(askDepth)
+        val imb = if (bd + ad != 0.0d) Some((bd - ad) / (bd + ad)) else None
+        Iterator.single(BookFeat(sym, bestBid, bidSz, bestAsk, askSz,
+          micro, bd, ad, imb))
+      }
+    }
+    updates.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Per-symbol rolling-volume state: the trailing-window trade buffer
+    * (ts, exact unscaled scale-4 size) plus the UNRESOLVED newest-ts
+    * peer group — a RANGE frame includes ALL trades at a row's own ts
+    * (later-seq peers too), so a row can only resolve once a strictly
+    * later ts arrives for its symbol. */
+  case class RollState(buf: List[(Long, Long)],
+      pend: List[(Long, Long, Double, Long)])
+  case class RollRow(symbol: String, ts: Long, seq: Long, size: Double,
+      n_window: Long, vol_window: Double)
+
+  /** Trailing-window rolling trade volume on a STREAM — the ingest-time
+    * twin of [[graft.operators.BookFeatures.rollingVolume]] as a
+    * per-symbol ordered fold with emit-on-advance peer resolution: rows
+    * at the newest ts stay pending until a strictly later trade arrives
+    * (RANGE-frame peers — the batch frame includes same-ts rows with
+    * LATER seq, which a stream cannot have seen), then every pending
+    * peer emits with the full peer group counted — so each symbol's
+    * final ts group stays open (the fold twins' dropLast stance) and
+    * everything emitted matches the batch op bit-exactly
+    * (StreamingSpec): same exact scale-4 decimal sum ([[Dec4.dec4]]), same
+    * single cast-to-double. State is bounded by the trades inside one
+    * `windowMs` span per symbol. Within a micro-batch rows fold in
+    * (ts, seq) order; across batches in-order arrival per symbol is
+    * assumed — the engine's own append contract. */
+  def streamingRollingVolume(updates: Dataset[Update],
+      windowMs: Long = 60000L): Dataset[RollRow] = {
+    import updates.sparkSession.implicits._
+    val Dec4 = Streaming.Dec4 // see streamingBookFeatures: avoid capture
+    def fn(sym: String, rows: Iterator[Update],
+        state: GroupState[RollState]): Iterator[RollRow] = {
+      var st = state.getOption.getOrElse(RollState(Nil, Nil))
+      val out = Seq.newBuilder[RollRow]
+      def resolve(): Unit = if (st.pend.nonEmpty) {
+        val t = st.pend.head._1
+        // peers enter the frame of every peer, then the frame is the
+        // pruned trailing buffer — identical for the whole peer group
+        val buf = (st.buf ++ st.pend.map(p => (p._1, p._4)))
+          .filter(_._1 >= t - (windowMs - 1))
+        val n = buf.length.toLong
+        val vol = Dec4.dec4ToDouble(buf.iterator.map(_._2)
+          .foldLeft(0L)(Math.addExact))
+        st.pend.reverseIterator.foreach { case (ts, seq, size, _) =>
+          out += RollRow(sym, ts, seq, size, n, vol)
+        }
+        st = RollState(buf, Nil)
+      }
+      rows.toSeq.filter(_.is_trade).sortBy(u => (u.ts, u.seq)).foreach { u =>
+        if (st.pend.nonEmpty && u.ts != st.pend.head._1) resolve()
+        st = st.copy(pend = (u.ts, u.seq, u.size, Dec4.dec4(u.size)) :: st.pend)
+      }
+      state.update(st)
+      out.result().iterator
+    }
+    updates.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Per-source token budgeting on a STREAM of documents — the ingest-time
     * twin of [[graft.ext.Pipeline.tokenBudget]]: per-source state is one
     * running token total (O(1) per key) carried across micro-batches; a

@@ -104,6 +104,24 @@ class PlanSpec extends SparkSpec {
       "best-level table not broadcast")
   }
 
+  test("tick-rule flow and effective spread: both windows share ONE " +
+      "per-symbol sort (single shuffle) feeding a partial aggregation") {
+    for (q <- Seq("q_tick_rule_flow", "q_effective_spread")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+      assert(p.contains("hashpartitioning(symbol"),
+        s"$q window not keyed on symbol:\n$p")
+      // the lag/last windows must reuse one symbol-keyed exchange: more
+      // than one hashpartitioning(symbol ...) Exchange means the plan
+      // re-shuffles between the two window passes
+      val exchanges = "Exchange hashpartitioning\\(symbol".r
+        .findAllIn(p).length
+      assert(exchanges <= 2, // one for windows + one for the final agg
+        s"$q re-shuffles between window passes ($exchanges):\n$p")
+      assert(p.contains("partial_"), s"$q no partial agg:\n$p")
+    }
+  }
+
   test("ppl boundary cut uses bucketed rank — no per-language score " +
       "sort, no ntile (VERDICT r10 #1)") {
     // the >PplWindowMaxRows dispatch arm: the dominant language of a web

@@ -226,6 +226,83 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming rolling volume replays the batch RANGE window " +
+      "bit-exactly up to the pending peer group") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ups = Tables.updatesDs(spark, sf("sf0.001")).collect()
+      .sortBy(u0 => (u0.ts, u0.seq))
+    val batch = graft.operators.BookFeatures
+      .rollingVolume(updatesDf(ups.toSeq)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    // emit-on-advance: each symbol's final ts peer group stays pending
+    val lastTsPerSym = batch.keys.groupBy(_._1).view
+      .mapValues(_.map(_._2).max).toMap
+    val wantKeys = batch.keySet
+      .filterNot { case (s0, t, _) => lastTsPerSym(s0) == t }
+    val in = MemoryStream[Update]
+    val q = Streaming.streamingRollingVolume(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("sroll").start()
+    val (b1, b2) = ups.splitAt(ups.length / 2)
+    in.addData(b1.toSeq: _*); q.processAllAvailable()
+    in.addData(b2.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sroll").as[Streaming.RollRow].collect()
+      .map(r => (r.symbol, r.ts, r.seq) ->
+        ((r.size, r.n_window, r.vol_window))).toMap
+    assert(wantKeys.nonEmpty)
+    assert(got.keySet === wantKeys,
+      s"missing ${(wantKeys -- got.keySet).take(3)}, " +
+        s"extra ${(got.keySet -- wantKeys).take(3)}")
+    wantKeys.foreach { k =>
+      assert(got(k) === batch(k), s"rolling-volume drift at $k")
+    }
+  }
+
+  test("streaming book features converge on the batch microprice and " +
+      "depth imbalance bit-exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ups = Tables.updatesDs(spark, sf("sf0.001")).collect()
+      .sortBy(u0 => (u0.ts, u0.seq))
+    val book = graft.operators.Orderbook.snapshot(updatesDf(ups.toSeq))
+    def opt(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    val wantMicro = graft.operators.BookFeatures.microprice(book)
+      .collect().map(r => r.getString(0) ->
+        ((opt(r, 1), opt(r, 2), opt(r, 3), opt(r, 4), opt(r, 5)))).toMap
+    val wantDepth = graft.operators.BookFeatures.depthImbalance(book)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), opt(r, 3)))).toMap
+    val in = MemoryStream[Update]
+    val q = Streaming.streamingBookFeatures(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("sbookfeat").start()
+    val (b1, b2) = ups.splitAt(ups.length / 2)
+    in.addData(b1.toSeq: _*); q.processAllAvailable()
+    in.addData(b2.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    // serving cadence: one row per symbol per micro-batch — the LAST
+    // emitted row per symbol is the full-history state
+    val got = spark.table("sbookfeat").as[Streaming.BookFeat].collect()
+      .zipWithIndex.groupBy(_._1.symbol).view
+      .mapValues(_.maxBy(_._2)._1).toMap
+    assert(wantMicro.nonEmpty)
+    assert(got.keySet === wantMicro.keySet)
+    wantMicro.foreach { case (s0, (bb, bs, ba, as0, mp)) =>
+      val g = got(s0)
+      assert((g.best_bid, g.bid_size, g.best_ask, g.ask_size,
+        g.microprice) === ((bb, bs, ba, as0, mp)), s"microprice drift $s0")
+    }
+    // depthImbalance drops symbols whose book is empty post-filter —
+    // every emitted symbol with a surviving book row must match
+    wantDepth.foreach { case (s0, (bd, ad, imb)) =>
+      val g = got(s0)
+      assert((g.bid_depth, g.ask_depth, g.imbalance) === ((bd, ad, imb)),
+        s"depth drift $s0")
+    }
+  }
+
   test("streaming dedup collapses replayed frames across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
