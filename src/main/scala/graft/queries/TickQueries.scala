@@ -179,6 +179,11 @@ object TickQueries {
         .orderBy("symbol", "start"),
       Some(Tables.withUpdates(Microstructure.effectiveSpreadSql()))),
 
+    Q("q_roll_spread",
+      (s, dir) => Microstructure.rollSpread(u(s, dir))
+        .orderBy("symbol", "start"),
+      Some(Tables.withUpdates(Microstructure.rollSpreadSql()))),
+
     Q("q_bucket_spread",
       (s, dir) => Microstructure.bucketSpread(u(s, dir))
         .orderBy("symbol", "start"),

@@ -473,6 +473,199 @@ object Streaming {
       java.math.BigDecimal.valueOf(unscaled, 4).doubleValue()
   }
 
+  /** Per-symbol tick-rule state: prevailing trade price, the running
+    * last-non-zero tick sign (0 = no classified tick yet), the open
+    * bucket, and its exact unscaled scale-4 accumulators. */
+  case class TickFlowState(lastPrice: Double, carry: Int, bucket: Long,
+      n: Long, signedU: Long, classU: Long)
+  case class TickFlowBucket(symbol: String, start: Long, n_trades: Long,
+      signed_vol: Double, class_vol: Double, flow_ratio: Option[Double])
+
+  /** Tick-rule signed order flow on a STREAM — the ingest-time twin of
+    * [[graft.operators.Microstructure.tickRuleFlow]] as a per-symbol
+    * ordered fold (the [[streamingRealizedVol]] shape): state is one
+    * (lastPrice, carried sign, open-bucket sums) tuple, O(1) per key.
+    * The batch op's two windows (the price lag and the running
+    * last-non-zero sign) collapse into the fold's own order; sums are
+    * the same scale-4 decimal arithmetic ([[Dec4]]), so emitted buckets
+    * match the batch op bit-exactly (StreamingSpec). Emit-on-advance:
+    * each symbol's in-progress final bucket stays open (the fold
+    * twins' dropLast stance). Within a micro-batch rows fold in
+    * (ts, seq) order; across batches in-order arrival per symbol is
+    * assumed — the engine's own append contract. */
+  def streamingTickRuleFlow(updates: Dataset[Update],
+      seconds: Long = 60): Dataset[TickFlowBucket] = {
+    import updates.sparkSession.implicits._
+    val Dec4 = Streaming.Dec4
+    def bucketOf(ts: Long): Long = {
+      val s = CommandParser.fillDigits(ts) / 1000L
+      s / seconds * seconds
+    }
+    def emit(sym: String, st: TickFlowState): TickFlowBucket = {
+      val signed = Dec4.dec4ToDouble(st.signedU)
+      val cls = Dec4.dec4ToDouble(st.classU)
+      TickFlowBucket(sym, st.bucket, st.n, signed, cls,
+        if (cls != 0.0d) Some(signed / cls) else None)
+    }
+    def fn(sym: String, rows: Iterator[Update],
+        state: GroupState[TickFlowState]): Iterator[TickFlowBucket] = {
+      var st = state.getOption.orNull
+      val out = Seq.newBuilder[TickFlowBucket]
+      rows.toSeq.filter(_.is_trade).sortBy(u => (u.ts, u.seq))
+        .foreach { u =>
+          val b = bucketOf(u.ts)
+          if (st == null)
+            // first trade: lag is null → dir 0, no sign to carry
+            st = TickFlowState(u.price, 0, b, 1L, 0L, 0L)
+          else {
+            val dir =
+              if (u.price > st.lastPrice) 1
+              else if (u.price < st.lastPrice) -1 else 0
+            val carry = if (dir != 0) dir else st.carry
+            if (b != st.bucket) { out += emit(sym, st)
+              st = TickFlowState(u.price, carry, b, 0L, 0L, 0L) }
+            val q = Dec4.dec4(u.size)
+            st = TickFlowState(u.price, carry, b, st.n + 1L,
+              if (carry != 0)
+                Math.addExact(st.signedU, if (carry == 1) q else -q)
+              else st.signedU,
+              if (carry != 0) Math.addExact(st.classU, q) else st.classU)
+          }
+        }
+      if (st != null) state.update(st)
+      out.result().iterator
+    }
+    updates.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Per-symbol effective-spread state: the prevailing touch proxy
+    * (last bid / ask level-set prices; NaN = side unseen) plus the open
+    * trade bucket's exact accumulators (Long.MinValue = none open). */
+  case class EffSprState(pb: Double, pa: Double, bucket: Long, n: Long,
+      nClass: Long, effU: Long)
+  case class EffSprBucket(symbol: String, start: Long, n_trades: Long,
+      n_classified: Long, eff_sum: Double,
+      avg_eff_spread: Option[Double])
+
+  /** Effective spread on a STREAM — the ingest-time twin of
+    * [[graft.operators.Microstructure.effectiveSpread]] as a per-symbol
+    * ordered fold over ALL updates: level SETs (size > 0) refresh the
+    * prevailing side price, trades measure `2·|price − mid|` against
+    * the state as-of strictly earlier rows — exactly the batch op's
+    * 1-PRECEDING frame, since the fold updates state after the row.
+    * Same IEEE mid/abs arithmetic and scale-4 decimal sum ([[Dec4]]) as
+    * the batch plan → emitted buckets match it bit-exactly
+    * (StreamingSpec). Emit-on-advance on TRADE buckets (level events
+    * refresh state but never close a bucket — batch buckets exist only
+    * where trades are); each symbol's final bucket stays open. */
+  def streamingEffectiveSpread(updates: Dataset[Update],
+      seconds: Long = 60): Dataset[EffSprBucket] = {
+    import updates.sparkSession.implicits._
+    val Dec4 = Streaming.Dec4
+    def bucketOf(ts: Long): Long = {
+      val s = CommandParser.fillDigits(ts) / 1000L
+      s / seconds * seconds
+    }
+    def emit(sym: String, st: EffSprState): EffSprBucket = {
+      val sum = Dec4.dec4ToDouble(st.effU)
+      EffSprBucket(sym, st.bucket, st.n, st.nClass, sum,
+        if (st.nClass != 0L) Some(sum / st.nClass.toDouble) else None)
+    }
+    def fn(sym: String, rows: Iterator[Update],
+        state: GroupState[EffSprState]): Iterator[EffSprBucket] = {
+      var st = state.getOption.getOrElse(
+        EffSprState(Double.NaN, Double.NaN, Long.MinValue, 0L, 0L, 0L))
+      val out = Seq.newBuilder[EffSprBucket]
+      rows.toSeq.sortBy(u => (u.ts, u.seq)).foreach { u =>
+        if (u.is_trade) {
+          val b = bucketOf(u.ts)
+          if (st.bucket != b) {
+            if (st.bucket != Long.MinValue) out += emit(sym, st)
+            st = st.copy(bucket = b, n = 0L, nClass = 0L, effU = 0L)
+          }
+          if (st.pb.isNaN || st.pa.isNaN) st = st.copy(n = st.n + 1L)
+          else {
+            val eff =
+              2.0d * math.abs(u.price - (st.pb + st.pa) / 2.0d)
+            st = st.copy(n = st.n + 1L, nClass = st.nClass + 1L,
+              effU = Math.addExact(st.effU, Dec4.dec4(eff)))
+          }
+        } else if (u.size > 0.0d) {
+          if (u.is_bid) st = st.copy(pb = u.price)
+          else st = st.copy(pa = u.price)
+        }
+      }
+      state.update(st)
+      out.result().iterator
+    }
+    updates.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Per-symbol Roll-estimator state: the last two trade prices in
+    * cents (Long.MinValue = unseen) plus the open bucket's exact
+    * integer accumulators. */
+  case class RollSprState(c1: Long, c2: Long, bucket: Long, n: Long,
+      sx: Long, sy: Long, sxy: Long)
+  case class RollSprBucket(symbol: String, start: Long, n_pairs: Long,
+      sum_x: Long, sum_y: Long, sum_xy: Long, cov: Double,
+      roll_spread: Option[Double])
+
+  /** Roll's implied spread on a STREAM — the ingest-time twin of
+    * [[graft.operators.Microstructure.rollSpread]] as a per-symbol
+    * ordered fold: state carries the last two cent prices and the open
+    * bucket's exact integer sums (Σx, Σy, Σxy — `addExact`/
+    * `multiplyExact`, the batch op's raise-loud stance), O(1) per key.
+    * Same cents quantization, same final IEEE cov/spread sequence →
+    * emitted buckets match the batch op bit-exactly (StreamingSpec).
+    * Emit-on-advance; each symbol's final bucket stays open. */
+  def streamingRollSpread(updates: Dataset[Update],
+      seconds: Long = 60): Dataset[RollSprBucket] = {
+    import updates.sparkSession.implicits._
+    def bucketOf(ts: Long): Long = {
+      val s = CommandParser.fillDigits(ts) / 1000L
+      s / seconds * seconds
+    }
+    def emit(sym: String, st: RollSprState): RollSprBucket = {
+      val n = st.n.toDouble
+      val cov = (st.sxy.toDouble - st.sx.toDouble * st.sy.toDouble / n) / n
+      RollSprBucket(sym, st.bucket, st.n, st.sx, st.sy, st.sxy, cov,
+        if (cov < 0.0d) Some(2.0d * math.sqrt(-cov) / 100.0d) else None)
+    }
+    def fn(sym: String, rows: Iterator[Update],
+        state: GroupState[RollSprState]): Iterator[RollSprBucket] = {
+      val None_ = Long.MinValue
+      var st = state.getOption.getOrElse(
+        RollSprState(None_, None_, None_, 0L, 0L, 0L, 0L))
+      val out = Seq.newBuilder[RollSprBucket]
+      rows.toSeq.filter(_.is_trade).sortBy(u => (u.ts, u.seq))
+        .foreach { u =>
+          val c0 = math.floor(u.price * 100.0d + 0.5d).toLong
+          if (st.c2 != None_) {
+            val b = bucketOf(u.ts)
+            if (st.bucket != None_ && b != st.bucket && st.n > 0)
+              { out += emit(sym, st); st = st.copy(n = 0L, sx = 0L,
+                sy = 0L, sxy = 0L) }
+            val x = c0 - st.c1
+            val y = st.c1 - st.c2
+            st = st.copy(bucket = b, n = st.n + 1L,
+              sx = Math.addExact(st.sx, x),
+              sy = Math.addExact(st.sy, y),
+              sxy = Math.addExact(st.sxy, Math.multiplyExact(x, y)))
+          }
+          st = st.copy(c2 = st.c1, c1 = c0)
+        }
+      state.update(st)
+      out.result().iterator
+    }
+    updates.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Per-(symbol, is_bid, level) book-state cell carrying the BATCH
     * snapshot's arithmetic shape, not the naive sequential one:
     * [[graft.operators.Orderbook.snapshot]] computes each level as

@@ -106,7 +106,8 @@ class PlanSpec extends SparkSpec {
 
   test("tick-rule flow and effective spread: both windows share ONE " +
       "per-symbol sort (single shuffle) feeding a partial aggregation") {
-    for (q <- Seq("q_tick_rule_flow", "q_effective_spread")) {
+    for (q <- Seq("q_tick_rule_flow", "q_effective_spread",
+        "q_roll_spread")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
       assert(p.contains("hashpartitioning(symbol"),

@@ -226,6 +226,101 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming tick-rule flow and effective spread replay the batch " +
+      "ops bit-exactly; final open bucket per symbol stays pending") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ups = Tables.updatesDs(spark, sf("sf0.001")).collect()
+      .sortBy(u0 => (u0.ts, u0.seq))
+    def optD(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    val wantFlow = graft.operators.Microstructure
+      .tickRuleFlow(updatesDf(ups.toSeq)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4),
+          optD(r, 5)))).toMap
+    val wantEff = graft.operators.Microstructure
+      .effectiveSpread(updatesDf(ups.toSeq)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4),
+          optD(r, 5)))).toMap
+    def openKeys[V](m: Map[(String, Long), V]): Set[(String, Long)] = {
+      val lastPerSym = m.keys.groupBy(_._1).view
+        .mapValues(_.map(_._2).max).toMap
+      m.keySet.filterNot { case (s0, b) => lastPerSym(s0) == b }
+    }
+    val in = MemoryStream[Update]
+    val qf = Streaming.streamingTickRuleFlow(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("sflow").start()
+    val qe = Streaming.streamingEffectiveSpread(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("seff").start()
+    val (b1, b2) = ups.splitAt(ups.length / 2)
+    in.addData(b1.toSeq: _*)
+    qf.processAllAvailable(); qe.processAllAvailable()
+    in.addData(b2.toSeq: _*)
+    qf.processAllAvailable(); qe.processAllAvailable()
+    qf.stop(); qe.stop()
+    val gotFlow = spark.table("sflow").as[Streaming.TickFlowBucket]
+      .collect().map(r => (r.symbol, r.start) ->
+        ((r.n_trades, r.signed_vol, r.class_vol, r.flow_ratio))).toMap
+    val wantF = openKeys(wantFlow)
+    assert(wantF.nonEmpty)
+    assert(gotFlow.keySet === wantF,
+      s"missing ${(wantF -- gotFlow.keySet).take(3)}, " +
+        s"extra ${(gotFlow.keySet -- wantF).take(3)}")
+    wantF.foreach { k =>
+      assert(gotFlow(k) === wantFlow(k), s"tick-rule drift at $k")
+    }
+    val gotEff = spark.table("seff").as[Streaming.EffSprBucket]
+      .collect().map(r => (r.symbol, r.start) ->
+        ((r.n_trades, r.n_classified, r.eff_sum,
+          r.avg_eff_spread))).toMap
+    val wantE = openKeys(wantEff)
+    assert(wantE.nonEmpty)
+    assert(gotEff.keySet === wantE,
+      s"missing ${(wantE -- gotEff.keySet).take(3)}, " +
+        s"extra ${(gotEff.keySet -- wantE).take(3)}")
+    wantE.foreach { k =>
+      assert(gotEff(k) === wantEff(k), s"effective-spread drift at $k")
+    }
+  }
+
+  test("streaming roll spread replays the batch estimator bit-exactly; " +
+      "final open bucket per symbol stays pending") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ups = Tables.updatesDs(spark, sf("sf0.001")).collect()
+      .sortBy(u0 => (u0.ts, u0.seq))
+    val batch = graft.operators.Microstructure
+      .rollSpread(updatesDf(ups.toSeq)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6),
+          if (r.isNullAt(7)) None else Some(r.getDouble(7))))).toMap
+    val lastPerSym = batch.keys.groupBy(_._1).view
+      .mapValues(_.map(_._2).max).toMap
+    val wantKeys = batch.keySet
+      .filterNot { case (s0, b) => lastPerSym(s0) == b }
+    val in = MemoryStream[Update]
+    val q = Streaming.streamingRollSpread(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("srsp").start()
+    val (b1, b2) = ups.splitAt(ups.length / 2)
+    in.addData(b1.toSeq: _*); q.processAllAvailable()
+    in.addData(b2.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("srsp").as[Streaming.RollSprBucket].collect()
+      .map(r => (r.symbol, r.start) ->
+        ((r.n_pairs, r.sum_x, r.sum_y, r.sum_xy, r.cov,
+          r.roll_spread))).toMap
+    assert(wantKeys.nonEmpty)
+    assert(got.keySet === wantKeys,
+      s"missing ${(wantKeys -- got.keySet).take(3)}, " +
+        s"extra ${(got.keySet -- wantKeys).take(3)}")
+    wantKeys.foreach { k =>
+      assert(got(k) === batch(k), s"roll-spread drift at $k")
+    }
+  }
+
   test("streaming rolling volume replays the batch RANGE window " +
       "bit-exactly up to the pending peer group") {
     import spark.implicits._
