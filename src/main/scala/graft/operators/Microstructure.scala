@@ -526,4 +526,146 @@ object Microstructure {
        |  last(price ORDER BY ts, seq) FILTER (WHERE NOT is_bid) AS last_ask
        | FROM updates WHERE NOT is_trade AND size > 0.0 GROUP BY 1, 2)
        |ORDER BY symbol, start""".stripMargin.replace('\n', ' ')
+
+  /** Kyle's lambda per symbol: the price-impact slope of the 1985
+    * model — regress per-bucket mid-quote change on per-bucket
+    * tick-rule signed flow across the symbol's bucket series. The
+    * composition capstone of this family: [[tickRuleFlow]]'s running
+    * sign, [[bucketSpread]]'s end-of-bucket touch, and the regression,
+    * all in ONE pass under the exactness contract.
+    *
+    * Per (symbol, bucket): `f` = Σ sign·size over classified trades
+    * (scale-4 decimal, exact — 0 for a bucket with no classified flow)
+    * and `m` = end-of-bucket bid+ask in integer cents (the
+    * [[rollSpread]] round-half-up; null until both sides quoted).
+    * Per symbol over the bucket series in `start` order: carry `m`
+    * forward across quote-less buckets, `Δm = m − m_prev`; a PAIR is a
+    * bucket where `Δm` resolves (the carried mid and its predecessor
+    * both known). Then the population OLS slope over pairs
+    * `(x = f·10⁴ unscaled, y = Δm)`:
+    * `λ_raw = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)` — every Σ an exact
+    * decimal of integer operands, emitted via `CAST(AS DOUBLE)` — and
+    * `kyle_lambda = λ_raw · 50` (unscaled→size units ×10⁴, cents-sum→
+    * dollars ÷200), the dollars-per-unit-flow impact. Null when the
+    * flow variance is zero (single pair or constant flow).
+    *
+    * Scale shape: one per-symbol (ts, seq) window over raw updates
+    * (the [[effectiveSpread]] shuffle budget) feeds the (symbol,
+    * bucket) partial aggregation; everything after runs on the bucket
+    * series — thousands of rows per symbol, key-bounded. */
+  def kyleLambda(updates: DataFrame, seconds: Long = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("symbol")).orderBy(col("ts"), col("seq"))
+    val prevTrade = last(when(col("is_trade"), col("price")),
+      ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val dir = when(col("is_trade"),
+      when(col("price") > prevTrade, 1)
+        .when(col("price") < prevTrade, -1).otherwise(0))
+    val cents = floor(col("price") * 100.0d + 0.5d).cast("long")
+    def sideCents(side: org.apache.spark.sql.Column) = {
+      val keep = !col("is_trade") && col("size") > 0.0d && side
+      max_by(when(keep, cents), when(keep, struct(col("ts"), col("seq"))))
+    }
+    val wb = Window.partitionBy(col("symbol")).orderBy(col("start"))
+    val buckets = updates
+      .withColumn("dir", dir)
+      .withColumn("sgn",
+        last(when(col("dir") =!= 0, col("dir")), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      .groupBy(col("symbol"), bucketed(seconds))
+      .agg(
+        sum(when(col("is_trade") && col("sgn") === 1, col("size"))
+          .when(col("is_trade") && col("sgn") === -1, -col("size"))
+          .otherwise(0.0d).cast("decimal(30,4)")).as("_f"),
+        sideCents(col("is_bid")).as("_cb"),
+        sideCents(!col("is_bid")).as("_ca"))
+      .withColumn("m", col("_cb") + col("_ca"))
+      .withColumn("m_filled",
+        last(col("m"), ignoreNulls = true)
+          .over(wb.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      .withColumn("dm", col("m_filled") - lag(col("m_filled"), 1).over(wb))
+      .where(col("dm").isNotNull)
+      .select(col("symbol"),
+        (col("_f") * 10000).cast("decimal(18,0)").as("x"),
+        col("dm").cast("decimal(18,0)").as("y"))
+    buckets.groupBy(col("symbol"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("x")).cast("double").as("sum_x"),
+        sum(col("y")).cast("double").as("sum_y"),
+        sum(col("x") * col("y")).cast("double").as("sum_xy"),
+        sum(col("x") * col("x")).cast("double").as("sum_xx"))
+      .withColumn("_den",
+        col("n_pairs").cast("double") * col("sum_xx") -
+          col("sum_x") * col("sum_x"))
+      .select(col("symbol"), col("n_pairs"), col("sum_x"), col("sum_y"),
+        col("sum_xy"), col("sum_xx"),
+        when(col("_den") =!= 0.0d,
+          (col("n_pairs").cast("double") * col("sum_xy") -
+            col("sum_x") * col("sum_y")) / col("_den") * 50.0d)
+          .as("kyle_lambda"))
+  }
+
+  def kyleLambdaSql(seconds: Long = 60): String =
+    s"""SELECT symbol, n_pairs, sum_x, sum_y, sum_xy, sum_xx,
+       | CASE WHEN CAST(n_pairs AS DOUBLE) * sum_xx - sum_x * sum_x
+       |   <> 0.0 THEN
+       |  (CAST(n_pairs AS DOUBLE) * sum_xy - sum_x * sum_y)
+       |   / (CAST(n_pairs AS DOUBLE) * sum_xx - sum_x * sum_x) * 50.0
+       | END AS kyle_lambda
+       |FROM (
+       | SELECT symbol, count(*) AS n_pairs,
+       |  CAST(SUM(x) AS DOUBLE) AS sum_x,
+       |  CAST(SUM(y) AS DOUBLE) AS sum_y,
+       |  CAST(SUM(x * y) AS DOUBLE) AS sum_xy,
+       |  CAST(SUM(x * x) AS DOUBLE) AS sum_xx
+       | FROM (
+       |  SELECT symbol,
+       |   CAST(f * 10000 AS HUGEINT) AS x, CAST(dm AS HUGEINT) AS y
+       |  FROM (
+       |   SELECT symbol, f,
+       |    m_filled - lag(m_filled, 1) OVER wb AS dm
+       |   FROM (
+       |    SELECT symbol, start, f,
+       |     last_value(cb + ca IGNORE NULLS) OVER (
+       |      PARTITION BY symbol ORDER BY start
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS m_filled
+       |    FROM (
+       |    SELECT symbol, ((ts // 1000) // $seconds) * $seconds AS start,
+       |     SUM(CAST(CASE WHEN is_trade AND sgn = 1 THEN size
+       |      WHEN is_trade AND sgn = -1 THEN -size ELSE 0.0 END
+       |      AS DECIMAL(30,4))) AS f,
+       |     last(CAST(floor(price * 100.0 + 0.5) AS BIGINT)
+       |       ORDER BY ts, seq)
+       |      FILTER (WHERE NOT is_trade AND size > 0.0 AND is_bid)
+       |      AS cb,
+       |     last(CAST(floor(price * 100.0 + 0.5) AS BIGINT)
+       |       ORDER BY ts, seq)
+       |      FILTER (WHERE NOT is_trade AND size > 0.0 AND NOT is_bid)
+       |      AS ca
+       |    FROM (
+       |     SELECT symbol, ts, seq, is_trade, is_bid, price, size,
+       |      last_value(CASE WHEN dir <> 0 THEN dir END IGNORE NULLS)
+       |       OVER (PARTITION BY symbol ORDER BY ts, seq
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sgn
+       |     FROM (
+       |      SELECT *,
+       |       CASE WHEN is_trade THEN
+       |        CASE WHEN price > pt THEN 1
+       |         WHEN price < pt THEN -1 ELSE 0 END END AS dir
+       |      FROM (
+       |       SELECT *,
+       |        last_value(CASE WHEN is_trade THEN price END IGNORE NULLS)
+       |         OVER (PARTITION BY symbol ORDER BY ts, seq
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt
+       |       FROM updates)))
+       |    GROUP BY 1, 2))
+       |   WINDOW wb AS (PARTITION BY symbol ORDER BY start))
+       |  WHERE dm IS NOT NULL)
+       | GROUP BY 1)
+       |ORDER BY symbol""".stripMargin.replace('\n', ' ')
 }

@@ -184,6 +184,11 @@ object TickQueries {
         .orderBy("symbol", "start"),
       Some(Tables.withUpdates(Microstructure.rollSpreadSql()))),
 
+    Q("q_kyle_lambda",
+      (s, dir) => Microstructure.kyleLambda(u(s, dir))
+        .orderBy("symbol"),
+      Some(Tables.withUpdates(Microstructure.kyleLambdaSql()))),
+
     Q("q_bucket_spread",
       (s, dir) => Microstructure.bucketSpread(u(s, dir))
         .orderBy("symbol", "start"),

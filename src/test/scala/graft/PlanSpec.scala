@@ -123,6 +123,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("kyle lambda: every window keyed on symbol (no global sort), " +
+      "partial aggregation, no cartesian") {
+    val p = plan("q_kyle_lambda")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(p.contains("hashpartitioning(symbol"),
+      s"window not keyed on symbol:\n$p")
+    // the composition must never fall into a single-partition window:
+    // partitionBy is present on every Window (raw-update pass AND the
+    // bucket-series pass), so no SinglePartition exchange feeds a sort
+    assert(!p.contains("Exchange SinglePartition\n+- *Sort") &&
+      !p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS\n   +- Sort"),
+      s"single-partition window sort:\n$p")
+    assert(p.contains("partial_"), s"no partial agg:\n$p")
+  }
+
   test("ppl boundary cut uses bucketed rank — no per-language score " +
       "sort, no ntile (VERDICT r10 #1)") {
     // the >PplWindowMaxRows dispatch arm: the dominant language of a web
