@@ -549,6 +549,13 @@ object Microstructure {
     * dollars ÷200), the dollars-per-unit-flow impact. Null when the
     * flow variance is zero (single pair or constant flow).
     *
+    * Exactness bounds (raise-guarded, the [[rollSpread]] stance;
+    * OverflowAuditSpec drives both): cents ≤ 1e12 per side and
+    * |f| ≤ 1e11 — past them the decimal(18,0) operand casts would go
+    * silently null, dropping pairs from the sums while `n_pairs`
+    * still counts them. Within the bounds `Σx²` ≤ ~1e34 stays inside
+    * decimal(38) for any real bucket count.
+    *
     * Scale shape: one per-symbol (ts, seq) window over raw updates
     * (the [[effectiveSpread]] shuffle budget) feeds the (symbol,
     * bucket) partial aggregation; everything after runs on the bucket
@@ -562,7 +569,17 @@ object Microstructure {
     val dir = when(col("is_trade"),
       when(col("price") > prevTrade, 1)
         .when(col("price") < prevTrade, -1).otherwise(0))
-    val cents = floor(col("price") * 100.0d + 0.5d).cast("long")
+    // raise-loud bounds (the rollSpread stance): past them the
+    // decimal(18,0) operand casts below would go silently NULL — and a
+    // null x/y DROPS the pair from the sums while count(*) still sees
+    // it, silent-wrong where the DuckDB twin's HUGEINT keeps counting.
+    // cents <= 1e12 caps |dm| at 4e12; |f| <= 1e11 caps x at 1e15, so
+    // sum(x*x) stays within decimal(38) for any real bucket count.
+    val cents = when(
+      abs(floor(col("price") * 100.0d + 0.5d)) > 1.0e12d,
+      raise_error(concat(lit("kyleLambda: price outside the " +
+        "exact-decimal regime at symbol="), col("symbol"))).cast("long"))
+      .otherwise(floor(col("price") * 100.0d + 0.5d).cast("long"))
     def sideCents(side: org.apache.spark.sql.Column) = {
       val keep = !col("is_trade") && col("size") > 0.0d && side
       max_by(when(keep, cents), when(keep, struct(col("ts"), col("seq"))))
@@ -589,7 +606,11 @@ object Microstructure {
       .withColumn("dm", col("m_filled") - lag(col("m_filled"), 1).over(wb))
       .where(col("dm").isNotNull)
       .select(col("symbol"),
-        (col("_f") * 10000).cast("decimal(18,0)").as("x"),
+        when(abs(col("_f")) > lit(100000000000L).cast("decimal(30,4)"),
+          raise_error(concat(lit("kyleLambda: signed flow outside the " +
+            "exact-decimal regime at symbol="), col("symbol")))
+            .cast("decimal(18,0)"))
+          .otherwise((col("_f") * 10000).cast("decimal(18,0)")).as("x"),
         col("dm").cast("decimal(18,0)").as("y"))
     buckets.groupBy(col("symbol"))
       .agg(

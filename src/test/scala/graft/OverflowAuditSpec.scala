@@ -267,6 +267,132 @@ class OverflowAuditSpec extends SparkSpec {
       "LM sum diverged from the BigInt scalar replay")
   }
 
+  // -------------------------------------------------- Roll's estimator
+
+  /** Alternating 0 ↔ p trades: every cents delta is ±c, every
+    * cross-product −c², so sum_xy ≈ −n·c² — the fastest route to the
+    * BIGINT emission bound. */
+  private def rollTrades(n: Int, p: Double): Seq[Update] =
+    (0 until n).map { i =>
+      Update("ovf", 1700000000000L + i, i.toLong, is_trade = true,
+        is_bid = true, if (i % 2 == 0) 0.0 else p, 1.0)
+    }
+
+  private def rollScalar(prices: Seq[Double]): (BigInt, BigInt, BigInt) = {
+    val cs = prices.map(p => BigInt(math.floor(p * 100.0 + 0.5).toLong))
+    val xs = cs.sliding(3).toSeq.collect { case Seq(c2, c1, c0) =>
+      (c0 - c1, c1 - c2) }
+    (xs.map(_._1).sum, xs.map(_._2).sum,
+      xs.map { case (x, y) => x * y }.sum)
+  }
+
+  test("rollSpread at the BIGINT emission bound: exact below, loud above") {
+    // c = 9e8 cents (p = $9e6): c² = 8.1e17 — 11 pairs ≈ 8.9e18 < 2^63,
+    // 12 pairs ≈ 9.7e18 cross it. Below: must equal the BigInt scalar
+    // replay exactly (a wrap differs by 2^64); above: guarded raise,
+    // where the DuckDB twin's CAST(HUGEINT AS BIGINT) errors.
+    val ups13 = rollTrades(13, 9.0e6) // 11 pairs
+    val (sx, sy, sxy) = rollScalar(ups13.map(_.price))
+    assert(sxy.abs < BigInt(Long.MaxValue) &&
+      sxy.abs > BigInt(Long.MaxValue) * 8 / 10, s"fixture broke: $sxy")
+    val row = graft.operators.Microstructure.rollSpread(updatesDf(ups13))
+      .select("n_pairs", "sum_x", "sum_y", "sum_xy").head()
+    assert(row.getLong(0) === 11L)
+    assert((BigInt(row.getLong(1)), BigInt(row.getLong(2)),
+      BigInt(row.getLong(3))) === ((sx, sy, sxy)), "silent wrap below bound")
+    val ups14 = rollTrades(14, 9.0e6) // 12 pairs, |sum_xy| > 2^63
+    assert(rollScalar(ups14.map(_.price))._3.abs > BigInt(Long.MaxValue))
+    val ex = intercept[Exception] {
+      graft.operators.Microstructure.rollSpread(updatesDf(ups14)).collect()
+    }
+    assert(msgs(ex).exists(_.contains("overflows BIGINT")),
+      s"wrong failure: ${msgs(ex).mkString(" | ")}")
+  }
+
+  test("rollSpread past the exact-decimal delta regime: loud raise") {
+    // p = $2e10 -> |delta| = 2e12 cents > the 1e12 guard — past it the
+    // decimal(13,0) operand cast would go silently null where the
+    // DuckDB twin's HUGEINT keeps counting
+    val ex = intercept[Exception] {
+      graft.operators.Microstructure.rollSpread(
+        updatesDf(rollTrades(6, 2.0e10))).collect()
+    }
+    assert(msgs(ex).exists(_.contains("exact-decimal regime")),
+      s"wrong failure: ${msgs(ex).mkString(" | ")}")
+  }
+
+  test("streamingRollSpread fold: exact at the bound, throws past it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // 11 pairs + a far-future trade to close the bucket: the emitted
+    // bucket must carry the same exact sums as the batch op
+    val base = rollTrades(13, 9.0e6)
+    val closer = Update("ovf", 1700000000000L + 7200L * 1000, 999L,
+      is_trade = true, is_bid = true, 9.0e6, 1.0)
+    val (sx, sy, sxy) = rollScalar(base.map(_.price))
+    val in = MemoryStream[Update]
+    val q = graft.streaming.Streaming.streamingRollSpread(in.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("srsp_ovf").start()
+    in.addData(base: _*); q.processAllAvailable()
+    in.addData(closer); q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("srsp_ovf")
+      .as[graft.streaming.Streaming.RollSprBucket].collect()
+    assert(rows.length === 1)
+    assert((BigInt(rows.head.sum_x), BigInt(rows.head.sum_y),
+      BigInt(rows.head.sum_xy)) === ((sx, sy, sxy)),
+      "streaming fold diverged from the scalar replay at the bound")
+    // 12 pairs: Math.addExact must throw (ArithmeticException surfaces
+    // as a stream failure), never wrap
+    val in2 = MemoryStream[Update]
+    val q2 = graft.streaming.Streaming.streamingRollSpread(in2.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("srsp_ovf2").start()
+    in2.addData(rollTrades(14, 9.0e6): _*)
+    val ex = intercept[Exception] { q2.processAllAvailable() }
+    try q2.stop() catch { case _: Throwable => () }
+    assert(msgs(ex).exists(m => m.contains("long overflow") ||
+      m.contains("ArithmeticException")),
+      s"wrong failure: ${msgs(ex).mkString(" | ")}")
+  }
+
+  // ------------------------------------------------------ Kyle's lambda
+
+  test("kyleLambda guards: cents and signed-flow bounds raise loud") {
+    // quote at $2e10 -> cents 2e12 > the 1e12 guard
+    val quoteBreach = Seq(
+      Update("kg", 1700000000000L, 0L, is_trade = false, is_bid = true,
+        2.0e10, 1.0))
+    val ex1 = intercept[Exception] {
+      graft.operators.Microstructure.kyleLambda(updatesDf(quoteBreach))
+        .collect()
+    }
+    assert(msgs(ex1).exists(_.contains("price outside")),
+      s"wrong failure: ${msgs(ex1).mkString(" | ")}")
+    // flow of 2e11 units > the 1e11 guard, planted in the SECOND bucket
+    // so the pair survives the `dm IS NOT NULL` filter and actually
+    // reaches the operand guard (the first bucket of a symbol never
+    // forms a pair — its breach would be invisible)
+    val t0 = 1700000000000L
+    val flowBreach = Seq(
+      Update("kf", t0, 0L, is_trade = false, is_bid = true, 10.0, 1.0),
+      Update("kf", t0 + 1, 1L, is_trade = false, is_bid = false, 11.0, 1.0),
+      Update("kf", t0 + 2, 2L, is_trade = true, is_bid = true, 10.0, 1.0),
+      Update("kf", t0 + 60001L, 3L, is_trade = true, is_bid = true,
+        11.0, 2.0e11))
+    val ex2 = intercept[Exception] {
+      graft.operators.Microstructure.kyleLambda(updatesDf(flowBreach))
+        .collect()
+    }
+    assert(msgs(ex2).exists(_.contains("signed flow outside")),
+      s"wrong failure: ${msgs(ex2).mkString(" | ")}")
+  }
+
+  private def msgs(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(e =>
+      Option(e.getMessage).toSeq ++ msgs(e.getCause))
+
   // --------------------------------------- randomized magnitude sweep
 
   test("realizedVol random log-uniform price sweep: always exact or loud") {
