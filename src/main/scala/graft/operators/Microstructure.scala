@@ -536,12 +536,14 @@ object Microstructure {
     *
     * Per (symbol, bucket): `f` = Σ sign·size over classified trades
     * (scale-4 decimal, exact — 0 for a bucket with no classified flow)
-    * and `m` = end-of-bucket bid+ask in integer cents (the
-    * [[rollSpread]] round-half-up; null until both sides quoted).
-    * Per symbol over the bucket series in `start` order: carry `m`
-    * forward across quote-less buckets, `Δm = m − m_prev`; a PAIR is a
-    * bucket where `Δm` resolves (the carried mid and its predecessor
-    * both known). Then the population OLS slope over pairs
+    * and the end-of-bucket quote per SIDE in integer cents (the
+    * [[rollSpread]] round-half-up). Per symbol over the bucket series
+    * in `start` order: EACH SIDE carries forward independently across
+    * buckets it wasn't quoted in (a bucket rarely refreshes both sides
+    * — at fine buckets usually neither), `m` = carried bid + carried
+    * ask (null until both sides ever quoted), `Δm = m − m_prev`; a
+    * PAIR is a bucket where `Δm` resolves (this bucket's and the
+    * predecessor's carried mids both known). Then the population OLS slope over pairs
     * `(x = f·10⁴ unscaled, y = Δm)`:
     * `λ_raw = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)` — every Σ an exact
     * decimal of integer operands, emitted via `CAST(AS DOUBLE)` — and
@@ -598,11 +600,15 @@ object Microstructure {
           .otherwise(0.0d).cast("decimal(30,4)")).as("_f"),
         sideCents(col("is_bid")).as("_cb"),
         sideCents(!col("is_bid")).as("_ca"))
-      .withColumn("m", col("_cb") + col("_ca"))
-      .withColumn("m_filled",
-        last(col("m"), ignoreNulls = true)
+      .withColumn("cb_f",
+        last(col("_cb"), ignoreNulls = true)
           .over(wb.rowsBetween(Window.unboundedPreceding,
             Window.currentRow)))
+      .withColumn("ca_f",
+        last(col("_ca"), ignoreNulls = true)
+          .over(wb.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      .withColumn("m_filled", col("cb_f") + col("ca_f"))
       .withColumn("dm", col("m_filled") - lag(col("m_filled"), 1).over(wb))
       .where(col("dm").isNotNull)
       .select(col("symbol"),
@@ -651,10 +657,8 @@ object Microstructure {
        |    m_filled - lag(m_filled, 1) OVER wb AS dm
        |   FROM (
        |    SELECT symbol, start, f,
-       |     last_value(cb + ca IGNORE NULLS) OVER (
-       |      PARTITION BY symbol ORDER BY start
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-       |      AS m_filled
+       |     last_value(cb IGNORE NULLS) OVER wf
+       |      + last_value(ca IGNORE NULLS) OVER wf AS m_filled
        |    FROM (
        |    SELECT symbol, ((ts // 1000) // $seconds) * $seconds AS start,
        |     SUM(CAST(CASE WHEN is_trade AND sgn = 1 THEN size
@@ -684,7 +688,9 @@ object Microstructure {
        |         OVER (PARTITION BY symbol ORDER BY ts, seq
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt
        |       FROM updates)))
-       |    GROUP BY 1, 2))
+       |    GROUP BY 1, 2)
+       |    WINDOW wf AS (PARTITION BY symbol ORDER BY start
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
        |   WINDOW wb AS (PARTITION BY symbol ORDER BY start))
        |  WHERE dm IS NOT NULL)
        | GROUP BY 1)

@@ -666,6 +666,124 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Per-symbol Kyle-lambda state: the tick-rule carry (prevailing
+    * trade price + last non-zero sign), the OPEN bucket's accumulators
+    * (signed-flow unscaled scale-4 sum, last level-set cents per side;
+    * Long.MinValue = unset), the per-SIDE quotes carried across closed
+    * buckets (the batch op's independent `last(... ignoreNulls)` per
+    * side), and the running regression sums over closed pairs —
+    * Σx/Σy/Σxy/Σx² as BigInt STRINGS (Σx² outgrows a long at real
+    * magnitudes; the string is the exact-encoding the state store can
+    * carry). */
+  case class KyleLamState(prevTrade: Double, hasPrevTrade: Boolean,
+      carry: Int, bucket: Long, fU: Long, cb: Long, ca: Long,
+      cbCarry: Long, caCarry: Long, n: Long,
+      sx: String, sy: String, sxy: String, sxx: String)
+  case class KyleLamRow(symbol: String, n_pairs: Long, sum_x: Double,
+      sum_y: Double, sum_xy: Double, sum_xx: Double,
+      kyle_lambda: Option[Double])
+
+  /** Kyle's lambda on a STREAM — the ingest-time twin of
+    * [[graft.operators.Microstructure.kyleLambda]] at the serving
+    * cadence (one CURRENT-λ row per symbol per micro-batch, the
+    * [[streamingBookFeatures]] stance): a per-symbol ordered fold
+    * closes a bucket when a later-bucket update arrives, resolves its
+    * pair against the carried mid exactly as the batch bucket-series
+    * window does, and folds the pair into exact BigInt regression
+    * sums — so after every symbol's final bucket is closed by a
+    * sentinel, the emitted row IS the batch result bit-for-bit
+    * (StreamingSpec): same scale-4 flow quantization ([[Dec4]]), same
+    * round-half-up cents, same decimal→double casts
+    * (`BigDecimal.doubleValue`, the same correctly-rounded conversion
+    * Spark's `Decimal.toDouble` performs), same final IEEE slope
+    * sequence. The batch op's raise-loud operand guards fold too:
+    * cents past 1e12 or |flow| past 1e11 throw where the batch plan
+    * raises. State is O(1) per symbol. */
+  def streamingKyleLambda(updates: Dataset[Update],
+      seconds: Long = 60): Dataset[KyleLamRow] = {
+    import updates.sparkSession.implicits._
+    val Dec4 = Streaming.Dec4
+    def bucketOf(ts: Long): Long = {
+      val s = CommandParser.fillDigits(ts) / 1000L
+      s / seconds * seconds
+    }
+    val Unset = Long.MinValue
+    def zero = KyleLamState(0.0, hasPrevTrade = false, 0, Unset, 0L,
+      Unset, Unset, Unset, Unset, 0L, "0", "0", "0", "0")
+    def closeBucket(st: KyleLamState): KyleLamState = {
+      // the PREVIOUS bucket's carried mid, then this bucket's: each
+      // side independently — the batch per-side last(... ignoreNulls)
+      val prevMf: Option[Long] =
+        if (st.cbCarry != Unset && st.caCarry != Unset)
+          Some(st.cbCarry + st.caCarry)
+        else None
+      val cbC = if (st.cb != Unset) st.cb else st.cbCarry
+      val caC = if (st.ca != Unset) st.ca else st.caCarry
+      val mf: Option[Long] =
+        if (cbC != Unset && caC != Unset) Some(cbC + caC) else None
+      val paired =
+        if (mf.isDefined && prevMf.isDefined) {
+          if (math.abs(st.fU) > 1000000000000000L)
+            throw new ArithmeticException(
+              "kyleLambda: signed flow outside the exact-decimal regime")
+          val x = BigInt(st.fU)
+          val y = BigInt(mf.get - prevMf.get)
+          st.copy(n = st.n + 1L,
+            sx = (BigInt(st.sx) + x).toString,
+            sy = (BigInt(st.sy) + y).toString,
+            sxy = (BigInt(st.sxy) + x * y).toString,
+            sxx = (BigInt(st.sxx) + x * x).toString)
+        } else st
+      paired.copy(fU = 0L, cb = Unset, ca = Unset,
+        cbCarry = cbC, caCarry = caC)
+    }
+    def emit(sym: String, st: KyleLamState): KyleLamRow = {
+      def d(s: String) = new java.math.BigDecimal(
+        new java.math.BigInteger(s)).doubleValue()
+      val (nD, sxD, syD, sxyD, sxxD) =
+        (st.n.toDouble, d(st.sx), d(st.sy), d(st.sxy), d(st.sxx))
+      val den = nD * sxxD - sxD * sxD
+      KyleLamRow(sym, st.n, sxD, syD, sxyD, sxxD,
+        if (den != 0.0d) Some((nD * sxyD - sxD * syD) / den * 50.0d)
+        else None)
+    }
+    def fn(sym: String, rows: Iterator[Update],
+        state: GroupState[KyleLamState]): Iterator[KyleLamRow] = {
+      var st = state.getOption.getOrElse(zero)
+      rows.toSeq.sortBy(u => (u.ts, u.seq)).foreach { u =>
+        val b = bucketOf(u.ts)
+        if (st.bucket == Unset) st = st.copy(bucket = b)
+        else if (b != st.bucket) st = closeBucket(st).copy(bucket = b)
+        if (u.is_trade) {
+          val dir =
+            if (!st.hasPrevTrade) 0
+            else if (u.price > st.prevTrade) 1
+            else if (u.price < st.prevTrade) -1 else 0
+          val carry = if (dir != 0) dir else st.carry
+          val fU =
+            if (carry != 0)
+              Math.addExact(st.fU,
+                if (carry == 1) Dec4.dec4(u.size) else -Dec4.dec4(u.size))
+            else st.fU
+          st = st.copy(prevTrade = u.price, hasPrevTrade = true,
+            carry = carry, fU = fU)
+        } else if (u.size > 0.0d) {
+          val c = math.floor(u.price * 100.0d + 0.5d)
+          if (math.abs(c) > 1.0e12d)
+            throw new ArithmeticException(
+              "kyleLambda: price outside the exact-decimal regime")
+          if (u.is_bid) st = st.copy(cb = c.toLong)
+          else st = st.copy(ca = c.toLong)
+        }
+      }
+      state.update(st)
+      Iterator.single(emit(sym, st))
+    }
+    updates.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Per-(symbol, is_bid, level) book-state cell carrying the BATCH
     * snapshot's arithmetic shape, not the naive sequential one:
     * [[graft.operators.Orderbook.snapshot]] computes each level as
