@@ -286,6 +286,76 @@ object Microstructure {
        |  GROUP BY 1, 2))
        |ORDER BY symbol, start""".stripMargin.replace('\n', ' ')
 
+  /** Amihud illiquidity per symbol: the lower MEDIAN over buckets of
+    * `|r_b| / turnover_b` — absolute intra-bucket return per dollar
+    * traded, the classic price-impact-per-volume proxy. Per (symbol,
+    * bucket) over trades: open/close prices in integer cents
+    * (`min_by`/`max_by` over (ts, seq), the [[rollSpread]]
+    * round-half-up), exact decimal turnover
+    * ([[graft.functions.exactSumProduct]]), then
+    * `amihud_b = (|c_close − c_open| / c_open) / turnover` — integer
+    * operands into two IEEE divisions, identical both engines. The
+    * symbol statistic is the LOWER median (`row_number = (n+1)÷2`
+    * ordering by (amihud, start)) — a deterministic element SELECTION,
+    * immune to the engines' differing even-count interpolation, and
+    * robust where a mean would let one flash bucket dominate. Buckets
+    * with a zero open price or zero turnover are dropped (both
+    * divisions undefined). Scale shape: one (symbol, bucket) partial
+    * aggregation; the median windows run on the bucket series,
+    * key-bounded. */
+  def amihud(updates: DataFrame, seconds: Long = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = floor(col("price") * 100.0d + 0.5d).cast("long")
+    val byTsSeq = struct(col("ts"), col("seq"))
+    val wb = Window.partitionBy(col("symbol"))
+    val buckets = updates.where(col("is_trade"))
+      .groupBy(col("symbol"), bucketed(seconds))
+      .agg(
+        count(lit(1)).as("n_trades"),
+        min_by(cents, byTsSeq).as("c_open"),
+        max_by(cents, byTsSeq).as("c_close"),
+        exactSumProduct(col("price"), col("size")).as("turnover"))
+      .where(col("c_open") > 0L && col("turnover") =!= 0.0d)
+      .withColumn("amihud",
+        abs(col("c_close") - col("c_open")).cast("double") /
+          col("c_open").cast("double") / col("turnover"))
+    buckets
+      .withColumn("_rn", row_number()
+        .over(wb.orderBy(col("amihud"), col("start"))))
+      .withColumn("n_buckets", count(lit(1)).over(wb))
+      // `div`, not `/`: Spark's `/` on longs is DOUBLE division, and
+      // rn = 2 would never equal 2.5 — the lower median needs the
+      // integer quotient
+      .where(col("_rn") === expr("(n_buckets + 1) div 2"))
+      .select(col("symbol"), col("n_buckets"), col("start"),
+        col("amihud").as("amihud_med"))
+  }
+
+  def amihudSql(seconds: Long = 60): String =
+    s"""SELECT symbol, n_buckets, start, amihud AS amihud_med
+       |FROM (
+       | SELECT symbol, start, amihud,
+       |  row_number() OVER (PARTITION BY symbol
+       |   ORDER BY amihud, start) AS rn,
+       |  count(*) OVER (PARTITION BY symbol) AS n_buckets
+       | FROM (
+       |  SELECT symbol, start,
+       |   CAST(abs(c_close - c_open) AS DOUBLE)
+       |    / CAST(c_open AS DOUBLE) / turnover AS amihud
+       |  FROM (
+       |   SELECT symbol, ((ts // 1000) // $seconds) * $seconds AS start,
+       |    first(CAST(floor(price * 100.0 + 0.5) AS BIGINT)
+       |     ORDER BY ts, seq) AS c_open,
+       |    last(CAST(floor(price * 100.0 + 0.5) AS BIGINT)
+       |     ORDER BY ts, seq) AS c_close,
+       |    CAST(SUM(CAST(CAST(price AS VARCHAR) AS DECIMAL(18,2))
+       |      * CAST(CAST(size AS VARCHAR) AS DECIMAL(16,4))) AS DOUBLE)
+       |     AS turnover
+       |   FROM updates WHERE is_trade GROUP BY 1, 2)
+       |  WHERE c_open > 0 AND turnover <> 0.0))
+       |WHERE rn = (n_buckets + 1) // 2
+       |ORDER BY symbol""".stripMargin.replace('\n', ' ')
+
   /** Order-to-trade ratio per (symbol, bucket): level-update count per
     * trade — the venue-health / quote-stuffing diagnostic. Exact
     * integer counts; a trade-less bucket emits null ratio. */
@@ -635,6 +705,123 @@ object Microstructure {
             col("sum_x") * col("sum_y")) / col("_den") * 50.0d)
           .as("kyle_lambda"))
   }
+
+  /** First-order order-flow autocorrelation per symbol: the Pearson
+    * correlation of consecutive per-bucket tick-rule signed flows —
+    * the flow-persistence diagnostic (LOB order splitting makes real
+    * flow strongly positively autocorrelated; near zero says the tick
+    * rule is misclassifying). Reuses [[kyleLambda]]'s flow series:
+    * `f_b` = Σ sign·size per (symbol, bucket), exact scale-4 decimal
+    * with the same |f| ≤ 1e11 raise-guard; pairs are consecutive
+    * SERIES buckets (buckets with any update), `x = f_{b−1}·10⁴`,
+    * `y = f_b·10⁴` unscaled. Five exact decimal sums per symbol, then
+    * `r = (nΣxy − ΣxΣy) / (√(nΣx² − (Σx)²) · √(nΣy² − (Σy)²))` — a
+    * fixed IEEE sequence shared with the twin, null when either
+    * variance is zero. Scale shape: the [[kyleLambda]] plan minus the
+    * quote columns — one raw-update window, one bucket aggregation,
+    * key-bounded series windows. */
+  def flowAutocorr(updates: DataFrame, seconds: Long = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("symbol")).orderBy(col("ts"), col("seq"))
+    val prevTrade = last(when(col("is_trade"), col("price")),
+      ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val dir = when(col("is_trade"),
+      when(col("price") > prevTrade, 1)
+        .when(col("price") < prevTrade, -1).otherwise(0))
+    val wb = Window.partitionBy(col("symbol")).orderBy(col("start"))
+    def guardF(c: org.apache.spark.sql.Column) =
+      when(abs(c) > lit(100000000000L).cast("decimal(30,4)"),
+        raise_error(concat(lit("flowAutocorr: signed flow outside the " +
+          "exact-decimal regime at symbol="), col("symbol")))
+          .cast("decimal(18,0)"))
+        .otherwise((c * 10000).cast("decimal(18,0)"))
+    val pairs = updates
+      .withColumn("dir", dir)
+      .withColumn("sgn",
+        last(when(col("dir") =!= 0, col("dir")), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      .groupBy(col("symbol"), bucketed(seconds))
+      .agg(
+        sum(when(col("is_trade") && col("sgn") === 1, col("size"))
+          .when(col("is_trade") && col("sgn") === -1, -col("size"))
+          .otherwise(0.0d).cast("decimal(30,4)")).as("_f"))
+      .withColumn("_fp", lag(col("_f"), 1).over(wb))
+      .where(col("_fp").isNotNull)
+      .select(col("symbol"), guardF(col("_fp")).as("x"),
+        guardF(col("_f")).as("y"))
+    pairs.groupBy(col("symbol"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("x")).cast("double").as("sum_x"),
+        sum(col("y")).cast("double").as("sum_y"),
+        sum(col("x") * col("y")).cast("double").as("sum_xy"),
+        sum(col("x") * col("x")).cast("double").as("sum_xx"),
+        sum(col("y") * col("y")).cast("double").as("sum_yy"))
+      .withColumn("_dx",
+        col("n_pairs").cast("double") * col("sum_xx") -
+          col("sum_x") * col("sum_x"))
+      .withColumn("_dy",
+        col("n_pairs").cast("double") * col("sum_yy") -
+          col("sum_y") * col("sum_y"))
+      .select(col("symbol"), col("n_pairs"), col("sum_x"), col("sum_y"),
+        col("sum_xy"), col("sum_xx"), col("sum_yy"),
+        when(col("_dx") =!= 0.0d && col("_dy") =!= 0.0d,
+          (col("n_pairs").cast("double") * col("sum_xy") -
+            col("sum_x") * col("sum_y")) /
+            (sqrt(col("_dx")) * sqrt(col("_dy"))))
+          .as("flow_autocorr"))
+  }
+
+  def flowAutocorrSql(seconds: Long = 60): String =
+    s"""SELECT symbol, n_pairs, sum_x, sum_y, sum_xy, sum_xx, sum_yy,
+       | CASE WHEN CAST(n_pairs AS DOUBLE) * sum_xx - sum_x * sum_x
+       |   <> 0.0 AND CAST(n_pairs AS DOUBLE) * sum_yy - sum_y * sum_y
+       |   <> 0.0 THEN
+       |  (CAST(n_pairs AS DOUBLE) * sum_xy - sum_x * sum_y)
+       |   / (sqrt(CAST(n_pairs AS DOUBLE) * sum_xx - sum_x * sum_x)
+       |    * sqrt(CAST(n_pairs AS DOUBLE) * sum_yy - sum_y * sum_y))
+       | END AS flow_autocorr
+       |FROM (
+       | SELECT symbol, count(*) AS n_pairs,
+       |  CAST(SUM(x) AS DOUBLE) AS sum_x,
+       |  CAST(SUM(y) AS DOUBLE) AS sum_y,
+       |  CAST(SUM(x * y) AS DOUBLE) AS sum_xy,
+       |  CAST(SUM(x * x) AS DOUBLE) AS sum_xx,
+       |  CAST(SUM(y * y) AS DOUBLE) AS sum_yy
+       | FROM (
+       |  SELECT symbol,
+       |   CAST(fp * 10000 AS HUGEINT) AS x,
+       |   CAST(f * 10000 AS HUGEINT) AS y
+       |  FROM (
+       |   SELECT symbol, f, lag(f, 1) OVER wb AS fp
+       |   FROM (
+       |    SELECT symbol, ((ts // 1000) // $seconds) * $seconds AS start,
+       |     SUM(CAST(CASE WHEN is_trade AND sgn = 1 THEN size
+       |      WHEN is_trade AND sgn = -1 THEN -size ELSE 0.0 END
+       |      AS DECIMAL(30,4))) AS f
+       |    FROM (
+       |     SELECT symbol, ts, seq, is_trade, price, size,
+       |      last_value(CASE WHEN dir <> 0 THEN dir END IGNORE NULLS)
+       |       OVER (PARTITION BY symbol ORDER BY ts, seq
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sgn
+       |     FROM (
+       |      SELECT *,
+       |       CASE WHEN is_trade THEN
+       |        CASE WHEN price > pt THEN 1
+       |         WHEN price < pt THEN -1 ELSE 0 END END AS dir
+       |      FROM (
+       |       SELECT *,
+       |        last_value(CASE WHEN is_trade THEN price END IGNORE NULLS)
+       |         OVER (PARTITION BY symbol ORDER BY ts, seq
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt
+       |       FROM updates)))
+       |    GROUP BY 1, 2)
+       |   WINDOW wb AS (PARTITION BY symbol ORDER BY start))
+       |  WHERE fp IS NOT NULL)
+       | GROUP BY 1)
+       |ORDER BY symbol""".stripMargin.replace('\n', ' ')
 
   def kyleLambdaSql(seconds: Long = 60): String =
     s"""SELECT symbol, n_pairs, sum_x, sum_y, sum_xy, sum_xx,

@@ -189,6 +189,16 @@ object TickQueries {
         .orderBy("symbol"),
       Some(Tables.withUpdates(Microstructure.kyleLambdaSql()))),
 
+    Q("q_flow_autocorr",
+      (s, dir) => Microstructure.flowAutocorr(u(s, dir))
+        .orderBy("symbol"),
+      Some(Tables.withUpdates(Microstructure.flowAutocorrSql()))),
+
+    Q("q_amihud",
+      (s, dir) => Microstructure.amihud(u(s, dir))
+        .orderBy("symbol"),
+      Some(Tables.withUpdates(Microstructure.amihudSql()))),
+
     Q("q_bucket_spread",
       (s, dir) => Microstructure.bucketSpread(u(s, dir))
         .orderBy("symbol", "start"),

@@ -123,8 +123,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("kyle lambda: every window keyed on symbol (no global sort), " +
-      "partial aggregation, no cartesian") {
+  test("kyle lambda, flow autocorr, amihud: every window keyed on " +
+      "symbol (no global sort), partial aggregation, no cartesian") {
+    for (q <- Seq("q_kyle_lambda", "q_flow_autocorr", "q_amihud")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+      assert(p.contains("hashpartitioning(symbol"),
+        s"$q window not keyed on symbol:\n$p")
+      assert(p.contains("partial_"), s"$q no partial agg:\n$p")
+    }
     val p = plan("q_kyle_lambda")
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
     assert(p.contains("hashpartitioning(symbol"),
