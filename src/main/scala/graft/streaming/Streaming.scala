@@ -784,6 +784,104 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Per-symbol flow-autocorrelation state: the tick-rule carry, the
+    * open bucket's flow sum, the last CLOSED bucket's flow, and exact
+    * BigInt regression sums as strings (the [[KyleLamState]]
+    * encoding). */
+  case class FlowAcState(prevTrade: Double, hasPrevTrade: Boolean,
+      carry: Int, bucket: Long, fU: Long, fPrev: Long,
+      hasFPrev: Boolean, n: Long,
+      sx: String, sy: String, sxy: String, sxx: String, syy: String)
+  case class FlowAcRow(symbol: String, n_pairs: Long, sum_x: Double,
+      sum_y: Double, sum_xy: Double, sum_xx: Double, sum_yy: Double,
+      flow_autocorr: Option[Double])
+
+  /** Order-flow autocorrelation on a STREAM — the ingest-time twin of
+    * [[graft.operators.Microstructure.flowAutocorr]] at the serving
+    * cadence (the [[streamingKyleLambda]] stance): the fold closes a
+    * bucket on advance, pairs its flow with the previous closed
+    * bucket's, and folds into exact BigInt sums; after sentinel
+    * closers the emitted row IS the batch correlation bit-for-bit
+    * (StreamingSpec). Same scale-4 quantization, guards, and final
+    * IEEE sequence. State is O(1) per symbol.
+    *
+    * (No such twin exists for [[graft.operators.Microstructure.amihud]]
+    * by design: an EXACT median is an order statistic over the full
+    * bucket history — serving it would need unbounded per-key state,
+    * and an approximate sketch would break the bit-exact contract this
+    * family keeps. Its batch form is the only honest one.) */
+  def streamingFlowAutocorr(updates: Dataset[Update],
+      seconds: Long = 60): Dataset[FlowAcRow] = {
+    import updates.sparkSession.implicits._
+    val Dec4 = Streaming.Dec4
+    def bucketOf(ts: Long): Long = {
+      val s = CommandParser.fillDigits(ts) / 1000L
+      s / seconds * seconds
+    }
+    val Unset = Long.MinValue
+    def zero = FlowAcState(0.0, hasPrevTrade = false, 0, Unset, 0L,
+      0L, hasFPrev = false, 0L, "0", "0", "0", "0", "0")
+    def closeBucket(st: FlowAcState): FlowAcState = {
+      val paired =
+        if (st.hasFPrev) {
+          if (math.abs(st.fU) > 1000000000000000L ||
+              math.abs(st.fPrev) > 1000000000000000L)
+            throw new ArithmeticException(
+              "flowAutocorr: signed flow outside the exact-decimal regime")
+          val x = BigInt(st.fPrev)
+          val y = BigInt(st.fU)
+          st.copy(n = st.n + 1L,
+            sx = (BigInt(st.sx) + x).toString,
+            sy = (BigInt(st.sy) + y).toString,
+            sxy = (BigInt(st.sxy) + x * y).toString,
+            sxx = (BigInt(st.sxx) + x * x).toString,
+            syy = (BigInt(st.syy) + y * y).toString)
+        } else st
+      paired.copy(fU = 0L, fPrev = st.fU, hasFPrev = true)
+    }
+    def emit(sym: String, st: FlowAcState): FlowAcRow = {
+      def d(s: String) = new java.math.BigDecimal(
+        new java.math.BigInteger(s)).doubleValue()
+      val (nD, sxD, syD, sxyD, sxxD, syyD) = (st.n.toDouble,
+        d(st.sx), d(st.sy), d(st.sxy), d(st.sxx), d(st.syy))
+      val dx = nD * sxxD - sxD * sxD
+      val dy = nD * syyD - syD * syD
+      FlowAcRow(sym, st.n, sxD, syD, sxyD, sxxD, syyD,
+        if (dx != 0.0d && dy != 0.0d)
+          Some((nD * sxyD - sxD * syD) /
+            (math.sqrt(dx) * math.sqrt(dy)))
+        else None)
+    }
+    def fn(sym: String, rows: Iterator[Update],
+        state: GroupState[FlowAcState]): Iterator[FlowAcRow] = {
+      var st = state.getOption.getOrElse(zero)
+      rows.toSeq.sortBy(u => (u.ts, u.seq)).foreach { u =>
+        val b = bucketOf(u.ts)
+        if (st.bucket == Unset) st = st.copy(bucket = b)
+        else if (b != st.bucket) st = closeBucket(st).copy(bucket = b)
+        if (u.is_trade) {
+          val dir =
+            if (!st.hasPrevTrade) 0
+            else if (u.price > st.prevTrade) 1
+            else if (u.price < st.prevTrade) -1 else 0
+          val carry = if (dir != 0) dir else st.carry
+          val fU =
+            if (carry != 0)
+              Math.addExact(st.fU,
+                if (carry == 1) Dec4.dec4(u.size) else -Dec4.dec4(u.size))
+            else st.fU
+          st = st.copy(prevTrade = u.price, hasPrevTrade = true,
+            carry = carry, fU = fU)
+        }
+      }
+      state.update(st)
+      Iterator.single(emit(sym, st))
+    }
+    updates.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Per-(symbol, is_bid, level) book-state cell carrying the BATCH
     * snapshot's arithmetic shape, not the naive sequential one:
     * [[graft.operators.Orderbook.snapshot]] computes each level as

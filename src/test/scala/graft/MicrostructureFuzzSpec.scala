@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.model.Update
+import graft.operators.Microstructure
+import graft.streaming.Streaming
+
+/** Adversarial batch ≡ streaming cross-check for the microstructure
+  * family: the streaming twins are independent SCALAR folds of the same
+  * contract the batch plans express relationally, so agreement on
+  * generator-driven data (price ties, zero-size deletes, same-ts seq
+  * peers, bucket-boundary timestamps, one-sided books, trade-less and
+  * quote-less buckets) is a two-implementation consistency proof that
+  * the single sf fixtures can't give. One streaming pass per operator
+  * over ALL generated symbols (symbols partition the folds), split
+  * mid-stream to exercise cross-micro-batch state carry. */
+class MicrostructureFuzzSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** ~26 symbols of adversarial shapes. Prices from a tiny ladder so
+    * upticks/downticks/ties all occur; ts clustered around 60s bucket
+    * edges; duplicate ts with distinct seq; ~15% zero-size (level
+    * delete / degenerate trade). */
+  private def fuzzUpdates: Seq[Update] = {
+    val base = 1700000000000L
+    def gen(sym: String): Gen[List[Update]] = for {
+      n <- Gen.choose(3, 60)
+      rows <- Gen.listOfN(n, for {
+        dt <- Gen.oneOf(Gen.choose(0L, 290000L),
+          Gen.oneOf(59999L, 60000L, 60001L, 119999L, 120000L))
+        trade <- Gen.prob(0.45)
+        bid <- Gen.prob(0.5)
+        price <- Gen.oneOf(9.97, 9.98, 9.99, 10.0, 10.0, 10.01, 10.02)
+        size <- Gen.frequency(
+          (85, Gen.choose(1, 99999).map(_ / 10000.0)),
+          (15, Gen.const(0.0)))
+      } yield (dt, trade, bid, price, size))
+    } yield rows.sortBy(_._1).zipWithIndex.map {
+      case ((dt, trade, bid, p, s), i) =>
+        Update(sym, base + dt, i.toLong, trade, bid, p, s)
+    }
+    (0 until 26).flatMap { i =>
+      gen(s"fz$i")(Gen.Parameters.default, Seed(1000L + i))
+        .getOrElse(Nil)
+    }
+  }
+
+  private lazy val ups = fuzzUpdates.sortBy(u => (u.ts, u.seq))
+  private lazy val df = updatesDf(ups)
+
+  /** Everything except each symbol's final (still-open) bucket. */
+  private def closedKeys[V](m: Map[(String, Long), V])
+      : Set[(String, Long)] = {
+    val lastPerSym = m.keys.groupBy(_._1).view
+      .mapValues(_.map(_._2).max).toMap
+    m.keySet.filterNot { case (s0, b) => lastPerSym(s0) == b }
+  }
+
+  private def optD(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+    if (r.isNullAt(i)) None else Some(r.getDouble(i))
+
+  test("fuzz: tick-rule flow batch ≡ streaming fold on adversarial data") {
+    val batch = Microstructure.tickRuleFlow(df).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), optD(r, 5))))
+      .toMap
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Update]
+    val q = Streaming.streamingTickRuleFlow(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("fz_flow").start()
+    val (b1, b2) = ups.splitAt(ups.length / 3)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("fz_flow").as[Streaming.TickFlowBucket]
+      .collect()
+      .map(r => (r.symbol, r.start) ->
+        ((r.n_trades, r.signed_vol, r.class_vol, r.flow_ratio))).toMap
+    val want = closedKeys(batch)
+    assert(want.nonEmpty)
+    assert(got.keySet === want)
+    want.foreach(k => assert(got(k) === batch(k), s"drift at $k"))
+  }
+
+  test("fuzz: effective spread batch ≡ streaming fold on adversarial data") {
+    val batch = Microstructure.effectiveSpread(df).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), optD(r, 5)))).toMap
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Update]
+    val q = Streaming.streamingEffectiveSpread(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("fz_eff").start()
+    val (b1, b2) = ups.splitAt(ups.length / 3)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("fz_eff").as[Streaming.EffSprBucket].collect()
+      .map(r => (r.symbol, r.start) ->
+        ((r.n_trades, r.n_classified, r.eff_sum, r.avg_eff_spread))).toMap
+    val want = closedKeys(batch)
+    assert(want.nonEmpty)
+    assert(got.keySet === want)
+    want.foreach(k => assert(got(k) === batch(k), s"drift at $k"))
+  }
+
+  test("fuzz: roll spread batch ≡ streaming fold on adversarial data") {
+    val batch = Microstructure.rollSpread(df).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), optD(r, 7)))).toMap
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Update]
+    val q = Streaming.streamingRollSpread(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("fz_roll").start()
+    val (b1, b2) = ups.splitAt(ups.length / 3)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("fz_roll").as[Streaming.RollSprBucket].collect()
+      .map(r => (r.symbol, r.start) ->
+        ((r.n_pairs, r.sum_x, r.sum_y, r.sum_xy, r.cov,
+          r.roll_spread))).toMap
+    val want = closedKeys(batch)
+    assert(want.nonEmpty)
+    assert(got.keySet === want)
+    want.foreach(k => assert(got(k) === batch(k), s"drift at $k"))
+  }
+
+  test("fuzz: kyle lambda and flow autocorr batch ≡ streaming serving " +
+      "rows after closers") {
+    val wantKyle = Microstructure.kyleLambda(df).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), optD(r, 6)))).toMap
+    val wantAc = Microstructure.flowAutocorr(df).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6), optD(r, 7)))).toMap
+    val maxTs = ups.map(_.ts).max
+    val closers = ups.map(_.symbol).distinct.zipWithIndex.map {
+      case (s0, i) => Update(s0, maxTs + 7200L * 1000, 5000L + i,
+        is_trade = true, is_bid = true, 1.0, 1.0)
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Update]
+    val qk = Streaming.streamingKyleLambda(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("fz_kyle").start()
+    val qa = Streaming.streamingFlowAutocorr(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("fz_fac").start()
+    val (b1, b2) = ups.splitAt(ups.length / 3)
+    def drain(): Unit = {
+      qk.processAllAvailable(); qa.processAllAvailable()
+    }
+    in.addData(b1: _*); drain()
+    in.addData(b2: _*); drain()
+    in.addData(closers: _*); drain()
+    qk.stop(); qa.stop()
+    val gotK = spark.table("fz_kyle").as[Streaming.KyleLamRow].collect()
+      .zipWithIndex.groupBy(_._1.symbol).view
+      .mapValues(_.maxBy(_._2)._1).toMap
+    assert(wantKyle.nonEmpty)
+    wantKyle.foreach { case (s0, w) =>
+      val g = gotK(s0)
+      assert((g.n_pairs, g.sum_x, g.sum_y, g.sum_xy, g.sum_xx,
+        g.kyle_lambda) === w, s"kyle drift at $s0")
+    }
+    val gotA = spark.table("fz_fac").as[Streaming.FlowAcRow].collect()
+      .zipWithIndex.groupBy(_._1.symbol).view
+      .mapValues(_.maxBy(_._2)._1).toMap
+    assert(wantAc.nonEmpty)
+    wantAc.foreach { case (s0, w) =>
+      val g = gotA(s0)
+      assert((g.n_pairs, g.sum_x, g.sum_y, g.sum_xy, g.sum_xx, g.sum_yy,
+        g.flow_autocorr) === w, s"flow-autocorr drift at $s0")
+    }
+  }
+}

@@ -361,6 +361,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming flow autocorrelation: after sentinel closers the " +
+      "serving row per symbol IS the batch correlation bit-exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ups = Tables.updatesDs(spark, sf("sf0.001")).collect()
+      .sortBy(u0 => (u0.ts, u0.seq))
+    val want = graft.operators.Microstructure
+      .flowAutocorr(updatesDf(ups.toSeq)).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6),
+          if (r.isNullAt(7)) None else Some(r.getDouble(7))))).toMap
+    val maxTs = ups.map(_.ts).max
+    val closers = ups.map(_.symbol).distinct.zipWithIndex.map {
+      case (s0, i) => graft.model.Update(s0, maxTs + 7200L * 1000,
+        2000L + i, is_trade = true, is_bid = true, 1.0, 1.0)
+    }
+    val in = MemoryStream[Update]
+    val q = Streaming.streamingFlowAutocorr(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("sfac").start()
+    val (b1, b2) = ups.splitAt(ups.length / 2)
+    in.addData(b1.toSeq: _*); q.processAllAvailable()
+    in.addData(b2.toSeq: _*); q.processAllAvailable()
+    in.addData(closers.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sfac").as[Streaming.FlowAcRow].collect()
+      .zipWithIndex.groupBy(_._1.symbol).view
+      .mapValues(_.maxBy(_._2)._1).toMap
+    assert(want.nonEmpty)
+    assert(want.keySet.subsetOf(got.keySet))
+    want.foreach { case (s0, w) =>
+      val g = got(s0)
+      assert((g.n_pairs, g.sum_x, g.sum_y, g.sum_xy, g.sum_xx, g.sum_yy,
+        g.flow_autocorr) === w, s"flow-autocorr drift at $s0")
+    }
+  }
+
   test("streaming rolling volume replays the batch RANGE window " +
       "bit-exactly up to the pending peer group") {
     import spark.implicits._
