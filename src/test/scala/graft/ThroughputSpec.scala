@@ -49,6 +49,41 @@ class ThroughputSpec extends SparkSpec {
     assert(rate > 200.0, f"assembly ingest collapsed: $rate%,.0f docs/s")
   }
 
+  test("microstructure folds: 200k ticks through tick-rule flow at " +
+      "ingest rate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val n = 200000
+    // 8 symbols, 60/40 trade/level mix, drifting prices so signs flip
+    val ticks = (0 until n).map { i =>
+      graft.model.Update(s"sym${i % 8}",
+        1700000000000L + (i / 8).toLong * 40L,
+        i.toLong, is_trade = i % 5 < 3, is_bid = i % 2 == 0,
+        10.0 + ((i * 7) % 13 - 6) * 0.01, 1.0 + (i % 9) * 0.1)
+    }
+    val in = MemoryStream[graft.model.Update]
+    val q = Streaming.streamingTickRuleFlow(in.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tput_micro").start()
+    val t0 = System.nanoTime()
+    ticks.grouped(50000).foreach { b =>
+      in.addData(b: _*); q.processAllAvailable()
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    val buckets = spark.table("tput_micro").count()
+    val rate = n / sec
+    info(f"tick-rule fold: $n%,d updates in $sec%.2f s = " +
+      f"$rate%,.0f updates/s ($buckets%,d closed buckets)")
+    assert(buckets > 0L)
+    // per-micro-batch fixed costs (state store, planning) dominate at
+    // this batch size, so the floor guards against fold-cost collapse,
+    // not micro-batch overhead (the wire path itself is gated >=300k/s
+    // end-to-end in WireSpec)
+    assert(rate > 20000.0,
+      f"microstructure fold collapsed: $rate%,.0f updates/s")
+  }
+
   test("ADC serving: streamed PQ queries touch only broadcast LUTs + codes") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
