@@ -259,6 +259,31 @@ object TickQueries {
            |WHERE symbol = 'click' AND ts BETWEEN $RangeLo AND $RangeHi
            | AND is_trade GROUP BY 1, 2
            |QUALIFY start < max(start) OVER (PARTITION BY symbol))
+           |ORDER BY symbol, start""".stripMargin.replace('\n', ' ')))),
+
+    // the microstructure family over the SAME pruned store scan — the
+    // production plan for "vwap of one symbol, one day-range" reads
+    // only that symbol's day partitions
+    Q("q_tickstore_vwap",
+      (s, dir) => {
+        val root = tickStoreFor(s, dir)
+        Microstructure.vwapBars(
+          graft.sources.TickStore.scan(s, root, "click", RangeLo, RangeHi))
+          .orderBy("symbol", "start")
+      },
+      Some(Tables.withUpdates(
+        s"""SELECT symbol, start, n_trades, volume, turnover,
+           | CASE WHEN volume <> 0.0 THEN turnover / volume END AS vwap
+           |FROM (
+           | SELECT symbol, ((ts // 1000) // 60) * 60 AS start,
+           |  count(*) AS n_trades,
+           |  CAST(SUM(CAST(size AS DECIMAL(30,4))) AS DOUBLE) AS volume,
+           |  CAST(SUM(CAST(CAST(price AS VARCHAR) AS DECIMAL(18,2))
+           |    * CAST(CAST(size AS VARCHAR) AS DECIMAL(16,4)))
+           |   AS DOUBLE) AS turnover
+           | FROM updates
+           | WHERE symbol = 'click' AND ts BETWEEN $RangeLo AND $RangeHi
+           |  AND is_trade GROUP BY 1, 2)
            |ORDER BY symbol, start""".stripMargin.replace('\n', ' '))))
   )
 
