@@ -467,6 +467,19 @@ object Microstructure {
     * (the lag and the running last-non-zero) share one per-symbol
     * (ts, seq) sort — a single shuffle — feeding the partial
     * (symbol, bucket) aggregation. */
+  /** Raise-loud guard on a CLASSIFIED trade size entering a decimal
+    * sum: a non-finite size would cast to decimal NULL under non-ANSI
+    * mode and silently vanish from the sum (the DuckDB twins ERROR on
+    * the same cast), so the family fails loud instead — the
+    * [[rollSpread]] stance for corrupt feed values. Spark's
+    * NaN-greatest ordering makes `NOT (abs(size) <= MaxValue)` true
+    * for both NaN and ±∞. */
+  private def finiteSize: org.apache.spark.sql.Column =
+    when(!(abs(col("size")) <= lit(Double.MaxValue)),
+      raise_error(concat(lit("non-finite trade size at symbol="),
+        col("symbol"))).cast("double"))
+      .otherwise(col("size"))
+
   def tickRuleFlow(updates: DataFrame, seconds: Long = 60): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("symbol")).orderBy(col("ts"), col("seq"))
@@ -484,10 +497,10 @@ object Microstructure {
       .groupBy(col("symbol"), bucketed(seconds))
       .agg(
         count(lit(1)).as("n_trades"),
-        exactSum(when(col("sgn") === 1, col("size"))
-          .when(col("sgn") === -1, -col("size"))
+        exactSum(when(col("sgn") === 1, finiteSize)
+          .when(col("sgn") === -1, -finiteSize)
           .otherwise(0.0d)).as("signed_vol"),
-        exactSum(when(col("sgn").isNotNull, col("size"))
+        exactSum(when(col("sgn").isNotNull, finiteSize)
           .otherwise(0.0d)).as("class_vol"))
       .select(col("symbol"), col("start"), col("n_trades"),
         col("signed_vol"), col("class_vol"),
@@ -634,13 +647,6 @@ object Microstructure {
     * series — thousands of rows per symbol, key-bounded. */
   def kyleLambda(updates: DataFrame, seconds: Long = 60): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("symbol")).orderBy(col("ts"), col("seq"))
-    val prevTrade = last(when(col("is_trade"), col("price")),
-      ignoreNulls = true)
-      .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val dir = when(col("is_trade"),
-      when(col("price") > prevTrade, 1)
-        .when(col("price") < prevTrade, -1).otherwise(0))
     // raise-loud bounds (the rollSpread stance): past them the
     // decimal(18,0) operand casts below would go silently NULL — and a
     // null x/y DROPS the pair from the sums while count(*) still sees
@@ -657,17 +663,10 @@ object Microstructure {
       max_by(when(keep, cents), when(keep, struct(col("ts"), col("seq"))))
     }
     val wb = Window.partitionBy(col("symbol")).orderBy(col("start"))
-    val buckets = updates
-      .withColumn("dir", dir)
-      .withColumn("sgn",
-        last(when(col("dir") =!= 0, col("dir")), ignoreNulls = true)
-          .over(w.rowsBetween(Window.unboundedPreceding,
-            Window.currentRow)))
+    val buckets = withTickSgn(updates)
       .groupBy(col("symbol"), bucketed(seconds))
       .agg(
-        sum(when(col("is_trade") && col("sgn") === 1, col("size"))
-          .when(col("is_trade") && col("sgn") === -1, -col("size"))
-          .otherwise(0.0d).cast("decimal(30,4)")).as("_f"),
+        signedFlowAgg.as("_f"),
         sideCents(col("is_bid")).as("_cb"),
         sideCents(!col("is_bid")).as("_ca"))
       .withColumn("cb_f",
@@ -682,11 +681,7 @@ object Microstructure {
       .withColumn("dm", col("m_filled") - lag(col("m_filled"), 1).over(wb))
       .where(col("dm").isNotNull)
       .select(col("symbol"),
-        when(abs(col("_f")) > lit(100000000000L).cast("decimal(30,4)"),
-          raise_error(concat(lit("kyleLambda: signed flow outside the " +
-            "exact-decimal regime at symbol="), col("symbol")))
-            .cast("decimal(18,0)"))
-          .otherwise((col("_f") * 10000).cast("decimal(18,0)")).as("x"),
+        flowOperand("kyleLambda")(col("_f")).as("x"),
         col("dm").cast("decimal(18,0)").as("y"))
     buckets.groupBy(col("symbol"))
       .agg(
@@ -720,7 +715,13 @@ object Microstructure {
     * variance is zero. Scale shape: the [[kyleLambda]] plan minus the
     * quote columns — one raw-update window, one bucket aggregation,
     * key-bounded series windows. */
-  def flowAutocorr(updates: DataFrame, seconds: Long = 60): DataFrame = {
+  /** The tick-rule running sign over ALL updates (`dir` defined on
+    * trades against the last TRADE price via a filtered strictly-
+    * earlier frame, carried by last-non-zero) — the shared front half
+    * of [[kyleLambda]] and [[flowAutocorr]]; one definition so the two
+    * regressions cannot diverge from each other or from
+    * [[tickRuleFlow]]'s trade-only form. */
+  private def withTickSgn(updates: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("symbol")).orderBy(col("ts"), col("seq"))
     val prevTrade = last(when(col("is_trade"), col("price")),
@@ -729,24 +730,37 @@ object Microstructure {
     val dir = when(col("is_trade"),
       when(col("price") > prevTrade, 1)
         .when(col("price") < prevTrade, -1).otherwise(0))
-    val wb = Window.partitionBy(col("symbol")).orderBy(col("start"))
-    def guardF(c: org.apache.spark.sql.Column) =
-      when(abs(c) > lit(100000000000L).cast("decimal(30,4)"),
-        raise_error(concat(lit("flowAutocorr: signed flow outside the " +
-          "exact-decimal regime at symbol="), col("symbol")))
-          .cast("decimal(18,0)"))
-        .otherwise((c * 10000).cast("decimal(18,0)"))
-    val pairs = updates
+    updates
       .withColumn("dir", dir)
       .withColumn("sgn",
         last(when(col("dir") =!= 0, col("dir")), ignoreNulls = true)
           .over(w.rowsBetween(Window.unboundedPreceding,
             Window.currentRow)))
+  }
+
+  /** Σ sign·size over classified trades — exact scale-4 decimal, the
+    * shared flow aggregate of [[kyleLambda]] and [[flowAutocorr]]. */
+  private def signedFlowAgg: org.apache.spark.sql.Column =
+    sum(when(col("is_trade") && col("sgn") === 1, finiteSize)
+      .when(col("is_trade") && col("sgn") === -1, -finiteSize)
+      .otherwise(0.0d).cast("decimal(30,4)"))
+
+  /** The shared |f| ≤ 1e11 raise-guard + unscale for flow operands. */
+  private def flowOperand(op: String)(
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(abs(c) > lit(100000000000L).cast("decimal(30,4)"),
+      raise_error(concat(lit(s"$op: signed flow outside the " +
+        "exact-decimal regime at symbol="), col("symbol")))
+        .cast("decimal(18,0)"))
+      .otherwise((c * 10000).cast("decimal(18,0)"))
+
+  def flowAutocorr(updates: DataFrame, seconds: Long = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wb = Window.partitionBy(col("symbol")).orderBy(col("start"))
+    val guardF = flowOperand("flowAutocorr") _
+    val pairs = withTickSgn(updates)
       .groupBy(col("symbol"), bucketed(seconds))
-      .agg(
-        sum(when(col("is_trade") && col("sgn") === 1, col("size"))
-          .when(col("is_trade") && col("sgn") === -1, -col("size"))
-          .otherwise(0.0d).cast("decimal(30,4)")).as("_f"))
+      .agg(signedFlowAgg.as("_f"))
       .withColumn("_fp", lag(col("_f"), 1).over(wb))
       .where(col("_fp").isNotNull)
       .select(col("symbol"), guardF(col("_fp")).as("x"),

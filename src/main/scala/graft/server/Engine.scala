@@ -127,15 +127,24 @@ final class Engine(spark: SparkSession, dtfFolder: String,
   def fsDf(book: String): Option[DataFrame] =
     if (!hasFs(book)) None
     else {
-      val flat = legacyFlatFiles(book)
       val df = spark.read.parquet(fsPath(book))
-      Some(
-        if (flat.isEmpty || !df.columns.contains(graft.sources.TickStore.DayCol))
-          df.drop(graft.sources.TickStore.DayCol)
-        else
-          df.drop(graft.sources.TickStore.DayCol).unionByName(
-            spark.read.parquet(flat.map(_.getPath).toIndexedSeq: _*)))
+      Some(withLegacyFlat(book, df,
+        df.drop(graft.sources.TickStore.DayCol)))
     }
+
+  /** The ONE place the mixed-layout union lives (see [[fsDf]]'s
+    * contract): appends explicitly-listed root-level legacy files to
+    * `dayHandled` when the dir is mixed — both read paths must apply
+    * it identically or one of them silently drops pre-upgrade rows. */
+  private def withLegacyFlat(book: String,
+      discovered: DataFrame, dayHandled: DataFrame): DataFrame = {
+    val flat = legacyFlatFiles(book)
+    if (flat.isEmpty ||
+        !discovered.columns.contains(graft.sources.TickStore.DayCol))
+      dayHandled
+    else dayHandled.unionByName(
+      spark.read.parquet(flat.map(_.getPath).toIndexedSeq: _*))
+  }
 
   /** The fs side of a RANGED read, with the ms range mapped onto the
     * `day=` partition dirs (plan-time pruning: only overlapping days
@@ -155,15 +164,11 @@ final class Engine(spark: SparkSession, dtfFolder: String,
               TickStore.dayOfMs(loMs), TickStore.dayOfMs(hiMs)))
             .drop(TickStore.DayCol)
         else df
-      // mixed-layout legacy rows (see fsDf): no day pruning available
-      // for root-level files — the caller's exact ts predicate still
-      // filters them, so correctness is unaffected; compactBook
-      // migration restores pruning
-      val flat = legacyFlatFiles(book)
-      Some(
-        if (flat.isEmpty || !df.columns.contains(TickStore.DayCol)) pruned
-        else pruned.unionByName(
-          spark.read.parquet(flat.map(_.getPath).toIndexedSeq: _*)))
+      // mixed-layout legacy rows ride along via the shared union (no
+      // day pruning for root-level files — the caller's exact ts
+      // predicate still filters them; compactBook migration restores
+      // pruning)
+      Some(withLegacyFlat(book, df, pruned))
     }
 
   /** mem ++ fs view of one book (J1, `state.rs:639-656`) — re-sorted by
@@ -419,11 +424,27 @@ final class Engine(spark: SparkSession, dtfFolder: String,
         compactMaxLeafFiles
     }
 
+  /** Auto-compactions that threw, and the last failure — surfaced via
+    * [[autoCompactionFailures]] so a persistently failing book (corrupt
+    * leaf, IO errors) is VISIBLE instead of silently re-queueing on
+    * every flush while small files pile up. */
+  private val compactFailCount = new java.util.concurrent.atomic.AtomicLong
+  @volatile private var compactLastError: String = ""
+  private[graft] def autoCompactionFailures: (Long, String) =
+    (compactFailCount.get(), compactLastError)
+
   private def maybeScheduleCompaction(book: String,
       days: Seq[Long]): Unit =
     if (leafOverPolicy(book, days) && queuedCompactions.add(book))
       compactionWorker.execute { () =>
         try compactBook(book, compactTargetBytes)
+        catch {
+          case e: Throwable =>
+            compactFailCount.incrementAndGet()
+            compactLastError = s"$book: ${e.getMessage}"
+            System.err.println(
+              s"[engine] auto-compaction failed for book=$book: $e")
+        }
         finally queuedCompactions.remove(book)
       }
 

@@ -313,10 +313,7 @@ object Streaming {
   def streamingRealizedVol(updates: Dataset[Update],
       seconds: Long = 60): Dataset[RvBucket] = {
     import updates.sparkSession.implicits._
-    def bucketOf(ts: Long): Long = {
-      val s = CommandParser.fillDigits(ts) / 1000L
-      s / seconds * seconds
-    }
+    def bucketOf(ts: Long): Long = Streaming.Buckets.of(ts, seconds)
     def emit(sym: String, st: RvState): RvBucket =
       RvBucket(sym, st.bucket, st.n, st.sumSq,
         math.sqrt(st.sumSq.toDouble) / 1e6)
@@ -324,7 +321,7 @@ object Streaming {
         state: GroupState[RvState]): Iterator[RvBucket] = {
       var st = state.getOption.orNull
       val out = Seq.newBuilder[RvBucket]
-      rows.toSeq.filter(u => u.is_trade && u.price > 0.0)
+      rows.toSeq.filter(u => u.is_trade && SqlOrd.gt(u.price, 0.0))
         .sortBy(u => (u.ts, u.seq)).foreach { u =>
           val b = bucketOf(u.ts)
           if (st == null) st = RvState(u.price, b, 0L, 0L)
@@ -408,10 +405,7 @@ object Streaming {
   def streamingTwapQuote(updates: Dataset[Update],
       seconds: Long = 60): Dataset[TwapBucket] = {
     import updates.sparkSession.implicits._
-    def bucketOf(ts: Long): Long = {
-      val s = CommandParser.fillDigits(ts) / 1000L
-      s / seconds * seconds
-    }
+    def bucketOf(ts: Long): Long = Streaming.Buckets.of(ts, seconds)
     def centsOf(price: Double): Long =
       math.floor(price * 100d + 0.5d).toLong
     def emit(key: (String, Boolean), st: TwapState): TwapBucket =
@@ -423,7 +417,7 @@ object Streaming {
         state: GroupState[TwapState]): Iterator[TwapBucket] = {
       var st = state.getOption.orNull
       val out = Seq.newBuilder[TwapBucket]
-      rows.toSeq.filter(u => !u.is_trade && u.size > 0.0)
+      rows.toSeq.filter(u => !u.is_trade && SqlOrd.gt(u.size, 0.0))
         .sortBy(u => (u.ts, u.seq)).foreach { u =>
           val b = bucketOf(u.ts)
           if (st == null) st = TwapState(u.ts, centsOf(u.price), b, 1L, 0L, 0L)
@@ -458,19 +452,52 @@ object Streaming {
     * standalone serializable holder so state-fold closures can call
     * them without capturing the (non-serializable) enclosing object. */
   private object Dec4 extends Serializable {
-    /** Twin of `cast(x AS decimal(·,4))`: Spark's double→decimal cast
-      * parses the double's SHORTEST decimal representation and rounds
-      * HALF_UP to scale 4 — reproduced here on the unscaled long so
-      * streaming folds can sum exactly and fail-loud on overflow
-      * instead of drifting. */
+    /** Twin of `cast(x AS decimal(·,4))` INSIDE A SUM: Spark's
+      * double→decimal cast parses the double's SHORTEST decimal
+      * representation and rounds HALF_UP to scale 4 — reproduced here
+      * on the unscaled long so streaming folds can sum exactly and
+      * fail-loud on overflow instead of drifting. A NON-FINITE double
+      * casts to decimal NULL under non-ANSI mode and `sum` skips the
+      * null — the zero contribution here IS that skip (a corrupt
+      * NaN/∞ feed value must not poison-pill the stream where the
+      * batch plan silently drops it; MicrostructureFuzzSpec drives
+      * both). */
     def dec4(d: Double): Long =
-      new java.math.BigDecimal(java.lang.Double.toString(d))
-        .setScale(4, java.math.RoundingMode.HALF_UP)
-        .unscaledValue().longValueExact()
+      if (java.lang.Double.isFinite(d))
+        new java.math.BigDecimal(java.lang.Double.toString(d))
+          .setScale(4, java.math.RoundingMode.HALF_UP)
+          .unscaledValue().longValueExact()
+      else 0L
 
     /** Twin of `cast(decimalValue AS double)` on a scale-4 sum. */
     def dec4ToDouble(unscaled: Long): Double =
       java.math.BigDecimal.valueOf(unscaled, 4).doubleValue()
+  }
+
+  /** Scalar twin of Spark SQL's (and DuckDB's) DOUBLE ordering: NaN is
+    * GREATER than every other value and equal to itself — so
+    * `size > 0.0` is TRUE for a NaN size in the batch plans, where
+    * Scala's IEEE `>` says false. Every fold comparison that mirrors a
+    * Column comparison must go through these (MicrostructureFuzzSpec
+    * plants NaN sizes to hold the line). */
+  private object SqlOrd extends Serializable {
+    def gt(a: Double, b: Double): Boolean =
+      if (a.isNaN) !b.isNaN
+      else if (b.isNaN) false
+      else a > b
+    def lt(a: Double, b: Double): Boolean = gt(b, a)
+  }
+
+  /** The folds' shared bucket function — ONE definition of
+    * `floor(fillDigits(ts)/1000/seconds)*seconds` so the seven
+    * streaming twins cannot silently diverge from each other (or from
+    * the batch ops' `bucketed`). Standalone serializable holder, the
+    * [[Dec4]] stance. */
+  private object Buckets extends Serializable {
+    def of(ts: Long, seconds: Long): Long = {
+      val s = CommandParser.fillDigits(ts) / 1000L
+      s / seconds * seconds
+    }
   }
 
   /** Per-symbol tick-rule state: prevailing trade price, the running
@@ -497,10 +524,7 @@ object Streaming {
       seconds: Long = 60): Dataset[TickFlowBucket] = {
     import updates.sparkSession.implicits._
     val Dec4 = Streaming.Dec4
-    def bucketOf(ts: Long): Long = {
-      val s = CommandParser.fillDigits(ts) / 1000L
-      s / seconds * seconds
-    }
+    def bucketOf(ts: Long): Long = Streaming.Buckets.of(ts, seconds)
     def emit(sym: String, st: TickFlowState): TickFlowBucket = {
       val signed = Dec4.dec4ToDouble(st.signedU)
       val cls = Dec4.dec4ToDouble(st.classU)
@@ -519,11 +543,16 @@ object Streaming {
             st = TickFlowState(u.price, 0, b, 1L, 0L, 0L)
           else {
             val dir =
-              if (u.price > st.lastPrice) 1
-              else if (u.price < st.lastPrice) -1 else 0
+              if (SqlOrd.gt(u.price, st.lastPrice)) 1
+              else if (SqlOrd.lt(u.price, st.lastPrice)) -1 else 0
             val carry = if (dir != 0) dir else st.carry
             if (b != st.bucket) { out += emit(sym, st)
               st = TickFlowState(u.price, carry, b, 0L, 0L, 0L) }
+            // batch guard parity: a CLASSIFIED non-finite size raises
+            // in the plan (finiteSize) — fail the same way here
+            if (carry != 0 && !java.lang.Double.isFinite(u.size))
+              throw new ArithmeticException(
+                "tickRuleFlow: non-finite trade size")
             val q = Dec4.dec4(u.size)
             st = TickFlowState(u.price, carry, b, st.n + 1L,
               if (carry != 0)
@@ -564,10 +593,7 @@ object Streaming {
       seconds: Long = 60): Dataset[EffSprBucket] = {
     import updates.sparkSession.implicits._
     val Dec4 = Streaming.Dec4
-    def bucketOf(ts: Long): Long = {
-      val s = CommandParser.fillDigits(ts) / 1000L
-      s / seconds * seconds
-    }
+    def bucketOf(ts: Long): Long = Streaming.Buckets.of(ts, seconds)
     def emit(sym: String, st: EffSprState): EffSprBucket = {
       val sum = Dec4.dec4ToDouble(st.effU)
       EffSprBucket(sym, st.bucket, st.n, st.nClass, sum,
@@ -592,7 +618,7 @@ object Streaming {
             st = st.copy(n = st.n + 1L, nClass = st.nClass + 1L,
               effU = Math.addExact(st.effU, Dec4.dec4(eff)))
           }
-        } else if (u.size > 0.0d) {
+        } else if (SqlOrd.gt(u.size, 0.0d)) {
           if (u.is_bid) st = st.copy(pb = u.price)
           else st = st.copy(pa = u.price)
         }
@@ -625,10 +651,7 @@ object Streaming {
   def streamingRollSpread(updates: Dataset[Update],
       seconds: Long = 60): Dataset[RollSprBucket] = {
     import updates.sparkSession.implicits._
-    def bucketOf(ts: Long): Long = {
-      val s = CommandParser.fillDigits(ts) / 1000L
-      s / seconds * seconds
-    }
+    def bucketOf(ts: Long): Long = Streaming.Buckets.of(ts, seconds)
     def emit(sym: String, st: RollSprState): RollSprBucket = {
       val n = st.n.toDouble
       val cov = (st.sxy.toDouble - st.sx.toDouble * st.sy.toDouble / n) / n
@@ -703,10 +726,7 @@ object Streaming {
       seconds: Long = 60): Dataset[KyleLamRow] = {
     import updates.sparkSession.implicits._
     val Dec4 = Streaming.Dec4
-    def bucketOf(ts: Long): Long = {
-      val s = CommandParser.fillDigits(ts) / 1000L
-      s / seconds * seconds
-    }
+    def bucketOf(ts: Long): Long = Streaming.Buckets.of(ts, seconds)
     val Unset = Long.MinValue
     def zero = KyleLamState(0.0, hasPrevTrade = false, 0, Unset, 0L,
       Unset, Unset, Unset, Unset, 0L, "0", "0", "0", "0")
@@ -757,19 +777,26 @@ object Streaming {
         if (u.is_trade) {
           val dir =
             if (!st.hasPrevTrade) 0
-            else if (u.price > st.prevTrade) 1
-            else if (u.price < st.prevTrade) -1 else 0
+            else if (SqlOrd.gt(u.price, st.prevTrade)) 1
+            else if (SqlOrd.lt(u.price, st.prevTrade)) -1 else 0
           val carry = if (dir != 0) dir else st.carry
           val fU =
-            if (carry != 0)
+            if (carry != 0) {
+              // batch guard parity (finiteSize): classified non-finite
+              // size raises in the plan — fail the same way here
+              if (!java.lang.Double.isFinite(u.size))
+                throw new ArithmeticException(
+                  "signedFlow: non-finite trade size")
               Math.addExact(st.fU,
                 if (carry == 1) Dec4.dec4(u.size) else -Dec4.dec4(u.size))
-            else st.fU
+            } else st.fU
           st = st.copy(prevTrade = u.price, hasPrevTrade = true,
             carry = carry, fU = fU)
-        } else if (u.size > 0.0d) {
+        } else if (SqlOrd.gt(u.size, 0.0d)) {
           val c = math.floor(u.price * 100.0d + 0.5d)
-          if (math.abs(c) > 1.0e12d)
+          // NaN raises like the batch guard: Spark's NaN-greatest
+          // ordering makes abs(NaN) > 1e12 TRUE in the plan
+          if (SqlOrd.gt(math.abs(c), 1.0e12d))
             throw new ArithmeticException(
               "kyleLambda: price outside the exact-decimal regime")
           if (u.is_bid) st = st.copy(cb = c.toLong)
@@ -814,10 +841,7 @@ object Streaming {
       seconds: Long = 60): Dataset[FlowAcRow] = {
     import updates.sparkSession.implicits._
     val Dec4 = Streaming.Dec4
-    def bucketOf(ts: Long): Long = {
-      val s = CommandParser.fillDigits(ts) / 1000L
-      s / seconds * seconds
-    }
+    def bucketOf(ts: Long): Long = Streaming.Buckets.of(ts, seconds)
     val Unset = Long.MinValue
     def zero = FlowAcState(0.0, hasPrevTrade = false, 0, Unset, 0L,
       0L, hasFPrev = false, 0L, "0", "0", "0", "0", "0")
@@ -862,14 +886,19 @@ object Streaming {
         if (u.is_trade) {
           val dir =
             if (!st.hasPrevTrade) 0
-            else if (u.price > st.prevTrade) 1
-            else if (u.price < st.prevTrade) -1 else 0
+            else if (SqlOrd.gt(u.price, st.prevTrade)) 1
+            else if (SqlOrd.lt(u.price, st.prevTrade)) -1 else 0
           val carry = if (dir != 0) dir else st.carry
           val fU =
-            if (carry != 0)
+            if (carry != 0) {
+              // batch guard parity (finiteSize): classified non-finite
+              // size raises in the plan — fail the same way here
+              if (!java.lang.Double.isFinite(u.size))
+                throw new ArithmeticException(
+                  "signedFlow: non-finite trade size")
               Math.addExact(st.fU,
                 if (carry == 1) Dec4.dec4(u.size) else -Dec4.dec4(u.size))
-            else st.fU
+            } else st.fU
           st = st.copy(prevTrade = u.price, hasPrevTrade = true,
             carry = carry, fU = fU)
         }

@@ -35,9 +35,18 @@ class MicrostructureFuzzSpec extends SparkSpec {
         trade <- Gen.prob(0.45)
         bid <- Gen.prob(0.5)
         price <- Gen.oneOf(9.97, 9.98, 9.99, 10.0, 10.0, 10.01, 10.02)
-        size <- Gen.frequency(
+        // corrupt-feed sizes ride on LEVEL rows only: they exercise the
+        // NaN-greatest ordering of the batch plans' `size > 0` level
+        // acceptance (SqlOrd twins it) without entering a flow sum — a
+        // classified trade with a non-finite size raises loud in BOTH
+        // forms instead (the dedicated test below)
+        size <- if (trade) Gen.frequency(
           (85, Gen.choose(1, 99999).map(_ / 10000.0)),
           (15, Gen.const(0.0)))
+        else Gen.frequency(
+          (82, Gen.choose(1, 99999).map(_ / 10000.0)),
+          (15, Gen.const(0.0)),
+          (3, Gen.oneOf(Double.NaN, Double.PositiveInfinity)))
       } yield (dt, trade, bid, price, size))
     } yield rows.sortBy(_._1).zipWithIndex.map {
       case ((dt, trade, bid, p, s), i) =>
@@ -128,6 +137,32 @@ class MicrostructureFuzzSpec extends SparkSpec {
     assert(want.nonEmpty)
     assert(got.keySet === want)
     want.foreach(k => assert(got(k) === batch(k), s"drift at $k"))
+  }
+
+  test("a classified trade with a non-finite size raises loud in batch " +
+      "AND throws in the fold (the DuckDB twin errors on the same cast)") {
+    val t0 = 1700000000000L
+    val bad = Seq(
+      Update("nf", t0, 0L, is_trade = true, is_bid = true, 10.0, 1.0),
+      Update("nf", t0 + 1, 1L, is_trade = true, is_bid = true, 10.01,
+        Double.NaN)) // uptick -> classified -> enters the signed sum
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    val exB = intercept[Exception] {
+      Microstructure.tickRuleFlow(updatesDf(bad)).collect()
+    }
+    assert(msgs(exB).exists(_.contains("non-finite trade size")),
+      s"wrong batch failure: ${msgs(exB).mkString(" | ")}")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Update]
+    val q = Streaming.streamingTickRuleFlow(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("fz_nf").start()
+    in.addData(bad: _*)
+    val exS = intercept[Exception] { q.processAllAvailable() }
+    try q.stop() catch { case _: Throwable => () }
+    assert(msgs(exS).exists(_.contains("non-finite trade size")),
+      s"wrong fold failure: ${msgs(exS).mkString(" | ")}")
   }
 
   test("fuzz: kyle lambda and flow autocorr batch ≡ streaming serving " +
