@@ -16,7 +16,7 @@ object SparkEntry {
   /** All correctness-gate entries, grouped by domain. */
   def registry: Seq[Q] =
     TickQueries.all ++ BarQueries.all ++ BookQueries.all ++
-      RelationalQueries.all ++ ExtQueries.all
+      RelationalQueries.all ++ ExtQueries.all ++ EventQueries.all
 
   /** Registry partitioned for the bench's per-group totals: `core` =
     * the reference's own operator surface (ticks/bars/books/relational),
@@ -25,7 +25,7 @@ object SparkEntry {
   def registryGroups: Seq[(String, Seq[Q])] = Seq(
     "core" -> (TickQueries.all ++ BarQueries.all ++ BookQueries.all ++
       RelationalQueries.all),
-    "ext" -> ExtQueries.all)
+    "ext" -> (ExtQueries.all ++ EventQueries.all))
 
   /** Finer per-query families (VERDICT r6 #7): `core` plus the ext
     * registry's dedup/ann/text/pipeline/multimodal blocks. Emitted as
@@ -33,7 +33,8 @@ object SparkEntry {
     * in cross-round diffs) and accepted as `SPARK_GRAFT_BENCH_ONLY`
     * tokens (one-token family A/B sweeps). */
   def registryFamilies: Seq[(String, Seq[Q])] =
-    Seq("core" -> registryGroups.head._2) ++ ExtQueries.families
+    Seq("core" -> registryGroups.head._2) ++ ExtQueries.families ++
+      Seq("events" -> EventQueries.all)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's minimum end-to-end slice (SURVEY §7.2): 1-minute OHLCV

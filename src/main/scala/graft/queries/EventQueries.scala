@@ -1,0 +1,42 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.EventAnalytics
+
+/** Correctness-gate entries for the clickstream analytics family over
+  * the driver's `events` table (sessionization, funnels, retention,
+  * transitions) — see [[graft.operators.EventAnalytics]] for the
+  * exactness and scale contract. */
+object EventQueries {
+
+  private def events(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.table(s, dir, "events")
+
+  /** The funnel the driver data supports: first page view, then a
+    * click strictly after it, then a purchase — within a 7-day horizon
+    * of the first view. */
+  private val FunnelSteps = Seq("view", "click", "purchase")
+
+  val all: Seq[Q] = Seq(
+
+    // 30-minute inactivity sessions, exact micros + quantized value sums
+    Q("q_sessionize",
+      (s, dir) => EventAnalytics.sessionize(events(s, dir)),
+      Some(EventAnalytics.sessionizeSql())),
+
+    // view -> click -> purchase within 7 days of the first view
+    Q("q_funnel",
+      (s, dir) => EventAnalytics.funnel(events(s, dir), FunnelSteps),
+      Some(EventAnalytics.funnelSql(FunnelSteps))),
+
+    // weekly cohorts with retained fraction
+    Q("q_retention",
+      (s, dir) => EventAnalytics.retentionCohorts(events(s, dir)),
+      Some(EventAnalytics.retentionCohortsSql())),
+
+    // first-order event-type transition matrix
+    Q("q_transitions",
+      (s, dir) => EventAnalytics.transitions(events(s, dir)),
+      Some(EventAnalytics.transitionsSql))
+  )
+}

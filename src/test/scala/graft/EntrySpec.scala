@@ -29,7 +29,8 @@ class EntrySpec extends SparkSpec {
       "families must cover the registry exactly")
     assert(fams.forall(_._2.nonEmpty), "empty family")
     assert(fams.map(_._1) ===
-      Seq("core", "dedup", "ann", "text", "pipeline", "multimodal"))
+      Seq("core", "dedup", "ann", "text", "pipeline", "multimodal",
+        "events"))
   }
 
   test("every registry query analyzes against sf0.001") {

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventAnalytics
+
+/** The clickstream family against hand-computed fixtures: session
+  * boundary semantics (strict `diff >= gap` split, exact-gap edge,
+  * same-timestamp ties), funnel chain breaks and horizon clipping,
+  * retention's offset-0 ≡ cohort-size invariant, and transition rows
+  * normalizing to 1 per from-type. The registry gates cross-check the
+  * same plans against DuckDB on the driver data; these pin the
+  * semantics on inputs small enough to verify by hand. */
+class EventAnalyticsSpec extends SparkSpec {
+
+  /** (event_id, us, user_id, event_type, value) → events-table frame.
+    * Timestamps are built from epoch micros so the expected integer
+    * `tsu` values are the literals below. */
+  private def eventsDf(
+      rows: Seq[(Long, Long, Long, String, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  private val M = 60L * 1000000L // one minute in micros
+
+  test("sessionize: exact-gap diff splits, sub-gap diff joins") {
+    val gapUs = 1800L * 1000000L
+    val df = eventsDf(Seq(
+      (1L, 0L, 7L, "view", 1.5),
+      (2L, gapUs - 1, 7L, "click", 2.0), // strictly inside -> same
+      (3L, 2 * gapUs - 1 + 0L, 7L, "view", 0.25), // diff == gap -> split
+      (4L, 2 * gapUs, 7L, "purchase", 0.0))) // diff 1us -> same
+    val out = EventAnalytics.sessionize(df).collect()
+    assert(out.length === 2)
+    val s1 = out(0)
+    assert(s1.getAs[Long]("session_idx") === 1L)
+    assert(s1.getAs[Long]("session_start") === 0L)
+    assert(s1.getAs[Long]("session_end") === gapUs - 1)
+    assert(s1.getAs[Long]("n_events") === 2L)
+    assert(s1.getAs[Long]("value_q") === 3500000L)
+    val s2 = out(1)
+    assert(s2.getAs[Long]("session_idx") === 2L)
+    assert(s2.getAs[Long]("n_events") === 2L)
+    assert(s2.getAs[Long]("duration_us") === 1L)
+    assert(s2.getAs[Long]("value_q") === 250000L)
+  }
+
+  test("sessionize: same-timestamp ties stay in one session") {
+    val df = eventsDf(Seq(
+      (2L, 100L, 1L, "view", 0.0), // ids out of insertion order:
+      (1L, 100L, 1L, "view", 0.0), // the (tsu, event_id) tiebreak
+      (3L, 100L, 1L, "view", 0.0))) // must not split a tie group
+    val out = EventAnalytics.sessionize(df).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("n_events") === 3L)
+    assert(out(0).getAs[Long]("duration_us") === 0L)
+  }
+
+  test("funnel: full chain, strict-after, horizon clip, chain break") {
+    val steps = Seq("view", "click", "purchase")
+    val horizon = 7L * 86400 // seconds
+    val hUs = horizon * 1000000L
+    val df = eventsDf(Seq(
+      // u1: completes in order
+      (1L, 0L, 1L, "view", 0.0),
+      (2L, M, 1L, "click", 0.0),
+      (3L, 2 * M, 1L, "purchase", 0.0),
+      // u2: purchase BEFORE click -> chain breaks at step 3
+      (4L, 0L, 2L, "view", 0.0),
+      (5L, 2 * M, 2L, "click", 0.0),
+      (6L, M, 2L, "purchase", 0.0),
+      // u3: click at exactly t1 (not strictly after) -> stuck at step 1
+      (7L, 5L * M, 3L, "view", 0.0),
+      (8L, 5L * M, 3L, "click", 0.0),
+      // u4: click beyond the horizon -> stuck at step 1
+      (9L, 0L, 4L, "view", 0.0),
+      (10L, hUs + 1, 4L, "click", 0.0),
+      // u5: never views -> absent
+      (11L, 0L, 5L, "click", 0.0)))
+    val out = EventAnalytics.funnel(df, steps, horizon).collect()
+    assert(out.map(_.getAs[Long]("user_id")).toSeq === Seq(1L, 2L, 3L, 4L))
+    val byUser = out.map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(byUser(1L).getAs[Long]("max_step") === 3L)
+    assert(byUser(1L).getAs[Long]("t3") === 2 * M)
+    assert(byUser(2L).getAs[Long]("max_step") === 2L)
+    assert(byUser(2L).isNullAt(byUser(2L).fieldIndex("t3")))
+    assert(byUser(3L).getAs[Long]("max_step") === 1L)
+    assert(byUser(4L).getAs[Long]("max_step") === 1L)
+  }
+
+  test("funnel: horizon measured from step 1, not the previous step") {
+    val steps = Seq("view", "click", "purchase")
+    val df = eventsDf(Seq(
+      (1L, 0L, 1L, "view", 0.0),
+      (2L, 6L * 86400000000L, 1L, "click", 0.0),
+      // 8 days after the view: within 7d of the CLICK but not the view
+      (3L, 8L * 86400000000L, 1L, "purchase", 0.0)))
+    val out = EventAnalytics.funnel(df, steps).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("max_step") === 2L)
+  }
+
+  test("retention: offset 0 is the cohort size; fractions exact") {
+    val week = 7L * 86400000000L
+    val df = eventsDf(Seq(
+      // cohort 0: users 1,2 in week 0; user 1 returns week 1
+      (1L, 0L, 1L, "view", 0.0),
+      (2L, 1L, 2L, "view", 0.0),
+      (3L, week + 5L, 1L, "click", 0.0),
+      // cohort 1: user 3 first appears week 1
+      (4L, week + 9L, 3L, "view", 0.0)))
+    val out = EventAnalytics.retentionCohorts(df).collect()
+    val rows = out.map(r => (r.getAs[Long]("cohort"),
+      r.getAs[Long]("offset"), r.getAs[Long]("n_users"),
+      r.getAs[Long]("cohort_size"), r.getAs[Double]("retained_frac")))
+    assert(rows.toSeq === Seq(
+      (0L, 0L, 2L, 2L, 1.0),
+      (0L, 1L, 1L, 2L, 0.5),
+      (1L, 0L, 1L, 1L, 1.0)))
+  }
+
+  test("retention: one row per (user, period) even with many events") {
+    val df = eventsDf((1L to 6L).map(i => (i, i, 1L, "view", 0.0)))
+    val out = EventAnalytics.retentionCohorts(df).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("n_users") === 1L)
+  }
+
+  test("transitions: per-user ordered pairs; p sums to 1 per from-type") {
+    val df = eventsDf(Seq(
+      (1L, 0L, 1L, "a", 0.0), (2L, M, 1L, "b", 0.0),
+      (3L, 2 * M, 1L, "a", 0.0),
+      (4L, 0L, 2L, "a", 0.0), (5L, M, 2L, "a", 0.0)))
+    val out = EventAnalytics.transitions(df).collect()
+    val rows = out.map(r => (r.getAs[String]("event_type"),
+      r.getAs[String]("next_type"), r.getAs[Long]("n")))
+    // u1: a->b, b->a; u2: a->a. No cross-user pair (u1's last a never
+    // transitions into u2's first a).
+    assert(rows.toSeq === Seq(("a", "a", 1L), ("a", "b", 1L), ("b", "a", 1L)))
+    val byFrom = out.groupBy(_.getAs[String]("event_type"))
+    byFrom.values.foreach { rs =>
+      assert(math.abs(rs.map(_.getAs[Double]("p")).sum - 1.0) < 1e-15)
+    }
+  }
+
+  test("registry gates analyze and return rows on sf0.001") {
+    Tables.enableNanos(spark)
+    graft.queries.EventQueries.all.foreach { q =>
+      assert(q.fn(spark, sf()).count() > 0L, q.name)
+    }
+  }
+}
