@@ -2771,4 +2771,138 @@ object Streaming {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(budgetFn)
   }
+
+  // ------------------------------------------------ clickstream twins
+
+  /** One event of the clickstream family's stream form (the `events`
+    * table's analytics columns; `props` is dead weight for every op in
+    * the family). */
+  case class ClickEvent(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  /** Exact integer micros of a ClickEvent timestamp — the fold-side
+    * spelling of the batch family's `unix_micros` (both read the same
+    * instant; `Timestamp.getTime` alone would truncate to millis). */
+  private def clickMicros(ts: java.sql.Timestamp): Long = {
+    val i = ts.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  /** Streaming sessionize — twin of
+    * [[graft.operators.EventAnalytics.sessionize]] via Spark's NATIVE
+    * session_window aggregation (gap-merge is exactly the batch rule:
+    * per-event windows `[ts, ts+gap)` merge iff they overlap, i.e.
+    * `diff < gap`, so a diff of exactly the gap splits in both forms).
+    * All aggregates are the batch expressions over exact integers, so a
+    * finalized session is bit-equal to its batch row; `session_idx` is
+    * the one batch column with no streaming analog (it numbers sessions
+    * within a user's FULL history), so the twin keys sessions by
+    * `(user_id, session_start)` instead — equivalent information, since
+    * session starts are unique per user by construction.
+    *
+    * Append mode: a session emits once the watermark passes its close;
+    * each user's final in-progress session stays pending (the fold
+    * twins' dropLast stance, enforced here by the engine itself). */
+  def streamingSessionize(events: DataFrame,
+      gapSeconds: Long = 1800): DataFrame =
+    events
+      .withColumn("event_time", col("ts").cast("timestamp"))
+      .withColumn("tsu", unix_micros(col("event_time")))
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(col("user_id"),
+        session_window(col("event_time"), s"$gapSeconds seconds"))
+      .agg(
+        min(col("tsu")).as("session_start"),
+        max(col("tsu")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(floor(col("value") *
+          graft.operators.EventAnalytics.ValueScale).cast("long"))
+          .as("value_q"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("value_q"),
+        (col("session_end") - col("session_start")).as("duration_us"))
+
+  /** A funnel advance: `user_id` reached `step` (1-based) at `tsu`. */
+  case class FunnelAdvance(user_id: Long, step: Int, tsu: Long)
+
+  /** Step times reached so far; `Long.MinValue` = unreached. */
+  case class FunnelState(times: Seq[Long])
+
+  /** Streaming funnel progress — the ingest-time twin of
+    * [[graft.operators.EventAnalytics.funnel]]: a per-user fold that
+    * emits one [[FunnelAdvance]] the moment a user first satisfies a
+    * step (strictly after the previous step's time, within the horizon
+    * of step 1 — the batch conditions verbatim). Because each batch
+    * t_i is the MINIMUM qualifying time and the fold sees events in
+    * (tsu, event_id) order (sorted per micro-batch; in-order across
+    * batches — the fold twins' ingest contract), the first qualifying
+    * event IS the minimum, so the emitted advance set equals the batch
+    * row's non-null step times exactly (StreamingSpec). */
+  def streamingFunnelSteps(events: Dataset[ClickEvent],
+      steps: Seq[String], horizonSeconds: Long = 7L * 86400)
+      : Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    require(steps.size >= 2, "funnel needs at least two steps")
+    val horizonUs = horizonSeconds * 1000000L
+    def fn(uid: Long, rows: Iterator[ClickEvent],
+        state: GroupState[FunnelState]): Iterator[FunnelAdvance] = {
+      val times = state.getOption.map(_.times.toArray)
+        .getOrElse(Array.fill(steps.size)(Long.MinValue))
+      val out = Seq.newBuilder[FunnelAdvance]
+      rows.toSeq
+        .map(e => (clickMicros(e.ts), e.event_id, e.event_type))
+        .sortBy(t => (t._1, t._2))
+        .foreach { case (tsu, _, typ) =>
+          val i = steps.indexOf(typ)
+          if (i == 0 && times(0) == Long.MinValue) {
+            times(0) = tsu; out += FunnelAdvance(uid, 1, tsu)
+          } else if (i > 0 && times(i) == Long.MinValue &&
+              times(i - 1) != Long.MinValue && tsu > times(i - 1) &&
+              tsu <= times(0) + horizonUs) {
+            times(i) = tsu; out += FunnelAdvance(uid, i + 1, tsu)
+          }
+        }
+      state.update(FunnelState(times.toSeq))
+      out.result().iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** One consecutive event-type pair of a user's stream. */
+  case class TransitionPair(user_id: Long, event_type: String,
+      next_type: String)
+
+  /** Last event seen per user — O(1) state. */
+  case class TransState(tsu: Long, eventId: Long, typ: String)
+
+  /** Streaming transition pairs — the stateful half of
+    * [[graft.operators.EventAnalytics.transitions]]: a per-user fold
+    * carrying only the LAST event, emitting each consecutive
+    * (from, to) pair at ingest. Counting pairs into the matrix is a
+    * commutative monoid downstream (any aggregation replays batch
+    * counts exactly); the fold is what needs event order, and it sorts
+    * per micro-batch under the cross-batch in-order contract. */
+  def streamingTransitionPairs(events: Dataset[ClickEvent])
+      : Dataset[TransitionPair] = {
+    import events.sparkSession.implicits._
+    def fn(uid: Long, rows: Iterator[ClickEvent],
+        state: GroupState[TransState]): Iterator[TransitionPair] = {
+      var last = state.getOption.orNull
+      val out = Seq.newBuilder[TransitionPair]
+      rows.toSeq
+        .map(e => (clickMicros(e.ts), e.event_id, e.event_type))
+        .sortBy(t => (t._1, t._2))
+        .foreach { case (tsu, id, typ) =>
+          if (last != null) out += TransitionPair(uid, last.typ, typ)
+          last = TransState(tsu, id, typ)
+        }
+      if (last != null) state.update(last)
+      out.result().iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
 }

@@ -1869,4 +1869,89 @@ class StreamingSpec extends SparkSpec {
       assert(streamedClean.getOrElse(d, "") === clean, s"doc $d text")
     }
   }
+
+  test("streaming clickstream twins replay the batch family bit-exactly: " +
+      "native session_window sessions, funnel advances, transition pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val eventsDf = Tables.table(spark, sf("sf0.001"), "events")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts")
+        .cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    // exact-micros sort: getTime truncates to millis, and a micro-level
+    // inversion at a batch boundary would break the folds' in-order
+    // ingest contract
+    def micros(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val evs = eventsDf.as[Streaming.ClickEvent].collect()
+      .sortBy(e => (micros(e.ts), e.event_id))
+    val steps = Seq("view", "click", "purchase")
+
+    // batch truths over the same rows
+    val wantSessions = graft.operators.EventAnalytics
+      .sessionize(eventsDf).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("session_start")) ->
+        ((r.getAs[Long]("session_end"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("value_q"), r.getAs[Long]("duration_us")))).toMap
+    val wantAdvances = graft.operators.EventAnalytics
+      .funnel(eventsDf, steps).collect().flatMap { r =>
+        (1 to steps.size).flatMap(i =>
+          if (r.isNullAt(r.fieldIndex(s"t$i"))) None
+          else Some((r.getAs[Long]("user_id"), i,
+            r.getAs[Long](s"t$i"))))
+      }.toSet
+    val wantPairs = graft.operators.EventAnalytics
+      .transitions(eventsDf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n"))
+      .toMap
+
+    val in = MemoryStream[Streaming.ClickEvent]
+    val qs = Streaming.streamingSessionize(in.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("ssess").start()
+    val qf = Streaming.streamingFunnelSteps(in.toDS(), steps).writeStream
+      .outputMode("append").format("memory").queryName("sfun").start()
+    val qt = Streaming.streamingTransitionPairs(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("strans").start()
+    def drain(): Unit = {
+      qs.processAllAvailable(); qf.processAllAvailable()
+      qt.processAllAvailable()
+    }
+    val third = evs.length / 3
+    in.addData(evs.take(third).toSeq: _*); drain()
+    in.addData(evs.slice(third, 2 * third).toSeq: _*); drain()
+    in.addData(evs.drop(2 * third).toSeq: _*); drain()
+    // sentinel user far in the future: advances the session watermark
+    // past every real session's close; its own session stays pending
+    val sentinel = Streaming.ClickEvent(-1L,
+      new java.sql.Timestamp(evs.map(_.ts.getTime).max +
+        90L * 24 * 3600 * 1000), -1L, "view", 0.0)
+    in.addData(sentinel); drain()
+    qs.stop(); qf.stop(); qt.stop()
+
+    val gotSessions = spark.table("ssess").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("session_start")) ->
+        ((r.getAs[Long]("session_end"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("value_q"), r.getAs[Long]("duration_us")))).toMap
+    assert(wantSessions.nonEmpty)
+    assert(gotSessions.keySet === wantSessions.keySet,
+      s"missing ${(wantSessions.keySet -- gotSessions.keySet).take(3)}, " +
+        s"extra ${(gotSessions.keySet -- wantSessions.keySet).take(3)}")
+    wantSessions.foreach { case (k, v) =>
+      assert(gotSessions(k) === v, s"session drift at $k")
+    }
+
+    val gotAdvances = spark.table("sfun").as[Streaming.FunnelAdvance]
+      .collect().filter(_.user_id >= 0) // drop the sentinel's own advance
+      .map(a => (a.user_id, a.step, a.tsu)).toSet
+    assert(wantAdvances.nonEmpty)
+    assert(gotAdvances === wantAdvances)
+
+    val gotPairs = spark.table("strans").as[Streaming.TransitionPair]
+      .collect().groupBy(p => (p.event_type, p.next_type)).view
+      .mapValues(_.length.toLong).toMap
+    assert(wantPairs.nonEmpty)
+    assert(gotPairs === wantPairs)
+  }
 }
