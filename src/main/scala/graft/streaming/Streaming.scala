@@ -2905,4 +2905,58 @@ object Streaming {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(fn)
   }
+
+  /** One first-activity-in-a-period record: `user_id` (cohort
+    * `cohort`) was active in period `cohort + offset` for the first
+    * time. */
+  case class RetentionHit(user_id: Long, cohort: Long, offset: Long)
+
+  /** Cohort period plus the period offsets already emitted. State is
+    * bounded by the number of DISTINCT periods the user was active in
+    * (≤ calendar periods of the stream's lifetime, ~52/year at weekly
+    * grain — not event volume). */
+  case class RetentionState(cohort: Long, offsets: Seq[Long])
+
+  /** Streaming retention hits — the stateful half of
+    * [[graft.operators.EventAnalytics.retentionCohorts]]: a per-user
+    * fold that pins the user's cohort at their FIRST event (the ingest
+    * in-order contract makes "first seen" = "first", as for the other
+    * fold twins) and emits one [[RetentionHit]] the first time the user
+    * is active in each period. The emitted set equals the batch
+    * `active ⋈ firsts` rows exactly, so counting hits per
+    * (cohort, offset) — a commutative monoid any downstream windowed
+    * aggregation replays — reproduces `n_users` bit-exactly, and
+    * `cohort_size`/`retained_frac` are derived from those counts by the
+    * batch expressions (StreamingSpec proves the composition).
+    *
+    * The period index is spelled EXACTLY as the batch/oracle compute
+    * it — `floor(tsu.toDouble / periodUs)`, one IEEE division + floor —
+    * not integer floorDiv, so a hypothetical boundary-rounding quirk
+    * would land identically in all three forms. */
+  def streamingRetentionHits(events: Dataset[ClickEvent],
+      periodDays: Long = 7): Dataset[RetentionHit] = {
+    import events.sparkSession.implicits._
+    val periodUs = periodDays * 86400L * 1000000L
+    def fn(uid: Long, rows: Iterator[ClickEvent],
+        state: GroupState[RetentionState]): Iterator[RetentionHit] = {
+      var st = state.getOption.orNull
+      val seen = scala.collection.mutable.Set[Long]()
+      if (st != null) seen ++= st.offsets
+      val out = Seq.newBuilder[RetentionHit]
+      rows.toSeq
+        .map(e => (clickMicros(e.ts), e.event_id))
+        .sortBy(identity)
+        .foreach { case (tsu, _) =>
+          val period = math.floor(tsu.toDouble / periodUs).toLong
+          if (st == null) st = RetentionState(period, Nil)
+          val off = period - st.cohort
+          if (seen.add(off)) out += RetentionHit(uid, st.cohort, off)
+        }
+      if (st != null) state.update(RetentionState(st.cohort, seen.toSeq))
+      out.result().iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
 }

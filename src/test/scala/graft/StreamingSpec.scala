@@ -1954,4 +1954,50 @@ class StreamingSpec extends SparkSpec {
     assert(wantPairs.nonEmpty)
     assert(gotPairs === wantPairs)
   }
+
+  test("streaming retention hits replay the batch cohort matrix " +
+      "bit-exactly, including derived cohort_size and retained_frac") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val eventsDf = Tables.table(spark, sf("sf0.001"), "events")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts")
+        .cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    def micros(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val evs = eventsDf.as[Streaming.ClickEvent].collect()
+      .sortBy(e => (micros(e.ts), e.event_id))
+
+    // batch truth: full cohort matrix with derived columns
+    val want = graft.operators.EventAnalytics.retentionCohorts(eventsDf)
+      .collect()
+      .map(r => (r.getAs[Long]("cohort"), r.getAs[Long]("offset")) ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("cohort_size"),
+          r.getAs[Double]("retained_frac")))).toMap
+    assert(want.nonEmpty)
+    assert(want.exists(_._1._2 > 0L), "fixture has no off-cohort activity")
+
+    val in = MemoryStream[Streaming.ClickEvent]
+    val q = Streaming.streamingRetentionHits(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("sret").start()
+    val third = evs.length / 3
+    in.addData(evs.take(third).toSeq: _*); q.processAllAvailable()
+    in.addData(evs.slice(third, 2 * third).toSeq: _*)
+    q.processAllAvailable()
+    in.addData(evs.drop(2 * third).toSeq: _*); q.processAllAvailable()
+    q.stop()
+
+    // the monoid replay: count hits per (cohort, offset), then derive
+    // cohort_size / retained_frac by the batch expressions
+    val hits = spark.table("sret").as[Streaming.RetentionHit].collect()
+    assert(hits.map(h => (h.user_id, h.offset)).distinct.length ===
+      hits.length, "duplicate hit emitted")
+    val counts = hits.groupBy(h => (h.cohort, h.offset)).view
+      .mapValues(_.length.toLong).toMap
+    val sizes = counts.collect { case ((c, 0L), n) => c -> n }
+    val got = counts.map { case ((c, o), n) =>
+      (c, o) -> ((n, sizes(c), n.toDouble / sizes(c).toDouble))
+    }
+    assert(got === want)
+  }
 }
