@@ -54,15 +54,8 @@ object EventAnalytics {
     * The running new-session flag sum uses an explicit ROWS frame: the
     * (tsu, event_id) order is unique per user, but spelling the frame
     * keeps Spark and DuckDB on identical semantics by construction. */
-  def sessionize(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
-    val gapUs = gapSeconds * 1000000L
-    ev(events)
-      .withColumn("prev_tsu", lag(col("tsu"), 1).over(perUser))
-      .withColumn("new_session",
-        when(col("prev_tsu").isNull ||
-          col("tsu") - col("prev_tsu") >= gapUs, 1L).otherwise(0L))
-      .withColumn("session_idx", sum(col("new_session")).over(
-        perUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800): DataFrame =
+    sessioned(events, gapSeconds)
       .groupBy(col("user_id"), col("session_idx"))
       .agg(
         min(col("tsu")).as("session_start"),
@@ -71,6 +64,19 @@ object EventAnalytics {
         sum(floor(col("value") * ValueScale).cast("long")).as("value_q"))
       .withColumn("duration_us", col("session_end") - col("session_start"))
       .orderBy("user_id", "session_idx")
+
+  /** The event-level frame every session operator folds from: each
+    * event tagged with its per-user `session_idx` (running sum of the
+    * gap-split flag over the unique `(tsu, event_id)` order). */
+  private def sessioned(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val gapUs = gapSeconds * 1000000L
+    ev(events)
+      .withColumn("prev_tsu", lag(col("tsu"), 1).over(perUser))
+      .withColumn("new_session",
+        when(col("prev_tsu").isNull ||
+          col("tsu") - col("prev_tsu") >= gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session")).over(
+        perUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
   def sessionizeSql(gapSeconds: Long = 1800): String = {
@@ -97,6 +103,101 @@ object EventAnalytics {
        |   FROM events)))
        |GROUP BY user_id, session_idx
        |ORDER BY user_id, session_idx""".stripMargin.replace('\n', ' ')
+  }
+
+  /** Session path analysis: the frequency table of event-type paths —
+    * each session rendered as its first `maxLen` event types in the
+    * `(tsu, event_id)` total order joined with `>` — counted across all
+    * sessions, heaviest first (ties broken by path, so the order is
+    * total). The classic "top user journeys" query over [[sessioned]].
+    *
+    * Determinism: Spark's `collect_list` has no intra-group order, so
+    * the path sorts `(tsu, event_id, event_type)` STRUCTS after
+    * collection — `(tsu, event_id)` is unique per user, so the struct
+    * sort IS the event order and the third field never compares. The
+    * twin's `list(... ORDER BY tsu, event_id)` is ordered directly.
+    *
+    * Scale shape: the per-session array is bounded by session length
+    * (inactivity-gap bounded, not data-volume bounded), and the path
+    * table aggregates to distinct-path cardinality before the final
+    * (small) total sort. */
+  def sessionPaths(events: DataFrame, gapSeconds: Long = 1800,
+      maxLen: Int = 8): DataFrame =
+    sessioned(events, gapSeconds)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(sort_array(collect_list(
+        struct(col("tsu"), col("event_id"), col("event_type"))))
+        .as("_evs"))
+      .select(array_join(
+        transform(slice(col("_evs"), 1, maxLen),
+          e => e.getField("event_type")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+
+  def sessionPathsSql(gapSeconds: Long = 1800, maxLen: Int = 8): String = {
+    val gapUs = gapSeconds * 1000000L
+    s"""WITH base AS (
+       | SELECT user_id, event_id, tsu, event_type,
+       |  SUM(new_session) OVER (PARTITION BY user_id
+       |    ORDER BY tsu, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |   AS session_idx
+       | FROM (
+       |  SELECT user_id, event_id, tsu, event_type,
+       |   CASE WHEN prev_tsu IS NULL OR tsu - prev_tsu >= $gapUs
+       |    THEN 1 ELSE 0 END AS new_session
+       |  FROM (
+       |   SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type,
+       |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS prev_tsu
+       |   FROM events))),
+       |p AS (
+       | SELECT user_id, session_idx,
+       |  array_to_string(list_slice(
+       |    list(event_type ORDER BY tsu, event_id), 1, $maxLen), '>')
+       |   AS path
+       | FROM base GROUP BY 1, 2)
+       |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
+       |ORDER BY n_sessions DESC, path""".stripMargin.replace('\n', ' ')
+  }
+
+  /** Bounce rate per calendar period: of the sessions STARTING in each
+    * `periodDays` bucket (the [[retentionCohorts]] period grid on
+    * `session_start`), the fraction with exactly one event — one IEEE
+    * division of two exact counts. Composes [[sessionize]]; the twin
+    * literally wraps [[sessionizeSql]] as a CTE, so the two gates share
+    * one session definition by construction. */
+  def bounceRate(events: DataFrame, gapSeconds: Long = 1800,
+      periodDays: Long = 7): DataFrame = {
+    val periodUs = periodDays * 86400L * 1000000L
+    sessionize(events, gapSeconds)
+      .groupBy(floor(col("session_start") / periodUs).cast("long")
+        .as("period"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L))
+          .as("n_bounce"))
+      .withColumn("bounce_rate",
+        col("n_bounce").cast("double") / col("n_sessions").cast("double"))
+      .orderBy("period")
+  }
+
+  def bounceRateSql(gapSeconds: Long = 1800,
+      periodDays: Long = 7): String = {
+    val periodUs = periodDays * 86400L * 1000000L
+    s"""WITH s AS (${sessionizeSql(gapSeconds)})
+       |SELECT period, n_sessions, n_bounce,
+       | CAST(n_bounce AS DOUBLE) / CAST(n_sessions AS DOUBLE)
+       |  AS bounce_rate
+       |FROM (
+       | SELECT CAST(floor(session_start / $periodUs) AS BIGINT)
+       |   AS period,
+       |  count(*) AS n_sessions,
+       |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_bounce
+       | FROM s GROUP BY 1)
+       |ORDER BY period""".stripMargin.replace('\n', ' ')
   }
 
   /** Ordered funnel: for each user who performed `steps.head`, the

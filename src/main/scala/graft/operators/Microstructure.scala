@@ -837,6 +837,138 @@ object Microstructure {
        | GROUP BY 1)
        |ORDER BY symbol""".stripMargin.replace('\n', ' ')
 
+  /** Lo–MacKinlay variance ratio per symbol: `VR(k) = (Var(r_k)/k) /
+    * Var(r_1)` over bucket-close log returns — the classic
+    * random-walk/mean-reversion diagnostic (VR < 1 ⇒ bounce-dominated
+    * mean reversion at horizon k, the aggregate signature of the
+    * [[rollSpread]] autocovariance; VR > 1 ⇒ momentum). Beyond-reference
+    * consumer analytics, same contract as the rest of the family.
+    *
+    * Construction, all exact until the final IEEE block:
+    *  - bucket close = last positive-price trade of each (symbol,
+    *    bucket) by `(ts, seq)` (`max_by` ≡ the twin's ordered `last`);
+    *  - `q` = `floor(ln(close_b/close_{b−1})·1e6)` over the symbol's
+    *    bucket series — the [[realizedVol]] quantization, with the same
+    *    loud |q| > 1e9 infinite-ratio guard;
+    *  - `qk` = Σ of k consecutive `q` (an exact long — |q| ≤ 1e9 and
+    *    small k keep it far from 2^63), defined only where the ROWS
+    *    frame holds exactly k returns (overlapping windows, the
+    *    estimator's standard form);
+    *  - per symbol: counts plus Σq, Σq², Σqk, Σqk² in decimal, each
+    *    emitted as a raise-guarded BIGINT (|sum| past 2^63 errors in
+    *    both engines — OverflowAuditSpec drives the bound);
+    *  - `var1`/`vark` = population variance `Σx²/n − (Σx/n)²` and
+    *    `vr = (vark/k)/var1`, each one short identical IEEE chain over
+    *    exact operands; null when no k-window completed or var1 = 0.
+    *
+    * Scale shape: one (symbol, bucket) partial aggregation, one
+    * per-symbol ordered window over the BUCKET series (time-bounded —
+    * buckets/symbol, not events/symbol), one per-symbol hash agg. */
+  def varianceRatio(updates: DataFrame, seconds: Long = 60,
+      k: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, "variance ratio needs k >= 2")
+    val w = Window.partitionBy(col("symbol")).orderBy(col("start"))
+    val wk = w.rowsBetween(-(k - 1), Window.currentRow)
+    def guardedLong(c: org.apache.spark.sql.Column, what: String) =
+      when(abs(c) > lit(Long.MaxValue),
+        raise_error(concat(lit(s"varianceRatio: $what overflows " +
+          "BIGINT at symbol="), col("symbol")))
+          .cast("long"))
+        .otherwise(c.cast("long"))
+    val qDec = col("q").cast("decimal(15,0)")
+    val qkDec = col("qk").cast("decimal(15,0)")
+    def varOf(sumSq: org.apache.spark.sql.Column,
+        sumQ: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column) =
+      sumSq.cast("double") / n -
+        (sumQ.cast("double") / n) * (sumQ.cast("double") / n)
+    updates.where(col("is_trade") && col("price") > 0.0d)
+      .groupBy(col("symbol"), bucketed(seconds))
+      .agg(max_by(col("price"), struct(col("ts"), col("seq")))
+        .as("close"))
+      .withColumn("q",
+        floor(log(col("close") / lag(col("close"), 1).over(w)) * 1e6)
+          .cast("long"))
+      .where(col("q").isNotNull)
+      // same loud guard as realizedVol: |q| > 1e9 means the double
+      // ratio overflowed and the long cast clamped
+      .withColumn("q",
+        when(abs(col("q")) > 1000000000L,
+          raise_error(concat(lit("varianceRatio: price ratio outside " +
+            "double range at symbol="), col("symbol"))).cast("long"))
+          .otherwise(col("q")))
+      .withColumn("qk",
+        when(count(lit(1)).over(wk) === k, sum(col("q")).over(wk)))
+      .groupBy(col("symbol"))
+      .agg(
+        count(col("q")).as("n1"),
+        sum(qDec).as("_s1"),
+        sum(qDec * qDec).as("_ss1"),
+        count(col("qk")).as("nk"),
+        sum(qkDec).as("_sk"),
+        sum(qkDec * qkDec).as("_ssk"))
+      .select(col("symbol"), col("n1"),
+        guardedLong(col("_s1"), "sum_q1").as("sum_q1"),
+        guardedLong(col("_ss1"), "sum_sq1").as("sum_sq1"),
+        col("nk"),
+        guardedLong(col("_sk"), "sum_qk").as("sum_qk"),
+        guardedLong(col("_ssk"), "sum_sqk").as("sum_sqk"))
+      .withColumn("var1",
+        varOf(col("sum_sq1"), col("sum_q1"), col("n1")))
+      .withColumn("vark",
+        when(col("nk") > 0L,
+          varOf(col("sum_sqk"), col("sum_qk"), col("nk"))))
+      .withColumn("vr",
+        when(col("nk") > 0L && col("var1") =!= 0.0d,
+          (col("vark") / lit(k.toDouble)) / col("var1")))
+  }
+
+  def varianceRatioSql(seconds: Long = 60, k: Int = 4): String =
+    s"""SELECT symbol, n1, sum_q1, sum_sq1, nk, sum_qk, sum_sqk, var1,
+       | vark,
+       | CASE WHEN nk > 0 AND var1 <> 0.0
+       |  THEN (vark / ${k}.0) / var1 END AS vr
+       |FROM (
+       | SELECT *,
+       |  CAST(sum_sq1 AS DOUBLE) / n1
+       |   - (CAST(sum_q1 AS DOUBLE) / n1)
+       |     * (CAST(sum_q1 AS DOUBLE) / n1) AS var1,
+       |  CASE WHEN nk > 0 THEN
+       |   CAST(sum_sqk AS DOUBLE) / nk
+       |    - (CAST(sum_qk AS DOUBLE) / nk)
+       |      * (CAST(sum_qk AS DOUBLE) / nk) END AS vark
+       | FROM (
+       |  SELECT symbol,
+       |   count(q) AS n1,
+       |   CAST(SUM(CAST(q AS HUGEINT)) AS BIGINT) AS sum_q1,
+       |   CAST(SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS BIGINT)
+       |    AS sum_sq1,
+       |   count(qk) AS nk,
+       |   CAST(SUM(CAST(qk AS HUGEINT)) AS BIGINT) AS sum_qk,
+       |   CAST(SUM(CAST(qk AS HUGEINT) * CAST(qk AS HUGEINT)) AS BIGINT)
+       |    AS sum_sqk
+       |  FROM (
+       |   SELECT symbol, start, q,
+       |    CASE WHEN count(*) OVER wk = $k
+       |     THEN SUM(q) OVER wk END AS qk
+       |   FROM (
+       |    SELECT symbol, start,
+       |     CAST(floor(ln(close / lag(close, 1) OVER (
+       |       PARTITION BY symbol ORDER BY start)) * 1e6) AS BIGINT)
+       |      AS q
+       |    FROM (
+       |     SELECT symbol, ((ts // 1000) // $seconds) * $seconds
+       |       AS start,
+       |      last(price ORDER BY ts, seq) AS close
+       |     FROM updates WHERE is_trade AND price > 0.0
+       |     GROUP BY 1, 2))
+       |   WHERE q IS NOT NULL
+       |   WINDOW wk AS (PARTITION BY symbol ORDER BY start
+       |    ROWS BETWEEN ${k - 1} PRECEDING AND CURRENT ROW))
+       |  GROUP BY 1))
+       |ORDER BY symbol""".stripMargin.replace('\n', ' ')
+
   def kyleLambdaSql(seconds: Long = 60): String =
     s"""SELECT symbol, n_pairs, sum_x, sum_y, sum_xy, sum_xx,
        | CASE WHEN CAST(n_pairs AS DOUBLE) * sum_xx - sum_x * sum_x

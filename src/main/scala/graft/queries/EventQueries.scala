@@ -37,6 +37,16 @@ object EventQueries {
     // first-order event-type transition matrix
     Q("q_transitions",
       (s, dir) => EventAnalytics.transitions(events(s, dir)),
-      Some(EventAnalytics.transitionsSql))
+      Some(EventAnalytics.transitionsSql)),
+
+    // top session event-type paths (user journeys), heaviest first
+    Q("q_session_paths",
+      (s, dir) => EventAnalytics.sessionPaths(events(s, dir)),
+      Some(EventAnalytics.sessionPathsSql())),
+
+    // single-event-session fraction per weekly period of session start
+    Q("q_bounce_rate",
+      (s, dir) => EventAnalytics.bounceRate(events(s, dir)),
+      Some(EventAnalytics.bounceRateSql()))
   )
 }

@@ -199,6 +199,11 @@ object TickQueries {
         .orderBy("symbol"),
       Some(Tables.withUpdates(Microstructure.amihudSql()))),
 
+    Q("q_variance_ratio",
+      (s, dir) => Microstructure.varianceRatio(u(s, dir))
+        .orderBy("symbol"),
+      Some(Tables.withUpdates(Microstructure.varianceRatioSql()))),
+
     Q("q_bucket_spread",
       (s, dir) => Microstructure.bucketSpread(u(s, dir))
         .orderBy("symbol", "start"),

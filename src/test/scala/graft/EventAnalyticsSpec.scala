@@ -147,6 +147,47 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("sessionPaths: ordered, truncated, session-split, tie-broken") {
+    val gapUs = 1800L * 1000000L
+    val df = eventsDf(
+      // u1 session 1: 10 events a,b,a,b,... -> path truncates at 8
+      (1 to 10).map(i => (i.toLong, i * M, 1L,
+        if (i % 2 == 1) "a" else "b", 0.0)) ++ Seq(
+        // u1 session 2 (after the gap): single "c" -> path "c"
+        (11L, 10 * M + gapUs, 1L, "c", 0.0),
+        // u2: same-timestamp tie ordered by event_id: b(12) before
+        // c(13) is FALSE — event_id 12 carries "c", 13 carries "b",
+        // so the path must be c>b (id order, not insertion order)
+        (13L, 0L, 2L, "b", 0.0),
+        (12L, 0L, 2L, "c", 0.0),
+        // u3: single "c" -> second "c" path; count 2 beats a>b... ties
+        (14L, 0L, 3L, "c", 0.0)))
+    val out = EventAnalytics.sessionPaths(df).collect()
+    val paths = out.map(r => (r.getAs[String]("path"),
+      r.getAs[Long]("n_sessions"))).toSeq
+    // "c" twice (u1 s2 + u3); truncated 8-step path once; c>b once —
+    // ordered by count desc then path asc
+    assert(paths === Seq(
+      ("c", 2L),
+      ("a>b>a>b>a>b>a>b", 1L),
+      ("c>b", 1L)))
+  }
+
+  test("bounceRate: period grid on session_start; exact division") {
+    val week = 7L * 86400L * 1000000L
+    val df = eventsDf(Seq(
+      // period 0: u1 bounces (1 event), u2 doesn't (2 events)
+      (1L, 0L, 1L, "view", 0.0),
+      (2L, 0L, 2L, "view", 0.0), (3L, M, 2L, "click", 0.0),
+      // period 3: u1 again, one bounce session
+      (4L, 3 * week + M, 1L, "view", 0.0)))
+    val out = EventAnalytics.bounceRate(df).collect()
+    val rows = out.map(r => (r.getAs[Long]("period"),
+      r.getAs[Long]("n_sessions"), r.getAs[Long]("n_bounce"),
+      r.getAs[Double]("bounce_rate"))).toSeq
+    assert(rows === Seq((0L, 2L, 1L, 0.5), (3L, 1L, 1L, 1.0)))
+  }
+
   test("registry gates analyze and return rows on sf0.001") {
     Tables.enableNanos(spark)
     graft.queries.EventQueries.all.foreach { q =>

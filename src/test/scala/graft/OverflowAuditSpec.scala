@@ -93,6 +93,83 @@ class OverflowAuditSpec extends SparkSpec {
       s"wrong failure: ${messages(ex).mkString(" | ")}")
   }
 
+  // ----------------------------------------------------- variance ratio
+
+  /** One extreme trade per 60 s bucket, so bucket closes are the trade
+    * prices and every consecutive-bucket return hits the |q| ceiling —
+    * the [[rvTrades]] magnitudes on the variance-ratio plan. */
+  private def vrTrades(n: Int): Seq[Update] =
+    (0 until n).map { i =>
+      Update("ovf", 1700000000000L + i * 60000L, i.toLong,
+        is_trade = true, is_bid = true,
+        if (i % 2 == 0) pLo else pHi, 1.0)
+    }
+
+  /** BigInt scalar replay of varianceRatio's operand sums (k = 4):
+    * (n1, Σq, Σq², nk, Σqk, Σqk²) over the bucket-close series. */
+  private def vrScalar(prices: Seq[Double], k: Int = 4)
+      : (Long, BigInt, BigInt, Long, BigInt, BigInt) = {
+    val qs = prices.sliding(2).flatMap { case Seq(a, b) =>
+      if (b / a == 0.0) None else Some(lnQ6(b / a))
+    }.toSeq
+    val qks = ((k - 1) until qs.length).map(i =>
+      qs.slice(i - k + 1, i + 1).sum)
+    (qs.length.toLong, qs.map(BigInt(_)).sum,
+      qs.map(q => BigInt(q) * BigInt(q)).sum,
+      qks.length.toLong, qks.map(BigInt(_)).sum,
+      qks.map(q => BigInt(q) * BigInt(q)).sum)
+  }
+
+  test("varianceRatio at the sum bound: exact below 2^63, loud above") {
+    // 19 extreme returns: Σq² ≈ 9.07e18 < 2^63 — all four emitted sums
+    // must equal the BigInt replay exactly (a wrap differs by 2^64)
+    val ups19 = vrTrades(20)
+    val (n1, s1, ss1, nk, sk, ssk) = vrScalar(ups19.map(_.price))
+    assert(ss1 < BigInt(Long.MaxValue), s"fixture broke: $ss1")
+    val row = graft.operators.Microstructure
+      .varianceRatio(updatesDf(ups19))
+      .select("n1", "sum_q1", "sum_sq1", "nk", "sum_qk", "sum_sqk")
+      .head()
+    assert(row.getLong(0) === n1)
+    assert(BigInt(row.getLong(1)) === s1, "sum_q1 wrapped")
+    assert(BigInt(row.getLong(2)) === ss1, "sum_sq1 wrapped")
+    assert(row.getLong(3) === nk)
+    assert(BigInt(row.getLong(4)) === sk, "sum_qk wrapped")
+    assert(BigInt(row.getLong(5)) === ssk, "sum_sqk wrapped")
+    // 20 extreme returns cross 2^63 in Σq²: the guarded BIGINT emission
+    // must raise (the twin's CAST(HUGEINT AS BIGINT) errors), not wrap
+    val ups20 = vrTrades(21)
+    assert(vrScalar(ups20.map(_.price))._3 > BigInt(Long.MaxValue))
+    val ex = intercept[Exception] {
+      graft.operators.Microstructure
+        .varianceRatio(updatesDf(ups20)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("overflows BIGINT")),
+      s"wrong failure: ${messages(ex).mkString(" | ")}")
+  }
+
+  test("varianceRatio with an infinite bucket-close ratio: loud raise") {
+    // same hazard as realizedVol's: an overflowed double ratio clamps
+    // the long cast — the |q| guard raises instead of feeding a
+    // clamped Long.Max into the sums
+    val ups = Seq(
+      Update("inf", 1700000000000L, 0L, is_trade = true, is_bid = true,
+        java.lang.Double.MIN_VALUE, 1.0),
+      Update("inf", 1700000060000L, 1L, is_trade = true, is_bid = true,
+        java.lang.Double.MAX_VALUE, 1.0))
+    val ex = intercept[Exception] {
+      graft.operators.Microstructure.varianceRatio(updatesDf(ups)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("outside double range")),
+      s"wrong failure: ${messages(ex).mkString(" | ")}")
+  }
+
   test("streamingRealizedVol fold: exact-or-throw at the same bound") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
