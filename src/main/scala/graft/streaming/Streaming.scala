@@ -911,6 +911,113 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Per-symbol variance-ratio state: the open bucket and its running
+    * close, the last CLOSED bucket's close (the lag operand), the last
+    * k−1 one-bucket returns (the overlapping-window tail), and exact
+    * BigInt operand sums as strings (the [[KyleLamState]] encoding). */
+  case class VrState(bucket: Long, close: Double, prevClose: Double,
+      hasPrevClose: Boolean, recentQs: Seq[Long], n1: Long,
+      s1: String, ss1: String, nk: Long, sk: String, ssk: String)
+  case class VrRow(symbol: String, n1: Long,
+      sum_q1: Option[Long], sum_sq1: Option[Long], nk: Long,
+      sum_qk: Option[Long], sum_sqk: Option[Long],
+      var1: Option[Double], vark: Option[Double], vr: Option[Double])
+
+  /** Variance ratio on a STREAM — the ingest-time twin of
+    * [[graft.operators.Microstructure.varianceRatio]] at the serving
+    * cadence (the [[streamingKyleLambda]] stance): a per-symbol ordered
+    * fold closes a bucket when a later-bucket positive-price trade
+    * arrives, takes the one-bucket return `q` between consecutive
+    * CLOSED buckets (the batch lag over the present-bucket series),
+    * extends the overlapping k-window sum from the carried k−1 return
+    * tail, and folds everything into exact BigInt sums — so after a
+    * sentinel closes each symbol's final real bucket, the emitted row
+    * IS the batch result bit-for-bit (StreamingSpec; the sentinel's own
+    * bucket stays open and contributes no return). Same floor-quantized
+    * `ln`, the same loud guards: an infinite ratio throws where the
+    * batch |q| guard raises, an underflowed (0.0) ratio drops the
+    * return but still advances the lag close (the batch NULL log), and
+    * a sum past 2^63 throws at emission where the batch guarded BIGINT
+    * cast raises. State is O(k) per symbol. */
+  def streamingVarianceRatio(updates: Dataset[Update],
+      seconds: Long = 60, k: Int = 4): Dataset[VrRow] = {
+    import updates.sparkSession.implicits._
+    require(k >= 2, "variance ratio needs k >= 2")
+    def bucketOf(ts: Long): Long = Streaming.Buckets.of(ts, seconds)
+    val Unset = Long.MinValue
+    def zero = VrState(Unset, 0.0, 0.0, hasPrevClose = false, Nil, 0L,
+      "0", "0", 0L, "0", "0")
+    /** The open bucket's close is final: fold its return (if a lag
+      * close exists and the ratio survives) and advance the lag. */
+    def closeBucket(st: VrState): VrState = {
+      if (!st.hasPrevClose)
+        return st.copy(prevClose = st.close, hasPrevClose = true)
+      val ratio = st.close / st.prevClose
+      if (ratio == 0.0) // underflow: the batch plan's NULL log drops
+        return st.copy(prevClose = st.close)
+      val l = math.log(ratio)
+      if (l.isInfinite) throw new ArithmeticException(
+        "varianceRatio: price ratio outside double range")
+      val q = math.floor(l * 1e6).toLong
+      val qB = BigInt(q)
+      var next = st.copy(prevClose = st.close, n1 = st.n1 + 1L,
+        s1 = (BigInt(st.s1) + qB).toString,
+        ss1 = (BigInt(st.ss1) + qB * qB).toString)
+      if (st.recentQs.length == k - 1) {
+        val qk = st.recentQs.sum + q // |q| ≤ 7.1e8, small k: exact
+        val qkB = BigInt(qk)
+        next = next.copy(nk = next.nk + 1L,
+          sk = (BigInt(next.sk) + qkB).toString,
+          ssk = (BigInt(next.ssk) + qkB * qkB).toString)
+      }
+      next.copy(recentQs = (st.recentQs :+ q).takeRight(k - 1))
+    }
+    def emit(sym: String, st: VrState): VrRow = {
+      def longOf(s: String, what: String): Long = {
+        val b = BigInt(s)
+        if (b.abs > BigInt(Long.MaxValue)) throw new ArithmeticException(
+          s"varianceRatio: $what overflows BIGINT") // the batch raise
+        b.toLong
+      }
+      val (s1, ss1) = (longOf(st.s1, "sum_q1"), longOf(st.ss1, "sum_sq1"))
+      val (sk, ssk) = (longOf(st.sk, "sum_qk"), longOf(st.ssk, "sum_sqk"))
+      def varOf(ss: Long, s: Long, n: Long): Double =
+        ss.toDouble / n - (s.toDouble / n) * (s.toDouble / n)
+      val var1 =
+        if (st.n1 > 0L) Some(varOf(ss1, s1, st.n1)) else None
+      val vark =
+        if (st.nk > 0L) Some(varOf(ssk, sk, st.nk)) else None
+      val vr =
+        if (st.nk > 0L && var1.exists(_ != 0.0d))
+          Some((vark.get / k.toDouble) / var1.get)
+        else None
+      VrRow(sym, st.n1,
+        if (st.n1 > 0L) Some(s1) else None,
+        if (st.n1 > 0L) Some(ss1) else None,
+        st.nk,
+        if (st.nk > 0L) Some(sk) else None,
+        if (st.nk > 0L) Some(ssk) else None,
+        var1, vark, vr)
+    }
+    def fn(sym: String, rows: Iterator[Update],
+        state: GroupState[VrState]): Iterator[VrRow] = {
+      var st = state.getOption.getOrElse(zero)
+      rows.toSeq.filter(u => u.is_trade && SqlOrd.gt(u.price, 0.0))
+        .sortBy(u => (u.ts, u.seq)).foreach { u =>
+          val b = bucketOf(u.ts)
+          if (st.bucket == Unset) st = st.copy(bucket = b, close = u.price)
+          else if (b != st.bucket)
+            st = closeBucket(st).copy(bucket = b, close = u.price)
+          else st = st.copy(close = u.price)
+        }
+      state.update(st)
+      Iterator.single(emit(sym, st))
+    }
+    updates.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Per-(symbol, is_bid, level) book-state cell carrying the BATCH
     * snapshot's arithmetic shape, not the naive sequential one:
     * [[graft.operators.Orderbook.snapshot]] computes each level as
@@ -2821,6 +2928,69 @@ object Streaming {
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), col("value_q"),
         (col("session_end") - col("session_start")).as("duration_us"))
+
+  /** One closed session's path: its exact start micros and the first
+    * `maxLen` event types in event order, `>`-joined. */
+  case class SessionPath(user_id: Long, session_start: Long, path: String)
+
+  /** The open session: last event micros, start micros, and the
+    * truncated type prefix (≤ maxLen — O(1) state per user). */
+  case class PathState(lastTsu: Long, start: Long, types: Seq[String])
+
+  /** Streaming session paths — the stateful half of
+    * [[graft.operators.EventAnalytics.sessionPaths]]: a per-user fold
+    * that carries only the open session's first-`maxLen` type prefix
+    * and emits the path when the session CLOSES (a later event at
+    * `diff >= gap`, the batch split rule). Each user's final session
+    * stays pending (the fold twins' dropLast stance — StreamingSpec
+    * closes them with per-user sentinels); counting emitted paths is a
+    * commutative monoid any downstream aggregation replays, so the
+    * path frequency table reproduces the batch one exactly. The fold
+    * truncates DURING ingest where the batch op truncates after
+    * collection — same prefix, O(maxLen) state instead of the batch
+    * side's session-length array. */
+  def streamingSessionPaths(events: Dataset[ClickEvent],
+      gapSeconds: Long = 1800, maxLen: Int = 8): Dataset[SessionPath] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapSeconds * 1000000L
+    def fn(uid: Long, rows: Iterator[ClickEvent],
+        state: GroupState[PathState]): Iterator[SessionPath] = {
+      var st = state.getOption.orNull
+      val out = Seq.newBuilder[SessionPath]
+      rows.toSeq
+        .map(e => (clickMicros(e.ts), e.event_id, e.event_type))
+        .sortBy(t => (t._1, t._2))
+        .foreach { case (tsu, _, typ) =>
+          if (st == null) st = PathState(tsu, tsu, Seq(typ))
+          else if (tsu - st.lastTsu >= gapUs) {
+            out += SessionPath(uid, st.start, st.types.mkString(">"))
+            st = PathState(tsu, tsu, Seq(typ))
+          } else st = PathState(tsu, st.start,
+            if (st.types.length < maxLen) st.types :+ typ else st.types)
+        }
+      if (st != null) state.update(st)
+      out.result().iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Streaming bounce flags — the stateless projection that makes
+    * [[graft.operators.EventAnalytics.bounceRate]] a pure composition
+    * over [[streamingSessionize]]: each finalized session becomes its
+    * period index and a 0/1 bounce flag, and the per-period counts and
+    * their ratio are a commutative monoid + one IEEE division any
+    * downstream aggregation replays bit-exactly (StreamingSpec proves
+    * the composition against the batch table). */
+  def streamingSessionBounce(events: DataFrame, gapSeconds: Long = 1800,
+      periodDays: Long = 7): DataFrame = {
+    val periodUs = periodDays * 86400L * 1000000L
+    streamingSessionize(events, gapSeconds)
+      .select(
+        floor(col("session_start") / periodUs).cast("long").as("period"),
+        when(col("n_events") === 1L, 1L).otherwise(0L).as("is_bounce"))
+  }
 
   /** A funnel advance: `user_id` reached `step` (1-based) at `tsu`. */
   case class FunnelAdvance(user_id: Long, step: Int, tsu: Long)

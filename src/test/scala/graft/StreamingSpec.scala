@@ -398,6 +398,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming variance ratio: after sentinel closers the serving " +
+      "row per symbol IS the batch estimator bit-exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ups = Tables.updatesDs(spark, sf("sf0.001")).collect()
+      .sortBy(u0 => (u0.ts, u0.seq))
+    def optL(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    def optD(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    val want = graft.operators.Microstructure
+      .varianceRatio(updatesDf(ups.toSeq)).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), optL(r, 2), optL(r, 3), r.getLong(4),
+          optL(r, 5), optL(r, 6), optD(r, 7), optD(r, 8), optD(r, 9))))
+      .toMap
+    // a far-future closer per symbol closes the final REAL bucket (and
+    // its return); the closer's own bucket stays open and holds none
+    val maxTs = ups.map(_.ts).max
+    val closers = ups.map(_.symbol).distinct.zipWithIndex.map {
+      case (s0, i) => graft.model.Update(s0, maxTs + 7200L * 1000,
+        3000L + i, is_trade = true, is_bid = true, 1.0, 1.0)
+    }
+    val in = MemoryStream[Update]
+    val q = Streaming.streamingVarianceRatio(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("svr").start()
+    val (b1, b2) = ups.splitAt(ups.length / 2)
+    in.addData(b1.toSeq: _*); q.processAllAvailable()
+    in.addData(b2.toSeq: _*); q.processAllAvailable()
+    in.addData(closers.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("svr").as[Streaming.VrRow].collect()
+      .zipWithIndex.groupBy(_._1.symbol).view
+      .mapValues(_.maxBy(_._2)._1).toMap
+    assert(want.nonEmpty)
+    assert(want.keySet.subsetOf(got.keySet))
+    want.foreach { case (s0, w) =>
+      val g = got(s0)
+      assert((g.n1, g.sum_q1, g.sum_sq1, g.nk, g.sum_qk, g.sum_sqk,
+        g.var1, g.vark, g.vr) === w, s"variance-ratio drift at $s0")
+    }
+  }
+
   test("streaming rolling volume replays the batch RANGE window " +
       "bit-exactly up to the pending peer group") {
     import spark.implicits._
@@ -1953,6 +1996,70 @@ class StreamingSpec extends SparkSpec {
       .mapValues(_.length.toLong).toMap
     assert(wantPairs.nonEmpty)
     assert(gotPairs === wantPairs)
+  }
+
+  test("streaming session paths and bounce flags replay the batch " +
+      "tables bit-exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val eventsDf = Tables.table(spark, sf("sf0.001"), "events")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts")
+        .cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    def micros(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val evs = eventsDf.as[Streaming.ClickEvent].collect()
+      .sortBy(e => (micros(e.ts), e.event_id))
+
+    val wantPaths = graft.operators.EventAnalytics
+      .sessionPaths(eventsDf).collect()
+      .map(r => r.getAs[String]("path") -> r.getAs[Long]("n_sessions"))
+      .toMap
+    val wantBounce = graft.operators.EventAnalytics
+      .bounceRate(eventsDf).collect()
+      .map(r => r.getAs[Long]("period") ->
+        ((r.getAs[Long]("n_sessions"), r.getAs[Long]("n_bounce"),
+          r.getAs[Double]("bounce_rate")))).toMap
+    assert(wantPaths.nonEmpty && wantBounce.nonEmpty)
+
+    val in = MemoryStream[Streaming.ClickEvent]
+    val qp = Streaming.streamingSessionPaths(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("spath").start()
+    val qb = Streaming.streamingSessionBounce(in.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("sbounce").start()
+    def drain(): Unit = {
+      qp.processAllAvailable(); qb.processAllAvailable()
+    }
+    val third = evs.length / 3
+    in.addData(evs.take(third).toSeq: _*); drain()
+    in.addData(evs.slice(third, 2 * third).toSeq: _*); drain()
+    in.addData(evs.drop(2 * third).toSeq: _*); drain()
+    // per-user closers far in the future: the paths fold only closes a
+    // session when the SAME user speaks again; the same events push the
+    // session watermark past every real close for the bounce side (the
+    // closers' own sessions stay pending in both)
+    val farTs = new java.sql.Timestamp(
+      evs.map(_.ts.getTime).max + 90L * 24 * 3600 * 1000)
+    val closers = evs.map(_.user_id).distinct.zipWithIndex.map {
+      case (u0, i) =>
+        Streaming.ClickEvent(900000L + i, farTs, u0, "x", 0.0)
+    }
+    in.addData(closers.toSeq: _*); drain()
+    qp.stop(); qb.stop()
+
+    val gotPaths = spark.table("spath").as[Streaming.SessionPath]
+      .collect().groupBy(_.path).view.mapValues(_.length.toLong).toMap
+    assert(gotPaths === wantPaths)
+
+    // the monoid replay: per-period counts + one IEEE division
+    val flags = spark.table("sbounce").collect()
+      .map(r => (r.getAs[Long]("period"), r.getAs[Long]("is_bounce")))
+    val gotBounce = flags.groupBy(_._1).view.mapValues { fs =>
+      val n = fs.length.toLong
+      val b = fs.map(_._2).sum
+      (n, b, b.toDouble / n.toDouble)
+    }.toMap
+    assert(gotBounce === wantBounce)
   }
 
   test("streaming retention hits replay the batch cohort matrix " +
