@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -313,6 +313,174 @@ object EventAnalytics {
        |  OVER (PARTITION BY cohort) AS cohort_size FROM counts)
        |ORDER BY cohort, "offset"""".stripMargin.replace('\n', ' ')
   }
+
+  /** Dwell-time percentiles per event type: p25/p50/p75 of the exact
+    * micros between an event and the SAME user's next event (attributed
+    * to the earlier event's type — "how long do users stay on X").
+    *
+    * The percentiles ride [[HistogramOps.percentilesBy]] — the engine's
+    * adaptive distributed order-statistic machinery (window-sort below
+    * [[HistogramOps.PctWindowMaxRows]] rows, bucketed-rank above), so a
+    * dominant event type never funnels its dwells through one task; the
+    * twin full-sorts, which is what the bucketed plan is proven
+    * bit-equal to. Dwell micros are < 2^53, so the double cast both
+    * sides compute on is lossless. */
+  def dwellPercentiles(events: DataFrame): DataFrame = {
+    val dwell = ev(events)
+      .withColumn("next_tsu", lead(col("tsu"), 1).over(perUser))
+      .where(col("next_tsu").isNotNull)
+      .select(col("event_type").as("symbol"),
+        (col("next_tsu") - col("tsu")).cast("double").as("dwell"))
+    HistogramOps.percentilesBy(dwell, col("dwell"),
+      Seq(25.0 -> "p25", 50.0 -> "p50", 75.0 -> "p75"))
+      .withColumnRenamed("symbol", "event_type")
+      .orderBy("event_type")
+  }
+
+  def dwellPercentilesSql: String = {
+    val dw =
+      """SELECT event_type AS symbol,
+        | CAST(next_tsu - tsu AS DOUBLE) AS v
+        |FROM (
+        | SELECT event_type, tsu,
+        |  lead(tsu, 1) OVER (PARTITION BY user_id
+        |    ORDER BY tsu, event_id) AS next_tsu
+        | FROM (SELECT user_id, event_id, epoch_us(ts) AS tsu,
+        |   event_type FROM events))
+        |WHERE next_tsu IS NOT NULL""".stripMargin.replace('\n', ' ')
+    s"""WITH dw AS ($dw),
+       |q25 AS (${HistogramOps.percentileSql("dw", "v", 25.0, "p25")}),
+       |q50 AS (${HistogramOps.percentileSql("dw", "v", 50.0, "p50")}),
+       |q75 AS (${HistogramOps.percentileSql("dw", "v", 75.0, "p75")})
+       |SELECT q25.symbol AS event_type, p25, p50, p75
+       |FROM q25 JOIN q50 USING (symbol) JOIN q75 USING (symbol)
+       |ORDER BY event_type""".stripMargin.replace('\n', ' ')
+  }
+
+  /** RFM segmentation: per user the exact recency (last event micros),
+    * frequency (event count), monetary (quantized value sum), each
+    * scored 1–3 by GLOBAL tercile boundaries — computed through
+    * [[HistogramOps.percentilesBy]] on a constant key, i.e. global
+    * order statistics WITHOUT a global sort (above the window threshold
+    * the bucketed-rank plan runs; the single-key shape is exactly the
+    * funnel it exists to avoid). Scores compare-to-boundary (`<=` keeps
+    * a value equal to a boundary in the lower tercile), so once the
+    * boundary row is fixed the scoring is one broadcast join of exact
+    * comparisons. `rfm_code` packs the three scores as r·100+f·10+m. */
+  def rfm(events: DataFrame): DataFrame = {
+    val base = ev(events).groupBy("user_id").agg(
+      max(col("tsu")).as("recency_us"),
+      count(lit(1)).as("frequency"),
+      sum(floor(col("value") * ValueScale).cast("long")).as("monetary_q"))
+    val (t1, t2) = (100.0 / 3.0, 200.0 / 3.0)
+    def bounds(c: String, tag: String) = HistogramOps.percentilesBy(
+      base.select(lit("all").as("symbol"), col(c)), col(c),
+      Seq(t1 -> s"b1_$tag", t2 -> s"b2_$tag"))
+    val b = bounds("recency_us", "r")
+      .join(bounds("frequency", "f"), "symbol")
+      .join(bounds("monetary_q", "m"), "symbol")
+    def score(v: Column, tag: String) =
+      when(v <= col(s"b1_$tag"), 1L)
+        .when(v <= col(s"b2_$tag"), 2L).otherwise(3L)
+    base.crossJoin(b) // one boundary row: broadcast by construction
+      .select(col("user_id"), col("recency_us"), col("frequency"),
+        col("monetary_q"),
+        score(col("recency_us"), "r").as("r_score"),
+        score(col("frequency"), "f").as("f_score"),
+        score(col("monetary_q"), "m").as("m_score"))
+      .withColumn("rfm_code",
+        col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+      .orderBy("user_id")
+  }
+
+  def rfmSql: String = {
+    val (t1, t2) = (100.0 / 3.0, 200.0 / 3.0)
+    def b(src: String, c: String, pct: Double, out: String) =
+      HistogramOps.percentileSql(src, c, pct, out)
+    s"""WITH base AS (
+       | SELECT user_id, max(tsu) AS recency_us, count(*) AS frequency,
+       |  CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+       |   AS monetary_q
+       | FROM (SELECT user_id, epoch_us(ts) AS tsu, value FROM events)
+       | GROUP BY 1),
+       |src AS (SELECT 'all' AS symbol, * FROM base),
+       |r1 AS (${b("src", "recency_us", t1, "b1_r")}),
+       |r2 AS (${b("src", "recency_us", t2, "b2_r")}),
+       |f1 AS (${b("src", "frequency", t1, "b1_f")}),
+       |f2 AS (${b("src", "frequency", t2, "b2_f")}),
+       |m1 AS (${b("src", "monetary_q", t1, "b1_m")}),
+       |m2 AS (${b("src", "monetary_q", t2, "b2_m")}),
+       |bo AS (SELECT * FROM r1 JOIN r2 USING (symbol)
+       |  JOIN f1 USING (symbol) JOIN f2 USING (symbol)
+       |  JOIN m1 USING (symbol) JOIN m2 USING (symbol))
+       |SELECT user_id, recency_us, frequency, monetary_q, r_score,
+       | f_score, m_score,
+       | r_score * 100 + f_score * 10 + m_score AS rfm_code
+       |FROM (
+       | SELECT user_id, recency_us, frequency, monetary_q,
+       |  CAST(CASE WHEN recency_us <= b1_r THEN 1
+       |   WHEN recency_us <= b2_r THEN 2 ELSE 3 END AS BIGINT) AS r_score,
+       |  CAST(CASE WHEN frequency <= b1_f THEN 1
+       |   WHEN frequency <= b2_f THEN 2 ELSE 3 END AS BIGINT) AS f_score,
+       |  CAST(CASE WHEN monetary_q <= b1_m THEN 1
+       |   WHEN monetary_q <= b2_m THEN 2 ELSE 3 END AS BIGINT) AS m_score
+       | FROM base CROSS JOIN bo)
+       |ORDER BY user_id""".stripMargin.replace('\n', ' ')
+  }
+
+  /** Event-type co-occurrence lift at the user grain: for each ordered
+    * type pair (a < b), the distinct-user counts of a, b, and both, the
+    * support `n_ab/n_users`, and the independence lift
+    * `(n_ab·n_users)/(n_a·n_b)` — all counts exact, the two ratios the
+    * same short IEEE chain in both engines.
+    *
+    * Scale shape: one distinct over (user, type) — bounded at
+    * users × type-cardinality — then a user-keyed self-join whose
+    * per-user output is ≤ type-cardinality², a constant; the pair
+    * and per-type tables are type-cardinality-sized, so every join
+    * after the distinct broadcasts. */
+  def eventLift(events: DataFrame): DataFrame = {
+    val ut = ev(events).select("user_id", "event_type").distinct()
+    val n = ut.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val tc = ut.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    val pairs = ut.as("x").join(ut.as("y"), "user_id")
+      .where(col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(tc.select(col("event_type").as("type_a"),
+        col("n_t").as("n_a")), "type_a")
+      .join(tc.select(col("event_type").as("type_b"),
+        col("n_t").as("n_b")), "type_b")
+      .crossJoin(n) // 1-row total: broadcast by construction
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_users"),
+        (col("n_ab").cast("double") / col("n_users").cast("double"))
+          .as("support"),
+        ((col("n_ab").cast("double") * col("n_users").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("lift"))
+      .orderBy("type_a", "type_b")
+  }
+
+  def eventLiftSql: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |n AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+      |tc AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY 1),
+      |p AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+      |  count(*) AS n_ab
+      | FROM ut x JOIN ut y ON x.user_id = y.user_id
+      |  AND x.event_type < y.event_type GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_ab, ta.n_t AS n_a, tb.n_t AS n_b,
+      | n_users,
+      | CAST(n_ab AS DOUBLE) / CAST(n_users AS DOUBLE) AS support,
+      | (CAST(n_ab AS DOUBLE) * CAST(n_users AS DOUBLE))
+      |  / (CAST(ta.n_t AS DOUBLE) * CAST(tb.n_t AS DOUBLE)) AS lift
+      |FROM p JOIN tc ta ON p.type_a = ta.event_type
+      | JOIN tc tb ON p.type_b = tb.event_type CROSS JOIN n
+      |ORDER BY type_a, type_b""".stripMargin.replace('\n', ' ')
 
   /** First-order event-type transition matrix: consecutive event pairs
     * per user (the (tsu, event_id) total order), counted per

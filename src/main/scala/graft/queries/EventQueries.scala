@@ -47,6 +47,21 @@ object EventQueries {
     // single-event-session fraction per weekly period of session start
     Q("q_bounce_rate",
       (s, dir) => EventAnalytics.bounceRate(events(s, dir)),
-      Some(EventAnalytics.bounceRateSql()))
+      Some(EventAnalytics.bounceRateSql())),
+
+    // p25/p50/p75 inter-event dwell per type, distributed order stats
+    Q("q_dwell_percentiles",
+      (s, dir) => EventAnalytics.dwellPercentiles(events(s, dir)),
+      Some(EventAnalytics.dwellPercentilesSql)),
+
+    // recency/frequency/monetary tercile scores per user
+    Q("q_rfm",
+      (s, dir) => EventAnalytics.rfm(events(s, dir)),
+      Some(EventAnalytics.rfmSql)),
+
+    // user-grain co-occurrence support and independence lift per pair
+    Q("q_event_lift",
+      (s, dir) => EventAnalytics.eventLift(events(s, dir)),
+      Some(EventAnalytics.eventLiftSql))
   )
 }

@@ -188,6 +188,68 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(rows === Seq((0L, 2L, 1L, 0.5), (3L, 1L, 1L, 1.0)))
   }
 
+  test("dwellPercentiles: equals the scalar percentile_of_sorted replay") {
+    val df = eventsDf(Seq(
+      // u1 on "a": dwells 1M, 3M (to the b), u2 on "a": 2M
+      (1L, 0L, 1L, "a", 0.0), (2L, M, 1L, "a", 0.0),
+      (3L, 4 * M, 1L, "b", 0.0), (4L, 10 * M, 1L, "b", 0.0),
+      (5L, 0L, 2L, "a", 0.0), (6L, 2 * M, 2L, "a", 0.0)))
+    def pct(sorted: Seq[Double], p: Double): Double = {
+      val rank = p / 100.0 * (sorted.length - 1)
+      val (lo, d) = (math.floor(rank).toInt, rank - math.floor(rank))
+      if (d == 0.0) sorted(lo)
+      else sorted(lo) + (sorted(lo + 1) - sorted(lo)) * d
+    }
+    // "a" dwells: u1 1m, 3m; u2 2m; "b": u1 6m (b->b); last events none
+    val aD = Seq(1.0 * M, 3.0 * M, 2.0 * M).sorted
+    val out = EventAnalytics.dwellPercentiles(df).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Double]("p25"), r.getAs[Double]("p50"),
+          r.getAs[Double]("p75")))).toMap
+    assert(out("a") === ((pct(aD, 25), pct(aD, 50), pct(aD, 75))))
+    assert(out("b") === ((6.0 * M, 6.0 * M, 6.0 * M)))
+  }
+
+  test("rfm: boundary ties score into the lower tercile; code packs") {
+    // three users with frequencies 1, 2, 3: terciles of (1,2,3) put
+    // b1 ≈ 1.67, b2 ≈ 2.33 -> scores 1, 2, 3; same for the other dims
+    val df = eventsDf(Seq(
+      (1L, 0L, 1L, "a", 1.0),
+      (2L, 0L, 2L, "a", 1.0), (3L, M, 2L, "a", 1.0),
+      (4L, 0L, 3L, "a", 1.0), (5L, M, 3L, "a", 1.0),
+      (6L, 2 * M, 3L, "a", 1.0)))
+    val out = EventAnalytics.rfm(df).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("f_score"), r.getAs[Long]("m_score"),
+          r.getAs[Long]("rfm_code")))).toMap
+    assert(out(1L)._1 === 1L); assert(out(2L)._1 === 2L)
+    assert(out(3L)._1 === 3L)
+    // monetary tracks frequency here (value 1.0 each)
+    assert(out.values.map(_._2).toSeq.sorted === Seq(1L, 2L, 3L))
+    out.foreach { case (_, (f, m, code)) =>
+      assert(code % 10 === m && (code / 10) % 10 === f)
+    }
+  }
+
+  test("eventLift: counts, support, and lift are the exact expressions") {
+    val df = eventsDf(Seq(
+      (1L, 0L, 1L, "a", 0.0), (2L, M, 1L, "b", 0.0),
+      (3L, 0L, 2L, "a", 0.0),
+      (4L, 0L, 3L, "a", 0.0), (5L, M, 3L, "b", 0.0),
+      (6L, 2 * M, 3L, "b", 0.0))) // dup (u3,b) collapses in distinct
+    val out = EventAnalytics.eventLift(df).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getAs[String]("type_a"), r.getAs[String]("type_b")) ===
+      (("a", "b")))
+    assert(r.getAs[Long]("n_ab") === 2L)
+    assert(r.getAs[Long]("n_a") === 3L)
+    assert(r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Long]("n_users") === 3L)
+    assert(r.getAs[Double]("support") === 2.0 / 3.0)
+    assert(r.getAs[Double]("lift") === (2.0 * 3.0) / (3.0 * 2.0))
+  }
+
   test("registry gates analyze and return rows on sf0.001") {
     Tables.enableNanos(spark)
     graft.queries.EventQueries.all.foreach { q =>
