@@ -551,7 +551,8 @@ class PlanSpec extends SparkSpec {
   test("microstructure features: one partial aggregation, trade filter " +
       "at the scan") {
     for (name <- Seq("q_vwap_bars", "q_trade_imbalance",
-        "q_bucket_spread", "q_realized_vol", "q_order_trade_ratio")) {
+        "q_bucket_spread", "q_realized_vol", "q_order_trade_ratio",
+        "q_variance_ratio")) {
       val p = plan(name)
       // map-side combine: the (symbol, bucket) aggregation is partial
       assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
@@ -563,6 +564,37 @@ class PlanSpec extends SparkSpec {
         assert(p.contains("Filter"), s"$name: no filter:\n$p")
       assert(!p.contains("CartesianProduct"), s"$name: cartesian:\n$p")
     }
+  }
+
+  test("clickstream family: user-keyed data-scale windows, keyed joins, " +
+      "no cartesian beyond sanctioned 1-row broadcasts") {
+    for (name <- Seq("q_sessionize", "q_funnel", "q_retention",
+        "q_transitions", "q_session_paths", "q_bounce_rate",
+        "q_dwell_percentiles", "q_rfm", "q_event_lift")) {
+      val p = plan(name)
+      // the rfm/eventLift 1-row total joins broadcast (nested-loop over
+      // one row), never a partitioned CartesianProduct
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian:\n$p")
+    }
+    // every data-scale window partitions by user_id — the unbounded,
+    // skew-free key (the opposite of the retired per-lang funnels);
+    // later windows run over aggregated type/cohort-sized tables only
+    for (name <- Seq("q_sessionize", "q_session_paths")) {
+      // formatted mode: node arguments live in "(n) Window" detail
+      // blocks, not the tree header — every Window block (these plans'
+      // windows are all data-scale) must carry the user_id spec
+      val blocks = plan(name).split("\n\\(").toSeq
+        .filter(_.takeWhile(_ != '\n').contains("Window"))
+      assert(blocks.nonEmpty, s"$name: no Window detail block")
+      blocks.foreach(b => assert(b.contains("user_id"),
+        s"$name window not user-keyed:\n$b"))
+    }
+    // eventLift's self-join keys on user_id (co-partitioned), with the
+    // type-cardinality tables broadcast back
+    val pl = plan("q_event_lift")
+    assert(pl.contains("user_id"), pl)
+    assert(pl.contains("BroadcastExchange") ||
+      pl.contains("BroadcastHashJoin"), s"lift dims not broadcast:\n$pl")
   }
 
   test("tick store symbol+range scan: partition pruning at PLAN time, " +
