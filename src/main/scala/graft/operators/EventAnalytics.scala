@@ -264,6 +264,115 @@ object EventAnalytics {
     ctes.toString
   }
 
+  /** Funnel summary: one row per step with the count of users who
+    * reached it and the stepwise conversion — a pure composition over
+    * [[funnel]] (the twin literally wraps [[funnelSql]]), collapsing
+    * the per-user table to a steps-sized one. Conversion is one IEEE
+    * division of two exact counts; step 1's is null (no predecessor). */
+  def funnelSummary(events: DataFrame, steps: Seq[String],
+      horizonSeconds: Long = 7L * 86400): DataFrame = {
+    val f = funnel(events, steps, horizonSeconds)
+    val aggs = steps.indices.map(i =>
+      sum(when(col("max_step") >= i + 1, 1L).otherwise(0L))
+        .as(s"n${i + 1}"))
+    val totals = f.agg(aggs.head, aggs.tail: _*)
+    steps.indices.map { i =>
+      totals.select(
+        lit((i + 1).toLong).as("step"),
+        col(s"n${i + 1}").as("n_reached"),
+        (if (i == 0) lit(null).cast("double")
+         else col(s"n${i + 1}").cast("double") /
+           col(s"n$i").cast("double")).as("conversion"))
+    }.reduce(_ unionAll _).orderBy("step")
+  }
+
+  def funnelSummarySql(steps: Seq[String],
+      horizonSeconds: Long = 7L * 86400): String = {
+    val sums = steps.indices.map(i =>
+      s"CAST(SUM(CASE WHEN max_step >= ${i + 1} THEN 1 ELSE 0 END)" +
+        s" AS BIGINT) AS n${i + 1}").mkString(", ")
+    val rows = steps.indices.map { i =>
+      val conv =
+        if (i == 0) "CAST(NULL AS DOUBLE)"
+        else s"CAST(n${i + 1} AS DOUBLE) / CAST(n$i AS DOUBLE)"
+      s"SELECT CAST(${i + 1} AS BIGINT) AS step, n${i + 1} AS n_reached," +
+        s" $conv AS conversion FROM t"
+    }.mkString(" UNION ALL ")
+    s"WITH f AS (${funnelSql(steps, horizonSeconds)}), " +
+      s"t AS (SELECT $sums FROM f) $rows ORDER BY step"
+  }
+
+  /** Deterministic A/B split test over per-user value: users assign to
+    * variant A when the first hex digit of `md5(user_id)` is < '8'
+    * (the engine's no-RNG hash-membership stance — identical strings,
+    * identical split, in both engines), the metric is each user's
+    * exact quantized value sum, and the output is one row of exact
+    * operands (counts; decimal sums emitted through the correctly-
+    * rounded decimal→double cast both engines share) plus the Welch
+    * z-statistic — one identical IEEE chain; null when a variance or
+    * group is degenerate. Population variance, matching the family's
+    * other estimators. */
+  def abTest(events: DataFrame): DataFrame = {
+    val users = ev(events).groupBy("user_id")
+      .agg(sum(floor(col("value") * ValueScale).cast("long")).as("m"))
+      .withColumn("variant",
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+          "A").otherwise("B"))
+    def side(v: String, out: String) = Seq(
+      sum(when(col("variant") === v, 1L).otherwise(0L)).as(s"n_$out"),
+      sum(when(col("variant") === v, col("m").cast("decimal(28,0)"))
+        .otherwise(lit(0).cast("decimal(28,0)"))).cast("double")
+        .as(s"sum_$out"),
+      sum(when(col("variant") === v,
+        col("m").cast("decimal(19,0)") * col("m").cast("decimal(19,0)"))
+        .otherwise(lit(0).cast("decimal(38,0)"))).cast("double")
+        .as(s"sumsq_$out"))
+    val aggs = side("A", "a") ++ side("B", "b")
+    val t = users.agg(aggs.head, aggs.tail: _*)
+    def mean(s: String) = col(s"sum_$s") / col(s"n_$s")
+    def vr(s: String) =
+      col(s"sumsq_$s") / col(s"n_$s") - mean(s) * mean(s)
+    t.select(col("n_a"), col("n_b"), col("sum_a"), col("sum_b"),
+      col("sumsq_a"), col("sumsq_b"),
+      when(col("n_a") > 0L, mean("a")).as("mean_a"),
+      when(col("n_b") > 0L, mean("b")).as("mean_b"))
+      .withColumn("z",
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          (col("mean_a") - col("mean_b")) /
+            sqrt(vr("a") / col("n_a") + vr("b") / col("n_b"))))
+  }
+
+  def abTestSql: String =
+    """SELECT n_a, n_b, sum_a, sum_b, sumsq_a, sumsq_b,
+      | CASE WHEN n_a > 0 THEN sum_a / n_a END AS mean_a,
+      | CASE WHEN n_b > 0 THEN sum_b / n_b END AS mean_b,
+      | CASE WHEN n_a > 0 AND n_b > 0 THEN
+      |  ((sum_a / n_a) - (sum_b / n_b)) / sqrt(
+      |   (sumsq_a / n_a - (sum_a / n_a) * (sum_a / n_a)) / n_a +
+      |   (sumsq_b / n_b - (sum_b / n_b) * (sum_b / n_b)) / n_b)
+      | END AS z
+      |FROM (
+      | SELECT
+      |  CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_a,
+      |  CAST(SUM(CASE WHEN variant = 'A' THEN CAST(m AS HUGEINT)
+      |   ELSE 0 END) AS DOUBLE) AS sum_a,
+      |  CAST(SUM(CASE WHEN variant = 'A' THEN CAST(m AS HUGEINT)
+      |   * CAST(m AS HUGEINT) ELSE 0 END) AS DOUBLE) AS sumsq_a,
+      |  CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_b,
+      |  CAST(SUM(CASE WHEN variant = 'B' THEN CAST(m AS HUGEINT)
+      |   ELSE 0 END) AS DOUBLE) AS sum_b,
+      |  CAST(SUM(CASE WHEN variant = 'B' THEN CAST(m AS HUGEINT)
+      |   * CAST(m AS HUGEINT) ELSE 0 END) AS DOUBLE) AS sumsq_b
+      | FROM (
+      |  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+      |    < '8' THEN 'A' ELSE 'B' END AS variant, m
+      |  FROM (
+      |   SELECT user_id,
+      |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS m
+      |   FROM events GROUP BY 1)))""".stripMargin.replace('\n', ' ')
+
   /** Weekly retention cohorts: users bucketed by the period of their
     * FIRST event (`floor(first_tsu / period)` — exact integer), then
     * for each (cohort, periods-since-cohort offset) the count of

@@ -62,6 +62,16 @@ object EventQueries {
     // user-grain co-occurrence support and independence lift per pair
     Q("q_event_lift",
       (s, dir) => EventAnalytics.eventLift(events(s, dir)),
-      Some(EventAnalytics.eventLiftSql))
+      Some(EventAnalytics.eventLiftSql)),
+
+    // per-step reach counts + stepwise conversion over the funnel
+    Q("q_funnel_summary",
+      (s, dir) => EventAnalytics.funnelSummary(events(s, dir), FunnelSteps),
+      Some(EventAnalytics.funnelSummarySql(FunnelSteps))),
+
+    // md5-deterministic A/B split, Welch z over per-user value sums
+    Q("q_ab_test",
+      (s, dir) => EventAnalytics.abTest(events(s, dir)),
+      Some(EventAnalytics.abTestSql))
   )
 }
