@@ -488,6 +488,45 @@ class ScaleProbeSpec extends SparkSpec {
       "boundary keys diverge under 90%-one-language skew")
   }
 
+  test("clickstream family at 10x users: per-user window input is " +
+      "corpus-size-independent; lift pair stream exactly linear") {
+    // growth in an event stream is USERS, not per-user depth — the
+    // probe adds 10x disjoint users (copy offsets) and asserts the two
+    // scale claims the family doc makes: (1) the per-user window's
+    // per-task input (max events per user) does not grow with corpus
+    // size, and (2) eventLift's self-join candidate stream — the only
+    // quadratic-looking shape — grows exactly linearly, because it is
+    // bounded per user by type-cardinality².
+    val ev0 = Tables.table(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val nUsersSpan = ev0.agg(max(col("user_id"))).head.getLong(0) + 1
+    val nEvSpan = ev0.agg(max(col("event_id"))).head.getLong(0) + 1
+    val scaled = ev0
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        explode(sequence(lit(0), lit(Copies - 1))).as("copy"))
+      .select((col("event_id") + col("copy") * nEvSpan).as("event_id"),
+        (col("user_id") + col("copy") * nUsersSpan).as("user_id"),
+        col("event_type"))
+      .localCheckpoint(true)
+    def maxPerUser(df: DataFrame): Long = df.groupBy("user_id")
+      .agg(count(lit(1)).as("c")).agg(max(col("c"))).head.getLong(0)
+    val (occ0, occ10) = (maxPerUser(ev0), maxPerUser(scaled))
+    info(f"max events/user: base $occ0%,d -> 10x $occ10%,d " +
+      f"(total rows grew 10x)")
+    assert(occ10 === occ0,
+      "per-user window input grew with corpus size — not key-bounded")
+    def pairStream(df: DataFrame): Long = {
+      val ut = df.select("user_id", "event_type").distinct()
+      ut.as("x").join(ut.as("y"), "user_id")
+        .where(col("x.event_type") < col("y.event_type")).count()
+    }
+    val (p0, p10) = (pairStream(ev0), pairStream(scaled))
+    info(f"lift pair stream: base $p0%,d -> 10x $p10%,d " +
+      f"(ideal linear ${p0 * Copies}%,d)")
+    assert(p10 === p0 * Copies,
+      f"pair stream superlinear: $p10%,d vs ${p0 * Copies}%,d")
+  }
+
   test("salted prefix sum: per-task input stays bounded on a " +
       "90%-one-language corpus at 10x (VERDICT r10 #1)") {
     // unimaxApply's scale arm: the local-cumsum window runs inside

@@ -2062,6 +2062,46 @@ class StreamingSpec extends SparkSpec {
     assert(gotBounce === wantBounce)
   }
 
+  test("funnel summary is a monoid replay of streamed advances") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val eventsDf = Tables.table(spark, sf("sf0.001"), "events")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts")
+        .cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    def micros(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val evs = eventsDf.as[Streaming.ClickEvent].collect()
+      .sortBy(e => (micros(e.ts), e.event_id))
+    val steps = Seq("view", "click", "purchase")
+    val want = graft.operators.EventAnalytics
+      .funnelSummary(eventsDf, steps).collect()
+      .map(r => r.getAs[Long]("step") ->
+        ((r.getAs[Long]("n_reached"),
+          Option(r.getAs[java.lang.Double]("conversion"))
+            .map(_.doubleValue())))).toMap
+    val in = MemoryStream[Streaming.ClickEvent]
+    val q = Streaming.streamingFunnelSteps(in.toDS(), steps).writeStream
+      .outputMode("append").format("memory").queryName("sfsum").start()
+    val half = evs.length / 2
+    in.addData(evs.take(half).toSeq: _*); q.processAllAvailable()
+    in.addData(evs.drop(half).toSeq: _*); q.processAllAvailable()
+    q.stop()
+    // each user emits each reached step exactly once, so counting
+    // advances per step IS n_reached; conversions are the same IEEE
+    // division of those exact counts
+    val byStep = spark.table("sfsum").as[Streaming.FunnelAdvance]
+      .collect().groupBy(_.step).view.mapValues(_.length.toLong).toMap
+    val got = steps.indices.map { i =>
+      val n = byStep.getOrElse(i + 1, 0L)
+      (i + 1).toLong -> ((n,
+        if (i == 0) None
+        else Some(n.toDouble / byStep.getOrElse(i, 0L).toDouble)))
+    }.toMap
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("streaming retention hits replay the batch cohort matrix " +
       "bit-exactly, including derived cohort_size and retained_frac") {
     import spark.implicits._
