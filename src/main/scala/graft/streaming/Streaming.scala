@@ -3076,6 +3076,41 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** One first-occurrence record: `user_id` performed `event_type` for
+    * the first time. */
+  case class TypeFirst(user_id: Long, event_type: String)
+
+  /** Streaming type-firsts — the stateful half of
+    * [[graft.operators.EventAnalytics.eventLift]]: a per-user fold
+    * whose state is the set of event types already seen (bounded by
+    * type cardinality, O(1) for any real stream), emitting one
+    * [[TypeFirst]] per new (user, type). The emitted set IS the batch
+    * `distinct(user_id, event_type)` table, so every eventLift output
+    * — per-type counts, user-keyed pair counts, support, lift — is a
+    * downstream replay over it (StreamingSpec proves the composition
+    * bit-exactly). */
+  def streamingTypeFirsts(events: Dataset[ClickEvent])
+      : Dataset[TypeFirst] = {
+    import events.sparkSession.implicits._
+    def fn(uid: Long, rows: Iterator[ClickEvent],
+        state: GroupState[Seq[String]]): Iterator[TypeFirst] = {
+      val seen = scala.collection.mutable.Set[String]()
+      state.getOption.foreach(seen ++= _)
+      val out = Seq.newBuilder[TypeFirst]
+      rows.toSeq
+        .map(e => (clickMicros(e.ts), e.event_id, e.event_type))
+        .sortBy(t => (t._1, t._2))
+        .foreach { case (_, _, typ) =>
+          if (seen.add(typ)) out += TypeFirst(uid, typ)
+        }
+      state.update(seen.toSeq)
+      out.result().iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** One first-activity-in-a-period record: `user_id` (cohort
     * `cohort`) was active in period `cohort + offset` for the first
     * time. */

@@ -2102,6 +2102,52 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("streaming type-firsts replay the batch event-lift table " +
+      "bit-exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val eventsDf = Tables.table(spark, sf("sf0.001"), "events")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts")
+        .cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    def micros(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val evs = eventsDf.as[Streaming.ClickEvent].collect()
+      .sortBy(e => (micros(e.ts), e.event_id))
+    val want = graft.operators.EventAnalytics.eventLift(eventsDf)
+      .collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        ((r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"),
+          r.getAs[Long]("n_b"), r.getAs[Long]("n_users"),
+          r.getAs[Double]("support"), r.getAs[Double]("lift")))).toMap
+    assert(want.nonEmpty)
+    val in = MemoryStream[Streaming.ClickEvent]
+    val q = Streaming.streamingTypeFirsts(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("stf").start()
+    val half = evs.length / 2
+    in.addData(evs.take(half).toSeq: _*); q.processAllAvailable()
+    in.addData(evs.drop(half).toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val hits = spark.table("stf").as[Streaming.TypeFirst].collect()
+    assert(hits.map(h => (h.user_id, h.event_type)).distinct.length ===
+      hits.length, "duplicate type-first emitted")
+    // the monoid replay: per-type counts, per-user pairs, then the
+    // batch op's exact ratio expressions
+    val nUsers = hits.map(_.user_id).distinct.length.toLong
+    val tc = hits.groupBy(_.event_type).view.mapValues(_.length.toLong)
+    val got = hits.groupBy(_.user_id).values.toSeq.flatMap { hs =>
+      val ts = hs.map(_.event_type).sorted.toSeq
+      for (a <- ts; b <- ts if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .map { case ((a, b), nAb) =>
+        (a, b) -> ((nAb, tc(a), tc(b), nUsers,
+          nAb.toDouble / nUsers.toDouble,
+          (nAb.toDouble * nUsers.toDouble) /
+            (tc(a).toDouble * tc(b).toDouble)))
+      }
+    assert(got === want)
+  }
+
   test("streaming retention hits replay the batch cohort matrix " +
       "bit-exactly, including derived cohort_size and retained_frac") {
     import spark.implicits._
