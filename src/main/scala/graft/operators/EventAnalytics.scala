@@ -302,6 +302,36 @@ object EventAnalytics {
       s"t AS (SELECT $sums FROM f) $rows ORDER BY step"
   }
 
+  /** Time-to-convert percentiles: p25/p50/p75 of `t_last − t1` exact
+    * micros across users who completed the WHOLE funnel — the latency
+    * companion of [[funnelSummary]], through the same distributed
+    * order-statistic machinery as [[dwellPercentiles]] (a single global
+    * group is exactly the funnel shape the bucketed-rank plan retires).
+    * Empty when no user converts — both engines agree on zero rows. */
+  def funnelTimeToConvert(events: DataFrame, steps: Seq[String],
+      horizonSeconds: Long = 7L * 86400): DataFrame = {
+    val f = funnel(events, steps, horizonSeconds)
+    val conv = f.where(col(s"t${steps.size}").isNotNull)
+      .select(lit("all").as("symbol"),
+        (col(s"t${steps.size}") - col("t1")).cast("double").as("dt"))
+    HistogramOps.percentilesBy(conv, col("dt"),
+      Seq(25.0 -> "p25", 50.0 -> "p50", 75.0 -> "p75"))
+      .select("p25", "p50", "p75")
+  }
+
+  def funnelTimeToConvertSql(steps: Seq[String],
+      horizonSeconds: Long = 7L * 86400): String = {
+    val n = steps.size
+    s"""WITH f AS (${funnelSql(steps, horizonSeconds)}),
+       |conv AS (SELECT 'all' AS symbol,
+       |  CAST(t$n - t1 AS DOUBLE) AS dt FROM f WHERE t$n IS NOT NULL),
+       |q25 AS (${HistogramOps.percentileSql("conv", "dt", 25.0, "p25")}),
+       |q50 AS (${HistogramOps.percentileSql("conv", "dt", 50.0, "p50")}),
+       |q75 AS (${HistogramOps.percentileSql("conv", "dt", 75.0, "p75")})
+       |SELECT p25, p50, p75 FROM q25 JOIN q50 USING (symbol)
+       | JOIN q75 USING (symbol)""".stripMargin.replace('\n', ' ')
+  }
+
   /** Deterministic A/B split test over per-user value: users assign to
     * variant A when the first hex digit of `md5(user_id)` is < '8'
     * (the engine's no-RNG hash-membership stance — identical strings,

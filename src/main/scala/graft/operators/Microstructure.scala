@@ -883,21 +883,7 @@ object Microstructure {
         n: org.apache.spark.sql.Column) =
       sumSq.cast("double") / n -
         (sumQ.cast("double") / n) * (sumQ.cast("double") / n)
-    updates.where(col("is_trade") && col("price") > 0.0d)
-      .groupBy(col("symbol"), bucketed(seconds))
-      .agg(max_by(col("price"), struct(col("ts"), col("seq")))
-        .as("close"))
-      .withColumn("q",
-        floor(log(col("close") / lag(col("close"), 1).over(w)) * 1e6)
-          .cast("long"))
-      .where(col("q").isNotNull)
-      // same loud guard as realizedVol: |q| > 1e9 means the double
-      // ratio overflowed and the long cast clamped
-      .withColumn("q",
-        when(abs(col("q")) > 1000000000L,
-          raise_error(concat(lit("varianceRatio: price ratio outside " +
-            "double range at symbol="), col("symbol"))).cast("long"))
-          .otherwise(col("q")))
+    bucketReturns(updates, seconds)
       .withColumn("qk",
         when(count(lit(1)).over(wk) === k, sum(col("q")).over(wk)))
       .groupBy(col("symbol"))
@@ -923,6 +909,91 @@ object Microstructure {
         when(col("nk") > 0L && col("var1") =!= 0.0d,
           (col("vark") / lit(k.toDouble)) / col("var1")))
   }
+
+  /** The shared bucket-return kernel ([[varianceRatio]],
+    * [[returnAnomaly]]): per (symbol, bucket) the close = last
+    * positive-price trade by `(ts, seq)`, then
+    * `q = floor(ln(close_b/close_{b−1})·1e6)` between consecutive
+    * PRESENT buckets — the [[realizedVol]] quantization with the same
+    * loud |q| > 1e9 infinite-ratio guard. Emits (symbol, start, q). */
+  private[graft] def bucketReturns(updates: DataFrame,
+      seconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("symbol")).orderBy(col("start"))
+    updates.where(col("is_trade") && col("price") > 0.0d)
+      .groupBy(col("symbol"), bucketed(seconds))
+      .agg(max_by(col("price"), struct(col("ts"), col("seq")))
+        .as("close"))
+      .withColumn("q",
+        floor(log(col("close") / lag(col("close"), 1).over(w)) * 1e6)
+          .cast("long"))
+      .where(col("q").isNotNull)
+      // same loud guard as realizedVol: |q| > 1e9 means the double
+      // ratio overflowed and the long cast clamped
+      .withColumn("q",
+        when(abs(col("q")) > 1000000000L,
+          raise_error(concat(lit("bucketReturns: price ratio outside " +
+            "double range at symbol="), col("symbol"))).cast("long"))
+          .otherwise(col("q")))
+      .select("symbol", "start", "q")
+  }
+
+  /** DuckDB fragment of [[bucketReturns]]: a SELECT yielding
+    * (symbol, start, q). */
+  private[graft] def bucketReturnsSql(seconds: Long): String =
+    s"""SELECT symbol, start, q FROM (
+       | SELECT symbol, start,
+       |  CAST(floor(ln(close / lag(close, 1) OVER (
+       |    PARTITION BY symbol ORDER BY start)) * 1e6) AS BIGINT) AS q
+       | FROM (
+       |  SELECT symbol, ((ts // 1000) // $seconds) * $seconds AS start,
+       |   last(price ORDER BY ts, seq) AS close
+       |  FROM updates WHERE is_trade AND price > 0.0
+       |  GROUP BY 1, 2))
+       |WHERE q IS NOT NULL""".stripMargin.replace('\n', ' ')
+
+  /** Robust return-anomaly flags per (symbol, bucket): the MAD z-score
+    * of each bucket return against its symbol's median —
+    * `z = (mad > 0 ? |q − med| / mad : 0)`, anomalous when `z >= m` —
+    * the reference's `reject_outliers` decision rule
+    * (histogram.rs:93-119) applied to the [[bucketReturns]] stream
+    * instead of raw prices. Both order statistics ride
+    * [[HistogramOps.percentilesBy]] (adaptive distributed rank — no
+    * per-symbol sort funnel); q is an exact integer < 2^31, so the
+    * double casts and the one subtraction/division chain are
+    * bit-portable. */
+  def returnAnomaly(updates: DataFrame, seconds: Long = 60,
+      m: Double = 3.0): DataFrame = {
+    val rets = bucketReturns(updates, seconds)
+      .withColumn("qd", col("q").cast("double"))
+    val med = HistogramOps.percentileBy(rets, col("qd"), 50.0, "med")
+    val withMed = rets.join(med, "symbol")
+    val mad = HistogramOps.percentileBy(withMed,
+      abs(col("qd") - col("med")), 50.0, "mad")
+    withMed.join(mad, "symbol")
+      .withColumn("z",
+        when(col("mad") > 0.0d,
+          abs(col("qd") - col("med")) / col("mad")).otherwise(0.0d))
+      .select(col("symbol"), col("start"), col("q"), col("med"),
+        col("mad"), col("z"), (col("z") >= m).as("is_anomaly"))
+      .orderBy("symbol", "start")
+  }
+
+  def returnAnomalySql(seconds: Long = 60, m: Double = 3.0): String =
+    s"""WITH rets AS (
+       | SELECT symbol, start, q, CAST(q AS DOUBLE) AS qd
+       | FROM (${bucketReturnsSql(seconds)})),
+       |med AS (${HistogramOps.percentileSql("rets", "qd", 50.0, "med")}),
+       |wm AS (SELECT rets.*, med FROM rets JOIN med USING (symbol)),
+       |mad AS (${HistogramOps.percentileSql(
+          "wm", "abs(qd - med)", 50.0, "mad")})
+       |SELECT symbol, start, q, med, mad, z, z >= $m AS is_anomaly
+       |FROM (
+       | SELECT wm.symbol, start, q, med, mad,
+       |  CASE WHEN mad > 0.0 THEN abs(qd - med) / mad
+       |   ELSE 0.0 END AS z
+       | FROM wm JOIN mad USING (symbol))
+       |ORDER BY symbol, start""".stripMargin.replace('\n', ' ')
 
   def varianceRatioSql(seconds: Long = 60, k: Int = 4): String =
     s"""SELECT symbol, n1, sum_q1, sum_sq1, nk, sum_qk, sum_sqk, var1,

@@ -72,6 +72,12 @@ object EventQueries {
     // md5-deterministic A/B split, Welch z over per-user value sums
     Q("q_ab_test",
       (s, dir) => EventAnalytics.abTest(events(s, dir)),
-      Some(EventAnalytics.abTestSql))
+      Some(EventAnalytics.abTestSql)),
+
+    // p25/p50/p75 first-step-to-completion latency among converters
+    Q("q_funnel_ttc",
+      (s, dir) => EventAnalytics.funnelTimeToConvert(
+        events(s, dir), FunnelSteps),
+      Some(EventAnalytics.funnelTimeToConvertSql(FunnelSteps)))
   )
 }

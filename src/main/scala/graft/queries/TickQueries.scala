@@ -204,6 +204,10 @@ object TickQueries {
         .orderBy("symbol"),
       Some(Tables.withUpdates(Microstructure.varianceRatioSql()))),
 
+    Q("q_return_anomaly",
+      (s, dir) => Microstructure.returnAnomaly(u(s, dir)),
+      Some(Tables.withUpdatesChain(Microstructure.returnAnomalySql()))),
+
     Q("q_bucket_spread",
       (s, dir) => Microstructure.bucketSpread(u(s, dir))
         .orderBy("symbol", "start"),

@@ -571,7 +571,7 @@ class PlanSpec extends SparkSpec {
     for (name <- Seq("q_sessionize", "q_funnel", "q_retention",
         "q_transitions", "q_session_paths", "q_bounce_rate",
         "q_dwell_percentiles", "q_rfm", "q_event_lift",
-        "q_funnel_summary", "q_ab_test")) {
+        "q_funnel_summary", "q_ab_test", "q_funnel_ttc")) {
       val p = plan(name)
       // the rfm/eventLift 1-row total joins broadcast (nested-loop over
       // one row), never a partitioned CartesianProduct
