@@ -995,6 +995,65 @@ object Microstructure {
        | FROM wm JOIN mad USING (symbol))
        |ORDER BY symbol, start""".stripMargin.replace('\n', ' ')
 
+  /** Maximum drawdown per symbol over the bucket-close series: the
+    * worst peak-to-trough ratio `close_t / max_{s≤t}(close_s)`,
+    * quantized to `floor(ratio·1e6)` (an exact long — the ratio is in
+    * (0, 1], so no overflow is reachable) and minimized exactly; the
+    * conventional fraction `drawdown = 1 − q/1e6` is one IEEE chain
+    * over the exact integer. Also emits the trough bucket — the
+    * EARLIEST bucket attaining the minimum (min_by ties would be
+    * engine-dependent; an explicit min over matching buckets is not).
+    *
+    * Scale shape: one (symbol, bucket) partial aggregation, one
+    * key-bounded per-symbol running-max window over the BUCKET series,
+    * one per-symbol hash agg. */
+  def maxDrawdown(updates: DataFrame, seconds: Long = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("symbol")).orderBy(col("start"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val closes = updates.where(col("is_trade") && col("price") > 0.0d)
+      .groupBy(col("symbol"), bucketed(seconds))
+      .agg(max_by(col("price"), struct(col("ts"), col("seq")))
+        .as("close"))
+    closes
+      .withColumn("peak", max(col("close")).over(w))
+      .withColumn("q",
+        floor(col("close") / col("peak") * 1e6).cast("long"))
+      .withColumn("qm",
+        min(col("q")).over(Window.partitionBy(col("symbol"))))
+      .groupBy(col("symbol"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        min(col("q")).as("q_min"),
+        min(when(col("q") === col("qm"), col("start")))
+          .as("trough_start"))
+      .withColumn("max_drawdown",
+        lit(1.0d) - col("q_min").cast("double") / 1e6)
+      .orderBy("symbol")
+  }
+
+  def maxDrawdownSql(seconds: Long = 60): String =
+    s"""SELECT symbol, n_buckets, q_min,
+       | trough_start, 1.0 - CAST(q_min AS DOUBLE) / 1e6 AS max_drawdown
+       |FROM (
+       | SELECT symbol, count(*) AS n_buckets, min(q) AS q_min,
+       |  min(CASE WHEN q = qm THEN start END) AS trough_start
+       | FROM (
+       |  SELECT symbol, start, q,
+       |   min(q) OVER (PARTITION BY symbol) AS qm
+       |  FROM (
+       |   SELECT symbol, start,
+       |    CAST(floor(close / max(close) OVER (PARTITION BY symbol
+       |      ORDER BY start ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |      CURRENT ROW) * 1e6) AS BIGINT) AS q
+       |   FROM (
+       |    SELECT symbol, ((ts // 1000) // $seconds) * $seconds AS start,
+       |     last(price ORDER BY ts, seq) AS close
+       |    FROM updates WHERE is_trade AND price > 0.0
+       |    GROUP BY 1, 2)))
+       | GROUP BY 1)
+       |ORDER BY symbol""".stripMargin.replace('\n', ' ')
+
   def varianceRatioSql(seconds: Long = 60, k: Int = 4): String =
     s"""SELECT symbol, n1, sum_q1, sum_sq1, nk, sum_qk, sum_sqk, var1,
        | vark,

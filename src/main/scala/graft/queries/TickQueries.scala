@@ -208,6 +208,10 @@ object TickQueries {
       (s, dir) => Microstructure.returnAnomaly(u(s, dir)),
       Some(Tables.withUpdatesChain(Microstructure.returnAnomalySql()))),
 
+    Q("q_max_drawdown",
+      (s, dir) => Microstructure.maxDrawdown(u(s, dir)),
+      Some(Tables.withUpdates(Microstructure.maxDrawdownSql()))),
+
     Q("q_bucket_spread",
       (s, dir) => Microstructure.bucketSpread(u(s, dir))
         .orderBy("symbol", "start"),
