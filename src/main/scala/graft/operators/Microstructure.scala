@@ -995,6 +995,81 @@ object Microstructure {
        | FROM wm JOIN mad USING (symbol))
        |ORDER BY symbol, start""".stripMargin.replace('\n', ' ')
 
+  /** Return-distribution moments per symbol over [[bucketReturns]]:
+    * exact decimal power sums Σq..Σq⁴ emitted through the shared
+    * correctly-rounded decimal→double cast (the [[kyleLambda]] operand
+    * stance), then population mean/variance/skewness/excess-kurtosis
+    * as identical IEEE chains. A decimal power sum that overflows its
+    * 38-digit headroom would go silently null under non-ANSI semantics
+    * while the twin's HUGEINT errors — the guard raises instead
+    * (reachable only from |q| near the 1e9 ceiling in bulk; real-data
+    * q⁴ is ~1e16 per bucket, leaving ~1e22 buckets of headroom).
+    * Skew/kurt are null when the variance is zero or n = 0. */
+  def returnMoments(updates: DataFrame, seconds: Long = 60): DataFrame = {
+    val qDec = col("q").cast("decimal(15,0)")
+    def guarded(c: org.apache.spark.sql.Column, what: String) =
+      when(c.isNull && col("n") > 0L,
+        raise_error(concat(lit(s"returnMoments: $what overflows " +
+          "decimal headroom at symbol="), col("symbol"))).cast("double"))
+        .otherwise(c.cast("double"))
+    val (s2, s3, s4) =
+      (qDec * qDec, qDec * qDec * qDec, (qDec * qDec) * (qDec * qDec))
+    val base = bucketReturns(updates, seconds)
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n"), sum(qDec).as("_s1"),
+        sum(s2).as("_s2"), sum(s3).as("_s3"), sum(s4).as("_s4"))
+      .select(col("symbol"), col("n"),
+        guarded(col("_s1"), "sum_q").as("sum_q"),
+        guarded(col("_s2"), "sum_q2").as("sum_q2"),
+        guarded(col("_s3"), "sum_q3").as("sum_q3"),
+        guarded(col("_s4"), "sum_q4").as("sum_q4"))
+    val m = col("sum_q") / col("n")
+    val v = col("sum_q2") / col("n") - m * m
+    base
+      .withColumn("mean", m)
+      .withColumn("variance", v)
+      .withColumn("skewness",
+        when(col("variance") > 0.0d,
+          (col("sum_q3") / col("n") - lit(3.0d) * m * (col("sum_q2") /
+            col("n")) + lit(2.0d) * m * m * m) /
+            (col("variance") * sqrt(col("variance")))))
+      .withColumn("kurtosis",
+        when(col("variance") > 0.0d,
+          (col("sum_q4") / col("n") - lit(4.0d) * m * (col("sum_q3") /
+            col("n")) + lit(6.0d) * m * m * (col("sum_q2") / col("n")) -
+            lit(3.0d) * m * m * m * m) /
+            (col("variance") * col("variance")) - lit(3.0d)))
+      .orderBy("symbol")
+  }
+
+  def returnMomentsSql(seconds: Long = 60): String =
+    s"""SELECT symbol, n, sum_q, sum_q2, sum_q3, sum_q4, mean, variance,
+       | CASE WHEN variance > 0.0 THEN
+       |  (sum_q3 / n - 3.0 * mean * (sum_q2 / n)
+       |    + 2.0 * mean * mean * mean)
+       |   / (variance * sqrt(variance)) END AS skewness,
+       | CASE WHEN variance > 0.0 THEN
+       |  (sum_q4 / n - 4.0 * mean * (sum_q3 / n)
+       |    + 6.0 * mean * mean * (sum_q2 / n)
+       |    - 3.0 * mean * mean * mean * mean)
+       |   / (variance * variance) - 3.0 END AS kurtosis
+       |FROM (
+       | SELECT *, sum_q / n AS mean,
+       |  sum_q2 / n - (sum_q / n) * (sum_q / n) AS variance
+       | FROM (
+       |  SELECT symbol, count(*) AS n,
+       |   CAST(SUM(CAST(q AS HUGEINT)) AS DOUBLE) AS sum_q,
+       |   CAST(SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS DOUBLE)
+       |    AS sum_q2,
+       |   CAST(SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)
+       |     * CAST(q AS HUGEINT)) AS DOUBLE) AS sum_q3,
+       |   CAST(SUM((CAST(q AS HUGEINT) * CAST(q AS HUGEINT))
+       |     * (CAST(q AS HUGEINT) * CAST(q AS HUGEINT))) AS DOUBLE)
+       |    AS sum_q4
+       |  FROM (${bucketReturnsSql(seconds)})
+       |  GROUP BY 1))
+       |ORDER BY symbol""".stripMargin.replace('\n', ' ')
+
   /** Maximum drawdown per symbol over the bucket-close series: the
     * worst peak-to-trough ratio `close_t / max_{s≤t}(close_s)`,
     * quantized to `floor(ratio·1e6)` (an exact long — the ratio is in

@@ -212,6 +212,10 @@ object TickQueries {
       (s, dir) => Microstructure.maxDrawdown(u(s, dir)),
       Some(Tables.withUpdates(Microstructure.maxDrawdownSql()))),
 
+    Q("q_return_moments",
+      (s, dir) => Microstructure.returnMoments(u(s, dir)),
+      Some(Tables.withUpdates(Microstructure.returnMomentsSql()))),
+
     Q("q_bucket_spread",
       (s, dir) => Microstructure.bucketSpread(u(s, dir))
         .orderBy("symbol", "start"),

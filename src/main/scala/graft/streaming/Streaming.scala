@@ -1018,6 +1018,63 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Per-symbol drawdown state: the open bucket and its running close,
+    * the running peak over CLOSED buckets, and the exact minimum
+    * quantized trough ratio with its earliest bucket. O(1) per key. */
+  case class DdState(bucket: Long, close: Double, peak: Double,
+      hasPeak: Boolean, n: Long, qMin: Long, trough: Long)
+  case class DdRow(symbol: String, n_buckets: Long, q_min: Option[Long],
+      trough_start: Option[Long], max_drawdown: Option[Double])
+
+  /** Maximum drawdown on a STREAM — the ingest-time twin of
+    * [[graft.operators.Microstructure.maxDrawdown]] at the serving
+    * cadence: the fold closes a bucket on advance, extends the running
+    * peak (SqlOrd max — the plan's NaN-greatest ordering), quantizes
+    * the trough ratio exactly, and keeps the earliest bucket attaining
+    * the minimum (bucket starts are monotone, so first-strict-
+    * improvement IS the batch `min(start) where q = min(q)`). After
+    * sentinel closers the emitted row is the batch row bit-for-bit
+    * (StreamingSpec). */
+  def streamingMaxDrawdown(updates: Dataset[Update],
+      seconds: Long = 60): Dataset[DdRow] = {
+    import updates.sparkSession.implicits._
+    def bucketOf(ts: Long): Long = Streaming.Buckets.of(ts, seconds)
+    val Unset = Long.MinValue
+    def zero = DdState(Unset, 0.0, 0.0, hasPeak = false, 0L, Long.MaxValue,
+      Unset)
+    def closeBucket(st: DdState): DdState = {
+      val peak =
+        if (!st.hasPeak || SqlOrd.gt(st.close, st.peak)) st.close
+        else st.peak
+      val q = math.floor(st.close / peak * 1e6).toLong
+      if (q < st.qMin)
+        st.copy(peak = peak, hasPeak = true, n = st.n + 1L, qMin = q,
+          trough = st.bucket)
+      else st.copy(peak = peak, hasPeak = true, n = st.n + 1L)
+    }
+    def emit(sym: String, st: DdState): DdRow =
+      if (st.n == 0L) DdRow(sym, 0L, None, None, None)
+      else DdRow(sym, st.n, Some(st.qMin), Some(st.trough),
+        Some(1.0d - st.qMin.toDouble / 1e6))
+    def fn(sym: String, rows: Iterator[Update],
+        state: GroupState[DdState]): Iterator[DdRow] = {
+      var st = state.getOption.getOrElse(zero)
+      rows.toSeq.filter(u => u.is_trade && SqlOrd.gt(u.price, 0.0))
+        .sortBy(u => (u.ts, u.seq)).foreach { u =>
+          val b = bucketOf(u.ts)
+          if (st.bucket == Unset) st = st.copy(bucket = b, close = u.price)
+          else if (b != st.bucket)
+            st = closeBucket(st).copy(bucket = b, close = u.price)
+          else st = st.copy(close = u.price)
+        }
+      state.update(st)
+      Iterator.single(emit(sym, st))
+    }
+    updates.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Per-(symbol, is_bid, level) book-state cell carrying the BATCH
     * snapshot's arithmetic shape, not the naive sequential one:
     * [[graft.operators.Orderbook.snapshot]] computes each level as

@@ -441,6 +441,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming max drawdown: after sentinel closers the serving row " +
+      "per symbol IS the batch row bit-exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ups = Tables.updatesDs(spark, sf("sf0.001")).collect()
+      .sortBy(u0 => (u0.ts, u0.seq))
+    val want = graft.operators.Microstructure
+      .maxDrawdown(updatesDf(ups.toSeq)).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_buckets"), r.getAs[Long]("q_min"),
+          r.getAs[Long]("trough_start"),
+          r.getAs[Double]("max_drawdown")))).toMap
+    // one far-future closer per symbol: it closes the final REAL bucket
+    // (folding its q); the closer's own bucket stays open, so its price
+    // never enters the fold and the folded bucket set equals the batch
+    // bucket set exactly
+    val maxTs = ups.map(_.ts).max
+    val closers = ups.filter(_.is_trade).map(_.symbol).distinct
+      .sorted.zipWithIndex.map {
+        case (s0, i) => graft.model.Update(s0, maxTs + 7200L * 1000,
+          4000L + i, is_trade = true, is_bid = true, 1.0, 1.0)
+      }
+    val in = MemoryStream[Update]
+    val q = Streaming.streamingMaxDrawdown(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("sdd").start()
+    val (b1, b2) = ups.splitAt(ups.length / 2)
+    in.addData(b1.toSeq: _*); q.processAllAvailable()
+    in.addData(b2.toSeq: _*); q.processAllAvailable()
+    in.addData(closers.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sdd").as[Streaming.DdRow].collect()
+      .zipWithIndex.groupBy(_._1.symbol).view
+      .mapValues(_.maxBy(_._2)._1).toMap
+    assert(want.nonEmpty)
+    want.foreach { case (s0, (n, qm, tr, dd)) =>
+      val g = got(s0)
+      assert((g.n_buckets, g.q_min, g.trough_start, g.max_drawdown) ===
+        ((n, Some(qm), Some(tr), Some(dd))), s"drawdown drift at $s0")
+    }
+  }
+
   test("streaming rolling volume replays the batch RANGE window " +
       "bit-exactly up to the pending peer group") {
     import spark.implicits._
