@@ -130,6 +130,40 @@ object Orderbook {
         ((und(col("bb_raw")) + und(col("ba_raw"))) / 2.0).as("mid"))
   }
 
+  /** Liquidity within `bps` basis points of the mid, per (symbol,
+    * side), off the final [[snapshot]]: level count and exact-decimal
+    * size sum over book levels with
+    * `|level − mid_raw|·10⁴ ≤ mid_raw·bps` — an ALL-INTEGER band test
+    * on the discretized levels and the raw integer mid (no float
+    * threshold to diverge on). A symbol missing a side has a null mid
+    * and drops entirely (no band is defined), in both engines.
+    *
+    * Scale shape: the snapshot aggregation plus one broadcast join of
+    * the symbol-cardinality top table and one (symbol, side) partial
+    * aggregation. */
+  def liquidityBand(updates: DataFrame, bps: Long = 25L,
+      decimals: Int = 2): DataFrame = {
+    val book = snapshot(updates, decimals)
+    val mids = top(book, decimals).select("symbol", "mid_raw")
+    book.join(mids, "symbol")
+      .where(abs(col("level") - col("mid_raw")) * lit(10000L) <=
+        col("mid_raw") * lit(bps))
+      .groupBy(col("symbol"), col("is_bid"))
+      .agg(count(lit(1)).as("n_levels"),
+        exactSum(col("size")).as("liquidity"))
+      .orderBy("symbol", "is_bid")
+  }
+
+  def liquidityBandSql(bps: Long = 25L, decimals: Int = 2): String =
+    s"""WITH book AS (${snapshotSql(decimals)}),
+       |tp AS (${topSql(decimals)})
+       |SELECT b.symbol, b.is_bid, count(*) AS n_levels,
+       | CAST(SUM(CAST(b.size AS DECIMAL(30,4))) AS DOUBLE) AS liquidity
+       |FROM book b JOIN tp ON b.symbol = tp.symbol
+       |WHERE abs(b.level - tp.mid_raw) * 10000 <= tp.mid_raw * $bps
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin.replace('\n', ' ')
+
   def topSql(decimals: Int = 2): String = {
     val p = math.pow(10, decimals).toLong
     s"""SELECT symbol, bb_raw, ba_raw, (bb_raw + ba_raw) // 2 AS mid_raw,

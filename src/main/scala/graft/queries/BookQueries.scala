@@ -37,6 +37,13 @@ object BookQueries {
         s"book AS (${Orderbook.snapshotSql(Decimals)})",
         Orderbook.topSql(Decimals)))),
 
+    // B2+ — liquidity within 25 bps of the mid per side: all-integer
+    // band test on discretized levels, exact-decimal size sums
+    Q("q_liquidity_band",
+      (s, dir) => Orderbook.liquidityBand(u(s, dir), 25L, Decimals),
+      Some(Tables.withUpdatesChain(
+        Orderbook.liquidityBandSql(25L, Decimals)))),
+
     // B2+ — size-weighted microprice off the snapshot touch (the
     // queue-imbalance-adjusted fair price a quant pipeline derives
     // right after midprice)
