@@ -1108,16 +1108,18 @@ object Streaming {
     * best/size as null; depth sums quantize each included level's
     * computed size to decimal scale 4 (the `exactSum` cast) and sum
     * exactly. State is bounded by live price levels per symbol. */
-  def streamingBookFeatures(updates: Dataset[Update], decimals: Int = 2,
-      k: Long = 10L): Dataset[BookFeat] = {
-    import updates.sparkSession.implicits._
-    val mult = math.pow(10, decimals)
-    val Dec4 = Streaming.Dec4 // local binding: the closure captures the
-    // serializable holder, not the enclosing (non-serializable) object
-    def fn(sym: String, rows: Iterator[Update],
-        state: GroupState[Map[Long, LevelCell]]): Iterator[BookFeat] = {
-      var b = state.getOption.getOrElse(Map.empty[Long, LevelCell])
-      rows.toSeq.sortBy(u => (u.ts, u.seq)).foreach { u =>
+  /** One ordered micro-batch of updates folded into the packed-key
+    * incremental book ([[streamingBookTop]] packing, [[LevelCell]]
+    * cells) — the maintenance step [[streamingBookFeatures]] and
+    * [[streamingLiquidityBand]] share. A serializable holder (the
+    * [[Dec4]] pattern): fold closures capture IT, never the
+    * non-serializable enclosing object. */
+  private[streaming] object BookOps extends Serializable {
+    def advance(b0: Map[Long, LevelCell], rows: Seq[Update],
+        mult: Double): Map[Long, LevelCell] = {
+      val Dec4 = Streaming.Dec4
+      var b = b0
+      rows.sortBy(u => (u.ts, u.seq)).foreach { u =>
         val lvl = math.floor(u.price * mult).toLong
         val key = (lvl << 1) | (if (u.is_bid) 1L else 0L)
         if (u.is_trade)
@@ -1128,6 +1130,21 @@ object Streaming {
         else if (u.size == 0.0) b = b.removed(key)
         else b = b.updated(key, LevelCell(u.size, 0L))
       }
+      b
+    }
+  }
+
+  def streamingBookFeatures(updates: Dataset[Update], decimals: Int = 2,
+      k: Long = 10L): Dataset[BookFeat] = {
+    import updates.sparkSession.implicits._
+    val mult = math.pow(10, decimals)
+    val Dec4 = Streaming.Dec4 // local binding: the closure captures the
+    // serializable holder, not the enclosing (non-serializable) object
+    val Bk = Streaming.BookOps
+    def fn(sym: String, rows: Iterator[Update],
+        state: GroupState[Map[Long, LevelCell]]): Iterator[BookFeat] = {
+      var b = state.getOption.getOrElse(Map.empty[Long, LevelCell])
+      b = Bk.advance(b, rows.toSeq, mult)
       state.update(b)
       if (b.isEmpty) Iterator.empty
       else {
@@ -1163,6 +1180,56 @@ object Streaming {
         val imb = if (bd + ad != 0.0d) Some((bd - ad) / (bd + ad)) else None
         Iterator.single(BookFeat(sym, bestBid, bidSz, bestAsk, askSz,
           micro, bd, ad, imb))
+      }
+    }
+    updates.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  case class LiqRow(symbol: String, is_bid: Boolean, n_levels: Long,
+      liquidity: Double)
+
+  /** Banded liquidity on a STREAM — the ingest-time twin of
+    * [[graft.operators.Orderbook.liquidityBand]] off the same
+    * incremental book state as [[streamingBookFeatures]]
+    * ([[advanceBook]]): per micro-batch, the CURRENT all-integer band
+    * test around `(bb+ba) div 2` and the exact scale-4 size sums
+    * ([[LevelCell]] sizes are the batch snapshot's arithmetic by
+    * construction, the Dec4 sum is the `exactSum` decimal cast).
+    * Like the batch op, a symbol missing a side emits nothing, and a
+    * side with no in-band levels emits no row. Feeding the whole
+    * history reproduces the batch table bit-for-bit (StreamingSpec). */
+  def streamingLiquidityBand(updates: Dataset[Update], bps: Long = 25L,
+      decimals: Int = 2): Dataset[LiqRow] = {
+    import updates.sparkSession.implicits._
+    val mult = math.pow(10, decimals)
+    val Dec4 = Streaming.Dec4 // see streamingBookFeatures: holder capture
+    val Bk = Streaming.BookOps
+    def fn(sym: String, rows: Iterator[Update],
+        state: GroupState[Map[Long, LevelCell]]): Iterator[LiqRow] = {
+      var b = state.getOption.getOrElse(Map.empty[Long, LevelCell])
+      b = Bk.advance(b, rows.toSeq, mult)
+      state.update(b)
+      def sizeOf(c: LevelCell): Double =
+        if (c.tradedUnscaled == 0L) c.lastSize
+        else c.lastSize - Dec4.dec4ToDouble(c.tradedUnscaled)
+      val bids = b.collect { case (kk, c) if (kk & 1L) == 1L =>
+        (kk >> 1, c) }
+      val asks = b.collect { case (kk, c) if (kk & 1L) == 0L =>
+        (kk >> 1, c) }
+      if (bids.isEmpty || asks.isEmpty) Iterator.empty
+      else {
+        val mid = (bids.keysIterator.max + asks.keysIterator.min) / 2L
+        def side(levels: Map[Long, LevelCell], isBid: Boolean) = {
+          val in = levels.iterator.filter { case (l, _) =>
+            math.abs(l - mid) * 10000L <= mid * bps }.toSeq
+          if (in.isEmpty) None
+          else Some(LiqRow(sym, isBid, in.length.toLong,
+            Dec4.dec4ToDouble(in.map(e => Dec4.dec4(sizeOf(e._2)))
+              .foldLeft(0L)(Math.addExact))))
+        }
+        (side(bids, isBid = true) ++ side(asks, isBid = false)).iterator
       }
     }
     updates.groupByKey(_.symbol)

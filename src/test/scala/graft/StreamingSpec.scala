@@ -482,6 +482,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming liquidity band: the final serving rows ARE the batch " +
+      "band table bit-exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ups = Tables.updatesDs(spark, sf("sf0.001")).collect()
+      .sortBy(u0 => (u0.ts, u0.seq))
+    // 500 bps: the sf0.001 book is sparse enough that the default
+    // 25 bps band is empty — the contract under test is batch/stream
+    // symmetry at a shared dial, not the dial itself
+    val want = graft.operators.Orderbook
+      .liquidityBand(updatesDf(ups.toSeq), bps = 500L).collect()
+      .map(r => (r.getString(0), r.getBoolean(1)) ->
+        ((r.getAs[Long]("n_levels"), r.getAs[Double]("liquidity"))))
+      .toMap
+    assert(want.nonEmpty)
+    // one micro-batch of the whole history: each symbol emits exactly
+    // once, from its FINAL book — the serving row to compare against
+    // the batch table (multi-batch state carry is streamingBookFeatures'
+    // already-proven shared fold; a stale side row from an earlier
+    // batch would make last-row-wins comparisons ambiguous here)
+    val in = MemoryStream[Update]
+    val q = Streaming.streamingLiquidityBand(in.toDS(), bps = 500L)
+      .writeStream
+      .outputMode("append").format("memory").queryName("sliq").start()
+    in.addData(ups.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sliq").as[Streaming.LiqRow].collect()
+      .map(r => (r.symbol, r.is_bid) -> ((r.n_levels, r.liquidity)))
+      .toMap
+    assert(got === want)
+  }
+
   test("streaming rolling volume replays the batch RANGE window " +
       "bit-exactly up to the pending peer group") {
     import spark.implicits._
