@@ -1000,10 +1000,12 @@ object Microstructure {
     * correctly-rounded decimal→double cast (the [[kyleLambda]] operand
     * stance), then population mean/variance/skewness/excess-kurtosis
     * as identical IEEE chains. A decimal power sum that overflows its
-    * 38-digit headroom would go silently null under non-ANSI semantics
-    * while the twin's HUGEINT errors — the guard raises instead
-    * (reachable only from |q| near the 1e9 ceiling in bulk; real-data
-    * q⁴ is ~1e16 per bucket, leaving ~1e22 buckets of headroom).
+    * 38-digit headroom fails LOUD in both engines — Spark raises
+    * ARITHMETIC_OVERFLOW on the decimal sum itself (OverflowAuditSpec
+    * drives it at the bound; the isNull guard below is the backstop
+    * for any non-raising path), DuckDB's HUGEINT errors. Reachable
+    * only from |q| near the 1e9 ceiling in bulk; real-data q⁴ is
+    * ~1e16 per bucket, leaving ~1e22 buckets of headroom.
     * Skew/kurt are null when the variance is zero or n = 0. */
   def returnMoments(updates: DataFrame, seconds: Long = 60): DataFrame = {
     val qDec = col("q").cast("decimal(15,0)")

@@ -165,6 +165,59 @@ class MicrostructureFuzzSpec extends SparkSpec {
       s"wrong fold failure: ${msgs(exS).mkString(" | ")}")
   }
 
+  test("fuzz: variance ratio and max drawdown batch ≡ streaming serving " +
+      "rows after closers") {
+    def optL(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    val wantVr = Microstructure.varianceRatio(df).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), optL(r, 2), optL(r, 3), r.getLong(4),
+          optL(r, 5), optL(r, 6), optD(r, 7), optD(r, 8), optD(r, 9))))
+      .toMap
+    val wantDd = Microstructure.maxDrawdown(df).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_buckets"), r.getAs[Long]("q_min"),
+          r.getAs[Long]("trough_start"),
+          r.getAs[Double]("max_drawdown")))).toMap
+    val maxTs = ups.map(_.ts).max
+    val closers = ups.map(_.symbol).distinct.zipWithIndex.map {
+      case (s0, i) => Update(s0, maxTs + 7200L * 1000, 6000L + i,
+        is_trade = true, is_bid = true, 1.0, 1.0)
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Update]
+    val qv = Streaming.streamingVarianceRatio(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("fz_vr").start()
+    val qd = Streaming.streamingMaxDrawdown(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("fz_dd").start()
+    val (b1, b2) = ups.splitAt(ups.length / 3)
+    def drain(): Unit = {
+      qv.processAllAvailable(); qd.processAllAvailable()
+    }
+    in.addData(b1: _*); drain()
+    in.addData(b2: _*); drain()
+    in.addData(closers: _*); drain()
+    qv.stop(); qd.stop()
+    val gotV = spark.table("fz_vr").as[Streaming.VrRow].collect()
+      .zipWithIndex.groupBy(_._1.symbol).view
+      .mapValues(_.maxBy(_._2)._1).toMap
+    assert(wantVr.nonEmpty)
+    wantVr.foreach { case (s0, w) =>
+      val g = gotV(s0)
+      assert((g.n1, g.sum_q1, g.sum_sq1, g.nk, g.sum_qk, g.sum_sqk,
+        g.var1, g.vark, g.vr) === w, s"variance-ratio drift at $s0")
+    }
+    val gotD = spark.table("fz_dd").as[Streaming.DdRow].collect()
+      .zipWithIndex.groupBy(_._1.symbol).view
+      .mapValues(_.maxBy(_._2)._1).toMap
+    assert(wantDd.nonEmpty)
+    wantDd.foreach { case (s0, (n, qm, tr, dd)) =>
+      val g = gotD(s0)
+      assert((g.n_buckets, g.q_min, g.trough_start, g.max_drawdown) ===
+        ((n, Some(qm), Some(tr), Some(dd))), s"drawdown drift at $s0")
+    }
+  }
+
   test("fuzz: kyle lambda and flow autocorr batch ≡ streaming serving " +
       "rows after closers") {
     val wantKyle = Microstructure.kyleLambda(df).collect()

@@ -170,6 +170,49 @@ class OverflowAuditSpec extends SparkSpec {
       s"wrong failure: ${messages(ex).mkString(" | ")}")
   }
 
+  // ----------------------------------------------------- return moments
+
+  test("returnMoments at the decimal headroom: exact below, loud above") {
+    // |q| ≈ 6.9e8 per extreme return -> q⁴ ≈ 2.27e35; decimal(38,0)
+    // holds ~440 such terms. Below: all four power sums must equal the
+    // BigInt replay through the correctly-rounded decimal→double cast.
+    def qs(prices: Seq[Double]): Seq[BigInt] =
+      prices.sliding(2).flatMap { case Seq(a, b) =>
+        if (b / a == 0.0) None else Some(BigInt(lnQ6(b / a)))
+      }.toSeq
+    def d(b: BigInt): Double =
+      new java.math.BigDecimal(b.bigInteger).doubleValue()
+    val ups100 = vrTrades(101) // 100 extreme returns: inside headroom
+    val q100 = qs(ups100.map(_.price))
+    assert(q100.map(q => q * q * q * q).sum < BigInt(10).pow(38))
+    val row = graft.operators.Microstructure
+      .returnMoments(updatesDf(ups100))
+      .select("n", "sum_q", "sum_q2", "sum_q3", "sum_q4").head()
+    assert(row.getLong(0) === 100L)
+    assert(row.getDouble(1) === d(q100.sum))
+    assert(row.getDouble(2) === d(q100.map(q => q * q).sum))
+    assert(row.getDouble(3) === d(q100.map(q => q * q * q).sum))
+    assert(row.getDouble(4) === d(q100.map(q => q * q * q * q).sum))
+    // past ~440 terms the Σq⁴ decimal overflows: Spark raises its own
+    // ARITHMETIC_OVERFLOW on decimal sums (the operator's isNull guard
+    // is the backstop for any non-raising path) — either way LOUD,
+    // matching the twin's erroring HUGEINT
+    val ups460 = vrTrades(461)
+    assert(qs(ups460.map(_.price)).map(q => q * q * q * q).sum >
+      BigInt(10).pow(38))
+    val ex = intercept[Exception] {
+      graft.operators.Microstructure
+        .returnMoments(updatesDf(ups460)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(m =>
+      m.contains("overflows decimal headroom") ||
+        m.contains("Overflow in sum of decimals")),
+      s"wrong failure: ${messages(ex).mkString(" | ")}")
+  }
+
   test("streamingRealizedVol fold: exact-or-throw at the same bound") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
