@@ -1018,6 +1018,97 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Per-symbol moment state: the [[VrState]] bucket-close carry plus
+    * exact BigInt power sums Σq..Σq⁴ as strings. */
+  case class MomState(bucket: Long, close: Double, prevClose: Double,
+      hasPrevClose: Boolean, n: Long, s1: String, s2: String,
+      s3: String, s4: String)
+  case class MomRow(symbol: String, n: Long, sum_q: Option[Double],
+      sum_q2: Option[Double], sum_q3: Option[Double],
+      sum_q4: Option[Double], mean: Option[Double],
+      variance: Option[Double], skewness: Option[Double],
+      kurtosis: Option[Double])
+
+  /** Return moments on a STREAM — the ingest-time twin of
+    * [[graft.operators.Microstructure.returnMoments]] at the serving
+    * cadence (the [[streamingVarianceRatio]] bucket-close fold): exact
+    * BigInt power sums carried as state strings, emitted through the
+    * shared correctly-rounded decimal→double conversion
+    * (`BigDecimal.doubleValue`), then the batch op's IEEE chains
+    * verbatim. A power sum past the batch op's 38-digit decimal
+    * headroom throws at emission where the batch plan raises
+    * ARITHMETIC_OVERFLOW. After sentinel closers the emitted row IS
+    * the batch row bit-for-bit (StreamingSpec). O(1) state. */
+  def streamingReturnMoments(updates: Dataset[Update],
+      seconds: Long = 60): Dataset[MomRow] = {
+    import updates.sparkSession.implicits._
+    def bucketOf(ts: Long): Long = Streaming.Buckets.of(ts, seconds)
+    val Unset = Long.MinValue
+    def zero = MomState(Unset, 0.0, 0.0, hasPrevClose = false, 0L,
+      "0", "0", "0", "0")
+    def closeBucket(st: MomState): MomState = {
+      if (!st.hasPrevClose)
+        return st.copy(prevClose = st.close, hasPrevClose = true)
+      val ratio = st.close / st.prevClose
+      if (ratio == 0.0) return st.copy(prevClose = st.close)
+      val l = math.log(ratio)
+      if (l.isInfinite) throw new ArithmeticException(
+        "bucketReturns: price ratio outside double range")
+      val q = BigInt(math.floor(l * 1e6).toLong)
+      st.copy(prevClose = st.close, n = st.n + 1L,
+        s1 = (BigInt(st.s1) + q).toString,
+        s2 = (BigInt(st.s2) + q * q).toString,
+        s3 = (BigInt(st.s3) + q * q * q).toString,
+        s4 = (BigInt(st.s4) + q * q * q * q).toString)
+    }
+    val Headroom = BigInt(10).pow(38)
+    def emit(sym: String, st: MomState): MomRow = {
+      if (st.n == 0L)
+        return MomRow(sym, 0L, None, None, None, None, None, None,
+          None, None)
+      def d(s: String): Double = {
+        val b = BigInt(s)
+        if (b.abs >= Headroom) throw new ArithmeticException(
+          "returnMoments: sum overflows decimal headroom")
+        new java.math.BigDecimal(b.bigInteger).doubleValue()
+      }
+      val nD = st.n.toDouble
+      val (d1, d2, d3, d4) = (d(st.s1), d(st.s2), d(st.s3), d(st.s4))
+      val mean = d1 / nD
+      val vr = d2 / nD - (d1 / nD) * (d1 / nD)
+      val skew =
+        if (vr > 0.0d)
+          Some((d3 / nD - 3.0d * mean * (d2 / nD) +
+            2.0d * mean * mean * mean) / (vr * math.sqrt(vr)))
+        else None
+      val kurt =
+        if (vr > 0.0d)
+          Some((d4 / nD - 4.0d * mean * (d3 / nD) +
+            6.0d * mean * mean * (d2 / nD) -
+            3.0d * mean * mean * mean * mean) / (vr * vr) - 3.0d)
+        else None
+      MomRow(sym, st.n, Some(d1), Some(d2), Some(d3), Some(d4),
+        Some(mean), Some(vr), skew, kurt)
+    }
+    def fn(sym: String, rows: Iterator[Update],
+        state: GroupState[MomState]): Iterator[MomRow] = {
+      var st = state.getOption.getOrElse(zero)
+      rows.toSeq.filter(u => u.is_trade && SqlOrd.gt(u.price, 0.0))
+        .sortBy(u => (u.ts, u.seq)).foreach { u =>
+          val b = bucketOf(u.ts)
+          if (st.bucket == Unset) st = st.copy(bucket = b, close = u.price)
+          else if (b != st.bucket)
+            st = closeBucket(st).copy(bucket = b, close = u.price)
+          else st = st.copy(close = u.price)
+        }
+      state.update(st)
+      Iterator.single(emit(sym, st))
+    }
+    updates.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Per-symbol drawdown state: the open bucket and its running close,
     * the running peak over CLOSED buckets, and the exact minimum
     * quantized trough ratio with its earliest bucket. O(1) per key. */

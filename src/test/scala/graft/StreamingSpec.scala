@@ -441,6 +441,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming return moments: after sentinel closers the serving " +
+      "row per symbol IS the batch estimator bit-exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ups = Tables.updatesDs(spark, sf("sf0.001")).collect()
+      .sortBy(u0 => (u0.ts, u0.seq))
+    def optD(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    val want = graft.operators.Microstructure
+      .returnMoments(updatesDf(ups.toSeq)).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), optD(r, 2), optD(r, 3), optD(r, 4), optD(r, 5),
+          optD(r, 6), optD(r, 7), optD(r, 8), optD(r, 9)))).toMap
+    val maxTs = ups.map(_.ts).max
+    val closers = ups.map(_.symbol).distinct.zipWithIndex.map {
+      case (s0, i) => graft.model.Update(s0, maxTs + 7200L * 1000,
+        7000L + i, is_trade = true, is_bid = true, 1.0, 1.0)
+    }
+    val in = MemoryStream[Update]
+    val q = Streaming.streamingReturnMoments(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("smom").start()
+    val (b1, b2) = ups.splitAt(ups.length / 2)
+    in.addData(b1.toSeq: _*); q.processAllAvailable()
+    in.addData(b2.toSeq: _*); q.processAllAvailable()
+    in.addData(closers.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("smom").as[Streaming.MomRow].collect()
+      .zipWithIndex.groupBy(_._1.symbol).view
+      .mapValues(_.maxBy(_._2)._1).toMap
+    assert(want.nonEmpty)
+    want.foreach { case (s0, w) =>
+      val g = got(s0)
+      assert((g.n, g.sum_q, g.sum_q2, g.sum_q3, g.sum_q4, g.mean,
+        g.variance, g.skewness, g.kurtosis) === w,
+        s"return-moments drift at $s0")
+    }
+  }
+
   test("streaming max drawdown: after sentinel closers the serving row " +
       "per symbol IS the batch row bit-exactly") {
     import spark.implicits._
