@@ -1072,6 +1072,80 @@ object Microstructure {
        |  GROUP BY 1))
        |ORDER BY symbol""".stripMargin.replace('\n', ' ')
 
+  /** Cross-symbol return correlation: for each symbol pair (a < b),
+    * the Pearson correlation of their BUCKET-ALIGNED quantized log
+    * returns ([[bucketReturns]], inner-joined on the bucket start — a
+    * pair's sample is the buckets where BOTH symbols traded). Exact
+    * integer operand sums through the shared decimal→double cast (the
+    * [[flowAutocorr]] stance), one identical IEEE chain; null when
+    * either side is degenerate or the pair shares < 2 buckets.
+    *
+    * Scale shape: one self-equi-join of the per-(symbol, bucket)
+    * return series ON THE BUCKET KEY (co-partitioned, output bounded
+    * by buckets × symbol-pairs-per-bucket — symbol cardinality is the
+    * reference's bounded book set), then a symbol-pair hash agg. */
+  def returnCorr(updates: DataFrame, seconds: Long = 60): DataFrame = {
+    val r = bucketReturns(updates, seconds)
+    val a = r.select(col("symbol").as("symbol_a"), col("start"),
+      col("q").cast("decimal(15,0)").as("x"))
+    val b = r.select(col("symbol").as("symbol_b"), col("start"),
+      col("q").cast("decimal(15,0)").as("y"))
+    a.join(b, Seq("start"))
+      .where(col("symbol_a") < col("symbol_b"))
+      .groupBy(col("symbol_a"), col("symbol_b"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("x")).cast("double").as("sum_x"),
+        sum(col("y")).cast("double").as("sum_y"),
+        sum(col("x") * col("y")).cast("double").as("sum_xy"),
+        sum(col("x") * col("x")).cast("double").as("sum_xx"),
+        sum(col("y") * col("y")).cast("double").as("sum_yy"))
+      .withColumn("_dx",
+        col("n_pairs").cast("double") * col("sum_xx") -
+          col("sum_x") * col("sum_x"))
+      .withColumn("_dy",
+        col("n_pairs").cast("double") * col("sum_yy") -
+          col("sum_y") * col("sum_y"))
+      .select(col("symbol_a"), col("symbol_b"), col("n_pairs"),
+        col("sum_x"), col("sum_y"), col("sum_xy"), col("sum_xx"),
+        col("sum_yy"),
+        when(col("n_pairs") >= 2L &&
+          col("_dx") =!= 0.0d && col("_dy") =!= 0.0d,
+          (col("n_pairs").cast("double") * col("sum_xy") -
+            col("sum_x") * col("sum_y")) /
+            (sqrt(col("_dx")) * sqrt(col("_dy"))))
+          .as("return_corr"))
+      .orderBy("symbol_a", "symbol_b")
+  }
+
+  def returnCorrSql(seconds: Long = 60): String =
+    s"""SELECT symbol_a, symbol_b, n_pairs, sum_x, sum_y, sum_xy,
+       | sum_xx, sum_yy,
+       | CASE WHEN n_pairs >= 2
+       |   AND CAST(n_pairs AS DOUBLE) * sum_xx - sum_x * sum_x <> 0.0
+       |   AND CAST(n_pairs AS DOUBLE) * sum_yy - sum_y * sum_y <> 0.0
+       |  THEN
+       |  (CAST(n_pairs AS DOUBLE) * sum_xy - sum_x * sum_y)
+       |   / (sqrt(CAST(n_pairs AS DOUBLE) * sum_xx - sum_x * sum_x)
+       |    * sqrt(CAST(n_pairs AS DOUBLE) * sum_yy - sum_y * sum_y))
+       | END AS return_corr
+       |FROM (
+       | SELECT a.symbol AS symbol_a, b.symbol AS symbol_b,
+       |  count(*) AS n_pairs,
+       |  CAST(SUM(CAST(a.q AS HUGEINT)) AS DOUBLE) AS sum_x,
+       |  CAST(SUM(CAST(b.q AS HUGEINT)) AS DOUBLE) AS sum_y,
+       |  CAST(SUM(CAST(a.q AS HUGEINT) * CAST(b.q AS HUGEINT))
+       |    AS DOUBLE) AS sum_xy,
+       |  CAST(SUM(CAST(a.q AS HUGEINT) * CAST(a.q AS HUGEINT))
+       |    AS DOUBLE) AS sum_xx,
+       |  CAST(SUM(CAST(b.q AS HUGEINT) * CAST(b.q AS HUGEINT))
+       |    AS DOUBLE) AS sum_yy
+       | FROM (${bucketReturnsSql(seconds)}) a
+       | JOIN (${bucketReturnsSql(seconds)}) b
+       |  ON a.start = b.start AND a.symbol < b.symbol
+       | GROUP BY 1, 2)
+       |ORDER BY symbol_a, symbol_b""".stripMargin.replace('\n', ' ')
+
   /** Maximum drawdown per symbol over the bucket-close series: the
     * worst peak-to-trough ratio `close_t / max_{s≤t}(close_s)`,
     * quantized to `floor(ratio·1e6)` (an exact long — the ratio is in

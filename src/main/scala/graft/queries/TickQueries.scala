@@ -216,6 +216,10 @@ object TickQueries {
       (s, dir) => Microstructure.returnMoments(u(s, dir)),
       Some(Tables.withUpdates(Microstructure.returnMomentsSql()))),
 
+    Q("q_return_corr",
+      (s, dir) => Microstructure.returnCorr(u(s, dir)),
+      Some(Tables.withUpdates(Microstructure.returnCorrSql()))),
+
     Q("q_bucket_spread",
       (s, dir) => Microstructure.bucketSpread(u(s, dir))
         .orderBy("symbol", "start"),

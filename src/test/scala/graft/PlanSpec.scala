@@ -552,7 +552,8 @@ class PlanSpec extends SparkSpec {
       "at the scan") {
     for (name <- Seq("q_vwap_bars", "q_trade_imbalance",
         "q_bucket_spread", "q_realized_vol", "q_order_trade_ratio",
-        "q_variance_ratio", "q_max_drawdown", "q_return_moments")) {
+        "q_variance_ratio", "q_max_drawdown", "q_return_moments",
+        "q_return_corr")) {
       val p = plan(name)
       // map-side combine: the (symbol, bucket) aggregation is partial
       assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
