@@ -1080,18 +1080,31 @@ object Microstructure {
     * [[flowAutocorr]] stance), one identical IEEE chain; null when
     * either side is degenerate or the pair shares < 2 buckets.
     *
-    * Scale shape: one self-equi-join of the per-(symbol, bucket)
-    * return series ON THE BUCKET KEY (co-partitioned, output bounded
-    * by buckets × symbol-pairs-per-bucket — symbol cardinality is the
-    * reference's bounded book set), then a symbol-pair hash agg. */
+    * Scale shape: ONE pass — a naive self-join on the bucket key would
+    * scan and window the tick data twice (no ReusedExchange under a
+    * broadcast join; verified on the explain), so the pair stream is
+    * built instead by collecting each bucket's (symbol, q) set — bounded
+    * by symbol cardinality, the reference's bounded book set — and
+    * expanding the a<b pairs in place (the sorted array makes the
+    * orientation deterministic), then one symbol-pair hash agg. */
   def returnCorr(updates: DataFrame, seconds: Long = 60): DataFrame = {
-    val r = bucketReturns(updates, seconds)
-    val a = r.select(col("symbol").as("symbol_a"), col("start"),
-      col("q").cast("decimal(15,0)").as("x"))
-    val b = r.select(col("symbol").as("symbol_b"), col("start"),
-      col("q").cast("decimal(15,0)").as("y"))
-    a.join(b, Seq("start"))
-      .where(col("symbol_a") < col("symbol_b"))
+    val perBucket = bucketReturns(updates, seconds)
+      .groupBy(col("start"))
+      .agg(sort_array(collect_list(struct(col("symbol"), col("q"))))
+        .as("_arr"))
+      .where(size(col("_arr")) >= 2)
+    perBucket
+      .select(explode(flatten(transform(col("_arr"), (x, i) =>
+        transform(slice(col("_arr"), i + lit(2), size(col("_arr"))),
+          y => struct(
+            x.getField("symbol").as("symbol_a"),
+            y.getField("symbol").as("symbol_b"),
+            x.getField("q").as("qx"),
+            y.getField("q").as("qy")))))).as("_p"))
+      .select(col("_p.symbol_a").as("symbol_a"),
+        col("_p.symbol_b").as("symbol_b"),
+        col("_p.qx").cast("decimal(15,0)").as("x"),
+        col("_p.qy").cast("decimal(15,0)").as("y"))
       .groupBy(col("symbol_a"), col("symbol_b"))
       .agg(
         count(lit(1)).as("n_pairs"),
