@@ -1500,6 +1500,66 @@ object TextOps {
        |FROM base b JOIN qf q USING (doc_id)
        |GROUP BY b.source ORDER BY b.source""".stripMargin.replace('\n', ' ')
 
+  /** Per-source length inequality: the Gini coefficient of document
+    * token counts — the corpus-audit companion of [[sourceQuality]]
+    * (a source whose Gini spikes is a mix of boilerplate stubs and
+    * mega-documents, which mean length hides). Computed from the exact
+    * rank identity `G = (2·Σ(rᵢ·xᵢ) − (n+1)·Σxᵢ) / (n·Σxᵢ)` with ranks
+    * from the UNIQUE (n_tokens, doc_id) order (ties broken
+    * deterministically, so both engines rank identically); the rank
+    * sum is an exact decimal emitted through the shared double cast,
+    * and the Gini is one identical IEEE chain. Null for a source with
+    * zero total tokens.
+    *
+    * Scale shape: one per-SOURCE rank window (source cardinality is
+    * thousands+ — the [[graft.ext.Pipeline.tokenBudget]] stance, a
+    * parallelizing key) feeding one bounded-key aggregation. */
+  def lengthGini(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("nt", "doc_id")
+    docs.select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("nt"))
+      .withColumn("r", row_number().over(w))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens"),
+        sum(col("r").cast("decimal(20,0)") *
+          col("nt").cast("decimal(20,0)")).cast("double")
+          .as("rank_weighted"))
+      .withColumn("gini",
+        when(col("total_tokens") > 0L,
+          (lit(2.0d) * col("rank_weighted") -
+            (col("n_docs").cast("double") + lit(1.0d)) *
+              col("total_tokens").cast("double")) /
+            (col("n_docs").cast("double") *
+              col("total_tokens").cast("double"))))
+      .orderBy("source")
+  }
+
+  def lengthGiniSql(): String =
+    s"""SELECT source, n_docs, total_tokens, rank_weighted,
+       | CASE WHEN total_tokens > 0 THEN
+       |  (2.0 * rank_weighted
+       |    - (CAST(n_docs AS DOUBLE) + 1.0)
+       |      * CAST(total_tokens AS DOUBLE))
+       |   / (CAST(n_docs AS DOUBLE) * CAST(total_tokens AS DOUBLE))
+       | END AS gini
+       |FROM (
+       | SELECT source, count(*) AS n_docs,
+       |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(CAST(r AS HUGEINT) * CAST(nt AS HUGEINT)) AS DOUBLE)
+       |   AS rank_weighted
+       | FROM (
+       |  SELECT source, doc_id, nt,
+       |   row_number() OVER (PARTITION BY source
+       |     ORDER BY nt, doc_id) AS r
+       |  FROM (
+       |   SELECT doc_id, source, CAST($tokenCountSql AS BIGINT) AS nt
+       |   FROM documents))
+       | GROUP BY 1)
+       |ORDER BY source""".stripMargin.replace('\n', ' ')
+
   /** Per-source distribution drift: unigram KL divergence of each
     * source's word distribution from the whole-corpus distribution —
     * the data-mixing diagnostic that tells a data lead WHICH source is

@@ -524,6 +524,12 @@ object ExtQueries {
       (s, dir) => TextOps.sourceQuality(docs(s, dir)).orderBy("source"),
       Some(TextOps.sourceQualitySql())),
 
+    // per-source Gini of doc token counts: exact rank identity,
+    // deterministic (n_tokens, doc_id) ranking
+    Q("q_length_gini",
+      (s, dir) => TextOps.lengthGini(docs(s, dir)),
+      Some(TextOps.lengthGiniSql())),
+
     // BPE merge induction: k rounds of tokenizer TRAINING (most frequent
     // pair -> merge everywhere -> recount), the learned merge table
     Q("q_bpe_merges",
