@@ -129,24 +129,37 @@ object Microstructure {
     * (|q| at ~1e6 scale) the sum stays exact through > 1e6 trades per
     * bucket with several digits of headroom.
     *
-    * Scale shape: one per-symbol ordered LAG window (key-bounded, the
-    * as-of join's shuffle budget) feeding one partial (symbol, bucket)
-    * aggregation.
+    * Scale shape: the trade-to-trade lag is a [[TickCarry]] carry — one
+    * per-symbol ordered window below
+    * [[TickCarry.TickWindowMaxRows]], the exact per-(symbol, day)
+    * segmented fold above it (bit-equal by construction: the carry is
+    * pure selection, and the log runs on the same operand pair either
+    * way) — feeding one partial (symbol, bucket) aggregation.
     *
     * Returns are defined over POSITIVE-price trades only (a zero price
     * is a data artifact with no log return; DuckDB's `ln(0)` errors
     * where Spark's nulls, so the guard is also what keeps the twin
     * total) — the lag runs over the filtered sequence, so a zero-price
     * row neither produces nor interrupts returns. */
-  def realizedVol(updates: DataFrame, seconds: Long = 60): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("symbol"))
-      .orderBy(col("ts"), col("seq"))
-    val q = floor(log(col("price") / lag(col("price"), 1).over(w)) *
-      1e6).cast("long")
-    updates.where(col("is_trade") && col("price") > 0.0d)
+  def realizedVol(updates: DataFrame, seconds: Long = 60,
+      maxWindowRows: Long = TickCarry.TickWindowMaxRows): DataFrame = {
+    val base = updates.where(col("is_trade") && col("price") > 0.0d)
       .select(col("symbol"), col("ts"), col("seq"), col("price"))
+    realizedVolPlan(base, seconds, base.count() > maxWindowRows)
+  }
+
+  /** [[realizedVol]] past the dispatch: `base` is the filtered
+    * positive-price trade set. The lag is a strictly-before
+    * last-non-null carry (price is never null here), so both
+    * [[TickCarry]] arms reproduce `lag(price, 1)` exactly. */
+  private[graft] def realizedVolPlan(base: DataFrame, seconds: Long,
+      segmented: Boolean): DataFrame = {
+    val q = floor(log(col("price") / col("_prev")) * 1e6).cast("long")
+    TickCarry.carryLast(base,
+        Seq(TickCarry.Carry(col("price"), includeCurrent = false, "_prev")),
+        segmented)
       .withColumn("q", q)
+      .drop("_prev")
       .where(col("q").isNotNull)
       // |q| > 1e9 is unreachable from any finite ratio (|ln| <= ~709.8
       // -> |q| < 7.1e8): it means the double division overflowed and
@@ -210,13 +223,22 @@ object Microstructure {
     * twin's `CAST(HUGEINT AS BIGINT)` errors. On real tick data
     * (|Δ| ~ 10² cents) everything is exact with > 9 digits headroom.
     *
-    * Scale shape: ONE per-symbol ordered window serves both lags
-    * (key-bounded sort — the [[realizedVol]] shuffle budget) feeding
-    * one partial (symbol, bucket) aggregation. */
-  def rollSpread(updates: DataFrame, seconds: Long = 60): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("symbol"))
-      .orderBy(col("ts"), col("seq"))
+    * Scale shape: the two lags are CHAINED [[TickCarry]] carries
+    * (`c1` carries `c0`, `c2` carries `c1` — each is null only at the
+    * head of its symbol, so strictly-before last-non-null IS the lag),
+    * dispatched per-symbol-window / segmented-fold like
+    * [[realizedVol]], feeding one partial (symbol, bucket)
+    * aggregation. */
+  def rollSpread(updates: DataFrame, seconds: Long = 60,
+      maxWindowRows: Long = TickCarry.TickWindowMaxRows): DataFrame = {
+    val cents = floor(col("price") * 100.0d + 0.5d).cast("long")
+    val base = updates.where(col("is_trade"))
+      .select(col("symbol"), col("ts"), col("seq"), cents.as("c0"))
+    rollSpreadPlan(base, seconds, base.count() > maxWindowRows)
+  }
+
+  private[graft] def rollSpreadPlan(base: DataFrame, seconds: Long,
+      segmented: Boolean): DataFrame = {
     def guardDelta(c: org.apache.spark.sql.Column) =
       when(abs(c) > 1000000000000L,
         raise_error(concat(lit("rollSpread: price delta outside the " +
@@ -226,12 +248,12 @@ object Microstructure {
       when(abs(c) > lit(Long.MaxValue).cast("decimal(38,0)"),
         raise_error(lit(s"rollSpread: $name overflows BIGINT"))
           .cast("long")).otherwise(c.cast("long"))
-    val cents = floor(col("price") * 100.0d + 0.5d).cast("long")
-    updates.where(col("is_trade"))
-      .select(col("symbol"), col("ts"), col("seq"),
-        cents.as("c0"))
-      .withColumn("c1", lag(col("c0"), 1).over(w))
-      .withColumn("c2", lag(col("c0"), 2).over(w))
+    val withC1 = TickCarry.carryLast(base,
+      Seq(TickCarry.Carry(col("c0"), includeCurrent = false, "c1")),
+      segmented)
+    TickCarry.carryLast(withC1,
+        Seq(TickCarry.Carry(col("c1"), includeCurrent = false, "c2")),
+        segmented)
       .where(col("c2").isNotNull)
       .withColumn("x", guardDelta(col("c0") - col("c1")))
       .withColumn("y", guardDelta(col("c1") - col("c2")))
@@ -463,10 +485,12 @@ object Microstructure {
     * `flow_ratio = signed_vol / class_vol` (null when class_vol = 0).
     *
     * Exactness: sign·size is an IEEE multiply by ±1 (exact), summed in
-    * decimal; the ratio is one IEEE division. Scale shape: both windows
-    * (the lag and the running last-non-zero) share one per-symbol
-    * (ts, seq) sort — a single shuffle — feeding the partial
-    * (symbol, bucket) aggregation. */
+    * decimal; the ratio is one IEEE division. Scale shape: both running
+    * states (the lag and the last-non-zero sign) are [[TickCarry]]
+    * carries — one shared per-symbol (ts, seq) sort below
+    * [[TickCarry.TickWindowMaxRows]], the exact per-(symbol, day)
+    * segmented fold above it — feeding the partial (symbol, bucket)
+    * aggregation. */
   /** Raise-loud guard on a CLASSIFIED trade size entering a decimal
     * sum: a non-finite size would cast to decimal NULL under non-ANSI
     * mode and silently vanish from the sum (the DuckDB twins ERROR on
@@ -480,20 +504,30 @@ object Microstructure {
         col("symbol"))).cast("double"))
       .otherwise(col("size"))
 
-  def tickRuleFlow(updates: DataFrame, seconds: Long = 60): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("symbol")).orderBy(col("ts"), col("seq"))
-    val prev = lag(col("price"), 1).over(w)
-    val dir = when(col("price") > prev, 1)
-      .when(col("price") < prev, -1).otherwise(0)
-    updates.where(col("is_trade"))
+  def tickRuleFlow(updates: DataFrame, seconds: Long = 60,
+      maxWindowRows: Long = TickCarry.TickWindowMaxRows): DataFrame = {
+    val base = updates.where(col("is_trade"))
       .select(col("symbol"), col("ts"), col("seq"), col("price"),
         col("size"))
+    tickRuleFlowPlan(base, seconds, base.count() > maxWindowRows)
+  }
+
+  /** [[tickRuleFlow]] past the dispatch: two chained [[TickCarry]]
+    * carries — the previous trade price (strictly before; price is
+    * never null on trades, so the carry IS the lag), then the running
+    * last non-zero direction (including current). */
+  private[graft] def tickRuleFlowPlan(base: DataFrame, seconds: Long,
+      segmented: Boolean): DataFrame = {
+    val dir = when(col("price") > col("_prev"), 1)
+      .when(col("price") < col("_prev"), -1).otherwise(0)
+    val withDir = TickCarry.carryLast(base,
+        Seq(TickCarry.Carry(col("price"), includeCurrent = false, "_prev")),
+        segmented)
       .withColumn("dir", dir)
-      .withColumn("sgn",
-        last(when(col("dir") =!= 0, col("dir")), ignoreNulls = true)
-          .over(w.rowsBetween(Window.unboundedPreceding,
-            Window.currentRow)))
+    TickCarry.carryLast(withDir,
+        Seq(TickCarry.Carry(when(col("dir") =!= 0, col("dir")),
+          includeCurrent = true, "sgn")),
+        segmented)
       .groupBy(col("symbol"), bucketed(seconds))
       .agg(
         count(lit(1)).as("n_trades"),
@@ -546,19 +580,26 @@ object Microstructure {
     * before its symbol's first two-sided quote is unclassified and
     * carries no weight (it still counts in `n_trades`).
     *
-    * Scale shape: both last-non-null windows share one per-symbol
-    * (ts, seq) sort — a single shuffle, O(1) frame state — feeding the
+    * Scale shape: both prevailing-touch states are [[TickCarry]]
+    * carries sharing one pass (one per-symbol (ts, seq) sort below
+    * [[TickCarry.TickWindowMaxRows]], one exact per-(symbol, day)
+    * segmented fold above it — O(1) frame state either way) feeding the
     * partial (symbol, bucket) aggregation; no per-trade point lookup. */
-  def effectiveSpread(updates: DataFrame, seconds: Long = 60): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("symbol")).orderBy(col("ts"), col("seq"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    def sideLast(side: org.apache.spark.sql.Column) =
-      last(when(!col("is_trade") && col("size") > 0.0d && side,
-        col("price")), ignoreNulls = true).over(w)
-    updates
-      .withColumn("pb", sideLast(col("is_bid")))
-      .withColumn("pa", sideLast(!col("is_bid")))
+  def effectiveSpread(updates: DataFrame, seconds: Long = 60,
+      maxWindowRows: Long = TickCarry.TickWindowMaxRows): DataFrame =
+    effectiveSpreadPlan(updates, seconds,
+      updates.count() > maxWindowRows)
+
+  private[graft] def effectiveSpreadPlan(updates: DataFrame, seconds: Long,
+      segmented: Boolean): DataFrame = {
+    def sideMark(side: org.apache.spark.sql.Column) =
+      when(!col("is_trade") && col("size") > 0.0d && side, col("price"))
+    TickCarry.carryLast(updates, Seq(
+        TickCarry.Carry(sideMark(col("is_bid")),
+          includeCurrent = false, "pb"),
+        TickCarry.Carry(sideMark(!col("is_bid")),
+          includeCurrent = false, "pa")),
+        segmented)
       .where(col("is_trade"))
       .withColumn("eff",
         lit(2.0d) * abs(col("price") - (col("pb") + col("pa")) / 2.0d))
@@ -641,11 +682,17 @@ object Microstructure {
     * still counts them. Within the bounds `Σx²` ≤ ~1e34 stays inside
     * decimal(38) for any real bucket count.
     *
-    * Scale shape: one per-symbol (ts, seq) window over raw updates
-    * (the [[effectiveSpread]] shuffle budget) feeds the (symbol,
-    * bucket) partial aggregation; everything after runs on the bucket
+    * Scale shape: the [[withTickSgn]] front half rides [[TickCarry]]
+    * (per-symbol window below [[TickCarry.TickWindowMaxRows]], exact
+    * per-(symbol, day) segmented fold above) into the (symbol, bucket)
+    * partial aggregation; everything after runs on the bucket
     * series — thousands of rows per symbol, key-bounded. */
-  def kyleLambda(updates: DataFrame, seconds: Long = 60): DataFrame = {
+  def kyleLambda(updates: DataFrame, seconds: Long = 60,
+      maxWindowRows: Long = TickCarry.TickWindowMaxRows): DataFrame =
+    kyleLambdaPlan(updates, seconds, updates.count() > maxWindowRows)
+
+  private[graft] def kyleLambdaPlan(updates: DataFrame, seconds: Long,
+      segmented: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // raise-loud bounds (the rollSpread stance): past them the
     // decimal(18,0) operand casts below would go silently NULL — and a
@@ -663,7 +710,7 @@ object Microstructure {
       max_by(when(keep, cents), when(keep, struct(col("ts"), col("seq"))))
     }
     val wb = Window.partitionBy(col("symbol")).orderBy(col("start"))
-    val buckets = withTickSgn(updates)
+    val buckets = withTickSgn(updates, segmented)
       .groupBy(col("symbol"), bucketed(seconds))
       .agg(
         signedFlowAgg.as("_f"),
@@ -716,26 +763,25 @@ object Microstructure {
     * quote columns — one raw-update window, one bucket aggregation,
     * key-bounded series windows. */
   /** The tick-rule running sign over ALL updates (`dir` defined on
-    * trades against the last TRADE price via a filtered strictly-
-    * earlier frame, carried by last-non-zero) — the shared front half
-    * of [[kyleLambda]] and [[flowAutocorr]]; one definition so the two
-    * regressions cannot diverge from each other or from
+    * trades against the last TRADE price via a strictly-earlier
+    * [[TickCarry]] carry, then carried by last-non-zero) — the shared
+    * front half of [[kyleLambda]] and [[flowAutocorr]]; one definition
+    * so the two regressions cannot diverge from each other or from
     * [[tickRuleFlow]]'s trade-only form. */
-  private def withTickSgn(updates: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("symbol")).orderBy(col("ts"), col("seq"))
-    val prevTrade = last(when(col("is_trade"), col("price")),
-      ignoreNulls = true)
-      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+  private def withTickSgn(updates: DataFrame,
+      segmented: Boolean): DataFrame = {
+    val withPt = TickCarry.carryLast(updates,
+      Seq(TickCarry.Carry(when(col("is_trade"), col("price")),
+        includeCurrent = false, "_pt")),
+      segmented)
     val dir = when(col("is_trade"),
-      when(col("price") > prevTrade, 1)
-        .when(col("price") < prevTrade, -1).otherwise(0))
-    updates
-      .withColumn("dir", dir)
-      .withColumn("sgn",
-        last(when(col("dir") =!= 0, col("dir")), ignoreNulls = true)
-          .over(w.rowsBetween(Window.unboundedPreceding,
-            Window.currentRow)))
+      when(col("price") > col("_pt"), 1)
+        .when(col("price") < col("_pt"), -1).otherwise(0))
+    TickCarry.carryLast(withPt.withColumn("dir", dir),
+        Seq(TickCarry.Carry(when(col("dir") =!= 0, col("dir")),
+          includeCurrent = true, "sgn")),
+        segmented)
+      .drop("_pt")
   }
 
   /** Σ sign·size over classified trades — exact scale-4 decimal, the
@@ -754,11 +800,16 @@ object Microstructure {
         .cast("decimal(18,0)"))
       .otherwise((c * 10000).cast("decimal(18,0)"))
 
-  def flowAutocorr(updates: DataFrame, seconds: Long = 60): DataFrame = {
+  def flowAutocorr(updates: DataFrame, seconds: Long = 60,
+      maxWindowRows: Long = TickCarry.TickWindowMaxRows): DataFrame =
+    flowAutocorrPlan(updates, seconds, updates.count() > maxWindowRows)
+
+  private[graft] def flowAutocorrPlan(updates: DataFrame, seconds: Long,
+      segmented: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wb = Window.partitionBy(col("symbol")).orderBy(col("start"))
     val guardF = flowOperand("flowAutocorr") _
-    val pairs = withTickSgn(updates)
+    val pairs = withTickSgn(updates, segmented)
       .groupBy(col("symbol"), bucketed(seconds))
       .agg(signedFlowAgg.as("_f"))
       .withColumn("_fp", lag(col("_f"), 1).over(wb))

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed last-non-null carry over the per-symbol (ts, seq) total
+  * order — the decomposition that retires the last funnel-shaped plan
+  * class (VERDICT r11 #1): running-state windows
+  * (`last(..., ignoreNulls) OVER (PARTITION BY symbol ORDER BY ts, seq)`)
+  * sort one symbol's ENTIRE tick history in a single task, and one hot
+  * symbol (the BTC book is routinely more than half of a crypto feed) is
+  * the same skew funnel the ppl tercile cut and the unimax cumsum
+  * retired for `lang`. Per-symbol is the reference's own parallelism
+  * unit (`crates/tdb-core/src/state.rs:55-63`), so the single window is
+  * FAITHFUL — this module is the scale path past it.
+  *
+  * The carried state of every consumer is O(1) per symbol (a last trade
+  * price, a last quote per side, a last non-zero tick sign), and
+  * last-non-null carry is ASSOCIATIVE: a segment's outgoing state is its
+  * own last non-null mark when one exists, else the incoming state
+  * passes through. So the exact two-stage
+  * [[graft.ext.Pipeline.saltedCumTokens]] shape applies on the tick
+  * axis:
+  *
+  *  1. segment rows by a MONOTONE day bucket of `ts` (`ts div 86400000`
+  *     — trunc division is order-preserving, so segments are contiguous
+  *     runs of the (ts, seq) order); the local carry window runs inside
+  *     (symbol, day) groups — one symbol-day of ticks per task, never a
+  *     symbol's history;
+  *  2. per-(symbol, day) outgoing states — a tiny |symbols|·|days|
+  *     table — get the same last-non-null carry over strictly-earlier
+  *     days via one per-symbol window ordered by day: rows = DAYS per
+  *     task, not ticks;
+  *  3. the incoming boundary state joins back on (symbol, day) — same
+  *     keys as the local window's own hash partitioning, and AQE
+  *     broadcasts the bounded side — and `coalesce(local, boundary)`
+  *     resolves every row.
+  *
+  * No arithmetic touches the carried values — stitching is pure
+  * selection — so the segmented result is bit-identical to the
+  * single-window carry BY CONSTRUCTION (the float bars can NOT be
+  * stitched this way, which is why they stay per-symbol folds).
+  * OperatorPropertySpec pins the parity on real tick data, PlanSpec
+  * forbids a tick-ordered window partitioned by symbol alone in the
+  * segmented plans, and ScaleProbeSpec measures the per-task bound on a
+  * 90%-one-symbol corpus at 10x. */
+object TickCarry {
+
+  /** One carried state: `mark` must be non-null exactly on the rows
+    * that UPDATE the state; `out` receives the last non-null mark at or
+    * before (`includeCurrent`) or strictly before the row in the
+    * per-symbol (ts, seq) order. */
+  case class Carry(mark: Column, includeCurrent: Boolean, out: String)
+
+  /** Window inputs at or below this row count run as one per-symbol
+    * ordered window (cheapest, and the reference-faithful shape); above
+    * it, the segmented day fold. Bit-equal by construction, so the
+    * dispatch is invisible to results — the
+    * [[graft.ext.Pipeline.LangWindowMaxRows]] stance. */
+  val TickWindowMaxRows: Long = 10_000_000L
+
+  /** Segment width: one UTC day of milliseconds. At 100 TB the local
+    * carry's per-task input is one symbol-day of ticks. */
+  val SegmentMs: Long = 86_400_000L
+
+  def carryLast(df: DataFrame, carries: Seq[Carry],
+      segmented: Boolean): DataFrame =
+    if (segmented) carrySegmentedPlan(df, carries)
+    else carryWindowPlan(df, carries)
+
+  /** Small arm: the plain running-state window(s), one per-symbol sort
+    * shared by every carry. */
+  private[graft] def carryWindowPlan(df: DataFrame,
+      carries: Seq[Carry]): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("ts"), col("seq"))
+    carries.foldLeft(df) { (d, c) =>
+      val frame = w.rowsBetween(Window.unboundedPreceding,
+        if (c.includeCurrent) Window.currentRow else -1)
+      d.withColumn(c.out, last(c.mark, ignoreNulls = true).over(frame))
+    }
+  }
+
+  /** Scale arm: per-(symbol, day) local carry + bounded boundary
+    * stitch. All carries share the one segment table, one outgoing
+    *-state aggregation and one boundary join. */
+  private[graft] def carrySegmentedPlan(df: DataFrame,
+      carries: Seq[Carry]): DataFrame = {
+    val seg = df.withColumn("_cseg", expr(s"ts div ${SegmentMs}L"))
+    val wLoc = Window.partitionBy(col("symbol"), col("_cseg"))
+      .orderBy(col("ts"), col("seq"))
+    val local = carries.foldLeft(seg) { (d, c) =>
+      val frame = wLoc.rowsBetween(Window.unboundedPreceding,
+        if (c.includeCurrent) Window.currentRow else -1)
+      d.withColumn("_lc_" + c.out,
+        last(c.mark, ignoreNulls = true).over(frame))
+    }
+    // outgoing state per (symbol, day): the value at the LARGEST
+    // (ts, seq) whose mark is non-null (max_by skips null order keys);
+    // null when the whole day never updates the state — pass-through
+    val finAggs = carries.map(c =>
+      max_by(c.mark, when(c.mark.isNotNull, struct(col("ts"), col("seq"))))
+        .as("_fin_" + c.out))
+    val outs = seg.groupBy(col("symbol"), col("_cseg"))
+      .agg(finAggs.head, finAggs.tail: _*)
+    // incoming state per (symbol, day): the same carry, one level up —
+    // a per-symbol window over the DAY table (rows = days, bounded)
+    val wB = Window.partitionBy(col("symbol")).orderBy(col("_cseg"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bounds = outs.select(
+      col("symbol") +: col("_cseg") +: carries.map(c =>
+        last(col("_fin_" + c.out), ignoreNulls = true).over(wB)
+          .as("_in_" + c.out)): _*)
+    val joined = local.join(bounds, Seq("symbol", "_cseg"))
+    carries.foldLeft(joined) { (d, c) =>
+      d.withColumn(c.out,
+        coalesce(col("_lc_" + c.out), col("_in_" + c.out)))
+    }.drop("_cseg" +:
+      carries.flatMap(c => Seq("_lc_" + c.out, "_in_" + c.out)): _*)
+  }
+}

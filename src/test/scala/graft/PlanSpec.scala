@@ -180,6 +180,58 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("tick carry: no per-symbol tick-order window in the segmented " +
+      "plans (VERDICT r11 #1)") {
+    // the >TickWindowMaxRows arm of the microstructure running-state
+    // family: a window partitioned by symbol ALONE must never order by
+    // the tick axis (ts, seq) — that is the hot-symbol funnel being
+    // retired. Allowed: the (symbol, _cseg) local carry (tick-ordered
+    // inside one symbol-day) and the per-symbol boundary window over
+    // the tiny day table (ordered by _cseg, rows = days).
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions._
+    import graft.operators.Microstructure
+    val u = Tables.updates(spark, sf())
+    def windows(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[WindowExec] = p.collect {
+      case w: WindowExec => Seq(w)
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+    }.flatten
+    val plans: Seq[(String, DataFrame)] = Seq(
+      "realizedVol" -> Microstructure.realizedVolPlan(
+        u.where(col("is_trade") && col("price") > 0.0d)
+          .select(col("symbol"), col("ts"), col("seq"), col("price")),
+        60, segmented = true),
+      "rollSpread" -> Microstructure.rollSpreadPlan(
+        u.where(col("is_trade")).select(col("symbol"), col("ts"),
+          col("seq"), floor(col("price") * 100.0d + 0.5d).cast("long")
+            .as("c0")),
+        60, segmented = true),
+      "tickRuleFlow" -> Microstructure.tickRuleFlowPlan(
+        u.where(col("is_trade")).select(col("symbol"), col("ts"),
+          col("seq"), col("price"), col("size")),
+        60, segmented = true),
+      "effectiveSpread" ->
+        Microstructure.effectiveSpreadPlan(u, 60, segmented = true),
+      "kyleLambda" ->
+        Microstructure.kyleLambdaPlan(u, 60, segmented = true),
+      "flowAutocorr" ->
+        Microstructure.flowAutocorrPlan(u, 60, segmented = true))
+    plans.foreach { case (label, df) =>
+      val ws = windows(df.queryExecution.executedPlan)
+      assert(ws.nonEmpty, s"$label: expected window nodes")
+      ws.foreach { w =>
+        val ordersTickAxis = w.orderSpec.exists(o =>
+          o.child.toString.contains("ts#") ||
+            o.child.toString.contains("seq#"))
+        assert(!(w.partitionSpec.length == 1 && ordersTickAxis),
+          s"$label: hot-symbol tick-order funnel: " +
+            s"partition=${w.partitionSpec} order=${w.orderSpec}")
+      }
+    }
+  }
+
   test("salted prefix sum: no per-language md5-order window " +
       "(VERDICT r10 #1)") {
     // the >LangWindowMaxRows arm of unimaxApply: the only windows are

@@ -527,6 +527,55 @@ class ScaleProbeSpec extends SparkSpec {
       f"pair stream superlinear: $p10%,d vs ${p0 * Copies}%,d")
   }
 
+  test("tick carry: per-task input stays bounded on a 90%-one-symbol " +
+      "tick corpus at 10x (VERDICT r11 #1)") {
+    // the microstructure running-state decomposition: the local carry
+    // window runs inside (symbol, day) groups, so a dominant symbol
+    // (the BTC book is routinely >half of a crypto feed) spreads over
+    // its trading days instead of sorting its whole history in one
+    // task. Probe: 10x the sf0.1 tick table with 90% of rows remapped
+    // to one HOT symbol (ts kept — the real 30-day span), measure the
+    // (symbol, day) occupancy the segmented plan's local window sees,
+    // then pin bit-parity of the CHAINED-carry consumer under exactly
+    // this skew.
+    import graft.operators.{Microstructure, TickCarry}
+    val u0 = Tables.updates(spark, sfDir)
+    val nSeqSpan = u0.agg(max(col("seq"))).head.getLong(0) + 1
+    val scaled = u0.select(col("ts"), col("seq"), col("is_trade"),
+        col("is_bid"), col("price"), col("size"),
+        explode(sequence(lit(0), lit(Copies - 1))).as("copy"))
+      .select(
+        when((col("seq") + col("copy")) % 10 < 9, "HOT")
+          .otherwise(concat(lit("s"),
+            ((col("seq") + col("copy")) % 10).cast("string")))
+          .as("symbol"),
+        col("ts"), (col("seq") + col("copy") * nSeqSpan).as("seq"),
+        col("is_trade"), col("is_bid"), col("price"), col("size"))
+      .localCheckpoint(true)
+    val nHot = scaled.where(col("symbol") === "HOT").count()
+    val daySeg = expr(s"ts div ${TickCarry.SegmentMs}L")
+    val days = scaled.select(daySeg.as("_d")).distinct().count()
+    val occ = scaled.select(col("symbol"), daySeg.as("_d"))
+      .groupBy("symbol", "_d").agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).head.getLong(0)
+    info(f"HOT rows: $nHot%,d over $days%,d days; max (symbol, day) " +
+      f"occupancy: $occ%,d (per-symbol window funnel would be $nHot%,d " +
+      "in one task)")
+    assert(occ <= math.max(nHot / days, 1L) * 3,
+      f"(symbol, day) occupancy superlinear: $occ%,d vs ideal " +
+        f"${nHot / days}%,d")
+    assert(occ <= nHot / 10,
+      f"occupancy $occ%,d not far below the $nHot%,d-row funnel")
+    // bit-parity under this exact skew at 10x: tickRuleFlow chains both
+    // carry shapes (strictly-before lag + including-current last-non-zero)
+    def rows(df: DataFrame): Seq[String] = df.collect().map(r =>
+      r.toSeq.map(v => if (v == null) "null" else v.toString)
+        .mkString("|")).sorted.toSeq
+    assert(rows(Microstructure.tickRuleFlow(scaled, 60, 0L)) ===
+      rows(Microstructure.tickRuleFlow(scaled, 60, Long.MaxValue)),
+      "segmented tick carry diverges under 90%-one-symbol skew at 10x")
+  }
+
   test("salted prefix sum: per-task input stays bounded on a " +
       "90%-one-language corpus at 10x (VERDICT r10 #1)") {
     // unimaxApply's scale arm: the local-cumsum window runs inside
