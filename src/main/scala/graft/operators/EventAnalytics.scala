@@ -18,7 +18,15 @@ import org.apache.spark.sql.functions._
   *  - the one double column (`value`) is summed as quantized integers
   *    (`floor(value·1e6)` — |value| ≤ ~1e3 in the data, so the
   *    quantized summand is ≤ ~1e9 and a session/bucket sum is far from
-  *    2^63; OverflowAuditSpec drives the bound);
+  *    2^63). The sum rides [[valueQSum]]'s raise-loud discipline: a
+  *    non-finite value raises (where Spark's `floor` would silently
+  *    yield 0 and the DuckDB twins' `CAST(NaN AS BIGINT)` errors), a
+  *    quantized summand past 1e15 raises (only reachable from corrupt
+  *    feed values; past it the non-ANSI double→long floor clamps
+  *    silently where the twins error), the sum runs in decimal, and
+  *    the BIGINT emission raises past 2^63 exactly where the twins'
+  *    HUGEINT→BIGINT cast errors — OverflowAuditSpec drives each
+  *    bound;
   *  - every ratio is one IEEE division of identically-derived exact
   *    operands — bit-portable with no tolerance.
   *
@@ -30,6 +38,37 @@ object EventAnalytics {
 
   /** Quantization scale for `value` sums (see class doc). */
   val ValueScale: Double = 1e6
+
+  /** Raise-loud guard on an event value entering the quantized sum
+    * (the [[Microstructure]] finiteSize stance): a NaN/±∞ value would
+    * floor to 0/±clamp silently under Spark's non-ANSI double→long
+    * floor while the DuckDB twins ERROR on the same cast. Spark's
+    * NaN-greatest ordering makes `NOT (abs(value) <= MaxValue)` true
+    * for both NaN and ±∞. */
+  private def finiteValue: Column =
+    when(!(abs(col("value")) <= lit(Double.MaxValue)),
+      raise_error(concat(lit("non-finite event value at user_id="),
+        col("user_id"))).cast("double"))
+      .otherwise(col("value"))
+
+  /** The family's exact quantized value sum (see class doc): guarded
+    * summand (|floor(value·1e6)| ≤ 1e15 — 6 digits past any real
+    * event value, and past it the floor's long clamp would go silent
+    * where the twins error), decimal accumulation, and a raise-guarded
+    * BIGINT emission at 2^63 exactly where the twins'
+    * `CAST(HUGEINT AS BIGINT)` errors. */
+  private[graft] def valueQSum(op: String): Column = {
+    val q0 = floor(finiteValue * ValueScale)
+    val q = when(abs(q0) > 1000000000000000L,
+      raise_error(concat(lit(s"$op: quantized value outside the " +
+        "exact-decimal regime at user_id="), col("user_id")))
+        .cast("long")).otherwise(q0)
+    val s = sum(q.cast("decimal(28,0)"))
+    when(abs(s) > lit(Long.MaxValue).cast("decimal(38,0)"),
+      raise_error(lit(s"$op: value_q sum overflows BIGINT"))
+        .cast("long"))
+      .otherwise(s.cast("long"))
+  }
 
   /** events with the exact integer-microsecond timestamp the whole
     * family computes on. The driver parquet reads as TIMESTAMP_NTZ
@@ -61,7 +100,7 @@ object EventAnalytics {
         min(col("tsu")).as("session_start"),
         max(col("tsu")).as("session_end"),
         count(lit(1)).as("n_events"),
-        sum(floor(col("value") * ValueScale).cast("long")).as("value_q"))
+        valueQSum("sessionize").as("value_q"))
       .withColumn("duration_us", col("session_end") - col("session_start"))
       .orderBy("user_id", "session_idx")
 
@@ -215,6 +254,11 @@ object EventAnalytics {
   def funnel(events: DataFrame, steps: Seq[String],
       horizonSeconds: Long = 7L * 86400): DataFrame = {
     require(steps.size >= 2, "funnel needs at least two steps")
+    // a repeated step type would silently diverge from the streaming
+    // twin (whose indexOf resolves only the FIRST occurrence) — both
+    // sides reject it loudly (ADVICE r11)
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct: $steps")
     val horizonUs = horizonSeconds * 1000000L
     val e = ev(events).select("user_id", "tsu", "event_type")
     val s1 = e.where(col("event_type") === steps.head)
@@ -276,14 +320,22 @@ object EventAnalytics {
       sum(when(col("max_step") >= i + 1, 1L).otherwise(0L))
         .as(s"n${i + 1}"))
     val totals = f.agg(aggs.head, aggs.tail: _*)
-    steps.indices.map { i =>
-      totals.select(
+    // unpivot the ONE-ROW totals with a single explode — a per-step
+    // select unionAll-reduced would duplicate the whole funnel plan
+    // (N joins + aggs) once per step in the logical plan (ADVICE r11)
+    val stepRows = steps.indices.map { i =>
+      struct(
         lit((i + 1).toLong).as("step"),
         col(s"n${i + 1}").as("n_reached"),
         (if (i == 0) lit(null).cast("double")
          else col(s"n${i + 1}").cast("double") /
            col(s"n$i").cast("double")).as("conversion"))
-    }.reduce(_ unionAll _).orderBy("step")
+    }
+    totals.select(explode(array(stepRows: _*)).as("_r"))
+      .select(col("_r.step").as("step"),
+        col("_r.n_reached").as("n_reached"),
+        col("_r.conversion").as("conversion"))
+      .orderBy("step")
   }
 
   def funnelSummarySql(steps: Seq[String],
@@ -344,7 +396,7 @@ object EventAnalytics {
     * other estimators. */
   def abTest(events: DataFrame): DataFrame = {
     val users = ev(events).groupBy("user_id")
-      .agg(sum(floor(col("value") * ValueScale).cast("long")).as("m"))
+      .agg(valueQSum("abTest").as("m"))
       .withColumn("variant",
         when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
           "A").otherwise("B"))
@@ -366,17 +418,24 @@ object EventAnalytics {
       col("sumsq_a"), col("sumsq_b"),
       when(col("n_a") > 0L, mean("a")).as("mean_a"),
       when(col("n_b") > 0L, mean("b")).as("mean_b"))
+      .withColumn("_se2", vr("a") / col("n_a") + vr("b") / col("n_b"))
       .withColumn("z",
-        when(col("n_a") > 0L && col("n_b") > 0L,
-          (col("mean_a") - col("mean_b")) /
-            sqrt(vr("a") / col("n_a") + vr("b") / col("n_b"))))
+        // both-variances-zero gives a 0 standard error: z is NULL (the
+        // documented degenerate contract), not ±Inf/NaN (ADVICE r11)
+        when(col("n_a") > 0L && col("n_b") > 0L &&
+            col("_se2") =!= 0.0d,
+          (col("mean_a") - col("mean_b")) / sqrt(col("_se2"))))
+      .drop("_se2")
   }
 
   def abTestSql: String =
     """SELECT n_a, n_b, sum_a, sum_b, sumsq_a, sumsq_b,
       | CASE WHEN n_a > 0 THEN sum_a / n_a END AS mean_a,
       | CASE WHEN n_b > 0 THEN sum_b / n_b END AS mean_b,
-      | CASE WHEN n_a > 0 AND n_b > 0 THEN
+      | CASE WHEN n_a > 0 AND n_b > 0 AND
+      |   (sumsq_a / n_a - (sum_a / n_a) * (sum_a / n_a)) / n_a +
+      |   (sumsq_b / n_b - (sum_b / n_b) * (sum_b / n_b)) / n_b <> 0.0
+      |  THEN
       |  ((sum_a / n_a) - (sum_b / n_b)) / sqrt(
       |   (sumsq_a / n_a - (sum_a / n_a) * (sum_a / n_a)) / n_a +
       |   (sumsq_b / n_b - (sum_b / n_b) * (sum_b / n_b)) / n_b)
@@ -510,7 +569,7 @@ object EventAnalytics {
     val base = ev(events).groupBy("user_id").agg(
       max(col("tsu")).as("recency_us"),
       count(lit(1)).as("frequency"),
-      sum(floor(col("value") * ValueScale).cast("long")).as("monetary_q"))
+      valueQSum("rfm").as("monetary_q"))
     val (t1, t2) = (100.0 / 3.0, 200.0 / 3.0)
     def bounds(c: String, tag: String) = HistogramOps.percentilesBy(
       base.select(lit("all").as("symbol"), col(c)), col(c),

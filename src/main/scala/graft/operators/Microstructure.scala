@@ -23,6 +23,13 @@ object Microstructure {
   private def bucketed(seconds: Long) =
     timeBucket(tsSeconds(col("ts")), seconds).as("start")
 
+  /** Default loud bound on [[returnCorr]]'s per-bucket symbol
+    * cardinality: 2000 symbols ≈ 2M pairs per bucket, generous for any
+    * real venue catalog (the reference's book set is file-bounded,
+    * `crates/tdb-core/src/state.rs`), tiny next to the silent 50M-pair
+    * blowup a 10k-symbol bucket would produce. */
+  val MaxCorrSymbols: Int = 2000
+
   /** VWAP bars: per (symbol, bucket) `Σ(price·size) / Σ(size)` over
     * TRADES, plus the trade count and both exact operands (`turnover`,
     * `volume`). A bucket whose only trades have size 0 (the data's
@@ -32,8 +39,8 @@ object Microstructure {
       .groupBy(col("symbol"), bucketed(seconds))
       .agg(
         count(lit(1)).as("n_trades"),
-        exactSum(col("size")).as("volume"),
-        exactSumProduct(col("price"), col("size")).as("turnover"))
+        exactSum(finiteSize).as("volume"),
+        exactSumProduct(finitePrice, finiteSize).as("turnover"))
       .select(col("symbol"), col("start"), col("n_trades"),
         col("volume"), col("turnover"),
         when(col("volume") =!= 0.0d, col("turnover") / col("volume"))
@@ -60,9 +67,9 @@ object Microstructure {
     updates.where(col("is_trade"))
       .groupBy(col("symbol"), bucketed(seconds))
       .agg(
-        exactSum(when(col("is_bid"), col("size")).otherwise(0.0d))
+        exactSum(when(col("is_bid"), finiteSize).otherwise(0.0d))
           .as("buy_vol"),
-        exactSum(when(!col("is_bid"), col("size")).otherwise(0.0d))
+        exactSum(when(!col("is_bid"), finiteSize).otherwise(0.0d))
           .as("sell_vol"))
       .select(col("symbol"), col("start"), col("buy_vol"),
         col("sell_vol"),
@@ -144,7 +151,8 @@ object Microstructure {
   def realizedVol(updates: DataFrame, seconds: Long = 60,
       maxWindowRows: Long = TickCarry.TickWindowMaxRows): DataFrame = {
     val base = updates.where(col("is_trade") && col("price") > 0.0d)
-      .select(col("symbol"), col("ts"), col("seq"), col("price"))
+      .select(col("symbol"), col("ts"), col("seq"),
+        finitePrice.as("price"))
     realizedVolPlan(base, seconds, base.count() > maxWindowRows)
   }
 
@@ -231,7 +239,7 @@ object Microstructure {
     * aggregation. */
   def rollSpread(updates: DataFrame, seconds: Long = 60,
       maxWindowRows: Long = TickCarry.TickWindowMaxRows): DataFrame = {
-    val cents = floor(col("price") * 100.0d + 0.5d).cast("long")
+    val cents = floor(finitePrice * 100.0d + 0.5d).cast("long")
     val base = updates.where(col("is_trade"))
       .select(col("symbol"), col("ts"), col("seq"), cents.as("c0"))
     rollSpreadPlan(base, seconds, base.count() > maxWindowRows)
@@ -327,7 +335,7 @@ object Microstructure {
     * key-bounded. */
   def amihud(updates: DataFrame, seconds: Long = 60): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = floor(col("price") * 100.0d + 0.5d).cast("long")
+    val cents = floor(finitePrice * 100.0d + 0.5d).cast("long")
     val byTsSeq = struct(col("ts"), col("seq"))
     val wb = Window.partitionBy(col("symbol"))
     val buckets = updates.where(col("is_trade"))
@@ -336,7 +344,7 @@ object Microstructure {
         count(lit(1)).as("n_trades"),
         min_by(cents, byTsSeq).as("c_open"),
         max_by(cents, byTsSeq).as("c_close"),
-        exactSumProduct(col("price"), col("size")).as("turnover"))
+        exactSumProduct(finitePrice, finiteSize).as("turnover"))
       .where(col("c_open") > 0L && col("turnover") =!= 0.0d)
       .withColumn("amihud",
         abs(col("c_close") - col("c_open")).cast("double") /
@@ -427,7 +435,7 @@ object Microstructure {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("symbol"), col("is_bid"))
       .orderBy(col("ts"), col("seq"))
-    val cents = floor(col("price") * 100d + 0.5d).cast("long")
+    val cents = floor(finitePrice * 100d + 0.5d).cast("long")
     updates.where(!col("is_trade") && col("size") > 0.0d)
       .select(col("symbol"), col("is_bid"), col("ts"), col("seq"),
         col("price"))
@@ -498,11 +506,28 @@ object Microstructure {
     * [[rollSpread]] stance for corrupt feed values. Spark's
     * NaN-greatest ordering makes `NOT (abs(size) <= MaxValue)` true
     * for both NaN and ±∞. */
-  private def finiteSize: org.apache.spark.sql.Column =
+  private[graft] def finiteSize: org.apache.spark.sql.Column =
     when(!(abs(col("size")) <= lit(Double.MaxValue)),
       raise_error(concat(lit("non-finite trade size at symbol="),
         col("symbol"))).cast("double"))
       .otherwise(col("size"))
+
+  /** Raise-loud guard on a price entering a floor-quantization or a
+    * decimal sum — the [[finiteSize]] stance for the price column
+    * (ADVICE r11 closed the asymmetry family-wide): Spark's non-ANSI
+    * `floor` turns a NaN price into 0 SILENTLY (and a decimal cast
+    * nulls it out of a SUM while `count()` still sees the row) where
+    * the DuckDB twins ERROR on the same cast — so a non-finite price
+    * must fail loud, in both the batch plans and the ingest folds.
+    * Comparison-only uses (tick-rule direction, bucketSpread's carried
+    * doubles) are NOT guarded: NaN propagates identically in both
+    * engines there (NaN-greatest comparisons), so parity holds without
+    * a raise. */
+  private[graft] def finitePrice: org.apache.spark.sql.Column =
+    when(!(abs(col("price")) <= lit(Double.MaxValue)),
+      raise_error(concat(lit("non-finite price at symbol="),
+        col("symbol"))).cast("double"))
+      .otherwise(col("price"))
 
   def tickRuleFlow(updates: DataFrame, seconds: Long = 60,
       maxWindowRows: Long = TickCarry.TickWindowMaxRows): DataFrame = {
@@ -593,7 +618,7 @@ object Microstructure {
   private[graft] def effectiveSpreadPlan(updates: DataFrame, seconds: Long,
       segmented: Boolean): DataFrame = {
     def sideMark(side: org.apache.spark.sql.Column) =
-      when(!col("is_trade") && col("size") > 0.0d && side, col("price"))
+      when(!col("is_trade") && col("size") > 0.0d && side, finitePrice)
     TickCarry.carryLast(updates, Seq(
         TickCarry.Carry(sideMark(col("is_bid")),
           includeCurrent = false, "pb"),
@@ -602,7 +627,7 @@ object Microstructure {
         segmented)
       .where(col("is_trade"))
       .withColumn("eff",
-        lit(2.0d) * abs(col("price") - (col("pb") + col("pa")) / 2.0d))
+        lit(2.0d) * abs(finitePrice - (col("pb") + col("pa")) / 2.0d))
       .groupBy(col("symbol"), bucketed(seconds))
       .agg(
         count(lit(1)).as("n_trades"),
@@ -701,10 +726,10 @@ object Microstructure {
     // cents <= 1e12 caps |dm| at 4e12; |f| <= 1e11 caps x at 1e15, so
     // sum(x*x) stays within decimal(38) for any real bucket count.
     val cents = when(
-      abs(floor(col("price") * 100.0d + 0.5d)) > 1.0e12d,
+      abs(floor(finitePrice * 100.0d + 0.5d)) > 1.0e12d,
       raise_error(concat(lit("kyleLambda: price outside the " +
         "exact-decimal regime at symbol="), col("symbol"))).cast("long"))
-      .otherwise(floor(col("price") * 100.0d + 0.5d).cast("long"))
+      .otherwise(floor(finitePrice * 100.0d + 0.5d).cast("long"))
     def sideCents(side: org.apache.spark.sql.Column) = {
       val keep = !col("is_trade") && col("size") > 0.0d && side
       max_by(when(keep, cents), when(keep, struct(col("ts"), col("seq"))))
@@ -973,7 +998,7 @@ object Microstructure {
     val w = Window.partitionBy(col("symbol")).orderBy(col("start"))
     updates.where(col("is_trade") && col("price") > 0.0d)
       .groupBy(col("symbol"), bucketed(seconds))
-      .agg(max_by(col("price"), struct(col("ts"), col("seq")))
+      .agg(max_by(finitePrice, struct(col("ts"), col("seq")))
         .as("close"))
       .withColumn("q",
         floor(log(col("close") / lag(col("close"), 1).over(w)) * 1e6)
@@ -1137,16 +1162,30 @@ object Microstructure {
     * built instead by collecting each bucket's (symbol, q) set — bounded
     * by symbol cardinality, the reference's bounded book set — and
     * expanding the a<b pairs in place (the sorted array makes the
-    * orientation deterministic), then one symbol-pair hash agg. */
-  def returnCorr(updates: DataFrame, seconds: Long = 60): DataFrame = {
+    * orientation deterministic), then one symbol-pair hash agg.
+    *
+    * The expansion is inherently S²/2 per bucket, so the per-bucket
+    * symbol cardinality is guarded LOUD at `maxSymbols` (VERDICT r11
+    * #3): a degenerate catalog (10k symbols in one bucket = 50M pairs
+    * per bucket) raises instead of silently expanding — the engine's
+    * raise-loud stance. The guard rides the slice length expression
+    * itself so it cannot be pruned from the plan. */
+  def returnCorr(updates: DataFrame, seconds: Long = 60,
+      maxSymbols: Int = MaxCorrSymbols): DataFrame = {
     val perBucket = bucketReturns(updates, seconds)
       .groupBy(col("start"))
       .agg(sort_array(collect_list(struct(col("symbol"), col("q"))))
         .as("_arr"))
       .where(size(col("_arr")) >= 2)
+    val guardedSize = when(size(col("_arr")) > maxSymbols,
+      raise_error(concat(
+        lit(s"returnCorr: bucket symbol set exceeds $maxSymbols " +
+          "(S^2/2 pair expansion) at start="),
+        col("start").cast("string"))).cast("int"))
+      .otherwise(size(col("_arr")))
     perBucket
       .select(explode(flatten(transform(col("_arr"), (x, i) =>
-        transform(slice(col("_arr"), i + lit(2), size(col("_arr"))),
+        transform(slice(col("_arr"), i + lit(2), guardedSize),
           y => struct(
             x.getField("symbol").as("symbol_a"),
             y.getField("symbol").as("symbol_b"),
@@ -1228,7 +1267,7 @@ object Microstructure {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val closes = updates.where(col("is_trade") && col("price") > 0.0d)
       .groupBy(col("symbol"), bucketed(seconds))
-      .agg(max_by(col("price"), struct(col("ts"), col("seq")))
+      .agg(max_by(finitePrice, struct(col("ts"), col("seq")))
         .as("close"))
     closes
       .withColumn("peak", max(col("close")).over(w))

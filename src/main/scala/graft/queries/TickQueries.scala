@@ -241,8 +241,9 @@ object TickQueries {
       Some(Tables.withUpdates(Microstructure.twapQuoteSql()))),
 
     // the partitioned tick store itself, oracle-gated: write the
-    // updates table into the symbol=/day= layout (once per session+dir
-    // — the trained-quantizer memo pattern), scan one symbol's range
+    // updates table into the symbol=/day= layout (once per dir per JVM
+    // — the trained-quantizer memo pattern; see storeMemo), scan one
+    // symbol's range
     // through BOTH partition prunings, and let DuckDB recompute the
     // expected rows from the RAW events — a source-of-truth round-trip
     // of write → layout → prune → scan, not a reread of our own files

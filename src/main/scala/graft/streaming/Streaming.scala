@@ -113,8 +113,11 @@ object Streaming {
         window(col("event_time"), s"$seconds seconds"))
       .agg(
         count(lit(1)).as("n_trades"),
-        graft.functions.exactSum(col("size")).as("volume"),
-        graft.functions.exactSumProduct(col("price"), col("size"))
+        graft.functions.exactSum(
+          graft.operators.Microstructure.finiteSize).as("volume"),
+        graft.functions.exactSumProduct(
+          graft.operators.Microstructure.finitePrice,
+          graft.operators.Microstructure.finiteSize)
           .as("turnover"))
       .select(col("symbol"),
         unix_millis(col("window.start")).divide(1000).cast("long")
@@ -137,9 +140,11 @@ object Streaming {
         window(col("event_time"), s"$seconds seconds"))
       .agg(
         graft.functions.exactSum(
-          when(col("is_bid"), col("size")).otherwise(0.0d)).as("buy_vol"),
+          when(col("is_bid"), graft.operators.Microstructure.finiteSize)
+            .otherwise(0.0d)).as("buy_vol"),
         graft.functions.exactSum(
-          when(!col("is_bid"), col("size")).otherwise(0.0d))
+          when(!col("is_bid"), graft.operators.Microstructure.finiteSize)
+            .otherwise(0.0d))
           .as("sell_vol"))
       .select(col("symbol"),
         unix_millis(col("window.start")).divide(1000).cast("long")
@@ -323,6 +328,7 @@ object Streaming {
       val out = Seq.newBuilder[RvBucket]
       rows.toSeq.filter(u => u.is_trade && SqlOrd.gt(u.price, 0.0))
         .sortBy(u => (u.ts, u.seq)).foreach { u =>
+          FiniteGuard.price("realizedVol", u) // the batch finitePrice
           val b = bucketOf(u.ts)
           if (st == null) st = RvState(u.price, b, 0L, 0L)
           else if (u.price / st.lastPrice == 0.0) {
@@ -419,6 +425,7 @@ object Streaming {
       val out = Seq.newBuilder[TwapBucket]
       rows.toSeq.filter(u => !u.is_trade && SqlOrd.gt(u.size, 0.0))
         .sortBy(u => (u.ts, u.seq)).foreach { u =>
+          FiniteGuard.price("twapQuote", u) // the batch finitePrice
           val b = bucketOf(u.ts)
           if (st == null) st = TwapState(u.ts, centsOf(u.price), b, 1L, 0L, 0L)
           else {
@@ -486,6 +493,19 @@ object Streaming {
       else if (b.isNaN) false
       else a > b
     def lt(a: Double, b: Double): Boolean = gt(b, a)
+  }
+
+  /** Ingest-time mirror of the batch
+    * [[graft.operators.Microstructure.finitePrice]] guard (ADVICE r11):
+    * a non-finite price entering a fold's quantization/exact-sum path
+    * fails loud exactly where the batch plan raises and the DuckDB
+    * twins' casts error — silently quantizing NaN to 0 was the hazard.
+    * Standalone serializable holder (the [[Dec4]] stance). */
+  private object FiniteGuard extends Serializable {
+    def price(op: String, u: Update): Unit =
+      if (u.price.isNaN || u.price.isInfinite)
+        throw new ArithmeticException(
+          s"$op: non-finite price at symbol=" + u.symbol)
   }
 
   /** The folds' shared bucket function — ONE definition of
@@ -606,6 +626,7 @@ object Streaming {
       val out = Seq.newBuilder[EffSprBucket]
       rows.toSeq.sortBy(u => (u.ts, u.seq)).foreach { u =>
         if (u.is_trade) {
+          FiniteGuard.price("effectiveSpread", u) // the batch finitePrice
           val b = bucketOf(u.ts)
           if (st.bucket != b) {
             if (st.bucket != Long.MinValue) out += emit(sym, st)
@@ -619,6 +640,9 @@ object Streaming {
               effU = Math.addExact(st.effU, Dec4.dec4(eff)))
           }
         } else if (SqlOrd.gt(u.size, 0.0d)) {
+          // guarded BEFORE the store: a genuine NaN quote would alias
+          // the unseen-quote sentinel; batch raises via the sideMark
+          FiniteGuard.price("effectiveSpread", u)
           if (u.is_bid) st = st.copy(pb = u.price)
           else st = st.copy(pa = u.price)
         }
@@ -666,6 +690,7 @@ object Streaming {
       val out = Seq.newBuilder[RollSprBucket]
       rows.toSeq.filter(_.is_trade).sortBy(u => (u.ts, u.seq))
         .foreach { u =>
+          FiniteGuard.price("rollSpread", u) // the batch finitePrice
           val c0 = math.floor(u.price * 100.0d + 0.5d).toLong
           if (st.c2 != None_) {
             val b = bucketOf(u.ts)
@@ -794,8 +819,9 @@ object Streaming {
             carry = carry, fU = fU)
         } else if (SqlOrd.gt(u.size, 0.0d)) {
           val c = math.floor(u.price * 100.0d + 0.5d)
-          // NaN raises like the batch guard: Spark's NaN-greatest
-          // ordering makes abs(NaN) > 1e12 TRUE in the plan
+          // NaN/∞ raises like the batch guard chain (finitePrice, then
+          // the 1e12 cents bound): scala floor keeps NaN, and the
+          // NaN-greatest compare sends it to the throw
           if (SqlOrd.gt(math.abs(c), 1.0e12d))
             throw new ArithmeticException(
               "kyleLambda: price outside the exact-decimal regime")
@@ -955,6 +981,9 @@ object Streaming {
       val ratio = st.close / st.prevClose
       if (ratio == 0.0) // underflow: the batch plan's NULL log drops
         return st.copy(prevClose = st.close)
+      // closes are finite positives by the ingest FiniteGuard (ADVICE
+      // r11 — silently folding a NaN return as q = 0 was the hazard),
+      // so the log is never NaN; an overflowed ratio still raises
       val l = math.log(ratio)
       if (l.isInfinite) throw new ArithmeticException(
         "varianceRatio: price ratio outside double range")
@@ -1004,6 +1033,7 @@ object Streaming {
       var st = state.getOption.getOrElse(zero)
       rows.toSeq.filter(u => u.is_trade && SqlOrd.gt(u.price, 0.0))
         .sortBy(u => (u.ts, u.seq)).foreach { u =>
+          FiniteGuard.price("varianceRatio", u) // the batch finitePrice
           val b = bucketOf(u.ts)
           if (st.bucket == Unset) st = st.copy(bucket = b, close = u.price)
           else if (b != st.bucket)
@@ -1051,6 +1081,8 @@ object Streaming {
         return st.copy(prevClose = st.close, hasPrevClose = true)
       val ratio = st.close / st.prevClose
       if (ratio == 0.0) return st.copy(prevClose = st.close)
+      // closes are finite positives by the ingest FiniteGuard; see the
+      // varianceRatio note (ADVICE r11)
       val l = math.log(ratio)
       if (l.isInfinite) throw new ArithmeticException(
         "bucketReturns: price ratio outside double range")
@@ -1095,6 +1127,7 @@ object Streaming {
       var st = state.getOption.getOrElse(zero)
       rows.toSeq.filter(u => u.is_trade && SqlOrd.gt(u.price, 0.0))
         .sortBy(u => (u.ts, u.seq)).foreach { u =>
+          FiniteGuard.price("returnMoments", u) // the batch finitePrice
           val b = bucketOf(u.ts)
           if (st.bucket == Unset) st = st.copy(bucket = b, close = u.price)
           else if (b != st.bucket)
@@ -1152,6 +1185,7 @@ object Streaming {
       var st = state.getOption.getOrElse(zero)
       rows.toSeq.filter(u => u.is_trade && SqlOrd.gt(u.price, 0.0))
         .sortBy(u => (u.ts, u.seq)).foreach { u =>
+          FiniteGuard.price("maxDrawdown", u) // the batch finitePrice
           val b = bucketOf(u.ts)
           if (st.bucket == Unset) st = st.copy(bucket = b, close = u.price)
           else if (b != st.bucket)
@@ -3137,8 +3171,7 @@ object Streaming {
         min(col("tsu")).as("session_start"),
         max(col("tsu")).as("session_end"),
         count(lit(1)).as("n_events"),
-        sum(floor(col("value") *
-          graft.operators.EventAnalytics.ValueScale).cast("long"))
+        graft.operators.EventAnalytics.valueQSum("streamingSessionize")
           .as("value_q"))
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), col("value_q"),
@@ -3228,6 +3261,11 @@ object Streaming {
       : Dataset[FunnelAdvance] = {
     import events.sparkSession.implicits._
     require(steps.size >= 2, "funnel needs at least two steps")
+    // indexOf resolves only the FIRST occurrence of a repeated step
+    // type, which could never advance past it — reject loudly, exactly
+    // as the batch funnel does (ADVICE r11)
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct: $steps")
     val horizonUs = horizonSeconds * 1000000L
     def fn(uid: Long, rows: Iterator[ClickEvent],
         state: GroupState[FunnelState]): Iterator[FunnelAdvance] = {

@@ -250,6 +250,30 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("lift") === (2.0 * 3.0) / (3.0 * 2.0))
   }
 
+  test("abTest: zero variance in both groups yields NULL z, not " +
+      "±Inf/NaN (ADVICE r11)") {
+    // every user has the same value sum -> both group variances are 0,
+    // the standard error is 0, and the documented degenerate contract
+    // is NULL (the SQL twin spells the identical guard)
+    val df = eventsDf((1L to 8L).map(u =>
+      (u, u * M, u, "view", 2.5)))
+    val row = EventAnalytics.abTest(df).head()
+    assert(row.getAs[Long]("n_a") > 0L && row.getAs[Long]("n_b") > 0L,
+      "fixture must populate both variants")
+    assert(row.isNullAt(row.fieldIndex("z")),
+      s"degenerate z not null: $row")
+  }
+
+  test("funnel: repeated step types are rejected loudly in batch " +
+      "(the streaming twin's indexOf could never advance past the " +
+      "first occurrence)") {
+    val df = eventsDf(Seq((1L, 0L, 7L, "view", 0.0)))
+    val ex = intercept[IllegalArgumentException] {
+      EventAnalytics.funnel(df, Seq("view", "view", "purchase"))
+    }
+    assert(ex.getMessage.contains("distinct"))
+  }
+
   test("registry gates analyze and return rows on sf0.001") {
     Tables.enableNanos(spark)
     graft.queries.EventQueries.all.foreach { q =>

@@ -266,4 +266,87 @@ class MicrostructureFuzzSpec extends SparkSpec {
         g.flow_autocorr) === w, s"flow-autocorr drift at $s0")
     }
   }
+
+  test("non-finite price: the whole quantizing family raises loud in " +
+      "BOTH forms — batch finitePrice, fold ingest guard (ADVICE r11)") {
+    // Spark's non-ANSI floor turns a NaN price into 0L SILENTLY (and a
+    // decimal cast nulls it out of a sum) where the DuckDB twins ERROR
+    // on the same cast — so a corrupt price must fail loud, never fold
+    // a fabricated 0. (ADVICE r11 assumed the batch plans dropped the
+    // NaN return via a NULL log; they actually folded q = 0 — the
+    // guard closes the real, worse divergence.)
+    import org.apache.spark.sql.{DataFrame, Dataset}
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    val base = 1700000000000L
+    def rows(px: (Double, Boolean)*): Seq[Update] =
+      px.zipWithIndex.map { case ((p, trade), i) =>
+        Update("nn", base + i * 60000L, i.toLong + 1,
+          is_trade = trade, is_bid = i % 2 == 0, p, 1.0)
+      }
+    val nanTrades =
+      rows((10.0, true), (10.1, true), (Double.NaN, true), (10.2, true))
+    val nanQuotes =
+      rows((10.0, false), (Double.NaN, false), (10.1, false))
+    val batchOps: Seq[(String, DataFrame, DataFrame => DataFrame)] = Seq(
+      ("vwapBars", updatesDf(nanTrades),
+        (u: DataFrame) => Microstructure.vwapBars(u)),
+      ("realizedVol", updatesDf(nanTrades),
+        (u: DataFrame) => Microstructure.realizedVol(u)),
+      ("rollSpread", updatesDf(nanTrades),
+        (u: DataFrame) => Microstructure.rollSpread(u)),
+      ("amihud", updatesDf(nanTrades),
+        (u: DataFrame) => Microstructure.amihud(u)),
+      ("maxDrawdown", updatesDf(nanTrades),
+        (u: DataFrame) => Microstructure.maxDrawdown(u)),
+      ("varianceRatio", updatesDf(nanTrades),
+        (u: DataFrame) => Microstructure.varianceRatio(u)),
+      ("returnMoments", updatesDf(nanTrades),
+        (u: DataFrame) => Microstructure.returnMoments(u)),
+      ("effectiveSpread", updatesDf(nanTrades),
+        (u: DataFrame) => Microstructure.effectiveSpread(u)),
+      ("twapQuote", updatesDf(nanQuotes),
+        (u: DataFrame) => Microstructure.twapQuote(u)),
+      ("kyleLambda", updatesDf(nanQuotes),
+        (u: DataFrame) => Microstructure.kyleLambda(u)))
+    batchOps.foreach { case (name, u, op) =>
+      val ex = intercept[Exception] { op(u).collect() }
+      assert(msgs(ex).exists(m => m.contains("non-finite price") ||
+        m.contains("exact-decimal regime")),
+        s"$name batch: ${msgs(ex).mkString(" | ")}")
+    }
+    // the ingest folds throw on the SAME fixtures
+    implicit val sqlCtx = spark.sqlContext
+    def streamRaises(name: String,
+        mk: Dataset[Update] => DataFrame, data: Seq[Update]): Unit = {
+      val in = MemoryStream[Update]
+      val q = mk(in.toDS()).writeStream.outputMode("append")
+        .format("memory").queryName(s"nf_$name").start()
+      in.addData(data: _*)
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      try q.stop() catch { case _: Throwable => () }
+      assert(msgs(ex).exists(m => m.contains("non-finite price") ||
+        m.contains("exact-decimal regime")),
+        s"$name stream: ${msgs(ex).mkString(" | ")}")
+    }
+    streamRaises("vwap",
+      ds => Streaming.streamingVwapBars(ds.toDF()), nanTrades)
+    streamRaises("rv",
+      ds => Streaming.streamingRealizedVol(ds).toDF(), nanTrades)
+    streamRaises("roll",
+      ds => Streaming.streamingRollSpread(ds).toDF(), nanTrades)
+    streamRaises("vr",
+      ds => Streaming.streamingVarianceRatio(ds).toDF(), nanTrades)
+    streamRaises("mom",
+      ds => Streaming.streamingReturnMoments(ds).toDF(), nanTrades)
+    streamRaises("dd",
+      ds => Streaming.streamingMaxDrawdown(ds).toDF(), nanTrades)
+    streamRaises("eff",
+      ds => Streaming.streamingEffectiveSpread(ds).toDF(), nanTrades)
+    streamRaises("twap",
+      ds => Streaming.streamingTwapQuote(ds).toDF(), nanQuotes)
+    streamRaises("kyle",
+      ds => Streaming.streamingKyleLambda(ds).toDF(), nanQuotes)
+  }
 }

@@ -492,6 +492,32 @@ class OperatorPropertySpec extends SparkSpec {
     check("sf0.001", Tables.updates(spark, sf()))
   }
 
+  test("returnCorr: per-bucket symbol cardinality guard raises loud at " +
+      "the bound (VERDICT r11 #3)") {
+    // the pair expansion is inherently S^2/2 per bucket; a degenerate
+    // catalog must fail loud naming the bucket, never silently expand.
+    // AT the bound the full pair stream still emits.
+    import graft.operators.Microstructure
+    def ups(n: Int): Seq[Update] =
+      (0 until n).flatMap { s =>
+        Seq(
+          Update(f"s$s%04d", 0L, s * 2L, true, true, 1.0 + s, 1.0),
+          Update(f"s$s%04d", 60000L, s * 2L + 1, true, true, 2.0 + s, 1.0))
+      }
+    val ok = Microstructure.returnCorr(updatesDf(ups(8)), 60,
+      maxSymbols = 8).collect()
+    assert(ok.length === 8 * 7 / 2, "pair stream wrong at the bound")
+    val ex = intercept[Exception] {
+      Microstructure.returnCorr(updatesDf(ups(9)), 60,
+        maxSymbols = 8).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("bucket symbol set exceeds 8")),
+      s"wrong failure: ${messages(ex).mkString(" | ")}")
+  }
+
   test("tokenCount == whitespace-split length on arbitrary text") {
     import spark.implicits._
     val texts = Seq("", "  ", "a", "a b  c", " lead", "trail ",

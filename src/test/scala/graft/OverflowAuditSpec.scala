@@ -513,6 +513,70 @@ class OverflowAuditSpec extends SparkSpec {
     Option(t).toSeq.flatMap(e =>
       Option(e.getMessage).toSeq ++ msgs(e.getCause))
 
+  // ------------------------------------------- events family (value_q)
+
+  test("events value_q at the bounds: exact below 2^63, loud above; " +
+      "corrupt values raise, never silently floor (VERDICT r11 #2)") {
+    // the quantized value sum behind sessionize/abTest/rfm and the
+    // streaming sessionize twin, driven at each documented bound
+    import graft.operators.EventAnalytics
+    def eventsOf(rows: Seq[(Long, Long, Long, String, Double)]) =
+      rows.toDF("event_id", "us", "user_id", "event_type", "value")
+        .withColumn("ts", timestamp_micros(col("us")))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    // 9,000 summands of exactly 1e15 (value = 1e9 sits AT the summand
+    // bound; 1e9·1e6 = 1e15 is dyadic-exact): the session sum 9e18 is
+    // still a long and must equal the BigInt replay exactly — a silent
+    // 64-bit wrap would differ by 2^64
+    val below = eventsOf((0 until 9000).map(i =>
+      (i.toLong, i.toLong, 1L, "view", 1.0e9)))
+    val row = EventAnalytics.sessionize(below).head()
+    assert(row.getAs[Long]("n_events") === 9000L)
+    assert(BigInt(row.getAs[Long]("value_q")) ===
+      BigInt(9000) * BigInt(1000000000000000L),
+      "silent wrap below the bound")
+    // 10,000 summands: 1e19 > 2^63 — the guarded BIGINT emission must
+    // raise exactly where the twin's CAST(HUGEINT AS BIGINT) errors
+    val above = eventsOf((0 until 10000).map(i =>
+      (i.toLong, i.toLong, 1L, "view", 1.0e9)))
+    val ex1 = intercept[Exception] {
+      EventAnalytics.sessionize(above).collect()
+    }
+    assert(msgs(ex1).exists(_.contains("value_q sum overflows BIGINT")),
+      s"wrong failure: ${msgs(ex1).mkString(" | ")}")
+    // a quantized summand past 1e15 (value = 2e9): raise, never let the
+    // non-ANSI double->long floor clamp silently
+    val summandBreach = eventsOf(Seq((1L, 0L, 2L, "view", 2.0e9)))
+    val ex2 = intercept[Exception] {
+      EventAnalytics.sessionize(summandBreach).collect()
+    }
+    assert(msgs(ex2).exists(_.contains("exact-decimal regime")),
+      s"wrong failure: ${msgs(ex2).mkString(" | ")}")
+    // a NaN value: raise loud — Spark's floor(NaN) is silently 0 while
+    // the DuckDB twins' CAST(NaN AS BIGINT) errors; ±inf rides the same
+    // NaN-greatest guard
+    Seq(Double.NaN, Double.PositiveInfinity).foreach { v =>
+      val ex3 = intercept[Exception] {
+        EventAnalytics.sessionize(
+          eventsOf(Seq((1L, 0L, 3L, "view", v)))).collect()
+      }
+      assert(msgs(ex3).exists(_.contains("non-finite event value")),
+        s"wrong failure for $v: ${msgs(ex3).mkString(" | ")}")
+    }
+    // rfm and abTest share the same guarded sum: spot the emission
+    // bound through each aggregation shape
+    val ex4 = intercept[Exception] {
+      EventAnalytics.rfm(above).collect()
+    }
+    assert(msgs(ex4).exists(_.contains("value_q sum overflows BIGINT")),
+      s"wrong failure: ${msgs(ex4).mkString(" | ")}")
+    val ex5 = intercept[Exception] {
+      EventAnalytics.abTest(above).collect()
+    }
+    assert(msgs(ex5).exists(_.contains("value_q sum overflows BIGINT")),
+      s"wrong failure: ${msgs(ex5).mkString(" | ")}")
+  }
+
   // --------------------------------------- randomized magnitude sweep
 
   test("realizedVol random log-uniform price sweep: always exact or loud") {
