@@ -1,9 +1,10 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** `SparkSessionExtensions` surface: the engine's scalar functions as
   * SQL-callable Catalyst expressions, so a `spark.sql` user gets the same
@@ -19,12 +20,27 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *  - `ts_seconds(ts)` — normalized epoch seconds (`time_bars.rs:28,85`)
   *  - `discretize(price, decimals)` / `undiscretize(level, decimals)` —
   *    price-level integerization (`postprocessing/orderbook.rs:27-34`)
-  */
+  *
+  * And the OPERATOR registry as SQL TABLE functions (VERDICT r11 #5 —
+  * SURVEY §2.7's "free via Spark SQL if we expose it", now exposed), so
+  * a reference user's `dtfcat`-class candle/stats/book workflows run as
+  * plain SQL:
+  * {{{
+  *   updatesDf.createOrReplaceTempView("updates")
+  *   spark.sql("SELECT * FROM time_bars(60)")
+  *   spark.sql("SELECT * FROM realized_vol('updates', 60)")
+  * }}}
+  * Every table function reads the session temp view `updates` (or the
+  * view named by an optional leading string argument) and returns the
+  * exact plan the Column API builds — SqlSurfaceSpec pins
+  * DataFrame-identity for the whole surface. Arguments must be literals
+  * (they parameterize plan construction, the TVF contract). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   import GraftExtensions._
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    registerOperators(ext)
     register(ext, "fill_digits", "normalize an epoch to 13-digit ms",
       { case Seq(ts) => fillDigitsExpr(ts) })
     register(ext, "ts_seconds", "normalized epoch seconds",
@@ -54,6 +70,107 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder.applyOrElse(exprs, (_: Seq[Expression]) =>
           throw new IllegalArgumentException(
             s"$name: wrong number of arguments (${exprs.length})"))))
+
+  /** The operator registry as table functions. Numeric parameters in
+    * comments are position 0.. after the optional view name. */
+  private def registerOperators(ext: SparkSessionExtensions): Unit = {
+    import graft.operators._
+    def long0(a: Seq[Double], d: Long): Long =
+      a.headOption.map(_.toLong).getOrElse(d)
+    // candles
+    registerTable(ext, "time_bars") { (u, a) =>
+      TimeBars.bars(u, long0(a, 60L)) }
+    registerTable(ext, "volume_bars") { (u, a) =>
+      FoldBars.volumeBars(u, a.headOption.getOrElse(1000.0)) }
+    registerTable(ext, "dollar_bars") { (u, a) =>
+      FoldBars.dollarBars(u, a.headOption.getOrElse(1000.0)) }
+    registerTable(ext, "tick_bars") { (u, a) =>
+      TickBars.bars(u, long0(a, 10L).toInt) }
+    // book
+    registerTable(ext, "orderbook") { (u, a) =>
+      Orderbook.snapshot(u, long0(a, 2L).toInt) }
+    registerTable(ext, "asof_quote") { (u, _) =>
+      AsofJoin.tradesWithQuote(u) }
+    // histogram / stats family
+    registerTable(ext, "tick_histogram") { (u, a) =>
+      HistogramOps.histogram(u, long0(a, 10L).toInt,
+        a.lift(1).getOrElse(3.0)) }
+    registerTable(ext, "time_boundaries") { (u, a) =>
+      HistogramOps.timeBoundaries(u, long0(a, 10L).toInt) }
+    registerTable(ext, "tick_stats") { (u, _) => HistogramOps.stats(u) }
+    registerTable(ext, "gap_detect") { (u, a) =>
+      Gaps.detect(u, long0(a, 60L)) }
+    // microstructure estimators (seconds defaults to 60 everywhere)
+    registerTable(ext, "vwap_bars") { (u, a) =>
+      Microstructure.vwapBars(u, long0(a, 60L)) }
+    registerTable(ext, "trade_imbalance") { (u, a) =>
+      Microstructure.tradeImbalance(u, long0(a, 60L)) }
+    registerTable(ext, "bucket_spread") { (u, a) =>
+      Microstructure.bucketSpread(u, long0(a, 60L)) }
+    registerTable(ext, "realized_vol") { (u, a) =>
+      Microstructure.realizedVol(u, long0(a, 60L)) }
+    registerTable(ext, "roll_spread") { (u, a) =>
+      Microstructure.rollSpread(u, long0(a, 60L)) }
+    registerTable(ext, "tick_rule_flow") { (u, a) =>
+      Microstructure.tickRuleFlow(u, long0(a, 60L)) }
+    registerTable(ext, "effective_spread") { (u, a) =>
+      Microstructure.effectiveSpread(u, long0(a, 60L)) }
+    registerTable(ext, "kyle_lambda") { (u, a) =>
+      Microstructure.kyleLambda(u, long0(a, 60L)) }
+    registerTable(ext, "flow_autocorr") { (u, a) =>
+      Microstructure.flowAutocorr(u, long0(a, 60L)) }
+    registerTable(ext, "amihud") { (u, a) =>
+      Microstructure.amihud(u, long0(a, 60L)) }
+    registerTable(ext, "variance_ratio") { (u, a) =>
+      Microstructure.varianceRatio(u, long0(a, 60L)) }
+    registerTable(ext, "return_moments") { (u, a) =>
+      Microstructure.returnMoments(u, long0(a, 60L)) }
+    registerTable(ext, "max_drawdown") { (u, a) =>
+      Microstructure.maxDrawdown(u, long0(a, 60L)) }
+    registerTable(ext, "return_corr") { (u, a) =>
+      Microstructure.returnCorr(u, long0(a, 60L)) }
+    registerTable(ext, "twap_quote") { (u, a) =>
+      Microstructure.twapQuote(u, long0(a, 60L)) }
+    registerTable(ext, "order_trade_ratio") { (u, a) =>
+      Microstructure.orderTradeRatio(u, long0(a, 60L)) }
+  }
+
+  /** Inject one operator as a SQL table function: evaluate the literal
+    * arguments, pull the tick view from the ACTIVE session's catalog
+    * (resolution happens inside analysis, so `SparkSession.active` is
+    * the calling session), build the operator's DataFrame with the
+    * Column API, and hand its logical plan back to the analyzer — the
+    * SQL front door and the Scala front door are the same plan by
+    * construction. */
+  private def registerTable(ext: SparkSessionExtensions, name: String)(
+      build: (DataFrame, Seq[Double]) => DataFrame): Unit =
+    ext.injectTableFunction((FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name),
+      (exprs: Seq[Expression]) => tablePlan(name, exprs, build)))
+
+  private def tablePlan(name: String, exprs: Seq[Expression],
+      build: (DataFrame, Seq[Double]) => DataFrame): LogicalPlan = {
+    val vals = exprs.map { e =>
+      if (!e.foldable) throw new IllegalArgumentException(
+        s"$name: table-function arguments must be literals, got $e")
+      (e.dataType, e.eval())
+    }
+    val (view, nums) = vals match {
+      case (StringType, v) +: rest =>
+        (v.toString, rest.map { case (_, n) => numOf(name, n) })
+      case all => ("updates", all.map { case (_, v) => numOf(name, v) })
+    }
+    val spark = SparkSession.active
+    build(spark.table(view), nums).queryExecution.logical
+  }
+
+  private def numOf(name: String, v: Any): Double = v match {
+    case n: java.lang.Number => n.doubleValue()
+    // SQL decimal literals ('0.5') arrive as Spark Decimal, not Number
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$name: expected a numeric argument, got $other")
+  }
 }
 
 object GraftExtensions {
