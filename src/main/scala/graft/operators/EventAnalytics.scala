@@ -524,16 +524,44 @@ object EventAnalytics {
     * bit-equal to. Dwell micros are < 2^53, so the double cast both
     * sides compute on is lossless. */
   def dwellPercentiles(events: DataFrame): DataFrame = {
-    val dwell = ev(events)
-      .withColumn("next_tsu", lead(col("tsu"), 1).over(perUser))
-      .where(col("next_tsu").isNotNull)
+    val dwell = dwellIntervals(events)
       .select(col("event_type").as("symbol"),
-        (col("next_tsu") - col("tsu")).cast("double").as("dwell"))
+        col("dwell_us").cast("double").as("dwell"))
     HistogramOps.percentilesBy(dwell, col("dwell"),
       Seq(25.0 -> "p25", 50.0 -> "p50", 75.0 -> "p75"))
       .withColumnRenamed("symbol", "event_type")
       .orderBy("event_type")
   }
+
+  /** The per-event dwell frame behind [[dwellPercentiles]]: each event
+    * with the exact micros until the SAME user's next event (the last
+    * event of a user has no dwell). Also what the streaming twin's
+    * O(1) last-event fold emits. */
+  private[graft] def dwellIntervals(events: DataFrame): DataFrame =
+    ev(events)
+      .withColumn("next_tsu", lead(col("tsu"), 1).over(perUser))
+      .where(col("next_tsu").isNotNull)
+      .select(col("user_id"), col("tsu"), col("event_type"),
+        (col("next_tsu") - col("tsu")).as("dwell_us"))
+
+  /** Quartile classification of dwell intervals against a
+    * [[dwellPercentiles]] boundary SNAPSHOT (VERDICT r11 #6): pure
+    * compare-to-boundary over a broadcast one-row-per-type table (the
+    * ppl assignPplBuckets stance — `<=` keeps a boundary tie in the
+    * lower quartile), so the batch path and
+    * [[graft.streaming.Streaming.streamingDwellBucket]] classify
+    * bit-identically from the same snapshot. A type unseen at snapshot
+    * time classifies "unknown". */
+  def assignDwellBuckets(dwells: DataFrame,
+      bounds: DataFrame): DataFrame =
+    dwells.join(broadcast(bounds), Seq("event_type"), "left")
+      .select(col("user_id"), col("tsu"), col("event_type"),
+        col("dwell_us"),
+        when(col("p25").isNull, "unknown")
+          .when(col("dwell_us") <= col("p25"), "q1")
+          .when(col("dwell_us") <= col("p50"), "q2")
+          .when(col("dwell_us") <= col("p75"), "q3")
+          .otherwise("q4").as("bucket"))
 
   def dwellPercentilesSql: String = {
     val dw =
@@ -566,17 +594,40 @@ object EventAnalytics {
     * boundary row is fixed the scoring is one broadcast join of exact
     * comparisons. `rfm_code` packs the three scores as r·100+f·10+m. */
   def rfm(events: DataFrame): DataFrame = {
-    val base = ev(events).groupBy("user_id").agg(
+    val base = rfmUserStats(events)
+    rfmApply(base, rfmBoundsOf(base))
+  }
+
+  /** The per-user (recency, frequency, monetary) aggregates behind
+    * [[rfm]] — also the state the streaming twin folds. */
+  private[graft] def rfmUserStats(events: DataFrame): DataFrame =
+    ev(events).groupBy("user_id").agg(
       max(col("tsu")).as("recency_us"),
       count(lit(1)).as("frequency"),
       valueQSum("rfm").as("monetary_q"))
+
+  /** [[rfm]]'s boundary SNAPSHOT: one row of global tercile bounds per
+    * dimension (symbol, b1_r, b2_r, b1_f, b2_f, b1_m, b2_m) — the
+    * serving artifact [[graft.streaming.Streaming.streamingRfm]] scores
+    * against (VERDICT r11 #6, the ppl boundary-snapshot pattern). */
+  def rfmBounds(events: DataFrame): DataFrame =
+    rfmBoundsOf(rfmUserStats(events))
+
+  private def rfmBoundsOf(base: DataFrame): DataFrame = {
     val (t1, t2) = (100.0 / 3.0, 200.0 / 3.0)
     def bounds(c: String, tag: String) = HistogramOps.percentilesBy(
       base.select(lit("all").as("symbol"), col(c)), col(c),
       Seq(t1 -> s"b1_$tag", t2 -> s"b2_$tag"))
-    val b = bounds("recency_us", "r")
+    bounds("recency_us", "r")
       .join(bounds("frequency", "f"), "symbol")
       .join(bounds("monetary_q", "m"), "symbol")
+  }
+
+  /** Compare-to-boundary scoring from a snapshot — shared by the batch
+    * [[rfm]] and (as one IEEE comparison chain per dimension, replayed
+    * scalar-side) the streaming twin, so both front doors score
+    * identically from the same snapshot. */
+  private[graft] def rfmApply(base: DataFrame, b: DataFrame): DataFrame = {
     def score(v: Column, tag: String) =
       when(v <= col(s"b1_$tag"), 1L)
         .when(v <= col(s"b2_$tag"), 2L).otherwise(3L)

@@ -3293,6 +3293,106 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Per-user dwell classification on a STREAM against a batch
+    * boundary snapshot (VERDICT r11 #6 — the [[streamingPplBucket]]
+    * serve-compare-to-boundary pattern): the fold carries only the
+    * user's LAST event ([[TransState]], O(1)); each arrival emits the
+    * PREVIOUS event's exact dwell micros, and classification happens
+    * map-side through
+    * [[graft.operators.EventAnalytics.assignDwellBuckets]] VERBATIM
+    * over the broadcast `bounds` snapshot
+    * ([[graft.operators.EventAnalytics.dwellPercentiles]] output) — so
+    * streamed buckets equal the batch classification bit-for-bit from
+    * the same snapshot (StreamingSpec). */
+  def streamingDwellBucket(events: Dataset[ClickEvent],
+      bounds: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    def fn(uid: Long, rows: Iterator[ClickEvent],
+        state: GroupState[TransState])
+        : Iterator[(Long, Long, String, Long)] = {
+      var last = state.getOption.orNull
+      val out = Seq.newBuilder[(Long, Long, String, Long)]
+      rows.toSeq
+        .map(e => (clickMicros(e.ts), e.event_id, e.event_type))
+        .sortBy(t => (t._1, t._2))
+        .foreach { case (tsu, id, typ) =>
+          if (last != null)
+            out += ((uid, last.tsu, last.typ, tsu - last.tsu))
+          last = TransState(tsu, id, typ)
+        }
+      if (last != null) state.update(last)
+      out.result().iterator
+    }
+    val dwells = events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+      .toDF("user_id", "tsu", "event_type", "dwell_us")
+    graft.operators.EventAnalytics.assignDwellBuckets(dwells, bounds)
+  }
+
+  /** One user's RFM serving row. */
+  case class RfmServing(user_id: Long, recency_us: Long,
+      frequency: Long, monetary_q: Long, r_score: Long, f_score: Long,
+      m_score: Long, rfm_code: Long)
+
+  /** Per-user RFM state: exact BigInt monetary sum as a string (the
+    * estimator-wave fold stance). */
+  case class RfmUserState(recency: Long, frequency: Long,
+      monetaryQ: String)
+
+  /** RFM serving on a STREAM from a batch boundary snapshot
+    * (VERDICT r11 #6): `bounds` is the ONE-ROW
+    * [[graft.operators.EventAnalytics.rfmBounds]] table, collected to
+    * scalars at construction; the fold carries (max tsu, count, exact
+    * BigInt value_q) per user — a commutative monoid, O(1) state —
+    * and each micro-batch serves the user's current scores through the
+    * same `v <= b1 / v <= b2` IEEE comparisons the batch
+    * [[graft.operators.EventAnalytics.rfmApply]] runs (longs widen to
+    * double identically), with the batch valueQSum guard chain
+    * replayed scalar-side (finite value, 1e15 summand bound, BIGINT
+    * emission bound). Streamed serving rows therefore equal the batch
+    * [[graft.operators.EventAnalytics.rfm]] rows from the same
+    * snapshot once every event is ingested (StreamingSpec). */
+  def streamingRfm(events: Dataset[ClickEvent],
+      bounds: DataFrame): Dataset[RfmServing] = {
+    import events.sparkSession.implicits._
+    val b = bounds.head()
+    val (b1r, b2r) = (b.getAs[Double]("b1_r"), b.getAs[Double]("b2_r"))
+    val (b1f, b2f) = (b.getAs[Double]("b1_f"), b.getAs[Double]("b2_f"))
+    val (b1m, b2m) = (b.getAs[Double]("b1_m"), b.getAs[Double]("b2_m"))
+    def score(v: Double, b1: Double, b2: Double): Long =
+      if (v <= b1) 1L else if (v <= b2) 2L else 3L
+    def fn(uid: Long, rows: Iterator[ClickEvent],
+        state: GroupState[RfmUserState]): Iterator[RfmServing] = {
+      var st = state.getOption.getOrElse(
+        RfmUserState(Long.MinValue, 0L, "0"))
+      rows.foreach { e =>
+        // the batch valueQSum guards, scalar-side
+        if (e.value.isNaN || e.value.isInfinite)
+          throw new ArithmeticException(
+            "rfm: non-finite event value at user_id=" + uid)
+        val q = math.floor(e.value * 1e6).toLong
+        if (math.abs(q) > 1000000000000000L)
+          throw new ArithmeticException("rfm: quantized value outside " +
+            "the exact-decimal regime at user_id=" + uid)
+        st = RfmUserState(math.max(st.recency, clickMicros(e.ts)),
+          st.frequency + 1L, (BigInt(st.monetaryQ) + q).toString)
+      }
+      state.update(st)
+      val m = BigInt(st.monetaryQ)
+      if (m.abs > BigInt(Long.MaxValue))
+        throw new ArithmeticException("rfm: value_q sum overflows BIGINT")
+      val (r, f, mm) = (score(st.recency.toDouble, b1r, b2r),
+        score(st.frequency.toDouble, b1f, b2f),
+        score(m.toDouble, b1m, b2m))
+      Iterator.single(RfmServing(uid, st.recency, st.frequency,
+        m.toLong, r, f, mm, r * 100L + f * 10L + mm))
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** One consecutive event-type pair of a user's stream. */
   case class TransitionPair(user_id: Long, event_type: String,
       next_type: String)

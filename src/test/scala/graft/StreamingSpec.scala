@@ -2304,4 +2304,79 @@ class StreamingSpec extends SparkSpec {
     }
     assert(got === want)
   }
+
+  test("dwell buckets and rfm serve from a batch boundary snapshot: " +
+      "streamed ≡ batch (VERDICT r11 #6)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val eventsDf = Tables.table(spark, sf("sf0.001"), "events")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts")
+        .cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    def micros(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val evs = eventsDf.as[Streaming.ClickEvent].collect()
+      .sortBy(e => (micros(e.ts), e.event_id))
+    import graft.operators.EventAnalytics
+
+    // cut both boundary snapshots batch-side (the ppl pattern); pin the
+    // snapshot to a LocalRelation so both front doors read the same rows
+    val dwellBounds = graft.functions.localRelation(
+      EventAnalytics.dwellPercentiles(eventsDf))
+    val rfmBounds = graft.functions.localRelation(
+      EventAnalytics.rfmBounds(eventsDf))
+
+    // batch truths: the same compare-to-boundary classification
+    def dwellRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(r =>
+        Seq("user_id", "tsu", "event_type", "dwell_us", "bucket")
+          .map(c => r.getAs[Any](c).toString).mkString("|"))
+        .sorted.toSeq
+    val wantDwell = dwellRows(EventAnalytics.assignDwellBuckets(
+      EventAnalytics.dwellIntervals(eventsDf), dwellBounds))
+    assert(wantDwell.nonEmpty)
+    val wantRfm = EventAnalytics.rfmApply(
+        EventAnalytics.rfmUserStats(eventsDf), rfmBounds)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("recency_us"), r.getAs[Long]("frequency"),
+          r.getAs[Long]("monetary_q"), r.getAs[Long]("r_score"),
+          r.getAs[Long]("f_score"), r.getAs[Long]("m_score"),
+          r.getAs[Long]("rfm_code")))).toMap
+    assert(wantRfm.nonEmpty)
+    assert(wantRfm.values.map(_._7).toSet.size > 1,
+      "fixture must spread across rfm codes")
+
+    val in = MemoryStream[Streaming.ClickEvent]
+    val qd = Streaming.streamingDwellBucket(in.toDS(), dwellBounds)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sdwell").start()
+    val qr = Streaming.streamingRfm(in.toDS(), rfmBounds)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("srfm").start()
+    val third = evs.length / 3
+    def drain(): Unit = {
+      qd.processAllAvailable(); qr.processAllAvailable()
+    }
+    in.addData(evs.take(third).toSeq: _*); drain()
+    in.addData(evs.slice(third, 2 * third).toSeq: _*); drain()
+    in.addData(evs.drop(2 * third).toSeq: _*); drain()
+    qd.stop(); qr.stop()
+
+    val gotDwell = dwellRows(spark.table("sdwell"))
+    assert(gotDwell === wantDwell,
+      "streamed dwell buckets diverge from the batch snapshot path")
+
+    // rfm serves one row per touched user per batch: the LAST serving
+    // row per user is the final state
+    val gotRfm = spark.table("srfm").as[Streaming.RfmServing].collect()
+      .zipWithIndex.groupBy(_._1.user_id).view
+      .mapValues(_.maxBy(_._2)._1).toMap
+    assert(gotRfm.keySet === wantRfm.keySet)
+    wantRfm.foreach { case (uid, w) =>
+      val g = gotRfm(uid)
+      assert((g.recency_us, g.frequency, g.monetary_q, g.r_score,
+        g.f_score, g.m_score, g.rfm_code) === w, s"rfm drift at $uid")
+    }
+  }
 }
