@@ -748,6 +748,100 @@ object EventAnalytics {
       .orderBy("event_type", "next_type")
   }
 
+  /** PageRank over the event-type transition graph (Brin–Page 1998,
+    * damping 0.85, `iterations` FIXED power iterations — a
+    * beyond-reference graph-analytics capability): nodes are the event
+    * types appearing in any transition, edges are weighted by the
+    * distributed [[transitions]] counts. The heavy half is the
+    * user-keyed transition aggregation (the `q_transitions` plan); the
+    * rank iteration runs on the aggregated TYPE graph — bounded by
+    * type cardinality², the same LocalRelation class as the
+    * transitions output itself, guarded LOUD at `maxTypes` distinct
+    * types (the [[Microstructure.returnCorr]] stance) before anything
+    * is collected.
+    *
+    * Contract: the LEAKY dangling convention — a type with no
+    * out-transitions redistributes nothing (total rank mass decays
+    * toward the teleport floor), exactly as spelled in the twin; both
+    * engines iterate the identical IEEE chain with every cross-edge
+    * contribution QUANTIZED to an integer
+    * (`floor(r_u · (n_uv / out_u) · 1e12)`) before the order-sensitive
+    * sum, so ranks are bit-equal independent of edge order. Rank mass
+    * ≤ 1 keeps every per-node contribution sum ≤ 1e12 ≪ 2^53 — the
+    * HUGEINT→DOUBLE cast is exact. */
+  def typePagerank(events: DataFrame, iterations: Int = 20,
+      maxTypes: Int = 10000): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val nTypes = ev(events).select("event_type").distinct().count()
+    if (nTypes > maxTypes) throw new IllegalStateException(
+      s"typePagerank: $nTypes event types exceed maxTypes=$maxTypes " +
+        "(type-squared edge collect)")
+    val edges = transitions(events)
+      .select(col("event_type"), col("next_type"), col("n"),
+        col("from_total"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val nD = nodes.length.toDouble
+    var r = nodes.map(_ -> 1.0d / nD).toMap
+    for (_ <- 0 until iterations) {
+      val sumq = scala.collection.mutable.Map.empty[String, Long]
+      edges.foreach { case (src, dst, n, outn) =>
+        val cq = math.floor(
+          r(src) * (n.toDouble / outn.toDouble) * 1e12).toLong
+        sumq(dst) = sumq.getOrElse(dst, 0L) + cq
+      }
+      r = nodes.map(t => t ->
+        (0.15d / nD +
+          0.85d * (sumq.getOrElse(t, 0L).toDouble / 1e12))).toMap
+    }
+    nodes.map(t => (t, r(t))).toSeq
+      .toDF("event_type", "pagerank")
+      .orderBy("event_type")
+  }
+
+  /** DuckDB twin of [[typePagerank]]: the same edge table, the same
+    * quantized power iteration as `iterations` CHAINED CTEs (standard
+    * SQL forbids aggregation in a recursive term, and a 20-deep chain
+    * over a bounded node table is trivial for the oracle). */
+  def typePagerankSql(iterations: Int = 20): String = {
+    val edge =
+      """SELECT event_type AS src, next_type AS dst, count(*) AS n,
+        | CAST(SUM(count(*)) OVER (PARTITION BY event_type) AS BIGINT)
+        |  AS outn
+        |FROM (
+        | SELECT user_id, event_type,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS next_type
+        | FROM events)
+        |WHERE next_type IS NOT NULL
+        |GROUP BY event_type, next_type""".stripMargin.replace('\n', ' ')
+    val iters = (1 to iterations).map { k =>
+      s"""r$k AS (
+         | SELECT nd.t,
+         |  0.15 / (SELECT CAST(count(*) AS DOUBLE) FROM nodes)
+         |   + 0.85 * (CAST(COALESCE(SUM(c.cq), 0) AS DOUBLE) / 1e12)
+         |   AS r
+         | FROM nodes nd LEFT JOIN (
+         |  SELECT e.dst AS t,
+         |   CAST(floor(p.r * (CAST(e.n AS DOUBLE)
+         |     / CAST(e.outn AS DOUBLE)) * 1e12) AS BIGINT) AS cq
+         |  FROM e JOIN r${k - 1} p ON p.t = e.src) c ON c.t = nd.t
+         | GROUP BY nd.t)""".stripMargin.replace('\n', ' ')
+    }.mkString(", ")
+    s"""WITH e AS ($edge),
+       |nodes AS (SELECT DISTINCT t FROM
+       |  (SELECT src AS t FROM e UNION ALL SELECT dst AS t FROM e)),
+       |r0 AS (SELECT t,
+       |  1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM nodes) AS r
+       | FROM nodes),
+       |$iters
+       |SELECT t AS event_type, r AS pagerank FROM r$iterations
+       |ORDER BY event_type""".stripMargin.replace('\n', ' ')
+  }
+
   def transitionsSql: String =
     """SELECT event_type, next_type, count(*) AS n,
       | CAST(SUM(count(*)) OVER (PARTITION BY event_type) AS BIGINT)

@@ -119,6 +119,137 @@ object FoldBars {
        |FROM fold GROUP BY symbol, bar ORDER BY symbol, start"""
       .stripMargin.replace('\n', ' ')
 
+  /** Tick imbalance bars (López de Prado's information-driven
+    * sampling, fixed-threshold form — a beyond-reference capability
+    * next to [[Vpin]]): bar boundary when the running ABSOLUTE
+    * tick-rule imbalance `|Σ b_t|` exceeds `threshold`, `b_t` the
+    * tick-rule sign with carry ([[Microstructure.tickRuleFlow]]'s
+    * convention; a symbol's leading unclassified trades contribute 0).
+    * Sampler quirks mirror the volume/dollar bars verbatim: the first
+    * trade of a bar never feeds the accumulator, a boundary trade
+    * closes the previous bar and starts the next with its contribution
+    * swallowed, the final partial bar is emitted. The accumulator is
+    * an exact INTEGER, so — unlike the dollar bars (float
+    * reassociation, see the chunk-stitching analysis above) — the
+    * boundary orbit is even chunk-stitchable in principle; shipped as
+    * the same one-pass O(1)-state fold. Non-finite prices raise loud
+    * (a NaN price would flip `dir` differently under Scala IEEE vs the
+    * twin's NaN-greatest compare). */
+  def tickImbalanceBars(updates: DataFrame, threshold: Long): DataFrame = {
+    val spark = updates.sparkSession
+    import spark.implicits._
+    updates.where(col("is_trade"))
+      .repartition(col("symbol"))
+      .sortWithinPartitions("symbol", "ts", "seq")
+      .as[Update]
+      .mapPartitions(rows => new ImbalanceFold(rows, threshold))
+      .toDF()
+  }
+
+  /** DuckDB oracle twin of [[tickImbalanceBars]]: the tick-rule sign
+    * as windows (the [[Microstructure.tickRuleFlowSql]] spelling), the
+    * integer reset fold as a linear-recursive CTE, the candle as the
+    * [[volumeBarsOracleSql]] group-by. Starts with WITH RECURSIVE
+    * chaining — wrap via [[graft.Tables.withUpdatesChainRecursive]]. */
+  def tickImbalanceBarsOracleSql(threshold: Long): String =
+    s"""WITH tr0 AS (
+       |  SELECT symbol, ts, seq, price, size,
+       |    CASE WHEN price > lag(price, 1) OVER w THEN 1
+       |         WHEN price < lag(price, 1) OVER w THEN -1
+       |         ELSE 0 END AS dir,
+       |    row_number() OVER w AS rn
+       |  FROM updates WHERE is_trade
+       |  WINDOW w AS (PARTITION BY symbol ORDER BY ts, seq)),
+       |tr AS (
+       |  SELECT symbol, ts, rn, price, size,
+       |    COALESCE(last_value(CASE WHEN dir <> 0 THEN dir END
+       |        IGNORE NULLS)
+       |      OVER (PARTITION BY symbol ORDER BY rn
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |      0) AS b
+       |  FROM tr0),
+       |ifold AS (
+       |  SELECT symbol, rn, 1 AS bar, CAST(0 AS BIGINT) AS theta
+       |  FROM tr WHERE rn = 1
+       |  UNION ALL
+       |  SELECT t.symbol, t.rn,
+       |    CASE WHEN ABS(f.theta + t.b) > $threshold THEN f.bar + 1
+       |         ELSE f.bar END,
+       |    CASE WHEN ABS(f.theta + t.b) > $threshold
+       |         THEN CAST(0 AS BIGINT) ELSE f.theta + t.b END
+       |  FROM ifold f JOIN tr t ON t.symbol = f.symbol
+       |    AND t.rn = f.rn + 1)
+       |SELECT t.symbol, min(t.ts) AS start, max(t.ts) AS "end",
+       |  first(t.price ORDER BY t.rn) AS open, max(t.price) AS high,
+       |  min(t.price) AS low, last(t.price ORDER BY t.rn) AS close,
+       |  CAST(SUM(CAST(t.size AS DECIMAL(30,4))) AS DOUBLE) AS volume
+       |FROM ifold f JOIN tr t ON t.symbol = f.symbol AND t.rn = f.rn
+       |GROUP BY t.symbol, f.bar ORDER BY t.symbol, start"""
+      .stripMargin.replace('\n', ' ')
+
+  /** The [[tickImbalanceBars]] fold: [[BarFold]]'s iterator discipline
+    * with an integer imbalance accumulator and the tick-rule carry
+    * crossing bar boundaries (reset per symbol). */
+  private final class ImbalanceFold(rows: Iterator[Update],
+      threshold: Long) extends Iterator[Candle] {
+    private var out: Candle = _
+    private var cur: Candle = _
+    private var sym: String = _
+    private var theta = 0L
+    private var prevPrice = 0.0d
+    private var hasPrev = false
+    private var carry = 0
+
+    /** Current trade's tick-rule sign (carry INCLUDING current). */
+    private def bOf(u: Update): Int = {
+      val dir =
+        if (!hasPrev) 0
+        else if (u.price > prevPrice) 1
+        else if (u.price < prevPrice) -1 else 0
+      if (dir != 0) carry = dir
+      prevPrice = u.price; hasPrev = true
+      carry
+    }
+
+    @annotation.tailrec
+    private def advance(): Unit =
+      if (out == null) {
+        if (!rows.hasNext) {
+          if (cur != null) { out = cur; cur = null } // final partial bar
+        } else {
+          val u = rows.next()
+          if (u.price.isNaN || u.price.isInfinite)
+            throw new ArithmeticException(
+              "tickImbalanceBars: non-finite price at symbol=" + u.symbol)
+          if (u.size.isNaN || u.size.isInfinite)
+            throw new ArithmeticException(
+              "tickImbalanceBars: non-finite trade size at symbol=" +
+                u.symbol)
+          if (u.symbol != sym) {
+            val flush = cur
+            sym = u.symbol
+            theta = 0L; prevPrice = 0.0d; hasPrev = false; carry = 0
+            bOf(u) // first trade sets the carry, feeds nothing
+            cur = newCandle(u)
+            if (flush != null) out = flush else advance()
+          } else {
+            val b = bOf(u)
+            if (math.abs(theta + b) > threshold) {
+              theta = 0L
+              out = cur
+              cur = newCandle(u)
+            } else { theta += b; cur = merge(cur, u); advance() }
+          }
+        }
+      }
+
+    override def hasNext: Boolean = { advance(); out != null }
+    override def next(): Candle = {
+      advance()
+      val c = out; out = null; c
+    }
+  }
+
   private def newCandle(u: Update): Candle =
     Candle(u.symbol, u.ts, u.ts, u.price, u.price, u.price, u.price, u.size)
 
@@ -142,6 +273,18 @@ object FoldBars {
           if (cur != null) { out = cur; cur = null } // final partial bar
         } else {
           val u = rows.next()
+          // raise-loud ingest guards (the finitePrice/finiteSize
+          // stance): a NaN weight freezes the Scala accumulator where
+          // the oracle's NaN-greatest compare closes every bar, and a
+          // NaN price splits Scala math.min from DuckDB's
+          // NaN-greatest MIN — corrupt feed values must fail loud,
+          // never silently diverge
+          if (u.is_trade && (u.price.isNaN || u.price.isInfinite))
+            throw new ArithmeticException(
+              "bars: non-finite price at symbol=" + u.symbol)
+          if (u.is_trade && (u.size.isNaN || u.size.isInfinite))
+            throw new ArithmeticException(
+              "bars: non-finite trade size at symbol=" + u.symbol)
           if (u.symbol != sym) {
             val flush = cur
             sym = u.symbol

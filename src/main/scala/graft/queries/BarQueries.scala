@@ -16,6 +16,8 @@ object BarQueries {
   private val TickInterval = 50
   private val VolumeInterval = 300.0
   private val DollarInterval = 15000.0
+  private val VpinWindow = 5
+  private val ImbThreshold = 4L
   private val GapThresholdSec = 3600L
 
   private def u(s: org.apache.spark.sql.SparkSession, dir: String) =
@@ -75,6 +77,24 @@ object BarQueries {
         .orderBy("symbol", "start"),
       Some(Tables.withUpdatesChainRecursive(
         FoldBars.dollarBarsOracleSql(DollarInterval)))),
+
+    // Tick imbalance bars (beyond-reference, López de Prado's
+    // information-driven sampling, fixed threshold): integer tick-rule
+    // imbalance reset fold, recursive-CTE oracle.
+    Q("q_tick_imbalance_bars",
+      (s, dir) => FoldBars.tickImbalanceBars(u(s, dir), ImbThreshold)
+        .orderBy("symbol", "start"),
+      Some(Tables.withUpdatesChainRecursive(
+        FoldBars.tickImbalanceBarsOracleSql(ImbThreshold)))),
+
+    // VPIN (beyond-reference, Easley/López de Prado/O'Hara 2012):
+    // tick-rule signed flow in volume buckets, trailing-window toxicity
+    // ratio; reset-fold bucketing, recursive-CTE oracle.
+    Q("q_vpin",
+      (s, dir) => Vpin.vpin(u(s, dir), VolumeInterval, VpinWindow)
+        .orderBy("symbol", "bucket"),
+      Some(Tables.withUpdatesChainRecursive(
+        Vpin.vpinSql(VolumeInterval, VpinWindow)))),
 
     // B8/J4 — continuation candles: grid left-join + forward fill
     // (`time_bars.rs:190-223`).

@@ -39,6 +39,12 @@ object EventQueries {
       (s, dir) => EventAnalytics.transitions(events(s, dir)),
       Some(EventAnalytics.transitionsSql)),
 
+    // PageRank over the type transition graph (quantized power
+    // iteration, 20 fixed steps, leaky dangling convention)
+    Q("q_type_pagerank",
+      (s, dir) => EventAnalytics.typePagerank(events(s, dir)),
+      Some(EventAnalytics.typePagerankSql())),
+
     // top session event-type paths (user journeys), heaviest first
     Q("q_session_paths",
       (s, dir) => EventAnalytics.sessionPaths(events(s, dir)),

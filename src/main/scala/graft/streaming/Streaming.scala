@@ -296,6 +296,70 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Per-symbol imbalance-bar state: the open candle, the exact
+    * integer tick imbalance, and the tick-rule carry — O(1) per key. */
+  case class ImbBarState(cur: Option[Candle], theta: Long,
+      prevPrice: Double, hasPrev: Boolean, carry: Int)
+
+  /** Tick imbalance bars on a STREAM — the ingest-time twin of
+    * [[graft.operators.FoldBars.tickImbalanceBars]] (the
+    * [[streamingVolumeBars]] shape): the integer reset accumulator and
+    * tick-rule carry fold per symbol, emit-on-close, final partial bar
+    * stays open (the fold twins' dropLast stance). Integer state, so
+    * closed bars equal the batch fold bit-for-bit
+    * (MicrostructureFuzzSpec). Non-finite prices/sizes raise loud (the
+    * batch fold's own guards). */
+  def streamingTickImbalanceBars(updates: Dataset[Update],
+      threshold: Long): Dataset[Candle] = {
+    import updates.sparkSession.implicits._
+    def fn(sym: String, rows: Iterator[Update],
+        state: GroupState[ImbBarState]): Iterator[Candle] = {
+      var st = state.getOption.getOrElse(
+        ImbBarState(None, 0L, 0.0d, hasPrev = false, 0))
+      val out = Seq.newBuilder[Candle]
+      def bOf(u: Update): Int = {
+        val dir =
+          if (!st.hasPrev) 0
+          else if (u.price > st.prevPrice) 1
+          else if (u.price < st.prevPrice) -1 else 0
+        val carry = if (dir != 0) dir else st.carry
+        st = st.copy(prevPrice = u.price, hasPrev = true, carry = carry)
+        carry
+      }
+      rows.toSeq.filter(_.is_trade).sortBy(u => (u.ts, u.seq))
+        .foreach { u =>
+          if (u.price.isNaN || u.price.isInfinite)
+            throw new ArithmeticException(
+              "tickImbalanceBars: non-finite price at symbol=" + u.symbol)
+          if (u.size.isNaN || u.size.isInfinite)
+            throw new ArithmeticException(
+              "tickImbalanceBars: non-finite trade size at symbol=" +
+                u.symbol)
+          val b = bOf(u)
+          st.cur match {
+            case None =>
+              st = st.copy(cur = Some(Candle(sym, u.ts, u.ts, u.price,
+                u.price, u.price, u.price, u.size)), theta = 0L)
+            case Some(c) =>
+              if (math.abs(st.theta + b) > threshold) {
+                out += c
+                st = st.copy(cur = Some(Candle(sym, u.ts, u.ts, u.price,
+                  u.price, u.price, u.price, u.size)), theta = 0L)
+              } else
+                st = st.copy(cur = Some(Candle(sym, c.start, u.ts,
+                  c.open, math.max(c.high, u.price),
+                  math.min(c.low, u.price), u.price,
+                  c.volume + u.size)), theta = st.theta + b)
+          }
+        }
+      state.update(st)
+      out.result().iterator
+    }
+    updates.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Per-symbol realized-volatility state: prevailing trade price, the
     * open bucket, and its exact integer return accumulators. */
   case class RvState(lastPrice: Double, bucket: Long, n: Long,
@@ -458,7 +522,7 @@ object Streaming {
   /** Scalar twins of the batch ops' decimal(·,4) arithmetic, in a
     * standalone serializable holder so state-fold closures can call
     * them without capturing the (non-serializable) enclosing object. */
-  private object Dec4 extends Serializable {
+  private[graft] object Dec4 extends Serializable {
     /** Twin of `cast(x AS decimal(·,4))` INSIDE A SUM: Spark's
       * double→decimal cast parses the double's SHORTEST decimal
       * representation and rounds HALF_UP to scale 4 — reproduced here
@@ -658,6 +722,94 @@ object Streaming {
   /** Per-symbol Roll-estimator state: the last two trade prices in
     * cents (Long.MinValue = unseen) plus the open bucket's exact
     * integer accumulators. */
+  /** Per-symbol VPIN state: the open volume bucket's accumulators, the
+    * tick-rule carry, and the trailing (imbU, classU) of up to
+    * `window − 1` CLOSED buckets — O(window) per key. */
+  case class VpinState(bucket: Long, acc: Double, start: Long, end: Long,
+      n: Long, buyU: Long, sellU: Long, classU: Long, volU: Long,
+      prevPrice: Double, hasPrev: Boolean, carry: Int,
+      recent: Seq[(Long, Long)])
+  case class VpinRow(symbol: String, bucket: Long, start: Long,
+      end: Long, n_trades: Long, buy_vol: Double, sell_vol: Double,
+      class_vol: Double, volume: Double, imb: Double, imb_win: Double,
+      class_win: Double, vpin: Option[Double])
+
+  /** VPIN on a STREAM — the ingest-time twin of
+    * [[graft.operators.Vpin.vpin]]: the same reset-fold volume
+    * bucketing (first trade of a bucket never feeds the accumulator, a
+    * boundary trade closes and starts with its weight swallowed), the
+    * same tick-rule carry, the same unscaled scale-4 integer sums
+    * ([[Dec4]]), with each bucket's trailing vpin served AT CLOSE from
+    * the carried (imbU, classU) window — integer sums compose exactly,
+    * so a closed bucket's row equals the batch row bit-for-bit
+    * (MicrostructureFuzzSpec, sentinel-closer pattern: a far-future
+    * trade of size > interval closes each symbol's final real bucket
+    * without contaminating it). Non-finite prices/sizes raise loud at
+    * ingest (the batch fold's own guards). */
+  def streamingVpin(updates: Dataset[Update], interval: Double = 100.0,
+      window: Int = 5): Dataset[VpinRow] = {
+    import updates.sparkSession.implicits._
+    require(window >= 1, "vpin needs a trailing window of >= 1 buckets")
+    val d4 = (u: Long) => java.math.BigDecimal.valueOf(u, 4).doubleValue()
+    def zero(u: Update) = VpinState(1L, 0.0d, u.ts, u.ts, 0L, 0L, 0L,
+      0L, 0L, 0.0d, hasPrev = false, 0, Nil)
+    def addTo(st0: VpinState, u: Update): VpinState = {
+      val s = Dec4.dec4(u.size)
+      val dir =
+        if (!st0.hasPrev) 0
+        else if (u.price > st0.prevPrice) 1
+        else if (u.price < st0.prevPrice) -1 else 0
+      val carry = if (dir != 0) dir else st0.carry
+      var st = st0.copy(end = u.ts, n = st0.n + 1L,
+        volU = Math.addExact(st0.volU, s),
+        prevPrice = u.price, hasPrev = true, carry = carry)
+      if (carry == 1) st = st.copy(
+        buyU = Math.addExact(st.buyU, s),
+        classU = Math.addExact(st.classU, s))
+      else if (carry == -1) st = st.copy(
+        sellU = Math.addExact(st.sellU, s),
+        classU = Math.addExact(st.classU, s))
+      st
+    }
+    def serve(sym: String, st: VpinState): VpinRow = {
+      val imbU = math.abs(st.buyU - st.sellU)
+      val imbWinU = st.recent.map(_._1).foldLeft(imbU)(Math.addExact)
+      val classWinU = st.recent.map(_._2).foldLeft(st.classU)(Math.addExact)
+      VpinRow(sym, st.bucket, st.start, st.end, st.n, d4(st.buyU),
+        d4(st.sellU), d4(st.classU), d4(st.volU), d4(imbU),
+        d4(imbWinU), d4(classWinU),
+        if (classWinU != 0L) Some(d4(imbWinU) / d4(classWinU)) else None)
+    }
+    def fn(sym: String, rows: Iterator[Update],
+        state: GroupState[VpinState]): Iterator[VpinRow] = {
+      var st = state.getOption.orNull
+      val out = Seq.newBuilder[VpinRow]
+      rows.toSeq.filter(_.is_trade).sortBy(u => (u.ts, u.seq))
+        .foreach { u =>
+          if (u.price.isNaN || u.price.isInfinite)
+            throw new ArithmeticException(
+              "vpin: non-finite price at symbol=" + u.symbol)
+          if (u.size.isNaN || u.size.isInfinite)
+            throw new ArithmeticException(
+              "vpin: non-finite trade size at symbol=" + u.symbol)
+          if (st == null) st = addTo(zero(u), u)
+          else if (st.acc + u.size > interval) {
+            out += serve(sym, st)
+            val recent = ((math.abs(st.buyU - st.sellU), st.classU) +:
+              st.recent).take(window - 1)
+            st = addTo(zero(u).copy(bucket = st.bucket + 1L,
+              prevPrice = st.prevPrice, hasPrev = st.hasPrev,
+              carry = st.carry, recent = recent), u)
+          } else st = addTo(st.copy(acc = st.acc + u.size), u)
+        }
+      if (st != null) state.update(st)
+      out.result().iterator
+    }
+    updates.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   case class RollSprState(c1: Long, c2: Long, bucket: Long, n: Long,
       sx: Long, sy: Long, sxy: Long)
   case class RollSprBucket(symbol: String, start: Long, n_pairs: Long,

@@ -274,6 +274,41 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(ex.getMessage.contains("distinct"))
   }
 
+  test("typePagerank: symmetric cycle equalizes, hubs rank highest, " +
+      "mass ~conserved, type-cardinality guard raises loud") {
+    import graft.operators.EventAnalytics
+    // a <-> b two-cycle: perfectly symmetric, so ranks are equal and
+    // (strongly connected) total mass stays ~1 up to the floor leak
+    val sym = eventsDf(Seq(
+      (1L, 0L, 1L, "a", 0.0), (2L, M, 1L, "b", 0.0),
+      (3L, 0L, 2L, "b", 0.0), (4L, M, 2L, "a", 0.0)))
+    val r = EventAnalytics.typePagerank(sym).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r.keySet === Set("a", "b"))
+    assert(r("a") === r("b"), "symmetric graph must equalize ranks")
+    assert(math.abs(r.values.sum - 1.0) < 1e-6,
+      s"mass not conserved: ${r.values.sum}")
+    // hub: a->b, c->b, b->a — b collects two sources, c collects none
+    // (the teleport floor only)
+    val hub = eventsDf(Seq(
+      (1L, 0L, 1L, "a", 0.0), (2L, M, 1L, "b", 0.0),
+      (3L, 0L, 2L, "c", 0.0), (4L, M, 2L, "b", 0.0),
+      (5L, 0L, 3L, "b", 0.0), (6L, M, 3L, "a", 0.0)))
+    val rh = EventAnalytics.typePagerank(hub).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(rh("b") > rh("a") && rh("a") > rh("c"),
+      s"hub ordering wrong: $rh")
+    assert(math.abs(rh("c") - 0.15 / 3.0) < 1e-12,
+      "sourceless node must sit at the teleport floor")
+    // the S^2-edge-collect guard fails loud past the type bound
+    val many = eventsDf((1L to 12L).flatMap(u =>
+      Seq((u * 2, 0L, u, s"t$u", 0.0), (u * 2 + 1, M, u, s"u$u", 0.0))))
+    val ex = intercept[IllegalStateException] {
+      EventAnalytics.typePagerank(many, maxTypes = 10)
+    }
+    assert(ex.getMessage.contains("exceed maxTypes"))
+  }
+
   test("registry gates analyze and return rows on sf0.001") {
     Tables.enableNanos(spark)
     graft.queries.EventQueries.all.foreach { q =>

@@ -267,6 +267,76 @@ class MicrostructureFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: vpin batch ≡ streaming serving rows after volume closers") {
+    // the volume-bucket twin pair: the stream serves a bucket AT CLOSE
+    // with its trailing window; a far-future closer of size > interval
+    // closes each symbol's final real bucket with its weight swallowed
+    // by the reset, so the emitted set equals the batch table exactly
+    import graft.operators.Vpin
+    val (interval, window) = (20.0, 3)
+    val want = Vpin.vpin(df, interval, window).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7), r.getDouble(8),
+          r.getDouble(9), r.getDouble(10), r.getDouble(11),
+          optD(r, 12)))).toMap
+    assert(want.nonEmpty)
+    assert(want.keys.groupBy(_._1).values.exists(_.size > window),
+      "fixture must roll past the trailing window")
+    val maxTs = ups.map(_.ts).max
+    val closers = ups.map(_.symbol).distinct.zipWithIndex.map {
+      case (s0, i) => Update(s0, maxTs + 7200L * 1000, 8000L + i,
+        is_trade = true, is_bid = true, 1.0, interval + 1.0)
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Update]
+    val q = Streaming.streamingVpin(in.toDS(), interval, window)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("fz_vpin").start()
+    val (b1, b2) = ups.splitAt(ups.length / 3)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    in.addData(closers: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("fz_vpin").as[Streaming.VpinRow].collect()
+      .map(v => (v.symbol, v.bucket) ->
+        ((v.start, v.end, v.n_trades, v.buy_vol, v.sell_vol,
+          v.class_vol, v.volume, v.imb, v.imb_win, v.class_win,
+          v.vpin))).toMap
+    assert(got === want, "vpin batch/stream drift")
+  }
+
+  test("fuzz: tick imbalance bars batch ≡ streaming closed bars") {
+    // the integer reset fold + tick carry, two implementations: the
+    // batch mapPartitions fold emits the final partial bar, the stream
+    // keeps it open (dropLast stance) — so compare every bar EXCEPT
+    // each symbol's last
+    import graft.operators.FoldBars
+    val threshold = 3L
+    val batch = FoldBars.tickImbalanceBars(df, threshold).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7))))
+    val lastPerSym = batch.groupBy(_._1._1).view
+      .mapValues(_.map(_._1._2).max).toMap
+    val wantClosed = batch.filterNot { case ((s0, st), _) =>
+      lastPerSym(s0) == st }.toMap
+    assert(wantClosed.nonEmpty, "fixture produced no closed bars")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Update]
+    val q = Streaming.streamingTickImbalanceBars(in.toDS(), threshold)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("fz_imb").start()
+    val (b1, b2) = ups.splitAt(ups.length / 3)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("fz_imb").as[graft.model.Candle].collect()
+      .map(c => (c.symbol, c.start) ->
+        ((c.end, c.open, c.high, c.low, c.close, c.volume))).toMap
+    assert(got === wantClosed, "imbalance-bar batch/stream drift")
+  }
+
   test("non-finite price: the whole quantizing family raises loud in " +
       "BOTH forms — batch finitePrice, fold ingest guard (ADVICE r11)") {
     // Spark's non-ANSI floor turns a NaN price into 0L SILENTLY (and a
