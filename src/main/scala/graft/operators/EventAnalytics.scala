@@ -768,7 +768,12 @@ object EventAnalytics {
     * (`floor(r_u · (n_uv / out_u) · 1e12)`) before the order-sensitive
     * sum, so ranks are bit-equal independent of edge order. Rank mass
     * ≤ 1 keeps every per-node contribution sum ≤ 1e12 ≪ 2^53 — the
-    * HUGEINT→DOUBLE cast is exact. */
+    * HUGEINT→DOUBLE cast is exact.
+    *
+    * Streaming stance: batch-only BY DESIGN — the power iteration is a
+    * global fixed-point over the whole edge table, not a per-key fold
+    * (the amihud/returnCorr convention); serve ranks from periodic
+    * batch snapshots. */
   def typePagerank(events: DataFrame, iterations: Int = 20,
       maxTypes: Int = 10000): DataFrame = {
     val spark = events.sparkSession

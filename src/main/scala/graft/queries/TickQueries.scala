@@ -230,6 +230,20 @@ object TickQueries {
         .orderBy("symbol", "start"),
       Some(Tables.withUpdates(Microstructure.realizedVolSql()))),
 
+    // geometric-decay trade intensity (Hawkes-style activity proxy):
+    // pure-integer recursion over the bucket series, recursive-CTE twin
+    Q("q_trade_intensity",
+      (s, dir) => DecaySeries.tradeIntensity(u(s, dir))
+        .orderBy("symbol", "start"),
+      Some(Tables.withUpdatesChainRecursive(
+        DecaySeries.tradeIntensitySql()))),
+
+    // EMA of the bucket close, alpha = 1/8 as an integer multiply-add
+    Q("q_ema_close",
+      (s, dir) => DecaySeries.emaClose(u(s, dir))
+        .orderBy("symbol", "start"),
+      Some(Tables.withUpdatesChainRecursive(DecaySeries.emaCloseSql()))),
+
     Q("q_order_trade_ratio",
       (s, dir) => Microstructure.orderTradeRatio(u(s, dir))
         .orderBy("symbol", "start"),

@@ -360,6 +360,114 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Per-symbol decayed-intensity state: the open bucket's count and
+    * the integer intensity after the last CLOSED bucket. */
+  case class IntensityState(bucket: Long, n: Long, iq: Long)
+  case class IntensityRow(symbol: String, start: Long, n_trades: Long,
+      intensity_q: Long, intensity: Double)
+
+  /** Geometric-decay trade intensity on a STREAM — the ingest-time
+    * twin of [[graft.operators.DecaySeries.tradeIntensity]]: the same
+    * pure-integer recursion stepped at bucket close (emit-on-advance;
+    * the final partial bucket stays open, the fold twins' dropLast
+    * stance), so closed buckets equal the batch series bit-for-bit
+    * (MicrostructureFuzzSpec). O(1) state per key. */
+  def streamingTradeIntensity(updates: Dataset[Update],
+      seconds: Long = 60, num: Long = 7, den: Long = 8)
+      : Dataset[IntensityRow] = {
+    import updates.sparkSession.implicits._
+    require(num >= 0 && den > 0 && num < den,
+      "decay num/den must be a proper fraction")
+    def bucketOf(ts: Long): Long = Streaming.Buckets.of(ts, seconds)
+    val Unset = Long.MinValue
+    def fn(sym: String, rows: Iterator[Update],
+        state: GroupState[IntensityState]): Iterator[IntensityRow] = {
+      var st = state.getOption.getOrElse(IntensityState(Unset, 0L, 0L))
+      val out = Seq.newBuilder[IntensityRow]
+      def close(): Unit = {
+        val iq = Math.addExact(Math.multiplyExact(st.n, 1000000L),
+          Math.floorDiv(Math.multiplyExact(st.iq, num), den))
+        out += IntensityRow(sym, st.bucket, st.n, iq, iq.toDouble / 1e6)
+        st = st.copy(iq = iq)
+      }
+      rows.toSeq.filter(_.is_trade).sortBy(u => (u.ts, u.seq))
+        .foreach { u =>
+          val b = bucketOf(u.ts)
+          if (st.bucket == Unset) st = st.copy(bucket = b, n = 1L)
+          else if (b != st.bucket) {
+            close()
+            st = st.copy(bucket = b, n = 1L)
+          } else st = st.copy(n = st.n + 1L)
+        }
+      state.update(st)
+      out.result().iterator
+    }
+    updates.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Per-symbol EMA state: the open bucket's running close (cents) and
+    * the integer EMA after the last CLOSED bucket. */
+  case class EmaState(bucket: Long, closeC: Long, eq: Long,
+      seeded: Boolean)
+  case class EmaRow(symbol: String, start: Long, close_cq: Long,
+      ema_q: Long, ema: Double)
+
+  /** Bucket-close EMA on a STREAM — the ingest-time twin of
+    * [[graft.operators.DecaySeries.emaClose]] under the same integer
+    * recursion and the same cents guards (non-finite and
+    * out-of-exact-regime prices raise loud). Emit-on-advance, final
+    * partial bucket open. */
+  def streamingEmaClose(updates: Dataset[Update], seconds: Long = 60,
+      num: Long = 7, den: Long = 8): Dataset[EmaRow] = {
+    import updates.sparkSession.implicits._
+    require(num >= 0 && den > 0 && num < den,
+      "decay num/den must be a proper fraction")
+    def bucketOf(ts: Long): Long = Streaming.Buckets.of(ts, seconds)
+    val Unset = Long.MinValue
+    def centsOf(u: Update): Long = {
+      FiniteGuard.price("emaClose", u)
+      val c = math.floor(u.price * 100.0d + 0.5d)
+      if (SqlOrd.gt(math.abs(c), 1.0e12d))
+        throw new ArithmeticException("emaClose: price outside the " +
+          "exact-decimal regime at symbol=" + u.symbol)
+      c.toLong
+    }
+    def fn(sym: String, rows: Iterator[Update],
+        state: GroupState[EmaState]): Iterator[EmaRow] = {
+      var st = state.getOption.getOrElse(
+        EmaState(Unset, 0L, 0L, seeded = false))
+      val out = Seq.newBuilder[EmaRow]
+      def close(): Unit = {
+        val cq = Math.multiplyExact(st.closeC, 10000L)
+        val eq =
+          if (!st.seeded) cq
+          else Math.floorDiv(Math.addExact(
+            Math.multiplyExact(cq, den - num),
+            Math.multiplyExact(st.eq, num)), den)
+        out += EmaRow(sym, st.bucket, cq, eq, eq.toDouble / 1e6)
+        st = st.copy(eq = eq, seeded = true)
+      }
+      rows.toSeq.filter(u => u.is_trade && SqlOrd.gt(u.price, 0.0))
+        .sortBy(u => (u.ts, u.seq))
+        .foreach { u =>
+          val b = bucketOf(u.ts)
+          val c = centsOf(u)
+          if (st.bucket == Unset) st = st.copy(bucket = b, closeC = c)
+          else if (b != st.bucket) {
+            close()
+            st = st.copy(bucket = b, closeC = c)
+          } else st = st.copy(closeC = c)
+        }
+      state.update(st)
+      out.result().iterator
+    }
+    updates.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Per-symbol realized-volatility state: prevailing trade price, the
     * open bucket, and its exact integer return accumulators. */
   case class RvState(lastPrice: Double, bucket: Long, n: Long,

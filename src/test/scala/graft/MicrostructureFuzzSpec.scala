@@ -337,6 +337,48 @@ class MicrostructureFuzzSpec extends SparkSpec {
     assert(got === wantClosed, "imbalance-bar batch/stream drift")
   }
 
+  test("fuzz: trade intensity and ema close batch ≡ streaming serving " +
+      "rows after closers") {
+    // the integer decay recursions: a far-future closer shuts each
+    // symbol's final real bucket, so the emitted series equals the
+    // batch table exactly (the closer's own bucket stays open)
+    import graft.operators.DecaySeries
+    val wantI = DecaySeries.tradeIntensity(df).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val wantE = DecaySeries.emaClose(df).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(wantI.nonEmpty && wantE.nonEmpty)
+    val maxTs = ups.map(_.ts).max
+    val closers = ups.map(_.symbol).distinct.zipWithIndex.map {
+      case (s0, i) => Update(s0, maxTs + 7200L * 1000, 9000L + i,
+        is_trade = true, is_bid = true, 1.0, 1.0)
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Update]
+    val qi = Streaming.streamingTradeIntensity(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("fz_int").start()
+    val qe = Streaming.streamingEmaClose(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("fz_ema").start()
+    val (b1, b2) = ups.splitAt(ups.length / 3)
+    def drain(): Unit = {
+      qi.processAllAvailable(); qe.processAllAvailable()
+    }
+    in.addData(b1: _*); drain()
+    in.addData(b2: _*); drain()
+    in.addData(closers: _*); drain()
+    qi.stop(); qe.stop()
+    val gotI = spark.table("fz_int").as[Streaming.IntensityRow].collect()
+      .map(v => (v.symbol, v.start) ->
+        ((v.n_trades, v.intensity_q, v.intensity))).toMap
+    assert(gotI === wantI, "intensity batch/stream drift")
+    val gotE = spark.table("fz_ema").as[Streaming.EmaRow].collect()
+      .map(v => (v.symbol, v.start) ->
+        ((v.close_cq, v.ema_q, v.ema))).toMap
+    assert(gotE === wantE, "ema batch/stream drift")
+  }
+
   test("non-finite price: the whole quantizing family raises loud in " +
       "BOTH forms — batch finitePrice, fold ingest guard (ADVICE r11)") {
     // Spark's non-ANSI floor turns a NaN price into 0L SILENTLY (and a
