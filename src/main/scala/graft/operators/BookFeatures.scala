@@ -67,6 +67,139 @@ object BookFeatures {
        |ORDER BY symbol""".stripMargin.replace('\n', ' ')
   }
 
+  /** Order Flow Imbalance per (symbol, bucket) — the Cont–Kukanov–
+    * Stoikov (2014) price-impact driver, sampled at bucket-end touches
+    * (a beyond-reference capability next to [[microprice]]): with
+    * `(bb, qb, ba, qa)` the bucket-end best bid/ask level and resting
+    * SET size,
+    * `e^b = 1{bb_n ≥ bb_{n−1}}·qb_n − 1{bb_n ≤ bb_{n−1}}·qb_{n−1}`,
+    * `e^a = 1{ba_n ≤ ba_{n−1}}·qa_n − 1{ba_n ≥ ba_{n−1}}·qa_{n−1}`,
+    * `ofi = e^b − e^a` — null until both consecutive buckets have a
+    * two-sided touch.
+    *
+    * Touch contract: level SETs only, last write per (symbol, bucket,
+    * side, level) forward-filled across the symbol's PRESENT buckets,
+    * live iff size > 0 — the [[graft.operators.Microstructure]]
+    * effectiveSpread/bucketSpread prevailing-touch proxy (trade
+    * depletion ignored by design, as there). Level comparisons are
+    * exact integers; the ofi value is a fixed four-term IEEE chain on
+    * raw SET sizes (no decimal cast anywhere, so even a corrupt NaN
+    * size propagates identically in both engines — parity-safe without
+    * a guard).
+    *
+    * Scale shape: the last-write aggregation keys on (symbol, bucket,
+    * side, level); the forward fill windows on (symbol, side, level)
+    * over the bucket grid (grid = present buckets × live levels, both
+    * book-bounded per the reference's own state); the ofi lag is one
+    * per-symbol window over the bucket series — nothing sorts a
+    * symbol's tick history. */
+  def ofi(updates: DataFrame, seconds: Long = 60,
+      decimals: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lvl = updates.where(!col("is_trade"))
+      .select(col("symbol"),
+        timeBucket(tsSeconds(col("ts")), seconds).as("start"),
+        col("is_bid"),
+        // finitePrice: a NaN level price would floor-quantize to level
+        // 0 silently where the twin's CAST errors
+        discretize(Microstructure.finitePrice, decimals).as("level"),
+        col("size"), col("ts"), col("seq"))
+    val kb = lvl.groupBy("symbol", "start", "is_bid", "level")
+      .agg(orderedLast(col("size"), col("ts"), col("seq")).as("s"))
+    val bins = lvl.select("symbol", "start").distinct()
+    val keys = lvl.select("symbol", "is_bid", "level").distinct()
+    val wFill = Window.partitionBy("symbol", "is_bid", "level")
+      .orderBy("start")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = bins.join(keys, "symbol")
+      .join(kb, Seq("symbol", "start", "is_bid", "level"), "left")
+      .withColumn("size", last(col("s"), ignoreNulls = true).over(wFill))
+      .where(col("size").isNotNull && col("size") > 0.0d)
+    val touch = filled.groupBy("symbol", "start")
+      .agg(
+        max(when(col("is_bid"), struct(col("level"), col("size"))))
+          .as("bb"),
+        min(when(!col("is_bid"), struct(col("level"), col("size"))))
+          .as("ba"))
+    val wb = Window.partitionBy("symbol").orderBy("start")
+    val eb =
+      when(col("bb.level") >= col("pbb.level"), col("bb.size"))
+        .otherwise(0.0d) -
+      when(col("bb.level") <= col("pbb.level"), col("pbb.size"))
+        .otherwise(0.0d)
+    val ea =
+      when(col("ba.level") <= col("pba.level"), col("ba.size"))
+        .otherwise(0.0d) -
+      when(col("ba.level") >= col("pba.level"), col("pba.size"))
+        .otherwise(0.0d)
+    touch
+      .withColumn("pbb", lag(col("bb"), 1).over(wb))
+      .withColumn("pba", lag(col("ba"), 1).over(wb))
+      .select(col("symbol"), col("start"),
+        undiscretize(col("bb.level"), decimals).as("best_bid"),
+        col("bb.size").as("bid_size"),
+        undiscretize(col("ba.level"), decimals).as("best_ask"),
+        col("ba.size").as("ask_size"),
+        when(col("bb").isNotNull && col("ba").isNotNull &&
+          col("pbb").isNotNull && col("pba").isNotNull,
+          eb - ea).as("ofi"))
+  }
+
+  /** DuckDB twin of [[ofi]] — the identical pipeline: last-write per
+    * level-bucket, forward fill over the present-bucket grid,
+    * arg-extrema touches, one lag, the same four-term IEEE chain. */
+  def ofiSql(seconds: Long = 60, decimals: Int = 2): String = {
+    val p = math.pow(10, decimals).toLong
+    s"""WITH lvl AS (
+       |  SELECT symbol, ((ts // 1000) // $seconds) * $seconds AS start,
+       |    is_bid, CAST(floor(price * $p) AS BIGINT) AS level,
+       |    size, ts, seq
+       |  FROM updates WHERE NOT is_trade),
+       |kb AS (
+       |  SELECT symbol, start, is_bid, level,
+       |    last(size ORDER BY ts, seq) AS s
+       |  FROM lvl GROUP BY 1, 2, 3, 4),
+       |bins AS (SELECT DISTINCT symbol, start FROM lvl),
+       |keys AS (SELECT DISTINCT symbol, is_bid, level FROM lvl),
+       |filled AS (
+       |  SELECT g.symbol, g.start, g.is_bid, g.level,
+       |    last_value(kb.s IGNORE NULLS) OVER (
+       |      PARTITION BY g.symbol, g.is_bid, g.level ORDER BY g.start
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS size
+       |  FROM (SELECT b.symbol, b.start, k.is_bid, k.level
+       |        FROM bins b JOIN keys k USING (symbol)) g
+       |  LEFT JOIN kb ON kb.symbol = g.symbol AND kb.start = g.start
+       |    AND kb.is_bid = g.is_bid AND kb.level = g.level),
+       |touch AS (
+       |  SELECT symbol, start,
+       |    max(CASE WHEN is_bid THEN level END) AS bbl,
+       |    arg_max(CASE WHEN is_bid THEN size END,
+       |      CASE WHEN is_bid THEN level END) AS bbs,
+       |    min(CASE WHEN NOT is_bid THEN level END) AS bal,
+       |    arg_min(CASE WHEN NOT is_bid THEN size END,
+       |      CASE WHEN NOT is_bid THEN level END) AS bas
+       |  FROM filled WHERE size IS NOT NULL AND size > 0.0
+       |  GROUP BY 1, 2),
+       |lagged AS (
+       |  SELECT symbol, start, bbl, bbs, bal, bas,
+       |    lag(bbl, 1) OVER w AS pbbl, lag(bbs, 1) OVER w AS pbbs,
+       |    lag(bal, 1) OVER w AS pbal, lag(bas, 1) OVER w AS pbas,
+       |    lag(start, 1) OVER w AS pstart
+       |  FROM touch WINDOW w AS (PARTITION BY symbol ORDER BY start))
+       |SELECT symbol, start,
+       |  CAST(bbl AS DOUBLE) / $p AS best_bid, bbs AS bid_size,
+       |  CAST(bal AS DOUBLE) / $p AS best_ask, bas AS ask_size,
+       |  CASE WHEN bbl IS NOT NULL AND bal IS NOT NULL
+       |    AND pstart IS NOT NULL AND pbbl IS NOT NULL
+       |    AND pbal IS NOT NULL THEN
+       |   ((CASE WHEN bbl >= pbbl THEN bbs ELSE 0.0 END)
+       |     - (CASE WHEN bbl <= pbbl THEN pbbs ELSE 0.0 END))
+       |   - ((CASE WHEN bal <= pbal THEN bas ELSE 0.0 END)
+       |     - (CASE WHEN bal >= pbal THEN pbas ELSE 0.0 END))
+       |  END AS ofi
+       |FROM lagged ORDER BY symbol, start""".stripMargin.replace('\n', ' ')
+  }
+
   /** Depth imbalance near the touch, per symbol: resting size summed
     * over each side's levels within `k` ticks of its own best
     * (`bid: level ≥ bb − k`, `ask: level ≤ ba + k`), and

@@ -64,6 +64,16 @@ object BookQueries {
         s"book AS (${Orderbook.snapshotSql(Decimals)})",
         BookFeatures.depthImbalanceSql()))),
 
+    // B2+ — Order Flow Imbalance (Cont-Kukanov-Stoikov) at bucket-end
+    // touches: integer level comparisons, four-term IEEE chain on raw
+    // SET sizes, per-(symbol,side,level) forward fill over the bucket
+    // grid
+    Q("q_ofi",
+      (s, dir) => BookFeatures.ofi(u(s, dir), 60L, Decimals)
+        .orderBy("symbol", "start"),
+      Some(Tables.withUpdatesChain(
+        BookFeatures.ofiSql(60L, Decimals)))),
+
     // A3+ — rolling trailing-60s trade volume per trade row (RANGE
     // frame: identical peer semantics both engines; exact decimal sum)
     Q("q_rolling_volume",

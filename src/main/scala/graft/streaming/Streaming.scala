@@ -1519,6 +1519,82 @@ object Streaming {
     }
   }
 
+  /** Per-symbol OFI state: the SET-only level book (key packs
+    * `(level << 1) | is_bid`, value = last set size), the open bucket,
+    * and the previous CLOSED bucket's touch. */
+  case class OfiState(book: Map[Long, Double], bucket: Long,
+      pbbl: Option[Long], pbbs: Option[Double],
+      pbal: Option[Long], pbas: Option[Double], hasPrev: Boolean)
+  case class OfiRow(symbol: String, start: Long,
+      best_bid: Option[Double], bid_size: Option[Double],
+      best_ask: Option[Double], ask_size: Option[Double],
+      ofi: Option[Double])
+
+  /** Order Flow Imbalance on a STREAM — the ingest-time twin of
+    * [[graft.operators.BookFeatures.ofi]]: the fold carries the
+    * SET-only level book (last write wins — exactly the batch forward
+    * fill, which carries each level's last set across the symbol's
+    * present buckets) plus the previous bucket's touch; a bucket close
+    * computes the touch (live iff size > 0 under the NaN-greatest
+    * [[SqlOrd]] compare, the batch filter) and emits the same
+    * four-term IEEE chain. Closed buckets equal the batch rows
+    * bit-for-bit (MicrostructureFuzzSpec, far-future LEVEL closer). */
+  def streamingOfi(updates: Dataset[Update], seconds: Long = 60,
+      decimals: Int = 2): Dataset[OfiRow] = {
+    import updates.sparkSession.implicits._
+    val mult = math.pow(10, decimals)
+    def bucketOf(ts: Long): Long = Streaming.Buckets.of(ts, seconds)
+    val Unset = Long.MinValue
+    def fn(sym: String, rows: Iterator[Update],
+        state: GroupState[OfiState]): Iterator[OfiRow] = {
+      var st = state.getOption.getOrElse(OfiState(
+        Map.empty, Unset, None, None, None, None, hasPrev = false))
+      val out = Seq.newBuilder[OfiRow]
+      def close(): Unit = {
+        // the batch touch: best live level per side with its SET size.
+        // A bucket with NO live level has no row in the batch touch
+        // table at all — its lag skips it — so emit nothing and carry
+        // the previous touch unchanged.
+        val live = st.book.filter(e => SqlOrd.gt(e._2, 0.0d))
+        if (live.isEmpty) return
+        val bids = live.collect { case (k, s) if (k & 1L) == 1L =>
+          (k >> 1, s) }
+        val asks = live.collect { case (k, s) if (k & 1L) == 0L =>
+          (k >> 1, s) }
+        val bbl = if (bids.isEmpty) None else Some(bids.keysIterator.max)
+        val bal = if (asks.isEmpty) None else Some(asks.keysIterator.min)
+        val bbs = bbl.map(bids); val bas = bal.map(asks)
+        val ofi = for {
+          b <- bbl; a <- bal; pb <- st.pbbl; pa <- st.pbal
+          bs <- bbs; as <- bas; pbs <- st.pbbs; pas <- st.pbas
+          if st.hasPrev
+        } yield
+          ((if (b >= pb) bs else 0.0d) - (if (b <= pb) pbs else 0.0d)) -
+          ((if (a <= pa) as else 0.0d) - (if (a >= pa) pas else 0.0d))
+        out += OfiRow(sym, st.bucket, bbl.map(_.toDouble / mult), bbs,
+          bal.map(_.toDouble / mult), bas, ofi)
+        st = st.copy(pbbl = bbl, pbbs = bbs, pbal = bal, pbas = bas,
+          hasPrev = true)
+      }
+      rows.toSeq.filter(!_.is_trade).sortBy(u => (u.ts, u.seq))
+        .foreach { u =>
+          FiniteGuard.price("ofi", u) // the batch finitePrice
+          val b = bucketOf(u.ts)
+          if (st.bucket == Unset) st = st.copy(bucket = b)
+          else if (b != st.bucket) { close(); st = st.copy(bucket = b) }
+          val level = math.floor(u.price * mult).toLong
+          st = st.copy(book =
+            st.book + (((level << 1) | (if (u.is_bid) 1L else 0L)) ->
+              u.size))
+        }
+      state.update(st)
+      out.result().iterator
+    }
+    updates.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   def streamingBookFeatures(updates: Dataset[Update], decimals: Int = 2,
       k: Long = 10L): Dataset[BookFeat] = {
     import updates.sparkSession.implicits._

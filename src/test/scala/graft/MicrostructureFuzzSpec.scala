@@ -379,6 +379,43 @@ class MicrostructureFuzzSpec extends SparkSpec {
     assert(gotE === wantE, "ema batch/stream drift")
   }
 
+  test("fuzz: ofi batch ≡ streaming serving rows after level closers") {
+    // the SET-only book fold vs the relational forward-fill pipeline:
+    // a far-future LEVEL row closes each symbol's final real bucket
+    // (its own bucket stays open), so emitted rows equal the batch
+    // table exactly — including NaN touch sizes, which propagate
+    // identically (no decimal cast in the chain)
+    import graft.operators.BookFeatures
+    def optDStr(o: Option[Double]): String =
+      o.map(_.toString).getOrElse("null")
+    val want = BookFeatures.ofi(df).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        Seq(2, 3, 4, 5, 6).map(i =>
+          if (r.isNullAt(i)) "null" else r.getDouble(i).toString)
+          .mkString("|")).toMap
+    assert(want.nonEmpty)
+    val maxTs = ups.map(_.ts).max
+    val closers = ups.map(_.symbol).distinct.zipWithIndex.map {
+      case (s0, i) => Update(s0, maxTs + 7200L * 1000, 9500L + i,
+        is_trade = false, is_bid = true, 10.0, 1.0)
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Update]
+    val q = Streaming.streamingOfi(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("fz_ofi").start()
+    val (b1, b2) = ups.splitAt(ups.length / 3)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    in.addData(closers: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("fz_ofi").as[Streaming.OfiRow].collect()
+      .map(v => (v.symbol, v.start) ->
+        Seq(optDStr(v.best_bid), optDStr(v.bid_size),
+          optDStr(v.best_ask), optDStr(v.ask_size), optDStr(v.ofi))
+          .mkString("|")).toMap
+    assert(got === want, "ofi batch/stream drift")
+  }
+
   test("non-finite price: the whole quantizing family raises loud in " +
       "BOTH forms — batch finitePrice, fold ingest guard (ADVICE r11)") {
     // Spark's non-ANSI floor turns a NaN price into 0L SILENTLY (and a
@@ -421,7 +458,9 @@ class MicrostructureFuzzSpec extends SparkSpec {
       ("twapQuote", updatesDf(nanQuotes),
         (u: DataFrame) => Microstructure.twapQuote(u)),
       ("kyleLambda", updatesDf(nanQuotes),
-        (u: DataFrame) => Microstructure.kyleLambda(u)))
+        (u: DataFrame) => Microstructure.kyleLambda(u)),
+      ("ofi", updatesDf(nanQuotes),
+        (u: DataFrame) => graft.operators.BookFeatures.ofi(u)))
     batchOps.foreach { case (name, u, op) =>
       val ex = intercept[Exception] { op(u).collect() }
       assert(msgs(ex).exists(m => m.contains("non-finite price") ||
@@ -460,5 +499,7 @@ class MicrostructureFuzzSpec extends SparkSpec {
       ds => Streaming.streamingTwapQuote(ds).toDF(), nanQuotes)
     streamRaises("kyle",
       ds => Streaming.streamingKyleLambda(ds).toDF(), nanQuotes)
+    streamRaises("ofi",
+      ds => Streaming.streamingOfi(ds).toDF(), nanQuotes)
   }
 }

@@ -232,6 +232,51 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-12 fold family: bounded exchanges, no cartesian, no " +
+      "tick-ordered window outside the fold") {
+    // vpin / tick imbalance bars / decay series: the per-symbol
+    // sequential work lives INSIDE the one mapPartitions fold (the
+    // FoldBars budget); everything relational around it must stay a
+    // couple of keyed exchanges, and any WindowExec may only order by
+    // the bucket series, never re-sort the tick axis
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import graft.operators.{DecaySeries, FoldBars, Vpin}
+    val u = Tables.updates(spark, sf())
+    def audit(label: String, df: DataFrame, maxHash: Int): Unit = {
+      val p = df.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(!p.contains("CartesianProduct"), s"$label cartesian:\n$p")
+      val hashEx = "Arguments: hashpartitioning".r.findAllIn(p).size
+      assert(hashEx <= maxHash,
+        s"$label: $hashEx hash exchanges (cap $maxHash):\n$p")
+      def windows(pl: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[WindowExec] = pl.collect {
+        case w: WindowExec => Seq(w)
+        case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      }.flatten
+      windows(df.queryExecution.executedPlan).foreach { w =>
+        val ordersTick = w.orderSpec.exists(o =>
+          o.child.toString.contains("ts#") ||
+            o.child.toString.contains("seq#"))
+        assert(!ordersTick,
+          s"$label: tick-ordered window outside the fold: $w")
+      }
+    }
+    // fold shuffle + the bucket-series window's re-exchange (typed
+    // mapPartitions hides the fold's partitioning from Catalyst)
+    audit("vpin", Vpin.vpin(u), maxHash = 2)
+    audit("tickImbalanceBars",
+      FoldBars.tickImbalanceBars(u, 4L), maxHash = 1)
+    // partial (symbol, bucket) agg + the fold repartition
+    audit("tradeIntensity", DecaySeries.tradeIntensity(u), maxHash = 2)
+    audit("emaClose", DecaySeries.emaClose(u), maxHash = 2)
+    // ofi is fully relational: several exchanges, every one keyed at
+    // least on symbol (last-write agg, grid distincts + joins, the
+    // per-(symbol,side,level) fill window, the touch agg, one lag)
+    audit("ofi", graft.operators.BookFeatures.ofi(u), maxHash = 9)
+  }
+
   test("salted prefix sum: no per-language md5-order window " +
       "(VERDICT r10 #1)") {
     // the >LangWindowMaxRows arm of unimaxApply: the only windows are
