@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-user activity-dispersion statistics over the `events` table —
+  * the burstiness diagnostics a clickstream pipeline runs next to the
+  * [[EventAnalytics]] family (bot detection, engagement segmentation):
+  * the Fano factor of hourly event counts and the Goh–Barabási
+  * burstiness coefficient of inter-event times.
+  *
+  * The family contract ([[EventAnalytics]] class doc): timestamps are
+  * exact integer microseconds (`unix_micros` ≡ the twins' `epoch_us`
+  * under the pinned UTC session), every moment sum runs exact
+  * (decimal/HUGEINT) and emits a raise-guarded BIGINT, and each
+  * derived double is one short IEEE chain (+,-,*,/ and the
+  * correctly-rounded sqrt) — bit-portable to DuckDB with no
+  * tolerance and no libm exposure at all.
+  *
+  * Scale shape: both operators are a single user-keyed aggregation
+  * (the Fano adds one (user, hour) pre-aggregation; burstiness adds
+  * one user-keyed lag over each user's own events) — unbounded key
+  * cardinality, skew-free, no global sort. */
+object ActivityStats {
+
+  private val HourMicros: Long = 3600L * 1000000L
+
+  private def guardedLong(op: String)(c: Column, what: String): Column =
+    when(abs(c) > lit(Long.MaxValue),
+      raise_error(concat(lit(s"$op: $what overflows BIGINT at user_id="),
+        col("user_id"))).cast("long"))
+      .otherwise(c.cast("long"))
+
+  /** Fano factor of hourly activity per user: over the user's PRESENT
+    * hours (hours with ≥ 1 event), `fano = Var(c) / Mean(c)` of the
+    * hourly event counts — 1 for a Poisson visitor, ≫ 1 for bursty
+    * sessions-and-silence behavior, → 0 for metronomic bots. Mean is
+    * always > 0 on present hours, so the ratio is total.
+    *
+    * Counts are exact longs; Σc and Σc² run in decimal and emit
+    * raise-guarded BIGINTs; mean/variance/fano are the shared
+    * population-moment IEEE chain. */
+  def userFano(events: DataFrame): DataFrame = {
+    val g = guardedLong("userFano") _
+    val cDec = col("c").cast("decimal(18,0)")
+    val mean = col("n_events").cast("double") / col("n_hours")
+    val variance = col("sum_c2").cast("double") / col("n_hours") -
+      (col("n_events").cast("double") / col("n_hours")) *
+      (col("n_events").cast("double") / col("n_hours"))
+    events
+      .groupBy(col("user_id"),
+        expr(s"CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV $HourMicros AS BIGINT)")
+          .as("hour"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(cDec).as("_s"), sum(cDec * cDec).as("_ss"))
+      .select(col("user_id"), col("n_hours"),
+        g(col("_s"), "sum_c").as("n_events"),
+        g(col("_ss"), "sum_c2").as("sum_c2"))
+      .withColumn("mean_c", mean)
+      .withColumn("var_c", variance)
+      .withColumn("fano", variance / mean)
+  }
+
+  /** DuckDB twin of [[userFano]]. Micros-floor note: `epoch_us // h`
+    * and Spark's long division agree because event timestamps are
+    * non-negative. */
+  def userFanoSql(): String =
+    s"""SELECT user_id, n_hours, n_events, sum_c2,
+       | CAST(n_events AS DOUBLE) / n_hours AS mean_c,
+       | CAST(sum_c2 AS DOUBLE) / n_hours
+       |  - (CAST(n_events AS DOUBLE) / n_hours)
+       |    * (CAST(n_events AS DOUBLE) / n_hours) AS var_c,
+       | (CAST(sum_c2 AS DOUBLE) / n_hours
+       |  - (CAST(n_events AS DOUBLE) / n_hours)
+       |    * (CAST(n_events AS DOUBLE) / n_hours))
+       |  / (CAST(n_events AS DOUBLE) / n_hours) AS fano
+       |FROM (
+       | SELECT user_id, count(*) AS n_hours,
+       |  CAST(SUM(CAST(c AS HUGEINT)) AS BIGINT) AS n_events,
+       |  CAST(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS BIGINT)
+       |   AS sum_c2
+       | FROM (
+       |  SELECT user_id, epoch_us(ts) // $HourMicros AS hour,
+       |   count(*) AS c
+       |  FROM events GROUP BY 1, 2)
+       | GROUP BY 1)
+       |ORDER BY user_id""".stripMargin.replace('\n', ' ')
+
+  /** Goh–Barabási burstiness per user over inter-event times at
+    * second resolution: `B = (σ − μ) / (σ + μ)` of the user's
+    * consecutive-event gaps — −1 metronomic, 0 Poisson, → 1 bursty.
+    * Gaps quantize to whole seconds (`Δµs // 1e6`, exact — second
+    * resolution keeps Σg² within BIGINT for multi-year spans where
+    * raw micros-squared would overflow a single summand). Ties on
+    * `(ts, event_id)` order exactly as the family's sessionize lag.
+    * Null when the user has < 2 events or σ + μ = 0 (a single gap of
+    * zero seconds). */
+  def burstiness(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+    val g = guardedLong("burstiness") _
+    val gDec = col("gap_s").cast("decimal(18,0)")
+    val mean = col("sum_g").cast("double") / col("n_gaps")
+    val variance = col("sum_g2").cast("double") / col("n_gaps") -
+      (col("sum_g").cast("double") / col("n_gaps")) *
+      (col("sum_g").cast("double") / col("n_gaps"))
+    val sigma = sqrt(variance)
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).cast("long").as("tsu"))
+      .withColumn("prev_tsu", lag(col("tsu"), 1).over(w))
+      .where(col("prev_tsu").isNotNull)
+      .select(col("user_id"),
+        expr("CAST((tsu - prev_tsu) DIV 1000000 AS BIGINT)")
+          .as("gap_s"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(gDec).as("_s"), sum(gDec * gDec).as("_ss"))
+      .select(col("user_id"), col("n_gaps"),
+        g(col("_s"), "sum_g").as("sum_g"),
+        g(col("_ss"), "sum_g2").as("sum_g2"))
+      .withColumn("mean_g", mean)
+      .withColumn("sigma_g", sigma)
+      .withColumn("burstiness",
+        when(sigma + mean =!= 0.0d, (sigma - mean) / (sigma + mean)))
+  }
+
+  /** DuckDB twin of [[burstiness]] — identical gap quantization and
+    * IEEE chain. */
+  def burstinessSql(): String =
+    s"""SELECT user_id, n_gaps, sum_g, sum_g2, mean_g, sigma_g,
+       | CASE WHEN sigma_g + mean_g <> 0.0
+       |  THEN (sigma_g - mean_g) / (sigma_g + mean_g)
+       | END AS burstiness
+       |FROM (
+       | SELECT user_id, n_gaps, sum_g, sum_g2,
+       |  CAST(sum_g AS DOUBLE) / n_gaps AS mean_g,
+       |  sqrt(CAST(sum_g2 AS DOUBLE) / n_gaps
+       |   - (CAST(sum_g AS DOUBLE) / n_gaps)
+       |     * (CAST(sum_g AS DOUBLE) / n_gaps)) AS sigma_g
+       | FROM (
+       |  SELECT user_id, count(*) AS n_gaps,
+       |   CAST(SUM(CAST(gap_s AS HUGEINT)) AS BIGINT) AS sum_g,
+       |   CAST(SUM(CAST(gap_s AS HUGEINT) * CAST(gap_s AS HUGEINT))
+       |     AS BIGINT) AS sum_g2
+       |  FROM (
+       |   SELECT user_id, (tsu - prev_tsu) // 1000000 AS gap_s
+       |   FROM (
+       |    SELECT user_id, epoch_us(ts) AS tsu,
+       |     lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+       |       ORDER BY epoch_us(ts), event_id) AS prev_tsu
+       |    FROM events)
+       |   WHERE prev_tsu IS NOT NULL)
+       |  GROUP BY 1)
+       | )
+       |ORDER BY user_id""".stripMargin.replace('\n', ' ')
+}

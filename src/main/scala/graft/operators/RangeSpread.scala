@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corwin–Schultz high-low spread estimation per (symbol, bucket) —
+  * the range-based cousin of [[Microstructure.rollSpread]]: the
+  * bid-ask spread inferred from the fact that bucket HIGHS are buys
+  * and LOWS are sells, so the high-low ratio embeds the spread once
+  * the variance component (which scales with time) is differenced out
+  * across a 2-bucket span (Corwin & Schultz 2012, the standard
+  * daily-data estimator, here at bucket cadence).
+  *
+  * Exactness contract (the estimator-wave stance):
+  *  - per-bucket high/low are EXACT integer cents (round-half-up, the
+  *    [[DecaySeries.emaClose]] quantization, finite-guarded loud);
+  *  - each log range is floor-quantized: `rq = floor(ln(h/l)·1e8)`
+  *    per bucket and `gq = floor(ln(max(h,h')/min(l,l'))·1e8)` per
+  *    2-bucket span — the [[Microstructure.bucketReturns]] treatment
+  *    of the one non-correctly-rounded libm call, with a loud
+  *    |·| > 2e9 bound so the exact squares below stay under 2^63;
+  *  - `beta_q = rq² + rq'²` and `gamma_q = gq²` are exact longs;
+  *    `beta`/`gamma` are single divisions; `alpha` is a chain of
+  *    correctly-rounded ops only (sqrt, -, /, with the √2-derived
+  *    constants embedded as identical Scala-computed literals);
+  *  - `spread = 2(e^α − 1)/(1 + e^α)` passes through `exp` (not
+  *    correctly rounded), so it is floor-quantized to 1e8 before
+  *    emission, the same stance as the log ranges.
+  *
+  * Scale shape: one (symbol, bucket) partial aggregation, one
+  * per-symbol lag over the BUCKET series, then pure per-row
+  * arithmetic. */
+object RangeSpread {
+
+  /** `3 − 2√2`, the Corwin–Schultz denominator, computed once here and
+    * embedded as the identical literal in both engines. */
+  private val Denom: Double = 3.0d - 2.0d * math.sqrt(2.0d)
+
+  /** Loud bound on a quantized log range: 2e9 ≡ ln(ratio) > 20, an
+    * intra-span high/low ratio past 4.8e8× — unphysical data fails
+    * loud before `rq²` could exceed 2^63. */
+  private val MaxRangeQ: Long = 2000000000L
+
+  private def guardedRangeQ(c: Column, what: String): Column =
+    when(abs(c) > MaxRangeQ,
+      raise_error(concat(lit(s"corwinSchultz: $what outside the " +
+        "exact regime at symbol="), col("symbol"))).cast("long"))
+      .otherwise(c)
+
+  /** Per (symbol, bucket-pair) Corwin–Schultz estimate. Buckets with
+    * a zero-cent low (sub-cent prices) cannot take the log-range and
+    * are dropped, as is each symbol's first bucket (no prior span).
+    * `spread` is the raw estimate (negative in bounce-dominated spans
+    * — the estimator's known small-sample behavior);
+    * `spread_pos` clamps at 0, the authors' convention. */
+  def corwinSchultz(updates: DataFrame, seconds: Long = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("symbol")).orderBy(col("start"))
+    // exact integer cents, finite-guarded (the emaClose stance: NaN
+    // floors to 0L silently under non-ANSI mode, so raise first)
+    val cents = when(
+      abs(floor(Microstructure.finitePrice * 100.0d + 0.5d)) > 1.0e12d,
+      raise_error(concat(lit("corwinSchultz: price outside the " +
+        "exact-decimal regime at symbol="), col("symbol"))).cast("long"))
+      .otherwise(floor(Microstructure.finitePrice * 100.0d + 0.5d)
+        .cast("long"))
+    val hl = updates
+      .where(col("is_trade") && col("price") > 0.0d)
+      .groupBy(col("symbol"),
+        graft.functions.timeBucket(graft.functions.tsSeconds(col("ts")),
+          seconds).as("start"))
+      .agg(max(cents).as("hc"), min(cents).as("lc"))
+    val spans = hl
+      .withColumn("hp", lag(col("hc"), 1).over(w))
+      .withColumn("lp", lag(col("lc"), 1).over(w))
+      .where(col("hp").isNotNull && col("lc") > 0L && col("lp") > 0L)
+      .withColumn("rq", guardedRangeQ(
+        floor(log(col("hc").cast("double") / col("lc").cast("double")) *
+          1e8d).cast("long"), "log range"))
+      .withColumn("rqp", guardedRangeQ(
+        floor(log(col("hp").cast("double") / col("lp").cast("double")) *
+          1e8d).cast("long"), "prior log range"))
+      .withColumn("gq", guardedRangeQ(
+        floor(log(greatest(col("hc"), col("hp")).cast("double") /
+          least(col("lc"), col("lp")).cast("double")) * 1e8d)
+          .cast("long"), "span log range"))
+      .withColumn("beta_q", col("rq") * col("rq") + col("rqp") * col("rqp"))
+      .withColumn("gamma_q", col("gq") * col("gq"))
+    val beta = col("beta_q").cast("double") / 1e16d
+    val gamma = col("gamma_q").cast("double") / 1e16d
+    val alpha = (sqrt(lit(2.0d) * beta) - sqrt(beta)) / lit(Denom) -
+      sqrt(gamma / lit(Denom))
+    spans
+      .withColumn("alpha", alpha)
+      .withColumn("spread_q",
+        floor(lit(2.0d) * (exp(col("alpha")) - lit(1.0d)) /
+          (lit(1.0d) + exp(col("alpha"))) * 1e8d).cast("long"))
+      .select(col("symbol"), col("start"), col("hc"), col("lc"),
+        col("beta_q"), col("gamma_q"), col("alpha"), col("spread_q"),
+        (col("spread_q").cast("double") / 1e8d).as("spread"),
+        greatest(col("spread_q").cast("double") / 1e8d, lit(0.0d))
+          .as("spread_pos"))
+  }
+
+  /** DuckDB twin of [[corwinSchultz]] — identical quantizations and
+    * the same IEEE chain order. */
+  def corwinSchultzSql(seconds: Long = 60): String =
+    s"""SELECT symbol, start, hc, lc, beta_q, gamma_q, alpha, spread_q,
+       | CAST(spread_q AS DOUBLE) / 1e8 AS spread,
+       | greatest(CAST(spread_q AS DOUBLE) / 1e8, 0.0) AS spread_pos
+       |FROM (
+       | SELECT symbol, start, hc, lc, beta_q, gamma_q, alpha,
+       |  CAST(floor(2.0 * (exp(alpha) - 1.0) / (1.0 + exp(alpha))
+       |    * 1e8) AS BIGINT) AS spread_q
+       | FROM (
+       |  SELECT symbol, start, hc, lc, beta_q, gamma_q,
+       |   (sqrt(2.0 * (CAST(beta_q AS DOUBLE) / 1e16))
+       |     - sqrt(CAST(beta_q AS DOUBLE) / 1e16)) / $Denom
+       |    - sqrt((CAST(gamma_q AS DOUBLE) / 1e16) / $Denom) AS alpha
+       |  FROM (
+       |   SELECT symbol, start, hc, lc,
+       |    rq * rq + rqp * rqp AS beta_q, gq * gq AS gamma_q
+       |   FROM (
+       |    SELECT symbol, start, hc, lc,
+       |     CAST(floor(ln(CAST(hc AS DOUBLE) / CAST(lc AS DOUBLE))
+       |       * 1e8) AS BIGINT) AS rq,
+       |     CAST(floor(ln(CAST(hp AS DOUBLE) / CAST(lp AS DOUBLE))
+       |       * 1e8) AS BIGINT) AS rqp,
+       |     CAST(floor(ln(CAST(greatest(hc, hp) AS DOUBLE)
+       |       / CAST(least(lc, lp) AS DOUBLE)) * 1e8) AS BIGINT) AS gq
+       |    FROM (
+       |     SELECT symbol, start, hc, lc,
+       |      lag(hc, 1) OVER wb AS hp, lag(lc, 1) OVER wb AS lp
+       |     FROM (
+       |      SELECT symbol, ((ts // 1000) // $seconds) * $seconds
+       |        AS start,
+       |       max(CAST(floor(price * 100.0 + 0.5) AS BIGINT)) AS hc,
+       |       min(CAST(floor(price * 100.0 + 0.5) AS BIGINT)) AS lc
+       |      FROM updates WHERE is_trade AND price > 0.0
+       |      GROUP BY 1, 2)
+       |     WINDOW wb AS (PARTITION BY symbol ORDER BY start))
+       |    WHERE hp IS NOT NULL AND lc > 0 AND lp > 0))))
+       |ORDER BY symbol, start""".stripMargin.replace('\n', ' ')
+}

@@ -1,0 +1,339 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Return-dynamics estimators over the shared
+  * [[Microstructure.bucketReturns]] kernel — the second wave of
+  * beyond-reference consumer analytics downstream of the reference's
+  * candle surface (`crates/tdb-core/src/postprocessing/candle`):
+  * realized-vs-bipower jump decomposition, the multi-lag return
+  * autocorrelation function, and the aggregated-variance Hurst
+  * exponent.
+  *
+  * All three follow the estimator-wave contract established by
+  * [[Microstructure.varianceRatio]]:
+  *  - returns are the exact integers `q = floor(ln(close_b/close_{b-1})
+  *    * 1e6)` (loud |q| > 1e9 guard inherited from the kernel);
+  *  - every cross-engine sum runs in decimal/HUGEINT and is emitted as
+  *    a raise-guarded BIGINT (past 2^63 both engines error loud);
+  *  - each derived double is one short IEEE chain (+,-,*,/ and the
+  *    correctly-rounded sqrt) over identically-derived operands, so
+  *    the DuckDB twins match bit-for-bit with no tolerance. Where a
+  *    non-correctly-rounded libm call is unavoidable (`ln` of a
+  *    computed variance in [[hurst]]) the output is floor-quantized to
+  *    1e8 first — the [[Microstructure.bucketReturns]] stance.
+  *
+  * Scale shape, identical for all three: one (symbol, bucket) partial
+  * aggregation, per-symbol ordered windows over the BUCKET series
+  * (time-bounded — buckets/symbol, not events/symbol), one per-symbol
+  * hash aggregation. No event-axis window anywhere. */
+object ReturnDynamics {
+
+  /** π/2 = µ₁⁻² for the bipower scaling, the closest double, embedded
+    * as the same literal in both engines. */
+  private val HalfPi: Double = 1.5707963267948966d
+
+  private def guardedLong(op: String)(c: Column, what: String): Column =
+    when(abs(c) > lit(Long.MaxValue),
+      raise_error(concat(lit(s"$op: $what overflows BIGINT at symbol="),
+        col("symbol"))).cast("long"))
+      .otherwise(c.cast("long"))
+
+  /** Barndorff-Nielsen–Shephard jump decomposition per symbol:
+    * realized variance `RV = Σ q²` against bipower variation
+    * `BV = (π/2)·Σ|q_b||q_{b-1}|` over consecutive PRESENT-bucket
+    * return pairs; `jump = max(RV − BV, 0)` and
+    * `jump_ratio = jump / RV` (null when RV = 0). A diffusive price
+    * path has RV ≈ BV; discontinuities load RV only — the standard
+    * jump-activity diagnostic at bucket cadence.
+    *
+    * `q² ≤ 1e18` and `|q·q'| ≤ 1e18` each fit a long; the SUMS run in
+    * decimal(31,0) and emit through the raise-guarded BIGINT cast
+    * (OverflowAuditSpec drives the bound). RV/BV are then one
+    * cast + division + multiplication each, in the same textual order
+    * as the twin. */
+  def bipowerVar(updates: DataFrame, seconds: Long = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("symbol")).orderBy(col("start"))
+    val g = guardedLong("bipowerVar") _
+    val qDec = col("q").cast("decimal(15,0)")
+    val qpDec = col("qp").cast("decimal(15,0)")
+    val rv = col("sum_q2").cast("double") / 1e12d
+    val bv = lit(HalfPi) * (col("sum_bp").cast("double") / 1e12d)
+    Microstructure.bucketReturns(updates, seconds)
+      .withColumn("qp", lag(col("q"), 1).over(w))
+      .groupBy(col("symbol"))
+      .agg(
+        count(col("q")).as("n_rets"),
+        sum(qDec * qDec).as("_rv"),
+        count(col("qp")).as("n_pairs"),
+        sum(abs(qDec) * abs(qpDec)).as("_bp"))
+      .select(col("symbol"), col("n_rets"), col("n_pairs"),
+        g(col("_rv"), "sum_q2").as("sum_q2"),
+        coalesce(g(col("_bp"), "sum_bp"), lit(0L)).as("sum_bp"))
+      .withColumn("rv", rv)
+      .withColumn("bv", bv)
+      .withColumn("jump", greatest(rv - bv, lit(0.0d)))
+      .withColumn("jump_ratio",
+        when(rv > 0.0d, greatest(rv - bv, lit(0.0d)) / rv))
+  }
+
+  /** DuckDB twin of [[bipowerVar]] — identical kernel, HUGEINT sums,
+    * the same IEEE chain order. */
+  def bipowerVarSql(seconds: Long = 60): String =
+    s"""SELECT symbol, n_rets, n_pairs, sum_q2, sum_bp,
+       | CAST(sum_q2 AS DOUBLE) / 1e12 AS rv,
+       | $HalfPi * (CAST(sum_bp AS DOUBLE) / 1e12) AS bv,
+       | greatest(CAST(sum_q2 AS DOUBLE) / 1e12
+       |  - $HalfPi * (CAST(sum_bp AS DOUBLE) / 1e12), 0.0) AS jump,
+       | CASE WHEN CAST(sum_q2 AS DOUBLE) / 1e12 > 0.0 THEN
+       |  greatest(CAST(sum_q2 AS DOUBLE) / 1e12
+       |   - $HalfPi * (CAST(sum_bp AS DOUBLE) / 1e12), 0.0)
+       |  / (CAST(sum_q2 AS DOUBLE) / 1e12) END AS jump_ratio
+       |FROM (
+       | SELECT symbol, count(q) AS n_rets, count(qp) AS n_pairs,
+       |  CAST(SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS BIGINT)
+       |   AS sum_q2,
+       |  COALESCE(CAST(SUM(abs(CAST(q AS HUGEINT))
+       |   * abs(CAST(qp AS HUGEINT))) AS BIGINT), 0) AS sum_bp
+       | FROM (
+       |  SELECT symbol, q, lag(q, 1) OVER (PARTITION BY symbol
+       |    ORDER BY start) AS qp
+       |  FROM (${Microstructure.bucketReturnsSql(seconds)}))
+       | GROUP BY 1)
+       |ORDER BY symbol""".stripMargin.replace('\n', ' ')
+
+  /** Return autocorrelation function per symbol at lags 1..`maxLag`:
+    * the Pearson correlation of `(q_{b-L}, q_b)` pairs over the bucket
+    * series — the [[Microstructure.flowAutocorr]] estimator generalized
+    * from signed flow at lag 1 to returns at a lag ladder (the
+    * momentum/mean-reversion horizon profile; lag-1 negative is the
+    * bid-ask-bounce signature [[Microstructure.rollSpread]] prices).
+    *
+    * All L lag columns come off ONE per-symbol bucket window; the lag
+    * axis then unpivots through a single `explode` (the
+    * [[EventAnalytics.funnelSummary]] stance — plan size constant in
+    * `maxLag`, not N re-selects unioned). Six decimal sums per
+    * (symbol, lag), raise-guarded BIGINT emission, and the identical
+    * correlation chain as flowAutocorr. */
+  def returnAcf(updates: DataFrame, seconds: Long = 60,
+      maxLag: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxLag >= 1 && maxLag <= 32, "returnAcf needs 1 <= maxLag <= 32")
+    val w = Window.partitionBy(col("symbol")).orderBy(col("start"))
+    val g = guardedLong("returnAcf") _
+    val lagged = (1 to maxLag).foldLeft(
+      Microstructure.bucketReturns(updates, seconds)) { (df, l) =>
+        df.withColumn(s"_l$l", lag(col("q"), l).over(w))
+      }
+    val stacked = lagged
+      .select(col("symbol"), explode(array((1 to maxLag).map(l =>
+        struct(lit(l).as("lag"), col(s"_l$l").as("x"),
+          col("q").as("y"))): _*)).as("p"))
+      .select(col("symbol"), col("p.lag").as("lag"),
+        col("p.x").cast("decimal(15,0)").as("x"),
+        col("p.y").cast("decimal(15,0)").as("y"))
+      .where(col("x").isNotNull)
+    stacked.groupBy(col("symbol"), col("lag"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("_sx"),
+        sum(col("y")).as("_sy"),
+        sum(col("x") * col("y")).as("_sxy"),
+        sum(col("x") * col("x")).as("_sxx"),
+        sum(col("y") * col("y")).as("_syy"))
+      .select(col("symbol"), col("lag"), col("n_pairs"),
+        g(col("_sx"), "sum_x").as("sum_x"),
+        g(col("_sy"), "sum_y").as("sum_y"),
+        g(col("_sxy"), "sum_xy").as("sum_xy"),
+        g(col("_sxx"), "sum_xx").as("sum_xx"),
+        g(col("_syy"), "sum_yy").as("sum_yy"))
+      .withColumn("_dx",
+        col("n_pairs").cast("double") * col("sum_xx").cast("double") -
+          col("sum_x").cast("double") * col("sum_x").cast("double"))
+      .withColumn("_dy",
+        col("n_pairs").cast("double") * col("sum_yy").cast("double") -
+          col("sum_y").cast("double") * col("sum_y").cast("double"))
+      .select(col("symbol"), col("lag"), col("n_pairs"), col("sum_x"),
+        col("sum_y"), col("sum_xy"), col("sum_xx"), col("sum_yy"),
+        when(col("_dx") =!= 0.0d && col("_dy") =!= 0.0d,
+          (col("n_pairs").cast("double") * col("sum_xy").cast("double") -
+            col("sum_x").cast("double") * col("sum_y").cast("double")) /
+            (sqrt(col("_dx")) * sqrt(col("_dy"))))
+          .as("acf"))
+  }
+
+  /** DuckDB twin of [[returnAcf]] — the oracle side unpivots via a
+    * lag-table cross join (bounded: `maxLag` rows). */
+  def returnAcfSql(seconds: Long = 60, maxLag: Int = 5): String = {
+    val lagCols = (1 to maxLag).map(l =>
+      s"lag(q, $l) OVER (PARTITION BY symbol ORDER BY start) AS l$l")
+      .mkString(", ")
+    val lagCase = (1 to maxLag).map(l =>
+      s"WHEN $l THEN l$l").mkString(" ")
+    s"""SELECT symbol, lag, n_pairs, sum_x, sum_y, sum_xy, sum_xx,
+       | sum_yy,
+       | CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+       |    - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE) <> 0.0
+       |   AND CAST(n_pairs AS DOUBLE) * CAST(sum_yy AS DOUBLE)
+       |    - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE) <> 0.0
+       |  THEN (CAST(n_pairs AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+       |    - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+       |   / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+       |      - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+       |    * sqrt(CAST(n_pairs AS DOUBLE) * CAST(sum_yy AS DOUBLE)
+       |      - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)))
+       | END AS acf
+       |FROM (
+       | SELECT symbol, lag, count(*) AS n_pairs,
+       |  CAST(SUM(x) AS BIGINT) AS sum_x,
+       |  CAST(SUM(y) AS BIGINT) AS sum_y,
+       |  CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+       |  CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+       |  CAST(SUM(y * y) AS BIGINT) AS sum_yy
+       | FROM (
+       |  SELECT symbol, lags.lag,
+       |   CAST(CASE lags.lag $lagCase END AS HUGEINT) AS x,
+       |   CAST(q AS HUGEINT) AS y
+       |  FROM (
+       |   SELECT symbol, q, $lagCols
+       |   FROM (${Microstructure.bucketReturnsSql(seconds)}))
+       |  CROSS JOIN (SELECT unnest(range(1, ${maxLag + 1})) AS lag)
+       |   AS lags)
+       | WHERE x IS NOT NULL
+       | GROUP BY 1, 2)
+       |ORDER BY symbol, lag""".stripMargin.replace('\n', ' ')
+  }
+
+  /** Aggregation levels for [[hurst]] and their log abscissae
+    * (`Math.log` of the exact small integers, embedded as the same
+    * literals in both engines — no runtime `ln` on the x axis). */
+  private val HurstLevels: Seq[(Int, Double)] =
+    Seq(1, 2, 4, 8).map(m => m -> math.log(m.toDouble))
+
+  /** Aggregated-variance Hurst exponent per symbol: for
+    * m ∈ {1, 2, 4, 8}, the population variance of NON-OVERLAPPING
+    * m-bucket return sums (complete blocks only), then the
+    * least-squares slope of `ln Var(Σ_m q)` against `ln m` — under
+    * self-similarity `Var(Σ_m) ∝ m^{2H}`, so `H = slope / 2`
+    * (H ≈ 0.5 random walk, > 0.5 trending, < 0.5 mean-reverting; the
+    * multi-horizon cousin of [[Microstructure.varianceRatio]]).
+    *
+    * Exactness: block sums `Σ_m q` are exact longs; per-(symbol, m)
+    * moment sums run in decimal and emit raise-guarded BIGINTs;
+    * `Var_m` is the shared population-variance IEEE chain. The one
+    * non-correctly-rounded call — `ln Var_m` — is floor-quantized to
+    * 1e8 (`y_m`), and the regression runs over the FOUR fixed
+    * abscissae in one fixed textual order, so every double is
+    * bit-portable. `hurst` is null unless all four levels have ≥ 2
+    * complete blocks and positive variance.
+    *
+    * Scale: the explode multiplies the BUCKET series by 4 — still
+    * time-bounded per symbol — and everything downstream is hash
+    * aggregation. */
+  def hurst(updates: DataFrame, seconds: Long = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("symbol")).orderBy(col("start"))
+    val g = guardedLong("hurst") _
+    val qmDec = col("qm").cast("decimal(18,0)")
+    val blocks = Microstructure.bucketReturns(updates, seconds)
+      .withColumn("rn", row_number().over(w))
+      .select(col("symbol"), col("rn"), col("q"),
+        explode(array(HurstLevels.map(m => lit(m._1)): _*)).as("m"))
+      .withColumn("grp", expr("CAST((rn - 1) DIV m AS BIGINT)"))
+      .groupBy(col("symbol"), col("m"), col("grp"))
+      .agg(sum(col("q")).as("qm"), count(lit(1)).as("cnt"))
+      .where(col("cnt") === col("m"))
+    val perLevel = blocks.groupBy(col("symbol"), col("m"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(qmDec).as("_s"), sum(qmDec * qmDec).as("_ss"))
+      .select(col("symbol"), col("m"), col("n_blocks"),
+        g(col("_s"), "sum_qm").as("sum_qm"),
+        g(col("_ss"), "sum_qm2").as("sum_qm2"))
+      .withColumn("var_m",
+        col("sum_qm2").cast("double") / col("n_blocks") -
+          (col("sum_qm").cast("double") / col("n_blocks")) *
+          (col("sum_qm").cast("double") / col("n_blocks")))
+      .withColumn("yq",
+        when(col("n_blocks") >= 2L && col("var_m") > 0.0d,
+          floor(log(col("var_m")) * 1e8d).cast("long")))
+    // pivot the four fixed levels into one row per symbol — max of a
+    // single value per (symbol, m) is that value; the fixed textual
+    // order below makes every IEEE sum deterministic
+    val wide = perLevel.groupBy(col("symbol"))
+      .agg(
+        max(when(col("m") === 1, col("yq"))).as("yq1"),
+        max(when(col("m") === 2, col("yq"))).as("yq2"),
+        max(when(col("m") === 4, col("yq"))).as("yq4"),
+        max(when(col("m") === 8, col("yq"))).as("yq8"),
+        max(when(col("m") === 1, col("n_blocks"))).as("n1"),
+        max(when(col("m") === 8, col("n_blocks"))).as("n8"))
+    val xs = HurstLevels.map(_._2)
+    val sx = xs.reduce(_ + _)
+    val sxx = xs.map(x => x * x).reduce(_ + _)
+    def y(i: Int) = col(s"yq$i").cast("double") / 1e8d
+    val sy = y(1) + y(2) + y(4) + y(8)
+    val sxy = lit(xs(0)) * y(1) + lit(xs(1)) * y(2) +
+      lit(xs(2)) * y(4) + lit(xs(3)) * y(8)
+    val slope = (lit(4.0d) * sxy - lit(sx) * sy) /
+      lit(4.0d * sxx - sx * sx)
+    wide.select(col("symbol"), col("yq1"), col("yq2"), col("yq4"),
+      col("yq8"), col("n1"), col("n8"),
+      when(col("yq1").isNotNull && col("yq2").isNotNull &&
+        col("yq4").isNotNull && col("yq8").isNotNull,
+        slope / 2.0d).as("hurst"))
+  }
+
+  /** DuckDB twin of [[hurst]] — identical block construction,
+    * HUGEINT moment sums, the same quantized-y fixed-order
+    * regression. */
+  def hurstSql(seconds: Long = 60): String = {
+    val xs = HurstLevels.map(_._2)
+    val sx = xs.reduce(_ + _)
+    val denom = 4.0d * xs.map(x => x * x).reduce(_ + _) - sx * sx
+    def y(i: Int) = s"(CAST(yq$i AS DOUBLE) / 1e8)"
+    val sy = s"(${y(1)} + ${y(2)} + ${y(4)} + ${y(8)})"
+    val sxy = s"(${xs(0)} * ${y(1)} + ${xs(1)} * ${y(2)}" +
+      s" + ${xs(2)} * ${y(4)} + ${xs(3)} * ${y(8)})"
+    s"""SELECT symbol, yq1, yq2, yq4, yq8, n1, n8,
+       | CASE WHEN yq1 IS NOT NULL AND yq2 IS NOT NULL
+       |   AND yq4 IS NOT NULL AND yq8 IS NOT NULL
+       |  THEN (4.0 * $sxy - $sx * $sy) / $denom / 2.0 END AS hurst
+       |FROM (
+       | SELECT symbol,
+       |  max(CASE WHEN m = 1 THEN yq END) AS yq1,
+       |  max(CASE WHEN m = 2 THEN yq END) AS yq2,
+       |  max(CASE WHEN m = 4 THEN yq END) AS yq4,
+       |  max(CASE WHEN m = 8 THEN yq END) AS yq8,
+       |  max(CASE WHEN m = 1 THEN n_blocks END) AS n1,
+       |  max(CASE WHEN m = 8 THEN n_blocks END) AS n8
+       | FROM (
+       |  SELECT symbol, m, n_blocks, sum_qm, sum_qm2,
+       |   CASE WHEN n_blocks >= 2 AND var_m > 0.0
+       |    THEN CAST(floor(ln(var_m) * 1e8) AS BIGINT) END AS yq
+       |  FROM (
+       |   SELECT symbol, m, n_blocks, sum_qm, sum_qm2,
+       |    CAST(sum_qm2 AS DOUBLE) / n_blocks
+       |     - (CAST(sum_qm AS DOUBLE) / n_blocks)
+       |       * (CAST(sum_qm AS DOUBLE) / n_blocks) AS var_m
+       |   FROM (
+       |    SELECT symbol, m, count(*) AS n_blocks,
+       |     CAST(SUM(CAST(qm AS HUGEINT)) AS BIGINT) AS sum_qm,
+       |     CAST(SUM(CAST(qm AS HUGEINT) * CAST(qm AS HUGEINT))
+       |       AS BIGINT) AS sum_qm2
+       |    FROM (
+       |     SELECT symbol, m, grp, SUM(q) AS qm, count(*) AS cnt
+       |     FROM (
+       |      SELECT r.symbol, r.q, r.rn, ms.m, (r.rn - 1) // ms.m AS grp
+       |      FROM (
+       |       SELECT symbol, q, start, row_number() OVER (
+       |         PARTITION BY symbol ORDER BY start) AS rn
+       |       FROM (${Microstructure.bucketReturnsSql(seconds)})) r
+       |      CROSS JOIN (SELECT unnest([1, 2, 4, 8]) AS m) ms)
+       |     GROUP BY 1, 2, 3)
+       |    WHERE cnt = m GROUP BY 1, 2)))
+       | GROUP BY 1)
+       |ORDER BY symbol""".stripMargin.replace('\n', ' ')
+  }
+}

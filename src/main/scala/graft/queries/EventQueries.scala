@@ -84,6 +84,18 @@ object EventQueries {
     Q("q_funnel_ttc",
       (s, dir) => EventAnalytics.funnelTimeToConvert(
         events(s, dir), FunnelSteps),
-      Some(EventAnalytics.funnelTimeToConvertSql(FunnelSteps)))
+      Some(EventAnalytics.funnelTimeToConvertSql(FunnelSteps))),
+
+    // Fano factor of hourly activity per user (bursty vs metronomic)
+    Q("q_user_fano",
+      (s, dir) => graft.operators.ActivityStats.userFano(events(s, dir))
+        .orderBy("user_id"),
+      Some(graft.operators.ActivityStats.userFanoSql())),
+
+    // Goh-Barabasi burstiness of inter-event times at second grain
+    Q("q_burstiness",
+      (s, dir) => graft.operators.ActivityStats.burstiness(events(s, dir))
+        .orderBy("user_id"),
+      Some(graft.operators.ActivityStats.burstinessSql()))
   )
 }

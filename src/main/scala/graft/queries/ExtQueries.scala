@@ -519,6 +519,14 @@ object ExtQueries {
       (s, dir) => TextOps.sourceDrift(docs(s, dir)).orderBy("source"),
       Some(TextOps.sourceDriftSql())),
 
+    // per-source PSI of the doc-length histogram vs the corpus —
+    // shape drift orthogonal to the vocabulary KL above; fixed
+    // integer bin ladder, smoothed, quantized logs, decimal sum
+    Q("q_length_psi",
+      (s, dir) => graft.ext.DriftStats.lengthPsi(docs(s, dir))
+        .orderBy("source"),
+      Some(graft.ext.DriftStats.lengthPsiSql())),
+
     // per-source domain scorecard: totals + quality-filter pass rate
     Q("q_source_quality",
       (s, dir) => TextOps.sourceQuality(docs(s, dir)).orderBy("source"),

@@ -320,7 +320,32 @@ object TickQueries {
            | FROM updates
            | WHERE symbol = 'click' AND ts BETWEEN $RangeLo AND $RangeHi
            |  AND is_trade GROUP BY 1, 2)
-           |ORDER BY symbol, start""".stripMargin.replace('\n', ' '))))
+           |ORDER BY symbol, start""".stripMargin.replace('\n', ' ')))),
+
+    // return-dynamics wave over the shared bucketReturns kernel:
+    // realized-vs-bipower jump decomposition, the multi-lag return
+    // ACF, and the aggregated-variance Hurst exponent
+    Q("q_bipower_var",
+      (s, dir) => ReturnDynamics.bipowerVar(u(s, dir))
+        .orderBy("symbol"),
+      Some(Tables.withUpdates(ReturnDynamics.bipowerVarSql()))),
+
+    Q("q_return_acf",
+      (s, dir) => ReturnDynamics.returnAcf(u(s, dir))
+        .orderBy("symbol", "lag"),
+      Some(Tables.withUpdates(ReturnDynamics.returnAcfSql()))),
+
+    Q("q_hurst",
+      (s, dir) => ReturnDynamics.hurst(u(s, dir))
+        .orderBy("symbol"),
+      Some(Tables.withUpdates(ReturnDynamics.hurstSql()))),
+
+    // Corwin-Schultz high-low spread: exact integer cents, quantized
+    // log ranges, sqrt-only alpha chain, quantized exp emission
+    Q("q_corwin_schultz",
+      (s, dir) => RangeSpread.corwinSchultz(u(s, dir))
+        .orderBy("symbol", "start"),
+      Some(Tables.withUpdates(RangeSpread.corwinSchultzSql())))
   )
 
   /** One partitioned store per sf DIR (keyed by dir alone, NOT per

@@ -664,6 +664,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("return-dynamics wave: partial aggregation, symbol/user-keyed " +
+      "windows only, no cartesian") {
+    for (name <- Seq("q_bipower_var", "q_return_acf", "q_hurst",
+        "q_corwin_schultz", "q_user_fano", "q_burstiness")) {
+      val p = plan(name)
+      assert(p.contains("partial"), s"$name: aggregation not partial:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian:\n$p")
+      // every window rides the family's parallelism key — never a
+      // global (unpartitioned) sort funnel
+      val blocks = p.split("\n\\(").toSeq
+        .filter(_.takeWhile(_ != '\n').contains("Window"))
+      blocks.foreach(b => assert(
+        b.contains("symbol") || b.contains("user_id"),
+        s"$name window not symbol/user-keyed:\n$b"))
+    }
+    // lengthPsi: the bounded bin/total tables broadcast; the only
+    // data-scale shuffle is the (source, bin) aggregation
+    val p = plan("q_length_psi")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin")
+      || p.contains("BroadcastNestedLoopJoin"),
+      s"psi dims not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"psi cartesian:\n$p")
+  }
+
   test("clickstream family: user-keyed data-scale windows, keyed joins, " +
       "no cartesian beyond sanctioned 1-row broadcasts") {
     for (name <- Seq("q_sessionize", "q_funnel", "q_retention",

@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.model.Update
+import graft.operators.{ActivityStats, RangeSpread, ReturnDynamics}
+
+/** Behavior gates for the round-12 analytics wave: jump decomposition,
+  * return ACF, Hurst, Corwin–Schultz, activity dispersion, and the
+  * length-PSI drift monitor. Each operator also carries a DuckDB
+  * oracle gate (q_bipower_var, q_return_acf, q_hurst,
+  * q_corwin_schultz, q_user_fano, q_burstiness, q_length_psi); these
+  * tests pin the SEMANTICS — planted-signal detection, scalar
+  * reimplementation equality, and the null contracts — which a
+  * bit-identical twin cannot see. */
+class ReturnDynamicsSpec extends SparkSpec {
+
+  /** 13-digit ms epoch base — fillDigits is the identity here, so one
+    * trade lands per minute bucket in order. */
+  private val T0 = 1700000000000L
+
+  /** One trade per minute bucket at the given closes. */
+  private def closes(sym: String, ps: Seq[Double]): Seq[Update] =
+    ps.zipWithIndex.map { case (p, i) =>
+      Update(sym, T0 + i * 60000L, 0L, is_trade = true, is_bid = true,
+        p, 1.0)
+    }
+
+  test("bipowerVar: planted jump loads RV not BV; smooth walk stays " +
+      "diffusive; invariants hold") {
+    // smooth geometric walk: tiny alternating returns, no jumps
+    val smooth = closes("s", (0 until 200).scanLeft(100.0) {
+      (p, i) => p * (if (i % 2 == 0) 1.001 else 0.999)
+    })
+    // same walk with one 40% crash in the middle
+    val jumpy = closes("j", (0 until 200).scanLeft(100.0) { (p, i) =>
+      if (i == 100) p * 0.6 else p * (if (i % 2 == 0) 1.001 else 0.999)
+    })
+    val out = ReturnDynamics.bipowerVar(updatesDf(smooth ++ jumpy))
+      .collect().map(r => r.getString(0) -> r).toMap
+    for ((_, r) <- out) {
+      val (rv, bv, jump) = (r.getDouble(5), r.getDouble(6), r.getDouble(7))
+      assert(rv >= 0.0 && bv >= 0.0 && jump >= 0.0)
+      assert(math.abs(jump - math.max(rv - bv, 0.0)) < 1e-15)
+    }
+    val (js, ss) = (out("j").getDouble(8), out("s").getDouble(8))
+    assert(js > 0.5, s"planted 40% jump not detected: jump_ratio=$js")
+    assert(ss < 0.2, s"smooth walk flagged jumpy: jump_ratio=$ss")
+  }
+
+  test("returnAcf: alternating returns give acf(1) near -1; acf stays " +
+      "in [-1, 1]; zero-variance series yields null") {
+    val alt = closes("a", (0 until 300).scanLeft(100.0) {
+      (p, i) => p * (if (i % 2 == 0) 1.01 else 1.0 / 1.01)
+    })
+    // exactly-representable doubling closes: every q identical, so the
+    // pair variance is exactly zero (1.01 ratios would wobble at the
+    // last ulp of the accumulated product)
+    val flat = closes("f", (0 until 50).scanLeft(100.0)((p, _) => p * 2.0))
+    val rows = ReturnDynamics.returnAcf(updatesDf(alt ++ flat))
+      .collect()
+    val acf = rows.map(r => (r.getString(0), r.getInt(1)) ->
+      (if (r.isNullAt(8)) None else Some(r.getDouble(8)))).toMap
+    assert(acf(("a", 1)).get < -0.9, s"alternating acf(1)=${acf(("a", 1))}")
+    assert(acf(("a", 2)).get > 0.9, s"alternating acf(2)=${acf(("a", 2))}")
+    rows.foreach { r =>
+      if (!r.isNullAt(8))
+        assert(math.abs(r.getDouble(8)) <= 1.0 + 1e-12,
+          s"acf out of range: $r")
+    }
+    // constant-ratio series: every q equal -> zero variance -> null
+    (1 to 5).foreach(l => assert(acf(("f", l)).isEmpty,
+      s"flat series acf($l) should be null"))
+  }
+
+  test("hurst: null contract on degenerate series; anti-persistent " +
+      "alternation scores below a random-ish walk") {
+    // alternating +/-: m=2 block sums are constant -> var 0 at m=2 ->
+    // that level is null -> hurst null by the all-four contract
+    val alt = closes("a", (0 until 200).scanLeft(100.0) {
+      (p, i) => p * (if (i % 2 == 0) 1.01 else 1.0 / 1.01)
+    })
+    // period-3 cycle: no aggregation level collapses, but long-horizon
+    // variance grows sublinearly -> H well below 1/2
+    val cyc = closes("c", (0 until 600).scanLeft(100.0) {
+      (p, i) => p * (i % 3 match {
+        case 0 => 1.02; case 1 => 0.99; case _ => 1.0 / (1.02 * 0.99) })
+    })
+    // deterministic pseudo-random walk (fixed LCG): H near 1/2
+    var s = 12345L
+    val rnd = closes("r", (0 until 600).scanLeft(100.0) { (p, _) =>
+      s = (s * 6364136223846793005L + 1442695040888963407L)
+      p * (if ((s >>> 32) % 2 == 0) 1.01 else 1.0 / 1.01)
+    })
+    val out = ReturnDynamics.hurst(updatesDf(alt ++ cyc ++ rnd))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(7)) None else Some(r.getDouble(7)))).toMap
+    assert(out("a").isEmpty, "alternating series must yield null hurst")
+    val (hc, hr) = (out("c").get, out("r").get)
+    assert(hc < hr, s"cycle H=$hc not below walk H=$hr")
+    assert(hr > 0.2 && hr < 0.8, s"pseudo-random walk H=$hr implausible")
+  }
+
+  test("corwinSchultz: constant-range fixture matches the scalar " +
+      "formula exactly; highs dominate lows") {
+    // every bucket trades the exact same high/low (H=102, L=100) and
+    // the 2-bucket span range equals the single-bucket range
+    val ups = (0 until 20).flatMap(i => Seq(
+      Update("c", T0 + i * 60000L, 0L, true, true, 100.0, 1.0),
+      Update("c", T0 + i * 60000L + 1000, 1L, true, true, 102.0, 1.0)))
+    val rows = RangeSpread.corwinSchultz(updatesDf(ups)).collect()
+    assert(rows.length === 19)
+    // scalar replication of the operator's exact pipeline
+    val r = math.floor(math.log(10200.0 / 10000.0) * 1e8).toLong
+    val betaQ = 2L * r * r
+    val gammaQ = r * r
+    val d = 3.0 - 2.0 * math.sqrt(2.0)
+    val alpha = (math.sqrt(2.0 * (betaQ.toDouble / 1e16)) -
+      math.sqrt(betaQ.toDouble / 1e16)) / d -
+      math.sqrt((gammaQ.toDouble / 1e16) / d)
+    val spreadQ = math.floor(2.0 * (math.exp(alpha) - 1.0) /
+      (1.0 + math.exp(alpha)) * 1e8).toLong
+    rows.foreach { row =>
+      assert(row.getLong(2) === 10200L && row.getLong(3) === 10000L)
+      assert(row.getLong(4) === betaQ && row.getLong(5) === gammaQ)
+      assert(row.getDouble(6) === alpha)
+      assert(row.getLong(7) === spreadQ)
+      assert(row.getDouble(9) >= 0.0)
+    }
+  }
+
+  test("activity stats: metronomic vs bursty users separate; scalar " +
+      "moments match") {
+    import spark.implicits._
+    // metro: one event per hour, 24h. burst: 10 events in hour 0 and
+    // 2 in hour 5 (present-hour convention).
+    val hour = 3600L * 1000000L
+    val evs =
+      (0 until 24).map(i => (i.toLong, "metro", i * hour)) ++
+        (0 until 10).map(i => (100L + i, "burst", i * 60L * 1000000L)) ++
+        (0 until 2).map(i => (200L + i, "burst", 5 * hour + i * 1000000L))
+    val df = evs.toDF("event_id", "user_id", "us")
+      .select(col("event_id"), col("user_id"),
+        org.apache.spark.sql.functions.timestamp_micros(col("us"))
+          .cast("timestamp_ntz").as("ts"))
+    val fano = ActivityStats.userFano(df).collect()
+      .map(r => r.getString(0) -> r.getDouble(6)).toMap
+    assert(fano("metro") === 0.0, "1/hour user must have zero Fano")
+    // burst: counts {10, 2}: mean 6, var 16 -> fano 16/6
+    assert(math.abs(fano("burst") - 16.0 / 6.0) < 1e-12)
+    val b = ActivityStats.burstiness(df).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toMap
+    assert(b("metro").get === -1.0, "equal gaps must score B = -1")
+    assert(b("burst").get > b("metro").get)
+  }
+
+  test("lengthPsi: identical sources score identically; a planted " +
+      "snippet-collapsed source dominates; PSI >= 0 on real docs") {
+    import spark.implicits._
+    // two identical bulk sources spanning bins 2-4, plus a SMALL
+    // source collapsed entirely into the snippet bin
+    val normal = (0 until 200).map(i => "w " * (10 + (i * 7) % 200))
+    val docs =
+      normal.zipWithIndex.map { case (t, i) => (i.toLong, "a", t) } ++
+        normal.zipWithIndex.map { case (t, i) =>
+          (1000L + i, "b", t) } ++
+        (0 until 20).map(i => (2000L + i.toLong, "snip", "tiny doc"))
+    val out = graft.ext.DriftStats.lengthPsi(
+        docs.toDF("doc_id", "source", "text"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out.values.forall(_ >= -1e-15), s"negative PSI: $out")
+    // identical count vectors -> bit-identical PSI
+    assert(out("a") === out("b"), s"identical sources differ: $out")
+    assert(out("snip") > 0.25, s"collapsed source not flagged: $out")
+    assert(out("snip") > 5.0 * out("a"),
+      s"planted source does not dominate: $out")
+    val real = graft.ext.DriftStats.lengthPsi(
+      Tables.table(spark, sf(), "documents")).collect()
+    real.foreach(r => assert(r.getDouble(2) >= -1e-15, s"negative: $r"))
+  }
+}
