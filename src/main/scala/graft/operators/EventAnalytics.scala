@@ -862,4 +862,226 @@ object EventAnalytics {
       |WHERE next_type IS NOT NULL
       |GROUP BY event_type, next_type
       |ORDER BY event_type, next_type""".stripMargin.replace('\n', ' ')
+
+  /** Reserved state names of the attribution chain. A feed whose
+    * event types collide with them fails loud (Spark side; the gate
+    * data cannot reach it). */
+  private val ReservedStates = Set("START", "CONV", "NULL")
+
+  /** The attribution chain's edge table: per user, the journey of
+    * channel touches STRICTLY BEFORE the first `convType` event
+    * (events after the first conversion are out of scope; users who
+    * never convert end in NULL), with synthetic START/CONV/NULL
+    * terminals:
+    *
+    *  - `START → first touch` (or `START → CONV` for users whose very
+    *    first event converts),
+    *  - `touch_i → touch_{i+1}` in the family's `(tsu, event_id)`
+    *    total order,
+    *  - `last touch → CONV` (converted) or `→ NULL` (never).
+    *
+    * Every window/join keys on `user_id` — the family's skew-free
+    * parallelism unit; the output is type-bounded. */
+  private[graft] def attributionEdges(events: DataFrame,
+      convType: String): DataFrame = {
+    val byRn = Window.partitionBy("user_id").orderBy("rn")
+    val allRn = Window.partitionBy("user_id")
+    val ranked = ev(events)
+      .withColumn("rn", row_number().over(perUser))
+    val firstConv = ranked.where(col("event_type") === convType)
+      .groupBy("user_id").agg(min(col("rn")).as("crn"))
+    val base = ranked.join(firstConv, Seq("user_id"), "left")
+      .where(col("crn").isNull || col("rn") < col("crn"))
+    val steps = base
+      .withColumn("nxt", lead(col("event_type"), 1).over(byRn))
+      .withColumn("first_rn", min(col("rn")).over(allRn))
+      .withColumn("last_rn", max(col("rn")).over(allRn))
+    val mid = steps.where(col("nxt").isNotNull)
+      .select(col("event_type").as("src"), col("nxt").as("dst"))
+    val entry = steps.where(col("rn") === col("first_rn"))
+      .select(lit("START").as("src"), col("event_type").as("dst"))
+    val exit = steps.where(col("rn") === col("last_rn"))
+      .select(col("event_type").as("src"),
+        when(col("crn").isNotNull, lit("CONV")).otherwise(lit("NULL"))
+          .as("dst"))
+    val immediate = firstConv.join(
+        base.select("user_id").distinct(), Seq("user_id"), "left_anti")
+      .select(lit("START").as("src"), lit("CONV").as("dst"))
+    mid.unionAll(entry).unionAll(exit).unionAll(immediate)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("outn",
+        sum(col("n")).over(Window.partitionBy("src")))
+  }
+
+  /** Markov removal-effect attribution over the user-journey chain
+    * (Anderl et al. 2014, the standard data-driven alternative to
+    * last-touch): for each channel, the drop in the chain's
+    * START→CONV absorption probability when that channel is removed
+    * (its state zeroed — transitions into it are lost, the
+    * redirect-to-NULL convention), and each channel's share of the
+    * total drop.
+    *
+    * The chain runs `iterations` FIXED truncated-absorption steps in
+    * PURE INTEGER arithmetic — `pq_k(s) = Σ_{s→t} (n·pq_{k-1}(t)) ÷
+    * outn` (floor division per edge before the order-independent
+    * integer sum), `pq(CONV) ≡ 1e12`, `pq(NULL) ≡ 0`, removed-channel
+    * state ≡ 0 — so every probability is an exact integer in BOTH
+    * engines and the emitted ratios are single IEEE divisions of
+    * exact operands. No libm anywhere.
+    *
+    * `removal_q = pq_full − pq_removed ≥ 0` (monotone: zeroing a state
+    * can only lose absorption mass under the truncated iteration);
+    * `share = removal_q / Σ_channels removal_q` — the denominator is
+    * an exact integer sum, so shares are order-independent.
+    *
+    * Scale shape: the heavy half is [[attributionEdges]] (user-keyed
+    * windows); the chain solve runs on the aggregated TYPE graph,
+    * guarded LOUD at `maxTypes` before the bounded collect (the
+    * [[typePagerank]] stance). Batch-only BY DESIGN — a global
+    * fixed-point, not a per-key fold; serve from batch snapshots. */
+  def markovAttribution(events: DataFrame,
+      convType: String = "purchase", iterations: Int = 20,
+      maxTypes: Int = 10000): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val nTypes = ev(events).select("event_type").distinct().count()
+    if (nTypes > maxTypes) throw new IllegalStateException(
+      s"markovAttribution: $nTypes event types exceed maxTypes=" +
+        s"$maxTypes (type-squared edge collect)")
+    val edges = attributionEdges(events, convType)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val real = (edges.map(_._1) ++ edges.map(_._2))
+      .filterNot(t => t == "START" || t == "CONV" || t == "NULL")
+    require(real.forall(!ReservedStates.contains(_)),
+      "event types collide with reserved chain states")
+    val channels = real.distinct.sorted
+    val scale = BigInt(1000000000000L)
+    def absorb(removed: Option[String]): BigInt = {
+      val states = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      var pq = states.map(t =>
+        t -> (if (t == "CONV") scale else BigInt(0))).toMap
+      for (_ <- 0 until iterations) {
+        val next = scala.collection.mutable.Map.empty[String, BigInt]
+        edges.foreach { case (src, dst, n, outn) =>
+          if (src != "CONV" && src != "NULL" &&
+              !removed.contains(src)) {
+            val cq = (BigInt(n) * pq(dst)) / BigInt(outn)
+            next(src) = next.getOrElse(src, BigInt(0)) + cq
+          }
+        }
+        pq = states.map(t => t -> (
+          if (t == "CONV") scale
+          else if (t == "NULL" || removed.contains(t)) BigInt(0)
+          else next.getOrElse(t, BigInt(0)))).toMap
+      }
+      pq.getOrElse("START", BigInt(0))
+    }
+    val pqFull = absorb(None)
+    val removals = channels.map(c => c -> absorb(Some(c)))
+    val totalDrop = removals.map { case (_, p) => pqFull - p }.sum
+    removals.toSeq.map { case (c, pqc) =>
+      val dropQ = (pqFull - pqc).toLong
+      (c, pqFull.toLong, pqc.toLong, dropQ,
+        if (pqFull.signum > 0)
+          Some(dropQ.toDouble / pqFull.toDouble) else None,
+        if (totalDrop.signum > 0)
+          Some(dropQ.toDouble / totalDrop.toDouble) else None)
+    }.toDF("channel", "pq_full", "pq_removed", "removal_q",
+        "removal_effect", "share")
+      .orderBy("channel")
+  }
+
+  /** DuckDB twin of [[markovAttribution]]: the same edge table, the
+    * same pure-integer truncated-absorption iteration as `iterations`
+    * CHAINED CTEs over (variant, state) — one variant per channel
+    * plus the full chain (the [[typePagerankSql]] convention). */
+  def markovAttributionSql(convType: String = "purchase",
+      iterations: Int = 20): String = {
+    val edge =
+      s"""WITH ev AS (
+         | SELECT user_id, event_type,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts), event_id) AS rn
+         | FROM events),
+         |fc AS (SELECT user_id, min(rn) AS crn FROM ev
+         | WHERE event_type = '$convType' GROUP BY 1),
+         |base AS (
+         | SELECT ev.user_id, ev.event_type, ev.rn, fc.crn
+         | FROM ev LEFT JOIN fc USING (user_id)
+         | WHERE fc.crn IS NULL OR ev.rn < fc.crn),
+         |steps AS (
+         | SELECT user_id, event_type, rn, crn,
+         |  lead(event_type, 1) OVER (PARTITION BY user_id
+         |    ORDER BY rn) AS nxt,
+         |  min(rn) OVER (PARTITION BY user_id) AS first_rn,
+         |  max(rn) OVER (PARTITION BY user_id) AS last_rn
+         | FROM base),
+         |raw AS (
+         | SELECT event_type AS src, nxt AS dst FROM steps
+         |  WHERE nxt IS NOT NULL
+         | UNION ALL
+         | SELECT 'START', event_type FROM steps WHERE rn = first_rn
+         | UNION ALL
+         | SELECT event_type,
+         |  CASE WHEN crn IS NOT NULL THEN 'CONV' ELSE 'NULL' END
+         | FROM steps WHERE rn = last_rn
+         | UNION ALL
+         | SELECT 'START', 'CONV' FROM fc
+         |  WHERE user_id NOT IN (SELECT DISTINCT user_id FROM base)),
+         |e AS (
+         | SELECT src, dst, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(SUM(count(*)) OVER (PARTITION BY src) AS BIGINT) AS outn
+         | FROM raw GROUP BY src, dst)""".stripMargin
+        .replace('\n', ' ')
+    val iters = (1 to iterations).map { k =>
+      s"""p$k AS (
+         | SELECT v.rm, nd.t,
+         |  CASE WHEN nd.t = 'CONV' THEN CAST(1000000000000 AS HUGEINT)
+         |   WHEN nd.t = 'NULL' OR nd.t = v.rm THEN 0
+         |   ELSE COALESCE(c.s, 0) END AS pq
+         | FROM variants v CROSS JOIN nodes nd
+         | LEFT JOIN (
+         |  SELECT p.rm, e.src AS t,
+         |   SUM((CAST(e.n AS HUGEINT) * p.pq) // e.outn) AS s
+         |  FROM e JOIN p${k - 1} p ON p.t = e.dst
+         |  GROUP BY p.rm, e.src) c
+         |  ON c.rm = v.rm AND c.t = nd.t)""".stripMargin
+        .replace('\n', ' ')
+    }.mkString(", ")
+    s"""$edge,
+       |nodes AS (SELECT DISTINCT t FROM
+       |  (SELECT src AS t FROM e UNION ALL SELECT dst AS t FROM e)),
+       |channels AS (SELECT t FROM nodes
+       | WHERE t NOT IN ('START', 'CONV', 'NULL')),
+       |variants AS (
+       | SELECT '__full__' AS rm UNION ALL SELECT t FROM channels),
+       |p0 AS (
+       | SELECT v.rm, nd.t,
+       |  CASE WHEN nd.t = 'CONV' THEN CAST(1000000000000 AS HUGEINT)
+       |   ELSE 0 END AS pq
+       | FROM variants v CROSS JOIN nodes nd),
+       |$iters,
+       |fin AS (
+       | SELECT rm, pq FROM p$iterations WHERE t = 'START'),
+       |fullp AS (SELECT pq AS pq_full FROM fin WHERE rm = '__full__'),
+       |drops AS (
+       | SELECT f.rm AS channel, fp.pq_full, f.pq AS pq_removed,
+       |  fp.pq_full - f.pq AS drop_q
+       | FROM fin f CROSS JOIN fullp fp WHERE f.rm <> '__full__'),
+       |tot AS (SELECT SUM(drop_q) AS total_drop FROM drops)
+       |SELECT channel, CAST(pq_full AS BIGINT) AS pq_full,
+       | CAST(pq_removed AS BIGINT) AS pq_removed,
+       | CAST(drop_q AS BIGINT) AS removal_q,
+       | CASE WHEN pq_full > 0
+       |  THEN CAST(drop_q AS DOUBLE) / CAST(pq_full AS DOUBLE)
+       | END AS removal_effect,
+       | CASE WHEN total_drop > 0
+       |  THEN CAST(drop_q AS DOUBLE) / CAST(total_drop AS DOUBLE)
+       | END AS share
+       |FROM drops CROSS JOIN tot
+       |ORDER BY channel""".stripMargin.replace('\n', ' ')
+  }
 }

@@ -86,6 +86,12 @@ object EventQueries {
         events(s, dir), FunnelSteps),
       Some(EventAnalytics.funnelTimeToConvertSql(FunnelSteps))),
 
+    // Markov removal-effect attribution over user journeys: pure
+    // integer truncated-absorption chain, per-channel conversion drop
+    Q("q_markov_attribution",
+      (s, dir) => EventAnalytics.markovAttribution(events(s, dir)),
+      Some(EventAnalytics.markovAttributionSql())),
+
     // Fano factor of hourly activity per user (bursty vs metronomic)
     Q("q_user_fano",
       (s, dir) => graft.operators.ActivityStats.userFano(events(s, dir))
