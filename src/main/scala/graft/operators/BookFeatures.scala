@@ -85,69 +85,131 @@ object BookFeatures {
     * exact integers; the ofi value is a fixed four-term IEEE chain on
     * raw SET sizes (no decimal cast anywhere, so even a corrupt NaN
     * size propagates identically in both engines — parity-safe without
-    * a guard).
+    * a guard; NaN compares GREATER than 0 in both engines, the
+    * [[graft.streaming.Streaming]] SqlOrd contract).
     *
-    * Scale shape: the last-write aggregation keys on (symbol, bucket,
-    * side, level); the forward fill windows on (symbol, side, level)
-    * over the bucket grid (grid = present buckets × live levels, both
-    * book-bounded per the reference's own state); the ofi lag is one
-    * per-symbol window over the bucket series — nothing sorts a
-    * symbol's tick history. */
+    * Scale shape — the per-symbol ordered BOOK FOLD (the FoldBars
+    * budget: `repartition(symbol)` + external spill sort + O(book)
+    * state), the batch twin of `streamingOfi`'s carried SET-book.
+    * The round-12 relational form densified present-buckets ×
+    * live-levels per symbol (~180M rows/symbol at sf0.1) and — keyed
+    * on symbol alone — fed ONE task's window sort, the BENCH_r12
+    * timeout (VERDICT r12 #1); the fold is O(events · log book) with
+    * book-bounded state, and the dense grid survives only inside the
+    * DuckDB twin, where it is an INDEPENDENT relational cross-check
+    * of the fold at oracle SF. Each side's live levels sit in a
+    * TreeMap (last set size > 0 under the NaN-greatest compare ≡ the
+    * relational forward-fill + liveness filter), so a bucket close is
+    * one O(log book) touch probe. In-principle segmentable for a
+    * symbol whose linear scan dominates a task budget (last-write
+    * book state stitches by later-segment-wins, the
+    * [[TickCarry]] pattern); not shipped — the scan matches the
+    * FoldBars envelope that already carries the bar family. */
   def ofi(updates: DataFrame, seconds: Long = 60,
       decimals: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val lvl = updates.where(!col("is_trade"))
-      .select(col("symbol"),
-        timeBucket(tsSeconds(col("ts")), seconds).as("start"),
-        col("is_bid"),
-        // finitePrice: a NaN level price would floor-quantize to level
-        // 0 silently where the twin's CAST errors
-        discretize(Microstructure.finitePrice, decimals).as("level"),
-        col("size"), col("ts"), col("seq"))
-    val kb = lvl.groupBy("symbol", "start", "is_bid", "level")
-      .agg(orderedLast(col("size"), col("ts"), col("seq")).as("s"))
-    val bins = lvl.select("symbol", "start").distinct()
-    val keys = lvl.select("symbol", "is_bid", "level").distinct()
-    val wFill = Window.partitionBy("symbol", "is_bid", "level")
-      .orderBy("start")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = bins.join(keys, "symbol")
-      .join(kb, Seq("symbol", "start", "is_bid", "level"), "left")
-      .withColumn("size", last(col("s"), ignoreNulls = true).over(wFill))
-      .where(col("size").isNotNull && col("size") > 0.0d)
-    val touch = filled.groupBy("symbol", "start")
-      .agg(
-        max(when(col("is_bid"), struct(col("level"), col("size"))))
-          .as("bb"),
-        min(when(!col("is_bid"), struct(col("level"), col("size"))))
-          .as("ba"))
-    val wb = Window.partitionBy("symbol").orderBy("start")
-    val eb =
-      when(col("bb.level") >= col("pbb.level"), col("bb.size"))
-        .otherwise(0.0d) -
-      when(col("bb.level") <= col("pbb.level"), col("pbb.size"))
-        .otherwise(0.0d)
-    val ea =
-      when(col("ba.level") <= col("pba.level"), col("ba.size"))
-        .otherwise(0.0d) -
-      when(col("ba.level") >= col("pba.level"), col("pba.size"))
-        .otherwise(0.0d)
-    touch
-      .withColumn("pbb", lag(col("bb"), 1).over(wb))
-      .withColumn("pba", lag(col("ba"), 1).over(wb))
-      .select(col("symbol"), col("start"),
-        undiscretize(col("bb.level"), decimals).as("best_bid"),
-        col("bb.size").as("bid_size"),
-        undiscretize(col("ba.level"), decimals).as("best_ask"),
-        col("ba.size").as("ask_size"),
-        when(col("bb").isNotNull && col("ba").isNotNull &&
-          col("pbb").isNotNull && col("pba").isNotNull,
-          eb - ea).as("ofi"))
+    val spark = updates.sparkSession
+    import spark.implicits._
+    val mult = math.pow(10, decimals)
+    updates.where(!col("is_trade"))
+      .repartition(col("symbol"))
+      .sortWithinPartitions("symbol", "ts", "seq")
+      .as[graft.model.Update]
+      .mapPartitions(rows => new OfiFold(rows, seconds, mult))
+      .toDF()
   }
 
-  /** DuckDB twin of [[ofi]] — the identical pipeline: last-write per
-    * level-bucket, forward fill over the present-bucket grid,
-    * arg-extrema touches, one lag, the same four-term IEEE chain. */
+  /** One emitted [[ofi]] row (nullable columns as Options — the
+    * relational output schema verbatim). */
+  private[graft] case class OfiOut(symbol: String, start: Long,
+      best_bid: Option[Double], bid_size: Option[Double],
+      best_ask: Option[Double], ask_size: Option[Double],
+      ofi: Option[Double])
+
+  /** The per-symbol ordered fold behind [[ofi]] (the
+    * [[FoldBars]] iterator discipline): partitions hold whole symbols
+    * contiguously, state resets on symbol change, the final open
+    * bucket flushes at symbol end (the streaming twin leaves it open —
+    * batch sees the whole history, so it closes). State per symbol:
+    * one TreeMap of LIVE levels per side (last SET size, present iff
+    * `size > 0` under the NaN-greatest compare — exactly the
+    * relational forward fill's carried-last-set + liveness filter)
+    * plus the previous CLOSED bucket's touch. A bucket with no live
+    * level emits NOTHING and leaves the previous touch carried — the
+    * relational lag over the touch table skips it identically. */
+  private final class OfiFold(rows: Iterator[graft.model.Update],
+      seconds: Long, mult: Double) extends Iterator[OfiOut] {
+    private val pending = scala.collection.mutable.Queue.empty[OfiOut]
+    private val bids = new java.util.TreeMap[Long, Double]
+    private val asks = new java.util.TreeMap[Long, Double]
+    private var sym: String = _
+    private var bucket = Long.MinValue
+    private var pbb: Option[(Long, Double)] = None
+    private var pba: Option[(Long, Double)] = None
+    private var hasPrev = false
+    private var flushed = false
+
+    // Spark SQL / DuckDB double ordering: NaN > 0.0 is TRUE (a NaN
+    // size is LIVE in the relational filter; it must be live here too)
+    private def live(s: Double): Boolean = s.isNaN || s > 0.0d
+
+    private def close(): Unit = {
+      if (bids.isEmpty && asks.isEmpty) return
+      val bb = Option(bids.lastEntry).map(e => (e.getKey.longValue,
+        e.getValue.doubleValue))
+      val ba = Option(asks.firstEntry).map(e => (e.getKey.longValue,
+        e.getValue.doubleValue))
+      val ofi = for {
+        (bl, bs) <- bb; (al, av) <- ba
+        (pbl, pbs) <- pbb; (pal, pas) <- pba
+        if hasPrev
+      } yield
+        ((if (bl >= pbl) bs else 0.0d) - (if (bl <= pbl) pbs else 0.0d)) -
+        ((if (al <= pal) av else 0.0d) - (if (al >= pal) pas else 0.0d))
+      pending += OfiOut(sym, bucket,
+        bb.map(_._1.toDouble / mult), bb.map(_._2),
+        ba.map(_._1.toDouble / mult), ba.map(_._2), ofi)
+      pbb = bb; pba = ba; hasPrev = true
+    }
+
+    private def step(u: graft.model.Update): Unit = {
+      if (u.symbol != sym) {
+        if (sym != null) close()
+        sym = u.symbol; bids.clear(); asks.clear()
+        bucket = Long.MinValue; pbb = None; pba = None; hasPrev = false
+      }
+      // the batch finitePrice stance: a NaN level price would
+      // floor-quantize to level 0 silently where the twin's CAST errors
+      if (u.price.isNaN || u.price.isInfinite)
+        throw new ArithmeticException(
+          "ofi: non-finite price at symbol=" + u.symbol)
+      val b = graft.server.CommandParser.fillDigits(u.ts) / 1000L /
+        seconds * seconds
+      if (bucket == Long.MinValue) bucket = b
+      else if (b != bucket) { close(); bucket = b }
+      val lvl = math.floor(u.price * mult).toLong
+      val side = if (u.is_bid) bids else asks
+      if (live(u.size)) side.put(lvl, u.size) else side.remove(lvl)
+    }
+
+    override def hasNext: Boolean = {
+      while (pending.isEmpty && rows.hasNext) step(rows.next())
+      if (pending.isEmpty && !flushed) {
+        flushed = true
+        if (sym != null) close()
+      }
+      pending.nonEmpty
+    }
+    override def next(): OfiOut = { hasNext; pending.dequeue() }
+  }
+
+  /** DuckDB twin of [[ofi]] — deliberately NOT the fold: the
+    * relational grid pipeline (last-write per level-bucket, forward
+    * fill over the present-bucket grid, arg-extrema touches, one lag,
+    * the same four-term IEEE chain), so the oracle independently
+    * cross-checks the fold's book-carry semantics engine-to-engine.
+    * Grid cardinality is present-buckets × live-levels — fine at
+    * oracle SF (sf0.01: ~10M rows in DuckDB, ~1 s), never the Spark
+    * scale path (see [[ofi]]). */
   def ofiSql(seconds: Long = 60, decimals: Int = 2): String = {
     val p = math.pow(10, decimals).toLong
     s"""WITH lvl AS (
