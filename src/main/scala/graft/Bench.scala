@@ -51,17 +51,55 @@ object Bench {
         .map(_.flatMap(tok =>
           SparkEntry.registryFamilies.find(_._1 == tok)
             .map(_._2.map(_.name).toSet).getOrElse(Set(tok))))
-    def sweep(): Seq[(String, Double)] = SparkEntry.registry
-      .filter(q => only.forall(_.contains(q.name))).map { q =>
-      val t0 = System.nanoTime()
-      val ok =
-        try {
-          q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          true
-        } catch { case _: Throwable => false }
-      val sec = (System.nanoTime() - t0) / 1e9
-      q.name -> (if (ok) sec else -1.0)
+
+    // Per-query wall budget: a poisoned query costs its own row (-2.0),
+    // never the round's bench. BENCH_r08 died on an unguarded exception
+    // (fixed then), BENCH_r12 on a HANG (q_ofi's one-task grid sort,
+    // rc=124 for the whole round) — same lesson, second failure mode
+    // (VERDICT r12 #3). The query runs in its own thread under a named
+    // job group; on timeout the group is cancelled (interrupts running
+    // tasks) and the sweep moves on. 60 s ≈ 15× the slowest healthy
+    // query at sf0.1 — a breach is a plan defect, not host noise.
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "60").toLong
+    val pool = java.util.concurrent.Executors.newCachedThreadPool(
+      new java.util.concurrent.ThreadFactory {
+        // daemon threads: a timed-out query ignoring its interrupt
+        // must never keep the bench JVM alive past main()
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, "bench-query")
+          t.setDaemon(true); t
+        }
+      })
+    def timedRun(q: graft.queries.Q): Double = {
+      val group = s"bench-${q.name}"
+      val task = new java.util.concurrent.Callable[Double] {
+        def call(): Double = {
+          // job-group registration is thread-local: set it in the
+          // thread that issues the Spark actions
+          spark.sparkContext.setJobGroup(group, q.name,
+            interruptOnCancel = true)
+          try {
+            val t0 = System.nanoTime()
+            q.fn(spark, sfDir).write.format("noop")
+              .mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } finally spark.sparkContext.clearJobGroup()
+        }
+      }
+      val fut = pool.submit(task)
+      try fut.get(budgetSec, java.util.concurrent.TimeUnit.SECONDS)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          fut.cancel(true)
+          -2.0
+        case _: Throwable => -1.0
+      }
     }
+    def sweep(): Seq[(String, Double)] = SparkEntry.registry
+      .filter(q => only.forall(_.contains(q.name)))
+      .map(q => q.name -> timedRun(q))
     def render(rs: Seq[(String, Double)]): String = rs
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -86,16 +124,7 @@ object Bench {
     val famIso: Option[String] = if (only.isDefined) None else Some {
       SparkEntry.registryFamilies.map { case (fam, fqs) =>
         val calib = calibrate()
-        val rs = fqs.map { q =>
-          val t0 = System.nanoTime()
-          val ok =
-            try {
-              q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-              true
-            } catch { case _: Throwable => false }
-          val sec = (System.nanoTime() - t0) / 1e9
-          q.name -> (if (ok) sec else -1.0)
-        }
+        val rs = fqs.map(q => q.name -> timedRun(q))
         val tot = rs.map(_._2).filter(_ >= 0).sum
         "\"" + fam + "\":{" + f""""calib_sec":$calib%.3f,""" +
           f""""total_sec":$tot%.3f,"queries":${render(rs)}}"""
