@@ -65,11 +65,15 @@ object DriftStats {
     val cb = sb.groupBy("bin").agg(sum(col("c_sb")).as("c_b"))
     val ns = sb.groupBy("source").agg(sum(col("c_sb")).as("n_s"))
     val nt = localRelation(cb.agg(sum(col("c_b")).as("n_corpus")))
-    // all Bins*sources cells must exist (a source missing a bin still
-    // contributes a smoothed term), so build the dense grid from the
-    // bounded bin table x source totals
-    val grid = ns.crossJoin(broadcast(
-      localRelation(cb.select(col("bin"), col("c_b")))))
+    // all Bins*sources cells must exist — the bin axis is the FULL
+    // literal 0..Bins-1 ladder (not just bins present somewhere in
+    // the corpus): a corpus-wide-empty bin still contributes the
+    // smoothed term (p_bs = 1/(n_s+Bins) vs p_b = 1/(n+Bins) is
+    // nonzero whenever n_s != n), per the documented Laplace formula
+    val binAxis = docs.sparkSession.range(Bins.toLong)
+      .select(col("id").cast("int").as("bin"))
+    val grid = ns.crossJoin(broadcast(localRelation(
+      binAxis.join(cb, Seq("bin"), "left").na.fill(0L, Seq("c_b")))))
       .join(sb, Seq("source", "bin"), "left")
       .na.fill(0L, Seq("c_sb"))
       .crossJoin(broadcast(nt))
@@ -101,8 +105,11 @@ object DriftStats {
     s"""WITH sb AS (
        | SELECT source, $bc AS bin, CAST(count(*) AS BIGINT) AS c_sb
        | FROM documents GROUP BY 1, 2),
-       |cb AS (SELECT bin, CAST(sum(c_sb) AS BIGINT) AS c_b
+       |lad AS (SELECT CAST(range AS INTEGER) AS bin FROM range($Bins)),
+       |cb0 AS (SELECT bin, CAST(sum(c_sb) AS BIGINT) AS c_b
        | FROM sb GROUP BY bin),
+       |cb AS (SELECT lad.bin, COALESCE(cb0.c_b, 0) AS c_b
+       | FROM lad LEFT JOIN cb0 USING (bin)),
        |ns AS (SELECT source, CAST(sum(c_sb) AS BIGINT) AS n_s
        | FROM sb GROUP BY source),
        |nt AS (SELECT CAST(sum(c_b) AS BIGINT) AS n_corpus FROM cb),

@@ -157,4 +157,75 @@ object ActivityStats {
        |  GROUP BY 1)
        | )
        |ORDER BY user_id""".stripMargin.replace('\n', ' ')
+
+  /** Shannon entropy of each user's event-TYPE mix, plus the
+    * ln(k)-normalized form — the navigation-predictability gauge
+    * next to [[userFano]]/[[burstiness]] (a user who only ever fires
+    * one type is fully predictable; a uniform mix over k types is
+    * maximally unpredictable): `H = −Σ_i (c_i/n)·ln(c_i/n)` and
+    * `norm = H / ln(k)` (null when k = 1 — no mix to normalize).
+    *
+    * Exactness (the [[graft.ext.TextOps.charEntropy]] lnQ pattern):
+    * each term's `ln(c/n)` is floor-quantized at 1e12 (raw ln can
+    * differ by 1 ulp across libms; the quantized integer cannot), the
+    * `c·lnQ` products accumulate in decimal/HUGEINT exactly at any
+    * partitioning, and entropy/norm are short IEEE chains over the
+    * one emitted raise-guarded BIGINT. `ln(k)` is quantized the same
+    * way, so `norm` is a division of two identically-derived doubles.
+    *
+    * Scale shape: one (user, type) aggregation, one user-keyed window
+    * bounded by the TYPE cardinality per user, one user-keyed
+    * aggregation — skew-free, no global sort. */
+  def navEntropy(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    val g = guardedLong("navEntropy") _
+    val entropy = -(col("sum_clnq").cast("double")) / 1e12d /
+      col("n_events").cast("double")
+    events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(w))
+      .select(col("user_id"), col("n"),
+        (col("c").cast("decimal(38,0)") *
+          floor(log(col("c").cast("double") /
+            col("n").cast("double")) * 1e12).cast("long")
+            .cast("decimal(38,0)")).as("t"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_types"),
+        max(col("n")).as("n_events"),
+        sum(col("t")).as("_s"))
+      .select(col("user_id"), col("n_types"), col("n_events"),
+        g(col("_s"), "sum_clnq").as("sum_clnq"))
+      .withColumn("entropy", entropy)
+      .withColumn("norm_entropy",
+        when(col("n_types") > 1L, entropy /
+          (floor(log(col("n_types").cast("double")) * 1e12)
+            .cast("long").cast("double") / 1e12d)))
+  }
+
+  /** DuckDB twin of [[navEntropy]] — identical lnQ quantization and
+    * IEEE chains. */
+  def navEntropySql(): String =
+    s"""SELECT user_id, n_types, n_events, sum_clnq,
+       | -CAST(sum_clnq AS DOUBLE) / 1e12 / CAST(n_events AS DOUBLE)
+       |   AS entropy,
+       | CASE WHEN n_types > 1 THEN
+       |  (-CAST(sum_clnq AS DOUBLE) / 1e12 / CAST(n_events AS DOUBLE))
+       |  / (CAST(CAST(floor(ln(CAST(n_types AS DOUBLE)) * 1e12)
+       |      AS BIGINT) AS DOUBLE) / 1e12)
+       | END AS norm_entropy
+       |FROM (
+       | SELECT user_id, count(*) AS n_types,
+       |  CAST(max(n) AS BIGINT) AS n_events,
+       |  CAST(SUM(CAST(c AS HUGEINT)
+       |   * CAST(floor(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * 1e12) AS BIGINT)) AS BIGINT) AS sum_clnq
+       | FROM (
+       |  SELECT user_id, c, sum(c) OVER (PARTITION BY user_id) AS n
+       |  FROM (
+       |   SELECT user_id, event_type, count(*) AS c
+       |   FROM events GROUP BY 1, 2))
+       | GROUP BY 1)
+       |ORDER BY user_id""".stripMargin.replace('\n', ' ')
 }

@@ -811,7 +811,11 @@ object EventAnalytics {
   /** DuckDB twin of [[typePagerank]]: the same edge table, the same
     * quantized power iteration as `iterations` CHAINED CTEs (standard
     * SQL forbids aggregation in a recursive term, and a 20-deep chain
-    * over a bounded node table is trivial for the oracle). */
+    * over a bounded node table is trivial for the oracle). Every CTE
+    * is `AS MATERIALIZED` — the [[markovAttributionSql]] inlining
+    * lesson: un-materialized, DuckDB re-evaluates the event-scale
+    * edge pipeline once per chain reference (~100×), which is what
+    * tripped OracleBudgetSpec's ceiling when the gate landed. */
   def typePagerankSql(iterations: Int = 20): String = {
     val edge =
       """SELECT event_type AS src, next_type AS dst, count(*) AS n,
@@ -825,7 +829,7 @@ object EventAnalytics {
         |WHERE next_type IS NOT NULL
         |GROUP BY event_type, next_type""".stripMargin.replace('\n', ' ')
     val iters = (1 to iterations).map { k =>
-      s"""r$k AS (
+      s"""r$k AS MATERIALIZED (
          | SELECT nd.t,
          |  0.15 / (SELECT CAST(count(*) AS DOUBLE) FROM nodes)
          |   + 0.85 * (CAST(COALESCE(SUM(c.cq), 0) AS DOUBLE) / 1e12)
@@ -837,10 +841,10 @@ object EventAnalytics {
          |  FROM e JOIN r${k - 1} p ON p.t = e.src) c ON c.t = nd.t
          | GROUP BY nd.t)""".stripMargin.replace('\n', ' ')
     }.mkString(", ")
-    s"""WITH e AS ($edge),
-       |nodes AS (SELECT DISTINCT t FROM
+    s"""WITH e AS MATERIALIZED ($edge),
+       |nodes AS MATERIALIZED (SELECT DISTINCT t FROM
        |  (SELECT src AS t FROM e UNION ALL SELECT dst AS t FROM e)),
-       |r0 AS (SELECT t,
+       |r0 AS MATERIALIZED (SELECT t,
        |  1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM nodes) AS r
        | FROM nodes),
        |$iters
@@ -899,16 +903,45 @@ object EventAnalytics {
     *
     * Every window/join keys on `user_id` — the family's skew-free
     * parallelism unit; the output is type-bounded. */
-  private[graft] def attributionEdges(events: DataFrame,
-      convType: String): DataFrame = {
-    val byRn = Window.partitionBy("user_id").orderBy("rn")
-    val allRn = Window.partitionBy("user_id")
+  /** Shared pre-conversion journey slice (the attribution family's
+    * base): `firstConv` = each user's first-`convType` rank, `base` =
+    * every event STRICTLY BEFORE it (all events for never-converters),
+    * ranked in the family's `(tsu, event_id)` total order. User-keyed
+    * window + join only. */
+  private def journeyBase(events: DataFrame,
+      convType: String): (DataFrame, DataFrame) = {
     val ranked = ev(events)
       .withColumn("rn", row_number().over(perUser))
     val firstConv = ranked.where(col("event_type") === convType)
       .groupBy("user_id").agg(min(col("rn")).as("crn"))
     val base = ranked.join(firstConv, Seq("user_id"), "left")
       .where(col("crn").isNull || col("rn") < col("crn"))
+    (firstConv, base)
+  }
+
+  /** The `ev`/`fc`/`base` CTE prefix shared by the attribution twins —
+    * the SQL mirror of [[journeyBase]], every CTE `AS MATERIALIZED`
+    * (DuckDB 1.0 inlines each reference; see
+    * [[markovAttributionSql]]). */
+  private def journeySqlCtes(convType: String): String =
+    s"""ev AS MATERIALIZED (
+       | SELECT user_id, event_type,
+       |  row_number() OVER (PARTITION BY user_id
+       |    ORDER BY epoch_us(ts), event_id) AS rn
+       | FROM events),
+       |fc AS MATERIALIZED (SELECT user_id, min(rn) AS crn FROM ev
+       | WHERE event_type = '$convType' GROUP BY 1),
+       |base AS MATERIALIZED (
+       | SELECT ev.user_id, ev.event_type, ev.rn, fc.crn
+       | FROM ev LEFT JOIN fc USING (user_id)
+       | WHERE fc.crn IS NULL OR ev.rn < fc.crn)""".stripMargin
+      .replace('\n', ' ')
+
+  private[graft] def attributionEdges(events: DataFrame,
+      convType: String): DataFrame = {
+    val byRn = Window.partitionBy("user_id").orderBy("rn")
+    val allRn = Window.partitionBy("user_id")
+    val (firstConv, base) = journeyBase(events, convType)
     val steps = base
       .withColumn("nxt", lead(col("event_type"), 1).over(byRn))
       .withColumn("first_rn", min(col("rn")).over(allRn))
@@ -1039,45 +1072,41 @@ object EventAnalytics {
     * ~100× inside the 20-step chain, >300 s at sf0.01 and the direct
     * cause of the empty round-12 correctness artifact (VERDICT r12
     * #1); materialized it runs in ~1 s with bit-identical output. */
+  /** The attribution chain's full edge-table CTE prefix (`WITH` ev →
+    * fc → base → steps → raw → e), the SQL mirror of
+    * [[attributionEdges]], shared by [[markovAttributionSql]] and
+    * [[chainHittingTimeSql]]. */
+  private def edgeSqlCtes(convType: String): String =
+    s"""WITH ${journeySqlCtes(convType)},
+       |steps AS MATERIALIZED (
+       | SELECT user_id, event_type, rn, crn,
+       |  lead(event_type, 1) OVER (PARTITION BY user_id
+       |    ORDER BY rn) AS nxt,
+       |  min(rn) OVER (PARTITION BY user_id) AS first_rn,
+       |  max(rn) OVER (PARTITION BY user_id) AS last_rn
+       | FROM base),
+       |raw AS MATERIALIZED (
+       | SELECT event_type AS src, nxt AS dst FROM steps
+       |  WHERE nxt IS NOT NULL
+       | UNION ALL
+       | SELECT 'START', event_type FROM steps WHERE rn = first_rn
+       | UNION ALL
+       | SELECT event_type,
+       |  CASE WHEN crn IS NOT NULL THEN 'CONV' ELSE 'NULL' END
+       | FROM steps WHERE rn = last_rn
+       | UNION ALL
+       | SELECT 'START', 'CONV' FROM fc
+       |  WHERE user_id NOT IN (SELECT DISTINCT user_id FROM base)),
+       |e AS MATERIALIZED (
+       | SELECT src, dst, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(SUM(count(*)) OVER (PARTITION BY src) AS BIGINT) AS outn
+       | FROM raw GROUP BY src, dst)""".stripMargin
+      .replace('\n', ' ')
+
   def markovAttributionSql(convType: String = "purchase",
       iterations: Int = 20): String = {
     requireSafeType(convType)
-    val edge =
-      s"""WITH ev AS MATERIALIZED (
-         | SELECT user_id, event_type,
-         |  row_number() OVER (PARTITION BY user_id
-         |    ORDER BY epoch_us(ts), event_id) AS rn
-         | FROM events),
-         |fc AS MATERIALIZED (SELECT user_id, min(rn) AS crn FROM ev
-         | WHERE event_type = '$convType' GROUP BY 1),
-         |base AS MATERIALIZED (
-         | SELECT ev.user_id, ev.event_type, ev.rn, fc.crn
-         | FROM ev LEFT JOIN fc USING (user_id)
-         | WHERE fc.crn IS NULL OR ev.rn < fc.crn),
-         |steps AS MATERIALIZED (
-         | SELECT user_id, event_type, rn, crn,
-         |  lead(event_type, 1) OVER (PARTITION BY user_id
-         |    ORDER BY rn) AS nxt,
-         |  min(rn) OVER (PARTITION BY user_id) AS first_rn,
-         |  max(rn) OVER (PARTITION BY user_id) AS last_rn
-         | FROM base),
-         |raw AS MATERIALIZED (
-         | SELECT event_type AS src, nxt AS dst FROM steps
-         |  WHERE nxt IS NOT NULL
-         | UNION ALL
-         | SELECT 'START', event_type FROM steps WHERE rn = first_rn
-         | UNION ALL
-         | SELECT event_type,
-         |  CASE WHEN crn IS NOT NULL THEN 'CONV' ELSE 'NULL' END
-         | FROM steps WHERE rn = last_rn
-         | UNION ALL
-         | SELECT 'START', 'CONV' FROM fc
-         |  WHERE user_id NOT IN (SELECT DISTINCT user_id FROM base)),
-         |e AS MATERIALIZED (
-         | SELECT src, dst, CAST(count(*) AS BIGINT) AS n,
-         |  CAST(SUM(count(*)) OVER (PARTITION BY src) AS BIGINT) AS outn
-         | FROM raw GROUP BY src, dst)""".stripMargin
-        .replace('\n', ' ')
+    val edge = edgeSqlCtes(convType)
     val iters = (1 to iterations).map { k =>
       s"""p$k AS MATERIALIZED (
          | SELECT v.rm, nd.t,
@@ -1124,6 +1153,248 @@ object EventAnalytics {
        |  THEN CAST(drop_q AS DOUBLE) / CAST(total_drop AS DOUBLE)
        | END AS share
        |FROM drops CROSS JOIN tot
+       |ORDER BY channel""".stripMargin.replace('\n', ' ')
+  }
+
+  /** Truncated expected steps to absorption from each transient chain
+    * state — the journey-length companion of [[markovAttribution]]
+    * over the same [[attributionEdges]] chain (START/CONV/NULL
+    * terminals, first-conversion truncation): `START`'s value is the
+    * expected number of touches a journey makes before it ends
+    * (converted OR abandoned); a channel's value is the expected
+    * remaining path length from that channel.
+    *
+    * `iterations` FIXED truncated steps in PURE INTEGER arithmetic
+    * (the [[markovAttribution]] convention): `h_0 ≡ 0`,
+    * `h_k(s) = 1e9 + Σ_{s→t} (n·h_{k-1}(t)) ÷ outn` for transient `s`
+    * (floor division per edge before the order-independent integer
+    * sum), `h(CONV) ≡ h(NULL) ≡ 0` — so `h ≤ iterations·1e9` is exact
+    * in BOTH engines and `steps = h/1e9` is one IEEE division of an
+    * exactly-representable operand. No libm anywhere.
+    *
+    * Scale shape: identical to [[markovAttribution]] — the heavy half
+    * is the user-keyed [[attributionEdges]]; the solve runs on the
+    * type graph behind the same loud `maxTypes` collect guard.
+    * Batch-only BY DESIGN (a global fixed-point). */
+  def chainHittingTime(events: DataFrame,
+      convType: String = "purchase", iterations: Int = 20,
+      maxTypes: Int = 200): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    requireSafeType(convType)
+    val types = ev(events).select("event_type").distinct()
+      .take(maxTypes + 1).map(_.getString(0))
+    if (types.length > maxTypes) throw new IllegalStateException(
+      s"chainHittingTime: more than maxTypes=$maxTypes event types " +
+        "(the solve collects the type graph)")
+    val clash = types.filter(ReservedStates.contains)
+    if (clash.nonEmpty) throw new IllegalStateException(
+      "chainHittingTime: event types collide with reserved chain " +
+        s"states: ${clash.sorted.mkString(", ")}")
+    val edges = attributionEdges(events, convType)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val states = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val scale = BigInt(1000000000L)
+    var h = states.map(t => t -> BigInt(0)).toMap
+    for (_ <- 0 until iterations) {
+      val next = scala.collection.mutable.Map.empty[String, BigInt]
+      edges.foreach { case (src, dst, n, outn) =>
+        if (src != "CONV" && src != "NULL") {
+          val cq = (BigInt(n) * h(dst)) / BigInt(outn)
+          next(src) = next.getOrElse(src, BigInt(0)) + cq
+        }
+      }
+      h = states.map(t => t -> (
+        if (t == "CONV" || t == "NULL") BigInt(0)
+        else scale + next.getOrElse(t, BigInt(0)))).toMap
+    }
+    states.filterNot(t => t == "CONV" || t == "NULL").sorted.toSeq
+      .map { t =>
+        val q = h(t).toLong
+        (t, q, q.toDouble / 1e9d)
+      }
+      .toDF("state", "steps_q", "steps")
+      .orderBy("state")
+  }
+
+  /** DuckDB twin of [[chainHittingTime]]: the same
+    * [[edgeSqlCtes]] edge table and the same pure-integer truncated
+    * iteration as `iterations` chained `AS MATERIALIZED` CTEs (the
+    * [[markovAttributionSql]] inlining lesson) — one state axis, no
+    * removal variants. */
+  def chainHittingTimeSql(convType: String = "purchase",
+      iterations: Int = 20): String = {
+    requireSafeType(convType)
+    val iters = (1 to iterations).map { k =>
+      s"""h$k AS MATERIALIZED (
+         | SELECT nd.t,
+         |  CASE WHEN nd.t = 'CONV' OR nd.t = 'NULL'
+         |   THEN CAST(0 AS HUGEINT)
+         |   ELSE CAST(1000000000 AS HUGEINT) + COALESCE(c.s, 0)
+         |  END AS h
+         | FROM nodes nd LEFT JOIN (
+         |  SELECT e.src AS t,
+         |   SUM((CAST(e.n AS HUGEINT) * p.h) // e.outn) AS s
+         |  FROM e JOIN h${k - 1} p ON p.t = e.dst
+         |  GROUP BY e.src) c ON c.t = nd.t)""".stripMargin
+        .replace('\n', ' ')
+    }.mkString(", ")
+    s"""${edgeSqlCtes(convType)},
+       |nodes AS MATERIALIZED (SELECT DISTINCT t FROM
+       |  (SELECT src AS t FROM e UNION ALL SELECT dst AS t FROM e)),
+       |h0 AS MATERIALIZED (
+       | SELECT t, CAST(0 AS HUGEINT) AS h FROM nodes),
+       |$iters
+       |SELECT t AS state, CAST(h AS BIGINT) AS steps_q,
+       | CAST(h AS DOUBLE) / 1e9 AS steps
+       |FROM h$iterations WHERE t NOT IN ('CONV', 'NULL')
+       |ORDER BY state""".stripMargin.replace('\n', ' ')
+  }
+
+  /** Shapley-value channel attribution (Zhao/Mahboobi/Moghaddam 2018,
+    * the order-free data-driven companion of [[markovAttribution]]'s
+    * order-sensitive chain): each user's COALITION is the distinct
+    * set of channels touched strictly before first conversion (the
+    * [[journeyBase]] slice); the characteristic value of a channel
+    * set `S` is `v(S) = Σ_{observed T ⊆ S} conversions(T)` (a
+    * monotone game), and each channel gets its exact Shapley value
+    * `φ_i = Σ_{S ⊆ N∖{i}} |S|!(n−1−|S|)!/n! · (v(S∪i) − v(S))`.
+    *
+    * Exactness: conversions are integer counts, `v` comes off a
+    * subset-sum (zeta) transform over the 2^n coalition lattice in
+    * exact integers, and the emitted `phi_q = φ·n!` is an exact
+    * integer in BOTH engines (raise-guarded BIGINT emission past
+    * 2^63); `shapley = phi_q/n!` and `share = phi_q/Σphi_q` are
+    * single IEEE divisions of exact operands (efficiency:
+    * `Σφ = v(N)`, so shares sum to 1 whenever any coalition
+    * converts). No libm anywhere.
+    *
+    * Scale shape: the heavy half is the user-keyed [[journeyBase]]
+    * aggregation; the solve enumerates `2^n` coalitions and is
+    * guarded LOUD at `maxChannels` (default 12 → ≤ 4096 coalitions,
+    * the exact-enumeration bound) before the set-table collect.
+    * Batch-only BY DESIGN. */
+  def shapleyAttribution(events: DataFrame,
+      convType: String = "purchase", maxChannels: Int = 12): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    requireSafeType(convType)
+    val (_, base) = journeyBase(events, convType)
+    val sets = base.groupBy(col("user_id")).agg(
+        array_sort(collect_set(col("event_type"))).as("chans"),
+        max(when(col("crn").isNotNull, 1).otherwise(0)).as("conv"))
+      .groupBy(col("chans"))
+      .agg(sum(col("conv")).cast("long").as("convs"))
+      .collect()
+      .map(r => (r.getSeq[String](0), r.getLong(1)))
+    val channels = sets.flatMap(_._1).distinct.sorted
+    val n = channels.length
+    if (n > maxChannels) throw new IllegalStateException(
+      s"shapleyAttribution: $n channels exceed maxChannels=" +
+        s"$maxChannels (the exact solve enumerates 2^n coalitions)")
+    if (n == 0)
+      return Seq.empty[(String, Long, Long, Double, Option[Double])]
+        .toDF("channel", "conversions", "phi_q", "shapley", "share")
+    val bit = channels.zipWithIndex.toMap
+    val full = (1 << n) - 1
+    val v = Array.fill(1 << n)(BigInt(0))
+    sets.foreach { case (chans, convs) =>
+      v(chans.map(c => 1 << bit(c)).sum) += BigInt(convs)
+    }
+    // zeta transform: v(S) = sum of observed-coalition conversions
+    // over all observed T subset-of S
+    for (b <- 0 until n; s <- 0 to full) {
+      if ((s & (1 << b)) != 0) v(s) += v(s ^ (1 << b))
+    }
+    val fact = new Array[BigInt](n + 1)
+    fact(0) = BigInt(1)
+    for (k <- 1 to n) fact(k) = fact(k - 1) * k
+    val phis = channels.map { c =>
+      val i = 1 << bit(c)
+      var phi = BigInt(0)
+      for (s <- 0 to full) {
+        if ((s & i) == 0) {
+          val b = Integer.bitCount(s)
+          phi += fact(b) * fact(n - 1 - b) * (v(s | i) - v(s))
+        }
+      }
+      c -> phi
+    }
+    val tot = phis.map(_._2).sum
+    phis.toSeq.map { case (c, phi) =>
+      if (!phi.isValidLong) throw new ArithmeticException(
+        s"shapleyAttribution: phi_q overflows BIGINT at channel=$c")
+      (c, v(full).toLong, phi.toLong,
+        phi.toDouble / fact(n).toDouble,
+        if (tot.signum > 0) Some(phi.toDouble / tot.toDouble)
+        else None)
+    }.toDF("channel", "conversions", "phi_q", "shapley", "share")
+      .orderBy("channel")
+  }
+
+  /** DuckDB twin of [[shapleyAttribution]]: the same
+    * [[journeySqlCtes]] slice, coalitions as BITMASKS (channel →
+    * bit by sorted rank), the 2^n lattice from a recursive counter
+    * CTE, `v` via the same subset-containment sum
+    * (`(s & mask) = mask`), factorial weights from a recursive
+    * factorial CTE, and the identical exact integer `phi` sum in
+    * HUGEINT with the same BIGINT emission and IEEE divisions. */
+  def shapleyAttributionSql(convType: String = "purchase"): String = {
+    requireSafeType(convType)
+    s"""WITH RECURSIVE ${journeySqlCtes(convType)},
+       |chmap AS MATERIALIZED (
+       | SELECT t, CAST(row_number() OVER (ORDER BY t) - 1 AS INTEGER)
+       |   AS bit
+       | FROM (SELECT DISTINCT event_type AS t FROM base)),
+       |nn AS MATERIALIZED (
+       | SELECT CAST(count(*) AS INTEGER) AS n FROM chmap),
+       |usr AS MATERIALIZED (
+       | SELECT b.user_id,
+       |  CAST(sum(DISTINCT (CAST(1 AS BIGINT) << c.bit)) AS BIGINT)
+       |    AS mask,
+       |  max(CASE WHEN b.crn IS NOT NULL THEN 1 ELSE 0 END) AS conv
+       | FROM base b JOIN chmap c ON c.t = b.event_type
+       | GROUP BY b.user_id),
+       |obs AS MATERIALIZED (
+       | SELECT mask, CAST(sum(conv) AS BIGINT) AS convs
+       | FROM usr GROUP BY mask),
+       |subsets AS (
+       | SELECT CAST(0 AS BIGINT) AS s
+       | UNION ALL
+       | SELECT s + 1 FROM subsets
+       |  WHERE s + 1 < (SELECT CAST(1 AS BIGINT) << n FROM nn)),
+       |vv AS MATERIALIZED (
+       | SELECT su.s, COALESCE(SUM(o.convs), CAST(0 AS BIGINT)) AS v
+       | FROM subsets su LEFT JOIN obs o ON (su.s & o.mask) = o.mask
+       | GROUP BY su.s),
+       |fact AS (
+       | SELECT 0 AS k, CAST(1 AS HUGEINT) AS f
+       | UNION ALL
+       | SELECT k + 1, f * (k + 1) FROM fact
+       |  WHERE k + 1 <= (SELECT n FROM nn)),
+       |fct AS MATERIALIZED (SELECT k, f FROM fact),
+       |phi AS MATERIALIZED (
+       | SELECT c.t AS channel,
+       |  SUM(f1.f * f2.f * CAST(vi.v - vs.v AS HUGEINT)) AS phi
+       | FROM chmap c CROSS JOIN nn
+       | JOIN subsets su ON (su.s & (CAST(1 AS BIGINT) << c.bit)) = 0
+       | JOIN vv vs ON vs.s = su.s
+       | JOIN vv vi ON vi.s = (su.s | (CAST(1 AS BIGINT) << c.bit))
+       | JOIN fct f1 ON f1.k = bit_count(su.s)
+       | JOIN fct f2 ON f2.k = nn.n - 1 - bit_count(su.s)
+       | GROUP BY c.t),
+       |fullv AS (SELECT v AS v_full FROM vv, nn
+       | WHERE vv.s = (CAST(1 AS BIGINT) << n) - 1),
+       |nf AS (SELECT f AS fn FROM fct, nn WHERE k = n),
+       |tot AS (SELECT SUM(phi) AS total FROM phi)
+       |SELECT channel, CAST(v_full AS BIGINT) AS conversions,
+       | CAST(phi AS BIGINT) AS phi_q,
+       | CAST(phi AS DOUBLE) / CAST(fn AS DOUBLE) AS shapley,
+       | CASE WHEN total > 0
+       |  THEN CAST(phi AS DOUBLE) / CAST(total AS DOUBLE) END AS share
+       |FROM phi CROSS JOIN fullv CROSS JOIN nf CROSS JOIN tot
        |ORDER BY channel""".stripMargin.replace('\n', ' ')
   }
 }

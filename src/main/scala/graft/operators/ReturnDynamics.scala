@@ -104,6 +104,67 @@ object ReturnDynamics {
        | GROUP BY 1)
        |ORDER BY symbol""".stripMargin.replace('\n', ' ')
 
+  /** Realized semivariance decomposition per symbol (Barndorff-
+    * Nielsen/Kinnebrock/Shephard 2010): the realized variance split by
+    * return sign — `RS⁺ = Σ q²·[q>0]`, `RS⁻ = Σ q²·[q<0]` over the
+    * same bucket returns as [[bipowerVar]], plus the signed jump
+    * variation `SJV = RS⁺ − RS⁻` (downside-jump dominance ⇒ SJV < 0)
+    * and the downside share `RS⁻/(RS⁺+RS⁻)` (null when no nonzero
+    * return) — the standard asymmetric-risk diagnostic at bucket
+    * cadence.
+    *
+    * Sign-conditional `q²` sums in decimal with raise-guarded BIGINT
+    * emission ([[bipowerVar]]'s bound discipline); all four derived
+    * doubles are short IEEE chains over those two exact integers, in
+    * identical textual order in both engines. */
+  def realizedSemivariance(updates: DataFrame,
+      seconds: Long = 60): DataFrame = {
+    val g = guardedLong("realizedSemivariance") _
+    val qDec = col("q").cast("decimal(15,0)")
+    val up = col("sum_pos_q2").cast("double") / 1e12d
+    val down = col("sum_neg_q2").cast("double") / 1e12d
+    Microstructure.bucketReturns(updates, seconds)
+      .groupBy(col("symbol"))
+      .agg(
+        count(col("q")).as("n_rets"),
+        sum(when(col("q") > 0L, qDec * qDec)).as("_p"),
+        sum(when(col("q") < 0L, qDec * qDec)).as("_n"))
+      .select(col("symbol"), col("n_rets"),
+        coalesce(g(col("_p"), "sum_pos_q2"), lit(0L)).as("sum_pos_q2"),
+        coalesce(g(col("_n"), "sum_neg_q2"), lit(0L)).as("sum_neg_q2"))
+      .withColumn("rs_up", up)
+      .withColumn("rs_down", down)
+      .withColumn("sjv", up - down)
+      .withColumn("down_share",
+        when(up + down > 0.0d, down / (up + down)))
+  }
+
+  /** DuckDB twin of [[realizedSemivariance]] — identical kernel,
+    * HUGEINT sums, the same IEEE chain order. */
+  def realizedSemivarianceSql(seconds: Long = 60): String =
+    s"""SELECT symbol, n_rets, sum_pos_q2, sum_neg_q2,
+       | CAST(sum_pos_q2 AS DOUBLE) / 1e12 AS rs_up,
+       | CAST(sum_neg_q2 AS DOUBLE) / 1e12 AS rs_down,
+       | CAST(sum_pos_q2 AS DOUBLE) / 1e12
+       |  - CAST(sum_neg_q2 AS DOUBLE) / 1e12 AS sjv,
+       | CASE WHEN CAST(sum_pos_q2 AS DOUBLE) / 1e12
+       |   + CAST(sum_neg_q2 AS DOUBLE) / 1e12 > 0.0
+       |  THEN (CAST(sum_neg_q2 AS DOUBLE) / 1e12)
+       |   / (CAST(sum_pos_q2 AS DOUBLE) / 1e12
+       |    + CAST(sum_neg_q2 AS DOUBLE) / 1e12)
+       | END AS down_share
+       |FROM (
+       | SELECT symbol, count(q) AS n_rets,
+       |  COALESCE(CAST(SUM(CASE WHEN q > 0
+       |   THEN CAST(q AS HUGEINT) * CAST(q AS HUGEINT) END)
+       |    AS BIGINT), 0) AS sum_pos_q2,
+       |  COALESCE(CAST(SUM(CASE WHEN q < 0
+       |   THEN CAST(q AS HUGEINT) * CAST(q AS HUGEINT) END)
+       |    AS BIGINT), 0) AS sum_neg_q2
+       | FROM (${Microstructure.bucketReturnsSql(seconds)})
+       | GROUP BY 1)
+       |ORDER BY symbol""".stripMargin.replace('\n', ' ')
+
   /** Return autocorrelation function per symbol at lags 1..`maxLag`:
     * the Pearson correlation of `(q_{b-L}, q_b)` pairs over the bucket
     * series — the [[Microstructure.flowAutocorr]] estimator generalized

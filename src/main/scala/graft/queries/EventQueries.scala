@@ -102,6 +102,23 @@ object EventQueries {
     Q("q_burstiness",
       (s, dir) => graft.operators.ActivityStats.burstiness(events(s, dir))
         .orderBy("user_id"),
-      Some(graft.operators.ActivityStats.burstinessSql()))
+      Some(graft.operators.ActivityStats.burstinessSql())),
+
+    // truncated expected steps to absorption over the journey chain
+    Q("q_chain_hitting_time",
+      (s, dir) => EventAnalytics.chainHittingTime(events(s, dir)),
+      Some(EventAnalytics.chainHittingTimeSql())),
+
+    // exact Shapley-value channel attribution over pre-conversion
+    // coalitions (2^n lattice, loud maxChannels guard)
+    Q("q_shapley_attribution",
+      (s, dir) => EventAnalytics.shapleyAttribution(events(s, dir)),
+      Some(EventAnalytics.shapleyAttributionSql())),
+
+    // per-user event-type entropy + ln(k)-normalized predictability
+    Q("q_nav_entropy",
+      (s, dir) => graft.operators.ActivityStats.navEntropy(events(s, dir))
+        .orderBy("user_id"),
+      Some(graft.operators.ActivityStats.navEntropySql()))
   )
 }

@@ -345,7 +345,14 @@ object TickQueries {
     Q("q_corwin_schultz",
       (s, dir) => RangeSpread.corwinSchultz(u(s, dir))
         .orderBy("symbol", "start"),
-      Some(Tables.withUpdates(RangeSpread.corwinSchultzSql())))
+      Some(Tables.withUpdates(RangeSpread.corwinSchultzSql()))),
+
+    // realized semivariance: sign-split RV + signed jump variation
+    Q("q_realized_semivariance",
+      (s, dir) => ReturnDynamics.realizedSemivariance(u(s, dir))
+        .orderBy("symbol"),
+      Some(Tables.withUpdates(
+        ReturnDynamics.realizedSemivarianceSql())))
   )
 
   /** One partitioned store per sf DIR (keyed by dir alone, NOT per

@@ -379,6 +379,81 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("chainHittingTime: hand-computed expected steps on the markov " +
+      "fixture; guards raise loud") {
+    // same journeys as the markov fixture -> same edge table:
+    //   START->a n=2, START->b n=1, START->CONV n=1 (outn START=4);
+    //   a->b n=1, a->NULL n=1 (outn a=2); b->CONV n=2 (outn b=2).
+    // Truncated hitting times (scale 1e9, converges by iteration 3):
+    //   h(b) = 1e9; h(a) = 1e9 + floor(1e9/2) = 1.5e9
+    //   h(START) = 1e9 + floor(2*1.5e9/4) + floor(1e9/4) = 2e9
+    val df = eventsDf(Seq(
+      (1L, 0L, 1L, "a", 0.0), (2L, M, 1L, "b", 0.0),
+      (3L, 2 * M, 1L, "purchase", 0.0), (4L, 3 * M, 1L, "c", 0.0),
+      (5L, 0L, 2L, "a", 0.0),
+      (6L, 0L, 3L, "b", 0.0), (7L, M, 3L, "purchase", 0.0),
+      (8L, 0L, 4L, "purchase", 0.0)))
+    val out = EventAnalytics.chainHittingTime(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out === Array(
+      ("START", 2000000000L, 2.0),
+      ("a", 1500000000L, 1.5),
+      ("b", 1000000000L, 1.0)))
+    // reserved-state collision raises loud before the chain is built
+    Seq("CONV", "START", "NULL").foreach { bad =>
+      val clash = eventsDf(Seq(
+        (1L, 0L, 1L, bad, 0.0), (2L, M, 1L, "purchase", 0.0)))
+      val ex = intercept[IllegalStateException] {
+        EventAnalytics.chainHittingTime(clash)
+      }
+      assert(ex.getMessage.contains("collide"), s"$bad: ${ex.getMessage}")
+    }
+    intercept[IllegalStateException] {
+      EventAnalytics.chainHittingTime(df, maxTypes = 2)
+    }
+    intercept[IllegalArgumentException] {
+      EventAnalytics.chainHittingTimeSql(convType = "x'y")
+    }
+  }
+
+  test("shapleyAttribution: hand-computed 2-channel lattice; " +
+      "efficiency; guards raise loud") {
+    // user 1: a -> purchase            -> coalition {a}, converted
+    // user 2: a -> b -> purchase       -> coalition {a,b}, converted
+    // user 3: b, never converts        -> coalition {b}, not
+    // user 4: purchase first (empty coalition, out of the game)
+    // v (zeta): v({a})=1, v({b})=0, v({a,b})=2
+    // phi_a*2! = 0!1!(v(a)-v({}))+1!0!(v(ab)-v(b)) = 1 + 2 = 3
+    // phi_b*2! = 0!1!(v(b)-v({}))+1!0!(v(ab)-v(a)) = 0 + 1 = 1
+    val df = eventsDf(Seq(
+      (1L, 0L, 1L, "a", 0.0), (2L, M, 1L, "purchase", 0.0),
+      (3L, 0L, 2L, "a", 0.0), (4L, M, 2L, "b", 0.0),
+      (5L, 2 * M, 2L, "purchase", 0.0),
+      (6L, 0L, 3L, "b", 0.0),
+      (7L, 0L, 4L, "purchase", 0.0)))
+    val out = EventAnalytics.shapleyAttribution(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out === Array(
+      ("a", 2L, 3L, 1.5, 0.75),
+      ("b", 2L, 1L, 0.5, 0.25)))
+    // efficiency: shapley values sum to the conversions in the game
+    assert(out.map(_._4).sum === 2.0)
+    // the coalition-lattice guard raises at n+1 channels, passes at n
+    val ex = intercept[IllegalStateException] {
+      EventAnalytics.shapleyAttribution(df, maxChannels = 1)
+    }
+    assert(ex.getMessage.contains("maxChannels"))
+    assert(EventAnalytics.shapleyAttribution(df, maxChannels = 2)
+      .count() === 2L)
+    intercept[IllegalArgumentException] {
+      EventAnalytics.shapleyAttributionSql(convType = "x'y")
+    }
+    // a feed with NO pre-conversion touches yields the empty frame
+    val none = eventsDf(Seq((1L, 0L, 1L, "purchase", 0.0)))
+    assert(EventAnalytics.shapleyAttribution(none).count() === 0L)
+  }
+
   test("registry gates analyze and return rows on sf0.001") {
     Tables.enableNanos(spark)
     graft.queries.EventQueries.all.foreach { q =>

@@ -699,7 +699,8 @@ class PlanSpec extends SparkSpec {
     for (name <- Seq("q_sessionize", "q_funnel", "q_retention",
         "q_transitions", "q_session_paths", "q_bounce_rate",
         "q_dwell_percentiles", "q_rfm", "q_event_lift",
-        "q_funnel_summary", "q_ab_test", "q_funnel_ttc")) {
+        "q_funnel_summary", "q_ab_test", "q_funnel_ttc",
+        "q_nav_entropy")) {
       val p = plan(name)
       // the rfm/eventLift 1-row total joins broadcast (nested-loop over
       // one row), never a partitioned CartesianProduct
@@ -708,7 +709,8 @@ class PlanSpec extends SparkSpec {
     // every data-scale window partitions by user_id — the unbounded,
     // skew-free key (the opposite of the retired per-lang funnels);
     // later windows run over aggregated type/cohort-sized tables only
-    for (name <- Seq("q_sessionize", "q_session_paths")) {
+    for (name <- Seq("q_sessionize", "q_session_paths",
+        "q_nav_entropy")) {
       // formatted mode: node arguments live in "(n) Window" detail
       // blocks, not the tree header — every Window block (these plans'
       // windows are all data-scale) must carry the user_id spec

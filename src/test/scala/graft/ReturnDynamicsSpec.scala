@@ -73,6 +73,35 @@ class ReturnDynamicsSpec extends SparkSpec {
       s"flat series acf($l) should be null"))
   }
 
+  test("realizedSemivariance: sign split reconciles with bipower RV; " +
+      "planted crash loads the downside; null/zero contracts") {
+    // monotone up: every return positive
+    val up = closes("u", (0 until 100).scanLeft(100.0)((p, _) => p * 1.01))
+    // alternating walk with one 40% crash: downside dominates
+    val dn = closes("d", (0 until 200).scanLeft(100.0) { (p, i) =>
+      if (i == 100) p * 0.6 else p * (if (i % 2 == 0) 1.001 else 0.999)
+    })
+    // constant closes: every q = 0 -> both sums 0, down_share null
+    val flat = closes("f", Seq.fill(50)(100.0))
+    val df = updatesDf(up ++ dn ++ flat)
+    val out = ReturnDynamics.realizedSemivariance(df)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // exact reconciliation with the jump decomposition's RV integer
+    val rv = ReturnDynamics.bipowerVar(df).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    for ((s, r) <- out)
+      assert(r.getLong(2) + r.getLong(3) === rv(s),
+        s"$s: pos+neg != sum_q2")
+    assert(out("u").getLong(3) === 0L, "up-only series has RS- = 0")
+    assert(out("u").getDouble(6) === out("u").getDouble(4),
+      "sjv == rs_up when RS- = 0")
+    assert(out("u").getDouble(7) === 0.0)
+    assert(out("d").getDouble(6) < 0.0, "crash must make SJV negative")
+    assert(out("d").getDouble(7) > 0.5, "crash downside share > 1/2")
+    assert(out("f").getLong(2) === 0L && out("f").getLong(3) === 0L)
+    assert(out("f").isNullAt(7), "all-zero returns -> down_share null")
+  }
+
   test("hurst: null contract on degenerate series; anti-persistent " +
       "alternation scores below a random-ish walk") {
     // alternating +/-: m=2 block sums are constant -> var 0 at m=2 ->
@@ -155,6 +184,41 @@ class ReturnDynamicsSpec extends SparkSpec {
     assert(b("burst").get > b("metro").get)
   }
 
+  test("navEntropy: quantized Shannon entropy matches the scalar lnQ " +
+      "replay; single-type user is zero with null norm") {
+    import spark.implicits._
+    // mix: 2×a + 2×b (H = ln 2, norm ≈ 1); mono: 3×c (H = 0, norm null);
+    // skew: 3×a + 1×b
+    val evs = Seq(
+      (1L, "mix", 0L, "a"), (2L, "mix", 1L, "a"),
+      (3L, "mix", 2L, "b"), (4L, "mix", 3L, "b"),
+      (5L, "mono", 0L, "c"), (6L, "mono", 1L, "c"), (7L, "mono", 2L, "c"),
+      (8L, "skew", 0L, "a"), (9L, "skew", 1L, "a"),
+      (10L, "skew", 2L, "a"), (11L, "skew", 3L, "b"))
+    val df = evs.toDF("event_id", "user_id", "us", "event_type")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        org.apache.spark.sql.functions.timestamp_micros(col("us"))
+          .cast("timestamp_ntz").as("ts"))
+    val out = ActivityStats.navEntropy(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // scalar replay of the exact pipeline
+    def lnQ(p: Double): Long = math.floor(math.log(p) * 1e12).toLong
+    def h(cs: Seq[Long]): Double = {
+      val n = cs.sum
+      -cs.map(c => BigInt(c) * BigInt(lnQ(c.toDouble / n.toDouble)))
+        .sum.toDouble / 1e12 / n.toDouble
+    }
+    assert(out("mix").getDouble(4) === h(Seq(2L, 2L)))
+    assert(math.abs(out("mix").getDouble(4) - math.log(2.0)) < 1e-9)
+    assert(out("mix").getDouble(5) ===
+      h(Seq(2L, 2L)) / (lnQ(2.0).toDouble / 1e12))
+    assert(out("mono").getDouble(4) === 0.0)
+    assert(out("mono").isNullAt(5), "k = 1 user must have null norm")
+    assert(out("skew").getDouble(4) === h(Seq(3L, 1L)))
+    assert(out("skew").getDouble(4) < out("mix").getDouble(4),
+      "skewed mix must be less entropic than uniform")
+  }
+
   test("lengthPsi: identical sources score identically; a planted " +
       "snippet-collapsed source dominates; PSI >= 0 on real docs") {
     import spark.implicits._
@@ -175,6 +239,30 @@ class ReturnDynamicsSpec extends SparkSpec {
     assert(out("snip") > 0.25, s"collapsed source not flagged: $out")
     assert(out("snip") > 5.0 * out("a"),
       s"planted source does not dominate: $out")
+    // corpus-wide-empty bins still contribute the smoothed term:
+    // recompute PSI with the documented formula over the FULL
+    // 0..Bins-1 ladder (every doc above lands in bins 0-4, so bins
+    // 5-7 are empty corpus-wide yet must appear in the sum)
+    val edges = graft.ext.DriftStats.LengthBinEdges
+    val bins = graft.ext.DriftStats.Bins
+    def bin(t: String): Int =
+      edges.indexWhere(t.length < _) match {
+        case -1 => edges.length; case i => i }
+    val all = docs.map { case (_, s, t) => (s, bin(t)) }
+    val n = all.size.toDouble
+    val expected = all.map(_._1).distinct.map { s =>
+      val ns = all.count(_._1 == s).toDouble
+      s -> (0 until bins).map { b =>
+        val csb = all.count(x => x._1 == s && x._2 == b) + 1.0
+        val cb = all.count(_._2 == b) + 1.0
+        val pbs = csb / (ns + bins)
+        val pb = cb / (n + bins)
+        (pbs - pb) * math.log(pbs / pb)
+      }.sum
+    }.toMap
+    expected.foreach { case (s, e) =>
+      assert(math.abs(out(s) - e) < 1e-9,
+        s"$s: engine ${out(s)} vs full-ladder formula $e") }
     val real = graft.ext.DriftStats.lengthPsi(
       Tables.table(spark, sf(), "documents")).collect()
     real.foreach(r => assert(r.getDouble(2) >= -1e-15, s"negative: $r"))
