@@ -1397,4 +1397,193 @@ object EventAnalytics {
        |FROM phi CROSS JOIN fullv CROSS JOIN nf CROSS JOIN tot
        |ORDER BY channel""".stripMargin.replace('\n', ' ')
   }
+
+  /** Position-weighted (U-shaped 40/20/40) channel attribution over
+    * CONVERTED journeys — the rule-based companion of the data-driven
+    * [[markovAttribution]]/[[shapleyAttribution]] pair: the first and
+    * last pre-conversion touches get 40% each, the middle touches
+    * split the remaining 20%; a single touch gets 100%, a two-touch
+    * journey 50/50.
+    *
+    * Credit is EXACT integer millionths: middles get
+    * `200000 ÷ (m−2)` each with the remainder going to the EARLIEST
+    * `200000 mod (m−2)` middles (deterministic in the family's
+    * journey order), so every journey sums to exactly 1e6 and the
+    * per-channel sums are exact integers in BOTH engines;
+    * `conversions = credit_q/1e6` and `share = credit_q/Σcredit_q`
+    * are single IEEE divisions of exact operands.
+    *
+    * Scale shape: user-keyed windows over [[journeyBase]] and one
+    * channel aggregation — NO driver collect, no cardinality guard
+    * needed (contrast the chain solves): the op is fully distributed
+    * at any channel count. */
+  def positionAttribution(events: DataFrame,
+      convType: String = "purchase"): DataFrame = {
+    requireSafeType(convType)
+    val (_, base) = journeyBase(events, convType)
+    val byRn = Window.partitionBy("user_id").orderBy("rn")
+    val all = Window.partitionBy("user_id")
+    val cr = base.where(col("crn").isNotNull)
+      .withColumn("pos", row_number().over(byRn))
+      .withColumn("m", count(lit(1)).over(all))
+      .withColumn("credit_q",
+        when(col("m") === 1L, lit(1000000L))
+          .when(col("m") === 2L, lit(500000L))
+          .when(col("pos") === 1 || col("pos") === col("m"),
+            lit(400000L))
+          .otherwise(expr(
+            "200000 DIV (m - 2) + " +
+              "(CASE WHEN pos - 1 <= 200000 % (m - 2) " +
+              "THEN 1 ELSE 0 END)")))
+    val agg = cr.groupBy(col("event_type").as("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit_q").cast("decimal(30,0)")).as("_c"))
+      .select(col("channel"), col("n_touches"),
+        when(abs(col("_c")) > lit(Long.MaxValue),
+          raise_error(concat(
+            lit("positionAttribution: credit_q overflows BIGINT at "),
+            col("channel"))).cast("long"))
+          .otherwise(col("_c").cast("long")).as("credit_q"))
+    agg
+      .join(agg.agg(sum(col("credit_q").cast("decimal(30,0)"))
+        .cast("double").as("_t")))
+      .select(col("channel"), col("n_touches"), col("credit_q"),
+        (col("credit_q").cast("double") / 1e6d).as("conversions"),
+        (col("credit_q").cast("double") / col("_t")).as("share"))
+      .orderBy("channel")
+  }
+
+  /** DuckDB twin of [[positionAttribution]] — identical split rule,
+    * remainder convention, and IEEE chains. */
+  def positionAttributionSql(convType: String = "purchase"): String = {
+    requireSafeType(convType)
+    s"""WITH ${journeySqlCtes(convType)},
+       |pos AS MATERIALIZED (
+       | SELECT user_id, event_type,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY rn) AS pos,
+       |  count(*) OVER (PARTITION BY user_id) AS m
+       | FROM base WHERE crn IS NOT NULL),
+       |cr AS MATERIALIZED (
+       | SELECT event_type AS channel,
+       |  CASE WHEN m = 1 THEN 1000000
+       |   WHEN m = 2 THEN 500000
+       |   WHEN pos = 1 OR pos = m THEN 400000
+       |   ELSE 200000 // (m - 2)
+       |    + (CASE WHEN pos - 1 <= 200000 % (m - 2)
+       |       THEN 1 ELSE 0 END)
+       |  END AS credit_q
+       | FROM pos),
+       |agg AS MATERIALIZED (
+       | SELECT channel, count(*) AS n_touches,
+       |  CAST(SUM(CAST(credit_q AS HUGEINT)) AS BIGINT) AS credit_q
+       | FROM cr GROUP BY channel),
+       |tot AS (SELECT CAST(SUM(CAST(credit_q AS HUGEINT)) AS DOUBLE)
+       |  AS t FROM agg)
+       |SELECT channel, n_touches, credit_q,
+       | CAST(credit_q AS DOUBLE) / 1e6 AS conversions,
+       | CAST(credit_q AS DOUBLE) / t AS share
+       |FROM agg CROSS JOIN tot
+       |ORDER BY channel""".stripMargin.replace('\n', ' ')
+  }
+
+  /** Exponential time-decay channel attribution over CONVERTED
+    * journeys: a touch `Δt` before the conversion weighs
+    * `2^(−Δt/halflife)` — implemented as the PURE-INTEGER halving
+    * ladder `w_q = 1e12 ÷ 2^k` with `k = min(Δt ÷ halflifeMicros,
+    * 39)` (no libm: the decay is quantized to full half-lives, the
+    * standard "recent touches matter more" rule at half-life
+    * granularity; the 39-cap floors weights at exactly 1 — never 0,
+    * so a journey's weight sum is always positive and the share
+    * division is total). Per-journey credit is the exact integer share
+    * `share_q = (w_q·1e6) ÷ Σ_journey w_q` in millionths; journeys
+    * sum to ≤ 1e6 (floor losses stay in the journey, never move
+    * between channels).
+    *
+    * Exactness: weights, journey sums, and shares are exact integers
+    * in BOTH engines (journey weight sums accumulate in
+    * decimal/HUGEINT and emit through a raise-guarded BIGINT);
+    * `conversions = credit_q/1e6` and `share` are single IEEE
+    * divisions of exact operands.
+    *
+    * Scale shape: user-keyed windows only, no collect, no guard —
+    * fully distributed at any channel count. */
+  def timeDecayAttribution(events: DataFrame,
+      convType: String = "purchase",
+      halflifeMicros: Long = 7L * 86400L * 1000000L): DataFrame = {
+    requireSafeType(convType)
+    require(halflifeMicros > 0L, "halflifeMicros must be positive")
+    val ranked = ev(events)
+      .withColumn("rn", row_number().over(perUser))
+    val fc = ranked.where(col("event_type") === convType)
+      .groupBy("user_id").agg(min(col("rn")).as("crn"),
+        min(col("tsu")).as("conv_tsu"))
+    val all = Window.partitionBy("user_id")
+    val touches = ranked.join(fc, Seq("user_id"))
+      .where(col("rn") < col("crn"))
+      .withColumn("w_q", expr(
+        s"1000000000000 DIV shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST(LEAST((conv_tsu - tsu) DIV $halflifeMicros, 39) " +
+          "AS INT))"))
+      .withColumn("_sw", sum(col("w_q").cast("decimal(30,0)")).over(all))
+      .withColumn("sum_w",
+        when(col("_sw") > lit(Long.MaxValue),
+          raise_error(concat(
+            lit("timeDecayAttribution: journey weight sum overflows " +
+              "BIGINT at user_id="), col("user_id"))).cast("long"))
+          .otherwise(col("_sw").cast("long")))
+      .withColumn("share_q", expr("(w_q * 1000000) DIV sum_w"))
+    val agg = touches.groupBy(col("event_type").as("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("share_q").cast("decimal(30,0)")).as("_c"))
+      .select(col("channel"), col("n_touches"),
+        when(abs(col("_c")) > lit(Long.MaxValue),
+          raise_error(concat(
+            lit("timeDecayAttribution: credit_q overflows BIGINT at "),
+            col("channel"))).cast("long"))
+          .otherwise(col("_c").cast("long")).as("credit_q"))
+    agg
+      .join(agg.agg(sum(col("credit_q").cast("decimal(30,0)"))
+        .cast("double").as("_t")))
+      .select(col("channel"), col("n_touches"), col("credit_q"),
+        (col("credit_q").cast("double") / 1e6d).as("conversions"),
+        (col("credit_q").cast("double") / col("_t")).as("share"))
+      .orderBy("channel")
+  }
+
+  /** DuckDB twin of [[timeDecayAttribution]] — identical halving
+    * ladder, journey-share floor, and IEEE chains. */
+  def timeDecayAttributionSql(convType: String = "purchase",
+      halflifeMicros: Long = 7L * 86400L * 1000000L): String = {
+    requireSafeType(convType)
+    s"""WITH ev AS MATERIALIZED (
+       | SELECT user_id, event_type, epoch_us(ts) AS tsu,
+       |  row_number() OVER (PARTITION BY user_id
+       |    ORDER BY epoch_us(ts), event_id) AS rn
+       | FROM events),
+       |fc AS MATERIALIZED (
+       | SELECT user_id, min(rn) AS crn, min(tsu) AS conv_tsu
+       | FROM ev WHERE event_type = '$convType' GROUP BY 1),
+       |touches AS MATERIALIZED (
+       | SELECT ev.user_id, ev.event_type,
+       |  1000000000000 // (CAST(1 AS BIGINT)
+       |   << LEAST((fc.conv_tsu - ev.tsu) // $halflifeMicros, 39))
+       |   AS w_q
+       | FROM ev JOIN fc USING (user_id) WHERE ev.rn < fc.crn),
+       |shares AS MATERIALIZED (
+       | SELECT event_type,
+       |  (w_q * 1000000) // CAST(SUM(CAST(w_q AS HUGEINT))
+       |    OVER (PARTITION BY user_id) AS BIGINT) AS share_q
+       | FROM touches),
+       |agg AS MATERIALIZED (
+       | SELECT event_type AS channel, count(*) AS n_touches,
+       |  CAST(SUM(CAST(share_q AS HUGEINT)) AS BIGINT) AS credit_q
+       | FROM shares GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(CAST(credit_q AS HUGEINT)) AS DOUBLE)
+       |  AS t FROM agg)
+       |SELECT channel, n_touches, credit_q,
+       | CAST(credit_q AS DOUBLE) / 1e6 AS conversions,
+       | CAST(credit_q AS DOUBLE) / t AS share
+       |FROM agg CROSS JOIN tot
+       |ORDER BY channel""".stripMargin.replace('\n', ' ')
+  }
 }

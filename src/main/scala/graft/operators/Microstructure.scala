@@ -59,6 +59,57 @@ object Microstructure {
        | FROM updates WHERE is_trade GROUP BY 1, 2)
        |ORDER BY symbol, start""".stripMargin.replace('\n', ' ')
 
+  /** Hour-of-day (UTC) activity profile per symbol over TRADES: trade
+    * count, exact volume, and each hour's share of the symbol's total
+    * volume — the intraday-seasonality gauge (U-shaped open/close
+    * concentration on equities, session hand-offs on 24h crypto) a
+    * trading pipeline reads before sizing time-bucketed features.
+    *
+    * The hour is exact integer arithmetic off the family's
+    * fill-digits second stamp; volume sums ride the decimal
+    * [[graft.functions.exactSum]] discipline with the per-symbol
+    * total from a window over the ≤24-row hour table (still decimal —
+    * a double window sum would be accumulation-order dependent);
+    * `vol_share` is one IEEE division of the two exact casts.
+    *
+    * Scale shape: one (symbol, hour) partial aggregation, then a
+    * window over at most 24 rows per symbol. */
+  def intradayProfile(updates: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("symbol")
+    updates.where(col("is_trade"))
+      .select(col("symbol"),
+        graft.functions.tsSeconds(col("ts")).as("sec"),
+        finiteSize.as("sz"))
+      .select(col("symbol"),
+        expr("CAST((sec % 86400) DIV 3600 AS INT)").as("hour"),
+        col("sz"))
+      .groupBy(col("symbol"), col("hour"))
+      .agg(count(lit(1)).as("n_trades"),
+        sum(col("sz").cast("decimal(30,4)")).as("_v"))
+      .withColumn("_t", sum(col("_v")).over(w))
+      .select(col("symbol"), col("hour"), col("n_trades"),
+        col("_v").cast("double").as("volume"),
+        when(col("_t").cast("double") =!= 0.0d,
+          col("_v").cast("double") / col("_t").cast("double"))
+          .as("vol_share"))
+  }
+
+  /** DuckDB twin of [[intradayProfile]] — identical hour arithmetic,
+    * decimal sums, and IEEE chain. */
+  def intradayProfileSql(): String =
+    """SELECT symbol, hour, n_trades, CAST(v AS DOUBLE) AS volume,
+      | CASE WHEN CAST(t AS DOUBLE) <> 0.0
+      |  THEN CAST(v AS DOUBLE) / CAST(t AS DOUBLE) END AS vol_share
+      |FROM (
+      | SELECT symbol, hour, n_trades, v,
+      |  SUM(v) OVER (PARTITION BY symbol) AS t
+      | FROM (
+      |  SELECT symbol,
+      |   CAST(((ts // 1000) % 86400) // 3600 AS INTEGER) AS hour,
+      |   count(*) AS n_trades, SUM(CAST(size AS DECIMAL(30,4))) AS v
+      |  FROM updates WHERE is_trade GROUP BY 1, 2))
+      |ORDER BY symbol, hour""".stripMargin.replace('\n', ' ')
+
   /** Signed trade-flow imbalance per (symbol, bucket):
     * `(buy_vol − sell_vol) / (buy_vol + sell_vol)` with buys = bid-side
     * trades. The classic order-flow pressure signal; ±1 means one-sided

@@ -115,6 +115,17 @@ object EventQueries {
       (s, dir) => EventAnalytics.shapleyAttribution(events(s, dir)),
       Some(EventAnalytics.shapleyAttributionSql())),
 
+    // U-shaped 40/20/40 position credit, exact integer millionths
+    Q("q_position_attribution",
+      (s, dir) => EventAnalytics.positionAttribution(events(s, dir)),
+      Some(EventAnalytics.positionAttributionSql())),
+
+    // exponential time-decay credit via the pure-integer halving
+    // ladder (no libm), exact journey shares in millionths
+    Q("q_time_decay_attribution",
+      (s, dir) => EventAnalytics.timeDecayAttribution(events(s, dir)),
+      Some(EventAnalytics.timeDecayAttributionSql())),
+
     // per-user event-type entropy + ln(k)-normalized predictability
     Q("q_nav_entropy",
       (s, dir) => graft.operators.ActivityStats.navEntropy(events(s, dir))

@@ -352,7 +352,13 @@ object TickQueries {
       (s, dir) => ReturnDynamics.realizedSemivariance(u(s, dir))
         .orderBy("symbol"),
       Some(Tables.withUpdates(
-        ReturnDynamics.realizedSemivarianceSql())))
+        ReturnDynamics.realizedSemivarianceSql()))),
+
+    // hour-of-day volume/trade seasonality profile per symbol
+    Q("q_intraday_profile",
+      (s, dir) => Microstructure.intradayProfile(u(s, dir))
+        .orderBy("symbol", "hour"),
+      Some(Tables.withUpdates(Microstructure.intradayProfileSql())))
   )
 
   /** One partitioned store per sf DIR (keyed by dir alone, NOT per

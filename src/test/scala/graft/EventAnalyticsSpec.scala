@@ -454,6 +454,72 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(EventAnalytics.shapleyAttribution(none).count() === 0L)
   }
 
+  test("positionAttribution: U-shape splits with the exact remainder " +
+      "convention; journeys each sum to exactly 1e6") {
+    // u1: a           -> a = 1e6 (single touch)
+    // u2: a b         -> 500000 each (no middles)
+    // u3: a b c       -> 400000 / 200000 / 400000
+    // u4: a b c d e   -> 400000 / 66667 / 66667 / 66666 / 400000
+    //                    (200000 = 3*66666 + 2: earliest 2 middles +1)
+    // u5: f, never converts -> no credit, channel absent
+    val df = eventsDf(Seq(
+      (1L, 0L, 1L, "a", 0.0), (2L, M, 1L, "purchase", 0.0),
+      (3L, 0L, 2L, "a", 0.0), (4L, M, 2L, "b", 0.0),
+      (5L, 2 * M, 2L, "purchase", 0.0),
+      (6L, 0L, 3L, "a", 0.0), (7L, M, 3L, "b", 0.0),
+      (8L, 2 * M, 3L, "c", 0.0), (9L, 3 * M, 3L, "purchase", 0.0),
+      (10L, 0L, 4L, "a", 0.0), (11L, M, 4L, "b", 0.0),
+      (12L, 2 * M, 4L, "c", 0.0), (13L, 3 * M, 4L, "d", 0.0),
+      (14L, 4 * M, 4L, "e", 0.0), (15L, 5 * M, 4L, "purchase", 0.0),
+      (16L, 0L, 5L, "f", 0.0)))
+    val out = EventAnalytics.positionAttribution(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val expected = Map(
+      "a" -> 2300000L, "b" -> 766667L, "c" -> 466667L,
+      "d" -> 66666L, "e" -> 400000L)
+    assert(out.keySet === expected.keySet, "non-converter leaked in")
+    expected.foreach { case (ch, q) =>
+      assert(out(ch)._2 === q, s"$ch credit_q")
+      assert(out(ch)._3 === q.toDouble / 1e6)
+      assert(out(ch)._4 === q.toDouble / 4000000.0, s"$ch share")
+    }
+    // journeys sum to exactly 1e6 each -> total = #converters * 1e6
+    assert(expected.values.sum === 4000000L)
+  }
+
+  test("timeDecayAttribution: halving ladder, exact journey shares, " +
+      "39-cap floors the weight at 1 (never 0)") {
+    // halflife = 1 minute. u1: a at 0, b at M, conv at 2M ->
+    //   w(a) = 1e12 DIV 4, w(b) = 1e12 DIV 2; shares 333333 / 666666
+    // u2: c at the conversion's own timestamp (earlier event_id) ->
+    //   k = 0, sole touch, share 1e6
+    // u3: d 100 half-lives out -> k caps at 39, w = 1 -> still the
+    //   sole touch, share 1e6 (a zero weight would 0-divide)
+    val df = eventsDf(Seq(
+      (1L, 0L, 1L, "a", 0.0), (2L, M, 1L, "b", 0.0),
+      (3L, 2 * M, 1L, "purchase", 0.0),
+      (4L, 0L, 2L, "c", 0.0), (5L, 0L, 2L, "purchase", 0.0),
+      (6L, 0L, 3L, "d", 0.0), (7L, 100 * M, 3L, "purchase", 0.0)))
+    val out = EventAnalytics.timeDecayAttribution(df,
+        halflifeMicros = M).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    assert(out("a")._1 === 333333L)
+    assert(out("b")._1 === 666666L)
+    assert(out("c")._1 === 1000000L)
+    assert(out("d")._1 === 1000000L)
+    val tot = (333333L + 666666L + 1000000L + 1000000L).toDouble
+    assert(out("b")._3 === 666666.0 / tot)
+    assert(out("a")._2 === 0.333333)
+    intercept[IllegalArgumentException] {
+      EventAnalytics.timeDecayAttribution(df, halflifeMicros = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      EventAnalytics.timeDecayAttributionSql(convType = "x'y")
+    }
+  }
+
   test("registry gates analyze and return rows on sf0.001") {
     Tables.enableNanos(spark)
     graft.queries.EventQueries.all.foreach { q =>

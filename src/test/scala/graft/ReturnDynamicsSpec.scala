@@ -184,6 +184,30 @@ class ReturnDynamicsSpec extends SparkSpec {
     assert(b("burst").get > b("metro").get)
   }
 
+  test("intradayProfile: exact hour bucketing, decimal volume, " +
+      "shares sum to 1 per symbol; quotes excluded") {
+    // midnight-aligned 13-digit ms base (1700006400 % 86400 == 0)
+    val mid = 1700006400000L
+    def trade(sym: String, h: Int, off: Long, sz: Double) =
+      Update(sym, mid + h * 3600000L + off, 0L, is_trade = true,
+        is_bid = true, 100.0, sz)
+    val ups = Seq(
+      trade("s", 0, 0L, 1.5), trade("s", 0, 1000L, 2.5),
+      trade("s", 23, 59L * 60000L, 6.0),
+      // a quote must not count
+      Update("s", mid, 1L, is_trade = false, is_bid = true, 100.0, 9.0),
+      trade("t", 5, 0L, 4.0))
+    val out = graft.operators.Microstructure
+      .intradayProfile(updatesDf(ups)).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    assert(out.keySet === Set(("s", 0), ("s", 23), ("t", 5)))
+    assert(out(("s", 0)).getLong(2) === 2L)
+    assert(out(("s", 0)).getDouble(3) === 4.0)
+    assert(out(("s", 0)).getDouble(4) === 0.4)
+    assert(out(("s", 23)).getDouble(4) === 0.6)
+    assert(out(("t", 5)).getDouble(4) === 1.0)
+  }
+
   test("navEntropy: quantized Shannon entropy matches the scalar lnQ " +
       "replay; single-type user is zero with null norm") {
     import spark.implicits._
