@@ -1731,4 +1731,101 @@ object Similarity {
        | SELECT *, row_number() OVER (
        |   PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM sims)
        |WHERE rank = 1 ORDER BY q_id""".stripMargin.replace('\n', ' ')
+
+  /** Per-label embedding-centroid drift: the L2 distance between each
+    * label's embedding centroid and the corpus centroid — the
+    * embedding-space companion of the token-level
+    * [[graft.ext.TextOps]] source drift and the length-PSI monitor (a
+    * label whose vectors migrate shifts the mixture even when its
+    * token stats hold still).
+    *
+    * Exactness (the [[kmeansCentroids]] stance): per-dim sums
+    * accumulate INTEGER-QUANTIZED elements (`Σ floor(x_d·1e6)`, exact
+    * at any accumulation order), each mean-difference is ONE
+    * identical IEEE chain floor-quantized at 1e8
+    * (`dq = floor((s/n/1e6 − cs/cn/1e6)·1e8)`), and `dist2_q = Σ dq²`
+    * is an exact decimal/HUGEINT sum with a raise-guarded BIGINT
+    * emission; `dist = sqrt(dist2_q/1e16)` is one division + one
+    * correctly-rounded sqrt.
+    *
+    * Scale shape: one (label, dim) map-side-combined aggregation
+    * (dims-bounded output), corpus totals re-aggregated FROM it, a
+    * broadcast join on the dims-row axis, one label aggregation. No
+    * window, no collect, no guard on label cardinality needed. */
+  def centroidDrift(embeddings: DataFrame): DataFrame = {
+    def guarded(c: Column, what: String): Column =
+      when(abs(c) > lit(Long.MaxValue),
+        raise_error(concat(
+          lit(s"centroidDrift: $what overflows BIGINT at label="),
+          col("label").cast("string"))).cast("long"))
+        .otherwise(c.cast("long"))
+    val base = embeddings.select(col("label"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("d", "x")))
+      .select(col("label"), col("d"),
+        floor(col("x") * lit(1e6)).cast("long").as("xq"))
+    val byLabel = base.groupBy("label", "d")
+      .agg(sum(col("xq").cast("decimal(30,0)")).as("_s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("d"),
+        guarded(col("_s"), "dim sum").as("s"), col("n"))
+    val corpus = byLabel.groupBy("d")
+      .agg(sum(col("s").cast("decimal(30,0)")).as("_cs"),
+        sum(col("n")).as("cn"))
+      .select(col("d"),
+        when(abs(col("_cs")) > lit(Long.MaxValue),
+          raise_error(lit("centroidDrift: corpus dim sum overflows " +
+            "BIGINT")).cast("long"))
+          .otherwise(col("_cs").cast("long")).as("cs"),
+        col("cn"))
+    val dq = floor(
+      (col("s").cast("double") / col("n").cast("double") / 1e6d
+        - col("cs").cast("double") / col("cn").cast("double") / 1e6d)
+        * 1e8d).cast("long")
+    byLabel.join(broadcast(corpus), "d")
+      .select(col("label"), col("n"), dq.as("dq"))
+      .groupBy("label")
+      .agg(max(col("n")).as("n_vecs"),
+        sum(col("dq").cast("decimal(25,0)") *
+          col("dq").cast("decimal(25,0)")).as("_d2"))
+      .select(col("label"), col("n_vecs"),
+        guarded(col("_d2"), "dist2_q").as("dist2_q"))
+      .withColumn("dist", sqrt(col("dist2_q").cast("double") / 1e16d))
+      .orderBy("label")
+  }
+
+  /** DuckDB twin of [[centroidDrift]] — identical quantization, sums,
+    * and IEEE chains (the internal dim axis is 1-based here, 0-based
+    * in Spark: it is a join key inside each engine, never emitted). */
+  def centroidDriftSql(): String =
+    """WITH vecs AS MATERIALIZED (
+      | SELECT label, CAST(embedding AS DOUBLE[]) AS emb
+      | FROM embeddings),
+      |base AS MATERIALIZED (
+      | SELECT label, generate_subscripts(emb, 1) AS d,
+      |  unnest(emb) AS x
+      | FROM vecs),
+      |byl AS MATERIALIZED (
+      | SELECT label, d,
+      |  CAST(SUM(CAST(CAST(floor(x * 1e6) AS BIGINT) AS HUGEINT))
+      |    AS BIGINT) AS s,
+      |  count(*) AS n
+      | FROM base GROUP BY 1, 2),
+      |corp AS MATERIALIZED (
+      | SELECT d, CAST(SUM(CAST(s AS HUGEINT)) AS BIGINT) AS cs,
+      |  CAST(SUM(n) AS BIGINT) AS cn
+      | FROM byl GROUP BY 1)
+      |SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+      | CAST(SUM(CAST(dq AS HUGEINT) * CAST(dq AS HUGEINT)) AS BIGINT)
+      |  AS dist2_q,
+      | sqrt(CAST(CAST(SUM(CAST(dq AS HUGEINT) * CAST(dq AS HUGEINT))
+      |   AS BIGINT) AS DOUBLE) / 1e16) AS dist
+      |FROM (
+      | SELECT byl.label, byl.n,
+      |  CAST(floor((CAST(byl.s AS DOUBLE) / CAST(byl.n AS DOUBLE) / 1e6
+      |   - CAST(corp.cs AS DOUBLE) / CAST(corp.cn AS DOUBLE) / 1e6)
+      |   * 1e8) AS BIGINT) AS dq
+      | FROM byl JOIN corp USING (d))
+      |GROUP BY label
+      |ORDER BY label""".stripMargin.replace('\n', ' ')
 }

@@ -1486,6 +1486,99 @@ object EventAnalytics {
        |ORDER BY channel""".stripMargin.replace('\n', ' ')
   }
 
+  /** First-touch, last-touch, and linear channel attribution in ONE
+    * pass over CONVERTED journeys — the three baseline rule-based
+    * models every attribution report shows next to
+    * [[positionAttribution]]/[[timeDecayAttribution]] and the
+    * data-driven [[markovAttribution]]/[[shapleyAttribution]]:
+    * first/last give the journey's full credit to one touch; linear
+    * splits it equally (`1e6 ÷ m` each, remainder to the EARLIEST
+    * `1e6 mod m` touches — the [[positionAttribution]] convention, so
+    * every journey sums to exactly 1e6 under all three models).
+    *
+    * All credits are exact integer millionths in BOTH engines
+    * (raise-guarded BIGINT sums); the three share columns divide by
+    * the same exact total (`Σ linear_q` = 1e6 · converters = the
+    * other two models' totals by construction).
+    *
+    * Scale shape: user-keyed windows over [[journeyBase]] and one
+    * channel aggregation — no collect, no guard, fully distributed. */
+  def touchAttribution(events: DataFrame,
+      convType: String = "purchase"): DataFrame = {
+    requireSafeType(convType)
+    val (_, base) = journeyBase(events, convType)
+    val byRn = Window.partitionBy("user_id").orderBy("rn")
+    val all = Window.partitionBy("user_id")
+    def guarded(c: Column, what: String): Column =
+      when(abs(c) > lit(Long.MaxValue),
+        raise_error(concat(
+          lit(s"touchAttribution: $what overflows BIGINT at "),
+          col("channel"))).cast("long"))
+        .otherwise(c.cast("long"))
+    val cr = base.where(col("crn").isNotNull)
+      .withColumn("pos", row_number().over(byRn))
+      .withColumn("m", count(lit(1)).over(all))
+      .select(col("event_type"),
+        when(col("pos") === 1, lit(1000000L)).otherwise(lit(0L))
+          .as("first_q1"),
+        when(col("pos") === col("m"), lit(1000000L)).otherwise(lit(0L))
+          .as("last_q1"),
+        expr("1000000 DIV m + (CASE WHEN pos <= 1000000 % m " +
+          "THEN 1 ELSE 0 END)").as("linear_q1"))
+    val agg = cr.groupBy(col("event_type").as("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("first_q1").cast("decimal(30,0)")).as("_f"),
+        sum(col("last_q1").cast("decimal(30,0)")).as("_l"),
+        sum(col("linear_q1").cast("decimal(30,0)")).as("_n"))
+      .select(col("channel"), col("n_touches"),
+        guarded(col("_f"), "first_q").as("first_q"),
+        guarded(col("_l"), "last_q").as("last_q"),
+        guarded(col("_n"), "linear_q").as("linear_q"))
+    agg
+      .join(agg.agg(sum(col("linear_q").cast("decimal(30,0)"))
+        .cast("double").as("_t")))
+      .select(col("channel"), col("n_touches"),
+        col("first_q"), col("last_q"), col("linear_q"),
+        (col("first_q").cast("double") / col("_t")).as("first_share"),
+        (col("last_q").cast("double") / col("_t")).as("last_share"),
+        (col("linear_q").cast("double") / col("_t"))
+          .as("linear_share"))
+      .orderBy("channel")
+  }
+
+  /** DuckDB twin of [[touchAttribution]] — identical credit rules,
+    * remainder convention, and IEEE chains. */
+  def touchAttributionSql(convType: String = "purchase"): String = {
+    requireSafeType(convType)
+    s"""WITH ${journeySqlCtes(convType)},
+       |pos AS MATERIALIZED (
+       | SELECT user_id, event_type,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY rn) AS pos,
+       |  count(*) OVER (PARTITION BY user_id) AS m
+       | FROM base WHERE crn IS NOT NULL),
+       |cr AS MATERIALIZED (
+       | SELECT event_type AS channel,
+       |  CASE WHEN pos = 1 THEN 1000000 ELSE 0 END AS first_q1,
+       |  CASE WHEN pos = m THEN 1000000 ELSE 0 END AS last_q1,
+       |  1000000 // m + (CASE WHEN pos <= 1000000 % m
+       |   THEN 1 ELSE 0 END) AS linear_q1
+       | FROM pos),
+       |agg AS MATERIALIZED (
+       | SELECT channel, count(*) AS n_touches,
+       |  CAST(SUM(CAST(first_q1 AS HUGEINT)) AS BIGINT) AS first_q,
+       |  CAST(SUM(CAST(last_q1 AS HUGEINT)) AS BIGINT) AS last_q,
+       |  CAST(SUM(CAST(linear_q1 AS HUGEINT)) AS BIGINT) AS linear_q
+       | FROM cr GROUP BY channel),
+       |tot AS (SELECT CAST(SUM(CAST(linear_q AS HUGEINT)) AS DOUBLE)
+       |  AS t FROM agg)
+       |SELECT channel, n_touches, first_q, last_q, linear_q,
+       | CAST(first_q AS DOUBLE) / t AS first_share,
+       | CAST(last_q AS DOUBLE) / t AS last_share,
+       | CAST(linear_q AS DOUBLE) / t AS linear_share
+       |FROM agg CROSS JOIN tot
+       |ORDER BY channel""".stripMargin.replace('\n', ' ')
+  }
+
   /** Exponential time-decay channel attribution over CONVERTED
     * journeys: a touch `Δt` before the conversion weighs
     * `2^(−Δt/halflife)` — implemented as the PURE-INTEGER halving

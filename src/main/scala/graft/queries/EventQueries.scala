@@ -115,6 +115,11 @@ object EventQueries {
       (s, dir) => EventAnalytics.shapleyAttribution(events(s, dir)),
       Some(EventAnalytics.shapleyAttributionSql())),
 
+    // first/last/linear baseline attribution in one pass
+    Q("q_touch_attribution",
+      (s, dir) => EventAnalytics.touchAttribution(events(s, dir)),
+      Some(EventAnalytics.touchAttributionSql())),
+
     // U-shaped 40/20/40 position credit, exact integer millionths
     Q("q_position_attribution",
       (s, dir) => EventAnalytics.positionAttribution(events(s, dir)),

@@ -408,6 +408,13 @@ object ExtQueries {
       Some(Similarity.cellBalanceSql(
         Similarity.semCellsFor(oracleEmbCount)))),
 
+    // per-label centroid drift vs the corpus centroid (embedding-space
+    // mixture monitor; quantized-exact per-dim sums)
+    Q("q_centroid_drift",
+      (s, dir) => Similarity.centroidDrift(
+        graft.Tables.table(s, dir, "embeddings")),
+      Some(Similarity.centroidDriftSql())),
+
     // token counting
     Q("q_token_count",
       (s, dir) => docs(s, dir)

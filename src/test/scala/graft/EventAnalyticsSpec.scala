@@ -488,6 +488,27 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(expected.values.sum === 4000000L)
   }
 
+  test("touchAttribution: first/last/linear credits with the exact " +
+      "remainder convention; all three models total identically") {
+    // u1: a (m=1); u2: a b (m=2); u3: a b c (m=3, r=1 -> a +1)
+    val df = eventsDf(Seq(
+      (1L, 0L, 1L, "a", 0.0), (2L, M, 1L, "purchase", 0.0),
+      (3L, 0L, 2L, "a", 0.0), (4L, M, 2L, "b", 0.0),
+      (5L, 2 * M, 2L, "purchase", 0.0),
+      (6L, 0L, 3L, "a", 0.0), (7L, M, 3L, "b", 0.0),
+      (8L, 2 * M, 3L, "c", 0.0), (9L, 3 * M, 3L, "purchase", 0.0)))
+    val out = EventAnalytics.touchAttribution(df).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("a") === ((3000000L, 1000000L, 1833334L)))
+    assert(out("b") === ((0L, 1000000L, 833333L)))
+    assert(out("c") === ((0L, 1000000L, 333333L)))
+    // each model's credits sum to converters * 1e6
+    assert(out.values.map(_._1).sum === 3000000L)
+    assert(out.values.map(_._2).sum === 3000000L)
+    assert(out.values.map(_._3).sum === 3000000L)
+  }
+
   test("timeDecayAttribution: halving ladder, exact journey shares, " +
       "39-cap floors the weight at 1 (never 0)") {
     // halflife = 1 minute. u1: a at 0, b at M, conv at 2M ->

@@ -19,6 +19,33 @@ class ExtSpec extends SparkSpec {
     rows.toDF("vec_id", "embedding")
   }
 
+  test("centroidDrift: orthogonal label clusters score the exact " +
+      "quantized L2; a lone label sits at the corpus centroid") {
+    import spark.implicits._
+    def emb(label: Int, vs: Seq[Float]*) =
+      vs.zipWithIndex.map { case (v, i) =>
+        (label.toLong * 100 + i, v, label) }
+    // two labels at [1,0] and [0,1] -> corpus centroid [0.5, 0.5];
+    // per dim diff 0.5 -> dq = 5e7, dist2 = 2*(5e7)^2 = 5e15,
+    // dist = sqrt(0.5)
+    val two = (emb(0, Seq(1f, 0f), Seq(1f, 0f)) ++
+        emb(1, Seq(0f, 1f), Seq(0f, 1f)))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.ext.Similarity.centroidDrift(two).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    for (l <- Seq(0, 1)) {
+      assert(out(l).getLong(1) === 2L)
+      assert(out(l).getLong(2) === 5000000000000000L, s"label $l")
+      assert(out(l).getDouble(3) === math.sqrt(0.5))
+    }
+    // one label -> its centroid IS the corpus centroid -> dist 0
+    val one = emb(7, Seq(0.25f, -0.5f), Seq(0.75f, -0.5f))
+      .toDF("vec_id", "embedding", "label")
+    val solo = graft.ext.Similarity.centroidDrift(one).collect()
+    assert(solo.length === 1)
+    assert(solo.head.getLong(2) === 0L && solo.head.getDouble(3) === 0.0)
+  }
+
   test("shingles: word n-grams, distinct, short docs dropped") {
     val sh = Dedup.shingles(docsDf(
       (1L, "a b c a b"),
