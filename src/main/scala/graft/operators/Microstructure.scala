@@ -1079,6 +1079,103 @@ object Microstructure {
        |  GROUP BY 1, 2))
        |WHERE q IS NOT NULL""".stripMargin.replace('\n', ' ')
 
+  /** Market beta of every symbol against a BENCHMARK symbol's bucket
+    * returns: `β = cov(q_s, q_b) / var(q_b)` over buckets where BOTH
+    * series have a return — the regression companion of
+    * [[returnCorr]]'s correlation (β answers "how much does this
+    * symbol move per unit benchmark move", the hedge-ratio number).
+    * The benchmark's own row emits β = 1 exactly (cov ≡ var on
+    * identical operands).
+    *
+    * Exactness: the five cross-moment sums run in decimal/HUGEINT
+    * over the exact integer returns (`|q| ≤ 1e9` kernel guard ⇒ each
+    * summand ≤ 1e18) and emit raise-guarded BIGINTs; cov/var/β are
+    * the population-moment IEEE chain in identical textual order in
+    * both engines. Null β when the benchmark variance is 0 over the
+    * joined buckets.
+    *
+    * Scale shape: the benchmark series is bucket-bounded
+    * (time-bounded, not data-bounded) and BROADCASTS to the
+    * (symbol, bucket) return stream — one broadcast join keyed on the
+    * bucket, one per-symbol aggregation; no window over the join, no
+    * shuffle of the return stream. */
+  def symbolBeta(updates: DataFrame, seconds: Long = 60,
+      benchmark: String = "click"): DataFrame = {
+    require(benchmark.matches("[A-Za-z0-9_.:-]+"),
+      s"benchmark symbol must match [A-Za-z0-9_.:-]+, got: $benchmark")
+    def guardedLong(c: org.apache.spark.sql.Column, what: String) =
+      when(abs(c) > lit(Long.MaxValue),
+        raise_error(concat(lit(s"symbolBeta: $what overflows " +
+          "BIGINT at symbol="), col("symbol")))
+          .cast("long"))
+        .otherwise(c.cast("long"))
+    val rets = bucketReturns(updates, seconds)
+    val bench = rets.where(col("symbol") === benchmark)
+      .select(col("start"), col("q").as("qb"))
+    val qDec = col("q").cast("decimal(15,0)")
+    val qbDec = col("qb").cast("decimal(15,0)")
+    def m(s: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column) = s.cast("double") / n
+    val cov = m(col("sum_qqb"), col("n_buckets")) -
+      m(col("sum_q"), col("n_buckets")) *
+      m(col("sum_qb"), col("n_buckets"))
+    val varB = m(col("sum_qb2"), col("n_buckets")) -
+      m(col("sum_qb"), col("n_buckets")) *
+      m(col("sum_qb"), col("n_buckets"))
+    rets.join(broadcast(bench), "start")
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(qDec).as("_q"), sum(qbDec).as("_b"),
+        sum(qDec * qbDec).as("_qb"), sum(qbDec * qbDec).as("_b2"))
+      .select(col("symbol"), col("n_buckets"),
+        guardedLong(col("_q"), "sum_q").as("sum_q"),
+        guardedLong(col("_b"), "sum_qb").as("sum_qb"),
+        guardedLong(col("_qb"), "sum_qqb").as("sum_qqb"),
+        guardedLong(col("_b2"), "sum_qb2").as("sum_qb2"))
+      .withColumn("cov_qb", cov)
+      .withColumn("var_b", varB)
+      .withColumn("beta", when(varB =!= 0.0d, cov / varB))
+  }
+
+  /** DuckDB twin of [[symbolBeta]] — identical kernel, HUGEINT sums,
+    * the same population-moment chain. */
+  def symbolBetaSql(seconds: Long = 60,
+      benchmark: String = "click"): String = {
+    require(benchmark.matches("[A-Za-z0-9_.:-]+"),
+      s"benchmark symbol must match [A-Za-z0-9_.:-]+, got: $benchmark")
+    s"""SELECT symbol, n_buckets, sum_q, sum_qb, sum_qqb, sum_qb2,
+       | CAST(sum_qqb AS DOUBLE) / n_buckets
+       |  - (CAST(sum_q AS DOUBLE) / n_buckets)
+       |    * (CAST(sum_qb AS DOUBLE) / n_buckets) AS cov_qb,
+       | CAST(sum_qb2 AS DOUBLE) / n_buckets
+       |  - (CAST(sum_qb AS DOUBLE) / n_buckets)
+       |    * (CAST(sum_qb AS DOUBLE) / n_buckets) AS var_b,
+       | CASE WHEN CAST(sum_qb2 AS DOUBLE) / n_buckets
+       |   - (CAST(sum_qb AS DOUBLE) / n_buckets)
+       |     * (CAST(sum_qb AS DOUBLE) / n_buckets) <> 0.0
+       |  THEN (CAST(sum_qqb AS DOUBLE) / n_buckets
+       |   - (CAST(sum_q AS DOUBLE) / n_buckets)
+       |     * (CAST(sum_qb AS DOUBLE) / n_buckets))
+       |   / (CAST(sum_qb2 AS DOUBLE) / n_buckets
+       |    - (CAST(sum_qb AS DOUBLE) / n_buckets)
+       |      * (CAST(sum_qb AS DOUBLE) / n_buckets))
+       | END AS beta
+       |FROM (
+       | SELECT r.symbol, count(*) AS n_buckets,
+       |  CAST(SUM(CAST(r.q AS HUGEINT)) AS BIGINT) AS sum_q,
+       |  CAST(SUM(CAST(b.qb AS HUGEINT)) AS BIGINT) AS sum_qb,
+       |  CAST(SUM(CAST(r.q AS HUGEINT) * CAST(b.qb AS HUGEINT))
+       |    AS BIGINT) AS sum_qqb,
+       |  CAST(SUM(CAST(b.qb AS HUGEINT) * CAST(b.qb AS HUGEINT))
+       |    AS BIGINT) AS sum_qb2
+       | FROM (${bucketReturnsSql(seconds)}) r
+       | JOIN (SELECT start, q AS qb
+       |   FROM (${bucketReturnsSql(seconds)})
+       |   WHERE symbol = '$benchmark') b USING (start)
+       | GROUP BY 1)
+       |ORDER BY symbol""".stripMargin.replace('\n', ' ')
+  }
+
   /** Robust return-anomaly flags per (symbol, bucket): the MAD z-score
     * of each bucket return against its symbol's median —
     * `z = (mad > 0 ? |q − med| / mad : 0)`, anomalous when `z >= m` —

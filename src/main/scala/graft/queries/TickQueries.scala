@@ -358,7 +358,17 @@ object TickQueries {
     Q("q_intraday_profile",
       (s, dir) => Microstructure.intradayProfile(u(s, dir))
         .orderBy("symbol", "hour"),
-      Some(Tables.withUpdates(Microstructure.intradayProfileSql())))
+      Some(Tables.withUpdates(Microstructure.intradayProfileSql()))),
+
+    // market beta vs the benchmark symbol's bucket returns — HOURLY
+    // buckets in the gate: minute buckets barely overlap across the
+    // sparse sf0.01 symbols (the returnCorr situation), hourly gives
+    // the oracle a fully-joined moment system to check
+    Q("q_symbol_beta",
+      (s, dir) => Microstructure.symbolBeta(u(s, dir), seconds = 3600)
+        .orderBy("symbol"),
+      Some(Tables.withUpdates(Microstructure.symbolBetaSql(
+        seconds = 3600))))
   )
 
   /** One partitioned store per sf DIR (keyed by dir alone, NOT per

@@ -184,6 +184,30 @@ class ReturnDynamicsSpec extends SparkSpec {
     assert(b("burst").get > b("metro").get)
   }
 
+  test("symbolBeta: benchmark scores exactly 1; co-mover 1; " +
+      "anti-mover strongly negative; flat benchmark yields null") {
+    val walk = (0 until 200).scanLeft(100.0) {
+      (p, i) => p * (if (i % 3 == 0) 1.01 else 0.997)
+    }
+    val ups = closes("m", walk) ++ closes("same", walk) ++
+      closes("inv", walk.map(1000.0 / _))
+    val out = graft.operators.Microstructure
+      .symbolBeta(updatesDf(ups), benchmark = "m").collect()
+      .map(r => r.getString(0) -> r.getDouble(8)).toMap
+    assert(out("m") === 1.0, "benchmark against itself must be 1")
+    assert(out("same") === 1.0, "identical closes must give beta 1")
+    assert(out("inv") < -0.9, s"reciprocal closes: ${out("inv")}")
+    // zero-variance benchmark -> null beta everywhere
+    val flat = closes("m", Seq.fill(50)(100.0)) ++
+      closes("x", walk.take(50))
+    val nul = graft.operators.Microstructure
+      .symbolBeta(updatesDf(flat), benchmark = "m").collect()
+    nul.foreach(r => assert(r.isNullAt(8), s"expected null beta: $r"))
+    intercept[IllegalArgumentException] {
+      graft.operators.Microstructure.symbolBetaSql(benchmark = "x'y")
+    }
+  }
+
   test("intradayProfile: exact hour bucketing, decimal volume, " +
       "shares sum to 1 per symbol; quotes excluded") {
     // midnight-aligned 13-digit ms base (1700006400 % 86400 == 0)
