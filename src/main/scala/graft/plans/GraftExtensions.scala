@@ -133,6 +133,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Microstructure.twapQuote(u, long0(a, 60L)) }
     registerTable(ext, "order_trade_ratio") { (u, a) =>
       Microstructure.orderTradeRatio(u, long0(a, 60L)) }
+    // r12/r13 estimator wave
+    registerTable(ext, "vpin") { (u, a) =>
+      Vpin.vpin(u, a.headOption.getOrElse(100.0),
+        a.lift(1).map(_.toInt).getOrElse(5)) }
+    registerTable(ext, "tick_imbalance_bars") { (u, a) =>
+      FoldBars.tickImbalanceBars(u, long0(a, 4L)) }
+    registerTable(ext, "bipower_var") { (u, a) =>
+      ReturnDynamics.bipowerVar(u, long0(a, 60L)) }
+    registerTable(ext, "return_acf") { (u, a) =>
+      ReturnDynamics.returnAcf(u, long0(a, 60L)) }
+    registerTable(ext, "hurst") { (u, a) =>
+      ReturnDynamics.hurst(u, long0(a, 60L)) }
+    registerTable(ext, "realized_semivariance") { (u, a) =>
+      ReturnDynamics.realizedSemivariance(u, long0(a, 60L)) }
+    registerTable(ext, "corwin_schultz") { (u, a) =>
+      RangeSpread.corwinSchultz(u, long0(a, 60L)) }
+    registerTable(ext, "trade_intensity") { (u, a) =>
+      DecaySeries.tradeIntensity(u, long0(a, 60L)) }
+    registerTable(ext, "ema_close") { (u, a) =>
+      DecaySeries.emaClose(u, long0(a, 60L)) }
+    registerTable(ext, "intraday_profile") { (u, _) =>
+      Microstructure.intradayProfile(u) }
+    registerTable(ext, "symbol_beta") { (u, a) =>
+      Microstructure.symbolBeta(u, long0(a, 60L)) }
+    // clickstream family (the tick view argument names the EVENTS
+    // view here — default 'events')
+    registerEventTable(ext, "sessionize") { (e, a) =>
+      EventAnalytics.sessionize(e, long0(a, 1800L)) }
+    registerEventTable(ext, "transitions") { (e, _) =>
+      EventAnalytics.transitions(e) }
+    registerEventTable(ext, "rfm") { (e, _) => EventAnalytics.rfm(e) }
+    registerEventTable(ext, "user_fano") { (e, _) =>
+      ActivityStats.userFano(e) }
+    registerEventTable(ext, "burstiness") { (e, _) =>
+      ActivityStats.burstiness(e) }
+    registerEventTable(ext, "nav_entropy") { (e, _) =>
+      ActivityStats.navEntropy(e) }
+    registerEventTable(ext, "touch_attribution") { (e, _) =>
+      EventAnalytics.touchAttribution(e) }
+    registerEventTable(ext, "position_attribution") { (e, _) =>
+      EventAnalytics.positionAttribution(e) }
+    registerEventTable(ext, "time_decay_attribution") { (e, a) =>
+      EventAnalytics.timeDecayAttribution(e,
+        halflifeMicros = long0(a, 7L * 86400L * 1000000L)) }
   }
 
   /** Inject one operator as a SQL table function: evaluate the literal
@@ -148,8 +192,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftExtensions].getName, null, name),
       (exprs: Seq[Expression]) => tablePlan(name, exprs, build)))
 
+  /** [[registerTable]] with the clickstream family's default view:
+    * the optional leading string argument names the EVENTS view. */
+  private def registerEventTable(ext: SparkSessionExtensions,
+      name: String)(
+      build: (DataFrame, Seq[Double]) => DataFrame): Unit =
+    ext.injectTableFunction((FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name),
+      (exprs: Seq[Expression]) =>
+        tablePlan(name, exprs, build, defaultView = "events")))
+
   private def tablePlan(name: String, exprs: Seq[Expression],
-      build: (DataFrame, Seq[Double]) => DataFrame): LogicalPlan = {
+      build: (DataFrame, Seq[Double]) => DataFrame,
+      defaultView: String = "updates"): LogicalPlan = {
     val vals = exprs.map { e =>
       if (!e.foldable) throw new IllegalArgumentException(
         s"$name: table-function arguments must be literals, got $e")
@@ -158,7 +213,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     val (view, nums) = vals match {
       case (StringType, v) +: rest =>
         (v.toString, rest.map { case (_, n) => numOf(name, n) })
-      case all => ("updates", all.map { case (_, v) => numOf(name, v) })
+      case all => (defaultView, all.map { case (_, v) => numOf(name, v) })
     }
     val spark = SparkSession.active
     build(spark.table(view), nums).queryExecution.logical

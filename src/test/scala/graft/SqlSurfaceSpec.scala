@@ -14,7 +14,7 @@ import graft.plans.GraftExtensions
 class SqlSurfaceSpec extends SparkSpec {
 
   test("SQL table functions == Column API for the registry surface " +
-      "(16 operators)") {
+      "(34 operators pinned, ticks + events views)") {
     val base = spark // force shared session init first
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -65,6 +65,53 @@ class SqlSurfaceSpec extends SparkSpec {
         ("twap_quote", "SELECT * FROM twap_quote(60)",
           Microstructure.twapQuote(u, 60L)))
       cases.foreach { case (name, sql, api) =>
+        val viaSql = rows(s.sql(sql))
+        assert(viaSql.nonEmpty, s"$name: SQL surface returned no rows")
+        assert(viaSql === rows(api), s"$name: SQL != Column API")
+      }
+      // r12/r13 estimator + clickstream waves: the same identity over
+      // the events view (clickstream TVFs default to view 'events')
+      val ev = Tables.table(s, sf(), "events")
+      ev.createOrReplaceTempView("events")
+      val wave: Seq[(String, String, DataFrame)] = Seq(
+        ("vpin", "SELECT * FROM vpin(100.0, 5)",
+          Vpin.vpin(u, 100.0, 5)),
+        ("tick_imbalance_bars", "SELECT * FROM tick_imbalance_bars(4)",
+          FoldBars.tickImbalanceBars(u, 4L)),
+        ("bipower_var", "SELECT * FROM bipower_var(60)",
+          ReturnDynamics.bipowerVar(u, 60L)),
+        ("realized_semivariance",
+          "SELECT * FROM realized_semivariance(60)",
+          ReturnDynamics.realizedSemivariance(u, 60L)),
+        ("corwin_schultz", "SELECT * FROM corwin_schultz(60)",
+          RangeSpread.corwinSchultz(u, 60L)),
+        ("trade_intensity", "SELECT * FROM trade_intensity(60)",
+          DecaySeries.tradeIntensity(u, 60L)),
+        ("ema_close", "SELECT * FROM ema_close(60)",
+          DecaySeries.emaClose(u, 60L)),
+        ("intraday_profile", "SELECT * FROM intraday_profile()",
+          Microstructure.intradayProfile(u)),
+        ("symbol_beta", "SELECT * FROM symbol_beta(3600)",
+          Microstructure.symbolBeta(u, 3600L)),
+        ("sessionize", "SELECT * FROM sessionize(1800)",
+          EventAnalytics.sessionize(ev, 1800L)),
+        ("transitions", "SELECT * FROM transitions()",
+          EventAnalytics.transitions(ev)),
+        ("rfm", "SELECT * FROM rfm('events')",
+          EventAnalytics.rfm(ev)),
+        ("user_fano", "SELECT * FROM user_fano()",
+          ActivityStats.userFano(ev)),
+        ("nav_entropy", "SELECT * FROM nav_entropy()",
+          ActivityStats.navEntropy(ev)),
+        ("touch_attribution", "SELECT * FROM touch_attribution()",
+          EventAnalytics.touchAttribution(ev)),
+        ("position_attribution",
+          "SELECT * FROM position_attribution()",
+          EventAnalytics.positionAttribution(ev)),
+        ("time_decay_attribution",
+          "SELECT * FROM time_decay_attribution()",
+          EventAnalytics.timeDecayAttribution(ev)))
+      wave.foreach { case (name, sql, api) =>
         val viaSql = rows(s.sql(sql))
         assert(viaSql.nonEmpty, s"$name: SQL surface returned no rows")
         assert(viaSql === rows(api), s"$name: SQL != Column API")
