@@ -3729,6 +3729,61 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** One user's navigation-entropy serving row. */
+  case class NavEntropyServing(user_id: Long, n_types: Long,
+      n_events: Long, sum_clnq: Long, entropy: Double,
+      norm_entropy: Option[Double])
+
+  /** Per-user event-type counts — bounded by the user's own type
+    * vocabulary (the batch op carries the same per-user axis). */
+  case class NavEntropyState(counts: Map[String, Long])
+
+  /** Navigation-entropy serving on a STREAM (the [[streamingRfm]]
+    * serve-current-state pattern): the fold carries each user's
+    * type-count map — a commutative monoid, type-bounded state — and
+    * every micro-batch serves the user's current entropy through the
+    * SAME scalar lnQ chain the batch
+    * [[graft.operators.ActivityStats.navEntropy]] runs
+    * (`floor(ln(c/n)·1e12)` per type, exact BigInt `Σ c·lnQ` with the
+    * batch's BIGINT emission guard, one IEEE chain for entropy and
+    * the ln(k)-normalized form), so the LAST serving row per user
+    * equals the batch row bit-for-bit once every event is ingested
+    * (StreamingSpec). */
+  def streamingNavEntropy(events: Dataset[ClickEvent])
+      : Dataset[NavEntropyServing] = {
+    import events.sparkSession.implicits._
+    def fn(uid: Long, rows: Iterator[ClickEvent],
+        state: GroupState[NavEntropyState])
+        : Iterator[NavEntropyServing] = {
+      var counts = state.getOption.map(_.counts)
+        .getOrElse(Map.empty[String, Long])
+      rows.foreach { e =>
+        counts = counts.updated(e.event_type,
+          counts.getOrElse(e.event_type, 0L) + 1L)
+      }
+      state.update(NavEntropyState(counts))
+      val n = counts.values.sum
+      val s = counts.values.map(c => BigInt(c) * BigInt(
+        math.floor(math.log(c.toDouble / n.toDouble) * 1e12).toLong))
+        .sum
+      if (s.abs > BigInt(Long.MaxValue))
+        throw new ArithmeticException(
+          "navEntropy: sum_clnq overflows BIGINT at user_id=" + uid)
+      val sq = s.toLong
+      val entropy = -sq.toDouble / 1e12 / n.toDouble
+      val norm =
+        if (counts.size > 1) Some(entropy /
+          (math.floor(math.log(counts.size.toDouble) * 1e12)
+            .toLong.toDouble / 1e12))
+        else None
+      Iterator.single(NavEntropyServing(uid, counts.size.toLong, n,
+        sq, entropy, norm))
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** One consecutive event-type pair of a user's stream. */
   case class TransitionPair(user_id: Long, event_type: String,
       next_type: String)

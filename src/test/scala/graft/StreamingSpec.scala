@@ -2379,4 +2379,41 @@ class StreamingSpec extends SparkSpec {
         g.f_score, g.m_score, g.rfm_code) === w, s"rfm drift at $uid")
     }
   }
+
+  test("navigation entropy serves from stream state: last serving row " +
+      "per user ≡ the batch lnQ pipeline bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val eventsDf = Tables.table(spark, sf("sf0.001"), "events")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts")
+        .cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val want = graft.operators.ActivityStats.navEntropy(eventsDf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    assert(want.nonEmpty)
+    assert(want.values.exists(_._5.isDefined),
+      "fixture must have a multi-type user")
+    val evs = eventsDf.as[Streaming.ClickEvent].collect()
+    val in = MemoryStream[Streaming.ClickEvent]
+    val q = Streaming.streamingNavEntropy(in.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("snav").start()
+    val third = evs.length / 3
+    in.addData(evs.take(third).toSeq: _*); q.processAllAvailable()
+    in.addData(evs.slice(third, 2 * third).toSeq: _*)
+    q.processAllAvailable()
+    in.addData(evs.drop(2 * third).toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("snav").as[Streaming.NavEntropyServing]
+      .collect().zipWithIndex.groupBy(_._1.user_id).view
+      .mapValues(_.maxBy(_._2)._1).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (uid, w) =>
+      val g = got(uid)
+      assert((g.n_types, g.n_events, g.sum_clnq, g.entropy,
+        g.norm_entropy) === w, s"nav entropy drift at user $uid")
+    }
+  }
 }
