@@ -1679,4 +1679,189 @@ object EventAnalytics {
        |FROM agg CROSS JOIN tot
        |ORDER BY channel""".stripMargin.replace('\n', ' ')
   }
+
+  /** Kaplan–Meier survival over user lifetimes with right-censoring:
+    * each user's lifetime is `(last_tsu − first_tsu) ÷ periodUs` whole
+    * periods (exact integer floor on nonneg micros); a user whose last
+    * event falls within `censorMicros` of the corpus horizon (the
+    * global max last-event time) is CENSORED at that lifetime (they
+    * may still be alive), everyone else is a churn event. At each
+    * observed lifetime `k` (ascending): `n_risk_k = Σ_{j≥k}(d_j+c_j)`
+    * and the product-limit estimate
+    * `S_q(k) = ⌊S_q(k−1)·(n_risk_k − d_k) / n_risk_k⌋` in EXACT
+    * integer arithmetic at 1e12 scale (`S_q(−1) = 1e12`; every operand
+    * nonnegative, so truncation ≡ floor in both engines) — a
+    * censor-only time leaves `S_q` unchanged exactly
+    * (`S·n/n ≡ S`). `survival = S_q / 1e12` is the one IEEE division.
+    *
+    * Scale shape: per-user min/max is one user-keyed aggregation; the
+    * per-lifetime table is TIME-bounded (periods spanned by the
+    * corpus, not data-bounded), guarded LOUD at `maxPeriods` before
+    * the bounded collect; the product-limit fold runs on the driver in
+    * BigInt (the [[markovAttribution]] stance — a global recursion,
+    * not a per-key fold). The twin runs the same recursion as a
+    * `WITH RECURSIVE` CTE in HUGEINT. */
+  def kaplanMeier(events: DataFrame, periodDays: Long = 7,
+      censorDays: Long = 7, maxPeriods: Int = 10000): DataFrame = {
+    require(periodDays > 0 && censorDays >= 0,
+      "periodDays must be positive, censorDays nonnegative")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val periodUs = periodDays * 86400L * 1000000L
+    val censorUs = censorDays * 86400L * 1000000L
+    val u = ev(events).groupBy("user_id")
+      .agg(min(col("tsu")).as("f"), max(col("tsu")).as("l"))
+    val lab = u
+      .join(broadcast(u.agg(max(col("l")).as("h"))))
+      .select(((col("l") - col("f")) / periodUs).cast("long")
+          .as("period"),
+        when(col("h") - col("l") < censorUs, 1L).otherwise(0L)
+          .as("cen"))
+    val wk = lab.groupBy("period")
+      .agg(sum(lit(1L) - col("cen")).as("d"), sum(col("cen")).as("c"))
+      .orderBy("period")
+      .take(maxPeriods + 1)
+    if (wk.length > maxPeriods) throw new IllegalStateException(
+      s"kaplanMeier: more than maxPeriods=$maxPeriods observed " +
+        "lifetimes (corpus spans more periods than the bounded " +
+        "driver fold is sized for)")
+    val total = wk.map(r => r.getLong(1) + r.getLong(2)).sum
+    val scale = BigInt(1000000000000L)
+    var atRisk = total
+    var s = scale
+    val rows = wk.map { r =>
+      val (k, d, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val nRisk = atRisk
+      s = s * BigInt(nRisk - d) / BigInt(nRisk)
+      atRisk -= d + c
+      (k, nRisk, d, c, s.toLong, s.toLong.toDouble / 1e12d)
+    }.toSeq
+    rows.toDF("period", "n_risk", "churned", "censored",
+        "survival_q", "survival")
+      .orderBy("period")
+  }
+
+  /** DuckDB twin of [[kaplanMeier]] — identical labeling, the reverse
+    * cumulative risk-set window, and the same nonnegative-integer
+    * product-limit recursion in HUGEINT (`//` on nonnegative operands
+    * ≡ the driver fold's BigInt floor). */
+  def kaplanMeierSql(periodDays: Long = 7,
+      censorDays: Long = 7): String = {
+    val periodUs = periodDays * 86400L * 1000000L
+    val censorUs = censorDays * 86400L * 1000000L
+    s"""WITH RECURSIVE u AS MATERIALIZED (
+       | SELECT user_id, min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l
+       | FROM events GROUP BY 1),
+       |hz AS (SELECT max(l) AS h FROM u),
+       |lab AS MATERIALIZED (
+       | SELECT (l - f) // $periodUs AS period,
+       |  CASE WHEN h - l < $censorUs THEN 1 ELSE 0 END AS cen
+       | FROM u CROSS JOIN hz),
+       |wk AS MATERIALIZED (
+       | SELECT period, SUM(1 - cen) AS d, SUM(cen) AS c,
+       |  row_number() OVER (ORDER BY period) AS rn
+       | FROM lab GROUP BY 1),
+       |risk AS MATERIALIZED (
+       | SELECT period, rn, d, c,
+       |  SUM(d + c) OVER (ORDER BY period DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |   AS n_risk
+       | FROM wk),
+       |km AS (
+       | SELECT period, rn, n_risk, d, c,
+       |  (CAST(1000000000000 AS HUGEINT) * (n_risk - d)) // n_risk
+       |   AS sq
+       | FROM risk WHERE rn = 1
+       | UNION ALL
+       | SELECT r.period, r.rn, r.n_risk, r.d, r.c,
+       |  (k.sq * (r.n_risk - r.d)) // r.n_risk
+       | FROM km k JOIN risk r ON r.rn = k.rn + 1)
+       |SELECT period, CAST(n_risk AS BIGINT) AS n_risk,
+       | CAST(d AS BIGINT) AS churned, CAST(c AS BIGINT) AS censored,
+       | CAST(sq AS BIGINT) AS survival_q,
+       | CAST(CAST(sq AS BIGINT) AS DOUBLE) / 1e12 AS survival
+       |FROM km ORDER BY period""".stripMargin.replace('\n', ' ')
+  }
+
+  /** Cohort lifetime value: users bucketed by the period of their
+    * FIRST event (the [[retentionCohorts]] cohort convention), then
+    * per (cohort, periods-since-cohort offset) the exact quantized
+    * value sum of that offset's events, its running cumulative within
+    * the cohort, and the cumulative value per cohort user —
+    * `ltv = cum_value_q / 1e6 / cohort_size` (one IEEE chain, textual
+    * twin-identical). The cumulative window runs over the AGGREGATED
+    * (cohort, offset) table — time²-bounded rows, not a data-scale
+    * sort — with an explicit ROWS frame and the family's decimal
+    * accumulation + raise-guarded BIGINT emission. Offsets with zero
+    * events contribute no row (the cumulative jumps across the gap
+    * identically in both engines).
+    *
+    * Scale shape: one user-keyed first-event aggregation, one
+    * user-keyed join, one (cohort, offset) aggregation — co-partitioned
+    * and skew-free; no collect, no guard needed. */
+  def cohortLtv(events: DataFrame, periodDays: Long = 7): DataFrame = {
+    require(periodDays > 0, "periodDays must be positive")
+    val periodUs = periodDays * 86400L * 1000000L
+    val e = ev(events)
+    val firsts = e.groupBy("user_id")
+      .agg(floor(min(col("tsu")) / periodUs).cast("long").as("cohort"))
+    val sizes = firsts.groupBy("cohort")
+      .agg(count(lit(1)).as("cohort_size"))
+    val byOffset = e.join(firsts, "user_id")
+      .groupBy(col("cohort"),
+        (floor(col("tsu") / periodUs).cast("long") - col("cohort"))
+          .as("offset"))
+      .agg(valueQSum("cohortLtv").as("value_q"))
+    val wCum = Window.partitionBy("cohort").orderBy("offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byOffset
+      .withColumn("_cum",
+        sum(col("value_q").cast("decimal(38,0)")).over(wCum))
+      .withColumn("cum_value_q",
+        when(abs(col("_cum")) > lit(Long.MaxValue)
+            .cast("decimal(38,0)"),
+          raise_error(lit("cohortLtv: cumulative value_q overflows " +
+            "BIGINT")).cast("long"))
+          .otherwise(col("_cum").cast("long")))
+      .drop("_cum")
+      .join(broadcast(sizes), "cohort")
+      .withColumn("ltv",
+        col("cum_value_q").cast("double") / 1e6d /
+          col("cohort_size").cast("double"))
+      .select("cohort", "offset", "cohort_size", "value_q",
+        "cum_value_q", "ltv")
+      .orderBy("cohort", "offset")
+  }
+
+  /** DuckDB twin of [[cohortLtv]] — identical quantized sums, the
+    * same explicit-frame cumulative, the same IEEE chain. */
+  def cohortLtvSql(periodDays: Long = 7): String = {
+    val periodUs = periodDays * 86400L * 1000000L
+    s"""WITH e AS MATERIALIZED (
+       | SELECT user_id, epoch_us(ts) AS tsu, value FROM events),
+       |firsts AS MATERIALIZED (
+       | SELECT user_id,
+       |  CAST(floor(min(tsu) / $periodUs) AS BIGINT) AS cohort
+       | FROM e GROUP BY 1),
+       |sizes AS (SELECT cohort, count(*) AS cohort_size
+       | FROM firsts GROUP BY 1),
+       |byoff AS MATERIALIZED (
+       | SELECT cohort,
+       |  CAST(floor(tsu / $periodUs) AS BIGINT) - cohort AS "offset",
+       |  CAST(SUM(CAST(CAST(floor(value * 1e6) AS BIGINT) AS HUGEINT))
+       |    AS BIGINT) AS value_q
+       | FROM e JOIN firsts USING (user_id) GROUP BY 1, 2),
+       |cum AS (
+       | SELECT cohort, "offset", value_q,
+       |  CAST(SUM(CAST(value_q AS HUGEINT)) OVER (
+       |    PARTITION BY cohort ORDER BY "offset"
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |   AS BIGINT) AS cum_value_q
+       | FROM byoff)
+       |SELECT cohort, "offset", cohort_size, value_q, cum_value_q,
+       | CAST(cum_value_q AS DOUBLE) / 1e6
+       |  / CAST(cohort_size AS DOUBLE) AS ltv
+       |FROM cum JOIN sizes USING (cohort)
+       |ORDER BY cohort, "offset"""".stripMargin.replace('\n', ' ')
+  }
 }

@@ -135,6 +135,22 @@ object EventQueries {
     Q("q_nav_entropy",
       (s, dir) => graft.operators.ActivityStats.navEntropy(events(s, dir))
         .orderBy("user_id"),
-      Some(graft.operators.ActivityStats.navEntropySql()))
+      Some(graft.operators.ActivityStats.navEntropySql())),
+
+    // product-limit survival over user lifetimes, right-censored at
+    // the corpus horizon; exact integer recursion at 1e12. Daily
+    // grain: the driver corpus spans ~30 days, so weekly periods
+    // would leave a ~4-step ladder
+    Q("q_kaplan_meier",
+      (s, dir) => EventAnalytics.kaplanMeier(events(s, dir),
+        periodDays = 1, censorDays = 1),
+      Some(EventAnalytics.kaplanMeierSql(periodDays = 1,
+        censorDays = 1))),
+
+    // cohort-day x age-day cumulative value per cohort user
+    Q("q_cohort_ltv",
+      (s, dir) => EventAnalytics.cohortLtv(events(s, dir),
+        periodDays = 1),
+      Some(EventAnalytics.cohortLtvSql(periodDays = 1)))
   )
 }

@@ -541,6 +541,60 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("kaplanMeier: hand-computed product-limit ladder with a " +
+      "horizon-censored user; censor-only time leaves S unchanged") {
+    val D = 86400L * 1000000L
+    // lifetimes (days): u5 churn@0, u4 churn@2, u2 churn@5, u1
+    // churn@9 (h-l = exactly 1 day, NOT < censorUs -> event), u3
+    // censored@10 (l == horizon)
+    val df = eventsDf(Seq(
+      (1L, 0L, 1L, "view", 0.0), (2L, 9 * D, 1L, "view", 0.0),
+      (3L, 0L, 2L, "view", 0.0), (4L, 5 * D, 2L, "view", 0.0),
+      (5L, 0L, 3L, "view", 0.0), (6L, 10 * D, 3L, "view", 0.0),
+      (7L, 2 * D, 4L, "view", 0.0), (8L, 4 * D, 4L, "view", 0.0),
+      (9L, 0L, 5L, "view", 0.0)))
+    val out = EventAnalytics.kaplanMeier(df, periodDays = 1,
+      censorDays = 1).collect()
+    val byP = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.map(_.getLong(0)).toSeq === Seq(0L, 2L, 5L, 9L, 10L))
+    assert(byP(0L) === ((5L, 1L, 0L, 800000000000L)))
+    assert(byP(2L) === ((4L, 1L, 0L, 600000000000L)))
+    assert(byP(5L) === ((3L, 1L, 0L, 400000000000L)))
+    assert(byP(9L) === ((2L, 1L, 0L, 200000000000L)))
+    // censor-only time: d = 0, survival EXACTLY unchanged
+    assert(byP(10L) === ((1L, 0L, 1L, 200000000000L)))
+    assert(out.last.getDouble(5) === 0.2)
+    intercept[IllegalStateException] {
+      EventAnalytics.kaplanMeier(df, periodDays = 1, censorDays = 1,
+        maxPeriods = 2)
+    }
+  }
+
+  test("cohortLtv: per-cohort cumulative jumps offset gaps; ltv " +
+      "divides by cohort size, not active users") {
+    val D = 86400L * 1000000L
+    val df = eventsDf(Seq(
+      // cohort 0: u1 (events at offsets 0, 0, 1), u2 (offset 0)
+      (1L, 0L, 1L, "view", 1.0),
+      (2L, D / 2, 1L, "view", 2.0),
+      (3L, D + D / 5, 1L, "view", 3.0),
+      (4L, 9 * D / 10, 2L, "view", 10.0),
+      // cohort 1: u3 at offsets 0 and 2 (offset-1 gap)
+      (5L, 3 * D / 2, 3L, "view", 5.0),
+      (6L, 7 * D / 2, 3L, "view", 1.0)))
+    val out = EventAnalytics.cohortLtv(df, periodDays = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(out((0L, 0L)) === ((2L, 13000000L, 13000000L, 6.5)))
+    assert(out((0L, 1L)) === ((2L, 3000000L, 16000000L, 8.0)))
+    assert(out((1L, 0L)) === ((1L, 5000000L, 5000000L, 5.0)))
+    // the offset-1 gap: cumulative carries straight to offset 2
+    assert(out((1L, 2L)) === ((1L, 1000000L, 6000000L, 6.0)))
+    assert(out.size === 4)
+  }
+
   test("registry gates analyze and return rows on sf0.001") {
     Tables.enableNanos(spark)
     graft.queries.EventQueries.all.foreach { q =>
