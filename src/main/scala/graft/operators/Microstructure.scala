@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions._
@@ -1560,4 +1561,154 @@ object Microstructure {
        |  WHERE dm IS NOT NULL)
        | GROUP BY 1)
        |ORDER BY symbol""".stripMargin.replace('\n', ' ')
+
+  /** Volume profile (market profile): traded volume histogram by price
+    * bin per symbol, with each bin's share of the symbol's total and
+    * the point of control (the highest-volume bin; ties break to the
+    * LOWER bin). Prices quantize to cents by the [[DecaySeries.emaClose]]
+    * half-up rule (`⌊p·100 + 0.5⌋`, raise-guarded), bins are pure
+    * integer floor division of nonnegative cents, and volume
+    * accumulates in the family's exact `decimal(30,4)` (the
+    * [[BookFeatures.rollingVolume]] size convention — the synthetic
+    * quarter-step sizes are exact at scale 4); `share` is one IEEE
+    * division of the two decimal-derived doubles.
+    *
+    * Scale shape: one map-side-combined (symbol, bin) aggregation;
+    * the share/POC windows run over the AGGREGATED bin table
+    * (price-range-bounded rows per symbol, not data-bounded). */
+  def volumeProfile(updates: DataFrame,
+      binCents: Long = 100): DataFrame = {
+    require(binCents > 0, "binCents must be positive")
+    val cents = when(
+      abs(floor(finitePrice * 100.0d + 0.5d)) > 1.0e12d,
+      raise_error(concat(lit("volumeProfile: price outside the " +
+        "exact-decimal regime at symbol="), col("symbol"))).cast("long"))
+      .otherwise(floor(finitePrice * 100.0d + 0.5d).cast("long"))
+    val wSym = Window.partitionBy("symbol")
+    val wRank = Window.partitionBy("symbol")
+      .orderBy(col("vol_dec").desc, col("bin_cents").asc)
+    updates.where(col("is_trade") && col("price") > 0.0d)
+      .select(col("symbol"), cents.as("cents"),
+        finiteSize.as("size"))
+      .withColumn("bin_cents",
+        expr(s"(cents DIV $binCents) * $binCents"))
+      .groupBy("symbol", "bin_cents")
+      .agg(count(lit(1)).as("n_trades"),
+        sum(col("size").cast("decimal(30,4)")).as("vol_dec"))
+      .withColumn("share",
+        col("vol_dec").cast("double") /
+          sum(col("vol_dec")).over(wSym).cast("double"))
+      .withColumn("is_poc", row_number().over(wRank) === 1)
+      .select(col("symbol"), col("bin_cents"),
+        (col("bin_cents").cast("double") / 100.0d).as("price_lo"),
+        col("n_trades"), col("vol_dec").cast("double").as("vol"),
+        col("share"), col("is_poc"))
+      .orderBy("symbol", "bin_cents")
+  }
+
+  /** DuckDB twin of [[volumeProfile]] — identical cents rule, integer
+    * bins, decimal sums, and rank tie-break. */
+  def volumeProfileSql(binCents: Long = 100): String =
+    s"""SELECT symbol, bin_cents,
+       | CAST(bin_cents AS DOUBLE) / 100.0 AS price_lo, n_trades,
+       | CAST(vol_dec AS DOUBLE) AS vol,
+       | CAST(vol_dec AS DOUBLE) / CAST(SUM(vol_dec)
+       |   OVER (PARTITION BY symbol) AS DOUBLE) AS share,
+       | row_number() OVER (PARTITION BY symbol
+       |   ORDER BY vol_dec DESC, bin_cents) = 1 AS is_poc
+       |FROM (
+       | SELECT symbol, (cents // $binCents) * $binCents AS bin_cents,
+       |  count(*) AS n_trades,
+       |  SUM(CAST(size AS DECIMAL(30,4))) AS vol_dec
+       | FROM (
+       |  SELECT symbol, CAST(floor(price * 100.0 + 0.5) AS BIGINT)
+       |    AS cents, size
+       |  FROM updates WHERE is_trade AND price > 0.0)
+       | GROUP BY 1, 2)
+       |ORDER BY symbol, bin_cents""".stripMargin.replace('\n', ' ')
+
+  /** Volatility signature plot: per-symbol realized variance at
+    * MULTIPLE sampling scales — the microstructure-noise diagnostic
+    * (RV that inflates as the sampling interval shrinks reveals
+    * bid-ask bounce; Andersen et al.'s signature plot). Per
+    * (symbol, scale): the count of bucket returns, the exact
+    * `Σ q²` over the [[bucketReturns]] quantization
+    * (`q = ⌊ln(close_b/close_{b−1})·1e6⌋` between PRESENT buckets,
+    * the |q| > 1e9 loud guard), `rv = √(Σq²)/1e6`, and the
+    * per-second variance rate `Σq²/1e12 / (n·scale)` — comparable
+    * across scales, flat for a noise-free series.
+    *
+    * Scale shape: ONE scan of the trade stream builds the finest-grain
+    * close table (`max_by` over `(ts, seq)` is associative, so each
+    * coarser close re-aggregates FROM it — every scale must divide
+    * evenly); the per-scale lag windows run over bucket series
+    * (time-bounded per symbol). The twin re-derives each scale
+    * directly from the trade stream — an independent plan proving the
+    * rebin identity. */
+  def volSignature(updates: DataFrame,
+      scales: Seq[Long] = Seq(60L, 300L, 900L, 3600L)): DataFrame = {
+    require(scales.nonEmpty && scales.forall(_ > 0),
+      "scales must be positive")
+    val base = scales.min
+    require(scales.forall(_ % base == 0),
+      s"every scale must be a multiple of the finest ($base)")
+    val fine = updates.where(col("is_trade") && col("price") > 0.0d)
+      .groupBy(col("symbol"), bucketed(base))
+      .agg(max_by(finitePrice, struct(col("ts"), col("seq")))
+          .as("close"),
+        max(struct(col("ts"), col("seq"))).as("m"))
+    val perScale = scales.sorted.map { s =>
+      val w = Window.partitionBy(col("symbol")).orderBy(col("cstart"))
+      fine.groupBy(col("symbol"),
+          expr(s"(start DIV $s) * $s").as("cstart"))
+        .agg(max_by(col("close"), col("m")).as("close"))
+        .withColumn("q",
+          floor(log(col("close") / lag(col("close"), 1).over(w)) * 1e6)
+            .cast("long"))
+        .where(col("q").isNotNull)
+        .withColumn("q",
+          when(abs(col("q")) > 1000000000L,
+            raise_error(concat(lit("volSignature: price ratio " +
+              "outside double range at symbol="), col("symbol")))
+              .cast("long"))
+            .otherwise(col("q")))
+        .groupBy(col("symbol"))
+        .agg(count(lit(1)).as("n_returns"),
+          sum(col("q").cast("decimal(15,0)") *
+            col("q").cast("decimal(15,0)")).as("_sq"))
+        .select(col("symbol"), lit(s).as("scale_s"), col("n_returns"),
+          when(col("_sq") > lit(Long.MaxValue),
+            raise_error(concat(lit("volSignature: sum_sq_q overflows " +
+              "BIGINT at symbol="), col("symbol"))).cast("long"))
+            .otherwise(col("_sq").cast("long")).as("sum_sq_q"))
+    }
+    perScale.reduce(_ unionAll _)
+      .withColumn("rv", sqrt(col("sum_sq_q").cast("double")) / 1e6)
+      .withColumn("var_per_sec",
+        col("sum_sq_q").cast("double") / 1e12d /
+          (col("n_returns") * col("scale_s")).cast("double"))
+      .orderBy("symbol", "scale_s")
+  }
+
+  /** DuckDB twin of [[volSignature]] — each scale re-bucketed straight
+    * from the trade stream (the rebin-identity cross-check of the
+    * Spark side's finest-grain re-aggregation). */
+  def volSignatureSql(
+      scales: Seq[Long] = Seq(60L, 300L, 900L, 3600L)): String = {
+    require(scales.nonEmpty && scales.forall(_ > 0),
+      "scales must be positive")
+    val arms = scales.sorted.map { s =>
+      s"""SELECT symbol, $s AS scale_s, count(*) AS n_returns,
+         | CAST(SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS BIGINT)
+         |  AS sum_sq_q
+         |FROM (${bucketReturnsSql(s)})
+         |GROUP BY 1""".stripMargin.replace('\n', ' ')
+    }.mkString(" UNION ALL ")
+    s"""SELECT symbol, scale_s, n_returns, sum_sq_q,
+       | sqrt(CAST(sum_sq_q AS DOUBLE)) / 1e6 AS rv,
+       | CAST(sum_sq_q AS DOUBLE) / 1e12
+       |  / CAST(n_returns * scale_s AS DOUBLE) AS var_per_sec
+       |FROM ($arms)
+       |ORDER BY symbol, scale_s""".stripMargin.replace('\n', ' ')
+  }
 }

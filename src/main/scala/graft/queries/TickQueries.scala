@@ -368,7 +368,20 @@ object TickQueries {
       (s, dir) => Microstructure.symbolBeta(u(s, dir), seconds = 3600)
         .orderBy("symbol"),
       Some(Tables.withUpdates(Microstructure.symbolBetaSql(
-        seconds = 3600))))
+        seconds = 3600)))),
+
+    // traded-volume histogram by price bin with per-symbol share and
+    // point of control (lowest-bin tie-break)
+    Q("q_volume_profile",
+      (s, dir) => Microstructure.volumeProfile(u(s, dir)),
+      Some(Tables.withUpdates(Microstructure.volumeProfileSql()))),
+
+    // realized variance at multiple sampling scales (signature plot);
+    // Spark re-aggregates coarse closes from the finest grain, the
+    // twin re-buckets each scale from the raw stream — rebin identity
+    Q("q_vol_signature",
+      (s, dir) => Microstructure.volSignature(u(s, dir)),
+      Some(Tables.withUpdates(Microstructure.volSignatureSql())))
   )
 
   /** One partitioned store per sf DIR (keyed by dir alone, NOT per

@@ -315,4 +315,54 @@ class ReturnDynamicsSpec extends SparkSpec {
       Tables.table(spark, sf(), "documents")).collect()
     real.foreach(r => assert(r.getDouble(2) >= -1e-15, s"negative: $r"))
   }
+
+  test("volumeProfile: cent bins, exact shares, POC ties break to the " +
+      "lower bin; non-trades and zero prices excluded") {
+    import graft.operators.Microstructure
+    val rows = Seq(
+      Update("v", T0, 1L, is_trade = true, is_bid = true, 100.10, 1.0),
+      Update("v", T0 + 1, 2L, is_trade = true, is_bid = true, 100.90, 2.0),
+      Update("v", T0 + 2, 3L, is_trade = true, is_bid = true, 101.20, 3.0),
+      Update("v", T0 + 3, 4L, is_trade = true, is_bid = true, 99.95, 1.0),
+      // excluded: book update and zero-price trade
+      Update("v", T0 + 4, 5L, is_trade = false, is_bid = true, 50.0, 9.0),
+      Update("v", T0 + 5, 6L, is_trade = true, is_bid = true, 0.0, 9.0))
+    val out = Microstructure.volumeProfile(updatesDf(rows)).collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(9900L, 10000L, 10100L))
+    val byBin = out.map(r => r.getLong(1) ->
+      (r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+        r.getBoolean(6))).toMap
+    assert(byBin(9900L) === ((99.0, 1L, 1.0, 1.0 / 7.0, false)))
+    // bins 10000 and 10100 tie at vol 3.0 -> POC is the LOWER bin
+    assert(byBin(10000L) === ((100.0, 2L, 3.0, 3.0 / 7.0, true)))
+    assert(byBin(10100L) === ((101.0, 1L, 3.0, 3.0 / 7.0, false)))
+    intercept[IllegalArgumentException] {
+      Microstructure.volumeProfile(updatesDf(rows), binCents = 0)
+    }
+  }
+
+  test("volSignature: exact doubling walk at the finest scale; coarse " +
+      "scales equal the direct re-bucketing (rebin identity)") {
+    import graft.operators.Microstructure
+    // ratio-2 closes: every 60s return is exactly floor(ln(2)*1e6)
+    val walk = closes("g", (0 until 12).scanLeft(100.0)((p, _) => p * 2.0))
+    val df = updatesDf(walk)
+    val out = Microstructure.volSignature(df, Seq(60L, 300L, 900L))
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val q60 = math.floor(math.log(2.0) * 1e6).toLong // 693147
+    assert(out(60L) === ((12L, 12L * q60 * q60,
+      math.sqrt((12L * q60 * q60).toDouble) / 1e6)))
+    // rebin identity: each coarse row == q² summed straight off the
+    // direct coarse bucketing of the raw trades
+    for (s <- Seq(300L, 900L)) {
+      val direct = Microstructure.bucketReturns(df, s)
+        .collect().map(_.getLong(2))
+      assert(out(s)._1 === direct.length.toLong, s"n at scale $s")
+      assert(out(s)._2 === direct.map(q => q * q).sum, s"sum_sq at $s")
+    }
+    intercept[IllegalArgumentException] {
+      Microstructure.volSignature(df, Seq(60L, 90L))
+    }
+  }
 }
