@@ -869,6 +869,187 @@ object TextOps {
        |   / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
        |FROM s ORDER BY lang""".stripMargin.replace('\n', ' ')
 
+  /** Heaps'-law vocabulary-growth fit per language: `V(n) ≈ K·n^β`,
+    * the sublinear growth of distinct types with corpus size — the
+    * companion diagnostic to [[zipfFit]] (a β drifting toward 1 means
+    * unbounded novel types: OCR noise, IDs, or boilerplate mutation;
+    * β ≈ 0.4–0.6 is natural text). The fitted `beta` is the slope of
+    * the log-log regression of cumulative distinct types on cumulative
+    * tokens at doc-id CHECKPOINTS.
+    *
+    * First occurrence is at DOC grain: a type is new at the smallest
+    * `doc_id` containing it (per lang). Checkpoints are
+    * `ckpt = doc_id // step` — the cumulative windows run over the
+    * CHECKPOINT series, never the doc axis, so `step` is the scale
+    * dial (size it so ⌈max_doc_id/step⌉ stays bounded; the gate uses
+    * the sf corpus' ~2k-doc axis at step 16 → ~130 checkpoints/lang).
+    *
+    * Exactness (the [[zipfFit]] stance): token/type counts and their
+    * checkpoint cumulatives are exact integers; `xq/yq =
+    * floor(ln·1e6)`; the closed-form least-squares sums run in
+    * decimal and the slope is ONE IEEE division of exact casts. */
+  def heapsLaw(docs: DataFrame, step: Long = 16): DataFrame = {
+    val dec = "decimal(38,0)"
+    val wl = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy("ckpt")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val toks = graft.functions.parallelized(docs)
+      .select(col("lang"), col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    // tokens per checkpoint bucket
+    val tk = toks
+      .groupBy(col("lang"),
+        floor(col("doc_id") / step).cast("long").as("ckpt"))
+      .agg(count(lit(1)).as("toks"))
+    // new types per checkpoint bucket: first containing doc, per lang
+    val nv = toks
+      .groupBy(col("lang"), col("term"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("lang"),
+        floor(col("first_doc") / step).cast("long").as("ckpt"))
+      .agg(count(lit(1)).as("news"))
+    val pts = tk.join(nv, Seq("lang", "ckpt"), "left")
+      .withColumn("cum_n", sum(col("toks")).over(wl))
+      .withColumn("cum_v", sum(coalesce(col("news"), lit(0L))).over(wl))
+      .where(col("cum_n") > 0L && col("cum_v") > 0L)
+      .select(col("lang"),
+        floor(log(col("cum_n").cast("double")) * 1e6).as("xq"),
+        floor(log(col("cum_v").cast("double")) * 1e6).as("yq"))
+    pts.groupBy("lang")
+      .agg(count(lit(1)).as("n_ckpts"),
+        sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+        sum((col("xq") * col("yq")).cast(dec)).as("sxy"),
+        sum((col("xq") * col("xq")).cast(dec)).as("sxx"))
+      .select(col("lang"), col("n_ckpts"),
+        ((col("n_ckpts") * col("sxy") -
+          col("sx").cast(dec) * col("sy")).cast("double") /
+          (col("n_ckpts") * col("sxx") -
+            col("sx").cast(dec) * col("sx")).cast("double")).as("beta"))
+  }
+
+  /** DuckDB twin of [[heapsLaw]] — identical checkpoint floors,
+    * quantizations, and the single-division slope. */
+  def heapsLawSql(step: Long = 16): String =
+    s"""WITH t AS MATERIALIZED (SELECT lang, doc_id,
+       |  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+       | FROM documents),
+       |tk AS (SELECT lang, doc_id // $step AS ckpt,
+       |  count(*) AS toks FROM t GROUP BY 1, 2),
+       |nv AS (SELECT lang, first_doc // $step AS ckpt,
+       |  count(*) AS news FROM (
+       |   SELECT lang, term, min(doc_id) AS first_doc
+       |   FROM t GROUP BY 1, 2) GROUP BY 1, 2),
+       |pts AS (SELECT lang,
+       |  CAST(floor(ln(CAST(cum_n AS DOUBLE)) * 1e6) AS BIGINT) AS xq,
+       |  CAST(floor(ln(CAST(cum_v AS DOUBLE)) * 1e6) AS BIGINT) AS yq
+       | FROM (
+       |  SELECT lang,
+       |   CAST(SUM(toks) OVER w AS BIGINT) AS cum_n,
+       |   CAST(SUM(COALESCE(news, 0)) OVER w AS BIGINT) AS cum_v
+       |  FROM tk LEFT JOIN nv USING (lang, ckpt)
+       |  WINDOW w AS (PARTITION BY lang ORDER BY ckpt
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       | WHERE cum_n > 0 AND cum_v > 0),
+       |s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_ckpts,
+       |  sum(xq) AS sx, sum(yq) AS sy,
+       |  sum(xq * yq) AS sxy, sum(xq * xq) AS sxx
+       | FROM pts GROUP BY lang)
+       |SELECT lang, n_ckpts,
+       | CAST(n_ckpts * sxy - sx * sy AS DOUBLE)
+       |  / CAST(n_ckpts * sxx - sx * sx AS DOUBLE) AS beta
+       |FROM s ORDER BY lang""".stripMargin.replace('\n', ' ')
+
+  /** Jensen–Shannon divergence of each source's token distribution
+    * from the corpus distribution — the SYMMETRIC, bounded ([0, ln 2])
+    * companion of [[sourceDrift]]'s KL: robust to words the corpus has
+    * but the source lacks (KL ignores them; JSD charges them at ln 2
+    * through the mixture).
+    *
+    * Closed form that never densifies: with `p = c_sw/n_s`,
+    * `q = c_w/n_c`, `m = (p+q)/2`, both log-ratios reduce to INTEGER
+    * ratios (`p/m = 2·c_sw·n_c / (c_sw·n_c + c_w·n_s)`, ditto `q/m`),
+    * and the q-side sum over words ABSENT from the source collapses to
+    * `ln 2 · (n_c − Σ_{w∈s} c_w)/n_c` — so the whole JSD is computed
+    * from the source's own (source, word) rows plus one corpus total.
+    *
+    * Exactness: the integer ratio operands are exact decimal products
+    * cast to double (one correctly-rounded cast each); each log-ratio
+    * is floor-quantized at 1e12 (the [[sourceDrift]] stance); the two
+    * weighted sums run in decimal; the final value is one fixed IEEE
+    * chain with `ln 2` itself quantized. Scale shape: one (source,
+    * word) aggregation joined to the word totals — [[sourceDrift]]'s
+    * exact plan. */
+  def jsdSources(docs: DataFrame): DataFrame = {
+    val ln2Q = 693147180559L // floor(ln(2)·1e12), exact in both
+    val sw = graft.functions.parallelized(docs)
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+    val cw = sw.groupBy("w").agg(sum(col("c_sw")).as("c_w"))
+    val ns = sw.groupBy("source").agg(sum(col("c_sw")).as("n_s"))
+    val nt = graft.functions.localRelation(
+      cw.agg(sum(col("c_w")).as("n_corpus")))
+    val dec20 = "decimal(20,0)"
+    // exact integer cross terms (decimal), cast once to double each
+    val a = (col("c_sw").cast(dec20) * col("n_corpus").cast(dec20))
+      .cast("double")
+    val b = (col("c_w").cast(dec20) * col("n_s").cast(dec20))
+      .cast("double")
+    val lp = floor(log(lit(2.0d) * a / (a + b)) * 1e12).cast("long")
+    val lq = floor(log(lit(2.0d) * b / (a + b)) * 1e12).cast("long")
+    sw.join(cw, "w").join(broadcast(ns), "source").crossJoin(broadcast(nt))
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_tokens"),
+        max(col("n_corpus")).as("n_corpus"),
+        sum(col("c_sw").cast(dec20) * lp.cast("decimal(15,0)")).as("sp"),
+        sum(col("c_w").cast(dec20) * lq.cast("decimal(15,0)")).as("sq"),
+        sum(col("c_w")).as("sc"))
+      .select(col("source"), col("n_tokens"),
+        (lit(0.5d) * ((col("sp").cast("double") / 1e12) /
+          col("n_tokens").cast("double")) +
+          lit(0.5d) * ((col("sq").cast("double") / 1e12) /
+            col("n_corpus").cast("double")) +
+          lit(0.5d) * (lit(ln2Q).cast("double") / 1e12) *
+            ((col("n_corpus") - col("sc")).cast("double") /
+              col("n_corpus").cast("double"))).as("jsd_nats"))
+  }
+
+  /** DuckDB twin of [[jsdSources]] — identical integer ratios,
+    * quantizations, and chain order. */
+  def jsdSourcesSql(): String =
+    s"""WITH sw AS MATERIALIZED (SELECT source, w, count(*) AS c_sw
+       | FROM (SELECT source,
+       |   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+       |  FROM documents) GROUP BY 1, 2),
+       |cw AS MATERIALIZED (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w
+       | FROM sw GROUP BY 1),
+       |ns AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s
+       | FROM sw GROUP BY 1),
+       |nt AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_corpus FROM cw),
+       |terms AS (SELECT source,
+       |  CAST(floor(ln(2.0 * CAST(CAST(c_sw AS HUGEINT) * n_corpus
+       |     AS DOUBLE) / (CAST(CAST(c_sw AS HUGEINT) * n_corpus
+       |     AS DOUBLE) + CAST(CAST(c_w AS HUGEINT) * n_s AS DOUBLE)))
+       |    * 1e12) AS BIGINT) AS lp,
+       |  CAST(floor(ln(2.0 * CAST(CAST(c_w AS HUGEINT) * n_s
+       |     AS DOUBLE) / (CAST(CAST(c_sw AS HUGEINT) * n_corpus
+       |     AS DOUBLE) + CAST(CAST(c_w AS HUGEINT) * n_s AS DOUBLE)))
+       |    * 1e12) AS BIGINT) AS lq,
+       |  c_sw, c_w, n_s, n_corpus
+       | FROM sw JOIN cw USING (w) JOIN ns USING (source) CROSS JOIN nt)
+       |SELECT source, max(n_s) AS n_tokens,
+       | 0.5 * ((CAST(SUM(CAST(c_sw AS HUGEINT) * lp) AS DOUBLE) / 1e12)
+       |   / CAST(max(n_s) AS DOUBLE))
+       | + 0.5 * ((CAST(SUM(CAST(c_w AS HUGEINT) * lq) AS DOUBLE) / 1e12)
+       |   / CAST(max(n_corpus) AS DOUBLE))
+       | + 0.5 * (CAST(693147180559 AS DOUBLE) / 1e12)
+       |   * (CAST(max(n_corpus) - CAST(SUM(CAST(c_w AS HUGEINT))
+       |       AS BIGINT) AS DOUBLE)
+       |     / CAST(max(n_corpus) AS DOUBLE)) AS jsd_nats
+       |FROM terms GROUP BY source
+       |ORDER BY source""".stripMargin.replace('\n', ' ')
+
   /** Per-source out-of-vocabulary rate against a corpus-derived top-V
     * vocabulary — the tokenizer-coverage audit next to [[bpeFertility]]
     * (fertility says how FINELY the tokenizer splits; OOV rate says

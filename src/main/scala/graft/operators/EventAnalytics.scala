@@ -1864,4 +1864,70 @@ object EventAnalytics {
        |FROM cum JOIN sizes USING (cohort)
        |ORDER BY cohort, "offset"""".stripMargin.replace('\n', ' ')
   }
+  /** DAU/MAU stickiness per calendar period: for each `periodDays`
+    * window (default 28, the product-analytics convention) the ratio of
+    * average daily active users to period active users — "how many of
+    * the month's users show up on a given day". `avg_dau` divides by
+    * ACTIVE days only (days with zero events contribute no row in
+    * either engine — the corpus has no day axis to densify from), so
+    * the twin is closed under the same convention.
+    *
+    * Exactness: `dau_sum`, `n_days`, `mau` are exact integers
+    * (distinct (user, day) pairs / active days / distinct users);
+    * `avg_dau` and `stickiness` are each ONE IEEE chain over casts of
+    * those integers, spelled identically in the twin.
+    *
+    * Scale shape: one distinct on (period, day, user) — the family's
+    * hash-shuffle unit — then two period-keyed aggregations and a
+    * period-keyed join; period cardinality is time-bounded. */
+  def stickiness(events: DataFrame, periodDays: Long = 28): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val days = ev(events)
+      .select(col("user_id"),
+        floor(col("tsu") / dayUs).cast("long").as("day"))
+      .distinct()
+      .withColumn("period",
+        floor(col("day") / periodDays).cast("long"))
+    val daily = days.groupBy(col("period"), col("day"))
+      .agg(count(lit(1)).as("dau"))
+      .groupBy(col("period"))
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("dau_sum"))
+    val mau = days.select(col("period"), col("user_id")).distinct()
+      .groupBy(col("period")).agg(count(lit(1)).as("mau"))
+    daily.join(mau, Seq("period"))
+      .select(col("period"), col("n_days"), col("dau_sum"), col("mau"),
+        (col("dau_sum").cast("double") / col("n_days").cast("double"))
+          .as("avg_dau"),
+        (col("dau_sum").cast("double") /
+          (col("n_days").cast("double") * col("mau").cast("double")))
+          .as("stickiness"))
+      .orderBy("period")
+  }
+
+  /** DuckDB twin of [[stickiness]] — identical day/period floors and
+    * IEEE chains. */
+  def stickinessSql(periodDays: Long = 28): String = {
+    val dayUs = 86400L * 1000000L
+    s"""WITH days AS MATERIALIZED (
+       | SELECT DISTINCT user_id,
+       |  CAST(floor(epoch_us(ts) / $dayUs) AS BIGINT) AS day
+       | FROM events),
+       |pdays AS MATERIALIZED (
+       | SELECT user_id, day,
+       |  CAST(floor(day / $periodDays) AS BIGINT) AS period FROM days),
+       |daily AS (
+       | SELECT period, count(*) AS n_days,
+       |  CAST(SUM(dau) AS BIGINT) AS dau_sum FROM (
+       |  SELECT period, day, count(*) AS dau FROM pdays GROUP BY 1, 2)
+       | GROUP BY 1),
+       |mau AS (
+       | SELECT period, count(*) AS mau FROM (
+       |  SELECT DISTINCT period, user_id FROM pdays) GROUP BY 1)
+       |SELECT period, n_days, dau_sum, mau,
+       | CAST(dau_sum AS DOUBLE) / CAST(n_days AS DOUBLE) AS avg_dau,
+       | CAST(dau_sum AS DOUBLE)
+       |  / (CAST(n_days AS DOUBLE) * CAST(mau AS DOUBLE)) AS stickiness
+       |FROM daily JOIN mau USING (period)
+       |ORDER BY period""".stripMargin.replace('\n', ' ')
+  }
 }

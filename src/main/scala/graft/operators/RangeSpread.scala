@@ -41,9 +41,10 @@ object RangeSpread {
     * loud before `rq²` could exceed 2^63. */
   private val MaxRangeQ: Long = 2000000000L
 
-  private def guardedRangeQ(c: Column, what: String): Column =
+  private def guardedRangeQ(c: Column, what: String,
+      op: String = "corwinSchultz"): Column =
     when(abs(c) > MaxRangeQ,
-      raise_error(concat(lit(s"corwinSchultz: $what outside the " +
+      raise_error(concat(lit(s"$op: $what outside the " +
         "exact regime at symbol="), col("symbol"))).cast("long"))
       .otherwise(c)
 
@@ -141,4 +142,180 @@ object RangeSpread {
        |     WINDOW wb AS (PARTITION BY symbol ORDER BY start))
        |    WHERE hp IS NOT NULL AND lc > 0 AND lp > 0))))
        |ORDER BY symbol, start""".stripMargin.replace('\n', ' ')
+
+  /** `4·ln 2`, the Parkinson normalizer, computed once and embedded as
+    * the identical literal in both engines. */
+  private val FourLn2: Double = 4.0d * math.log(2.0d)
+
+  /** `2·ln 2 − 1`, the Garman–Klass close-to-open weight, same
+    * treatment. */
+  private val TwoLn2M1: Double = 2.0d * math.log(2.0d) - 1.0d
+
+  /** Per-(symbol, bucket) OHLC in exact integer cents — the shared
+    * kernel of the range-volatility pair below: the
+    * [[corwinSchultz]] round-half-up cents quantization
+    * (finite-guarded loud), ordered open/close via `min_by`/`max_by`
+    * over `(ts, seq)` (≡ the twins' ordered `first`/`last`). Buckets
+    * whose LOW rounds to zero cents (sub-cent prices) cannot take a
+    * log range and are dropped in both engines. */
+  private def ohlcCents(updates: DataFrame, op: String,
+      seconds: Long): DataFrame = {
+    val cents = when(
+      abs(floor(Microstructure.finitePrice * 100.0d + 0.5d)) > 1.0e12d,
+      raise_error(concat(lit(s"$op: price outside the " +
+        "exact-decimal regime at symbol="), col("symbol"))).cast("long"))
+      .otherwise(floor(Microstructure.finitePrice * 100.0d + 0.5d)
+        .cast("long"))
+    val byTsSeq = struct(col("ts"), col("seq"))
+    updates
+      .where(col("is_trade") && col("price") > 0.0d)
+      .groupBy(col("symbol"),
+        graft.functions.timeBucket(graft.functions.tsSeconds(col("ts")),
+          seconds).as("start"))
+      .agg(
+        min_by(cents, byTsSeq).as("oc"),
+        max(cents).as("hc"),
+        min(cents).as("lc"),
+        max_by(cents, byTsSeq).as("cc"))
+      .where(col("lc") > 0L)
+  }
+
+  /** The shared OHLC-cents kernel as SQL — the twin of [[ohlcCents]]. */
+  private def ohlcCentsSql(seconds: Long): String =
+    s"""SELECT symbol, ((ts // 1000) // $seconds) * $seconds AS start,
+       | first(CAST(floor(price * 100.0 + 0.5) AS BIGINT)
+       |   ORDER BY ts, seq) AS oc,
+       | max(CAST(floor(price * 100.0 + 0.5) AS BIGINT)) AS hc,
+       | min(CAST(floor(price * 100.0 + 0.5) AS BIGINT)) AS lc,
+       | last(CAST(floor(price * 100.0 + 0.5) AS BIGINT)
+       |   ORDER BY ts, seq) AS cc
+       |FROM updates WHERE is_trade AND price > 0.0
+       |GROUP BY 1, 2 HAVING min(CAST(floor(price * 100.0 + 0.5)
+       |  AS BIGINT)) > 0""".stripMargin.replace('\n', ' ')
+
+  /** Parkinson (1980) range volatility per symbol: `σ²_P =
+    * Σ ln(h/l)² / (4·ln2 · n)` over the bucket OHLC series — the
+    * classic high-low variance estimator, ~5× more efficient than
+    * close-to-close at the same sample size.
+    *
+    * Exactness: each log range is the [[corwinSchultz]] quantization
+    * `rq = floor(ln(hc/lc)·1e8)` with the loud 2e9 bound; `Σ rq²` runs
+    * in decimal and emits through the raise-guarded BIGINT cast;
+    * `park_var` is one cast + two divisions in identical textual order,
+    * `park_vol` one correctly-rounded sqrt.
+    *
+    * Scale shape: one (symbol, bucket) partial aggregation, one
+    * per-symbol hash aggregation. No window anywhere. */
+  def parkinson(updates: DataFrame, seconds: Long = 60): DataFrame = {
+    val rq = guardedRangeQ(
+      floor(log(col("hc").cast("double") / col("lc").cast("double")) *
+        1e8d).cast("long"), "log range", "parkinson")
+    val g = when(abs(col("_s")) > lit(Long.MaxValue),
+      raise_error(concat(lit("parkinson: sum_rq2 overflows BIGINT " +
+        "at symbol="), col("symbol"))).cast("long"))
+      .otherwise(col("_s").cast("long"))
+    val pv = (col("sum_rq2").cast("double") / 1e16d) /
+      (lit(FourLn2) * col("n_buckets").cast("double"))
+    ohlcCents(updates, "parkinson", seconds)
+      .withColumn("rq", rq)
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("rq").cast("decimal(31,0)") *
+          col("rq").cast("decimal(31,0)")).as("_s"))
+      .select(col("symbol"), col("n_buckets"), g.as("sum_rq2"))
+      .withColumn("park_var", pv)
+      .withColumn("park_vol", sqrt(pv))
+  }
+
+  /** DuckDB twin of [[parkinson]] — identical kernel, HUGEINT sum,
+    * the same IEEE chain order. */
+  def parkinsonSql(seconds: Long = 60): String =
+    s"""SELECT symbol, n_buckets, sum_rq2,
+       | (CAST(sum_rq2 AS DOUBLE) / 1e16)
+       |  / ($FourLn2 * CAST(n_buckets AS DOUBLE)) AS park_var,
+       | sqrt((CAST(sum_rq2 AS DOUBLE) / 1e16)
+       |  / ($FourLn2 * CAST(n_buckets AS DOUBLE))) AS park_vol
+       |FROM (
+       | SELECT symbol, count(*) AS n_buckets,
+       |  CAST(SUM(CAST(rq AS HUGEINT) * CAST(rq AS HUGEINT))
+       |    AS BIGINT) AS sum_rq2
+       | FROM (
+       |  SELECT symbol, CAST(floor(ln(CAST(hc AS DOUBLE)
+       |    / CAST(lc AS DOUBLE)) * 1e8) AS BIGINT) AS rq
+       |  FROM (${ohlcCentsSql(seconds)}))
+       | GROUP BY 1)
+       |ORDER BY symbol""".stripMargin.replace('\n', ' ')
+
+  /** Garman–Klass (1980) range volatility per symbol: `σ²_GK =
+    * (Σ 0.5·ln(h/l)² − (2ln2−1)·ln(c/o)²) / n` over the bucket OHLC
+    * series — the higher-efficiency OHLC estimator that differences
+    * out the drift via the close-to-open term. `gk_var` can go
+    * (slightly) negative in bounce-dominated samples; `gk_vol` clamps
+    * at 0 before the sqrt, the standard convention.
+    *
+    * Exactness: `rq`/`cq` are the quantized log range and log return
+    * (loud 2e9 bounds); both squared sums run in decimal with
+    * raise-guarded BIGINT emission; the variance is one fixed IEEE
+    * chain over the two exact integers. Buckets with a zero-cent open
+    * are dropped (log domain) in both engines. */
+  def garmanKlass(updates: DataFrame, seconds: Long = 60): DataFrame = {
+    val rq = guardedRangeQ(
+      floor(log(col("hc").cast("double") / col("lc").cast("double")) *
+        1e8d).cast("long"), "log range", "garmanKlass")
+    val cq = guardedRangeQ(
+      floor(log(col("cc").cast("double") / col("oc").cast("double")) *
+        1e8d).cast("long"), "log return", "garmanKlass")
+    def g(c: Column, what: String): Column =
+      when(abs(c) > lit(Long.MaxValue),
+        raise_error(concat(lit(s"garmanKlass: $what overflows BIGINT " +
+          "at symbol="), col("symbol"))).cast("long"))
+        .otherwise(c.cast("long"))
+    val gv = lit(0.5d) * (col("sum_rq2").cast("double") / 1e16d) /
+      col("n_buckets").cast("double") -
+      lit(TwoLn2M1) * (col("sum_cq2").cast("double") / 1e16d) /
+      col("n_buckets").cast("double")
+    ohlcCents(updates, "garmanKlass", seconds)
+      .where(col("oc") > 0L)
+      .withColumn("rq", rq)
+      .withColumn("cq", cq)
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("rq").cast("decimal(31,0)") *
+          col("rq").cast("decimal(31,0)")).as("_sr"),
+        sum(col("cq").cast("decimal(31,0)") *
+          col("cq").cast("decimal(31,0)")).as("_sc"))
+      .select(col("symbol"), col("n_buckets"),
+        g(col("_sr"), "sum_rq2").as("sum_rq2"),
+        g(col("_sc"), "sum_cq2").as("sum_cq2"))
+      .withColumn("gk_var", gv)
+      .withColumn("gk_vol", sqrt(greatest(gv, lit(0.0d))))
+  }
+
+  /** DuckDB twin of [[garmanKlass]] — identical kernel and chain. */
+  def garmanKlassSql(seconds: Long = 60): String =
+    s"""SELECT symbol, n_buckets, sum_rq2, sum_cq2,
+       | 0.5 * (CAST(sum_rq2 AS DOUBLE) / 1e16)
+       |   / CAST(n_buckets AS DOUBLE)
+       |  - $TwoLn2M1 * (CAST(sum_cq2 AS DOUBLE) / 1e16)
+       |   / CAST(n_buckets AS DOUBLE) AS gk_var,
+       | sqrt(greatest(
+       |  0.5 * (CAST(sum_rq2 AS DOUBLE) / 1e16)
+       |    / CAST(n_buckets AS DOUBLE)
+       |   - $TwoLn2M1 * (CAST(sum_cq2 AS DOUBLE) / 1e16)
+       |    / CAST(n_buckets AS DOUBLE), 0.0)) AS gk_vol
+       |FROM (
+       | SELECT symbol, count(*) AS n_buckets,
+       |  CAST(SUM(CAST(rq AS HUGEINT) * CAST(rq AS HUGEINT))
+       |    AS BIGINT) AS sum_rq2,
+       |  CAST(SUM(CAST(cq AS HUGEINT) * CAST(cq AS HUGEINT))
+       |    AS BIGINT) AS sum_cq2
+       | FROM (
+       |  SELECT symbol,
+       |   CAST(floor(ln(CAST(hc AS DOUBLE) / CAST(lc AS DOUBLE))
+       |     * 1e8) AS BIGINT) AS rq,
+       |   CAST(floor(ln(CAST(cc AS DOUBLE) / CAST(oc AS DOUBLE))
+       |     * 1e8) AS BIGINT) AS cq
+       |  FROM (${ohlcCentsSql(seconds)}) WHERE oc > 0)
+       | GROUP BY 1)
+       |ORDER BY symbol""".stripMargin.replace('\n', ' ')
 }

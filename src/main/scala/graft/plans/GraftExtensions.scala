@@ -157,6 +157,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Microstructure.intradayProfile(u) }
     registerTable(ext, "symbol_beta") { (u, a) =>
       Microstructure.symbolBeta(u, long0(a, 60L)) }
+    registerTable(ext, "parkinson") { (u, a) =>
+      RangeSpread.parkinson(u, long0(a, 60L)) }
+    registerTable(ext, "garman_klass") { (u, a) =>
+      RangeSpread.garmanKlass(u, long0(a, 60L)) }
     // clickstream family (the tick view argument names the EVENTS
     // view here — default 'events')
     registerEventTable(ext, "sessionize") { (e, a) =>
@@ -177,6 +181,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     registerEventTable(ext, "time_decay_attribution") { (e, a) =>
       EventAnalytics.timeDecayAttribution(e,
         halflifeMicros = long0(a, 7L * 86400L * 1000000L)) }
+    registerEventTable(ext, "stickiness") { (e, a) =>
+      EventAnalytics.stickiness(e, long0(a, 28L)) }
   }
 
   /** Inject one operator as a SQL table function: evaluate the literal

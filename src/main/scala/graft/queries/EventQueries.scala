@@ -151,6 +151,14 @@ object EventQueries {
     Q("q_cohort_ltv",
       (s, dir) => EventAnalytics.cohortLtv(events(s, dir),
         periodDays = 1),
-      Some(EventAnalytics.cohortLtvSql(periodDays = 1)))
+      Some(EventAnalytics.cohortLtvSql(periodDays = 1))),
+
+    // DAU/MAU stickiness per calendar period — weekly grain in the
+    // gate (the ~30-day driver corpus gives 28-day periods only one
+    // full window)
+    Q("q_stickiness",
+      (s, dir) => EventAnalytics.stickiness(events(s, dir),
+        periodDays = 7),
+      Some(EventAnalytics.stickinessSql(periodDays = 7)))
   )
 }

@@ -526,6 +526,20 @@ object ExtQueries {
       (s, dir) => TextOps.sourceDrift(docs(s, dir)).orderBy("source"),
       Some(TextOps.sourceDriftSql())),
 
+    // Heaps vocabulary-growth exponent per language — the companion
+    // of the Zipf slope; checkpoint-grid cumulatives, integer-exact
+    // least squares
+    Q("q_heaps_law",
+      (s, dir) => TextOps.heapsLaw(docs(s, dir)).orderBy("lang"),
+      Some(TextOps.heapsLawSql())),
+
+    // per-source Jensen-Shannon divergence from the corpus token
+    // distribution — symmetric/bounded companion of the KL drift;
+    // integer mixture ratios, absent-word mass in closed form
+    Q("q_jsd_sources",
+      (s, dir) => TextOps.jsdSources(docs(s, dir)).orderBy("source"),
+      Some(TextOps.jsdSourcesSql())),
+
     // per-source PSI of the doc-length histogram vs the corpus —
     // shape drift orthogonal to the vocabulary KL above; fixed
     // integer bin ladder, smoothed, quantized logs, decimal sum

@@ -376,6 +376,19 @@ object TickQueries {
       (s, dir) => Microstructure.volumeProfile(u(s, dir)),
       Some(Tables.withUpdates(Microstructure.volumeProfileSql()))),
 
+    // range-based volatility pair over the shared bucket-OHLC-cents
+    // kernel: Parkinson high-low and Garman-Klass OHLC estimators,
+    // quantized log ranges, exact squared sums, fixed IEEE chains
+    Q("q_parkinson",
+      (s, dir) => RangeSpread.parkinson(u(s, dir))
+        .orderBy("symbol"),
+      Some(Tables.withUpdates(RangeSpread.parkinsonSql()))),
+
+    Q("q_garman_klass",
+      (s, dir) => RangeSpread.garmanKlass(u(s, dir))
+        .orderBy("symbol"),
+      Some(Tables.withUpdates(RangeSpread.garmanKlassSql()))),
+
     // realized variance at multiple sampling scales (signature plot);
     // Spark re-aggregates coarse closes from the finest grain, the
     // twin re-buckets each scale from the raw stream — rebin identity

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions.{col, timestamp_micros}
+
+import graft.model.Update
+import graft.operators.{EventAnalytics, RangeSpread}
+import graft.ext.TextOps
+
+/** Behavior gates for the round-13 analytics wave: the Parkinson /
+  * Garman–Klass range-volatility pair, DAU/MAU stickiness, the Heaps
+  * vocabulary-growth exponent, and per-source Jensen–Shannon
+  * divergence. Each also carries a DuckDB oracle gate (q_parkinson,
+  * q_garman_klass, q_stickiness, q_heaps_law, q_jsd_sources); these
+  * tests pin SEMANTICS — exact scalar replication on planted fixtures
+  * and the closed-form edge cases — which a bit-identical twin cannot
+  * see. */
+class R13WaveSpec extends SparkSpec {
+
+  private val T0 = 1700000000000L
+
+  test("parkinson: constant-range fixture matches the scalar formula " +
+      "exactly; sub-cent lows are dropped") {
+    // 20 buckets, each trading exactly H=102 / L=100
+    val ups = (0 until 20).flatMap(i => Seq(
+      Update("p", T0 + i * 60000L, 0L, true, true, 102.0, 1.0),
+      Update("p", T0 + i * 60000L + 1000, 1L, true, true, 100.0, 1.0)))
+    // a symbol whose only prices round to zero cents -> no output row
+    val sub = (0 until 5).map(i =>
+      Update("z", T0 + i * 60000L, 0L, true, true, 0.001, 1.0))
+    val rows = RangeSpread.parkinson(updatesDf(ups ++ sub)).collect()
+    assert(rows.length === 1 && rows(0).getString(0) === "p")
+    val r = math.floor(math.log(10200.0 / 10000.0) * 1e8).toLong
+    val sumRq2 = 20L * r * r
+    val pv = (sumRq2.toDouble / 1e16) / (4.0 * math.log(2.0) * 20.0)
+    assert(rows(0).getLong(1) === 20L)
+    assert(rows(0).getLong(2) === sumRq2)
+    assert(rows(0).getDouble(3) === pv)
+    assert(rows(0).getDouble(4) === math.sqrt(pv))
+  }
+
+  test("garmanKlass: open/close drift subtracts from the range term " +
+      "exactly; flat close-to-open reduces to the pure range form") {
+    // drift symbol: every bucket opens 100, runs to high 102, closes
+    // 102 (o=100 c=102 h=102 l=100)
+    val drift = (0 until 10).flatMap(i => Seq(
+      Update("d", T0 + i * 60000L, 0L, true, true, 100.0, 1.0),
+      Update("d", T0 + i * 60000L + 1000, 1L, true, true, 102.0, 1.0)))
+    // flat symbol: opens and closes 100, wick to 102 in between
+    val flat = (0 until 10).flatMap(i => Seq(
+      Update("f", T0 + i * 60000L, 0L, true, true, 100.0, 1.0),
+      Update("f", T0 + i * 60000L + 1000, 1L, true, true, 102.0, 1.0),
+      Update("f", T0 + i * 60000L + 2000, 2L, true, true, 100.0, 1.0)))
+    val out = RangeSpread.garmanKlass(updatesDf(drift ++ flat))
+      .collect().map(x => x.getString(0) -> x).toMap
+    val r = math.floor(math.log(10200.0 / 10000.0) * 1e8).toLong
+    val k = 2.0 * math.log(2.0) - 1.0
+    // drift: rq = cq = r each bucket
+    val sr = 10L * r * r
+    val gvD = 0.5 * (sr.toDouble / 1e16) / 10.0 -
+      k * (sr.toDouble / 1e16) / 10.0
+    assert(out("d").getLong(2) === sr && out("d").getLong(3) === sr)
+    assert(out("d").getDouble(4) === gvD)
+    assert(out("d").getDouble(5) === math.sqrt(math.max(gvD, 0.0)))
+    // flat: cq = 0 (ln(1) = 0 exactly) -> pure range form, larger var
+    val gvF = 0.5 * (sr.toDouble / 1e16) / 10.0 -
+      k * (0.0 / 1e16) / 10.0
+    assert(out("f").getLong(3) === 0L)
+    assert(out("f").getDouble(4) === gvF)
+    assert(gvF > gvD, "removing the drift penalty must raise GK var")
+  }
+
+  test("stickiness: planted DAU/MAU ladder is exact; single-day user " +
+      "dilutes the ratio") {
+    import spark.implicits._
+    val dayUs = 86400L * 1000000L
+    // u1 active days 0..6; u2 active day 0 only; period = 7 days
+    val evs = (0 until 7).map(d =>
+        (d.toLong, 1L, d * dayUs, "view", 0.0)) :+
+      (100L, 2L, 0L, "view", 0.0)
+    val df = evs.toDF("event_id", "user_id", "us", "event_type", "value")
+      .select(col("event_id"),
+        timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val rows = EventAnalytics.stickiness(df, periodDays = 7).collect()
+    assert(rows.length === 1)
+    val r = rows(0)
+    assert(r.getLong(1) === 7L) // n_days
+    assert(r.getLong(2) === 8L) // dau_sum: day0 has 2, days 1-6 have 1
+    assert(r.getLong(3) === 2L) // mau
+    assert(r.getDouble(4) === 8.0 / 7.0)
+    assert(r.getDouble(5) === 8.0 / (7.0 * 2.0))
+  }
+
+  test("heapsLaw: all-new-words corpus fits beta = 1 exactly; pure " +
+      "repetition fits beta = 0 exactly") {
+    import spark.implicits._
+    // growth: doc i contributes 4 never-seen tokens -> cum_v == cum_n
+    // at every checkpoint -> xq == yq -> slope exactly 1
+    val growth = (0 until 32).map(i =>
+      (i.toLong, (0 until 4).map(j => s"g${i}_$j").mkString(" "), "g"))
+    // repeat: every doc is the same word 4 times -> cum_v == 1 always
+    // -> yq == 0 -> slope exactly 0
+    val repeat = (0 until 32).map(i =>
+      (i.toLong, "w w w w", "r"))
+    val df = (growth ++ repeat).toDF("doc_id", "text", "lang")
+    val out = TextOps.heapsLaw(df, step = 4).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("g").getLong(1) === 8L) // 32 docs / step 4
+    assert(out("g").getDouble(2) === 1.0)
+    assert(out("r").getDouble(2) === 0.0)
+  }
+
+  test("jsdSources: identical sources score exactly zero; disjoint " +
+      "vocabularies land in (0, ln 2]") {
+    import spark.implicits._
+    // identical: both sources have the same multiset -> every mixture
+    // ratio is exactly 1 (integer identity), absent mass is zero
+    val same = Seq(
+      (1L, "a b c", "s1"), (2L, "a b c", "s2"))
+      .toDF("doc_id", "text", "source")
+    val z = TextOps.jsdSources(same).collect()
+    assert(z.forall(_.getDouble(2) === 0.0))
+    // disjoint equal-size sources: closed form
+    // 0.5·ln(4/3) + 0.25·ln(2/3) + 0.25·ln 2 per source
+    val disj = Seq(
+      (1L, "a b c d", "s1"), (2L, "e f g h", "s2"))
+      .toDF("doc_id", "text", "source")
+    val d = TextOps.jsdSources(disj).collect()
+    val want = 0.5 * math.log(4.0 / 3.0) + 0.25 * math.log(2.0 / 3.0) +
+      0.25 * math.log(2.0)
+    d.foreach { r =>
+      val v = r.getDouble(2)
+      assert(math.abs(v - want) < 1e-9, s"jsd=$v want~$want")
+      assert(v > 0.0 && v <= math.log(2.0) + 1e-12)
+    }
+  }
+}

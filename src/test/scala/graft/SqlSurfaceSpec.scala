@@ -93,6 +93,12 @@ class SqlSurfaceSpec extends SparkSpec {
           Microstructure.intradayProfile(u)),
         ("symbol_beta", "SELECT * FROM symbol_beta(3600)",
           Microstructure.symbolBeta(u, 3600L)),
+        ("parkinson", "SELECT * FROM parkinson(60)",
+          RangeSpread.parkinson(u, 60L)),
+        ("garman_klass", "SELECT * FROM garman_klass(60)",
+          RangeSpread.garmanKlass(u, 60L)),
+        ("stickiness", "SELECT * FROM stickiness(7)",
+          EventAnalytics.stickiness(ev, 7L)),
         ("sessionize", "SELECT * FROM sessionize(1800)",
           EventAnalytics.sessionize(ev, 1800L)),
         ("transitions", "SELECT * FROM transitions()",
