@@ -228,4 +228,70 @@ object ActivityStats {
        |   FROM events GROUP BY 1, 2))
        | GROUP BY 1)
        |ORDER BY user_id""".stripMargin.replace('\n', ' ')
+  /** Engagement inequality per event type: the Gini coefficient of
+    * per-user counts of that type — "is this interaction driven by a
+    * few power users or spread broadly" (gini 0 = uniform, →1 = one
+    * user dominates). Users who never emit the type are OUT of the
+    * population by construction (no zero axis to densify from); the
+    * twin is closed under the same convention.
+    *
+    * Exactness — the [[graft.ext.TextOps.lengthGini]] exact rank
+    * identity: rank each user by `(cnt, user_id)` (deterministic under
+    * ties), `G = (2·Σ r·cnt − (n+1)·Σ cnt) / (n·Σ cnt)` with the
+    * rank-weighted sum in exact decimal and ONE IEEE chain at the end,
+    * spelled identically in the twin.
+    *
+    * Scale shape: one (event_type, user) aggregation, then a rank
+    * window over the AGGREGATED per-user table, one hash aggregation.
+    * The window is keyed by event_type over users-per-type rows — at
+    * extreme user counts the rank would dispatch to the salted exact
+    * prefix-sum arm (the [[graft.ext.Pipeline]] unimaxApply pattern);
+    * the window form IS the gate's shape, as [[lengthGini]]'s. */
+  def activityGini(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("cnt", "user_id")
+    val dec = "decimal(20,0)"
+    events
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("r", row_number().over(w))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("cnt")).as("total_events"),
+        sum(col("r").cast(dec) * col("cnt").cast(dec)).cast("double")
+          .as("rank_weighted"))
+      .withColumn("gini",
+        when(col("total_events") > 0L,
+          (lit(2.0d) * col("rank_weighted") -
+            (col("n_users").cast("double") + lit(1.0d)) *
+              col("total_events").cast("double")) /
+            (col("n_users").cast("double") *
+              col("total_events").cast("double"))))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB twin of [[activityGini]] — identical ranking and chain. */
+  def activityGiniSql(): String =
+    s"""SELECT event_type, n_users, total_events, rank_weighted,
+       | CASE WHEN total_events > 0 THEN
+       |  (2.0 * rank_weighted
+       |    - (CAST(n_users AS DOUBLE) + 1.0)
+       |      * CAST(total_events AS DOUBLE))
+       |  / (CAST(n_users AS DOUBLE) * CAST(total_events AS DOUBLE))
+       | END AS gini
+       |FROM (
+       | SELECT event_type, count(*) AS n_users,
+       |  CAST(sum(cnt) AS BIGINT) AS total_events,
+       |  CAST(SUM(CAST(r AS HUGEINT) * CAST(cnt AS HUGEINT))
+       |    AS DOUBLE) AS rank_weighted
+       | FROM (
+       |  SELECT event_type, user_id, cnt,
+       |   row_number() OVER (PARTITION BY event_type
+       |     ORDER BY cnt, user_id) AS r
+       |  FROM (
+       |   SELECT event_type, user_id, count(*) AS cnt
+       |   FROM events GROUP BY 1, 2))
+       | GROUP BY 1)
+       |ORDER BY event_type""".stripMargin.replace('\n', ' ')
 }

@@ -339,4 +339,189 @@ object BookFeatures {
        |WINDOW w AS (PARTITION BY symbol ORDER BY ts
        | RANGE BETWEEN ${windowMs - 1} PRECEDING AND CURRENT ROW)
        |ORDER BY symbol, ts, seq""".stripMargin.replace('\n', ' ')
+  /** Book depth profile per (symbol, bucket): the cumulative resting
+    * SET size and live-level count within each basis-point band of the
+    * bucket-end mid — the liquidity curve execution models size orders
+    * against (a beyond-reference capability next to [[ofi]]; bands
+    * default to 5/10/25/50 bps, each INCLUSIVE of the tighter ones, so
+    * depth is monotone in the band).
+    *
+    * Band assignment is EXACT integer arithmetic: with `l` the level
+    * in ticks and `m2 = bb + ba` (twice the mid, an exact long), level
+    * `l` is within `e` bps iff `10000·|2l − m2| ≤ e·m2` — no floating
+    * point anywhere in the cut. Depth accumulates in unscaled scale-4
+    * longs (the [[graft.streaming.Streaming.Dec4]] quantization, the
+    * fold twin of the relational `CAST(size AS DECIMAL(30,4))` sum)
+    * and emits through one decimal→double cast. Buckets without a
+    * two-sided touch emit nothing; a band with no live level emits
+    * depth 0.
+    *
+    * Touch/liveness contract and scale shape are [[ofi]]'s verbatim:
+    * per-symbol ordered book fold (repartition(symbol) + external
+    * spill sort + O(book) TreeMap state), last SET write wins, live
+    * iff `size > 0` under the NaN-greatest compare; the dense
+    * present-buckets × live-levels grid lives only in the DuckDB twin
+    * as an independent relational cross-check at oracle SF. */
+  def depthProfile(updates: DataFrame, seconds: Long = 60,
+      decimals: Int = 2, bandsBps: Seq[Long] = Seq(5L, 10L, 25L, 50L))
+      : DataFrame = {
+    val spark = updates.sparkSession
+    import spark.implicits._
+    val mult = math.pow(10, decimals)
+    val bands = bandsBps.sorted
+    updates.where(!col("is_trade"))
+      .repartition(col("symbol"))
+      .sortWithinPartitions("symbol", "ts", "seq")
+      .as[graft.model.Update]
+      .mapPartitions(rows => new DepthFold(rows, seconds, mult, bands))
+      .toDF()
+  }
+
+  /** One emitted [[depthProfile]] row. */
+  private[graft] case class DepthOut(symbol: String, start: Long,
+      is_bid: Boolean, band_bps: Long, n_levels: Long, depth: Double)
+
+  /** The per-symbol ordered fold behind [[depthProfile]] — the
+    * [[OfiFold]] book-carry discipline with a band scan at bucket
+    * close: both sides' TreeMaps are probed over the ±max-band window
+    * around the mid (subMap, O(levels-in-range)), each live level
+    * binned by the exact integer band cut. */
+  private final class DepthFold(rows: Iterator[graft.model.Update],
+      seconds: Long, mult: Double, bands: Seq[Long])
+      extends Iterator[DepthOut] {
+    private val pending = scala.collection.mutable.Queue.empty[DepthOut]
+    private val bids = new java.util.TreeMap[Long, Double]
+    private val asks = new java.util.TreeMap[Long, Double]
+    private var sym: String = _
+    private var bucket = Long.MinValue
+    private var flushed = false
+
+    private def live(s: Double): Boolean = s.isNaN || s > 0.0d
+
+    private def close(): Unit = {
+      if (bids.isEmpty || asks.isEmpty) return
+      val bb = bids.lastKey.longValue
+      val ba = asks.firstKey.longValue
+      val m2 = bb + ba
+      val maxB = bands.last
+      // exact integer band window: 10000·|2l − m2| ≤ maxB·m2
+      // ⇔ l ∈ [ (m2·(10000−maxB))/20000 , (m2·(10000+maxB))/20000 ]
+      val lo = Math.floorDiv(m2 * (10000L - maxB), 20000L)
+      val hi = Math.floorDiv(m2 * (10000L + maxB), 20000L) + 1L
+      for ((side, isBid) <- Seq((bids, true), (asks, false))) {
+        val nLv = new Array[Long](bands.length)
+        val dq = new Array[Long](bands.length)
+        val it = side.subMap(lo, true, hi, true).entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val l = e.getKey.longValue
+          val d = 10000L * Math.abs(2L * l - m2)
+          var i = 0
+          while (i < bands.length) {
+            if (d <= bands(i) * m2) {
+              nLv(i) += 1L
+              dq(i) += graft.streaming.Streaming.Dec4.dec4(e.getValue)
+            }
+            i += 1
+          }
+        }
+        var i = 0
+        while (i < bands.length) {
+          pending += DepthOut(sym, bucket, isBid, bands(i), nLv(i),
+            graft.streaming.Streaming.Dec4.dec4ToDouble(dq(i)))
+          i += 1
+        }
+      }
+    }
+
+    private def step(u: graft.model.Update): Unit = {
+      if (u.symbol != sym) {
+        if (sym != null) close()
+        sym = u.symbol; bids.clear(); asks.clear()
+        bucket = Long.MinValue
+      }
+      if (u.price.isNaN || u.price.isInfinite)
+        throw new ArithmeticException(
+          "depthProfile: non-finite price at symbol=" + u.symbol)
+      val b = graft.server.CommandParser.fillDigits(u.ts) / 1000L /
+        seconds * seconds
+      if (bucket == Long.MinValue) bucket = b
+      else if (b != bucket) { close(); bucket = b }
+      val lvl = math.floor(u.price * mult).toLong
+      val side = if (u.is_bid) bids else asks
+      if (live(u.size)) side.put(lvl, u.size) else side.remove(lvl)
+    }
+
+    override def hasNext: Boolean = {
+      while (pending.isEmpty && rows.hasNext) step(rows.next())
+      if (pending.isEmpty && !flushed) {
+        flushed = true
+        if (sym != null) close()
+      }
+      pending.nonEmpty
+    }
+    override def next(): DepthOut = { hasNext; pending.dequeue() }
+  }
+
+  /** DuckDB twin of [[depthProfile]] — the [[ofiSql]] grid pipeline
+    * (last write per level-bucket, forward fill over present buckets,
+    * liveness filter) joined to a literal band table, with the SAME
+    * exact integer band cut and decimal(30,4) depth sums. Grid-shaped
+    * on purpose: an independent relational cross-check of the fold at
+    * oracle SF, never the Spark scale path. */
+  def depthProfileSql(seconds: Long = 60, decimals: Int = 2,
+      bandsBps: Seq[Long] = Seq(5L, 10L, 25L, 50L)): String = {
+    val p = math.pow(10, decimals).toLong
+    val bandRows = bandsBps.sorted.map(b => s"($b)").mkString(", ")
+    s"""WITH lvl AS (
+       |  SELECT symbol, ((ts // 1000) // $seconds) * $seconds AS start,
+       |    is_bid, CAST(floor(price * $p) AS BIGINT) AS level,
+       |    size, ts, seq
+       |  FROM updates WHERE NOT is_trade),
+       |kb AS (
+       |  SELECT symbol, start, is_bid, level,
+       |    last(size ORDER BY ts, seq) AS s
+       |  FROM lvl GROUP BY 1, 2, 3, 4),
+       |bins AS (SELECT DISTINCT symbol, start FROM lvl),
+       |keys AS (SELECT DISTINCT symbol, is_bid, level FROM lvl),
+       |filled AS (
+       |  SELECT g.symbol, g.start, g.is_bid, g.level,
+       |    last_value(kb.s IGNORE NULLS) OVER (
+       |      PARTITION BY g.symbol, g.is_bid, g.level ORDER BY g.start
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS size
+       |  FROM (SELECT b.symbol, b.start, k.is_bid, k.level
+       |        FROM bins b JOIN keys k USING (symbol)) g
+       |  LEFT JOIN kb ON kb.symbol = g.symbol AND kb.start = g.start
+       |    AND kb.is_bid = g.is_bid AND kb.level = g.level),
+       |liv AS (SELECT * FROM filled
+       |  WHERE size IS NOT NULL AND size > 0.0),
+       |mid AS (
+       |  SELECT symbol, start,
+       |    max(CASE WHEN is_bid THEN level END)
+       |     + min(CASE WHEN NOT is_bid THEN level END) AS m2
+       |  FROM liv GROUP BY 1, 2
+       |  HAVING max(CASE WHEN is_bid THEN level END) IS NOT NULL
+       |    AND min(CASE WHEN NOT is_bid THEN level END) IS NOT NULL),
+       |bands(band_bps) AS (VALUES $bandRows),
+       |sides(is_bid) AS (VALUES (TRUE), (FALSE)),
+       |scored AS (
+       |  SELECT l.symbol, l.start, l.is_bid, l.size,
+       |    10000 * abs(2 * l.level - m.m2) AS d, m.m2
+       |  FROM liv l JOIN mid m USING (symbol, start)),
+       |agg AS (
+       |  SELECT symbol, start, is_bid, band_bps,
+       |    CAST(count(*) AS BIGINT) AS n_levels,
+       |    CAST(SUM(CAST(size AS DECIMAL(30,4))) AS DOUBLE) AS depth
+       |  FROM scored CROSS JOIN bands
+       |  WHERE d <= band_bps * m2
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT m.symbol, m.start, sd.is_bid, b.band_bps,
+       |  COALESCE(a.n_levels, 0) AS n_levels,
+       |  COALESCE(a.depth, 0.0) AS depth
+       |FROM mid m CROSS JOIN bands b CROSS JOIN sides sd
+       |LEFT JOIN agg a ON a.symbol = m.symbol AND a.start = m.start
+       |  AND a.is_bid = sd.is_bid AND a.band_bps = b.band_bps
+       |ORDER BY m.symbol, m.start, sd.is_bid, b.band_bps""".stripMargin
+      .replace('\n', ' ')
+  }
 }

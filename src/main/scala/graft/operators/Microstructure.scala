@@ -1627,6 +1627,90 @@ object Microstructure {
        | GROUP BY 1, 2)
        |ORDER BY symbol, bin_cents""".stripMargin.replace('\n', ' ')
 
+  /** Volume concentration per symbol: the Herfindahl–Hirschman index
+    * of traded volume across price bins (`Σ share²` over the
+    * [[volumeProfile]] bins) plus the effective bin count `1/HHI` —
+    * "is the volume profile peaked at one price or spread across the
+    * range" in one scalar (HHI = 1/n_bins when uniform, → 1 when one
+    * bin takes everything).
+    *
+    * Exactness: per-bin volume is the exact scale-4 decimal sum
+    * re-emitted as its UNSCALED integer (`vq = vol·1e4`, raise-loud
+    * past 1e15 — scale-4 volume past 1e11 units/bin is unphysical and
+    * the bound keeps `Σ vq²` within exact decimal/int128); `Σ vq` and
+    * `Σ vq·vq` run in decimal/HUGEINT, the square sum emitting through
+    * one decimal→double cast (it can legitimately exceed 2^63 — the
+    * jumpTest stance); `hhi = Σvq² / (Σvq)²` is one fixed IEEE chain
+    * (the 1e4 scale cancels). Null without positive volume.
+    *
+    * Scale shape: one (symbol, bin) partial aggregation, one
+    * per-symbol hash aggregation. No window anywhere. */
+  def volumeHhi(updates: DataFrame, binCents: Long = 100): DataFrame = {
+    require(binCents > 0, "binCents must be positive")
+    val cents = when(
+      abs(floor(finitePrice * 100.0d + 0.5d)) > 1.0e12d,
+      raise_error(concat(lit("volumeHhi: price outside the " +
+        "exact-decimal regime at symbol="), col("symbol"))).cast("long"))
+      .otherwise(floor(finitePrice * 100.0d + 0.5d).cast("long"))
+    val vq = when(
+      abs(col("vol_dec") * lit(10000)) > lit(1.0e15d),
+      raise_error(concat(lit("volumeHhi: bin volume outside the " +
+        "exact regime at symbol="), col("symbol"))).cast("long"))
+      .otherwise((col("vol_dec") * lit(10000)).cast("long"))
+    val tot = col("sum_vq").cast("double")
+    val hhi = col("sum_vq2") / (tot * tot)
+    updates.where(col("is_trade") && col("price") > 0.0d)
+      .select(col("symbol"), cents.as("cents"), finiteSize.as("size"))
+      .withColumn("bin_cents", expr(s"(cents DIV $binCents) * $binCents"))
+      .groupBy("symbol", "bin_cents")
+      .agg(sum(col("size").cast("decimal(30,4)")).as("vol_dec"))
+      .withColumn("vq", vq)
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("vq").cast("decimal(20,0)")).as("_t"),
+        sum(col("vq").cast("decimal(19,0)") *
+          col("vq").cast("decimal(19,0)")).as("_s2"))
+      .select(col("symbol"), col("n_bins"),
+        when(abs(col("_t")) > lit(Long.MaxValue),
+          raise_error(concat(lit("volumeHhi: sum_vq overflows BIGINT " +
+            "at symbol="), col("symbol"))).cast("long"))
+          .otherwise(col("_t").cast("long")).as("sum_vq"),
+        coalesce(col("_s2").cast("double"), lit(0.0d)).as("sum_vq2"))
+      .withColumn("hhi", when(col("sum_vq") > 0L, hhi))
+      .withColumn("effective_bins",
+        when(col("sum_vq") > 0L, lit(1.0d) / hhi))
+      .orderBy("symbol")
+  }
+
+  /** DuckDB twin of [[volumeHhi]] — identical quantization, HUGEINT
+    * sums, the same chain order and null contract. */
+  def volumeHhiSql(binCents: Long = 100): String =
+    s"""SELECT symbol, n_bins, sum_vq, sum_vq2,
+       | CASE WHEN sum_vq > 0 THEN sum_vq2
+       |  / (CAST(sum_vq AS DOUBLE) * CAST(sum_vq AS DOUBLE)) END
+       |  AS hhi,
+       | CASE WHEN sum_vq > 0 THEN 1.0 / (sum_vq2
+       |  / (CAST(sum_vq AS DOUBLE) * CAST(sum_vq AS DOUBLE))) END
+       |  AS effective_bins
+       |FROM (
+       | SELECT symbol, count(*) AS n_bins,
+       |  CAST(SUM(CAST(vq AS HUGEINT)) AS BIGINT) AS sum_vq,
+       |  COALESCE(CAST(SUM(CAST(vq AS HUGEINT) * CAST(vq AS HUGEINT))
+       |    AS DOUBLE), 0.0) AS sum_vq2
+       | FROM (
+       |  SELECT symbol,
+       |   CAST(vol_dec * 10000 AS BIGINT) AS vq
+       |  FROM (
+       |   SELECT symbol, (cents // $binCents) * $binCents AS bin_cents,
+       |    SUM(CAST(size AS DECIMAL(30,4))) AS vol_dec
+       |   FROM (
+       |    SELECT symbol, CAST(floor(price * 100.0 + 0.5) AS BIGINT)
+       |      AS cents, size
+       |    FROM updates WHERE is_trade AND price > 0.0)
+       |   GROUP BY 1, 2))
+       | GROUP BY 1)
+       |ORDER BY symbol""".stripMargin.replace('\n', ' ')
+
   /** Volatility signature plot: per-symbol realized variance at
     * MULTIPLE sampling scales — the microstructure-noise diagnostic
     * (RV that inflates as the sampling interval shrinks reveals

@@ -104,6 +104,136 @@ object ReturnDynamics {
        | GROUP BY 1)
        |ORDER BY symbol""".stripMargin.replace('\n', ' ')
 
+  /** `θ = (π/2)² + π − 5`, the asymptotic variance constant of the
+    * BNS ratio jump statistic, computed once and embedded as the
+    * identical literal in both engines. */
+  private val Theta: Double =
+    HalfPi * HalfPi + 3.141592653589793d - 5.0d
+
+  /** `3π/(9π + 72 − 52√3)`, the MedRQ scaling constant (Andersen–
+    * Dobrev–Schaumburg 2012), computed once and embedded as the
+    * identical literal in both engines. */
+  private val MedC: Double = {
+    val pi = 3.141592653589793d
+    3.0d * pi / (9.0d * pi + 72.0d - 52.0d * math.sqrt(3.0d))
+  }
+
+  /** Barndorff-Nielsen–Shephard jump TEST per symbol: the
+    * max-adjusted ratio statistic (Huang–Tauchen 2005)
+    * `z = (1 − BV/RV) / sqrt(θ·max(1, RQ̂/BV²)/n)` over the same
+    * bucket-return kernel as [[bipowerVar]], with the JUMP-ROBUST
+    * MedRQ quarticity (Andersen–Dobrev–Schaumburg 2012)
+    * `RQ̂ = C·(n/(n−2))·Σ med(|q_b|,|q_{b-1}|,|q_{b-2}|)⁴` — the
+    * median kills any single jump, so the denominator stays pinned to
+    * the continuous variation (realized quarticity would load the
+    * jump's 4th power and destroy power; the classic tripower needs
+    * |·|^{4/3}, and NO fractional power is bit-portable here — JVM
+    * Math.pow/exp and DuckDB's diverge by 1 ulp, both measured at
+    * sf0.01). Under a continuous path z is asymptotically N(0,1);
+    * z ≳ 3 flags jump activity — the inferential companion of
+    * [[bipowerVar]]'s descriptive decomposition.
+    *
+    * Exactness — NO libm anywhere: the three-way median is exact
+    * greatest/least selection on the kernel integers, guarded loud so
+    * `m² ≤ 1e15` (|ln ratio| > 31.6 per bucket is unphysical), each
+    * `m⁴ = (m²)²` is an exact decimal/int128 term, and `Σ m⁴` — which
+    * can legitimately exceed 2^63 — emits through ONE decimal→double
+    * cast (correctly rounded over the same exact integer in both
+    * engines). RV/BV reuse [[bipowerVar]]'s exact sums; RV/BV/RQ̂/z
+    * are one fixed IEEE chain each; z is null without a two-sided
+    * moment system (n ≤ 2, RV = 0 or BV = 0).
+    *
+    * Scale shape: [[bipowerVar]]'s verbatim — one (symbol, bucket)
+    * partial aggregation, two per-symbol lags over the BUCKET series,
+    * one hash aggregation. */
+  def jumpTest(updates: DataFrame, seconds: Long = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("symbol")).orderBy(col("start"))
+    val g = guardedLong("jumpTest") _
+    val qDec = col("q").cast("decimal(15,0)")
+    val qpDec = col("qp").cast("decimal(15,0)")
+    val (a, b, c) = (abs(col("q")), abs(col("qp")), abs(col("qpp")))
+    val med = greatest(least(a, b), least(greatest(a, b), c))
+    // complete triples only: Spark/DuckDB greatest-least SKIP nulls,
+    // which would fabricate a 2-value "median" at the series head
+    val m2 = when(
+      col("q").isNull || col("qp").isNull || col("qpp").isNull,
+      lit(null).cast("long"))
+      .otherwise(when(med * med > lit(1000000000000000L),
+        raise_error(concat(lit("jumpTest: med^2 outside the exact " +
+          "regime at symbol="), col("symbol"))).cast("long"))
+        .otherwise((med * med).cast("long")))
+    val rv = col("sum_q2").cast("double") / 1e12d
+    val bv = lit(HalfPi) * (col("sum_bp").cast("double") / 1e12d)
+    val nD = col("n_rets").cast("double")
+    val rq = lit(MedC) * (nD / (nD - lit(2.0d))) *
+      (col("sum_m4") / 1e24d)
+    val z = (lit(1.0d) - bv / rv) /
+      sqrt(lit(Theta) * greatest(lit(1.0d), rq / (bv * bv)) /
+        nD)
+    Microstructure.bucketReturns(updates, seconds)
+      .withColumn("qp", lag(col("q"), 1).over(w))
+      .withColumn("qpp", lag(col("q"), 2).over(w))
+      .withColumn("m2", m2)
+      .groupBy(col("symbol"))
+      .agg(
+        count(col("q")).as("n_rets"),
+        sum(qDec * qDec).as("_rv"),
+        sum(abs(qDec) * abs(qpDec)).as("_bp"),
+        sum(col("m2").cast("decimal(19,0)") *
+          col("m2").cast("decimal(19,0)")).as("_m4"))
+      .select(col("symbol"), col("n_rets"),
+        g(col("_rv"), "sum_q2").as("sum_q2"),
+        coalesce(g(col("_bp"), "sum_bp"), lit(0L)).as("sum_bp"),
+        coalesce(col("_m4").cast("double"), lit(0.0d)).as("sum_m4"))
+      .withColumn("rv", rv)
+      .withColumn("bv", bv)
+      .withColumn("med_rq", when(col("n_rets") > 2L, rq))
+      .withColumn("z",
+        when(col("n_rets") > 2L && rv > 0.0d && bv > 0.0d, z))
+  }
+
+  /** DuckDB twin of [[jumpTest]] — identical kernel, HUGEINT sums,
+    * the same exact median selection, chain order, and null
+    * contract. */
+  def jumpTestSql(seconds: Long = 60): String = {
+    val rv = "CAST(sum_q2 AS DOUBLE) / 1e12"
+    val bv = s"$HalfPi * (CAST(sum_bp AS DOUBLE) / 1e12)"
+    val rq = s"$MedC * (CAST(n_rets AS DOUBLE)" +
+      " / (CAST(n_rets AS DOUBLE) - 2.0)) * (sum_m4 / 1e24)"
+    s"""SELECT symbol, n_rets, sum_q2, sum_bp, sum_m4,
+       | $rv AS rv, $bv AS bv,
+       | CASE WHEN n_rets > 2 THEN $rq END AS med_rq,
+       | CASE WHEN n_rets > 2 AND $rv > 0.0 AND $bv > 0.0 THEN
+       |  (1.0 - $bv / ($rv))
+       |   / sqrt($Theta * greatest(1.0, $rq / (($bv) * ($bv)))
+       |      / CAST(n_rets AS DOUBLE)) END AS z
+       |FROM (
+       | SELECT symbol, count(q) AS n_rets,
+       |  CAST(SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS BIGINT)
+       |   AS sum_q2,
+       |  COALESCE(CAST(SUM(abs(CAST(q AS HUGEINT))
+       |   * abs(CAST(qp AS HUGEINT))) AS BIGINT), 0) AS sum_bp,
+       |  COALESCE(CAST(SUM(CASE WHEN q IS NOT NULL
+       |    AND qp IS NOT NULL AND qpp IS NOT NULL THEN
+       |    CAST(greatest(least(abs(q), abs(qp)),
+       |      least(greatest(abs(q), abs(qp)), abs(qpp))) AS HUGEINT)
+       |    * greatest(least(abs(q), abs(qp)),
+       |      least(greatest(abs(q), abs(qp)), abs(qpp)))
+       |    * greatest(least(abs(q), abs(qp)),
+       |      least(greatest(abs(q), abs(qp)), abs(qpp)))
+       |    * greatest(least(abs(q), abs(qp)),
+       |      least(greatest(abs(q), abs(qp)), abs(qpp))) END)
+       |   AS DOUBLE), 0.0) AS sum_m4
+       | FROM (
+       |  SELECT symbol, q,
+       |   lag(q, 1) OVER (PARTITION BY symbol ORDER BY start) AS qp,
+       |   lag(q, 2) OVER (PARTITION BY symbol ORDER BY start) AS qpp
+       |  FROM (${Microstructure.bucketReturnsSql(seconds)}))
+       | GROUP BY 1)
+       |ORDER BY symbol""".stripMargin.replace('\n', ' ')
+  }
+
   /** Realized semivariance decomposition per symbol (Barndorff-
     * Nielsen/Kinnebrock/Shephard 2010): the realized variance split by
     * return sign — `RS⁺ = Σ q²·[q>0]`, `RS⁻ = Σ q²·[q<0]` over the

@@ -161,6 +161,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       RangeSpread.parkinson(u, long0(a, 60L)) }
     registerTable(ext, "garman_klass") { (u, a) =>
       RangeSpread.garmanKlass(u, long0(a, 60L)) }
+    registerTable(ext, "jump_test") { (u, a) =>
+      ReturnDynamics.jumpTest(u, long0(a, 60L)) }
+    registerTable(ext, "volume_hhi") { (u, a) =>
+      Microstructure.volumeHhi(u, long0(a, 100L)) }
     // clickstream family (the tick view argument names the EVENTS
     // view here — default 'events')
     registerEventTable(ext, "sessionize") { (e, a) =>
@@ -183,6 +187,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         halflifeMicros = long0(a, 7L * 86400L * 1000000L)) }
     registerEventTable(ext, "stickiness") { (e, a) =>
       EventAnalytics.stickiness(e, long0(a, 28L)) }
+    registerEventTable(ext, "activity_gini") { (e, _) =>
+      ActivityStats.activityGini(e) }
   }
 
   /** Inject one operator as a SQL table function: evaluate the literal

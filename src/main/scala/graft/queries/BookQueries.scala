@@ -74,6 +74,16 @@ object BookQueries {
       Some(Tables.withUpdatesChain(
         BookFeatures.ofiSql(60L, Decimals)))),
 
+    // B2+ — book depth profile: cumulative resting size and live-level
+    // count within 5/10/25/50 bps of the bucket-end mid; exact integer
+    // band cut (10000·|2l−m2| <= e·m2), scale-4 depth sums; the same
+    // book fold vs grid-twin split as q_ofi
+    Q("q_depth_profile",
+      (s, dir) => BookFeatures.depthProfile(u(s, dir), 60L, Decimals)
+        .orderBy("symbol", "start", "is_bid", "band_bps"),
+      Some(Tables.withUpdatesChain(
+        BookFeatures.depthProfileSql(60L, Decimals)))),
+
     // A3+ — rolling trailing-60s trade volume per trade row (RANGE
     // frame: identical peer semantics both engines; exact decimal sum)
     Q("q_rolling_volume",

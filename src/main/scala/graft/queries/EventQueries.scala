@@ -153,6 +153,13 @@ object EventQueries {
         periodDays = 1),
       Some(EventAnalytics.cohortLtvSql(periodDays = 1))),
 
+    // per-event-type engagement Gini: exact rank identity over
+    // per-user counts
+    Q("q_activity_gini",
+      (s, dir) => graft.operators.ActivityStats.activityGini(
+        events(s, dir)),
+      Some(graft.operators.ActivityStats.activityGiniSql())),
+
     // DAU/MAU stickiness per calendar period — weekly grain in the
     // gate (the ~30-day driver corpus gives 28-day periods only one
     // full window)

@@ -347,6 +347,19 @@ object TickQueries {
         .orderBy("symbol", "start"),
       Some(Tables.withUpdates(RangeSpread.corwinSchultzSql()))),
 
+    // BNS/Huang-Tauchen jump TEST: max-adjusted ratio statistic with
+    // exact quarticity sums (decimal->double emission)
+    Q("q_jump_test",
+      (s, dir) => ReturnDynamics.jumpTest(u(s, dir))
+        .orderBy("symbol"),
+      Some(Tables.withUpdates(ReturnDynamics.jumpTestSql()))),
+
+    // volume-concentration HHI + effective bin count over the
+    // volume-profile price bins
+    Q("q_volume_hhi",
+      (s, dir) => Microstructure.volumeHhi(u(s, dir)),
+      Some(Tables.withUpdates(Microstructure.volumeHhiSql()))),
+
     // realized semivariance: sign-split RV + signed jump variation
     Q("q_realized_semivariance",
       (s, dir) => ReturnDynamics.realizedSemivariance(u(s, dir))

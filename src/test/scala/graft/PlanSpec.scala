@@ -281,6 +281,14 @@ class PlanSpec extends SparkSpec {
       .explainString(ExplainMode.fromString("formatted"))
       .contains("Window"),
       "ofi: the fold must carry the bucket series — no window node")
+    // depthProfile shares ofi's fold budget: one repartition, no
+    // window, no grid join
+    audit("depthProfile",
+      graft.operators.BookFeatures.depthProfile(u), maxHash = 1)
+    assert(!graft.operators.BookFeatures.depthProfile(u).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+      .contains("Window"),
+      "depthProfile: the fold must carry the bands — no window node")
   }
 
   test("salted prefix sum: no per-language md5-order window " +

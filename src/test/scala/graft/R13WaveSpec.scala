@@ -18,6 +18,14 @@ class R13WaveSpec extends SparkSpec {
 
   private val T0 = 1700000000000L
 
+  /** One trade per minute bucket at the given closes (the
+    * ReturnDynamicsSpec fixture). */
+  private def closes(sym: String, ps: Seq[Double]): Seq[Update] =
+    ps.zipWithIndex.map { case (p, i) =>
+      Update(sym, T0 + i * 60000L, 0L, is_trade = true, is_bid = true,
+        p, 1.0)
+    }
+
   test("parkinson: constant-range fixture matches the scalar formula " +
       "exactly; sub-cent lows are dropped") {
     // 20 buckets, each trading exactly H=102 / L=100
@@ -108,6 +116,93 @@ class R13WaveSpec extends SparkSpec {
     assert(out("g").getLong(1) === 8L) // 32 docs / step 4
     assert(out("g").getDouble(2) === 1.0)
     assert(out("r").getDouble(2) === 0.0)
+  }
+
+  test("depthProfile: planted book bins levels by the exact integer " +
+      "band cut; removed levels vanish; the book carries across " +
+      "buckets") {
+    // dyadic-cent prices so floor(price*100) is exact. Book at bucket
+    // 0 close: bids 100.00/1.5, 99.75/2.25, 99.50/4.0 (12.5/37.5/62.5
+    // bps from mid 100.125); asks 100.25/3.0, 100.50/0.5 (12.5/37.5).
+    // A bid set then zeroed must vanish. Bucket 1 only adds a far ask.
+    def set(ts: Long, bid: Boolean, p: Double, sz: Double, seq: Long) =
+      Update("d", T0 + ts, seq, is_trade = false, is_bid = bid, p, sz)
+    val ups = Seq(
+      set(0L, true, 100.00, 1.5, 1), set(1L, true, 99.75, 2.25, 2),
+      set(2L, true, 99.50, 4.0, 3), set(3L, false, 100.25, 3.0, 4),
+      set(4L, false, 100.50, 0.5, 5),
+      set(5L, true, 99.90, 2.0, 6), set(6L, true, 99.90, 0.0, 7),
+      set(60000L, false, 103.00, 9.0, 8))
+    val rows = graft.operators.BookFeatures.depthProfile(updatesDf(ups))
+      .collect()
+      .map(r => (r.getLong(1), r.getBoolean(2), r.getLong(3)) ->
+        (r.getLong(4), r.getDouble(5))).toMap
+    assert(rows.size === 16) // 2 buckets x 2 sides x 4 bands
+    val b0 = T0 / 1000 / 60 * 60
+    for (b <- Seq(b0, b0 + 60)) {
+      assert(rows((b, true, 5L)) === ((0L, 0.0)))
+      assert(rows((b, true, 10L)) === ((0L, 0.0)))
+      assert(rows((b, true, 25L)) === ((1L, 1.5)))
+      assert(rows((b, true, 50L)) === ((2L, 3.75)))
+      assert(rows((b, false, 25L)) === ((1L, 3.0)))
+      assert(rows((b, false, 50L)) === ((2L, 3.5)))
+    }
+  }
+
+  test("jumpTest: planted jump inflates z; smooth walk stays small; " +
+      "flat series yields null; rq nonnegative") {
+    val smooth = closes("s", (0 until 200).scanLeft(100.0) {
+      (p, i) => p * (if (i % 2 == 0) 1.001 else 0.999)
+    })
+    val jumpy = closes("j", (0 until 200).scanLeft(100.0) { (p, i) =>
+      if (i == 100) p * 0.6 else p * (if (i % 2 == 0) 1.001 else 0.999)
+    })
+    val flat = closes("f", Seq.fill(50)(100.0))
+    val out = graft.operators.ReturnDynamics
+      .jumpTest(updatesDf(smooth ++ jumpy ++ flat))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("f").isNullAt(8), "zero-RV series must yield null z")
+    val (zj, zs) = (out("j").getDouble(8), out("s").getDouble(8))
+    assert(zj > zs, s"planted jump z=$zj not above smooth z=$zs")
+    assert(zj > 3.0, s"planted 40% jump must reject the null: z=$zj")
+    for (sym <- Seq("s", "j")) {
+      assert(out(sym).getDouble(7) >= 0.0, "med_rq must be nonnegative")
+      assert(out(sym).getDouble(4) >= 0.0, "sum_m4 must be nonnegative")
+    }
+  }
+
+  test("activityGini: planted skew scores the exact rank identity; " +
+      "uniform counts score exactly zero") {
+    import spark.implicits._
+    // type t: users 1,2 with 1 event, user 3 with 2 -> gini 1/6
+    // type u: three users with 2 events each -> gini 0
+    val evs =
+      Seq((1L, 1L, "t"), (2L, 2L, "t"), (3L, 3L, "t"), (4L, 3L, "t")) ++
+        (0 until 6).map(i => (10L + i, 100L + i % 3, "u"))
+    val df = evs.toDF("event_id", "user_id", "event_type")
+    val out = graft.operators.ActivityStats.activityGini(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("t").getLong(1) === 3L && out("t").getLong(2) === 4L)
+    // ranks (cnt, user): u1 r1, u2 r2, u3 r3 -> rw = 1 + 2 + 6 = 9
+    assert(out("t").getDouble(3) === 9.0)
+    assert(out("t").getDouble(4) === (2.0 * 9.0 - 4.0 * 4.0) / 12.0)
+    assert(out("u").getDouble(4) === 0.0)
+  }
+
+  test("volumeHhi: two-bin fixture matches the closed form exactly") {
+    val ups = Seq(
+      Update("v", T0, 1L, is_trade = true, is_bid = true, 100.0, 1.0),
+      Update("v", T0 + 1, 2L, is_trade = true, is_bid = true, 101.0,
+        3.0))
+    val rows = graft.operators.Microstructure.volumeHhi(updatesDf(ups))
+      .collect()
+    assert(rows.length === 1)
+    val r = rows(0)
+    assert(r.getLong(1) === 2L) // n_bins
+    assert(r.getLong(2) === 40000L) // sum_vq (scale-4)
+    assert(r.getDouble(3) === 1.0e9) // sum_vq2
+    assert(r.getDouble(4) === 0.625) // (1e8+9e8)/(4e4)^2
+    assert(r.getDouble(5) === 1.0 / 0.625)
   }
 
   test("jsdSources: identical sources score exactly zero; disjoint " +

@@ -14,7 +14,7 @@ import graft.plans.GraftExtensions
 class SqlSurfaceSpec extends SparkSpec {
 
   test("SQL table functions == Column API for the registry surface " +
-      "(34 operators pinned, ticks + events views)") {
+      "(39 operators pinned, ticks + events views)") {
     val base = spark // force shared session init first
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -99,6 +99,12 @@ class SqlSurfaceSpec extends SparkSpec {
           RangeSpread.garmanKlass(u, 60L)),
         ("stickiness", "SELECT * FROM stickiness(7)",
           EventAnalytics.stickiness(ev, 7L)),
+        ("jump_test", "SELECT * FROM jump_test(60)",
+          ReturnDynamics.jumpTest(u, 60L)),
+        ("volume_hhi", "SELECT * FROM volume_hhi(100)",
+          Microstructure.volumeHhi(u, 100L)),
+        ("activity_gini", "SELECT * FROM activity_gini()",
+          ActivityStats.activityGini(ev)),
         ("sessionize", "SELECT * FROM sessionize(1800)",
           EventAnalytics.sessionize(ev, 1800L)),
         ("transitions", "SELECT * FROM transitions()",
