@@ -1828,4 +1828,151 @@ object Similarity {
       | FROM byl JOIN corp USING (d))
       |GROUP BY label
       |ORDER BY label""".stripMargin.replace('\n', ' ')
+  /** Dominant principal axis of the embedding corpus via EXACT
+    * integer power iteration — the first PCA component, the axis
+    * embedding drift/collapse monitors project onto (a corpus whose
+    * top eigenvalue share grows is collapsing toward one direction).
+    * Emits one row per dimension: the integer iterate `vq`, the
+    * unit-norm `component`, and the (constant per row) covariance
+    * `eigenvalue` estimate `vᵀC'v / vᵀv / 1e12`.
+    *
+    * Exactness — no float accumulation anywhere: coordinates quantize
+    * at 1e6 (the [[centroidDrift]] stance); the second-moment matrix
+    * `S_ij = Σ xq_i·xq_j` and per-dim sums are exact decimal/int128;
+    * the scaled covariance `C'_ij = (n·S_ij − s_i·s_j) div n²` uses
+    * TRUNCATING integer division (Scala BigInt `/` ≡ DuckDB `//`,
+    * verified on negatives); each power step renormalizes by
+    * `v ← (C'v · 1e9) div max|C'v|` in the same exact arithmetic, so
+    * after the fixed iteration count both engines hold the IDENTICAL
+    * integer vector (sign included — the all-ones start breaks the ±
+    * symmetry deterministically). The final component/eigenvalue are
+    * one IEEE chain each over exact-integer casts.
+    *
+    * Scale shape: the Gram expansion is the one heavy stage — n·d²
+    * product terms, map-side partially aggregated down to d² per task
+    * before the shuffle; the d²-bounded moment table then collects
+    * behind a loud `maxDims` guard (the [[graft.operators
+    * .EventAnalytics.typePagerank]] bounded-collect stance) and the
+    * iteration runs driver-side in BigInt. */
+  def principalAxis(embeddings: DataFrame, iterations: Int = 10,
+      maxDims: Int = 256): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    def guarded(c: Column, what: String): Column =
+      when(abs(c) > lit(Long.MaxValue),
+        raise_error(lit(s"principalAxis: $what overflows BIGINT"))
+          .cast("long"))
+        .otherwise(c.cast("long"))
+    val base = embeddings.select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("d", "x")))
+      .select(col("vec_id"), col("d").cast("long").as("d"),
+        floor(col("x") * lit(1e6)).cast("long").as("xq"))
+    val dims = base.agg(countDistinct(col("d"))).head().getLong(0)
+    if (dims > maxDims) throw new IllegalStateException(
+      s"principalAxis: $dims dims exceed maxDims=$maxDims " +
+        "(the moment collect and iteration are dims-squared)")
+    val n = embeddings.count()
+    val sums = base.groupBy("d")
+      .agg(sum(col("xq").cast("decimal(30,0)")).as("_s"))
+      .select(col("d"), guarded(col("_s"), "dim sum").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val smRows = base.as("a")
+      .join(base.as("b"), "vec_id")
+      .groupBy(col("a.d").as("i"), col("b.d").as("j"))
+      .agg(sum((col("a.xq") * col("b.xq")).cast("decimal(30,0)"))
+        .as("_p"))
+      .select(col("i"), col("j"), guarded(col("_p"), "moment").as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val nB = BigInt(n)
+    val ds = (0L until dims).toArray
+    // truncating division — BigInt / ≡ DuckDB // (verified on
+    // negative operands)
+    val cp = smRows.map { case ((i, j), sij) =>
+      (i, j) -> (nB * BigInt(sij) -
+        BigInt(sums(i)) * BigInt(sums(j))) / (nB * nB)
+    }
+    var v = ds.map(_ => BigInt(1000000000L))
+    def matvec(x: Array[BigInt]): Array[BigInt] =
+      ds.map(i => ds.map(j =>
+        cp.getOrElse((i, j), BigInt(0)) * x(j.toInt))
+        .foldLeft(BigInt(0))(_ + _))
+    for (_ <- 0 until iterations) {
+      val w = matvec(v)
+      val m = w.map(_.abs).max
+      v = if (m.signum == 0) ds.map(_ => BigInt(0))
+      else w.map(x => (x * BigInt(1000000000L)) / m)
+    }
+    val wf = matvec(v)
+    val den = v.map(x => x * x).foldLeft(BigInt(0))(_ + _)
+    val num = ds.map(i => v(i.toInt) * wf(i.toInt))
+      .foldLeft(BigInt(0))(_ + _)
+    val denD = den.toDouble
+    val numD = num.toDouble
+    ds.map { i =>
+      val vq = v(i.toInt).toLong
+      (i, vq,
+        if (den.signum > 0) Some(vq.toDouble / math.sqrt(denD))
+        else None,
+        if (den.signum > 0) Some(numD / denD / 1e12d) else None)
+    }.toSeq.toDF("d", "vq", "component", "eigenvalue")
+      .orderBy("d")
+  }
+
+  /** DuckDB twin of [[principalAxis]] — the identical integer
+    * pipeline as chained CTEs: exact HUGEINT moments, truncating `//`
+    * scaling and renormalization, one matvec per iteration CTE pair,
+    * the same final IEEE chains. */
+  def principalAxisSql(iterations: Int = 10): String = {
+    val steps = (1 to iterations).map { k =>
+      s"""w$k AS MATERIALIZED (
+         | SELECT c.i AS d, SUM(c.cp * v.v) AS w
+         | FROM c JOIN v${k - 1} v ON v.d = c.j GROUP BY 1),
+         |m$k AS (SELECT max(abs(w)) AS m FROM w$k),
+         |v$k AS MATERIALIZED (
+         | SELECT w$k.d, CASE WHEN m$k.m = 0 THEN CAST(0 AS HUGEINT)
+         |  ELSE (w$k.w * 1000000000) // m$k.m END AS v
+         | FROM w$k, m$k)""".stripMargin.replace('\n', ' ')
+    }.mkString(", ")
+    s"""WITH vecs AS MATERIALIZED (
+       | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       | FROM embeddings),
+       |base AS MATERIALIZED (
+       | SELECT vec_id, generate_subscripts(emb, 1) AS d,
+       |  CAST(floor(unnest(emb) * 1e6) AS BIGINT) AS xq
+       | FROM vecs),
+       |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM vecs),
+       |sums AS MATERIALIZED (
+       | SELECT d, CAST(SUM(CAST(xq AS HUGEINT)) AS HUGEINT) AS s
+       | FROM base GROUP BY d),
+       |sm AS MATERIALIZED (
+       | SELECT a.d AS i, b.d AS j,
+       |  SUM(CAST(a.xq AS HUGEINT) * b.xq) AS sij
+       | FROM base a JOIN base b USING (vec_id) GROUP BY 1, 2),
+       |c AS MATERIALIZED (
+       | SELECT sm.i, sm.j,
+       |  (nn.n * sm.sij - si.s * sj.s) // (nn.n * nn.n) AS cp
+       | FROM sm, nn, sums si, sums sj
+       | WHERE si.d = sm.i AND sj.d = sm.j),
+       |v0 AS MATERIALIZED (
+       | SELECT d, CAST(1000000000 AS HUGEINT) AS v
+       | FROM (SELECT DISTINCT d FROM base)),
+       |$steps,
+       |wf AS MATERIALIZED (
+       | SELECT c.i AS d, SUM(c.cp * v.v) AS w
+       | FROM c JOIN v$iterations v ON v.d = c.j GROUP BY 1),
+       |fin AS (
+       | SELECT SUM(v.v * v.v) AS den, SUM(v.v * wf.w) AS num
+       | FROM v$iterations v JOIN wf ON wf.d = v.d)
+       |SELECT v.d - 1 AS d, CAST(v.v AS BIGINT) AS vq,
+       | CASE WHEN fin.den > 0 THEN
+       |  CAST(v.v AS DOUBLE) / sqrt(CAST(fin.den AS DOUBLE)) END
+       |  AS component,
+       | CASE WHEN fin.den > 0 THEN
+       |  CAST(fin.num AS DOUBLE) / CAST(fin.den AS DOUBLE) / 1e12 END
+       |  AS eigenvalue
+       |FROM v$iterations v, fin
+       |ORDER BY d""".stripMargin.replace('\n', ' ')
+  }
 }

@@ -868,6 +868,95 @@ object EventAnalytics {
       |GROUP BY event_type, next_type
       |ORDER BY event_type, next_type""".stripMargin.replace('\n', ' ')
 
+  /** Conditional next-step entropy per event type over the
+    * [[transitions]] chain: `H(next | cur = t) = −Σ_dst p·ln p` with
+    * `p = n/from_total` — how predictable the step AFTER each event
+    * is — plus each type's share of the corpus entropy rate,
+    * `contribution = −Σ n·ln p / N` (so `Σ contribution` IS the
+    * empirical entropy rate of the chain, the [[typePagerank]]
+    * family's global diagnostic).
+    *
+    * Exactness — the [[graft.operators.ActivityStats.navEntropy]]
+    * stance: `lnq = floor(ln(n/ft)·1e12)` (the one libm call,
+    * quantized), `Σ n·lnq` in exact decimal with raise-guarded BIGINT
+    * emission, and entropy/contribution as fixed IEEE chains over
+    * exact integers (the `ft` factors cancel in `contribution`, so it
+    * is a single division by the broadcast corpus total).
+    *
+    * Scale shape: one (src, dst) aggregation (type²-bounded), a
+    * type-keyed window over the aggregated table, one 1-row broadcast
+    * total. */
+  def transitionEntropy(events: DataFrame): DataFrame = {
+    val wFrom = Window.partitionBy("event_type")
+    val lnq = floor(log(col("n").cast("double") /
+      col("from_total").cast("double")) * 1e12).cast("long")
+    val g = when(abs(col("_s")) > lit(Long.MaxValue),
+      raise_error(concat(lit("transitionEntropy: sum_nlnq overflows " +
+        "BIGINT at type="), col("event_type"))).cast("long"))
+      .otherwise(col("_s").cast("long"))
+    val counts = ev(events)
+      .withColumn("next_type", lead(col("event_type"), 1).over(perUser))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("from_total", sum(col("n")).over(wFrom))
+    val total = graft.functions.localRelation(
+      counts.agg(sum(col("n")).as("n_total")))
+    counts
+      .withColumn("lnq", lnq)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_dst"),
+        max(col("from_total")).as("from_total"),
+        sum(col("n").cast("decimal(20,0)") *
+          col("lnq").cast("decimal(15,0)")).as("_s"))
+      .crossJoin(broadcast(total))
+      .select(col("event_type"), col("n_dst"), col("from_total"),
+        col("n_total"), g.as("sum_nlnq"))
+      .withColumn("entropy",
+        -(col("sum_nlnq").cast("double")) / 1e12d /
+          col("from_total").cast("double"))
+      .withColumn("contribution",
+        -(col("sum_nlnq").cast("double")) / 1e12d /
+          col("n_total").cast("double"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB twin of [[transitionEntropy]] — identical quantization,
+    * HUGEINT sums, chain order. */
+  def transitionEntropySql: String =
+    s"""SELECT event_type, n_dst, from_total, n_total, sum_nlnq,
+       | -CAST(sum_nlnq AS DOUBLE) / 1e12
+       |   / CAST(from_total AS DOUBLE) AS entropy,
+       | -CAST(sum_nlnq AS DOUBLE) / 1e12
+       |   / CAST(n_total AS DOUBLE) AS contribution
+       |FROM (
+       | SELECT event_type, count(*) AS n_dst,
+       |  CAST(max(from_total) AS BIGINT) AS from_total,
+       |  CAST(SUM(CAST(n AS HUGEINT)
+       |   * CAST(floor(ln(CAST(n AS DOUBLE)
+       |      / CAST(from_total AS DOUBLE)) * 1e12) AS BIGINT))
+       |   AS BIGINT) AS sum_nlnq
+       | FROM (
+       |  SELECT event_type, next_type, count(*) AS n,
+       |   CAST(SUM(count(*)) OVER (PARTITION BY event_type) AS BIGINT)
+       |    AS from_total
+       |  FROM (
+       |   SELECT user_id, event_type,
+       |    lead(event_type, 1) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS next_type
+       |   FROM events)
+       |  WHERE next_type IS NOT NULL
+       |  GROUP BY event_type, next_type)
+       | GROUP BY 1)
+       |CROSS JOIN (
+       | SELECT CAST(count(*) AS BIGINT) AS n_total FROM (
+       |  SELECT user_id, event_type,
+       |   lead(event_type, 1) OVER (PARTITION BY user_id
+       |     ORDER BY epoch_us(ts), event_id) AS next_type
+       |  FROM events)
+       | WHERE next_type IS NOT NULL)
+       |ORDER BY event_type""".stripMargin.replace('\n', ' ')
+
   /** Reserved state names of the attribution chain. A feed whose
     * event types collide with them fails loud (Spark side; the gate
     * data cannot reach it). */

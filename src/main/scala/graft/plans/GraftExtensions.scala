@@ -189,6 +189,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       EventAnalytics.stickiness(e, long0(a, 28L)) }
     registerEventTable(ext, "activity_gini") { (e, _) =>
       ActivityStats.activityGini(e) }
+    registerEventTable(ext, "transition_entropy") { (e, _) =>
+      EventAnalytics.transitionEntropy(e) }
   }
 
   /** Inject one operator as a SQL table function: evaluate the literal

@@ -153,6 +153,12 @@ object EventQueries {
         periodDays = 1),
       Some(EventAnalytics.cohortLtvSql(periodDays = 1))),
 
+    // conditional next-step entropy per event type + entropy-rate
+    // contributions over the transition chain
+    Q("q_transition_entropy",
+      (s, dir) => EventAnalytics.transitionEntropy(events(s, dir)),
+      Some(EventAnalytics.transitionEntropySql)),
+
     // per-event-type engagement Gini: exact rank identity over
     // per-user counts
     Q("q_activity_gini",

@@ -415,6 +415,14 @@ object ExtQueries {
         graft.Tables.table(s, dir, "embeddings")),
       Some(Similarity.centroidDriftSql())),
 
+    // dominant PCA axis via exact-integer power iteration: the
+    // collapse-monitor projection axis; identical integer vectors in
+    // both engines by construction
+    Q("q_principal_axis",
+      (s, dir) => Similarity.principalAxis(
+        graft.Tables.table(s, dir, "embeddings")),
+      Some(Similarity.principalAxisSql())),
+
     // token counting
     Q("q_token_count",
       (s, dir) => docs(s, dir)

@@ -1595,6 +1595,81 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Per-symbol depth-profile state: the SET-only level book (the
+    * [[OfiState]] packing) and the open bucket. */
+  case class DepthState(book: Map[Long, Double], bucket: Long)
+  case class DepthRow(symbol: String, start: Long, is_bid: Boolean,
+      band_bps: Long, n_levels: Long, depth: Double)
+
+  /** Book depth profile on a STREAM — the ingest-time twin of
+    * [[graft.operators.BookFeatures.depthProfile]]: the fold carries
+    * the SET-only level book (last write wins ≡ the batch forward
+    * fill); a bucket close replays the batch band scan EXACTLY — the
+    * integer band cut `10000·|2l − m2| ≤ e·m2` and the scale-4
+    * [[Dec4]] depth sums — so closed buckets equal the batch rows
+    * bit-for-bit (MicrostructureFuzzSpec, far-future LEVEL closer). */
+  def streamingDepthProfile(updates: Dataset[Update],
+      seconds: Long = 60, decimals: Int = 2,
+      bandsBps: Seq[Long] = Seq(5L, 10L, 25L, 50L))
+      : Dataset[DepthRow] = {
+    import updates.sparkSession.implicits._
+    val mult = math.pow(10, decimals)
+    val bands = bandsBps.sorted
+    val Dec4 = Streaming.Dec4
+    def bucketOf(ts: Long): Long = Streaming.Buckets.of(ts, seconds)
+    val Unset = Long.MinValue
+    def fn(sym: String, rows: Iterator[Update],
+        state: GroupState[DepthState]): Iterator[DepthRow] = {
+      var st = state.getOption.getOrElse(DepthState(Map.empty, Unset))
+      val out = Seq.newBuilder[DepthRow]
+      def close(): Unit = {
+        val live = st.book.filter(e => SqlOrd.gt(e._2, 0.0d))
+        val bids = live.collect { case (k, s) if (k & 1L) == 1L =>
+          (k >> 1, s) }
+        val asks = live.collect { case (k, s) if (k & 1L) == 0L =>
+          (k >> 1, s) }
+        if (bids.isEmpty || asks.isEmpty) return
+        val m2 = bids.keysIterator.max + asks.keysIterator.min
+        for ((side, isBid) <- Seq((bids, true), (asks, false))) {
+          val nLv = new Array[Long](bands.length)
+          val dq = new Array[Long](bands.length)
+          side.foreach { case (l, s) =>
+            val d = 10000L * math.abs(2L * l - m2)
+            var i = 0
+            while (i < bands.length) {
+              if (d <= bands(i) * m2) {
+                nLv(i) += 1L; dq(i) += Dec4.dec4(s)
+              }
+              i += 1
+            }
+          }
+          var i = 0
+          while (i < bands.length) {
+            out += DepthRow(sym, st.bucket, isBid, bands(i), nLv(i),
+              Dec4.dec4ToDouble(dq(i)))
+            i += 1
+          }
+        }
+      }
+      rows.toSeq.filter(!_.is_trade).sortBy(u => (u.ts, u.seq))
+        .foreach { u =>
+          FiniteGuard.price("depthProfile", u)
+          val b = bucketOf(u.ts)
+          if (st.bucket == Unset) st = st.copy(bucket = b)
+          else if (b != st.bucket) { close(); st = st.copy(bucket = b) }
+          val level = math.floor(u.price * mult).toLong
+          st = st.copy(book =
+            st.book + (((level << 1) | (if (u.is_bid) 1L else 0L)) ->
+              u.size))
+        }
+      state.update(st)
+      out.result().iterator
+    }
+    updates.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   def streamingBookFeatures(updates: Dataset[Update], decimals: Int = 2,
       k: Long = 10L): Dataset[BookFeat] = {
     import updates.sparkSession.implicits._

@@ -416,6 +416,43 @@ class MicrostructureFuzzSpec extends SparkSpec {
     assert(got === want, "ofi batch/stream drift")
   }
 
+  test("fuzz: depthProfile batch ≡ streaming serving rows after " +
+      "level closers") {
+    // the same SET-only book carry as ofi, plus the band scan: closed
+    // buckets must equal the batch fold bit-for-bit (integer band
+    // cuts, Dec4 depth sums)
+    import graft.operators.BookFeatures
+    val want = BookFeatures.depthProfile(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+        r.getLong(3)) -> (r.getLong(4), r.getDouble(5))).toMap
+    assert(want.nonEmpty)
+    val maxTs = ups.map(_.ts).max
+    val closers = ups.map(_.symbol).distinct.zipWithIndex.map {
+      case (s0, i) => Update(s0, maxTs + 7200L * 1000, 9600L + i,
+        is_trade = false, is_bid = true, 10.0, 1.0)
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Update]
+    val q = Streaming.streamingDepthProfile(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("fz_depth")
+      .start()
+    val (b1, b2) = ups.splitAt(ups.length / 3)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    in.addData(closers: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("fz_depth").as[Streaming.DepthRow].collect()
+      .map(v => (v.symbol, v.start, v.is_bid, v.band_bps) ->
+        (v.n_levels, v.depth)).toMap
+    // the closers' own (still-open) buckets never emit; every batch
+    // row from the REAL data must appear identically. NaN depths
+    // cannot arise (Dec4 zeroes non-finite sizes in both forms), so
+    // tuple equality is exact.
+    val gotReal = got.filter { case ((_, start, _, _), _) =>
+      start < (maxTs + 7200L * 1000) / 1000 / 60 * 60 }
+    assert(gotReal === want, "depthProfile batch/stream drift")
+  }
+
   test("non-finite price: the whole quantizing family raises loud in " +
       "BOTH forms — batch finitePrice, fold ingest guard (ADVICE r11)") {
     // Spark's non-ANSI floor turns a NaN price into 0L SILENTLY (and a

@@ -189,6 +189,32 @@ class R13WaveSpec extends SparkSpec {
     assert(out("u").getDouble(4) === 0.0)
   }
 
+  test("transitionEntropy: deterministic source scores exactly zero; " +
+      "an even 2-way split scores the quantized ln 2; contributions " +
+      "sum to the entropy rate") {
+    import spark.implicits._
+    // two identical users A->B->A->C: A splits evenly (B or C),
+    // B always returns to A
+    val evs = Seq(1L, 2L).flatMap(u => Seq(
+      (u * 10 + 1, u, 0L, "A"), (u * 10 + 2, u, 1000000L, "B"),
+      (u * 10 + 3, u, 2000000L, "A"), (u * 10 + 4, u, 3000000L, "C")))
+    val df = evs.toDF("event_id", "user_id", "us", "event_type")
+      .select(col("event_id"),
+        timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"),
+        org.apache.spark.sql.functions.lit(0.0).as("value"))
+    val out = graft.operators.EventAnalytics.transitionEntropy(df)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val lnHalfQ = math.floor(math.log(0.5) * 1e12)
+    val hA = -(4.0 * lnHalfQ) / 1e12 / 4.0
+    assert(out("A").getLong(2) === 4L) // from_total
+    assert(out("A").getDouble(5) === hA)
+    assert(out("B").getDouble(5) === 0.0)
+    val rate = out.values.map(_.getDouble(6)).sum
+    assert(rate === -(4.0 * lnHalfQ) / 1e12 / 6.0,
+      "contributions must sum to the empirical entropy rate")
+  }
+
   test("volumeHhi: two-bin fixture matches the closed form exactly") {
     val ups = Seq(
       Update("v", T0, 1L, is_trade = true, is_bid = true, 100.0, 1.0),
@@ -203,6 +229,36 @@ class R13WaveSpec extends SparkSpec {
     assert(r.getDouble(3) === 1.0e9) // sum_vq2
     assert(r.getDouble(4) === 0.625) // (1e8+9e8)/(4e4)^2
     assert(r.getDouble(5) === 1.0 / 0.625)
+  }
+
+  test("principalAxis: rank-1 planted direction recovers the exact " +
+      "(0.6, 0.8) axis and eigenvalue; a zero-covariance corpus " +
+      "yields nulls") {
+    import spark.implicits._
+    // points along (3,4): C' = 2.5e12 * outer((3,4)) exactly after
+    // the n-squared truncating scale; the iteration locks to ratio
+    // 0.75 after one step, so component/eigenvalue are EXACT doubles
+    val planted = Seq(
+      (1L, Seq(3f, 4f), 0), (2L, Seq(-3f, -4f), 0),
+      (3L, Seq(6f, 8f), 0), (4L, Seq(-6f, -8f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.ext.Similarity.principalAxis(planted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getDouble(2) === 0.6)
+    assert(out(1L).getDouble(2) === 0.8)
+    assert(out(0L).getDouble(3) === 62.5)
+    // identical vectors: centered moments vanish -> zero iterate,
+    // null component/eigenvalue
+    val flat = Seq(
+      (1L, Seq(1f, 1f), 0), (2L, Seq(1f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val z = graft.ext.Similarity.principalAxis(flat).collect()
+    assert(z.forall(r => r.isNullAt(2) && r.isNullAt(3)))
+    // the dims guard raises loud
+    val e = intercept[IllegalStateException] {
+      graft.ext.Similarity.principalAxis(planted, maxDims = 1)
+    }
+    assert(e.getMessage.contains("maxDims"))
   }
 
   test("jsdSources: identical sources score exactly zero; disjoint " +

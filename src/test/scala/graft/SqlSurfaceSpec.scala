@@ -14,7 +14,7 @@ import graft.plans.GraftExtensions
 class SqlSurfaceSpec extends SparkSpec {
 
   test("SQL table functions == Column API for the registry surface " +
-      "(39 operators pinned, ticks + events views)") {
+      "(40 operators pinned, ticks + events views)") {
     val base = spark // force shared session init first
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -105,6 +105,8 @@ class SqlSurfaceSpec extends SparkSpec {
           Microstructure.volumeHhi(u, 100L)),
         ("activity_gini", "SELECT * FROM activity_gini()",
           ActivityStats.activityGini(ev)),
+        ("transition_entropy", "SELECT * FROM transition_entropy()",
+          EventAnalytics.transitionEntropy(ev)),
         ("sessionize", "SELECT * FROM sessionize(1800)",
           EventAnalytics.sessionize(ev, 1800L)),
         ("transitions", "SELECT * FROM transitions()",
