@@ -717,6 +717,132 @@ object Microstructure {
        | WHERE is_trade GROUP BY 1, 2)
        |ORDER BY symbol, start""".stripMargin.replace('\n', ' ')
 
+  /** Lee–Ready trade classification per (symbol, bucket) — the
+    * standard composite the tick rule approximates: the QUOTE rule
+    * first (a trade above the prevailing mid is a buy, below a sell),
+    * with mid ties (and trades before any two-sided quote) falling
+    * back to the TICK rule (sign of the last price change). Emits
+    * buy/sell counts, exact side volumes, and the signed-flow ratio —
+    * the higher-fidelity sibling of [[tickRuleFlow]] (Lee & Ready
+    * 1991).
+    *
+    * The prevailing mid is the [[effectiveSpread]] touch proxy (last
+    * prior live quote price per side, trade depletion ignored by
+    * design); the tick sign is [[tickRuleFlow]]'s carried last
+    * nonzero price-change sign INCLUDING the current trade. A trade
+    * with neither a two-sided quote nor a tick sign stays
+    * unclassified and is excluded from the classified volumes, in
+    * both engines.
+    *
+    * Scale shape: three [[TickCarry.carryLast]] passes (quote sides
+    * over ALL updates, then prev-price and sign over trades), each
+    * dispatching to the segmented per-(symbol, day) fold above
+    * `maxWindowRows` (the r11 hot-symbol decomposition — parity,
+    * plan, and scale gates alongside the six existing consumers),
+    * then one (symbol, bucket) hash aggregation. */
+  def leeReady(updates: DataFrame, seconds: Long = 60,
+      maxWindowRows: Long = TickCarry.TickWindowMaxRows): DataFrame =
+    leeReadyPlan(updates, seconds, updates.count() > maxWindowRows)
+
+  private[graft] def leeReadyPlan(updates: DataFrame, seconds: Long,
+      segmented: Boolean): DataFrame = {
+    def sideMark(side: org.apache.spark.sql.Column) =
+      when(!col("is_trade") && col("size") > 0.0d && side, finitePrice)
+    val quoted = TickCarry.carryLast(updates, Seq(
+        TickCarry.Carry(sideMark(col("is_bid")),
+          includeCurrent = false, "pb"),
+        TickCarry.Carry(sideMark(!col("is_bid")),
+          includeCurrent = false, "pa")),
+        segmented)
+      .where(col("is_trade"))
+      .select(col("symbol"), col("ts"), col("seq"),
+        col("price"), col("size"), col("pb"), col("pa"))
+    val dir = when(col("price") > col("_prev"), 1)
+      .when(col("price") < col("_prev"), -1).otherwise(0)
+    val ticked = TickCarry.carryLast(
+        TickCarry.carryLast(quoted,
+          Seq(TickCarry.Carry(finitePrice,
+            includeCurrent = false, "_prev")), segmented)
+          .withColumn("dir", dir),
+        Seq(TickCarry.Carry(when(col("dir") =!= 0, col("dir")),
+          includeCurrent = true, "tick_sgn")),
+        segmented)
+    val mid = (col("pb") + col("pa")) / lit(2.0d)
+    val side = when(col("pb").isNotNull && col("pa").isNotNull &&
+        finitePrice > mid, 1)
+      .when(col("pb").isNotNull && col("pa").isNotNull &&
+        finitePrice < mid, -1)
+      .otherwise(col("tick_sgn"))
+    ticked
+      .withColumn("side", side)
+      .groupBy(col("symbol"), bucketed(seconds))
+      .agg(
+        count(lit(1)).as("n_trades"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_buy"),
+        sum(when(col("side") === -1, 1L).otherwise(0L)).as("n_sell"),
+        exactSum(when(col("side") === 1, finiteSize)
+          .otherwise(0.0d)).as("buy_vol"),
+        exactSum(when(col("side") === -1, finiteSize)
+          .otherwise(0.0d)).as("sell_vol"))
+      .select(col("symbol"), col("start"), col("n_trades"),
+        col("n_buy"), col("n_sell"), col("buy_vol"), col("sell_vol"),
+        when(col("buy_vol") + col("sell_vol") =!= 0.0d,
+          (col("buy_vol") - col("sell_vol")) /
+            (col("buy_vol") + col("sell_vol"))).as("lr_flow"))
+  }
+
+  /** DuckDB twin of [[leeReady]] — the single-window relational form
+    * of the same three carries and classification chain. */
+  def leeReadySql(seconds: Long = 60): String =
+    s"""SELECT symbol, start, n_trades, n_buy, n_sell, buy_vol,
+       | sell_vol,
+       | CASE WHEN buy_vol + sell_vol <> 0.0 THEN
+       |  (buy_vol - sell_vol) / (buy_vol + sell_vol) END AS lr_flow
+       |FROM (
+       | SELECT symbol, ((ts // 1000) // $seconds) * $seconds AS start,
+       |  count(*) AS n_trades,
+       |  CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_buy,
+       |  CAST(SUM(CASE WHEN side = -1 THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_sell,
+       |  CAST(SUM(CAST(CASE WHEN side = 1 THEN size ELSE 0.0 END
+       |   AS DECIMAL(30,4))) AS DOUBLE) AS buy_vol,
+       |  CAST(SUM(CAST(CASE WHEN side = -1 THEN size ELSE 0.0 END
+       |   AS DECIMAL(30,4))) AS DOUBLE) AS sell_vol
+       | FROM (
+       |  SELECT symbol, ts, size,
+       |   CASE
+       |    WHEN pb IS NOT NULL AND pa IS NOT NULL
+       |     AND price > (pb + pa) / 2.0 THEN 1
+       |    WHEN pb IS NOT NULL AND pa IS NOT NULL
+       |     AND price < (pb + pa) / 2.0 THEN -1
+       |    ELSE tick_sgn END AS side
+       |  FROM (
+       |   SELECT symbol, ts, price, size, pb, pa,
+       |    last_value(CASE WHEN dir <> 0 THEN dir END IGNORE NULLS)
+       |     OVER (PARTITION BY symbol ORDER BY ts, seq
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |     AS tick_sgn
+       |   FROM (
+       |    SELECT symbol, ts, seq, price, size, pb, pa,
+       |     CASE WHEN price > lag(price, 1) OVER wt THEN 1
+       |      WHEN price < lag(price, 1) OVER wt THEN -1
+       |      ELSE 0 END AS dir
+       |    FROM (
+       |     SELECT symbol, ts, seq, price, size, is_trade,
+       |      last_value(CASE WHEN NOT is_trade AND size > 0.0
+       |        AND is_bid THEN price END IGNORE NULLS) OVER wa AS pb,
+       |      last_value(CASE WHEN NOT is_trade AND size > 0.0
+       |        AND NOT is_bid THEN price END IGNORE NULLS) OVER wa
+       |       AS pa
+       |     FROM updates
+       |     WINDOW wa AS (PARTITION BY symbol ORDER BY ts, seq
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+       |    WHERE is_trade
+       |    WINDOW wt AS (PARTITION BY symbol ORDER BY ts, seq))))
+       | GROUP BY 1, 2)
+       |ORDER BY symbol, start""".stripMargin.replace('\n', ' ')
+
   def bucketSpreadSql(seconds: Long = 60): String =
     s"""SELECT symbol, start, last_bid, last_ask,
        | last_ask - last_bid AS spread,

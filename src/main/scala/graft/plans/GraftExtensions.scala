@@ -163,6 +163,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       RangeSpread.garmanKlass(u, long0(a, 60L)) }
     registerTable(ext, "jump_test") { (u, a) =>
       ReturnDynamics.jumpTest(u, long0(a, 60L)) }
+    registerTable(ext, "lee_ready") { (u, a) =>
+      Microstructure.leeReady(u, long0(a, 60L)) }
     registerTable(ext, "volume_hhi") { (u, a) =>
       Microstructure.volumeHhi(u, long0(a, 100L)) }
     // clickstream family (the tick view argument names the EVENTS

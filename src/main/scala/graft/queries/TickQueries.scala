@@ -347,6 +347,13 @@ object TickQueries {
         .orderBy("symbol", "start"),
       Some(Tables.withUpdates(RangeSpread.corwinSchultzSql()))),
 
+    // Lee-Ready trade classification: quote rule with tick-rule
+    // fallback, exact side volumes, signed-flow ratio
+    Q("q_lee_ready",
+      (s, dir) => Microstructure.leeReady(u(s, dir))
+        .orderBy("symbol", "start"),
+      Some(Tables.withUpdates(Microstructure.leeReadySql()))),
+
     // BNS/Huang-Tauchen jump TEST: max-adjusted ratio statistic with
     // exact quarticity sums (decimal->double emission)
     Q("q_jump_test",

@@ -217,7 +217,9 @@ class PlanSpec extends SparkSpec {
       "kyleLambda" ->
         Microstructure.kyleLambdaPlan(u, 60, segmented = true),
       "flowAutocorr" ->
-        Microstructure.flowAutocorrPlan(u, 60, segmented = true))
+        Microstructure.flowAutocorrPlan(u, 60, segmented = true),
+      "leeReady" ->
+        Microstructure.leeReadyPlan(u, 60, segmented = true))
     plans.foreach { case (label, df) =>
       val ws = windows(df.queryExecution.executedPlan)
       assert(ws.nonEmpty, s"$label: expected window nodes")

@@ -215,6 +215,31 @@ class R13WaveSpec extends SparkSpec {
       "contributions must sum to the empirical entropy rate")
   }
 
+  test("leeReady: quote rule classifies around the mid, mid ties fall " +
+      "back to the tick rule, pre-quote pre-tick trades stay " +
+      "unclassified") {
+    def q(ts: Long, seq: Long, bid: Boolean, p: Double) =
+      Update("l", T0 + ts, seq, is_trade = false, is_bid = bid, p, 1.0)
+    def t(ts: Long, seq: Long, p: Double, sz: Double) =
+      Update("l", T0 + ts, seq, is_trade = true, is_bid = true, p, sz)
+    val ups = Seq(
+      t(0L, 0L, 100.0, 16.0), // before any quote, no tick -> null
+      q(0L, 1L, true, 99.0), q(1L, 2L, false, 101.0), // mid = 100
+      t(2L, 3L, 101.0, 2.0), // > mid -> buy
+      t(3L, 4L, 100.0, 4.0), // == mid -> tick vs 101 -> sell
+      t(4L, 5L, 99.5, 8.0)) // < mid -> sell
+    val rows = graft.operators.Microstructure.leeReady(updatesDf(ups))
+      .collect()
+    assert(rows.length === 1)
+    val r = rows(0)
+    assert(r.getLong(2) === 4L) // n_trades
+    assert(r.getLong(3) === 1L) // n_buy
+    assert(r.getLong(4) === 2L) // n_sell
+    assert(r.getDouble(5) === 2.0) // buy_vol
+    assert(r.getDouble(6) === 12.0) // sell_vol
+    assert(r.getDouble(7) === (2.0 - 12.0) / (2.0 + 12.0))
+  }
+
   test("volumeHhi: two-bin fixture matches the closed form exactly") {
     val ups = Seq(
       Update("v", T0, 1L, is_trade = true, is_bid = true, 100.0, 1.0),

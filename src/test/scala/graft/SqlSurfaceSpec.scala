@@ -14,7 +14,7 @@ import graft.plans.GraftExtensions
 class SqlSurfaceSpec extends SparkSpec {
 
   test("SQL table functions == Column API for the registry surface " +
-      "(40 operators pinned, ticks + events views)") {
+      "(41 operators pinned, ticks + events views)") {
     val base = spark // force shared session init first
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -101,6 +101,8 @@ class SqlSurfaceSpec extends SparkSpec {
           EventAnalytics.stickiness(ev, 7L)),
         ("jump_test", "SELECT * FROM jump_test(60)",
           ReturnDynamics.jumpTest(u, 60L)),
+        ("lee_ready", "SELECT * FROM lee_ready(60)",
+          Microstructure.leeReady(u, 60L)),
         ("volume_hhi", "SELECT * FROM volume_hhi(100)",
           Microstructure.volumeHhi(u, 100L)),
         ("activity_gini", "SELECT * FROM activity_gini()",
