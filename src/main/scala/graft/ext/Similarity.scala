@@ -1854,10 +1854,9 @@ object Similarity {
     * behind a loud `maxDims` guard (the [[graft.operators
     * .EventAnalytics.typePagerank]] bounded-collect stance) and the
     * iteration runs driver-side in BigInt. */
-  def principalAxis(embeddings: DataFrame, iterations: Int = 10,
-      maxDims: Int = 256): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
+  private[graft] def axisState(embeddings: DataFrame,
+      iterations: Int, maxDims: Int)
+      : (Array[Long], Array[BigInt], BigInt, BigInt) = {
     def guarded(c: Column, what: String): Column =
       when(abs(c) > lit(Long.MaxValue),
         raise_error(lit(s"principalAxis: $what overflows BIGINT"))
@@ -1908,6 +1907,14 @@ object Similarity {
     val den = v.map(x => x * x).foldLeft(BigInt(0))(_ + _)
     val num = ds.map(i => v(i.toInt) * wf(i.toInt))
       .foldLeft(BigInt(0))(_ + _)
+    (ds, v, den, num)
+  }
+
+  def principalAxis(embeddings: DataFrame, iterations: Int = 10,
+      maxDims: Int = 256): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (ds, v, den, num) = axisState(embeddings, iterations, maxDims)
     val denD = den.toDouble
     val numD = num.toDouble
     ds.map { i =>
@@ -1920,11 +1927,75 @@ object Similarity {
       .orderBy("d")
   }
 
+  /** Per-vector projection onto the [[principalAxis]] iterate — the
+    * collapse monitor's per-document score: `proj = (Σ_d xq_d·vq_d)
+    * / 1e6 / ‖v‖` in original embedding units. The dot product is an
+    * EXACT integer (|xq| ≤ ~1e6·‖x‖∞, |vq| ≤ 1e9, d ≤ maxDims — loud
+    * BIGINT guard), so the emitted double is one fixed two-division
+    * chain over exact casts, identical in the twin (which recomputes
+    * the identical integer axis through the same chained CTEs).
+    *
+    * Scale shape: the axis is a driver-side constant joined in as a
+    * BROADCAST d-row table; the projection is one per-(vec, d) product
+    * partially aggregated per vector — no shuffle beyond the vec_id
+    * aggregation. */
+  def axisProjection(embeddings: DataFrame, iterations: Int = 10,
+      maxDims: Int = 256): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (ds, v, den, _) = axisState(embeddings, iterations, maxDims)
+    val denD = den.toDouble
+    val axis = ds.map(i => (i, v(i.toInt).toLong)).toSeq
+      .toDF("d", "vq")
+    val base = embeddings.select(col("vec_id"), col("label"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("d", "x")))
+      .select(col("vec_id"), col("label"),
+        col("d").cast("long").as("d"),
+        floor(col("x") * lit(1e6)).cast("long").as("xq"))
+    val g = when(abs(col("_p")) > lit(Long.MaxValue),
+      raise_error(lit("axisProjection: dot product overflows BIGINT"))
+        .cast("long"))
+      .otherwise(col("_p").cast("long"))
+    base.join(broadcast(axis), Seq("d"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum((col("xq") * col("vq")).cast("decimal(30,0)")).as("_p"))
+      .select(col("vec_id"), col("label"), g.as("proj_q"))
+      .withColumn("proj",
+        when(lit(den.signum > 0),
+          col("proj_q").cast("double") / 1e6d / math.sqrt(denD)))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB twin of [[axisProjection]] — the [[principalAxisSql]]
+    * chain plus the projection join, the same exact dot product and
+    * two-division emission. */
+  def axisProjectionSql(iterations: Int = 10): String =
+    s"""${axisCtes(iterations)}
+       |SELECT e.vec_id, e.label,
+       | CAST(SUM(CAST(e.xq AS HUGEINT) * v.v) AS BIGINT) AS proj_q,
+       | CASE WHEN (SELECT den FROM fin) > 0 THEN
+       |  CAST(CAST(SUM(CAST(e.xq AS HUGEINT) * v.v) AS BIGINT)
+       |    AS DOUBLE) / 1e6
+       |   / sqrt(CAST((SELECT den FROM fin) AS DOUBLE)) END AS proj
+       |FROM (
+       | SELECT vecs2.vec_id, vecs2.label,
+       |  generate_subscripts(vecs2.emb, 1) AS d,
+       |  CAST(floor(unnest(vecs2.emb) * 1e6) AS BIGINT) AS xq
+       | FROM (SELECT vec_id, label,
+       |   CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) vecs2)
+       | e
+       |JOIN v$iterations v ON v.d = e.d
+       |GROUP BY 1, 2
+       |ORDER BY vec_id""".stripMargin.replace('\n', ' ')
+
   /** DuckDB twin of [[principalAxis]] — the identical integer
     * pipeline as chained CTEs: exact HUGEINT moments, truncating `//`
     * scaling and renormalization, one matvec per iteration CTE pair,
     * the same final IEEE chains. */
-  def principalAxisSql(iterations: Int = 10): String = {
+  /** The shared WITH-chain of the axis twins: moments, scaled
+    * covariance, the iteration CTE triples, `wf` and `fin`. */
+  private def axisCtes(iterations: Int): String = {
     val steps = (1 to iterations).map { k =>
       s"""w$k AS MATERIALIZED (
          | SELECT c.i AS d, SUM(c.cp * v.v) AS w
@@ -1962,9 +2033,14 @@ object Similarity {
        |wf AS MATERIALIZED (
        | SELECT c.i AS d, SUM(c.cp * v.v) AS w
        | FROM c JOIN v$iterations v ON v.d = c.j GROUP BY 1),
-       |fin AS (
+       |fin AS MATERIALIZED (
        | SELECT SUM(v.v * v.v) AS den, SUM(v.v * wf.w) AS num
-       | FROM v$iterations v JOIN wf ON wf.d = v.d)
+       | FROM v$iterations v JOIN wf ON wf.d = v.d)"""
+      .stripMargin.replace('\n', ' ')
+  }
+
+  def principalAxisSql(iterations: Int = 10): String =
+    s"""${axisCtes(iterations)}
        |SELECT v.d - 1 AS d, CAST(v.v AS BIGINT) AS vq,
        | CASE WHEN fin.den > 0 THEN
        |  CAST(v.v AS DOUBLE) / sqrt(CAST(fin.den AS DOUBLE)) END
@@ -1974,5 +2050,4 @@ object Similarity {
        |  AS eigenvalue
        |FROM v$iterations v, fin
        |ORDER BY d""".stripMargin.replace('\n', ' ')
-  }
 }

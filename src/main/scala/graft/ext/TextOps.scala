@@ -869,6 +869,61 @@ object TextOps {
        |   / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
        |FROM s ORDER BY lang""".stripMargin.replace('\n', ' ')
 
+  /** Flesch reading-ease per source over corpus-level counts:
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)` —
+    * the classic readability screen (low/negative = dense prose or
+    * word soup; 60–80 = plain text), computed on EXACT integer corpus
+    * sums so the two divisions are the only float ops. Syllables use
+    * the standard vowel-group heuristic (`[aeiouy]+` runs on the
+    * lowercased text); sentence count floors at 1 per document (a doc
+    * with no terminal punctuation is one sentence, and the driver
+    * corpus has none). The regex classes are dialect-portable
+    * (verified Java regex ≡ RE2 on the gate corpus).
+    *
+    * Scale shape: three per-doc regexp counts in one codegen
+    * projection, one (source) hash aggregation. */
+  def readability(docs: DataFrame): DataFrame = {
+    val w = regexp_count(col("text"), lit("\\S+"))
+    val s = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+    val y = regexp_count(lower(col("text")), lit("[aeiouy]+"))
+    graft.functions.parallelized(docs)
+      .select(col("source"), w.cast("long").as("w"),
+        s.cast("long").as("s"), y.cast("long").as("y"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"),
+        sum(col("s")).as("n_sentences"),
+        sum(col("y")).as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") > 0L,
+          lit(206.835d) -
+            lit(1.015d) * (col("n_words").cast("double") /
+              col("n_sentences").cast("double")) -
+            lit(84.6d) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double"))))
+      .orderBy("source")
+  }
+
+  /** DuckDB twin of [[readability]] — identical regex classes,
+    * integer sums, and chain order. */
+  def readabilitySql(): String =
+    s"""SELECT source, n_docs, n_words, n_sentences, n_syllables,
+       | CASE WHEN n_words > 0 THEN
+       |  206.835 - 1.015 * (CAST(n_words AS DOUBLE)
+       |    / CAST(n_sentences AS DOUBLE))
+       |   - 84.6 * (CAST(n_syllables AS DOUBLE)
+       |    / CAST(n_words AS DOUBLE)) END AS flesch
+       |FROM (
+       | SELECT source, count(*) AS n_docs,
+       |  CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+       |   AS n_words,
+       |  CAST(SUM(greatest(len(regexp_extract_all(text, '[.!?]+')),
+       |    1)) AS BIGINT) AS n_sentences,
+       |  CAST(SUM(len(regexp_extract_all(lower(text), '[aeiouy]+')))
+       |    AS BIGINT) AS n_syllables
+       | FROM documents GROUP BY 1)
+       |ORDER BY source""".stripMargin.replace('\n', ' ')
+
   /** Heaps'-law vocabulary-growth fit per language: `V(n) ≈ K·n^β`,
     * the sublinear growth of distinct types with corpus size — the
     * companion diagnostic to [[zipfFit]] (a β drifting toward 1 means

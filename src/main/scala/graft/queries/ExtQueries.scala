@@ -423,6 +423,13 @@ object ExtQueries {
         graft.Tables.table(s, dir, "embeddings")),
       Some(Similarity.principalAxisSql())),
 
+    // per-vector projection onto that axis: exact integer dot with
+    // the broadcast axis table, one two-division IEEE emission
+    Q("q_axis_projection",
+      (s, dir) => Similarity.axisProjection(
+        graft.Tables.table(s, dir, "embeddings")),
+      Some(Similarity.axisProjectionSql())),
+
     // token counting
     Q("q_token_count",
       (s, dir) => docs(s, dir)
@@ -533,6 +540,12 @@ object ExtQueries {
     Q("q_source_drift",
       (s, dir) => TextOps.sourceDrift(docs(s, dir)).orderBy("source"),
       Some(TextOps.sourceDriftSql())),
+
+    // Flesch reading ease per source: exact regex-count sums, two
+    // IEEE divisions; >=1-sentence-per-doc floor
+    Q("q_readability",
+      (s, dir) => TextOps.readability(docs(s, dir)).orderBy("source"),
+      Some(TextOps.readabilitySql())),
 
     // Heaps vocabulary-growth exponent per language — the companion
     // of the Zipf slope; checkpoint-grid cumulatives, integer-exact

@@ -284,6 +284,31 @@ class R13WaveSpec extends SparkSpec {
       graft.ext.Similarity.principalAxis(planted, maxDims = 1)
     }
     assert(e.getMessage.contains("maxDims"))
+    // projections onto the exact (0.6, 0.8) axis: (3,4) -> 5 etc.
+    val proj = graft.ext.Similarity.axisProjection(planted).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(proj === Map(1L -> 5.0, 2L -> -5.0, 3L -> 10.0,
+      4L -> -10.0))
+  }
+
+  test("readability: planted counts match the exact Flesch chain; " +
+      "the sentence floor and zero-word null hold") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello world.", "a"), // w=2 s=1 y=3
+      (2L, "no punctuation here", "b"), // w=3 s=1(floor) y=7
+      (3L, "", "c")) // w=0 -> null flesch
+      .toDF("doc_id", "text", "source")
+    val out = graft.ext.TextOps.readability(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(2) === 2L && out("a").getLong(3) === 1L &&
+      out("a").getLong(4) === 3L)
+    assert(out("a").getDouble(5) ===
+      206.835 - 1.015 * (2.0 / 1.0) - 84.6 * (3.0 / 2.0))
+    // "no punctuation here": vowel groups o | u, ua, io | e, e -> 6
+    assert(out("b").getLong(3) === 1L, "sentence floor must apply")
+    assert(out("b").getLong(4) === 6L)
+    assert(out("c").isNullAt(5), "zero-word doc must yield null")
   }
 
   test("jsdSources: identical sources score exactly zero; disjoint " +
