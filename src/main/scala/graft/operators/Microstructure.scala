@@ -1753,6 +1753,163 @@ object Microstructure {
        | GROUP BY 1, 2)
        |ORDER BY symbol, bin_cents""".stripMargin.replace('\n', ' ')
 
+  /** Cross-symbol lead–lag correlation vs the benchmark's bucket
+    * returns at lags −maxLag..maxLag (in buckets): the price-discovery
+    * diagnostic — a symbol whose correlation peaks at POSITIVE lag
+    * follows the benchmark (the benchmark leads it by that many
+    * buckets). The benchmark's own row at lag k is its return
+    * autocorrelation. Population-moment Pearson correlation per
+    * (symbol, lag), null without return variance on both legs.
+    *
+    * Exactness — the [[symbolBeta]] stance: the bucket-return kernel's
+    * exact integers, all five cross-moment sums in decimal with
+    * raise-guarded BIGINT emission, and the correlation as one fixed
+    * IEEE chain over those integers, spelled identically in the twin.
+    *
+    * Scale shape: the benchmark series and the (2·maxLag+1)-row lag
+    * axis both BROADCAST; one (symbol, lag) hash aggregation over the
+    * lag-shifted equi-join. No window beyond the kernel's. */
+  def leadLag(updates: DataFrame, seconds: Long = 60, maxLag: Int = 2,
+      benchmark: String = "click"): DataFrame = {
+    require(benchmark.matches("[A-Za-z0-9_.:-]+"),
+      s"benchmark symbol must match [A-Za-z0-9_.:-]+, got: $benchmark")
+    require(maxLag >= 0 && maxLag <= 24, s"maxLag out of range: $maxLag")
+    val spark = updates.sparkSession
+    import spark.implicits._
+    def g(c: org.apache.spark.sql.Column, what: String) =
+      when(abs(c) > lit(Long.MaxValue),
+        raise_error(concat(lit(s"leadLag: $what overflows BIGINT " +
+          "at symbol="), col("symbol"))).cast("long"))
+        .otherwise(c.cast("long"))
+    val rets = bucketReturns(updates, seconds)
+      .where(col("q").isNotNull)
+    val bench = rets.where(col("symbol") === benchmark)
+      .select(col("start").as("bstart"), col("q").as("qb"))
+    val lags = (-maxLag to maxLag).map(_.toLong).toDF("lag")
+    val qDec = col("q").cast("decimal(15,0)")
+    val qbDec = col("qb").cast("decimal(15,0)")
+    def m(s: org.apache.spark.sql.Column) = s.cast("double") / col("n_buckets")
+    val varX = m(col("sum_q2")) - m(col("sum_q")) * m(col("sum_q"))
+    val varY = m(col("sum_qb2")) - m(col("sum_qb")) * m(col("sum_qb"))
+    val cov = m(col("sum_qqb")) - m(col("sum_q")) * m(col("sum_qb"))
+    rets.crossJoin(broadcast(lags))
+      .join(broadcast(bench),
+        col("bstart") === col("start") - col("lag") * lit(seconds))
+      .groupBy(col("symbol"), col("lag"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(qDec).as("_q"), sum(qbDec).as("_b"),
+        sum(qDec * qDec).as("_q2"), sum(qbDec * qbDec).as("_b2"),
+        sum(qDec * qbDec).as("_qb"))
+      .select(col("symbol"), col("lag"), col("n_buckets"),
+        g(col("_q"), "sum_q").as("sum_q"),
+        g(col("_b"), "sum_qb").as("sum_qb"),
+        g(col("_q2"), "sum_q2").as("sum_q2"),
+        g(col("_b2"), "sum_qb2").as("sum_qb2"),
+        g(col("_qb"), "sum_qqb").as("sum_qqb"))
+      .withColumn("corr",
+        when(varX > 0.0d && varY > 0.0d,
+          cov / sqrt(varX * varY)))
+      .orderBy("symbol", "lag")
+  }
+
+  /** DuckDB twin of [[leadLag]] — identical kernel, lag axis, HUGEINT
+    * sums, chain order. */
+  def leadLagSql(seconds: Long = 60, maxLag: Int = 2,
+      benchmark: String = "click"): String = {
+    require(benchmark.matches("[A-Za-z0-9_.:-]+"),
+      s"benchmark symbol must match [A-Za-z0-9_.:-]+, got: $benchmark")
+    val lagRows = (-maxLag to maxLag).map(l => s"($l)").mkString(", ")
+    def m(s: String) = s"CAST($s AS DOUBLE) / n_buckets"
+    val varX = s"${m("sum_q2")} - (${m("sum_q")}) * (${m("sum_q")})"
+    val varY = s"${m("sum_qb2")} - (${m("sum_qb")}) * (${m("sum_qb")})"
+    val cov = s"${m("sum_qqb")} - (${m("sum_q")}) * (${m("sum_qb")})"
+    s"""WITH rets AS MATERIALIZED (
+       | SELECT symbol, start, q
+       | FROM (${bucketReturnsSql(seconds)}) WHERE q IS NOT NULL),
+       |bench AS MATERIALIZED (
+       | SELECT start AS bstart, q AS qb FROM rets
+       | WHERE symbol = '$benchmark'),
+       |lags(lag) AS (VALUES $lagRows)
+       |SELECT symbol, lag, n_buckets, sum_q, sum_qb, sum_q2, sum_qb2,
+       | sum_qqb,
+       | CASE WHEN $varX > 0.0 AND $varY > 0.0 THEN
+       |  ($cov) / sqrt(($varX) * ($varY)) END AS corr
+       |FROM (
+       | SELECT r.symbol, l.lag, count(*) AS n_buckets,
+       |  CAST(SUM(CAST(r.q AS HUGEINT)) AS BIGINT) AS sum_q,
+       |  CAST(SUM(CAST(b.qb AS HUGEINT)) AS BIGINT) AS sum_qb,
+       |  CAST(SUM(CAST(r.q AS HUGEINT) * r.q) AS BIGINT) AS sum_q2,
+       |  CAST(SUM(CAST(b.qb AS HUGEINT) * b.qb) AS BIGINT) AS sum_qb2,
+       |  CAST(SUM(CAST(r.q AS HUGEINT) * b.qb) AS BIGINT) AS sum_qqb
+       | FROM rets r CROSS JOIN lags l
+       | JOIN bench b ON b.bstart = r.start - l.lag * $seconds
+       | GROUP BY 1, 2)
+       |ORDER BY symbol, lag""".stripMargin.replace('\n', ' ')
+  }
+
+  /** Quote-to-trade response latency per (symbol, bucket): for each
+    * trade, the exact milliseconds since the symbol's LAST prior live
+    * quote write — how quickly the tape responds to book changes
+    * (thin/stale books show long gaps; quote-stuffed ones near-zero).
+    * Emits trade counts, the with-quote subset, the exact gap sum,
+    * and the mean gap as one IEEE division. Trades before any quote
+    * are excluded from the gap stats in both engines.
+    *
+    * Scale shape: one [[TickCarry.carryLast]] pass over all updates
+    * (segmented per-(symbol, day) above the row bound — the quote
+    * timestamp stitches like any last-non-null carry), one
+    * (symbol, bucket) hash aggregation. */
+  def quoteTradeLag(updates: DataFrame, seconds: Long = 60,
+      maxWindowRows: Long = TickCarry.TickWindowMaxRows): DataFrame =
+    quoteTradeLagPlan(updates, seconds, updates.count() > maxWindowRows)
+
+  private[graft] def quoteTradeLagPlan(updates: DataFrame,
+      seconds: Long, segmented: Boolean): DataFrame = {
+    val qMark = when(!col("is_trade") && col("size") > 0.0d, col("ts"))
+    val gap = col("ts") - col("qts")
+    TickCarry.carryLast(updates,
+        Seq(TickCarry.Carry(qMark, includeCurrent = false, "qts")),
+        segmented)
+      .where(col("is_trade"))
+      .withColumn("gap_ms", gap)
+      .groupBy(col("symbol"), bucketed(seconds))
+      .agg(
+        count(lit(1)).as("n_trades"),
+        count(col("gap_ms")).as("n_with_quote"),
+        sum(col("gap_ms")).as("gap_sum_ms"))
+      .select(col("symbol"), col("start"), col("n_trades"),
+        col("n_with_quote"),
+        coalesce(col("gap_sum_ms"), lit(0L)).as("gap_sum_ms"),
+        when(col("n_with_quote") =!= 0L,
+          col("gap_sum_ms").cast("double") /
+            col("n_with_quote").cast("double")).as("mean_gap_ms"))
+  }
+
+  /** DuckDB twin of [[quoteTradeLag]] — the single-window relational
+    * form of the same carry. */
+  def quoteTradeLagSql(seconds: Long = 60): String =
+    s"""SELECT symbol, start, n_trades, n_with_quote,
+       | COALESCE(gap_sum_ms, 0) AS gap_sum_ms,
+       | CASE WHEN n_with_quote <> 0 THEN
+       |  CAST(gap_sum_ms AS DOUBLE) / CAST(n_with_quote AS DOUBLE)
+       | END AS mean_gap_ms
+       |FROM (
+       | SELECT symbol, ((ts // 1000) // $seconds) * $seconds AS start,
+       |  count(*) AS n_trades,
+       |  count(gap_ms) AS n_with_quote,
+       |  CAST(SUM(CAST(gap_ms AS HUGEINT)) AS BIGINT) AS gap_sum_ms
+       | FROM (
+       |  SELECT symbol, ts, ts - qts AS gap_ms, is_trade
+       |  FROM (
+       |   SELECT symbol, ts, is_trade,
+       |    last_value(CASE WHEN NOT is_trade AND size > 0.0
+       |      THEN ts END IGNORE NULLS) OVER (
+       |     PARTITION BY symbol ORDER BY ts, seq
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS qts
+       |   FROM updates))
+       | WHERE is_trade GROUP BY 1, 2)
+       |ORDER BY symbol, start""".stripMargin.replace('\n', ' ')
+
   /** Volume concentration per symbol: the Herfindahl–Hirschman index
     * of traded volume across price bins (`Σ share²` over the
     * [[volumeProfile]] bins) plus the effective bin count `1/HHI` —

@@ -165,6 +165,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ReturnDynamics.jumpTest(u, long0(a, 60L)) }
     registerTable(ext, "lee_ready") { (u, a) =>
       Microstructure.leeReady(u, long0(a, 60L)) }
+    registerTable(ext, "lead_lag") { (u, a) =>
+      Microstructure.leadLag(u, long0(a, 60L),
+        a.lift(1).map(_.toInt).getOrElse(2)) }
+    registerTable(ext, "quote_trade_lag") { (u, a) =>
+      Microstructure.quoteTradeLag(u, long0(a, 60L)) }
     registerTable(ext, "volume_hhi") { (u, a) =>
       Microstructure.volumeHhi(u, long0(a, 100L)) }
     // clickstream family (the tick view argument names the EVENTS

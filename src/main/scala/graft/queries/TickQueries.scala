@@ -347,6 +347,21 @@ object TickQueries {
         .orderBy("symbol", "start"),
       Some(Tables.withUpdates(RangeSpread.corwinSchultzSql()))),
 
+    // cross-symbol lead-lag correlation vs the benchmark at hourly
+    // buckets (the symbolBeta grain: minute buckets barely overlap
+    // across the sparse sf symbols)
+    Q("q_lead_lag",
+      (s, dir) => Microstructure.leadLag(u(s, dir), seconds = 3600),
+      Some(Tables.withUpdatesChain(
+        Microstructure.leadLagSql(seconds = 3600)))),
+
+    // quote-to-trade response latency: exact ms gaps to the last
+    // prior live quote write
+    Q("q_quote_trade_lag",
+      (s, dir) => Microstructure.quoteTradeLag(u(s, dir))
+        .orderBy("symbol", "start"),
+      Some(Tables.withUpdates(Microstructure.quoteTradeLagSql()))),
+
     // Lee-Ready trade classification: quote rule with tick-rule
     // fallback, exact side volumes, signed-flow ratio
     Q("q_lee_ready",

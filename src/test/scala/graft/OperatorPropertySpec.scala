@@ -474,7 +474,9 @@ class OperatorPropertySpec extends SparkSpec {
         ((u, m) => Microstructure.effectiveSpread(u, 60, m)),
       "kyleLambda" -> ((u, m) => Microstructure.kyleLambda(u, 60, m)),
       "flowAutocorr" -> ((u, m) => Microstructure.flowAutocorr(u, 60, m)),
-      "leeReady" -> ((u, m) => Microstructure.leeReady(u, 60, m)))
+      "leeReady" -> ((u, m) => Microstructure.leeReady(u, 60, m)),
+      "quoteTradeLag" ->
+        ((u, m) => Microstructure.quoteTradeLag(u, 60, m)))
     def rows(df: DataFrame): Seq[String] = df.collect().map(r =>
       r.toSeq.map(v => if (v == null) "null" else v.toString)
         .mkString("|")).sorted.toSeq

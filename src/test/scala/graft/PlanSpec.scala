@@ -219,7 +219,9 @@ class PlanSpec extends SparkSpec {
       "flowAutocorr" ->
         Microstructure.flowAutocorrPlan(u, 60, segmented = true),
       "leeReady" ->
-        Microstructure.leeReadyPlan(u, 60, segmented = true))
+        Microstructure.leeReadyPlan(u, 60, segmented = true),
+      "quoteTradeLag" ->
+        Microstructure.quoteTradeLagPlan(u, 60, segmented = true))
     plans.foreach { case (label, df) =>
       val ws = windows(df.queryExecution.executedPlan)
       assert(ws.nonEmpty, s"$label: expected window nodes")

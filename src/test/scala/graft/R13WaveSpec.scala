@@ -240,6 +240,47 @@ class R13WaveSpec extends SparkSpec {
     assert(r.getDouble(7) === (2.0 - 12.0) / (2.0 + 12.0))
   }
 
+  test("leadLag: a one-bucket follower peaks at lag +1; the benchmark " +
+      "autocorrelates to exactly 1 at lag 0") {
+    // click's bucket returns; f replays them one bucket later
+    val ratios = Seq(1.01, 0.99, 1.03, 0.97, 1.02, 0.98, 1.04, 0.96)
+    val clickPs = ratios.scanLeft(100.0)(_ * _)
+    val fPs = 100.0 +: ratios.scanLeft(100.0)(_ * _)
+    val ups = closes("click", clickPs) ++ closes("f", fPs)
+    val out = graft.operators.Microstructure
+      .leadLag(updatesDf(ups), seconds = 60, maxLag = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(8)) None else Some(r.getDouble(8)))).toMap
+    assert(out(("click", 0L)).get === 1.0,
+      "benchmark lag-0 autocorrelation must be exactly 1")
+    val fLags = (-2L to 2L).map(l => l -> out(("f", l)).get).toMap
+    assert(fLags(1L) > 0.999, s"follower lag+1 corr ${fLags(1L)}")
+    assert((-2L to 2L).filter(_ != 1L)
+      .forall(l => fLags(l) < fLags(1L)),
+      s"lag+1 must dominate: $fLags")
+  }
+
+  test("quoteTradeLag: exact ms gaps to the last prior live quote; " +
+      "pre-quote trades stay out of the gap stats") {
+    def q(ts: Long, seq: Long) =
+      Update("q", T0 + ts, seq, is_trade = false, is_bid = true,
+        100.0, 1.0)
+    def t(ts: Long, seq: Long) =
+      Update("q", T0 + ts, seq, is_trade = true, is_bid = true,
+        100.0, 1.0)
+    val ups = Seq(t(0L, 0L), q(1L, 1L), t(6L, 2L), q(7L, 3L),
+      t(10L, 4L))
+    val rows = graft.operators.Microstructure
+      .quoteTradeLag(updatesDf(ups)).collect()
+    assert(rows.length === 1)
+    val r = rows(0)
+    assert(r.getLong(2) === 3L) // n_trades
+    assert(r.getLong(3) === 2L) // n_with_quote
+    assert(r.getLong(4) === 8L) // 5 + 3 ms
+    assert(r.getDouble(5) === 4.0)
+  }
+
   test("volumeHhi: two-bin fixture matches the closed form exactly") {
     val ups = Seq(
       Update("v", T0, 1L, is_trade = true, is_bid = true, 100.0, 1.0),

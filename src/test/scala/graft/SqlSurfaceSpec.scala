@@ -14,7 +14,7 @@ import graft.plans.GraftExtensions
 class SqlSurfaceSpec extends SparkSpec {
 
   test("SQL table functions == Column API for the registry surface " +
-      "(41 operators pinned, ticks + events views)") {
+      "(43 operators pinned, ticks + events views)") {
     val base = spark // force shared session init first
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -103,6 +103,10 @@ class SqlSurfaceSpec extends SparkSpec {
           ReturnDynamics.jumpTest(u, 60L)),
         ("lee_ready", "SELECT * FROM lee_ready(60)",
           Microstructure.leeReady(u, 60L)),
+        ("lead_lag", "SELECT * FROM lead_lag(3600, 2)",
+          Microstructure.leadLag(u, 3600L, 2)),
+        ("quote_trade_lag", "SELECT * FROM quote_trade_lag(60)",
+          Microstructure.quoteTradeLag(u, 60L)),
         ("volume_hhi", "SELECT * FROM volume_hhi(100)",
           Microstructure.volumeHhi(u, 100L)),
         ("activity_gini", "SELECT * FROM activity_gini()",
