@@ -228,6 +228,77 @@ object ActivityStats {
        |   FROM events GROUP BY 1, 2))
        | GROUP BY 1)
        |ORDER BY user_id""".stripMargin.replace('\n', ' ')
+  /** Daily activity anomaly per (event_type, day): the z-score of
+    * each day's event count against that type's all-days population
+    * moments — the operational "did something spike/break today"
+    * monitor on the clickstream (the events-side mirror of the tick
+    * family's return anomaly). Null z without cross-day variance.
+    *
+    * Exactness: daily counts are exact integers; `Σ n` and `Σ n²` run
+    * in decimal with raise-guarded BIGINT emission; mean/var/z are
+    * one fixed population-moment IEEE chain over those integers,
+    * spelled identically in the twin.
+    *
+    * Scale shape: one (type, day) aggregation, a type-keyed window
+    * over the AGGREGATED day table (time-bounded), per-row chain. */
+  def dailyAnomaly(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400L * 1000000L
+    val w = Window.partitionBy("event_type")
+    // local guard: the shared one names user_id, absent in this frame
+    def g(c: Column, what: String): Column =
+      when(abs(c) > lit(Long.MaxValue),
+        raise_error(concat(lit(s"dailyAnomaly: $what overflows " +
+          "BIGINT at type="), col("event_type"))).cast("long"))
+        .otherwise(c.cast("long"))
+    val nD = col("n_days").cast("double")
+    val mean = col("sum_n").cast("double") / nD
+    val variance = col("sum_n2").cast("double") / nD - mean * mean
+    val daily = events
+      .select(col("event_type"),
+        floor(unix_micros(col("ts").cast("timestamp")) / dayUs)
+          .cast("long").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"))
+    daily
+      .withColumn("n_days", count(lit(1)).over(w))
+      .withColumn("sum_n",
+        g(sum(col("n").cast("decimal(20,0)")).over(w), "sum_n"))
+      .withColumn("sum_n2",
+        g(sum((col("n") * col("n")).cast("decimal(30,0)")).over(w),
+          "sum_n2"))
+      .select(col("event_type"), col("day"), col("n"), col("n_days"),
+        col("sum_n"), col("sum_n2"),
+        when(variance > 0.0d,
+          (col("n").cast("double") - mean) / sqrt(variance)).as("z"))
+      .orderBy("event_type", "day")
+  }
+
+  /** DuckDB twin of [[dailyAnomaly]] — identical day floor, HUGEINT
+    * sums, population chain. */
+  def dailyAnomalySql(): String = {
+    val dayUs = 86400L * 1000000L
+    val mean = "CAST(sum_n AS DOUBLE) / CAST(n_days AS DOUBLE)"
+    val variance = s"CAST(sum_n2 AS DOUBLE) / CAST(n_days AS DOUBLE)" +
+      s" - ($mean) * ($mean)"
+    s"""SELECT event_type, day, n, n_days, sum_n, sum_n2,
+       | CASE WHEN $variance > 0.0 THEN
+       |  (CAST(n AS DOUBLE) - $mean) / sqrt($variance) END AS z
+       |FROM (
+       | SELECT event_type, day, n,
+       |  CAST(count(*) OVER wt AS BIGINT) AS n_days,
+       |  CAST(SUM(CAST(n AS HUGEINT)) OVER wt AS BIGINT) AS sum_n,
+       |  CAST(SUM(CAST(n AS HUGEINT) * n) OVER wt AS BIGINT)
+       |   AS sum_n2
+       | FROM (
+       |  SELECT event_type,
+       |   CAST(floor(epoch_us(ts) / $dayUs) AS BIGINT) AS day,
+       |   count(*) AS n
+       |  FROM events GROUP BY 1, 2)
+       | WINDOW wt AS (PARTITION BY event_type))
+       |ORDER BY event_type, day""".stripMargin.replace('\n', ' ')
+  }
+
   /** Engagement inequality per event type: the Gini coefficient of
     * per-user counts of that type — "is this interaction driven by a
     * few power users or spread broadly" (gini 0 = uniform, →1 = one

@@ -198,6 +198,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ActivityStats.activityGini(e) }
     registerEventTable(ext, "transition_entropy") { (e, _) =>
       EventAnalytics.transitionEntropy(e) }
+    registerEventTable(ext, "daily_anomaly") { (e, _) =>
+      ActivityStats.dailyAnomaly(e) }
   }
 
   /** Inject one operator as a SQL table function: evaluate the literal

@@ -153,6 +153,12 @@ object EventQueries {
         periodDays = 1),
       Some(EventAnalytics.cohortLtvSql(periodDays = 1))),
 
+    // daily event-count anomaly z-scores per type (population moments)
+    Q("q_daily_anomaly",
+      (s, dir) => graft.operators.ActivityStats.dailyAnomaly(
+        events(s, dir)),
+      Some(graft.operators.ActivityStats.dailyAnomalySql())),
+
     // conditional next-step entropy per event type + entropy-rate
     // contributions over the transition chain
     Q("q_transition_entropy",

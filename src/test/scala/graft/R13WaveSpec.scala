@@ -281,6 +281,33 @@ class R13WaveSpec extends SparkSpec {
     assert(r.getDouble(5) === 4.0)
   }
 
+  test("dailyAnomaly: planted spike day scores the exact population " +
+      "z; constant days yield null") {
+    import spark.implicits._
+    val dayUs = 86400L * 1000000L
+    // type s: days with counts 1,1,4 -> mean 2, var 2
+    // type c: constant 2/day -> zero variance -> null z
+    val evs =
+      Seq((1L, 0L), (2L, dayUs), (3L, 2 * dayUs), (4L, 2 * dayUs),
+        (5L, 2 * dayUs), (6L, 2 * dayUs)).map {
+        case (id, us) => (id, 1L, us, "s") } ++
+        (0 until 6).map(i =>
+          (100L + i, 1L, (i / 2) * dayUs, "c"))
+    val df = evs.toDF("event_id", "user_id", "us", "event_type")
+      .select(col("event_id"),
+        timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"))
+    val out = graft.operators.ActivityStats.dailyAnomaly(df).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    val spike = out(("s", 2L))
+    assert(spike.getLong(2) === 4L)
+    // mean 2, var = (1+1+16)/3 - 4 = 2 -> z = (4-2)/sqrt(2)
+    val mean = 6.0 / 3.0
+    val variance = 18.0 / 3.0 - mean * mean
+    assert(spike.getDouble(6) === (4.0 - mean) / math.sqrt(variance))
+    assert(out(("c", 0L)).isNullAt(6), "zero variance must yield null")
+  }
+
   test("volumeHhi: two-bin fixture matches the closed form exactly") {
     val ups = Seq(
       Update("v", T0, 1L, is_trade = true, is_bid = true, 100.0, 1.0),

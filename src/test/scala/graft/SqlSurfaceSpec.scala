@@ -14,7 +14,7 @@ import graft.plans.GraftExtensions
 class SqlSurfaceSpec extends SparkSpec {
 
   test("SQL table functions == Column API for the registry surface " +
-      "(43 operators pinned, ticks + events views)") {
+      "(44 operators pinned, ticks + events views)") {
     val base = spark // force shared session init first
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -113,6 +113,8 @@ class SqlSurfaceSpec extends SparkSpec {
           ActivityStats.activityGini(ev)),
         ("transition_entropy", "SELECT * FROM transition_entropy()",
           EventAnalytics.transitionEntropy(ev)),
+        ("daily_anomaly", "SELECT * FROM daily_anomaly()",
+          ActivityStats.dailyAnomaly(ev)),
         ("sessionize", "SELECT * FROM sessionize(1800)",
           EventAnalytics.sessionize(ev, 1800L)),
         ("transitions", "SELECT * FROM transitions()",
