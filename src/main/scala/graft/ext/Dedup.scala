@@ -324,6 +324,79 @@ object Dedup {
        |  >= $threshold
        |ORDER BY 1, 2""".stripMargin.replace('\n', ' ')
 
+  /** Shingle-containment near-dup pairs — the SUBSET detector the
+    * symmetric Jaccard misses: `containment = |A∩B| / min(|A|, |B|)`
+    * is ~1 when one document quotes or wholly includes the other even
+    * though their Jaccard is small (|A∩B|/|A∪B| shrinks with the size
+    * gap). Same rare-shingle candidate generation and postings-join
+    * verification as [[ngramJaccard]] (never all-pairs); emits the
+    * exact intersection, both sizes, the containment (one IEEE
+    * division), and `contained_doc` — the smaller side (ties to
+    * doc_a, deterministic).
+    *
+    * Scale shape: identical to [[ngramJaccard]] — df-banded candidate
+    * equi-join, postings-join intersection, all counts exact. */
+  def ngramContainment(docs: DataFrame, n: Int = 2, dfMin: Int = 2,
+      dfMax: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, n).transform(graft.functions.checkpointed)
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df").between(dfMin, dfMax))
+    val rare = sh.join(dfreq.select("sh"), "sh")
+      .transform(graft.functions.checkpointed)
+    val cands = rare.as("a").join(rare.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val inter = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")),
+        Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val contain = col("inter").cast("double") /
+      least(col("na"), col("nb")).cast("double")
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"),
+        col("nsh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"),
+        col("nsh").as("nb")), "doc_b")
+      .withColumn("containment", contain)
+      .where(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"),
+        col("nb"), col("containment"),
+        when(col("na") <= col("nb"), col("doc_a"))
+          .otherwise(col("doc_b")).as("contained_doc"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB twin of [[ngramContainment]]. */
+  def ngramContainmentSql(n: Int = 2, dfMin: Int = 2, dfMax: Int = 5,
+      threshold: Double = 0.5): String =
+    s"""WITH sh AS (${shinglesSql(n)}),
+       |d AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+       |rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN d USING (sh)
+       |  WHERE d.df BETWEEN $dfMin AND $dfMax),
+       |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+       | FROM cands c
+       | JOIN sh sa ON sa.doc_id = c.doc_a
+       | JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       | GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter, na, nb, containment,
+       | CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS contained_doc
+       |FROM (
+       | SELECT i.doc_a, i.doc_b, i.inter,
+       |  na.nsh AS na, nb.nsh AS nb,
+       |  CAST(i.inter AS DOUBLE)
+       |   / CAST(least(na.nsh, nb.nsh) AS DOUBLE) AS containment
+       | FROM inter i
+       | JOIN sizes na ON na.doc_id = i.doc_a
+       | JOIN sizes nb ON nb.doc_id = i.doc_b)
+       |WHERE containment >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin.replace('\n', ' ')
+
   /** Blocking-strategy agreement audit — the dial-tuning harness for
     * the two near-dup candidate generators (the q_ann_recall idea
     * applied to dedup): BOTH pipelines verify candidates by the same

@@ -209,6 +209,14 @@ object ExtQueries {
         .orderBy("doc_a", "doc_b"),
       Some(Dedup.ngramJaccardSql(dfMax = 20))),
 
+    // shingle containment: the subset/quote detector symmetric
+    // Jaccard misses — |A∩B|/min(|A|,|B|) with the contained side
+    // named; low threshold so the gate pair set is non-trivial
+    Q("q_ngram_containment",
+      (s, dir) => Dedup.ngramContainment(docs(s, dir),
+        threshold = 0.2),
+      Some(Dedup.ngramContainmentSql(threshold = 0.2))),
+
     // keeper-policy variant over near-dup groups: keep the LONGEST
     // member (most complete mirror survives), composite integer argmax
     Q("q_dedup_keep_longest",

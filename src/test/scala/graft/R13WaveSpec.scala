@@ -379,6 +379,24 @@ class R13WaveSpec extends SparkSpec {
     assert(out("c").isNullAt(5), "zero-word doc must yield null")
   }
 
+  test("ngramContainment: a quoted subset scores containment 1 with " +
+      "the smaller doc named; unrelated docs never pair") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"), // superset: 5 bigrams
+      (2L, "w1 w2 w3"), // contained: both bigrams inside doc 1
+      (3L, "x1 x2 x3 x4")) // unrelated
+      .toDF("doc_id", "text")
+    val out = graft.ext.Dedup.ngramContainment(df).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getLong(0) === 1L && r.getLong(1) === 2L)
+    assert(r.getLong(2) === 2L) // inter
+    assert(r.getLong(3) === 5L && r.getLong(4) === 2L)
+    assert(r.getDouble(5) === 1.0) // 2 / min(5, 2)
+    assert(r.getLong(6) === 2L, "the smaller doc is the contained one")
+  }
+
   test("jsdSources: identical sources score exactly zero; disjoint " +
       "vocabularies land in (0, ln 2]") {
     import spark.implicits._
