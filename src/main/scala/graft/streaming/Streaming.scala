@@ -1402,6 +1402,80 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Per-symbol Parkinson state: the open bucket's running high/low
+    * in exact integer cents, plus the closed-bucket count and exact
+    * Σrq² (BigInt as string — Spark state encoders have no BigInt). */
+  case class ParkState(bucket: Long, hc: Long, lc: Long, n: Long,
+      s: String)
+  case class ParkRow(symbol: String, n_buckets: Long,
+      sum_rq2: Option[Long], park_var: Option[Double],
+      park_vol: Option[Double])
+
+  /** Parkinson range volatility on a STREAM — the serve-current-state
+    * twin of [[graft.operators.RangeSpread.parkinson]]: each
+    * micro-batch folds trades into the open bucket's integer-cent
+    * high/low, closes buckets on rollover with the batch quantization
+    * (`rq = floor(ln(hc/lc)·1e8)`, loud 2e9 bound, zero-cent lows
+    * dropped), and emits the CURRENT estimate from the exact running
+    * sums — so after a far-future closer the last serving row equals
+    * the batch operator bit-for-bit (MicrostructureFuzzSpec). */
+  def streamingParkinson(updates: Dataset[Update],
+      seconds: Long = 60): Dataset[ParkRow] = {
+    import updates.sparkSession.implicits._
+    def bucketOf(ts: Long): Long = Streaming.Buckets.of(ts, seconds)
+    val Unset = Long.MinValue
+    // 4·ln 2 — recomputed identically to the batch constant
+    val fourLn2 = 4.0d * math.log(2.0d)
+    def zero = ParkState(Unset, Long.MinValue, Long.MaxValue, 0L, "0")
+    def cents(sym: String, p: Double): Long = {
+      val c = math.floor(p * 100.0d + 0.5d)
+      if (math.abs(c) > 1.0e12d) throw new ArithmeticException(
+        s"parkinson: price outside the exact-decimal regime at " +
+          s"symbol=$sym")
+      c.toLong
+    }
+    def closeBucket(sym: String, st: ParkState): ParkState = {
+      if (st.lc <= 0L) return st // the batch lc > 0 drop
+      val rq = math.floor(
+        math.log(st.hc.toDouble / st.lc.toDouble) * 1e8d).toLong
+      if (math.abs(rq) > 2000000000L) throw new ArithmeticException(
+        s"parkinson: log range outside the exact regime at " +
+          s"symbol=$sym")
+      st.copy(n = st.n + 1L,
+        s = (BigInt(st.s) + BigInt(rq) * BigInt(rq)).toString)
+    }
+    def emit(sym: String, st: ParkState): ParkRow = {
+      if (st.n == 0L) return ParkRow(sym, 0L, None, None, None)
+      val b = BigInt(st.s)
+      if (b > BigInt(Long.MaxValue)) throw new ArithmeticException(
+        s"parkinson: sum_rq2 overflows BIGINT at symbol=$sym")
+      val sumL = b.toLong
+      val pv = (sumL.toDouble / 1e16d) / (fourLn2 * st.n.toDouble)
+      ParkRow(sym, st.n, Some(sumL), Some(pv), Some(math.sqrt(pv)))
+    }
+    def fn(sym: String, rows: Iterator[Update],
+        state: GroupState[ParkState]): Iterator[ParkRow] = {
+      var st = state.getOption.getOrElse(zero)
+      rows.toSeq.filter(u => u.is_trade && SqlOrd.gt(u.price, 0.0))
+        .sortBy(u => (u.ts, u.seq)).foreach { u =>
+          FiniteGuard.price("parkinson", u)
+          val b = bucketOf(u.ts)
+          val c = cents(sym, u.price)
+          if (st.bucket == Unset)
+            st = st.copy(bucket = b, hc = c, lc = c)
+          else if (b != st.bucket)
+            st = closeBucket(sym, st).copy(bucket = b, hc = c, lc = c)
+          else st = st.copy(hc = math.max(st.hc, c),
+            lc = math.min(st.lc, c))
+        }
+      state.update(st)
+      Iterator.single(emit(sym, st))
+    }
+    updates.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Per-symbol drawdown state: the open bucket and its running close,
     * the running peak over CLOSED buckets, and the exact minimum
     * quantized trough ratio with its earliest bucket. O(1) per key. */
