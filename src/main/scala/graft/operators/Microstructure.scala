@@ -111,6 +111,80 @@ object Microstructure {
       |  FROM updates WHERE is_trade GROUP BY 1, 2))
       |ORDER BY symbol, hour""".stripMargin.replace('\n', ' ')
 
+  /** Day-of-week (UTC) activity profile per symbol over TRADES — the
+    * weekly-seasonality companion of [[intradayProfile]] (weekend
+    * liquidity holes, Monday opens): trade count, exact volume, and
+    * each weekday's share of the symbol's total. `dow` is exact
+    * integer arithmetic on the epoch day (0 = Sunday … 6 = Saturday;
+    * epoch day 0 was a Thursday, hence the +4).
+    *
+    * Decimal volume sums and the ≤7-row per-symbol share window, as
+    * [[intradayProfile]]. */
+  def weeklyProfile(updates: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("symbol")
+    updates.where(col("is_trade"))
+      .select(col("symbol"),
+        graft.functions.tsSeconds(col("ts")).as("sec"),
+        finiteSize.as("sz"))
+      .select(col("symbol"),
+        expr("CAST(((sec DIV 86400) + 4) % 7 AS INT)").as("dow"),
+        col("sz"))
+      .groupBy(col("symbol"), col("dow"))
+      .agg(count(lit(1)).as("n_trades"),
+        sum(col("sz").cast("decimal(30,4)")).as("_v"))
+      .withColumn("_t", sum(col("_v")).over(w))
+      .select(col("symbol"), col("dow"), col("n_trades"),
+        col("_v").cast("double").as("volume"),
+        when(col("_t").cast("double") =!= 0.0d,
+          col("_v").cast("double") / col("_t").cast("double"))
+          .as("vol_share"))
+  }
+
+  /** DuckDB twin of [[weeklyProfile]]. */
+  def weeklyProfileSql(): String =
+    """SELECT symbol, dow, n_trades, CAST(v AS DOUBLE) AS volume,
+      | CASE WHEN CAST(t AS DOUBLE) <> 0.0
+      |  THEN CAST(v AS DOUBLE) / CAST(t AS DOUBLE) END AS vol_share
+      |FROM (
+      | SELECT symbol, dow, n_trades, v,
+      |  SUM(v) OVER (PARTITION BY symbol) AS t
+      | FROM (
+      |  SELECT symbol,
+      |   CAST((((ts // 1000) // 86400) + 4) % 7 AS INTEGER) AS dow,
+      |   count(*) AS n_trades, SUM(CAST(size AS DECIMAL(30,4))) AS v
+      |  FROM updates WHERE is_trade GROUP BY 1, 2))
+      |ORDER BY symbol, dow""".stripMargin.replace('\n', ' ')
+
+  /** Trade-size distribution per symbol: p25/p50/p75/p95 of trade
+    * sizes — the block-trade / odd-lot profile an execution pipeline
+    * reads before sizing participation. Rides
+    * [[HistogramOps.percentilesBy]] (window-sort below the row bound,
+    * bucketed-rank above — no whole-symbol funnel at scale); the twin
+    * full-sorts, which is what the bucketed plan is proven bit-equal
+    * to. Sizes are finite-guarded doubles; the rank interpolation is
+    * the engine's exact `percentile_of_sorted` arithmetic. */
+  def tradeSizePercentiles(updates: DataFrame): DataFrame =
+    HistogramOps.percentilesBy(
+      updates.where(col("is_trade")).select(col("symbol"),
+        finiteSize.as("sz")),
+      col("sz"),
+      Seq(25.0 -> "p25", 50.0 -> "p50", 75.0 -> "p75", 95.0 -> "p95"))
+      .orderBy("symbol")
+
+  /** DuckDB twin of [[tradeSizePercentiles]]. */
+  def tradeSizePercentilesSql(): String = {
+    val base = "SELECT symbol, size AS v FROM updates WHERE is_trade"
+    s"""WITH tz AS ($base),
+       |q25 AS (${HistogramOps.percentileSql("tz", "v", 25.0, "p25")}),
+       |q50 AS (${HistogramOps.percentileSql("tz", "v", 50.0, "p50")}),
+       |q75 AS (${HistogramOps.percentileSql("tz", "v", 75.0, "p75")}),
+       |q95 AS (${HistogramOps.percentileSql("tz", "v", 95.0, "p95")})
+       |SELECT q25.symbol, p25, p50, p75, p95
+       |FROM q25 JOIN q50 USING (symbol) JOIN q75 USING (symbol)
+       | JOIN q95 USING (symbol)
+       |ORDER BY symbol""".stripMargin.replace('\n', ' ')
+  }
+
   /** Signed trade-flow imbalance per (symbol, bucket):
     * `(buy_vol − sell_vol) / (buy_vol + sell_vol)` with buys = bid-side
     * trades. The classic order-flow pressure signal; ±1 means one-sided

@@ -170,6 +170,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         a.lift(1).map(_.toInt).getOrElse(2)) }
     registerTable(ext, "quote_trade_lag") { (u, a) =>
       Microstructure.quoteTradeLag(u, long0(a, 60L)) }
+    registerTable(ext, "weekly_profile") { (u, _) =>
+      Microstructure.weeklyProfile(u) }
+    registerTable(ext, "trade_size_percentiles") { (u, _) =>
+      Microstructure.tradeSizePercentiles(u) }
     registerTable(ext, "volume_hhi") { (u, a) =>
       Microstructure.volumeHhi(u, long0(a, 100L)) }
     // clickstream family (the tick view argument names the EVENTS

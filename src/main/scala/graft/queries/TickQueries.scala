@@ -347,6 +347,18 @@ object TickQueries {
         .orderBy("symbol", "start"),
       Some(Tables.withUpdates(RangeSpread.corwinSchultzSql()))),
 
+    // day-of-week activity/volume seasonality (0 = Sunday)
+    Q("q_weekly_profile",
+      (s, dir) => Microstructure.weeklyProfile(u(s, dir))
+        .orderBy("symbol", "dow"),
+      Some(Tables.withUpdates(Microstructure.weeklyProfileSql()))),
+
+    // per-symbol trade-size percentiles (block-trade profile)
+    Q("q_trade_size_percentiles",
+      (s, dir) => Microstructure.tradeSizePercentiles(u(s, dir)),
+      Some(Tables.withUpdatesChain(
+        Microstructure.tradeSizePercentilesSql()))),
+
     // cross-symbol lead-lag correlation vs the benchmark at hourly
     // buckets (the symbolBeta grain: minute buckets barely overlap
     // across the sparse sf symbols)

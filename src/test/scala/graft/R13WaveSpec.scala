@@ -308,6 +308,39 @@ class R13WaveSpec extends SparkSpec {
     assert(out(("c", 0L)).isNullAt(6), "zero variance must yield null")
   }
 
+  test("weeklyProfile: planted days land on the right weekday with " +
+      "exact shares") {
+    // T0 = 2023-11-14 (a Tuesday): epoch day 19675 -> dow 2
+    val day = 86400000L
+    val ups = Seq(
+      Update("w", T0, 0L, true, true, 1.0, 1.0),
+      Update("w", T0 + 1, 1L, true, true, 1.0, 3.0),
+      Update("w", T0 + day, 2L, true, true, 1.0, 4.0))
+    val out = graft.operators.Microstructure
+      .weeklyProfile(updatesDf(ups)).collect()
+      .map(r => r.getInt(1) -> r).toMap
+    assert(out.keySet === Set(2, 3))
+    assert(out(2).getLong(2) === 2L && out(2).getDouble(3) === 4.0)
+    assert(out(2).getDouble(4) === 0.5)
+    assert(out(3).getDouble(4) === 0.5)
+  }
+
+  test("tradeSizePercentiles: 1..5 sizes hit the exact rank " +
+      "interpolation") {
+    val ups = (1 to 5).map(i =>
+      Update("p", T0 + i, i.toLong, true, true, 1.0, i.toDouble))
+    val rows = graft.operators.Microstructure
+      .tradeSizePercentiles(updatesDf(ups)).collect()
+    assert(rows.length === 1)
+    val r = rows(0)
+    assert(r.getDouble(1) === 2.0) // p25
+    assert(r.getDouble(2) === 3.0) // p50
+    assert(r.getDouble(3) === 4.0) // p75
+    val rank = 95.0 / 100.0 * 4.0
+    val d = rank - math.floor(rank)
+    assert(r.getDouble(4) === 4.0 + (5.0 - 4.0) * d) // p95
+  }
+
   test("volumeHhi: two-bin fixture matches the closed form exactly") {
     val ups = Seq(
       Update("v", T0, 1L, is_trade = true, is_bid = true, 100.0, 1.0),

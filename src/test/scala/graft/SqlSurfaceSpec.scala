@@ -14,7 +14,7 @@ import graft.plans.GraftExtensions
 class SqlSurfaceSpec extends SparkSpec {
 
   test("SQL table functions == Column API for the registry surface " +
-      "(44 operators pinned, ticks + events views)") {
+      "(46 operators pinned, ticks + events views)") {
     val base = spark // force shared session init first
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -107,6 +107,11 @@ class SqlSurfaceSpec extends SparkSpec {
           Microstructure.leadLag(u, 3600L, 2)),
         ("quote_trade_lag", "SELECT * FROM quote_trade_lag(60)",
           Microstructure.quoteTradeLag(u, 60L)),
+        ("weekly_profile", "SELECT * FROM weekly_profile()",
+          Microstructure.weeklyProfile(u)),
+        ("trade_size_percentiles",
+          "SELECT * FROM trade_size_percentiles()",
+          Microstructure.tradeSizePercentiles(u)),
         ("volume_hhi", "SELECT * FROM volume_hhi(100)",
           Microstructure.volumeHhi(u, 100L)),
         ("activity_gini", "SELECT * FROM activity_gini()",
