@@ -1858,7 +1858,7 @@ object Similarity {
       iterations: Int, maxDims: Int)
       : (Array[Long], Array[BigInt], BigInt, BigInt) = {
     def guarded(c: Column, what: String): Column =
-      when(abs(c) > lit(Long.MaxValue),
+      when(c.isNull || abs(c) > lit(Long.MaxValue),
         raise_error(lit(s"principalAxis: $what overflows BIGINT"))
           .cast("long"))
         .otherwise(c.cast("long"))
@@ -1879,7 +1879,12 @@ object Similarity {
     val smRows = base.as("a")
       .join(base.as("b"), "vec_id")
       .groupBy(col("a.d").as("i"), col("b.d").as("j"))
-      .agg(sum((col("a.xq") * col("b.xq")).cast("decimal(30,0)"))
+      // operands cast to decimal BEFORE the multiply (the jumpTest
+      // qDec pattern): a LongType xq·xq product wraps silently for
+      // |x| ≳ 3e3, bypassing the loud BIGINT guard and diverging
+      // from the twin's exact HUGEINT products
+      .agg(sum(col("a.xq").cast("decimal(19,0)") *
+          col("b.xq").cast("decimal(19,0)"))
         .as("_p"))
       .select(col("i"), col("j"), guarded(col("_p"), "moment").as("p"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
@@ -1953,13 +1958,15 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         col("d").cast("long").as("d"),
         floor(col("x") * lit(1e6)).cast("long").as("xq"))
-    val g = when(abs(col("_p")) > lit(Long.MaxValue),
+    val g = when(col("_p").isNull || abs(col("_p")) > lit(Long.MaxValue),
       raise_error(lit("axisProjection: dot product overflows BIGINT"))
         .cast("long"))
       .otherwise(col("_p").cast("long"))
     base.join(broadcast(axis), Seq("d"))
       .groupBy(col("vec_id"), col("label"))
-      .agg(sum((col("xq") * col("vq")).cast("decimal(30,0)")).as("_p"))
+      // operand-cast before multiply — see the axisState moment note
+      .agg(sum(col("xq").cast("decimal(19,0)") *
+        col("vq").cast("decimal(19,0)")).as("_p"))
       .select(col("vec_id"), col("label"), g.as("proj_q"))
       .withColumn("proj",
         when(lit(den.signum > 0),

@@ -1371,6 +1371,17 @@ object EventAnalytics {
     import spark.implicits._
     requireSafeType(convType)
     val (_, base) = journeyBase(events, convType)
+    // Pre-guard the channel universe BEFORE collecting the coalition
+    // table: distinct-coalition cardinality is bounded by min(#users,
+    // 2^T) over the full channel set T, so on a type-rich feed the
+    // collect below could be millions of rows — the take() guard is
+    // the typePagerank/chainHittingTime pattern and costs one tiny
+    // distinct scan.
+    val nChans = base.select(col("event_type")).distinct()
+      .take(maxChannels + 1).length
+    if (nChans > maxChannels) throw new IllegalStateException(
+      s"shapleyAttribution: more than maxChannels=$maxChannels " +
+        "channels (the exact solve enumerates 2^n coalitions)")
     val sets = base.groupBy(col("user_id")).agg(
         array_sort(collect_set(col("event_type"))).as("chans"),
         max(when(col("crn").isNotNull, 1).otherwise(0)).as("conv"))
@@ -1380,9 +1391,6 @@ object EventAnalytics {
       .map(r => (r.getSeq[String](0), r.getLong(1)))
     val channels = sets.flatMap(_._1).distinct.sorted
     val n = channels.length
-    if (n > maxChannels) throw new IllegalStateException(
-      s"shapleyAttribution: $n channels exceed maxChannels=" +
-        s"$maxChannels (the exact solve enumerates 2^n coalitions)")
     if (n == 0)
       return Seq.empty[(String, Long, Long, Double, Option[Double])]
         .toDF("channel", "conversions", "phi_q", "shapley", "share")

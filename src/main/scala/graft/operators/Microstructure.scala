@@ -2056,7 +2056,10 @@ object Microstructure {
        |    AS DOUBLE), 0.0) AS sum_vq2
        | FROM (
        |  SELECT symbol,
-       |   CAST(vol_dec * 10000 AS BIGINT) AS vq
+       |   CASE WHEN abs(vol_dec * 10000) > 1e15
+       |    THEN CAST(error('volumeHhi: bin volume outside the ' ||
+       |      'exact regime at symbol=' || symbol) AS BIGINT)
+       |    ELSE CAST(vol_dec * 10000 AS BIGINT) END AS vq
        |  FROM (
        |   SELECT symbol, (cents // $binCents) * $binCents AS bin_cents,
        |    SUM(CAST(size AS DECIMAL(30,4))) AS vol_dec

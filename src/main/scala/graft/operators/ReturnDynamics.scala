@@ -123,7 +123,7 @@ object ReturnDynamics {
     * `z = (1 − BV/RV) / sqrt(θ·max(1, RQ̂/BV²)/n)` over the same
     * bucket-return kernel as [[bipowerVar]], with the JUMP-ROBUST
     * MedRQ quarticity (Andersen–Dobrev–Schaumburg 2012)
-    * `RQ̂ = C·(n/(n−2))·Σ med(|q_b|,|q_{b-1}|,|q_{b-2}|)⁴` — the
+    * `RQ̂ = C·n·(n/(n−2))·Σ med(|q_b|,|q_{b-1}|,|q_{b-2}|)⁴` — the
     * median kills any single jump, so the denominator stays pinned to
     * the continuous variation (realized quarticity would load the
     * jump's 4th power and destroy power; the classic tripower needs
@@ -166,7 +166,11 @@ object ReturnDynamics {
     val rv = col("sum_q2").cast("double") / 1e12d
     val bv = lit(HalfPi) * (col("sum_bp").cast("double") / 1e12d)
     val nD = col("n_rets").cast("double")
-    val rq = lit(MedC) * (nD / (nD - lit(2.0d))) *
+    // ADS 2012: MedRQ = C·n·(n/(n−2))·Σmed⁴ — the leading n makes
+    // the estimator consistent for the INTEGRATED quarticity (each
+    // med⁴ term is O(1/n²) of it); without it RQ̂/BV² ≈ 1/n and the
+    // Huang–Tauchen max-adjustment clamps to 1 always.
+    val rq = lit(MedC) * nD * (nD / (nD - lit(2.0d))) *
       (col("sum_m4") / 1e24d)
     val z = (lit(1.0d) - bv / rv) /
       sqrt(lit(Theta) * greatest(lit(1.0d), rq / (bv * bv)) /
@@ -185,7 +189,17 @@ object ReturnDynamics {
       .select(col("symbol"), col("n_rets"),
         g(col("_rv"), "sum_q2").as("sum_q2"),
         coalesce(g(col("_bp"), "sum_bp"), lit(0L)).as("sum_bp"),
-        coalesce(col("_m4").cast("double"), lit(0.0d)).as("sum_m4"))
+        // n_rets ≥ 3 with head-only null returns guarantees ≥ 1
+        // complete triple, so a null Σm⁴ there can ONLY be the
+        // decimal(38,0) sum overflowing (Spark non-ANSI → null) —
+        // raise loud instead of silently zeroing the quarticity
+        // (the DuckDB twin's HUGEINT sum errors loudly there too)
+        when(col("n_rets") > 2L && col("_m4").isNull,
+          raise_error(concat(
+            lit("jumpTest: sum_m4 outside the exact decimal " +
+              "regime at symbol="), col("symbol"))).cast("double"))
+          .otherwise(coalesce(col("_m4").cast("double"), lit(0.0d)))
+          .as("sum_m4"))
       .withColumn("rv", rv)
       .withColumn("bv", bv)
       .withColumn("med_rq", when(col("n_rets") > 2L, rq))
@@ -199,8 +213,8 @@ object ReturnDynamics {
   def jumpTestSql(seconds: Long = 60): String = {
     val rv = "CAST(sum_q2 AS DOUBLE) / 1e12"
     val bv = s"$HalfPi * (CAST(sum_bp AS DOUBLE) / 1e12)"
-    val rq = s"$MedC * (CAST(n_rets AS DOUBLE)" +
-      " / (CAST(n_rets AS DOUBLE) - 2.0)) * (sum_m4 / 1e24)"
+    val rq = s"$MedC * CAST(n_rets AS DOUBLE) * (CAST(n_rets AS" +
+      " DOUBLE) / (CAST(n_rets AS DOUBLE) - 2.0)) * (sum_m4 / 1e24)"
     s"""SELECT symbol, n_rets, sum_q2, sum_bp, sum_m4,
        | $rv AS rv, $bv AS bv,
        | CASE WHEN n_rets > 2 THEN $rq END AS med_rq,

@@ -214,20 +214,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     * SQL front door and the Scala front door are the same plan by
     * construction. */
   private def registerTable(ext: SparkSessionExtensions, name: String)(
-      build: (DataFrame, Seq[Double]) => DataFrame): Unit =
+      build: (DataFrame, Seq[Double]) => DataFrame): Unit = {
+    GraftExtensions.recordTableFunction(name)
     ext.injectTableFunction((FunctionIdentifier(name),
       new ExpressionInfo(classOf[GraftExtensions].getName, null, name),
       (exprs: Seq[Expression]) => tablePlan(name, exprs, build)))
+  }
 
   /** [[registerTable]] with the clickstream family's default view:
     * the optional leading string argument names the EVENTS view. */
   private def registerEventTable(ext: SparkSessionExtensions,
       name: String)(
-      build: (DataFrame, Seq[Double]) => DataFrame): Unit =
+      build: (DataFrame, Seq[Double]) => DataFrame): Unit = {
+    GraftExtensions.recordTableFunction(name)
     ext.injectTableFunction((FunctionIdentifier(name),
       new ExpressionInfo(classOf[GraftExtensions].getName, null, name),
       (exprs: Seq[Expression]) =>
         tablePlan(name, exprs, build, defaultView = "events")))
+  }
 
   private def tablePlan(name: String, exprs: Seq[Expression],
       build: (DataFrame, Seq[Double]) => DataFrame,
@@ -256,6 +260,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+
+  /** Every table-function name ever injected (populated as a side
+    * effect of building a session `.withExtensions(new
+    * GraftExtensions)`). SqlSurfaceSpec asserts its pinned
+    * SQL==Column-API sweep covers EXACTLY this set, so a new TVF
+    * cannot land unpinned (VERDICT r13 #5). */
+  private val tableFns =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[plans] def recordTableFunction(name: String): Unit =
+    tableFns.add(name)
+  def registeredTableFunctions: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    tableFns.asScala.toSet
+  }
 
   private val Lim = Literal(1000000000000L)
 

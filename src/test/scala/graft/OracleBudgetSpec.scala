@@ -12,9 +12,12 @@ import java.nio.file.Files
   * Two passes: the full twin surface at sf0.001 (catches errors and
   * egregious blowups cheaply), and the chained/recursive-CTE subset —
   * the inlining-blowup class, whose cost is multiplicative in data
-  * scale — again at sf0.01 under a tighter relative ceiling. Cancelled
-  * (not failed) when python3+duckdb is absent; on the driver box both
-  * exist (the driver's own validate path uses them).
+  * scale — again at sf0.01 under a tighter relative ceiling.
+  * python3+duckdb is ASSERTED present (r13 verdict #7: an `assume`
+  * would let a broken duckdb install silently cancel the gate);
+  * a box genuinely without duckdb can opt out explicitly with
+  * `GRAFT_ALLOW_NO_DUCKDB=1`, which downgrades the assert to a
+  * visible cancellation.
   */
 class OracleBudgetSpec extends SparkSpec {
 
@@ -23,6 +26,14 @@ class OracleBudgetSpec extends SparkSpec {
     try Process(Seq("python3", "-c", "import duckdb")).! == 0
     catch { case _: Throwable => false }
   }
+
+  /** Loud by default: the budget gate must not silently cancel. */
+  private def requireDuckdb(): Unit =
+    if (sys.env.get("GRAFT_ALLOW_NO_DUCKDB").contains("1"))
+      assume(duckdbAvailable, "python3+duckdb opted out explicitly")
+    else assert(duckdbAvailable,
+      "python3+duckdb must exist for the oracle budget gate (set " +
+        "GRAFT_ALLOW_NO_DUCKDB=1 to opt out on a box without it)")
 
   /** Build oracle_sql.json parameterized against `sfDir` into a temp
     * dir; returns its path. Registry construction needs the session. */
@@ -55,14 +66,14 @@ class OracleBudgetSpec extends SparkSpec {
         .findAllIn(sql).length >= 8
 
   test("every oracle twin runs inside a 10s ceiling at sf0.001") {
-    assume(duckdbAvailable, "python3+duckdb not available on this box")
+    requireDuckdb()
     val json = oracleJson(sf())
     val (rc, out) = runBudget(sf(), json, 10.0)
     assert(rc === 0, s"over-budget/erroring twins at sf0.001:\n$out")
   }
 
   test("chained/recursive twins run inside a 20s ceiling at sf0.01") {
-    assume(duckdbAvailable, "python3+duckdb not available on this box")
+    requireDuckdb()
     // The subset's SQL is data-independent (events/ticks params are
     // literals, no trained-model interpolation), so the sf0.001-built
     // json is byte-identical at sf0.01 — reuse it rather than paying

@@ -14,7 +14,7 @@ import graft.plans.GraftExtensions
 class SqlSurfaceSpec extends SparkSpec {
 
   test("SQL table functions == Column API for the registry surface " +
-      "(46 operators pinned, ticks + events views)") {
+      "(the FULL registered-TVF set pinned, ticks + events views)") {
     val base = spark // force shared session init first
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -137,12 +137,52 @@ class SqlSurfaceSpec extends SparkSpec {
           EventAnalytics.positionAttribution(ev)),
         ("time_decay_attribution",
           "SELECT * FROM time_decay_attribution()",
-          EventAnalytics.timeDecayAttribution(ev)))
+          EventAnalytics.timeDecayAttribution(ev)),
+        // r13 verdict #5: the previously-unpinned registry residue —
+        // with these, the pinned set below closes over EVERY
+        // registered TVF and the closure assertion keeps it closed
+        ("bucket_spread", "SELECT * FROM bucket_spread(60)",
+          Microstructure.bucketSpread(u, 60L)),
+        ("tick_rule_flow", "SELECT * FROM tick_rule_flow(60)",
+          Microstructure.tickRuleFlow(u, 60L)),
+        ("effective_spread", "SELECT * FROM effective_spread(60)",
+          Microstructure.effectiveSpread(u, 60L)),
+        ("flow_autocorr", "SELECT * FROM flow_autocorr(60)",
+          Microstructure.flowAutocorr(u, 60L)),
+        ("amihud", "SELECT * FROM amihud(60)",
+          Microstructure.amihud(u, 60L)),
+        ("variance_ratio", "SELECT * FROM variance_ratio(60)",
+          Microstructure.varianceRatio(u, 60L)),
+        ("return_moments", "SELECT * FROM return_moments(60)",
+          Microstructure.returnMoments(u, 60L)),
+        ("max_drawdown", "SELECT * FROM max_drawdown(60)",
+          Microstructure.maxDrawdown(u, 60L)),
+        // hourly buckets: minute buckets barely overlap across the
+        // sparse sf0.001 symbols (the q_symbol_beta note)
+        ("return_corr", "SELECT * FROM return_corr(3600)",
+          Microstructure.returnCorr(u, 3600L)),
+        ("order_trade_ratio", "SELECT * FROM order_trade_ratio(60)",
+          Microstructure.orderTradeRatio(u, 60L)),
+        ("return_acf", "SELECT * FROM return_acf(60)",
+          ReturnDynamics.returnAcf(u, 60L)),
+        ("hurst", "SELECT * FROM hurst(60)",
+          ReturnDynamics.hurst(u, 60L)),
+        ("burstiness", "SELECT * FROM burstiness()",
+          ActivityStats.burstiness(ev)))
       wave.foreach { case (name, sql, api) =>
         val viaSql = rows(s.sql(sql))
         assert(viaSql.nonEmpty, s"$name: SQL surface returned no rows")
         assert(viaSql === rows(api), s"$name: SQL != Column API")
       }
+      // closure: the pinned sweep covers EXACTLY the registered TVF
+      // set — a table function injected without a pin here fails the
+      // suite (VERDICT r13 #5)
+      val pinned = (cases.map(_._1) ++ wave.map(_._1)).toSet
+      val registered = GraftExtensions.registeredTableFunctions
+      assert(registered.nonEmpty, "registry not populated")
+      assert(pinned === registered,
+        s"unpinned TVFs: ${(registered -- pinned).toSeq.sorted}; " +
+          s"stale pins: ${(pinned -- registered).toSeq.sorted}")
       // composability: the TVF is a real relation — joins, filters and
       // aggregates over it parse and run like any table
       val joined = s.sql(
