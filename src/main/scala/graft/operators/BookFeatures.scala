@@ -262,6 +262,219 @@ object BookFeatures {
        |FROM lagged ORDER BY symbol, start""".stripMargin.replace('\n', ' ')
   }
 
+  /** [[ofi]] restricted to a deterministic strided sample of each
+    * symbol's emitted buckets — the SCALE-TOLERANT cross-check surface
+    * (VERDICT r13 #2). The full [[ofiSql]] grid twin densifies
+    * present-buckets × levels and OOMs DuckDB at bench SF (sf0.1:
+    * ~570M grid rows), so this gate keeps ~`buckets` live buckets per
+    * symbol (stride = max(1, emitted/buckets), pure integer — the
+    * identical selection in both engines) and its twin
+    * ([[ofiSampledSql]]) forward-fills the book ONLY at sampled
+    * buckets plus their immediate predecessors (needed for the lag),
+    * making the oracle O(sample × levels) at every SF. The Spark side
+    * is the SAME fold at every SF — sampling changes which rows are
+    * CHECKED, never how they are computed; the dense grid twin stays
+    * on [[ofi]]'s own gate as the oracle-SF cross-check. */
+  def ofiSampled(updates: DataFrame, seconds: Long = 60,
+      decimals: Int = 2, buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("symbol")).orderBy(col("start"))
+    ofi(updates, seconds, decimals)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("symbol"))))
+      .where(col("rn") %
+        greatest(lit(1L), expr(s"n DIV $buckets")) === 0L)
+      .drop("rn", "n")
+  }
+
+  /** Shared sparse-sampling CTE prefix of the sampled twins: bucketed
+    * level writes (`lvl`/`kb`/`keys` — [[ofiSql]]'s verbatim), then the
+    * per-bucket LIVE-LEVEL COUNTS derived sparsely (each last-set row
+    * changes its level's liveness by ±1; the per-side cumulative sum
+    * over buckets is the bucket-end live count — no grid anywhere),
+    * ending in `cnt(symbol, start, nb, na)`. */
+  private def sampledPrefix(seconds: Long, p: Long): String =
+    s"""lvl AS (
+       |  SELECT symbol, ((ts // 1000) // $seconds) * $seconds AS start,
+       |    is_bid, CAST(floor(price * $p) AS BIGINT) AS level,
+       |    size, ts, seq
+       |  FROM updates WHERE NOT is_trade),
+       |kb AS (
+       |  SELECT symbol, start, is_bid, level,
+       |    last(size ORDER BY ts, seq) AS s
+       |  FROM lvl GROUP BY 1, 2, 3, 4),
+       |keys AS (SELECT DISTINCT symbol, is_bid, level FROM lvl),
+       |kd AS (
+       |  SELECT symbol, start, is_bid,
+       |    (CASE WHEN isnan(s) OR s > 0.0 THEN 1 ELSE 0 END)
+       |     - COALESCE(lag(CASE WHEN isnan(s) OR s > 0.0 THEN 1
+       |         ELSE 0 END)
+       |        OVER (PARTITION BY symbol, is_bid, level
+       |              ORDER BY start), 0) AS d
+       |  FROM kb),
+       |cnt AS (
+       |  SELECT symbol, start,
+       |    SUM(SUM(CASE WHEN is_bid THEN d ELSE 0 END)) OVER w2 AS nb,
+       |    SUM(SUM(CASE WHEN NOT is_bid THEN d ELSE 0 END)) OVER w2
+       |      AS na
+       |  FROM kd GROUP BY symbol, start
+       |  WINDOW w2 AS (PARTITION BY symbol ORDER BY start
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"""
+      .stripMargin
+
+  /** DuckDB twin of [[ofiSampled]] — sparse by construction: the
+    * emitted-bucket sequence comes off the liveness-count prefix (a
+    * bucket is emitted iff any level is live — [[OfiFold]]'s
+    * `close()` contract), the strided sample plus each sampled
+    * bucket's immediate predecessor are the ONLY buckets the book is
+    * forward-filled at (grid = sampled × keys), and the lag over that
+    * restricted touch table lands exactly on the true predecessor
+    * (no emitted bucket can sit strictly between rn−1 and rn). */
+  def ofiSampledSql(seconds: Long = 60, decimals: Int = 2,
+      buckets: Int = 64): String = {
+    val p = math.pow(10, decimals).toLong
+    s"""WITH ${sampledPrefix(seconds, p)},
+       |eb AS (
+       |  SELECT symbol, start,
+       |    row_number() OVER (PARTITION BY symbol ORDER BY start)
+       |      AS rn,
+       |    count(*) OVER (PARTITION BY symbol) AS n
+       |  FROM cnt WHERE nb + na > 0),
+       |sel AS (
+       |  SELECT symbol, start,
+       |    rn % greatest(1, n // $buckets) = 0 AS is_samp
+       |  FROM eb
+       |  WHERE rn % greatest(1, n // $buckets) = 0
+       |     OR (rn + 1) % greatest(1, n // $buckets) = 0),
+       |pts AS (
+       |  SELECT symbol, start, is_bid, level, s, 0 AS gflag FROM kb
+       |  UNION ALL
+       |  SELECT g.symbol, g.start, k.is_bid, k.level, NULL AS s,
+       |    1 AS gflag
+       |  FROM sel g JOIN keys k USING (symbol)),
+       |ff AS (
+       |  SELECT symbol, start, is_bid, level, gflag,
+       |    last_value(s IGNORE NULLS) OVER (
+       |      PARTITION BY symbol, is_bid, level ORDER BY start, gflag
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS size
+       |  FROM pts),
+       |touch AS (
+       |  SELECT symbol, start,
+       |    max(CASE WHEN is_bid THEN level END) AS bbl,
+       |    arg_max(CASE WHEN is_bid THEN size END,
+       |      CASE WHEN is_bid THEN level END) AS bbs,
+       |    min(CASE WHEN NOT is_bid THEN level END) AS bal,
+       |    arg_min(CASE WHEN NOT is_bid THEN size END,
+       |      CASE WHEN NOT is_bid THEN level END) AS bas
+       |  FROM ff WHERE gflag = 1 AND size IS NOT NULL AND size > 0.0
+       |  GROUP BY 1, 2),
+       |lagged AS (
+       |  SELECT t.symbol, t.start, s.is_samp, bbl, bbs, bal, bas,
+       |    lag(bbl, 1) OVER w AS pbbl, lag(bbs, 1) OVER w AS pbbs,
+       |    lag(bal, 1) OVER w AS pbal, lag(bas, 1) OVER w AS pbas,
+       |    lag(t.start, 1) OVER w AS pstart
+       |  FROM touch t JOIN sel s ON s.symbol = t.symbol
+       |    AND s.start = t.start
+       |  WINDOW w AS (PARTITION BY t.symbol ORDER BY t.start))
+       |SELECT symbol, start,
+       |  CAST(bbl AS DOUBLE) / $p AS best_bid, bbs AS bid_size,
+       |  CAST(bal AS DOUBLE) / $p AS best_ask, bas AS ask_size,
+       |  CASE WHEN bbl IS NOT NULL AND bal IS NOT NULL
+       |    AND pstart IS NOT NULL AND pbbl IS NOT NULL
+       |    AND pbal IS NOT NULL THEN
+       |   ((CASE WHEN bbl >= pbbl THEN bbs ELSE 0.0 END)
+       |     - (CASE WHEN bbl <= pbbl THEN pbbs ELSE 0.0 END))
+       |   - ((CASE WHEN bal <= pbal THEN bas ELSE 0.0 END)
+       |     - (CASE WHEN bal >= pbal THEN pbas ELSE 0.0 END))
+       |  END AS ofi
+       |FROM lagged WHERE is_samp
+       |ORDER BY symbol, start""".stripMargin.replace('\n', ' ')
+  }
+
+  /** [[depthProfile]] restricted to the same deterministic strided
+    * bucket sample as [[ofiSampled]] (dense_rank over the fold's
+    * emitted buckets — 8 rows per bucket collapse to one rank). No
+    * lag in this operator, so the twin needs no predecessor buckets. */
+  def depthProfileSampled(updates: DataFrame, seconds: Long = 60,
+      decimals: Int = 2, bandsBps: Seq[Long] = Seq(5L, 10L, 25L, 50L),
+      buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("symbol")).orderBy(col("start"))
+    depthProfile(updates, seconds, decimals, bandsBps)
+      .withColumn("dr", dense_rank().over(wOrd).cast("long"))
+      .withColumn("nb", max(col("dr"))
+        .over(Window.partitionBy(col("symbol"))))
+      .where(col("dr") %
+        greatest(lit(1L), expr(s"nb DIV $buckets")) === 0L)
+      .drop("dr", "nb")
+  }
+
+  /** DuckDB twin of [[depthProfileSampled]] — the sparse liveness
+    * prefix (emitted iff BOTH sides live — [[DepthFold]]'s two-sided
+    * `close()` contract), book forward-filled only at sampled buckets,
+    * then [[depthProfileSql]]'s exact band cut and decimal sums. */
+  def depthProfileSampledSql(seconds: Long = 60, decimals: Int = 2,
+      bandsBps: Seq[Long] = Seq(5L, 10L, 25L, 50L), buckets: Int = 64)
+      : String = {
+    val p = math.pow(10, decimals).toLong
+    val bandRows = bandsBps.sorted.map(b => s"($b)").mkString(", ")
+    s"""WITH ${sampledPrefix(seconds, p)},
+       |eb AS (
+       |  SELECT symbol, start,
+       |    row_number() OVER (PARTITION BY symbol ORDER BY start)
+       |      AS rn,
+       |    count(*) OVER (PARTITION BY symbol) AS n
+       |  FROM cnt WHERE nb > 0 AND na > 0),
+       |sel AS (
+       |  SELECT symbol, start FROM eb
+       |  WHERE rn % greatest(1, n // $buckets) = 0),
+       |pts AS (
+       |  SELECT symbol, start, is_bid, level, s, 0 AS gflag FROM kb
+       |  UNION ALL
+       |  SELECT g.symbol, g.start, k.is_bid, k.level, NULL AS s,
+       |    1 AS gflag
+       |  FROM sel g JOIN keys k USING (symbol)),
+       |ff AS (
+       |  SELECT symbol, start, is_bid, level, gflag,
+       |    last_value(s IGNORE NULLS) OVER (
+       |      PARTITION BY symbol, is_bid, level ORDER BY start, gflag
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS size
+       |  FROM pts),
+       |liv AS (SELECT symbol, start, is_bid, level, size FROM ff
+       |  WHERE gflag = 1 AND size IS NOT NULL AND size > 0.0),
+       |mid AS (
+       |  SELECT symbol, start,
+       |    max(CASE WHEN is_bid THEN level END)
+       |     + min(CASE WHEN NOT is_bid THEN level END) AS m2
+       |  FROM liv GROUP BY 1, 2
+       |  HAVING max(CASE WHEN is_bid THEN level END) IS NOT NULL
+       |    AND min(CASE WHEN NOT is_bid THEN level END) IS NOT NULL),
+       |bands(band_bps) AS (VALUES $bandRows),
+       |sides(is_bid) AS (VALUES (TRUE), (FALSE)),
+       |scored AS (
+       |  SELECT l.symbol, l.start, l.is_bid, l.size,
+       |    10000 * abs(2 * l.level - m.m2) AS d, m.m2
+       |  FROM liv l JOIN mid m USING (symbol, start)),
+       |agg AS (
+       |  SELECT symbol, start, is_bid, band_bps,
+       |    CAST(count(*) AS BIGINT) AS n_levels,
+       |    CAST(SUM(CAST(size AS DECIMAL(30,4))) AS DOUBLE) AS depth
+       |  FROM scored CROSS JOIN bands
+       |  WHERE d <= band_bps * m2
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT m.symbol, m.start, sd.is_bid, b.band_bps,
+       |  COALESCE(a.n_levels, 0) AS n_levels,
+       |  COALESCE(a.depth, 0.0) AS depth
+       |FROM mid m CROSS JOIN bands b CROSS JOIN sides sd
+       |LEFT JOIN agg a ON a.symbol = m.symbol AND a.start = m.start
+       |  AND a.is_bid = sd.is_bid AND a.band_bps = b.band_bps
+       |ORDER BY m.symbol, m.start, sd.is_bid, b.band_bps""".stripMargin
+      .replace('\n', ' ')
+  }
+
   /** Depth imbalance near the touch, per symbol: resting size summed
     * over each side's levels within `k` ticks of its own best
     * (`bid: level ≥ bb − k`, `ask: level ≤ ba + k`), and

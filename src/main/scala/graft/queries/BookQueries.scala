@@ -84,6 +84,24 @@ object BookQueries {
       Some(Tables.withUpdatesChain(
         BookFeatures.depthProfileSql(60L, Decimals)))),
 
+    // B2+ — the SCALE-TOLERANT cross-checks of the two book folds
+    // (VERDICT r13 #2): same fold output, strided ~64-bucket sample
+    // per symbol, sparse forward-fill twins that stay O(sample ×
+    // levels) at every SF — these close the sf0.1 float-portability
+    // blind spot the dense grid twins (oracle-SF-only) leave open
+    Q("q_ofi_sampled",
+      (s, dir) => BookFeatures.ofiSampled(u(s, dir), 60L, Decimals)
+        .orderBy("symbol", "start"),
+      Some(Tables.withUpdatesChain(
+        BookFeatures.ofiSampledSql(60L, Decimals)))),
+
+    Q("q_depth_profile_sampled",
+      (s, dir) => BookFeatures.depthProfileSampled(
+        u(s, dir), 60L, Decimals)
+        .orderBy("symbol", "start", "is_bid", "band_bps"),
+      Some(Tables.withUpdatesChain(
+        BookFeatures.depthProfileSampledSql(60L, Decimals)))),
+
     // A3+ — rolling trailing-60s trade volume per trade row (RANGE
     // frame: identical peer semantics both engines; exact decimal sum)
     Q("q_rolling_volume",

@@ -293,6 +293,26 @@ class PlanSpec extends SparkSpec {
       .explainString(ExplainMode.fromString("formatted"))
       .contains("Window"),
       "depthProfile: the fold must carry the bands — no window node")
+    // the sampled cross-check surfaces add rank windows ON TOP of the
+    // fold — every one must be symbol-keyed (an empty partitionBy
+    // would funnel the whole fold output through one task)
+    for ((label, df) <- Seq(
+        ("ofiSampled", graft.operators.BookFeatures.ofiSampled(u)),
+        ("depthProfileSampled",
+          graft.operators.BookFeatures.depthProfileSampled(u)))) {
+      def wins(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.window.WindowExec] =
+        p.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec =>
+            Seq(w)
+          case a: AdaptiveSparkPlanExec => wins(a.executedPlan)
+        }.flatten
+      val ws = wins(df.queryExecution.executedPlan)
+      assert(ws.nonEmpty, s"$label: sampling rank windows missing")
+      ws.foreach(w => assert(
+        w.partitionSpec.exists(_.toString.contains("symbol")),
+        s"$label: sampling window not symbol-keyed: $w"))
+    }
   }
 
   test("salted prefix sum: no per-language md5-order window " +
