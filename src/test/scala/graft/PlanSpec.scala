@@ -760,6 +760,26 @@ class PlanSpec extends SparkSpec {
       pl.contains("BroadcastHashJoin"), s"lift dims not broadcast:\n$pl")
   }
 
+  test("principal axis: the moment matrix is a per-partition Gram " +
+      "fold — no self-join anywhere, projection joins only broadcast " +
+      "(VERDICT r13 #4)") {
+    // axisState runs eagerly (treeAggregate); the projection plan is
+    // the only relational stage left — its one join must be the
+    // broadcast d-row axis, never a shuffled self-join of the
+    // exploded base (the old n·d² moment build)
+    val emb = Tables.table(spark, sf(), "embeddings")
+    val p = graft.ext.Similarity.axisProjection(emb).queryExecution
+      .explainString(org.apache.spark.sql.execution
+        .ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"axisProjection: broadcast axis join missing:\n$p")
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"axisProjection: shuffled join in the projection plan:\n$p")
+  }
+
   test("tick store symbol+range scan: partition pruning at PLAN time, " +
       "ts bounds pushed to parquet (VERDICT r9 #3)") {
     import org.apache.spark.sql.SaveMode
