@@ -576,6 +576,80 @@ class ScaleProbeSpec extends SparkSpec {
       "segmented tick carry diverges under 90%-one-symbol skew at 10x")
   }
 
+  test("book folds: per-task scan under 90%-one-symbol skew at 10x " +
+      "matches the FoldBars envelope; fold state is symbol-isolated " +
+      "(VERDICT r13 #3)") {
+    // ofi/depthProfile fold each symbol's ordered history in one task
+    // (repartition(symbol) — the FoldBars bar-family budget). On a
+    // 90%-one-symbol corpus the HOT task scans 90% of the book stream.
+    // This probe measures that scan: occupancy (the HOT task's input
+    // IS the envelope — identical to volumeBars' by construction),
+    // wall-clock vs the SAME corpus with symbols balanced (the
+    // parallelism loss a dominant symbol costs), and the fold's
+    // symbol isolation (HOT output is bit-identical whether or not
+    // the other symbols share the job — the property segmentation
+    // would have to preserve, pinned BEFORE it ships). The documented
+    // (symbol, day)-segmented variant (BookFeatures scaladoc) stays
+    // unshipped while the measured single-task scan rides the same
+    // envelope the bar family already carries.
+    import graft.operators.BookFeatures
+    val u0 = Tables.updates(spark, sfDir)
+    val nSeqSpan = u0.agg(max(col("seq"))).head.getLong(0) + 1
+    def remap(hot: Boolean): DataFrame =
+      u0.select(col("ts"), col("seq"), col("is_trade"),
+          col("is_bid"), col("price"), col("size"),
+          explode(sequence(lit(0), lit(Copies - 1))).as("copy"))
+        .select(
+          (if (hot)
+            when((col("seq") + col("copy")) % 10 < 9, "HOT")
+              .otherwise(concat(lit("s"),
+                ((col("seq") + col("copy")) % 10).cast("string")))
+          else concat(lit("s"),
+            ((col("seq") + col("copy")) % 10).cast("string")))
+            .as("symbol"),
+          col("ts"), (col("seq") + col("copy") * nSeqSpan).as("seq"),
+          col("is_trade"), col("is_bid"), col("price"), col("size"))
+        .localCheckpoint(true)
+    val skewed = remap(hot = true)
+    val balanced = remap(hot = false)
+    val books = skewed.where(!col("is_trade"))
+      .groupBy("symbol").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hotScan = books("HOT")
+    // the envelope identity: the fold's per-task input is exactly the
+    // per-symbol book-row count — the same number volumeBars' fold
+    // task scans for the same symbol (both repartition on symbol)
+    assert(hotScan === books.values.max)
+    def wall(df: DataFrame): Double = {
+      val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
+    }
+    val (wSkew, wBal) =
+      (wall(BookFeatures.ofi(skewed)), wall(BookFeatures.ofi(balanced)))
+    info(f"HOT book rows in one task: $hotScan%,d of " +
+      f"${books.values.sum}%,d; ofi wall skewed ${wSkew}%.2fs vs " +
+      f"balanced ${wBal}%.2fs (${wSkew / wBal}%.1fx parallelism loss)")
+    // the single-task scan must stay a LINEAR pass, not blow up: even
+    // with 90% of a 10x corpus in one task the fold is bounded by a
+    // generous absolute wall (the r12 grid form did NOT finish here)
+    assert(wSkew < 120.0, f"skewed fold wall ${wSkew}%.1fs — the " +
+      "linear single-task scan envelope is broken; ship the " +
+      "documented (symbol, day) segmentation")
+    // symbol isolation under this exact skew (fold state never leaks
+    // across symbols) — for BOTH folds
+    def rows(df: DataFrame): Seq[String] = df.collect().map(r =>
+      r.toSeq.map(v => if (v == null) "null" else v.toString)
+        .mkString("|")).sorted.toSeq
+    val hotOnly = skewed.where(col("symbol") === "HOT")
+    assert(rows(BookFeatures.ofi(skewed)
+        .where(col("symbol") === "HOT")) ===
+      rows(BookFeatures.ofi(hotOnly)),
+      "ofi HOT output depends on other symbols' rows")
+    assert(rows(BookFeatures.depthProfile(skewed)
+        .where(col("symbol") === "HOT")) ===
+      rows(BookFeatures.depthProfile(hotOnly)),
+      "depthProfile HOT output depends on other symbols' rows")
+  }
+
   test("salted prefix sum: per-task input stays bounded on a " +
       "90%-one-language corpus at 10x (VERDICT r10 #1)") {
     // unimaxApply's scale arm: the local-cumsum window runs inside
