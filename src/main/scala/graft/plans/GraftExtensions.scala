@@ -204,6 +204,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       EventAnalytics.transitionEntropy(e) }
     registerEventTable(ext, "daily_anomaly") { (e, _) =>
       ActivityStats.dailyAnomaly(e) }
+    // r14: the attribution/survival solver wave and the remaining
+    // clickstream surface as SQL table functions (convType stays at
+    // its 'purchase' default — TVF args are numeric by contract).
+    // The solver TVFs run their driver-side solve during analysis,
+    // so their loud guards (reserved states, maxTypes/maxChannels)
+    // surface from spark.sql() directly.
+    registerEventTable(ext, "session_paths") { (e, a) =>
+      EventAnalytics.sessionPaths(e, long0(a, 1800L),
+        a.lift(1).map(_.toInt).getOrElse(8)) }
+    registerEventTable(ext, "bounce_rate") { (e, a) =>
+      EventAnalytics.bounceRate(e, long0(a, 1800L),
+        a.lift(1).map(_.toLong).getOrElse(7L)) }
+    registerEventTable(ext, "retention_cohorts") { (e, a) =>
+      EventAnalytics.retentionCohorts(e, long0(a, 7L)) }
+    registerEventTable(ext, "dwell_percentiles") { (e, _) =>
+      EventAnalytics.dwellPercentiles(e) }
+    registerEventTable(ext, "ab_test") { (e, _) =>
+      EventAnalytics.abTest(e) }
+    registerEventTable(ext, "event_lift") { (e, _) =>
+      EventAnalytics.eventLift(e) }
+    registerEventTable(ext, "type_pagerank") { (e, a) =>
+      EventAnalytics.typePagerank(e, long0(a, 20L).toInt) }
+    registerEventTable(ext, "markov_attribution") { (e, a) =>
+      EventAnalytics.markovAttribution(e,
+        iterations = long0(a, 20L).toInt) }
+    registerEventTable(ext, "chain_hitting_time") { (e, a) =>
+      EventAnalytics.chainHittingTime(e,
+        iterations = long0(a, 20L).toInt) }
+    registerEventTable(ext, "shapley_attribution") { (e, _) =>
+      EventAnalytics.shapleyAttribution(e) }
+    registerEventTable(ext, "kaplan_meier") { (e, a) =>
+      EventAnalytics.kaplanMeier(e, long0(a, 7L),
+        a.lift(1).map(_.toLong).getOrElse(7L)) }
+    registerEventTable(ext, "cohort_ltv") { (e, a) =>
+      EventAnalytics.cohortLtv(e, long0(a, 7L)) }
   }
 
   /** Inject one operator as a SQL table function: evaluate the literal

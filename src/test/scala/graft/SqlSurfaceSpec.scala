@@ -168,7 +168,34 @@ class SqlSurfaceSpec extends SparkSpec {
         ("hurst", "SELECT * FROM hurst(60)",
           ReturnDynamics.hurst(u, 60L)),
         ("burstiness", "SELECT * FROM burstiness()",
-          ActivityStats.burstiness(ev)))
+          ActivityStats.burstiness(ev)),
+        // r14: the attribution/survival solver wave through the SQL
+        // front door (driver-side solves run during analysis; the
+        // loud guards surface from spark.sql directly — see below)
+        ("session_paths", "SELECT * FROM session_paths(1800)",
+          EventAnalytics.sessionPaths(ev, 1800L)),
+        ("bounce_rate", "SELECT * FROM bounce_rate(1800, 7)",
+          EventAnalytics.bounceRate(ev, 1800L, 7L)),
+        ("retention_cohorts", "SELECT * FROM retention_cohorts(7)",
+          EventAnalytics.retentionCohorts(ev, 7L)),
+        ("dwell_percentiles", "SELECT * FROM dwell_percentiles()",
+          EventAnalytics.dwellPercentiles(ev)),
+        ("ab_test", "SELECT * FROM ab_test()",
+          EventAnalytics.abTest(ev)),
+        ("event_lift", "SELECT * FROM event_lift()",
+          EventAnalytics.eventLift(ev)),
+        ("type_pagerank", "SELECT * FROM type_pagerank(20)",
+          EventAnalytics.typePagerank(ev, 20)),
+        ("markov_attribution", "SELECT * FROM markov_attribution()",
+          EventAnalytics.markovAttribution(ev)),
+        ("chain_hitting_time", "SELECT * FROM chain_hitting_time()",
+          EventAnalytics.chainHittingTime(ev)),
+        ("shapley_attribution", "SELECT * FROM shapley_attribution()",
+          EventAnalytics.shapleyAttribution(ev)),
+        ("kaplan_meier", "SELECT * FROM kaplan_meier(7, 7)",
+          EventAnalytics.kaplanMeier(ev, 7L, 7L)),
+        ("cohort_ltv", "SELECT * FROM cohort_ltv(7)",
+          EventAnalytics.cohortLtv(ev, 7L)))
       wave.foreach { case (name, sql, api) =>
         val viaSql = rows(s.sql(sql))
         assert(viaSql.nonEmpty, s"$name: SQL surface returned no rows")
@@ -183,6 +210,26 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(pinned === registered,
         s"unpinned TVFs: ${(registered -- pinned).toSeq.sorted}; " +
           s"stale pins: ${(pinned -- registered).toSeq.sorted}")
+      // the reserved-state guard fires THROUGH the SQL front door
+      // too (r13 verdict #6): a feed carrying a literal reserved
+      // chain state — including the '__full__' sentinel — raises
+      // loud from spark.sql, never silently merging with the
+      // absorbing state
+      for (bad <- Seq("CONV", "__full__")) {
+        import org.apache.spark.sql.functions.{lit, when, col}
+        ev.withColumn("event_type",
+            when(col("event_id") % 2 === 0, lit(bad))
+              .otherwise(col("event_type")))
+          .createOrReplaceTempView("events")
+        val g = intercept[Exception] {
+          s.sql("SELECT * FROM markov_attribution()").collect()
+        }
+        assert(g.getMessage.contains("collide") &&
+          g.getMessage.contains(bad),
+          s"TVF path did not raise on reserved state $bad: " +
+            g.getMessage)
+      }
+      ev.createOrReplaceTempView("events")
       // composability: the TVF is a real relation — joins, filters and
       // aggregates over it parse and run like any table
       val joined = s.sql(
