@@ -2267,4 +2267,166 @@ object TextOps {
        | FROM scored)
        |WHERE rank <= $topK ORDER BY doc_id, rank"""
       .stripMargin.replace('\n', ' ')
+
+  /** Per-document repetition signals (the Gopher / MassiveText
+    * quality-filter family, Rae et al. 2021 §A1.1): the fraction of
+    * duplicate LINES and of characters inside them, the fraction of
+    * characters covered by the single most frequent word 2-gram, and
+    * the fraction of characters inside word 5-grams that occur more
+    * than once — the standard "remove documents that repeat
+    * themselves" pretraining filters.
+    *
+    * Definitions (deterministic, both engines verbatim):
+    *  - lines split on `\n` as-is (empty lines count);
+    *    `dup_line_frac = Σ_{line values with cnt ≥ 2} cnt / n_lines`,
+    *    `dup_line_char_frac` weights each duplicated line by its
+    *    character length over total line characters;
+    *  - words are the non-empty `\s+` tokens; the char denominator is
+    *    the whitespace-NORMALIZED doc length `Σ len(word) + (n−1)`
+    *    (single-space joined — raw runs of whitespace do not inflate
+    *    the base);
+    *  - `top_2gram_char_frac = cnt·len(gram) / denom` for the most
+    *    frequent 2-gram (ties break to the lexicographically GREATEST
+    *    gram — `max(struct(cnt, gram))` ≡ DuckDB row max);
+    *  - `dup_5gram_char_frac = Σ_{5-grams with cnt ≥ 2} cnt·len / denom`
+    *    (each occurrence weighted whole — the documented simplification
+    *    of Gopher's positional coverage, monotone in the same signal).
+    * All counts are exact integers; each fraction is one IEEE
+    * division; docs without the needed grams emit null fractions.
+    *
+    * Scale shape: three doc-keyed explode→aggregate branches (lines,
+    * 2-grams, 5-grams) joined back on doc_id — per-doc work is linear
+    * in doc length, no cross-doc state anywhere. */
+  def repetitionCoverage(docs: DataFrame): DataFrame = {
+    val base = graft.functions.parallelized(docs)
+      .select(col("doc_id"), col("text"))
+    val words = filter(split(col("text"), "\\s+"),
+      x => length(x) > 0)
+    def grams(n: Int): Column =
+      when(size(words) >= n,
+        transform(sequence(lit(0), size(words) - lit(n)),
+          i => array_join(slice(words, i + lit(1), lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    val denomBase = base.select(col("doc_id"),
+      size(words).cast("long").as("n_words"),
+      length(array_join(words, " ")).cast("long").as("denom"))
+    val lineAgg = base
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("l"))
+      .groupBy(col("doc_id"), col("l"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_lines"),
+        sum(when(col("c") >= 2L, col("c")).otherwise(0L))
+          .as("dup_lines"),
+        sum(col("c") * length(col("l"))).as("line_chars"),
+        sum(when(col("c") >= 2L, col("c") * length(col("l")))
+          .otherwise(0L)).as("dup_line_chars"))
+    val top2 = base
+      .select(col("doc_id"), explode(grams(2)).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("c"), col("g"))).as("top"))
+      .select(col("doc_id"),
+        (col("top.c") * length(col("top.g"))).as("top2_chars"))
+    val dup5 = base
+      .select(col("doc_id"), explode(grams(5)).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("c") >= 2L, col("c") * length(col("g")))
+        .otherwise(0L)).as("dup5_chars"))
+    denomBase
+      .join(lineAgg, Seq("doc_id"), "left")
+      .join(top2, Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_lines"),
+        coalesce(col("dup_lines"), lit(0L)).as("dup_lines"),
+        coalesce(col("top2_chars"), lit(0L)).as("top2_chars"),
+        coalesce(col("dup5_chars"), lit(0L)).as("dup5_chars"),
+        when(col("n_lines") > 0L,
+          coalesce(col("dup_lines"), lit(0L)).cast("double") /
+            col("n_lines").cast("double")).as("dup_line_frac"),
+        when(col("line_chars") > 0L,
+          coalesce(col("dup_line_chars"), lit(0L)).cast("double") /
+            col("line_chars").cast("double")).as("dup_line_char_frac"),
+        when(col("denom") > 0L && col("top2_chars").isNotNull,
+          col("top2_chars").cast("double") / col("denom").cast("double"))
+          .as("top_2gram_char_frac"),
+        when(col("denom") > 0L && col("n_words") >= 5L,
+          coalesce(col("dup5_chars"), lit(0L)).cast("double") /
+            col("denom").cast("double")).as("dup_5gram_char_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[repetitionCoverage]] — identical splits, gram
+    * construction, tie-break, and chain order. */
+  def repetitionCoverageSql(): String =
+    s"""WITH base AS (
+       | SELECT doc_id, text,
+       |  list_filter(string_split_regex(text, '\\s+'),
+       |    x -> len(x) > 0) AS w
+       | FROM documents),
+       |den AS (
+       | SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+       |  CAST(len(array_to_string(w, ' ')) AS BIGINT) AS denom
+       | FROM base),
+       |la AS (
+       | SELECT doc_id,
+       |  CAST(SUM(c) AS BIGINT) AS n_lines,
+       |  CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+       |   AS dup_lines,
+       |  CAST(SUM(c * len(l)) AS BIGINT) AS line_chars,
+       |  CAST(SUM(CASE WHEN c >= 2 THEN c * len(l) ELSE 0 END)
+       |    AS BIGINT) AS dup_line_chars
+       | FROM (
+       |  SELECT doc_id, l, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+       |        FROM base)
+       |  GROUP BY 1, 2)
+       | GROUP BY 1),
+       |g2 AS (
+       | SELECT doc_id, max({'c': c, 'g': g}) AS top
+       | FROM (
+       |  SELECT doc_id, g, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(CASE WHEN len(w) >= 2 THEN
+       |     list_transform(generate_series(1, len(w) - 1),
+       |       i -> array_to_string(w[i:i+1], ' '))
+       |    ELSE [] END) AS g FROM base)
+       |  GROUP BY 1, 2)
+       | GROUP BY 1),
+       |g5 AS (
+       | SELECT doc_id,
+       |  CAST(SUM(CASE WHEN c >= 2 THEN c * len(g) ELSE 0 END)
+       |    AS BIGINT) AS dup5_chars
+       | FROM (
+       |  SELECT doc_id, g, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(CASE WHEN len(w) >= 5 THEN
+       |     list_transform(generate_series(1, len(w) - 4),
+       |       i -> array_to_string(w[i:i+4], ' '))
+       |    ELSE [] END) AS g FROM base)
+       |  GROUP BY 1, 2)
+       | GROUP BY 1)
+       |SELECT d.doc_id, d.n_words, la.n_lines,
+       | COALESCE(la.dup_lines, 0) AS dup_lines,
+       | COALESCE(CAST(g2.top.c * len(g2.top.g) AS BIGINT), 0)
+       |  AS top2_chars,
+       | COALESCE(g5.dup5_chars, 0) AS dup5_chars,
+       | CASE WHEN la.n_lines > 0 THEN
+       |  CAST(COALESCE(la.dup_lines, 0) AS DOUBLE)
+       |   / CAST(la.n_lines AS DOUBLE) END AS dup_line_frac,
+       | CASE WHEN la.line_chars > 0 THEN
+       |  CAST(COALESCE(la.dup_line_chars, 0) AS DOUBLE)
+       |   / CAST(la.line_chars AS DOUBLE) END AS dup_line_char_frac,
+       | CASE WHEN d.denom > 0 AND g2.top.c IS NOT NULL THEN
+       |  CAST(CAST(g2.top.c * len(g2.top.g) AS BIGINT) AS DOUBLE)
+       |   / CAST(d.denom AS DOUBLE) END AS top_2gram_char_frac,
+       | CASE WHEN d.denom > 0 AND d.n_words >= 5 THEN
+       |  CAST(COALESCE(g5.dup5_chars, 0) AS DOUBLE)
+       |   / CAST(d.denom AS DOUBLE) END AS dup_5gram_char_frac
+       |FROM den d
+       |LEFT JOIN la USING (doc_id)
+       |LEFT JOIN g2 USING (doc_id)
+       |LEFT JOIN g5 USING (doc_id)
+       |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
 }

@@ -291,6 +291,204 @@ object RangeSpread {
       .withColumn("gk_vol", sqrt(greatest(gv, lit(0.0d))))
   }
 
+  /** Rogers–Satchell (1991) range volatility per symbol: `σ²_RS =
+    * (1/n) Σ [ln(h/c)·ln(h/o) + ln(l/c)·ln(l/o)]` over the bucket
+    * OHLC series — the drift-INDEPENDENT OHLC estimator ([[
+    * garmanKlass]] assumes zero drift; RS does not, so it is the
+    * right default on trending series).
+    *
+    * Exactness: the four log legs quantize like the family
+    * (`floor(ln(ratio)·1e8)`, loud 2e9 bounds); each bucket term
+    * `uq·vq + wq·xq` is an exact long (both products ≤ 4e18 under
+    * the bound — and nonnegative: h ≥ c,o makes uq,vq ≥ 0 while
+    * l ≤ c,o makes wq,xq ≤ 0, so the sum never cancels to negative);
+    * `Σ term` runs in decimal with raise-guarded BIGINT emission;
+    * `rs_var` is one cast + two divisions, `rs_vol` one
+    * correctly-rounded sqrt. Buckets with a zero-cent open are
+    * dropped (log domain), as in [[garmanKlass]].
+    *
+    * Scale shape: one (symbol, bucket) partial aggregation, one
+    * per-symbol hash aggregation. No window anywhere. */
+  def rogersSatchell(updates: DataFrame, seconds: Long = 60)
+      : DataFrame = {
+    def lq(a: Column, b: Column, what: String): Column =
+      guardedRangeQ(
+        floor(log(a.cast("double") / b.cast("double")) * 1e8d)
+          .cast("long"), what, "rogersSatchell")
+    val termQ =
+      lq(col("hc"), col("cc"), "high/close leg") *
+        lq(col("hc"), col("oc"), "high/open leg") +
+      lq(col("lc"), col("cc"), "low/close leg") *
+        lq(col("lc"), col("oc"), "low/open leg")
+    val g = when(abs(col("_s")) > lit(Long.MaxValue),
+      raise_error(concat(lit("rogersSatchell: sum_term overflows " +
+        "BIGINT at symbol="), col("symbol"))).cast("long"))
+      .otherwise(col("_s").cast("long"))
+    val rv = (col("sum_term").cast("double") / 1e16d) /
+      col("n_buckets").cast("double")
+    ohlcCents(updates, "rogersSatchell", seconds)
+      .where(col("oc") > 0L)
+      .withColumn("term_q", termQ)
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("term_q").cast("decimal(38,0)")).as("_s"))
+      .select(col("symbol"), col("n_buckets"), g.as("sum_term"))
+      .withColumn("rs_var", rv)
+      .withColumn("rs_vol", sqrt(rv))
+  }
+
+  /** DuckDB twin of [[rogersSatchell]] — identical kernel, HUGEINT
+    * sum, the same IEEE chain order. */
+  def rogersSatchellSql(seconds: Long = 60): String =
+    s"""SELECT symbol, n_buckets, sum_term,
+       | (CAST(sum_term AS DOUBLE) / 1e16)
+       |  / CAST(n_buckets AS DOUBLE) AS rs_var,
+       | sqrt((CAST(sum_term AS DOUBLE) / 1e16)
+       |  / CAST(n_buckets AS DOUBLE)) AS rs_vol
+       |FROM (
+       | SELECT symbol, count(*) AS n_buckets,
+       |  CAST(SUM(CAST(uq AS HUGEINT) * CAST(vq AS HUGEINT)
+       |    + CAST(wq AS HUGEINT) * CAST(xq AS HUGEINT)) AS BIGINT)
+       |   AS sum_term
+       | FROM (
+       |  SELECT symbol,
+       |   CAST(floor(ln(CAST(hc AS DOUBLE) / CAST(cc AS DOUBLE))
+       |     * 1e8) AS BIGINT) AS uq,
+       |   CAST(floor(ln(CAST(hc AS DOUBLE) / CAST(oc AS DOUBLE))
+       |     * 1e8) AS BIGINT) AS vq,
+       |   CAST(floor(ln(CAST(lc AS DOUBLE) / CAST(cc AS DOUBLE))
+       |     * 1e8) AS BIGINT) AS wq,
+       |   CAST(floor(ln(CAST(lc AS DOUBLE) / CAST(oc AS DOUBLE))
+       |     * 1e8) AS BIGINT) AS xq
+       |  FROM (${ohlcCentsSql(seconds)}) WHERE oc > 0)
+       | GROUP BY 1)
+       |ORDER BY symbol""".stripMargin.replace('\n', ' ')
+
+  /** Yang–Zhang (2000) volatility per symbol: `σ²_YZ = σ²_o + k·σ²_c
+    * + (1−k)·σ²_RS` over the bucket OHLC series — the
+    * minimum-variance OHLC estimator combining the overnight
+    * (close→next open) variance, the open→close variance, and the
+    * drift-independent [[rogersSatchell]] term, with
+    * `k = 0.34 / (1.34 + (n+1)/(n−1))`.
+    *
+    * Exactness: the overnight leg `oq = floor(ln(o_b/c_{b−1})·1e8)`
+    * and intraday leg `cq = floor(ln(c/o)·1e8)` quantize like the
+    * family (loud 2e9 bounds); the linear sums (`Σoq`, `Σcq`,
+    * `Σrs_term`) are exact decimal with raise-guarded BIGINT
+    * emission, while the SQUARE sums can legitimately exceed 2^63
+    * (a 2e9-bounded leg squares to 4e18 — a handful of wild
+    * overnight gaps is enough) and emit through ONE decimal→double
+    * cast, correctly rounded over the same exact int128 in both
+    * engines (the jumpTest Σm⁴ stance); each
+    * sample variance is the textbook `(Σq² − (Σq)²/n)/(n−1)` spelled
+    * as one fixed IEEE chain over the exact operands. Null without a
+    * two-sided sample (n ≤ 1). The first bucket per symbol has no
+    * prior close and is excluded from ALL terms (the estimator's
+    * jointly-indexed sample).
+    *
+    * Scale shape: one (symbol, bucket) partial aggregation, ONE
+    * per-symbol lag over the bucket series, one hash aggregation. */
+  def yangZhang(updates: DataFrame, seconds: Long = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("symbol")).orderBy(col("start"))
+    def lq(a: Column, b: Column, what: String): Column =
+      guardedRangeQ(
+        floor(log(a.cast("double") / b.cast("double")) * 1e8d)
+          .cast("long"), what, "yangZhang")
+    def g(c: Column, what: String): Column =
+      when(abs(c) > lit(Long.MaxValue),
+        raise_error(concat(lit(s"yangZhang: $what overflows BIGINT " +
+          "at symbol="), col("symbol"))).cast("long"))
+        .otherwise(c.cast("long"))
+    val nD = col("n").cast("double")
+    def sampleVar(sumQ: Column, sumQ2: Column): Column =
+      (sumQ2 / 1e16d -
+        (sumQ.cast("double") / 1e8d) * (sumQ.cast("double") / 1e8d) /
+          nD) / (nD - lit(1.0d))
+    val k = lit(0.34d) /
+      (lit(1.34d) + (nD + lit(1.0d)) / (nD - lit(1.0d)))
+    val rsv = (col("sum_rs").cast("double") / 1e16d) / nD
+    val yz = sampleVar(col("sum_oq"), col("sum_oq2")) +
+      k * sampleVar(col("sum_cq"), col("sum_cq2")) +
+      (lit(1.0d) - k) * rsv
+    ohlcCents(updates, "yangZhang", seconds)
+      .where(col("oc") > 0L)
+      .withColumn("pc", lag(col("cc"), 1).over(w))
+      .where(col("pc").isNotNull && col("pc") > 0L)
+      .withColumn("oq", lq(col("oc"), col("pc"), "overnight leg"))
+      .withColumn("cq", lq(col("cc"), col("oc"), "open-close leg"))
+      .withColumn("rs_q",
+        lq(col("hc"), col("cc"), "high/close leg") *
+          lq(col("hc"), col("oc"), "high/open leg") +
+        lq(col("lc"), col("cc"), "low/close leg") *
+          lq(col("lc"), col("oc"), "low/open leg"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("oq").cast("decimal(38,0)")).as("_so"),
+        sum(col("oq").cast("decimal(19,0)") *
+          col("oq").cast("decimal(19,0)")).as("_so2"),
+        sum(col("cq").cast("decimal(38,0)")).as("_sc"),
+        sum(col("cq").cast("decimal(19,0)") *
+          col("cq").cast("decimal(19,0)")).as("_sc2"),
+        sum(col("rs_q").cast("decimal(38,0)")).as("_sr"))
+      .select(col("symbol"), col("n"),
+        g(col("_so"), "sum_oq").as("sum_oq"),
+        col("_so2").cast("double").as("sum_oq2"),
+        g(col("_sc"), "sum_cq").as("sum_cq"),
+        col("_sc2").cast("double").as("sum_cq2"),
+        g(col("_sr"), "sum_rs").as("sum_rs"))
+      .withColumn("yz_var", when(col("n") > 1L, yz))
+      .withColumn("yz_vol",
+        when(col("n") > 1L, sqrt(greatest(yz, lit(0.0d)))))
+  }
+
+  /** DuckDB twin of [[yangZhang]] — identical kernel, lag, HUGEINT
+    * sums, and IEEE chain order. */
+  def yangZhangSql(seconds: Long = 60): String = {
+    def sv(q: String, q2: String) =
+      s"($q2 / 1e16 - (CAST($q AS DOUBLE) / 1e8)" +
+        s" * (CAST($q AS DOUBLE) / 1e8)" +
+        " / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)"
+    val k = "0.34 / (1.34 + (CAST(n AS DOUBLE) + 1.0)" +
+      " / (CAST(n AS DOUBLE) - 1.0))"
+    val rsv = "(CAST(sum_rs AS DOUBLE) / 1e16) / CAST(n AS DOUBLE)"
+    val yz = s"${sv("sum_oq", "sum_oq2")} + ($k) * " +
+      s"${sv("sum_cq", "sum_cq2")} + (1.0 - ($k)) * $rsv"
+    s"""SELECT symbol, n, sum_oq, sum_oq2, sum_cq, sum_cq2, sum_rs,
+       | CASE WHEN n > 1 THEN $yz END AS yz_var,
+       | CASE WHEN n > 1 THEN sqrt(greatest($yz, 0.0)) END AS yz_vol
+       |FROM (
+       | SELECT symbol, count(*) AS n,
+       |  CAST(SUM(CAST(oq AS HUGEINT)) AS BIGINT) AS sum_oq,
+       |  CAST(SUM(CAST(oq AS HUGEINT) * CAST(oq AS HUGEINT))
+       |    AS DOUBLE) AS sum_oq2,
+       |  CAST(SUM(CAST(cq AS HUGEINT)) AS BIGINT) AS sum_cq,
+       |  CAST(SUM(CAST(cq AS HUGEINT) * CAST(cq AS HUGEINT))
+       |    AS DOUBLE) AS sum_cq2,
+       |  CAST(SUM(CAST(rs_q AS HUGEINT)) AS BIGINT) AS sum_rs
+       | FROM (
+       |  SELECT symbol,
+       |   CAST(floor(ln(CAST(oc AS DOUBLE) / CAST(pc AS DOUBLE))
+       |     * 1e8) AS BIGINT) AS oq,
+       |   CAST(floor(ln(CAST(cc AS DOUBLE) / CAST(oc AS DOUBLE))
+       |     * 1e8) AS BIGINT) AS cq,
+       |   CAST(floor(ln(CAST(hc AS DOUBLE) / CAST(cc AS DOUBLE))
+       |     * 1e8) AS BIGINT)
+       |    * CAST(floor(ln(CAST(hc AS DOUBLE) / CAST(oc AS DOUBLE))
+       |     * 1e8) AS BIGINT)
+       |   + CAST(floor(ln(CAST(lc AS DOUBLE) / CAST(cc AS DOUBLE))
+       |     * 1e8) AS BIGINT)
+       |    * CAST(floor(ln(CAST(lc AS DOUBLE) / CAST(oc AS DOUBLE))
+       |     * 1e8) AS BIGINT) AS rs_q
+       |  FROM (
+       |   SELECT symbol, start, oc, hc, lc, cc,
+       |    lag(cc, 1) OVER (PARTITION BY symbol ORDER BY start) AS pc
+       |   FROM (${ohlcCentsSql(seconds)}) WHERE oc > 0)
+       |  WHERE pc IS NOT NULL AND pc > 0)
+       | GROUP BY 1)
+       |ORDER BY symbol""".stripMargin.replace('\n', ' ')
+  }
+
   /** DuckDB twin of [[garmanKlass]] — identical kernel and chain. */
   def garmanKlassSql(seconds: Long = 60): String =
     s"""SELECT symbol, n_buckets, sum_rq2, sum_cq2,

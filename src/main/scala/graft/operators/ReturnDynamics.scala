@@ -541,4 +541,108 @@ object ReturnDynamics {
        | GROUP BY 1)
        |ORDER BY symbol""".stripMargin.replace('\n', ' ')
   }
+
+  /** Two-scale realized variance per symbol (Zhang–Mykland–
+    * Aït-Sahalia 2005): the microstructure-noise-ROBUST RV —
+    * `TSRV = RV_avg(K) − (n̄/n)·RV_full` where `RV_avg(K)` averages
+    * the K offset subgrids' realized variances (≡ the lag-K squared
+    * returns divided by K) and the second term subtracts the noise
+    * bias the full grid accumulates, `n̄ = (m−K+1)/K` with `m` the
+    * bucket count and `n = m−1` the full-grid return count. The
+    * corrective companion of [[volSignature]]'s diagnostic: the
+    * signature plot SHOWS the noise, TSRV removes it. Slightly
+    * negative values are the estimator's known small-sample behavior;
+    * `tsrv_pos` clamps at 0.
+    *
+    * Exactness: both return scales quantize like
+    * [[Microstructure.bucketReturns]] (`floor(ln(c_b/c_{b−j})·1e6)`,
+    * loud |q| > 1e9 guards); `Σq²` runs in decimal with raise-guarded
+    * BIGINT emission per scale; the estimator is one fixed IEEE chain
+    * over the exact integers. Null without a subgrid return
+    * (m ≤ K) or a full-grid pair (m ≤ 1). Lags step over PRESENT
+    * buckets (the family convention — an empty bucket does not break
+    * the series).
+    *
+    * Scale shape: one (symbol, bucket) partial aggregation, two
+    * per-symbol lags over the ONE bucket-series window, one hash
+    * aggregation. */
+  def tsrv(updates: DataFrame, seconds: Long = 60, k: Int = 5)
+      : DataFrame = {
+    require(k > 1, "k must exceed 1 (K=1 degenerates to RV_full)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("symbol")).orderBy(col("start"))
+    def q(lagN: Int, what: String): Column = {
+      val raw = floor(log(col("close") /
+        lag(col("close"), lagN).over(w)) * 1e6).cast("long")
+      when(raw.isNull, lit(null).cast("long"))
+        .otherwise(when(abs(raw) > 1000000000L,
+          raise_error(concat(lit(s"tsrv: $what outside double range " +
+            "at symbol="), col("symbol"))).cast("long"))
+          .otherwise(raw))
+    }
+    def g(c: Column, what: String): Column =
+      when(abs(c) > lit(Long.MaxValue),
+        raise_error(concat(lit(s"tsrv: $what overflows BIGINT at " +
+          "symbol="), col("symbol"))).cast("long"))
+        .otherwise(c.cast("long"))
+    val mD = col("m").cast("double")
+    val rvFull = col("sum_q2_1").cast("double") / 1e12d
+    val avgRv = (col("sum_q2_k").cast("double") / 1e12d) / lit(k.toDouble)
+    val nBar = (mD - lit(k.toDouble) + lit(1.0d)) / lit(k.toDouble)
+    val est = avgRv - nBar / (mD - lit(1.0d)) * rvFull
+    updates.where(col("is_trade") && col("price") > 0.0d)
+      .groupBy(col("symbol"),
+        graft.functions.timeBucket(graft.functions.tsSeconds(col("ts")),
+          seconds).as("start"))
+      .agg(max_by(Microstructure.finitePrice,
+        struct(col("ts"), col("seq"))).as("close"))
+      .withColumn("q1", q(1, "full-grid ratio"))
+      .withColumn("qk", q(k, "subgrid ratio"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("m"),
+        coalesce(sum(col("q1").cast("decimal(19,0)") *
+          col("q1").cast("decimal(19,0)")), lit(0)).as("_s1"),
+        coalesce(sum(col("qk").cast("decimal(19,0)") *
+          col("qk").cast("decimal(19,0)")), lit(0)).as("_sk"))
+      .select(col("symbol"), col("m"),
+        g(col("_s1"), "sum_q2_1").as("sum_q2_1"),
+        g(col("_sk"), "sum_q2_k").as("sum_q2_k"))
+      .withColumn("rv_full", when(col("m") > 1L, rvFull))
+      .withColumn("tsrv", when(col("m") > lit(k.toLong), est))
+      .withColumn("tsrv_pos",
+        when(col("m") > lit(k.toLong), greatest(est, lit(0.0d))))
+  }
+
+  /** DuckDB twin of [[tsrv]] — identical kernel, lags, HUGEINT sums,
+    * and IEEE chain order. */
+  def tsrvSql(seconds: Long = 60, k: Int = 5): String = {
+    val rvFull = "CAST(sum_q2_1 AS DOUBLE) / 1e12"
+    val avgRv = s"(CAST(sum_q2_k AS DOUBLE) / 1e12) / ${k.toDouble}"
+    val nBar = s"(CAST(m AS DOUBLE) - ${k.toDouble} + 1.0) / ${k.toDouble}"
+    val est = s"$avgRv - $nBar / (CAST(m AS DOUBLE) - 1.0) * ($rvFull)"
+    s"""SELECT symbol, m, sum_q2_1, sum_q2_k,
+       | CASE WHEN m > 1 THEN $rvFull END AS rv_full,
+       | CASE WHEN m > $k THEN $est END AS tsrv,
+       | CASE WHEN m > $k THEN greatest($est, 0.0) END AS tsrv_pos
+       |FROM (
+       | SELECT symbol, count(*) AS m,
+       |  COALESCE(CAST(SUM(CAST(q1 AS HUGEINT) * CAST(q1 AS HUGEINT))
+       |    AS BIGINT), 0) AS sum_q2_1,
+       |  COALESCE(CAST(SUM(CAST(qk AS HUGEINT) * CAST(qk AS HUGEINT))
+       |    AS BIGINT), 0) AS sum_q2_k
+       | FROM (
+       |  SELECT symbol,
+       |   CAST(floor(ln(close / lag(close, 1) OVER w) * 1e6)
+       |     AS BIGINT) AS q1,
+       |   CAST(floor(ln(close / lag(close, $k) OVER w) * 1e6)
+       |     AS BIGINT) AS qk
+       |  FROM (
+       |   SELECT symbol, ((ts // 1000) // $seconds) * $seconds AS start,
+       |    last(price ORDER BY ts, seq) AS close
+       |   FROM updates WHERE is_trade AND price > 0.0
+       |   GROUP BY 1, 2)
+       |  WINDOW w AS (PARTITION BY symbol ORDER BY start))
+       | GROUP BY 1)
+       |ORDER BY symbol""".stripMargin.replace('\n', ' ')
+  }
 }

@@ -176,6 +176,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Microstructure.tradeSizePercentiles(u) }
     registerTable(ext, "volume_hhi") { (u, a) =>
       Microstructure.volumeHhi(u, long0(a, 100L)) }
+    registerTable(ext, "rogers_satchell") { (u, a) =>
+      RangeSpread.rogersSatchell(u, long0(a, 60L)) }
+    registerTable(ext, "yang_zhang") { (u, a) =>
+      RangeSpread.yangZhang(u, long0(a, 60L)) }
+    registerTable(ext, "tsrv") { (u, a) =>
+      ReturnDynamics.tsrv(u, long0(a, 60L),
+        a.lift(1).map(_.toInt).getOrElse(5)) }
     // clickstream family (the tick view argument names the EVENTS
     // view here — default 'events')
     registerEventTable(ext, "sessionize") { (e, a) =>

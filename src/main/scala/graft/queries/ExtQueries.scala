@@ -569,6 +569,14 @@ object ExtQueries {
       (s, dir) => TextOps.jsdSources(docs(s, dir)).orderBy("source"),
       Some(TextOps.jsdSourcesSql())),
 
+    // per-doc Gopher repetition signals: duplicate-line fractions,
+    // top-2gram and duplicated-5gram character coverage — the
+    // standard self-repetition pretraining filters; exact integer
+    // counts, one IEEE division per fraction
+    Q("q_repetition_coverage",
+      (s, dir) => TextOps.repetitionCoverage(docs(s, dir)),
+      Some(TextOps.repetitionCoverageSql())),
+
     // per-source PSI of the doc-length histogram vs the corpus —
     // shape drift orthogonal to the vocabulary KL above; fixed
     // integer bin ladder, smoothed, quantized logs, decimal sum

@@ -441,7 +441,29 @@ object TickQueries {
     // twin re-buckets each scale from the raw stream — rebin identity
     Q("q_vol_signature",
       (s, dir) => Microstructure.volSignature(u(s, dir)),
-      Some(Tables.withUpdates(Microstructure.volSignatureSql())))
+      Some(Tables.withUpdates(Microstructure.volSignatureSql()))),
+
+    // r14: the OHLC estimator family completed — Rogers-Satchell
+    // (drift-independent) and Yang-Zhang (overnight + intraday +
+    // RS, the minimum-variance combination); same quantized-log
+    // kernel, exact term sums, fixed IEEE chains
+    Q("q_rogers_satchell",
+      (s, dir) => RangeSpread.rogersSatchell(u(s, dir))
+        .orderBy("symbol"),
+      Some(Tables.withUpdates(RangeSpread.rogersSatchellSql()))),
+
+    Q("q_yang_zhang",
+      (s, dir) => RangeSpread.yangZhang(u(s, dir))
+        .orderBy("symbol"),
+      Some(Tables.withUpdates(RangeSpread.yangZhangSql()))),
+
+    // two-scale realized variance (noise-robust RV): subgrid-average
+    // minus bias-corrected full-grid RV, both scales off the one
+    // bucket-close series with two lags over a single window
+    Q("q_tsrv",
+      (s, dir) => ReturnDynamics.tsrv(u(s, dir))
+        .orderBy("symbol"),
+      Some(Tables.withUpdates(ReturnDynamics.tsrvSql())))
   )
 
   /** One partitioned store per sf DIR (keyed by dir alone, NOT per

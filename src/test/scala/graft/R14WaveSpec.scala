@@ -52,6 +52,126 @@ class R14WaveSpec extends SparkSpec {
     assert(all.map(_.toString).toSeq === full.map(_.toString).toSeq)
   }
 
+  private def lq8(a: Long, b: Long): Long =
+    math.floor(math.log(a.toDouble / b.toDouble) * 1e8).toLong
+
+  /** One bucket per minute trading the exact path o -> h -> l -> c. */
+  private def ohlc(sym: String, n: Int,
+      o: Double, h: Double, l: Double, c: Double): Seq[Update] =
+    (0 until n).flatMap { i =>
+      Seq(o, h, l, c).zipWithIndex.map { case (p, j) =>
+        Update(sym, T0 + i * 60000L + j * 1000L, j.toLong,
+          is_trade = true, is_bid = true, p, 1.0)
+      }
+    }
+
+  test("rogersSatchell: planted OHLC matches the exact quantized " +
+      "scalar; a pure-drift path scores exactly zero") {
+    import graft.operators.RangeSpread
+    // 10 buckets of o=100 h=102 l=99 c=101
+    val mixed = ohlc("m", 10, 100.0, 102.0, 99.0, 101.0)
+    // pure drift: opens at the low, closes at the high -> both
+    // products carry a zero leg, RS is EXACTLY zero (the
+    // drift-independence Garman-Klass lacks)
+    val drift = ohlc("d", 10, 100.0, 102.0, 100.0, 102.0)
+    val out = RangeSpread.rogersSatchell(updatesDf(mixed ++ drift))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val term = lq8(10200, 10100) * lq8(10200, 10000) +
+      lq8(9900, 10100) * lq8(9900, 10000)
+    assert(out("m").getLong(1) === 10L)
+    assert(out("m").getLong(2) === 10L * term)
+    assert(out("m").getDouble(3) ===
+      (10L * term).toDouble / 1e16 / 10.0)
+    assert(out("d").getLong(2) === 0L)
+    assert(out("d").getDouble(3) === 0.0)
+  }
+
+  test("yangZhang: zero-overnight zero-intraday fixture reduces to " +
+      "(1-k) x Rogers-Satchell; first bucket is excluded") {
+    import graft.operators.RangeSpread
+    // every bucket opens where the last closed (no overnight move)
+    // and closes at its open (no intraday move), with an h=102/l=99
+    // wick -> sigma_o = sigma_c = 0 exactly, yz = (1-k) * rs
+    val ups = ohlc("y", 12, 100.0, 102.0, 99.0, 100.0)
+    val out = RangeSpread.yangZhang(updatesDf(ups)).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    val n = 11L // 12 buckets, first excluded (no prior close)
+    assert(r.getLong(1) === n)
+    assert(r.getLong(2) === 0L && r.getLong(4) === 0L) // sum_oq, sum_cq
+    assert(r.getDouble(3) === 0.0 && r.getDouble(5) === 0.0)
+    val term = lq8(10200, 10000) * lq8(10200, 10000) +
+      lq8(9900, 10000) * lq8(9900, 10000)
+    assert(r.getLong(6) === n * term)
+    val k = 0.34 / (1.34 + (n + 1).toDouble / (n - 1).toDouble)
+    val rs = (n * term).toDouble / 1e16 / n.toDouble
+    assert(math.abs(r.getDouble(7) - (1.0 - k) * rs) < 1e-18,
+      s"yz_var ${r.getDouble(7)} != ${(1.0 - k) * rs}")
+  }
+
+  test("tsrv: pure bid-ask bounce collapses toward zero while " +
+      "RV_full stays inflated; exact integer sums pin the chain") {
+    import graft.operators.ReturnDynamics
+    // alternating 100/101 closes: full-grid returns are +-ln(1.01)
+    // every bucket (pure noise RV), while the K=5 subgrid return
+    // (odd lag) is also +-ln(1.01) per 5 buckets -> TSRV removes
+    // ~4/5 of the noise by construction of the estimator
+    val m = 101
+    val ups = (0 until m).map { i =>
+      Update("b", T0 + i * 60000L, 0L, is_trade = true,
+        is_bid = true, if (i % 2 == 0) 100.0 else 101.0, 1.0)
+    }
+    val out = ReturnDynamics.tsrv(updatesDf(ups)).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    val up = math.floor(math.log(101.0 / 100.0) * 1e6).toLong
+    val dn = math.floor(math.log(100.0 / 101.0) * 1e6).toLong
+    assert(r.getLong(1) === m.toLong)
+    assert(r.getLong(2) === 50L * up * up + 50L * dn * dn)
+    // K=5 with alternating closes: each lag-5 ratio is one net move
+    val nK = m - 5
+    assert(r.getLong(3) === (nK / 2) * up * up + (nK / 2) * dn * dn)
+    val rvFull = r.getLong(2).toDouble / 1e12
+    val avgRv = r.getLong(3).toDouble / 1e12 / 5.0
+    val nBar = (m - 5 + 1).toDouble / 5.0
+    val want = avgRv - nBar / (m - 1).toDouble * rvFull
+    assert(r.getDouble(5) === want)
+    assert(r.getDouble(5) < 0.5 * rvFull,
+      s"TSRV ${r.getDouble(5)} did not shrink the noise RV $rvFull")
+  }
+
+  test("repetitionCoverage: planted docs pin the line, top-2gram and " +
+      "dup-5gram fractions exactly; empty and tiny docs null out") {
+    import spark.implicits._
+    val docs = Seq(
+      // lines: x, y, x, '' -> 4 lines, dup 'x' pair; words: x y x
+      (1L, "a", "x\ny\nx\n"),
+      // one line, no dup; 6 words all 'w' -> top 2-gram 'w w' cnt 5,
+      // denom 11; 5-grams 'w w w w w' cnt 2 -> dup chars 2*9=18
+      (2L, "a", "w w w w w w"),
+      (3L, "a", ""), // no words -> null fracs
+      (4L, "a", "solo")) // 1 word: no 2-grams, n_words < 5
+      .toDF("doc_id", "source", "text")
+    val out = graft.ext.TextOps.repetitionCoverage(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getLong(2) === 4L) // n_lines (trailing empty kept)
+    assert(d1.getLong(3) === 2L) // dup_lines
+    assert(d1.getDouble(6) === 0.5) // dup_line_frac
+    assert(d1.getDouble(7) === 2.0 / 3.0) // dup chars 2 of 3
+    val d2 = out(2L)
+    assert(d2.getDouble(6) === 0.0)
+    assert(d2.getLong(4) === 5L * 3L) // top2_chars: 'w w' x5
+    assert(d2.getDouble(8) === 15.0 / 11.0) // occurrence-weighted
+    assert(d2.getLong(5) === 2L * 9L) // dup5 chars
+    assert(d2.getDouble(9) === 18.0 / 11.0)
+    val d3 = out(3L)
+    assert(d3.getLong(1) === 0L && d3.isNullAt(8) && d3.isNullAt(9))
+    val d4 = out(4L)
+    assert(d4.isNullAt(8), "no 2-grams must emit null top fraction")
+    assert(d4.isNullAt(9), "sub-5-word doc must emit null dup5")
+  }
+
   test("depthProfileSampled: bucket-rank striding keeps whole " +
       "8-row bucket groups and matches the full fold rows exactly") {
     val ups = book("d", 12)

@@ -167,6 +167,12 @@ class SqlSurfaceSpec extends SparkSpec {
           ReturnDynamics.returnAcf(u, 60L)),
         ("hurst", "SELECT * FROM hurst(60)",
           ReturnDynamics.hurst(u, 60L)),
+        ("rogers_satchell", "SELECT * FROM rogers_satchell(60)",
+          RangeSpread.rogersSatchell(u, 60L)),
+        ("yang_zhang", "SELECT * FROM yang_zhang(60)",
+          RangeSpread.yangZhang(u, 60L)),
+        ("tsrv", "SELECT * FROM tsrv(60, 5)",
+          ReturnDynamics.tsrv(u, 60L, 5)),
         ("burstiness", "SELECT * FROM burstiness()",
           ActivityStats.burstiness(ev)),
         // r14: the attribution/survival solver wave through the SQL
