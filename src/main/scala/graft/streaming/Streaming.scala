@@ -1476,6 +1476,103 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Per-symbol Rogers–Satchell state: the open bucket's OHLC in exact
+    * integer cents with the (ts, seq) stamps that make open/close
+    * robust to out-of-order arrivals WITHIN a bucket, plus the
+    * closed-bucket count and exact Σterm (BigInt as string). */
+  case class RsState(bucket: Long, oc: Long, ots: Long, oseq: Long,
+      hc: Long, lc: Long, cc: Long, cts: Long, cseq: Long,
+      n: Long, s: String)
+  case class RsRow(symbol: String, n_buckets: Long,
+      sum_term: Option[Long], rs_var: Option[Double],
+      rs_vol: Option[Double])
+
+  /** Rogers–Satchell range volatility on a STREAM — the
+    * serve-current-state twin of
+    * [[graft.operators.RangeSpread.rogersSatchell]]: the open bucket
+    * carries exact integer-cent OHLC (open/close stamped by (ts, seq)
+    * so a late same-bucket row lands exactly where the batch
+    * `min_by`/`max_by` would put it), rollover closes the bucket with
+    * the batch quantization (four `floor(ln·1e8)` legs, loud 2e9
+    * bounds, zero-cent lows and opens dropped), and the CURRENT
+    * estimate is emitted from the exact running sum — after a
+    * far-future closer the last serving row equals the batch operator
+    * bit-for-bit (StreamingSpec). */
+  def streamingRogersSatchell(updates: Dataset[Update],
+      seconds: Long = 60): Dataset[RsRow] = {
+    import updates.sparkSession.implicits._
+    def bucketOf(ts: Long): Long = Streaming.Buckets.of(ts, seconds)
+    val Unset = Long.MinValue
+    def zero = RsState(Unset, 0L, 0L, 0L, Long.MinValue, Long.MaxValue,
+      0L, 0L, 0L, 0L, "0")
+    def cents(sym: String, p: Double): Long = {
+      val c = math.floor(p * 100.0d + 0.5d)
+      if (math.abs(c) > 1.0e12d) throw new ArithmeticException(
+        s"rogersSatchell: price outside the exact-decimal regime at " +
+          s"symbol=$sym")
+      c.toLong
+    }
+    def lq(sym: String, a: Long, b: Long, what: String): Long = {
+      val v = math.floor(
+        math.log(a.toDouble / b.toDouble) * 1e8d).toLong
+      if (math.abs(v) > 2000000000L) throw new ArithmeticException(
+        s"rogersSatchell: $what outside the exact regime at " +
+          s"symbol=$sym")
+      v
+    }
+    def closeBucket(sym: String, st: RsState): RsState = {
+      if (st.lc <= 0L || st.oc <= 0L) return st // the batch log-domain drops
+      val term = lq(sym, st.hc, st.cc, "high/close leg") *
+        lq(sym, st.hc, st.oc, "high/open leg") +
+        lq(sym, st.lc, st.cc, "low/close leg") *
+        lq(sym, st.lc, st.oc, "low/open leg")
+      st.copy(n = st.n + 1L,
+        s = (BigInt(st.s) + BigInt(term)).toString)
+    }
+    def emit(sym: String, st: RsState): RsRow = {
+      if (st.n == 0L) return RsRow(sym, 0L, None, None, None)
+      val b = BigInt(st.s)
+      if (b.abs > BigInt(Long.MaxValue)) throw new ArithmeticException(
+        s"rogersSatchell: sum_term overflows BIGINT at symbol=$sym")
+      val sumL = b.toLong
+      val rv = (sumL.toDouble / 1e16d) / st.n.toDouble
+      RsRow(sym, st.n, Some(sumL), Some(rv), Some(math.sqrt(rv)))
+    }
+    def fn(sym: String, rows: Iterator[Update],
+        state: GroupState[RsState]): Iterator[RsRow] = {
+      var st = state.getOption.getOrElse(zero)
+      rows.toSeq.filter(u => u.is_trade && SqlOrd.gt(u.price, 0.0))
+        .sortBy(u => (u.ts, u.seq)).foreach { u =>
+          FiniteGuard.price("rogersSatchell", u)
+          val b = bucketOf(u.ts)
+          val c = cents(sym, u.price)
+          if (st.bucket == Unset)
+            st = RsState(b, c, u.ts, u.seq, c, c, c, u.ts, u.seq,
+              st.n, st.s)
+          else if (b != st.bucket) {
+            val closed = closeBucket(sym, st)
+            st = RsState(b, c, u.ts, u.seq, c, c, c, u.ts, u.seq,
+              closed.n, closed.s)
+          } else {
+            val o =
+              if (u.ts < st.ots || (u.ts == st.ots && u.seq < st.oseq))
+                (c, u.ts, u.seq) else (st.oc, st.ots, st.oseq)
+            val cl =
+              if (u.ts > st.cts || (u.ts == st.cts && u.seq >= st.cseq))
+                (c, u.ts, u.seq) else (st.cc, st.cts, st.cseq)
+            st = st.copy(oc = o._1, ots = o._2, oseq = o._3,
+              hc = math.max(st.hc, c), lc = math.min(st.lc, c),
+              cc = cl._1, cts = cl._2, cseq = cl._3)
+          }
+        }
+      state.update(st)
+      Iterator.single(emit(sym, st))
+    }
+    updates.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Per-symbol drawdown state: the open bucket and its running close,
     * the running peak over CLOSED buckets, and the exact minimum
     * quantized trough ratio with its earliest bucket. O(1) per key. */

@@ -518,6 +518,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming rogers-satchell: after sentinel closers the serving " +
+      "row per symbol IS the batch estimator bit-exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ups = Tables.updatesDs(spark, sf("sf0.001")).collect()
+      .sortBy(u0 => (u0.ts, u0.seq))
+    def optD(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    val want = graft.operators.RangeSpread
+      .rogersSatchell(updatesDf(ups.toSeq)).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), Some(r.getLong(2)), optD(r, 3), optD(r, 4))))
+      .toMap
+    val maxTs = ups.map(_.ts).max
+    val closers = ups.filter(_.is_trade).map(_.symbol).distinct
+      .sorted.zipWithIndex.map {
+        case (s0, i) => graft.model.Update(s0, maxTs + 7200L * 1000,
+          7400L + i, is_trade = true, is_bid = true, 1.0, 1.0)
+      }
+    val in = MemoryStream[Update]
+    val q = Streaming.streamingRogersSatchell(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("srs14")
+      .start()
+    // split INSIDE the stream so buckets straddle micro-batches —
+    // the (ts, seq)-stamped open/close must survive the boundary
+    // (the in-order ingest contract of the serving-twin family)
+    val (b1, b2) = ups.splitAt(ups.length / 2)
+    in.addData(b1.toSeq: _*); q.processAllAvailable()
+    in.addData(b2.toSeq: _*); q.processAllAvailable()
+    in.addData(closers.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("srs14").as[Streaming.RsRow].collect()
+      .zipWithIndex.groupBy(_._1.symbol).view
+      .mapValues(_.maxBy(_._2)._1).toMap
+    assert(want.nonEmpty)
+    want.foreach { case (s0, w) =>
+      val g = got(s0)
+      assert((g.n_buckets, g.sum_term, g.rs_var, g.rs_vol) === w,
+        s"rogers-satchell drift at $s0")
+    }
+  }
+
   test("streaming max drawdown: after sentinel closers the serving row " +
       "per symbol IS the batch row bit-exactly") {
     import spark.implicits._
