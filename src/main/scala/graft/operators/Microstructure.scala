@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2154,5 +2154,168 @@ object Microstructure {
        |  / CAST(n_returns * scale_s AS DOUBLE) AS var_per_sec
        |FROM ($arms)
        |ORDER BY symbol, scale_s""".stripMargin.replace('\n', ' ')
+  }
+
+  /** Hayashi–Yoshida covariance of every symbol against a BENCHMARK
+    * symbol at TICK grain (Hayashi & Yoshida 2005) — the asynchronous-
+    * data covariance that needs no common clock: for each of a
+    * symbol's trade-to-trade intervals, the benchmark's overlapping
+    * return TELESCOPES to one ratio between two as-of lookups (the
+    * benchmark price at the last bench tick at-or-before the interval
+    * start, and at the first bench tick at-or-after its end — both in
+    * the engine's (ts, seq) total order), so
+    * `HY = Σ_i qa_i · qb_i` with no bucket grid anywhere — the
+    * tick-level companion of [[symbolBeta]] (bucketed regression) and
+    * [[leadLag]] (bucketed cross-correlation). `hy_corr` normalizes by
+    * the two tick-level realized volatilities.
+    *
+    * Boundary/quantization contract (identical both engines, the
+    * DEFINITION here): intervals before the benchmark's first tick or
+    * after its last are dropped (no partial-overlap tail terms); each
+    * leg quantizes ONCE as `floor(ln(ratio)·1e6)` (the telescoped
+    * bench ratio, not per-bench-interval — self-consistent across
+    * engines by construction) with the loud 1e9 bound; `Σ qa·qb` and
+    * the squared sums run in decimal with raise-guarded BIGINT
+    * emission; `hy_cov`/`hy_corr` are fixed IEEE chains.
+    *
+    * Scale shape: the two bench lookups are [[TickCarry]] carries over
+    * the GLOBAL (ts, seq) order (constant key → per-day segments at
+    * scale; the forward lookup is the carry mirrored in time), the
+    * interval lag is the per-symbol chained carry, then one per-symbol
+    * hash aggregation and a 1-row benchmark-RV broadcast. Dispatch
+    * follows [[tickRuleFlow]]'s row bound. */
+  def hayashiYoshida(updates: DataFrame, benchmark: String = "click",
+      maxWindowRows: Long = TickCarry.TickWindowMaxRows): DataFrame = {
+    require(benchmark.matches("[A-Za-z0-9_.:-]+"),
+      s"benchmark symbol must match [A-Za-z0-9_.:-]+, got: $benchmark")
+    val base = updates.where(col("is_trade") && col("price") > 0.0d)
+      .select(col("symbol"), col("ts"), col("seq"),
+        finitePrice.as("price"))
+    hayashiYoshidaPlan(base, benchmark,
+      base.count() > maxWindowRows)
+  }
+
+  private[graft] def hayashiYoshidaPlan(base: DataFrame,
+      benchmark: String, segmented: Boolean): DataFrame = {
+    import TickCarry.Carry
+    def qOf(a: Column, b: Column, what: String): Column = {
+      val raw = floor(log(a / b) * 1e6d).cast("long")
+      when(raw.isNull, lit(null).cast("long"))
+        .otherwise(when(abs(raw) > 1000000000L,
+          raise_error(concat(lit(s"hayashiYoshida: $what outside " +
+            "double range at symbol="), col("symbol"))).cast("long"))
+          .otherwise(raw))
+    }
+    def guardedLong(c: Column, what: String): Column =
+      when(abs(c) > lit(Long.MaxValue),
+        raise_error(concat(lit(s"hayashiYoshida: $what overflows " +
+          "BIGINT at symbol="), col("symbol"))).cast("long"))
+        .otherwise(c.cast("long"))
+    val benchMark = when(col("symbol") === benchmark, col("price"))
+    // global-order bench lookups (constant key); then the per-symbol
+    // interval lag and the previous row's backward lookup — the
+    // tickRuleFlow chained-carry idiom, never a whole-history window
+    val looked = TickCarry.carryLast(
+      base.withColumn("_hy", lit(1)),
+      Seq(
+        Carry(benchMark, includeCurrent = true, "pb_lo"),
+        Carry(benchMark, includeCurrent = true, "pb_hi",
+          forward = true)),
+      segmented, keys = Seq("_hy"))
+    val lagged = TickCarry.carryLast(looked,
+      Seq(
+        Carry(col("price"), includeCurrent = false, "pa_prev"),
+        Carry(col("pb_lo"), includeCurrent = false, "pb_lo_prev")),
+      segmented)
+      .where(col("pa_prev").isNotNull)
+    val q = lagged
+      .withColumn("qa", qOf(col("price"), col("pa_prev"),
+        "price ratio"))
+      .withColumn("qb",
+        when(col("symbol") =!= benchmark &&
+            col("pb_lo_prev").isNotNull && col("pb_hi").isNotNull,
+          qOf(col("pb_hi"), col("pb_lo_prev"), "benchmark ratio")))
+    val qaDec = col("qa").cast("decimal(15,0)")
+    val qbDec = col("qb").cast("decimal(15,0)")
+    val benchQ2 = q.where(col("symbol") === benchmark)
+      .agg(sum(qaDec * qaDec).as("_b2"))
+      .select(when(abs(col("_b2")) > lit(Long.MaxValue),
+        raise_error(lit("hayashiYoshida: bench_sum_q2 overflows " +
+          "BIGINT")).cast("long"))
+        .otherwise(col("_b2").cast("long")).as("bench_sum_q2"))
+    val corr = when(col("sum_qa2") > 0L && col("bench_sum_q2") > 0L,
+      col("sum_qaqb").cast("double") /
+        sqrt(col("sum_qa2").cast("double") *
+          col("bench_sum_q2").cast("double")))
+    q.where(col("symbol") =!= benchmark)
+      .groupBy(col("symbol"))
+      .agg(count(col("qb")).as("n_intervals"),
+        sum(when(col("qb").isNotNull, qaDec * qbDec)).as("_ab"),
+        sum(when(col("qb").isNotNull, qaDec * qaDec)).as("_a2"))
+      .select(col("symbol"), col("n_intervals"),
+        guardedLong(col("_ab"), "sum_qaqb").as("sum_qaqb"),
+        guardedLong(col("_a2"), "sum_qa2").as("sum_qa2"))
+      .crossJoin(broadcast(benchQ2))
+      .withColumn("hy_cov", col("sum_qaqb").cast("double") / 1e12d)
+      .withColumn("hy_corr", corr)
+  }
+
+  /** DuckDB twin of [[hayashiYoshida]] — the same total-order
+    * lookups as two global IGNORE NULLS windows (the grid-free
+    * relational form), identical lag, quantization, HUGEINT sums,
+    * and IEEE chain order. */
+  def hayashiYoshidaSql(benchmark: String = "click"): String = {
+    require(benchmark.matches("[A-Za-z0-9_.:-]+"),
+      s"benchmark symbol must match [A-Za-z0-9_.:-]+, got: $benchmark")
+    val b = benchmark
+    def q(a: String, x: String) =
+      s"CAST(floor(ln($a / $x) * 1e6) AS BIGINT)"
+    s"""WITH t AS (
+       |  SELECT symbol, ts, seq, price FROM updates
+       |  WHERE is_trade AND price > 0.0),
+       |m AS (
+       |  SELECT symbol, ts, seq, price,
+       |   last_value(CASE WHEN symbol = '$b' THEN price END
+       |     IGNORE NULLS) OVER (ORDER BY ts, seq
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS pb_lo,
+       |   first_value(CASE WHEN symbol = '$b' THEN price END
+       |     IGNORE NULLS) OVER (ORDER BY ts, seq
+       |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+       |    AS pb_hi
+       |  FROM t),
+       |a AS (
+       |  SELECT symbol, price, pb_hi,
+       |   lag(price) OVER w AS pa_prev,
+       |   lag(pb_lo) OVER w AS pb_lo_prev
+       |  FROM m WINDOW w AS (PARTITION BY symbol ORDER BY ts, seq)),
+       |q AS (
+       |  SELECT symbol,
+       |   ${q("price", "pa_prev")} AS qa,
+       |   CASE WHEN symbol <> '$b' AND pb_lo_prev IS NOT NULL
+       |     AND pb_hi IS NOT NULL
+       |    THEN ${q("pb_hi", "pb_lo_prev")} END AS qb
+       |  FROM a WHERE pa_prev IS NOT NULL),
+       |agg AS (
+       |  SELECT symbol, count(qb) AS n_intervals,
+       |   CAST(SUM(CASE WHEN qb IS NOT NULL THEN
+       |     CAST(qa AS HUGEINT) * CAST(qb AS HUGEINT) END)
+       |    AS BIGINT) AS sum_qaqb,
+       |   CAST(SUM(CASE WHEN qb IS NOT NULL THEN
+       |     CAST(qa AS HUGEINT) * CAST(qa AS HUGEINT) END)
+       |    AS BIGINT) AS sum_qa2
+       |  FROM q WHERE symbol <> '$b' GROUP BY 1),
+       |bq AS (
+       |  SELECT CAST(SUM(CAST(qa AS HUGEINT) * CAST(qa AS HUGEINT))
+       |    AS BIGINT) AS bench_sum_q2
+       |  FROM q WHERE symbol = '$b')
+       |SELECT symbol, n_intervals, sum_qaqb, sum_qa2, bench_sum_q2,
+       | CAST(sum_qaqb AS DOUBLE) / 1e12 AS hy_cov,
+       | CASE WHEN sum_qa2 > 0 AND bench_sum_q2 > 0 THEN
+       |  CAST(sum_qaqb AS DOUBLE)
+       |   / sqrt(CAST(sum_qa2 AS DOUBLE)
+       |      * CAST(bench_sum_q2 AS DOUBLE)) END AS hy_corr
+       |FROM agg, bq
+       |ORDER BY symbol""".stripMargin.replace('\n', ' ')
   }
 }

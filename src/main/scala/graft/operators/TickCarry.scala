@@ -50,8 +50,13 @@ object TickCarry {
   /** One carried state: `mark` must be non-null exactly on the rows
     * that UPDATE the state; `out` receives the last non-null mark at or
     * before (`includeCurrent`) or strictly before the row in the
-    * per-symbol (ts, seq) order. */
-  case class Carry(mark: Column, includeCurrent: Boolean, out: String)
+    * per-key (ts, seq) order. `forward = true` mirrors the carry in
+    * time: the FIRST non-null mark at-or-after (or strictly after) the
+    * row — same associative algebra run on the reversed order, so the
+    * segmented stitch applies unchanged with min_by outgoing states
+    * and a descending day boundary (the hayashiYoshida consumer). */
+  case class Carry(mark: Column, includeCurrent: Boolean, out: String,
+      forward: Boolean = false)
 
   /** Window inputs at or below this row count run as one per-symbol
     * ordered window (cheapest, and the reference-faithful shape); above
@@ -65,53 +70,75 @@ object TickCarry {
   val SegmentMs: Long = 86_400_000L
 
   def carryLast(df: DataFrame, carries: Seq[Carry],
-      segmented: Boolean): DataFrame =
-    if (segmented) carrySegmentedPlan(df, carries)
-    else carryWindowPlan(df, carries)
+      segmented: Boolean,
+      keys: Seq[String] = Seq("symbol")): DataFrame =
+    if (segmented) carrySegmentedPlan(df, carries, keys)
+    else carryWindowPlan(df, carries, keys)
 
-  /** Small arm: the plain running-state window(s), one per-symbol sort
-    * shared by every carry. */
+  /** Small arm: the plain running-state window(s), one per-key sort
+    * shared by every carry (forward carries share the one reversed
+    * sort). */
   private[graft] def carryWindowPlan(df: DataFrame,
-      carries: Seq[Carry]): DataFrame = {
-    val w = Window.partitionBy(col("symbol")).orderBy(col("ts"), col("seq"))
+      carries: Seq[Carry],
+      keys: Seq[String] = Seq("symbol")): DataFrame = {
+    val kc = keys.map(col)
+    val w = Window.partitionBy(kc: _*).orderBy(col("ts"), col("seq"))
+    val wF = Window.partitionBy(kc: _*)
+      .orderBy(col("ts").desc, col("seq").desc)
     carries.foldLeft(df) { (d, c) =>
-      val frame = w.rowsBetween(Window.unboundedPreceding,
-        if (c.includeCurrent) Window.currentRow else -1)
+      val frame = (if (c.forward) wF else w)
+        .rowsBetween(Window.unboundedPreceding,
+          if (c.includeCurrent) Window.currentRow else -1)
       d.withColumn(c.out, last(c.mark, ignoreNulls = true).over(frame))
     }
   }
 
-  /** Scale arm: per-(symbol, day) local carry + bounded boundary
+  /** Scale arm: per-(key, day) local carry + bounded boundary
     * stitch. All carries share the one segment table, one outgoing
-    *-state aggregation and one boundary join. */
+    *-state aggregation and one boundary join. Forward carries mirror
+    * every step: descending local order, min_by outgoing state (the
+    * segment's FIRST non-null mark flows to earlier days), descending
+    * day boundary. */
   private[graft] def carrySegmentedPlan(df: DataFrame,
-      carries: Seq[Carry]): DataFrame = {
+      carries: Seq[Carry],
+      keys: Seq[String] = Seq("symbol")): DataFrame = {
+    val kc = keys.map(col)
     val seg = df.withColumn("_cseg", expr(s"ts div ${SegmentMs}L"))
-    val wLoc = Window.partitionBy(col("symbol"), col("_cseg"))
+    val wLoc = Window.partitionBy(kc :+ col("_cseg"): _*)
       .orderBy(col("ts"), col("seq"))
+    val wLocF = Window.partitionBy(kc :+ col("_cseg"): _*)
+      .orderBy(col("ts").desc, col("seq").desc)
     val local = carries.foldLeft(seg) { (d, c) =>
-      val frame = wLoc.rowsBetween(Window.unboundedPreceding,
-        if (c.includeCurrent) Window.currentRow else -1)
+      val frame = (if (c.forward) wLocF else wLoc)
+        .rowsBetween(Window.unboundedPreceding,
+          if (c.includeCurrent) Window.currentRow else -1)
       d.withColumn("_lc_" + c.out,
         last(c.mark, ignoreNulls = true).over(frame))
     }
-    // outgoing state per (symbol, day): the value at the LARGEST
-    // (ts, seq) whose mark is non-null (max_by skips null order keys);
-    // null when the whole day never updates the state — pass-through
-    val finAggs = carries.map(c =>
-      max_by(c.mark, when(c.mark.isNotNull, struct(col("ts"), col("seq"))))
-        .as("_fin_" + c.out))
-    val outs = seg.groupBy(col("symbol"), col("_cseg"))
+    // outgoing state per (key, day): backward — the value at the
+    // LARGEST (ts, seq) whose mark is non-null (max_by skips null
+    // order keys); forward — the SMALLEST; null when the whole day
+    // never updates the state — pass-through
+    val finAggs = carries.map { c =>
+      val by = when(c.mark.isNotNull, struct(col("ts"), col("seq")))
+      (if (c.forward) min_by(c.mark, by) else max_by(c.mark, by))
+        .as("_fin_" + c.out)
+    }
+    val outs = seg.groupBy(kc :+ col("_cseg"): _*)
       .agg(finAggs.head, finAggs.tail: _*)
-    // incoming state per (symbol, day): the same carry, one level up —
-    // a per-symbol window over the DAY table (rows = days, bounded)
-    val wB = Window.partitionBy(col("symbol")).orderBy(col("_cseg"))
+    // incoming state per (key, day): the same carry, one level up —
+    // a per-key window over the DAY table (rows = days, bounded);
+    // forward reads the NEAREST LATER day via the descending order
+    val wB = Window.partitionBy(kc: _*).orderBy(col("_cseg"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBF = Window.partitionBy(kc: _*).orderBy(col("_cseg").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val bounds = outs.select(
-      col("symbol") +: col("_cseg") +: carries.map(c =>
-        last(col("_fin_" + c.out), ignoreNulls = true).over(wB)
+      kc ++ Seq(col("_cseg")) ++ carries.map(c =>
+        last(col("_fin_" + c.out), ignoreNulls = true)
+          .over(if (c.forward) wBF else wB)
           .as("_in_" + c.out)): _*)
-    val joined = local.join(bounds, Seq("symbol", "_cseg"))
+    val joined = local.join(bounds, keys :+ "_cseg")
     carries.foldLeft(joined) { (d, c) =>
       d.withColumn(c.out,
         coalesce(col("_lc_" + c.out), col("_in_" + c.out)))

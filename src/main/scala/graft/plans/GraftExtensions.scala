@@ -183,6 +183,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     registerTable(ext, "tsrv") { (u, a) =>
       ReturnDynamics.tsrv(u, long0(a, 60L),
         a.lift(1).map(_.toInt).getOrElse(5)) }
+    registerTable(ext, "hayashi_yoshida") { (u, _) =>
+      Microstructure.hayashiYoshida(u) }
     // clickstream family (the tick view argument names the EVENTS
     // view here — default 'events')
     registerEventTable(ext, "sessionize") { (e, a) =>

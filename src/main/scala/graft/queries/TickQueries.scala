@@ -463,7 +463,18 @@ object TickQueries {
     Q("q_tsrv",
       (s, dir) => ReturnDynamics.tsrv(u(s, dir))
         .orderBy("symbol"),
-      Some(Tables.withUpdates(ReturnDynamics.tsrvSql())))
+      Some(Tables.withUpdates(ReturnDynamics.tsrvSql()))),
+
+    // Hayashi-Yoshida tick-grain covariance vs the benchmark symbol:
+    // asynchronous-data covariance with NO bucket grid — the bench
+    // side telescopes to two total-order as-of lookups per interval
+    // (global TickCarry carries, forward + backward), exact integer
+    // products, 1-row bench-RV broadcast
+    Q("q_hayashi_yoshida",
+      (s, dir) => Microstructure.hayashiYoshida(u(s, dir))
+        .orderBy("symbol"),
+      Some(Tables.withUpdatesChain(
+        Microstructure.hayashiYoshidaSql())))
   )
 
   /** One partitioned store per sf DIR (keyed by dir alone, NOT per

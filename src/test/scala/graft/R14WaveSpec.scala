@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.model.Update
 import graft.operators.BookFeatures
 
@@ -138,6 +140,57 @@ class R14WaveSpec extends SparkSpec {
     assert(r.getDouble(5) === want)
     assert(r.getDouble(5) < 0.5 * rvFull,
       s"TSRV ${r.getDouble(5)} did not shrink the noise RV $rvFull")
+  }
+
+  test("hayashiYoshida: planted async ticks pin the telescoped bench " +
+      "lookups exactly; boundary intervals drop; segmented == window " +
+      "plan bit-for-bit on real multi-day ticks") {
+    import graft.operators.Microstructure
+    def tr(sym: String, ms: Long, seq: Long, p: Double) =
+      Update(sym, T0 + ms, seq, is_trade = true, is_bid = true, p, 1.0)
+    // bench B ticks at 0/10/20s; target A at 5/15/25s — A's only
+    // COVERED interval is (5s, 15s]: bench telescopes from the last
+    // bench tick at-or-before 5s (100 @ 0s) to the first at-or-after
+    // 15s (121 @ 20s); the 25s interval has no bench tick after it
+    // and must drop; A's 5s row has no previous trade and drops
+    val ups = Seq(
+      tr("B", 0L, 0L, 100.0), tr("B", 10000L, 1L, 110.0),
+      tr("B", 20000L, 2L, 121.0),
+      tr("A", 5000L, 3L, 50.0), tr("A", 15000L, 4L, 55.0),
+      tr("A", 25000L, 5L, 60.0))
+    val out = Microstructure.hayashiYoshida(updatesDf(ups),
+      benchmark = "B").collect()
+    assert(out.length === 1)
+    val r = out(0)
+    def q6(a: Double, b: Double): Long =
+      math.floor(math.log(a / b) * 1e6).toLong
+    val qa = q6(55.0, 50.0)
+    val qb = q6(121.0, 100.0)
+    val b2 = q6(110.0, 100.0) * q6(110.0, 100.0) +
+      q6(121.0, 110.0) * q6(121.0, 110.0)
+    assert(r.getString(0) === "A")
+    assert(r.getLong(1) === 1L) // n_intervals: 25s interval dropped
+    assert(r.getLong(2) === qa * qb)
+    assert(r.getLong(3) === qa * qa)
+    assert(r.getLong(4) === b2)
+    assert(r.getDouble(5) === (qa * qb).toDouble / 1e12)
+    assert(r.getDouble(6) === (qa * qb).toDouble /
+      math.sqrt((qa * qa).toDouble * b2.toDouble))
+    // the scale arm (per-day segments, constant-key global carries,
+    // the FORWARD boundary stitch) is bit-identical to the single
+    // window on real 30-day ticks
+    val base = Tables.updates(spark, sf())
+      .where(col("is_trade") && col("price") > 0.0)
+      .select(col("symbol"), col("ts"), col("seq"), col("price"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(r0 => r0.toSeq.map(v =>
+        if (v == null) "null" else v.toString).mkString("|"))
+        .sorted.toSeq
+    assert(rows(Microstructure.hayashiYoshidaPlan(base, "click",
+        segmented = true)) ===
+      rows(Microstructure.hayashiYoshidaPlan(base, "click",
+        segmented = false)),
+      "segmented HY diverges from the single-window plan")
   }
 
   test("repetitionCoverage: planted docs pin the line, top-2gram and " +

@@ -173,6 +173,8 @@ class SqlSurfaceSpec extends SparkSpec {
           RangeSpread.yangZhang(u, 60L)),
         ("tsrv", "SELECT * FROM tsrv(60, 5)",
           ReturnDynamics.tsrv(u, 60L, 5)),
+        ("hayashi_yoshida", "SELECT * FROM hayashi_yoshida()",
+          Microstructure.hayashiYoshida(u)),
         ("burstiness", "SELECT * FROM burstiness()",
           ActivityStats.burstiness(ev)),
         // r14: the attribution/survival solver wave through the SQL
