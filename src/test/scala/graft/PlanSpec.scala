@@ -705,7 +705,8 @@ class PlanSpec extends SparkSpec {
   test("return-dynamics wave: partial aggregation, symbol/user-keyed " +
       "windows only, no cartesian") {
     for (name <- Seq("q_bipower_var", "q_return_acf", "q_hurst",
-        "q_corwin_schultz", "q_user_fano", "q_burstiness")) {
+        "q_corwin_schultz", "q_user_fano", "q_burstiness",
+        "q_rogers_satchell", "q_yang_zhang", "q_tsrv")) {
       val p = plan(name)
       assert(p.contains("partial"), s"$name: aggregation not partial:\n$p")
       assert(!p.contains("CartesianProduct"), s"$name: cartesian:\n$p")
@@ -724,6 +725,12 @@ class PlanSpec extends SparkSpec {
       || p.contains("BroadcastNestedLoopJoin"),
       s"psi dims not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"psi cartesian:\n$p")
+    // hayashiYoshida: no cartesian, no pair materialization — the
+    // only non-keyed join is the sanctioned 1-row bench-RV broadcast
+    val hy = plan("q_hayashi_yoshida")
+    assert(!hy.contains("CartesianProduct"), s"HY cartesian:\n$hy")
+    assert(!hy.contains("SortMergeJoin"),
+      s"HY shuffled join (pair materialization?):\n$hy")
   }
 
   test("clickstream family: user-keyed data-scale windows, keyed joins, " +
