@@ -2130,4 +2130,117 @@ object Similarity {
        |  AS eigenvalue
        |FROM v$iterations v, fin
        |ORDER BY d""".stripMargin.replace('\n', ' ')
+
+  /** TwoNN intrinsic-dimension estimate of the embedding corpus
+    * (Facco–d'Errico–Rodriguez–Laio 2017): with `μ_i = r2_i / r1_i`
+    * the ratio of each point's 2nd to 1st nearest-neighbor distance,
+    * the MLE is `d̂ = n_used / Σ ln μ_i` — "how many dimensions does
+    * the data actually occupy" (an embedding corpus whose d̂ collapses
+    * is losing capacity; the scalar companion of [[principalAxis]]'s
+    * direction-level collapse monitor).
+    *
+    * Exactness: coordinates quantize at 1e6 with a loud 1e8 bound
+    * (|diff|² ≤ 4e16 keeps a ≤ 256-dim squared distance an exact
+    * long); `d2 = Σ (xq_a − xq_b)²` is exact, the two smallest
+    * `(d2, vec_id)` per point are exact-ordered selections, each
+    * `ln μ_i = ½ ln(d2₂/d2₁)` enters as `floor(ln(d2₂/d2₁)·1e12)`
+    * (ONE floor-quantized libm call per point, the bucketReturns
+    * stance), `Σ` is an exact decimal, and
+    * `d_hat = 2e12·n_used / Σ` is one IEEE chain. Points whose
+    * nearest neighbor is an exact duplicate (`d2₁ = 0`, μ undefined)
+    * are counted in `n_dup` and excluded, as the paper prescribes.
+    *
+    * Scale shape: all-pairs by DESIGN (the audit estimator — run it
+    * on a uniform sample at scale), guarded LOUD at `maxVectors`;
+    * one broadcast of the quantized corpus, one per-point rank
+    * window over its candidate row, one global aggregation. */
+  def twoNN(embeddings: DataFrame, maxVectors: Int = 20000)
+      : DataFrame = {
+    val n = embeddings.count()
+    if (n > maxVectors) throw new IllegalStateException(
+      s"twoNN: $n vectors exceed maxVectors=$maxVectors (all-pairs " +
+        "audit estimator — sample the corpus first)")
+    val xq = transform(col("embedding").cast("array<double>"),
+      x => when(abs(x) * 1e6d > 1e8d,
+        raise_error(lit("twoNN: coordinate outside the exact " +
+          "regime")).cast("long"))
+        .otherwise(floor(x * 1e6d).cast("long")))
+    val base = parallelized(embeddings)
+      .select(col("vec_id"), xq.as("xq"))
+    val d2 = aggregate(
+      zip_with(col("a_xq"), col("xq"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val pairs = base.select(col("vec_id").as("a_id"),
+        col("xq").as("a_xq"))
+      .hint("broadcast").crossJoin(base)
+      .where(col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("vec_id"), d2.as("d2"))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("d2"), col("vec_id"))
+    val two = pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 2)
+      .groupBy(col("a_id"))
+      .agg(min(when(col("rank") === 1, col("d2"))).as("d1"),
+        min(when(col("rank") === 2, col("d2"))).as("d2n"))
+    val lnq = floor(log(col("d2n").cast("double") /
+      col("d1").cast("double")) * 1e12d).cast("long")
+    two
+      .withColumn("mu_q",
+        when(col("d1") > 0L && col("d2n").isNotNull, lnq))
+      .agg(count(lit(1)).as("n_points"),
+        count(col("mu_q")).as("n_used"),
+        sum(when(col("d1") === 0L, 1L).otherwise(0L)).as("n_dup"),
+        coalesce(sum(col("mu_q").cast("decimal(38,0)")), lit(0))
+          .as("_s"))
+      .select(col("n_points"), col("n_used"), col("n_dup"),
+        when(abs(col("_s")) > lit(Long.MaxValue),
+          raise_error(lit("twoNN: sum_lnmu overflows BIGINT"))
+            .cast("long"))
+          .otherwise(col("_s").cast("long")).as("sum_lnmu_q"))
+      .withColumn("d_hat",
+        when(col("sum_lnmu_q") > 0L,
+          lit(2.0e12d) * col("n_used").cast("double") /
+            col("sum_lnmu_q").cast("double")))
+  }
+
+  /** DuckDB twin of [[twoNN]] — identical quantization, exact integer
+    * distances, rank selection, quantized log ratios, and chain. */
+  def twoNNSql(): String =
+    s"""WITH vecs AS (
+       |  SELECT vec_id,
+       |   list_transform(CAST(embedding AS DOUBLE[]),
+       |     x -> CASE WHEN abs(x) * 1e6 > 1e8
+       |       THEN CAST(error('twoNN: coordinate outside the ' ||
+       |         'exact regime') AS BIGINT)
+       |       ELSE CAST(floor(x * 1e6) AS BIGINT) END) AS xq
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS vec_id,
+       |   list_sum(list_transform(generate_series(1, len(a.xq)),
+       |     i -> (a.xq[i] - b.xq[i]) * (a.xq[i] - b.xq[i]))) AS d2
+       |  FROM vecs a JOIN vecs b ON b.vec_id <> a.vec_id),
+       |two AS (
+       |  SELECT a_id,
+       |   min(CASE WHEN rank = 1 THEN d2 END) AS d1,
+       |   min(CASE WHEN rank = 2 THEN d2 END) AS d2n
+       |  FROM (SELECT *, row_number() OVER (
+       |     PARTITION BY a_id ORDER BY d2, vec_id) AS rank
+       |    FROM pairs)
+       |  WHERE rank <= 2 GROUP BY 1),
+       |agg AS (
+       |  SELECT count(*) AS n_points,
+       |   count(CASE WHEN d1 > 0 AND d2n IS NOT NULL THEN 1 END)
+       |    AS n_used,
+       |   CAST(SUM(CASE WHEN d1 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup,
+       |   COALESCE(CAST(SUM(CASE WHEN d1 > 0 AND d2n IS NOT NULL
+       |     THEN CAST(floor(ln(CAST(d2n AS DOUBLE)
+       |       / CAST(d1 AS DOUBLE)) * 1e12) AS HUGEINT) END)
+       |    AS BIGINT), 0) AS sum_lnmu_q
+       |  FROM two)
+       |SELECT n_points, n_used, n_dup, sum_lnmu_q,
+       | CASE WHEN sum_lnmu_q > 0 THEN
+       |  2e12 * CAST(n_used AS DOUBLE) / CAST(sum_lnmu_q AS DOUBLE)
+       | END AS d_hat
+       |FROM agg""".stripMargin.replace('\n', ' ')
 }

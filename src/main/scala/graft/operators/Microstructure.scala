@@ -2156,6 +2156,107 @@ object Microstructure {
        |ORDER BY symbol, scale_s""".stripMargin.replace('\n', ' ')
   }
 
+  /** Trade-duration autocorrelation per symbol — the ACD-family
+    * clustering diagnostic (Engle & Russell 1998): the lag-1 sample
+    * autocorrelation of trade inter-arrival times. Durations cluster
+    * (fast markets stay fast), so ρ > 0 is the normal regime and the
+    * magnitude is the clustering strength an ACD model would fit.
+    *
+    * Exactness: durations are EXACT millisecond longs (`ts_i −
+    * ts_{i−1}` in the (ts, seq) total order — simultaneous trades give
+    * legitimate zero durations); all five sums (`Σd`, `Σd'`, `Σd²`,
+    * `Σd'²`, `Σd·d'`) run in decimal with raise-guarded BIGINT
+    * emission (square sums through one decimal→double cast — a month
+    * of ms-scale durations squares past 2^63, the yangZhang stance);
+    * ρ is the textbook paired-sample chain over the exact operands.
+    * Null without variance on either side (constant durations) or
+    * fewer than 2 pairs.
+    *
+    * Scale shape: two chained [[TickCarry]] carries (previous trade
+    * ts, then previous duration — per-(symbol, day) segments at
+    * scale), one per-symbol hash aggregation. */
+  def durationAcf(updates: DataFrame,
+      maxWindowRows: Long = TickCarry.TickWindowMaxRows): DataFrame = {
+    val base = updates.where(col("is_trade"))
+      .select(col("symbol"), col("ts"), col("seq"))
+    durationAcfPlan(base, base.count() > maxWindowRows)
+  }
+
+  private[graft] def durationAcfPlan(base: DataFrame,
+      segmented: Boolean): DataFrame = {
+    import TickCarry.Carry
+    def g(c: Column, what: String): Column =
+      when(abs(c) > lit(Long.MaxValue),
+        raise_error(concat(lit(s"durationAcf: $what overflows " +
+          "BIGINT at symbol="), col("symbol"))).cast("long"))
+        .otherwise(c.cast("long"))
+    val withPrevTs = TickCarry.carryLast(base,
+      Seq(Carry(col("ts"), includeCurrent = false, "_pts")),
+      segmented)
+      .withColumn("d", col("ts") - col("_pts"))
+    val paired = TickCarry.carryLast(withPrevTs,
+      Seq(Carry(col("d"), includeCurrent = false, "_pd")),
+      segmented)
+      .where(col("d").isNotNull && col("_pd").isNotNull)
+    val dDec = col("d").cast("decimal(19,0)")
+    val pDec = col("_pd").cast("decimal(19,0)")
+    val nD = col("n_pairs").cast("double")
+    def varTerm(s2: Column, s1: Column): Column =
+      nD * s2 - s1.cast("double") * s1.cast("double")
+    val num = nD * col("sum_dp") -
+      col("sum_d").cast("double") * col("sum_p").cast("double")
+    val den = sqrt(varTerm(col("sum_d2"), col("sum_d")) *
+      varTerm(col("sum_p2"), col("sum_p")))
+    paired.groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(dDec).as("_d"), sum(pDec).as("_p"),
+        sum(dDec * dDec).as("_d2"), sum(pDec * pDec).as("_p2"),
+        sum(dDec * pDec).as("_dp"))
+      .select(col("symbol"), col("n_pairs"),
+        g(col("_d"), "sum_d").as("sum_d"),
+        g(col("_p"), "sum_p").as("sum_p"),
+        col("_d2").cast("double").as("sum_d2"),
+        col("_p2").cast("double").as("sum_p2"),
+        col("_dp").cast("double").as("sum_dp"))
+      .withColumn("rho",
+        when(col("n_pairs") > 1L && den =!= 0.0d, num / den))
+  }
+
+  /** DuckDB twin of [[durationAcf]] — the single-window relational
+    * form of the same chained carry, HUGEINT sums, identical chain. */
+  def durationAcfSql(): String = {
+    def vt(s2: String, s1: String) =
+      s"(CAST(n_pairs AS DOUBLE) * $s2" +
+        s" - CAST($s1 AS DOUBLE) * CAST($s1 AS DOUBLE))"
+    val num = "CAST(n_pairs AS DOUBLE) * sum_dp" +
+      " - CAST(sum_d AS DOUBLE) * CAST(sum_p AS DOUBLE)"
+    val den = s"sqrt(${vt("sum_d2", "sum_d")} * ${vt("sum_p2", "sum_p")})"
+    s"""SELECT symbol, n_pairs, sum_d, sum_p, sum_d2, sum_p2, sum_dp,
+       | CASE WHEN n_pairs > 1 AND $den <> 0.0
+       |  THEN ($num) / $den END AS rho
+       |FROM (
+       | SELECT symbol, count(*) AS n_pairs,
+       |  CAST(SUM(CAST(d AS HUGEINT)) AS BIGINT) AS sum_d,
+       |  CAST(SUM(CAST(pd AS HUGEINT)) AS BIGINT) AS sum_p,
+       |  CAST(SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT))
+       |    AS DOUBLE) AS sum_d2,
+       |  CAST(SUM(CAST(pd AS HUGEINT) * CAST(pd AS HUGEINT))
+       |    AS DOUBLE) AS sum_p2,
+       |  CAST(SUM(CAST(d AS HUGEINT) * CAST(pd AS HUGEINT))
+       |    AS DOUBLE) AS sum_dp
+       | FROM (
+       |  SELECT symbol, d, lag(d) OVER w AS pd
+       |  FROM (
+       |   SELECT symbol, ts, seq,
+       |    ts - lag(ts) OVER w AS d
+       |   FROM updates WHERE is_trade
+       |   WINDOW w AS (PARTITION BY symbol ORDER BY ts, seq))
+       |  WINDOW w AS (PARTITION BY symbol ORDER BY ts, seq))
+       | WHERE d IS NOT NULL AND pd IS NOT NULL
+       | GROUP BY 1)
+       |ORDER BY symbol""".stripMargin.replace('\n', ' ')
+  }
+
   /** Hayashi–Yoshida covariance of every symbol against a BENCHMARK
     * symbol at TICK grain (Hayashi & Yoshida 2005) — the asynchronous-
     * data covariance that needs no common clock: for each of a

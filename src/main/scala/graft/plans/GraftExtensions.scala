@@ -185,6 +185,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         a.lift(1).map(_.toInt).getOrElse(5)) }
     registerTable(ext, "hayashi_yoshida") { (u, _) =>
       Microstructure.hayashiYoshida(u) }
+    registerTable(ext, "duration_acf") { (u, _) =>
+      Microstructure.durationAcf(u) }
     // clickstream family (the tick view argument names the EVENTS
     // view here — default 'events')
     registerEventTable(ext, "sessionize") { (e, a) =>

@@ -438,6 +438,15 @@ object ExtQueries {
         graft.Tables.table(s, dir, "embeddings")),
       Some(Similarity.axisProjectionSql())),
 
+    // TwoNN intrinsic-dimension estimate: exact integer 2-NN
+    // distances over quantized coordinates, one floor-quantized log
+    // ratio per point — the scalar embedding-collapse monitor next
+    // to the principal-axis direction monitor
+    Q("q_twonn",
+      (s, dir) => Similarity.twoNN(
+        graft.Tables.table(s, dir, "embeddings")),
+      Some(Similarity.twoNNSql())),
+
     // token counting
     Q("q_token_count",
       (s, dir) => docs(s, dir)

@@ -474,7 +474,15 @@ object TickQueries {
       (s, dir) => Microstructure.hayashiYoshida(u(s, dir))
         .orderBy("symbol"),
       Some(Tables.withUpdatesChain(
-        Microstructure.hayashiYoshidaSql())))
+        Microstructure.hayashiYoshidaSql()))),
+
+    // trade-duration lag-1 autocorrelation (the ACD clustering
+    // diagnostic): exact ms durations via two chained tick carries,
+    // decimal sums, one paired-sample IEEE chain
+    Q("q_duration_acf",
+      (s, dir) => Microstructure.durationAcf(u(s, dir))
+        .orderBy("symbol"),
+      Some(Tables.withUpdates(Microstructure.durationAcfSql())))
   )
 
   /** One partitioned store per sf DIR (keyed by dir alone, NOT per

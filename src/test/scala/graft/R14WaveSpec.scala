@@ -193,6 +193,109 @@ class R14WaveSpec extends SparkSpec {
       "segmented HY diverges from the single-window plan")
   }
 
+  test("durationAcf: planted clustered durations score the exact " +
+      "paired-sample chain; constant durations null out; segmented " +
+      "== window on real ticks") {
+    import graft.operators.Microstructure
+    // durations 1s,1s,9s,9s,1s,1s,9s,9s... (clustered): pairs (d', d)
+    // alternate (1,1),(1,9),(9,9),(9,1) — hand-compute rho below
+    val durs = Seq(1000L, 1000L, 9000L, 9000L, 1000L, 1000L,
+      9000L, 9000L, 1000L)
+    val times = durs.scanLeft(0L)(_ + _)
+    val ups = times.zipWithIndex.map { case (ms, i) =>
+      Update("c", T0 + ms, i.toLong, is_trade = true, is_bid = true,
+        100.0, 1.0)
+    }
+    // constant durations -> zero variance -> null rho
+    val flat = (0 until 6).map(i =>
+      Update("f", T0 + i * 5000L, 100L + i, is_trade = true,
+        is_bid = true, 100.0, 1.0))
+    val out = Microstructure.durationAcf(updatesDf(ups ++ flat))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val pairs = durs.zip(durs.tail) // (prev, cur)
+    val n = pairs.length.toDouble
+    val sd = pairs.map(_._2).sum.toDouble
+    val sp = pairs.map(_._1).sum.toDouble
+    val sdp = pairs.map { case (p, d) => p.toDouble * d.toDouble }.sum
+    val sd2 = pairs.map(p => p._2.toDouble * p._2.toDouble).sum
+    val sp2 = pairs.map(p => p._1.toDouble * p._1.toDouble).sum
+    val rho = (n * sdp - sd * sp) /
+      math.sqrt((n * sd2 - sd * sd) * (n * sp2 - sp * sp))
+    val c = out("c")
+    assert(c.getLong(1) === pairs.length.toLong)
+    assert(c.getLong(2) === sd.toLong && c.getLong(3) === sp.toLong)
+    assert(math.abs(c.getDouble(7) - rho) < 1e-12,
+      s"rho ${c.getDouble(7)} != $rho")
+    assert(out("f").isNullAt(7), "constant durations must null rho")
+    // scale-arm parity on real ticks
+    val base = Tables.updates(spark, sf()).where(col("is_trade"))
+      .select(col("symbol"), col("ts"), col("seq"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(r0 => r0.toSeq.map(v =>
+        if (v == null) "null" else v.toString).mkString("|"))
+        .sorted.toSeq
+    assert(rows(Microstructure.durationAcfPlan(base, segmented = true))
+      === rows(Microstructure.durationAcfPlan(base, segmented = false)),
+      "segmented durationAcf diverges from the single-window plan")
+  }
+
+  test("twoNN: a planted 1-D manifold estimates ~1 with the exact " +
+      "quantized chain; duplicates are excluded and counted; the " +
+      "maxVectors guard raises loud") {
+    import spark.implicits._
+    import graft.ext.Similarity
+    // points on a line (1-D manifold in 3-D space), irregular spacing
+    val pts = Seq(0.0, 1.0, 2.5, 4.1, 6.0, 8.3, 11.0, 13.2, 16.0)
+    val docs = pts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, Seq((2 * t).toFloat, t.toFloat, (3 * t).toFloat), 0)
+    } :+ ((100L, Seq(0f, 0f, 0f), 0)) // exact duplicate of vec 0
+    val df = docs.toDF("vec_id", "embedding", "label")
+    val out = Similarity.twoNN(df).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getLong(0) === 10L) // n_points
+    assert(r.getLong(2) === 2L, // both dup twins have d1 = 0
+      s"n_dup ${r.getLong(2)}")
+    assert(r.getLong(1) === 8L) // n_used
+    // recompute the exact chain
+    def xq(v: Double): Long = math.floor(v * 1e6).toLong
+    val vecs = docs.map { case (id, e, _) =>
+      id -> e.map(x => xq(x.toDouble)) }
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val sum = vecs.map { case (id, e) =>
+      val ds = vecs.filter(_._1 != id)
+        .map { case (oid, oe) => (d2(e, oe), oid) }.sorted
+      (ds(0)._1, ds(1)._1)
+    }.collect { case (d1v, d2v) if d1v > 0L =>
+      math.floor(math.log(d2v.toDouble / d1v.toDouble) * 1e12).toLong
+    }.sum
+    assert(r.getLong(3) === sum)
+    val dHat = 2.0e12 * 8.0 / sum.toDouble
+    assert(r.getDouble(4) === dHat)
+    // dimensionality ORDERING (the estimator is exactly unbiased only
+    // under Poisson sampling, so pin the property, not the constant):
+    // a 3-D jittered lattice must estimate strictly higher than the
+    // 1-D manifold
+    val cloud = (for {
+      i <- 0 until 3; j <- 0 until 3; k <- 0 until 3
+    } yield {
+      val id = (i * 9 + j * 3 + k).toLong
+      (id, Seq(
+        (i * 10.0 + (id * 7 % 5) * 0.61).toFloat,
+        (j * 10.0 + (id * 11 % 7) * 0.47).toFloat,
+        (k * 10.0 + (id * 13 % 11) * 0.29).toFloat), 0)
+    }).toDF("vec_id", "embedding", "label")
+    val dCloud = Similarity.twoNN(cloud).collect()(0).getDouble(4)
+    assert(dHat < dCloud,
+      s"1-D manifold $dHat not below 3-D cloud $dCloud")
+    assert(dCloud > 1.5, s"3-D cloud estimated at only $dCloud")
+    val e = intercept[IllegalStateException] {
+      Similarity.twoNN(df, maxVectors = 5)
+    }
+    assert(e.getMessage.contains("maxVectors"))
+  }
+
   test("repetitionCoverage: planted docs pin the line, top-2gram and " +
       "dup-5gram fractions exactly; empty and tiny docs null out") {
     import spark.implicits._

@@ -175,6 +175,8 @@ class SqlSurfaceSpec extends SparkSpec {
           ReturnDynamics.tsrv(u, 60L, 5)),
         ("hayashi_yoshida", "SELECT * FROM hayashi_yoshida()",
           Microstructure.hayashiYoshida(u)),
+        ("duration_acf", "SELECT * FROM duration_acf()",
+          Microstructure.durationAcf(u)),
         ("burstiness", "SELECT * FROM burstiness()",
           ActivityStats.burstiness(ev)),
         // r14: the attribution/survival solver wave through the SQL
