@@ -1599,37 +1599,37 @@ object Similarity {
          | FROM $rel v CROSS JOIN cbook c""".stripMargin
         .replace('\n', ' ')
     }.mkString(" UNION ALL ")
-    s"""WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-       |ccents AS (SELECT vec_id AS ccid, emb FROM vecs WHERE vec_id < $nCells),
-       |csims AS (SELECT a.vec_id, c.ccid,
+    s"""WITH vecs AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |ccents AS MATERIALIZED (SELECT vec_id AS ccid, emb FROM vecs WHERE vec_id < $nCells),
+       |csims AS MATERIALIZED (SELECT a.vec_id, c.ccid,
        |  (${dotSql("a", "c")}) / (${normSql("a")} * ${normSql("c")}) AS csim
        | FROM vecs a CROSS JOIN ccents c),
-       |cranked AS (SELECT vec_id, ccid, row_number() OVER (
+       |cranked AS MATERIALIZED (SELECT vec_id, ccid, row_number() OVER (
        |   PARTITION BY vec_id ORDER BY csim DESC, ccid) AS rn FROM csims),
-       |assignedcell AS (SELECT vec_id, ccid AS cell FROM cranked WHERE rn = 1),
-       |probes AS (SELECT vec_id AS q_id, ccid AS cell FROM cranked
+       |assignedcell AS MATERIALIZED (SELECT vec_id, ccid AS cell FROM cranked WHERE rn = 1),
+       |probes AS MATERIALIZED (SELECT vec_id AS q_id, ccid AS cell FROM cranked
        |  WHERE rn <= $nProbe AND vec_id < $nQueries),
-       |res AS (SELECT v.vec_id, a.cell,
+       |res AS MATERIALIZED (SELECT v.vec_id, a.cell,
        |  list_transform(range(1, ${Dims + 1}),
        |    i -> v.emb[i] - g.emb[i]) AS res
        | FROM vecs v JOIN assignedcell a ON a.vec_id = v.vec_id
        | JOIN ccents g ON g.ccid = a.cell),
-       |cbook AS (SELECT vec_id AS cid, res FROM res
+       |cbook AS MATERIALIZED (SELECT vec_id AS cid, res FROM res
        |  WHERE vec_id < $nCentroids),
-       |cdists AS (${sdBranches("res")}),
-       |codes AS (SELECT vec_id, s, cid FROM (
+       |cdists AS MATERIALIZED (${sdBranches("res")}),
+       |codes AS MATERIALIZED (SELECT vec_id, s, cid FROM (
        |  SELECT *, row_number() OVER (
        |    PARTITION BY vec_id, s ORDER BY dist, cid) AS rn FROM cdists)
        | WHERE rn = 1),
-       |qres AS (SELECT p.q_id AS vec_id, p.cell,
+       |qres AS MATERIALIZED (SELECT p.q_id AS vec_id, p.cell,
        |  list_transform(range(1, ${Dims + 1}),
        |    i -> v.emb[i] - g.emb[i]) AS res
        | FROM probes p JOIN vecs v ON v.vec_id = p.q_id
        | JOIN ccents g ON g.ccid = p.cell),
-       |lut AS (SELECT vec_id AS q_id, cell, cid, s,
+       |lut AS MATERIALIZED (SELECT vec_id AS q_id, cell, cid, s,
        |  CAST(floor(dist * 1e9) AS BIGINT) AS dq
        | FROM (${sdBranches("qres")})),
-       |adc AS (SELECT p.q_id, ac.vec_id, CAST(sum(l.dq) AS BIGINT) AS adc_q
+       |adc AS MATERIALIZED (SELECT p.q_id, ac.vec_id, CAST(sum(l.dq) AS BIGINT) AS adc_q
        | FROM probes p
        | JOIN assignedcell ac ON ac.cell = p.cell AND ac.vec_id <> p.q_id
        | JOIN codes cd ON cd.vec_id = ac.vec_id
