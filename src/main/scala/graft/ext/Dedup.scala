@@ -47,7 +47,7 @@ object Dedup {
     // explode(array(...)) puts a Generate boundary under the word array:
     // CollapseProject would otherwise inline the split() alias into every
     // lambda reference and re-tokenize the doc once per shingle
-    val ws = split(lower(trim(col("text"))), "\\s+")
+    val ws = split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")
     parallelized(docs).select(col("doc_id"), explode(array(ws)).as("ws"))
       .where(size(col("ws")) >= n)
       .select(col("doc_id"),
@@ -64,8 +64,8 @@ object Dedup {
     }.mkString(" || ' ' || ")
     s"""SELECT DISTINCT doc_id, sh FROM (
        | SELECT doc_id, $parts AS sh FROM (
-       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w,
-       |   generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |   generate_subscripts(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
        |  FROM documents))
        |WHERE sh IS NOT NULL""".stripMargin.replace('\n', ' ')
   }
@@ -698,7 +698,7 @@ object Dedup {
       conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("h2"))
     val words = parallelized(docs)
       .select(col("doc_id"),
-        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        explode(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       .withColumn("h", md5(col("w")))
       .select(col("doc_id") +: col("tf") +: halves: _*)
@@ -731,7 +731,7 @@ object Dedup {
     s"""SELECT doc_id, CAST($hash AS BIGINT) AS simhash FROM (
        | SELECT doc_id, $sums FROM (
        |  SELECT doc_id, w, count(*) AS tf, md5(w) AS h FROM (
-       |   SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+       |   SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS w
        |   FROM documents)
        |  GROUP BY 1, 2)
        | GROUP BY doc_id)
@@ -946,7 +946,7 @@ object Dedup {
     * handling. */
   def winnowFingerprints(docs: DataFrame, n: Int = 3, window: Int = 4)
       : DataFrame = {
-    val ws = split(lower(trim(col("text"))), "\\s+")
+    val ws = split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")
     val grams = parallelized(docs)
       .select(col("doc_id"), explode(array(ws)).as("ws"))
       .where(size(col("ws")) >= n)
@@ -982,8 +982,8 @@ object Dedup {
        |  CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h
        | FROM (
        |  SELECT doc_id, pos, $parts AS gram FROM (
-       |   SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w,
-       |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+       |   SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
        |   FROM documents))
        | WHERE gram IS NOT NULL),
        |win AS (

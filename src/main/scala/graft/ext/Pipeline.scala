@@ -203,7 +203,7 @@ object Pipeline {
     * gates. `TextOps.repetition` and `Dedup.shingles` keep their own
     * variants deliberately (distinct + repartition semantics differ). */
   private[graft] def gramStream(df: DataFrame, n: Int): DataFrame = {
-    val ws = split(lower(trim(col("text"))), "\\s+")
+    val ws = split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")
     df.select(col("doc_id"), ws.as("ws"))
       .where(size(col("ws")) >= n)
       .select(col("doc_id"),
@@ -221,9 +221,9 @@ object Pipeline {
     s"""SELECT doc_id, g FROM (
        | SELECT doc_id, $parts AS g FROM (
        |  SELECT doc_id,
-       |   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w,
+       |   unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS w,
        |   generate_subscripts(
-       |     regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+       |     regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
        |  FROM documents))
        |WHERE g IS NOT NULL""".stripMargin
   }
@@ -320,7 +320,7 @@ object Pipeline {
   /** [[gramStream]] with the gram's 1-based START POSITION — the offsets
     * the maximal-span merge below coalesces over. */
   private def gramStreamPos(df: DataFrame, n: Int): DataFrame = {
-    val ws = split(lower(trim(col("text"))), "\\s+")
+    val ws = split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")
     df.select(col("doc_id"), ws.as("ws"))
       .where(size(col("ws")) >= n)
       .select(col("doc_id"),
@@ -375,9 +375,9 @@ object Pipeline {
     s"""SELECT doc_id, pos, g FROM (
        | SELECT doc_id, CAST(pos AS BIGINT) AS pos, $parts AS g FROM (
        |  SELECT doc_id,
-       |   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w,
+       |   unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS w,
        |   generate_subscripts(
-       |     regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+       |     regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
        |  FROM documents))
        |WHERE g IS NOT NULL""".stripMargin
   }
@@ -1288,12 +1288,12 @@ object Pipeline {
   // ------------------------------------------ duplicated-span removal APPLY
 
   /** The shared normalized word stream `(doc_id, pos, w)` (1-based `pos`
-    * over `split(lower(trim(text)), "\\s+")` — the same word coordinates
+    * over `split(lower(trim(text)), "[ \\t\\n\\x0B\\f\\r]+")` — the same word coordinates
     * [[dupSpansMerged]] reports spans in). */
   private def wordStream(docs: DataFrame): DataFrame =
     graft.functions.parallelized(docs)
       .select(col("doc_id"),
-        posexplode(split(lower(trim(col("text"))), "\\s+"))
+        posexplode(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+"))
           .as(Seq("pos0", "w")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
         col("w"))
@@ -1461,7 +1461,7 @@ object Pipeline {
     * shuffle-on-content-hash budget of exact doc dedup, one granularity
     * down. */
   def chunkDedup(docs: DataFrame, width: Int = 20): DataFrame = {
-    val ws = split(lower(trim(col("text"))), "\\s+")
+    val ws = split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")
     val chunks = graft.functions.parallelized(docs)
       .select(col("doc_id"), ws.as("ws"))
       .select(col("doc_id"),
@@ -1736,7 +1736,7 @@ object Pipeline {
       targetSource: String): DataFrame =
     graft.functions.parallelized(docs)
       .select(col("doc_id"), col("source"),
-        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        explode(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).as("term"))
       .groupBy("term").agg(
         count(lit(1)).as("c_raw"),
         sum(when(col("source") === targetSource, 1L).otherwise(0L))
@@ -1763,7 +1763,7 @@ object Pipeline {
       targetSource: String = "src0"): DataFrame = {
     val words = graft.functions.parallelized(docs)
       .select(col("doc_id"), col("source"),
-        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        explode(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).as("term"))
     val freq = dsirFreq(docs, targetSource)
     val consts = graft.functions.localRelation(freq.agg(
       sum(col("c_raw")).cast("long").as("n_raw"),
@@ -1787,7 +1787,7 @@ object Pipeline {
       s"floor(ln((CAST($c AS DOUBLE) + 1.0) / " +
         s"(CAST($tot AS DOUBLE) + CAST(t.v AS DOUBLE))) * 1e12)"
     s"""WITH words AS (SELECT doc_id, source,
-       |  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+       |  unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS term
        | FROM documents),
        |freq AS (SELECT term, count(*) AS c_raw,
        | sum(CASE WHEN source = '$targetSource' THEN 1 ELSE 0 END)

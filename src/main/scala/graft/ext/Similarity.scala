@@ -2139,9 +2139,15 @@ object Similarity {
     * is losing capacity; the scalar companion of [[principalAxis]]'s
     * direction-level collapse monitor).
     *
-    * Exactness: coordinates quantize at 1e6 with a loud 1e8 bound
-    * (|diff|² ≤ 4e16 keeps a ≤ 256-dim squared distance an exact
-    * long); `d2 = Σ (xq_a − xq_b)²` is exact, the two smallest
+    * Exactness: coordinates quantize at 1e6 with a loud 1e8 bound,
+    * and the corpus is guarded to ≤ 230 dims (230·(2e8)² ≈ 9.2e18 ≤
+    * 2⁶³−1, so the squared distance stays an exact long — 256 dims
+    * would NOT: 256·4e16 ≈ 1.02e19 overflows); null coordinates and
+    * ragged (length-mismatched) embeddings raise LOUD in both engines
+    * (the axisState stance — Spark's zip_with would otherwise null
+    * the distance and rank it FIRST while DuckDB's list_sum skips
+    * nulls and ranks partial distances LAST, a silent cross-engine
+    * divergence); `d2 = Σ (xq_a − xq_b)²` is exact, the two smallest
     * `(d2, vec_id)` per point are exact-ordered selections, each
     * `ln μ_i = ½ ln(d2₂/d2₁)` enters as `floor(ln(d2₂/d2₁)·1e12)`
     * (ONE floor-quantized libm call per point, the bucketReturns
@@ -2161,15 +2167,26 @@ object Similarity {
       s"twoNN: $n vectors exceed maxVectors=$maxVectors (all-pairs " +
         "audit estimator — sample the corpus first)")
     val xq = transform(col("embedding").cast("array<double>"),
-      x => when(abs(x) * 1e6d > 1e8d,
-        raise_error(lit("twoNN: coordinate outside the exact " +
-          "regime")).cast("long"))
-        .otherwise(floor(x * 1e6d).cast("long")))
+      x => when(x.isNull,
+        raise_error(lit("twoNN: null coordinate")).cast("long"))
+        .otherwise(when(abs(x) * 1e6d > 1e8d,
+          raise_error(lit("twoNN: coordinate outside the exact " +
+            "regime")).cast("long"))
+          .otherwise(floor(x * 1e6d).cast("long"))))
+    // 230·(2e8)² ≈ 9.2e18 ≤ Long.MaxValue: past 230 dims the exact
+    // long distance regime breaks — raise, never wrap
+    val xqGuarded = when(size(col("embedding")) > 230,
+      raise_error(lit("twoNN: embeddings over 230 dims exceed the " +
+        "exact long distance regime")).cast("array<long>"))
+      .otherwise(xq)
     val base = parallelized(embeddings)
-      .select(col("vec_id"), xq.as("xq"))
-    val d2 = aggregate(
-      zip_with(col("a_xq"), col("xq"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+      .select(col("vec_id"), xqGuarded.as("xq"))
+    val d2 = when(size(col("a_xq")) =!= size(col("xq")),
+      raise_error(lit("twoNN: ragged embeddings (length mismatch)"))
+        .cast("long"))
+      .otherwise(aggregate(
+        zip_with(col("a_xq"), col("xq"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v))
     val pairs = base.select(col("vec_id").as("a_id"),
         col("xq").as("a_xq"))
       .hint("broadcast").crossJoin(base)
@@ -2208,16 +2225,24 @@ object Similarity {
   def twoNNSql(): String =
     s"""WITH vecs AS (
        |  SELECT vec_id,
-       |   list_transform(CAST(embedding AS DOUBLE[]),
-       |     x -> CASE WHEN abs(x) * 1e6 > 1e8
+       |   CASE WHEN len(embedding) > 230
+       |    THEN CAST(error('twoNN: embeddings over 230 dims exceed ' ||
+       |      'the exact long distance regime') AS BIGINT[])
+       |    ELSE list_transform(CAST(embedding AS DOUBLE[]),
+       |     x -> CASE WHEN x IS NULL
+       |       THEN CAST(error('twoNN: null coordinate') AS BIGINT)
+       |      WHEN abs(x) * 1e6 > 1e8
        |       THEN CAST(error('twoNN: coordinate outside the ' ||
        |         'exact regime') AS BIGINT)
-       |       ELSE CAST(floor(x * 1e6) AS BIGINT) END) AS xq
+       |       ELSE CAST(floor(x * 1e6) AS BIGINT) END) END AS xq
        |  FROM embeddings),
        |pairs AS (
        |  SELECT a.vec_id AS a_id, b.vec_id AS vec_id,
-       |   list_sum(list_transform(generate_series(1, len(a.xq)),
-       |     i -> (a.xq[i] - b.xq[i]) * (a.xq[i] - b.xq[i]))) AS d2
+       |   CASE WHEN len(a.xq) <> len(b.xq)
+       |    THEN CAST(error('twoNN: ragged embeddings (length ' ||
+       |      'mismatch)') AS BIGINT)
+       |    ELSE list_sum(list_transform(generate_series(1, len(a.xq)),
+       |     i -> (a.xq[i] - b.xq[i]) * (a.xq[i] - b.xq[i]))) END AS d2
        |  FROM vecs a JOIN vecs b ON b.vec_id <> a.vec_id),
        |two AS (
        |  SELECT a_id,

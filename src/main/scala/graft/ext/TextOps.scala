@@ -17,10 +17,10 @@ object TextOps {
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
-    size(split(trim(text), "\\s+"))
+    size(split(trim(text), "[ \\t\\n\\x0B\\f\\r]+"))
 
   val tokenCountSql: String =
-    "len(regexp_split_to_array(trim(text), '\\s+'))"
+    "len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+'))"
 
   /** BPE-ish subword token count — the GPT-2-style pre-tokenizer classes
     * (letter runs, single digits, single punctuation/symbol chars) spelled
@@ -28,13 +28,13 @@ object TextOps {
     * (DuckDB) regex engines match identically. The count approximates BPE
     * *pre-token* cardinality; real merges only split further, so it is
     * the canonical cheap upper-ish budget signal for token accounting. */
-  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
 
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpePattern), lit(0)))
 
   val bpeTokenCountSql: String =
-    """len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))"""
+    """len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0B\f\r]'))"""
 
   /** Occurrences of literal `needle` (no regex) via replace-length. */
   def countOcc(haystack: Column, needle: String): Column =
@@ -184,7 +184,7 @@ object TextOps {
     * aggregation, one per-doc aggregation — same single-exchange layout
     * as [[Dedup.shingles]]. */
   def repetition(docs: DataFrame, n: Int = 2): DataFrame = {
-    val ws = split(lower(trim(col("text"))), "\\s+")
+    val ws = split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")
     val grams = graft.functions.parallelized(docs)
       .select(col("doc_id"), explode(array(ws)).as("ws"))
       .where(size(col("ws")) >= n)
@@ -219,9 +219,9 @@ object TextOps {
        | FROM (SELECT doc_id, g, count(*) AS c FROM (
        |   SELECT doc_id, $parts AS g FROM (
        |    SELECT doc_id,
-       |     unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w,
+       |     unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS w,
        |     generate_subscripts(
-       |       regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+       |       regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
        |    FROM documents))
        |  WHERE g IS NOT NULL GROUP BY 1, 2)
        | GROUP BY doc_id)
@@ -292,7 +292,7 @@ object TextOps {
     * Pure stateless expressions, so it applies to STREAMING DataFrames
     * too — the join-scorer's stream side. */
   private[graft] def bigramPairs(docs: DataFrame): DataFrame = docs
-    .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ws"))
+    .select(col("doc_id"), split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+").as("ws"))
     .where(size(col("ws")) >= 2)
     .select(col("doc_id"),
       explode(transform(sequence(lit(1), size(col("ws")) - 1),
@@ -401,8 +401,8 @@ object TextOps {
        |bigr AS (SELECT doc_id, w1, lead(w1) OVER (
        |   PARTITION BY doc_id ORDER BY pos) AS w2 FROM (
        |  SELECT doc_id,
-       |   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w1,
-       |   generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+       |   unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS w1,
+       |   generate_subscripts(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
        |  FROM documents)),
        |pairs AS (SELECT doc_id, w1, w2 FROM bigr WHERE w2 IS NOT NULL),
        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2
@@ -649,8 +649,8 @@ object TextOps {
        |bigr AS (SELECT doc_id, w1, lead(w1) OVER (
        |   PARTITION BY doc_id ORDER BY pos) AS w2 FROM (
        |  SELECT doc_id,
-       |   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w1,
-       |   generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+       |   unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS w1,
+       |   generate_subscripts(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
        |  FROM documents)),
        |pairs AS (SELECT doc_id, w1, w2 FROM bigr WHERE w2 IS NOT NULL),
        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
@@ -755,7 +755,7 @@ object TextOps {
     // element (O(len²) splits per doc, measured 12 s vs 2 s at sf0.1);
     // the gramStream projection shape keeps it linear
     val pairs = docs
-      .select(split(lower(trim(col("text"))), "\\s+").as("ws"))
+      .select(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+").as("ws"))
       .where(size(col("ws")) >= 2)
       .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
         i => struct(element_at(col("ws"), i).as("w1"),
@@ -781,9 +781,9 @@ object TextOps {
        |  SELECT w AS w1,
        |   lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
        |  FROM (SELECT doc_id,
-       |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w,
+       |    unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS w,
        |    generate_subscripts(
-       |      regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+       |      regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
        |   FROM documents))
        | WHERE w2 IS NOT NULL GROUP BY w1, w2
        | HAVING count(*) >= $minCount)
@@ -832,7 +832,7 @@ object TextOps {
     val dec = "decimal(38,0)"
     val ranked = graft.functions.parallelized(docs)
       .select(col("lang"),
-        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        explode(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).as("term"))
       .groupBy("lang", "term").agg(count(lit(1)).as("c"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .select(col("lang"),
@@ -852,7 +852,7 @@ object TextOps {
 
   def zipfFitSql(): String =
     s"""WITH t AS (SELECT lang,
-       |  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+       |  unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS term
        | FROM documents),
        |v AS (SELECT lang, term, count(*) AS c FROM t GROUP BY 1, 2),
        |r AS (SELECT lang,
@@ -951,7 +951,7 @@ object TextOps {
         .unboundedPreceding, 0)
     val toks = graft.functions.parallelized(docs)
       .select(col("lang"), col("doc_id"),
-        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        explode(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).as("term"))
     // tokens per checkpoint bucket
     val tk = toks
       .groupBy(col("lang"),
@@ -987,7 +987,7 @@ object TextOps {
     * quantizations, and the single-division slope. */
   def heapsLawSql(step: Long = 16): String =
     s"""WITH t AS MATERIALIZED (SELECT lang, doc_id,
-       |  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+       |  unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS term
        | FROM documents),
        |tk AS (SELECT lang, doc_id // $step AS ckpt,
        |  count(*) AS toks FROM t GROUP BY 1, 2),
@@ -1039,7 +1039,7 @@ object TextOps {
     val ln2Q = 693147180559L // floor(ln(2)·1e12), exact in both
     val sw = graft.functions.parallelized(docs)
       .select(col("source"),
-        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        explode(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
     val cw = sw.groupBy("w").agg(sum(col("c_sw")).as("c_w"))
     val ns = sw.groupBy("source").agg(sum(col("c_sw")).as("n_s"))
@@ -1075,7 +1075,7 @@ object TextOps {
   def jsdSourcesSql(): String =
     s"""WITH sw AS MATERIALIZED (SELECT source, w, count(*) AS c_sw
        | FROM (SELECT source,
-       |   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+       |   unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS w
        |  FROM documents) GROUP BY 1, 2),
        |cw AS MATERIALIZED (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w
        | FROM sw GROUP BY 1),
@@ -1118,7 +1118,7 @@ object TextOps {
       vocab(docs, size).select(col("term"), lit(1L).as("in_v")))
     docs.select(col("doc_id"), col("source"), col("text"))
       .select(col("source"),
-        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        explode(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).as("term"))
       .join(broadcast(v), Seq("term"), "left")
       .groupBy("source")
       .agg(count(lit(1)).as("n_tokens"),
@@ -1130,7 +1130,7 @@ object TextOps {
   def oovRateSql(size: Int = 1000): String =
     s"""WITH v AS (${vocabSql(size)}),
        |t AS (SELECT source,
-       |  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+       |  unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS term
        | FROM documents)
        |SELECT t.source, CAST(count(*) AS BIGINT) AS n_tokens,
        | CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -1354,7 +1354,7 @@ object TextOps {
     * whole [[qualityFilter]]) runs UNCHANGED on a document stream —
     * see `Streaming.streamingQualityFilter`. */
   def topGramFrac(text: Column, n: Int = 2): Column =
-    topGramFracWords(split(lower(trim(text)), "\\s+"), n)
+    topGramFracWords(split(lower(trim(text)), "[ \\t\\n\\x0B\\f\\r]+"), n)
 
   /** [[topGramFrac]] over an ALREADY-SPLIT word array — callers that can
     * bind the split into a projected column first should (an inline
@@ -1819,7 +1819,7 @@ object TextOps {
   def sourceDrift(docs: DataFrame): DataFrame = {
     val sw = graft.functions.parallelized(docs)
       .select(col("source"),
-        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        explode(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
     val cw = sw.groupBy("w").agg(sum(col("c_sw")).as("c_w"))
     val ns = sw.groupBy("source").agg(sum(col("c_sw")).as("n_s"),
@@ -1849,7 +1849,7 @@ object TextOps {
   def sourceDriftSql(): String =
     s"""WITH sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c_sw
        | FROM (SELECT source,
-       |   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+       |   unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS w
        |  FROM documents) GROUP BY source, w),
        |cw AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w
        | FROM sw GROUP BY w),
@@ -1942,7 +1942,7 @@ object TextOps {
         regexp_replace(
           regexp_replace(col("text"), UrlPat, " <URL> "),
           EmailPat, " <EMAIL> "),
-        "\\s+", " ")).as("clean_text"))
+        "[ \\t\\n\\x0B\\f\\r]+", " ")).as("clean_text"))
 
   val cleanSql: String =
     s"""SELECT doc_id,
@@ -1951,7 +1951,7 @@ object TextOps {
        | trim(regexp_replace(regexp_replace(regexp_replace(text,
        |   '$UrlPat', ' <URL> ', 'g'),
        |   '$EmailPat', ' <EMAIL> ', 'g'),
-       |   '\\s+', ' ', 'g')) AS clean_text
+       |   '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS clean_text
        |FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' ')
 
   // -------------------------------------------------------- keyword search
@@ -1982,7 +1982,7 @@ object TextOps {
 
   /** Whitespace tokens, one row per occurrence: (doc_id, term). */
   /** Scalar twin of the engine-wide word split
-    * `split(lower(trim(text)), "\\s+")` — SQL semantics exactly: trim
+    * `split(lower(trim(text)), "[ \\t\\n\\x0B\\f\\r]+")` — SQL semantics exactly: trim
     * strips SPACES only (Java's String.trim also strips tabs — a real
     * drift a property gate caught), and split keeps a trailing empty
     * token (Java's default limit drops it). Shared by every scalar /
@@ -1993,12 +1993,12 @@ object TextOps {
     while (s0 < e && text.charAt(s0) == ' ') s0 += 1
     while (e > s0 && text.charAt(e - 1) == ' ') e -= 1
     text.substring(s0, e)
-      .toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+      .toLowerCase(java.util.Locale.ROOT).split("[ \\t\\n\\x0B\\f\\r]+", -1)
   }
 
   private def tokens(docs: DataFrame): DataFrame =
     graft.functions.parallelized(docs).select(col("doc_id"),
-      explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      explode(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).as("term"))
 
   private val tokensSql: String =
     """SELECT doc_id,
@@ -2300,7 +2300,7 @@ object TextOps {
   def repetitionCoverage(docs: DataFrame): DataFrame = {
     val base = graft.functions.parallelized(docs)
       .select(col("doc_id"), col("text"))
-    val words = filter(split(col("text"), "\\s+"),
+    val words = filter(split(col("text"), "[ \\t\\n\\x0B\\f\\r]+"),
       x => length(x) > 0)
     def grams(n: Int): Column =
       when(size(words) >= n,
@@ -2364,7 +2364,7 @@ object TextOps {
   def repetitionCoverageSql(): String =
     s"""WITH base AS (
        | SELECT doc_id, text,
-       |  list_filter(string_split_regex(text, '\\s+'),
+       |  list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
        |    x -> len(x) > 0) AS w
        | FROM documents),
        |den AS (

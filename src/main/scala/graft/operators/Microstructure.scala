@@ -279,7 +279,8 @@ object Microstructure {
     val base = updates.where(col("is_trade") && col("price") > 0.0d)
       .select(col("symbol"), col("ts"), col("seq"),
         finitePrice.as("price"))
-    realizedVolPlan(base, seconds, base.count() > maxWindowRows)
+    realizedVolPlan(base, seconds,
+      TickCarry.exceedsRows(base, maxWindowRows))
   }
 
   /** [[realizedVol]] past the dispatch: `base` is the filtered
@@ -368,7 +369,8 @@ object Microstructure {
     val cents = floor(finitePrice * 100.0d + 0.5d).cast("long")
     val base = updates.where(col("is_trade"))
       .select(col("symbol"), col("ts"), col("seq"), cents.as("c0"))
-    rollSpreadPlan(base, seconds, base.count() > maxWindowRows)
+    rollSpreadPlan(base, seconds,
+      TickCarry.exceedsRows(base, maxWindowRows))
   }
 
   private[graft] def rollSpreadPlan(base: DataFrame, seconds: Long,
@@ -660,7 +662,8 @@ object Microstructure {
     val base = updates.where(col("is_trade"))
       .select(col("symbol"), col("ts"), col("seq"), col("price"),
         col("size"))
-    tickRuleFlowPlan(base, seconds, base.count() > maxWindowRows)
+    tickRuleFlowPlan(base, seconds,
+      TickCarry.exceedsRows(base, maxWindowRows))
   }
 
   /** [[tickRuleFlow]] past the dispatch: two chained [[TickCarry]]
@@ -739,7 +742,7 @@ object Microstructure {
   def effectiveSpread(updates: DataFrame, seconds: Long = 60,
       maxWindowRows: Long = TickCarry.TickWindowMaxRows): DataFrame =
     effectiveSpreadPlan(updates, seconds,
-      updates.count() > maxWindowRows)
+      TickCarry.exceedsRows(updates, maxWindowRows))
 
   private[graft] def effectiveSpreadPlan(updates: DataFrame, seconds: Long,
       segmented: Boolean): DataFrame = {
@@ -816,7 +819,8 @@ object Microstructure {
     * then one (symbol, bucket) hash aggregation. */
   def leeReady(updates: DataFrame, seconds: Long = 60,
       maxWindowRows: Long = TickCarry.TickWindowMaxRows): DataFrame =
-    leeReadyPlan(updates, seconds, updates.count() > maxWindowRows)
+    leeReadyPlan(updates, seconds,
+      TickCarry.exceedsRows(updates, maxWindowRows))
 
   private[graft] def leeReadyPlan(updates: DataFrame, seconds: Long,
       segmented: Boolean): DataFrame = {
@@ -966,7 +970,8 @@ object Microstructure {
     * series — thousands of rows per symbol, key-bounded. */
   def kyleLambda(updates: DataFrame, seconds: Long = 60,
       maxWindowRows: Long = TickCarry.TickWindowMaxRows): DataFrame =
-    kyleLambdaPlan(updates, seconds, updates.count() > maxWindowRows)
+    kyleLambdaPlan(updates, seconds,
+      TickCarry.exceedsRows(updates, maxWindowRows))
 
   private[graft] def kyleLambdaPlan(updates: DataFrame, seconds: Long,
       segmented: Boolean): DataFrame = {
@@ -1079,7 +1084,8 @@ object Microstructure {
 
   def flowAutocorr(updates: DataFrame, seconds: Long = 60,
       maxWindowRows: Long = TickCarry.TickWindowMaxRows): DataFrame =
-    flowAutocorrPlan(updates, seconds, updates.count() > maxWindowRows)
+    flowAutocorrPlan(updates, seconds,
+      TickCarry.exceedsRows(updates, maxWindowRows))
 
   private[graft] def flowAutocorrPlan(updates: DataFrame, seconds: Long,
       segmented: Boolean): DataFrame = {
@@ -1935,7 +1941,8 @@ object Microstructure {
     * (symbol, bucket) hash aggregation. */
   def quoteTradeLag(updates: DataFrame, seconds: Long = 60,
       maxWindowRows: Long = TickCarry.TickWindowMaxRows): DataFrame =
-    quoteTradeLagPlan(updates, seconds, updates.count() > maxWindowRows)
+    quoteTradeLagPlan(updates, seconds,
+      TickCarry.exceedsRows(updates, maxWindowRows))
 
   private[graft] def quoteTradeLagPlan(updates: DataFrame,
       seconds: Long, segmented: Boolean): DataFrame = {
@@ -2179,7 +2186,8 @@ object Microstructure {
       maxWindowRows: Long = TickCarry.TickWindowMaxRows): DataFrame = {
     val base = updates.where(col("is_trade"))
       .select(col("symbol"), col("ts"), col("seq"))
-    durationAcfPlan(base, base.count() > maxWindowRows)
+    durationAcfPlan(base,
+      TickCarry.exceedsRows(base, maxWindowRows))
   }
 
   private[graft] def durationAcfPlan(base: DataFrame,
@@ -2212,12 +2220,25 @@ object Microstructure {
         sum(dDec).as("_d"), sum(pDec).as("_p"),
         sum(dDec * dDec).as("_d2"), sum(pDec * pDec).as("_p2"),
         sum(dDec * pDec).as("_dp"))
-      .select(col("symbol"), col("n_pairs"),
-        g(col("_d"), "sum_d").as("sum_d"),
-        g(col("_p"), "sum_p").as("sum_p"),
-        col("_d2").cast("double").as("sum_d2"),
-        col("_p2").cast("double").as("sum_p2"),
-        col("_dp").cast("double").as("sum_dp"))
+      .select({
+        // every (d, pd) pair is non-null by the filter, so with
+        // n_pairs ≥ 1 a null square-sum can ONLY be the decimal(38,0)
+        // sum overflowing (Spark non-ANSI → null) — raise loud
+        // instead of silently nulling rho (the DuckDB twin's HUGEINT
+        // sum errors loudly past int128 too; the jumpTest stance)
+        def gd(c: Column, what: String): Column =
+          when(col("n_pairs") >= 1L && c.isNull,
+            raise_error(concat(lit(s"durationAcf: $what outside the " +
+              "exact decimal regime at symbol="), col("symbol")))
+              .cast("double"))
+            .otherwise(c.cast("double"))
+        Seq(col("symbol"), col("n_pairs"),
+          g(col("_d"), "sum_d").as("sum_d"),
+          g(col("_p"), "sum_p").as("sum_p"),
+          gd(col("_d2"), "sum_d2").as("sum_d2"),
+          gd(col("_p2"), "sum_p2").as("sum_p2"),
+          gd(col("_dp"), "sum_dp").as("sum_dp"))
+      }: _*)
       .withColumn("rho",
         when(col("n_pairs") > 1L && den =!= 0.0d, num / den))
   }
@@ -2280,8 +2301,10 @@ object Microstructure {
     * emission; `hy_cov`/`hy_corr` are fixed IEEE chains.
     *
     * Scale shape: the two bench lookups are [[TickCarry]] carries over
-    * the GLOBAL (ts, seq) order (constant key → per-day segments at
-    * scale; the forward lookup is the carry mirrored in time), the
+    * the GLOBAL (ts, seq) order (constant key → per-MINUTE segments at
+    * scale, [[TickCarry.GlobalSegmentMs]] — a day-wide segment would
+    * put one day of the whole feed in a single task; the forward
+    * lookup is the carry mirrored in time), the
     * interval lag is the per-symbol chained carry, then one per-symbol
     * hash aggregation and a 1-row benchmark-RV broadcast. Dispatch
     * follows [[tickRuleFlow]]'s row bound. */
@@ -2293,7 +2316,7 @@ object Microstructure {
       .select(col("symbol"), col("ts"), col("seq"),
         finitePrice.as("price"))
     hayashiYoshidaPlan(base, benchmark,
-      base.count() > maxWindowRows)
+      TickCarry.exceedsRows(base, maxWindowRows))
   }
 
   private[graft] def hayashiYoshidaPlan(base: DataFrame,
@@ -2322,7 +2345,8 @@ object Microstructure {
         Carry(benchMark, includeCurrent = true, "pb_lo"),
         Carry(benchMark, includeCurrent = true, "pb_hi",
           forward = true)),
-      segmented, keys = Seq("_hy"))
+      segmented, keys = Seq("_hy"),
+      segmentMs = TickCarry.GlobalSegmentMs)
     val lagged = TickCarry.carryLast(looked,
       Seq(
         Carry(col("price"), includeCurrent = false, "pa_prev"),

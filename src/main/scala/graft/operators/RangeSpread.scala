@@ -431,12 +431,25 @@ object RangeSpread {
         sum(col("cq").cast("decimal(19,0)") *
           col("cq").cast("decimal(19,0)")).as("_sc2"),
         sum(col("rs_q").cast("decimal(38,0)")).as("_sr"))
-      .select(col("symbol"), col("n"),
-        g(col("_so"), "sum_oq").as("sum_oq"),
-        col("_so2").cast("double").as("sum_oq2"),
-        g(col("_sc"), "sum_cq").as("sum_cq"),
-        col("_sc2").cast("double").as("sum_cq2"),
-        g(col("_sr"), "sum_rs").as("sum_rs"))
+      .select({
+        // every leg is non-null past the pc filter, so with n ≥ 1 a
+        // null square-sum can ONLY be the decimal(38,0) sum
+        // overflowing (non-ANSI → null) — raise loud instead of
+        // silently nulling yz_var (the DuckDB twin's HUGEINT sum
+        // errors loudly past int128; the jumpTest Σm⁴ stance)
+        def gd(c: Column, what: String): Column =
+          when(col("n") >= 1L && c.isNull,
+            raise_error(concat(lit(s"yangZhang: $what outside the " +
+              "exact decimal regime at symbol="), col("symbol")))
+              .cast("double"))
+            .otherwise(c.cast("double"))
+        Seq(col("symbol"), col("n"),
+          g(col("_so"), "sum_oq").as("sum_oq"),
+          gd(col("_so2"), "sum_oq2").as("sum_oq2"),
+          g(col("_sc"), "sum_cq").as("sum_cq"),
+          gd(col("_sc2"), "sum_cq2").as("sum_cq2"),
+          g(col("_sr"), "sum_rs").as("sum_rs"))
+      }: _*)
       .withColumn("yz_var", when(col("n") > 1L, yz))
       .withColumn("yz_vol",
         when(col("n") > 1L, sqrt(greatest(yz, lit(0.0d)))))

@@ -600,13 +600,26 @@ object ReturnDynamics {
       .withColumn("qk", q(k, "subgrid ratio"))
       .groupBy(col("symbol"))
       .agg(count(lit(1)).as("m"),
-        coalesce(sum(col("q1").cast("decimal(19,0)") *
-          col("q1").cast("decimal(19,0)")), lit(0)).as("_s1"),
-        coalesce(sum(col("qk").cast("decimal(19,0)") *
-          col("qk").cast("decimal(19,0)")), lit(0)).as("_sk"))
-      .select(col("symbol"), col("m"),
-        g(col("_s1"), "sum_q2_1").as("sum_q2_1"),
-        g(col("_sk"), "sum_q2_k").as("sum_q2_k"))
+        sum(col("q1").cast("decimal(19,0)") *
+          col("q1").cast("decimal(19,0)")).as("_s1"),
+        sum(col("qk").cast("decimal(19,0)") *
+          col("qk").cast("decimal(19,0)")).as("_sk"))
+      .select({
+        // q(lagN) is non-null on every bucket past the lag-N head, so
+        // a null sum with enough buckets can ONLY be the decimal(38,0)
+        // sum overflowing (non-ANSI → null) — raise instead of letting
+        // the coalesce silently zero the variance (the jumpTest
+        // stance); a null with m ≤ lagN is the legit no-pairs case
+        def gz(c: Column, minM: Long, what: String): Column =
+          when(col("m") > lit(minM) && c.isNull,
+            raise_error(concat(lit(s"tsrv: $what outside the exact " +
+              "decimal regime at symbol="), col("symbol")))
+              .cast("long"))
+            .otherwise(g(coalesce(c, lit(0)), what))
+        Seq(col("symbol"), col("m"),
+          gz(col("_s1"), 1L, "sum_q2_1").as("sum_q2_1"),
+          gz(col("_sk"), k.toLong, "sum_q2_k").as("sum_q2_k"))
+      }: _*)
       .withColumn("rv_full", when(col("m") > 1L, rvFull))
       .withColumn("tsrv", when(col("m") > lit(k.toLong), est))
       .withColumn("tsrv_pos",

@@ -350,7 +350,7 @@ object GraftExtensions {
 
   /** `size(split(trim(text), '\s+'))` — graft.ext.TextOps.tokenCount. */
   def tokenCountExpr(text: Expression): Expression =
-    Size(StringSplit(StringTrim(text), Literal("\\s+"), Literal(-1)))
+    Size(StringSplit(StringTrim(text), Literal("[ \\t\\n\\x0B\\f\\r]+"), Literal(-1)))
 
   /** `size(regexp_extract_all(text, BpePattern, 0))` —
     * graft.ext.TextOps.bpeTokenCount. */

@@ -1573,6 +1573,239 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Per-symbol Yang–Zhang state: the open bucket's OHLC in exact
+    * integer cents with (ts, seq) stamps, the previous SURVIVING
+    * bucket's close (0 = none yet — cents are > 0 for surviving
+    * buckets), the term count and the five exact sums (BigInt as
+    * string). O(1) per key. */
+  case class YzState(bucket: Long, oc: Long, ots: Long, oseq: Long,
+      hc: Long, lc: Long, cc: Long, cts: Long, cseq: Long,
+      pc: Long, n: Long, so: String, so2: String, sc: String,
+      sc2: String, sr: String)
+  case class YzRow(symbol: String, n: Long, sum_oq: Option[Long],
+      sum_oq2: Option[Double], sum_cq: Option[Long],
+      sum_cq2: Option[Double], sum_rs: Option[Long],
+      yz_var: Option[Double], yz_vol: Option[Double])
+
+  /** Yang–Zhang volatility on a STREAM — the serve-current-state twin
+    * of [[graft.operators.RangeSpread.yangZhang]]: the open bucket
+    * folds exact integer-cent OHLC ((ts, seq)-stamped open/close, the
+    * [[streamingRogersSatchell]] shape), rollover closes it with the
+    * batch semantics — zero-cent-low buckets drop BEFORE the lag
+    * chain (they neither score nor supply a previous close), the
+    * first surviving bucket supplies only its close, every later one
+    * adds the overnight leg `oq = floor(ln(oc/pc)·1e8)`, the intraday
+    * leg `cq`, and the four-leg Rogers–Satchell term to the exact
+    * running sums (loud 2e9 leg bounds; the square sums raise loud
+    * past the decimal(38,0) regime exactly where the batch side now
+    * raises) — and the CURRENT estimate is emitted with the batch
+    * IEEE chain, so after a far-future closer the last serving row
+    * equals the batch operator bit-for-bit (StreamingSpec). */
+  def streamingYangZhang(updates: Dataset[Update],
+      seconds: Long = 60): Dataset[YzRow] = {
+    import updates.sparkSession.implicits._
+    def bucketOf(ts: Long): Long = Streaming.Buckets.of(ts, seconds)
+    val Unset = Long.MinValue
+    val DecimalMax = BigInt(10).pow(38)
+    def zero = YzState(Unset, 0L, 0L, 0L, Long.MinValue, Long.MaxValue,
+      0L, 0L, 0L, 0L, 0L, "0", "0", "0", "0", "0")
+    def cents(sym: String, p: Double): Long = {
+      val c = math.floor(p * 100.0d + 0.5d)
+      if (math.abs(c) > 1.0e12d) throw new ArithmeticException(
+        s"yangZhang: price outside the exact-decimal regime at " +
+          s"symbol=$sym")
+      c.toLong
+    }
+    def lq(sym: String, a: Long, b: Long, what: String): Long = {
+      val v = math.floor(
+        math.log(a.toDouble / b.toDouble) * 1e8d).toLong
+      if (math.abs(v) > 2000000000L) throw new ArithmeticException(
+        s"yangZhang: $what outside the exact regime at symbol=$sym")
+      v
+    }
+    def closeBucket(sym: String, st: YzState): YzState = {
+      if (st.lc <= 0L) return st // dropped before the lag chain
+      if (st.pc <= 0L) return st.copy(pc = st.cc) // first surviving
+      val oq = lq(sym, st.oc, st.pc, "overnight leg")
+      val cq = lq(sym, st.cc, st.oc, "open-close leg")
+      val rs = lq(sym, st.hc, st.cc, "high/close leg") *
+        lq(sym, st.hc, st.oc, "high/open leg") +
+        lq(sym, st.lc, st.cc, "low/close leg") *
+        lq(sym, st.lc, st.oc, "low/open leg")
+      st.copy(pc = st.cc, n = st.n + 1L,
+        so = (BigInt(st.so) + BigInt(oq)).toString,
+        so2 = (BigInt(st.so2) + BigInt(oq) * BigInt(oq)).toString,
+        sc = (BigInt(st.sc) + BigInt(cq)).toString,
+        sc2 = (BigInt(st.sc2) + BigInt(cq) * BigInt(cq)).toString,
+        sr = (BigInt(st.sr) + BigInt(rs)).toString)
+    }
+    def emit(sym: String, st: YzState): YzRow = {
+      if (st.n == 0L) return YzRow(sym, 0L, None, None, None, None,
+        None, None, None)
+      def gl(b: BigInt, what: String): Long = {
+        if (b.abs > BigInt(Long.MaxValue)) throw new ArithmeticException(
+          s"yangZhang: $what overflows BIGINT at symbol=$sym")
+        b.toLong
+      }
+      def gd(b: BigInt, what: String): Double = {
+        if (b.abs >= DecimalMax) throw new ArithmeticException(
+          s"yangZhang: $what outside the exact decimal regime at " +
+            s"symbol=$sym")
+        b.toDouble // round-half-even, = the batch decimal→double cast
+      }
+      val so = gl(BigInt(st.so), "sum_oq")
+      val so2 = gd(BigInt(st.so2), "sum_oq2")
+      val sc = gl(BigInt(st.sc), "sum_cq")
+      val sc2 = gd(BigInt(st.sc2), "sum_cq2")
+      val sr = gl(BigInt(st.sr), "sum_rs")
+      if (st.n == 1L) return YzRow(sym, 1L, Some(so), Some(so2),
+        Some(sc), Some(sc2), Some(sr), None, None)
+      val nD = st.n.toDouble
+      def sampleVar(q: Long, q2: Double): Double =
+        (q2 / 1e16d -
+          (q.toDouble / 1e8d) * (q.toDouble / 1e8d) / nD) /
+          (nD - 1.0d)
+      val k = 0.34d / (1.34d + (nD + 1.0d) / (nD - 1.0d))
+      val rsv = (sr.toDouble / 1e16d) / nD
+      val yz = sampleVar(so, so2) + k * sampleVar(sc, sc2) +
+        (1.0d - k) * rsv
+      YzRow(sym, st.n, Some(so), Some(so2), Some(sc), Some(sc2),
+        Some(sr), Some(yz), Some(math.sqrt(math.max(yz, 0.0d))))
+    }
+    def fn(sym: String, rows: Iterator[Update],
+        state: GroupState[YzState]): Iterator[YzRow] = {
+      var st = state.getOption.getOrElse(zero)
+      rows.toSeq.filter(u => u.is_trade && SqlOrd.gt(u.price, 0.0))
+        .sortBy(u => (u.ts, u.seq)).foreach { u =>
+          FiniteGuard.price("yangZhang", u)
+          val b = bucketOf(u.ts)
+          val c = cents(sym, u.price)
+          if (st.bucket == Unset)
+            st = st.copy(bucket = b, oc = c, ots = u.ts, oseq = u.seq,
+              hc = c, lc = c, cc = c, cts = u.ts, cseq = u.seq)
+          else if (b != st.bucket) {
+            val closed = closeBucket(sym, st)
+            st = closed.copy(bucket = b, oc = c, ots = u.ts,
+              oseq = u.seq, hc = c, lc = c, cc = c, cts = u.ts,
+              cseq = u.seq)
+          } else {
+            val o =
+              if (u.ts < st.ots || (u.ts == st.ots && u.seq < st.oseq))
+                (c, u.ts, u.seq) else (st.oc, st.ots, st.oseq)
+            val cl =
+              if (u.ts > st.cts || (u.ts == st.cts && u.seq >= st.cseq))
+                (c, u.ts, u.seq) else (st.cc, st.cts, st.cseq)
+            st = st.copy(oc = o._1, ots = o._2, oseq = o._3,
+              hc = math.max(st.hc, c), lc = math.min(st.lc, c),
+              cc = cl._1, cts = cl._2, cseq = cl._3)
+          }
+        }
+      state.update(st)
+      Iterator.single(emit(sym, st))
+    }
+    updates.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Per-symbol TSRV state: the open bucket's (ts, seq)-stamped close
+    * as the batch DOUBLE (no cents — the estimator logs price
+    * ratios directly), the last K closed-bucket closes most-recent
+    * first, the bucket count, and the two exact square sums (BigInt
+    * as string). O(K) per key. */
+  case class TsrvState(bucket: Long, close: Double, cts: Long,
+      cseq: Long, m: Long, prevs: Seq[Double], s1: String, sk: String)
+  case class TsrvRow(symbol: String, m: Long, sum_q2_1: Option[Long],
+      sum_q2_k: Option[Long], rv_full: Option[Double],
+      tsrv: Option[Double], tsrv_pos: Option[Double])
+
+  /** Two-scale realized variance on a STREAM — the serve-current-state
+    * twin of [[graft.operators.ReturnDynamics.tsrv]]: the open bucket
+    * carries its (ts, seq)-stamped close, rollover scores the
+    * full-grid return against the last close and the subgrid return
+    * against the close K buckets back (both `floor(ln·1e6)` with the
+    * loud 1e9 bound, exactly the batch lags over PRESENT buckets),
+    * pushes the close into the bounded K-deep history, and the
+    * CURRENT estimate is emitted with the batch IEEE chain — after a
+    * far-future closer the last serving row equals the batch operator
+    * bit-for-bit (StreamingSpec). */
+  def streamingTsrv(updates: Dataset[Update], seconds: Long = 60,
+      k: Int = 5): Dataset[TsrvRow] = {
+    require(k > 1, "k must exceed 1 (K=1 degenerates to RV_full)")
+    import updates.sparkSession.implicits._
+    def bucketOf(ts: Long): Long = Streaming.Buckets.of(ts, seconds)
+    val Unset = Long.MinValue
+    val DecimalMax = BigInt(10).pow(38)
+    def zero = TsrvState(Unset, 0.0d, 0L, 0L, 0L, Nil, "0", "0")
+    def q(sym: String, c: Double, prev: Double, what: String): Long = {
+      val v = math.floor(math.log(c / prev) * 1e6d).toLong
+      if (math.abs(v) > 1000000000L) throw new ArithmeticException(
+        s"tsrv: $what outside double range at symbol=$sym")
+      v
+    }
+    def closeBucket(sym: String, st: TsrvState): TsrvState = {
+      val s1 =
+        if (st.prevs.nonEmpty) {
+          val q1 = q(sym, st.close, st.prevs.head, "full-grid ratio")
+          (BigInt(st.s1) + BigInt(q1) * BigInt(q1)).toString
+        } else st.s1
+      val sk =
+        if (st.prevs.length >= k) {
+          val qk = q(sym, st.close, st.prevs(k - 1), "subgrid ratio")
+          (BigInt(st.sk) + BigInt(qk) * BigInt(qk)).toString
+        } else st.sk
+      st.copy(m = st.m + 1L, prevs = (st.close +: st.prevs).take(k),
+        s1 = s1, sk = sk)
+    }
+    def emit(sym: String, st: TsrvState): TsrvRow = {
+      if (st.m == 0L) return TsrvRow(sym, 0L, None, None, None, None,
+        None)
+      def gl(b: BigInt, what: String): Long = {
+        if (b.abs >= DecimalMax) throw new ArithmeticException(
+          s"tsrv: $what outside the exact decimal regime at " +
+            s"symbol=$sym")
+        if (b.abs > BigInt(Long.MaxValue)) throw new ArithmeticException(
+          s"tsrv: $what overflows BIGINT at symbol=$sym")
+        b.toLong
+      }
+      val s1 = gl(BigInt(st.s1), "sum_q2_1")
+      val sk = gl(BigInt(st.sk), "sum_q2_k")
+      val mD = st.m.toDouble
+      val rvFull = s1.toDouble / 1e12d
+      val avgRv = (sk.toDouble / 1e12d) / k.toDouble
+      val nBar = (mD - k.toDouble + 1.0d) / k.toDouble
+      val est = avgRv - nBar / (mD - 1.0d) * rvFull
+      TsrvRow(sym, st.m, Some(s1), Some(sk),
+        if (st.m > 1L) Some(rvFull) else None,
+        if (st.m > k.toLong) Some(est) else None,
+        if (st.m > k.toLong) Some(math.max(est, 0.0d)) else None)
+    }
+    def fn(sym: String, rows: Iterator[Update],
+        state: GroupState[TsrvState]): Iterator[TsrvRow] = {
+      var st = state.getOption.getOrElse(zero)
+      rows.toSeq.filter(u => u.is_trade && SqlOrd.gt(u.price, 0.0))
+        .sortBy(u => (u.ts, u.seq)).foreach { u =>
+          FiniteGuard.price("tsrv", u) // the batch finitePrice
+          val b = bucketOf(u.ts)
+          if (st.bucket == Unset)
+            st = st.copy(bucket = b, close = u.price, cts = u.ts,
+              cseq = u.seq)
+          else if (b != st.bucket) {
+            val closed = closeBucket(sym, st)
+            st = closed.copy(bucket = b, close = u.price, cts = u.ts,
+              cseq = u.seq)
+          } else if (u.ts > st.cts ||
+              (u.ts == st.cts && u.seq >= st.cseq))
+            st = st.copy(close = u.price, cts = u.ts, cseq = u.seq)
+        }
+      state.update(st)
+      Iterator.single(emit(sym, st))
+    }
+    updates.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Per-symbol drawdown state: the open bucket and its running close,
     * the running peak over CLOSED buckets, and the exact minimum
     * quantized trough ratio with its earliest bucket. O(1) per key. */
@@ -2763,7 +2996,7 @@ object Streaming {
       targetRows: Long = 2000000L): LmModel = {
     import graft.ext.TextOps
     val uniDf = docs
-      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .select(explode(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("c"))
       .transform(graft.functions.checkpointed)
     val nTotal = uniDf.agg(coalesce(sum(col("c")), lit(0L)).cast("long"))
@@ -3079,7 +3312,7 @@ object Streaming {
       targetRows: Long = 2000000L): LmModelRef = {
     import graft.ext.TextOps
     val uniDf = docs
-      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .select(explode(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("c"))
       .transform(graft.functions.checkpointed)
     val nTotal = uniDf.agg(coalesce(sum(col("c")), lit(0L)).cast("long"))
@@ -3160,7 +3393,7 @@ object Streaming {
       lnQ(coalesce(col("c_raw"), lit(0L)), ref.nRaw)).cast("long")
     val scored = docs.toDF("doc_id", "text")
       .select(col("doc_id"),
-        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        explode(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).as("term"))
       .join(ref.freq, Seq("term"), "left")
       .select(col("doc_id"), q.as("q")).as[(Long, Long)]
     def fn(id: Long, rows: Iterator[(Long, Long)],
@@ -3348,7 +3581,7 @@ object Streaming {
         lit(lm.nTotal.toDouble)) * 1e12).cast("long")
     val pairs = docs.toDF("doc_id", "text", "lang")
       .select(col("doc_id"), col("lang"),
-        split(lower(trim(col("text"))), "\\s+").as("ws"))
+        split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+").as("ws"))
       .where(size(col("ws")) >= 2)
       .select(col("doc_id"), col("lang"),
         explode(transform(sequence(lit(1), size(col("ws")) - 1),
@@ -3512,7 +3745,7 @@ object Streaming {
     // lambda: an inline split would re-run the regex per gram element
     // (O(words²) per document — fatal on long streamed docs)
     docs
-      .withColumn("ws", split(lower(trim(t)), "\\s+"))
+      .withColumn("ws", split(lower(trim(t)), "[ \\t\\n\\x0B\\f\\r]+"))
       .withColumn("len_ok", toks.cast("long") >= minTokens)
       .withColumn("rep_ok",
         coalesce(TextOps.topGramFracWords(col("ws")), lit(0.0))
@@ -3576,7 +3809,7 @@ object Streaming {
     val qt = queries.toDF("q_id", "qtext")
       .select(col("q_id"),
         explode(array_distinct(
-          split(lower(trim(col("qtext"))), "\\s+"))).as("term"))
+          split(lower(trim(col("qtext"))), "[ \\t\\n\\x0B\\f\\r]+"))).as("term"))
     val rows = qt.join(index, "term")
       .select(col("q_id"), col("doc_id"), col("term"), col("tscore"))
       .as[(Long, Long, String, Double)]
@@ -3605,7 +3838,7 @@ object Streaming {
     * [[streamingCorpusChecksum]] stance. */
   def streamingOovRate(docs: DataFrame, vocab: DataFrame): DataFrame =
     docs.select(col("source"),
-        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        explode(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).as("term"))
       .join(broadcast(vocab.select(col("term"), lit(1L).as("in_v"))),
         Seq("term"), "left")
       .groupBy("source")

@@ -809,4 +809,41 @@ class PlanSpec extends SparkSpec {
       p.contains("GreaterThanOrEqual(ts") && p.contains("LessThanOrEqual(ts"),
       s"ts bounds not pushed:\n$p")
   }
+
+  test("arm dispatch is statistics-based: constructing every " +
+      "dispatch-bearing operator submits ZERO Spark jobs " +
+      "(VERDICT r14 #4)") {
+    // through r14 each of the ten maxWindowRows dispatch sites ran an
+    // eager base.count() before the main plan — at 100 TB that is a
+    // full extra pass over the input per query. The dispatch now reads
+    // the optimizer's statistics (TickCarry.exceedsRows), so operator
+    // CONSTRUCTION must be job-free. Probe: tag a job group, construct
+    // all ten, flush the listener bus with a barrier action in a
+    // second group (bus is FIFO — once the barrier's event is visible,
+    // any earlier construction job would be too), assert the probe
+    // group stayed empty.
+    import graft.operators.Microstructure
+    val sc = spark.sparkContext
+    val u = Tables.updates(spark, sf())
+    sc.setJobGroup("dispatch-probe", "operator construction", false)
+    Seq[DataFrame](
+      Microstructure.realizedVol(u), Microstructure.rollSpread(u),
+      Microstructure.tickRuleFlow(u), Microstructure.effectiveSpread(u),
+      Microstructure.leeReady(u), Microstructure.kyleLambda(u),
+      Microstructure.flowAutocorr(u), Microstructure.quoteTradeLag(u),
+      Microstructure.durationAcf(u), Microstructure.hayashiYoshida(u))
+    sc.clearJobGroup()
+    sc.setJobGroup("dispatch-barrier", "bus flush", false)
+    spark.range(1).count()
+    sc.clearJobGroup()
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (sc.statusTracker.getJobIdsForGroup("dispatch-barrier").isEmpty
+        && System.nanoTime() < deadline) Thread.sleep(20)
+    assert(sc.statusTracker.getJobIdsForGroup("dispatch-barrier").nonEmpty,
+      "barrier job never surfaced — cannot trust the probe")
+    val probeJobs = sc.statusTracker.getJobIdsForGroup("dispatch-probe")
+    assert(probeJobs.isEmpty,
+      s"operator construction submitted ${probeJobs.length} job(s) — " +
+        "an eager pre-scan is back in the dispatch path")
+  }
 }

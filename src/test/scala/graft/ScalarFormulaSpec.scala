@@ -1,0 +1,373 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.model.Update
+import graft.operators.{Microstructure, ReturnDynamics}
+
+/** Scalar-formula fixtures for the estimator family (VERDICT r14 #2):
+  * every expected value below is HAND-DERIVED from the literature
+  * formula on a planted fixture — never from the operator's own
+  * helpers and never from the DuckDB twin. This is the defense
+  * against the one structural blind spot of the bit-exact oracle
+  * harness: a math error SHARED by the Spark plan and its
+  * hand-written twin (the r13 jump-test MedRQ n-factor omission)
+  * passes every engine-parity gate; it cannot pass a closed form
+  * computed independently in the test.
+  *
+  * Where the contract is a fixed IEEE chain over exact integers, the
+  * test re-spells that chain in plain Scala over its OWN hand-built
+  * integer sums — the sums and every constant (π/2, the ·50 Kyle
+  * rescale, the /k variance-ratio normalization, the population-vs-
+  * sample divisors) are the pinned content. The quantization kernel
+  * `q = floor(ln(ratio)·10^s)` is pinned separately (BarGoldenSpec's
+  * realizedVol golden), so fixtures may reuse it to build q series.
+  *
+  * Estimators pinned elsewhere (ledger in COVERAGE.md): parkinson /
+  * garmanKlass / corwinSchultz / rogersSatchell / yangZhang / tsrv /
+  * jumpTest / hayashiYoshida / durationAcf / twoNN (R13WaveSpec,
+  * R14WaveSpec, ReturnDynamicsSpec), vwap / imbalance / bucketSpread /
+  * twap / orderTradeRatio / realizedVol (BarGoldenSpec hand goldens),
+  * volSignature / volumeProfile / intradayProfile / symbolBeta
+  * (ReturnDynamicsSpec exact cases). */
+class ScalarFormulaSpec extends SparkSpec {
+
+  private val T0 = 1700000000000L
+
+  private def trade(sym: String, ms: Long, seq: Long, p: Double,
+      s: Double): Update =
+    Update(sym, T0 + ms, seq, is_trade = true, is_bid = true, p, s)
+
+  private def quote(sym: String, ms: Long, seq: Long, bid: Boolean,
+      p: Double, s: Double): Update =
+    Update(sym, T0 + ms, seq, is_trade = false, is_bid = bid, p, s)
+
+  /** One trade per minute bucket at the given closes. */
+  private def closes(sym: String, ps: Seq[Double]): Seq[Update] =
+    ps.zipWithIndex.map { case (p, i) =>
+      trade(sym, i * 60000L, i.toLong, p, 1.0)
+    }
+
+  /** The engine's return kernel, re-spelled: quantized log return
+    * between consecutive closes. */
+  private def qOf(ps: Seq[Double]): Seq[Long] =
+    ps.sliding(2).map { case Seq(a, b) =>
+      math.floor(math.log(b / a) * 1e6).toLong
+    }.toSeq
+
+  private def one(df: org.apache.spark.sql.DataFrame): Row = {
+    val rows = df.collect()
+    assert(rows.length === 1, s"expected one row, got ${rows.toSeq}")
+    rows(0)
+  }
+
+  test("rollSpread: strict bid-ask bounce recovers 2·sqrt(-cov)/100 " +
+      "on hand-computed integer-cent deltas (Roll 1984)") {
+    // prices alternate 101/99 inside one bucket: Δcents = ±200, every
+    // (x, y) pair multiplies to -40000; Σx = Σy = 0 over the 4 pairs,
+    // so cov = Σxy/n = -40000 and spread = 2·√40000/100 = 4.00 — the
+    // strict-alternation double of Roll's random-direction s
+    val ups = (0 until 6).map(i =>
+      trade("r", i * 1000L, i.toLong, if (i % 2 == 0) 101.0 else 99.0,
+        1.0))
+    val r = one(Microstructure.rollSpread(updatesDf(ups)))
+    assert(r.getAs[Long]("n_pairs") === 4L)
+    assert(r.getAs[Long]("sum_x") === 0L)
+    assert(r.getAs[Long]("sum_y") === 0L)
+    assert(r.getAs[Long]("sum_xy") === -160000L)
+    val cov = (-160000.0 - 0.0 * 0.0 / 4.0) / 4.0
+    assert(r.getAs[Double]("cov") === cov)
+    assert(r.getAs[Double]("roll_spread") === 2.0 * math.sqrt(-cov) / 100.0)
+    assert(r.getAs[Double]("roll_spread") === 4.0)
+  }
+
+  test("amihud: hand-computed |Δc|/c_open/turnover per bucket; the " +
+      "LOWER median bucket is selected (Amihud 2002)") {
+    // three buckets with hand-chosen impact-per-dollar: 100/10000/201,
+    // 400/10000/304, 200/10000/304 — sorted the lower median (rank
+    // (3+1)÷2 = 2) is the third bucket's 200/10000/304
+    val ups = Seq(
+      trade("a", 0L, 0L, 100.0, 1.0), trade("a", 1000L, 1L, 101.0, 1.0),
+      trade("a", 60000L, 2L, 100.0, 2.0),
+      trade("a", 61000L, 3L, 104.0, 1.0),
+      trade("a", 120000L, 4L, 100.0, 1.0),
+      trade("a", 121000L, 5L, 102.0, 2.0))
+    val r = one(Microstructure.amihud(updatesDf(ups)))
+    assert(r.getAs[Long]("n_buckets") === 3L)
+    assert(r.getAs[Long]("start") === (T0 + 120000L) / 1000 / 60 * 60)
+    assert(r.getAs[Double]("amihud_med") === 200.0 / 10000.0 / 304.0)
+  }
+
+  test("kyleLambda: hand-computed OLS slope of mid-change on signed " +
+      "flow, including the x50 cents-to-price-per-2-sides rescale " +
+      "(Kyle 1985)") {
+    // bucket flows f = +3, +5, -4, +2 (tick-rule signs by
+    // construction); filled mids m = 20200, 20400, 20200, 20200 →
+    // dm pairs (x=f·10⁴, y=dm): (50000, 200), (-40000, -200),
+    // (20000, 0)
+    val ups = Seq(
+      quote("k", 0L, 0L, bid = true, 100.0, 1.0),
+      quote("k", 100L, 1L, bid = false, 102.0, 1.0),
+      trade("k", 200L, 2L, 100.0, 1.0), // seed: dir 0, flow 0
+      trade("k", 300L, 3L, 101.0, 3.0), // up → +3
+      quote("k", 60000L, 4L, bid = true, 101.0, 1.0),
+      quote("k", 60100L, 5L, bid = false, 103.0, 1.0),
+      trade("k", 60200L, 6L, 102.0, 5.0), // up → +5
+      quote("k", 120000L, 7L, bid = true, 100.0, 1.0),
+      quote("k", 120100L, 8L, bid = false, 102.0, 1.0),
+      trade("k", 120200L, 9L, 100.0, 4.0), // down → -4
+      trade("k", 180000L, 10L, 103.0, 2.0)) // up → +2; no new quotes
+    val r = one(Microstructure.kyleLambda(updatesDf(ups)))
+    assert(r.getAs[Long]("n_pairs") === 3L)
+    val (sx, sy) = (50000.0 - 40000.0 + 20000.0, 200.0 - 200.0 + 0.0)
+    val sxy = 50000.0 * 200.0 + 40000.0 * 200.0 + 0.0
+    val sxx = 50000.0 * 50000.0 + 40000.0 * 40000.0 + 20000.0 * 20000.0
+    assert(r.getAs[Double]("sum_x") === sx)
+    assert(r.getAs[Double]("sum_y") === sy)
+    assert(r.getAs[Double]("sum_xy") === sxy)
+    assert(r.getAs[Double]("sum_xx") === sxx)
+    val den = 3.0 * sxx - sx * sx
+    assert(r.getAs[Double]("kyle_lambda") ===
+      (3.0 * sxy - sx * sy) / den * 50.0)
+  }
+
+  test("flowAutocorr: hand-computed Pearson r of consecutive bucket " +
+      "flows (+3, -1, +2, -2)") {
+    val ups = Seq(
+      trade("f", 0L, 0L, 100.0, 1.0), // seed: flow 0
+      trade("f", 1000L, 1L, 101.0, 3.0), // +3 (same bucket → f0 = 3)
+      trade("f", 60000L, 2L, 100.0, 1.0), // -1
+      trade("f", 120000L, 3L, 102.0, 2.0), // +2
+      trade("f", 180000L, 4L, 101.0, 2.0)) // -2
+    val r = one(Microstructure.flowAutocorr(updatesDf(ups)))
+    assert(r.getAs[Long]("n_pairs") === 3L)
+    // pairs (x, y)·10⁴: (3,-1), (-1,2), (2,-2)
+    val (sx, sy) = (4.0e4, -1.0e4)
+    val sxy = (-3.0 - 2.0 - 4.0) * 1e8
+    val (sxx, syy) = (14.0 * 1e8, 9.0 * 1e8)
+    assert(r.getAs[Double]("sum_x") === sx)
+    assert(r.getAs[Double]("sum_y") === sy)
+    assert(r.getAs[Double]("sum_xy") === sxy)
+    assert(r.getAs[Double]("sum_xx") === sxx)
+    assert(r.getAs[Double]("sum_yy") === syy)
+    val (dx, dy) = (3.0 * sxx - sx * sx, 3.0 * syy - sy * sy)
+    assert(r.getAs[Double]("flow_autocorr") ===
+      (3.0 * sxy - sx * sy) / (math.sqrt(dx) * math.sqrt(dy)))
+  }
+
+  test("tickRuleFlow: zero-change trades inherit the carried sign; " +
+      "hand-computed signed/classified volumes") {
+    val ups = Seq(
+      trade("t", 0L, 0L, 100.0, 5.0), // unclassified (dir 0, no sign)
+      trade("t", 1000L, 1L, 101.0, 2.0), // +2
+      trade("t", 2000L, 2L, 101.0, 3.0), // flat → carried + → +3
+      trade("t", 3000L, 3L, 100.0, 4.0), // -4
+      trade("t", 4000L, 4L, 100.0, 6.0)) // flat → carried - → -6
+    val r = one(Microstructure.tickRuleFlow(updatesDf(ups)))
+    assert(r.getAs[Long]("n_trades") === 5L)
+    assert(r.getAs[Double]("signed_vol") === 2.0 + 3.0 - 4.0 - 6.0)
+    assert(r.getAs[Double]("class_vol") === 15.0)
+    assert(r.getAs[Double]("flow_ratio") === -5.0 / 15.0)
+  }
+
+  test("effectiveSpread: 2·|p - mid| against the prevailing touch; " +
+      "pre-quote trades count but carry no weight") {
+    val ups = Seq(
+      trade("e", 0L, 0L, 101.0, 1.0), // before any quote: unclassified
+      quote("e", 1000L, 1L, bid = true, 100.0, 1.0),
+      quote("e", 2000L, 2L, bid = false, 102.0, 1.0),
+      trade("e", 3000L, 3L, 102.0, 1.0), // 2·|102 - 101| = 2.0
+      trade("e", 4000L, 4L, 100.5, 1.0)) // 2·|100.5 - 101| = 1.0
+    val r = one(Microstructure.effectiveSpread(updatesDf(ups)))
+    assert(r.getAs[Long]("n_trades") === 3L)
+    assert(r.getAs[Long]("n_classified") === 2L)
+    assert(r.getAs[Double]("eff_sum") === 3.0)
+    assert(r.getAs[Double]("avg_eff_spread") === 1.5)
+  }
+
+  test("maxDrawdown: 100→120→90→110 closes score exactly 25% off the " +
+      "120 peak, trough at the 90 bucket") {
+    val r = one(Microstructure.maxDrawdown(
+      updatesDf(closes("d", Seq(100.0, 120.0, 90.0, 110.0)))))
+    assert(r.getAs[Long]("n_buckets") === 4L)
+    // 90/120 = 0.75 is exact in binary → q_min = 750000 exactly
+    assert(r.getAs[Long]("q_min") === 750000L)
+    assert(r.getAs[Long]("trough_start") ===
+      (T0 + 2 * 60000L) / 1000 / 60 * 60)
+    assert(r.getAs[Double]("max_drawdown") === 1.0 - 750000.0 / 1e6)
+  }
+
+  test("varianceRatio: hand-computed VR(k) = (Var_k/k)/Var_1 over " +
+      "overlapping k-sums, population variances (Lo-MacKinlay 1988)") {
+    val ps = Seq(1.01, 0.99, 1.02, 0.98, 1.01, 0.99, 1.03, 0.97)
+      .scanLeft(100.0)(_ * _)
+    val q = qOf(ps)
+    val k = 4
+    val qk = q.sliding(k).map(_.sum).toSeq
+    val r = one(Microstructure.varianceRatio(updatesDf(closes("v", ps))))
+    assert(r.getAs[Long]("n1") === q.length.toLong)
+    assert(r.getAs[Long]("nk") === qk.length.toLong)
+    assert(r.getAs[Long]("sum_q1") === q.sum)
+    assert(r.getAs[Long]("sum_sq1") === q.map(x => x * x).sum)
+    assert(r.getAs[Long]("sum_qk") === qk.sum)
+    assert(r.getAs[Long]("sum_sqk") === qk.map(x => x * x).sum)
+    def varOf(ss: Long, s: Long, n: Long): Double =
+      ss.toDouble / n - (s.toDouble / n) * (s.toDouble / n)
+    val var1 = varOf(q.map(x => x * x).sum, q.sum, q.length)
+    val vark = varOf(qk.map(x => x * x).sum, qk.sum, qk.length)
+    assert(r.getAs[Double]("var1") === var1)
+    assert(r.getAs[Double]("vark") === vark)
+    assert(r.getAs[Double]("vr") === (vark / k.toDouble) / var1)
+  }
+
+  test("returnMoments: hand-computed central-moment skewness and " +
+      "excess kurtosis chains over exact integer power sums") {
+    val ps = Seq(1.01, 0.99, 1.02, 0.98, 1.03, 0.97, 1.01, 0.99)
+      .scanLeft(100.0)(_ * _)
+    val q = qOf(ps)
+    val n = q.length
+    val s1 = q.map(BigInt(_)).sum.toDouble
+    val s2 = q.map(x => BigInt(x) * BigInt(x)).sum.toDouble
+    val s3 = q.map(x => BigInt(x) * BigInt(x) * BigInt(x)).sum.toDouble
+    val s4 = q.map { x =>
+      val x2 = BigInt(x) * BigInt(x); x2 * x2
+    }.sum.toDouble
+    val r = one(Microstructure.returnMoments(
+      updatesDf(closes("m", ps))))
+    assert(r.getAs[Long]("n") === n.toLong)
+    assert(r.getAs[Double]("sum_q") === s1)
+    assert(r.getAs[Double]("sum_q2") === s2)
+    assert(r.getAs[Double]("sum_q3") === s3)
+    assert(r.getAs[Double]("sum_q4") === s4)
+    val m = s1 / n
+    val v = s2 / n - m * m
+    assert(r.getAs[Double]("mean") === m)
+    assert(r.getAs[Double]("variance") === v)
+    assert(r.getAs[Double]("skewness") ===
+      (s3 / n - 3.0 * m * (s2 / n) + 2.0 * m * m * m) /
+        (v * math.sqrt(v)))
+    assert(r.getAs[Double]("kurtosis") ===
+      (s4 / n - 4.0 * m * (s3 / n) + 6.0 * m * m * (s2 / n) -
+        3.0 * m * m * m * m) / (v * v) - 3.0)
+  }
+
+  test("returnCorr: hand-computed Pearson r over bucket-aligned " +
+      "quantized returns of a planted pair") {
+    val psA = Seq(1.01, 0.99, 1.02, 0.98, 1.03).scanLeft(100.0)(_ * _)
+    val psB = Seq(1.02, 0.98, 1.01, 0.99, 1.04).scanLeft(50.0)(_ * _)
+    val (qa, qb) = (qOf(psA), qOf(psB))
+    val n = qa.length
+    val r = one(Microstructure.returnCorr(
+      updatesDf(closes("aaa", psA) ++ closes("bbb", psB))))
+    assert(r.getAs[String]("symbol_a") === "aaa")
+    assert(r.getAs[String]("symbol_b") === "bbb")
+    assert(r.getAs[Long]("n_pairs") === n.toLong)
+    val sx = qa.sum.toDouble
+    val sy = qb.sum.toDouble
+    val sxy = qa.zip(qb).map { case (x, y) => x * y }.sum.toDouble
+    val sxx = qa.map(x => x * x).sum.toDouble
+    val syy = qb.map(y => y * y).sum.toDouble
+    assert(r.getAs[Double]("sum_xy") === sxy)
+    val (dx, dy) = (n * sxx - sx * sx, n * syy - sy * sy)
+    assert(r.getAs[Double]("return_corr") ===
+      (n * sxy - sx * sy) / (math.sqrt(dx) * math.sqrt(dy)))
+  }
+
+  test("bipowerVar: BV carries the independent π/2 constant " +
+      "(μ₁⁻² of Barndorff-Nielsen–Shephard 2004) over |q_i||q_{i-1}|") {
+    val ps = Seq(1.01, 0.99, 1.05).scanLeft(100.0)(_ * _)
+    val q = qOf(ps)
+    val r = one(ReturnDynamics.bipowerVar(updatesDf(closes("b", ps))))
+    assert(r.getAs[Long]("n_rets") === 3L)
+    assert(r.getAs[Long]("n_pairs") === 2L)
+    val sq2 = q.map(x => x * x).sum
+    val sbp = q.sliding(2).map { case Seq(a, b) =>
+      math.abs(b) * math.abs(a)
+    }.sum
+    assert(r.getAs[Long]("sum_q2") === sq2)
+    assert(r.getAs[Long]("sum_bp") === sbp)
+    val rv = sq2.toDouble / 1e12
+    val bv = (math.Pi / 2.0) * (sbp.toDouble / 1e12)
+    assert(r.getAs[Double]("rv") === rv)
+    assert(r.getAs[Double]("bv") === bv)
+    assert(r.getAs[Double]("jump") === math.max(rv - bv, 0.0))
+    assert(r.getAs[Double]("jump_ratio") === math.max(rv - bv, 0.0) / rv)
+  }
+
+  test("realizedSemivariance: hand-split positive/negative squared " +
+      "sums; sjv and down_share chains") {
+    val ps = Seq(1.01, 0.99, 1.02, 0.97, 1.03).scanLeft(100.0)(_ * _)
+    val q = qOf(ps)
+    val r = one(ReturnDynamics.realizedSemivariance(
+      updatesDf(closes("s", ps))))
+    val sp = q.filter(_ > 0L).map(x => x * x).sum
+    val sn = q.filter(_ < 0L).map(x => x * x).sum
+    assert(r.getAs[Long]("n_rets") === q.length.toLong)
+    assert(r.getAs[Long]("sum_pos_q2") === sp)
+    assert(r.getAs[Long]("sum_neg_q2") === sn)
+    val (up, down) = (sp.toDouble / 1e12, sn.toDouble / 1e12)
+    assert(r.getAs[Double]("rs_up") === up)
+    assert(r.getAs[Double]("rs_down") === down)
+    assert(r.getAs[Double]("sjv") === up - down)
+    assert(r.getAs[Double]("down_share") === down / (up + down))
+  }
+
+  test("returnAcf: hand-computed Pearson r at every lag of the " +
+      "ladder over exact integer pair sums") {
+    val ps = Seq(1.01, 0.99, 1.02, 0.98, 1.03, 0.97)
+      .scanLeft(100.0)(_ * _)
+    val q = qOf(ps)
+    val rows = ReturnDynamics.returnAcf(updatesDf(closes("a", ps)),
+      maxLag = 3).collect()
+      .map(r => r.getAs[Long]("lag") -> r).toMap
+    for (lag <- 1 to 3) {
+      val pairs = q.drop(lag).zip(q.dropRight(lag)).map(_.swap)
+      val n = pairs.length
+      val sx = pairs.map(_._1).sum.toDouble
+      val sy = pairs.map(_._2).sum.toDouble
+      val sxy = pairs.map { case (x, y) => x * y }.sum.toDouble
+      val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+      val syy = pairs.map(p => p._2 * p._2).sum.toDouble
+      val r = rows(lag.toLong)
+      assert(r.getAs[Long]("n_pairs") === n.toLong, s"lag $lag")
+      assert(r.getAs[Long]("sum_xy") === sxy.toLong, s"lag $lag")
+      val (dx, dy) = (n * sxx - sx * sx, n * syy - sy * sy)
+      assert(r.getAs[Double]("acf") ===
+        (n * sxy - sx * sy) / (math.sqrt(dx) * math.sqrt(dy)),
+        s"lag $lag")
+    }
+  }
+
+  test("hurst: hand-computed aggregated-variance regression — " +
+      "block sums, population variances, quantized ln, fixed-order " +
+      "least squares, H = slope/2") {
+    val ratios = Seq(1.01, 0.99, 1.02, 0.98, 1.03, 0.97, 1.01, 1.02,
+      0.99, 0.98, 1.04, 0.96, 1.005, 0.995, 1.015, 0.985)
+    val ps = ratios.scanLeft(100.0)(_ * _)
+    val q = qOf(ps)
+    def yq(m: Int): Long = {
+      val blocks = q.grouped(m).filter(_.length == m)
+        .map(_.sum).toSeq
+      val n = blocks.length
+      val s = blocks.map(BigInt(_)).sum.toDouble
+      val ss = blocks.map(b => BigInt(b) * BigInt(b)).sum.toDouble
+      val v = ss / n - (s / n) * (s / n)
+      assert(n >= 2 && v > 0.0, s"fixture degenerate at m=$m")
+      math.floor(math.log(v) * 1e8).toLong
+    }
+    val ys = Seq(1, 2, 4, 8).map(m => yq(m).toDouble / 1e8)
+    val xs = Seq(1, 2, 4, 8).map(m => math.log(m.toDouble))
+    val sx = xs.reduce(_ + _)
+    val sxx = xs.map(x => x * x).reduce(_ + _)
+    val sy = ys(0) + ys(1) + ys(2) + ys(3)
+    val sxy = xs(0) * ys(0) + xs(1) * ys(1) + xs(2) * ys(2) +
+      xs(3) * ys(3)
+    val slope = (4.0 * sxy - sx * sy) / (4.0 * sxx - sx * sx)
+    val r = one(ReturnDynamics.hurst(updatesDf(closes("h", ps))))
+    assert(r.getAs[Long]("yq1") === yq(1))
+    assert(r.getAs[Long]("yq2") === yq(2))
+    assert(r.getAs[Long]("yq4") === yq(4))
+    assert(r.getAs[Long]("yq8") === yq(8))
+    assert(r.getAs[Double]("hurst") === slope / 2.0)
+  }
+}

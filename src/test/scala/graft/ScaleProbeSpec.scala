@@ -576,6 +576,71 @@ class ScaleProbeSpec extends SparkSpec {
       "segmented tick carry diverges under 90%-one-symbol skew at 10x")
   }
 
+  test("constant-key tick carry: per-minute segments bound the " +
+      "global-feed task envelope at 10x; hayashiYoshida bit-parity " +
+      "(VERDICT r14 #1)") {
+    // hayashiYoshida's bench lookups carry over the GLOBAL (ts, seq)
+    // order with a constant key, so the symbol axis offers no
+    // parallelism at all: per-key segmentation IS the only split. A
+    // day-wide segment (the symbol-keyed default) puts one day of the
+    // ENTIRE feed in a single task — the r14 scale defect. The fix:
+    // constant-key carries segment by GlobalSegmentMs (one minute).
+    // Probe: 10x the sf0.1 feed (disjoint seq offsets, ts kept — the
+    // real 30-day span), measure (1) the envelope identity — the
+    // segmented local window's per-task input is exactly the global
+    // per-minute row count, (2) the gap to the day funnel, and (3)
+    // bit-parity of the full hayashiYoshida consumer across arms
+    // under exactly this corpus, with a wall tripwire on the
+    // segmented arm.
+    import graft.operators.{Microstructure, TickCarry}
+    val u0 = Tables.updates(spark, sfDir)
+    val nSeqSpan = u0.agg(max(col("seq"))).head.getLong(0) + 1
+    val scaled = u0.select(col("symbol"), col("ts"), col("seq"),
+        col("is_trade"), col("is_bid"), col("price"), col("size"),
+        explode(sequence(lit(0), lit(Copies - 1))).as("copy"))
+      .select(col("symbol"), col("ts"),
+        (col("seq") + col("copy") * nSeqSpan).as("seq"),
+        col("is_trade"), col("is_bid"), col("price"), col("size"))
+      .localCheckpoint(true)
+    val base = scaled.where(col("is_trade") && col("price") > 0.0d)
+      .select(col("symbol"), col("ts"), col("seq"), col("price"))
+      .localCheckpoint(true)
+    val total = base.count()
+    def maxOcc(segMs: Long): Long = base
+      .groupBy(expr(s"ts div ${segMs}L")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).head.getLong(0)
+    val occMin = maxOcc(TickCarry.GlobalSegmentMs)
+    val occDay = maxOcc(TickCarry.SegmentMs)
+    val nSegs = base.select(
+        expr(s"ts div ${TickCarry.GlobalSegmentMs}L").as("_s"))
+      .distinct().count()
+    info(f"global feed: $total%,d trades over $nSegs%,d minute " +
+      f"segments; per-task input minute=$occMin%,d vs day=$occDay%,d " +
+      f"(${occDay.toDouble / occMin}%.0fx narrower)")
+    // envelope: near-ideal spread (the feed is ~uniform over its span;
+    // a generous 10x absorbs intra-day clustering) and far below both
+    // the day funnel and the whole-feed funnel
+    assert(occMin <= math.max(total / nSegs, 1L) * 10,
+      f"per-minute occupancy superlinear: $occMin%,d vs ideal " +
+        f"${total / nSegs}%,d")
+    assert(occMin <= occDay / 10,
+      f"minute envelope $occMin%,d not far below day funnel $occDay%,d")
+    def rows(df: DataFrame): Seq[String] = df.collect().map(r =>
+      r.toSeq.map(v => if (v == null) "null" else v.toString)
+        .mkString("|")).sorted.toSeq
+    val t0 = System.nanoTime()
+    val seg = rows(Microstructure.hayashiYoshidaPlan(base, "click",
+      segmented = true))
+    val wSeg = (System.nanoTime() - t0) / 1e9
+    info(f"segmented hayashiYoshida wall at 10x: ${wSeg}%.1fs")
+    assert(wSeg < 120.0, f"segmented constant-key carry wall " +
+      f"${wSeg}%.1fs — the per-minute envelope is broken")
+    assert(seg === rows(Microstructure.hayashiYoshidaPlan(base, "click",
+        segmented = false)),
+      "constant-key segmented carry diverges from the single window " +
+        "at 10x")
+  }
+
   test("book folds: per-task scan under 90%-one-symbol skew at 10x " +
       "matches the FoldBars envelope; fold state is symbol-isolated " +
       "(VERDICT r13 #3)") {
