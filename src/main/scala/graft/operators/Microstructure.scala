@@ -1576,6 +1576,49 @@ object Microstructure {
       .orderBy("symbol_a", "symbol_b")
   }
 
+  /** Epps-effect curve: [[returnCorr]] evaluated on a LADDER of
+    * sampling scales — the classic finding (Epps 1979) that
+    * cross-asset return correlation decays toward zero as the
+    * sampling interval shrinks (asynchronous trading plus
+    * microstructure noise destroy short-horizon comovement), so the
+    * curve's shape tells a consumer which horizon their correlation
+    * estimates are trustworthy at — the cross-symbol companion of
+    * [[volSignature]]'s per-symbol noise diagnostic. One row per
+    * (symbol pair, scale), each the EXACT [[returnCorr]] contract at
+    * that scale (integer kernel returns, decimal→double sums, one
+    * IEEE Pearson chain).
+    *
+    * Scale shape: one [[returnCorr]] arm per scale (bounded ladder),
+    * unioned — each arm is a (symbol, bucket) partial aggregation
+    * plus the bounded per-bucket pair expansion; no cross-scale
+    * state. */
+  def eppsEffect(updates: DataFrame,
+      scales: Seq[Long] = Seq(60L, 300L, 900L),
+      maxSymbols: Int = MaxCorrSymbols): DataFrame = {
+    require(scales.nonEmpty && scales.forall(_ > 0),
+      "scales must be positive")
+    scales.sorted.map { s =>
+      returnCorr(updates, s, maxSymbols)
+        .withColumn("scale_s", lit(s))
+        .select(col("symbol_a"), col("symbol_b"), col("scale_s"),
+          col("n_pairs"), col("return_corr"))
+    }.reduce(_ unionByName _)
+      .orderBy("symbol_a", "symbol_b", "scale_s")
+  }
+
+  /** DuckDB twin of [[eppsEffect]] — the same [[returnCorrSql]] arm
+    * per scale, unioned. */
+  def eppsEffectSql(scales: Seq[Long] = Seq(60L, 300L, 900L)): String = {
+    require(scales.nonEmpty && scales.forall(_ > 0),
+      "scales must be positive")
+    val arms = scales.sorted.map { s =>
+      s"""SELECT symbol_a, symbol_b, $s AS scale_s, n_pairs,
+         | return_corr FROM (${returnCorrSql(s)})"""
+        .stripMargin.replace('\n', ' ')
+    }.mkString(" UNION ALL ")
+    s"SELECT * FROM ($arms) ORDER BY symbol_a, symbol_b, scale_s"
+  }
+
   def returnCorrSql(seconds: Long = 60): String =
     s"""SELECT symbol_a, symbol_b, n_pairs, sum_x, sum_y, sum_xy,
        | sum_xx, sum_yy,

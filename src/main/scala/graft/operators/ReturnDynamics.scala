@@ -658,4 +658,109 @@ object ReturnDynamics {
        | GROUP BY 1)
        |ORDER BY symbol""".stripMargin.replace('\n', ' ')
   }
+
+  /** Parzen kernel weight `k(x)` (Barndorff-Nielsen–Hansen–Lunde–
+    * Shephard 2008): `1 − 6x² + 6x³` on [0, ½], `2(1−x)³` on (½, 1].
+    * Evaluated ONCE in Scala per lag and embedded as the identical
+    * double literal in both engines (the HalfPi stance) — no runtime
+    * libm anywhere near the kernel. */
+  private[graft] def parzen(x: Double): Double =
+    if (x <= 0.5d) 1.0d - 6.0d * x * x + 6.0d * x * x * x
+    else 2.0d * (1.0d - x) * (1.0d - x) * (1.0d - x)
+
+  /** Realized-kernel variance per symbol (Barndorff-Nielsen, Hansen,
+    * Lunde & Shephard 2008): `RK = γ₀ + Σ_{h=1..H} k(h/(H+1))·2γ_h`
+    * with the Parzen kernel — the autocovariance-corrected RV that is
+    * robust to microstructure noise WITHOUT subsampling (the kernel
+    * companion of [[tsrv]]: TSRV averages subgrids, RK reweights the
+    * return autocovariances; Parzen weights keep the estimate
+    * non-negative by construction). `γ_h = Σ q_b·q_{b−h}` over the
+    * PRESENT-bucket return series.
+    *
+    * Exactness: the quantized kernel returns are
+    * [[Microstructure.bucketReturns]]'s exact longs; every γ_h is an
+    * exact decimal sum with raise-guarded BIGINT emission (the
+    * returnAcf sum_xy stance); the Parzen weights are Scala-computed
+    * double literals embedded identically in both engines, and the
+    * estimate is ONE fixed IEEE chain `(γ₀ + c₁·γ₁ + … + c_H·γ_H)
+    * / 1e12` with `c_h = 2·k(h/(H+1))` precomputed. Null when no
+    * return exists; a lag with no pairs contributes a zero γ_h
+    * (empty sum), exactly as the estimator's truncation prescribes.
+    *
+    * Scale shape: [[returnAcf]]'s verbatim — one (symbol, bucket)
+    * partial aggregation, H lag columns off ONE per-symbol
+    * bucket-series window, one hash aggregation. */
+  def realizedKernel(updates: DataFrame, seconds: Long = 60,
+      bandwidth: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bandwidth >= 1 && bandwidth <= 16,
+      "realizedKernel needs 1 <= bandwidth <= 16")
+    val w = Window.partitionBy(col("symbol")).orderBy(col("start"))
+    val g = guardedLong("realizedKernel") _
+    val qDec = col("q").cast("decimal(15,0)")
+    val lagged = (1 to bandwidth).foldLeft(
+      Microstructure.bucketReturns(updates, seconds)) { (df, h) =>
+        df.withColumn(s"_l$h",
+          lag(col("q"), h).over(w).cast("decimal(15,0)"))
+      }
+    val aggs =
+      Seq(count(col("q")).as("n_rets"),
+        sum(qDec * qDec).as("_g0")) ++
+      (1 to bandwidth).map(h =>
+        sum(qDec * col(s"_l$h")).as(s"_g$h"))
+    val emitted = lagged.groupBy(col("symbol"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        Seq(col("symbol"), col("n_rets"),
+          g(col("_g0"), "gamma0").as("gamma0")) ++
+        (1 to bandwidth).map(h =>
+          coalesce(g(col(s"_g$h"), s"gamma$h"), lit(0L))
+            .as(s"gamma$h")): _*)
+    val rk = (1 to bandwidth).foldLeft(
+      col("gamma0").cast("double")) { (acc, h) =>
+        val c = 2.0d * parzen(h.toDouble / (bandwidth + 1).toDouble)
+        acc + lit(c) * col(s"gamma$h").cast("double")
+      } / 1e12d
+    emitted
+      .withColumn("rk_var", when(col("n_rets") > 0L, rk))
+      .withColumn("rk_vol",
+        when(col("n_rets") > 0L, sqrt(greatest(rk, lit(0.0d)))))
+      .orderBy("symbol")
+  }
+
+  /** DuckDB twin of [[realizedKernel]] — identical kernel returns,
+    * HUGEINT γ sums, the same embedded Parzen literals and IEEE
+    * chain order. */
+  def realizedKernelSql(seconds: Long = 60, bandwidth: Int = 4)
+      : String = {
+    require(bandwidth >= 1 && bandwidth <= 16,
+      "realizedKernel needs 1 <= bandwidth <= 16")
+    val lagCols = (1 to bandwidth).map(h =>
+      s"lag(q, $h) OVER w AS l$h").mkString(", ")
+    val gSums = (1 to bandwidth).map(h =>
+      s"""COALESCE(CAST(SUM(CAST(q AS HUGEINT) * CAST(l$h AS HUGEINT))
+         | AS BIGINT), 0) AS gamma$h""".stripMargin
+        .replace('\n', ' ')).mkString(", ")
+    // "+ a + b / 1e12" would misparse — wrap the weighted sum first
+    val rkExpr = "(" + (1 to bandwidth).foldLeft(
+      "CAST(gamma0 AS DOUBLE)") { (acc, h) =>
+        val c = 2.0d * parzen(h.toDouble / (bandwidth + 1).toDouble)
+        s"$acc + $c * CAST(gamma$h AS DOUBLE)"
+      } + ") / 1e12"
+    val gammaList = (1 to bandwidth).map(h => s"gamma$h").mkString(", ")
+    s"""SELECT symbol, n_rets, gamma0, $gammaList,
+       | CASE WHEN n_rets > 0 THEN $rkExpr END AS rk_var,
+       | CASE WHEN n_rets > 0 THEN sqrt(greatest($rkExpr, 0.0)) END
+       |  AS rk_vol
+       |FROM (
+       | SELECT symbol, count(q) AS n_rets,
+       |  CAST(SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS BIGINT)
+       |   AS gamma0, $gSums
+       | FROM (
+       |  SELECT symbol, q, $lagCols
+       |  FROM (${Microstructure.bucketReturnsSql(seconds)})
+       |  WINDOW w AS (PARTITION BY symbol ORDER BY start))
+       | GROUP BY 1)
+       |ORDER BY symbol""".stripMargin.replace('\n', ' ')
+  }
 }

@@ -187,6 +187,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Microstructure.hayashiYoshida(u) }
     registerTable(ext, "duration_acf") { (u, _) =>
       Microstructure.durationAcf(u) }
+    registerTable(ext, "realized_kernel") { (u, a) =>
+      ReturnDynamics.realizedKernel(u, long0(a, 60L),
+        a.lift(1).map(_.toInt).getOrElse(4)) }
+    registerTable(ext, "epps_effect") { (u, a) =>
+      Microstructure.eppsEffect(u,
+        if (a.isEmpty) Seq(60L, 300L, 900L) else a.map(_.toLong)) }
     // clickstream family (the tick view argument names the EVENTS
     // view here — default 'events')
     registerEventTable(ext, "sessionize") { (e, a) =>

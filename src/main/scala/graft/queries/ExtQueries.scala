@@ -447,6 +447,15 @@ object ExtQueries {
         graft.Tables.table(s, dir, "embeddings")),
       Some(Similarity.twoNNSql())),
 
+    // TwoNN through the IVF candidate machinery — the corpus-wide
+    // arm (no maxVectors guard): trained cells, probing equi-join,
+    // exact integer re-check on candidates, identical MLE chain;
+    // R15WaveSpec pins indexed == exact all-pairs on this corpus
+    Q("q_twonn_indexed",
+      (s, dir) => Similarity.twoNNIndexed(
+        graft.Tables.table(s, dir, "embeddings")),
+      Some(Similarity.twoNNIndexedSql())),
+
     // token counting
     Q("q_token_count",
       (s, dir) => docs(s, dir)

@@ -443,6 +443,19 @@ object TickQueries {
       (s, dir) => Microstructure.volSignature(u(s, dir)),
       Some(Tables.withUpdates(Microstructure.volSignatureSql()))),
 
+    // r15: realized-kernel variance (BNHLS 2008, Parzen weights) —
+    // autocovariance-corrected noise-robust RV; exact integer γ_h
+    // sums, Scala-literal kernel weights, one IEEE chain
+    Q("q_realized_kernel",
+      (s, dir) => ReturnDynamics.realizedKernel(u(s, dir)),
+      Some(Tables.withUpdates(ReturnDynamics.realizedKernelSql()))),
+
+    // r15: Epps-effect curve — returnCorr over a scale ladder; the
+    // cross-symbol sampling-horizon diagnostic
+    Q("q_epps_effect",
+      (s, dir) => Microstructure.eppsEffect(u(s, dir)),
+      Some(Tables.withUpdates(Microstructure.eppsEffectSql()))),
+
     // r14: the OHLC estimator family completed — Rogers-Satchell
     // (drift-independent) and Yang-Zhang (overnight + intraday +
     // RS, the minimum-variance combination); same quantized-log

@@ -338,6 +338,71 @@ class ScalarFormulaSpec extends SparkSpec {
     }
   }
 
+  test("realizedKernel: hand-computed Parzen weights and " +
+      "autocovariance chain (BNHLS 2008) — the weights re-derived " +
+      "from the paper's polynomial, never from the operator") {
+    val ps = Seq(1.01, 0.99, 1.02, 0.98, 1.03, 0.97, 1.01, 0.99, 1.02)
+      .scanLeft(100.0)(_ * _)
+    val q = qOf(ps)
+    val h = 4
+    def gamma(lag: Int): Long =
+      q.drop(lag).zip(q.dropRight(lag)).map { case (a, b) => a * b }.sum
+    // Parzen: 1 - 6x² + 6x³ on [0, ½]; 2(1-x)³ on (½, 1]
+    def parzen(x: Double): Double =
+      if (x <= 0.5) 1.0 - 6.0 * x * x + 6.0 * x * x * x
+      else 2.0 * (1.0 - x) * (1.0 - x) * (1.0 - x)
+    val r = one(ReturnDynamics.realizedKernel(
+      updatesDf(closes("k", ps))))
+    assert(r.getAs[Long]("n_rets") === q.length.toLong)
+    assert(r.getAs[Long]("gamma0") === q.map(x => x * x).sum)
+    for (lag <- 1 to h)
+      assert(r.getAs[Long](s"gamma$lag") === gamma(lag), s"gamma$lag")
+    var rk = r.getAs[Long]("gamma0").toDouble
+    for (lag <- 1 to h)
+      rk = rk + 2.0 * parzen(lag.toDouble / (h + 1).toDouble) *
+        gamma(lag).toDouble
+    rk = rk / 1e12
+    assert(r.getAs[Double]("rk_var") === rk)
+    assert(r.getAs[Double]("rk_vol") === math.sqrt(math.max(rk, 0.0)))
+  }
+
+  test("eppsEffect: each scale row is the hand-computed Pearson r " +
+      "over closes re-bucketed at that scale") {
+    val psA = Seq(1.01, 0.99, 1.02, 0.98, 1.03, 0.97, 1.01, 0.99,
+      1.02, 0.98).scanLeft(100.0)(_ * _)
+    val psB = Seq(1.02, 0.98, 1.01, 0.99, 1.04, 0.96, 1.02, 0.98,
+      1.01, 0.99).scanLeft(50.0)(_ * _)
+    val rows = Microstructure.eppsEffect(
+      updatesDf(closes("aaa", psA) ++ closes("bbb", psB)))
+      .collect().map(r => r.getAs[Long]("scale_s") -> r).toMap
+    assert(rows.keySet === Set(60L, 300L, 900L))
+    // re-bucket the per-minute closes at scale s (last close per
+    // bucket), quantize consecutive-bucket returns, Pearson
+    def qAt(ps: Seq[Double], s: Long): Seq[Long] = {
+      val byBucket = ps.zipWithIndex
+        .groupBy { case (_, i) => (T0 / 1000 + i * 60) / s }
+        .toSeq.sortBy(_._1).map(_._2.last._1)
+      qOf(byBucket)
+    }
+    for (s <- Seq(60L, 300L, 900L)) {
+      val (qa, qb) = (qAt(psA, s), qAt(psB, s))
+      val n = qa.length
+      val r = rows(s)
+      assert(r.getAs[Long]("n_pairs") === n.toLong, s"scale $s")
+      if (n >= 2) {
+        val sx = qa.sum.toDouble
+        val sy = qb.sum.toDouble
+        val sxy = qa.zip(qb).map { case (x, y) => x * y }.sum.toDouble
+        val sxx = qa.map(x => x * x).sum.toDouble
+        val syy = qb.map(y => y * y).sum.toDouble
+        val (dx, dy) = (n * sxx - sx * sx, n * syy - sy * sy)
+        assert(r.getAs[Double]("return_corr") ===
+          (n * sxy - sx * sy) / (math.sqrt(dx) * math.sqrt(dy)),
+          s"scale $s")
+      }
+    }
+  }
+
   test("hurst: hand-computed aggregated-variance regression — " +
       "block sums, population variances, quantized ln, fixed-order " +
       "least squares, H = slope/2") {

@@ -177,6 +177,12 @@ class SqlSurfaceSpec extends SparkSpec {
           Microstructure.hayashiYoshida(u)),
         ("duration_acf", "SELECT * FROM duration_acf()",
           Microstructure.durationAcf(u)),
+        ("realized_kernel", "SELECT * FROM realized_kernel(60, 4)",
+          ReturnDynamics.realizedKernel(u, 60L, 4)),
+        // hourly+ scales: minute buckets barely overlap across the
+        // sparse sf0.001 symbols (the return_corr pin's note)
+        ("epps_effect", "SELECT * FROM epps_effect(3600, 7200)",
+          Microstructure.eppsEffect(u, Seq(3600L, 7200L))),
         ("burstiness", "SELECT * FROM burstiness()",
           ActivityStats.burstiness(ev)),
         // r14: the attribution/survival solver wave through the SQL
