@@ -1806,6 +1806,100 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Per-symbol realized-kernel state: the open bucket's (ts, seq)-
+    * stamped close, the previous closed-bucket close, the last H
+    * quantized returns most-recent first, the return count and the
+    * H+1 exact autocovariance sums (BigInt as string). O(H) per
+    * key. */
+  case class RkState(bucket: Long, close: Double, cts: Long,
+      cseq: Long, prev: Double, nRets: Long, qHist: Seq[Long],
+      gammas: Seq[String])
+  case class RkRow(symbol: String, n_rets: Long, gamma0: Option[Long],
+      gamma1: Option[Long], gamma2: Option[Long],
+      gamma3: Option[Long], gamma4: Option[Long],
+      rk_var: Option[Double], rk_vol: Option[Double])
+
+  /** Realized-kernel variance on a STREAM — the serve-current-state
+    * twin of [[graft.operators.ReturnDynamics.realizedKernel]] at the
+    * fixed default bandwidth H = 4: rollover scores the quantized
+    * return against the previous PRESENT bucket's close (loud 1e9
+    * bound), folds `γ₀ += q²` and `γ_h += q·q_{t−h}` against the
+    * bounded H-deep return history, and the CURRENT estimate is
+    * emitted with the batch Parzen chain — after a far-future closer
+    * the last serving row equals the batch operator bit-for-bit
+    * (StreamingSpec). */
+  def streamingRealizedKernel(updates: Dataset[Update],
+      seconds: Long = 60): Dataset[RkRow] = {
+    import updates.sparkSession.implicits._
+    val H = 4
+    def bucketOf(ts: Long): Long = Streaming.Buckets.of(ts, seconds)
+    val Unset = Long.MinValue
+    def zero = RkState(Unset, 0.0d, 0L, 0L, 0.0d, 0L, Nil,
+      Seq.fill(H + 1)("0"))
+    def q(sym: String, c: Double, prev: Double): Long = {
+      val v = math.floor(math.log(c / prev) * 1e6d).toLong
+      if (math.abs(v) > 1000000000L) throw new ArithmeticException(
+        s"bucketReturns: price ratio outside double range at " +
+          s"symbol=$sym")
+      v
+    }
+    def closeBucket(sym: String, st: RkState): RkState = {
+      if (st.prev <= 0.0d) // first present bucket: no return yet
+        return st.copy(prev = st.close)
+      val qv = q(sym, st.close, st.prev)
+      val gs = st.gammas.zipWithIndex.map { case (g, h) =>
+        if (h == 0) (BigInt(g) + BigInt(qv) * BigInt(qv)).toString
+        else if (st.qHist.length >= h)
+          (BigInt(g) + BigInt(qv) * BigInt(st.qHist(h - 1))).toString
+        else g
+      }
+      st.copy(prev = st.close, nRets = st.nRets + 1L,
+        qHist = (qv +: st.qHist).take(H), gammas = gs)
+    }
+    def emit(sym: String, st: RkState): RkRow = {
+      if (st.nRets == 0L) return RkRow(sym, 0L, None, None, None,
+        None, None, None, None)
+      def gl(b: BigInt, what: String): Long = {
+        if (b.abs > BigInt(Long.MaxValue)) throw new ArithmeticException(
+          s"realizedKernel: $what overflows BIGINT at symbol=$sym")
+        b.toLong
+      }
+      val g = (0 to H).map(h => gl(BigInt(st.gammas(h)), s"gamma$h"))
+      var rk = g(0).toDouble
+      for (h <- 1 to H)
+        rk = rk + 2.0d * graft.operators.ReturnDynamics
+          .parzen(h.toDouble / (H + 1).toDouble) * g(h).toDouble
+      rk = rk / 1e12d
+      RkRow(sym, st.nRets, Some(g(0)), Some(g(1)), Some(g(2)),
+        Some(g(3)), Some(g(4)), Some(rk),
+        Some(math.sqrt(math.max(rk, 0.0d))))
+    }
+    def fn(sym: String, rows: Iterator[Update],
+        state: GroupState[RkState]): Iterator[RkRow] = {
+      var st = state.getOption.getOrElse(zero)
+      rows.toSeq.filter(u => u.is_trade && SqlOrd.gt(u.price, 0.0))
+        .sortBy(u => (u.ts, u.seq)).foreach { u =>
+          FiniteGuard.price("realizedKernel", u) // the batch finitePrice
+          val b = bucketOf(u.ts)
+          if (st.bucket == Unset)
+            st = st.copy(bucket = b, close = u.price, cts = u.ts,
+              cseq = u.seq)
+          else if (b != st.bucket) {
+            val closed = closeBucket(sym, st)
+            st = closed.copy(bucket = b, close = u.price, cts = u.ts,
+              cseq = u.seq)
+          } else if (u.ts > st.cts ||
+              (u.ts == st.cts && u.seq >= st.cseq))
+            st = st.copy(close = u.price, cts = u.ts, cseq = u.seq)
+        }
+      state.update(st)
+      Iterator.single(emit(sym, st))
+    }
+    updates.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Per-symbol drawdown state: the open bucket and its running close,
     * the running peak over CLOSED buckets, and the exact minimum
     * quantized trough ratio with its earliest bucket. O(1) per key. */

@@ -645,6 +645,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming realized kernel: after sentinel closers the serving " +
+      "row per symbol IS the batch estimator bit-exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ups = Tables.updatesDs(spark, sf("sf0.001")).collect()
+      .sortBy(u0 => (u0.ts, u0.seq))
+    def optD(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    val want = graft.operators.ReturnDynamics
+      .realizedKernel(updatesDf(ups.toSeq)).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), Some(r.getLong(2)), Some(r.getLong(3)),
+          Some(r.getLong(4)), Some(r.getLong(5)), Some(r.getLong(6)),
+          optD(r, 7), optD(r, 8))))
+      .toMap
+    val maxTs = ups.map(_.ts).max
+    val closers = ups.filter(_.is_trade).map(_.symbol).distinct
+      .sorted.zipWithIndex.map {
+        case (s0, i) => graft.model.Update(s0, maxTs + 7200L * 1000,
+          7700L + i, is_trade = true, is_bid = true, 1.0, 1.0)
+      }
+    val in = MemoryStream[Update]
+    val q = Streaming.streamingRealizedKernel(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("srk15")
+      .start()
+    // the H-deep return history must survive the micro-batch boundary
+    val (b1, b2) = ups.splitAt(ups.length / 2)
+    in.addData(b1.toSeq: _*); q.processAllAvailable()
+    in.addData(b2.toSeq: _*); q.processAllAvailable()
+    in.addData(closers.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("srk15").as[Streaming.RkRow].collect()
+      .zipWithIndex.groupBy(_._1.symbol).view
+      .mapValues(_.maxBy(_._2)._1).toMap
+    assert(want.nonEmpty)
+    want.foreach { case (s0, w) =>
+      val g = got(s0)
+      assert((g.n_rets, g.gamma0, g.gamma1, g.gamma2, g.gamma3,
+        g.gamma4, g.rk_var, g.rk_vol) === w,
+        s"realized kernel drift at $s0")
+    }
+  }
+
   test("streaming max drawdown: after sentinel closers the serving row " +
       "per symbol IS the batch row bit-exactly") {
     import spark.implicits._
