@@ -659,6 +659,131 @@ object ReturnDynamics {
        |ORDER BY symbol""".stripMargin.replace('\n', ' ')
   }
 
+  /** CUSUM change-point statistic per symbol (Page 1954; the
+    * Brownian-bridge standardization of Ploberger–Krämer): over the
+    * bucket-return series, the centered partial sums
+    * `S_k = Σ_{i≤k}(q_i − q̄)` peak where the return level SHIFTS —
+    * the classic "did this feed change regime, and when" monitor
+    * (a drifting venue, a symbol repricing, an ingest bug flipping
+    * sign conventions all light it up). Emits the exact peak, the
+    * earliest bucket attaining it, and the standardized statistic
+    * `max_k |S_k| / (σ̂·√n)` whose null distribution is the Brownian
+    * bridge sup (95% critical value 1.358 — the Kolmogorov constant),
+    * plus the boolean flag against `threshold`.
+    *
+    * Exactness: everywhere-integer via the ×n clearing trick —
+    * `S_k·n = n·Σ_{i≤k} q_i − k·Σq` is an EXACT decimal over the
+    * kernel longs (no division touches the argmax), so `s_max =
+    * max_k |n·S_k|` and its earliest bucket are exact selections;
+    * `s_max` emits through the raise-guarded BIGINT cast, `Σq²`
+    * through the family's one decimal→double cast (null with n ≥ 1
+    * ⇒ decimal overflow ⇒ raise loud); the statistic
+    * `s_max / (n·σ̂·√n)` — the ×n cleared form of
+    * `max|S_k|/(σ̂√n)` — and the population σ̂ are one fixed IEEE
+    * chain each. Null statistic without variance or a second return.
+    *
+    * Scale shape: one (symbol, bucket) partial aggregation, the
+    * cumulative/total sums off per-symbol BUCKET-series windows
+    * (time-bounded), one hash aggregation. */
+  def cusumChangePoint(updates: DataFrame, seconds: Long = 60,
+      threshold: Double = 1.358d): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("symbol")).orderBy(col("start"))
+    val wAll = Window.partitionBy(col("symbol"))
+    val qDec = col("q").cast("decimal(18,0)")
+    val base = Microstructure.bucketReturns(updates, seconds)
+      .withColumn("k", row_number().over(w))
+      .withColumn("cum", sum(qDec).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(qDec).over(wAll))
+      .withColumn("sdev",
+        col("n") * col("cum") - col("k") * col("tot"))
+      .withColumn("smaxh", max(abs(col("sdev"))).over(wAll))
+    val agg = base.groupBy(col("symbol"))
+      .agg(max(col("n")).as("n_rets"),
+        sum(qDec).as("_sq"),
+        sum(qDec * qDec).as("_sq2"),
+        max(abs(col("sdev"))).as("_sm"),
+        min(when(abs(col("sdev")) === col("smaxh"), col("start")))
+          .as("cp_start"))
+    def raiseD(what: String) =
+      raise_error(concat(lit(s"cusumChangePoint: $what outside the " +
+        "exact decimal regime at symbol="), col("symbol")))
+    val emitted = agg.select(col("symbol"), col("n_rets"),
+      when(abs(col("_sq")) > lit(Long.MaxValue),
+        raiseD("sum_q").cast("long"))
+        .otherwise(col("_sq").cast("long")).as("sum_q"),
+      // q is non-null on every kernel row, so with n ≥ 1 a null sum
+      // can ONLY be decimal overflow — raise, never null through
+      when(col("n_rets") >= 1L && col("_sq2").isNull,
+        raiseD("sum_q2").cast("double"))
+        .otherwise(col("_sq2").cast("double")).as("sum_q2"),
+      when(col("n_rets") >= 1L && col("_sm").isNull,
+        raiseD("s_max").cast("long"))
+        .otherwise(when(col("_sm") > lit(Long.MaxValue),
+          raiseD("s_max").cast("long"))
+          .otherwise(col("_sm").cast("long"))).as("s_max"),
+      col("cp_start"))
+    val nD = col("n_rets").cast("double")
+    val v = col("sum_q2") / nD -
+      (col("sum_q").cast("double") / nD) *
+      (col("sum_q").cast("double") / nD)
+    val stat = col("s_max").cast("double") /
+      (nD * sqrt(v) * sqrt(nD))
+    emitted
+      .withColumn("cusum_stat",
+        when(col("n_rets") > 1L && v > 0.0d, stat))
+      .withColumn("cp_flag",
+        when(col("cusum_stat").isNotNull,
+          col("cusum_stat") > lit(threshold)))
+      .orderBy("symbol")
+  }
+
+  /** DuckDB twin of [[cusumChangePoint]] — identical kernel, HUGEINT
+    * cleared partial sums, exact argmax selection, the same IEEE
+    * chain and threshold literal. */
+  def cusumChangePointSql(seconds: Long = 60,
+      threshold: Double = 1.358d): String = {
+    val varSql = "(sum_q2 / CAST(n_rets AS DOUBLE)" +
+      " - (CAST(sum_q AS DOUBLE) / CAST(n_rets AS DOUBLE))" +
+      " * (CAST(sum_q AS DOUBLE) / CAST(n_rets AS DOUBLE)))"
+    val statSql = "CAST(s_max AS DOUBLE) / (CAST(n_rets AS DOUBLE)" +
+      s" * sqrt($varSql) * sqrt(CAST(n_rets AS DOUBLE)))"
+    s"""SELECT symbol, n_rets, sum_q, sum_q2, s_max, cp_start,
+       | CASE WHEN n_rets > 1 AND $varSql > 0.0
+       |  THEN $statSql END AS cusum_stat,
+       | CASE WHEN n_rets > 1 AND $varSql > 0.0
+       |  THEN $statSql > $threshold END AS cp_flag
+       |FROM (
+       | SELECT t.symbol, max(t.n) AS n_rets,
+       |  CAST(SUM(CAST(t.q AS HUGEINT)) AS BIGINT) AS sum_q,
+       |  CAST(SUM(CAST(t.q AS HUGEINT) * CAST(t.q AS HUGEINT))
+       |    AS DOUBLE) AS sum_q2,
+       |  CAST(max(abs(t.sdev)) AS BIGINT) AS s_max,
+       |  min(CASE WHEN abs(t.sdev) = t.smaxh THEN t.start END)
+       |   AS cp_start
+       | FROM (
+       |  SELECT symbol, start, q, n,
+       |   CAST(n AS HUGEINT) * cum - CAST(k AS HUGEINT) * tot
+       |    AS sdev,
+       |   max(abs(CAST(n AS HUGEINT) * cum
+       |     - CAST(k AS HUGEINT) * tot))
+       |    OVER (PARTITION BY symbol) AS smaxh
+       |  FROM (
+       |   SELECT symbol, start, q,
+       |    row_number() OVER w AS k,
+       |    SUM(CAST(q AS HUGEINT)) OVER (PARTITION BY symbol
+       |     ORDER BY start ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |     CURRENT ROW) AS cum,
+       |    COUNT(*) OVER (PARTITION BY symbol) AS n,
+       |    SUM(CAST(q AS HUGEINT)) OVER (PARTITION BY symbol) AS tot
+       |   FROM (${Microstructure.bucketReturnsSql(seconds)})
+       |   WINDOW w AS (PARTITION BY symbol ORDER BY start))) t
+       | GROUP BY 1)
+       |ORDER BY symbol""".stripMargin.replace('\n', ' ')
+  }
+
   /** Parzen kernel weight `k(x)` (Barndorff-Nielsen–Hansen–Lunde–
     * Shephard 2008): `1 − 6x² + 6x³` on [0, ½], `2(1−x)³` on (½, 1].
     * Evaluated ONCE in Scala per lag and embedded as the identical

@@ -193,6 +193,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     registerTable(ext, "epps_effect") { (u, a) =>
       Microstructure.eppsEffect(u,
         if (a.isEmpty) Seq(60L, 300L, 900L) else a.map(_.toLong)) }
+    registerTable(ext, "cusum_change_point") { (u, a) =>
+      ReturnDynamics.cusumChangePoint(u, long0(a, 60L),
+        a.lift(1).getOrElse(1.358d)) }
     // clickstream family (the tick view argument names the EVENTS
     // view here — default 'events')
     registerEventTable(ext, "sessionize") { (e, a) =>

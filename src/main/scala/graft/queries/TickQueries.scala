@@ -456,6 +456,13 @@ object TickQueries {
       (s, dir) => Microstructure.eppsEffect(u(s, dir)),
       Some(Tables.withUpdates(Microstructure.eppsEffectSql()))),
 
+    // r15: CUSUM change-point (Page 1954, Brownian-bridge
+    // standardization) — exact ×n-cleared partial sums, exact peak
+    // and argmax bucket, one IEEE statistic chain
+    Q("q_cusum_change_point",
+      (s, dir) => ReturnDynamics.cusumChangePoint(u(s, dir)),
+      Some(Tables.withUpdates(ReturnDynamics.cusumChangePointSql()))),
+
     // r14: the OHLC estimator family completed — Rogers-Satchell
     // (drift-independent) and Yang-Zhang (overnight + intraday +
     // RS, the minimum-variance combination); same quantized-log

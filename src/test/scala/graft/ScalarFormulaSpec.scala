@@ -403,6 +403,48 @@ class ScalarFormulaSpec extends SparkSpec {
     }
   }
 
+  test("cusumChangePoint: a planted level shift peaks the hand-" +
+      "computed centered partial sums AT the shift; the Brownian-" +
+      "bridge statistic chain is re-derived from Page 1954 / the " +
+      "Kolmogorov 1.358 critical value") {
+    // 8 up-moves then 8 down-moves: S_k = Σ(q_i − q̄) peaks exactly at
+    // the regime boundary and the standardized statistic flags it
+    val ps = (Seq.fill(8)(1.02) ++ Seq.fill(8)(0.98))
+      .scanLeft(100.0)(_ * _)
+    val q = qOf(ps)
+    val n = q.length
+    // ×n-cleared exact partial sums: n·Σ_{i≤k} q − k·Σq
+    val tot = q.map(BigInt(_)).sum
+    val sdev = q.scanLeft(BigInt(0))(_ + _).tail.zipWithIndex.map {
+      case (cum, i) => BigInt(n) * cum - BigInt(i + 1) * tot
+    }
+    val sMax = sdev.map(_.abs).max
+    val kStar = sdev.indexWhere(_.abs == sMax)
+    val r = one(ReturnDynamics.cusumChangePoint(
+      updatesDf(closes("c", ps))))
+    assert(r.getAs[Long]("n_rets") === n.toLong)
+    assert(r.getAs[Long]("sum_q") === tot.toLong)
+    assert(r.getAs[Long]("s_max") === sMax.toLong)
+    assert(kStar === 7, s"fixture: peak must sit at the shift, $kStar")
+    // the k-th return's bucket is the (k+1)-th close's bucket
+    assert(r.getAs[Long]("cp_start") ===
+      (T0 + (kStar + 1) * 60000L) / 1000 / 60 * 60)
+    val s2 = q.map(x => BigInt(x) * BigInt(x)).sum.toDouble
+    val v = s2 / n - (tot.toDouble / n) * (tot.toDouble / n)
+    val stat = sMax.toDouble /
+      (n.toDouble * math.sqrt(v) * math.sqrt(n.toDouble))
+    assert(r.getAs[Double]("cusum_stat") === stat)
+    assert(stat > 1.358, s"planted shift must flag: $stat")
+    assert(r.getAs[Boolean]("cp_flag"))
+    // a driftless alternating series stays under the critical value
+    val flat = (0 until 16).map(i => if (i % 2 == 0) 1.01 else 1 / 1.01)
+      .scanLeft(100.0)(_ * _)
+    val r2 = one(ReturnDynamics.cusumChangePoint(
+      updatesDf(closes("f", flat))))
+    assert(!r2.getAs[Boolean]("cp_flag"),
+      s"alternating noise flagged: ${r2.getAs[Double]("cusum_stat")}")
+  }
+
   test("hurst: hand-computed aggregated-variance regression — " +
       "block sums, population variances, quantized ln, fixed-order " +
       "least squares, H = slope/2") {

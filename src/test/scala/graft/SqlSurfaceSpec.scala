@@ -183,6 +183,9 @@ class SqlSurfaceSpec extends SparkSpec {
         // sparse sf0.001 symbols (the return_corr pin's note)
         ("epps_effect", "SELECT * FROM epps_effect(3600, 7200)",
           Microstructure.eppsEffect(u, Seq(3600L, 7200L))),
+        ("cusum_change_point",
+          "SELECT * FROM cusum_change_point(60)",
+          ReturnDynamics.cusumChangePoint(u, 60L)),
         ("burstiness", "SELECT * FROM burstiness()",
           ActivityStats.burstiness(ev)),
         // r14: the attribution/survival solver wave through the SQL
