@@ -684,7 +684,11 @@ object ReturnDynamics {
     *
     * Scale shape: one (symbol, bucket) partial aggregation, the
     * cumulative/total sums off per-symbol BUCKET-series windows
-    * (time-bounded), one hash aggregation. */
+    * (time-bounded), one hash aggregation. Batch-only BY DEFINITION:
+    * every S_k is centered on the FINAL mean, so a serve-current-
+    * state streaming twin would need O(buckets) state per key — the
+    * retrospective two-pass shape is the estimator's own (unlike the
+    * foldable estimator family, which carries streaming twins). */
   def cusumChangePoint(updates: DataFrame, seconds: Long = 60,
       threshold: Double = 1.358d): DataFrame = {
     import org.apache.spark.sql.expressions.Window

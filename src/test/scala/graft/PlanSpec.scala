@@ -706,7 +706,8 @@ class PlanSpec extends SparkSpec {
       "windows only, no cartesian") {
     for (name <- Seq("q_bipower_var", "q_return_acf", "q_hurst",
         "q_corwin_schultz", "q_user_fano", "q_burstiness",
-        "q_rogers_satchell", "q_yang_zhang", "q_tsrv")) {
+        "q_rogers_satchell", "q_yang_zhang", "q_tsrv",
+        "q_realized_kernel", "q_cusum_change_point")) {
       val p = plan(name)
       assert(p.contains("partial"), s"$name: aggregation not partial:\n$p")
       assert(!p.contains("CartesianProduct"), s"$name: cartesian:\n$p")
