@@ -2347,10 +2347,17 @@ object Microstructure {
     * the GLOBAL (ts, seq) order (constant key → per-MINUTE segments at
     * scale, [[TickCarry.GlobalSegmentMs]] — a day-wide segment would
     * put one day of the whole feed in a single task; the forward
-    * lookup is the carry mirrored in time), the
-    * interval lag is the per-symbol chained carry, then one per-symbol
-    * hash aggregation and a 1-row benchmark-RV broadcast. Dispatch
-    * follows [[tickRuleFlow]]'s row bound. */
+    * lookup is the carry mirrored in time), the interval lag is the
+    * per-symbol chained carry, then one per-symbol hash aggregation
+    * and a 1-row benchmark-RV broadcast. Dispatch follows
+    * [[tickRuleFlow]]'s row bound.
+    *
+    * Batch-only BY DEFINITION (unlike the foldable estimator family's
+    * serving twins): the forward bench lookup `pb_hi` is the FIRST
+    * bench tick at-or-after each interval's end, so an interval's
+    * term is unknowable until a later bench tick arrives — and the
+    * lookups cross the symbol key (every symbol reads the benchmark's
+    * stream), which per-key streaming state cannot express. */
   def hayashiYoshida(updates: DataFrame, benchmark: String = "click",
       maxWindowRows: Long = TickCarry.TickWindowMaxRows): DataFrame = {
     require(benchmark.matches("[A-Za-z0-9_.:-]+"),

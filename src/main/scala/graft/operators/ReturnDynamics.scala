@@ -842,9 +842,19 @@ object ReturnDynamics {
       .select(
         Seq(col("symbol"), col("n_rets"),
           g(col("_g0"), "gamma0").as("gamma0")) ++
-        (1 to bandwidth).map(h =>
-          coalesce(g(col(s"_g$h"), s"gamma$h"), lit(0L))
-            .as(s"gamma$h")): _*)
+        (1 to bandwidth).map { h =>
+          // q is non-null on every kernel row, so with more rows
+          // than the lag depth a null γ_h can ONLY be the
+          // decimal(38,0) sum overflowing — raise instead of letting
+          // the coalesce silently zero the autocovariance (the tsrv
+          // stance); null with n_rets ≤ h is the legit no-pairs case
+          when(col("n_rets") > h.toLong && col(s"_g$h").isNull,
+            raise_error(concat(lit(s"realizedKernel: gamma$h " +
+              "outside the exact decimal regime at symbol="),
+              col("symbol"))).cast("long"))
+            .otherwise(coalesce(g(col(s"_g$h"), s"gamma$h"), lit(0L)))
+            .as(s"gamma$h")
+        }: _*)
     val rk = (1 to bandwidth).foldLeft(
       col("gamma0").cast("double")) { (acc, h) =>
         val c = 2.0d * parzen(h.toDouble / (bandwidth + 1).toDouble)
