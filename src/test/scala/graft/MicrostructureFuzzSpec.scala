@@ -539,4 +539,98 @@ class MicrostructureFuzzSpec extends SparkSpec {
     streamRaises("ofi",
       ds => Streaming.streamingOfi(ds).toDF(), nanQuotes)
   }
+
+  test("fuzz: yang-zhang, tsrv and realized kernel serving rows == " +
+      "batch bit-exactly after closers on adversarial data") {
+    // the r15 serving twins under the generator's tie/edge shapes:
+    // one far-future closer per traded symbol folds the last real
+    // bucket; the closer's own bucket stays open (StreamingSpec's
+    // sentinel contract), so the folded bucket set equals the batch
+    // input exactly
+    implicit val sqlCtx = spark.sqlContext
+    val maxTs = ups.map(_.ts).max
+    val closers = ups.filter(u => u.is_trade && u.price > 0.0)
+      .map(_.symbol).distinct.sorted.zipWithIndex.map {
+        case (s0, i) => Update(s0, maxTs + 7200L * 1000,
+          900000L + i, is_trade = true, is_bid = true, 10.0, 1.0)
+      }
+    def latest[T](rows: Seq[(String, T)]): Map[String, T] =
+      rows.zipWithIndex.groupBy(_._1._1).view
+        .mapValues(_.maxBy(_._2)._1._2).toMap
+    // yang-zhang
+    locally {
+      val want = graft.operators.RangeSpread.yangZhang(df).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), optD(r, 3), r.getLong(4),
+            optD(r, 5), r.getLong(6), optD(r, 7), optD(r, 8)))).toMap
+      val in = MemoryStream[Update]
+      val q = Streaming.streamingYangZhang(in.toDS()).writeStream
+        .outputMode("append").format("memory").queryName("fz_yz")
+        .start()
+      val (b1, b2) = ups.splitAt(ups.length / 3)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      in.addData(closers: _*); q.processAllAvailable()
+      q.stop()
+      val got = latest(spark.table("fz_yz").as[Streaming.YzRow]
+        .collect().toSeq.map(r => r.symbol -> r))
+      assert(want.nonEmpty)
+      want.foreach { case (s0, w) =>
+        val g = got(s0)
+        assert((g.n, g.sum_oq.get, g.sum_oq2, g.sum_cq.get, g.sum_cq2,
+          g.sum_rs.get, g.yz_var, g.yz_vol) === w, s"yz drift at $s0")
+      }
+    }
+    // tsrv
+    locally {
+      val want = graft.operators.ReturnDynamics.tsrv(df).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), optD(r, 4),
+            optD(r, 5), optD(r, 6)))).toMap
+      val in = MemoryStream[Update]
+      val q = Streaming.streamingTsrv(in.toDS()).writeStream
+        .outputMode("append").format("memory").queryName("fz_tsrv")
+        .start()
+      val (b1, b2) = ups.splitAt(ups.length / 3)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      in.addData(closers: _*); q.processAllAvailable()
+      q.stop()
+      val got = latest(spark.table("fz_tsrv").as[Streaming.TsrvRow]
+        .collect().toSeq.map(r => r.symbol -> r))
+      assert(want.nonEmpty)
+      want.foreach { case (s0, w) =>
+        val g = got(s0)
+        assert((g.m, g.sum_q2_1.get, g.sum_q2_k.get, g.rv_full,
+          g.tsrv, g.tsrv_pos) === w, s"tsrv drift at $s0")
+      }
+    }
+    // realized kernel
+    locally {
+      val want = graft.operators.ReturnDynamics.realizedKernel(df)
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5), r.getLong(6), optD(r, 7), optD(r, 8))))
+        .toMap
+      val in = MemoryStream[Update]
+      val q = Streaming.streamingRealizedKernel(in.toDS()).writeStream
+        .outputMode("append").format("memory").queryName("fz_rk")
+        .start()
+      val (b1, b2) = ups.splitAt(ups.length / 3)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      in.addData(closers: _*); q.processAllAvailable()
+      q.stop()
+      val got = latest(spark.table("fz_rk").as[Streaming.RkRow]
+        .collect().toSeq.map(r => r.symbol -> r))
+      assert(want.nonEmpty)
+      want.foreach { case (s0, w) =>
+        val g = got(s0)
+        assert((g.n_rets, g.gamma0.get, g.gamma1.get, g.gamma2.get,
+          g.gamma3.get, g.gamma4.get, g.rk_var, g.rk_vol) === w,
+          s"rk drift at $s0")
+      }
+    }
+  }
 }

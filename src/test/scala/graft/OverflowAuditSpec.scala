@@ -170,6 +170,79 @@ class OverflowAuditSpec extends SparkSpec {
       s"wrong failure: ${messages(ex).mkString(" | ")}")
   }
 
+  // ---------------------------------------------------- realized kernel
+
+  /** BigInt scalar replay of realizedKernel's γ operands (H = 4). */
+  private def rkScalar(prices: Seq[Double])
+      : (Long, BigInt, Seq[BigInt]) = {
+    val q = prices.sliding(2).map { case Seq(a, b) =>
+      BigInt(lnQ6(b / a))
+    }.toSeq
+    val g0 = q.map(x => x * x).sum
+    val gs = (1 to 4).map(h =>
+      q.drop(h).zip(q.dropRight(h)).map { case (x, y) => x * y }.sum)
+    (q.length.toLong, g0, gs)
+  }
+
+  test("realizedKernel at the gamma bounds: exact below 2^63, loud " +
+      "above") {
+    // 19 extreme returns: γ0 ≈ 9.07e18 < 2^63 and every |γ_h| is a
+    // long — all five emitted autocovariances must equal the BigInt
+    // replay exactly (a wrap differs by 2^64)
+    val ups19 = vrTrades(20)
+    val (n, g0, gs) = rkScalar(ups19.map(_.price))
+    assert(g0 < BigInt(Long.MaxValue), s"fixture broke: $g0")
+    val row = graft.operators.ReturnDynamics
+      .realizedKernel(updatesDf(ups19))
+      .select("n_rets", "gamma0", "gamma1", "gamma2", "gamma3",
+        "gamma4").head()
+    assert(row.getLong(0) === n)
+    assert(BigInt(row.getLong(1)) === g0, "gamma0 wrapped")
+    for (h <- 1 to 4)
+      assert(BigInt(row.getLong(1 + h)) === gs(h - 1),
+        s"gamma$h wrapped")
+    // 20 extreme returns cross 2^63 in γ0: the guarded BIGINT
+    // emission must raise (the twin's CAST(HUGEINT AS BIGINT)
+    // errors), not wrap
+    val ups20 = vrTrades(21)
+    assert(rkScalar(ups20.map(_.price))._2 > BigInt(Long.MaxValue))
+    val ex = intercept[Exception] {
+      graft.operators.ReturnDynamics
+        .realizedKernel(updatesDf(ups20)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("overflows BIGINT")),
+      s"wrong failure: ${messages(ex).mkString(" | ")}")
+  }
+
+  test("cusumChangePoint on the extreme ladder: exact operands (the " +
+      "s_max bound itself is unreachable — cum telescopes to " +
+      "ln(p_max/p_min))") {
+    // the ×n-cleared peak is bounded by 2n·|ln(p_hi/p_lo)|·1e6 ≈
+    // 2.8e9·n — crossing 2^63 needs ~3.3e9 buckets, unreachable from
+    // any feed; what IS reachable is Σq² overflow in the σ̂ operand,
+    // which shares returnMoments' guarded decimal→double emission.
+    // Pin the exact integer operands at the same 19-return ladder.
+    val ups19 = vrTrades(20)
+    val q = ups19.map(_.price).sliding(2).map { case Seq(a, b) =>
+      BigInt(lnQ6(b / a))
+    }.toSeq
+    val n = q.length
+    val tot = q.sum
+    val sdev = q.scanLeft(BigInt(0))(_ + _).tail.zipWithIndex.map {
+      case (cum, i) => BigInt(n) * cum - BigInt(i + 1) * tot
+    }
+    val row = graft.operators.ReturnDynamics
+      .cusumChangePoint(updatesDf(ups19))
+      .select("n_rets", "sum_q", "s_max").head()
+    assert(row.getLong(0) === n.toLong)
+    assert(BigInt(row.getLong(1)) === tot, "sum_q wrapped")
+    assert(BigInt(row.getLong(2)) === sdev.map(_.abs).max,
+      "s_max wrapped")
+  }
+
   // ----------------------------------------------------- return moments
 
   test("returnMoments at the decimal headroom: exact below, loud above") {
