@@ -362,6 +362,57 @@ class ScaleProbeSpec extends SparkSpec {
       f"frozen cells should blow up vs scaled: $pairsFrozen%,d vs $pairsScaled%,d")
   }
 
+  test("twoNNIndexed candidates: corpus-derived cells keep the " +
+      "stream on the IVF n^1.5 envelope at 10x, far below all-pairs") {
+    // the r15 dimension-audit scale arm: candidates per point are the
+    // members of its nProbe probed cells, so at the centroidsFor √n
+    // balance the total stream is ~nProbe·n^1.5 — the measured claim
+    // here — versus the exact arm's n² and versus FROZEN sf0.1-era
+    // cells (whose per-cell occupancy grows linearly and drags the
+    // stream toward n²/k).
+    val base = Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val nBase = Tables.parquetRowCount(s"$sfDir/embeddings.parquet")
+    val scaled = base.select(col("vec_id"), col("embedding"),
+      explode(sequence(lit(0), lit(Copies - 1))).as("copy"))
+      .select((col("vec_id") + col("copy") * nBase).as("vec_id"),
+        concat(slice(col("embedding"), col("copy") * 6 + 1, lit(64)),
+          slice(col("embedding"), lit(1), col("copy") * 6)).as("embedding"))
+      .localCheckpoint(true)
+    val kBase = Similarity.centroidsFor(nBase)            // 45 at 2000
+    val kScaled = Similarity.centroidsFor(nBase * Copies) // 142 at 20000
+    assert(kScaled > kBase, "scale-up must add cells")
+    val nProbe = 4
+    def candidates(embs: DataFrame, k: Int): Long = {
+      val (vecs, cents) = Similarity.kmeansLoop(embs, k, 1)
+      val ranked = Similarity.centRank(vecs, cents)
+        .localCheckpoint(true)
+      ranked.where(col("rn") <= nProbe)
+        .select(col("vec_id").as("a_id"), col("cid"))
+        .join(ranked.where(col("rn") === 1).select(col("cid")), "cid")
+        .count()
+    }
+    val candBase = candidates(base, kBase)
+    val candScaled = candidates(scaled, kScaled)
+    val candFrozen = candidates(scaled, kBase)
+    val allPairs = (nBase * Copies) * (nBase * Copies)
+    info(f"ivf 2-NN candidates: n=$nBase%d k=$kBase -> $candBase%,d; " +
+      f"n=${nBase * Copies}%d k=$kScaled -> $candScaled%,d " +
+      f"(all-pairs $allPairs%,d); FROZEN k=$kBase -> $candFrozen%,d")
+    // the n^1.5 envelope: 10x corpus -> ~31.6x candidates (generous 3x
+    // absorbs real cell-occupancy skew)
+    val envelope = (candBase * math.pow(Copies.toDouble, 1.5)).toLong
+    assert(candScaled <= envelope * 3,
+      f"candidate stream past the n^1.5 envelope: $candBase%,d -> " +
+        f"$candScaled%,d (envelope $envelope%,d)")
+    // and far below the exact arm's all-pairs stream
+    assert(candScaled <= allPairs / 5,
+      f"candidates $candScaled%,d not far below all-pairs $allPairs%,d")
+    // counter-factual: frozen √(n/10)-era cells inflate the stream
+    assert(candFrozen >= candScaled * 2,
+      f"frozen cells should inflate: $candFrozen%,d vs $candScaled%,d")
+  }
+
   test("exact-substring dup spans: gram stream, dup-hit join and span " +
       "removal stay ~linear at 10x (VERDICT r9 #1)") {
     import graft.ext.Pipeline
