@@ -1526,8 +1526,15 @@ object Microstructure {
     * raise-loud stance. The guard rides the slice length expression
     * itself so it cannot be pruned from the plan. */
   def returnCorr(updates: DataFrame, seconds: Long = 60,
-      maxSymbols: Int = MaxCorrSymbols): DataFrame = {
-    val perBucket = bucketReturns(updates, seconds)
+      maxSymbols: Int = MaxCorrSymbols): DataFrame =
+    returnCorrFromReturns(bucketReturns(updates, seconds), maxSymbols)
+
+  /** [[returnCorr]] past the kernel: the pair expansion and Pearson
+    * chain over a prepared (symbol, start, q) return stream — shared
+    * with [[eppsEffect]]'s rebinned arms so the two cannot drift. */
+  private[graft] def returnCorrFromReturns(returns: DataFrame,
+      maxSymbols: Int): DataFrame = {
+    val perBucket = returns
       .groupBy(col("start"))
       .agg(sort_array(collect_list(struct(col("symbol"), col("q"))))
         .as("_arr"))
@@ -1588,17 +1595,45 @@ object Microstructure {
     * that scale (integer kernel returns, decimal→double sums, one
     * IEEE Pearson chain).
     *
-    * Scale shape: one [[returnCorr]] arm per scale (bounded ladder),
-    * unioned — each arm is a (symbol, bucket) partial aggregation
-    * plus the bounded per-bucket pair expansion; no cross-scale
-    * state. */
+    * Scale shape: ONE tick scan — the finest-scale closes aggregate
+    * once and every coarser arm REBINS them (a coarse bucket's close
+    * is its last fine bucket's close, the [[volSignature]] rebin
+    * identity — exact because last-by-(ts, seq) is hierarchical), so
+    * the union's arms share the fine exchange instead of re-scanning
+    * the feed per scale; each arm then runs [[returnCorr]]'s bounded
+    * per-bucket pair expansion. The DuckDB twin re-buckets every
+    * scale straight from the raw stream — the bit-exact gate IS the
+    * rebin-identity proof at both SFs. */
   def eppsEffect(updates: DataFrame,
       scales: Seq[Long] = Seq(60L, 300L, 900L),
       maxSymbols: Int = MaxCorrSymbols): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(scales.nonEmpty && scales.forall(_ > 0),
       "scales must be positive")
+    val base = scales.min
+    require(scales.forall(_ % base == 0),
+      s"every scale must be a multiple of the finest ($base)")
+    val fine = updates.where(col("is_trade") && col("price") > 0.0d)
+      .groupBy(col("symbol"), bucketed(base))
+      .agg(max_by(finitePrice, struct(col("ts"), col("seq")))
+          .as("close"),
+        max(struct(col("ts"), col("seq"))).as("m"))
     scales.sorted.map { s =>
-      returnCorr(updates, s, maxSymbols)
+      val w = Window.partitionBy(col("symbol")).orderBy(col("start"))
+      val returns = fine.groupBy(col("symbol"),
+          expr(s"(start DIV $s) * $s").as("start"))
+        .agg(max_by(col("close"), col("m")).as("close"))
+        .withColumn("q",
+          floor(log(col("close") / lag(col("close"), 1).over(w)) * 1e6)
+            .cast("long"))
+        .where(col("q").isNotNull)
+        .withColumn("q",
+          when(abs(col("q")) > 1000000000L,
+            raise_error(concat(lit("eppsEffect: price ratio outside " +
+              "double range at symbol="), col("symbol"))).cast("long"))
+            .otherwise(col("q")))
+        .select("symbol", "start", "q")
+      returnCorrFromReturns(returns, maxSymbols)
         .withColumn("scale_s", lit(s))
         .select(col("symbol_a"), col("symbol_b"), col("scale_s"),
           col("n_pairs"), col("return_corr"))
