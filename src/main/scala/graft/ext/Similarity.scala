@@ -2273,8 +2273,9 @@ object Similarity {
 
   def twoNNIndexed(embeddings: DataFrame, kCells: Int = 8,
       iters: Int = 2, nProbe: Int = 4): DataFrame = {
-    val (_, cents) = kmeansLoop(embeddings, kCells, iters)
-    val vecs = withNorms(embeddings).select(col("vec_id"), col("emb"))
+    // kmeansLoop's vecs table is already checkpointed — reuse it for
+    // the ranking instead of re-deriving the projection lineage
+    val (vecs, cents) = kmeansLoop(embeddings, kCells, iters)
     val ranked = centRank(vecs, cents)
       .transform(graft.functions.checkpointed)
     val assigned = ranked.where(col("rn") === 1)
