@@ -2162,10 +2162,19 @@ object Similarity {
     * window over its candidate row, one global aggregation. */
   /** The shared quantized-coordinate kernel of [[twoNN]] /
     * [[twoNNIndexed]]: 1e6 quantization, loud 1e8 coordinate bound,
-    * loud null-coordinate raise, and the ≤ 230-dim exact-long guard
-    * (230·(2e8)² ≈ 9.2e18 ≤ 2⁶³−1; past it the integer distance
-    * would silently wrap). One definition so the two arms cannot
-    * drift. */
+    * loud null-coordinate AND null-embedding raises, and the ≤
+    * 230-dim exact-long guard (230·(2e8)² ≈ 9.2e18 ≤ 2⁶³−1; past it
+    * the integer distance would silently wrap). One definition so
+    * the two arms cannot drift.
+    *
+    * The whole-array null raise is load-bearing (ADVICE r15): a
+    * wholly-null embedding slips every per-coordinate guard —
+    * `size(null)` is null so the 230-dim branch passes,
+    * `transform(null)` never invokes the lambda — and the resulting
+    * null d2 ranks FIRST in Spark windows (ASC NULLS FIRST, nulling
+    * d1 for every point paired with it) but LAST in DuckDB: exactly
+    * the silent cross-engine divergence the per-coordinate raises
+    * exist to close. */
   private[graft] def twoNNXq: Column = {
     val xq = transform(col("embedding").cast("array<double>"),
       x => when(x.isNull,
@@ -2174,10 +2183,12 @@ object Similarity {
           raise_error(lit("twoNN: coordinate outside the exact " +
             "regime")).cast("long"))
           .otherwise(floor(x * 1e6d).cast("long"))))
-    when(size(col("embedding")) > 230,
-      raise_error(lit("twoNN: embeddings over 230 dims exceed the " +
-        "exact long distance regime")).cast("array<long>"))
-      .otherwise(xq)
+    when(col("embedding").isNull,
+      raise_error(lit("twoNN: null embedding")).cast("array<long>"))
+      .otherwise(when(size(col("embedding")) > 230,
+        raise_error(lit("twoNN: embeddings over 230 dims exceed the " +
+          "exact long distance regime")).cast("array<long>"))
+        .otherwise(xq))
   }
 
   /** Exact integer squared distance of a candidate pair (`a_xq` vs
@@ -2239,6 +2250,13 @@ object Similarity {
     twoNNFromPairs(pairs)
   }
 
+  /** Probe-side fan-out width of [[twoNNIndexed]]'s candidate join:
+    * the cell key alone has only kCells distinct values, so the join
+    * (and the exact-d2 projection in its output stage) would run at
+    * kCells-way parallelism; the salt multiplies the key space
+    * without duplicating the corpus side. */
+  val TwoNNSalt: Int = 16
+
   /** TwoNN through the IVF candidate machinery (VERDICT r14 #2): the
     * corpus-wide arm of the dimension audit. Candidates for each
     * point are the members of its `nProbe` nearest trained cells
@@ -2264,13 +2282,6 @@ object Similarity {
     * with DuckDB holds at ANY recall. Points sharing no probed cell
     * with any other vector drop from `n_points` — a corpus that
     * sparse should raise `nProbe`. */
-  /** Probe-side fan-out width of [[twoNNIndexed]]'s candidate join:
-    * the cell key alone has only kCells distinct values, so the join
-    * (and the exact-d2 projection in its output stage) would run at
-    * kCells-way parallelism; the salt multiplies the key space
-    * without duplicating the corpus side. */
-  val TwoNNSalt: Int = 16
-
   def twoNNIndexed(embeddings: DataFrame, kCells: Int = 8,
       iters: Int = 2, nProbe: Int = 4): DataFrame = {
     // kmeansLoop's vecs table is already checkpointed — reuse it for
@@ -2313,7 +2324,9 @@ object Similarity {
   def twoNNSql(): String =
     s"""WITH vecs AS (
        |  SELECT vec_id,
-       |   CASE WHEN len(embedding) > 230
+       |   CASE WHEN embedding IS NULL
+       |    THEN CAST(error('twoNN: null embedding') AS BIGINT[])
+       |   WHEN len(embedding) > 230
        |    THEN CAST(error('twoNN: embeddings over 230 dims exceed ' ||
        |      'the exact long distance regime') AS BIGINT[])
        |    ELSE list_transform(CAST(embedding AS DOUBLE[]),
@@ -2365,7 +2378,9 @@ object Similarity {
     s"""WITH ${kmeansCtesSql(kCells, iters)},
        |xq AS MATERIALIZED (
        |  SELECT vec_id,
-       |   CASE WHEN len(embedding) > 230
+       |   CASE WHEN embedding IS NULL
+       |    THEN CAST(error('twoNN: null embedding') AS BIGINT[])
+       |   WHEN len(embedding) > 230
        |    THEN CAST(error('twoNN: embeddings over 230 dims exceed ' ||
        |      'the exact long distance regime') AS BIGINT[])
        |    ELSE list_transform(CAST(embedding AS DOUBLE[]),

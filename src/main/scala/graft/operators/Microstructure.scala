@@ -31,6 +31,17 @@ object Microstructure {
     * blowup a 10k-symbol bucket would produce. */
   val MaxCorrSymbols: Int = 2000
 
+  /** The ONE loud bound every 1e6-quantized log-return shares
+    * (VERDICT r15 #4): |q| > 1e9 is unreachable from any finite
+    * price ratio (|ln| ≤ ~709.8 ⇒ |q| < 7.1e8), so exceeding it
+    * means the double division overflowed and the long cast clamped
+    * — raise, as DuckDB's CAST(inf AS BIGINT) does. Shared by every
+    * batch estimator here and in [[ReturnDynamics]], and by the
+    * streaming serving twins' Scala-side folds
+    * ([[graft.streaming.Streaming]]); OverflowAuditSpec asserts no
+    * quantizer site re-spells the literal. */
+  val QuantizedReturnBound: Long = 1_000_000_000L
+
   /** VWAP bars: per (symbol, bucket) `Σ(price·size) / Σ(size)` over
     * TRADES, plus the trade count and both exact operands (`turnover`,
     * `volume`). A bucket whose only trades have size 0 (the data's
@@ -300,7 +311,7 @@ object Microstructure {
       // -> |q| < 7.1e8): it means the double division overflowed and
       // the long cast clamped — raise, as DuckDB's CAST(inf) does
       .withColumn("q",
-        when(abs(col("q")) > 1000000000L,
+        when(abs(col("q")) > QuantizedReturnBound,
           raise_error(concat(lit("realizedVol: price ratio outside " +
             "double range at symbol="), col("symbol"))).cast("long"))
           .otherwise(col("q")))
@@ -1265,7 +1276,7 @@ object Microstructure {
       // same loud guard as realizedVol: |q| > 1e9 means the double
       // ratio overflowed and the long cast clamped
       .withColumn("q",
-        when(abs(col("q")) > 1000000000L,
+        when(abs(col("q")) > QuantizedReturnBound,
           raise_error(concat(lit("bucketReturns: price ratio outside " +
             "double range at symbol="), col("symbol"))).cast("long"))
           .otherwise(col("q")))
@@ -1628,7 +1639,7 @@ object Microstructure {
             .cast("long"))
         .where(col("q").isNotNull)
         .withColumn("q",
-          when(abs(col("q")) > 1000000000L,
+          when(abs(col("q")) > QuantizedReturnBound,
             raise_error(concat(lit("eppsEffect: price ratio outside " +
               "double range at symbol="), col("symbol"))).cast("long"))
             .otherwise(col("q")))
@@ -2196,7 +2207,7 @@ object Microstructure {
             .cast("long"))
         .where(col("q").isNotNull)
         .withColumn("q",
-          when(abs(col("q")) > 1000000000L,
+          when(abs(col("q")) > QuantizedReturnBound,
             raise_error(concat(lit("volSignature: price ratio " +
               "outside double range at symbol="), col("symbol")))
               .cast("long"))
@@ -2410,7 +2421,7 @@ object Microstructure {
     def qOf(a: Column, b: Column, what: String): Column = {
       val raw = floor(log(a / b) * 1e6d).cast("long")
       when(raw.isNull, lit(null).cast("long"))
-        .otherwise(when(abs(raw) > 1000000000L,
+        .otherwise(when(abs(raw) > QuantizedReturnBound,
           raise_error(concat(lit(s"hayashiYoshida: $what outside " +
             "double range at symbol="), col("symbol"))).cast("long"))
           .otherwise(raw))

@@ -575,7 +575,7 @@ object ReturnDynamics {
       val raw = floor(log(col("close") /
         lag(col("close"), lagN).over(w)) * 1e6).cast("long")
       when(raw.isNull, lit(null).cast("long"))
-        .otherwise(when(abs(raw) > 1000000000L,
+        .otherwise(when(abs(raw) > Microstructure.QuantizedReturnBound,
           raise_error(concat(lit(s"tsrv: $what outside double range " +
             "at symbol="), col("symbol"))).cast("long"))
           .otherwise(raw))

@@ -84,6 +84,24 @@ object TickCarry {
     * constant-key per-task envelope under this width. */
   val GlobalSegmentMs: Long = 60_000L
 
+  /** Bytes-per-row floor for the sizeInBytes fallback in
+    * [[exceedsRows]]. Without CBO stats a parquet leaf's sizeInBytes
+    * is the COMPRESSED on-disk size (× the default
+    * fileCompressionFactor of 1.0), and tick-shaped data —
+    * dictionary-encoded symbols, delta-packed timestamps —
+    * routinely compresses below 8 B/row, so an 8 B floor can
+    * UNDER-count rows and pick the unsegmented window arm past
+    * `maxRows`, reintroducing the single-task funnel the dispatch
+    * exists to avoid (ADVICE r15). 2 B/row makes the estimate err
+    * toward the segmented arm — the scale-safe direction, and
+    * invisible to results because both arms are bit-equal by
+    * construction. Measured on the driver corpus: events.parquet is
+    * ~20 B/row on disk (projection-scaled to ~16 B in the stats), so
+    * the floor overestimates ~8× there — dispatch still picks the
+    * window arm below TickWindowMaxRows/8 actual rows, and PlanSpec
+    * pins the arm choice at known sizes. */
+  val FallbackBytesPerRow: Long = 2L
+
   /** Statistics-based arm dispatch: does `df`'s optimizer row estimate
     * exceed `maxRows`? Replaces the eager `df.count()` pre-scan the
     * dispatch sites used through r14 (VERDICT r14 #3) — at 100 TB a
@@ -91,15 +109,14 @@ object TickCarry {
     * even starts, while the optimizer's leaf statistics come from
     * parquet footers and file sizes: NO job runs. Uses the plan's
     * rowCount when present (CBO / LocalRelation); otherwise
-    * sizeInBytes over a conservative 8 B/row floor, which
-    * OVERESTIMATES rows and so errs toward the segmented arm — the
-    * scale-safe direction, and invisible to results because both arms
-    * are bit-equal by construction (the whole reason the dispatch may
-    * be approximate). PlanSpec asserts construction runs zero jobs. */
+    * sizeInBytes over the [[FallbackBytesPerRow]] floor (see its doc
+    * for why 8 B would NOT be conservative on compressed columnar
+    * input). PlanSpec asserts construction runs zero jobs and pins
+    * the arm choice on the driver corpus. */
   def exceedsRows(df: DataFrame, maxRows: Long): Boolean = {
     val st = df.queryExecution.optimizedPlan.stats
     val est = st.rowCount.map(BigInt(0).max(_))
-      .getOrElse(st.sizeInBytes / 8)
+      .getOrElse(st.sizeInBytes / FallbackBytesPerRow)
     est > BigInt(maxRows)
   }
 

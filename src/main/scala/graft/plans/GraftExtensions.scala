@@ -357,7 +357,9 @@ object GraftExtensions {
     Divide(Cast(level, DoubleType),
       Pow(Literal(10.0), Cast(decimals, DoubleType)))
 
-  /** `size(split(trim(text), '\s+'))` — graft.ext.TextOps.tokenCount. */
+  /** `size(split(trim(text), '[ \t\n\x0B\f\r]+'))` — the explicit
+    * Java-whitespace class (never bare `\s`, which Java and RE2
+    * disagree on) — graft.ext.TextOps.tokenCount. */
   def tokenCountExpr(text: Expression): Expression =
     Size(StringSplit(StringTrim(text), Literal("[ \\t\\n\\x0B\\f\\r]+"), Literal(-1)))
 

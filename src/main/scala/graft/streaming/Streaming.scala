@@ -1739,7 +1739,8 @@ object Streaming {
     def zero = TsrvState(Unset, 0.0d, 0L, 0L, 0L, Nil, "0", "0")
     def q(sym: String, c: Double, prev: Double, what: String): Long = {
       val v = math.floor(math.log(c / prev) * 1e6d).toLong
-      if (math.abs(v) > 1000000000L) throw new ArithmeticException(
+      if (math.abs(v) > graft.operators.Microstructure.QuantizedReturnBound)
+        throw new ArithmeticException(
         s"tsrv: $what outside double range at symbol=$sym")
       v
     }
@@ -1838,7 +1839,8 @@ object Streaming {
       Seq.fill(H + 1)("0"))
     def q(sym: String, c: Double, prev: Double): Long = {
       val v = math.floor(math.log(c / prev) * 1e6d).toLong
-      if (math.abs(v) > 1000000000L) throw new ArithmeticException(
+      if (math.abs(v) > graft.operators.Microstructure.QuantizedReturnBound)
+        throw new ArithmeticException(
         s"bucketReturns: price ratio outside double range at " +
           s"symbol=$sym")
       v

@@ -650,6 +650,36 @@ class OverflowAuditSpec extends SparkSpec {
       s"wrong failure: ${msgs(ex5).mkString(" | ")}")
   }
 
+  // ------------------------------------ one quantized-return bound
+
+  test("the 1e9 quantized-return bound has ONE definition: no " +
+      "estimator re-spells the literal (VERDICT r15 #4)") {
+    // every 1e6-quantized log-return guard must compare against
+    // Microstructure.QuantizedReturnBound — a re-spelled literal is
+    // how a future estimator drifts to a different bound than its
+    // DuckDB twin. Source-level lint: no comparison against the raw
+    // literal anywhere in main (the definition site uses `=`, and
+    // fixed-point SCALE factors multiply/divide, never compare).
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    assert(java.nio.file.Files.isDirectory(root),
+      s"lint expects to run from the repo root, cwd=${
+        System.getProperty("user.dir")}")
+    val cmp = java.util.regex.Pattern
+      .compile("[><]=?\\s*1_?000_?000_?000L")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        java.nio.file.Files.readAllLines(p).asScala.zipWithIndex
+          .collect { case (l, i) if cmp.matcher(l).find() =>
+            s"$p:${i + 1}: $l" }
+      }.toList
+    assert(offenders.isEmpty,
+      "re-spelled quantized-return bound (use " +
+        s"Microstructure.QuantizedReturnBound):\n${
+          offenders.mkString("\n")}")
+  }
+
   // --------------------------------------- randomized magnitude sweep
 
   test("realizedVol random log-uniform price sweep: always exact or loud") {

@@ -847,4 +847,46 @@ class PlanSpec extends SparkSpec {
       s"operator construction submitted ${probeJobs.length} job(s) — " +
         "an eager pre-scan is back in the dispatch path")
   }
+
+  test("arm dispatch calibration: the stats estimate never " +
+      "under-counts the driver corpus, and the arm choice is pinned " +
+      "at known thresholds (VERDICT r15 #1)") {
+    import graft.operators.{Microstructure, TickCarry}
+    val u = Tables.updates(spark, sf())
+    val actual = u.count()
+    // the sizeInBytes fallback reads the COMPRESSED parquet size;
+    // the 2 B/row floor must put the estimate AT or ABOVE the true
+    // row count (erring toward the segmented arm — the scale-safe
+    // direction; ADVICE r15 flagged the old 8 B floor under-counting
+    // tick-shaped data that compresses below 8 B/row)
+    val st = u.queryExecution.optimizedPlan.stats
+    val est = st.rowCount.map(BigInt(0).max(_))
+      .getOrElse(st.sizeInBytes / TickCarry.FallbackBytesPerRow)
+    assert(est >= BigInt(actual),
+      s"stats estimate $est under-counts actual $actual rows — the " +
+        "fallback floor is too coarse and the dispatch can pick the " +
+        "single-window arm past maxWindowRows")
+    // arm choice at known sizes: the driver corpus sits far below the
+    // 10M default (window arm) and far above a 1k threshold
+    // (segmented arm)
+    assert(!TickCarry.exceedsRows(u, TickCarry.TickWindowMaxRows),
+      s"estimate $est flipped the default dispatch to segmented on " +
+        s"a $actual-row corpus — calibration regressed")
+    assert(TickCarry.exceedsRows(u, 1000L),
+      s"estimate $est is below a 1k threshold on a $actual-row " +
+        "corpus — the dispatch would run a symbol-history window " +
+        "on data that overflows it")
+    // and the chosen arm is visible in the plan: the segmented fold
+    // carries its _cseg segment key, the single window does not
+    val planDefault = Microstructure.kyleLambda(u)
+      .queryExecution.optimizedPlan.toString
+    assert(!planDefault.contains("_cseg"),
+      "default-threshold kyleLambda took the segmented arm below " +
+        "TickWindowMaxRows")
+    val planTiny = Microstructure.kyleLambda(u, maxWindowRows = 1000L)
+      .queryExecution.optimizedPlan.toString
+    assert(planTiny.contains("_cseg"),
+      "kyleLambda with maxWindowRows=1000 stayed on the single " +
+        "per-symbol window above the threshold")
+  }
 }

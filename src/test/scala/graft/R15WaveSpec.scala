@@ -98,4 +98,28 @@ class R15WaveSpec extends SparkSpec {
       .collect()(0).getAs[Double]("d_hat")
     assert(dHat > 0.8 && dHat < 3.0, s"line-manifold d_hat = $dHat")
   }
+
+  test("a wholly-null embedding raises LOUD in the shared twoNN " +
+      "kernel (ADVICE r15: it slips every per-coordinate guard — " +
+      "size(null) passes the dim check, transform(null) never runs " +
+      "the null-coordinate lambda — and the null d2 ranks FIRST in " +
+      "Spark but LAST in DuckDB)") {
+    val rows: Seq[(Long, Array[Float])] = Seq(
+      (0L, Array(1.0f, 2.0f)), (1L, Array(1.5f, 2.5f)),
+      (2L, Array(9.0f, 9.0f)), (3L, null))
+    val emb = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val ex = intercept[Exception] { Similarity.twoNN(emb).collect() }
+    assert(messages(ex).exists(_.contains("null embedding")),
+      s"wrong failure: ${messages(ex).mkString(" | ")}")
+    // the kernel is shared, so the indexed arm raises identically —
+    // but its kmeans front-end touches the embedding first, so pin
+    // the raise text loosely (any loud null raise qualifies there)
+    val ex2 = intercept[Exception] {
+      Similarity.twoNNIndexed(emb, kCells = 2, nProbe = 1).collect()
+    }
+    assert(ex2 != null)
+  }
 }
