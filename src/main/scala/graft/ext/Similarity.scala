@@ -21,7 +21,7 @@ import graft.functions.parallelized
   */
 object Similarity {
 
-  private val Dims = 64
+  private[graft] val Dims = 64
 
   /** Dot product as a strict LEFT FOLD over index order — the DuckDB twin
     * spells the same chain out as a left-associative 64-term expression,
@@ -830,7 +830,11 @@ object Similarity {
 
   def kmeansCentroids(embeddings: DataFrame, k: Int = 8,
       iters: Int = 2): DataFrame = {
-    val (vecs, cents) = kmeansLoop(embeddings, k, iters)
+    // cents come from the persistent catalog (load-or-train): the
+    // membership summary is a serving read, not a training run
+    val cents = IndexCatalog.centroids(embeddings, k, iters)
+    val vecs = withNorms(embeddings).select(col("vec_id"), col("emb"))
+      .transform(graft.functions.checkpointed)
     // gate-friendly integer summaries (array columns don't diff cleanly)
     val members = centRank(vecs, cents).where(col("rn") === 1)
       .groupBy("cid").agg(count(lit(1)).as("n_members"))
@@ -854,8 +858,19 @@ object Similarity {
     * quality loop: train → index → search, all oracle-gated. */
   def ivfTrainedTopK(embeddings: DataFrame, kCells: Int = 8,
       iters: Int = 2, nProbe: Int = 2, nQueries: Int = 10,
-      k: Int = 3): DataFrame = {
-    val (vecs, cents) = kmeansLoop(embeddings, kCells, iters)
+      k: Int = 3): DataFrame =
+    ivfServeFrom(embeddings,
+      IndexCatalog.centroids(embeddings, kCells, iters),
+      nProbe, nQueries, k)
+
+  /** The IVF serving read over an already-trained centroid table —
+    * shared by [[ivfTrainedTopK]] (catalog load-or-train) and the
+    * explicit catalog-serving gate. */
+  private[graft] def ivfServeFrom(embeddings: DataFrame,
+      cents: DataFrame, nProbe: Int, nQueries: Int,
+      k: Int): DataFrame = {
+    val vecs = withNorms(embeddings).select(col("vec_id"), col("emb"))
+      .transform(graft.functions.checkpointed)
     val ranked = centRank(vecs, cents).transform(graft.functions.checkpointed)
     val assigned = ranked.where(col("rn") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
@@ -893,6 +908,28 @@ object Similarity {
       s"+ (${ch(cRel, cCol, cRel, cCol)})"
   }
 
+  /** The `vecs` base CTE every embedding twin starts from. */
+  private[graft] val vecsCteSql: String =
+    "vecs AS MATERIALIZED (SELECT vec_id, " +
+      "CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"
+
+  /** Nearest-centroid ranking CTE vs an arbitrary centroid relation —
+    * shared by the training chain (`c<iters>`) and the catalog twins
+    * (centroids loaded with read_parquet). */
+  private def rankedSql(centsRel: String): String =
+    s"""ranked AS MATERIALIZED (SELECT v.vec_id, c.cid, row_number() OVER (
+       |   PARTITION BY v.vec_id
+       |   ORDER BY ${l2ChainSql("v", "emb", "c", "cemb")}, c.cid) AS rn
+       | FROM vecs v CROSS JOIN $centsRel c)""".stripMargin
+      .replace('\n', ' ')
+
+  /** Training-semantics text for the catalog key: the complete k-means
+    * twin SQL spells out seeds, quantized means, carry-forward and
+    * tie-breaks, so any change to the training math changes this
+    * string and invalidates persisted artifacts. */
+  private[graft] def kmeansSemantics(k: Int, iters: Int): String =
+    kmeansCtesSql(k, iters)
+
   /** Shared Lloyd CTE chain: vecs, c0 (seed init), and the per-round
     * assignment/quantized-mean stages ending at `c<iters>`, plus
     * `ranked` (nearest-centroid rank vs the trained table). */
@@ -923,14 +960,23 @@ object Similarity {
          | FROM c${i - 1} p LEFT JOIN n$i n ON n.cid = p.cid)"""
         .stripMargin.replace('\n', ' ')
     }.mkString(", ")
-    s"""vecs AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    s"""$vecsCteSql,
        |c0 AS MATERIALIZED (SELECT vec_id AS cid, emb AS cemb FROM vecs WHERE vec_id < $k),
        |$stages,
-       |ranked AS MATERIALIZED (SELECT v.vec_id, c.cid, row_number() OVER (
-       |   PARTITION BY v.vec_id
-       |   ORDER BY ${l2ChainSql("v", "emb", "c", "cemb")}, c.cid) AS rn
-       | FROM vecs v CROSS JOIN c$iters c)""".stripMargin
-      .replace('\n', ' ')
+       |${rankedSql(s"c$iters")}""".stripMargin.replace('\n', ' ')
+  }
+
+  /** CTE chain of the CATALOG twins: vecs + centroids loaded from the
+    * persisted artifact (the SAME file the Spark side serves from) +
+    * the shared ranking — no training stages anywhere. */
+  private def catalogCentsCtesSql(sfDir: String, k: Int,
+      iters: Int): String = {
+    val key = IndexCatalog.keyForDir(sfDir, "kmeans", s"k$k-i$iters",
+      kmeansSemantics(k, iters))
+    s"""$vecsCteSql,
+       |ctrained AS MATERIALIZED (SELECT cid, cemb FROM
+       |  read_parquet('${IndexCatalog.artifactDir(key)}/*.parquet')),
+       |${rankedSql("ctrained")}""".stripMargin.replace('\n', ' ')
   }
 
   def kmeansCentroidsSql(k: Int = 8, iters: Int = 2): String =
@@ -946,10 +992,13 @@ object Similarity {
        |FROM c$iters c LEFT JOIN members m USING (cid)
        |ORDER BY c.cid""".stripMargin.replace('\n', ' ')
 
-  def ivfTrainedTopKSql(kCells: Int = 8, iters: Int = 2, nProbe: Int = 2,
-      nQueries: Int = 10, k: Int = 3): String =
-    s"""WITH ${kmeansCtesSql(kCells, iters)},
-       |assignedcell AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+  /** IVF serving tail (assignment, probes, exact in-list ranking) —
+    * assumes `vecs` and `ranked` CTEs exist; shared verbatim by the
+    * retraining twin and the catalog twin so the serving math cannot
+    * drift between them. */
+  private def ivfServeTailSql(nProbe: Int, nQueries: Int,
+      k: Int): String =
+    s"""assignedcell AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
        |probes AS (SELECT vec_id AS q_id, cid AS cell FROM ranked
        |  WHERE rn <= $nProbe AND vec_id < $nQueries),
        |pairs AS (SELECT p.q_id, s.vec_id,
@@ -963,6 +1012,19 @@ object Similarity {
        |   PARTITION BY q_id ORDER BY dist, vec_id) AS rank FROM pairs)
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
       .replace('\n', ' ')
+
+  def ivfTrainedTopKSql(kCells: Int = 8, iters: Int = 2, nProbe: Int = 2,
+      nQueries: Int = 10, k: Int = 3): String =
+    s"WITH ${kmeansCtesSql(kCells, iters)}, " +
+      ivfServeTailSql(nProbe, nQueries, k)
+
+  /** DuckDB twin of the catalog IVF serving read: loads the SAME
+    * persisted centroid parquet the Spark side serves from — zero
+    * training CTEs, the production serving shape in both engines. */
+  def ivfCatalogTopKSql(sfDir: String, kCells: Int = 8, iters: Int = 2,
+      nProbe: Int = 2, nQueries: Int = 10, k: Int = 3): String =
+    s"WITH ${catalogCentsCtesSql(sfDir, kCells, iters)}, " +
+      ivfServeTailSql(nProbe, nQueries, k)
 
   /** Cluster-balanced (diversity) sampling — the embedding-space analog
     * of [[graft.ext.Pipeline.sourceCap]], the D4/DCLM-family step that
@@ -1033,7 +1095,9 @@ object Similarity {
     * ivfTrainedTopK ranked-reuse move. */
   private[graft] def cellAssignment(embeddings: DataFrame, kCells: Int,
       iters: Int): DataFrame = {
-    val (vecs, cents) = kmeansLoop(embeddings, kCells, iters)
+    val cents = IndexCatalog.centroids(embeddings, kCells, iters)
+    val vecs = withNorms(embeddings).select(col("vec_id"), col("emb"))
+      .transform(graft.functions.checkpointed)
     centRank(vecs, cents).where(col("rn") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
       .join(vecs, "vec_id")
@@ -1063,11 +1127,10 @@ object Similarity {
     * first-minimum-wins tiebreak equals [[centRank]]'s (dist, cid)
     * order. */
   def semDedupCentroids(embeddings: DataFrame, kCells: Int = 8,
-      iters: Int = 2): Array[(Long, Array[Double])] = {
-    val (_, cents) = kmeansLoop(embeddings, kCells, iters)
-    cents.orderBy("cid").collect()
+      iters: Int = 2): Array[(Long, Array[Double])] =
+    IndexCatalog.centroids(embeddings, kCells, iters)
+      .orderBy("cid").collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
-  }
 
   def semDedupSql(kCells: Int = 8, iters: Int = 2,
       threshold: Double = 0.8): String =
@@ -1158,13 +1221,34 @@ object Similarity {
     cbook
   }
 
-  def pqTrainedCodes(embeddings: DataFrame, subspaces: Int = 8,
-      nCentroids: Int = 16, iters: Int = 2): DataFrame = {
+  /** Grouped-Lloyd PQ training pass alone — the artifact the catalog
+    * persists (s, cid, cv). */
+  private[graft] def trainPqCodebook(embeddings: DataFrame,
+      subspaces: Int, nCentroids: Int, iters: Int): DataFrame = {
     require(Dims % subspaces == 0, s"$subspaces must divide $Dims")
     val vecs = withNorms(embeddings).select(col("vec_id"), col("emb"))
       .transform(graft.functions.checkpointed)
-    val points = subPoints(vecs, "emb", subspaces).transform(graft.functions.checkpointed)
-    val cbook = groupedLloyd(points, nCentroids, iters)
+    val points = subPoints(vecs, "emb", subspaces)
+      .transform(graft.functions.checkpointed)
+    groupedLloyd(points, nCentroids, iters)
+  }
+
+  def pqTrainedCodes(embeddings: DataFrame, subspaces: Int = 8,
+      nCentroids: Int = 16, iters: Int = 2): DataFrame =
+    pqEncodeFrom(embeddings,
+      IndexCatalog.pqCodebook(embeddings, subspaces, nCentroids, iters),
+      subspaces, nCentroids)
+
+  /** The PQ encoding pass over an already-trained codebook — shared
+    * by [[pqTrainedCodes]] (catalog load-or-train) and the explicit
+    * catalog-serving gate. */
+  private[graft] def pqEncodeFrom(embeddings: DataFrame,
+      cbook: DataFrame, subspaces: Int, nCentroids: Int): DataFrame = {
+    require(Dims % subspaces == 0, s"$subspaces must divide $Dims")
+    val vecs = withNorms(embeddings).select(col("vec_id"), col("emb"))
+      .transform(graft.functions.checkpointed)
+    val points = subPoints(vecs, "emb", subspaces)
+      .transform(graft.functions.checkpointed)
     packCodes(subAssign(points, cbook), nCentroids)
   }
 
@@ -1175,11 +1259,47 @@ object Similarity {
     * residual coding actually pays, unlike the seed-quantizer gate), and
     * ADC search with a per-probed-cell query LUT. Every stage bit-exact,
     * so the entire train → encode → search pipeline is oracle-gated. */
+  /** Residual-PQ training pass alone — grouped Lloyd over cell
+    * residuals against the (catalog-shared) coarse centroids; the
+    * artifact the catalog persists (s, cid, cv). */
+  private[graft] def trainResidualCodebook(embeddings: DataFrame,
+      subspaces: Int, nCentroids: Int, nCells: Int, cellIters: Int,
+      pqIters: Int): DataFrame = {
+    val cents = IndexCatalog.centroids(embeddings, nCells, cellIters)
+    val vecs = withNorms(embeddings).select(col("vec_id"), col("emb"))
+      .transform(graft.functions.checkpointed)
+    val assigned = centRank(vecs, cents).where(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val centsAsCell = cents.select(col("cid").as("cell"), col("cemb"))
+    val res = vecs.join(assigned, "vec_id")
+      .join(broadcast(centsAsCell), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("emb"), col("cemb"), (x, g) => x - g).as("res"))
+      .transform(graft.functions.checkpointed)
+    val points = subPoints(res.select(col("vec_id"), col("res")),
+      "res", subspaces).transform(graft.functions.checkpointed)
+    groupedLloyd(points, nCentroids, pqIters)
+  }
+
   def ivfPqTrainedTopK(embeddings: DataFrame, subspaces: Int = 8,
       nCentroids: Int = 16, nCells: Int = 8, cellIters: Int = 2,
       pqIters: Int = 2, nProbe: Int = 2, nQueries: Int = 10,
-      k: Int = 3): DataFrame = {
-    val (vecs, cents) = kmeansLoop(embeddings, nCells, cellIters)
+      k: Int = 3): DataFrame =
+    ivfPqServeFrom(embeddings,
+      IndexCatalog.centroids(embeddings, nCells, cellIters),
+      IndexCatalog.residualCodebook(embeddings, subspaces, nCentroids,
+        nCells, cellIters, pqIters),
+      subspaces, nProbe, nQueries, k)
+
+  /** The IVF-PQ ADC serving read over already-trained coarse
+    * centroids + residual codebook — shared by [[ivfPqTrainedTopK]]
+    * (catalog load-or-train) and the explicit catalog-serving
+    * gate. */
+  private[graft] def ivfPqServeFrom(embeddings: DataFrame,
+      cents: DataFrame, cbook: DataFrame, subspaces: Int, nProbe: Int,
+      nQueries: Int, k: Int): DataFrame = {
+    val vecs = withNorms(embeddings).select(col("vec_id"), col("emb"))
+      .transform(graft.functions.checkpointed)
     val ranked = centRank(vecs, cents).transform(graft.functions.checkpointed)
     val assigned = ranked.where(col("rn") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
@@ -1194,7 +1314,6 @@ object Similarity {
       .transform(graft.functions.checkpointed)
     val points = subPoints(res.select(col("vec_id"), col("res")),
       "res", subspaces).transform(graft.functions.checkpointed)
-    val cbook = groupedLloyd(points, nCentroids, pqIters)
     val codes = subAssign(points, cbook)
       .select(col("vec_id"), col("s"), col("cid"))
     // query residual per PROBED cell → LUT over ALL codebook entries
@@ -1248,20 +1367,28 @@ object Similarity {
     }.mkString(" UNION ALL ")
   }
 
+  /** Codebook-rank CTE against an arbitrary codebook relation —
+    * shared by the training rounds, the trained twins' `fin`, and
+    * the catalog twins (codebook loaded with read_parquet). */
+  private def pqRankSql(name: String, cbRel: String,
+      subspaces: Int): String = {
+    val sub = Dims / subspaces
+    s"""$name AS MATERIALIZED (SELECT vec_id, s, w, cid, dist,
+       |  row_number() OVER (PARTITION BY vec_id, s
+       |    ORDER BY dist, cid) AS rn FROM (
+       |  SELECT p.vec_id, p.s, p.w, c.cid,
+       |   ${subChainSql(sub, "p", "sv", "c", "cv")} AS dist
+       |  FROM points p JOIN $cbRel c ON c.s = p.s))""".stripMargin
+      .replace('\n', ' ')
+  }
+
   /** Grouped-Lloyd CTE stages assuming `points(vec_id, s, w, sv)`
     * exists: cb0 (seed slices), r/m/cb per round, `fin` ranked vs the
     * trained books. All MATERIALIZED (DuckDB inlines per reference). */
   private def groupedPqStagesSql(subspaces: Int, nCentroids: Int,
       iters: Int): String = {
-    val sub = Dims / subspaces
     def rankSql(name: String, cbRel: String): String =
-      s"""$name AS MATERIALIZED (SELECT vec_id, s, w, cid, dist,
-         |  row_number() OVER (PARTITION BY vec_id, s
-         |    ORDER BY dist, cid) AS rn FROM (
-         |  SELECT p.vec_id, p.s, p.w, c.cid,
-         |   ${subChainSql(sub, "p", "sv", "c", "cv")} AS dist
-         |  FROM points p JOIN $cbRel c ON c.s = p.s))""".stripMargin
-        .replace('\n', ' ')
+      pqRankSql(name, cbRel, subspaces)
     // per-(s, cid) empty-cluster carry-forward, as kmeansCtesSql
     val stages = (1 to iters).map { i =>
       s"""${rankSql(s"r$i", s"cb${i - 1}")},
@@ -1287,23 +1414,51 @@ object Similarity {
        |${rankSql("fin", s"cb$iters")}""".stripMargin.replace('\n', ' ')
   }
 
-  def pqTrainedCodesSql(subspaces: Int = 8, nCentroids: Int = 16,
-      iters: Int = 2): String =
-    s"""WITH vecs AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-       |points AS MATERIALIZED (${subBranchesSql("vecs", "emb", subspaces)}),
-       |${groupedPqStagesSql(subspaces, nCentroids, iters)}
-       |SELECT vec_id,
+  /** The encode-and-pack tail over a `fin` codebook rank — shared by
+    * the retraining twin and the catalog twin. */
+  private def pqEncodeTailSql(nCentroids: Int): String =
+    s"""SELECT vec_id,
        | ${packCodeSql(nCentroids)},
        | CAST(sum(CAST(floor(dist * 1e9) AS BIGINT)) AS BIGINT) AS err_q
        |FROM fin WHERE rn = 1 GROUP BY vec_id
        |ORDER BY vec_id""".stripMargin.replace('\n', ' ')
 
-  def ivfPqTrainedTopKSql(subspaces: Int = 8, nCentroids: Int = 16,
-      nCells: Int = 8, cellIters: Int = 2, pqIters: Int = 2,
-      nProbe: Int = 2, nQueries: Int = 10, k: Int = 3): String = {
-    val sub = Dims / subspaces
-    s"""WITH ${kmeansCtesSql(nCells, cellIters)},
-       |assignedcell AS MATERIALIZED (SELECT vec_id, cid AS cell
+  def pqTrainedCodesSql(subspaces: Int = 8, nCentroids: Int = 16,
+      iters: Int = 2): String =
+    s"""WITH $vecsCteSql,
+       |points AS MATERIALIZED (${subBranchesSql("vecs", "emb", subspaces)}),
+       |${groupedPqStagesSql(subspaces, nCentroids, iters)}
+       |${pqEncodeTailSql(nCentroids)}""".stripMargin.replace('\n', ' ')
+
+  /** Training-semantics text for the PQ catalog key (see
+    * [[kmeansSemantics]]). */
+  private[graft] def pqSemantics(subspaces: Int, nCentroids: Int,
+      iters: Int): String =
+    pqTrainedCodesSql(subspaces, nCentroids, iters)
+
+  /** DuckDB twin of the catalog PQ encode: loads the SAME persisted
+    * codebook parquet the Spark side serves from — no training CTEs,
+    * just slice, rank against the loaded books, pack. */
+  def pqCatalogCodeSql(sfDir: String, subspaces: Int = 8,
+      nCentroids: Int = 16, iters: Int = 2): String = {
+    val key = IndexCatalog.keyForDir(sfDir, "pq",
+      s"s$subspaces-c$nCentroids-i$iters",
+      pqSemantics(subspaces, nCentroids, iters))
+    s"""WITH $vecsCteSql,
+       |points AS MATERIALIZED (${subBranchesSql("vecs", "emb", subspaces)}),
+       |cbt AS MATERIALIZED (SELECT s, cid, cv FROM
+       |  read_parquet('${IndexCatalog.artifactDir(key)}/*.parquet')),
+       |${pqRankSql("fin", "cbt", subspaces)}
+       |${pqEncodeTailSql(nCentroids)}""".stripMargin.replace('\n', ' ')
+  }
+
+  /** Assignment + probes + corpus residuals + residual slices —
+    * assumes `vecs` and `ranked`; the residual join reads centroids
+    * from `centsRel`. Shared by the retraining and catalog IVF-PQ
+    * twins. */
+  private def ivfPqResidualCtesSql(centsRel: String, subspaces: Int,
+      nProbe: Int, nQueries: Int): String =
+    s"""assignedcell AS MATERIALIZED (SELECT vec_id, cid AS cell
        |  FROM ranked WHERE rn = 1),
        |probes AS MATERIALIZED (SELECT vec_id AS q_id, cid AS cell
        |  FROM ranked WHERE rn <= $nProbe AND vec_id < $nQueries),
@@ -1311,20 +1466,27 @@ object Similarity {
        |  list_transform(range(1, ${Dims + 1}),
        |    i -> v.emb[i] - g.cemb[i]) AS res
        | FROM vecs v JOIN assignedcell a ON a.vec_id = v.vec_id
-       | JOIN c$cellIters g ON g.cid = a.cell),
-       |points AS MATERIALIZED (${subBranchesSql("res", "res", subspaces)}),
-       |${groupedPqStagesSql(subspaces, nCentroids, pqIters)},
-       |qres AS MATERIALIZED (SELECT p.q_id, p.cell,
+       | JOIN $centsRel g ON g.cid = a.cell),
+       |points AS MATERIALIZED (${subBranchesSql("res", "res", subspaces)})"""
+      .stripMargin.replace('\n', ' ')
+
+  /** Query-residual LUT + ADC ranking tail — assumes `vecs`, `probes`,
+    * `assignedcell`, `fin`; centroids from `centsRel`, codebook from
+    * `cbRel`. Shared by the retraining and catalog IVF-PQ twins. */
+  private def ivfPqAdcTailSql(centsRel: String, cbRel: String,
+      subspaces: Int, k: Int): String = {
+    val sub = Dims / subspaces
+    s"""qres AS MATERIALIZED (SELECT p.q_id, p.cell,
        |  list_transform(range(1, ${Dims + 1}),
        |    i -> v.emb[i] - g.cemb[i]) AS res
        | FROM probes p JOIN vecs v ON v.vec_id = p.q_id
-       | JOIN c$cellIters g ON g.cid = p.cell),
+       | JOIN $centsRel g ON g.cid = p.cell),
        |qpoints AS MATERIALIZED (
        |  ${subBranchesSql("qres", "res", subspaces, "q_id, cell")}),
        |lut AS MATERIALIZED (SELECT q.q_id, q.cell, q.s, c.cid,
        |  CAST(floor((${subChainSql(sub, "q", "sv", "c", "cv")}) * 1e9)
        |    AS BIGINT) AS dq
-       | FROM qpoints q JOIN cb$pqIters c ON c.s = q.s),
+       | FROM qpoints q JOIN $cbRel c ON c.s = q.s),
        |adc AS (SELECT p.q_id, ac.vec_id, CAST(sum(l.dq) AS BIGINT) AS adc_q
        | FROM probes p
        | JOIN assignedcell ac ON ac.cell = p.cell AND ac.vec_id <> p.q_id
@@ -1338,6 +1500,41 @@ object Similarity {
        |   PARTITION BY q_id ORDER BY adc_q, vec_id) AS rank FROM adc)
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
       .replace('\n', ' ')
+  }
+
+  def ivfPqTrainedTopKSql(subspaces: Int = 8, nCentroids: Int = 16,
+      nCells: Int = 8, cellIters: Int = 2, pqIters: Int = 2,
+      nProbe: Int = 2, nQueries: Int = 10, k: Int = 3): String =
+    s"""WITH ${kmeansCtesSql(nCells, cellIters)},
+       |${ivfPqResidualCtesSql(s"c$cellIters", subspaces, nProbe, nQueries)},
+       |${groupedPqStagesSql(subspaces, nCentroids, pqIters)},
+       |${ivfPqAdcTailSql(s"c$cellIters", s"cb$pqIters", subspaces, k)}"""
+      .stripMargin.replace('\n', ' ')
+
+  /** Training-semantics text for the residual-codebook catalog key
+    * (see [[kmeansSemantics]]). */
+  private[graft] def ivfPqSemantics(subspaces: Int, nCentroids: Int,
+      nCells: Int, cellIters: Int, pqIters: Int): String =
+    ivfPqTrainedTopKSql(subspaces, nCentroids, nCells, cellIters,
+      pqIters)
+
+  /** DuckDB twin of the catalog IVF-PQ serving read: loads BOTH
+    * persisted artifacts (coarse centroids + residual codebook) the
+    * Spark side serves from — no training CTEs anywhere. */
+  def ivfPqCatalogTopKSql(sfDir: String, subspaces: Int = 8,
+      nCentroids: Int = 16, nCells: Int = 8, cellIters: Int = 2,
+      pqIters: Int = 2, nProbe: Int = 2, nQueries: Int = 10,
+      k: Int = 3): String = {
+    val cbKey = IndexCatalog.keyForDir(sfDir, "ivfpq-residual",
+      s"s$subspaces-c$nCentroids-k$nCells-ci$cellIters-pi$pqIters",
+      ivfPqSemantics(subspaces, nCentroids, nCells, cellIters, pqIters))
+    s"""WITH ${catalogCentsCtesSql(sfDir, nCells, cellIters)},
+       |${ivfPqResidualCtesSql("ctrained", subspaces, nProbe, nQueries)},
+       |cbt AS MATERIALIZED (SELECT s, cid, cv FROM
+       |  read_parquet('${IndexCatalog.artifactDir(cbKey)}/*.parquet')),
+       |${pqRankSql("fin", "cbt", subspaces)},
+       |${ivfPqAdcTailSql("ctrained", "cbt", subspaces, k)}"""
+      .stripMargin.replace('\n', ' ')
   }
 
   /** In-engine ANN recall audit — the quality-monitoring query a
@@ -2283,10 +2480,17 @@ object Similarity {
     * with any other vector drop from `n_points` — a corpus that
     * sparse should raise `nProbe`. */
   def twoNNIndexed(embeddings: DataFrame, kCells: Int = 8,
-      iters: Int = 2, nProbe: Int = 4): DataFrame = {
-    // kmeansLoop's vecs table is already checkpointed — reuse it for
-    // the ranking instead of re-deriving the projection lineage
-    val (vecs, cents) = kmeansLoop(embeddings, kCells, iters)
+      iters: Int = 2, nProbe: Int = 4): DataFrame =
+    twoNNServeFrom(embeddings,
+      IndexCatalog.centroids(embeddings, kCells, iters), nProbe)
+
+  /** The candidate generation + MLE chain over an already-trained
+    * centroid table — shared by [[twoNNIndexed]] (catalog
+    * load-or-train) and the explicit catalog-serving gate. */
+  private[graft] def twoNNServeFrom(embeddings: DataFrame,
+      cents: DataFrame, nProbe: Int): DataFrame = {
+    val vecs = withNorms(embeddings).select(col("vec_id"), col("emb"))
+      .transform(graft.functions.checkpointed)
     val ranked = centRank(vecs, cents)
       .transform(graft.functions.checkpointed)
     val assigned = ranked.where(col("rn") === 1)
@@ -2375,8 +2579,20 @@ object Similarity {
     * re-check, and MLE chain. */
   def twoNNIndexedSql(kCells: Int = 8, iters: Int = 2,
       nProbe: Int = 4): String =
-    s"""WITH ${kmeansCtesSql(kCells, iters)},
-       |xq AS MATERIALIZED (
+    s"WITH ${kmeansCtesSql(kCells, iters)}, " +
+      twoNNServeTailSql(nProbe)
+
+  /** DuckDB twin of the catalog TwoNN serving read: candidates via
+    * the SAME persisted centroid parquet the Spark side loads. */
+  def twoNNCatalogSql(sfDir: String, kCells: Int = 8, iters: Int = 2,
+      nProbe: Int = 4): String =
+    s"WITH ${catalogCentsCtesSql(sfDir, kCells, iters)}, " +
+      twoNNServeTailSql(nProbe)
+
+  /** TwoNN candidate + MLE tail — assumes `ranked` exists; shared
+    * verbatim by the retraining and catalog twins. */
+  private def twoNNServeTailSql(nProbe: Int): String =
+    s"""xq AS MATERIALIZED (
        |  SELECT vec_id,
        |   CASE WHEN embedding IS NULL
        |    THEN CAST(error('twoNN: null embedding') AS BIGINT[])

@@ -49,10 +49,11 @@ object ExtQueries {
     * both consume the SAME trained clustering (the production shape — a
     * curation stack runs dedup + balance + audit off one model), so the
     * registry trains it once per (session, dir) — the [[pairsFor]]
-    * memo one family over. `q_kmeans` itself stays unmemoized so the
-    * bench keeps measuring the real training cost; registry order puts
-    * `q_semdedup` first in the sweep, so it pays the shared training
-    * and `q_cell_balance` measures its own incremental window. */
+    * memo one family over. Since r16 the underlying centroids also
+    * come from the persistent [[graft.ext.IndexCatalog]]: the FIRST
+    * run on a corpus pays training and persists the artifact; every
+    * later run (including every later bench sweep) loads it — the
+    * serve-from-trained-artifact lifecycle the bench now measures. */
   private val cellsMemo = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.DataFrame]()
   private def cellAssignmentFor(s: org.apache.spark.sql.SparkSession,
@@ -366,6 +367,39 @@ object ExtQueries {
         .orderBy("q_id", "rank"),
       Some(Similarity.ivfPqTrainedTopKSql())),
 
+    // ---- trained-index catalog (VERDICT r15 #2): train once, persist
+    // artifact + manifest, serve many. The Spark serving reads LOAD the
+    // persisted centroids/codebooks; each catalog gate's DuckDB twin
+    // reads the SAME parquet artifact (read_parquet, zero training
+    // CTEs), while the q_*_trained_* gates above keep their RETRAINING
+    // twins — both green together proves persisted ≡ retrained
+    // bit-for-bit, the invariant the catalog's semantics-keyed
+    // invalidation maintains.
+
+    // catalog listing: every artifact's manifest read back from disk,
+    // joined with a live-corpus freshness check
+    Q("q_index_manifest",
+      (s, dir) => IndexCatalog.manifests(embs(s, dir)),
+      Some(IndexCatalog.manifestsSql(Tables.oracleSfDir.get))),
+
+    // IVF serving read off the persisted coarse quantizer
+    Q("q_ivf_catalog_topk",
+      (s, dir) => Similarity.ivfTrainedTopK(embs(s, dir))
+        .orderBy("q_id", "rank"),
+      Some(Similarity.ivfCatalogTopKSql(Tables.oracleSfDir.get))),
+
+    // PQ encode off the persisted codebook
+    Q("q_pq_catalog_code",
+      (s, dir) => Similarity.pqTrainedCodes(embs(s, dir))
+        .orderBy("vec_id"),
+      Some(Similarity.pqCatalogCodeSql(Tables.oracleSfDir.get))),
+
+    // IVF-PQ ADC serving read off BOTH persisted artifacts
+    Q("q_ivfpq_catalog_topk",
+      (s, dir) => Similarity.ivfPqTrainedTopK(embs(s, dir))
+        .orderBy("q_id", "rank"),
+      Some(Similarity.ivfPqCatalogTopKSql(Tables.oracleSfDir.get))),
+
     // in-engine ANN recall audit: LSH vs brute ground truth on a sample
     // per-dimension embedding health audit (collapsed/dead/runaway dims
     // before any index build); fixed-point moments
@@ -455,6 +489,13 @@ object ExtQueries {
       (s, dir) => Similarity.twoNNIndexed(
         graft.Tables.table(s, dir, "embeddings")),
       Some(Similarity.twoNNIndexedSql())),
+
+    // TwoNN candidates off the persisted coarse quantizer — the
+    // catalog-serving member of the family (twin reads the artifact)
+    Q("q_twonn_catalog",
+      (s, dir) => Similarity.twoNNIndexed(
+        graft.Tables.table(s, dir, "embeddings")),
+      Some(Similarity.twoNNCatalogSql(Tables.oracleSfDir.get))),
 
     // token counting
     Q("q_token_count",

@@ -2927,9 +2927,13 @@ object Streaming {
   def ivfPqIndexOf(embeddings: DataFrame, subspaces: Int = 8,
       nCentroids: Int = 16, nCells: Int = 8, cellIters: Int = 2,
       pqIters: Int = 2): IvfPqIndexRef = {
-    import graft.ext.Similarity
-    val (vecs, cents) = Similarity.kmeansLoop(embeddings, nCells,
-      cellIters)
+    import graft.ext.{IndexCatalog, Similarity}
+    // trained artifacts come from the persistent catalog — a serving
+    // tier restart reloads them instead of retraining (VERDICT r15 #2)
+    val cents = IndexCatalog.centroids(embeddings, nCells, cellIters)
+    val vecs = Similarity.withNorms(embeddings)
+      .select(col("vec_id"), col("emb"))
+      .transform(graft.functions.checkpointed)
     val assigned = Similarity.centRank(vecs, cents)
       .where(col("rn") === 1).select(col("vec_id"), col("cid").as("cell"))
     val centsAsCell = cents.select(col("cid").as("cell"), col("cemb"))
@@ -2941,7 +2945,8 @@ object Streaming {
     val points = Similarity.subPoints(
       res.select(col("vec_id"), col("res")), "res", subspaces)
       .transform(graft.functions.checkpointed)
-    val cbook = Similarity.groupedLloyd(points, nCentroids, pqIters)
+    val cbook = IndexCatalog.residualCodebook(embeddings, subspaces,
+      nCentroids, nCells, cellIters, pqIters)
     val codes = Similarity.subAssign(points, cbook)
       .select(col("vec_id"), col("s"), col("cid"))
     val codesWithCell = codes.join(assigned, "vec_id").transform(graft.functions.checkpointed)
@@ -3262,8 +3267,11 @@ object Streaming {
 
   def ivfIndexTrainedOf(embeddings: DataFrame, kCells: Int = 8,
       iters: Int = 2): IvfL2IndexRef = {
-    import graft.ext.Similarity
-    val (vecs, cents) = Similarity.kmeansLoop(embeddings, kCells, iters)
+    import graft.ext.{IndexCatalog, Similarity}
+    val cents = IndexCatalog.centroids(embeddings, kCells, iters)
+    val vecs = Similarity.withNorms(embeddings)
+      .select(col("vec_id"), col("emb"))
+      .transform(graft.functions.checkpointed)
     val assigned = Similarity.centRank(vecs, cents)
       .where(col("rn") === 1).select(col("vec_id"), col("cid").as("cell"))
     IvfL2IndexRef(cents.transform(graft.functions.checkpointed),

@@ -65,8 +65,15 @@ class OracleBudgetSpec extends SparkSpec {
       "(?i)(^|[(,\\s])\\w+\\s+AS\\s+(MATERIALIZED\\s+)?\\(".r
         .findAllIn(sql).length >= 8
 
+  /** The catalog twins read persisted artifacts — replaying them
+    * without the serving queries having run first (exactly what this
+    * suite does) needs the train-or-load pre-flight. */
+  private def ensureCatalog(sfDir: String): Unit =
+    graft.ext.IndexCatalog.ensure(Tables.table(spark, sfDir, "embeddings"))
+
   test("every oracle twin runs inside a 10s ceiling at sf0.001") {
     requireDuckdb()
+    ensureCatalog(sf())
     val json = oracleJson(sf())
     val (rc, out) = runBudget(sf(), json, 10.0)
     assert(rc === 0, s"over-budget/erroring twins at sf0.001:\n$out")
@@ -74,10 +81,12 @@ class OracleBudgetSpec extends SparkSpec {
 
   test("chained/recursive twins run inside a 20s ceiling at sf0.01") {
     requireDuckdb()
-    // The subset's SQL is data-independent (events/ticks params are
-    // literals, no trained-model interpolation), so the sf0.001-built
-    // json is byte-identical at sf0.01 — reuse it rather than paying
-    // ANN oracle re-parameterization at the bigger SF.
+    // The subset's SQL is data-independent for the RETRAINING twins
+    // (events/ticks params are literals), so the sf0.001-built json
+    // mostly transfers to sf0.01; the catalog twins bake sf0.001
+    // artifact paths, which only shifts their (tiny) read cost — the
+    // budget measures wall time, not values.
+    ensureCatalog(sf())
     val json = oracleJson(sf())
     val subset = SparkEntry.oracleSql.collect {
       case (name, sql) if chained(sql) => name
