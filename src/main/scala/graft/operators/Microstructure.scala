@@ -1535,7 +1535,10 @@ object Microstructure {
     * #3): a degenerate catalog (10k symbols in one bucket = 50M pairs
     * per bucket) raises instead of silently expanding — the engine's
     * raise-loud stance. The guard rides the slice length expression
-    * itself so it cannot be pruned from the plan. */
+    * itself so it cannot be pruned from the plan.
+    *
+    * Serving twin: [[graft.streaming.Streaming.streamingReturnCorr]]
+    * (the Pearson component sums are associative — VERDICT r15 #3). */
   def returnCorr(updates: DataFrame, seconds: Long = 60,
       maxSymbols: Int = MaxCorrSymbols): DataFrame =
     returnCorrFromReturns(bucketReturns(updates, seconds), maxSymbols)
@@ -1614,7 +1617,10 @@ object Microstructure {
     * the feed per scale; each arm then runs [[returnCorr]]'s bounded
     * per-bucket pair expansion. The DuckDB twin re-buckets every
     * scale straight from the raw stream — the bit-exact gate IS the
-    * rebin-identity proof at both SFs. */
+    * rebin-identity proof at both SFs.
+    *
+    * Serving twin: [[graft.streaming.Streaming.streamingEppsEffect]]
+    * (VERDICT r15 #3). */
   def eppsEffect(updates: DataFrame,
       scales: Seq[Long] = Seq(60L, 300L, 900L),
       maxSymbols: Int = MaxCorrSymbols): DataFrame = {

@@ -1960,6 +1960,165 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** One scale's cross-symbol state: the global open coarse bucket,
+    * each symbol's open close within it (plain assignment under the
+    * sorted fold — last write IS last-by-(ts, seq), the
+    * [[streamingRealizedKernel]] convention), each symbol's previous
+    * PRESENT coarse close (the batch lag over present buckets), and
+    * the per-pair exact Pearson component sums (BigInt as string).
+    * O(S + P) per scale, P ≤ maxSymbols²/2 by the loud guard. */
+  case class EppsScaleState(gb: Long, opens: Map[String, Double],
+      prevs: Map[String, Double], pairs: Map[String, EppsPairSums])
+  case class EppsPairSums(n: Long, sx: String, sy: String, sxy: String,
+      sxx: String, syy: String)
+  case class EppsCorrRow(symbol_a: String, symbol_b: String,
+      scale_s: Long, n_pairs: Long, sum_x: Option[Double],
+      sum_y: Option[Double], sum_xy: Option[Double],
+      sum_xx: Option[Double], sum_yy: Option[Double],
+      return_corr: Option[Double])
+
+  /** Cross-symbol return correlation on a STREAM at a single scale —
+    * [[streamingEppsEffect]] with a one-rung ladder; see its contract
+    * (VERDICT r15 #3: the per-(pair, scale) Pearson component sums
+    * are associative, so the open-bucket fold applies). */
+  def streamingReturnCorr(updates: Dataset[Update], seconds: Long = 60,
+      maxSymbols: Int = graft.operators.Microstructure.MaxCorrSymbols)
+      : Dataset[EppsCorrRow] =
+    streamingEppsEffect(updates, Seq(seconds), maxSymbols)
+
+  /** Epps-effect correlation ladder on a STREAM — the
+    * serve-current-state twin of
+    * [[graft.operators.Microstructure.eppsEffect]] (and, at one
+    * scale, [[graft.operators.Microstructure.returnCorr]]): per scale
+    * the fold tracks each symbol's open coarse-bucket close; when the
+    * GLOBAL coarse clock advances (rows fold in (ts, seq) order, so a
+    * bucket is immutable once any later tick arrives), every open
+    * close scores its present-bucket return
+    * `q = floor(ln(close/prev)·1e6)` (loud
+    * [[graft.operators.Microstructure.QuantizedReturnBound]] guard),
+    * the bucket's returning symbols pair off (a < b in the batch
+    * sort_array order, the loud maxSymbols S²/2 guard riding the
+    * expansion), and each pair's exact integer component sums
+    * (n, Σx, Σy, Σxy, Σx², Σy²) fold in BigInt — associative, the
+    * whole reason this member of the family streams while
+    * hayashiYoshida (cross-key forward lookups) and cusumChangePoint
+    * (final-mean centering) stay batch-only by definition. The
+    * CURRENT (pair, scale) rows are emitted per micro-batch with the
+    * batch decimal→double emission (loud decimal(38) bound) and the
+    * batch IEEE Pearson chain, so after a far-future closer the last
+    * serving snapshot equals the batch operator bit-for-bit
+    * (StreamingSpec, both row sets).
+    *
+    * Scale contract, stated honestly: pair sums are inherently
+    * cross-key, so the fold runs under ONE group key — every tick
+    * passes through a single stateful task. That is the right shape
+    * for a SERVING summary whose output is the S²/2 correlation
+    * matrix of a bounded venue catalog (the reference's book set;
+    * the same maxSymbols bound the batch arm enforces), and the
+    * wrong shape for an unbounded corpus — the batch arm, whose pair
+    * expansion runs per-bucket across the cluster, remains the scale
+    * path. */
+  def streamingEppsEffect(updates: Dataset[Update],
+      scales: Seq[Long] = Seq(60L, 300L, 900L),
+      maxSymbols: Int = graft.operators.Microstructure.MaxCorrSymbols)
+      : Dataset[EppsCorrRow] = {
+    require(scales.nonEmpty && scales.forall(_ > 0),
+      "scales must be positive")
+    require(scales.forall(_ % scales.min == 0),
+      s"every scale must be a multiple of the finest (${scales.min})")
+    import updates.sparkSession.implicits._
+    val Unset = Long.MinValue
+    val DecimalMax = BigInt(10).pow(38)
+    val sortedScales = scales.sorted
+    def zero = sortedScales.map(s =>
+      s.toString -> EppsScaleState(Unset, Map(), Map(), Map())).toMap
+    def q(sym: String, c: Double, prev: Double): Long = {
+      val v = math.floor(math.log(c / prev) * 1e6d).toLong
+      if (math.abs(v) >
+          graft.operators.Microstructure.QuantizedReturnBound)
+        throw new ArithmeticException(
+          s"eppsEffect: price ratio outside double range at " +
+            s"symbol=$sym")
+      v
+    }
+    /** Close the global bucket: score every open symbol's return,
+      * expand the a<b pairs of the returning set, fold the sums. */
+    def closeGlobal(st: EppsScaleState,
+        maxS: Int): EppsScaleState = {
+      val qs = st.opens.toSeq.flatMap { case (sym, close) =>
+        st.prevs.get(sym).map(p => sym -> q(sym, close, p))
+      }.sortBy(_._1)
+      if (qs.length > maxS) throw new ArithmeticException(
+        s"returnCorr: bucket symbol set exceeds $maxS (S^2/2 pair " +
+          s"expansion) at start=${st.gb}")
+      var pairs = st.pairs
+      for (i <- qs.indices; j <- (i + 1) until qs.length) {
+        val (sa, qa) = qs(i); val (sb, qb) = qs(j)
+        val key = sa + "\u0000" + sb
+        val cur = pairs.getOrElse(key,
+          EppsPairSums(0L, "0", "0", "0", "0", "0"))
+        val (x, y) = (BigInt(qa), BigInt(qb))
+        pairs = pairs.updated(key, EppsPairSums(cur.n + 1L,
+          (BigInt(cur.sx) + x).toString,
+          (BigInt(cur.sy) + y).toString,
+          (BigInt(cur.sxy) + x * y).toString,
+          (BigInt(cur.sxx) + x * x).toString,
+          (BigInt(cur.syy) + y * y).toString))
+      }
+      st.copy(opens = Map(),
+        prevs = st.prevs ++ st.opens, pairs = pairs)
+    }
+    def emit(scaleS: Long, st: EppsScaleState): Seq[EppsCorrRow] = {
+      def gd(b: BigInt, what: String, k: String): Double = {
+        if (b.abs >= DecimalMax) throw new ArithmeticException(
+          s"returnCorr: $what outside the exact decimal regime at " +
+            s"pair=$k")
+        b.toDouble // round-half-even = the batch decimal→double cast
+      }
+      st.pairs.toSeq.sortBy(_._1).map { case (k, p) =>
+        val Array(sa, sb) = k.split('\u0000')
+        val n = p.n
+        val sx = gd(BigInt(p.sx), "sum_x", k)
+        val sy = gd(BigInt(p.sy), "sum_y", k)
+        val sxy = gd(BigInt(p.sxy), "sum_xy", k)
+        val sxx = gd(BigInt(p.sxx), "sum_xx", k)
+        val syy = gd(BigInt(p.syy), "sum_yy", k)
+        val dx = n.toDouble * sxx - sx * sx
+        val dy = n.toDouble * syy - sy * sy
+        val corr =
+          if (n >= 2L && dx != 0.0d && dy != 0.0d)
+            Some((n.toDouble * sxy - sx * sy) /
+              (math.sqrt(dx) * math.sqrt(dy)))
+          else None
+        EppsCorrRow(sa, sb, scaleS, n, Some(sx), Some(sy), Some(sxy),
+          Some(sxx), Some(syy), corr)
+      }
+    }
+    def fn(key: Int, rows: Iterator[Update],
+        state: GroupState[Map[String, EppsScaleState]])
+        : Iterator[EppsCorrRow] = {
+      var st = state.getOption.getOrElse(zero)
+      rows.toSeq.filter(u => u.is_trade && SqlOrd.gt(u.price, 0.0))
+        .sortBy(u => (u.ts, u.seq)).foreach { u =>
+          FiniteGuard.price("eppsEffect", u)
+          sortedScales.foreach { s =>
+            val b = Buckets.of(u.ts, s)
+            var ss = st(s.toString)
+            if (ss.gb == Unset) ss = ss.copy(gb = b)
+            else if (b != ss.gb)
+              ss = closeGlobal(ss, maxSymbols).copy(gb = b)
+            ss = ss.copy(opens = ss.opens.updated(u.symbol, u.price))
+            st = st.updated(s.toString, ss)
+          }
+        }
+      state.update(st)
+      sortedScales.iterator.flatMap(s => emit(s, st(s.toString)))
+    }
+    updates.groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Per-(symbol, is_bid, level) book-state cell carrying the BATCH
     * snapshot's arithmetic shape, not the naive sequential one:
     * [[graft.operators.Orderbook.snapshot]] computes each level as

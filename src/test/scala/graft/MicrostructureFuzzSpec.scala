@@ -95,6 +95,42 @@ class MicrostructureFuzzSpec extends SparkSpec {
     want.foreach(k => assert(got(k) === batch(k), s"drift at $k"))
   }
 
+  test("fuzz: Epps ladder / return correlation batch ≡ streaming " +
+      "serving rows after a global closer (VERDICT r15 #3)") {
+    // the fuzz symbols share the same few 60s buckets, so the pair
+    // surface is dense — the cross-symbol case sf0.001 can't give
+    val scales = Seq(60L, 120L, 300L)
+    val maxTs = ups.map(_.ts).max
+    val closer = Update("zz_close", maxTs + 7200L * 1000, 99999L,
+      is_trade = true, is_bid = true, 10.0, 1.0)
+    val all = ups :+ closer
+    val batch = Microstructure.eppsEffect(updatesDf(all), scales)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        ((r.getLong(3), optD(r, 4)))).toMap
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Update]
+    val q = Streaming.streamingEppsEffect(in.toDS(), scales)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("fz_epps").start()
+    val (b1, b2) = ups.splitAt(ups.length / 3)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    in.addData(closer); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("fz_epps").as[Streaming.EppsCorrRow]
+      .collect().zipWithIndex
+      .groupBy(r => (r._1.symbol_a, r._1.symbol_b, r._1.scale_s)).view
+      .mapValues(_.maxBy(_._2)._1).toMap
+    assert(batch.nonEmpty)
+    assert(got.keySet === batch.keySet, "(pair, scale) set drift")
+    batch.foreach { case (k, (n, corr)) =>
+      val g = got(k)
+      assert((g.n_pairs, g.return_corr) === ((n, corr)),
+        s"epps drift at $k")
+    }
+  }
+
   test("fuzz: effective spread batch ≡ streaming fold on adversarial data") {
     val batch = Microstructure.effectiveSpread(df).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->

@@ -2625,4 +2625,94 @@ class StreamingSpec extends SparkSpec {
         g.norm_entropy) === w, s"nav entropy drift at user $uid")
     }
   }
+
+  test("streaming return correlation: after a sentinel closer the " +
+      "serving pair rows ARE the batch returnCorr bit-exactly " +
+      "(VERDICT r15 #3 — associative Pearson component sums)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ups = Tables.updatesDs(spark, sf("sf0.001")).collect()
+      .sortBy(u0 => (u0.ts, u0.seq))
+    val maxTs = ups.map(_.ts).max
+    // ONE far-future closer advances the GLOBAL coarse clock and
+    // closes every symbol's open bucket; its own single-symbol bucket
+    // forms no pair, so batch(ups + closer) is comparable directly
+    val closer = graft.model.Update("zz_close", maxTs + 7200L * 1000,
+      9900L, is_trade = true, is_bid = true, 1.0, 1.0)
+    val all = ups.toSeq :+ closer
+    def optD(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    // hourly buckets: at sf0.001 minute buckets barely overlap
+    // across symbols (no pairs — the known cross-symbol pin pitfall)
+    val want = graft.operators.Microstructure
+      .returnCorr(updatesDf(all), seconds = 3600L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), Some(r.getDouble(3)), Some(r.getDouble(4)),
+          Some(r.getDouble(5)), Some(r.getDouble(6)),
+          Some(r.getDouble(7)), optD(r, 8))))
+      .toMap
+    val in = MemoryStream[Update]
+    val q = Streaming.streamingReturnCorr(in.toDS(), seconds = 3600L)
+      .writeStream
+      .outputMode("append").format("memory").queryName("srcorr16")
+      .start()
+    // buckets and pair state straddle micro-batches
+    val (b1, b2) = ups.splitAt(ups.length / 2)
+    in.addData(b1.toSeq: _*); q.processAllAvailable()
+    in.addData(b2.toSeq: _*); q.processAllAvailable()
+    in.addData(closer); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("srcorr16").as[Streaming.EppsCorrRow]
+      .collect().zipWithIndex
+      .groupBy(r => (r._1.symbol_a, r._1.symbol_b)).view
+      .mapValues(_.maxBy(_._2)._1).toMap
+    assert(want.nonEmpty)
+    assert(got.keySet === want.keySet, "pair set drift")
+    want.foreach { case (k, w) =>
+      val g = got(k)
+      assert((g.n_pairs, g.sum_x, g.sum_y, g.sum_xy, g.sum_xx,
+        g.sum_yy, g.return_corr) === w, s"return-corr drift at $k")
+    }
+  }
+
+  test("streaming Epps ladder: after a sentinel closer every " +
+      "(pair, scale) serving row IS the batch eppsEffect bit-exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // hourly ladder: the sf0.001 cross-symbol overlap scale
+    val scales = Seq(3600L, 7200L, 21600L)
+    val ups = Tables.updatesDs(spark, sf("sf0.001")).collect()
+      .sortBy(u0 => (u0.ts, u0.seq))
+    val maxTs = ups.map(_.ts).max
+    val closer = graft.model.Update("zz_close", maxTs + 7200L * 1000,
+      9901L, is_trade = true, is_bid = true, 1.0, 1.0)
+    val all = ups.toSeq :+ closer
+    def optD(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    val want = graft.operators.Microstructure
+      .eppsEffect(updatesDf(all), scales).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        ((r.getLong(3), optD(r, 4))))
+      .toMap
+    val in = MemoryStream[Update]
+    val q = Streaming.streamingEppsEffect(in.toDS(), scales)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sepps16").start()
+    val (b1, b2) = ups.splitAt(ups.length / 2)
+    in.addData(b1.toSeq: _*); q.processAllAvailable()
+    in.addData(b2.toSeq: _*); q.processAllAvailable()
+    in.addData(closer); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sepps16").as[Streaming.EppsCorrRow]
+      .collect().zipWithIndex
+      .groupBy(r => (r._1.symbol_a, r._1.symbol_b, r._1.scale_s)).view
+      .mapValues(_.maxBy(_._2)._1).toMap
+    assert(want.nonEmpty)
+    assert(got.keySet === want.keySet, "(pair, scale) set drift")
+    want.foreach { case (k, (n, corr)) =>
+      val g = got(k)
+      assert((g.n_pairs, g.return_corr) === ((n, corr)),
+        s"epps drift at $k")
+    }
+  }
 }
