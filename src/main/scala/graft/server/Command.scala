@@ -41,6 +41,13 @@ object Command {
   case class Load(book: String) extends Command
   case class Use(book: String) extends Command
   case class Exists(book: String) extends Command
+  /** OPT-IN extension beyond the reference grammar (VERDICT r15 #5):
+    * run a Spark SQL query — the whole TVF/scalar surface
+    * [[graft.plans.GraftExtensions]] registers — over the session's
+    * current book (exposed as the `updates` temp view). Parsed ONLY
+    * when the front-end enables it, so the reference grammar's
+    * byte-parity transcripts are untouched by default. */
+  case class Sql(query: String) extends Command
   case object Unknown extends Command
   case object BadFormat extends Command
 }
@@ -108,9 +115,15 @@ object CommandParser {
       Some((from, to))
     } else None
 
-  def parse(line0: String): Command = {
+  /** `sqlEnabled = false` (the default) is the reference grammar,
+    * byte-for-byte: `SQL ...` falls through to Unknown exactly as any
+    * unrecognized line does, so WireSpec's reference transcripts hold
+    * with the flag off. */
+  def parse(line0: String, sqlEnabled: Boolean = false): Command = {
     val line = line0.stripSuffix("\n")
     line match {
+      case l if sqlEnabled && l.startsWith("SQL ") =>
+        Sql(l.substring(4))
       case "" => Noop
       case "PING" => Ping
       case "HELP" => Help

@@ -199,6 +199,28 @@ final class Engine(spark: SparkSession, dtfFolder: String,
     case Command.Unknown => Err("Unknown command.")
     case Command.BadFormat => Err("Bad format.")
 
+    // OPT-IN analytics passthrough (VERDICT r15 #5): the session's
+    // current book materializes as the `updates` temp view — exactly
+    // the view contract every GraftExtensions TVF reads — and the
+    // query plans against it. Rows stream back as JSON lines (Spark
+    // to_json; no reference parity constraint, this command is beyond
+    // the reference grammar and only reachable when the front-end
+    // enables it). Analysis errors reply ERR instead of hanging up.
+    // The plan is fully ANALYZED inside the engine monitor (view
+    // resolution happens here), so a concurrent connection replacing
+    // the view cannot redirect this query's already-resolved scan.
+    case Command.Sql(query) =>
+      try {
+        bookDf(session.book).createOrReplaceTempView("updates")
+        Frame(spark.sql(query)
+            .select(to_json(struct(col("*"))).as("json")),
+          sep = "\n", trailer = "\n")
+      } catch {
+        case e: Exception =>
+          Err("SQL: " + Option(e.getMessage).getOrElse(e.toString)
+            .linesIterator.take(4).mkString(" "))
+      }
+
     case Command.Create(book) =>
       if (books.contains(book)) Err(s"Unable to create orderbook `$book`.")
       else { books(book) = mutable.ArrayBuffer.empty; session.book = book

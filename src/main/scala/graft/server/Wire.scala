@@ -220,7 +220,8 @@ object TcpServer {
     Array[Byte](1, 0, 0, 0, 0, 0, 0, 0, 0)
 }
 
-final class TcpServer(engine: Engine, port: Int = 0) {
+final class TcpServer(engine: Engine, port: Int = 0,
+    enableSql: Boolean = false) {
   private val server = new ServerSocket(port)
   private val running = new AtomicBoolean(true)
   val boundPort: Int = server.getLocalPort
@@ -301,7 +302,7 @@ final class TcpServer(engine: Engine, port: Int = 0) {
         } else {
           flushInserts() // preserve per-connection command order
           val cmd = // malformed GET range etc. is a Bad-format reply, not a hangup
-            scala.util.Try(CommandParser.parse(f.asString))
+            scala.util.Try(CommandParser.parse(f.asString, enableSql))
               .getOrElse(Command.BadFormat)
           // The READ side of engine.swapGate spans execute through
           // materialization: execute's Frame plan captures the book's

@@ -676,6 +676,25 @@ class ScaleProbeSpec extends SparkSpec {
         f"${total / nSegs}%,d")
     assert(occMin <= occDay / 10,
       f"minute envelope $occMin%,d not far below day funnel $occDay%,d")
+    // boundary-table growth (VERDICT r15 #6): the stitch's bounded
+    // side is ONE row per (key, segment), so for the constant key it
+    // must track the feed's MINUTE SPAN (~526k rows per feed-year —
+    // the scaladoc claim), independent of tick volume. The literal
+    // 60 s in the band is deliberate: a future widening of
+    // GlobalSegmentMs shrinks nSegs below the minute-span floor and
+    // trips here even if the occupancy asserts are loosened.
+    val span = base.agg(max(col("ts")) - min(col("ts"))).head.getLong(0)
+    val spanMinutes = span / 60000L + 1L
+    info(f"boundary table: $nSegs%,d rows over $spanMinutes%,d " +
+      f"feed-minutes (~${nSegs * 525960L / spanMinutes}%,d per " +
+      "feed-year at this density)")
+    assert(nSegs <= spanMinutes + 1L,
+      f"boundary table $nSegs%,d rows outgrew the minute span " +
+        f"$spanMinutes%,d — it must scale with TIME, not volume")
+    assert(nSegs >= spanMinutes / 2L,
+      f"boundary table $nSegs%,d rows far below the minute span " +
+        f"$spanMinutes%,d — GlobalSegmentMs widened past one minute " +
+        "(the r14 funnel regression class)")
     def rows(df: DataFrame): Seq[String] = df.collect().map(r =>
       r.toSeq.map(v => if (v == null) "null" else v.toString)
         .mkString("|")).sorted.toSeq

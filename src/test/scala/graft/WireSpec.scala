@@ -378,4 +378,42 @@ class WireSpec extends SparkSpec {
         f"aggregate rate too low: ${total / secs}%.0f/s")
     } finally { setup.close(); server.stop() }
   }
+
+  test("SQL passthrough (VERDICT r15 #5): opt-in flag exposes the " +
+      "analytics surface over TCP; reference grammar untouched either " +
+      "way") {
+    val engine =
+      new Engine(spark, Files.createTempDirectory("graft-sql").toString)
+    // flag OFF (the default): `SQL ...` is an unknown line, byte-equal
+    // to the reference's unknown-command reply — grammar parity holds
+    val plain = new TcpServer(engine)
+    val pc = new TcpClient("127.0.0.1", plain.boundPort)
+    try assert(pc.cmd("SQL SELECT 1 AS x") ===
+      ((false, "ERR: Unknown command.\n")))
+    finally { pc.close(); plain.stop() }
+    // flag ON: scalar SQL, engine data through the `updates` view, and
+    // an error reply on bad SQL (no hangup)
+    val server = new TcpServer(engine, enableSql = true)
+    val client = new TcpClient("127.0.0.1", server.boundPort)
+    try {
+      assert(client.cmd("SQL SELECT 1 AS x") === ((true, "{\"x\":1}\n")))
+      assert(client.cmd("CREATE sq1")._1)
+      client.cmd("USE sq1")
+      assert(client.cmd("ADD 1505177459.658, 1, t, f, 1.5, 2.0; INTO sq1")._1)
+      assert(client.cmd("ADD 1505177459.659, 2, t, t, 2.5, 4.0; INTO sq1")._1)
+      val (ok, body) = client.cmd(
+        "SQL SELECT count(*) AS n, sum(size) AS sz FROM updates")
+      assert(ok && body === "{\"n\":2,\"sz\":6.0}\n", body)
+      // per-row JSON lines with an ORDER BY
+      val (ok2, body2) = client.cmd(
+        "SQL SELECT seq, price FROM updates ORDER BY seq")
+      assert(ok2 && body2 ===
+        "{\"seq\":1,\"price\":1.5}\n{\"seq\":2,\"price\":2.5}\n", body2)
+      val (bad, err) = client.cmd("SQL SELEKT nonsense")
+      assert(!bad && err.startsWith("ERR: SQL:"), err)
+      // the reference grammar still answers on the SAME connection
+      assert(client.cmd("PING") === ((true, "PONG")))
+      assert(client.cmd("COUNT ALL IN MEM") === ((true, "2")))
+    } finally { client.close(); server.stop() }
+  }
 }
