@@ -196,6 +196,26 @@ object IndexCatalog {
       () => Similarity.trainResidualCodebook(embeddings, subspaces,
         nCentroids, nCells, cellIters, pqIters))
 
+  /** Trained quality-classifier weights (bias, w1..w4) over a
+    * documents corpus — the 5-double model artifact of
+    * [[TextOps.trainQualityClassifier]], persisted as a (j, w) table
+    * keyed by the documents fingerprint + the classifier twin SQL
+    * (24 unrolled gradient CTEs — any training-math change changes
+    * the text and retrains). */
+  def classifierWeights(docs: DataFrame, iters: Int,
+      eta: Double): Array[Double] = {
+    val spark = docs.sparkSession
+    val wdf = loadOrTrain(docs, "quality-classifier",
+      s"i$iters-e$eta", TextOps.qualityClassifierSql(iters, eta),
+      () => {
+        import spark.implicits._
+        TextOps.trainQualityClassifierInline(docs, iters, eta)
+          .zipWithIndex.map { case (wj, j) => (j.toLong, wj) }.toSeq
+          .toDF("j", "w")
+      })
+    wdf.orderBy("j").collect().map(_.getAs[Double]("w"))
+  }
+
   /** The catalog listing for an embeddings corpus — every artifact
     * kind the engine serves from, ensured trained, manifests read
     * back FROM DISK joined with a live-corpus freshness check (the

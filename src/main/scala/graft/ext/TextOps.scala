@@ -1519,9 +1519,25 @@ object TextOps {
   }
 
   /** Train the probe and return the 5 weights (bias, w1..w4) — the
-    * model artifact the streaming serving path broadcasts. */
+    * model artifact the streaming serving path broadcasts. Since r16
+    * the weights live in the persistent
+    * [[graft.ext.IndexCatalog]] (kind `quality-classifier`, keyed by
+    * the documents corpus fingerprint + this op's own twin SQL as
+    * the training-semantics text): the first run on a corpus pays
+    * the 24 blocking gradient rounds and persists 5 doubles; every
+    * later serving read — batch scoring, the streaming score path, a
+    * restarted serving tier — loads them. Training is
+    * order-independent-exact (integer-quantized gradient sums) and
+    * parquet round-trips doubles exactly, so load ≡ retrain
+    * bit-for-bit and the retraining DuckDB twin stays green against
+    * a catalog-loading engine. */
   def trainQualityClassifier(docs: DataFrame, iters: Int = 24,
       eta: Double = 1.0): Array[Double] =
+    IndexCatalog.classifierWeights(docs, iters, eta)
+
+  /** The raw (un-catalogued) training pass — the artifact producer. */
+  private[graft] def trainQualityClassifierInline(docs: DataFrame,
+      iters: Int, eta: Double): Array[Double] =
     trainOn(graft.functions.parallelized(classifierFeatures(docs))
       .transform(graft.functions.checkpointed), iters, eta)
 
@@ -1534,9 +1550,11 @@ object TextOps {
 
   def qualityClassifier(docs: DataFrame, iters: Int = 24,
       eta: Double = 1.0): DataFrame = {
+    // weights from the persistent catalog (load-or-train); the scoring
+    // pass still reads the live features — that is the serving read
+    val w = trainQualityClassifier(docs, iters, eta)
     val f = graft.functions.parallelized(classifierFeatures(docs))
       .transform(graft.functions.checkpointed)
-    val w = trainOn(f, iters, eta)
     f.select(col("doc_id"), classifierZ(w).as("score"),
       (classifierZ(w) >= 0.5).as("keep_pred"),
       (col("y") === 1.0).as("keep_rule"))

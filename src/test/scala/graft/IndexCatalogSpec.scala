@@ -87,6 +87,18 @@ class IndexCatalogSpec extends SparkSpec {
     assert(after === before, "in-memory training wrote to the catalog")
   }
 
+  test("quality-classifier weights: catalog load equals an inline " +
+      "retrain bit-for-bit (the 5-double model artifact)") {
+    val docs = Tables.table(spark, sf(), "documents")
+    val loaded = IndexCatalog.classifierWeights(docs, 24, 1.0)
+    val fresh = graft.ext.TextOps
+      .trainQualityClassifierInline(docs, 24, 1.0)
+    assert(loaded.length === 5)
+    assert(loaded.map(java.lang.Double.doubleToRawLongBits).toSeq ===
+      fresh.map(java.lang.Double.doubleToRawLongBits).toSeq,
+      "classifier weight roundtrip perturbed a bit")
+  }
+
   test("catalog serving reads equal the retrained serving reads " +
       "across the whole trained family (ivf / pq / ivfpq / twoNN)") {
     def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
