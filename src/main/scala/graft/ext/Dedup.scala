@@ -77,10 +77,10 @@ object Dedup {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  def minhashSignatureSql(k: Int = 16): String = {
+  def minhashSignatureSql(k: Int = 16, rel: String = "sh"): String = {
     val aggs = (0 until k)
       .map(i => s"min(md5('$i:' || sh)) AS h$i").mkString(", ")
-    s"SELECT doc_id, $aggs FROM sh GROUP BY doc_id"
+    s"SELECT doc_id, $aggs FROM $rel GROUP BY doc_id"
   }
 
   /** LSH banding (bands of `r` hashes) + exact-Jaccard verification of the
@@ -112,6 +112,28 @@ object Dedup {
     verifyJaccard(cands, perDoc, threshold)
   }
 
+  /** The per-doc dedup index row: the k-permutation signature PLUS the
+    * verification payload (shingle count + shingle set) — everything a
+    * serving tier needs to dedup future documents against this one.
+    * This is the table [[graft.ext.IndexCatalog.minhashSignatures]]
+    * persists for [[deltaNearDup]]'s incremental reads. */
+  private[graft] def minhashPerDoc(docs: DataFrame, n: Int,
+      k: Int): DataFrame = {
+    val sigAggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i")) ++ Seq(
+      count(lit(1)).as("nsh"), collect_set(col("sh")).as("shset"))
+    shingles(docs, n).groupBy("doc_id")
+      .agg(sigAggs.head, sigAggs.tail: _*)
+  }
+
+  /** LSH band keys of a per-doc signature table. */
+  private[graft] def bandsOf(perDoc: DataFrame, k: Int,
+      r: Int): DataFrame =
+    perDoc.select(col("doc_id"),
+      posexplode(array((0 until k / r).map(j =>
+        md5(concat_ws("", (0 until r).map(i => col(s"h${j * r + i}")): _*))): _*))
+        .as(Seq("band", "bval")))
+
   /** The shared LSH blocking step: per-doc signature table (+ shingle
     * set for Jaccard verification) and the distinct banded candidate
     * pair set. [[minhashNearDup]] verifies the pairs by exact Jaccard,
@@ -119,16 +141,9 @@ object Dedup {
     * different verifier. */
   private def bandedCandidates(docs: DataFrame, n: Int, k: Int, r: Int)
       : (DataFrame, DataFrame) = {
-    val sigAggs = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i")) ++ Seq(
-      count(lit(1)).as("nsh"), collect_set(col("sh")).as("shset"))
-    val perDoc = shingles(docs, n).groupBy("doc_id")
-      .agg(sigAggs.head, sigAggs.tail: _*)
+    val perDoc = minhashPerDoc(docs, n, k)
       .transform(graft.functions.checkpointed)
-    val bands = perDoc.select(col("doc_id"),
-      posexplode(array((0 until k / r).map(j =>
-        md5(concat_ws("", (0 until r).map(i => col(s"h${j * r + i}")): _*))): _*))
-        .as(Seq("band", "bval")))
+    val bands = bandsOf(perDoc, k, r)
     val a = bands.as("a")
     val b = bands.as("b")
     val cands = a.join(b,
@@ -137,6 +152,111 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     (cands, perDoc)
+  }
+
+  /** Incremental (delta) near-dup — the workflow a 100 TB ingestion
+    * pipeline actually runs: a freshly crawled shard must dedup
+    * against the EXISTING corpus without recomputing the corpus's
+    * signatures. The corpus side (doc_id < splitId) serves from the
+    * persistent signature index
+    * ([[graft.ext.IndexCatalog.minhashSignatures]] — the per-doc
+    * signature + verification payload persisted once, loaded on every
+    * later shard); only the delta side (doc_id ≥ splitId) computes
+    * live. Candidates are the delta-vs-corpus band matches (the same
+    * banding as [[minhashNearDup]], no delta-delta or corpus-corpus
+    * pairs), verified by exact Jaccard at `threshold`. Output
+    * `(doc_new, doc_corpus, inter, uni, jaccard)`.
+    *
+    * Exactness: signatures are order-independent (min over md5 set),
+    * the persisted shingle SET round-trips parquet with only its SIZE
+    * and intersection consumed, so persisted ≡ recomputed bit-for-bit
+    * — the oracle gate's DuckDB twin recomputes BOTH sides from raw
+    * documents, making the gate the proof of the whole
+    * persist-then-serve path.
+    *
+    * Scale shape: the corpus index loads without touching corpus
+    * text; the band join shuffles only band keys (bounded per key by
+    * the LSH design); verification joins on doc ids carry the two
+    * shingle-set columns for the (few) candidates. At 100 TB the
+    * corpus index is the only corpus-sized input, and it is a
+    * COLUMNAR SUBSET (signatures, not text). */
+  def deltaNearDup(docs: DataFrame, splitId: Long, n: Int = 2,
+      k: Int = 16, r: Int = 4, threshold: Double = 0.2): DataFrame = {
+    require(threshold > 0.0,
+      "threshold must be > 0 (zero-overlap candidates are never emitted)")
+    val corpusSig = IndexCatalog.minhashSignatures(
+      docs.where(col("doc_id") < splitId), splitId, n, k)
+    val deltaSig = minhashPerDoc(
+      docs.where(col("doc_id") >= splitId), n, k)
+      .transform(graft.functions.checkpointed)
+    val cands = bandsOf(deltaSig, k, r).as("d")
+      .join(bandsOf(corpusSig, k, r).as("c"),
+        col("d.band") === col("c.band") &&
+          col("d.bval") === col("c.bval"))
+      .select(col("d.doc_id").as("doc_new"),
+        col("c.doc_id").as("doc_corpus"))
+      .distinct()
+    cands
+      .join(deltaSig.select(col("doc_id").as("doc_new"),
+        col("shset").as("_sn"), col("nsh").as("nn")), "doc_new")
+      .join(corpusSig.select(col("doc_id").as("doc_corpus"),
+        col("shset").as("_sc"), col("nsh").as("nc")), "doc_corpus")
+      .withColumn("inter",
+        size(array_intersect(col("_sn"), col("_sc"))).cast("long"))
+      .withColumn("uni", col("nn") + col("nc") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .where(col("jaccard") >= threshold)
+      .select("doc_new", "doc_corpus", "inter", "uni", "jaccard")
+  }
+
+  /** Signature-index training semantics for the catalog key: the
+    * shingle + signature twin SQL plus the verification-payload spec —
+    * any change to the signature math changes this text and retrains
+    * the persisted index. */
+  private[graft] def minhashSigSemantics(n: Int, k: Int): String =
+    s"WITH sh AS (${shinglesSql(n)}), " +
+      s"sig AS (${minhashSignatureSql(k)}) " +
+      "PLUS nsh=count(*), shset=set(sh) per doc_id"
+
+  /** DuckDB twin of [[deltaNearDup]] — recomputes BOTH sides from raw
+    * documents (no artifact read), so the gate proves the persisted
+    * corpus index serves bit-identically to recomputation. */
+  def deltaNearDupSql(splitId: Long, n: Int = 2, k: Int = 16,
+      r: Int = 4, threshold: Double = 0.2): String = {
+    def bandSelects(sig: String): String = (0 until k / r).map { j =>
+      val cat = (0 until r).map(i => s"h${j * r + i}").mkString(" || ")
+      s"SELECT doc_id, $j AS band, md5($cat) AS bval FROM $sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH sh AS (${shinglesSql(n)}),
+       |shc AS (SELECT * FROM sh WHERE doc_id < $splitId),
+       |shd AS (SELECT * FROM sh WHERE doc_id >= $splitId),
+       |sigc AS (${minhashSignatureSql(k, "shc")}),
+       |sigd AS (${minhashSignatureSql(k, "shd")}),
+       |bandsc AS (${bandSelects("sigc")}),
+       |bandsd AS (${bandSelects("sigd")}),
+       |cands AS (SELECT DISTINCT d.doc_id AS doc_new,
+       |  c.doc_id AS doc_corpus
+       | FROM bandsd d JOIN bandsc c
+       |  ON d.band = c.band AND d.bval = c.bval),
+       |sizesc AS (SELECT doc_id, count(*) AS nsh FROM shc GROUP BY 1),
+       |sizesd AS (SELECT doc_id, count(*) AS nsh FROM shd GROUP BY 1),
+       |inter AS (SELECT c.doc_new, c.doc_corpus, count(*) AS inter
+       | FROM cands c
+       | JOIN shd sa ON sa.doc_id = c.doc_new
+       | JOIN shc sb ON sb.doc_id = c.doc_corpus AND sb.sh = sa.sh
+       | GROUP BY 1, 2)
+       |SELECT c.doc_new, c.doc_corpus, coalesce(i.inter, 0) AS inter,
+       | nd.nsh + nc.nsh - coalesce(i.inter, 0) AS uni,
+       | CAST(coalesce(i.inter, 0) AS DOUBLE)
+       |   / (nd.nsh + nc.nsh - coalesce(i.inter, 0)) AS jaccard
+       |FROM cands c
+       |LEFT JOIN inter i ON i.doc_new = c.doc_new
+       |  AND i.doc_corpus = c.doc_corpus
+       |JOIN sizesd nd ON nd.doc_id = c.doc_new
+       |JOIN sizesc nc ON nc.doc_id = c.doc_corpus
+       |WHERE CAST(coalesce(i.inter, 0) AS DOUBLE)
+       |   / (nd.nsh + nc.nsh - coalesce(i.inter, 0)) >= $threshold
+       |ORDER BY 1, 2""".stripMargin.replace('\n', ' ')
   }
 
   /** Edit-distance near-dup (the RETSim-family verification stance:

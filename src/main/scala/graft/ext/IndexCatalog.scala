@@ -196,6 +196,27 @@ object IndexCatalog {
       () => Similarity.trainResidualCodebook(embeddings, subspaces,
         nCentroids, nCells, cellIters, pqIters))
 
+  /** The persisted MinHash signature index of an existing corpus
+    * (doc_id < splitId of a documents table): per-doc k-permutation
+    * signature plus the Jaccard verification payload (shingle count +
+    * shingle set) — the table [[Dedup.deltaNearDup]] dedups every
+    * future shard against without recomputing corpus signatures. The
+    * split id rides in the params (the corpus FILE fingerprint alone
+    * cannot see it); the semantics text is the signature twin SQL. */
+  def minhashSignatures(corpusDocs: DataFrame, splitId: Long, n: Int,
+      k: Int): DataFrame =
+    loadOrTrain(corpusDocs, "minhash-sig", s"split$splitId-n$n-k$k",
+      Dedup.minhashSigSemantics(n, k),
+      () => Dedup.minhashPerDoc(corpusDocs, n, k))
+
+  /** The signature-index key for the standard documents corpus of an
+    * sf dir (spec support). */
+  private[graft] def keyForDirDocs(sfDir: String, splitId: Long,
+      n: Int, k: Int): String =
+    keyOf("minhash-sig", s"split$splitId-n$n-k$k",
+      fileFingerprint(Seq(s"$sfDir/documents.parquet")),
+      Dedup.minhashSigSemantics(n, k))
+
   /** Trained quality-classifier weights (bias, w1..w4) over a
     * documents corpus — the 5-double model artifact of
     * [[TextOps.trainQualityClassifier]], persisted as a (j, w) table

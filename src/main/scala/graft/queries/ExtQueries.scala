@@ -194,6 +194,17 @@ object ExtQueries {
         .orderBy("doc_a", "doc_b"),
       Some(Dedup.editDistNearDupSql())),
 
+    // incremental (delta) dedup: the second half of the corpus dedups
+    // against the FIRST half's PERSISTED signature index (the
+    // IndexCatalog minhash-sig artifact — the ingestion-pipeline
+    // workflow: new shard vs existing corpus, no corpus recompute).
+    // The twin recomputes BOTH sides from raw documents, so the gate
+    // proves persisted-index serving ≡ recomputation bit-for-bit.
+    Q("q_delta_dedup",
+      (s, dir) => Dedup.deltaNearDup(docs(s, dir), docCount(dir) / 2)
+        .orderBy("doc_new", "doc_corpus"),
+      Some(Dedup.deltaNearDupSql(oracleDocCount / 2))),
+
     // n-gram Jaccard near-dup over rare-shingle-blocked pairs. The
     // default dial (dfMax=5) is nearly degenerate on the synthetic
     // corpus (1 pair at sf0.01) — kept as the tight-blocking

@@ -99,6 +99,33 @@ class IndexCatalogSpec extends SparkSpec {
       "classifier weight roundtrip perturbed a bit")
   }
 
+  test("delta dedup off the persisted signature index equals the " +
+      "crossing subset of a full recompute (incremental-ingestion " +
+      "correctness)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.table(spark, sf(), "documents")
+    val split = Tables.parquetRowCount(s"${sf()}/documents.parquet") / 2
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(r => r.toSeq.map(_.toString).mkString("|"))
+        .sorted.toSeq
+    // a full-corpus near-dup pass restricted to pairs that CROSS the
+    // split is exactly what the delta pass must find: same banding,
+    // same verification, corpus side served from the persisted index
+    val full = graft.ext.Dedup.minhashNearDup(docs)
+      .where(col("doc_a") < split && col("doc_b") >= split)
+      .select(col("doc_b").as("doc_new"),
+        col("doc_a").as("doc_corpus"),
+        col("inter"), col("uni"), col("jaccard"))
+    val delta = graft.ext.Dedup.deltaNearDup(docs, split)
+    assert(rows(delta) === rows(full),
+      "persisted-index delta dedup diverges from the full recompute")
+    // and the artifact is really on disk under the computed key
+    val key = IndexCatalog.keyForDirDocs(sf(), split, 2, 16)
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(IndexCatalog.artifactDir(key))),
+      s"no signature index at ${IndexCatalog.artifactDir(key)}")
+  }
+
   test("catalog serving reads equal the retrained serving reads " +
       "across the whole trained family (ivf / pq / ivfpq / twoNN)") {
     def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
