@@ -692,18 +692,24 @@ object BookFeatures {
       bandsBps: Seq[Long] = Seq(5L, 10L, 25L, 50L)): String = {
     val p = math.pow(10, decimals).toLong
     val bandRows = bandsBps.sorted.map(b => s"($b)").mkString(", ")
-    s"""WITH lvl AS (
+    // MATERIALIZED on every multiply-referenced CTE: DuckDB 1.0 inlines
+    // CTE references, and this twin fans `mid`/`liv` into both `scored`
+    // and the final SELECT — inlined, the whole lvl→filled→liv chain
+    // (an 8M-row grid at sf0.01) re-evaluates per reference (~28 s,
+    // over the OracleBudgetSpec 20 s ceiling; 4.8 s materialized,
+    // bit-identical — the r14 ivfPq-twin lesson applied here).
+    s"""WITH lvl AS MATERIALIZED (
        |  SELECT symbol, ((ts // 1000) // $seconds) * $seconds AS start,
        |    is_bid, CAST(floor(price * $p) AS BIGINT) AS level,
        |    size, ts, seq
        |  FROM updates WHERE NOT is_trade),
-       |kb AS (
+       |kb AS MATERIALIZED (
        |  SELECT symbol, start, is_bid, level,
        |    last(size ORDER BY ts, seq) AS s
        |  FROM lvl GROUP BY 1, 2, 3, 4),
        |bins AS (SELECT DISTINCT symbol, start FROM lvl),
        |keys AS (SELECT DISTINCT symbol, is_bid, level FROM lvl),
-       |filled AS (
+       |filled AS MATERIALIZED (
        |  SELECT g.symbol, g.start, g.is_bid, g.level,
        |    last_value(kb.s IGNORE NULLS) OVER (
        |      PARTITION BY g.symbol, g.is_bid, g.level ORDER BY g.start
@@ -712,9 +718,9 @@ object BookFeatures {
        |        FROM bins b JOIN keys k USING (symbol)) g
        |  LEFT JOIN kb ON kb.symbol = g.symbol AND kb.start = g.start
        |    AND kb.is_bid = g.is_bid AND kb.level = g.level),
-       |liv AS (SELECT * FROM filled
+       |liv AS MATERIALIZED (SELECT * FROM filled
        |  WHERE size IS NOT NULL AND size > 0.0),
-       |mid AS (
+       |mid AS MATERIALIZED (
        |  SELECT symbol, start,
        |    max(CASE WHEN is_bid THEN level END)
        |     + min(CASE WHEN NOT is_bid THEN level END) AS m2

@@ -77,7 +77,7 @@ object DecaySeries {
     * [[graft.Tables.withUpdatesChainRecursive]]. */
   def tradeIntensitySql(seconds: Long = 60, num: Long = 7,
       den: Long = 8): String =
-    s"""WITH bk AS (
+    s"""WITH bk AS MATERIALIZED (
        |  SELECT symbol, ((ts // 1000) // $seconds) * $seconds AS start,
        |    count(*) AS n_trades,
        |    row_number() OVER (PARTITION BY symbol
@@ -145,7 +145,7 @@ object DecaySeries {
     * [[Microstructure.rollSpread]] round-half-up). */
   def emaCloseSql(seconds: Long = 60, num: Long = 7,
       den: Long = 8): String =
-    s"""WITH bk AS (
+    s"""WITH bk AS MATERIALIZED (
        |  SELECT symbol, ((ts // 1000) // $seconds) * $seconds AS start,
        |    CAST(last(CAST(floor(price * 100.0 + 0.5) AS BIGINT)
        |      ORDER BY ts, seq) AS BIGINT) * 10000 AS cq,

@@ -99,7 +99,7 @@ object FoldBars {
 
   /** Body starts with WITH; wrap via [[graft.Tables.withUpdatesChainRecursive]]. */
   private def foldOracleSql(weight: String, interval: Double): String =
-    s"""WITH trades AS (
+    s"""WITH trades AS MATERIALIZED (
        |  SELECT symbol, ts, seq, price, size,
        |         row_number() OVER (PARTITION BY symbol ORDER BY ts, seq) AS rn
        |  FROM updates WHERE is_trade),
@@ -160,7 +160,7 @@ object FoldBars {
        |    row_number() OVER w AS rn
        |  FROM updates WHERE is_trade
        |  WINDOW w AS (PARTITION BY symbol ORDER BY ts, seq)),
-       |tr AS (
+       |tr AS MATERIALIZED (
        |  SELECT symbol, ts, rn, price, size,
        |    COALESCE(last_value(CASE WHEN dir <> 0 THEN dir END
        |        IGNORE NULLS)

@@ -94,7 +94,7 @@ object Vpin {
        |    row_number() OVER w AS rn
        |  FROM updates WHERE is_trade
        |  WINDOW w AS (PARTITION BY symbol ORDER BY ts, seq)),
-       |t2 AS (
+       |t2 AS MATERIALIZED (
        |  SELECT symbol, ts, rn, size,
        |    last_value(CASE WHEN dir <> 0 THEN dir END IGNORE NULLS)
        |      OVER (PARTITION BY symbol ORDER BY rn
