@@ -59,6 +59,26 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scale-adaptive scan spread (optimization guide §2.5, input skew):
+    * a single-row-group parquet file is an UNSPLITTABLE scan — one task
+    * reads it, so every narrow transformation between the scan and the
+    * first exchange (tokenize/shingle/decode/synthetic-payload
+    * generation, the CPU-heavy map side of the ext families) runs on
+    * one core. Hash-repartition on the table's unique key to restore
+    * parallelism, but ONLY when the scan is under-split relative to
+    * the session's cores: at production scale (many files/row groups,
+    * partitions ≥ cores) this is a no-op branch, so it is not a
+    * local-mode constant — the decision derives from the input layout.
+    * Hash on a real key (not round-robin) keeps the row→partition map
+    * deterministic under task retries with no sort-before-repartition
+    * pass. */
+  def spreadBy(df: DataFrame, key: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target)
+      df.repartition(target, org.apache.spark.sql.functions.col(key))
+    else df
+  }
+
   /** Plan-time unit guard for the raw-Long timestamp flavor: a Long
     * `ts` column is interpreted as NANOSECONDS (the nanosAsLong read of
     * parquet TIMESTAMP(NANOS)); if the driver ever ships a plain int64

@@ -24,6 +24,16 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is a TEMP FILE per ImageInputStream:
+  // every ImageIO.read(ByteArrayInputStream) of a tiny in-memory frame
+  // pays a file create/write/delete, and concurrent decode tasks then
+  // contend on the temp directory (measured: the 7.5k-frame MP4 gate
+  // swings 3-14 s run-to-run at sf0.1 and gets SLOWER with more decode
+  // tasks). All decode inputs here are in-memory byte arrays — cache in
+  // memory. JVM-global by design: the flag is process-wide and every
+  // executor decodes from memory too.
+  javax.imageio.ImageIO.setUseCache(false)
+
   val metaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("n_bytes", LongType),

@@ -15,6 +15,24 @@ object ExtQueries {
   private def embs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.table(s, dir, "embeddings")
 
+  // Spread variants for the CPU-heavy operators (optimization guide
+  // §2.5, input skew): both corpora arrive as ONE parquet row group at
+  // every driver SF, so the raw scan is one task and every narrow
+  // stage between the scan and the first exchange — shingling every
+  // n-gram, Levenshtein verify prep, BPE segmentation, JPEG/AVI
+  // decode, 64-dim dot products — runs on one core. spreadBy
+  // hash-repartitions on the unique key ONLY when the scan is
+  // under-split relative to the session cores (a no-op branch at
+  // production layouts). Opt-in per call site, not the loader default:
+  // measured at sf0.1/local[32], shingle/codec/ANN operators gain
+  // 15-55% while map-side-cheap operators (pack/mixture/len_hist) pay
+  // the extra exchange (+0.1-0.4 s) and the LM-scoring chain loses
+  // ~0.5 s — those keep the raw scan.
+  private def docsS(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.spreadBy(docs(s, dir), "doc_id")
+  private def embsS(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.spreadBy(embs(s, dir), "vec_id")
+
   /** Corpus size from the parquet footer — drives the DATA-DEPENDENT ANN
     * parameters (LSH plane count, IVF centroid count) so the gates exercise
     * the scale dials instead of toy-pinned defaults (VERDICT r4 #3). The
@@ -42,7 +60,7 @@ object ExtQueries {
       dir: String): org.apache.spark.sql.DataFrame =
     pairsMemo.computeIfAbsent(
       System.identityHashCode(s).toString + ":" + dir,
-      _ => Dedup.minhashNearDup(docs(s, dir)).select("doc_a", "doc_b")
+      _ => Dedup.minhashNearDup(docsS(s, dir)).select("doc_a", "doc_b")
         .transform(graft.functions.checkpointed))
 
   /** Shared k-means cell assignment: `q_semdedup` and `q_cell_balance`
@@ -60,7 +78,7 @@ object ExtQueries {
       dir: String): org.apache.spark.sql.DataFrame =
     cellsMemo.computeIfAbsent(
       System.identityHashCode(s).toString + ":" + dir,
-      _ => Similarity.cellAssignment(embs(s, dir),
+      _ => Similarity.cellAssignment(embsS(s, dir),
         Similarity.semCellsFor(embCount(dir)), iters = 2))
 
   /** Shared trained+scored classifier table: `q_quality_classifier` and
@@ -75,7 +93,7 @@ object ExtQueries {
       dir: String): org.apache.spark.sql.DataFrame =
     clsMemo.computeIfAbsent(
       System.identityHashCode(s).toString + ":" + dir,
-      _ => TextOps.qualityClassifier(docs(s, dir)).transform(graft.functions.checkpointed))
+      _ => TextOps.qualityClassifier(docsS(s, dir)).transform(graft.functions.checkpointed))
 
   /** Query bag for the BM25 gate — mid-frequency vocabulary words so df
     * spreads across terms. */
@@ -137,7 +155,7 @@ object ExtQueries {
 
     // MinHash + LSH near-dup candidates, exact-Jaccard verified
     Q("q_minhash_neardup",
-      (s, dir) => Dedup.minhashNearDup(docs(s, dir))
+      (s, dir) => Dedup.minhashNearDup(docsS(s, dir))
         .orderBy("doc_a", "doc_b"),
       Some(Dedup.minhashNearDupSql())),
 
@@ -158,14 +176,14 @@ object ExtQueries {
 
     // SimHash fingerprints
     Q("q_simhash",
-      (s, dir) => Dedup.simhash(docs(s, dir)).orderBy("doc_id"),
+      (s, dir) => Dedup.simhash(docsS(s, dir)).orderBy("doc_id"),
       Some(Dedup.simhashSql)),
 
     // SimHash near-dup pairs (64-bit hash, band width scales with corpus
     // size via bandBitsFor — 4-bit bands at n=500, 8-bit at n=2000 — so
     // the band self-join stays occupancy-bounded at any SF)
     Q("q_simhash_neardup",
-      (s, dir) => Dedup.simhashNearDup(docs(s, dir),
+      (s, dir) => Dedup.simhashNearDup(docsS(s, dir),
           Dedup.bandBitsFor(docCount(dir)))
         .orderBy("doc_a", "doc_b"),
       Some(Dedup.simhashNearDupSql(Dedup.bandBitsFor(oracleDocCount)))),
@@ -183,14 +201,14 @@ object ExtQueries {
 
     // winnowing fingerprints (MOSS rolling-hash window minima)
     Q("q_winnow_fingerprint",
-      (s, dir) => Dedup.winnowFingerprints(docs(s, dir))
+      (s, dir) => Dedup.winnowFingerprints(docsS(s, dir))
         .orderBy("doc_id", "fingerprint"),
       Some(Dedup.winnowFingerprintsSql())),
 
     // edit-distance near-dup: the SAME banded-LSH candidates as minhash,
     // verified by normalized Levenshtein instead of set overlap
     Q("q_editdist_neardup",
-      (s, dir) => Dedup.editDistNearDup(docs(s, dir))
+      (s, dir) => Dedup.editDistNearDup(docsS(s, dir))
         .orderBy("doc_a", "doc_b"),
       Some(Dedup.editDistNearDupSql())),
 
@@ -201,7 +219,7 @@ object ExtQueries {
     // The twin recomputes BOTH sides from raw documents, so the gate
     // proves persisted-index serving ≡ recomputation bit-for-bit.
     Q("q_delta_dedup",
-      (s, dir) => Dedup.deltaNearDup(docs(s, dir), docCount(dir) / 2)
+      (s, dir) => Dedup.deltaNearDup(docsS(s, dir), docCount(dir) / 2)
         .orderBy("doc_new", "doc_corpus"),
       Some(Dedup.deltaNearDupSql(oracleDocCount / 2))),
 
@@ -213,11 +231,11 @@ object ExtQueries {
     // 51 pairs at sf0.01, 15 at sf0.1, candidates still bounded by
     // dfMax per shingle key).
     Q("q_ngram_jaccard",
-      (s, dir) => Dedup.ngramJaccard(docs(s, dir))
+      (s, dir) => Dedup.ngramJaccard(docsS(s, dir))
         .orderBy("doc_a", "doc_b"),
       Some(Dedup.ngramJaccardSql())),
     Q("q_ngram_jaccard_wide",
-      (s, dir) => Dedup.ngramJaccard(docs(s, dir), dfMax = 20)
+      (s, dir) => Dedup.ngramJaccard(docsS(s, dir), dfMax = 20)
         .orderBy("doc_a", "doc_b"),
       Some(Dedup.ngramJaccardSql(dfMax = 20))),
 
@@ -225,7 +243,7 @@ object ExtQueries {
     // Jaccard misses — |A∩B|/min(|A|,|B|) with the contained side
     // named; low threshold so the gate pair set is non-trivial
     Q("q_ngram_containment",
-      (s, dir) => Dedup.ngramContainment(docs(s, dir),
+      (s, dir) => Dedup.ngramContainment(docsS(s, dir),
         threshold = 0.2),
       Some(Dedup.ngramContainmentSql(threshold = 0.2))),
 
@@ -247,20 +265,20 @@ object ExtQueries {
     // embedding cosine (two-stage recall/precision split); demo
     // threshold — the synthetic embeddings are text-independent
     Q("q_hybrid_neardup",
-      (s, dir) => Dedup.hybridNearDup(docs(s, dir), embs(s, dir))
+      (s, dir) => Dedup.hybridNearDup(docsS(s, dir), embsS(s, dir))
         .orderBy("doc_a", "doc_b"),
       Some(Dedup.hybridNearDupSql())),
 
     // blocking-strategy agreement: LSH vs df-bounded postings pair sets
     // at the same verify threshold — mutual coverage, the dial audit
     Q("q_neardup_eval",
-      (s, dir) => Dedup.neardupEval(docs(s, dir)),
+      (s, dir) => Dedup.neardupEval(docsS(s, dir)),
       Some(Dedup.neardupEvalSql())),
 
     // embedding-cosine near-dup (LSH-blocked, exact-verified; plane count
     // scales with corpus size)
     Q("q_cosine_neardup",
-      (s, dir) => Similarity.cosineNearDup(embs(s, dir),
+      (s, dir) => Similarity.cosineNearDup(embsS(s, dir),
           Similarity.planesFor(embCount(dir)))
         .orderBy("vec_a", "vec_b"),
       Some(Similarity.cosineNearDupSql(
@@ -269,7 +287,7 @@ object ExtQueries {
     // IVF ANN: coarse-quantizer cells + nProbe probing; centroid count
     // scales as √n (the assignment/probe balance point)
     Q("q_ann_ivf_topk",
-      (s, dir) => Similarity.ivfTopK(embs(s, dir),
+      (s, dir) => Similarity.ivfTopK(embsS(s, dir),
           Similarity.centroidsFor(embCount(dir)))
         .orderBy("q_id", "rank"),
       Some(Similarity.ivfTopKSql(
@@ -277,52 +295,52 @@ object ExtQueries {
 
     // brute-force cosine ANN (exact baseline):
     Q("q_ann_cosine_topk",
-      (s, dir) => Similarity.cosineTopK(embs(s, dir))
+      (s, dir) => Similarity.cosineTopK(embsS(s, dir))
         .orderBy("q_id", "rank"),
       Some(Similarity.cosineTopKSql())),
 
     // hard-negative mining (top-k similar with a DIFFERENT label)
     Q("q_hard_negatives",
-      (s, dir) => Similarity.hardNegatives(embs(s, dir))
+      (s, dir) => Similarity.hardNegatives(embsS(s, dir))
         .orderBy("q_id", "rank"),
       Some(Similarity.hardNegativesSql())),
 
     // kNN label-vote pseudo-labeling + its held-out accuracy view
     Q("q_knn_classify",
-      (s, dir) => Similarity.knnClassify(embs(s, dir)),
+      (s, dir) => Similarity.knnClassify(embsS(s, dir)),
       Some(Similarity.knnClassifySql())),
 
     // semantic decontamination: corpus vectors cosine-near ANY eval-slice
     // (label 0) vector are contaminated; eval suite broadcast, map-side max
     Q("q_sem_decontam",
-      (s, dir) => Similarity.semDecontam(embs(s, dir)).orderBy("vec_id"),
+      (s, dir) => Similarity.semDecontam(embsS(s, dir)).orderBy("vec_id"),
       Some(Similarity.semDecontamSql())),
 
     // product-quantization codes (IVF's companion compression: 4-bit
     // nibble per subspace, integer-quantized reconstruction error)
     Q("q_pq_code",
-      (s, dir) => Similarity.pqCodes(embs(s, dir)).orderBy("vec_id"),
+      (s, dir) => Similarity.pqCodes(embsS(s, dir)).orderBy("vec_id"),
       Some(Similarity.pqCodesSql())),
 
     // production-width PQ: 256 centroids = one BYTE per subspace (the
     // FAISS default); codes pack as two hex digits per subspace because
     // a numeric pack of 8 byte codes would overflow a signed 64-bit
     Q("q_pq_code256",
-      (s, dir) => Similarity.pqCodes(embs(s, dir), nCentroids = 256)
+      (s, dir) => Similarity.pqCodes(embsS(s, dir), nCentroids = 256)
         .orderBy("vec_id"),
       Some(Similarity.pqCodesSql(nCentroids = 256))),
 
     // TRAINED PQ codes: per-subspace codebooks learned by grouped Lloyd
     // (bit-exact trained quantizers; lower error than seed codebooks)
     Q("q_pq_trained_code",
-      (s, dir) => Similarity.pqTrainedCodes(embs(s, dir))
+      (s, dir) => Similarity.pqTrainedCodes(embsS(s, dir))
         .orderBy("vec_id"),
       Some(Similarity.pqTrainedCodesSql())),
 
     // ADC top-k over the PQ codes (compressed-domain search: LUT join,
     // integer-quantized order-free distance sums)
     Q("q_pq_adc_topk",
-      (s, dir) => Similarity.pqAdcTopK(embs(s, dir))
+      (s, dir) => Similarity.pqAdcTopK(embsS(s, dir))
         .orderBy("q_id", "rank"),
       Some(Similarity.pqAdcTopKSql())),
 
@@ -330,28 +348,28 @@ object ExtQueries {
     // composed FAISS serving shape — a query touches nProbe/nCells of
     // the corpus and no corpus floats)
     Q("q_ivf_adc_topk",
-      (s, dir) => Similarity.ivfAdcTopK(embs(s, dir))
+      (s, dir) => Similarity.ivfAdcTopK(embsS(s, dir))
         .orderBy("q_id", "rank"),
       Some(Similarity.ivfAdcTopKSql())),
 
     // residual IVF-PQ (full FAISS IVFPQ: codes on cell residuals,
     // per-probed-cell query LUTs)
     Q("q_ivfpq_topk",
-      (s, dir) => Similarity.ivfPqTopK(embs(s, dir))
+      (s, dir) => Similarity.ivfPqTopK(embsS(s, dir))
         .orderBy("q_id", "rank"),
       Some(Similarity.ivfPqTopKSql())),
 
     // LSH bucket assignment (scale path for ANN; planes = planesFor(n) so
     // bucket count tracks corpus size — 4 planes at n=500, 5 at n=2000)
     Q("q_ann_lsh_buckets",
-      (s, dir) => Similarity.lshBuckets(embs(s, dir),
+      (s, dir) => Similarity.lshBuckets(embsS(s, dir),
           Similarity.planesFor(embCount(dir))).orderBy("vec_id"),
       Some(Similarity.lshBucketsSql(
         Similarity.planesFor(oracleEmbCount)))),
 
     // nearest neighbor within LSH bucket
     Q("q_ann_lsh_nearest",
-      (s, dir) => Similarity.lshNearest(embs(s, dir),
+      (s, dir) => Similarity.lshNearest(embsS(s, dir),
           Similarity.planesFor(embCount(dir))).orderBy("q_id"),
       Some(Similarity.lshNearestSql(
         Similarity.planesFor(oracleEmbCount)))),
@@ -359,14 +377,14 @@ object ExtQueries {
     // deterministic k-means training (integer-quantized Lloyd means —
     // the trained coarse quantizer, bit-exact across engines)
     Q("q_kmeans",
-      (s, dir) => Similarity.kmeansCentroids(embs(s, dir))
+      (s, dir) => Similarity.kmeansCentroids(embsS(s, dir))
         .orderBy("cid"),
       Some(Similarity.kmeansCentroidsSql())),
 
     // IVF over TRAINED cells: the train -> index -> search loop closed,
     // all oracle-gated (cells = bit-exact Lloyd means)
     Q("q_ivf_trained_topk",
-      (s, dir) => Similarity.ivfTrainedTopK(embs(s, dir))
+      (s, dir) => Similarity.ivfTrainedTopK(embsS(s, dir))
         .orderBy("q_id", "rank"),
       Some(Similarity.ivfTrainedTopKSql())),
 
@@ -374,7 +392,7 @@ object ExtQueries {
     // on residuals + per-cell ADC — the production composition, every
     // stage oracle-gated
     Q("q_ivfpq_trained_topk",
-      (s, dir) => Similarity.ivfPqTrainedTopK(embs(s, dir))
+      (s, dir) => Similarity.ivfPqTrainedTopK(embsS(s, dir))
         .orderBy("q_id", "rank"),
       Some(Similarity.ivfPqTrainedTopKSql())),
 
@@ -390,24 +408,24 @@ object ExtQueries {
     // catalog listing: every artifact's manifest read back from disk,
     // joined with a live-corpus freshness check
     Q("q_index_manifest",
-      (s, dir) => IndexCatalog.manifests(embs(s, dir)),
+      (s, dir) => IndexCatalog.manifests(embsS(s, dir)),
       Some(IndexCatalog.manifestsSql(Tables.oracleSfDir.get))),
 
     // IVF serving read off the persisted coarse quantizer
     Q("q_ivf_catalog_topk",
-      (s, dir) => Similarity.ivfTrainedTopK(embs(s, dir))
+      (s, dir) => Similarity.ivfTrainedTopK(embsS(s, dir))
         .orderBy("q_id", "rank"),
       Some(Similarity.ivfCatalogTopKSql(Tables.oracleSfDir.get))),
 
     // PQ encode off the persisted codebook
     Q("q_pq_catalog_code",
-      (s, dir) => Similarity.pqTrainedCodes(embs(s, dir))
+      (s, dir) => Similarity.pqTrainedCodes(embsS(s, dir))
         .orderBy("vec_id"),
       Some(Similarity.pqCatalogCodeSql(Tables.oracleSfDir.get))),
 
     // IVF-PQ ADC serving read off BOTH persisted artifacts
     Q("q_ivfpq_catalog_topk",
-      (s, dir) => Similarity.ivfPqTrainedTopK(embs(s, dir))
+      (s, dir) => Similarity.ivfPqTrainedTopK(embsS(s, dir))
         .orderBy("q_id", "rank"),
       Some(Similarity.ivfPqCatalogTopKSql(Tables.oracleSfDir.get))),
 
@@ -421,18 +439,18 @@ object ExtQueries {
     // Matryoshka truncation audit: prefix-dim 1-NN recall vs the
     // full-dim ground truth — the dimension-budget curve
     Q("q_mrl_recall",
-      (s, dir) => Similarity.mrlRecall(embs(s, dir)).orderBy("dim"),
+      (s, dir) => Similarity.mrlRecall(embsS(s, dir)).orderBy("dim"),
       Some(Similarity.mrlRecallSql())),
 
     Q("q_ann_recall",
-      (s, dir) => Similarity.annRecall(embs(s, dir),
+      (s, dir) => Similarity.annRecall(embsS(s, dir),
         Similarity.planesFor(embCount(dir))),
       Some(Similarity.annRecallSql(
         Similarity.planesFor(oracleEmbCount)))),
 
     // multi-probe LSH nearest: own + every Hamming-1 bucket (recall lever)
     Q("q_ann_lsh_multiprobe",
-      (s, dir) => Similarity.lshNearestMultiProbe(embs(s, dir),
+      (s, dir) => Similarity.lshNearestMultiProbe(embsS(s, dir),
           Similarity.planesFor(embCount(dir)))
         .orderBy("q_id"),
       Some(Similarity.lshNearestMultiProbeSql(
@@ -518,7 +536,7 @@ object ExtQueries {
 
     // BPE-ish subword token count (GPT-2-style pre-tokenizer classes)
     Q("q_token_count_bpe",
-      (s, dir) => docs(s, dir)
+      (s, dir) => docsS(s, dir)
         .select(col("doc_id"),
           TextOps.bpeTokenCount(col("text")).as("n_bpe"))
         .orderBy("doc_id"),
@@ -527,19 +545,19 @@ object ExtQueries {
 
     // BM25 keyword search (quantized-ln idf, ordered term chain)
     Q("q_bm25",
-      (s, dir) => TextOps.bm25(docs(s, dir), BM25Terms),
+      (s, dir) => TextOps.bm25(docsS(s, dir), BM25Terms),
       Some(TextOps.bm25Sql(BM25Terms))),
 
     // full BM25 inverted index: per-(term, doc) precomputed tscore —
     // the static serving artifact the streaming search path joins
     Q("q_bm25_index",
-      (s, dir) => TextOps.bm25Index(docs(s, dir))
+      (s, dir) => TextOps.bm25Index(docsS(s, dir))
         .orderBy("term", "doc_id"),
       Some(TextOps.bm25IndexSql())),
 
     // TF-IDF keyword extraction: top terms per document
     Q("q_tfidf_topterms",
-      (s, dir) => TextOps.tfidfTopTerms(docs(s, dir))
+      (s, dir) => TextOps.tfidfTopTerms(docsS(s, dir))
         .orderBy("doc_id", "rank"),
       Some(TextOps.tfidfTopTermsSql())),
 
@@ -547,7 +565,7 @@ object ExtQueries {
     // index blocked on discriminative terms: df <= 5% of corpus — a
     // RATIO cap so the blocking is non-degenerate at every SF)
     Q("q_tfidf_cosine",
-      (s, dir) => TextOps.tfidfCosine(docs(s, dir),
+      (s, dir) => TextOps.tfidfCosine(docsS(s, dir),
           TextOps.dfMaxFor(docCount(dir)))
         .orderBy("doc_a", "doc_b"),
       Some(TextOps.tfidfCosineSql(TextOps.dfMaxFor(oracleDocCount)))),
@@ -566,12 +584,12 @@ object ExtQueries {
 
     // C4-style scrubbing: URL/email placeholders + whitespace normalize
     Q("q_text_clean",
-      (s, dir) => TextOps.clean(docs(s, dir)).orderBy("doc_id"),
+      (s, dir) => TextOps.clean(docsS(s, dir)).orderBy("doc_id"),
       Some(TextOps.cleanSql)),
 
     // Gopher-style repetition signals (top n-gram share, type-token ratio)
     Q("q_repetition",
-      (s, dir) => TextOps.repetition(docs(s, dir)).orderBy("doc_id"),
+      (s, dir) => TextOps.repetition(docsS(s, dir)).orderBy("doc_id"),
       Some(TextOps.repetitionSql())),
 
     // C4/Gopher keep/drop filter with per-rule attribution flags
@@ -609,20 +627,20 @@ object ExtQueries {
     // per-source OOV rate against the corpus top-V vocab — the
     // tokenizer-coverage audit next to fertility
     Q("q_oov_rate",
-      (s, dir) => TextOps.oovRate(docs(s, dir)).orderBy("source"),
+      (s, dir) => TextOps.oovRate(docsS(s, dir)).orderBy("source"),
       Some(TextOps.oovRateSql())),
 
     // per-source unigram KL drift from the corpus distribution (which
     // source is distributionally unlike the rest) — integer-quantized
     // logs, decimal sums, one final division
     Q("q_source_drift",
-      (s, dir) => TextOps.sourceDrift(docs(s, dir)).orderBy("source"),
+      (s, dir) => TextOps.sourceDrift(docsS(s, dir)).orderBy("source"),
       Some(TextOps.sourceDriftSql())),
 
     // Flesch reading ease per source: exact regex-count sums, two
     // IEEE divisions; >=1-sentence-per-doc floor
     Q("q_readability",
-      (s, dir) => TextOps.readability(docs(s, dir)).orderBy("source"),
+      (s, dir) => TextOps.readability(docsS(s, dir)).orderBy("source"),
       Some(TextOps.readabilitySql())),
 
     // Heaps vocabulary-growth exponent per language — the companion
@@ -636,7 +654,7 @@ object ExtQueries {
     // distribution — symmetric/bounded companion of the KL drift;
     // integer mixture ratios, absent-word mass in closed form
     Q("q_jsd_sources",
-      (s, dir) => TextOps.jsdSources(docs(s, dir)).orderBy("source"),
+      (s, dir) => TextOps.jsdSources(docsS(s, dir)).orderBy("source"),
       Some(TextOps.jsdSourcesSql())),
 
     // per-doc Gopher repetition signals: duplicate-line fractions,
@@ -644,7 +662,7 @@ object ExtQueries {
     // standard self-repetition pretraining filters; exact integer
     // counts, one IEEE division per fraction
     Q("q_repetition_coverage",
-      (s, dir) => TextOps.repetitionCoverage(docs(s, dir)),
+      (s, dir) => TextOps.repetitionCoverage(docsS(s, dir)),
       Some(TextOps.repetitionCoverageSql())),
 
     // per-source PSI of the doc-length histogram vs the corpus —
@@ -669,31 +687,31 @@ object ExtQueries {
     // BPE merge induction: k rounds of tokenizer TRAINING (most frequent
     // pair -> merge everywhere -> recount), the learned merge table
     Q("q_bpe_merges",
-      (s, dir) => TextOps.bpeMerges(docs(s, dir)),
+      (s, dir) => TextOps.bpeMerges(docsS(s, dir)),
       Some(TextOps.bpeMergesSql())),
 
     // BPE segmentation: every distinct word tokenized by the learned
     // merges (the training round-trip a tokenizer ships)
     Q("q_bpe_segment",
-      (s, dir) => TextOps.bpeSegment(docs(s, dir)).orderBy("term"),
+      (s, dir) => TextOps.bpeSegment(docsS(s, dir)).orderBy("term"),
       Some(TextOps.bpeSegmentSql())),
 
     // per-doc token count under the TRAINED tokenizer (what budgets and
     // packing measure once merges exist)
     Q("q_bpe_doc_tokens",
-      (s, dir) => TextOps.bpeDocTokens(docs(s, dir)).orderBy("doc_id"),
+      (s, dir) => TextOps.bpeDocTokens(docsS(s, dir)).orderBy("doc_id"),
       Some(TextOps.bpeDocTokensSql())),
 
     // tokenizer fertility per language (pieces/word under the trained
     // merges — the multilingual vocab-budget signal)
     Q("q_bpe_fertility",
-      (s, dir) => TextOps.bpeFertility(docs(s, dir)).orderBy("lang"),
+      (s, dir) => TextOps.bpeFertility(docsS(s, dir)).orderBy("lang"),
       Some(TextOps.bpeFertilitySql())),
 
     // phrase/collocation scores (word2phrase: merge candidates before
     // tokenizer/embedding training)
     Q("q_phrase_scores",
-      (s, dir) => TextOps.phraseScores(docs(s, dir))
+      (s, dir) => TextOps.phraseScores(docsS(s, dir))
         .orderBy("w1", "w2"),
       Some(TextOps.phraseScoresSql())),
 
@@ -733,7 +751,7 @@ object ExtQueries {
 
     // hashing-trick doc vectors: signed md5 bucket counts, sparse output
     Q("q_hash_embed",
-      (s, dir) => TextOps.hashEmbed(docs(s, dir))
+      (s, dir) => TextOps.hashEmbed(docsS(s, dir))
         .orderBy("doc_id", "bucket"),
       Some(TextOps.hashEmbedSql())),
 
@@ -756,12 +774,12 @@ object ExtQueries {
 
     // character-distribution entropy (gibberish / encoding-junk signal)
     Q("q_char_entropy",
-      (s, dir) => TextOps.charEntropy(docs(s, dir)).orderBy("doc_id"),
+      (s, dir) => TextOps.charEntropy(docsS(s, dir)).orderBy("doc_id"),
       Some(TextOps.charEntropySql)),
 
     // language id heuristic
     Q("q_langid",
-      (s, dir) => TextOps.langId(docs(s, dir)).orderBy("doc_id"),
+      (s, dir) => TextOps.langId(docsS(s, dir)).orderBy("doc_id"),
       Some(TextOps.langIdSql)),
 
     // concat-and-chunk sequence packing (per-shard token-cumsum windows)
@@ -790,30 +808,30 @@ object ExtQueries {
 
     // train/eval n-gram decontamination report
     Q("q_decontam",
-      (s, dir) => Pipeline.decontaminate(docs(s, dir)).orderBy("doc_id"),
+      (s, dir) => Pipeline.decontaminate(docsS(s, dir)).orderBy("doc_id"),
       Some(Pipeline.decontaminateSql())),
 
     // per-doc n-gram novelty: share of grams first seen in this doc
     Q("q_gram_novelty",
-      (s, dir) => Pipeline.gramNovelty(docs(s, dir)).orderBy("doc_id"),
+      (s, dir) => Pipeline.gramNovelty(docsS(s, dir)).orderBy("doc_id"),
       Some(Pipeline.gramNoveltySql())),
 
     // cross-doc duplicated-span fraction (exact-substring dedup signal)
     Q("q_dup_spans",
-      (s, dir) => Pipeline.dupSpans(docs(s, dir)).orderBy("doc_id"),
+      (s, dir) => Pipeline.dupSpans(docsS(s, dir)).orderBy("doc_id"),
       Some(Pipeline.dupSpansSql())),
 
     // maximal duplicated spans: adjacent duplicated grams coalesced to
     // Lee-et-al-style span coordinates (gaps-and-islands over offsets)
     Q("q_dup_spans_merged",
-      (s, dir) => Pipeline.dupSpansMerged(docs(s, dir))
+      (s, dir) => Pipeline.dupSpansMerged(docsS(s, dir))
         .orderBy("doc_id", "span_start"),
       Some(Pipeline.dupSpansMergedSql())),
 
     // duplicated-span REMOVAL apply: maximal spans cut out of each doc,
     // surviving text reassembled (the Lee-et-al substring-dedup apply)
     Q("q_dup_spans_removed",
-      (s, dir) => Pipeline.dupSpansRemoved(docs(s, dir))
+      (s, dir) => Pipeline.dupSpansRemoved(docsS(s, dir))
         .orderBy("doc_id"),
       Some(Pipeline.dupSpansRemovedSql())),
 
@@ -833,58 +851,58 @@ object ExtQueries {
     // per-doc provenance ledger: every stage's independent verdict +
     // composed keep + first-failing-stage drop attribution
     Q("q_provenance",
-      (s, dir) => Pipeline.provenance(docs(s, dir)).orderBy("doc_id"),
+      (s, dir) => Pipeline.provenance(docsS(s, dir)).orderBy("doc_id"),
       Some(Pipeline.provenanceSql())),
 
     // duplication profile: cross-doc duplicated-gram mass vs gram size
     // (the dial-choosing knee curve for the span-dedup family)
     Q("q_dup_profile",
-      (s, dir) => Pipeline.dupProfile(docs(s, dir)).orderBy("n"),
+      (s, dir) => Pipeline.dupProfile(docsS(s, dir)).orderBy("n"),
       Some(Pipeline.dupProfileSql())),
 
     // intra-doc repeated-gram removal: within-page boilerplate cut,
     // first occurrence kept, gaps-and-islands coalescing per doc
     Q("q_intradoc_dedup",
-      (s, dir) => Pipeline.intradocDedup(docs(s, dir)).orderBy("doc_id"),
+      (s, dir) => Pipeline.intradocDedup(docsS(s, dir)).orderBy("doc_id"),
       Some(Pipeline.intradocDedupSql())),
 
     // content-defined chunk dedup (FastCDC at word level): boundaries
     // from rolling-hash residue, shift-robust where fixed chunks are not
     Q("q_cdc_chunk_dedup",
-      (s, dir) => Pipeline.cdcChunkDedup(docs(s, dir)).orderBy("doc_id"),
+      (s, dir) => Pipeline.cdcChunkDedup(docsS(s, dir)).orderBy("doc_id"),
       Some(Pipeline.cdcChunkDedupSql())),
 
     // chunk-level dedup (RefinedWeb line-dedup analog): 20-word chunks,
     // keep-first by content hash, per-doc reassembly
     Q("q_chunk_dedup",
-      (s, dir) => Pipeline.chunkDedup(docs(s, dir)).orderBy("doc_id"),
+      (s, dir) => Pipeline.chunkDedup(docsS(s, dir)).orderBy("doc_id"),
       Some(Pipeline.chunkDedupSql())),
 
     // Bloom-filter decontamination: fixed-size relational bloom of eval
     // grams; deterministic md5 probes — bit-exact across engines
     Q("q_bloom_decontam",
-      (s, dir) => Pipeline.bloomDecontam(docs(s, dir))
+      (s, dir) => Pipeline.bloomDecontam(docsS(s, dir))
         .orderBy("doc_id"),
       Some(Pipeline.bloomDecontamSql())),
 
     // DSIR importance weights: unigram log-likelihood ratio vs the
     // src0 target slice, lnQ-quantized, llr>0 selection cut
     Q("q_dsir_weights",
-      (s, dir) => Pipeline.dsirWeights(docs(s, dir)).orderBy("doc_id"),
+      (s, dir) => Pipeline.dsirWeights(docsS(s, dir)).orderBy("doc_id"),
       Some(Pipeline.dsirWeightsSql())),
 
     // END-TO-END corpus assembly: quality → dedup keepers → decontam
     // drop (≥2 shared grams) → source cap → token budget, composed on
     // each stage's survivor set — the full loop under one oracle
     Q("q_corpus_e2e",
-      (s, dir) => Pipeline.corpusAssembly(docs(s, dir))
+      (s, dir) => Pipeline.corpusAssembly(docsS(s, dir))
         .orderBy("doc_id"),
       Some(Pipeline.corpusAssemblySql())),
 
     // END-TO-END with the LEARNED gate: the trained probe's keep_pred
     // replaces the rule cascade as stage 1; stages 2..5 identical
     Q("q_corpus_e2e_ml",
-      (s, dir) => Pipeline.corpusAssemblyMl(docs(s, dir),
+      (s, dir) => Pipeline.corpusAssemblyMl(docsS(s, dir),
           classifierScoredFor(s, dir)).orderBy("doc_id"),
       Some(Pipeline.corpusAssemblyMlSql())),
 
@@ -984,7 +1002,7 @@ object ExtQueries {
         val enc = org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.scalaLong,
           org.apache.spark.sql.Encoders.BINARY)
-        val avis = docs(s, dir).select("doc_id")
+        val avis = docsS(s, dir).select("doc_id")
           .map(r => (r.getLong(0), Multimodal.syntheticAvi(r.getLong(0),
             nFrames = 1 + (r.getLong(0) % 4).toInt, w = 16, h = 8)))(enc)
           .toDF("doc_id", "payload")
@@ -1014,7 +1032,7 @@ object ExtQueries {
         val enc = org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.scalaLong,
           org.apache.spark.sql.Encoders.BINARY)
-        val mp4s = docs(s, dir).select("doc_id")
+        val mp4s = docsS(s, dir).select("doc_id")
           .map(r => (r.getLong(0), Multimodal.syntheticMjpegMp4(
             r.getLong(0), nFrames = 1 + (r.getLong(0) % 4).toInt,
             w = 16, h = 8)))(enc)
