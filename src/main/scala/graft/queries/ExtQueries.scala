@@ -231,11 +231,11 @@ object ExtQueries {
     // 51 pairs at sf0.01, 15 at sf0.1, candidates still bounded by
     // dfMax per shingle key).
     Q("q_ngram_jaccard",
-      (s, dir) => Dedup.ngramJaccard(docsS(s, dir))
+      (s, dir) => Dedup.ngramJaccard(docs(s, dir))
         .orderBy("doc_a", "doc_b"),
       Some(Dedup.ngramJaccardSql())),
     Q("q_ngram_jaccard_wide",
-      (s, dir) => Dedup.ngramJaccard(docsS(s, dir), dfMax = 20)
+      (s, dir) => Dedup.ngramJaccard(docs(s, dir), dfMax = 20)
         .orderBy("doc_a", "doc_b"),
       Some(Dedup.ngramJaccardSql(dfMax = 20))),
 
@@ -243,7 +243,7 @@ object ExtQueries {
     // Jaccard misses — |A∩B|/min(|A|,|B|) with the contained side
     // named; low threshold so the gate pair set is non-trivial
     Q("q_ngram_containment",
-      (s, dir) => Dedup.ngramContainment(docsS(s, dir),
+      (s, dir) => Dedup.ngramContainment(docs(s, dir),
         threshold = 0.2),
       Some(Dedup.ngramContainmentSql(threshold = 0.2))),
 
@@ -536,7 +536,7 @@ object ExtQueries {
 
     // BPE-ish subword token count (GPT-2-style pre-tokenizer classes)
     Q("q_token_count_bpe",
-      (s, dir) => docsS(s, dir)
+      (s, dir) => docs(s, dir)
         .select(col("doc_id"),
           TextOps.bpeTokenCount(col("text")).as("n_bpe"))
         .orderBy("doc_id"),
@@ -813,7 +813,7 @@ object ExtQueries {
 
     // per-doc n-gram novelty: share of grams first seen in this doc
     Q("q_gram_novelty",
-      (s, dir) => Pipeline.gramNovelty(docsS(s, dir)).orderBy("doc_id"),
+      (s, dir) => Pipeline.gramNovelty(docs(s, dir)).orderBy("doc_id"),
       Some(Pipeline.gramNoveltySql())),
 
     // cross-doc duplicated-span fraction (exact-substring dedup signal)
@@ -851,7 +851,7 @@ object ExtQueries {
     // per-doc provenance ledger: every stage's independent verdict +
     // composed keep + first-failing-stage drop attribution
     Q("q_provenance",
-      (s, dir) => Pipeline.provenance(docsS(s, dir)).orderBy("doc_id"),
+      (s, dir) => Pipeline.provenance(docs(s, dir)).orderBy("doc_id"),
       Some(Pipeline.provenanceSql())),
 
     // duplication profile: cross-doc duplicated-gram mass vs gram size

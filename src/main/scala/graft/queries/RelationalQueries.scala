@@ -13,11 +13,21 @@ object RelationalQueries {
   private def t(s: org.apache.spark.sql.SparkSession, dir: String,
       name: String) = Tables.table(s, dir, name)
 
+  // The fact tables ship as one parquet row group at every driver SF,
+  // so the scan — and with it the decimal-exact partial aggregation of
+  // q1/revenue/topk — is ONE task (guide §2.5 input skew; measured
+  // q1_agg 1.17→0.66 s, q_join_revenue 1.5→1.05 s at sf0.1/local[32]).
+  // spreadBy is a no-op once the input is split; hashing on the join
+  // key keeps the join's co-partitioning usable downstream.
+  private def tS(s: org.apache.spark.sql.SparkSession, dir: String,
+      name: String, key: String) =
+    Tables.spreadBy(Tables.table(s, dir, name), key)
+
   val all: Seq[Q] = Seq(
 
     // TPC-H Q1-flavored pricing summary (decimal-exact sums)
     Q("q1_agg",
-      (s, dir) => t(s, dir, "lineitem")
+      (s, dir) => tS(s, dir, "lineitem", "l_orderkey")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           exactSum(col("l_quantity")).as("sum_qty"),
@@ -37,8 +47,8 @@ object RelationalQueries {
 
     // multi-way join with broadcast dims: revenue per nation
     Q("q_join_revenue",
-      (s, dir) => t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"),
+      (s, dir) => tS(s, dir, "lineitem", "l_orderkey")
+        .join(tS(s, dir, "orders", "o_orderkey"),
           col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(t(s, dir, "customer")),
           col("o_custkey") === col("c_custkey"))
@@ -64,8 +74,9 @@ object RelationalQueries {
 
     // top-k with deterministic tie-break
     Q("q_topk_customers",
-      (s, dir) => t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      (s, dir) => tS(s, dir, "lineitem", "l_orderkey")
+        .join(tS(s, dir, "orders", "o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey"))
         .agg(exactSumProduct(col("l_extendedprice"),
           lit(1.0) - col("l_discount")).as("revenue"))
