@@ -12,6 +12,23 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Pin the trained-index catalog state for FULL sweeps (VERDICT r16
+    // #3): a fresh per-run catalog root makes sweep 1 measure
+    // train+persist and sweep 2 measure serve-from-artifact — so
+    // min-of-sweeps legitimately reports serving while training cost
+    // stays visible in the cold sweep, instead of depending on whatever
+    // earlier process warmed /tmp. Filtered (BENCH_ONLY) A/B runs keep
+    // the ambient catalog: isolated A/Bs of serving gates measure
+    // serving. An explicit -Dgraft.index.catalog.root is respected.
+    val catalogPinned =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY") ||
+          sys.props.contains("graft.index.catalog.root")) false
+      else {
+        val fresh = java.nio.file.Files
+          .createTempDirectory("graft-bench-catalog")
+        sys.props("graft.index.catalog.root") = fresh.toString
+        true
+      }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -167,21 +184,32 @@ object Bench {
     val totalMin = minQ.map(_._2).filter(_ >= 0).sum
     // per-group totals (core = reference surface, ext = pipeline ops) so
     // future regressions localize to a group in cross-round diffs
-    val groupTotals = {
-      val minByName = minQ.toMap
-      def totals(gs: Seq[(String, Seq[graft.queries.Q])], suffix: String) =
-        gs.map { case (g, qs2) =>
-          val t = qs2.flatMap(q => minByName.get(q.name)).filter(_ >= 0).sum
-          "\"" + g + suffix + "\":" + f"$t%.3f"
-        }.mkString(",")
-      totals(SparkEntry.registryGroups, "_min_sec") + "," +
-        "\"families\":{" +
-        totals(SparkEntry.registryFamilies, "") + "}"
-    }
+    val minByName = minQ.toMap
+    def famTotals(gs: Seq[(String, Seq[graft.queries.Q])],
+        suffix: String) =
+      gs.map { case (g, qs2) =>
+        val t = qs2.flatMap(q => minByName.get(q.name)).filter(_ >= 0).sum
+        "\"" + g + suffix + "\":" + f"$t%.3f"
+      }.mkString(",")
+    val famMap = famTotals(SparkEntry.registryFamilies, "")
+    val groupTotals =
+      famTotals(SparkEntry.registryGroups, "_min_sec") + "," +
+        "\"families\":{" + famMap + "}"
     val famIsoField = famIso.map(j => s""","families_isolated":$j""").getOrElse("")
     val line =
-      f"""{"metric":"total_query_seconds","value":$total%.3f,"unit":"sec","queries":$qs,"queries_warm":${render(warm)},"total_warm_sec":$totalWarm%.3f,"queries_min":${render(minQ)},"total_min_sec":$totalMin%.3f,$groupTotals,"storage_bytes_per_event":$densityBpe%.2f,"calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f$famIsoField,"sf":"$sfDir"}"""
+      f"""{"metric":"total_query_seconds","value":$total%.3f,"unit":"sec","queries":$qs,"queries_warm":${render(warm)},"total_warm_sec":$totalWarm%.3f,"queries_min":${render(minQ)},"total_min_sec":$totalMin%.3f,$groupTotals,"storage_bytes_per_event":$densityBpe%.2f,"calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f,"catalog_cold_first_sweep":$catalogPinned$famIsoField,"sf":"$sfDir"}"""
     println(line)
+    // The driver's stdout capture keeps only a ~2000-char TAIL; the full
+    // line above is ~8 KB with 243 per-query entries, so its FRONT (the
+    // {"metric": opener) is truncated away and the driver has parsed
+    // null every round since r04 (VERDICT r16 #2). Print a compact
+    // driver-parseable line LAST — same contract fields, with per-FAMILY
+    // min-of-sweeps totals as the `queries` map (added entries; the full
+    // per-query map is in the line above and in bench.json, both
+    // unchanged) — small enough to survive any tail capture.
+    val compact =
+      f"""{"metric":"total_query_seconds","value":$total%.3f,"unit":"sec","queries":{$famMap},"n_queries":${results.size},"total_min_sec":$totalMin%.3f,"total_warm_sec":$totalWarm%.3f,"calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f,"catalog_cold_first_sweep":$catalogPinned,"sf":"$sfDir"}"""
+    println(compact)
     // ALSO write the line to a file: the driver's stdout tail-capture
     // truncated BENCH_r04 ("parsed": null) — a file can't be truncated by
     // whatever buffers sit between println and the capture. Filtered
