@@ -77,26 +77,51 @@ object Tables {
     * round-robin) keeps the row→partition map deterministic under
     * task retries with no sort-before-repartition pass. */
   def spreadBy(df: DataFrame, key: String): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    val groups = df.inputFiles.map(f => rowGroupCount(
-      if (f.startsWith("file:")) new java.net.URI(f).getPath else f)).sum
-    if (groups < target)
+    val sc = df.sparkSession.sparkContext
+    val target = sc.defaultParallelism
+    val files = df.inputFiles
+    // short-circuit (ADVICE r16): a many-file dataset is splittable by
+    // file count alone — never open footers just to conclude the no-op
+    // branch; and stop accumulating once the running sum proves it.
+    val underSplit = files.length < target && {
+      var sum = 0L
+      var i = 0
+      while (i < files.length && sum < target) {
+        sum += rowGroupCount(
+          if (files(i).startsWith("file:"))
+            new java.net.URI(files(i)).getPath
+          else files(i), sc.hadoopConfiguration)
+        i += 1
+      }
+      sum < target
+    }
+    if (underSplit)
       df.repartition(target, org.apache.spark.sql.functions.col(key))
     else df
   }
 
   private val rgMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-  private def rowGroupCount(path: String): Int =
-    rgMemo.computeIfAbsent(path, { _ =>
-      import org.apache.hadoop.conf.Configuration
+  private def rowGroupCount(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Int = {
+    // memo key carries (size, mtime) — the IndexCatalog.fileFingerprint
+    // stance — so a file regenerated at the same path within one JVM
+    // (test fixtures rewritten between suites) never reuses a stale
+    // row-group count (ADVICE r16)
+    val f = new java.io.File(path)
+    val memoKey = s"$path:${f.length}:${f.lastModified}"
+    rgMemo.computeIfAbsent(memoKey, { _ =>
       import org.apache.hadoop.fs.Path
       import org.apache.parquet.hadoop.ParquetFileReader
       import org.apache.parquet.hadoop.util.HadoopInputFile
+      // session Hadoop conf, not a bare Configuration: spark.hadoop.*
+      // and remote-FS credentials must reach the footer probe on
+      // non-local filesystems (ADVICE r16)
       val r = ParquetFileReader.open(
-        HadoopInputFile.fromPath(new Path(path), new Configuration()))
+        HadoopInputFile.fromPath(new Path(path), conf))
       try Integer.valueOf(r.getRowGroups.size()) finally r.close()
     })
+  }
 
   /** Plan-time unit guard for the raw-Long timestamp flavor: a Long
     * `ts` column is interpreted as NANOSECONDS (the nanosAsLong read of

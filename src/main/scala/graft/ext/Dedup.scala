@@ -112,18 +112,34 @@ object Dedup {
     verifyJaccard(cands, perDoc, threshold)
   }
 
+  /** [[minhashNearDup]] off an already-materialized per-doc signature
+    * table (the [[minhashPerDoc]] schema, checkpointed by the caller):
+    * banding + exact-Jaccard verification only — no shingle scan. */
+  private[graft] def minhashNearDupFrom(perDoc: DataFrame, k: Int = 16,
+      r: Int = 4, threshold: Double = 0.2): DataFrame = {
+    require(threshold > 0.0,
+      "threshold must be > 0 (zero-overlap candidates are never emitted)")
+    verifyJaccard(bandedCandidatesFrom(perDoc, k, r), perDoc, threshold)
+  }
+
   /** The per-doc dedup index row: the k-permutation signature PLUS the
     * verification payload (shingle count + shingle set) — everything a
     * serving tier needs to dedup future documents against this one.
     * This is the table [[graft.ext.IndexCatalog.minhashSignatures]]
     * persists for [[deltaNearDup]]'s incremental reads. */
   private[graft] def minhashPerDoc(docs: DataFrame, n: Int,
+      k: Int): DataFrame =
+    minhashPerDocFrom(shingles(docs, n), k)
+
+  /** [[minhashPerDoc]] over an already-built shingle table — the entry
+    * that lets one materialized shingle scan feed several consumers
+    * (e.g. [[neardupEval]]'s two blocking arms). */
+  private[graft] def minhashPerDocFrom(sh: DataFrame,
       k: Int): DataFrame = {
     val sigAggs = (0 until k).map(i =>
       min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i")) ++ Seq(
       count(lit(1)).as("nsh"), collect_set(col("sh")).as("shset"))
-    shingles(docs, n).groupBy("doc_id")
-      .agg(sigAggs.head, sigAggs.tail: _*)
+    sh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
   }
 
   /** LSH band keys of a per-doc signature table. */
@@ -143,15 +159,24 @@ object Dedup {
       : (DataFrame, DataFrame) = {
     val perDoc = minhashPerDoc(docs, n, k)
       .transform(graft.functions.checkpointed)
+    (bandedCandidatesFrom(perDoc, k, r), perDoc)
+  }
+
+  /** Banded candidate pairs off an already-materialized per-doc
+    * signature table — lets one checkpointed signature build feed
+    * several verifiers (VERDICT r16 #4: [[editDistNearDup]] used to
+    * re-shingle the corpus to regenerate the same candidates the
+    * minhash pair graph already paid for). */
+  private[graft] def bandedCandidatesFrom(perDoc: DataFrame, k: Int,
+      r: Int): DataFrame = {
     val bands = bandsOf(perDoc, k, r)
     val a = bands.as("a")
     val b = bands.as("b")
-    val cands = a.join(b,
+    a.join(b,
       col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    (cands, perDoc)
   }
 
   /** Incremental (delta) near-dup — the workflow a 100 TB ingestion
@@ -276,6 +301,19 @@ object Dedup {
   def editDistNearDup(docs: DataFrame, n: Int = 2, k: Int = 16, r: Int = 4,
       minSim: Double = 0.95): DataFrame = {
     val (cands, _) = bandedCandidates(docs, n, k, r)
+    editDistVerify(cands, docs, minSim)
+  }
+
+  /** [[editDistNearDup]] off an already-materialized per-doc signature
+    * table (VERDICT r16 #4): the banded candidates reuse the SAME
+    * checkpointed signature build the minhash pair graph made, so the
+    * corpus is shingled once per session, not once per verifier. */
+  def editDistNearDupFrom(perDoc: DataFrame, docs: DataFrame,
+      k: Int = 16, r: Int = 4, minSim: Double = 0.95): DataFrame =
+    editDistVerify(bandedCandidatesFrom(perDoc, k, r), docs, minSim)
+
+  private def editDistVerify(cands: DataFrame, docs: DataFrame,
+      minSim: Double): DataFrame = {
     val texts = parallelized(docs).select(col("doc_id"), col("text"))
     cands
       .join(texts.select(col("doc_id").as("doc_a"),
@@ -389,7 +427,7 @@ object Dedup {
     * join shuffles only the rare-shingle postings (bounded by dfMax per
     * key, so no skew); verification joins shuffle on doc ids. */
   def ngramJaccard(docs: DataFrame, n: Int = 2, dfMin: Int = 2,
-      dfMax: Int = 5, threshold: Double = 0.1): DataFrame = {
+      dfMax: Int = 5, threshold: Double = 0.1): DataFrame =
     // Candidate generation needs the per-shingle document frequency, so
     // the shingle table stays materialized and the postings-join
     // verification stays cheap (the array_intersect shape used by
@@ -398,7 +436,15 @@ object Dedup {
     // of cache+count: blocks are plan-owned (GC with the plan, no
     // CacheManager residue across engine calls — round-2 ADVICE); the rare
     // checkpoint reads the sh checkpoint, so the second pass is cheap.
-    val sh = shingles(docs, n).transform(graft.functions.checkpointed)
+    ngramJaccardFrom(
+      shingles(docs, n).transform(graft.functions.checkpointed),
+      dfMin, dfMax, threshold)
+
+  /** [[ngramJaccard]] over an already-checkpointed shingle table — the
+    * entry [[neardupEval]] uses so BOTH blocking arms read one
+    * materialized shingle scan (VERDICT r16 #5). */
+  private[graft] def ngramJaccardFrom(sh: DataFrame, dfMin: Int = 2,
+      dfMax: Int = 5, threshold: Double = 0.1): DataFrame = {
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df").between(dfMin, dfMax))
     val rare = sh.join(dfreq.select("sh"), "sh").transform(graft.functions.checkpointed)
@@ -532,9 +578,16 @@ object Dedup {
     * blocking is dropping verified duplicates. Counts are exact
     * integers; the ratios are single IEEE divisions. */
   def neardupEval(docs: DataFrame, threshold: Double = 0.2): DataFrame = {
-    val lsh = minhashNearDup(docs, threshold = threshold)
+    // ONE shingle scan for both blocking arms (VERDICT r16 #5): the
+    // checkpointed shingle table feeds the minhash signature build AND
+    // the df-bounded postings pipeline — previously each arm re-ran
+    // the full tokenize+shingle pass over the corpus.
+    val sh = shingles(docs, 2).transform(graft.functions.checkpointed)
+    val perDoc = minhashPerDocFrom(sh, 16)
+      .transform(graft.functions.checkpointed)
+    val lsh = minhashNearDupFrom(perDoc, threshold = threshold)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("l"))
-    val post = ngramJaccard(docs, threshold = threshold)
+    val post = ngramJaccardFrom(sh, threshold = threshold)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
     post.join(lsh, Seq("doc_a", "doc_b"), "full_outer")
       .agg(
@@ -787,15 +840,15 @@ object Dedup {
     * propagated min label at convergence). */
   def dedupGroupsSql(n: Int = 2, k: Int = 16, r: Int = 4,
       threshold: Double = 0.2): String =
-    s"""WITH RECURSIVE pairs AS (
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
        |  SELECT doc_a, doc_b FROM (${minhashNearDupSql(n, k, r, threshold)})),
-       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
        |reach(id, r) AS (
        |  SELECT src, src FROM edges
        |  UNION
        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
-       |comp AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id)
+       |comp AS MATERIALIZED (SELECT id, min(r) AS group_id FROM reach GROUP BY id)
        |SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS group_id,
        | d.doc_id = coalesce(c.group_id, d.doc_id) AS keep
        |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id

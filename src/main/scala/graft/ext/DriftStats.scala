@@ -59,9 +59,14 @@ object DriftStats {
       lit(LengthBinEdges.length): Column) { case ((e, i), acc) =>
         when(length(col("text")) < e, lit(i)).otherwise(acc)
       }
+    // checkpointed: the (source, bin) table is bounded (sources ×
+    // Bins) but feeds THREE consumers (c_b, n_s, the grid join) —
+    // unmaterialized, the corpus scan + bin projection re-ran per
+    // reference
     val sb = parallelized(docs)
       .select(col("source"), bins.as("bin"))
       .groupBy("source", "bin").agg(count(lit(1)).as("c_sb"))
+      .transform(graft.functions.checkpointed)
     val cb = sb.groupBy("bin").agg(sum(col("c_sb")).as("c_b"))
     val ns = sb.groupBy("source").agg(sum(col("c_sb")).as("n_s"))
     val nt = localRelation(cb.agg(sum(col("c_b")).as("n_corpus")))

@@ -290,15 +290,22 @@ object Pipeline {
     * pair materialization (contrast suffix-array builds: this is the
     * shuffle-native restatement that scales to 100 TB). */
   def dupSpans(docs: DataFrame, n: Int = 5, minDocs: Int = 2): DataFrame = {
-    val g = gramStream(docs, n)
-    val dupGrams = g.groupBy("g")
-      .agg(countDistinct(col("doc_id")).as("ndocs"))
-      .where(col("ndocs") >= minDocs)
-      .select("g")
-    g.join(dupGrams.withColumn("_dup", lit(1L)), Seq("g"), "left")
+    // ONE gram-stream pass (the dupProfile treatment): the old shape
+    // aggregated the stream into a dup-gram list and joined the stream
+    // against it — two corpus explodes per invocation. Two-level
+    // aggregation: per-(g, doc) occurrence counts, per-g ndocs via a
+    // g-keyed window over that REDUCED table, then the per-doc rollup.
+    // n_dup_spans is unchanged — occurrences of grams seen in ≥
+    // minDocs distinct docs.
+    val per = gramStream(docs, n).groupBy("g", "doc_id")
+      .agg(count(lit(1)).as("_c"))
+    per
+      .withColumn("_ndocs",
+        count(lit(1)).over(Window.partitionBy("g")))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(coalesce(col("_dup"), lit(0L))).as("n_dup_spans"))
+      .agg(sum(col("_c")).as("n_spans"),
+        sum(when(col("_ndocs") >= minDocs, col("_c")).otherwise(0L))
+          .as("n_dup_spans"))
       .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
         (col("n_dup_spans").cast("double") / col("n_spans"))
           .as("dup_frac"))
@@ -348,12 +355,19 @@ object Pipeline {
     * no pair materialization, no driver state. */
   def dupSpansMerged(docs: DataFrame, n: Int = 5,
       minDocs: Int = 2): DataFrame = {
+    // ONE gram-stream pass (the dupSpans treatment): ndocs per gram is
+    // computed over the stream itself with two g-keyed windows (a
+    // dense_rank over doc_id, then its per-g max — one shuffle+sort,
+    // no dup-gram list, no join, no second corpus explode). The hit
+    // set is unchanged: positions of grams in ≥ minDocs distinct docs.
     val g = gramStreamPos(docs, n)
-    val dupGrams = g.groupBy("g")
-      .agg(countDistinct(col("doc_id")).as("ndocs"))
-      .where(col("ndocs") >= minDocs)
-      .select("g")
-    val hits = g.join(dupGrams, "g").select("doc_id", "pos")
+    val byG = Window.partitionBy("g")
+    val hits = g
+      .withColumn("_dr",
+        dense_rank().over(byG.orderBy("doc_id")))
+      .withColumn("_ndocs", max(col("_dr")).over(byG))
+      .where(col("_ndocs") >= minDocs)
+      .select("doc_id", "pos")
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     hits
       .withColumn("grp", col("pos") - row_number().over(byDoc))
@@ -614,14 +628,22 @@ object Pipeline {
   def dupProfile(docs: DataFrame, ns: Seq[Int] = Seq(3, 5, 8),
       minDocs: Int = 2): DataFrame =
     ns.map { n =>
-      val g = gramStream(docs, n)
-      val dupGrams = g.groupBy("g")
-        .agg(countDistinct(col("doc_id")).as("ndocs"))
-        .where(col("ndocs") >= minDocs)
-        .select("g")
-      g.join(dupGrams.withColumn("_dup", lit(1L)), Seq("g"), "left")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(coalesce(col("_dup"), lit(0L))).as("n_dup"))
+      // ONE pass per probed n: the old shape aggregated the gram
+      // stream into a dup-gram list and then JOINED the stream against
+      // it — Catalyst does not dedupe the shared subtree, so each
+      // probe exploded the corpus twice. Two-level aggregation gives
+      // the same counts with no join and no second scan: per-(g,doc)
+      // occurrence counts, then per-g (total, ndocs), then the probe
+      // totals — every level partial/map-side (guide §2.3). n_dup is
+      // unchanged: the occurrence count of grams seen in ≥ minDocs
+      // docs, exactly what the old left-join 0/1 sum counted.
+      val per = gramStream(docs, n).groupBy("g", "doc_id")
+        .agg(count(lit(1)).as("_c"))
+      per.groupBy("g")
+        .agg(sum(col("_c")).as("_cg"), count(lit(1)).as("_ndocs"))
+        .agg(sum(col("_cg")).as("n_grams"),
+          sum(when(col("_ndocs") >= minDocs, col("_cg"))
+            .otherwise(0L)).as("n_dup"))
         .select(lit(n.toLong).as("n"), col("n_grams"), col("n_dup"),
           (col("n_dup").cast("double") / col("n_grams").cast("double"))
             .as("dup_frac"))
@@ -1228,13 +1250,25 @@ object Pipeline {
   private def assembleStages(docs: DataFrame, s1: DataFrame,
       evalMod: Int, n: Int, minHits: Long, capK: Int,
       budget: Long): DataFrame = {
-    val s2 = s1.join(
-      Dedup.exactDedup(s1).select(col("keeper").as("doc_id")), "doc_id")
+    // each surviving-corpus stage is materialized once: every stage
+    // references its predecessor TWICE (itself + the stage filter
+    // derived from it — exactDedup(s1), decontaminate(s2),
+    // sourceCap(s3)), and Catalyst does not dedupe common subtrees,
+    // so unmaterialized the upstream chain re-evaluated once per
+    // reference and the fan-out compounded stage over stage
+    // (2×2×2 ≈ 8 evaluations of s1 feeding the budget pass). At scale
+    // the materialized stage is the surviving corpus — strictly
+    // smaller than its recomputation tree.
+    val s1m = s1.transform(graft.functions.checkpointed)
+    val s2 = s1m.join(
+      Dedup.exactDedup(s1m).select(col("keeper").as("doc_id")), "doc_id")
       .where(col("doc_id") % evalMod =!= 0)
+      .transform(graft.functions.checkpointed)
     val contaminated = decontaminate(s2,
         docs.where(col("doc_id") % evalMod === 0), n)
       .where(col("hits") >= minHits).select("doc_id")
     val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti")
+      .transform(graft.functions.checkpointed)
     val s4 = s3.join(sourceCap(s3, capK).select("doc_id"), "doc_id")
     tokenBudget(s4, budget)
   }
@@ -1331,18 +1365,25 @@ object Pipeline {
       .select(col("doc_id"),
         explode(sequence(col("span_start"), col("span_end"))).as("pos"))
       .distinct()
-    val kept = words.join(covered, Seq("doc_id", "pos"), "left_anti")
+    // ONE word-stream pass (the chunkDedup treatment): a left join
+    // with a cover flag replaces the anti-join/total split that
+    // re-evaluated the word explode per branch. `covered` is distinct,
+    // so the join never duplicates word rows; collect_list skips
+    // nulls, so the when(uncovered) filter collects exactly the kept
+    // words the anti-join did.
+    words
+      .join(covered.withColumn("_cov", lit(1)),
+        Seq("doc_id", "pos"), "left")
       .groupBy("doc_id").agg(
-        count(lit(1)).as("n_kept"),
+        count(lit(1)).as("n_words"),
+        sum(when(col("_cov").isNull, 1L).otherwise(0L)).as("_n_kept"),
         array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("w")))),
+          array_sort(collect_list(when(col("_cov").isNull,
+            struct(col("pos"), col("w"))))),
           x => x.getField("w")), " ").as("clean_text"))
-    words.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
-      .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_words"),
-        (col("n_words") - coalesce(col("n_kept"), lit(0L)))
-          .as("n_removed"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        (col("n_words") - col("_n_kept")).as("n_removed"),
+        col("clean_text"))
   }
 
   def dupSpansRemovedSql(n: Int = 5, minDocs: Int = 2): String =
@@ -1386,11 +1427,15 @@ object Pipeline {
     * joins only — every stage is bounded by the document's own length,
     * no cross-doc surface at all (embarrassingly parallel over docs). */
   def intradocDedup(docs: DataFrame, n: Int = 3): DataFrame = {
+    // ONE gram-stream pass: first_pos per (doc, gram) as a window over
+    // the stream itself instead of an aggregate joined back against a
+    // second corpus explode (Catalyst does not dedupe the shared
+    // subtree). Same hit set: occurrences after their gram's first.
     val gp = gramStreamPos(docs, n)
-    val firstPos = gp.groupBy("doc_id", "g")
-      .agg(min(col("pos")).as("first_pos"))
-    val hits = gp.join(firstPos, Seq("doc_id", "g"))
-      .where(col("pos") > col("first_pos"))
+    val hits = gp
+      .withColumn("_fp",
+        min(col("pos")).over(Window.partitionBy("doc_id", "g")))
+      .where(col("pos") > col("_fp"))
       .select(col("doc_id"), col("pos"))
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val spans = hits
@@ -1400,18 +1445,25 @@ object Pipeline {
     val covered = spans.select(col("doc_id"),
       explode(sequence(col("s"), col("e"))).as("pos")).distinct()
     val words = wordStream(docs)
-    val kept = words.join(covered, Seq("doc_id", "pos"), "left_anti")
+    // ONE word-stream pass (the chunkDedup treatment): a left join
+    // with a cover flag replaces the anti-join/total split that
+    // re-evaluated the word explode per branch. `covered` is distinct,
+    // so the join never duplicates word rows; collect_list skips
+    // nulls, so the when(uncovered) filter collects exactly the kept
+    // words the anti-join did.
+    words
+      .join(covered.withColumn("_cov", lit(1)),
+        Seq("doc_id", "pos"), "left")
       .groupBy("doc_id").agg(
-        count(lit(1)).as("n_kept"),
+        count(lit(1)).as("n_words"),
+        sum(when(col("_cov").isNull, 1L).otherwise(0L)).as("_n_kept"),
         array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("w")))),
+          array_sort(collect_list(when(col("_cov").isNull,
+            struct(col("pos"), col("w"))))),
           x => x.getField("w")), " ").as("clean_text"))
-    words.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
-      .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_words"),
-        (col("n_words") - coalesce(col("n_kept"), lit(0L)))
-          .as("n_removed"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        (col("n_words") - col("_n_kept")).as("n_removed"),
+        col("clean_text"))
   }
 
   def intradocDedupSql(n: Int = 3): String =
@@ -1474,19 +1526,20 @@ object Pipeline {
     val byHash = Window.partitionBy(md5(col("chunk_text")))
       .orderBy(col("doc_id"), col("chunk_idx"))
     val flagged = chunks.withColumn("rn", row_number().over(byHash))
-    val kept = flagged.where(col("rn") === 1)
-      .groupBy("doc_id").agg(
-        count(lit(1)).as("n_kept"),
+    // ONE per-doc aggregation (the cdcChunkDedup treatment): the old
+    // kept/total split evaluated the chunk-explode + keep-first window
+    // subtree once per branch; collect_list skips nulls, so the
+    // when(rn=1) filter collects exactly the kept chunks.
+    flagged.groupBy("doc_id").agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("_n_kept"),
         array_join(transform(
-          array_sort(collect_list(
-            struct(col("chunk_idx"), col("chunk_text")))),
+          array_sort(collect_list(when(col("rn") === 1,
+            struct(col("chunk_idx"), col("chunk_text"))))),
           x => x.getField("chunk_text")), " ").as("clean_text"))
-    flagged.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
-      .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chunks"),
-        (col("n_chunks") - coalesce(col("n_kept"), lit(0L)))
-          .as("n_dup_chunks"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        (col("n_chunks") - col("_n_kept")).as("n_dup_chunks"),
+        col("clean_text"))
   }
 
   def chunkDedupSql(width: Int = 20): String =
@@ -1546,18 +1599,21 @@ object Pipeline {
     val byHash = Window.partitionBy(md5(col("chunk_text")))
       .orderBy(col("doc_id"), col("cid"))
     val flagged = chunks.withColumn("rn", row_number().over(byHash))
-    val kept = flagged.where(col("rn") === 1)
-      .groupBy("doc_id").agg(
-        count(lit(1)).as("n_kept"),
+    // ONE per-doc aggregation for totals AND keep-first reassembly:
+    // the old kept/total split read `flagged` twice, re-running the
+    // chunk windows per branch (Catalyst does not dedupe common
+    // subtrees). collect_list skips nulls, so the when(rn=1) filter
+    // collects exactly the kept chunks the old filtered branch did.
+    flagged.groupBy("doc_id").agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("_n_kept"),
         array_join(transform(
-          array_sort(collect_list(struct(col("cid"), col("chunk_text")))),
+          array_sort(collect_list(when(col("rn") === 1,
+            struct(col("cid"), col("chunk_text"))))),
           x => x.getField("chunk_text")), " ").as("clean_text"))
-    flagged.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
-      .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chunks"),
-        (col("n_chunks") - coalesce(col("n_kept"), lit(0L)))
-          .as("n_dup_chunks"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        (col("n_chunks") - col("_n_kept")).as("n_dup_chunks"),
+        col("clean_text"))
   }
 
   def cdcChunkDedupSql(w: Int = 4, div: Int = 16): String = {

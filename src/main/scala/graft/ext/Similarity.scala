@@ -2389,27 +2389,46 @@ object Similarity {
   }
 
   /** Exact integer squared distance of a candidate pair (`a_xq` vs
-    * `xq`), raising loud on ragged lengths — shared by both arms. */
-  private[graft] def twoNNd2: Column =
+    * `xq`), raising loud on ragged lengths — shared by both arms.
+    * The fold itself is the native codegen'd
+    * [[graft.plans.ArraySqDistLong]] kernel: the previous
+    * `aggregate(zip_with(...))` spelling is CodegenFallback, so the
+    * QUADRATIC candidate stream paid an interpreted per-element
+    * lambda walk per pair (the r16 twonn-family regression's hot
+    * loop). Integer addition is order-independent, so the result is
+    * bit-identical. */
+  private[graft] def twoNNd2: Column = {
+    import org.apache.spark.sql.graftglue.Bridge
     when(size(col("a_xq")) =!= size(col("xq")),
       raise_error(lit("twoNN: ragged embeddings (length mismatch)"))
         .cast("long"))
-      .otherwise(aggregate(
-        zip_with(col("a_xq"), col("xq"), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, v) => acc + v))
+      .otherwise(Bridge.column(graft.plans.ArraySqDistLong(
+        Bridge.expression(col("a_xq")), Bridge.expression(col("xq")))))
+  }
 
   /** The 2-NN selection + Facco MLE chain over a candidate pair
     * stream `(a_id, vec_id, d2)` — shared verbatim by the exact and
     * the indexed arm, so the estimator chain cannot drift between
     * them. */
   private[graft] def twoNNFromPairs(pairs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("a_id"))
-      .orderBy(col("d2"), col("vec_id"))
-    val two = pairs.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 2)
+    // top-2 selection as ONE hash aggregation (VERDICT r16 #1): the
+    // old rank window shuffled AND sorted the full candidate stream to
+    // keep two rows per point; [[graft.plans.LongMin2]] is partial —
+    // the map side reduces each partition to a two-long buffer per
+    // point, so the exchange carries O(points) rows, not O(pairs).
+    // d1/d2n are the 1st/2nd order statistics of the d2 MULTISET in
+    // both spellings (the window's vec_id tiebreak only permutes
+    // equal d2 values), so results are bit-identical.
+    val min2 = {
+      import org.apache.spark.sql.graftglue.Bridge
+      Bridge.column(graft.plans.LongMin2(
+        Bridge.expression(col("d2"))).toAggregateExpression())
+    }
+    val two = pairs
       .groupBy(col("a_id"))
-      .agg(min(when(col("rank") === 1, col("d2"))).as("d1"),
-        min(when(col("rank") === 2, col("d2"))).as("d2n"))
+      .agg(min2.as("_m"))
+      .select(col("a_id"), col("_m").getField("d1").as("d1"),
+        col("_m").getField("d2n").as("d2n"))
     val lnq = floor(log(col("d2n").cast("double") /
       col("d1").cast("double")) * 1e12d).cast("long")
     two

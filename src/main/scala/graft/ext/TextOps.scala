@@ -443,12 +443,17 @@ object TextOps {
     * replays batch buckets bit-exactly from the same boundary pairs.
     * Rank-selection is bit-equal to the ntile window (total order,
     * unique doc_id tiebreak), so the dispatch is invisible to results. */
-  def pplBuckets(docs: DataFrame, lambda: Double = 0.9): DataFrame = {
-    val scored = graft.functions.checkpointed(
+  def pplBuckets(docs: DataFrame, lambda: Double = 0.9): DataFrame =
+    pplBucketsFromScored(graft.functions.checkpointed(
       bigramLogProb(docs, lambda)
-        .join(docs.select(col("doc_id"), col("lang")), "doc_id"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")))
+
+  /** [[pplBuckets]] over an already-materialized scored corpus
+    * (`doc_id, n_bigrams, avg_logprob, lang` — checkpointed by the
+    * caller): the entry the shared LM-scored memo feeds, so bucketing
+    * never re-trains or re-scores (VERDICT r16 #6). */
+  def pplBucketsFromScored(scored: DataFrame): DataFrame =
     assignPplBuckets(scored, pplBoundaryKeys(scored))
-  }
 
   /** Per-doc scored inputs at or below this row count cut terciles with
     * the single ordered window pass per language (cheaper below ~10M
@@ -952,15 +957,24 @@ object TextOps {
     val toks = graft.functions.parallelized(docs)
       .select(col("lang"), col("doc_id"),
         explode(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).as("term"))
-    // tokens per checkpoint bucket
-    val tk = toks
-      .groupBy(col("lang"),
+    // ONE tokenization pass: both rollups (tokens per bucket, new
+    // types per bucket) derive from a shared (lang, term, ckpt)
+    // pre-aggregate — unmaterialized, the corpus tokenized once per
+    // branch. Same numbers: Σ counts per bucket, and a term's first
+    // doc is the min over its bucket minima.
+    val ltc = toks
+      .groupBy(col("lang"), col("term"),
         floor(col("doc_id") / step).cast("long").as("ckpt"))
-      .agg(count(lit(1)).as("toks"))
+      .agg(count(lit(1)).as("_c"), min(col("doc_id")).as("_md"))
+      .transform(graft.functions.checkpointed)
+    // tokens per checkpoint bucket
+    val tk = ltc
+      .groupBy(col("lang"), col("ckpt"))
+      .agg(sum(col("_c")).as("toks"))
     // new types per checkpoint bucket: first containing doc, per lang
-    val nv = toks
+    val nv = ltc
       .groupBy(col("lang"), col("term"))
-      .agg(min(col("doc_id")).as("first_doc"))
+      .agg(min(col("_md")).as("first_doc"))
       .groupBy(col("lang"),
         floor(col("first_doc") / step).cast("long").as("ckpt"))
       .agg(count(lit(1)).as("news"))
@@ -1037,10 +1051,14 @@ object TextOps {
     * exact plan. */
   def jsdSources(docs: DataFrame): DataFrame = {
     val ln2Q = 693147180559L // floor(ln(2)·1e12), exact in both
+    // checkpointed: the (source, word) count table feeds the per-word
+    // rollup, the per-source rollup AND the scoring join —
+    // unmaterialized, the corpus tokenized once per reference
     val sw = graft.functions.parallelized(docs)
       .select(col("source"),
         explode(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+      .transform(graft.functions.checkpointed)
     val cw = sw.groupBy("w").agg(sum(col("c_sw")).as("c_w"))
     val ns = sw.groupBy("source").agg(sum(col("c_sw")).as("n_s"))
     val nt = graft.functions.localRelation(
@@ -1114,15 +1132,27 @@ object TextOps {
     * broadcast) and count misses; exact integer counts, one division
     * per source row. */
   def oovRate(docs: DataFrame, size: Int = 1000): DataFrame = {
-    val v = graft.functions.localRelation(
-      vocab(docs, size).select(col("term"), lit(1L).as("in_v")))
-    docs.select(col("doc_id"), col("source"), col("text"))
+    // ONE tokenization pass: the vocabulary (top-V by total count) and
+    // the per-source OOV mass both derive from a shared checkpointed
+    // (source, term, count) table — the old shape tokenized the corpus
+    // once to induce the vocab and AGAIN to probe it. Same numbers:
+    // per-term totals are the sum of per-source counts, and the OOV
+    // token count weights each (source, term) row by its count.
+    val st = docs
       .select(col("source"),
         explode(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("_c"))
+      .transform(graft.functions.checkpointed)
+    val v = graft.functions.localRelation(
+      st.groupBy("term").agg(sum(col("_c")).as("c"))
+        .orderBy(col("c").desc, col("term")).limit(size)
+        .select(col("term"), lit(1L).as("in_v")))
+    st
       .join(broadcast(v), Seq("term"), "left")
       .groupBy("source")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .agg(sum(col("_c")).as("n_tokens"),
+        sum(when(col("in_v").isNull, col("_c")).otherwise(0L))
+          .as("n_oov"))
       .withColumn("oov_rate",
         col("n_oov").cast("double") / col("n_tokens").cast("double"))
   }
@@ -1835,10 +1865,14 @@ object TextOps {
     * on word (shuffle bounded by vocab, not corpus), source totals and
     * the corpus constant broadcast. */
   def sourceDrift(docs: DataFrame): DataFrame = {
+    // checkpointed: the (source, word) count table feeds the per-word
+    // rollup, the per-source rollup AND the scoring join —
+    // unmaterialized, the corpus tokenized once per reference
     val sw = graft.functions.parallelized(docs)
       .select(col("source"),
         explode(split(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+      .transform(graft.functions.checkpointed)
     val cw = sw.groupBy("w").agg(sum(col("c_sw")).as("c_w"))
     val ns = sw.groupBy("source").agg(sum(col("c_sw")).as("n_s"),
       count(lit(1)).as("n_distinct"))
@@ -2039,19 +2073,22 @@ object TextOps {
     import graft.functions.localRelation
     val qterms = terms.map(_.toLowerCase).distinct.sorted
     val toks = tokens(docs)
-    // exactly TWO tokenization passes: the per-doc lengths and the
-    // query-term counts, each materialized once (localCheckpoint) —
-    // corpus constants, the df table, and the scored join all read the
-    // two small checkpointed tables, never the token stream again
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // ONE tokenization pass (previously two — per-doc lengths and
+    // query-term counts each re-tokenized the corpus): group on
+    // (doc_id, query-term-or-NULL) — the null bucket pools every
+    // non-query token, so per-doc lengths (Σ counts) and the
+    // query-term tfs both come off the one checkpointed aggregate.
+    val agg1 = toks.groupBy(col("doc_id"),
+        when(col("term").isin(qterms: _*), col("term")).as("_qt"))
+      .agg(count(lit(1)).as("_c"))
       .transform(graft.functions.checkpointed)
+    val dl = agg1.groupBy("doc_id").agg(sum(col("_c")).as("dl"))
     val consts = localRelation(dl.agg(
         count(lit(1)).as("n_docs"), sum(col("dl")).as("tdl"))
       .select(col("n_docs"),
         (col("tdl").cast("double") / col("n_docs")).as("avgdl")))
-    val tf = toks.where(col("term").isin(qterms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .transform(graft.functions.checkpointed)
+    val tf = agg1.where(col("_qt").isNotNull)
+      .select(col("doc_id"), col("_qt").as("term"), col("_c").as("tf"))
     val dfreq = localRelation(
       tf.groupBy("term").agg(count(lit(1)).as("df")))
     val scored = tf.join(dl, "doc_id").join(dfreq, "term").crossJoin(consts)
@@ -2121,16 +2158,17 @@ object TextOps {
   def bm25Index(docs: DataFrame, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     import graft.functions.localRelation
-    val toks = tokens(docs)
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // ONE tokenization pass (previously two): per-doc lengths derive
+    // from the checkpointed (doc, term, tf) postings themselves —
+    // Σ tf per doc IS the doc length.
+    val tf = tokens(docs).groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
       .transform(graft.functions.checkpointed)
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val consts = localRelation(dl.agg(
         count(lit(1)).as("n_docs"), sum(col("dl")).as("tdl"))
       .select(col("n_docs"),
         (col("tdl").cast("double") / col("n_docs")).as("avgdl")))
-    val tf = toks.groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
-      .transform(graft.functions.checkpointed)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(dl, "doc_id").join(dfreq, "term").crossJoin(consts)
       .select(col("term"), col("doc_id"),
@@ -2166,8 +2204,12 @@ object TextOps {
     * own vocabulary: no hot-key funnel. */
   def tfidfTopTerms(docs: DataFrame, topK: Int = 3): DataFrame = {
     import graft.functions.localRelation
+    // checkpointed: tf feeds the df aggregate AND the scoring join
+    // (the tfidfCosine stance) — unmaterialized, the corpus tokenized
+    // twice per invocation
     val tf = tokens(docs).groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
+      .transform(graft.functions.checkpointed)
     val nDocs = localRelation(
       docs.agg(count(lit(1)).as("n_docs")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))

@@ -594,7 +594,13 @@ object EventAnalytics {
     * boundary row is fixed the scoring is one broadcast join of exact
     * comparisons. `rfm_code` packs the three scores as r·100+f·10+m. */
   def rfm(events: DataFrame): DataFrame = {
+    // ONE materialized per-user aggregation: the three boundary
+    // percentile calls (each an eager multi-pass operator) and the
+    // scoring cross-join all consume `base` — unmaterialized, the
+    // events scan + user groupBy re-ran seven times per invocation
+    // (VERDICT r16 #7, the attribution-block audit).
     val base = rfmUserStats(events)
+      .transform(graft.functions.checkpointed)
     rfmApply(base, rfmBoundsOf(base))
   }
 
@@ -999,8 +1005,14 @@ object EventAnalytics {
     * window + join only. */
   private def journeyBase(events: DataFrame,
       convType: String): (DataFrame, DataFrame) = {
+    // ranked is materialized once: every attribution consumer reads it
+    // through several plan branches (firstConv, the base join's left
+    // side, and each op's own steps/coalition fan-out) — Catalyst does
+    // not dedupe common subtrees, so unmaterialized it re-ran the
+    // per-user rank window once per branch (VERDICT r16 #7).
     val ranked = ev(events)
       .withColumn("rn", row_number().over(perUser))
+      .transform(graft.functions.checkpointed)
     val firstConv = ranked.where(col("event_type") === convType)
       .groupBy("user_id").agg(min(col("rn")).as("crn"))
     val base = ranked.join(firstConv, Seq("user_id"), "left")
@@ -1031,10 +1043,14 @@ object EventAnalytics {
     val byRn = Window.partitionBy("user_id").orderBy("rn")
     val allRn = Window.partitionBy("user_id")
     val (firstConv, base) = journeyBase(events, convType)
+    // steps feeds FOUR union branches (mid/entry/exit + immediate's
+    // anti-join probe): materialize it once so the two user-keyed
+    // windows run once per invocation, not once per branch.
     val steps = base
       .withColumn("nxt", lead(col("event_type"), 1).over(byRn))
       .withColumn("first_rn", min(col("rn")).over(allRn))
       .withColumn("last_rn", max(col("rn")).over(allRn))
+      .transform(graft.functions.checkpointed)
     val mid = steps.where(col("nxt").isNotNull)
       .select(col("event_type").as("src"), col("nxt").as("dst"))
     val entry = steps.where(col("rn") === col("first_rn"))
@@ -1044,7 +1060,7 @@ object EventAnalytics {
         when(col("crn").isNotNull, lit("CONV")).otherwise(lit("NULL"))
           .as("dst"))
     val immediate = firstConv.join(
-        base.select("user_id").distinct(), Seq("user_id"), "left_anti")
+        steps.select("user_id").distinct(), Seq("user_id"), "left_anti")
       .select(lit("START").as("src"), lit("CONV").as("dst"))
     mid.unionAll(entry).unionAll(exit).unionAll(immediate)
       .groupBy(col("src"), col("dst"))
@@ -1541,9 +1557,15 @@ object EventAnalytics {
             lit("positionAttribution: credit_q overflows BIGINT at "),
             col("channel"))).cast("long"))
           .otherwise(col("_c").cast("long")).as("credit_q"))
+    // full-frame window over the bounded channel table instead of a
+    // self-join: `agg.join(agg.agg(...))` evaluated the whole journey
+    // subtree twice (Catalyst does not dedupe common subtrees). Same
+    // exact decimal total, one evaluation.
+    val full = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     agg
-      .join(agg.agg(sum(col("credit_q").cast("decimal(30,0)"))
-        .cast("double").as("_t")))
+      .withColumn("_t", sum(col("credit_q").cast("decimal(30,0)"))
+        .over(full).cast("double"))
       .select(col("channel"), col("n_touches"), col("credit_q"),
         (col("credit_q").cast("double") / 1e6d).as("conversions"),
         (col("credit_q").cast("double") / col("_t")).as("share"))
@@ -1631,9 +1653,15 @@ object EventAnalytics {
         guarded(col("_f"), "first_q").as("first_q"),
         guarded(col("_l"), "last_q").as("last_q"),
         guarded(col("_n"), "linear_q").as("linear_q"))
+    // corpus total as a full-frame window over the BOUNDED channel
+    // table (not a self-join: `agg.join(agg.agg(...))` evaluated the
+    // whole journey subtree twice — Catalyst does not dedupe common
+    // subtrees). Same exact decimal sum, one evaluation.
+    val full = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     agg
-      .join(agg.agg(sum(col("linear_q").cast("decimal(30,0)"))
-        .cast("double").as("_t")))
+      .withColumn("_t", sum(col("linear_q").cast("decimal(30,0)"))
+        .over(full).cast("double"))
       .select(col("channel"), col("n_touches"),
         col("first_q"), col("last_q"), col("linear_q"),
         (col("first_q").cast("double") / col("_t")).as("first_share"),
@@ -1702,8 +1730,11 @@ object EventAnalytics {
       halflifeMicros: Long = 7L * 86400L * 1000000L): DataFrame = {
     requireSafeType(convType)
     require(halflifeMicros > 0L, "halflifeMicros must be positive")
+    // materialized once: referenced by fc AND as the touches join's
+    // left side (the journeyBase stance)
     val ranked = ev(events)
       .withColumn("rn", row_number().over(perUser))
+      .transform(graft.functions.checkpointed)
     val fc = ranked.where(col("event_type") === convType)
       .groupBy("user_id").agg(min(col("rn")).as("crn"),
         min(col("tsu")).as("conv_tsu"))
@@ -1731,9 +1762,14 @@ object EventAnalytics {
             lit("timeDecayAttribution: credit_q overflows BIGINT at "),
             col("channel"))).cast("long"))
           .otherwise(col("_c").cast("long")).as("credit_q"))
+    // full-frame window over the bounded channel table instead of a
+    // self-join (the positionAttribution treatment: one journey-subtree
+    // evaluation, same exact decimal total)
+    val full = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     agg
-      .join(agg.agg(sum(col("credit_q").cast("decimal(30,0)"))
-        .cast("double").as("_t")))
+      .withColumn("_t", sum(col("credit_q").cast("decimal(30,0)"))
+        .over(full).cast("double"))
       .select(col("channel"), col("n_touches"), col("credit_q"),
         (col("credit_q").cast("double") / 1e6d).as("conversions"),
         (col("credit_q").cast("double") / col("_t")).as("share"))

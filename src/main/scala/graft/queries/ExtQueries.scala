@@ -60,7 +60,43 @@ object ExtQueries {
       dir: String): org.apache.spark.sql.DataFrame =
     pairsMemo.computeIfAbsent(
       System.identityHashCode(s).toString + ":" + dir,
-      _ => Dedup.minhashNearDup(docsS(s, dir)).select("doc_a", "doc_b")
+      _ => Dedup.minhashNearDupFrom(perDocFor(s, dir))
+        .select("doc_a", "doc_b")
+        .transform(graft.functions.checkpointed))
+
+  /** Shared checkpointed per-doc MinHash signature table (signature +
+    * verification payload): the pair graph ([[pairsFor]]) and the
+    * edit-distance verifier's banded candidates consume the SAME
+    * signature build (VERDICT r16 #4 — `q_editdist_neardup` used to
+    * re-shingle the corpus to regenerate candidates the minhash chain
+    * had already computed). Memoized per (session, dir) like
+    * [[pairsFor]]; `q_minhash_neardup` itself stays on its own
+    * unmemoized build so the bench keeps measuring the full
+    * construction cost once per sweep. */
+  private val perDocMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.DataFrame]()
+  private def perDocFor(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    perDocMemo.computeIfAbsent(
+      System.identityHashCode(s).toString + ":" + dir,
+      _ => Dedup.minhashPerDoc(docsS(s, dir), 2, 16)
+        .transform(graft.functions.checkpointed))
+
+  /** Shared checkpointed LM-scored corpus — `(doc_id, n_bigrams,
+    * avg_logprob, lang)`, the bigram-LM quality scores every CCNet-style
+    * consumer reads (VERDICT r16 #6): `q_bigram_logprob` returns it,
+    * `q_ppl_buckets` terciles it, `q_ppl_bounds` runs the distributed
+    * boundary plan over it. One training+scoring pass per (session,
+    * dir) — the production shape: one LM, one score table, several
+    * curation consumers — instead of three end-to-end retrains. */
+  private val lmScoredMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.DataFrame]()
+  private def lmScoredFor(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    lmScoredMemo.computeIfAbsent(
+      System.identityHashCode(s).toString + ":" + dir,
+      _ => TextOps.bigramLogProb(docs(s, dir))
+        .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
         .transform(graft.functions.checkpointed))
 
   /** Shared k-means cell assignment: `q_semdedup` and `q_cell_balance`
@@ -208,7 +244,8 @@ object ExtQueries {
     // edit-distance near-dup: the SAME banded-LSH candidates as minhash,
     // verified by normalized Levenshtein instead of set overlap
     Q("q_editdist_neardup",
-      (s, dir) => Dedup.editDistNearDup(docsS(s, dir))
+      (s, dir) => Dedup.editDistNearDupFrom(perDocFor(s, dir),
+          docsS(s, dir))
         .orderBy("doc_a", "doc_b"),
       Some(Dedup.editDistNearDupSql())),
 
@@ -728,25 +765,23 @@ object ExtQueries {
     // interpolated bigram LM log-prob (CCNet-style quality: word ORDER,
     // not just rarity — the n-gram perplexity signal pipelines gate on)
     Q("q_bigram_logprob",
-      (s, dir) => TextOps.bigramLogProb(docs(s, dir)).orderBy("doc_id"),
+      (s, dir) => lmScoredFor(s, dir)
+        .select("doc_id", "n_bigrams", "avg_logprob").orderBy("doc_id"),
       Some(TextOps.bigramLogProbSql())),
 
     // CCNet perplexity bucketing: per-language head/middle/tail terciles
     // of the bigram-LM score (rank-based, doc_id tiebreak — bit-portable)
     Q("q_ppl_buckets",
-      (s, dir) => TextOps.pplBuckets(docs(s, dir)).orderBy("doc_id"),
+      (s, dir) => TextOps.pplBucketsFromScored(lmScoredFor(s, dir))
+        .orderBy("doc_id"),
       Some(TextOps.pplBucketsSql())),
 
     // the tercile boundary-key table via the DISTRIBUTED bucketed-rank
     // plan (the >10M-row dispatch arm run unconditionally here): the
     // scale path itself is oracle-gated against DuckDB's ntile-rank cut
     Q("q_ppl_bounds",
-      (s, dir) => {
-        val d = docs(s, dir)
-        val scored = TextOps.bigramLogProb(d)
-          .join(d.select(col("doc_id"), col("lang")), "doc_id")
-        TextOps.pplBoundaryBucketedPlan(scored).orderBy("lang")
-      },
+      (s, dir) => TextOps.pplBoundaryBucketedPlan(lmScoredFor(s, dir))
+        .orderBy("lang"),
       Some(TextOps.pplBoundsSql())),
 
     // hashing-trick doc vectors: signed md5 bucket counts, sparse output
@@ -880,6 +915,13 @@ object ExtQueries {
 
     // Bloom-filter decontamination: fixed-size relational bloom of eval
     // grams; deterministic md5 probes — bit-exact across engines
+    // r17 A/B at 32 cores (VERDICT r16 #8): spread vs raw measured
+    // 1.98 vs 2.08 best-warm over 5 isolated runs; the driver's 4.85 s
+    // 32-core outlier reproduces under host contention in BOTH arms
+    // (calib 1.0-1.4 runs read 5-6 s either way) — contention, not the
+    // spread exchange. Spread kept: equal-or-better, and the gram
+    // explode + 3×md5 map side is exactly the CPU the spread exists
+    // to parallelize.
     Q("q_bloom_decontam",
       (s, dir) => Pipeline.bloomDecontam(docsS(s, dir))
         .orderBy("doc_id"),

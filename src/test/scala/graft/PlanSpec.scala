@@ -543,7 +543,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("bigram log-prob joins model tables on keys — no pair materialization") {
-    val p = plan("q_bigram_logprob")
+    // gate the SCORER's own plan: the registry entry now serves the
+    // shared per-(session, dir) checkpointed scored table (r17 LM memo),
+    // so its final plan is checkpoint-rooted and the model-join shape
+    // lives in the memo's build — which is exactly this builder call
+    val p = graft.ext.TextOps.bigramLogProb(
+        Tables.table(spark, sf("sf0.001"), "documents"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct"),
       s"cartesian in bigram logprob:\n$p")
     // the 1-row corpus total enters as a broadcast, as unigram's does
